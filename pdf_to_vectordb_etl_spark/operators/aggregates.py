@@ -1,0 +1,80 @@
+"""Aggregation operators (SURVEY §2.4 A1-A5).
+
+The reference accumulates per-subject strings in mutable dicts
+(reference enem_pdf_extractor.py:479-501,:620-633) and upserts single
+CSV cells (reference qdrant_text_loader.py:102-120); here both are
+group-bys — the order-sensitive concat carries (page_index, pos) so the
+result is deterministic under shuffles (SURVEY §7 hard part 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def subject_concat(questions: DataFrame, text_col: str = "txt") -> DataFrame:
+    """A2 — per-(year, subject) document-order concatenation of the TXT
+    records (reference :479-501 etc.).
+
+    Spark gives no implicit row order, so each record is tagged with its
+    (page_index, pos) sort key, collected, sorted in-group, then joined.
+    One shuffle on (year, subject); group count is tiny (years × 6).
+    """
+    keyed = F.struct(
+        F.col("page_index").alias("p"), F.col("pos").alias("q"), F.col(text_col).alias("t")
+    )
+    return (
+        questions.groupBy("year", "subject")
+        .agg(F.sort_array(F.collect_list(keyed)).alias("parts"))
+        .select(
+            "year",
+            "subject",
+            F.array_join(F.transform("parts", lambda s: s["t"]), "").alias("content"),
+        )
+    )
+
+
+def question_counts(questions: DataFrame) -> DataFrame:
+    """A3 (expected side) — per-(year, subject) question counts
+    (reference qdrant_text_loader.py:217-224)."""
+    return questions.groupBy("year", "subject").agg(F.count("*").alias("n"))
+
+
+def extraction_stats(expected: DataFrame, inserted: DataFrame | None = None) -> DataFrame:
+    """A3 — long-form stats table: kind ``todas_questoes`` (expected)
+    and ``questoes_add`` (actually inserted) per (year, subject)
+    (reference qdrant_text_loader.py:301-308)."""
+    out = expected.select("year", "subject", F.lit("todas_questoes").alias("kind"), "n")
+    if inserted is not None:
+        out = out.unionByName(
+            inserted.select("year", "subject", F.lit("questoes_add").alias("kind"), "n")
+        )
+    return out
+
+
+def stats_pivot(stats: DataFrame, subjects: list[str] | None = None) -> DataFrame:
+    """A4 — pivot to the reference's CSV shape: one column per subject,
+    one row per (year, kind) (reference qdrant_text_loader.py:102-120).
+
+    Explicit pivot values keep the plan to a single aggregation pass
+    (no values-discovery job) — required habit at scale.
+    """
+    from ..schemas import SUBJECTS
+
+    values = subjects if subjects is not None else list(SUBJECTS)
+    return (
+        stats.groupBy("year", "kind")
+        .pivot("subject", values)
+        .agg(F.first("n"))
+        .orderBy("year", "kind")
+    )
+
+
+def folder_parity_check(files: DataFrame) -> DataFrame:
+    """A5 — PDF count + parity flags (reference pdf_to_qdrant_etl.py:134-138:
+    error when fewer than 2 PDFs or an odd count)."""
+    return files.agg(
+        F.count("*").alias("n_pdfs"),
+        (F.count("*") >= 2).alias("enough"),
+        (F.count("*") % 2 == 0).alias("even"),
+    )

@@ -1,0 +1,115 @@
+"""Join operators (SURVEY §2.3 J1-J4).
+
+The reference does nested-loop pairing and per-question regex lookups
+(reference pdf_to_qdrant_etl.py:44-73; enem_pdf_extractor.py:190-227);
+here both become declarative joins — the answer key parses ONCE into a
+tiny DataFrame that Spark broadcast-hash-joins against the billion-row
+question side, which is the shape that scales to 100 TB (the key side is
+O(exams), always broadcastable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.textops import scrub_long_lines
+from ..schemas import SUBJECT_RANGES
+
+ANSWER_MISS_SENTINEL = "não achou a questão"  # reference enem_pdf_extractor.py:210,:227
+
+
+def pair_tests_with_keys(files: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """J1 — pair each test (PV) doc with its answer-key (GB) doc by
+    (year, day, color) (reference pdf_to_qdrant_etl.py:44-73).
+
+    ``files`` is doc-grain with kind/day/color columns. Returns
+    (pairs, orphans): ``pairs`` has test_doc_id + key_doc_id; ``orphans``
+    is the left-anti remainder — non-empty orphans means the reference's
+    all-or-nothing contract fails (reference :70-71).
+    """
+    tests = files.filter(F.col("kind") == "PV").select(
+        F.col("doc_id").alias("test_doc_id"), "year", "day", "color"
+    )
+    keys = files.filter(F.col("kind") == "GB").select(
+        F.col("doc_id").alias("key_doc_id"), "year", "day", "color"
+    )
+    pairs = tests.join(F.broadcast(keys), ["year", "day", "color"], "inner")
+    orphans = tests.join(F.broadcast(keys), ["year", "day", "color"], "left_anti")
+    return pairs, orphans
+
+
+def parse_answer_key(gb_pages: DataFrame, text_col: str = "page_text") -> DataFrame:
+    """J2 broadcast side — GB page-0 text -> (year, day, color,
+    question_num, answer) rows.
+
+    Reproduces the reference's scrub-then-positional-lookup as
+    parse-once: X17 blanks lines of >=4 chars (reference :963-964),
+    leaving alternating number / letter lines; each ``num\\n…letter``
+    adjacency becomes one row. The reference instead re-scans this text
+    with ``\\b{num}\\b`` + char-offset per question (reference
+    :196-226) — same (num, letter) relation.
+    """
+    scrubbed = scrub_long_lines(F.col(text_col))
+    pairs = F.regexp_extract_all(scrubbed, F.lit(r"(?m)^(\d{1,3})\s*\n+\s*([A-E])$"), 0)
+    return (
+        gb_pages.filter(F.col("kind") == "GB")
+        .filter(F.col("page_index") == 0)  # reference reads key page 0 only (:960)
+        .select(
+            "year",
+            "day",
+            "color",
+            F.explode(pairs).alias("pair"),
+        )
+        .withColumn(
+            "question_num", F.regexp_extract("pair", r"(\d{1,3})", 1).cast("int")
+        )
+        .withColumn("answer", F.regexp_extract("pair", r"([A-E])\s*$", 1))
+        .drop("pair")
+    )
+
+
+def lookup_answers(
+    questions: DataFrame, answer_key: DataFrame, compat_sentinel: bool = False
+) -> DataFrame:
+    """J2 + J4 — attach ``correct_answer`` by broadcast left join on the
+    *printed* question number (J4's shared-slot remap is already folded
+    into printed numbering: D1 internal>5 minus 5, D2 plus 90; reference
+    :192-193,:213).
+
+    Missing key slot -> NULL, or the reference's literal sentinel string
+    when ``compat_sentinel`` (reference :210,:227 — SURVEY §7 models it
+    as NULL + compat coalesce).
+    """
+    key = answer_key.select(
+        "year", "day", "color", "question_num", F.col("answer").alias("correct_answer")
+    )
+    out = questions.join(
+        F.broadcast(key), ["year", "day", "color", "question_num"], "left"
+    )
+    if compat_sentinel:
+        out = out.withColumn(
+            "correct_answer", F.coalesce("correct_answer", F.lit(ANSWER_MISS_SENTINEL))
+        )
+    return out
+
+
+def subject_dim(spark) -> DataFrame:
+    """J3 dim table — 6 closed internal-number ranges (reference :408,:559)."""
+    return spark.createDataFrame(
+        SUBJECT_RANGES, "day string, subject string, lo int, hi int"
+    )
+
+
+def bucket_subjects_range_join(questions: DataFrame, dim: DataFrame) -> DataFrame:
+    """J3 (range-join form) — broadcast inner range join against the
+    6-row subject dim; equivalent to the CASE form in
+    ``parse.subject_case_expr`` (tests pin the equivalence)."""
+    q = questions
+    d = F.broadcast(dim.withColumnRenamed("day", "d_day"))
+    return q.join(
+        d,
+        (q["day"] == d["d_day"])
+        & (q["internal_num"] >= d["lo"])
+        & (q["internal_num"] <= d["hi"]),
+        "inner",
+    ).drop("d_day", "lo", "hi")
