@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's flagship queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is forced with a cheap count/collect so the timed span covers
+scan -> transform -> action. Value = total wall seconds across queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    import __spark_entry__ as entry
+    from pdf_to_vectordb_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+
+    # headline set: one per operator family, heaviest variants included
+    names = [
+        "a1_groupby_agg",          # scan+agg (TPC-H Q1 class)
+        "j2_broadcast_sentinel",   # broadcast lookup join
+        "j3_range_bucket_join",    # range join
+        "w1_running_sum",          # window
+        "a2_ordered_concat",       # order-preserving concat
+        "a4_pivot",                # pivot stats
+        "k1_topk_cosine",          # vector top-k
+        "dedup_exact",             # hash dedup
+        "dedup_minhash_lsh",       # minhash LSH near-dup
+        "dedup_ngram_jaccard",     # inverted-index jaccard
+        "dedup_embedding_cosine",  # embedding near-dup
+        "ta_quality",              # text analysis
+        "ta_langid",               # language id
+        "enem_questions" if "enem_questions" in entry.queries() else "ta_fingerprint",
+    ]
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+    for name in names:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    # flagship entry() on its pinned sf
+    t0 = time.time()
+    entry.entry(spark).collect()
+    timings["entry_flagship"] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

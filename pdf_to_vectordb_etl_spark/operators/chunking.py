@@ -1,0 +1,60 @@
+"""Chunk windowing (SURVEY §2.5 W4).
+
+The reference lazily slices concatenated subject text into per-question
+chunks on the literal split key ``(RESPOSTA CORRETA)`` with a +22-char
+buffer so each chunk keeps its ``(RESPOSTA CORRETA): X`` tail
+(reference qdrant_text_loader.py:66-76). Here the slice positions come
+from ``posexplode(split(...))`` + a ``lead`` window — no generator
+state, parallel per document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+SPLIT_KEY = "(RESPOSTA CORRETA)"  # reference qdrant_text_loader.py:28
+TAIL_BUFFER = 22  # reference :70 — captures "(RESPOSTA CORRETA): X\n"
+
+
+def split_chunks(
+    df: DataFrame, text_col: str = "content", key_cols: tuple[str, ...] = ("year", "subject")
+) -> DataFrame:
+    """Re-split concatenated text into question chunks, one row each.
+
+    A chunk = text from the previous split-key end to the next split key
+    + its answer tail. Equivalent native form: split on the key keeps
+    the body *before* each key occurrence; each chunk is body_i plus the
+    key+tail that terminated it. The final empty remainder (text after
+    the last answer tail) is dropped, as the reference's generator stops
+    there (reference :74-76).
+    """
+    parts = F.split(F.col(text_col), F.lit(SPLIT_KEY), -1)
+    n = F.size(parts)
+    df = df.select(
+        *key_cols,
+        F.posexplode(parts).alias("chunk_index", "body"),
+        n.alias("_n"),
+    ).filter(F.col("chunk_index") < F.col("_n") - 1)  # drop post-final remainder
+    # body_{i+1} starts with ": X\n\n…" — its first TAIL_BUFFER-len(KEY)
+    # chars belong to chunk i's tail; simplest faithful form: re-attach
+    # the key and the answer char from the *next* body's head.
+    w = Window.partitionBy(*key_cols).orderBy("chunk_index")
+    nxt = F.lead("body").over(w)
+    tail = F.concat(
+        F.lit(SPLIT_KEY),
+        F.coalesce(F.regexp_extract(nxt, r"^(:\s*\S+)", 1), F.lit("")),
+    )
+    chunk = F.when(
+        F.col("chunk_index") == 0, F.concat(F.col("body"), tail)
+    ).otherwise(
+        # bodies after the first begin with the previous chunk's ": X"
+        # remnant — strip it before prepending
+        F.concat(F.regexp_replace(F.col("body"), r"^:\s*\S+\s*", ""), tail)
+    )
+    return df.withColumn("chunk", chunk).drop("body", "_n")
+
+
+def chunk_counts(chunks: DataFrame, key_cols: tuple[str, ...] = ("year", "subject")) -> DataFrame:
+    """Chunks per group — must equal question counts (round-trip
+    property ``chunk(concat(q)) == q``, SURVEY §7 guiding decision 1)."""
+    return chunks.groupBy(*key_cols).agg(F.count("*").alias("n_chunks"))

@@ -1,0 +1,131 @@
+"""Text-analysis operators for corpus curation (beyond-reference).
+
+Language ID, quality scoring, token counting, fingerprinting — the
+filters a 100 TB training-data pipeline runs over every document. All
+native Column expressions (regexp/split/aggregate): no Python in the
+per-document path, so they ride whole-stage codegen and cost one narrow
+projection per doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# marker stopwords per language for the n-gram/stopword-hit heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "es": ("el", "la", "de", "que", "los"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "les", "des", "est"),
+    "pt": ("o", "que", "de", "em", "uma"),
+}
+
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def _c(x: Column | str) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    t = F.trim(_c(text))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("long")
+
+
+BPE_ISH_PATTERN = r"\w+|[^\w\s]"
+
+
+def subword_token_count(text: Column | str) -> Column:
+    """BPE-ish token estimate: word pieces + punctuation marks, counted
+    with one regexp pass (``\\w+|[^\\w\\s]``)."""
+    return F.size(F.regexp_extract_all(_c(text), F.lit(BPE_ISH_PATTERN), 0)).cast("long")
+
+
+def _marker_hits(text: Column, markers: tuple[str, ...]) -> Column:
+    pat = r"\b(" + "|".join(markers) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), 0))
+
+
+def language_scores(text: Column | str) -> Column:
+    """Per-language marker-hit counts as a struct (the langid features)."""
+    t = _c(text)
+    return F.struct(
+        *[_marker_hits(t, m).alias(lang) for lang, m in sorted(LANG_MARKERS.items())]
+    )
+
+
+def detect_language(text: Column | str, default: str = "und") -> Column:
+    """Heuristic language ID: argmax of marker-hit counts with
+    deterministic alphabetical tie-break; ``und`` when nothing hits."""
+    t = _c(text)
+    scored = F.array(
+        *[
+            F.struct(
+                _marker_hits(t, m).alias("hits"), F.lit(lang).alias("lang")
+            )
+            for lang, m in sorted(LANG_MARKERS.items(), reverse=True)
+        ]
+    )
+    best = F.array_max(scored)  # struct compare: hits first, then lang desc
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit(default))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: length, tokens, mean token length,
+    punctuation ratio, stopword ratio, uppercase ratio."""
+    t = _c(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), 0))
+    n_stop = _marker_hits(t, STOPWORDS_EN)
+    n_upper = F.size(F.regexp_extract_all(t, F.lit(r"[A-Z]"), 0))
+    safe = lambda num, den: F.when(den > 0, num / den).otherwise(F.lit(0.0))  # noqa: E731
+    return df.withColumns(
+        {
+            "n_chars": n_chars.cast("long"),
+            "n_tokens": n_tokens,
+            "mean_token_len": safe(n_chars - (n_tokens - 1), n_tokens).cast("double"),
+            "punct_ratio": safe(n_punct, n_chars).cast("double"),
+            "stopword_ratio": safe(n_stop, n_tokens).cast("double"),
+            "upper_ratio": safe(n_upper, n_chars).cast("double"),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scalar quality score in [0, 1]: rewards stopword presence and
+    moderate token length, penalizes punctuation soup. Deterministic,
+    monotone in its features — a filterable curation signal."""
+    feats = quality_features(df, text_col)
+    score = (
+        F.least(F.col("stopword_ratio") * 4, F.lit(1.0)) * 0.4
+        + F.when(F.col("mean_token_len").between(3, 10), 0.4).otherwise(0.0)
+        + F.when(F.col("punct_ratio") < 0.2, 0.2).otherwise(0.0)
+    )
+    return feats.withColumn("quality_score", score.cast("double"))
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    """Normalization-based document fingerprint: lowercase, strip
+    non-word chars, collapse whitespace, md5. Robust to formatting
+    noise; equal fingerprints => same content modulo punctuation."""
+    t = F.lower(_c(text))
+    t = F.regexp_replace(t, r"[^\w\s]", "")
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return F.md5(t)
+
+
+def rolling_hash(text: Column | str, prime: int = 31, mod: int = (1 << 31) - 1) -> Column:
+    """Polynomial rolling hash over characters (Rabin-Karp style),
+    computed with a native aggregate over the exploded char array —
+    a content-defined fingerprint with algebraic structure (windowed
+    variants can reuse prefix products)."""
+    chars = F.split(_c(text), "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * prime + F.coalesce(F.ascii(ch), F.lit(0))) % mod,
+    )

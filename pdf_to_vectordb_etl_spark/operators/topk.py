@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (SURVEY §2.6 K1/K2).
+
+The reference delegates kNN to Qdrant (reference qdrant_text_loader.py:
+122-142); here the baseline is brute-force cosine top-k as pure Catalyst
+expressions, plus an LSH-bucketed variant for the 100 TB path.
+
+Scale notes: brute-force is one narrow projection + TakeOrderedAndProject
+(limit pushed into per-partition sort — no full global sort, no shuffle
+of the scan side). The LSH variant prunes candidates with a random-
+hyperplane signature so each query touches only matching buckets; the
+signature join is an equi-join, broadcastable for small query sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.vector import cosine_similarity
+from ..schemas import EMBEDDING_DIM
+
+
+def dim_guard(df: DataFrame, vec_col: str, dim: int = EMBEDDING_DIM) -> DataFrame:
+    """K2 — reject vectors of the wrong dimensionality (reference
+    qdrant_text_loader.py:134-135 raises; as a relational op: filter)."""
+    return df.filter(F.size(F.col(vec_col)) == dim)
+
+
+def topk_cosine(
+    df: DataFrame,
+    query_vector: list[float],
+    k: int = 1,
+    vec_col: str = "vector",
+    id_col: str = "id",
+) -> DataFrame:
+    """K1 — brute-force top-k by cosine similarity to one query vector.
+
+    ``orderBy(desc).limit(k)`` compiles to TakeOrderedAndProject:
+    per-partition heap + driver merge of k rows — the right physical
+    plan at any scale. Ties broken by id for determinism.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    sim = cosine_similarity(F.col(vec_col), q)
+    return (
+        df.select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def topk_cosine_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    corpus_vec: str = "vector",
+    corpus_id: str = "id",
+    query_vec: str = "vector",
+    query_id: str = "qid",
+) -> DataFrame:
+    """K1 (batch form) — top-k neighbours for EVERY query row.
+
+    Broadcast the (small) query set against the (huge) corpus, rank
+    within each query with a window, keep rank <= k. One shuffle on
+    ``qid`` for the window; corpus side is never shuffled.
+    """
+    from pyspark.sql import Window
+
+    sim = cosine_similarity(F.col(corpus_vec), F.col("_qv"))
+    scored = (
+        corpus.crossJoin(
+            F.broadcast(
+                queries.select(
+                    F.col(query_id), F.col(query_vec).alias("_qv")
+                )
+            )
+        )
+        .select(query_id, F.col(corpus_id), sim.alias("cosine_sim"))
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc("cosine_sim"), F.col(corpus_id)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes for LSH signatures
+    (splitmix-style integer scramble -> [-1, 1) floats; no RNG state)."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            x = (p * dim + d + seed) * 0x9E3779B97F4A7C15 % (1 << 64)
+            x = (x ^ (x >> 31)) * 0xBF58476D1CE4E5B9 % (1 << 64)
+            row.append(((x >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_signature(vec_col: str, planes: list[list[float]]):
+    """Random-hyperplane signature: bit i = sign(v . plane_i), packed
+    into a long — equal signatures => likely-similar vectors."""
+    bits = []
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col), p, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig.cast("long")
+
+
+def topk_cosine_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_planes: int = 8,
+    dim: int | None = None,
+    corpus_vec: str = "vector",
+    corpus_id: str = "id",
+    query_vec: str = "vector",
+    query_id: str = "qid",
+) -> DataFrame:
+    """Approximate top-k: bucket corpus and queries by LSH signature and
+    rank only within matching buckets. Recall < 1.0 by design; the scale
+    path when the corpus no longer fits a full scan per query batch."""
+    from pyspark.sql import Window
+
+    if dim is None:
+        dim = len(queries.select(query_vec).first()[0])
+    planes = random_hyperplanes(dim, n_planes)
+    c = corpus.withColumn("_sig", lsh_signature(corpus_vec, planes))
+    q = queries.select(
+        query_id, F.col(query_vec).alias("_qv")
+    ).withColumn("_sig", lsh_signature("_qv", planes))
+    sim = cosine_similarity(F.col(corpus_vec), F.col("_qv"))
+    scored = c.join(F.broadcast(q), "_sig").select(
+        query_id, F.col(corpus_id), sim.alias("cosine_sim")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine_sim"), F.col(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
