@@ -357,8 +357,8 @@ def q_dedup_simhash(spark, sf):
     """SimHash-64 signatures per doc. xxhash64-based — rows-only check;
     tests pin that identical texts collide."""
     docs = _t(spark, sf, "documents")
-    sig = dedup.simhash64(F.col("text"), shingle_n=2)
-    return docs.select("doc_id", sig.alias("simhash"))
+    out = dedup.simhash_signatures(docs, "text", "doc_id", shingle_n=2)
+    return out.select(F.col("id").alias("doc_id"), "simhash")
 
 
 def q_ta_token_counts(spark, sf):

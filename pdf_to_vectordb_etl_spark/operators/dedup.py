@@ -9,27 +9,50 @@ strategies, all shuffle-conscious:
 - ngram Jaccard: shingle -> inverted-index equi-join -> per-pair counts;
                  only docs *sharing a shingle* ever meet (no n^2 pairs).
 - MinHash+LSH:  shingle minhash signatures banded into buckets; the
-                 candidate join is an equi-join on (band, bucket-hash).
+                 candidate join is an equi-join on a band-bucket hash.
 - SimHash:      64-bit signature; duplicates = equal signatures (or
                  Hamming<=r via rotations) — again an equi-join.
 - embedding:    cosine >= threshold over an embedding column; LSH-
                  bucketed variant shares topk.lsh_signature.
 
-All hashing is deterministic (xxhash64 / crc32 built-ins) — re-runs and
-retries of a 1000-executor job produce identical clusters.
+All hashing is deterministic (xxhash64 built-in) — re-runs and retries
+of a 1000-executor job produce identical clusters.
+
+Plan-shape rule learned the hard way (and load-bearing at any scale):
+NEVER let an array-building expression get referenced above its
+Generate/explode — Catalyst's CollapseProject will inline it into the
+post-explode projection and re-evaluate the whole array construction
+once per *element* instead of once per *document* (a ~100x per-row
+blowup measured at sf0.1). Every operator here explodes once, reduces
+shingles to 8-byte xxhash64 keys immediately, and derives counts /
+signatures from the exploded table with aggregations.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from ..functions.vector import cosine_similarity
+from ..functions.vector import cosine_similarity, l2_norm
 
 
-def normalize_text(text, *, lower: bool = True) -> "F.Column":
+def normalize_text(text, *, lower: bool = True) -> Column:
     """Canonical form for dedup: trim, collapse whitespace, optional lower."""
     t = F.regexp_replace(F.trim(text), r"\s+", " ")
     return F.lower(t) if lower else t
+
+
+def _spread(df: DataFrame, by) -> DataFrame:
+    """Repartition a too-narrow input before CPU-heavy per-row work.
+
+    Local parquet fixtures are one row group => one scan task, which
+    serializes everything upstream of the first shuffle. On a real
+    cluster the scan arrives in thousands of partitions and this is a
+    no-op (we only repartition when below half the default parallelism,
+    so a 100 TB scan is never reshuffled)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target, by)
+    return df
 
 
 def exact_duplicates(
@@ -63,14 +86,28 @@ def drop_exact_duplicates(
     )
 
 
-def word_shingles(text, n: int = 3) -> "F.Column":
+def word_shingles(text, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column (native: split +
-    transform over positions; no UDF)."""
+    transform over positions; no UDF). Cost is per-document — callers
+    must not reference this above an explode of itself (see module
+    docstring)."""
     words = F.split(normalize_text(text), " ")
     count = F.greatest(F.size(words) - (n - 1), F.lit(0))
     idx = F.sequence(F.lit(1), count)
     shingle = lambda i: F.array_join(F.slice(words, i, n), " ")  # noqa: E731
     return F.array_distinct(F.when(count > 0, F.transform(idx, shingle)).otherwise(F.array()))
+
+
+def _shingle_hashes(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, h) rows: one per distinct word-n-gram shingle per doc, with
+    the shingle reduced to its xxhash64 — every downstream join and
+    aggregation works on 8-byte keys, never strings."""
+    ex = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
+    return ex.select(
+        "id", F.explode(word_shingles(F.col(text_col), n)).alias("_s")
+    ).select("id", F.xxhash64("_s").alias("h"))
 
 
 def ngram_jaccard_pairs(
@@ -82,31 +119,29 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-dup pairs by word-n-gram Jaccard similarity.
 
-    Inverted-index plan: explode shingles -> self-equi-join on shingle
-    (docs sharing no shingle never pair) -> count common -> Jaccard from
-    the per-doc distinct-shingle counts. Shuffles on shingle then on
-    (a, b): both keys high-cardinality. Emits (id_a < id_b, jaccard).
+    Inverted-index plan: explode shingles -> hash to long -> self-equi-
+    join on the hash (docs sharing no shingle never pair) -> count
+    common -> Jaccard from per-doc distinct-shingle counts, which are a
+    separate tiny aggregate broadcast back onto the pairs. The big join
+    carries only (id, h) — 16 bytes a row. Emits (id_a < id_b, jaccard).
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
-        F.size(word_shingles(F.col(text_col), n)).alias("n_sh"),
-    )
-    left = sh.select(
-        F.col("id").alias("id_a"), F.col("n_sh").alias("na"), "shingle"
-    )
-    right = sh.select(
-        F.col("id").alias("id_b"), F.col("n_sh").alias("nb"), "shingle"
-    )
+    ex = _shingle_hashes(df, text_col, id_col, n)
+    counts = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = ex.select(F.col("id").alias("id_a"), "h")
+    b = ex.select(F.col("id").alias("id_b"), "h")
     common = (
-        left.join(right, "shingle")
+        a.join(b, "h")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "na", "nb")
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
     )
+    na = counts.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    nb = counts.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        common.withColumn("jaccard", jac)
+        common.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -114,16 +149,27 @@ def ngram_jaccard_pairs(
 
 # ---------------------------------------------------------------- MinHash/LSH
 
-def minhash_signature(shingles, n_hashes: int = 32) -> "F.Column":
-    """MinHash signature: for permutation i, min over shingles of
-    xxhash64(shingle, seed=i). Native higher-order funcs, one pass."""
+def minhash_signatures(
+    df: DataFrame,
+    n_hashes: int = 32,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, h0..h{n-1}) MinHash signatures.
+
+    One explode, one long-hash per shingle, then ``n_hashes`` cheap
+    long-rehashes reduced with map-side partial min aggregation — the
+    shuffle carries one (id, n longs) row per doc. Docs with no
+    shingles keep a row (all-null mins) so they still bucket together.
+    """
+    ex = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id").select(
+        "id", F.explode_outer(word_shingles(F.col(text_col), shingle_n)).alias("_s")
+    ).select("id", F.xxhash64("_s").alias("h"))
     mins = [
-        F.array_min(
-            F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i)))
-        )
-        for i in range(n_hashes)
+        F.min(F.xxhash64("h", F.lit(i))).alias(f"h{i}") for i in range(n_hashes)
     ]
-    return F.array(*mins)
+    return ex.groupBy("id").agg(*mins)
 
 
 def minhash_lsh_candidates(
@@ -134,35 +180,24 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """LSH candidate pairs: split the signature into ``bands`` rows of
-    ``n_hashes/bands``, hash each band, equi-join on (band, band_hash).
-    Probability a pair with Jaccard j collides: 1-(1-j^r)^b."""
+    """LSH candidate pairs: split the signature into ``bands`` groups of
+    ``n_hashes/bands`` mins, hash each group to one bucket key, and
+    self-equi-join on it. Probability a pair with Jaccard j collides:
+    1-(1-j^r)^b. The join key folds the band index into the bucket hash
+    so one equi-join covers all bands."""
     rows = n_hashes // bands
-    sig = minhash_signature(word_shingles(F.col(text_col), shingle_n), n_hashes)
-    banded = df.select(F.col(id_col).alias("id"), sig.alias("sig")).select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice("sig", b * rows + 1, rows),
-                                lambda x: x.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
-    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
-    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    sig = minhash_signatures(df, n_hashes, shingle_n, text_col, id_col)
+    buckets = [
+        F.xxhash64(F.lit(b), *[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(
+            f"b{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("id", F.explode(F.array(*buckets)).alias("bucket"))
+    a = banded.select(F.col("id").alias("id_a"), "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "bucket")
     return (
-        a.join(b, ["band", "bucket"])
+        a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -178,26 +213,28 @@ def minhash_dedup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """MinHash LSH candidates verified by exact Jaccard on shingle sets.
-
-    The verify join re-reads only candidate docs (semi-join pushdown),
-    so the expensive exact computation touches O(candidates), not O(n^2).
-    """
+    """MinHash LSH candidates verified by exact Jaccard on shingle-hash
+    sets. The verify step joins the (small) candidate set against the
+    exploded shingle table twice and counts intersections — it touches
+    O(candidate docs), not O(n^2)."""
     cands = minhash_lsh_candidates(
         df, n_hashes, bands, shingle_n, text_col, id_col
     )
-    sets_df = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    ex = _shingle_hashes(df, text_col, id_col, shingle_n)
+    counts = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
+    # count common shingle hashes per candidate pair
+    pa = cands.join(ex.select(F.col("id").alias("id_a"), "h"), "id_a")
+    common = (
+        pa.join(ex.select(F.col("id").alias("id_b"), "h"), ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
     )
-    a = sets_df.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sets_df.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = inter / union
+    na = counts.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    nb = counts.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
+        common.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -206,29 +243,69 @@ def minhash_dedup_pairs(
 
 # ------------------------------------------------------------------- SimHash
 
-def simhash64(text, shingle_n: int = 2) -> "F.Column":
-    """64-bit SimHash over word shingles, fully native.
+def simhash64(text, shingle_n: int = 2) -> Column:
+    """64-bit SimHash over word shingles as a single-pass column
+    expression.
 
-    For each bit position, sum +1/-1 votes of each shingle's xxhash64
-    bit; the signature's bit = sign of the vote. Near-dup texts differ
-    in few bits.
+    One aggregate walks the shingle-hash array once, accumulating a
+    64-slot vote vector (+1/-1 per bit); a final fold packs vote signs
+    into the signature long. The shingle array is built exactly once —
+    the naive per-bit formulation re-evaluates it 64x per row.
     """
-    sh = word_shingles(text, shingle_n)
-    hashed = F.transform(sh, lambda s: F.xxhash64(s))
+    hashed = F.transform(word_shingles(text, shingle_n), lambda s: F.xxhash64(s))
     one = F.lit(1).cast("long")
-    bit_votes = [
-        F.aggregate(
-            hashed,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.shiftleft(one, i)) != 0, 1).otherwise(-1),
-        )
+    zeros = F.array_repeat(F.lit(0).cast("long"), 64)
+    # two's-complement powers of two: bit 63 is Long.MIN_VALUE, matching
+    # shiftleft(1L, 63) in the distributed form
+    powers = F.array(
+        *[
+            F.lit((1 << i) if i < 63 else (1 << i) - (1 << 64)).cast("long")
+            for i in range(64)
+        ]
+    )
+    votes = F.aggregate(
+        hashed,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            powers,
+            lambda a, p: a
+            + F.when(h.bitwiseAND(p) != 0, one).otherwise(F.lit(-1).cast("long")),
+        ),
+    )
+    packed = F.zip_with(
+        votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))
+    )
+    return F.aggregate(packed, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+) -> DataFrame:
+    """(id, simhash) via explode + 64 partial-aggregated bit votes — the
+    distributed form of :func:`simhash64` (identical values). Preferred
+    for wide scans: per-shingle work parallelizes past a one-task scan
+    and the shuffle carries 64 small longs per doc."""
+    ex = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id").select(
+        "id", F.explode_outer(word_shingles(F.col(text_col), shingle_n)).alias("_s")
+    ).select("id", F.xxhash64("_s").alias("h"))
+    one = F.lit(1).cast("long")
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.shiftleft(one, i)) != 0, 1).otherwise(-1)
+        ).alias(f"v{i}")
         for i in range(64)
     ]
+    agg = ex.groupBy("id").agg(*votes)
     sig = F.lit(0).cast("long")
-    for i, v in enumerate(bit_votes):
-        sig = sig + F.when(v > 0, F.shiftleft(one, i)).otherwise(F.lit(0).cast("long"))
-    return sig
+    for i in range(64):
+        sig = sig + F.when(F.col(f"v{i}") > 0, F.shiftleft(one, i)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return agg.select("id", sig.alias("simhash"))
 
 
 def simhash_duplicates(
@@ -236,11 +313,10 @@ def simhash_duplicates(
 ) -> DataFrame:
     """Docs sharing an identical SimHash signature (Hamming distance 0
     buckets; for radius r, join on r+1 signature segments instead)."""
-    sig = simhash64(F.col(text_col), shingle_n)
     return (
-        df.select(F.col(id_col), sig.alias("simhash"))
+        simhash_signatures(df, text_col, id_col, shingle_n)
         .groupBy("simhash")
-        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("canonical_id"))
+        .agg(F.count("*").alias("n_docs"), F.min("id").alias("canonical_id"))
         .filter(F.col("n_docs") > 1)
     )
 
@@ -258,12 +334,18 @@ def embedding_near_duplicates(
 ) -> DataFrame:
     """Pairs of rows whose embeddings' cosine similarity >= threshold.
 
-    Exact mode: self-join (quadratic — correctness baseline / small
-    partitions). LSH mode: prune with random-hyperplane buckets first
-    (the scale path; same signature as topk.lsh_signature).
+    Exact mode: broadcast nested-loop self-join (quadratic — the
+    correctness baseline; norms precomputed per row so the per-pair
+    kernel is one dot product). LSH mode: prune with random-hyperplane
+    buckets first (the scale path; same signature as
+    topk.lsh_signature).
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = _spread(
+        df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")), "id_a"
+    ).withColumn("na", l2_norm("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")).withColumn(
+        "nb", l2_norm("vb")
+    )
     if use_lsh:
         from .topk import lsh_signature, random_hyperplanes
 
@@ -274,8 +356,8 @@ def embedding_near_duplicates(
         b = b.withColumn("_sig", lsh_signature("vb", planes))
         pairs = a.join(b, "_sig").drop("_sig")
     else:
-        pairs = a.crossJoin(b)
-    sim = cosine_similarity(F.col("va"), F.col("vb"))
+        pairs = a.crossJoin(F.broadcast(b))
+    sim = cosine_similarity(F.col("va"), F.col("vb"), norm_a=F.col("na"), norm_b=F.col("nb"))
     return (
         pairs.filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine_sim", sim)
