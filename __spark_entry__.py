@@ -403,6 +403,104 @@ def q_ta_fingerprint(spark, sf):
     )
 
 
+def q_w4_chunk_split(spark, sf):
+    """W4 (real form) — chunk-window round trip: per-lang ordered concat
+    of templated records, re-split on the literal key; chunk counts must
+    equal source doc counts (SURVEY §7 guiding decision 1)."""
+    from pdf_to_vectordb_etl_spark.operators import chunking
+
+    docs = _t(spark, sf, "documents")
+    rec = F.concat(
+        F.substring("text", 1, 30), F.lit("\n(RESPOSTA CORRETA): A\n\n")
+    )
+    keyed = F.struct(F.col("doc_id").alias("k"), rec.alias("t"))
+    content = (
+        docs.groupBy("lang")
+        .agg(F.sort_array(F.collect_list(keyed)).alias("parts"))
+        .select(
+            "lang",
+            F.array_join(F.transform("parts", lambda s: s["t"]), "").alias("content"),
+        )
+    )
+    chunks = chunking.split_chunks(content, key_cols=("lang",))
+    return chunking.chunk_counts(chunks, key_cols=("lang",)).orderBy("lang")
+
+
+def q_u3_embed_norm(spark, sf):
+    """U3 — deterministic native embedder; the oracle checks the
+    invariants (dimensionality, unit L2 norm) the hash values guarantee."""
+    from pdf_to_vectordb_etl_spark.operators import embedding
+
+    docs = _t(spark, sf, "documents")
+    v = embedding.deterministic_embedding(F.col("text"), dim=64)
+    return docs.select(
+        "doc_id",
+        F.size(v).alias("dim"),
+        F.round(
+            F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double") * x)),
+            4,
+        ).alias("l2norm"),
+    )
+
+
+def q_k1_topk_ivf(spark, sf):
+    """K1 scale path — IVF-pruned approximate top-k. Centroid choice is
+    xxhash64-based: no SQL oracle (rows-only); tests pin recall vs the
+    exact q_k1_topk_cosine answer."""
+    emb = _t(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 2)
+    out = topk.topk_cosine_ivf(
+        corpus, queries_df, k=5, n_lists=16, n_probe=4,
+        corpus_vec="embedding", corpus_id="vec_id",
+    )
+    return out.select("qid", "vec_id", F.round("cosine_sim", 4).alias("sim"), "rank")
+
+
+def q_t3_stream_agg(spark, sf):
+    """T3 — Structured Streaming parity: availableNow micro-batches over
+    the events table must reproduce the batch aggregate exactly (the
+    reference's incremental per-file ETL semantics, SURVEY §2.11)."""
+    import tempfile
+
+    batch = _t(spark, sf, "events")
+    # stream sources are directories: watch the sf dir, glob one table
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    counts = stream.groupBy("event_type").agg(F.count("*").alias("n"))
+    name = "t3_stream_agg_result"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t3ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("event_type")
+
+
+def q_mm_decode_meta(spark, sf):
+    """Multimodal decode plumbing — binary payloads through the Arrow-
+    batched mapInPandas kernel (deterministic fake decoder; real codecs
+    import-gated). Python kernel: rows-only check."""
+    from pdf_to_vectordb_etl_spark.operators import multimodal
+
+    docs = _t(spark, sf, "documents")
+    media = multimodal.as_media(
+        docs.withColumn("payload", F.encode("text", "UTF-8")), "payload", "doc_id"
+    )
+    out = multimodal.decode_media(media, decoder=multimodal.fake_decode)
+    return out.select("media_id", "width", "height", "n_frames")
+
+
 def q_mm_binary_meta(spark, sf):
     """Multimodal plumbing: opaque binary payload + typed metadata
     (byte length, content digest) — the schema/partitioning pattern for
@@ -448,6 +546,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_langid": q_ta_langid,
         "ta_fingerprint": q_ta_fingerprint,
         "mm_binary_meta": q_mm_binary_meta,
+        "w4_chunk_split": q_w4_chunk_split,
+        "u3_embed_norm": q_u3_embed_norm,
+        "k1_topk_ivf": q_k1_topk_ivf,
+        "t3_stream_agg": q_t3_stream_agg,
+        "mm_decode_meta": q_mm_decode_meta,
     }
 
 
@@ -693,5 +796,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, octet_length(encode(text)) AS n_bytes,
                    sha256(text) AS digest
             FROM documents
+        """,
+        "w4_chunk_split": """
+            SELECT lang, count(*) AS n_chunks FROM documents
+            GROUP BY lang ORDER BY lang
+        """,
+        "u3_embed_norm": """
+            SELECT doc_id, 64 AS dim, CAST(1.0 AS DOUBLE) AS l2norm FROM documents
+        """,
+        "t3_stream_agg": """
+            SELECT event_type, count(*) AS n FROM events
+            GROUP BY event_type ORDER BY event_type
         """,
     }

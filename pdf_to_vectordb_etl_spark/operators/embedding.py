@@ -1,0 +1,182 @@
+"""Embedding stage (SURVEY §2.12 U3, §1.5 vector points).
+
+The reference embeds each chunk with ONE OpenAI HTTPS call per chunk,
+serially (reference qdrant_text_loader.py:283 -> :58-64) — its dominant
+cost. Here the stage is:
+
+- a *deterministic* native embedder (pure Catalyst expressions) used by
+  tests/bench — hermetic, JVM-side, scales linearly;
+- an Arrow-batched **iterator pandas UDF** wrapper for real clients
+  (OpenAI-compatible or any callable), which batches texts per Arrow
+  batch instead of per row — the 10-100x fix for U3. The client import
+  is deferred and optional: no network or package needed until a real
+  embedder is injected.
+
+ID assignment (SURVEY §2.5 W3): deterministic ``xxhash64(ID)`` by
+default — idempotent under retries and concurrent writers; the
+reference's count-continuation scheme (qdrant_text_loader.py:189,:276)
+is kept as an explicit compat mode via a single-partition row_number.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
+
+from ..schemas import EMBEDDING_DIM
+
+
+def deterministic_embedding(
+    text: Column | str, dim: int = 64, normalize: bool = True
+) -> Column:
+    """Pseudo-embedding from text content, fully native.
+
+    Component i = scaled ``xxhash64(text, i)`` in [-1, 1); optionally
+    L2-normalized so cosine against other embeddings is dot-product-
+    comparable. Deterministic across executors/retries — the hermetic
+    stand-in for a real model (SURVEY §7 hard part 5).
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    comp = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (F.pmod(F.xxhash64(t, i), F.lit(100000)) / 50000.0 - 1.0),
+    )
+    if not normalize:
+        return comp.cast(T.ArrayType(T.FloatType()))
+    norm = F.sqrt(
+        F.aggregate(comp, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    return F.transform(comp, lambda v: (v / norm).cast("float"))
+
+
+def embed_with_client(
+    df: DataFrame,
+    embed_fn: Callable[[list[str]], list[list[float]]],
+    text_col: str = "chunk",
+    out_col: str = "vector",
+    dim: int = EMBEDDING_DIM,
+    batch_size: int = 128,
+) -> DataFrame:
+    """U3 as an iterator-of-series pandas UDF around any batch client.
+
+    ``embed_fn(texts) -> vectors`` is called once per ``batch_size``
+    texts from inside each Arrow batch — executor-side, parallel across
+    partitions, batched over the wire (the reference calls the API once
+    per chunk, serially: qdrant_text_loader.py:283).
+    """
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def _embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in batches:
+            out: list[list[float]] = []
+            vals = texts.fillna("").tolist()
+            for lo in range(0, len(vals), batch_size):
+                out.extend(embed_fn(vals[lo : lo + batch_size]))
+            yield pd.Series(out)
+
+    return df.withColumn(out_col, _embed(F.col(text_col)))
+
+
+def fake_client_embed(texts: list[str], dim: int = EMBEDDING_DIM) -> list[list[float]]:
+    """Deterministic stand-in for an embeddings API client (blake2-
+    seeded), used to exercise the pandas-UDF path hermetically. A real
+    OpenAI-compatible client drops in with the same signature."""
+    import hashlib
+    import struct
+
+    out = []
+    for t in texts:
+        h = hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest()
+        (seed,) = struct.unpack("<q", h)
+        vec, x = [], seed & 0xFFFFFFFFFFFFFFFF
+        for _ in range(dim):
+            # splitmix64 stream
+            x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+            z = x
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+            z ^= z >> 31
+            vec.append((z >> 11) / float(1 << 53) * 2.0 - 1.0)
+        norm = sum(v * v for v in vec) ** 0.5 or 1.0
+        out.append([v / norm for v in vec])
+    return out
+
+
+def openai_embed_fn(
+    model: str = "text-embedding-ada-002", api_key: str | None = None
+) -> Callable[[list[str]], list[list[float]]]:
+    """Real-client factory (reference model: qdrant_text_loader.py:29).
+
+    Import is deferred and failure is explicit — this container has no
+    network/SDK; inject :func:`fake_client_embed` in tests instead.
+    """
+    try:
+        from openai import OpenAI  # type: ignore[import-not-found]
+    except ImportError as e:  # pragma: no cover - SDK not in test env
+        raise NotImplementedError(
+            "openai SDK not installed; use fake_client_embed or any "
+            "callable(list[str]) -> list[list[float]]"
+        ) from e
+
+    client = OpenAI(api_key=api_key)  # pragma: no cover
+
+    def _embed(texts: list[str]) -> list[list[float]]:  # pragma: no cover
+        rsp = client.embeddings.create(model=model, input=texts)
+        return [d.embedding for d in rsp.data]
+
+    return _embed
+
+
+# ------------------------------------------------------------- vector points
+
+def assign_ids(
+    df: DataFrame,
+    natural_key: str | tuple[str, ...] = ("ID", "subject"),
+    mode: str = "hash",
+    offset: int = 0,
+    order_cols: tuple[str, ...] = ("materia", "chunk_index"),
+) -> DataFrame:
+    """Vector-point IDs (SURVEY §2.5 W3).
+
+    ``hash``: ``xxhash64(natural_key...)`` — deterministic, idempotent,
+    shuffle-free; the scale default. The key defaults to (ID, subject)
+    because the reference's question IDs alone are NOT unique: D1
+    English and Spanish share printed numbers 3-5 (SURVEY §1.1), so
+    ``2022_D1_N3`` names two questions. ``sequential``: reference-compat
+    count-continuation (qdrant_text_loader.py:189,:210-211) — a single-
+    partition window; correct but serializing, gated to compat use.
+    """
+    if mode == "hash":
+        keys = (natural_key,) if isinstance(natural_key, str) else natural_key
+        return df.withColumn("id", F.xxhash64(*[F.col(k) for k in keys]))
+    if mode == "sequential":
+        w = Window.orderBy(*order_cols)
+        return df.withColumn(
+            "id", (F.row_number().over(w) + F.lit(offset) - 1).cast("long")
+        )
+    raise ValueError(f"unknown id mode: {mode}")
+
+
+def vector_points(
+    chunks: DataFrame,
+    text_col: str = "chunk",
+    subject_col: str = "subject",
+    year_col: str = "year",
+    vector_col: str = "vector",
+) -> DataFrame:
+    """Shape rows as the reference's Qdrant point payload (N3:
+    qdrant_text_loader.py:205-211): flat id/vector plus the nested
+    ``{page_content, metadata{materia, ano}}`` struct."""
+    return chunks.select(
+        F.col("id"),
+        F.col(vector_col).alias("vector"),
+        F.struct(
+            F.col(text_col).alias("page_content"),
+            F.struct(
+                F.col(subject_col).alias("materia"),
+                F.col(year_col).cast("int").alias("ano"),
+            ).alias("metadata"),
+        ).alias("payload"),
+    )

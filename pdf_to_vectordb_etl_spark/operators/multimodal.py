@@ -1,0 +1,134 @@
+"""Multimodal column operators (beyond-reference, north-star scale).
+
+Image/audio/video payloads are opaque ``binary`` columns with a typed
+metadata struct; decode / feature-extract / resize / frame-sample run
+as Arrow-batched ``mapInPandas`` kernels. The media libraries are not
+in this container, so the decode kernels are import-gated stubs with a
+deterministic fake — the Spark-side plumbing (schema, partitioning,
+UDF signature, batch shape) is real and tested.
+
+Scale shape: payloads never pass through a shuffle — metadata is
+extracted in the scan stage, filters run on metadata alone, and only
+surviving rows' bytes reach the (CPU-heavy) decode stage.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("n_bytes", T.LongType(), True),
+                    T.StructField("digest", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def as_media(
+    df: DataFrame, payload_col: str, id_col: str, kind: str = "image"
+) -> DataFrame:
+    """Wrap any binary column into the typed media shape; metadata that
+    is derivable natively (size, digest) is computed JVM-side so later
+    metadata-only filters never deserialize payloads in Python."""
+    p = F.col(payload_col)
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        p.alias("payload"),
+        F.struct(
+            F.octet_length(p).cast("long").alias("n_bytes"),
+            F.sha2(p, 256).alias("digest"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def _real_decode(kind: str, payload: bytes) -> dict:
+    """Import-gated real kernel (PIL / soundfile / pyav)."""
+    raise NotImplementedError(
+        "media codecs not installed in this environment; use "
+        "fake_decode for hermetic tests"
+    )
+
+
+def fake_decode(kind: str, payload: bytes) -> dict:
+    """Deterministic decode stand-in: dimensions/frames/features derive
+    from the payload digest. Same return contract as a real decoder."""
+    import hashlib
+
+    h = hashlib.blake2b(payload or b"", digest_size=16).digest()
+    return {
+        "width": 16 + h[0] % 240,
+        "height": 16 + h[1] % 240,
+        "n_frames": 1 if kind == "image" else 1 + h[2] % 64,
+        "features": [((h[i % 16] * 31 + i) % 256) / 255.0 for i in range(8)],
+    }
+
+
+def decode_media(
+    media: DataFrame, decoder=_real_decode, batch_hint: int | None = None
+) -> DataFrame:
+    """Decode/feature-extract via ``mapInPandas`` — payload bytes cross
+    to Python once, Arrow-batched; output is payload-free (narrow)."""
+    import pandas as pd
+
+    def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                d = decoder(r.kind, bytes(r.payload) if r.payload is not None else b"")
+                out.append(
+                    {
+                        "media_id": r.media_id,
+                        "kind": r.kind,
+                        "width": d["width"],
+                        "height": d["height"],
+                        "n_frames": d["n_frames"],
+                        "features": d["features"],
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in DECODED_SCHEMA.fields])
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        _run, DECODED_SCHEMA
+    )
+
+
+def sample_frames(decoded: DataFrame, every_n: int = 8) -> DataFrame:
+    """Frame sampling plan (video): one row per kept frame index —
+    native explode over the frame count; the per-frame pixel fetch would
+    be a second decode_media pass over only sampled (media_id, frame)."""
+    idx = F.sequence(F.lit(0), F.col("n_frames") - 1)
+    kept = F.filter(idx, lambda i: i % every_n == 0)
+    return decoded.select(
+        "media_id", F.explode(kept).alias("frame_index")
+    )

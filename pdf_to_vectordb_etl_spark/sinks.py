@@ -1,0 +1,124 @@
+"""Sinks (SURVEY §2.10 O1-O8).
+
+The reference writes per-(year,subject) TXT/JSON files, upserts vectors
+into Qdrant one batched call per subject, and read-modify-writes single
+cells of a pivoted stats CSV. Spark-first equivalents:
+
+- O1/O2: ``partitionBy("year","subject")`` text/json writers — one job,
+  all groups in parallel, partition pruning for free on re-read.
+- O5/O6: an *engine-native* vector store = a parquet ``embeddings``
+  table (append/overwrite, idempotent via deterministic IDs) plus a
+  ``foreachPartition`` hook for external vector DBs — one client and
+  one batched upsert per partition, never per row (the reference's
+  granularity: qdrant_text_loader.py:202-214).
+- O7: recompute the full pivot and overwrite — Spark has no in-place
+  CSV cell update, and full-overwrite of a tiny stats table is the
+  correct semantics at any scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, Row, functions as F
+
+from .operators.aggregates import stats_pivot
+
+
+def write_subject_txt(questions_txt: DataFrame, path: str, text_col: str = "txt") -> None:
+    """O1 — per-(year,subject) TXT trees. Input must already carry the
+    templated ``txt`` column (functions.textops.txt_record); rows land
+    under ``year=YYYY/subject=S/`` in document order per file."""
+    (
+        questions_txt.select("year", "subject", F.col(text_col).alias("value"))
+        .repartition("year", "subject")
+        .sortWithinPartitions("year", "subject")
+        .write.partitionBy("year", "subject")
+        .mode("overwrite")
+        .text(path)
+    )
+
+
+def write_subject_json(questions: DataFrame, path: str) -> None:
+    """O2 — per-(year,subject) JSON trees of full question records.
+    Absent-vs-null branch variants (SURVEY §2.9 N2) collapse to one
+    schema with ``ignoreNullFields`` so a missing ``page_images`` and a
+    null one serialize identically."""
+    (
+        questions.repartition("year", "subject")
+        .write.partitionBy("year", "subject")
+        .mode("overwrite")
+        .option("ignoreNullFields", "true")
+        .json(path)
+    )
+
+
+def write_stats_csv(stats_long: DataFrame, path: str) -> None:
+    """O7 — pivoted stats CSV (one file: the table is ~2 rows/year)."""
+    (
+        stats_pivot(stats_long)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .csv(path)
+    )
+
+
+def write_embeddings_table(
+    points: DataFrame, path: str, mode: str = "append"
+) -> None:
+    """O5/O6 engine-native — the vector collection as a parquet table.
+
+    Deterministic IDs make append idempotent-ish (re-runs rewrite the
+    same IDs; readers dedup on id) — compare the reference's count-
+    continuation IDs which silently collide under concurrent writers
+    (SURVEY §7 guiding decision 2).
+    """
+    points.write.mode(mode).parquet(path)
+
+
+def read_embeddings_table(spark, path: str) -> DataFrame:
+    """Collection read path; dedup on id keeps re-appended points single."""
+    from pyspark.sql import Window
+
+    df = spark.read.parquet(path)
+    w = Window.partitionBy("id").orderBy(F.lit(1))
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def upsert_foreach_partition(
+    points: DataFrame,
+    make_client: Callable[[], object],
+    upsert: Callable[[object, list[Row]], None],
+    batch_size: int = 512,
+) -> None:
+    """O5 external form — ship partitions to any vector DB.
+
+    One client per partition (connection reuse), one ``upsert`` call per
+    ``batch_size`` rows (the reference batches per subject:
+    qdrant_text_loader.py:202-212; per-partition batching is the
+    executor-parallel generalization). The client factory runs on the
+    executor — pass a picklable closure, not a live connection.
+    """
+
+    def _write(rows: Iterator[Row]) -> None:
+        client = make_client()
+        batch: list[Row] = []
+        for r in rows:
+            batch.append(r)
+            if len(batch) >= batch_size:
+                upsert(client, batch)
+                batch = []
+        if batch:
+            upsert(client, batch)
+
+    points.foreachPartition(_write)
+
+
+def console_progress(stats_long: DataFrame) -> str:
+    """O8 — the reference's per-subject tried/inserted console report
+    (qdrant_text_loader.py:187,:220-224), as a deterministic string the
+    golden tests can pin."""
+    rows = stats_long.orderBy("year", "kind", "subject").collect()
+    lines = [f"{r['year']} {r['subject']} {r['kind']}: {r['n']}" for r in rows]
+    return "\n".join(lines)

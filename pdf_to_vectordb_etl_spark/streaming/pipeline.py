@@ -1,0 +1,89 @@
+"""Incremental folder ETL as Structured Streaming (SURVEY §2.11).
+
+The reference's "streaming" is incremental per-file processing: each
+(test, answer-key) pair is extracted and loaded before the next
+(reference pdf_to_qdrant_etl.py:140-153, README.md:15). Spark-first:
+``readStream`` on a drop folder -> the SAME batch transform DAG ->
+``foreachBatch`` upsert, with ``Trigger.AvailableNow`` reproducing
+batch semantics exactly (T3). The reference's sink-count-based ID
+continuation across batches (T4: qdrant_text_loader.py:276,:310) is
+eliminated by deterministic hash IDs — no cross-batch state, so the
+stream is trivially exactly-once on an idempotent sink.
+
+There are no event-time semantics anywhere in the reference, but the
+engine still exposes watermarked windowed aggregation over the
+``events`` table (:func:`stream_event_counts`) as the beyond-reference
+streaming capability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..plans import etl
+from ..schemas import PAGE_SCHEMA
+
+
+def read_page_stream(spark: SparkSession, drop_dir: str) -> DataFrame:
+    """T3 source — page-grain records arriving as JSON files in a watch
+    folder (the post-PDF-parse grain; for raw PDFs chain
+    ``sources.pdf.scan_pdf_folder`` inside foreachBatch instead)."""
+    return (
+        spark.readStream.schema(PAGE_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .json(drop_dir)
+    )
+
+
+def run_incremental_etl(
+    pages_stream: DataFrame,
+    checkpoint_dir: str,
+    sink: "callable",
+    available_now: bool = True,
+):
+    """T3 — drive the batch DAG incrementally.
+
+    Each micro-batch holds whole files (a PV/GB doc never splits across
+    batches because one JSON file = one doc's pages), so the per-batch
+    call of the batch pipeline is semantics-preserving. ``sink(df,
+    batch_id)`` receives question-grain rows; with deterministic IDs a
+    retried batch rewrites identical rows (idempotent).
+    """
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        questions = etl.extract_questions(batch_df)
+        sink(questions, batch_id)
+
+    writer = pages_stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_event_counts(
+    events_stream: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Beyond-reference: watermarked tumbling-window counts per event
+    type — late rows beyond the watermark are dropped, state is bounded
+    (the canonical Structured Streaming aggregate; reference has no
+    event-time ops, SURVEY §2.11)."""
+    withts = events_stream.withColumn(
+        "_event_time", (F.col(ts_col) / F.lit(1_000_000_000)).cast("timestamp")
+    )
+    return (
+        withts.withWatermark("_event_time", watermark_delay)
+        .groupBy(F.window("_event_time", window_duration), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
