@@ -135,6 +135,67 @@ def q_x13_txt_template(spark, sf):
     return docs.select("doc_id", txt.alias("txt"), qid.alias("ID"))
 
 
+def q_x7_subn_count(spark, sf):
+    """X7 — substitution-count semantics (reference re.subn at
+    enem_pdf_extractor.py:116-137: fewer than 5 marker fixes => the
+    question is malformed). Native regexp_count replaces the U2 UDF."""
+    docs = _t(spark, sf, "documents")
+    n1 = F.regexp_count(F.col("text"), F.lit(r"\b[a-e]\b"))
+    n2 = F.regexp_count(F.col("text"), F.lit(r"\b\w{2}\s{2,}"))
+    return docs.select(
+        "doc_id",
+        n1.alias("n_primary"),
+        n2.alias("n_fallback"),
+        ((n1 >= 5) | (n2 >= 5)).alias("well_formed"),  # cascade: :129-134
+    )
+
+
+def q_x17_multiline_scrub(spark, sf):
+    """X17/F7 — multiline-anchored scrub: blank out lines longer than 4
+    chars (the reference's answer-key line filter,
+    enem_pdf_extractor.py:963-964), applied to a derived 3-line text."""
+    docs = _t(spark, sf, "documents")
+    three = F.concat_ws(
+        "\n",
+        F.substring("text", 1, 3),
+        F.substring("text", 10, 20),
+        F.substring("text", 40, 2),
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(three, r"(?m)^.{5,}$", "").alias("scrubbed"),
+    )
+
+
+def q_x10_segmentation(spark, sf):
+    """X10/X12/F8 — delimiter segmentation via posexplode: slice text on
+    a token, keep ordinal positions, drop the leading pre-match segment
+    (reference's find-loop + first-match skip,
+    enem_pdf_extractor.py:179-186,:434-435)."""
+    docs = _t(spark, sf, "documents")
+    parts = F.split(F.col("text"), " data ")
+    return (
+        docs.select("doc_id", F.posexplode(parts).alias("pos", "seg"))
+        .filter(F.col("pos") > 0)  # F8: skip the segment before the first match
+        .select("doc_id", "pos", F.substring("seg", 1, 40).alias("seg40"))
+    )
+
+
+def q_enem_questions(spark, sf):
+    """E2E flagship of the reference lifecycle (SURVEY §3.1): synthetic
+    page corpus -> preprocess -> number -> segment -> parse alternatives
+    -> answer-key broadcast join -> subject range bucketing. Python-
+    generated corpus: rows-only check; tests pin counts/fields."""
+    from pdf_to_vectordb_etl_spark.plans import etl
+    from pdf_to_vectordb_etl_spark.sources import synthetic
+
+    corpus = synthetic.corpus_df(spark)
+    qs = etl.extract_questions(corpus)
+    return qs.select(
+        "ID", "year", "day", "subject", "question_num", "correct_answer"
+    ).orderBy("year", "day", "question_num", "subject")
+
+
 def q_j1_anti_orphans(spark, sf):
     """J1 — all-or-nothing pairing: left side rows with no partner."""
     cust = _t(spark, sf, "customer")
@@ -546,6 +607,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_langid": q_ta_langid,
         "ta_fingerprint": q_ta_fingerprint,
         "mm_binary_meta": q_mm_binary_meta,
+        "x7_subn_count": q_x7_subn_count,
+        "x17_multiline_scrub": q_x17_multiline_scrub,
+        "x10_segmentation": q_x10_segmentation,
+        "enem_questions": q_enem_questions,
         "w4_chunk_split": q_w4_chunk_split,
         "u3_embed_norm": q_u3_embed_norm,
         "k1_topk_ivf": q_k1_topk_ivf,
@@ -796,6 +861,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, octet_length(encode(text)) AS n_bytes,
                    sha256(text) AS digest
             FROM documents
+        """,
+        "x7_subn_count": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\b[a-e]\b')) AS n_primary,
+                   len(regexp_extract_all(text, '\b\w{2}\s{2,}')) AS n_fallback,
+                   len(regexp_extract_all(text, '\b[a-e]\b')) >= 5
+                     OR len(regexp_extract_all(text, '\b\w{2}\s{2,}')) >= 5
+                     AS well_formed
+            FROM documents
+        """,
+        "x17_multiline_scrub": """
+            SELECT doc_id,
+                   regexp_replace(substr(text, 1, 3) || chr(10)
+                                  || substr(text, 10, 20) || chr(10)
+                                  || substr(text, 40, 2),
+                                  '(?m)^.{5,}$', '', 'g') AS scrubbed
+            FROM documents
+        """,
+        "x10_segmentation": """
+            WITH p AS (SELECT doc_id, string_split(text, ' data ') AS parts
+                       FROM documents),
+            u AS (SELECT doc_id, unnest(parts) AS seg,
+                         unnest(generate_series(1, len(parts))) AS i
+                  FROM p)
+            SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+                   substr(seg, 1, 40) AS seg40
+            FROM u WHERE i > 1
         """,
         "w4_chunk_split": """
             SELECT lang, count(*) AS n_chunks FROM documents
