@@ -27,6 +27,11 @@ def main() -> None:
 
     spark = get_spark(app_name="bench", master=f"local[{cpus}]")
 
+    # warm up JVM + parquet footers so the first timed query measures
+    # the query, not session startup
+    for t in ("lineitem", "documents", "embeddings", "events"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+
     # headline set: one per operator family, heaviest variants included
     names = [
         "a1_groupby_agg",          # scan+agg (TPC-H Q1 class)

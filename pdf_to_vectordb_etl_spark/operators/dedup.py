@@ -187,6 +187,19 @@ def minhash_lsh_candidates(
     so one equi-join covers all bands."""
     rows = n_hashes // bands
     sig = minhash_signatures(df, n_hashes, shingle_n, text_col, id_col)
+    return _band_candidates(sig, n_hashes, bands)
+
+
+def _signatures_from_hashes(ex: DataFrame, n_hashes: int) -> DataFrame:
+    """MinHash signature columns from an (id, h) shingle-hash table."""
+    mins = [
+        F.min(F.xxhash64("h", F.lit(i))).alias(f"h{i}") for i in range(n_hashes)
+    ]
+    return ex.groupBy("id").agg(*mins)
+
+
+def _band_candidates(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    rows = n_hashes // bands
     buckets = [
         F.xxhash64(F.lit(b), *[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(
             f"b{b}"
@@ -216,11 +229,19 @@ def minhash_dedup_pairs(
     """MinHash LSH candidates verified by exact Jaccard on shingle-hash
     sets. The verify step joins the (small) candidate set against the
     exploded shingle table twice and counts intersections — it touches
-    O(candidate docs), not O(n^2)."""
-    cands = minhash_lsh_candidates(
-        df, n_hashes, bands, shingle_n, text_col, id_col
+    O(candidate docs), not O(n^2).
+
+    The exploded (id, h) table feeds both the signature build and the
+    verify join, so it is persisted (memory-and-disk, spill-safe) for
+    the lifetime of the returned plan instead of being re-derived from
+    text twice."""
+    from pyspark import StorageLevel
+
+    ex = _shingle_hashes(df, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    ex = _shingle_hashes(df, text_col, id_col, shingle_n)
+    sig = _signatures_from_hashes(ex, n_hashes)
+    cands = _band_candidates(sig, n_hashes, bands)
     counts = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
     # count common shingle hashes per candidate pair
     pa = cands.join(ex.select(F.col("id").alias("id_a"), "h"), "id_a")
