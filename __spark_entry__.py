@@ -548,6 +548,61 @@ def q_t3_stream_agg(spark, sf):
     return spark.table(name).orderBy("event_type")
 
 
+def q_skew_salted_join(spark, sf):
+    """Skew path — salted equi-join (hot keys spread over salt buckets)
+    must produce exactly the plain-join result the oracle computes."""
+    from pdf_to_vectordb_etl_spark.operators import skew
+
+    ev = _t(spark, sf, "events").withColumn(
+        "k", F.when(F.col("event_id") % 5 < 4, 1).otherwise(F.col("event_id") % 100)
+    )
+    dim = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    j = skew.salted_join(ev, dim, "k", buckets=8)
+    return j.groupBy("k").agg(F.count("*").alias("n"), F.sum("v").alias("sum_v"))
+
+
+def q_skew_two_phase_count(spark, sf):
+    """Skew path — two-phase (salted partial + final) hot-group count."""
+    from pdf_to_vectordb_etl_spark.operators import skew
+
+    ev = _t(spark, sf, "events")
+    return skew.two_phase_count(ev, ["event_type"], buckets=8)
+
+
+def q_t4_stateful_totals(spark, sf):
+    """T4 — custom stateful streaming (applyInPandasWithState): per-user
+    running totals across availableNow micro-batches; the final state
+    must equal the batch aggregate."""
+    import tempfile
+
+    from pdf_to_vectordb_etl_spark.streaming.stateful import running_totals
+
+    batch = _t(spark, sf, "events")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    name = "t4_stateful_totals_result"
+    q = (
+        running_totals(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t4ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    res = spark.table(name)
+    return res.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value")
+    )
+
+
 def q_mm_decode_meta(spark, sf):
     """Multimodal decode plumbing — binary payloads through the Arrow-
     batched mapInPandas kernel (deterministic fake decoder; real codecs
@@ -616,6 +671,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k1_topk_ivf": q_k1_topk_ivf,
         "t3_stream_agg": q_t3_stream_agg,
         "mm_decode_meta": q_mm_decode_meta,
+        "skew_salted_join": q_skew_salted_join,
+        "skew_two_phase_count": q_skew_two_phase_count,
+        "t4_stateful_totals": q_t4_stateful_totals,
     }
 
 
@@ -899,5 +957,23 @@ def oracle_sql() -> dict[str, str]:
         "t3_stream_agg": """
             SELECT event_type, count(*) AS n FROM events
             GROUP BY event_type ORDER BY event_type
+        """,
+        "skew_salted_join": """
+            WITH e AS (
+              SELECT CASE WHEN event_id % 5 < 4 THEN 1
+                          ELSE event_id % 100 END AS k
+              FROM events),
+            dim AS (SELECT i AS k, i * 10 AS v
+                    FROM (SELECT unnest(generate_series(0, 99)) AS i))
+            SELECT e.k, count(*) AS n, sum(v) AS sum_v
+            FROM e JOIN dim ON e.k = dim.k GROUP BY e.k
+        """,
+        "skew_two_phase_count": """
+            SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+        """,
+        "t4_stateful_totals": """
+            SELECT user_id, count(*) AS n_events,
+                   sum(CAST(floor(value) AS BIGINT)) AS total_value
+            FROM events GROUP BY user_id
         """,
     }

@@ -1,0 +1,64 @@
+"""Skew-aware join/aggregation helpers (100 TB path).
+
+AQE's skew-join splitting (on in session.py) handles sort-merge joins
+whose *partitions* are skewed; these helpers cover the cases AQE cannot:
+a broadcast-infeasible hot-key join, and a hot-key aggregation whose
+map-side combine is defeated by one giant group.
+
+Salting trades one narrow extra column + a small-side replication
+factor for an even key distribution — deterministic (pmod of xxhash64),
+no RNG state, stable under retries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def with_salt(df: DataFrame, key: str, buckets: int, salt_col: str = "_salt") -> DataFrame:
+    """Deterministic per-row salt in [0, buckets): a hash over all
+    columns spreads even rows sharing one hot key evenly across
+    ``buckets`` shuffle partitions."""
+    nonce = F.xxhash64(*[F.col(c) for c in df.columns])
+    return df.withColumn(salt_col, F.pmod(nonce, F.lit(buckets)).cast("int"))
+
+
+def replicate_for_salt(
+    df: DataFrame, buckets: int, salt_col: str = "_salt"
+) -> DataFrame:
+    """Explode the (small) build side once per salt bucket so every
+    salted probe partition finds its match. Size cost: x buckets."""
+    return df.withColumn(
+        salt_col, F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str] | str,
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join resilient to hot keys on the big side.
+
+    big gets a deterministic salt; small is replicated ``buckets``
+    times; the join key becomes (key..., salt) so one hot key's rows
+    spread over ``buckets`` tasks instead of one straggler. Use when the
+    small side is too big to broadcast but small enough to replicate.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    b = with_salt(big, keys[0], buckets)
+    s = replicate_for_salt(small, buckets)
+    return b.join(s, [*keys, "_salt"], how).drop("_salt")
+
+
+def two_phase_count(
+    df: DataFrame, keys: list[str], buckets: int = 16, agg_col: str = "n"
+) -> DataFrame:
+    """Hot-group aggregation: count per (key, salt) first (spreads the
+    giant group), then sum the partials per key. Same trick extends to
+    any algebraic aggregate (sum/min/max/avg via sum+count)."""
+    salted = with_salt(df, keys[0], buckets)
+    partial = salted.groupBy(*keys, "_salt").agg(F.count("*").alias("_pn"))
+    return partial.groupBy(*keys).agg(F.sum("_pn").alias(agg_col))

@@ -115,6 +115,25 @@ def upsert_foreach_partition(
     points.foreachPartition(_write)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: tuple[str, ...],
+    n_buckets: int = 32,
+    sort: bool = True,
+) -> None:
+    """Bucketed managed table: rows hash-clustered (and optionally
+    sorted) by ``keys`` at write time, so later equi-joins and group-bys
+    on those keys read co-located data and skip the shuffle entirely
+    (verified by the no-Exchange plan test). The 100 TB pattern: bucket
+    the embeddings/documents tables on their join ids once, reuse the
+    clustering across every downstream query."""
+    w = df.write.bucketBy(n_buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    w.mode("overwrite").format("parquet").saveAsTable(table)
+
+
 def console_progress(stats_long: DataFrame) -> str:
     """O8 — the reference's per-subject tried/inserted console report
     (qdrant_text_loader.py:187,:220-224), as a deterministic string the

@@ -1,0 +1,130 @@
+"""Custom stateful streaming operators (``applyInPandasWithState``).
+
+The reference's only cross-batch state is the sink-count ID continuation
+(SURVEY §2.11 T4), which deterministic IDs eliminate. These operators
+are the beyond-reference stateful surface: arbitrary per-key state kept
+by the engine across micro-batches — running totals and gap-based
+sessionization — the pattern any 100 TB streaming curation pipeline
+needs (per-source dedup state, rate accounting, session windows).
+
+State is per group key, stored in the state store (checkpointed,
+fault-tolerant); each micro-batch hands the operator the key's new rows
+as pandas DataFrames plus its GroupState.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+RUNNING_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", LongType()),
+    ]
+)
+RUNNING_STATE = StructType(
+    [StructField("n", LongType()), StructField("tot", LongType())]
+)
+
+
+def _running_totals(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (n, tot) = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        tot += int(pdf["value"].sum())
+    state.update((n, tot))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [tot]})
+
+
+def running_totals(events_stream: DataFrame) -> DataFrame:
+    """Cumulative per-user event count + floor(value) total across all
+    micro-batches seen so far; one updated row per key per batch."""
+    from pyspark.sql import functions as F
+
+    prepped = events_stream.select(
+        "user_id", F.floor("value").cast("long").alias("value")
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _running_totals,
+        outputStructType=RUNNING_OUT,
+        stateStructType=RUNNING_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+SESSION_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", LongType()),
+        StructField("session_end", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+SESSION_STATE = StructType(
+    [
+        StructField("start", LongType()),
+        StructField("last", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def make_sessionizer(gap_ns: int):
+    """Gap-based sessionizer kernel: events more than ``gap_ns`` apart
+    open a new session; closed sessions are emitted, the open one stays
+    in state. (Event order within a batch is sorted here; cross-batch
+    order relies on source ordering — add a watermark + sort upstream
+    for out-of-order feeds.)"""
+
+    def _sessionize(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty:
+            return
+        rows = rows.sort_values("ts")
+        (start, last, n) = state.get if state.exists else (None, None, 0)
+        out = []
+        for ts in rows["ts"]:
+            ts = int(ts)
+            if start is None:
+                start, last, n = ts, ts, 1
+            elif ts - last > gap_ns:
+                out.append((key[0], start, last, n))
+                start, last, n = ts, ts, 1
+            else:
+                last, n = ts, n + 1
+        state.update((start, last, n))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "session_start", "session_end", "n_events"]
+            )
+
+    return _sessionize
+
+
+def sessionize(events_stream: DataFrame, gap_ns: int = 3_600_000_000_000) -> DataFrame:
+    """Emit closed sessions per user (default gap: 1 hour in the ts
+    column's nanosecond unit)."""
+    prepped = events_stream.select("user_id", "ts")
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        make_sessionizer(gap_ns),
+        outputStructType=SESSION_OUT,
+        stateStructType=SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

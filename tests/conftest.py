@@ -14,11 +14,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
+    # fresh warehouse per session: the in-memory catalog forgets tables
+    # across sessions but their files would persist and collide
+    warehouse = tempfile.mkdtemp(prefix="spark-warehouse-tests-")
     spark = get_spark(
         app_name="tests",
         master="local[8]",
         shuffle_partitions=8,
-        extra_conf={"spark.sql.warehouse.dir": "/tmp/spark-warehouse-tests"},
+        extra_conf={"spark.sql.warehouse.dir": warehouse},
     )
     yield spark
 

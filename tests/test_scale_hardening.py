@@ -1,0 +1,137 @@
+"""Skew salting, bucketed co-located joins, custom stateful streaming."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from pdf_to_vectordb_etl_spark import sinks
+from pdf_to_vectordb_etl_spark.operators import skew
+from pdf_to_vectordb_etl_spark.streaming.stateful import running_totals, sessionize
+from tests.conftest import load
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").withColumn(
+        # manufacture a hot key: 80% of rows share key 1
+        "k", F.when(F.col("event_id") % 5 < 4, 1).otherwise(F.col("event_id") % 100)
+    )
+    dim = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    plain = ev.join(dim, "k").agg(F.count("*"), F.sum("v")).first()
+    salted = skew.salted_join(ev, dim, "k", buckets=8).agg(
+        F.count("*"), F.sum("v")
+    ).first()
+    assert plain == salted
+
+
+def test_salted_join_spreads_hot_key(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").withColumn("k", F.lit(1))
+    salted = skew.with_salt(ev, "k", buckets=8)
+    per_bucket = salted.groupBy("_salt").count().collect()
+    assert len(per_bucket) == 8  # one hot key spread across all buckets
+    counts = [r["count"] for r in per_bucket]
+    assert max(counts) < 2 * min(counts)  # roughly even
+
+
+def test_two_phase_count_matches(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    want = {
+        (r["event_type"],): r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    got = {
+        (r["event_type"],): r["n"]
+        for r in skew.two_phase_count(ev, ["event_type"], buckets=8).collect()
+    }
+    assert got == want
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    other = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sinks.write_bucketed(docs, "b_docs_meta", ("doc_id",), n_buckets=8)
+    sinks.write_bucketed(other, "b_docs_text", ("doc_id",), n_buckets=8)
+    a = spark.table("b_docs_meta")
+    b = spark.table("b_docs_text")
+    # force SMJ path (broadcast would hide the bucketing win)
+    j = a.hint("merge").join(b, "doc_id")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # co-located: bucket join, no shuffle
+    assert j.count() == docs.count()
+
+
+def test_running_totals_stateful_stream(spark, sf_dir, tmp_path):
+    events = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    src = str(tmp_path / "src")
+    # several files => several micro-batches with maxFilesPerTrigger=1
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("running_totals_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(180)
+    # last emitted row per key == batch totals
+    from pyspark.sql import Window
+
+    res = spark.table("running_totals_t")
+    # memory sink appends each update; the max n_events per key is final
+    final = res.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value")
+    )
+    want = events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.floor("value").cast("long")).alias("total_value"),
+    )
+    diff = final.join(want, "user_id").filter(
+        (final["n_events"] != want["n_events"])
+        | (final["total_value"] != want["total_value"])
+    )
+    assert want.count() > 0 and diff.count() == 0
+
+
+def test_sessionize_closes_on_gap(spark, tmp_path):
+    hour = 3_600_000_000_000
+    rows = [
+        (1, 0), (1, hour // 2), (1, hour * 3),      # session break after 2nd
+        (1, hour * 3 + 10), (1, hour * 9),          # second break
+        (2, 0), (2, hour * 10),                     # one break for user 2
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long")
+    src = str(tmp_path / "sess_src")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        sessionize(stream, gap_ns=hour)
+        .writeStream.format("memory")
+        .queryName("sessions_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table("sessions_t").collect()
+    }
+    # closed sessions only (the trailing session per user stays open in state)
+    assert got == {
+        (1, 0, hour // 2, 2),
+        (1, hour * 3, hour * 3 + 10, 2),
+        (2, 0, 0, 1),
+    }
