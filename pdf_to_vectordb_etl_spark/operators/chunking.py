@@ -10,9 +10,15 @@ state, parallel per document.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 SPLIT_KEY = "(RESPOSTA CORRETA)"  # reference qdrant_text_loader.py:28
+# F.split takes a REGEX: the parens must be escaped or they parse as a
+# group and the split drops only the inner words (caught by the golden-
+# TXT parity test against /root/reference/pdf_content_to_files)
+SPLIT_KEY_RE = re.escape(SPLIT_KEY)
 TAIL_BUFFER = 22  # reference :70 — captures "(RESPOSTA CORRETA): X\n"
 
 
@@ -28,13 +34,16 @@ def split_chunks(
     the last answer tail) is dropped, as the reference's generator stops
     there (reference :74-76).
     """
-    parts = F.split(F.col(text_col), F.lit(SPLIT_KEY), -1)
+    parts = F.split(F.col(text_col), SPLIT_KEY_RE, -1)
     n = F.size(parts)
     df = df.select(
         *key_cols,
         F.posexplode(parts).alias("chunk_index", "body"),
         n.alias("_n"),
-    ).filter(F.col("chunk_index") < F.col("_n") - 1)  # drop post-final remainder
+    )
+    # the post-final remainder (text after the last answer tail) is
+    # dropped AFTER the lead window below — it still supplies the last
+    # real chunk's "(RESPOSTA CORRETA): X" tail via lead()
     # body_{i+1} starts with ": X\n\n…" — its first TAIL_BUFFER-len(KEY)
     # chars belong to chunk i's tail; simplest faithful form: re-attach
     # the key and the answer char from the *next* body's head.
@@ -51,7 +60,11 @@ def split_chunks(
         # remnant — strip it before prepending
         F.concat(F.regexp_replace(F.col("body"), r"^:\s*\S+\s*", ""), tail)
     )
-    return df.withColumn("chunk", chunk).drop("body", "_n")
+    return (
+        df.withColumn("chunk", chunk)
+        .filter(F.col("chunk_index") < F.col("_n") - 1)
+        .drop("body", "_n")
+    )
 
 
 def chunk_counts(chunks: DataFrame, key_cols: tuple[str, ...] = ("year", "subject")) -> DataFrame:

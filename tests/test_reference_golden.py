@@ -1,0 +1,130 @@
+"""Loader-side golden parity against the reference's committed outputs.
+
+The reference commits real extraction results (TXT + JSON per
+(year, subject), pivoted count CSVs) under
+/root/reference/pdf_content_to_files/ and /root/reference/
+extraction_metadata/ (SURVEY §5.3). Its loader re-derives question
+chunks from the TXT by splitting on the literal ``(RESPOSTA CORRETA)``
+key (reference qdrant_text_loader.py:66-76). Our W4 chunker consuming
+the SAME committed TXT must recover exactly the question set the
+committed JSON records — count, question numbers, and answer letters —
+which pins the engine's chunking/regex semantics to the reference's
+real-world behavior, not just synthetic fixtures.
+
+The reference tree is read-only input data here; skipped when absent.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pdf_to_vectordb_etl_spark.functions import filename as fn
+from pdf_to_vectordb_etl_spark.operators import chunking
+
+REF = "/root/reference/pdf_content_to_files"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference golden files not present"
+)
+
+# documented yields (SURVEY §5.3 / BASELINE.md): 2023, no-images mode
+GOLDEN_COUNTS_2023 = {"eng": 0, "spani": 3, "lang": 31, "huma": 29, "math": 35, "natu": 37}
+
+
+def _golden_txts(spark):
+    """S5 — whole-file TXT scan + X1/X2/X16 filename parsing on the
+    reference's real file names."""
+    df = spark.read.text(f"{REF}/*/*_questions.txt", wholetext=True).select(
+        F.input_file_name().alias("path"), F.col("value").alias("content")
+    )
+    tail = fn.file_tail(F.col("path"))
+    return df.select(
+        fn.year_of(tail).alias("year"),
+        fn.subject_of(tail).alias("subject"),
+        "content",
+    )
+
+
+def test_filename_tokens_on_real_names(spark):
+    rows = _golden_txts(spark).select("year", "subject").collect()
+    got = {(r["year"], r["subject"]) for r in rows}
+    # eng's golden TXT is 0 bytes (0 questions): the text source emits
+    # no row for it — the same skip the reference applies (F6)
+    assert got == {(2023, s) for s, n in GOLDEN_COUNTS_2023.items() if n > 0}
+
+
+def test_chunk_counts_match_golden_json(spark):
+    txts = _golden_txts(spark)
+    chunks = chunking.split_chunks(txts, text_col="content", key_cols=("year", "subject"))
+    got = {
+        r["subject"]: r["n_chunks"]
+        for r in chunking.chunk_counts(chunks).collect()
+    }
+    want = {}
+    for p in glob.glob(f"{REF}/*/*_questions.json"):
+        recs = json.load(open(p))
+        subj = os.path.basename(p).split("_")[1]
+        want[subj] = len(recs)
+    # empty subjects produce no TXT chunks (reference skips empty:
+    # qdrant_text_loader.py:194-196) — drop zero entries on both sides
+    want = {k: v for k, v in want.items() if v > 0}
+    got = {k: v for k, v in got.items() if v > 0}
+    assert got == want
+    assert want == {k: v for k, v in GOLDEN_COUNTS_2023.items() if v > 0}
+
+
+def test_chunk_answers_match_golden_json(spark):
+    """Each re-derived chunk must carry the same (question_num ->
+    correct_answer) pairs the reference extracted (J2 parity on real
+    data, incl. the D2 +90 printed-number shift)."""
+    txts = _golden_txts(spark)
+    chunks = chunking.split_chunks(txts, text_col="content", key_cols=("year", "subject"))
+    parsed = chunks.select(
+        "subject",
+        F.regexp_extract("chunk", r"QUESTÃO (\d+)", 1).cast("int").alias("qnum"),
+        F.regexp_extract("chunk", r"\(RESPOSTA CORRETA\): ?(\S+)", 1).alias("ans"),
+    )
+    got = {
+        (r["subject"], r["qnum"]): r["ans"] for r in parsed.collect()
+    }
+    import re as _re
+
+    want = {}
+    for p in glob.glob(f"{REF}/*/*_questions.json"):
+        subj = os.path.basename(p).split("_")[1]
+        for rec in json.load(open(p)):
+            # join on the PRINTED number from the question text: the
+            # reference's question_num field is positional (counter+90)
+            # and real exams print questions out of positional order
+            printed = int(_re.search(r"QUESTÃO (\d+)", rec["question_text"]).group(1))
+            want[(subj, printed)] = rec["correct_answer"]
+    assert got == want
+    # D2 printed numbers carry the +90 shift (math 136-177, natu 91-131)
+    assert min(q for (s, q) in want if s == "math") >= 136
+    assert min(q for (s, q) in want if s == "natu") >= 91
+
+
+def test_pivot_csv_matches_reference_shape(spark):
+    """O7 — our pivot of the golden counts reproduces the committed
+    extraction_metadata CSV's 2023 row (test_extraction_metadata.csv)."""
+    import csv as csvmod
+
+    ref_csv = "/root/reference/extraction_metadata/test_extraction_metadata.csv"
+    rows = list(csvmod.reader(open(ref_csv)))
+    header = rows[0][1:]
+    year_row = next((r for r in rows[1:] if r[0].startswith("2023 todas")), None)
+    if year_row is None:
+        pytest.skip("2023 row not committed in reference CSV")
+    ref_counts = {
+        s: int(float(v)) for s, v in zip(header, year_row[1:]) if v not in ("", None)
+    }
+    ours = {
+        s: n for s, n in GOLDEN_COUNTS_2023.items() if s in ref_counts
+    }
+    assert ours == ref_counts
