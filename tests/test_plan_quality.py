@@ -1,0 +1,67 @@
+"""Physical-plan regression pins: pushdown, broadcast, rank-limit.
+
+A correct-but-badly-planned operator is a scale bug; these tests pin
+the plan shapes that make the 100 TB story true (predicate/projection
+pushdown to the scan, broadcast instead of shuffle joins for small
+sides, WindowGroupLimit for top-k, partial aggregation)."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import __spark_entry__ as entry
+
+
+def _plan(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def _q(spark, sf_dir, name):
+    return entry.queries()[name](spark, sf_dir)
+
+
+def test_scan_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(_q(spark, sf_dir, "s1_scan_pruned_projection"))
+    assert "LessThan(l_shipdate" in plan and "GreaterThan(l_quantity" in plan
+    # projection pruned: comment/shipinstruct columns never read
+    assert "l_comment" not in plan and "l_shipinstruct" not in plan
+
+
+def test_broadcast_joins_not_shuffle(spark, sf_dir):
+    for name in ["j2_broadcast_sentinel", "j4_derived_key_join"]:
+        plan = _plan(_q(spark, sf_dir, name), "simple")
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_topk_uses_window_group_limit(spark, sf_dir):
+    plan = _plan(_q(spark, sf_dir, "k1_topk_cosine"), "simple")
+    # rank-limit pushdown: per-partition top-k before the final sort,
+    # never a full global sort of all similarities
+    assert "WindowGroupLimit" in plan
+
+
+def test_partial_aggregation(spark, sf_dir):
+    plan = _plan(_q(spark, sf_dir, "a1_groupby_agg"), "simple")
+    # two HashAggregate phases around one Exchange = map-side combine
+    assert plan.count("HashAggregate") == 2
+    assert plan.count("Exchange") == 1
+
+
+def test_dedup_joins_on_hashes_not_strings(spark, sf_dir):
+    plan = _plan(_q(spark, sf_dir, "dedup_ngram_jaccard"))
+    # the self-join key is the xxhash64 of the shingle, not the string
+    assert "xxhash64" in plan
+    # no quadratic fallback
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_broadcasts_dim(spark, sf_dir):
+    plan = _plan(_q(spark, sf_dir, "j3_range_bucket_join"), "simple")
+    # tiny dim side broadcast; the nested-loop is against 3 rows only
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -110,6 +110,50 @@ def test_chunk_answers_match_golden_json(spark):
     assert min(q for (s, q) in want if s == "natu") >= 91
 
 
+def test_txt_render_byte_parity_with_golden(spark):
+    """O1/X13/A2 — rendering the golden JSON records through our TXT
+    template and order-preserving concat reproduces the committed golden
+    TXT files byte-for-byte (all 5 non-empty 2023 subjects)."""
+    from pdf_to_vectordb_etl_spark.functions.textops import txt_record
+
+    for p in glob.glob(f"{REF}/*/*_questions.json"):
+        recs = json.load(open(p))
+        if not recs:
+            continue
+        golden = open(p.replace(".json", ".txt")).read()
+        df = spark.createDataFrame(
+            [
+                (r["question_num"], r["year"], r["question_text"], r["correct_answer"])
+                for r in recs
+            ],
+            "question_num int, year int, question_text string, correct_answer string",
+        )
+        rendered_rows = (
+            df.select(
+                "question_num",
+                txt_record(
+                    F.col("year"), F.col("question_text"), F.col("correct_answer")
+                ).alias("txt"),
+            )
+            # question_num is the reference's positional counter: ordering
+            # by it reproduces document order (A2's order-preservation)
+            .groupBy()
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct("question_num", "txt"))
+                        ),
+                        lambda s: s["txt"],
+                    ),
+                    "",
+                ).alias("content")
+            )
+            .collect()
+        )
+        assert rendered_rows[0]["content"] == golden, os.path.basename(p)
+
+
 def test_pivot_csv_matches_reference_shape(spark):
     """O7 — our pivot of the golden counts reproduces the committed
     extraction_metadata CSV's 2023 row (test_extraction_metadata.csv)."""
