@@ -385,6 +385,16 @@ def q_k2_dim_guard(spark, sf):
     return topk.dim_guard(emb, "embedding", 64).agg(F.count("*").alias("n_valid"))
 
 
+def q_k3_first_match(spark, sf):
+    """K3 — first-occurrence position of a token (the reference's
+    ``text.find("QUESTÃO")`` first-match, enem_pdf_extractor.py:238)."""
+    docs = _t(spark, sf, "documents")
+    pos = F.instr(F.col("text"), "data")
+    return docs.select("doc_id", pos.alias("first_pos")).filter(
+        F.col("first_pos") > 0
+    )
+
+
 def q_dedup_exact(spark, sf):
     """Exact dedup: content-digest groups with canonical id."""
     docs = _t(spark, sf, "documents")
@@ -652,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a5_parity_check": q_a5_parity_check,
         "k1_topk_cosine": q_k1_topk_cosine,
         "k2_dim_guard": q_k2_dim_guard,
+        "k3_first_match": q_k3_first_match,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -823,6 +834,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "k2_dim_guard": """
             SELECT count(*) AS n_valid FROM embeddings WHERE len(embedding) = 64
+        """,
+        "k3_first_match": """
+            SELECT doc_id, strpos(text, 'data') AS first_pos
+            FROM documents WHERE strpos(text, 'data') > 0
         """,
         "dedup_exact": f"""
             SELECT sha256({_NORM}) AS digest, min(doc_id) AS canonical_id,

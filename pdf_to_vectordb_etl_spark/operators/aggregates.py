@@ -70,6 +70,29 @@ def stats_pivot(stats: DataFrame, subjects: list[str] | None = None) -> DataFram
     )
 
 
+def stats_pivot_reference_csv(
+    stats: DataFrame, subjects: list[str] | None = None
+) -> DataFrame:
+    """A4 in the reference's exact CSV shape: an unnamed index column
+    ``"{year} todas questoes"`` / ``"{year} questoes add"`` and one
+    float column per subject (reference qdrant_text_loader.py:102-120,
+    golden: extraction_metadata/qdrant_extraction_data.csv)."""
+    from ..schemas import SUBJECTS
+
+    values = subjects if subjects is not None else list(SUBJECTS)
+    kind_label = F.when(
+        F.col("kind") == "todas_questoes", F.lit("todas questoes")
+    ).otherwise(F.lit("questoes add"))
+    idx = F.concat_ws(" ", F.col("year").cast("string"), kind_label)
+    p = (
+        stats.withColumn("", idx)
+        .groupBy("")
+        .pivot("subject", values)
+        .agg(F.first(F.col("n").cast("double")))
+    )
+    return p.orderBy("")
+
+
 def folder_parity_check(files: DataFrame) -> DataFrame:
     """A5 — PDF count + parity flags (reference pdf_to_qdrant_etl.py:134-138:
     error when fewer than 2 PDFs or an odd count)."""

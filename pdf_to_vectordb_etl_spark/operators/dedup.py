@@ -312,11 +312,21 @@ def simhash_signatures(
     and the shuffle carries 64 small longs per doc."""
     ex = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id").select(
         "id", F.explode_outer(word_shingles(F.col(text_col), shingle_n)).alias("_s")
-    ).select("id", F.xxhash64("_s").alias("h"))
+    ).select(
+        "id",
+        # xxhash64(NULL) is the seed (non-null!): keep the shingle-less
+        # placeholder row's hash NULL so its bit votes stay 0
+        F.when(F.col("_s").isNull(), F.lit(None)).otherwise(F.xxhash64("_s")).alias("h"),
+    )
     one = F.lit(1).cast("long")
     votes = [
         F.sum(
-            F.when(F.col("h").bitwiseAND(F.shiftleft(one, i)) != 0, 1).otherwise(-1)
+            # xxhash64(NULL) returns the seed, so explode_outer's null
+            # placeholder (shingle-less doc) must vote 0, keeping the
+            # empty signature 0 — same as the column form's empty fold
+            F.when(F.col("h").isNull(), 0)
+            .when(F.col("h").bitwiseAND(F.shiftleft(one, i)) != 0, 1)
+            .otherwise(-1)
         ).alias(f"v{i}")
         for i in range(64)
     ]

@@ -44,12 +44,13 @@ def deterministic_embedding(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda i: (F.pmod(F.xxhash64(t, i), F.lit(100000)) / 50000.0 - 1.0),
     )
-    if not normalize:
-        return comp.cast(T.ArrayType(T.FloatType()))
-    norm = F.sqrt(
-        F.aggregate(comp, F.lit(0.0), lambda acc, v: acc + v * v)
-    )
-    return F.transform(comp, lambda v: (v / norm).cast("float"))
+    if normalize:
+        norm = F.sqrt(F.aggregate(comp, F.lit(0.0), lambda acc, v: acc + v * v))
+        comp = F.transform(comp, lambda v: (v / norm).cast("float"))
+    else:
+        comp = comp.cast(T.ArrayType(T.FloatType()))
+    # hash functions treat NULL input as the seed: keep NULL text -> NULL
+    return F.when(t.isNull(), F.lit(None)).otherwise(comp)
 
 
 def embed_with_client(

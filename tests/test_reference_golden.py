@@ -154,6 +154,43 @@ def test_txt_render_byte_parity_with_golden(spark):
         assert rendered_rows[0]["content"] == golden, os.path.basename(p)
 
 
+def test_stats_pivot_reproduces_qdrant_csv_rows(spark):
+    """O7 — feeding the reference's own 2022 golden counts through our
+    long-form stats -> reference-shaped pivot reproduces the committed
+    qdrant_extraction_data.csv row exactly (cells, labels, float form)."""
+    import csv as csvmod
+
+    from pdf_to_vectordb_etl_spark.operators import aggregates
+
+    ref_csv = "/root/reference/extraction_metadata/qdrant_extraction_data.csv"
+    rows = list(csvmod.reader(open(ref_csv)))
+    header, data = rows[0][1:], rows[1:]
+    ref_2022 = {
+        r[0]: {s: v for s, v in zip(header, r[1:])}
+        for r in data
+        if r[0].startswith("2022")
+    }
+    long_rows = []
+    for label, cells in ref_2022.items():
+        kind = "todas_questoes" if "todas" in label else "questoes_add"
+        for s, v in cells.items():
+            if v:
+                long_rows.append((2022, s, kind, int(float(v))))
+    stats = spark.createDataFrame(
+        long_rows, "year int, subject string, kind string, n long"
+    )
+    out = aggregates.stats_pivot_reference_csv(stats, subjects=header)
+    got = {
+        r[""]: {s: r[s] for s in header if r[s] is not None}
+        for r in out.collect()
+    }
+    want = {
+        label: {s: float(v) for s, v in cells.items() if v}
+        for label, cells in ref_2022.items()
+    }
+    assert got == want
+
+
 def test_pivot_csv_matches_reference_shape(spark):
     """O7 — our pivot of the golden counts reproduces the committed
     extraction_metadata CSV's 2023 row (test_extraction_metadata.csv)."""
