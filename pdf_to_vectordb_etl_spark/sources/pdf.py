@@ -106,6 +106,47 @@ def fake_pdf_decoder(path: str, content: bytes) -> list[dict]:
     ]
 
 
+def write_page_images(
+    pages_with_bytes: DataFrame,
+    out_dir: str,
+    image_bytes_col: str = "image_bytes",
+) -> DataFrame:
+    """O4 — executor-side image materialization (reference
+    enem_pdf_extractor.py:302-332 transcodes each xref to PNG on the
+    fly). Rows carry raw image bytes + a target name; each partition
+    writes its own files (no driver round-trip) and the path column
+    comes back for the question records' ``page_images``."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("page_index", T.IntegerType()),
+            T.StructField("image_path", T.StringType()),
+        ]
+    )
+
+    def _write(batches):
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                name = f"{r.doc_id}_page{r.page_index}_{r.image_index}.png"
+                path = os.path.join(out_dir, name)
+                with open(path, "wb") as f:
+                    f.write(bytes(getattr(r, image_bytes_col)))
+                rows.append(
+                    {"doc_id": r.doc_id, "page_index": r.page_index, "image_path": path}
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return pages_with_bytes.mapInPandas(_write, out_schema)
+
+
 def pages_from_pdfs(
     files: DataFrame, decoder: PageDecoder = real_pdf_decoder
 ) -> DataFrame:

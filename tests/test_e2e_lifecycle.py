@@ -1,0 +1,73 @@
+"""Full reference lifecycle e2e: corpus -> extract -> vector table ->
+search (the Spark form of process_folder + dict_to_vectorDB +
+QDvector_search, reference pdf_to_qdrant_etl.py:107-159)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdf_to_vectordb_etl_spark import sinks
+from pdf_to_vectordb_etl_spark.operators import aggregates
+from pdf_to_vectordb_etl_spark.plans import etl, load
+from pdf_to_vectordb_etl_spark.sources import synthetic
+
+
+def test_extract_load_search_roundtrip(spark, tmp_path):
+    corpus = synthetic.corpus_df(spark, years=(2022,), days=("D1", "D2"))
+    questions = etl.extract_questions(corpus)
+    table = str(tmp_path / "collection")
+
+    load.load_questions(questions, table, dim=32)
+    load.load_questions(questions, table, dim=32)  # retry: must be idempotent
+
+    stored = sinks.read_embeddings_table(spark, table)
+    assert stored.count() == questions.count()
+
+    # searching with a stored question's own text must return itself
+    probe = questions.orderBy("ID").first()
+    probe_txt_row = (
+        load.questions_to_points(
+            questions.filter(
+                (F.col("ID") == probe["ID"]) & (F.col("subject") == probe["subject"])
+            ),
+            dim=32,
+        )
+        .select("id", "payload.page_content")
+        .first()
+    )
+    hit = load.search_text(
+        spark, table, probe_txt_row["page_content"], k=1, dim=32
+    ).first()
+    assert hit["id"] == probe_txt_row["id"]
+    assert abs(hit["cosine_sim"] - 1.0) < 1e-6
+    assert hit["materia"] == probe["subject"]
+
+    # subject-scoped search only returns that subject (K2 + payload filter)
+    hits = load.search_text(
+        spark, table, "qualquer coisa", k=5, dim=32, subject="math"
+    ).collect()
+    assert len(hits) == 5 and all(h["materia"] == "math" for h in hits)
+
+
+def test_tried_equals_inserted_accounting(spark, tmp_path):
+    """A3 golden property: tried == inserted per (year, subject) when
+    nothing fails (reference etl_test_result.md:5-23)."""
+    corpus = synthetic.corpus_df(spark, years=(2022,), days=("D1",))
+    questions = etl.extract_questions(corpus)
+    table = str(tmp_path / "coll2")
+    load.load_questions(questions, table, dim=16)
+
+    tried = aggregates.question_counts(questions)
+    inserted = (
+        sinks.read_embeddings_table(spark, table)
+        .groupBy(
+            F.col("payload.metadata.ano").alias("year"),
+            F.col("payload.metadata.materia").alias("subject"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    stats = aggregates.extraction_stats(tried, inserted)
+    pivot = aggregates.stats_pivot(stats).collect()
+    by_kind = {r["kind"]: r for r in pivot}
+    for s in ("eng", "lang", "spani", "huma"):
+        assert by_kind["todas_questoes"][s] == by_kind["questoes_add"][s]

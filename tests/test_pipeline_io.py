@@ -198,6 +198,23 @@ def test_pdf_source_plumbing(spark, tmp_path):
             pdfsrc.real_pdf_decoder("x.pdf", b"%PDF")
 
 
+def test_page_image_sink_writes_on_executors(spark, tmp_path):
+    rows = [
+        ("doc1", 1, 0, b"\x89PNG-fake-1"),
+        ("doc1", 2, 0, b"\x89PNG-fake-2"),
+        ("doc2", 1, 1, b"\x89PNG-fake-3"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, page_index int, image_index int, image_bytes binary"
+    )
+    out_dir = str(tmp_path / "imgs")
+    got = pdfsrc.write_page_images(df, out_dir).collect()
+    assert len(got) == 3
+    for r in got:
+        assert os.path.exists(r["image_path"])
+        assert open(r["image_path"], "rb").read().startswith(b"\x89PNG")
+
+
 def test_multimodal_plumbing(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").limit(30)
     media = multimodal.as_media(
