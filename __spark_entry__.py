@@ -226,7 +226,10 @@ def q_j2_broadcast_sentinel(spark, sf):
 
 def q_j3_range_bucket_join(spark, sf):
     """J3 — broadcast range join against a small bucket dim."""
-    ev = _t(spark, sf, "events")
+    # local fixtures are one row group => one scan task; spreading the
+    # probe side parallelizes the nested-loop (no-op on a real multi-
+    # split scan, where partitions >> cores already)
+    ev = _t(spark, sf, "events").repartition(spark.sparkContext.defaultParallelism)
     dim = spark.createDataFrame(
         [("low", 0.0, 100.0), ("mid", 100.0, 250.0), ("high", 250.0, 500.0)],
         "bucket string, lo double, hi double",
@@ -627,6 +630,20 @@ def q_mm_decode_meta(spark, sf):
     return out.select("media_id", "width", "height", "n_frames")
 
 
+def q_n1_to_json(spark, sf):
+    """N1/N3 — nested payload struct serialized to JSON (the reference's
+    Qdrant point payload shape, qdrant_text_loader.py:205-211)."""
+    docs = _t(spark, sf, "documents")
+    payload = F.struct(
+        F.substring("text", 1, 20).alias("page_content"),
+        F.struct(
+            F.col("lang").alias("materia"),
+            (2015 + F.col("doc_id") % 9).cast("int").alias("ano"),
+        ).alias("metadata"),
+    )
+    return docs.select("doc_id", F.to_json(payload).alias("payload_json"))
+
+
 def q_mm_binary_meta(spark, sf):
     """Multimodal plumbing: opaque binary payload + typed metadata
     (byte length, content digest) — the schema/partitioning pattern for
@@ -673,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_langid": q_ta_langid,
         "ta_fingerprint": q_ta_fingerprint,
         "mm_binary_meta": q_mm_binary_meta,
+        "n1_to_json": q_n1_to_json,
         "x7_subn_count": q_x7_subn_count,
         "x17_multiline_scrub": q_x17_multiline_scrub,
         "x10_segmentation": q_x10_segmentation,
@@ -961,6 +979,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(i - 1 AS INT) AS pos,
                    substr(seg, 1, 40) AS seg40
             FROM u WHERE i > 1
+        """,
+        "n1_to_json": """
+            SELECT doc_id,
+                   to_json(struct_pack(
+                     page_content := substr(text, 1, 20),
+                     metadata := struct_pack(
+                       materia := lang,
+                       ano := CAST(2015 + doc_id % 9 AS INT))))
+                     AS payload_json
+            FROM documents
         """,
         "w4_chunk_split": """
             SELECT lang, count(*) AS n_chunks FROM documents
