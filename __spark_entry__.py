@@ -30,6 +30,13 @@ SENTINEL = "não achou a questão"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # testdata parquet carries TIMESTAMP(NANOS), which Spark has no type
+    # for: read as long (nanos since epoch). Set at runtime so a driver-
+    # built session without our session factory still reads every table.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # already set statically / restricted: reads still work
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
