@@ -1,0 +1,92 @@
+"""Property-based invariants (hypothesis) for the text/dedup kernels.
+
+Each example drives full Spark jobs, so example counts are small but
+the generated shapes are adversarial: unicode words, repeated tokens,
+single-word docs, duplicate texts."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from pdf_to_vectordb_etl_spark.functions.textops import txt_record
+from pdf_to_vectordb_etl_spark.operators import chunking, dedup
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+word = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+    min_size=1,
+    max_size=8,
+)
+doc_text = st.lists(word, min_size=1, max_size=30).map(" ".join)
+
+
+@given(texts=st.lists(doc_text, min_size=1, max_size=12), ans=st.sampled_from("ABCDE"))
+@SETTINGS
+def test_txt_roundtrip_chunk_recovers_every_record(spark, texts, ans):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    txt = df.select(
+        "doc_id",
+        txt_record(F.lit("2022"), F.col("text"), F.lit(ans)).alias("txt"),
+    )
+    keyed = F.struct(F.col("doc_id").alias("k"), F.col("txt").alias("t"))
+    content = txt.groupBy(F.lit(1).alias("g")).agg(
+        F.array_join(
+            F.transform(F.sort_array(F.collect_list(keyed)), lambda s: s["t"]), ""
+        ).alias("content")
+    )
+    chunks = chunking.split_chunks(content, text_col="content", key_cols=("g",))
+    rows = chunks.orderBy("chunk_index").collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        assert f"(RESPOSTA CORRETA): {ans}" in r["chunk"]
+        assert texts[r["chunk_index"]] in r["chunk"]
+
+
+@given(texts=st.lists(doc_text, min_size=2, max_size=10))
+@SETTINGS
+def test_jaccard_pairs_bounded_and_canonical(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = dedup.ngram_jaccard_pairs(df, threshold=0.01, n=2).collect()
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert 0.0 < r["jaccard"] <= 1.0
+
+
+@given(base=doc_text)
+@SETTINGS
+def test_exact_duplicate_always_found(spark, base):
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, base + " extra tail")],
+        "doc_id long, text string",
+    )
+    g = dedup.exact_duplicates(df)
+    dup = g.filter(F.col("n_copies") == 2)
+    assert dup.count() == 1 and dup.first()["canonical_id"] == 1
+
+
+@given(texts=st.lists(doc_text, min_size=2, max_size=8))
+@SETTINGS
+def test_minhash_pairs_subset_of_exact(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.5, n=2).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_dedup_pairs(df, threshold=0.5, shingle_n=2).collect()
+    }
+    assert approx <= exact  # verify step guarantees precision 1.0
