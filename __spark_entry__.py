@@ -142,6 +142,70 @@ def q_x13_txt_template(spark, sf):
     return docs.select("doc_id", txt.alias("txt"), qid.alias("ID"))
 
 
+def q_star_shipping_priority(spark, sf):
+    """Beyond-reference star-schema analytics (TPC-H Q3 class): 3-way
+    join with date predicates, grouped revenue, deterministic top-10.
+    Dim sides broadcast; lineitem never shuffles before the group-by."""
+    cust = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf, "orders").filter(F.col("o_orderdate") < "1997-01-01")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1997-01-01")
+    j = li.join(
+        F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+        li.l_orderkey == orders.o_orderkey,
+    )
+    return (
+        j.groupBy("l_orderkey", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_star_region_volume(spark, sf):
+    """Beyond-reference (TPC-H Q5 class): 6-table snowflake join —
+    region -> nation -> customer/supplier co-location -> orders ->
+    lineitem — grouped revenue per nation."""
+    region = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf, "nation")
+    cust = _t(spark, sf, "customer")
+    sup = _t(spark, sf, "supplier")
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf, "lineitem")
+    nr = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    j = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(
+            F.broadcast(nr),
+            (cust.c_nationkey == nr.n_nationkey) & (sup.s_nationkey == nr.n_nationkey),
+        )
+    )
+    return j.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+def q_json_props_extract(spark, sf):
+    """JSON field extraction from the events props column (engine JSON
+    read path; reference only ever serializes JSON, N1)."""
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select(k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def q_x7_subn_count(spark, sf):
     """X7 — substitution-count semantics (reference re.subn at
     enem_pdf_extractor.py:116-137: fewer than 5 marker fixes => the
@@ -698,6 +762,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_fingerprint": q_ta_fingerprint,
         "mm_binary_meta": q_mm_binary_meta,
         "n1_to_json": q_n1_to_json,
+        "star_shipping_priority": q_star_shipping_priority,
+        "star_region_volume": q_star_region_volume,
+        "json_props_extract": q_json_props_extract,
         "x7_subn_count": q_x7_subn_count,
         "x17_multiline_scrub": q_x17_multiline_scrub,
         "x10_segmentation": q_x10_segmentation,
@@ -959,6 +1026,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, octet_length(encode(text)) AS n_bytes,
                    sha256(text) AS digest
             FROM documents
+        """,
+        "star_shipping_priority": """
+            SELECT l_orderkey, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+              AND l.l_shipdate > TIMESTAMP '1997-01-01'
+            GROUP BY l_orderkey, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "star_region_volume": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+                         AND s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY n_name
+        """,
+        "json_props_extract": """
+            SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+                   count(*) AS n
+            FROM events GROUP BY 1
         """,
         "x7_subn_count": r"""
             SELECT doc_id,

@@ -35,6 +35,8 @@ def main() -> None:
     # headline set: one per operator family, heaviest variants included
     names = [
         "a1_groupby_agg",          # scan+agg (TPC-H Q1 class)
+        "star_shipping_priority",  # 3-way star join + top-10 (Q3 class)
+        "star_region_volume",      # 6-table snowflake join (Q5 class)
         "j2_broadcast_sentinel",   # broadcast lookup join
         "j3_range_bucket_join",    # range join
         "w1_running_sum",          # window
