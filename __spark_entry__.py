@@ -489,6 +489,14 @@ def q_dedup_embedding_cosine(spark, sf):
     return out.select("id_a", "id_b", F.round("cosine_sim", 4).alias("sim"))
 
 
+def q_dedup_clusters(spark, sf):
+    """Near-dup clustering: connected components over Jaccard>=0.5 pair
+    edges (min-label propagation), cluster id = min member id."""
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    return dedup.cluster_pairs(pairs).select("id", "cluster_id")
+
+
 def q_dedup_minhash_lsh(spark, sf):
     """MinHash(32) + LSH(8 bands) near-dup pairs, verified by exact
     Jaccard >= 0.5. xxhash64-based — no SQL oracle (rows-only check);
@@ -753,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k3_first_match": q_k3_first_match,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -947,6 +956,29 @@ def oracle_sql() -> dict[str, str]:
               FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
             SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.5
+        """,
+        "dedup_clusters": f"""
+            WITH sh AS (
+              SELECT doc_id, {_SHINGLES} AS shingles
+              FROM (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents)),
+            ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, a.doc_id, b.doc_id
+              HAVING count(*) * 1.0
+                     / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.5),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+            nodes AS (SELECT DISTINCT a AS id FROM edges),
+            reach AS (
+              WITH RECURSIVE r(id, m) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT e.a, r.m FROM edges e JOIN r ON e.b = r.id)
+              SELECT id, min(m) AS cluster_id FROM r GROUP BY id)
+            SELECT id, cluster_id FROM reach
         """,
         "dedup_embedding_cosine": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

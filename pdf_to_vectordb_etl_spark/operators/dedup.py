@@ -352,6 +352,75 @@ def simhash_duplicates(
     )
 
 
+# ------------------------------------------------ near-dup cluster + drop
+
+def cluster_pairs(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over near-dup pair edges -> (id, cluster_id)
+    with cluster_id = the component's minimum member id.
+
+    Alternating min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbours; rounds double the
+    reach, so convergence needs O(log(diameter)) rounds — dup clusters
+    are near-cliques (diameter ~2), so 2-3 rounds in practice. Each
+    round is one shuffle on id; the driver only checks a convergence
+    count. Labels persist per round to cut lineage growth.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def drop_near_duplicates(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative (the min id) per near-dup cluster; rows
+    in no cluster pass through. The anti-join ships only ids."""
+    clusters = cluster_pairs(pairs)
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 # ------------------------------------------------------- embedding near-dup
 
 def embedding_near_duplicates(

@@ -52,6 +52,32 @@ def test_simhash_identical_texts_collide(spark):
     assert dups.count() == 1 and dups.first()["n_docs"] == 2
 
 
+def test_cluster_pairs_connected_components(spark):
+    # chain 1-2-3, pair 10-11, singleton edge-less 99 (absent from pairs)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["cluster_id"] for r in dedup.cluster_pairs(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_drop_near_duplicates_keeps_canonical(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    kept = dedup.drop_near_duplicates(docs, pairs)
+    n_pairs = pairs.count()
+    assert n_pairs > 0
+    # every cluster loses size-1 rows; survivors contain all cluster minima
+    clusters = dedup.cluster_pairs(pairs)
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")).count()
+    assert kept.count() == docs.count() - losers
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    for r in clusters.collect():
+        assert (r["id"] in kept_ids) == (r["id"] == r["cluster_id"])
+
+
 def test_ivf_and_lsh_topk_recall(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(
