@@ -483,9 +483,10 @@ def q_dedup_ngram_jaccard(spark, sf):
 
 
 def q_dedup_embedding_cosine(spark, sf):
-    """Embedding near-dup pairs: cosine >= 0.45."""
+    """Embedding near-dup pairs: cosine >= 0.45 (BLAS block-matmul
+    kernel; broadcast comparison matrix, pairs never materialized)."""
     emb = _t(spark, sf, "embeddings")
-    out = dedup.embedding_near_duplicates(emb, threshold=0.45)
+    out = dedup.embedding_near_duplicates_blas(emb, threshold=0.45)
     return out.select("id_a", "id_b", F.round("cosine_sim", 4).alias("sim"))
 
 

@@ -27,10 +27,13 @@ def main() -> None:
 
     spark = get_spark(app_name="bench", master=f"local[{cpus}]")
 
-    # warm up JVM + parquet footers so the first timed query measures
-    # the query, not session startup
+    # warm up JVM + parquet footers + the Python worker pool so the
+    # first timed query measures the query, not session startup
     for t in ("lineitem", "documents", "embeddings", "events"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    spark.range(int(cpus) * 4).repartition(int(cpus)).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     # headline set: one per operator family, heaviest variants included
     names = [

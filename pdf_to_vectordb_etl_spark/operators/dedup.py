@@ -464,3 +464,59 @@ def embedding_near_duplicates(
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
+
+
+def embedding_near_duplicates_blas(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine near-dup pairs via broadcast block matrix multiply.
+
+    Same semantics as :func:`embedding_near_duplicates` exact mode, but
+    the kernel is one numpy matmul per Arrow batch instead of a per-pair
+    expression fold: the comparison matrix (ids, vectors, norms) ships
+    once per executor as a broadcast variable, each ``mapInPandas``
+    batch of the probe side computes ``A @ B.T`` and emits only the
+    above-threshold (id_a < id_b) pairs — the quadratic pair set is
+    never materialized as rows. ~100x the HOF path's throughput on
+    wide batches.
+
+    Scale contract: like any broadcast join, the comparison side must
+    fit in executor memory (float64 matrix ~ n*dim*8 bytes). Past that,
+    use the LSH mode, or shard the broadcast side and union.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    b_pdf = src.toPandas()
+    ids_b = b_pdf["id"].to_numpy()
+    mat_b = np.array([np.asarray(v, dtype=np.float64) for v in b_pdf["v"]])
+    norms_b = np.linalg.norm(mat_b, axis=1)
+    norms_b[norms_b == 0.0] = np.nan  # zero-norm => NULL sim => never passes
+    bc = spark.sparkContext.broadcast((ids_b, mat_b, norms_b))
+
+    id_sql_type = dict(df.dtypes)[id_col]
+    out_schema = f"id_a {id_sql_type}, id_b {id_sql_type}, cosine_sim double"
+
+    def gen(batches):
+        ids_all, mat, norms = bc.value
+        for pdf_a in batches:
+            if pdf_a.empty:
+                continue
+            ids_a = pdf_a["id"].to_numpy()
+            mat_a = np.array([np.asarray(v, dtype=np.float64) for v in pdf_a["v"]])
+            norms_a = np.linalg.norm(mat_a, axis=1)
+            norms_a[norms_a == 0.0] = np.nan
+            sims = (mat_a @ mat.T) / np.outer(norms_a, norms)
+            with np.errstate(invalid="ignore"):
+                mask = (sims >= threshold) & (ids_a[:, None] < ids_all[None, :])
+            ai, bi = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"id_a": ids_a[ai], "id_b": ids_all[bi], "cosine_sim": sims[ai, bi]}
+            )
+
+    return _spread(src, "id").mapInPandas(gen, out_schema)

@@ -78,6 +78,19 @@ def test_drop_near_duplicates_keeps_canonical(spark, sf_dir):
         assert (r["id"] in kept_ids) == (r["id"] == r["cluster_id"])
 
 
+def test_blas_embedding_pairs_match_hof(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    hof = {
+        (r["id_a"], r["id_b"]): round(r["cosine_sim"], 6)
+        for r in dedup.embedding_near_duplicates(emb, threshold=0.45).collect()
+    }
+    blas = {
+        (r["id_a"], r["id_b"]): round(r["cosine_sim"], 6)
+        for r in dedup.embedding_near_duplicates_blas(emb, threshold=0.45).collect()
+    }
+    assert hof == blas and len(blas) > 0
+
+
 def test_ivf_and_lsh_topk_recall(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(
