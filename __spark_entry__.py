@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pdf_to_vectordb_etl_spark.operators import (
     aggregates,
     dedup,
+    joins as joinops,
+    sampling,
     textanalysis as ta,
     topk,
 )
@@ -490,6 +492,45 @@ def q_dedup_embedding_cosine(spark, sf):
     return out.select("id_a", "id_b", F.round("cosine_sim", 4).alias("sim"))
 
 
+def q_asof_click_view(spark, sf):
+    """As-of join: each click picks up the user's most recent view at or
+    before it (merge-based, one shuffle — see joins.asof_join)."""
+    ev = _t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    out = joinops.asof_join(clicks, views, on="ts", by=["user_id"])
+    # gap at microsecond grain: DuckDB timestamps are µs, Spark carries
+    # the parquet nanos — truncate each side before differencing
+    gap_us = F.expr("(ts div 1000) - (r_ts div 1000)")
+    return out.select(
+        "user_id",
+        "click_id",
+        F.col("r_view_id").alias("view_id"),
+        gap_us.alias("gap_us"),
+    )
+
+
+def q_sample_split(spark, sf):
+    """Deterministic train/val/test split (md5 id-hash buckets) — stable
+    under any partitioning; per-(split, lang) counts."""
+    docs = _t(spark, sf, "documents")
+    out = sampling.deterministic_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.groupBy("split", "lang").agg(F.count("*").alias("n_docs"))
+
+
+def q_sample_fraction(spark, sf):
+    """Deterministic 25% corpus sample — same ids survive every run."""
+    docs = _t(spark, sf, "documents")
+    s = sampling.deterministic_sample(docs, 0.25)
+    return s.groupBy("source").agg(
+        F.count("*").alias("n"), F.min("doc_id").alias("min_id")
+    )
+
+
 def q_dedup_clusters(spark, sf):
     """Near-dup clustering: connected components over Jaccard>=0.5 pair
     edges (min-label propagation), cluster id = min member id."""
@@ -763,6 +804,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "asof_click_view": q_asof_click_view,
+        "sample_split": q_sample_split,
+        "sample_fraction": q_sample_fraction,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -957,6 +1001,29 @@ def oracle_sql() -> dict[str, str]:
               FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
             SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.5
+        """,
+        "asof_click_view": """
+            SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+                   epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
+        "sample_split": """
+            WITH b AS (
+              SELECT lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+              FROM documents)
+            SELECT CASE WHEN h < 'cccd' THEN 'train'
+                        WHEN h < 'e666' THEN 'val'
+                        ELSE 'test' END AS split,
+                   lang, count(*) AS n_docs
+            FROM b GROUP BY 1, 2
+        """,
+        "sample_fraction": """
+            SELECT source, count(*) AS n, min(doc_id) AS min_id
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+            GROUP BY source
         """,
         "dedup_clusters": f"""
             WITH sh AS (

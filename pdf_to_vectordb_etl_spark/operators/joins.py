@@ -113,3 +113,79 @@ def bucket_subjects_range_join(questions: DataFrame, dim: DataFrame) -> DataFram
         & (q["internal_num"] <= d["hi"]),
         "inner",
     ).drop("d_day", "lo", "hi")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: list[str] | None = None,
+    direction: str = "backward",
+    tolerance=None,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """As-of join: attach to each left row the nearest right row at or
+    before (``backward``) / at or after (``forward``) its ``on`` time,
+    per ``by`` key — left-outer semantics (no match => nulls).
+
+    Beyond-reference capability (time-series enrichment; the reference
+    has no temporal joins). Spark lacks a native as-of join, so this is
+    the merge-based composition: union both sides with a probe marker,
+    one window sorted by (time, marker) per key carries the last
+    non-null right payload forward, then keep probe rows. Exactly ONE
+    shuffle (the window partitioning) and no candidate-pair blowup —
+    unlike the naive range-join + groupBy-min formulation, whose
+    intermediate is O(|L| * avg matches) and collapses at scale. Ties
+    (right.ts == left.ts) match, as in pandas.merge_asof and DuckDB
+    ASOF JOIN.
+
+    Scale notes: a hot ``by`` key serializes its partition's sort —
+    acceptable for typical key cardinality; an empty ``by`` makes the
+    window global (single task) and is only for small inputs.
+    ``tolerance`` bounds the match age and requires a numeric time
+    column (e.g. epoch nanos), as subtraction must yield a comparable.
+    """
+    from pyspark.sql import Window
+
+    by = list(by or [])
+    payload_cols = [c for c in right.columns if c not in by]
+    r_struct = F.struct(*[F.col(c).alias(c) for c in payload_cols])
+    r_type = right.select(r_struct.alias("_r")).schema["_r"].dataType
+    r = right.select(
+        *by,
+        F.col(on).alias("_t"),
+        F.lit(0).alias("_probe"),
+        r_struct.alias("_r"),
+    )
+    l = left.select(
+        *left.columns,
+        F.col(on).alias("_t"),
+        F.lit(1).alias("_probe"),
+        F.lit(None).cast(r_type).alias("_r"),
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    if direction == "backward":
+        order = [F.col("_t").asc(), F.col("_probe").asc()]
+    elif direction == "forward":
+        order = [F.col("_t").desc(), F.col("_probe").asc()]
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = u.withColumn("_m", F.last("_r", ignorenulls=True).over(w)).filter(
+        F.col("_probe") == 1
+    )
+    if tolerance is not None:
+        gap = (
+            F.col("_t") - F.col("_m")[on]
+            if direction == "backward"
+            else F.col("_m")[on] - F.col("_t")
+        )
+        out = out.withColumn("_m", F.when(gap <= F.lit(tolerance), F.col("_m")))
+    for c in payload_cols:
+        out = out.withColumn(right_prefix + c, F.col("_m")[c])
+    return out.drop("_t", "_probe", "_r", "_m")

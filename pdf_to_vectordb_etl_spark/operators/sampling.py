@@ -1,0 +1,77 @@
+"""Deterministic sampling / dataset splitting for training-data curation.
+
+Beyond-reference capability: a 100 TB corpus pipeline needs
+reproducible held-out splits and down-samples — the same row must land
+in the same split on every run, on every executor, after retries, and
+when the corpus is re-partitioned. Spark's ``df.sample`` is seeded per
+partition, so it changes with partitioning; these operators instead
+bucket each row by a cryptographic hash of its id, which is stable
+under any physical layout and portable across engines (md5 hex is
+identical in Spark and DuckDB, so splits computed here are verifiable
+and re-derivable downstream).
+
+All operators are narrow (no shuffle): a scan + projection/filter that
+keeps codegen and pushes the split decision next to the read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# 4 hex chars = 65536 buckets: split boundaries resolve to ~0.0015%.
+_HEX_DIGITS = 4
+_BUCKETS = 16**_HEX_DIGITS
+
+
+def hash_bucket_hex(key: Column | str, digits: int = _HEX_DIGITS) -> Column:
+    """Uniform hex bucket label for a row key: the first ``digits`` hex
+    chars of md5(key as string). Lexicographic order on the label is
+    numeric order on the bucket, so range predicates define splits."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.substring(F.md5(c.cast("string")), 1, digits)
+
+
+def _threshold(cum: float) -> str:
+    return format(min(int(round(cum * _BUCKETS)), _BUCKETS - 1), f"0{_HEX_DIGITS}x")
+
+
+def deterministic_sample(
+    df: DataFrame, fraction: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep a stable ~``fraction`` of rows, chosen by id hash — the
+    same ids survive regardless of partitioning, ordering, or cluster
+    size (unlike ``df.sample``)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    if fraction == 1.0:
+        return df
+    return df.filter(hash_bucket_hex(id_col) < F.lit(_threshold(fraction)))
+
+
+def split_column(id_col: Column | str, weights: dict[str, float]) -> Column:
+    """Split-label column: assigns each row to one named split with
+    probability proportional to its weight, by id-hash range."""
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    bucket = hash_bucket_hex(id_col)
+    cum = 0.0
+    expr = None
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / total
+        cond = bucket < F.lit(_threshold(cum))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    return last if expr is None else expr.otherwise(last)
+
+
+def deterministic_split(
+    df: DataFrame, weights: dict[str, float], id_col: str = "doc_id"
+) -> DataFrame:
+    """Add a ``split`` column ("train"/"val"/... per ``weights``).
+
+    One pass, no shuffle; filtering a split afterwards is a pushable
+    predicate, so each split's reader scans once and prunes early.
+    """
+    return df.withColumn("split", split_column(id_col, weights))

@@ -1,0 +1,96 @@
+"""As-of join + deterministic sampling tests (beyond-reference ops)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from pdf_to_vectordb_etl_spark.operators import sampling
+from pdf_to_vectordb_etl_spark.operators.joins import asof_join
+from tests.conftest import load
+
+
+def _pairs(df):
+    return {
+        (r["k"], r["t"]): (r["r_t"], r["r_v"]) for r in df.collect()
+    }
+
+
+def test_asof_backward_tie_and_miss(spark):
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 4), (2, 7)], "k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, "a"), (1, 10, "b"), (1, 15, "c"), (3, 1, "z")],
+        "k long, t long, v string",
+    )
+    got = _pairs(asof_join(left, right, on="t", by=["k"]))
+    assert got == {
+        (1, 10): (10, "b"),  # tie matches inclusively
+        (1, 20): (15, "c"),
+        (1, 4): (None, None),  # nothing at-or-before
+        (2, 7): (None, None),  # key absent from right
+    }
+
+
+def test_asof_forward(spark):
+    left = spark.createDataFrame([(1, 10), (1, 16)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 15, "b")], "k long, t long, v string"
+    )
+    got = _pairs(asof_join(left, right, on="t", by=["k"], direction="forward"))
+    assert got == {(1, 10): (10, "a"), (1, 16): (None, None)}
+
+
+def test_asof_tolerance(spark):
+    left = spark.createDataFrame([(1, 100), (1, 200)], "k long, t long")
+    right = spark.createDataFrame([(1, 95, "a"), (1, 120, "b")], "k long, t long, v string")
+    got = _pairs(asof_join(left, right, on="t", by=["k"], tolerance=10))
+    assert got == {(1, 100): (95, "a"), (1, 200): (None, None)}
+
+
+def test_asof_matches_pandas_merge_asof(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    got = {
+        (r["user_id"], r["click_id"]): r["r_view_id"]
+        for r in asof_join(clicks, views, on="ts", by=["user_id"]).collect()
+    }
+    lp = clicks.toPandas().sort_values("ts")
+    rp = views.toPandas().sort_values("ts")
+    exp_df = pd.merge_asof(lp, rp, on="ts", by="user_id", direction="backward")
+    exp = {
+        (r.user_id, r.click_id): (None if pd.isna(r.view_id) else int(r.view_id))
+        for r in exp_df.itertuples()
+    }
+    assert got == exp and len(got) > 0
+
+
+def test_split_deterministic_disjoint_complete(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    s1 = sampling.deterministic_split(docs, w)
+    s2 = sampling.deterministic_split(docs.repartition(7, "lang"), w)
+    m1 = {r["doc_id"]: r["split"] for r in s1.select("doc_id", "split").collect()}
+    m2 = {r["doc_id"]: r["split"] for r in s2.select("doc_id", "split").collect()}
+    assert m1 == m2  # physical layout never changes assignment
+    assert len(m1) == docs.count()  # complete: every row gets one label
+    n = len(m1)
+    n_train = sum(1 for v in m1.values() if v == "train")
+    assert 0.7 <= n_train / n <= 0.9  # ~weights at fixture size
+
+
+def test_sample_subset_and_stable(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    small = {r["doc_id"] for r in sampling.deterministic_sample(docs, 0.1).collect()}
+    big = {r["doc_id"] for r in sampling.deterministic_sample(docs, 0.3).collect()}
+    assert small <= big  # nested: growing the fraction only adds rows
+    again = {r["doc_id"] for r in sampling.deterministic_sample(docs, 0.1).collect()}
+    assert small == again
+    n = docs.count()
+    assert 0.03 <= len(small) / n <= 0.2
