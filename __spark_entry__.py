@@ -531,6 +531,75 @@ def q_sample_fraction(spark, sf):
     )
 
 
+def q_sessionize_batch(spark, sf):
+    """Gap-based sessions (30-min inactivity) per user over events —
+    batch islands formulation (one shuffle; see aggregates.sessionize_gaps)."""
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("tus")
+    )
+    s = aggregates.sessionize_gaps(
+        ev, time_col="tus", by="user_id", gap=1_800_000_000,
+        order_cols=["tus", "event_id"],
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max("tus") - F.min("tus")).alias("span_us"),
+    )
+
+
+def q_stats_quantiles(spark, sf):
+    """Exact percentiles (median / p95) of event value per type —
+    linear-interpolation semantics shared with DuckDB quantile_cont."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.round(F.avg("value"), 4).alias("mean"),
+    )
+
+
+def q_rollup_revenue(spark, sf):
+    """ROLLUP aggregation over lineitem (subtotals + grand total) —
+    grouping-set surface beyond the reference's plain group-bys."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+def q_fuzzy_levenshtein(spark, sf):
+    """Fuzzy near-dup candidate pairs: same lang, |len diff| <= 20, edit
+    distance of the 40-char prefix <= 8 — blocked self-join (lang +
+    length band prunes the quadratic pair space before the O(k^2)
+    levenshtein kernel runs)."""
+    docs = _t(spark, sf, "documents")
+    d = docs.select(
+        "doc_id", "lang", "n_chars", F.substring("text", 1, 40).alias("p")
+    )
+    a = d.select(
+        F.col("doc_id").alias("id_a"), "lang",
+        F.col("n_chars").alias("ca"), F.col("p").alias("pa"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"), "lang",
+        F.col("n_chars").alias("cb"), F.col("p").alias("pb"),
+    )
+    return (
+        a.join(b, "lang")
+        .filter((F.col("id_a") < F.col("id_b")) & (F.abs(F.col("ca") - F.col("cb")) <= 20))
+        .withColumn("lev", F.levenshtein("pa", "pb"))
+        .filter(F.col("lev") <= 8)
+        .select("id_a", "id_b", "lev")
+    )
+
+
 def q_dedup_clusters(spark, sf):
     """Near-dup clustering: connected components over Jaccard>=0.5 pair
     edges (min-label propagation), cluster id = min member id."""
@@ -807,6 +876,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_click_view": q_asof_click_view,
         "sample_split": q_sample_split,
         "sample_fraction": q_sample_fraction,
+        "sessionize_batch": q_sessionize_batch,
+        "stats_quantiles": q_stats_quantiles,
+        "rollup_revenue": q_rollup_revenue,
+        "fuzzy_levenshtein": q_fuzzy_levenshtein,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -1024,6 +1097,47 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
             GROUP BY source
+        """,
+        "sessionize_batch": """
+            WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+            m AS (
+              SELECT user_id, event_id, tus,
+                     CASE WHEN lag(tus) OVER w IS NULL
+                            OR tus - lag(tus) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+            s AS (
+              SELECT user_id, tus,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM m)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   max(tus) - min(tus) AS span_us
+            FROM s GROUP BY 1, 2
+        """,
+        "stats_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.95), 4) AS p95,
+                   round(avg(value), 4) AS mean
+            FROM events GROUP BY event_type
+        """,
+        "rollup_revenue": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "fuzzy_levenshtein": """
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS lev
+            FROM documents a
+            JOIN documents b
+              ON a.lang = b.lang AND a.doc_id < b.doc_id
+             AND abs(a.n_chars - b.n_chars) <= 20
+            WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 8
         """,
         "dedup_clusters": f"""
             WITH sh AS (

@@ -101,3 +101,34 @@ def folder_parity_check(files: DataFrame) -> DataFrame:
         (F.count("*") >= 2).alias("enough"),
         (F.count("*") % 2 == 0).alias("even"),
     )
+
+
+def sessionize_gaps(
+    df: DataFrame,
+    time_col: str = "tus",
+    by: str = "user_id",
+    gap: int = 1_800_000_000,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Gap-based sessionization in batch: a new session starts when the
+    time since the previous row of the same ``by`` key exceeds ``gap``
+    (same units as ``time_col``). Adds a per-key ``session_id``
+    (1-based, in time order).
+
+    Batch twin of streaming/stateful.py's sessionizer: one window
+    (single shuffle on the key) computes lag-gap flags and their
+    running sum — the standard islands formulation, linear per key and
+    embarrassingly parallel across keys.
+    """
+    from pyspark.sql import Window
+
+    order = order_cols or [time_col]
+    w = Window.partitionBy(by).orderBy(*order)
+    prev = F.lag(time_col).over(w)
+    new_session = F.when(
+        prev.isNull() | ((F.col(time_col) - prev) > gap), 1
+    ).otherwise(0)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn("_new_s", new_session).withColumn(
+        "session_id", F.sum("_new_s").over(cum)
+    ).drop("_new_s")

@@ -71,6 +71,19 @@ def test_asof_matches_pandas_merge_asof(spark, sf_dir):
     assert got == exp and len(got) > 0
 
 
+def test_sessionize_gap_boundary(spark):
+    from pdf_to_vectordb_etl_spark.operators.aggregates import sessionize_gaps
+
+    # gaps: exactly `gap` stays in-session; gap+1 opens a new one
+    rows = [(1, 0), (1, 100), (1, 201), (2, 0)]
+    df = spark.createDataFrame(rows, "user_id long, t long")
+    got = {
+        (r["user_id"], r["t"]): r["session_id"]
+        for r in sessionize_gaps(df, time_col="t", by="user_id", gap=100).collect()
+    }
+    assert got == {(1, 0): 1, (1, 100): 1, (1, 201): 2, (2, 0): 1}
+
+
 def test_split_deterministic_disjoint_complete(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     w = {"train": 0.8, "val": 0.1, "test": 0.1}
