@@ -600,6 +600,16 @@ def q_fuzzy_levenshtein(spark, sf):
     )
 
 
+def q_bm25_search(spark, sf):
+    """BM25 top-20 keyword search (native expressions; see
+    operators/textsearch.py for the plan shape)."""
+    from pdf_to_vectordb_etl_spark.operators import textsearch
+
+    docs = _t(spark, sf, "documents")
+    out = textsearch.bm25_topk(docs, ["merge", "window", "data"], k=20)
+    return out.select(F.col("id").alias("doc_id"), "score")
+
+
 def q_dedup_clusters(spark, sf):
     """Near-dup clustering: connected components over Jaccard>=0.5 pair
     edges (min-label propagation), cluster id = min member id."""
@@ -877,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split": q_sample_split,
         "sample_fraction": q_sample_fraction,
         "sessionize_batch": q_sessionize_batch,
+        "bm25_search": q_bm25_search,
         "stats_quantiles": q_stats_quantiles,
         "rollup_revenue": q_rollup_revenue,
         "fuzzy_levenshtein": q_fuzzy_levenshtein,
@@ -1097,6 +1108,32 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
             GROUP BY source
+        """,
+        "bm25_search": """
+            WITH p AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> len(x) > 0) AS toks
+              FROM documents),
+            d AS (
+              SELECT doc_id, len(toks) AS dl,
+                     list_filter(toks, t -> t IN ('merge', 'window', 'data')) AS qt
+              FROM p),
+            t AS (SELECT doc_id, dl, unnest(qt) AS term FROM d),
+            tf AS (SELECT doc_id, term, any_value(dl) AS dl, count(*) AS tf
+                   FROM t GROUP BY 1, 2),
+            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            c AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+            s AS (
+              SELECT tf.doc_id,
+                     ln((c.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1)
+                     * (tf.tf * 2.2)
+                     / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / c.avgdl)) AS sc
+              FROM tf JOIN dft USING (term) CROSS JOIN c)
+            SELECT doc_id, round(sum(sc), 4) AS score
+            FROM s GROUP BY doc_id
+            ORDER BY round(sum(sc), 4) DESC, doc_id
+            LIMIT 20
         """,
         "sessionize_batch": """
             WITH e AS (

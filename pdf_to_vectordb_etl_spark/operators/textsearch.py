@@ -1,0 +1,99 @@
+"""BM25 keyword search over a document corpus — native expressions only.
+
+Beyond-reference capability: the reference's only search is vector kNN
+delegated to Qdrant (reference qdrant_text_loader.py:122-142); a corpus
+engine also needs lexical relevance ranking (retrieval, quality
+filtering, dedup triage). Everything here is Catalyst expressions — no
+UDFs — so scoring stays in codegen.
+
+Plan shape (and why it scales):
+- doc length is computed as ``size(tokens)`` in a projection BELOW the
+  explode and carried through as a scalar column — the token array is
+  never referenced above its own Generate (see operators/dedup.py
+  module docstring for the CollapseProject trap).
+- the query-term filter is applied to the token ARRAY before explode,
+  so the exploded row count is O(query-term occurrences), not O(corpus
+  tokens).
+- document frequencies / IDF form a per-term table of |query| rows —
+  broadcast. The only wide shuffle is the per-(doc, term) tf group-by,
+  keyed by doc id.
+- corpus-level scalars (N, avgdl) join in via a broadcast cross join of
+  a 1-row aggregate — no driver-side collect in the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def tokens(text: Column | str, *, pattern: str = _TOKEN_SPLIT) -> Column:
+    """Lowercased alphanumeric tokens of a text column (empty strings
+    from boundary splits removed)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(t), pattern), lambda x: F.length(x) > 0)
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(id, score) BM25 relevance of every matching document for a bag
+    of query terms. Standard Robertson/Okapi formulation with the +1
+    idf smoothing (always positive)."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+
+    base = docs.select(F.col(id_col).alias("id"), tokens(text_col).alias("_toks"))
+    # dl below the explode; only query-term occurrences survive into it
+    narrowed = base.select(
+        "id",
+        F.size("_toks").alias("dl"),
+        F.filter("_toks", lambda t: t.isin(*terms)).alias("_qt"),
+    )
+    corpus = narrowed.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        narrowed.select("id", "dl", F.explode("_qt").alias("term"))
+        .groupBy("id", "term")
+        .agg(F.first("dl").alias("dl"), F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1),
+        )
+        .withColumn(
+            "_s",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    return scored.groupBy("id").agg(F.sum("_s").alias("score"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Top-k BM25 hits with a deterministic tiebreak: rank on the
+    4-decimal-rounded score then id, so the boundary never depends on
+    sub-ulp float noise (stable across engines and re-runs)."""
+    s = bm25_scores(docs, query_terms, text_col, id_col, **kwargs)
+    r = s.select("id", F.round("score", 4).alias("score"))
+    return r.orderBy(F.desc("score"), F.asc("id")).limit(k)
