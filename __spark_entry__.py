@@ -600,6 +600,37 @@ def q_fuzzy_levenshtein(spark, sf):
     )
 
 
+def q_sample_stratified(spark, sf):
+    """Corpus-mix re-weighting: per-source deterministic rates (50% of
+    src0, 25% of src1, drop src2, keep the rest)."""
+    docs = _t(spark, sf, "documents")
+    s = sampling.stratified_sample(
+        docs, {"src0": 0.5, "src1": 0.25, "src2": 0.0}, default_rate=1.0
+    )
+    return s.groupBy("source").agg(F.count("*").alias("n"))
+
+
+def q_profile_documents(spark, sf):
+    """Single-pass column profile of the documents table (null counts,
+    exact cardinalities, native-typed min/max)."""
+    from pdf_to_vectordb_etl_spark.operators import profiling
+
+    docs = _t(spark, sf, "documents")
+    return profiling.profile(docs, ["doc_id", "lang", "source", "n_chars"])
+
+
+def q_approx_sketches(spark, sf):
+    """HLL distinct + KLL-style quantile sketches per event type —
+    bounded-state versions of the exact aggregates for 100 TB-scale
+    cardinalities. Approximate by design: no SQL oracle (rows-only);
+    tests pin relative error vs the exact values."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+    )
+
+
 def q_bm25_search(spark, sf):
     """BM25 top-20 keyword search (native expressions; see
     operators/textsearch.py for the plan shape)."""
@@ -888,6 +919,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_fraction": q_sample_fraction,
         "sessionize_batch": q_sessionize_batch,
         "bm25_search": q_bm25_search,
+        "sample_stratified": q_sample_stratified,
+        "profile_documents": q_profile_documents,
+        "approx_sketches": q_approx_sketches,
         "stats_quantiles": q_stats_quantiles,
         "rollup_revenue": q_rollup_revenue,
         "fuzzy_levenshtein": q_fuzzy_levenshtein,
@@ -1108,6 +1142,36 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
             GROUP BY source
+        """,
+        "sample_stratified": """
+            SELECT source, count(*) AS n
+            FROM (
+              SELECT source, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+              FROM documents)
+            WHERE h < CASE source WHEN 'src0' THEN '8000'
+                                  WHEN 'src1' THEN '4000'
+                                  WHEN 'src2' THEN '0000'
+                                  ELSE 'g' END
+            GROUP BY source
+        """,
+        "profile_documents": """
+            SELECT 'doc_id' AS column, count(*) - count(doc_id) AS n_nulls,
+                   count(DISTINCT doc_id) AS n_distinct,
+                   CAST(min(doc_id) AS VARCHAR) AS min_v,
+                   CAST(max(doc_id) AS VARCHAR) AS max_v
+            FROM documents
+            UNION ALL
+            SELECT 'lang', count(*) - count(lang), count(DISTINCT lang),
+                   CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'source', count(*) - count(source), count(DISTINCT source),
+                   CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', count(*) - count(n_chars), count(DISTINCT n_chars),
+                   CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+            FROM documents
         """,
         "bm25_search": """
             WITH p AS (

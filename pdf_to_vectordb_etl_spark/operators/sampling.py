@@ -32,7 +32,15 @@ def hash_bucket_hex(key: Column | str, digits: int = _HEX_DIGITS) -> Column:
 
 
 def _threshold(cum: float) -> str:
-    return format(min(int(round(cum * _BUCKETS)), _BUCKETS - 1), f"0{_HEX_DIGITS}x")
+    """Hex string t such that ``bucket < t`` keeps ~cum of rows.
+
+    'g' sorts after every hex digit, so a rate >= 1.0 keeps ALL rows
+    (a capped 'ffff' would silently drop the bucket == 'ffff' sliver).
+    """
+    n = int(round(cum * _BUCKETS))
+    if n >= _BUCKETS:
+        return "g"
+    return format(max(n, 0), f"0{_HEX_DIGITS}x")
 
 
 def deterministic_sample(
@@ -75,3 +83,33 @@ def deterministic_split(
     predicate, so each split's reader scans once and prunes early.
     """
     return df.withColumn("split", split_column(id_col, weights))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Per-stratum deterministic down-sampling — the corpus-mixing
+    primitive: re-weight sources of a training mix ("keep 50% of web,
+    10% of forums, all of books") in one narrow pass.
+
+    Same id-hash mechanism as :func:`deterministic_sample`, so strata
+    rates compose with global samples and stay stable under layout
+    changes; a stratum missing from ``rates`` gets ``default_rate``.
+    The rate lookup is a literal map expression — no join, no shuffle,
+    nothing leaves the scan stage.
+    """
+    for k, v in rates.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"rate for {k!r} must be in [0, 1], got {v}")
+    pairs = []
+    for k, v in rates.items():
+        pairs += [F.lit(k), F.lit(_threshold(v))]
+    mapping = F.create_map(*pairs) if pairs else F.create_map()
+    thr = F.coalesce(
+        mapping.getItem(F.col(strata_col)), F.lit(_threshold(default_rate))
+    )
+    return df.filter(hash_bucket_hex(id_col) < thr)

@@ -98,6 +98,62 @@ def test_split_deterministic_disjoint_complete(spark, sf_dir):
     assert 0.7 <= n_train / n <= 0.9  # ~weights at fixture size
 
 
+def test_stratified_sample_rates_and_composition(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    s = sampling.stratified_sample(
+        docs, {"src0": 0.5, "src2": 0.0}, default_rate=1.0
+    )
+    by_src = {r["source"]: r["n"] for r in s.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    full = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert "src2" not in by_src  # rate 0 drops the stratum entirely
+    assert by_src["src1"] == full["src1"]  # default 1.0 keeps EVERY row
+    assert 0 < by_src.get("src0", 0) < full["src0"]
+    # stratum sample is the restriction of the global sample mechanism:
+    half = {r["doc_id"] for r in sampling.deterministic_sample(docs, 0.5).collect()}
+    src0 = {r["doc_id"] for r in s.filter(F.col("source") == "src0").collect()}
+    assert src0 == {i for i in half} & {
+        r["doc_id"] for r in docs.filter(F.col("source") == "src0").collect()
+    }
+
+
+def test_profile_single_pass_values(spark):
+    from pdf_to_vectordb_etl_spark.operators import profiling
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")], "x long, s string"
+    )
+    got = {r["column"]: r for r in profiling.profile(df).collect()}
+    assert got["x"]["n_nulls"] == 1 and got["x"]["n_distinct"] == 3
+    assert got["x"]["min_v"] == "1" and got["x"]["max_v"] == "3"
+    assert got["s"]["n_nulls"] == 1 and got["s"]["n_distinct"] == 2
+    assert got["s"]["min_v"] == "a" and got["s"]["max_v"] == "b"
+
+
+def test_approx_sketches_error_bounds(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    approx = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("au"),
+            F.percentile_approx("value", 0.5, 10000).alias("p50"),
+        )
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("u"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    for t, e in exact.items():
+        assert abs(approx[t]["au"] - e["u"]) <= max(2, 0.05 * e["u"])
+        assert abs(approx[t]["p50"] - e["p50"]) <= max(0.5, 0.05 * abs(e["p50"]))
+
+
 def test_sample_subset_and_stable(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     small = {r["doc_id"] for r in sampling.deterministic_sample(docs, 0.1).collect()}
