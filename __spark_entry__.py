@@ -631,6 +631,21 @@ def q_approx_sketches(spark, sf):
     )
 
 
+def q_window_hourly(spark, sf):
+    """Event-time tumbling windows (batch form of the watermarked
+    streaming agg): hourly buckets per event type. Epoch-aligned hour
+    boundaries match DuckDB time_bucket."""
+    ev = _t(spark, sf, "events").withColumn(
+        "t", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    agg = ev.groupBy(F.window("t", "1 hour").alias("w"), "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+    return agg.select(
+        F.expr("unix_micros(w.start)").alias("ws"), "event_type", "n", "total"
+    )
+
+
 def q_bm25_search(spark, sf):
     """BM25 top-20 keyword search (native expressions; see
     operators/textsearch.py for the plan shape)."""
@@ -920,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_batch": q_sessionize_batch,
         "bm25_search": q_bm25_search,
         "sample_stratified": q_sample_stratified,
+        "window_hourly": q_window_hourly,
         "profile_documents": q_profile_documents,
         "approx_sketches": q_approx_sketches,
         "stats_quantiles": q_stats_quantiles,
@@ -1142,6 +1158,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
             GROUP BY source
+        """,
+        "window_hourly": """
+            SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS ws,
+                   event_type, count(*) AS n, round(sum(value), 2) AS total
+            FROM events GROUP BY 1, 2
         """,
         "sample_stratified": """
             SELECT source, count(*) AS n

@@ -87,3 +87,25 @@ def stream_event_counts(
             "n",
         )
     )
+
+
+def stream_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    time_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first row per key across
+    micro-batches.
+
+    With ``time_col``, state is bounded by a watermark — late
+    duplicates beyond it may re-emit, but state never grows past the
+    window (the only sane contract for an unbounded 100 TB/day
+    stream). Without it, state is unbounded (reference-scale only).
+    ``time_col`` must be a timestamp column for the watermark clock.
+    """
+    if time_col is not None:
+        return stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return stream.dropDuplicates(keys)

@@ -135,3 +135,39 @@ def test_sessionize_closes_on_gap(spark, tmp_path):
         (1, hour * 3, hour * 3 + 10, 2),
         (2, 0, 0, 1),
     }
+
+
+def test_stream_dedup_first_wins_across_batches(spark, sf_dir, tmp_path):
+    from pdf_to_vectordb_etl_spark.streaming.pipeline import stream_dedup
+
+    events = load(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    # duplicate every row so each micro-batch re-sees known keys
+    doubled = events.union(events)
+    src = str(tmp_path / "dup_src")
+    doubled.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    deduped = stream_dedup(
+        stream.withColumn("t", F.timestamp_micros(F.expr("ts div 1000"))),
+        keys=["event_id"],
+        # wide watermark: fixture files are not time-ordered, so a short
+        # watermark would misclassify later batches as late data
+        time_col="t",
+        watermark="400 days",
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("stream_dedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck_dedup"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("stream_dedup_t")
+    # every key exactly once despite 2x input across multiple batches
+    assert got.count() == events.count()
+    assert got.select("event_id").distinct().count() == events.count()
