@@ -631,6 +631,65 @@ def q_approx_sketches(spark, sf):
     )
 
 
+def q_semi_anti_orders(spark, sf):
+    """Semi/anti-join pair (TPC-H Q4 class): order-priority counts for
+    orders that DO have a high-quantity lineitem (left_semi) and, as a
+    disjoint label, those that don't (left_anti). The probe side is the
+    distinct-free semi join — no lineitem aggregation, no fact shuffle
+    beyond the join key."""
+    orders = _t(spark, sf, "orders")
+    hot = _t(spark, sf, "lineitem").filter(F.col("l_quantity") > 49)
+    semi = (
+        orders.join(hot, orders.o_orderkey == hot.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .withColumn("kind", F.lit("has_hot"))
+    )
+    anti = (
+        orders.join(hot, orders.o_orderkey == hot.l_orderkey, "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .withColumn("kind", F.lit("no_hot"))
+    )
+    return semi.unionByName(anti).select("kind", "o_orderpriority", "n")
+
+
+def q_topn_per_group(spark, sf):
+    """Top-3 orders per customer by total price — rank-limit pushdown
+    (WindowGroupLimit): each partition emits <= 3 rows before any full
+    sort materializes."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rn"
+        )
+    )
+
+
+def q_rank_functions(spark, sf):
+    """Ranking-function family over one window: dense_rank, percent_rank,
+    ntile quartiles of event values per type (value-tied rows rank
+    identically in both engines)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.dense_rank().over(w).alias("drank"),
+        F.round(F.percent_rank().over(w), 4).alias("prank"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
 def q_window_hourly(spark, sf):
     """Event-time tumbling windows (batch form of the watermarked
     streaming agg): hourly buckets per event type. Epoch-aligned hour
@@ -936,6 +995,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "sample_stratified": q_sample_stratified,
         "window_hourly": q_window_hourly,
+        "semi_anti_orders": q_semi_anti_orders,
+        "topn_per_group": q_topn_per_group,
+        "rank_functions": q_rank_functions,
         "profile_documents": q_profile_documents,
         "approx_sketches": q_approx_sketches,
         "stats_quantiles": q_stats_quantiles,
@@ -1158,6 +1220,34 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
             GROUP BY source
+        """,
+        "semi_anti_orders": """
+            SELECT 'has_hot' AS kind, o_orderpriority, count(*) AS n
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)
+            GROUP BY 2
+            UNION ALL
+            SELECT 'no_hot', o_orderpriority, count(*)
+            FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)
+            GROUP BY 2
+        """,
+        "topn_per_group": """
+            SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+            QUALIFY rn <= 3
+        """,
+        "rank_functions": """
+            SELECT event_id, event_type,
+                   dense_rank() OVER w AS drank,
+                   round(percent_rank() OVER w, 4) AS prank,
+                   ntile(4) OVER w AS quartile
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
         """,
         "window_hourly": """
             SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS ws,

@@ -65,3 +65,17 @@ def test_range_join_broadcasts_dim(spark, sf_dir):
     # tiny dim side broadcast; the nested-loop is against 3 rows only
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_topn_per_group_rank_limit_and_asof_single_exchange(spark, sf_dir):
+    plan = _plan(_q(spark, sf_dir, "topn_per_group"), "simple")
+    assert "WindowGroupLimit" in plan  # <=3 rows leave each partition
+    plan = _plan(_q(spark, sf_dir, "asof_click_view"), "simple")
+    # merge-based as-of join: exactly one shuffle + one sort
+    assert plan.count("Exchange") == 1 and plan.count("Sort") == 1
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    plan = _plan(_q(spark, sf_dir, "semi_anti_orders"), "simple")
+    # EXISTS compiles to semi/anti joins, never an aggregate+inner join
+    assert "LeftSemi" in plan and "LeftAnti" in plan
