@@ -240,9 +240,15 @@ def minhash_dedup_pairs(
     ex = _shingle_hashes(df, text_col, id_col, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sig = _signatures_from_hashes(ex, n_hashes)
-    cands = _band_candidates(sig, n_hashes, bands)
-    counts = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
+    # fold the per-doc shingle count into the signature aggregation:
+    # one groupBy over the exploded table instead of two (the count
+    # side would otherwise re-shuffle all (id, h) rows)
+    mins = [
+        F.min(F.xxhash64("h", F.lit(i))).alias(f"h{i}") for i in range(n_hashes)
+    ]
+    sig = ex.groupBy("id").agg(*mins, F.count("*").alias("n_sh"))
+    cands = _band_candidates(sig.drop("n_sh"), n_hashes, bands)
+    counts = sig.select("id", "n_sh")
     # count common shingle hashes per candidate pair
     pa = cands.join(ex.select(F.col("id").alias("id_a"), "h"), "id_a")
     common = (
