@@ -631,6 +631,19 @@ def q_approx_sketches(spark, sf):
     )
 
 
+def q_set_ops(spark, sf):
+    """Set operations (SURVEY §2.7 — none in the reference, engine
+    exposes Spark's built-ins): doc-id sets by content predicate
+    composed with INTERSECT / EXCEPT / UNION."""
+    docs = _t(spark, sf, "documents")
+    a = docs.filter(F.instr("text", "merge") > 0).select("doc_id")
+    b = docs.filter(F.instr("text", "window") > 0).select("doc_id")
+    both = a.intersect(b).withColumn("rel", F.lit("both"))
+    only_a = a.exceptAll(b).withColumn("rel", F.lit("only_merge"))
+    only_b = b.exceptAll(a).withColumn("rel", F.lit("only_window"))
+    return both.unionByName(only_a).unionByName(only_b)
+
+
 def q_semi_anti_orders(spark, sf):
     """Semi/anti-join pair (TPC-H Q4 class): order-priority counts for
     orders that DO have a high-quantity lineitem (left_semi) and, as a
@@ -996,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "window_hourly": q_window_hourly,
         "semi_anti_orders": q_semi_anti_orders,
+        "set_ops": q_set_ops,
         "topn_per_group": q_topn_per_group,
         "rank_functions": q_rank_functions,
         "profile_documents": q_profile_documents,
@@ -1220,6 +1234,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
             GROUP BY source
+        """,
+        "set_ops": """
+            WITH a AS (SELECT doc_id FROM documents WHERE instr(text, 'merge') > 0),
+                 b AS (SELECT doc_id FROM documents WHERE instr(text, 'window') > 0)
+            SELECT doc_id, 'both' AS rel FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+            UNION ALL
+            SELECT doc_id, 'only_merge' FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+            UNION ALL
+            SELECT doc_id, 'only_window' FROM (SELECT * FROM b EXCEPT ALL SELECT * FROM a)
         """,
         "semi_anti_orders": """
             SELECT 'has_hot' AS kind, o_orderpriority, count(*) AS n
