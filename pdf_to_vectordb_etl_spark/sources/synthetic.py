@@ -196,3 +196,23 @@ def expected_question_counts(years=(2022, 2023), days=("D1", "D2")) -> dict:
                     )
                     counts[(year, subject)] = counts.get((year, subject), 0) + 1
     return counts
+
+
+def synthetic_pdf_decoder(path: str, content: bytes) -> list[dict]:
+    """``sources.pdf.PageDecoder`` that serves the deterministic corpus
+    keyed by filename tokens — lets the path-based API (``api.py``) run
+    end-to-end through a real ``binaryFile`` scan + ``mapInPandas``
+    explode without PyMuPDF: a placeholder file named
+    ``{year}_{PV|GB}_impresso_{day}_{color}.pdf`` decodes to exactly the
+    pages ``corpus_df`` would generate for those tokens."""
+    import re
+
+    tail = path.rsplit("/", 1)[-1]
+    year = int(re.search(r"20\d\d", tail).group())
+    day = re.search(r"D[12]", tail).group()
+    color = re.search(r"CD\d", tail).group()
+    gen = generate_gb_pages if "GB" in tail else generate_pv_pages
+    return [
+        {k: p[k] for k in ("page_index", "page_text", "n_images", "image_names")}
+        for p in gen(year, day, color)
+    ]
