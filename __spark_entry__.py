@@ -736,6 +736,15 @@ def q_dedup_clusters(spark, sf):
     return dedup.cluster_pairs(pairs).select("id", "cluster_id")
 
 
+def q_dedup_drop(spark, sf):
+    """Canonical corpus after near-dup removal: keep the min-id member
+    of every Jaccard>=0.5 cluster plus all unclustered rows."""
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    kept = dedup.drop_near_duplicates(docs, pairs)
+    return kept.select("doc_id", "lang", "source")
+
+
 def q_dedup_minhash_lsh(spark, sf):
     """MinHash(32) + LSH(8 bands) near-dup pairs, verified by exact
     Jaccard >= 0.5. xxhash64-based — no SQL oracle (rows-only check);
@@ -1001,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_drop": q_dedup_drop,
         "asof_click_view": q_asof_click_view,
         "sample_split": q_sample_split,
         "sample_fraction": q_sample_fraction,
@@ -1396,6 +1406,31 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.a, r.m FROM edges e JOIN r ON e.b = r.id)
               SELECT id, min(m) AS cluster_id FROM r GROUP BY id)
             SELECT id, cluster_id FROM reach
+        """,
+        "dedup_drop": f"""
+            WITH sh AS (
+              SELECT doc_id, {_SHINGLES} AS shingles
+              FROM (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents)),
+            ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, a.doc_id, b.doc_id
+              HAVING count(*) * 1.0
+                     / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.5),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+            nodes AS (SELECT DISTINCT a AS id FROM edges),
+            reach AS (
+              WITH RECURSIVE r(id, m) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT e.a, r.m FROM edges e JOIN r ON e.b = r.id)
+              SELECT id, min(m) AS cluster_id FROM r GROUP BY id),
+            losers AS (SELECT id FROM reach WHERE id != cluster_id)
+            SELECT d.doc_id, d.lang, d.source
+            FROM documents d ANTI JOIN losers l ON d.doc_id = l.id
         """,
         "dedup_embedding_cosine": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -90,3 +90,39 @@ def test_minhash_pairs_subset_of_exact(spark, texts):
         for r in dedup.minhash_dedup_pairs(df, threshold=0.5, shingle_n=2).collect()
     }
     assert approx <= exact  # verify step guarantees precision 1.0
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SETTINGS
+def test_cluster_pairs_matches_union_find(spark, edges):
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["cluster_id"] for r in dedup.cluster_pairs(pairs).collect()}
+
+    # independent union-find reference
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    want = {}
+    for n in nodes:
+        root = find(n)
+        want[n] = min(m for m in nodes if find(m) == root)
+    assert got == want
