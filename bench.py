@@ -56,13 +56,20 @@ def main() -> None:
     ]
     qs = entry.queries()
     timings: dict[str, float] = {}
+    # best-of-2 per query: the box hosting local[32] is shared, and a
+    # single co-scheduled burst can triple one query's wall time; min
+    # over two runs measures the plan, not the neighbor
     for name in names:
         if name not in qs:
             continue
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            n = df.count()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
     # flagship entry() on its pinned sf

@@ -246,7 +246,11 @@ def minhash_dedup_pairs(
     mins = [
         F.min(F.xxhash64("h", F.lit(i))).alias(f"h{i}") for i in range(n_hashes)
     ]
-    sig = ex.groupBy("id").agg(*mins, F.count("*").alias("n_sh"))
+    # persisted: both the band-candidate branch and the count broadcast
+    # read it, and re-deriving means re-running the 32-hash aggregation
+    sig = ex.groupBy("id").agg(*mins, F.count("*").alias("n_sh")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cands = _band_candidates(sig.drop("n_sh"), n_hashes, bands)
     counts = sig.select("id", "n_sh")
     # count common shingle hashes per candidate pair
