@@ -52,6 +52,10 @@ def main() -> None:
         "dedup_embedding_cosine",  # embedding near-dup
         "ta_quality",              # text analysis
         "ta_langid",               # language id
+        "asof_click_view",         # merge-based as-of join
+        "sessionize_batch",        # gap sessions (islands)
+        "bm25_search",             # lexical relevance top-k
+        "sample_split",            # deterministic split + report
         "enem_questions" if "enem_questions" in entry.queries() else "ta_fingerprint",
     ]
     qs = entry.queries()
