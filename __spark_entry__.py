@@ -703,6 +703,27 @@ def q_rank_functions(spark, sf):
     )
 
 
+def q_rolling_revenue(spark, sf):
+    """RANGE-frame window: 30-day rolling order revenue per customer —
+    value-based frames (peers by day, not by row) over one key shuffle."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf, "orders")
+    # o_orderdate is TIMESTAMP_NTZ (micros): truncate to DATE (tz-free)
+    # and count days from epoch — identical truncation in DuckDB
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01")))
+    w = (
+        Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-29, 0)
+    )
+    return (
+        orders.select(
+            "o_orderkey", "o_custkey", day.alias("day"), "o_totalprice"
+        )
+        .withColumn("roll30", F.round(F.sum("o_totalprice").over(w), 2))
+        .select("o_orderkey", "o_custkey", "day", "roll30")
+    )
+
+
 def q_window_hourly(spark, sf):
     """Event-time tumbling windows (batch form of the watermarked
     streaming agg): hourly buckets per event type. Epoch-aligned hour
@@ -1018,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "sample_stratified": q_sample_stratified,
         "window_hourly": q_window_hourly,
+        "rolling_revenue": q_rolling_revenue,
         "semi_anti_orders": q_semi_anti_orders,
         "set_ops": q_set_ops,
         "topn_per_group": q_topn_per_group,
@@ -1281,6 +1303,15 @@ def oracle_sql() -> dict[str, str]:
                    ntile(4) OVER w AS quartile
             FROM events
             WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        """,
+        "rolling_revenue": """
+            SELECT o_orderkey, o_custkey,
+                   date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+                   round(sum(o_totalprice) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                     RANGE BETWEEN 29 PRECEDING AND CURRENT ROW), 2) AS roll30
+            FROM orders
         """,
         "window_hourly": """
             SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS ws,

@@ -163,3 +163,17 @@ def test_sample_subset_and_stable(spark, sf_dir):
     assert small == again
     n = docs.count()
     assert 0.03 <= len(small) / n <= 0.2
+
+
+def test_asof_empty_right_side(spark):
+    left = spark.createDataFrame([(1, 10)], "k long, t long")
+    right = spark.createDataFrame([], "k long, t long, v string")
+    got = asof_join(left, right, on="t", by=["k"]).collect()
+    assert len(got) == 1 and got[0]["r_v"] is None
+
+
+def test_bm25_absent_term_empty(spark):
+    from pdf_to_vectordb_etl_spark.operators import textsearch
+
+    docs = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    assert textsearch.bm25_scores(docs, ["zzzznope"]).count() == 0
