@@ -1005,6 +1005,90 @@ def q_mm_binary_meta(spark, sf):
     )
 
 
+def q_cube_order_matrix(spark, sf):
+    """CUBE grouping sets over orders: every (status, priority) cell plus
+    both marginals and the grand total in ONE pass — the expand-then-
+    aggregate plan shuffles once regardless of how many grouping sets
+    the cube expands to."""
+    o = _t(spark, sf, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+def q_stats_moments(spark, sf):
+    """Second-moment statistics per return flag: correlation, sample
+    covariance, stddev, population variance. All are single-pass
+    partial-aggregable kernels (Welford-style merge), so the shuffle
+    carries one accumulator per (partition, group) — no second scan,
+    no window."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+        F.round(F.stddev_samp("l_discount"), 6).alias("sd_discount"),
+        F.round(F.var_pop("l_tax"), 6).alias("var_tax"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_gapfill_locf(spark, sf):
+    """Forward-fill (LOCF): treat 'error' events as missing readings and
+    carry each user's last good value forward in time order — one
+    window shuffle on user_id (see aggregates.forward_fill)."""
+    ev = _t(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000").alias("tus"),
+        F.when(F.col("event_type") != "error", F.col("value")).alias("v"),
+    )
+    filled = aggregates.forward_fill(
+        ev, "v", by="user_id", order_cols=["tus"], out_col="vf"
+    )
+    return filled.select(
+        "user_id", "event_id", F.round("vf", 4).alias("value_filled")
+    )
+
+
+def q_interval_ship_join(spark, sf):
+    """Equi+range interval join: revenue from lines shipped within 30
+    days of their order date. The equi key (orderkey) keeps it a hash
+    join — the time range is a post-join predicate — so the plan scales
+    like any shuffle join instead of degenerating to a nested-loop
+    range join. (These date columns are micros-precision TIMESTAMP_NTZ,
+    unlike events.ts nanos — compare directly.)"""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") < F.expr("o_orderdate + INTERVAL 30 DAYS"))
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+def q_latest_per_key(spark, sf):
+    """CDC compaction: collapse the event changelog to each user's
+    latest record via max_by — a single hash aggregation with map-side
+    partial combine (the row_number-window form would shuffle every
+    version into a per-key sort; see aggregates.latest_per_key)."""
+    ev = _t(spark, sf, "events").withColumn("tus", F.expr("ts div 1000"))
+    out = aggregates.latest_per_key(
+        ev, key="user_id", order_col="tus", payload_cols=["event_type", "value"]
+    )
+    return out.select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.round("value", 4).alias("last_value"),
+        F.col("tus").alias("last_tus"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -1073,6 +1157,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_join": q_skew_salted_join,
         "skew_two_phase_count": q_skew_two_phase_count,
         "t4_stateful_totals": q_t4_stateful_totals,
+        "cube_order_matrix": q_cube_order_matrix,
+        "stats_moments": q_stats_moments,
+        "gapfill_locf": q_gapfill_locf,
+        "interval_ship_join": q_interval_ship_join,
+        "latest_per_key": q_latest_per_key,
     }
 
 
@@ -1639,6 +1728,47 @@ def oracle_sql() -> dict[str, str]:
         "t4_stateful_totals": """
             SELECT user_id, count(*) AS n_events,
                    sum(CAST(floor(value) AS BIGINT)) AS total_value
+            FROM events GROUP BY user_id
+        """,
+        "cube_order_matrix": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "stats_moments": """
+            SELECT l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+                   round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+                   round(stddev_samp(l_discount), 6) AS sd_discount,
+                   round(var_pop(l_tax), 6) AS var_tax,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "gapfill_locf": """
+            WITH m AS (
+              SELECT user_id, event_id, epoch_us(ts) AS tus,
+                     CASE WHEN event_type <> 'error' THEN value END AS v
+              FROM events)
+            SELECT user_id, event_id,
+                   round(last_value(v IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY tus
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                   AS value_filled
+            FROM m
+        """,
+        "interval_ship_join": """
+            SELECT o_orderpriority, count(*) AS n_lines,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= o_orderdate
+              AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+            GROUP BY o_orderpriority
+        """,
+        "latest_per_key": """
+            SELECT user_id,
+                   arg_max(event_type, ts) AS last_type,
+                   round(arg_max(value, ts), 4) AS last_value,
+                   epoch_us(max(ts)) AS last_tus
             FROM events GROUP BY user_id
         """,
     }

@@ -132,3 +132,57 @@ def sessionize_gaps(
     return df.withColumn("_new_s", new_session).withColumn(
         "session_id", F.sum("_new_s").over(cum)
     ).drop("_new_s")
+
+
+def forward_fill(
+    df: DataFrame,
+    value_col: str,
+    by: str,
+    order_cols: list[str],
+    out_col: str | None = None,
+) -> DataFrame:
+    """Last-observation-carried-forward (LOCF) gap fill: within each
+    ``by`` key, replace NULLs in ``value_col`` with the most recent
+    non-NULL value in ``order_cols`` order.
+
+    One window (single shuffle on the key): ``last(value, ignorenulls)``
+    over rows UNBOUNDED PRECEDING..CURRENT. Linear per key, parallel
+    across keys — the sort is per-partition-group, never global, so the
+    plan scales with key cardinality, not total rows. Rows before the
+    first observation stay NULL (no look-ahead).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(by)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        out_col or f"{value_col}_filled",
+        F.last(value_col, ignorenulls=True).over(w),
+    )
+
+
+def latest_per_key(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """CDC-style compaction: collapse each ``key`` to its most recent
+    record by ``order_col`` (changelog -> snapshot).
+
+    Uses ``max_by`` — a single aggregation with map-side partial
+    combine, so the shuffle carries one row per (partition, key) instead
+    of every version. (String payloads make the buffer non-mutable, so
+    Spark picks SortAggregate over HashAggregate — the partial-combine
+    shuffle shape, which is what matters at scale, is identical.) At
+    100 TB changelog scale this beats the row_number()-over-window
+    form, whose sort shuffles *all* versions;
+    ties on ``order_col`` are nondeterministic — pre-combine a tiebreak
+    column into ``order_col`` (e.g. struct/packed long) if ties exist.
+    """
+    aggs = [F.max_by(c, order_col).alias(c) for c in payload_cols]
+    aggs.append(F.max(order_col).alias(order_col))
+    return df.groupBy(key).agg(*aggs)

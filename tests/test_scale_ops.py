@@ -166,3 +166,45 @@ def test_assign_ids_modes(spark, sf_dir):
                                order_cols=("ID",))
     ids = sorted(r["id"] for r in seq.collect())
     assert ids == list(range(167, 187))  # reference count-continuation (W3)
+
+
+def test_forward_fill_carries_last_non_null(spark):
+    from pdf_to_vectordb_etl_spark.operators import aggregates
+
+    rows = [
+        # key a: null before first obs stays null; gaps carry forward
+        ("a", 1, None), ("a", 2, 10.0), ("a", 3, None), ("a", 4, None),
+        ("a", 5, 20.0), ("a", 6, None),
+        # key b: independent state
+        ("b", 1, 5.0), ("b", 2, None),
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    out = aggregates.forward_fill(df, "v", by="k", order_cols=["t"], out_col="vf")
+    got = {(r["k"], r["t"]): r["vf"] for r in out.collect()}
+    assert got == {
+        ("a", 1): None, ("a", 2): 10.0, ("a", 3): 10.0, ("a", 4): 10.0,
+        ("a", 5): 20.0, ("a", 6): 20.0, ("b", 1): 5.0, ("b", 2): 5.0,
+    }
+
+
+def test_latest_per_key_matches_window_form(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from pdf_to_vectordb_etl_spark.operators import aggregates
+
+    ev = load(spark, sf_dir, "events").withColumn("tus", F.expr("ts div 1000"))
+    compact = aggregates.latest_per_key(
+        ev, key="user_id", order_col="tus", payload_cols=["event_type", "value"]
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("tus"))
+    windowed = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "value", "tus")
+    )
+    assert sorted(compact.collect()) == sorted(windowed.collect())
+    # compaction is one aggregation (no Window), partially combined
+    # map-side so the shuffle carries one row per (partition, key)
+    plan = compact._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert plan.count("Aggregate") >= 2  # partial + final phases
