@@ -1089,6 +1089,55 @@ def q_latest_per_key(spark, sf):
     )
 
 
+def q_t5_stream_join(spark, sf):
+    """T5 — stream-stream interval join (conversion attribution): every
+    purchase within 1 h after a same-user view, joined across
+    availableNow micro-batches with watermark-bounded state; summarized
+    per user so the result is compact and order-free."""
+    import tempfile
+
+    from pdf_to_vectordb_etl_spark.streaming.pipeline import stream_interval_join
+
+    batch = _t(spark, sf, "events")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    pairs = stream_interval_join(stream, within="1 hour", watermark="100 days")
+    name = "t5_stream_join_result"
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t5ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min("lag_s").alias("min_lag_s"),
+            F.max("lag_s").alias("max_lag_s"),
+        )
+    )
+
+
+def q_centroids_ivf_train(spark, sf):
+    """IVF training step: per-label centroid of the embedding column.
+    posexplode to (label, dim, x) rows — explode ONCE, then one hash
+    aggregation (map-side combined); no UDFs, no driver-side matrix."""
+    emb = _t(spark, sf, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+    return ex.groupBy("label", "dim").agg(
+        F.round(F.avg("x"), 6).alias("centroid"),
+        F.count("*").alias("n_vecs"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -1162,6 +1211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_locf": q_gapfill_locf,
         "interval_ship_join": q_interval_ship_join,
         "latest_per_key": q_latest_per_key,
+        "t5_stream_join": q_t5_stream_join,
+        "centroids_ivf_train": q_centroids_ivf_train,
     }
 
 
@@ -1770,5 +1821,32 @@ def oracle_sql() -> dict[str, str]:
                    round(arg_max(value, ts), 4) AS last_value,
                    epoch_us(max(ts)) AS last_tus
             FROM events GROUP BY user_id
+        """,
+        "t5_stream_join": """
+            WITH v AS (
+              SELECT user_id, event_id, ts FROM events
+              WHERE event_type = 'view'),
+            p AS (
+              SELECT user_id, event_id, ts FROM events
+              WHERE event_type = 'purchase'),
+            pairs AS (
+              SELECT v.user_id,
+                     (epoch_us(p.ts) // 1000000)
+                     - (epoch_us(v.ts) // 1000000) AS lag_s
+              FROM v JOIN p ON v.user_id = p.user_id
+               AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR)
+            SELECT user_id, count(*) AS n_pairs,
+                   min(lag_s) AS min_lag_s, max(lag_s) AS max_lag_s
+            FROM pairs GROUP BY user_id
+        """,
+        "centroids_ivf_train": """
+            WITH ex AS (
+              SELECT label,
+                     unnest(range(len(embedding))) AS dim,
+                     unnest(embedding) AS x
+              FROM embeddings)
+            SELECT label, dim, round(avg(x), 6) AS centroid,
+                   count(*) AS n_vecs
+            FROM ex GROUP BY label, dim
         """,
     }

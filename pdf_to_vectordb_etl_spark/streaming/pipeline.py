@@ -109,3 +109,59 @@ def stream_dedup(
             keys
         )
     return stream.dropDuplicates(keys)
+
+
+def stream_interval_join(
+    events_stream: DataFrame,
+    key: str = "user_id",
+    left_type: str = "view",
+    right_type: str = "purchase",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Beyond-reference: stream-stream inner join with interval bounds —
+    conversion attribution (every ``right_type`` event within ``within``
+    after a same-key ``left_type`` event).
+
+    Both sides carry a watermark and the join condition bounds
+    event-time on both sides, so Spark can expire join state: per key
+    it retains only rows younger than watermark+interval instead of
+    the whole history — the difference between bounded state and OOM on
+    an unbounded stream. Emits in append mode once the watermark passes
+    the interval's upper bound.
+    """
+    ev = events_stream.withColumn(
+        "_event_time", (F.col(ts_col) / F.lit(1_000_000_000)).cast("timestamp")
+    )
+    left = (
+        ev.filter(F.col("event_type") == left_type)
+        .select(
+            F.col(key).alias("l_key"),
+            F.col("event_id").alias("left_id"),
+            F.col("_event_time").alias("left_time"),
+        )
+        .withWatermark("left_time", watermark)
+    )
+    right = (
+        ev.filter(F.col("event_type") == right_type)
+        .select(
+            F.col(key).alias("r_key"),
+            F.col("event_id").alias("right_id"),
+            F.col("_event_time").alias("right_time"),
+        )
+        .withWatermark("right_time", watermark)
+    )
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("right_time") >= F.col("left_time"))
+        & (F.col("right_time") <= F.col("left_time") + F.expr(f"INTERVAL {within}"))
+    )
+    return left.join(right, cond, "inner").select(
+        F.col("l_key").alias(key),
+        "left_id",
+        "right_id",
+        (
+            F.col("right_time").cast("long") - F.col("left_time").cast("long")
+        ).alias("lag_s"),
+    )

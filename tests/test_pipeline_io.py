@@ -243,3 +243,49 @@ def test_multimodal_plumbing(spark, sf_dir):
 
     with pytest.raises(Exception):
         multimodal.decode_media(media).collect()  # real kernel gated
+
+
+def test_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join (availableNow) must reproduce the
+    batch join exactly — same pairs, same lags."""
+    from pdf_to_vectordb_etl_spark.streaming.pipeline import stream_interval_join
+
+    events = load(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    pairs = stream_interval_join(stream, within="1 hour", watermark="100 days")
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName("t5_pairs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "t5ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.table("t5_pairs").collect())
+
+    ev = events.withColumn("t", (F.col("ts") / F.lit(1_000_000_000)).cast("timestamp"))
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("vid"), F.col("t").alias("vt")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u2"), F.col("event_id").alias("pid"), F.col("t").alias("pt")
+    )
+    batch_pairs = (
+        v.join(
+            p,
+            (F.col("u") == F.col("u2"))
+            & (F.col("pt") >= F.col("vt"))
+            & (F.col("pt") <= F.col("vt") + F.expr("INTERVAL 1 hour")),
+        )
+        .select(
+            "u", "vid", "pid",
+            (F.col("pt").cast("long") - F.col("vt").cast("long")).alias("lag"),
+        )
+    )
+    want = sorted(tuple(r) for r in batch_pairs.collect())
+    assert got == want and len(got) > 0
