@@ -1138,6 +1138,43 @@ def q_centroids_ivf_train(spark, sf):
     )
 
 
+def q_ta_top_terms(spark, sf):
+    """Corpus vocabulary heavy-hitters: top-20 whitespace tokens by
+    frequency. explode-once -> hash agg (map-side combined) ->
+    TakeOrderedAndProject (the limit rides the sort, nothing global
+    materializes). Tiebreak on token makes the cut a total order so
+    the boundary is engine-stable."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"))
+    return (
+        toks.filter(F.length("tok") > 0)
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(20)
+    )
+
+
+def q_ta_pii_scrub(spark, sf):
+    """Training-data hygiene: redact emails / IPs / phone-shaped tokens
+    (deterministically salted into the text so the kernel is exercised
+    on every row) — pure JVM regexp chain, no UDF; verified by digest
+    + per-row hit count."""
+    docs = _t(spark, sf, "documents")
+    salted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(ta.redact_pii(salted)).alias("scrubbed_md5"),
+        ta.pii_hit_count(salted).alias("n_pii"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -1213,6 +1250,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_per_key": q_latest_per_key,
         "t5_stream_join": q_t5_stream_join,
         "centroids_ivf_train": q_centroids_ivf_train,
+        "ta_top_terms": q_ta_top_terms,
+        "ta_pii_scrub": q_ta_pii_scrub,
     }
 
 
@@ -1848,5 +1887,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, dim, round(avg(x), 6) AS centroid,
                    count(*) AS n_vecs
             FROM ex GROUP BY label, dim
+        """,
+        "ta_top_terms": """
+            WITH toks AS (
+              SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+              FROM documents)
+            SELECT tok, count(*) AS n FROM toks
+            WHERE length(tok) > 0
+            GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+        """,
+        "ta_pii_scrub": """
+            WITH s AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com or 10.0.0.'
+                          || CAST(doc_id % 256 AS VARCHAR) AS t
+              FROM documents)
+            SELECT doc_id,
+                   md5(regexp_replace(regexp_replace(regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+                       '\\+?\\b(?:\\d{1,3}[-. ])?\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}\\b', '<PHONE>', 'g'))
+                   AS scrubbed_md5,
+                   len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                   + len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                   + len(regexp_extract_all(t, '\\+?\\b(?:\\d{1,3}[-. ])?\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}\\b'))
+                   AS n_pii
+            FROM s
         """,
     }
