@@ -1175,6 +1175,28 @@ def q_ta_pii_scrub(spark, sf):
     )
 
 
+def q_ivf_assign_cosine(spark, sf):
+    """IVF assignment step (E-step), oracle-verified: build per-label
+    mean centroids (portable, unlike the xxhash64-sampled quantizer of
+    k1_topk_ivf), then route every vector to its nearest centroid by
+    cosine via topk.ivf_assign — broadcast centroid table, one window
+    per row-key, label tiebreak."""
+    emb = _t(spark, sf, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+    cd = ex.groupBy("label", "dim").agg(F.avg("x").alias("c"))
+    cent = (
+        cd.groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("list_id"), "centroid")
+    )
+    assigned = topk.ivf_assign(emb.select("vec_id", "embedding"), cent, 1, "embedding")
+    return assigned.select("vec_id", F.col("list_id").alias("best_label"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -1252,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroids_ivf_train": q_centroids_ivf_train,
         "ta_top_terms": q_ta_top_terms,
         "ta_pii_scrub": q_ta_pii_scrub,
+        "ivf_assign_cosine": q_ivf_assign_cosine,
     }
 
 
@@ -1914,5 +1937,23 @@ def oracle_sql() -> dict[str, str]:
                    + len(regexp_extract_all(t, '\\+?\\b(?:\\d{1,3}[-. ])?\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}\\b'))
                    AS n_pii
             FROM s
+        """,
+        "ivf_assign_cosine": """
+            WITH ex AS (
+              SELECT label, unnest(range(len(embedding))) AS dim,
+                     unnest(embedding) AS x
+              FROM embeddings),
+            cd AS (SELECT label, dim, avg(x) AS c FROM ex GROUP BY label, dim),
+            cent AS (SELECT label AS list_id, list(c ORDER BY dim) AS centroid
+                     FROM cd GROUP BY label),
+            sims AS (
+              SELECT e.vec_id, c.list_id,
+                     list_cosine_similarity(e.embedding, c.centroid) AS cs
+              FROM embeddings e CROSS JOIN cent c),
+            r AS (SELECT vec_id, list_id,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY cs DESC, list_id) AS rn
+                  FROM sims)
+            SELECT vec_id, list_id AS best_label FROM r WHERE rn = 1
         """,
     }

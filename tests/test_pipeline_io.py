@@ -289,3 +289,39 @@ def test_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     )
     want = sorted(tuple(r) for r in batch_pairs.collect())
     assert got == want and len(got) > 0
+
+
+def test_compact_parquet_reduces_files_and_clusters(spark, sf_dir, tmp_path):
+    """Compaction must preserve rows, cut file count, and (with
+    sort_cols) give files disjoint key ranges for min/max pruning."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    events = load(spark, sf_dir, "events")
+    frag = str(tmp_path / "frag")
+    events.repartition(40).write.parquet(frag)
+    assert len(g.glob(f"{frag}/part-*.parquet")) == 40
+
+    dest = str(tmp_path / "compacted")
+    sinks.compact_parquet(
+        spark, frag, dest, target_file_bytes=256 << 10, sort_cols=("user_id",)
+    )
+    files = g.glob(f"{dest}/part-*.parquet")
+    assert 1 <= len(files) < 40
+    got = spark.read.parquet(dest)
+    assert got.count() == events.count()
+    assert sorted(r["event_id"] for r in got.collect()) == sorted(
+        r["event_id"] for r in events.collect()
+    )
+    # range-partitioned: per-file user_id [min,max] intervals are disjoint
+    spans = []
+    for f in files:
+        md = pq.read_metadata(f)
+        idx = md.schema.names.index("user_id")
+        lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+        spans.append((lo, hi))
+    spans.sort()
+    for (alo, ahi), (blo, bhi) in zip(spans, spans[1:]):
+        assert ahi <= blo
