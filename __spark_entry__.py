@@ -1197,6 +1197,48 @@ def q_ivf_assign_cosine(spark, sf):
     return assigned.select("vec_id", F.col("list_id").alias("best_label"))
 
 
+def q_ta_bigram_lm(spark, sf):
+    """Corpus-trained bigram LM score per document (mean ln P(w2|w1)) —
+    learned-model quality signal; see textanalysis.bigram_logprob_scores
+    for the explode-once / broadcast-model plan shape."""
+    docs = _t(spark, sf, "documents")
+    return ta.bigram_logprob_scores(docs)
+
+
+def q_t6_stream_enrich(spark, sf):
+    """T6 — stream-static enrichment: the event stream broadcast-joined
+    per micro-batch against the static customer dim (no watermark, no
+    join state — the static side is just a broadcast hash table),
+    aggregated per market segment."""
+    import tempfile
+
+    batch = _t(spark, sf, "events")
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    enriched = stream.join(
+        F.broadcast(cust), stream["user_id"] == cust["c_custkey"], "inner"
+    )
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    name = "t6_stream_enrich_result"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t6ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -1275,6 +1317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_top_terms": q_ta_top_terms,
         "ta_pii_scrub": q_ta_pii_scrub,
         "ivf_assign_cosine": q_ivf_assign_cosine,
+        "ta_bigram_lm": q_ta_bigram_lm,
+        "t6_stream_enrich": q_t6_stream_enrich,
     }
 
 
@@ -1955,5 +1999,33 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY cs DESC, list_id) AS rn
                   FROM sims)
             SELECT vec_id, list_id AS best_label FROM r WHERE rn = 1
+        """,
+        "ta_bigram_lm": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '\s+')) AS tok,
+                     unnest(range(len(string_split_regex(lower(text), '\s+')))) AS pos
+              FROM documents),
+            t2 AS (SELECT * FROM toks WHERE tok <> ''),
+            big AS (
+              SELECT doc_id, tok AS w1,
+                     lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+              FROM t2),
+            b2 AS (SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL),
+            bc AS (SELECT w1, w2, count(*) AS c12 FROM b2 GROUP BY w1, w2),
+            uc AS (SELECT w1, count(*) AS c1 FROM b2 GROUP BY w1),
+            probs AS (
+              SELECT bc.w1, bc.w2, ln(CAST(c12 AS DOUBLE) / c1) AS lp
+              FROM bc JOIN uc ON bc.w1 = uc.w1)
+            SELECT b2.doc_id, round(avg(lp), 4) AS lm_score,
+                   count(*) AS n_bigrams
+            FROM b2 JOIN probs ON b2.w1 = probs.w1 AND b2.w2 = probs.w2
+            GROUP BY b2.doc_id
+        """,
+        "t6_stream_enrich": """
+            SELECT c_mktsegment, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY c_mktsegment
         """,
     }

@@ -159,3 +159,42 @@ def pii_hit_count(text: Column | str) -> Column:
     for pat, _ in PII_PATTERNS:
         n = n + F.regexp_count(t, F.lit(pat))
     return n
+
+
+def bigram_logprob_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-trained bigram language-model score per document:
+    mean ln P(w2|w1) over the doc's bigrams, with P estimated from the
+    corpus itself (every observed bigram has count >= 1, so no
+    smoothing is needed and the score is exact).
+
+    Tokenize -> explode ONCE -> lead() window per doc for adjacency ->
+    two hash aggs (bigram and unigram counts) -> broadcast the prob
+    table back onto the bigram stream. The model table is vocab-sized
+    (<< corpus), so the scoring join is shuffle-free on the data side;
+    at 100 TB the same shape holds as long as the bigram vocabulary
+    fits an executor (cap it with a min-count filter if not)."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.withColumn("w2", F.lead("tok").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.col("tok").alias("w1"), "w2")
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uc = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    probs = bc.join(uc, "w1").select(
+        "w1", "w2", F.log(F.col("c12") / F.col("c1")).alias("lp")
+    )
+    return (
+        big.join(F.broadcast(probs), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg("lp"), 4).alias("lm_score"),
+            F.count("*").alias("n_bigrams"),
+        )
+    )
