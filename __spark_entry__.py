@@ -1239,6 +1239,24 @@ def q_t6_stream_enrich(spark, sf):
     return spark.table(name)
 
 
+def q_snapshot_diff(spark, sf):
+    """CDC snapshot reconciliation: two synthetic versions of the events
+    table (deterministic row drops + value edits) diffed into an
+    added/removed/changed changelog — one full-outer shuffle, output
+    O(churn). See operators/cdc.snapshot_diff."""
+    from pdf_to_vectordb_etl_spark.operators import cdc
+
+    ev = _t(spark, sf, "events").select("event_id", "event_type", "value")
+    old = ev.filter(F.col("event_id") % 11 != 0)
+    new = ev.filter(F.col("event_id") % 13 != 0).withColumn(
+        "value",
+        F.when(F.col("event_id") % 5 == 0, F.col("value") + 1).otherwise(
+            F.col("value")
+        ),
+    )
+    return cdc.snapshot_diff(old, new, ["event_id"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -1319,6 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign_cosine": q_ivf_assign_cosine,
         "ta_bigram_lm": q_ta_bigram_lm,
         "t6_stream_enrich": q_t6_stream_enrich,
+        "snapshot_diff": q_snapshot_diff,
     }
 
 
@@ -2027,5 +2046,25 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS sum_value
             FROM events JOIN customer ON user_id = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "snapshot_diff": """
+            WITH o AS (
+              SELECT event_id, event_type, value FROM events
+              WHERE event_id % 11 <> 0),
+            n AS (
+              SELECT event_id, event_type,
+                     CASE WHEN event_id % 5 = 0 THEN value + 1
+                          ELSE value END AS value
+              FROM events WHERE event_id % 13 <> 0),
+            d AS (
+              SELECT coalesce(o.event_id, n.event_id) AS event_id,
+                     CASE WHEN o.event_id IS NULL THEN 'added'
+                          WHEN n.event_id IS NULL THEN 'removed'
+                          WHEN o.event_type IS DISTINCT FROM n.event_type
+                            OR o.value IS DISTINCT FROM n.value THEN 'changed'
+                          ELSE 'unchanged' END AS change_type
+              FROM o FULL OUTER JOIN n ON o.event_id = n.event_id)
+            SELECT event_id, change_type FROM d
+            WHERE change_type <> 'unchanged'
         """,
     }

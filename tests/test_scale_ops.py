@@ -208,3 +208,21 @@ def test_latest_per_key_matches_window_form(spark, sf_dir):
     plan = compact._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert plan.count("Aggregate") >= 2  # partial + final phases
+
+
+def test_snapshot_diff_classifies_and_handles_nulls(spark):
+    from pdf_to_vectordb_etl_spark.operators import cdc
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, None, 2.0), (3, "c", None), (4, "d", 4.0)],
+        "k int, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, None, 2.0), (3, "c", 3.0), (4, "d2", 4.0), (5, "e", 5.0)],
+        "k int, s string, v double",
+    )
+    got = {r["k"]: r["change_type"] for r in cdc.snapshot_diff(old, new, ["k"]).collect()}
+    # 2 is unchanged (NULL field compares equal null-safely) -> dropped
+    assert got == {1: "removed", 3: "changed", 4: "changed", 5: "added"}
+    kept = cdc.snapshot_diff(old, new, ["k"], keep_unchanged=True)
+    assert {r["k"]: r["change_type"] for r in kept.collect()}[2] == "unchanged"
