@@ -1257,6 +1257,35 @@ def q_snapshot_diff(spark, sf):
     return cdc.snapshot_diff(old, new, ["event_id"])
 
 
+def q_window_sliding(spark, sf):
+    """Sliding event-time windows (2 h length, 1 h slide): each event
+    lands in exactly two windows. Spark's window() generates both
+    assignments in one projection (no self-union, no double scan);
+    epoch-aligned starts keep the oracle's two-shifted-buckets twin
+    exact."""
+    ev = _t(spark, sf, "events").withColumn(
+        "t", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    agg = ev.groupBy(F.window("t", "2 hours", "1 hour").alias("w")).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+    return agg.select(F.expr("unix_micros(w.start)").alias("ws"), "n", "total")
+
+
+def q_histogram_price(spark, sf):
+    """Equi-width histogram of order totals (12 x 50k bins, top bin
+    clamps the tail): one narrow projection + one hash agg — the
+    whole histogram is a single pass regardless of bin count."""
+    o = _t(spark, sf, "orders")
+    width = 50000.0
+    b = F.least(F.lit(11), F.floor(F.col("o_totalprice") / width)).cast("int")
+    return o.groupBy(b.alias("bin")).agg(
+        F.count("*").alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo_val"),
+        F.round(F.max("o_totalprice"), 2).alias("hi_val"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -1338,6 +1367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_bigram_lm": q_ta_bigram_lm,
         "t6_stream_enrich": q_t6_stream_enrich,
         "snapshot_diff": q_snapshot_diff,
+        "window_sliding": q_window_sliding,
+        "histogram_price": q_histogram_price,
     }
 
 
@@ -2066,5 +2097,24 @@ def oracle_sql() -> dict[str, str]:
               FROM o FULL OUTER JOIN n ON o.event_id = n.event_id)
             SELECT event_id, change_type FROM d
             WHERE change_type <> 'unchanged'
+        """,
+        "window_sliding": """
+            WITH m AS (
+              SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS b, value
+              FROM events),
+            w AS (
+              SELECT b AS ws, value FROM m
+              UNION ALL
+              SELECT b - 3600000000 AS ws, value FROM m)
+            SELECT ws, count(*) AS n, round(sum(value), 2) AS total
+            FROM w GROUP BY ws
+        """,
+        "histogram_price": """
+            SELECT least(11, CAST(floor(o_totalprice / CAST(50000 AS DOUBLE))
+                                  AS INT)) AS bin,
+                   count(*) AS n,
+                   round(min(o_totalprice), 2) AS lo_val,
+                   round(max(o_totalprice), 2) AS hi_val
+            FROM orders GROUP BY bin
         """,
     }
