@@ -44,3 +44,19 @@ def test_redact_pii_is_native_expression(spark):
         .toString()
     )
     assert "Python" not in plan
+
+
+def test_bigram_logprob_hand_computed(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a c"), (3, "a b c")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["lm_score"], r["n_bigrams"])
+        for r in ta.bigram_logprob_scores(df).collect()
+    }
+    # corpus: c(a,b)=2 c(a,c)=1 c(b,c)=1; c1(a)=3 c1(b)=1
+    assert out[1] == (round(math.log(2 / 3), 4), 1)
+    assert out[2] == (round(math.log(1 / 3), 4), 1)
+    assert out[3] == (round((math.log(2 / 3) + 0.0) / 2, 4), 2)
