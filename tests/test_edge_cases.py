@@ -71,3 +71,29 @@ def test_embedder_on_null_and_empty(spark):
     vals = {r["doc_id"]: r["v"] for r in out}
     assert vals[1] is None  # null text -> null embedding
     assert len(vals[2]) == 8  # empty text embeds deterministically
+
+
+def test_snapshot_diff_identity_empty_and_directions(spark, sf_dir):
+    from pdf_to_vectordb_etl_spark.operators import cdc
+    from tests.conftest import load
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value").limit(200)
+    # diff(x, x) is empty
+    assert cdc.snapshot_diff(ev, ev, ["event_id"]).count() == 0
+    empty = ev.filter("1 = 0")
+    added = cdc.snapshot_diff(empty, ev, ["event_id"]).collect()
+    assert len(added) == 200 and {r["change_type"] for r in added} == {"added"}
+    removed = cdc.snapshot_diff(ev, empty, ["event_id"]).collect()
+    assert len(removed) == 200 and {r["change_type"] for r in removed} == {"removed"}
+
+
+def test_forward_fill_idempotent(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_to_vectordb_etl_spark.operators import aggregates
+
+    rows = [("a", 1, None), ("a", 2, 1.5), ("a", 3, None), ("b", 1, None)]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    once = aggregates.forward_fill(df, "v", by="k", order_cols=["t"], out_col="vf")
+    twice = aggregates.forward_fill(once, "vf", by="k", order_cols=["t"], out_col="vf2")
+    assert twice.filter(~F.col("vf").eqNullSafe(F.col("vf2"))).count() == 0
