@@ -1286,6 +1286,46 @@ def q_histogram_price(spark, sf):
     )
 
 
+def q_share_of_total(spark, sf):
+    """Percent-of-total analytics: each market segment's share of
+    revenue — aggregate FIRST (5 rows), then a window over the tiny
+    aggregate; the ratio never touches row-grain data."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    seg = (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+               o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    from pyspark.sql import Window
+
+    total = F.sum("rev").over(Window.partitionBy())
+    return seg.select(
+        "c_mktsegment",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") / total, 6).alias("share"),
+    )
+
+
+def q_yoy_growth(spark, sf):
+    """Year-over-year growth of order revenue: aggregate per year, then
+    lag() on the 8-row series — the classic two-level plan (big agg,
+    tiny window)."""
+    o = _t(spark, sf, "orders")
+    yearly = o.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    from pyspark.sql import Window
+
+    prev = F.lag("rev").over(Window.orderBy("yr"))
+    return yearly.select(
+        "yr",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") / prev - 1, 6).alias("yoy"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -1369,6 +1409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "window_sliding": q_window_sliding,
         "histogram_price": q_histogram_price,
+        "share_of_total": q_share_of_total,
+        "yoy_growth": q_yoy_growth,
     }
 
 
@@ -2116,5 +2158,22 @@ def oracle_sql() -> dict[str, str]:
                    round(min(o_totalprice), 2) AS lo_val,
                    round(max(o_totalprice), 2) AS hi_val
             FROM orders GROUP BY bin
+        """,
+        "share_of_total": """
+            WITH seg AS (
+              SELECT c_mktsegment, sum(o_totalprice) AS rev
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY c_mktsegment)
+            SELECT c_mktsegment, round(rev, 2) AS revenue,
+                   round(rev / sum(rev) OVER (), 6) AS share
+            FROM seg
+        """,
+        "yoy_growth": """
+            WITH yearly AS (
+              SELECT year(o_orderdate) AS yr, sum(o_totalprice) AS rev
+              FROM orders GROUP BY yr)
+            SELECT yr, round(rev, 2) AS revenue,
+                   round(rev / lag(rev) OVER (ORDER BY yr) - 1, 6) AS yoy
+            FROM yearly
         """,
     }
