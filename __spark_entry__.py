@@ -1326,6 +1326,23 @@ def q_yoy_growth(spark, sf):
     )
 
 
+def q_funnel_conditional_agg(spark, sf):
+    """Conditional aggregation (FILTER-clause class): per-user funnel
+    metrics — views, purchases, conversion ratio — as count_if columns
+    in ONE pass; the pivot-free way to widen metrics without extra
+    scans or shuffles."""
+    ev = _t(spark, sf, "events")
+    n_view = F.count_if(F.col("event_type") == "view")
+    n_buy = F.count_if(F.col("event_type") == "purchase")
+    return ev.groupBy("user_id").agg(
+        n_view.alias("n_views"),
+        n_buy.alias("n_purchases"),
+        F.round(
+            F.when(n_view > 0, n_buy / n_view).otherwise(F.lit(None)), 6
+        ).alias("conversion"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -1411,6 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_price": q_histogram_price,
         "share_of_total": q_share_of_total,
         "yoy_growth": q_yoy_growth,
+        "funnel_conditional_agg": q_funnel_conditional_agg,
     }
 
 
@@ -2175,5 +2193,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT yr, round(rev, 2) AS revenue,
                    round(rev / lag(rev) OVER (ORDER BY yr) - 1, 6) AS yoy
             FROM yearly
+        """,
+        "funnel_conditional_agg": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'view') AS n_views,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchases,
+                   round(CASE WHEN count(*) FILTER (event_type = 'view') > 0
+                         THEN count(*) FILTER (event_type = 'purchase')
+                              / CAST(count(*) FILTER (event_type = 'view') AS DOUBLE)
+                         END, 6) AS conversion
+            FROM events GROUP BY user_id
         """,
     }

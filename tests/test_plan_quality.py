@@ -79,3 +79,26 @@ def test_semi_join_stays_semi(spark, sf_dir):
     plan = _plan(_q(spark, sf_dir, "semi_anti_orders"), "simple")
     # EXISTS compiles to semi/anti joins, never an aggregate+inner join
     assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_interval_join_stays_hash_join(spark, sf_dir):
+    plan = _plan(_q(spark, sf_dir, "interval_ship_join"), "simple")
+    # equi key carries the join; the time range must be a residual
+    # predicate on a hash join, never a nested-loop range join
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_top_terms_uses_take_ordered(spark, sf_dir):
+    plan = _plan(_q(spark, sf_dir, "ta_top_terms"), "simple")
+    # limit rides the sort: per-partition top-20 merged on the driver,
+    # no global sort of the vocabulary
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_aggregate_first_window_queries(spark, sf_dir):
+    for name in ["share_of_total", "yoy_growth"]:
+        plan = _plan(_q(spark, sf_dir, name), "simple")
+        # the window runs above the aggregate (tiny input), and the
+        # row-grain side never feeds a Window directly
+        assert plan.index("Window") < plan.index("HashAggregate"), name
