@@ -1343,6 +1343,15 @@ def q_funnel_conditional_agg(spark, sf):
     )
 
 
+def q_dedup_tfidf_cosine(spark, sf):
+    """Weighted lexical near-dup: TF-IDF cosine >= 0.6 over an
+    inverted-index self-join with a max-df stopword cut (see
+    dedup.tfidf_cosine_pairs) — the weighted complement to the
+    set-based Jaccard scorer."""
+    docs = _t(spark, sf, "documents")
+    return dedup.tfidf_cosine_pairs(docs, threshold=0.6, max_df_ratio=0.3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -1429,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "share_of_total": q_share_of_total,
         "yoy_growth": q_yoy_growth,
         "funnel_conditional_agg": q_funnel_conditional_agg,
+        "dedup_tfidf_cosine": q_dedup_tfidf_cosine,
     }
 
 
@@ -2203,5 +2213,35 @@ def oracle_sql() -> dict[str, str]:
                               / CAST(count(*) FILTER (event_type = 'view') AS DOUBLE)
                          END, 6) AS conversion
             FROM events GROUP BY user_id
+        """,
+        "dedup_tfidf_cosine": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(
+                       regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                       ' ')) AS tok
+              FROM documents),
+            tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+                   WHERE tok <> '' GROUP BY doc_id, tok),
+            dfreq AS (SELECT tok, count(*) AS dfq FROM tf GROUP BY tok),
+            nd AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+            w AS (
+              SELECT tf.doc_id, tf.tok,
+                     tf.tf * ln(CAST(nd.n AS DOUBLE) / dfq) AS w
+              FROM tf JOIN dfreq USING (tok) CROSS JOIN nd
+              WHERE dfq <= 0.3 * nd.n),
+            norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm
+                      FROM w GROUP BY doc_id),
+            dots AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     sum(a.w * b.w) AS dot
+              FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(dot / (na.nrm * nb.nrm), 4) AS cos
+            FROM dots
+            JOIN norms na ON na.doc_id = id_a
+            JOIN norms nb ON nb.doc_id = id_b
+            WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.6
         """,
     }

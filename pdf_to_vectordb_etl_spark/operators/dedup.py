@@ -530,3 +530,61 @@ def embedding_near_duplicates_blas(
             )
 
     return _spread(src, "id").mapInPandas(gen, out_schema)
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.6,
+    max_df_ratio: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted lexical near-dup pairs: cosine over TF-IDF vectors,
+    computed relationally (the sparse-vector dot product is a sum over
+    an inverted-index self-join — vectors never materialize).
+
+    Tokens appearing in more than ``max_df_ratio`` of docs are dropped
+    BEFORE the self-join: stopword postings are both useless for
+    similarity and the quadratic hot keys that would blow up the join
+    at corpus scale (a 40%-df token contributes 0.16·n² pairs). After
+    the cut, posting lists are short and the join output is near the
+    true candidate count. All keys are 8-byte xxhash64 of the token.
+    Scores are rounded to 4 dp before thresholding so the cut is
+    engine-stable (same contract as the other dedup scorers).
+    """
+    toks = _spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
+    ).select(
+        "id",
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("_t"),
+    ).filter(F.col("_t") != "").select("id", F.xxhash64("_t").alias("h"))
+    tf = toks.groupBy("id", "h").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("h").agg(F.count("*").alias("dfq"))
+    nd = tf.select(F.countDistinct("id").alias("n"))
+    w = (
+        tf.join(F.broadcast(dfreq), "h")
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("dfq") <= max_df_ratio * F.col("n"))
+        .select(
+            "id", "h",
+            (F.col("tf") * F.log(F.col("n") / F.col("dfq"))).alias("w"),
+        )
+    )
+    norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = w.select(F.col("id").alias("id_a"), "h", F.col("w").alias("wa"))
+    b = w.select(F.col("id").alias("id_b"), "h", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .withColumn("cos", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

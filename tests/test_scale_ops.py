@@ -226,3 +226,17 @@ def test_snapshot_diff_classifies_and_handles_nulls(spark):
     assert got == {1: "removed", 3: "changed", 4: "changed", 5: "added"}
     kept = cdc.snapshot_diff(old, new, ["k"], keep_unchanged=True)
     assert {r["k"]: r["change_type"] for r in kept.collect()}[2] == "unchanged"
+
+
+def test_tfidf_cosine_identical_and_disjoint(spark):
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha  beta gamma delta"),  # same after whitespace collapse
+        (3, "epsilon zeta eta theta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in dedup.tfidf_cosine_pairs(df, threshold=0.5, max_df_ratio=1.0).collect()
+    }
+    assert got == {(1, 2): 1.0}  # identical pair only; disjoint never meets
