@@ -165,3 +165,49 @@ def stream_interval_join(
             F.col("right_time").cast("long") - F.col("left_time").cast("long")
         ).alias("lag_s"),
     )
+
+
+def stream_compact_snapshot(
+    events_stream: DataFrame,
+    snapshot_path: str,
+    checkpoint_dir: str,
+    key: str = "user_id",
+    order_col: str = "tus",
+    payload_cols: list[str] | None = None,
+    available_now: bool = True,
+):
+    """Streaming materialized view: maintain a latest-per-key snapshot
+    of a changelog stream with a foreachBatch merge.
+
+    Each micro-batch is compacted (aggregates.latest_per_key — tiny),
+    unioned with the existing snapshot, compacted again, and rewritten.
+    Work per batch is O(snapshot + batch), never O(stream history) —
+    the streaming twin of CDC compaction; at warehouse scale the
+    rewrite becomes a keyed MERGE into a table format, same dataflow.
+    """
+    from ..operators.aggregates import latest_per_key
+
+    cols = payload_cols or ["event_type", "value"]
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        compact = latest_per_key(batch_df, key, order_col, cols)
+        try:
+            prev = spark.read.parquet(snapshot_path)
+            merged = latest_per_key(
+                prev.unionByName(compact), key, order_col, cols
+            )
+        except Exception:
+            merged = compact
+        # localCheckpoint materializes before the overwrite clobbers
+        # the files the plan still reads from
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            snapshot_path
+        )
+
+    writer = events_stream.writeStream.foreachBatch(merge).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -325,3 +325,36 @@ def test_compact_parquet_reduces_files_and_clusters(spark, sf_dir, tmp_path):
     spans.sort()
     for (alo, ahi), (blo, bhi) in zip(spans, spans[1:]):
         assert ahi <= blo
+
+
+def test_stream_compact_snapshot_matches_batch(spark, sf_dir, tmp_path):
+    """The foreachBatch-maintained latest-per-key snapshot after N
+    micro-batches must equal batch compaction of the whole changelog."""
+    from pdf_to_vectordb_etl_spark.operators.aggregates import latest_per_key
+    from pdf_to_vectordb_etl_spark.streaming.pipeline import stream_compact_snapshot
+
+    events = load(spark, sf_dir, "events").withColumn(
+        "tus", F.expr("ts div 1000")
+    ).select("user_id", "tus", "event_type", "value")
+    src = str(tmp_path / "changelog")
+    events.repartition(4).write.parquet(src)  # 4 files -> 4 micro-batches
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    snap = str(tmp_path / "snapshot")
+    q = stream_compact_snapshot(
+        stream, snap, str(tmp_path / "ckpt"), key="user_id", order_col="tus"
+    )
+    q.awaitTermination(180)
+
+    got = sorted(tuple(r) for r in spark.read.parquet(snap).collect())
+    want = sorted(
+        tuple(r)
+        for r in latest_per_key(
+            events, "user_id", "tus", ["event_type", "value"]
+        ).collect()
+    )
+    assert got == want and len(got) > 0
