@@ -147,12 +147,16 @@ def q_x13_txt_template(spark, sf):
 def q_star_shipping_priority(spark, sf):
     """Beyond-reference star-schema analytics (TPC-H Q3 class): 3-way
     join with date predicates, grouped revenue, deterministic top-10.
-    Dim sides broadcast; lineitem never shuffles before the group-by."""
+
+    No broadcast hints on orders/customer: both are fact-scale tables
+    (tens of GB at 100x), so a forced broadcast would OOM the
+    executors. AQE picks broadcast at small SF on its own and falls
+    back to shuffled hash join at scale — that is the plan we want."""
     cust = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf, "orders").filter(F.col("o_orderdate") < "1997-01-01")
     li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1997-01-01")
     j = li.join(
-        F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+        orders.join(cust, orders.o_custkey == cust.c_custkey),
         li.l_orderkey == orders.o_orderkey,
     )
     return (
@@ -170,7 +174,13 @@ def q_star_shipping_priority(spark, sf):
 def q_star_region_volume(spark, sf):
     """Beyond-reference (TPC-H Q5 class): 6-table snowflake join —
     region -> nation -> customer/supplier co-location -> orders ->
-    lineitem — grouped revenue per nation."""
+    lineitem — grouped revenue per nation.
+
+    Broadcast hints only on the genuinely bounded dims (region: 5 rows,
+    nation: 25 rows — their join is <=25 rows at any SF).
+    orders/customer/supplier all grow linearly with SF — no hints; AQE
+    broadcasts them at small SF and shuffle-joins at scale instead of
+    OOMing a forced broadcast."""
     region = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
     nation = _t(spark, sf, "nation")
     cust = _t(spark, sf, "customer")
@@ -181,9 +191,9 @@ def q_star_region_volume(spark, sf):
     li = _t(spark, sf, "lineitem")
     nr = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     j = (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .join(
             F.broadcast(nr),
             (cust.c_nationkey == nr.n_nationkey) & (sup.s_nationkey == nr.n_nationkey),
@@ -342,8 +352,10 @@ def q_w1_running_sum(spark, sf):
     return ev.select(
         "event_id",
         "user_id",
-        (F.coalesce(F.sum(amount).over(w), F.lit(0)) + 1).alias("running_before_plus1"),
-    )
+        (F.coalesce(F.sum(amount).over(w), F.lit(0)) + 1)
+        .cast("long")
+        .alias("running_before_plus1"),
+    ).orderBy("user_id", "event_id")
 
 
 def q_w2_row_number(spark, sf):
@@ -541,9 +553,19 @@ def q_sessionize_batch(spark, sf):
         ev, time_col="tus", by="user_id", gap=1_800_000_000,
         order_cols=["tus", "event_id"],
     )
-    return s.groupBy("user_id", "session_id").agg(
-        F.count("*").alias("n_events"),
-        (F.max("tus") - F.min("tus")).alias("span_us"),
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max("tus") - F.min("tus")).cast("long").alias("span_us"),
+        )
+        .select(
+            "user_id",
+            F.col("session_id").cast("long").alias("session_id"),
+            "n_events",
+            "span_us",
+        )
+        .orderBy("user_id", "session_id")
     )
 
 
@@ -1527,11 +1549,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "w1_running_sum": """
             SELECT event_id, user_id,
-                   coalesce(sum(CAST(floor(value) AS BIGINT)) OVER (
+                   CAST(coalesce(sum(CAST(floor(value) AS BIGINT)) OVER (
                      PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
-                     AS running_before_plus1
+                     AS BIGINT) AS running_before_plus1
             FROM events
+            ORDER BY user_id, event_id
         """,
         "w2_row_number": """
             SELECT event_id, user_id,
@@ -1755,9 +1778,11 @@ def oracle_sql() -> dict[str, str]:
                      sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
                                       ROWS UNBOUNDED PRECEDING) AS session_id
               FROM m)
-            SELECT user_id, session_id, count(*) AS n_events,
-                   max(tus) - min(tus) AS span_us
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events,
+                   CAST(max(tus) - min(tus) AS BIGINT) AS span_us
             FROM s GROUP BY 1, 2
+            ORDER BY user_id, session_id
         """,
         "stats_quantiles": """
             SELECT event_type,
@@ -1996,7 +2021,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events),
             dim AS (SELECT i AS k, i * 10 AS v
                     FROM (SELECT unnest(generate_series(0, 99)) AS i))
-            SELECT e.k, count(*) AS n, sum(v) AS sum_v
+            SELECT e.k, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v
             FROM e JOIN dim ON e.k = dim.k GROUP BY e.k
         """,
         "skew_two_phase_count": """
@@ -2004,7 +2029,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "t4_stateful_totals": """
             SELECT user_id, count(*) AS n_events,
-                   sum(CAST(floor(value) AS BIGINT)) AS total_value
+                   CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS total_value
             FROM events GROUP BY user_id
         """,
         "cube_order_matrix": """
@@ -2214,7 +2239,7 @@ def oracle_sql() -> dict[str, str]:
                          END, 6) AS conversion
             FROM events GROUP BY user_id
         """,
-        "dedup_tfidf_cosine": """
+        "dedup_tfidf_cosine": r"""
             WITH toks AS (
               SELECT doc_id,
                      unnest(string_split(

@@ -121,9 +121,11 @@ def ngram_jaccard_pairs(
 
     Inverted-index plan: explode shingles -> hash to long -> self-equi-
     join on the hash (docs sharing no shingle never pair) -> count
-    common -> Jaccard from per-doc distinct-shingle counts, which are a
-    separate tiny aggregate broadcast back onto the pairs. The big join
-    carries only (id, h) — 16 bytes a row. Emits (id_a < id_b, jaccard).
+    common -> Jaccard from per-doc distinct-shingle counts, joined back
+    onto the pairs on the 8-byte id (no broadcast hint: the count table
+    is one row per doc — unbounded at corpus scale; AQE may still pick
+    broadcast when it measures small). The big join carries only
+    (id, h) — 16 bytes a row. Emits (id_a < id_b, jaccard).
     """
     ex = _shingle_hashes(df, text_col, id_col, n)
     counts = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
@@ -139,8 +141,8 @@ def ngram_jaccard_pairs(
     nb = counts.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        common.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
+        common.join(na, "id_a")
+        .join(nb, "id_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -264,8 +266,8 @@ def minhash_dedup_pairs(
     nb = counts.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        common.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
+        common.join(na, "id_a")
+        .join(nb, "id_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -481,6 +483,7 @@ def embedding_near_duplicates_blas(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_broadcast_rows: int = 1_000_000,
 ) -> DataFrame:
     """Exact cosine near-dup pairs via broadcast block matrix multiply.
 
@@ -494,14 +497,26 @@ def embedding_near_duplicates_blas(
     wide batches.
 
     Scale contract: like any broadcast join, the comparison side must
-    fit in executor memory (float64 matrix ~ n*dim*8 bytes). Past that,
-    use the LSH mode, or shard the broadcast side and union.
+    fit in executor memory (float64 matrix ~ n*dim*8 bytes). The guard
+    counts rows first and raises past ``max_broadcast_rows`` (default
+    1e6 — ~3 GB at dim 384) instead of silently taking down the driver;
+    past that, use the LSH mode, or shard the broadcast side and union.
     """
     import numpy as np
     import pandas as pd
 
     spark = df.sparkSession
     src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    n_rows = src.count()
+    if n_rows > max_broadcast_rows:
+        raise ValueError(
+            f"embedding_near_duplicates_blas: comparison side has "
+            f"{n_rows} rows > max_broadcast_rows={max_broadcast_rows}; "
+            "the full corpus would be materialized on the driver. Use "
+            "embedding_near_duplicates(use_lsh=True) at this scale, or "
+            "raise max_broadcast_rows explicitly if the driver can hold "
+            "n*dim*8 bytes."
+        )
     b_pdf = src.toPandas()
     ids_b = b_pdf["id"].to_numpy()
     mat_b = np.array([np.asarray(v, dtype=np.float64) for v in b_pdf["v"]])
@@ -562,7 +577,10 @@ def tfidf_cosine_pairs(
     dfreq = tf.groupBy("h").agg(F.count("*").alias("dfq"))
     nd = tf.select(F.countDistinct("id").alias("n"))
     w = (
-        tf.join(F.broadcast(dfreq), "h")
+        # dfreq is one row per distinct term — unbounded at corpus
+        # scale, so no broadcast hint (the equi-join on the 8-byte hash
+        # is cheap); nd is a single scalar row, always broadcastable.
+        tf.join(dfreq, "h")
         .crossJoin(F.broadcast(nd))
         .filter(F.col("dfq") <= max_df_ratio * F.col("n"))
         .select(
@@ -582,8 +600,8 @@ def tfidf_cosine_pairs(
     na = norms.select(F.col("id").alias("id_a"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("id").alias("id_b"), F.col("nrm").alias("nb"))
     return (
-        dots.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
         .withColumn("cos", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")

@@ -167,6 +167,38 @@ def stream_interval_join(
     )
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def _snapshot_latest_version(spark: SparkSession, snapshot_path: str):
+    """Highest committed snapshot version, or None if no snapshot yet.
+
+    A version is committed iff its ``_LATEST-<v>`` marker exists; the
+    marker is a single atomically-created empty file, so a crash
+    mid-write leaves either the old markers (old snapshot wins) or the
+    new one (new snapshot fully written first) — never a torn state."""
+    fs, jvm = _hadoop_fs(spark, snapshot_path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(Path(snapshot_path)):
+        return None
+    statuses = fs.globStatus(Path(snapshot_path + "/_LATEST-*"))
+    if statuses is None or len(statuses) == 0:
+        return None
+    return max(int(s.getPath().getName().split("-", 1)[1]) for s in statuses)
+
+
+def read_snapshot(spark: SparkSession, snapshot_path: str) -> DataFrame:
+    """Read the latest committed version of a
+    :func:`stream_compact_snapshot` snapshot."""
+    v = _snapshot_latest_version(spark, snapshot_path)
+    if v is None:
+        raise FileNotFoundError(f"no committed snapshot at {snapshot_path}")
+    return spark.read.parquet(f"{snapshot_path}/v-{v}")
+
+
 def stream_compact_snapshot(
     events_stream: DataFrame,
     snapshot_path: str,
@@ -180,11 +212,21 @@ def stream_compact_snapshot(
     of a changelog stream with a foreachBatch merge.
 
     Each micro-batch is compacted (aggregates.latest_per_key — tiny),
-    unioned with the existing snapshot, compacted again, and rewritten.
+    unioned with the existing snapshot, compacted again, and written to
+    a NEW versioned directory ``v-<n>``; an empty ``_LATEST-<n>``
+    marker commits it atomically (read via :func:`read_snapshot`).
     Work per batch is O(snapshot + batch), never O(stream history) —
     the streaming twin of CDC compaction; at warehouse scale the
-    rewrite becomes a keyed MERGE into a table format, same dataflow.
-    """
+    versioned rewrite becomes a keyed MERGE into a table format, same
+    dataflow.
+
+    Failure semantics: only "no committed snapshot yet" falls back to
+    the bare batch; a real read error on an existing snapshot
+    propagates and fails the stream instead of silently discarding all
+    prior state. The writer never overwrites the directory it reads
+    from, so a crash mid-write leaves the previous version intact, and
+    a replayed micro-batch after restart re-merges idempotently
+    (latest-per-key is a no-op on duplicate rows)."""
     from ..operators.aggregates import latest_per_key
 
     cols = payload_cols or ["event_type", "value"]
@@ -192,18 +234,30 @@ def stream_compact_snapshot(
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         compact = latest_per_key(batch_df, key, order_col, cols)
-        try:
-            prev = spark.read.parquet(snapshot_path)
+        prev_v = _snapshot_latest_version(spark, snapshot_path)
+        if prev_v is None:
+            merged = compact
+        else:
+            prev = spark.read.parquet(f"{snapshot_path}/v-{prev_v}")
             merged = latest_per_key(
                 prev.unionByName(compact), key, order_col, cols
             )
-        except Exception:
-            merged = compact
-        # localCheckpoint materializes before the overwrite clobbers
-        # the files the plan still reads from
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            snapshot_path
-        )
+        new_v = 0 if prev_v is None else prev_v + 1
+        merged.write.mode("overwrite").parquet(f"{snapshot_path}/v-{new_v}")
+        fs, jvm = _hadoop_fs(spark, snapshot_path)
+        Path = jvm.org.apache.hadoop.fs.Path
+        fs.create(Path(f"{snapshot_path}/_LATEST-{new_v}"), True).close()
+        # best-effort GC of superseded versions (keep one prior for
+        # in-flight readers); failures here never fail the stream
+        try:
+            for s in fs.globStatus(Path(snapshot_path + "/_LATEST-*")) or []:
+                if int(s.getPath().getName().split("-", 1)[1]) < new_v:
+                    fs.delete(s.getPath(), False)
+            for s in fs.globStatus(Path(snapshot_path + "/v-*")) or []:
+                if int(s.getPath().getName().split("-", 1)[1]) < new_v - 1:
+                    fs.delete(s.getPath(), True)
+        except Exception:  # noqa: BLE001 — GC only; snapshot is committed
+            pass
 
     writer = events_stream.writeStream.foreachBatch(merge).option(
         "checkpointLocation", checkpoint_dir

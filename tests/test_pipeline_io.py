@@ -6,6 +6,8 @@ import glob
 import json
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from pdf_to_vectordb_etl_spark import sinks
@@ -331,7 +333,10 @@ def test_stream_compact_snapshot_matches_batch(spark, sf_dir, tmp_path):
     """The foreachBatch-maintained latest-per-key snapshot after N
     micro-batches must equal batch compaction of the whole changelog."""
     from pdf_to_vectordb_etl_spark.operators.aggregates import latest_per_key
-    from pdf_to_vectordb_etl_spark.streaming.pipeline import stream_compact_snapshot
+    from pdf_to_vectordb_etl_spark.streaming.pipeline import (
+        read_snapshot,
+        stream_compact_snapshot,
+    )
 
     events = load(spark, sf_dir, "events").withColumn(
         "tus", F.expr("ts div 1000")
@@ -350,7 +355,7 @@ def test_stream_compact_snapshot_matches_batch(spark, sf_dir, tmp_path):
     )
     q.awaitTermination(180)
 
-    got = sorted(tuple(r) for r in spark.read.parquet(snap).collect())
+    got = sorted(tuple(r) for r in read_snapshot(spark, snap).collect())
     want = sorted(
         tuple(r)
         for r in latest_per_key(
@@ -358,3 +363,50 @@ def test_stream_compact_snapshot_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     )
     assert got == want and len(got) > 0
+    # exactly one committed marker remains; at most two version dirs
+    import os
+
+    names = os.listdir(snap)
+    assert sum(n.startswith("_LATEST-") for n in names) == 1
+    assert sum(n.startswith("v-") for n in names) <= 2
+
+
+def test_stream_compact_snapshot_fails_loud_on_corrupt_state(
+    spark, sf_dir, tmp_path
+):
+    """A committed-but-unreadable snapshot must fail the stream, not be
+    silently replaced by the current batch (prior-state discard)."""
+    from pdf_to_vectordb_etl_spark.streaming.pipeline import (
+        read_snapshot,
+        stream_compact_snapshot,
+    )
+
+    events = load(spark, sf_dir, "events").withColumn(
+        "tus", F.expr("ts div 1000")
+    ).select("user_id", "tus", "event_type", "value")
+    src = str(tmp_path / "changelog")
+    events.limit(100).write.parquet(src)
+
+    snap = tmp_path / "snapshot"
+    # fabricate a committed version whose data dir is corrupt
+    vdir = snap / "v-7"
+    vdir.mkdir(parents=True)
+    (vdir / "part-00000.parquet").write_bytes(b"not a parquet file")
+    (snap / "_LATEST-7").touch()
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_compact_snapshot(
+        stream, str(snap), str(tmp_path / "ckpt"), key="user_id", order_col="tus"
+    )
+    with pytest.raises(Exception, match="(?i)parquet|FileReadException"):
+        q.awaitTermination(180)
+    # the corrupt version was never replaced by a bare-batch rewrite
+    import os
+
+    assert "_LATEST-7" in os.listdir(snap)
+    with pytest.raises(Exception):
+        read_snapshot(spark, str(snap)).collect()

@@ -96,6 +96,40 @@ def test_top_terms_uses_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def _resolved_hint_subtrees(df):
+    """Subtree strings of every ResolvedHint node in the analyzed plan
+    (forced hints only — AQE's own runtime broadcast choices are not
+    hints and don't appear here)."""
+    def walk(node, out):
+        if node.nodeName() == "ResolvedHint":
+            out.append(node.toString())
+        kids = node.children()
+        for i in range(kids.length()):
+            walk(kids.apply(i), out)
+        return out
+
+    return walk(df._jdf.queryExecution().analyzed(), [])
+
+
+def test_no_forced_broadcast_of_unbounded_sides(spark, sf_dir):
+    """Scale pin: broadcast hints may wrap only bounded relations
+    (region 5 rows, nation 25 rows, single-row scalar aggregates).
+    orders/customer/supplier/lineitem grow linearly with SF, and the
+    dedup per-doc count / per-term dfreq tables grow with the corpus —
+    a forced broadcast of any of them OOMs executors at 100x scale."""
+    unbounded = (
+        "orders.parquet", "customer.parquet", "supplier.parquet",
+        "lineitem.parquet", "n_sh", "nrm", "dfq",
+    )
+    for name in [
+        "star_shipping_priority", "star_region_volume",
+        "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_tfidf_cosine",
+    ]:
+        for sub in _resolved_hint_subtrees(_q(spark, sf_dir, name)):
+            bad = [m for m in unbounded if m in sub]
+            assert not bad, f"{name}: forced broadcast wraps {bad}"
+
+
 def test_aggregate_first_window_queries(spark, sf_dir):
     for name in ["share_of_total", "yoy_growth"]:
         plan = _plan(_q(spark, sf_dir, name), "simple")

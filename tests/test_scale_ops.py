@@ -91,6 +91,16 @@ def test_blas_embedding_pairs_match_hof(spark, sf_dir):
     assert hof == blas and len(blas) > 0
 
 
+def test_blas_guard_trips_before_driver_materialization(spark, sf_dir):
+    """The row-count guard must raise BEFORE toPandas() pulls the
+    corpus onto the driver."""
+    import pytest
+
+    emb = load(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="max_broadcast_rows"):
+        dedup.embedding_near_duplicates_blas(emb, max_broadcast_rows=3)
+
+
 def test_ivf_and_lsh_topk_recall(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(

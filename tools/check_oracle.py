@@ -92,11 +92,29 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            rel = con.sql(oracles[name])
+            dcols = list(rel.columns)
+            dtypes = [str(t).upper() for t in rel.types]
+            drows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            failures.append(name)
+            continue
+        # The driver's compare goes through typed Arrow/pandas buffers:
+        # HUGEINT (DuckDB's integer-SUM result type) and DECIMAL columns
+        # hash differently from Spark's BIGINT/DOUBLE even when every
+        # value is equal. Catch that class locally.
+        wide = [
+            f"{c}:{t}"
+            for c, t in zip(dcols, dtypes)
+            if "HUGEINT" in t or "DECIMAL" in t
+        ]
+        if wide:
+            print(
+                f"FAIL  {name}: oracle column(s) widen past BIGINT/DOUBLE "
+                f"({', '.join(wide)}) — CAST them in the oracle SQL"
+            )
             n_fail += 1
             failures.append(name)
             continue
