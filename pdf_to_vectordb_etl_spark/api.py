@@ -182,10 +182,27 @@ def vector_search(
 ) -> DataFrame:
     """kNN read path on a raw query vector (reference
     ``QDvector_search``, qdrant_text_loader.py:122-142): K2 dimension
-    guard then brute-force cosine top-k over the collection."""
+    guard then brute-force cosine top-k over the collection.
+
+    Like the reference's search hits (qdrant_text_loader.py:137-142),
+    each row carries the stored payload — ``page_content`` and the
+    ``materia``/``ano`` metadata — not just (id, score): the k-row
+    top-k result is broadcast back onto the collection for the payload
+    fetch, so the join adds no shuffle at any corpus size."""
     if len(query_vector) != dim:
         raise ValueError(f"query vector must have {dim} dims, got {len(query_vector)}")
     corpus = topk.dim_guard(
         sinks.read_embeddings_table(spark, collection_path), "vector", dim
     )
-    return topk.topk_cosine(corpus, query_vector, k=k, vec_col="vector", id_col="id")
+    hits = topk.topk_cosine(corpus, query_vector, k=k, vec_col="vector", id_col="id")
+    return (
+        corpus.join(F.broadcast(hits), "id")
+        .select(
+            "id",
+            "cosine_sim",
+            F.col("payload.page_content").alias("page_content"),
+            F.col("payload.metadata.materia").alias("materia"),
+            F.col("payload.metadata.ano").alias("ano"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.col("id"))
+    )

@@ -123,15 +123,17 @@ def ivf_centroids(
     id_col: str = "id",
 ) -> DataFrame:
     """Deterministic IVF coarse quantizer: centroids = the ``n_lists``
-    corpus vectors ranked first by ``xxhash64(id)`` (a seedless uniform
-    pseudo-sample — no RNG state, identical across retries). A Lloyd
-    refinement pass is a groupBy-mean away but unnecessary for recall
-    targets of a *pruning* index."""
+    corpus vectors ranked first by ``md5(id)`` (a seedless uniform
+    pseudo-sample — no RNG state, identical across retries, and
+    portable: DuckDB's md5 produces the same hex, so an external oracle
+    can re-derive the exact centroid set). A Lloyd refinement pass is a
+    groupBy-mean away but unnecessary for recall targets of a *pruning*
+    index."""
     from pyspark.sql import Window
 
     return (
         corpus.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.xxhash64(F.col(id_col)))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(n_lists)
         .select(
             F.row_number().over(Window.orderBy(id_col)).alias("list_id"),
@@ -148,10 +150,14 @@ def ivf_assign(
 ) -> DataFrame:
     """Attach the ``n_probe`` nearest list_ids to every row (corpus:
     n_probe=1 — its home list; queries: n_probe>1 — lists to search).
-    Broadcast the centroid table; rank with one window on the row key."""
+    Broadcast the centroid table; rank with one window on the row key.
+
+    The assignment similarity is rounded to 6 dp before ranking so the
+    list choice is stable across engines (float summation order differs
+    between Spark and an external oracle; ties break on list_id)."""
     from pyspark.sql import Window
 
-    sim = cosine_similarity(F.col(vec_col), F.col("centroid"))
+    sim = F.round(cosine_similarity(F.col(vec_col), F.col("centroid")), 6)
     scored = df.crossJoin(F.broadcast(centroids)).withColumn("_csim", sim)
     w = Window.partitionBy(*df.columns).orderBy(F.desc("_csim"), F.col("list_id"))
     return (

@@ -39,17 +39,74 @@ def write_subject_txt(questions_txt: DataFrame, path: str, text_col: str = "txt"
     )
 
 
-def write_subject_json(questions: DataFrame, path: str) -> None:
+def write_subject_json(questions: DataFrame, path: str, pretty: bool = False) -> None:
     """O2 — per-(year,subject) JSON trees of full question records.
     Absent-vs-null branch variants (SURVEY §2.9 N2) collapse to one
     schema with ``ignoreNullFields`` so a missing ``page_images`` and a
-    null one serialize identically."""
+    null one serialize identically.
+
+    ``pretty=True`` reproduces the reference's byte form instead
+    (enem_pdf_extractor.py:533-547): one ``{year}_{day}_/{year}_
+    {subject}_questions.json`` file per group holding a single JSON
+    array with ``indent=4, ensure_ascii=False`` and the reference's key
+    order, records in question order — diffable byte-for-byte against
+    the committed goldens. Files are written executor-side per group
+    (same pattern as the O4 image sink); at cluster scale ``path`` must
+    be shared storage."""
+    if not pretty:
+        (
+            questions.repartition("year", "subject")
+            .write.partitionBy("year", "subject")
+            .mode("overwrite")
+            .option("ignoreNullFields", "true")
+            .json(path)
+        )
+        return
+
+    sel = questions.select(
+        "question_text", "correct_answer", "alternatives",
+        "ID", "year", "day", "question_num", "subject",
+    )
+
+    def write_group(pdf):
+        import json
+        import os
+
+        import pandas as pd
+
+        pdf = pdf.sort_values("question_num")
+        year = int(pdf["year"].iloc[0])
+        day, subj = str(pdf["day"].iloc[0]), str(pdf["subject"].iloc[0])
+        recs = [
+            {
+                "question_text": str(r.question_text),
+                "correct_answer": None
+                if r.correct_answer is None
+                else str(r.correct_answer),
+                "alternatives": [str(a) for a in r.alternatives],
+                "ID": str(r.ID),
+                "year": int(r.year),
+                "day": str(r.day),
+                "question_num": int(r.question_num),
+            }
+            for r in pdf.itertuples()
+        ]
+        out_dir = os.path.join(path, f"{year}_{day}_")
+        os.makedirs(out_dir, exist_ok=True)
+        with open(
+            os.path.join(out_dir, f"{year}_{subj}_questions.json"),
+            "w",
+            encoding="utf-8",
+        ) as f:
+            json.dump(recs, f, indent=4, ensure_ascii=False)
+        return pd.DataFrame(
+            {"year": [year], "subject": [subj], "n_written": [len(recs)]}
+        )
+
     (
-        questions.repartition("year", "subject")
-        .write.partitionBy("year", "subject")
-        .mode("overwrite")
-        .option("ignoreNullFields", "true")
-        .json(path)
+        sel.groupBy("year", "subject")
+        .applyInPandas(write_group, "year int, subject string, n_written long")
+        .collect()  # tiny (one row per group) — triggers the writes
     )
 
 

@@ -129,10 +129,13 @@ def test_file_to_vector_table_and_search(spark, tmp_path):
     stored = sinks.read_embeddings_table(spark, table)
     assert stored.count() == n_lang
 
-    # searching with a stored vector returns that point at sim ~1
+    # searching with a stored vector returns that point at sim ~1,
+    # carrying the stored payload like the reference's search hits
     probe = stored.orderBy("id").first()
     hit = api.vector_search(spark, table, list(probe["vector"]), k=1, dim=16).first()
     assert hit["id"] == probe["id"] and abs(hit["cosine_sim"] - 1.0) < 1e-6
+    assert hit["page_content"] == probe["payload"]["page_content"]
+    assert hit["materia"] == "lang" and hit["ano"] == 2022
 
     with pytest.raises(ValueError, match="dims"):
         api.vector_search(spark, table, [0.0] * 7, k=1, dim=16)

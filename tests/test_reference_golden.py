@@ -209,3 +209,37 @@ def test_pivot_csv_matches_reference_shape(spark):
         s: n for s, n in GOLDEN_COUNTS_2023.items() if s in ref_counts
     }
     assert ours == ref_counts
+
+
+def test_json_sink_byte_parity_with_golden(spark, tmp_path):
+    """O2 pretty mode — writing the golden records back through
+    ``write_subject_json(pretty=True)`` reproduces every committed
+    non-empty reference JSON file byte-for-byte (indent=4 arrays,
+    reference key order, question order)."""
+    from pdf_to_vectordb_etl_spark import sinks
+
+    goldens = [p for p in glob.glob(f"{REF}/*/*_questions.json") if json.load(open(p))]
+    if not goldens:
+        pytest.skip("no non-empty golden JSON committed")
+    rows = []
+    for p in goldens:
+        subj = os.path.basename(p).split("_")[1]
+        for r in json.load(open(p)):
+            rows.append(
+                (
+                    r["question_text"], r["correct_answer"], r["alternatives"],
+                    r["ID"], r["year"], r["day"], r["question_num"], subj,
+                )
+            )
+    df = spark.createDataFrame(
+        rows,
+        "question_text string, correct_answer string, alternatives array<string>, "
+        "ID string, year int, day string, question_num int, subject string",
+    )
+    out = str(tmp_path / "json_tree")
+    sinks.write_subject_json(df, out, pretty=True)
+    for p in goldens:
+        rel = os.path.relpath(p, REF)
+        got = open(os.path.join(out, rel), "rb").read()
+        want = open(p, "rb").read()
+        assert got == want, f"byte mismatch for {rel}"
