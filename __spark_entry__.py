@@ -1406,6 +1406,52 @@ def q_dedup_tfidf_cosine(spark, sf):
     return dedup.tfidf_cosine_pairs(docs, threshold=0.6, max_df_ratio=0.3)
 
 
+def q_curation_repetition(spark, sf):
+    """Repetition quality signals (adapted Gopher filters): occurrence
+    fraction of the most frequent uni/bi/trigram per document —
+    explode-once + lead windows + two aggregations (curation.py)."""
+    from pdf_to_vectordb_etl_spark.operators import curation
+
+    docs = _t(spark, sf, "documents")
+    return curation.repetition_metrics(docs)
+
+
+def q_curation_cap_per_domain(spark, sf):
+    """Domain balancing: at most 10 docs per source, chosen by the
+    portable md5 rank (layout-invariant, engine-portable)."""
+    from pdf_to_vectordb_etl_spark.operators import curation
+
+    docs = _t(spark, sf, "documents")
+    return curation.cap_per_group(docs, by="source", n=10).select(
+        "doc_id", "source"
+    )
+
+
+def q_curation_shard_shuffle(spark, sf):
+    """Deterministic training-order shuffle into 8 shards: (shard, pos)
+    from salted md5 — reproducible on any engine/partition layout,
+    per-shard windows (no global sort)."""
+    from pdf_to_vectordb_etl_spark.operators import curation
+
+    docs = _t(spark, sf, "documents")
+    return curation.shard_shuffle(docs, n_shards=8, salt="epoch0").select(
+        "doc_id", "shard", "pos"
+    )
+
+
+def q_curation_contamination(spark, sf):
+    """Benchmark-contamination check: distinct 8-gram overlap of every
+    corpus doc against a held-out benchmark slice (md5-bucketed ~8% of
+    docs), inverted-index join on shingle hashes."""
+    from pdf_to_vectordb_etl_spark.operators import curation
+
+    docs = _t(spark, sf, "documents")
+    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "14"
+    return curation.contamination_check(
+        docs.filter(~is_bench), docs.filter(is_bench), n=8
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -1493,6 +1539,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "yoy_growth": q_yoy_growth,
         "funnel_conditional_agg": q_funnel_conditional_agg,
         "dedup_tfidf_cosine": q_dedup_tfidf_cosine,
+        "curation_repetition": q_curation_repetition,
+        "curation_cap_per_domain": q_curation_cap_per_domain,
+        "curation_shard_shuffle": q_curation_shard_shuffle,
+        "curation_contamination": q_curation_contamination,
     }
 
 
@@ -2420,5 +2470,91 @@ def oracle_sql() -> dict[str, str]:
             JOIN norms na ON na.doc_id = id_a
             JOIN norms nb ON nb.doc_id = id_b
             WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.6
+        """,
+        "curation_repetition": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                                  ' ') AS ws
+              FROM documents),
+            ex AS (
+              SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS pos
+              FROM t),
+            led AS (
+              SELECT doc_id, w,
+                     lead(w, 1) OVER win AS l1, lead(w, 2) OVER win AS l2
+              FROM ex WHERE w <> ''
+              WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+            grams AS (
+              SELECT doc_id, 1 AS n, w AS gram FROM led
+              UNION ALL
+              SELECT doc_id, 2, w || ' ' || l1 FROM led WHERE l1 IS NOT NULL
+              UNION ALL
+              SELECT doc_id, 3, w || ' ' || l1 || ' ' || l2 FROM led
+              WHERE l2 IS NOT NULL),
+            counts AS (
+              SELECT doc_id, n, gram, count(*) AS c FROM grams GROUP BY 1, 2, 3),
+            per AS (
+              SELECT doc_id, n, max(c) AS mx, sum(c) AS tot FROM counts GROUP BY 1, 2)
+            SELECT doc_id,
+                   round(max(CASE WHEN n = 1 THEN CAST(mx AS DOUBLE) END)
+                         / max(CASE WHEN n = 1 THEN CAST(tot AS DOUBLE) END), 6)
+                     AS top_unigram_frac,
+                   round(max(CASE WHEN n = 2 THEN CAST(mx AS DOUBLE) END)
+                         / max(CASE WHEN n = 2 THEN CAST(tot AS DOUBLE) END), 6)
+                     AS top_bigram_frac,
+                   round(max(CASE WHEN n = 3 THEN CAST(mx AS DOUBLE) END)
+                         / max(CASE WHEN n = 3 THEN CAST(tot AS DOUBLE) END), 6)
+                     AS top_trigram_frac
+            FROM per GROUP BY doc_id
+        """,
+        "curation_cap_per_domain": """
+            SELECT doc_id, source FROM documents
+            QUALIFY row_number() OVER (
+              PARTITION BY source
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 10
+        """,
+        "curation_shard_shuffle": """
+            WITH h AS (
+              SELECT doc_id,
+                     md5(CAST(doc_id AS VARCHAR) || ':epoch0') AS hh
+              FROM documents),
+            s AS (
+              SELECT doc_id, hh,
+                     CAST((ascii(substr(hh, 1, 1)) * 16
+                           + ascii(substr(hh, 2, 1))) % 8 AS INT) AS shard
+              FROM h)
+            SELECT doc_id, shard,
+                   CAST(row_number() OVER (
+                     PARTITION BY shard ORDER BY hh, doc_id) AS INT) AS pos
+            FROM s
+        """,
+        "curation_contamination": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                                  ' ') AS w,
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b
+              FROM documents),
+            sh AS (
+              SELECT doc_id, b,
+                     unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 7, 0)),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                            w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' ||
+                            w[i+6] || ' ' || w[i+7]))) AS s
+              FROM norm),
+            bench AS (SELECT DISTINCT s FROM sh WHERE b < '14'),
+            ov AS (
+              SELECT doc_id, count(*) AS n_overlap
+              FROM sh JOIN bench USING (s)
+              WHERE sh.b >= '14'
+              GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+                   coalesce(ov.n_overlap, 0) > 0 AS contaminated
+            FROM (SELECT doc_id FROM documents
+                  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '14') d
+            LEFT JOIN ov USING (doc_id)
         """,
     }

@@ -56,6 +56,8 @@ def main() -> None:
         "sessionize_batch",        # gap sessions (islands)
         "bm25_search",             # lexical relevance top-k
         "sample_split",            # deterministic split + report
+        "curation_repetition",     # gram repetition signals
+        "curation_contamination",  # benchmark 8-gram overlap
         "enem_questions" if "enem_questions" in entry.queries() else "ta_fingerprint",
     ]
     qs = entry.queries()

@@ -1,0 +1,177 @@
+"""Corpus-curation operators for training-data pipelines (beyond-reference).
+
+Repetition quality signals, per-domain caps, deterministic training-
+order sharding, and benchmark-contamination detection — the remaining
+plumbing between a deduplicated corpus and a training run. Everything
+is relational (explode-once + windows + aggregates, md5-keyed
+determinism shared with operators/sampling.py); no Python in any
+per-document path.
+
+Scale shapes:
+- repetition_metrics: one explode of the token stream, one per-doc
+  window (lead), two aggregations — shuffles carry (doc_id, gram)
+  pairs; linear in corpus tokens, parallel across docs.
+- cap_per_group / shard_shuffle: single window each, partitioned by
+  group/shard — never a global single-partition sort.
+- contamination: inverted-index equi-join on 8-byte shingle hashes,
+  exactly the dedup-family join shape; the benchmark side is tiny and
+  broadcastable by AQE, never forced.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .dedup import _spread, normalize_text, word_shingles
+
+
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals (adapted Gopher/MassiveText
+    quality filters for newline-free text): the occurrence fraction of
+    the most frequent unigram / bigram / trigram. Boilerplate-heavy or
+    looping documents score high and get filtered before training.
+
+    Plan: posexplode the token stream once (never reference the split
+    array above its explode — see module docstring of dedup.py), derive
+    the 2/3-grams with two ``lead`` windows over the same per-doc sort,
+    stack the three gram sizes long, and aggregate counts. Docs with no
+    tokens are absent from the output (no grams to measure).
+    """
+    ex = (
+        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
+        .select(
+            "id",
+            F.posexplode(F.split(normalize_text(F.col(text_col)), " ")).alias(
+                "pos", "w"
+            ),
+        )
+        .filter(F.col("w") != "")
+    )
+    win = Window.partitionBy("id").orderBy("pos")
+    led = ex.select(
+        "id",
+        "w",
+        F.lead("w", 1).over(win).alias("l1"),
+        F.lead("w", 2).over(win).alias("l2"),
+    )
+    grams = led.select(
+        "id",
+        F.expr(
+            "stack(3,"
+            " 1, w,"
+            " 2, CASE WHEN l1 IS NULL THEN NULL ELSE concat(w, ' ', l1) END,"
+            " 3, CASE WHEN l2 IS NULL THEN NULL"
+            "      ELSE concat(w, ' ', l1, ' ', l2) END"
+            ") AS (n, gram)"
+        ),
+    ).filter(F.col("gram").isNotNull())
+    counts = grams.groupBy("id", "n", "gram").agg(F.count("*").alias("c"))
+    per = counts.groupBy("id", "n").agg(
+        F.max("c").alias("mx"), F.sum("c").alias("tot")
+    )
+    frac = F.round(F.first("mx") / F.first("tot"), 6)
+    return (
+        per.groupBy("id")
+        .pivot("n", [1, 2, 3])
+        .agg(frac)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("1").alias("top_unigram_frac"),
+            F.col("2").alias("top_bigram_frac"),
+            F.col("3").alias("top_trigram_frac"),
+        )
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    by: str = "source",
+    n: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain balancing: keep at most ``n`` rows per ``by`` group,
+    chosen by the portable md5 rank (layout-invariant, engine-portable
+    — the same basis as operators/sampling.py). One window per group;
+    no global sort."""
+    w = Window.partitionBy(by).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk")
+    )
+
+
+def shard_shuffle(
+    df: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    salt: str = "epoch0",
+) -> DataFrame:
+    """Deterministic training-order shuffle: every row gets a
+    ``(shard, pos)`` — shard from two md5 hex chars, position from the
+    md5 order within the shard. Changing ``salt`` reshuffles (one salt
+    per epoch); same salt reproduces the exact order on any engine and
+    any partition layout. Windows are per-shard, so the sort
+    parallelizes across shards instead of funnelling through one
+    partition (at warehouse scale: write bucketed by shard, sorted by
+    the hash — same plan, zero extra shuffles when training reads
+    shard-sequentially)."""
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    shard = (
+        (F.ascii(F.substring(h, 1, 1)) * 16 + F.ascii(F.substring(h, 2, 1)))
+        % n_shards
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    return (
+        df.withColumn("_h", h)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w))
+        .drop("_h")
+    )
+
+
+def contamination_check(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination detection: for every corpus document,
+    the number of its distinct word ``n``-grams that appear anywhere in
+    the ``benchmark`` set, plus a contaminated flag. The standard
+    pre-training hygiene step (e.g. GPT-3 appendix C / PaLM used 8-13
+    gram overlap).
+
+    Inverted-index shape: both sides explode to (id, shingle-hash) rows
+    and meet in an equi-join on the 8-byte hash — never a doc-by-doc
+    comparison. Docs with zero overlap are kept (n_overlap = 0) via the
+    final left join onto the corpus keys."""
+    def shingle_rows(frame: DataFrame) -> DataFrame:
+        ex = _spread(
+            frame.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
+        )
+        return ex.select(
+            "id", F.explode(word_shingles(F.col(text_col), n)).alias("_s")
+        ).select("id", F.xxhash64("_s").alias("h"))
+
+    bench_sh = shingle_rows(benchmark).select("h").distinct()
+    overlap = (
+        shingle_rows(df)
+        .join(bench_sh, "h")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(overlap, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -1,0 +1,96 @@
+"""Curation operators: repetition metrics, per-domain caps,
+deterministic sharding, benchmark contamination."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pdf_to_vectordb_etl_spark.operators import curation
+
+from tests.conftest import load
+
+
+def test_repetition_metrics_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            # 4x "spam", 1x "ham": top unigram 4/5; top bigram "spam spam"
+            # 3/4; top trigram "spam spam spam" 2/3
+            (1, "spam spam spam spam ham"),
+            # all distinct: every fraction is 1/count
+            (2, "a b c d"),
+            # single word: unigram 1.0, no bi/trigrams -> NULL
+            (3, "solo"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in curation.repetition_metrics(df).collect()}
+    assert got[1]["top_unigram_frac"] == 0.8
+    assert got[1]["top_bigram_frac"] == 0.75
+    assert got[1]["top_trigram_frac"] == round(2 / 3, 6)
+    assert got[2]["top_unigram_frac"] == 0.25
+    assert got[2]["top_bigram_frac"] == round(1 / 3, 6)
+    assert got[3]["top_unigram_frac"] == 1.0
+    assert got[3]["top_bigram_frac"] is None
+    assert got[3]["top_trigram_frac"] is None
+
+
+def test_cap_per_group_bounds_and_determinism(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    capped = curation.cap_per_group(docs, by="source", n=10)
+    sizes = capped.groupBy("source").count().collect()
+    assert all(r["count"] <= 10 for r in sizes)
+    # deterministic: same rows on a different partition layout
+    a = {r["doc_id"] for r in capped.select("doc_id").collect()}
+    b = {
+        r["doc_id"]
+        for r in curation.cap_per_group(docs.repartition(13), by="source", n=10)
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_shard_shuffle_contiguous_and_salted(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    s = curation.shard_shuffle(docs, n_shards=8, salt="epoch0")
+    rows = s.select("shard", "pos").collect()
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    # positions are 1..count within every shard (a valid total order)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    assert len(rows) == docs.count()
+    # a different salt produces a different order
+    order0 = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in curation.shard_shuffle(docs, 8, salt="epoch0").collect()
+    }
+    order1 = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in curation.shard_shuffle(docs, 8, salt="epoch1").collect()
+    }
+    assert order0 != order1 and set(order0) == set(order1)
+
+
+def test_contamination_detects_planted_overlap(spark):
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"intro words then {passage} trailing tail words here"),
+            (2, "completely disjoint text with no shared long phrases at all"),
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, f"benchmark question: {passage} answer: none")],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in curation.contamination_check(corpus, bench, n=8).collect()
+    }
+    assert got[1]["contaminated"] and got[1]["n_overlap"] == 3
+    assert not got[2]["contaminated"] and got[2]["n_overlap"] == 0
