@@ -506,6 +506,15 @@ def q_dedup_embedding_cosine(spark, sf):
     return out.select("id_a", "id_b", F.round("cosine_sim", 4).alias("sim"))
 
 
+def q_dedup_embedding_blocked(spark, sf):
+    """Embedding near-dup pairs via the BLOCKED executor-side matmul
+    (all-pairs block join; nothing on the driver) — the scale path past
+    the blas variant's broadcast guard. Same exact answer."""
+    emb = _t(spark, sf, "embeddings")
+    out = dedup.embedding_near_duplicates_blocked(emb, threshold=0.45, n_blocks=6)
+    return out.select("id_a", "id_b", F.round("cosine_sim", 4).alias("sim"))
+
+
 def q_asof_click_view(spark, sf):
     """As-of join: each click picks up the user's most recent view at or
     before it (merge-based, one shuffle — see joins.asof_join)."""
@@ -1452,6 +1461,36 @@ def q_curation_contamination(spark, sf):
     )
 
 
+def q_curation_pack_sequences(spark, sf):
+    """GPT-style token-stream packing: concat docs in deterministic
+    shard order, cut every 256 tokens; per doc -> (shard, seq_id,
+    offset, n_seqs_spanned). One windowed cumsum per shard."""
+    from pdf_to_vectordb_etl_spark.operators import curation
+
+    docs = _t(spark, sf, "documents")
+    return curation.pack_sequences(docs, budget=256, n_shards=4, salt="epoch0")
+
+
+def q_curation_quality_filter(spark, sf):
+    """Relative quality filter: keep docs at/above their language's
+    p25 quality score (per-group exact percentile cutoffs)."""
+    from pdf_to_vectordb_etl_spark.operators import curation
+
+    docs = _t(spark, sf, "documents")
+    return curation.quality_quantile_filter(docs, q=0.25, by="lang")
+
+
+def q_curation_mixture_plan(spark, sf):
+    """Corpus mixture planning: weights 1..3 cycled over the numeric
+    source suffix; T = min(n/w) feasibility; per-source keep counts and
+    sampling rates."""
+    from pdf_to_vectordb_etl_spark.operators import curation
+
+    docs = _t(spark, sf, "documents")
+    wt = (F.substring("source", 4, 10).cast("int") % 3 + 1).cast("double")
+    return curation.mixture_plan(docs, wt, by="source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -1497,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": q_rollup_revenue,
         "fuzzy_levenshtein": q_fuzzy_levenshtein,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_embedding_blocked": q_dedup_embedding_blocked,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "ta_token_counts": q_ta_token_counts,
@@ -1543,6 +1583,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_cap_per_domain": q_curation_cap_per_domain,
         "curation_shard_shuffle": q_curation_shard_shuffle,
         "curation_contamination": q_curation_contamination,
+        "curation_pack_sequences": q_curation_pack_sequences,
+        "curation_quality_filter": q_curation_quality_filter,
+        "curation_mixture_plan": q_curation_mixture_plan,
     }
 
 
@@ -2064,6 +2107,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(
                     CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45
         """,
+        "dedup_embedding_blocked": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(
+                     CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                    CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45
+        """,
         "ta_token_counts": """
             SELECT doc_id,
                    CASE WHEN length(trim(text)) = 0 THEN 0
@@ -2556,5 +2607,84 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id FROM documents
                   WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '14') d
             LEFT JOIN ov USING (doc_id)
+        """,
+        "curation_pack_sequences": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                          END AS n_tokens,
+                     md5(CAST(doc_id AS VARCHAR) || ':epoch0') AS hh
+              FROM documents),
+            s AS (
+              SELECT doc_id, n_tokens, hh,
+                     CAST((ascii(substr(hh, 1, 1)) * 16
+                           + ascii(substr(hh, 2, 1))) % 4 AS INT) AS shard
+              FROM base WHERE n_tokens > 0),
+            c AS (
+              SELECT doc_id, shard, n_tokens,
+                     sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY hh, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM s)
+            SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_id,
+                   CAST((cum - n_tokens) % 256 AS INT) AS offset,
+                   CAST((cum - 1) // 256 - (cum - n_tokens) // 256 + 1 AS INT)
+                     AS n_seqs_spanned
+            FROM c
+        """,
+        "curation_quality_filter": r"""
+            WITH f AS (
+              SELECT doc_id, lang,
+                     length(text) AS n_chars,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END
+                       AS n_tokens,
+                     len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                     len(regexp_extract_all(lower(text),
+                         '\b(the|a|of|and|to|in|is|it)\b')) AS n_stop
+              FROM documents),
+            g AS (
+              SELECT doc_id, lang,
+                     CASE WHEN n_tokens > 0
+                          THEN (n_chars - (n_tokens - 1)) * 1.0 / n_tokens
+                          ELSE 0.0 END AS mean_token_len,
+                     CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars
+                          ELSE 0.0 END AS punct_ratio,
+                     CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens
+                          ELSE 0.0 END AS stopword_ratio
+              FROM f),
+            sc AS (
+              SELECT doc_id, lang,
+                     round(least(stopword_ratio * 4, CAST(1.0 AS DOUBLE)) * 0.4
+                           + CASE WHEN mean_token_len BETWEEN 3 AND 10
+                                  THEN 0.4 ELSE 0.0 END
+                           + CASE WHEN punct_ratio < 0.2
+                                  THEN 0.2 ELSE 0.0 END, 6) AS score
+              FROM g),
+            cuts AS (
+              SELECT lang, round(quantile_cont(score, 0.25), 6) AS cutoff
+              FROM sc GROUP BY lang)
+            SELECT doc_id, lang, score, cutoff
+            FROM sc JOIN cuts USING (lang)
+            WHERE score >= cutoff
+        """,
+        "curation_mixture_plan": """
+            WITH counts AS (
+              SELECT source, count(*) AS n_docs,
+                     CAST(CAST(substr(source, 4, 10) AS INT) % 3 + 1 AS DOUBLE)
+                       AS weight
+              FROM documents GROUP BY source),
+            t AS (
+              SELECT min(n_docs / weight) AS t FROM counts WHERE weight > 0)
+            SELECT source, n_docs, weight,
+                   CAST(least(n_docs,
+                              CAST(floor(weight * t + 1e-9) AS BIGINT))
+                        AS BIGINT) AS n_keep,
+                   round(least(n_docs,
+                               CAST(floor(weight * t + 1e-9) AS BIGINT))
+                         * 1.0 / n_docs, 6) AS rate
+            FROM counts CROSS JOIN t
         """,
     }

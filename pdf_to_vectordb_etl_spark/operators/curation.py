@@ -134,6 +134,131 @@ def shard_shuffle(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 256,
+    n_shards: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "epoch0",
+) -> DataFrame:
+    """Token-stream sequence packing (GPT-style): documents are
+    concatenated in the deterministic shard order and the stream is cut
+    every ``budget`` tokens, so every training sequence is exactly full
+    and documents may straddle a cut. Emits, per document, where its
+    tokens land: ``(shard, seq_id, offset)`` of its first token and how
+    many sequences it spans.
+
+    Pure window arithmetic — a running token total per shard (one
+    shuffle, parallel across shards) then integer division; no
+    recurrence, no Python, so it scales like any windowed aggregate.
+    Zero-token documents are dropped (they contribute nothing to the
+    stream)."""
+    from ..operators.textanalysis import token_count
+
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    shard = (
+        (F.ascii(F.substring(h, 1, 1)) * 16 + F.ascii(F.substring(h, 2, 1)))
+        % n_shards
+    ).cast("int")
+    base = (
+        df.select(
+            F.col(id_col),
+            token_count(F.col(text_col)).alias("n_tokens"),
+            h.alias("_h"),
+            shard.alias("shard"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        base.withColumn("_cum", cum)
+        .withColumn("_start", F.col("_cum") - F.col("n_tokens"))
+        .select(
+            id_col,
+            "shard",
+            "n_tokens",
+            F.expr(f"_start div {budget}").cast("long").alias("seq_id"),
+            (F.col("_start") % budget).cast("int").alias("offset"),
+            (
+                F.expr(f"(_cum - 1) div {budget}")
+                - F.expr(f"_start div {budget}")
+                + 1
+            ).cast("int").alias("n_seqs_spanned"),
+        )
+    )
+
+
+def quality_quantile_filter(
+    df: DataFrame,
+    q: float = 0.25,
+    by: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Relative quality filtering: keep documents whose quality score is
+    at or above the ``q``-quantile of their ``by`` group (per-language
+    cutoffs — an absolute threshold over mixed languages just deletes
+    whole languages). Exact ``percentile`` (linear interpolation, the
+    same semantics as DuckDB's quantile_cont); the per-group cutoff
+    table is group-count-sized and joins back broadcast-cheap. Scores
+    and cutoffs are compared after 6-dp rounding so the boundary is
+    engine-stable."""
+    from ..operators.textanalysis import quality_score
+
+    scored = quality_score(df, text_col).select(
+        F.col(id_col), F.col(by), F.round("quality_score", 6).alias("score")
+    )
+    cuts = scored.groupBy(by).agg(
+        F.round(F.expr(f"percentile(score, {q})"), 6).alias("cutoff")
+    )
+    return (
+        scored.join(cuts, by)
+        .filter(F.col("score") >= F.col("cutoff"))
+        .select(id_col, by, "score", "cutoff")
+    )
+
+
+def mixture_plan(
+    df: DataFrame,
+    weight: Column,
+    by: str = "source",
+) -> DataFrame:
+    """Corpus mixture planning: given per-group target ``weight``s,
+    the largest total corpus T with composition proportional to the
+    weights that the available counts can supply is
+    ``T = min_g(n_g / w_g)``; each group then contributes
+    ``floor(w_g * T)`` docs. Emits per group: available count, weight,
+    planned keep count, and the sampling rate to feed
+    ``sampling.deterministic_sample``. Two tiny aggregates and a
+    1-row scalar cross join — nothing touches document bodies."""
+    counts = df.groupBy(by).agg(F.count("*").alias("n_docs")).withColumn(
+        "weight", weight.cast("double")
+    )
+    t = counts.filter(F.col("weight") > 0).agg(
+        F.min(F.col("n_docs") / F.col("weight")).alias("_t")
+    )
+    n_keep = F.least(
+        F.col("n_docs"),
+        F.floor(F.col("weight") * F.col("_t") + F.lit(1e-9)),
+    ).cast("long")
+    return (
+        counts.crossJoin(F.broadcast(t))
+        .select(
+            by,
+            "n_docs",
+            "weight",
+            n_keep.alias("n_keep"),
+            F.round(n_keep / F.col("n_docs"), 6).alias("rate"),
+        )
+    )
+
+
 def contamination_check(
     df: DataFrame,
     benchmark: DataFrame,

@@ -513,6 +513,8 @@ def embedding_near_duplicates_blas(
             f"embedding_near_duplicates_blas: comparison side has "
             f"{n_rows} rows > max_broadcast_rows={max_broadcast_rows}; "
             "the full corpus would be materialized on the driver. Use "
+            "embedding_near_duplicates_blocked (executor-side block "
+            "matmul, nothing on the driver) or "
             "embedding_near_duplicates(use_lsh=True) at this scale, or "
             "raise max_broadcast_rows explicitly if the driver can hold "
             "n*dim*8 bytes."
@@ -545,6 +547,99 @@ def embedding_near_duplicates_blas(
             )
 
     return _spread(src, "id").mapInPandas(gen, out_schema)
+
+
+def embedding_near_duplicates_blocked(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact cosine near-dup pairs via BLOCKED executor-side matmul —
+    the scale path past :func:`embedding_near_duplicates_blas`'s
+    driver-broadcast guard.
+
+    Rows are hashed into ``n_blocks`` blocks; every unordered block
+    pair (bi <= bj) becomes one ``applyInPandas`` group holding the two
+    blocks' rows, and the group kernel is the same numpy matmul as the
+    blas path with an ``id_a < id_b`` mask. Nothing ever lands on the
+    driver; peak executor memory is two blocks (~2·n/n_blocks·dim·8
+    bytes) — pick ``n_blocks`` so that fits. The cost is shuffle
+    replication: each row is shipped to ~(n_blocks+1)/2 groups, the
+    standard all-pairs block tradeoff (n_blocks ~ sqrt(corpus bytes /
+    executor memory) balances the two). Exact all-pairs is inherently
+    quadratic in compute at any layout — for corpora where even that is
+    too much, use the LSH mode.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    pairs = spark.createDataFrame(
+        [(bi, bj) for bi in range(n_blocks) for bj in range(bi, n_blocks)],
+        "bi int, bj int",
+    )
+    rows = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    expanded = rows.join(F.broadcast(pairs), rows.blk == pairs.bi).unionByName(
+        # diagonal groups get both sides from the bi join; adding the
+        # bj side again would double every same-block row
+        rows.join(
+            F.broadcast(pairs.filter(F.col("bi") != F.col("bj"))),
+            rows.blk == pairs.bj,
+        )
+    )
+
+    id_sql_type = dict(df.dtypes)[id_col]
+    out_schema = f"id_a {id_sql_type}, id_b {id_sql_type}, cosine_sim double"
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        a_pdf = pdf[pdf["blk"] == pdf["bi"]]
+        b_pdf = pdf[pdf["blk"] == pdf["bj"]]
+        if a_pdf.empty or b_pdf.empty:
+            return pd.DataFrame(
+                {
+                    "id_a": pdf["id"][:0],
+                    "id_b": pdf["id"][:0],
+                    "cosine_sim": np.array([], dtype=np.float64),
+                }
+            )
+
+        def mat(p):
+            ids = p["id"].to_numpy()
+            m = np.array([np.asarray(v, dtype=np.float64) for v in p["v"]])
+            nrm = np.linalg.norm(m, axis=1)
+            nrm[nrm == 0.0] = np.nan
+            return ids, m, nrm
+
+        ids_a, mat_a, na = mat(a_pdf)
+        ids_b, mat_b, nb = mat(b_pdf)
+        sims = (mat_a @ mat_b.T) / np.outer(na, nb)
+        diagonal = pdf["bi"].iloc[0] == pdf["bj"].iloc[0]
+        with np.errstate(invalid="ignore"):
+            mask = sims >= threshold
+            if diagonal:
+                # a_pdf == b_pdf: each unordered pair appears twice;
+                # keep the id_a < id_b orientation only
+                mask &= ids_a[:, None] < ids_b[None, :]
+        ai, bi = np.nonzero(mask)
+        lo_ids, hi_ids = ids_a[ai], ids_b[bi]
+        if not diagonal:
+            # blocks are hash-assigned, so the smaller id may sit in
+            # the bj block — canonicalize to (min, max)
+            lo_ids, hi_ids = (
+                np.minimum(lo_ids, hi_ids),
+                np.maximum(lo_ids, hi_ids),
+            )
+        return pd.DataFrame(
+            {"id_a": lo_ids, "id_b": hi_ids, "cosine_sim": sims[ai, bi]}
+        )
+
+    return expanded.groupBy("bi", "bj").applyInPandas(kernel, out_schema)
 
 
 def tfidf_cosine_pairs(

@@ -75,6 +75,57 @@ def test_shard_shuffle_contiguous_and_salted(spark, sf_dir):
     assert order0 != order1 and set(order0) == set(order1)
 
 
+def test_pack_sequences_stream_invariants(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    budget = 256
+    packed = curation.pack_sequences(docs, budget=budget, n_shards=4)
+    rows = packed.collect()
+    assert len(rows) == docs.count()  # no zero-token docs in testdata
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r["offset"] < budget
+        # span covers exactly the doc's token footprint in the stream
+        start = r["seq_id"] * budget + r["offset"]
+        end = start + r["n_tokens"] - 1
+        assert r["n_seqs_spanned"] == end // budget - r["seq_id"] + 1
+        by_shard.setdefault(r["shard"], []).append((start, end))
+    # the stream is gapless per shard: footprints tile [0, total)
+    for spans in by_shard.values():
+        spans.sort()
+        assert spans[0][0] == 0
+        for (_, ae), (bs, _) in zip(spans, spans[1:]):
+            assert bs == ae + 1
+
+
+def test_quality_quantile_filter_keeps_top_three_quarters(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    kept = curation.quality_quantile_filter(docs, q=0.25, by="lang")
+    per_lang_total = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    per_lang_kept = {r["lang"]: r["count"] for r in kept.groupBy("lang").count().collect()}
+    for lang, total in per_lang_total.items():
+        # ~75% survive (interpolated cutoff can exclude one extra row;
+        # ties at the cutoff can only add rows)
+        assert per_lang_kept[lang] >= 0.75 * total - 1
+    # every kept score is at or above its group cutoff
+    assert kept.filter(F.col("score") < F.col("cutoff")).count() == 0
+
+
+def test_mixture_plan_feasible_and_proportional(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i < 100 else ("b" if i < 130 else "c")) for i in range(140)],
+        "doc_id int, source string",
+    )
+    wt = F.when(F.col("source") == "a", 6.0).when(F.col("source") == "b", 3.0).otherwise(1.0)
+    plan = {r["source"]: r for r in curation.mixture_plan(df, wt).collect()}
+    # binding constraint: b has 30 docs at weight 3 -> T = 10
+    assert plan["b"]["n_keep"] == 30
+    assert plan["a"]["n_keep"] == 60  # 6 * 10
+    assert plan["c"]["n_keep"] == 10  # 1 * 10
+    for r in plan.values():
+        assert r["n_keep"] <= r["n_docs"]
+        assert abs(r["rate"] - r["n_keep"] / r["n_docs"]) < 1e-6
+
+
 def test_contamination_detects_planted_overlap(spark):
     passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     corpus = spark.createDataFrame(

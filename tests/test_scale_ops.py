@@ -91,6 +91,23 @@ def test_blas_embedding_pairs_match_hof(spark, sf_dir):
     assert hof == blas and len(blas) > 0
 
 
+def test_blocked_embedding_pairs_match_blas(spark, sf_dir):
+    """The executor-side block-matmul path must reproduce the blas
+    (driver-broadcast) answer exactly — it is the same kernel sharded."""
+    emb = load(spark, sf_dir, "embeddings")
+    blas = {
+        (r["id_a"], r["id_b"]): round(r["cosine_sim"], 6)
+        for r in dedup.embedding_near_duplicates_blas(emb, threshold=0.45).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"]): round(r["cosine_sim"], 6)
+        for r in dedup.embedding_near_duplicates_blocked(
+            emb, threshold=0.45, n_blocks=5
+        ).collect()
+    }
+    assert blas == blocked and len(blocked) > 0
+
+
 def test_blas_guard_trips_before_driver_materialization(spark, sf_dir):
     """The row-count guard must raise BEFORE toPandas() pulls the
     corpus onto the driver."""
