@@ -835,6 +835,35 @@ def q_dedup_minhash_lsh(spark, sf):
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def q_dedup_incremental_exact(spark, sf):
+    """Daily-ingest exact dedup: corpus = docs whose md5(id) bucket is
+    below '8', new batch = the rest; admit new docs whose normalized
+    text is unseen (vs corpus digests and within-batch min-id). One
+    left-anti join on 32-byte digests — nothing quadratic in the
+    corpus."""
+    docs = _t(spark, sf, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    kept = dedup.incremental_exact_dedup(
+        docs.filter(h >= "8"), dedup.content_digests(docs.filter(h < "8"))
+    )
+    return kept.select("doc_id", "lang", "source")
+
+
+def q_dedup_incremental_minhash(spark, sf):
+    """Cross-corpus near-dup screen: MinHash(32)+LSH(8) pairs between
+    the new half and the corpus half, verified by exact Jaccard >= 0.5.
+    Oracle = DuckDB exact new×corpus Jaccard pair set (recall-1.0 on
+    this corpus for the same reason as dedup_minhash_lsh)."""
+    docs = _t(spark, sf, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    out = dedup.incremental_minhash_pairs(
+        docs.filter(h >= "8"), docs.filter(h < "8"), threshold=0.5
+    )
+    return out.select(
+        "new_id", "corpus_id", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
 def q_dedup_simhash(spark, sf):
     """SimHash-64 signatures per doc. xxhash64-based — rows-only check;
     tests pin that identical texts collide."""
@@ -1260,6 +1289,29 @@ def q_ivf_assign_cosine(spark, sf):
     return assigned.select("vec_id", F.col("list_id").alias("best_label"))
 
 
+def q_dedup_semantic(spark, sf):
+    """SemDeDup (arXiv:2303.09540): per-label mean centroids -> nearest-
+    centroid assignment -> exact cosine pairs WITHIN clusters only
+    (applyInPandas matmul per cluster; quadratic work divided by the
+    cluster count). Pairs at sim >= 0.45 with their cluster id."""
+    emb = _t(spark, sf, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+    cd = ex.groupBy("label", "dim").agg(F.avg("x").alias("c"))
+    cent = (
+        cd.groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("list_id"), "centroid")
+    )
+    out = dedup.semantic_dedup_pairs(emb, cent, threshold=0.45)
+    return out.select(
+        "id_a", "id_b", F.round("cosine_sim", 4).alias("sim"), "list_id"
+    )
+
+
 def q_ta_bigram_lm(spark, sf):
     """Corpus-trained bigram LM score per document (mean ln P(w2|w1)) —
     learned-model quality signal; see textanalysis.bigram_logprob_scores
@@ -1538,6 +1590,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_blocked": q_dedup_embedding_blocked,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_incremental_exact": q_dedup_incremental_exact,
+        "dedup_incremental_minhash": q_dedup_incremental_minhash,
+        "dedup_semantic": q_dedup_semantic,
         "dedup_simhash": q_dedup_simhash,
         "ta_token_counts": q_ta_token_counts,
         "ta_quality": q_ta_quality,
@@ -1868,6 +1923,46 @@ def oracle_sql() -> dict[str, str]:
               FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
             SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.5
+        """,
+        "dedup_incremental_exact": f"""
+            WITH t AS (
+              SELECT doc_id, lang, source, {_NORM} AS norm,
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS hb
+              FROM documents),
+            corpus AS (SELECT DISTINCT norm FROM t WHERE hb < '8'),
+            ranked AS (
+              SELECT doc_id, lang, source, norm,
+                     row_number() OVER (PARTITION BY norm ORDER BY doc_id)
+                       AS rn
+              FROM t WHERE hb >= '8')
+            SELECT doc_id, lang, source
+            FROM ranked r
+            WHERE rn = 1 AND NOT EXISTS
+              (SELECT 1 FROM corpus c WHERE c.norm = r.norm)
+        """,
+        # Exact new×corpus Jaccard ground truth — equality with the
+        # LSH-screened set holds by the same recall-1.0 argument as
+        # dedup_minhash_lsh (planted near-dups sit at j >= 0.8).
+        "dedup_incremental_minhash": f"""
+            WITH t AS (
+              SELECT *, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS hb
+              FROM documents),
+            sh AS (
+              SELECT doc_id, hb, {_SHINGLES} AS shingles
+              FROM (SELECT doc_id, hb, string_split({_NORM}, ' ') AS w
+                    FROM t)),
+            ex AS (SELECT doc_id, hb, unnest(shingles) AS s,
+                          len(shingles) AS n
+                   FROM sh),
+            pairs AS (
+              SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+                     count(*) * 1.0
+                       / (any_value(a.n) + any_value(b.n) - count(*)) AS j
+              FROM ex a JOIN ex b ON a.s = b.s
+              WHERE a.hb >= '8' AND b.hb < '8'
+              GROUP BY 1, 2)
+            SELECT new_id, corpus_id, round(j, 4) AS jaccard
+            FROM pairs WHERE j >= 0.5
         """,
         # The exact sides of the sketch error contract; TRUE literals
         # assert the Spark-side sketches landed inside their envelopes.
@@ -2397,6 +2492,41 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY cs DESC, list_id) AS rn
                   FROM sims)
             SELECT vec_id, list_id AS best_label FROM r WHERE rn = 1
+        """,
+        # SemDeDup twin: same assignment CTE as ivf_assign_cosine
+        # (round-6 + list_id tiebreak matches topk.ivf_assign), then
+        # exact within-cluster cosine pairs.
+        "dedup_semantic": """
+            WITH ex AS (
+              SELECT label, unnest(range(len(embedding))) AS dim,
+                     unnest(embedding) AS x
+              FROM embeddings),
+            cd AS (SELECT label, dim, avg(x) AS c FROM ex GROUP BY label, dim),
+            cent AS (SELECT label AS list_id, list(c ORDER BY dim) AS centroid
+                     FROM cd GROUP BY label),
+            sims AS (
+              SELECT e.vec_id, c.list_id,
+                     round(list_cosine_similarity(e.embedding, c.centroid), 6)
+                       AS cs
+              FROM embeddings e CROSS JOIN cent c),
+            r AS (SELECT vec_id, list_id,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY cs DESC, list_id) AS rn
+                  FROM sims),
+            a AS (SELECT vec_id, list_id FROM r WHERE rn = 1)
+            SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+                   round(list_cosine_similarity(
+                     CAST(x.embedding AS DOUBLE[]),
+                     CAST(y.embedding AS DOUBLE[])), 4) AS sim,
+                   ax.list_id
+            FROM embeddings x
+            JOIN a ax ON ax.vec_id = x.vec_id
+            JOIN a ay ON ay.list_id = ax.list_id
+            JOIN embeddings y ON y.vec_id = ay.vec_id
+                             AND x.vec_id < y.vec_id
+            WHERE list_cosine_similarity(
+                    CAST(x.embedding AS DOUBLE[]),
+                    CAST(y.embedding AS DOUBLE[])) >= 0.45
         """,
         "ta_bigram_lm": """
             WITH toks AS (

@@ -274,6 +274,125 @@ def minhash_dedup_pairs(
     )
 
 
+# ------------------------------------------- incremental (new batch vs corpus)
+
+def content_digests(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, digest) table for a corpus. This is the artifact a
+    production pipeline persists between ingests — 40 bytes a row
+    instead of document bodies — and feeds to
+    :func:`incremental_exact_dedup` on every new batch."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.sha2(normalize_text(F.col(text_col)), 256).alias("digest"),
+    )
+
+
+def incremental_exact_dedup(
+    new: DataFrame,
+    corpus_digests: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Admit from ``new`` only documents whose normalized text exists
+    neither in the corpus nor earlier (min id) within the batch itself.
+
+    The daily-ingest shape at scale: the corpus participates only as
+    its persisted digest table (never re-read, never re-paired with
+    itself), the screen is one left-anti equi-join on the 32-byte
+    digest, and intra-batch dedup is a window over the new batch only.
+    Cost per ingest is O(|new| + |corpus digests|) with a single
+    shuffle of each — nothing is quadratic in the corpus."""
+    digest = F.sha2(normalize_text(F.col(text_col)), 256)
+    w = Window.partitionBy("_digest").orderBy(id_col)
+    return (
+        new.withColumn("_digest", digest)
+        .join(
+            corpus_digests.select(F.col("digest").alias("_digest")).distinct(),
+            "_digest",
+            "left_anti",
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_digest", "_rn")
+    )
+
+
+def incremental_minhash_pairs(
+    new: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.8,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch and the EXISTING corpus only
+    — ``(new_id, corpus_id, jaccard >= threshold)``. No corpus×corpus
+    re-pairing and no new×new (run :func:`minhash_dedup_pairs` on the
+    batch for that); this is the screen an incremental ingest runs so
+    cost stays proportional to the batch, not the corpus.
+
+    The band join is new-bands ⋈ corpus-bands (equi-join on the folded
+    bucket hash), so candidate generation is output-bound; the verify
+    join recomputes exact Jaccard from the two (id, h) shingle tables
+    restricted to candidates. At scale the corpus side's banded-bucket
+    table and shingle-hash table are write-once artifacts — recompute
+    here keeps the function self-contained, but both derivations are
+    pure functions of the corpus text, so persisting them is a plain
+    checkpoint of this plan's corpus branch."""
+    from pyspark import StorageLevel
+
+    ex_new = _shingle_hashes(new, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    ex_old = _shingle_hashes(corpus, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    mins = [
+        F.min(F.xxhash64("h", F.lit(i))).alias(f"h{i}") for i in range(n_hashes)
+    ]
+    sig_new = ex_new.groupBy("id").agg(*mins, F.count("*").alias("n_sh"))
+    sig_old = ex_old.groupBy("id").agg(*mins, F.count("*").alias("n_sh"))
+    rows = n_hashes // bands
+    buckets = [
+        F.xxhash64(F.lit(b), *[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(
+            f"b{b}"
+        )
+        for b in range(bands)
+    ]
+
+    def banded(sig, out):
+        return sig.select(
+            F.col("id").alias(out), F.explode(F.array(*buckets)).alias("bucket")
+        )
+
+    cands = (
+        banded(sig_new, "new_id")
+        .join(banded(sig_old, "corpus_id"), "bucket")
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    common = (
+        cands.join(ex_new.select(F.col("id").alias("new_id"), "h"), "new_id")
+        .join(ex_old.select(F.col("id").alias("corpus_id"), "h"), ["corpus_id", "h"])
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = sig_new.select(F.col("id").alias("new_id"), F.col("n_sh").alias("na"))
+    nb = sig_old.select(F.col("id").alias("corpus_id"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        common.join(na, "new_id")
+        .join(nb, "corpus_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )
+
+
 # ------------------------------------------------------------------- SimHash
 
 def simhash64(text, shingle_n: int = 2) -> Column:
@@ -640,6 +759,70 @@ def embedding_near_duplicates_blocked(
         )
 
     return expanded.groupBy("bi", "bj").applyInPandas(kernel, out_schema)
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    arXiv:2303.09540 — public paper): route every embedding to its
+    nearest centroid, then compute exact cosine pairs ONLY within each
+    cluster. Emits ``(id_a < id_b, cosine_sim >= threshold, list_id)``.
+
+    This is the published recipe for semantic dedup at corpus scale:
+    the quadratic term drops from O(n²) to Σ O(|cluster|²), so with k
+    clusters of balanced size the work shrinks by ~k×. ``centroids`` is
+    any (list_id, centroid) table (per-label means, k-means output, …)
+    — small by construction, broadcast by :func:`topk.ivf_assign`. The
+    within-cluster kernel is one ``applyInPandas`` matmul per cluster:
+    peak executor memory is the largest cluster (~|c|·dim·8 bytes);
+    a skewed cluster should be re-split with a finer quantizer before
+    this step (the standard SemDeDup practice).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .topk import ivf_assign
+
+    assigned = ivf_assign(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        centroids,
+        n_probe=1,
+        vec_col="v",
+    )
+
+    id_sql_type = dict(df.dtypes)[id_col]
+    list_sql_type = dict(centroids.dtypes)["list_id"]
+    out_schema = (
+        f"id_a {id_sql_type}, id_b {id_sql_type}, "
+        f"cosine_sim double, list_id {list_sql_type}"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        m = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        nrm = np.linalg.norm(m, axis=1)
+        nrm[nrm == 0.0] = np.nan
+        sims = (m @ m.T) / np.outer(nrm, nrm)
+        with np.errstate(invalid="ignore"):
+            mask = (sims >= threshold) & (ids[:, None] < ids[None, :])
+        ai, bi = np.nonzero(mask)
+        return pd.DataFrame(
+            {
+                "id_a": ids[ai],
+                "id_b": ids[bi],
+                "cosine_sim": sims[ai, bi],
+                "list_id": pdf["list_id"].iloc[:1].repeat(len(ai)).to_numpy()
+                if len(ai)
+                else pdf["list_id"][:0],
+            }
+        )
+
+    return assigned.groupBy("list_id").applyInPandas(kernel, out_schema)
 
 
 def tfidf_cosine_pairs(

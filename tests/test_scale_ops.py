@@ -39,6 +39,45 @@ def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
         assert len(approx) / len(exact) >= 0.9
 
 
+def test_incremental_exact_dedup_screens_corpus_and_batch(spark):
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id int, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "  Alpha   beta GAMMA "),  # normalizes to a corpus dup
+            (11, "eta theta iota"),          # fresh
+            (12, "eta  THETA iota"),         # intra-batch dup of 11
+            (13, "kappa lambda mu"),         # fresh
+        ],
+        "doc_id int, text string",
+    )
+    kept = dedup.incremental_exact_dedup(new, dedup.content_digests(corpus))
+    assert sorted(r["doc_id"] for r in kept.collect()) == [11, 13]
+
+
+def test_incremental_minhash_pairs_cross_side_only(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "unrelated corpus text about spark shuffles and plans here")],
+        "doc_id int, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base + " tonight"),  # near-dup of corpus doc 1
+            (11, base + " forever"),  # near-dup of corpus 1 AND new 10
+            (12, "totally fresh content nothing shared with anything else at all"),
+        ],
+        "doc_id int, text string",
+    )
+    pairs = dedup.incremental_minhash_pairs(new, corpus, threshold=0.5)
+    got = {(r["new_id"], r["corpus_id"]) for r in pairs.collect()}
+    # cross-side near-dups surface; the new×new pair (10, 11) must NOT
+    assert got == {(10, 1), (11, 1)}
+    assert pairs.filter(F.col("jaccard") > 1.0).count() == 0
+
+
 def test_simhash_identical_texts_collide(spark):
     rows = [(1, "the quick brown fox jumps over the lazy dog"),
             (2, "the quick brown fox jumps over the lazy dog"),
