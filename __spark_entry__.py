@@ -39,7 +39,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass  # already set statically / restricted: reads still work
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # testdata generations have shipped ts as TIMESTAMP(NANOS) and
+        # TIMESTAMP(MICROS); fold both to bigint nanos (the form every
+        # time-math query and its epoch_ns/epoch_us oracle assumes)
+        from pdf_to_vectordb_etl_spark.schemas import normalize_event_times
+
+        df = normalize_event_times(df, "ts")
+    return df
 
 
 # --------------------------------------------------------------------------
@@ -979,10 +987,10 @@ def q_t3_stream_agg(spark, sf):
     reference's incremental per-file ETL semantics, SURVEY §2.11)."""
     import tempfile
 
-    batch = _t(spark, sf, "events")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
     # stream sources are directories: watch the sf dir, glob one table
     stream = (
-        spark.readStream.schema(batch.schema)
+        spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf)
@@ -1032,9 +1040,9 @@ def q_t4_stateful_totals(spark, sf):
 
     from pdf_to_vectordb_etl_spark.streaming.stateful import running_totals
 
-    batch = _t(spark, sf, "events")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
     stream = (
-        spark.readStream.schema(batch.schema)
+        spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf)
@@ -1190,9 +1198,11 @@ def q_t5_stream_join(spark, sf):
 
     from pdf_to_vectordb_etl_spark.streaming.pipeline import stream_interval_join
 
-    batch = _t(spark, sf, "events")
+    # raw file schema (NOT _t's normalized one): the stream reads the
+    # parquet directly; stream_interval_join normalizes ts itself
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
     stream = (
-        spark.readStream.schema(batch.schema)
+        spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf)
     )
@@ -1327,10 +1337,10 @@ def q_t6_stream_enrich(spark, sf):
     aggregated per market segment."""
     import tempfile
 
-    batch = _t(spark, sf, "events")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
     cust = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
     stream = (
-        spark.readStream.schema(batch.schema)
+        spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf)
     )

@@ -62,14 +62,14 @@ def main() -> None:
     ]
     qs = entry.queries()
     timings: dict[str, float] = {}
-    # best-of-2 per query: the box hosting local[32] is shared, and a
+    # best-of-3 per query: the box hosting local[32] is shared, and a
     # single co-scheduled burst can triple one query's wall time; min
-    # over two runs measures the plan, not the neighbor
+    # over three runs measures the plan, not the neighbor
     for name in names:
         if name not in qs:
             continue
         best, n = None, 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df = qs[name](spark, sf_dir)
             n = df.count()

@@ -91,3 +91,33 @@ SUBJECT_RANGES = [
 ]
 
 EMBEDDING_DIM = 1536  # reference qdrant_text_loader.py:25
+
+
+def normalize_event_times(df, col: str = "ts"):
+    """Canonicalize an event-time column to BIGINT nanoseconds since the
+    epoch, whatever the physical parquet type.
+
+    The synthetic ``events`` table has shipped as TIMESTAMP(NANOS)
+    (which Spark reads as long under ``parquet.nanosAsLong``) and as
+    TIMESTAMP(MICROS) (which Spark reads as TIMESTAMP_NTZ); every
+    operator downstream does integer time math, so both are folded to
+    the same long-nanos form here. The NTZ branch uses ``timestampdiff``
+    against a literal NTZ epoch — pure wall-clock arithmetic, no session
+    timezone involved — so the values match DuckDB's ``epoch_ns(ts)``
+    exactly. A narrow projection: safe on batch and streaming frames.
+    """
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get(col)
+    if dtype is None or dtype == "bigint":
+        return df
+    if dtype == "timestamp_ntz":
+        nanos = F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `{col}`)"
+        ) * F.lit(1000)
+    elif dtype == "timestamp":
+        # already an instant: micros since epoch, timezone-free
+        nanos = F.unix_micros(F.col(col)) * F.lit(1000)
+    else:
+        raise TypeError(f"cannot normalize event-time column {col!r} of type {dtype}")
+    return df.withColumn(col, nanos.cast("long"))

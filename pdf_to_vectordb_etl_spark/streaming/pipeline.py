@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..plans import etl
-from ..schemas import PAGE_SCHEMA
+from ..schemas import PAGE_SCHEMA, normalize_event_times
 
 
 def read_page_stream(spark: SparkSession, drop_dir: str) -> DataFrame:
@@ -74,7 +74,7 @@ def stream_event_counts(
     type — late rows beyond the watermark are dropped, state is bounded
     (the canonical Structured Streaming aggregate; reference has no
     event-time ops, SURVEY §2.11)."""
-    withts = events_stream.withColumn(
+    withts = normalize_event_times(events_stream, ts_col).withColumn(
         "_event_time", (F.col(ts_col) / F.lit(1_000_000_000)).cast("timestamp")
     )
     return (
@@ -131,7 +131,7 @@ def stream_interval_join(
     an unbounded stream. Emits in append mode once the watermark passes
     the interval's upper bound.
     """
-    ev = events_stream.withColumn(
+    ev = normalize_event_times(events_stream, ts_col).withColumn(
         "_event_time", (F.col(ts_col) / F.lit(1_000_000_000)).cast("timestamp")
     )
     left = (

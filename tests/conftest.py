@@ -34,4 +34,9 @@ def sf_dir():
 
 
 def load(spark, sf_dir, name):
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        from pdf_to_vectordb_etl_spark.schemas import normalize_event_times
+
+        df = normalize_event_times(df, "ts")
+    return df

@@ -253,8 +253,10 @@ def test_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     from pdf_to_vectordb_etl_spark.streaming.pipeline import stream_interval_join
 
     events = load(spark, sf_dir, "events")
+    # raw file schema (load() normalizes ts to long; the file may not be)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
-        spark.readStream.schema(events.schema)
+        spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
