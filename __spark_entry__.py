@@ -1553,6 +1553,22 @@ def q_curation_mixture_plan(spark, sf):
     return curation.mixture_plan(docs, wt, by="source")
 
 
+def q_kmeans_centroids(spark, sf):
+    """Iterative Lloyd k-means (k=8, 2 rounds) over the embeddings
+    table: deterministic md5-ranked init, rounded-cosine argmax assign,
+    posexplode-once mean update, lineage truncated between rounds.
+    Output exploded per (cluster, dim) so the hash is order-free."""
+    from pdf_to_vectordb_etl_spark.operators import clustering
+
+    emb = _t(spark, sf, "embeddings")
+    model = clustering.kmeans_fit(emb, k=8, n_iters=2)
+    return model.select(
+        "cluster_id",
+        "n_members",
+        F.posexplode("centroid").alias("dim", "c"),
+    ).select("cluster_id", "n_members", "dim", F.round("c", 4).alias("c"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -1651,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pack_sequences": q_curation_pack_sequences,
         "curation_quality_filter": q_curation_quality_filter,
         "curation_mixture_plan": q_curation_mixture_plan,
+        "kmeans_centroids": q_kmeans_centroids,
     }
 
 
@@ -2826,5 +2843,39 @@ def oracle_sql() -> dict[str, str]:
                                CAST(floor(weight * t + 1e-9) AS BIGINT))
                          * 1.0 / n_docs, 6) AS rate
             FROM counts CROSS JOIN t
+        """,
+        "kmeans_centroids": """
+            WITH cent0 AS (
+              SELECT row_number() OVER (ORDER BY vec_id) AS cluster_id,
+                     CAST(embedding AS DOUBLE[]) AS centroid
+              FROM (SELECT vec_id, embedding FROM embeddings
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)),
+            a1 AS (
+              SELECT e.vec_id, e.embedding, c.cluster_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.embedding, c.centroid), 6) DESC,
+                                c.cluster_id) AS rn
+              FROM embeddings e CROSS JOIN cent0 c),
+            m1 AS (
+              SELECT cluster_id, unnest(range(len(embedding))) AS dim,
+                     unnest(embedding) AS x
+              FROM a1 WHERE rn = 1),
+            d1 AS (SELECT cluster_id, dim, round(avg(x), 6) AS c, count(*) AS n
+                   FROM m1 GROUP BY cluster_id, dim),
+            cent1 AS (SELECT cluster_id, list(c ORDER BY dim) AS centroid
+                      FROM d1 GROUP BY cluster_id),
+            a2 AS (
+              SELECT e.vec_id, e.embedding, c.cluster_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.embedding, c.centroid), 6) DESC,
+                                c.cluster_id) AS rn
+              FROM embeddings e CROSS JOIN cent1 c),
+            m2 AS (
+              SELECT cluster_id, unnest(range(len(embedding))) AS dim,
+                     unnest(embedding) AS x
+              FROM a2 WHERE rn = 1),
+            d2 AS (SELECT cluster_id, dim, round(avg(x), 6) AS c, count(*) AS n
+                   FROM m2 GROUP BY cluster_id, dim)
+            SELECT cluster_id, n AS n_members, dim, round(c, 4) AS c FROM d2
         """,
     }

@@ -1,0 +1,137 @@
+"""Iterative clustering over embedding columns (beyond-reference).
+
+The reference stops at one-shot per-label centroids (the IVF training
+step, qdrant_text_loader.py has no clustering at all); a curation
+pipeline also wants unsupervised k-means for semantic sharding, topic
+balancing, and SemDeDup-style near-dup pruning. Lloyd's algorithm maps
+cleanly onto DataFrame ops:
+
+  assign  — broadcast the k centroids, argmax of rounded cosine per row
+            (one narrow projection + one window on the row key; no
+            shuffle of the corpus itself)
+  update  — posexplode vectors ONCE -> groupBy (cluster, dim) avg
+            (map-side partial aggregation; k*dim result rows)
+
+Between iterations the k*dim centroid table is collected to the driver
+and re-created as a fresh DataFrame: that is deliberate lineage
+truncation — without it the plan doubles per iteration and analysis
+time explodes; with it each iteration is a constant-size plan and the
+driver only ever holds k*dim floats (kilobytes at any corpus scale).
+
+Determinism contract (so an external oracle can replay the exact run):
+init centroids are the k corpus vectors ranked first by md5(id) (same
+seedless sample as topk.ivf_centroids); assignment similarity is
+rounded to 6 dp with ties broken on cluster_id; per-dim means are
+rounded to 6 dp before the next iteration. Identical across retries,
+partitionings, and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .topk import cosine_similarity
+
+
+def kmeans_init(
+    df: DataFrame, k: int, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Deterministic init: the k corpus vectors ranked first by
+    ``md5(id)`` become centroids 1..k (numbered in id order)."""
+    return (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).alias("cluster_id"),
+            F.col(vec_col).cast("array<double>").alias("centroid"),
+        )
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid assignment: (id, vector, cluster_id).
+
+    Broadcast crossJoin against the k-row centroid table, then one
+    row_number window keyed on the row id — the corpus never shuffles
+    on content, only the tiny centroid table moves."""
+    sim = F.round(cosine_similarity(F.col(vec_col), F.col("centroid")), 6)
+    scored = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("_sim", sim)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.col("cluster_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, "cluster_id")
+    )
+
+
+def _centroid_means(assigned: DataFrame, vec_col: str) -> DataFrame:
+    """update step: per-(cluster, dim) mean, folded back to arrays.
+    Explode once; the aggregate is map-side combined; result is k rows."""
+    ex = assigned.select(
+        "cluster_id", F.posexplode(F.col(vec_col)).alias("dim", "x")
+    )
+    per_dim = ex.groupBy("cluster_id", "dim").agg(
+        F.round(F.avg("x"), 6).alias("c"), F.count("*").alias("n")
+    )
+    return per_dim.groupBy("cluster_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("centroid"),
+        F.first("n").alias("n_members"),
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    n_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd's k-means: ``n_iters`` assign/update rounds; returns the
+    final (cluster_id, centroid, n_members) table.
+
+    Empty clusters drop out (the means of non-empty clusters are the
+    next round's centroids) — the standard Lloyd degeneracy, acceptable
+    for corpus sharding where k is a budget, not a contract. Cost per
+    iteration: one broadcast of k*dim floats + one (cluster, dim)-keyed
+    aggregation over the exploded corpus — linear in corpus size, no
+    quadratic term anywhere, so 100 TB is n_iters linear passes."""
+    spark: SparkSession = df.sparkSession
+    src = df.select(F.col(id_col), F.col(vec_col))
+    centroids = kmeans_init(src, k, vec_col, id_col)
+    result = None
+    for _ in range(n_iters):
+        assigned = kmeans_assign(src, centroids.select("cluster_id", "centroid"),
+                                 vec_col, id_col)
+        result = _centroid_means(assigned, vec_col)
+        # lineage truncation: k*dim floats to the driver and back, so the
+        # next iteration's plan doesn't embed this one's
+        rows = result.collect()
+        centroids = spark.createDataFrame(
+            rows, "cluster_id int, centroid array<double>, n_members bigint"
+        )
+    return centroids
+
+
+def kmeans_predict(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Label a (possibly different) corpus with a fitted model —
+    e.g. assign new documents to existing semantic shards."""
+    return kmeans_assign(
+        df, centroids.select("cluster_id", "centroid"), vec_col, id_col
+    ).select(id_col, "cluster_id")

@@ -306,3 +306,46 @@ def test_tfidf_cosine_identical_and_disjoint(spark):
         for r in dedup.tfidf_cosine_pairs(df, threshold=0.5, max_df_ratio=1.0).collect()
     }
     assert got == {(1, 2): 1.0}  # identical pair only; disjoint never meets
+
+
+def test_kmeans_recovers_separated_clusters(spark):
+    """Three well-separated point clouds: 2 Lloyd rounds must land one
+    centroid per cloud and predict() must label members consistently."""
+    import random
+
+    from pdf_to_vectordb_etl_spark.operators import clustering
+
+    rng = random.Random(7)
+    rows = []
+    anchors = {0: [10.0, 0.0, 0.0], 1: [0.0, 10.0, 0.0], 2: [0.0, 0.0, 10.0]}
+    for i in range(90):
+        a = anchors[i % 3]
+        rows.append((i, [x + rng.uniform(-0.5, 0.5) for x in a]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    model = clustering.kmeans_fit(df, k=3, n_iters=2)
+    got = model.collect()
+    assert len(got) == 3
+    assert sum(r["n_members"] for r in got) == 90
+    # each centroid is dominated by exactly one anchor axis
+    dominant = sorted(max(range(3), key=lambda d: r["centroid"][d]) for r in got)
+    assert dominant == [0, 1, 2]
+
+    labels = clustering.kmeans_predict(df, model).collect()
+    assert len(labels) == 90
+    by_true = {}
+    for r in labels:
+        by_true.setdefault(r["vec_id"] % 3, set()).add(r["cluster_id"])
+    # members of one cloud all map to the same fitted cluster
+    assert all(len(s) == 1 for s in by_true.values())
+    assert len(set().union(*by_true.values())) == 3
+
+
+def test_kmeans_fewer_points_than_k(spark):
+    from pdf_to_vectordb_etl_spark.operators import clustering
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    model = clustering.kmeans_fit(df, k=5, n_iters=1)
+    assert model.count() <= 2  # degenerate k: clusters drop, no crash
