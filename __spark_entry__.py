@@ -1569,6 +1569,20 @@ def q_kmeans_centroids(spark, sf):
     ).select("cluster_id", "n_members", "dim", F.round("c", 4).alias("c"))
 
 
+def q_zorder_key(spark, sf):
+    """Morton (Z-order) clustering key over (user_id, value): min-max
+    scale each to 16 bits, interleave with magic-number shifts — all
+    codegen integer math. The key drives write_zordered's range
+    clustering; emitted here per event so the oracle can replay the
+    exact bit math."""
+    from pdf_to_vectordb_etl_spark.operators import zorder
+
+    ev = _t(spark, sf, "events").select("event_id", "user_id", "value")
+    return zorder.zorder_key(ev, "user_id", "value", "z").select(
+        "event_id", "z"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -1668,6 +1682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_quality_filter": q_curation_quality_filter,
         "curation_mixture_plan": q_curation_mixture_plan,
         "kmeans_centroids": q_kmeans_centroids,
+        "zorder_key": q_zorder_key,
     }
 
 
@@ -2877,5 +2892,32 @@ def oracle_sql() -> dict[str, str]:
             d2 AS (SELECT cluster_id, dim, round(avg(x), 6) AS c, count(*) AS n
                    FROM m2 GROUP BY cluster_id, dim)
             SELECT cluster_id, n AS n_members, dim, round(c, 4) AS c FROM d2
+        """,
+        "zorder_key": """
+            WITH b AS (
+              SELECT CAST(min(user_id) AS DOUBLE) AS xlo,
+                     CAST(max(user_id) AS DOUBLE) AS xhi,
+                     min(value) AS ylo, max(value) AS yhi
+              FROM events),
+            s AS (
+              SELECT event_id,
+                     CAST(greatest(0, least(65535,
+                       floor((CAST(user_id AS DOUBLE) - xlo) * 65535.0 / (xhi - xlo)))) AS BIGINT) AS xs,
+                     CAST(greatest(0, least(65535,
+                       floor((value - ylo) * 65535.0 / (yhi - ylo)))) AS BIGINT) AS ys
+              FROM events, b),
+            p1 AS (SELECT event_id,
+                          (xs | (xs << 8)) & 16711935 AS x1,
+                          (ys | (ys << 8)) & 16711935 AS y1 FROM s),
+            p2 AS (SELECT event_id,
+                          (x1 | (x1 << 4)) & 252645135 AS x2,
+                          (y1 | (y1 << 4)) & 252645135 AS y2 FROM p1),
+            p3 AS (SELECT event_id,
+                          (x2 | (x2 << 2)) & 858993459 AS x3,
+                          (y2 | (y2 << 2)) & 858993459 AS y3 FROM p2),
+            p4 AS (SELECT event_id,
+                          (x3 | (x3 << 1)) & 1431655765 AS x4,
+                          (y3 | (y3 << 1)) & 1431655765 AS y4 FROM p3)
+            SELECT event_id, x4 | (y4 << 1) AS z FROM p4
         """,
     }

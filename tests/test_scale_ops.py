@@ -349,3 +349,59 @@ def test_kmeans_fewer_points_than_k(spark):
     )
     model = clustering.kmeans_fit(df, k=5, n_iters=1)
     assert model.count() <= 2  # degenerate k: clusters drop, no crash
+
+
+def test_zorder_bit_interleave_exact(spark):
+    """spread/interleave must match the hand-computed Morton pattern."""
+    from pdf_to_vectordb_etl_spark.operators.zorder import spread_bits16
+
+    df = spark.createDataFrame([(5, 3)], "x long, y long")
+    r = df.select(
+        spread_bits16(F.col("x")).alias("sx"),
+        spread_bits16(F.col("y")).alias("sy"),
+    ).first()
+    assert r["sx"] == 0b10001  # 0b101 spread to even bits
+    assert r["sy"] == 0b101  # 0b11 spread to even bits
+    # z(5,3) = sx | (sy << 1) = 0b10001 | 0b1010 = 0b11011 = 27
+
+
+def test_zorder_write_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-ordered files cover compact (x, y) rectangles: a range
+    predicate on EITHER column must exclude most files via footer
+    min/max — a single-column sort only prunes its own column."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    from pdf_to_vectordb_etl_spark.operators.zorder import write_zordered
+
+    events = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    dest = str(tmp_path / "zordered")
+    write_zordered(events, dest, "user_id", "value", n_files=16)
+
+    files = g.glob(f"{dest}/part-*.parquet")
+    assert len(files) >= 8
+    got = spark.read.parquet(dest)
+    assert got.count() == events.count()
+
+    def spans(col):
+        out = []
+        for f in files:
+            md = pq.read_metadata(f)
+            idx = md.schema.names.index(col)
+            st = [md.row_group(i).column(idx).statistics for i in range(md.num_row_groups)]
+            out.append((min(s.min for s in st), max(s.max for s in st)))
+        return out
+
+    stats = events.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).first()
+    ulo, uhi, vlo, vhi = stats
+    # a 10%-wide box on each dimension in turn
+    uq = (ulo + (uhi - ulo) * 0.45, ulo + (uhi - ulo) * 0.55)
+    vq = (vlo + (vhi - vlo) * 0.45, vlo + (vhi - vlo) * 0.55)
+    u_hit = sum(1 for lo, hi in spans("user_id") if not (hi < uq[0] or lo > uq[1]))
+    v_hit = sum(1 for lo, hi in spans("value") if not (hi < vq[0] or lo > vq[1]))
+    # both dimensions prune: neither predicate touches all files
+    assert u_hit <= len(files) * 0.75
+    assert v_hit <= len(files) * 0.75
