@@ -1583,6 +1583,33 @@ def q_zorder_key(spark, sf):
     )
 
 
+def q_web_clean(spark, sf):
+    """Web-corpus hygiene: canonical URL + registrable domain + markup
+    strip, all RE2-safe native regexp chains. Inputs are deterministic
+    synthetic URLs/HTML built from the documents table (the corpus has
+    no web columns), so the oracle rebuilds byte-identical inputs and
+    replays the same chain."""
+    from pdf_to_vectordb_etl_spark.operators import webcorpus
+
+    docs = _t(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    url = F.concat(
+        F.lit("HTTPS://WWW."), F.col("source"), F.lit(".Example.CO.UK:443/docs/"),
+        did, F.lit("?utm_source=feed&id="), did, F.lit("&utm_campaign=x#frag"),
+    )
+    html = F.concat(
+        F.lit('<html><body><p class="x">'), F.substring("text", 1, 80),
+        F.lit(" &amp; <!-- c --> tail</p></body></html>"),
+    )
+    d = docs.select("doc_id", url.alias("u"), html.alias("h"))
+    return d.select(
+        "doc_id",
+        webcorpus.canonicalize_url(F.col("u")).alias("canonical_url"),
+        webcorpus.registrable_domain(F.col("u")).alias("domain"),
+        webcorpus.strip_markup(F.col("h")).alias("clean_text"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -1683,6 +1710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_mixture_plan": q_curation_mixture_plan,
         "kmeans_centroids": q_kmeans_centroids,
         "zorder_key": q_zorder_key,
+        "web_clean": q_web_clean,
     }
 
 
@@ -2919,5 +2947,52 @@ def oracle_sql() -> dict[str, str]:
                           (x3 | (x3 << 1)) & 1431655765 AS x4,
                           (y3 | (y3 << 1)) & 1431655765 AS y4 FROM p3)
             SELECT event_id, x4 | (y4 << 1) AS z FROM p4
+        """,
+        "web_clean": """
+            WITH raw AS (
+              SELECT doc_id,
+                     'HTTPS://WWW.' || source || '.Example.CO.UK:443/docs/'
+                       || CAST(doc_id AS VARCHAR) || '?utm_source=feed&id='
+                       || CAST(doc_id AS VARCHAR) || '&utm_campaign=x#frag' AS u,
+                     '<html><body><p class="x">' || substr(text, 1, 80)
+                       || ' &amp; <!-- c --> tail</p></body></html>' AS h
+              FROM documents),
+            cu AS (
+              SELECT doc_id, h,
+                     lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
+                       || regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS c1
+              FROM raw),
+            c2 AS (SELECT doc_id, h,
+                          regexp_replace(c1, '^([a-z0-9+.-]+://)www\\.', '\\1') AS c FROM cu),
+            c3 AS (SELECT doc_id, h,
+                          regexp_replace(c, '^([a-z0-9+.-]+://[^/?#:]+):(?:80|443)([/?#].*)?$', '\\1\\2') AS c FROM c2),
+            c4 AS (SELECT doc_id, h, regexp_replace(c, '#.*$', '') AS c FROM c3),
+            c5 AS (SELECT doc_id, h,
+                          regexp_replace(c, '([?&])(?:utm_[a-z]+|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)=[^&#]*', '\\1', 'g') AS c FROM c4),
+            c6 AS (SELECT doc_id, h, regexp_replace(c, '[?&]+$', '') AS c FROM c5),
+            c7 AS (SELECT doc_id, h, regexp_replace(c, '\\?&', '?') AS c FROM c6),
+            c8 AS (SELECT doc_id, h, regexp_replace(regexp_replace(c, '&&+', '&', 'g'), '/$', '') AS c FROM c7),
+            host AS (
+              SELECT doc_id, c AS canonical_url, h,
+                     regexp_replace(regexp_replace(
+                       lower(regexp_extract(c, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                       ':[0-9]+$', ''), '^www\\.', '') AS hst
+              FROM c8),
+            dom AS (
+              SELECT doc_id, canonical_url, h,
+                     CASE WHEN regexp_extract(hst, '([^.]+\\.(?:co\\.uk|org\\.uk|ac\\.uk|gov\\.uk|com\\.au|net\\.au|org\\.au|com\\.br|com\\.mx|co\\.jp|co\\.kr|co\\.in|com\\.cn|com\\.tw|com\\.sg|co\\.nz|co\\.za|com\\.ar|com\\.tr))$', 1) <> ''
+                          THEN regexp_extract(hst, '([^.]+\\.(?:co\\.uk|org\\.uk|ac\\.uk|gov\\.uk|com\\.au|net\\.au|org\\.au|com\\.br|com\\.mx|co\\.jp|co\\.kr|co\\.in|com\\.cn|com\\.tw|com\\.sg|co\\.nz|co\\.za|com\\.ar|com\\.tr))$', 1)
+                          ELSE regexp_extract(hst, '([^.]+\\.[^.]+)$', 1) END AS domain
+              FROM host),
+            ent AS (
+              SELECT doc_id, canonical_url, domain,
+                     replace(replace(replace(replace(replace(replace(replace(
+                       regexp_replace(regexp_replace(h, '<!--.*?-->', ' ', 'g'), '<[^>]*>', ' ', 'g'),
+                       '&nbsp;', ' '), '&quot;', '"'), '&#39;', CHR(39)), '&apos;', CHR(39)),
+                       '&lt;', '<'), '&gt;', '>'), '&amp;', '&') AS t
+              FROM dom)
+            SELECT doc_id, canonical_url, domain,
+                   trim(regexp_replace(t, '\\s+', ' ', 'g')) AS clean_text
+            FROM ent
         """,
     }

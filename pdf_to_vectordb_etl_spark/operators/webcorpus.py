@@ -1,0 +1,120 @@
+"""Web-corpus text and URL hygiene (beyond-reference).
+
+Web-crawl training data arrives as markup-laden text keyed by messy
+URLs. These are the standard first-pass cleaners — all pure Column
+regexp/string expressions (RE2-safe, whole-stage codegen, no UDFs), so
+they run at scan speed and push no work to Python:
+
+  strip_markup       — drop tags/comments, unescape common entities,
+                       collapse whitespace
+  dehyphenate        — rejoin words split by line-break hyphenation
+                       (PDF/print extraction artifact)
+  canonicalize_url   — lowercase scheme+host, drop default ports,
+                       fragments, tracking params, trailing slashes
+  registrable_domain — host -> eTLD+1-ish grouping key for per-domain
+                       caps and stats (curation.cap_per_group feeds on
+                       this)
+
+The canonical forms are deliberately expressible in ANSI-ish regexp SQL
+so an external oracle (or a non-Spark consumer) derives byte-identical
+keys — dedup/caps keyed on them stay portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: entity -> replacement, applied in order (amp LAST so "&amp;lt;"
+#: becomes "&lt;" not "<" — single-pass unescape, the corpus-safe rule)
+_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&amp;", "&"),
+)
+
+#: query params that identify a click, not a resource
+_TRACKING_PARAMS = "utm_[a-z]+|fbclid|gclid|msclkid|ref|mc_cid|mc_eid"
+
+
+def strip_markup(c: Column) -> Column:
+    """HTML/XML tags and comments -> space; entities unescaped;
+    whitespace collapsed. Regexp chain, no parser: the right tradeoff
+    for bulk corpus cleaning (a real DOM parse is a mapInPandas away
+    when fidelity matters more than throughput)."""
+    out = F.regexp_replace(c, r"<!--.*?-->", " ")  # comments (non-greedy)
+    out = F.regexp_replace(out, r"<[^>]*>", " ")  # tags
+    for ent, rep in _ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.trim(out)
+
+
+def dehyphenate(c: Column) -> Column:
+    """Rejoin ``exam-\\nple`` -> ``example`` (line-break hyphenation)."""
+    return F.regexp_replace(c, r"([\p{L}])-\n([\p{L}])", r"$1$2")
+
+
+def canonicalize_url(c: Column) -> Column:
+    """Normalize a URL to its canonical resource form:
+
+    lowercase scheme+host, strip a leading ``www.``, drop default ports
+    (:80/:443), drop the fragment, drop tracking query params (utm_*,
+    fbclid, gclid, ...), drop an empty ``?`` and trailing slash. Dedup
+    and per-domain caps keyed on this collapse click-id aliases of the
+    same page."""
+    # lowercase scheme://host[:port] only (path/query case is content);
+    # split-lower-concat instead of a cased backref so the whole chain
+    # stays expressible in RE2 SQL (no lookarounds, no replacement fns)
+    head = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1))
+    tail = F.regexp_replace(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    out = F.concat(head, tail)
+    out = F.regexp_replace(out, r"^([a-z0-9+.-]+://)www\.", r"$1")
+    out = F.regexp_replace(
+        out, r"^([a-z0-9+.-]+://[^/?#:]+):(?:80|443)([/?#].*)?$", r"$1$2"
+    )
+    out = F.regexp_replace(out, r"#.*$", "")  # fragment
+    # tracking params, wherever they sit in the query string
+    out = F.regexp_replace(out, rf"([?&])(?:{_TRACKING_PARAMS})=[^&#]*", r"$1")
+    out = F.regexp_replace(out, r"[?&]+$", "")  # left-over separators
+    out = F.regexp_replace(out, r"\?&", "?")
+    out = F.regexp_replace(out, r"&&+", "&")
+    out = F.regexp_replace(out, r"/$", "")
+    return out
+
+
+def url_host(c: Column) -> Column:
+    """Host part, lowercased, port and ``www.`` stripped."""
+    host = F.lower(F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    host = F.regexp_replace(host, r":\d+$", "")
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+#: common two-level public suffixes (pragmatic subset; a full PSL lookup
+#: is a broadcast-join against the published list when exactness matters)
+_TWO_LEVEL_TLDS = (
+    "co.uk|org.uk|ac.uk|gov.uk|com.au|net.au|org.au|com.br|com.mx|co.jp"
+    "|co.kr|co.in|com.cn|com.tw|com.sg|co.nz|co.za|com.ar|com.tr"
+)
+
+
+def registrable_domain(c: Column) -> Column:
+    """eTLD+1 grouping key: last two host labels, or three when the
+    suffix is a known two-level TLD (co.uk class)."""
+    host = url_host(c)
+    three = F.regexp_extract(host, rf"([^.]+\.(?:{_TWO_LEVEL_TLDS}))$", 1)
+    two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    return F.when(three != "", three).otherwise(two)
+
+
+def domain_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Docs per registrable domain — the input to per-domain capping
+    (curation.cap_per_group) and crawl-skew review. One hash agg."""
+    return (
+        df.withColumn("_domain", registrable_domain(F.col(url_col)))
+        .groupBy(F.col("_domain").alias("domain"))
+        .agg(F.count("*").alias("n_docs"))
+    )

@@ -60,3 +60,65 @@ def test_bigram_logprob_hand_computed(spark):
     assert out[1] == (round(math.log(2 / 3), 4), 1)
     assert out[2] == (round(math.log(1 / 3), 4), 1)
     assert out[3] == (round((math.log(2 / 3) + 0.0) / 2, 4), 2)
+
+
+def test_webcorpus_url_canonicalization(spark):
+    from pdf_to_vectordb_etl_spark.operators import webcorpus as wc
+
+    cases = [
+        ("HTTP://WWW.Example.COM:80/a/b/?utm_source=x&q=1#top",
+         "http://example.com/a/b/?q=1"),
+        ("https://news.example.co.uk:443/path/", "https://news.example.co.uk/path"),
+        ("https://example.com/?fbclid=abc", "https://example.com"),
+        ("https://example.com/a?id=2&gclid=z&x=3", "https://example.com/a?id=2&x=3"),
+        ("no-scheme/plain", "no-scheme/plain"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r[0] for r in df.select(wc.canonicalize_url(F.col("u"))).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_webcorpus_registrable_domain(spark):
+    from pdf_to_vectordb_etl_spark.operators import webcorpus as wc
+
+    cases = [
+        ("https://a.b.news.example.co.uk/x", "example.co.uk"),
+        ("http://WWW.Sub.Example.COM/y", "example.com"),
+        ("https://localhost/z", ""),  # single label: no registrable domain
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r[0] for r in df.select(wc.registrable_domain(F.col("u"))).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_webcorpus_strip_markup(spark):
+    from pdf_to_vectordb_etl_spark.operators import webcorpus as wc
+
+    df = spark.createDataFrame(
+        [('<div class="a">Hello <b>world</b> &amp;amp; <!-- note --> '
+          "friends&nbsp;&lt;3</div>",)],
+        "h string",
+    )
+    got = df.select(wc.strip_markup(F.col("h"))).first()[0]
+    # single-pass unescape: &amp;amp; -> &amp; (NOT a double unescape)
+    assert got == "Hello world &amp; friends <3"
+
+
+def test_webcorpus_domain_stats(spark):
+    from pdf_to_vectordb_etl_spark.operators import webcorpus as wc
+
+    df = spark.createDataFrame(
+        [("https://a.example.com/1",), ("http://www.example.com/2",),
+         ("https://other.org/x",)],
+        "url string",
+    )
+    got = {r["domain"]: r["n_docs"] for r in wc.domain_stats(df).collect()}
+    assert got == {"example.com": 2, "other.org": 1}
+
+
+def test_webcorpus_dehyphenate(spark):
+    from pdf_to_vectordb_etl_spark.operators import webcorpus as wc
+
+    df = spark.createDataFrame([("exam-\nple stays-afloat end-\n2",)], "t string")
+    got = df.select(wc.dehyphenate(F.col("t"))).first()[0]
+    assert got == "example stays-afloat end-\n2"  # digits: not hyphenation
