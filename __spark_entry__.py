@@ -1610,6 +1610,27 @@ def q_web_clean(spark, sf):
     )
 
 
+def q_grouped_split(spark, sf):
+    """Leakage-aware dataset split: whole source-groups assigned to
+    train/val/test by md5 of the GROUP key, so correlated docs never
+    straddle splits. Narrow, layout-invariant."""
+    docs = _t(spark, sf, "documents")
+    s = sampling.grouped_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    return s.groupBy("split", "source").agg(F.count("*").alias("n_docs"))
+
+
+def q_dedup_containment(spark, sf):
+    """Quote/excerpt detection: trigram containment |A∩B|/min(|A|,|B|)
+    over the inverted-index candidate join — catches subset relations
+    Jaccard scores near zero."""
+    pairs = dedup.ngram_containment_pairs(
+        _t(spark, sf, "documents"), threshold=0.5
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("containment", 4).alias("containment")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -1711,6 +1732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_centroids": q_kmeans_centroids,
         "zorder_key": q_zorder_key,
         "web_clean": q_web_clean,
+        "grouped_split": q_grouped_split,
+        "dedup_containment": q_dedup_containment,
     }
 
 
@@ -2994,5 +3017,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, canonical_url, domain,
                    trim(regexp_replace(t, '\\s+', ' ', 'g')) AS clean_text
             FROM ent
+        """,
+        "grouped_split": """
+            WITH b AS (
+              SELECT source, substr(md5(CAST(source AS VARCHAR)), 1, 4) AS h
+              FROM documents)
+            SELECT CASE WHEN h < 'cccd' THEN 'train'
+                        WHEN h < 'e666' THEN 'val'
+                        ELSE 'test' END AS split,
+                   source, count(*) AS n_docs
+            FROM b GROUP BY 1, 2
+        """,
+        "dedup_containment": """
+            WITH sh AS (
+              SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 0)), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+              FROM (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w FROM documents)),
+            ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) * 1.0 / least(any_value(a.n), any_value(b.n)) AS c
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b, round(c, 4) AS containment FROM pairs WHERE c >= 0.5
         """,
     }

@@ -884,3 +884,41 @@ def tfidf_cosine_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.6,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by n-gram CONTAINMENT: |A ∩ B| / min(|A|, |B|).
+
+    Jaccard misses subset relations — a paragraph quoted inside a long
+    page scores near 0 on union but 1.0 on containment. This is the
+    right detector for quote/excerpt/boilerplate-wrapper duplication in
+    web corpora. Same inverted-index plan as
+    :func:`ngram_jaccard_pairs` (equi-join on 8-byte shingle hashes,
+    never all-pairs; count tables join shuffled on id — no broadcast of
+    per-doc tables), only the denominator changes."""
+    ex = _shingle_hashes(df, text_col, id_col, n)
+    counts = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = ex.select(F.col("id").alias("id_a"), "h")
+    b = ex.select(F.col("id").alias("id_b"), "h")
+    common = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = counts.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    nb = counts.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    cont = F.col("n_common") / F.least(F.col("na"), F.col("nb"))
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

@@ -113,3 +113,19 @@ def stratified_sample(
         mapping.getItem(F.col(strata_col)), F.lit(_threshold(default_rate))
     )
     return df.filter(hash_bucket_hex(id_col) < thr)
+
+
+def grouped_split(
+    df: DataFrame, weights: dict[str, float], group_col: str = "source"
+) -> DataFrame:
+    """Leakage-aware split: assign whole GROUPS (domain / source /
+    author), not rows, to splits.
+
+    Row-hash splits leak: near-duplicate or correlated documents from
+    one site end up on both sides of train/test and inflate held-out
+    scores. Hashing the group key instead guarantees a group never
+    straddles splits — the standard decontamination-adjacent guard for
+    web corpora (pair with dedup.contamination_check for benchmark
+    overlap). Same md5-bucket mechanism as :func:`deterministic_split`:
+    narrow, layout-invariant, re-derivable in SQL downstream."""
+    return df.withColumn("split", split_column(F.col(group_col), weights))

@@ -145,3 +145,35 @@ def test_contamination_detects_planted_overlap(spark):
     }
     assert got[1]["contaminated"] and got[1]["n_overlap"] == 3
     assert not got[2]["contaminated"] and got[2]["n_overlap"] == 0
+
+
+def test_grouped_split_no_group_straddles(spark, sf_dir):
+    from pdf_to_vectordb_etl_spark.operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    s = sampling.grouped_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    per_group = s.groupBy("source").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    assert per_group.filter(F.col("n_splits") > 1).count() == 0
+    # every row labeled, all three split names only
+    names = {r["split"] for r in s.select("split").distinct().collect()}
+    assert names <= {"train", "val", "test"}
+    assert s.count() == docs.count()
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    from pdf_to_vectordb_etl_spark.operators import dedup
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    page = ("intro words here before the excerpt " + quote +
+            " and then a very long tail " + " ".join(f"w{i}" for i in range(60)))
+    df = spark.createDataFrame(
+        [(1, quote), (2, page), (3, "completely different content entirely here")],
+        "doc_id long, text string",
+    )
+    cont = dedup.ngram_containment_pairs(df, threshold=0.9)
+    got = {(r["id_a"], r["id_b"]) for r in cont.collect()}
+    assert (1, 2) in got  # the quote is fully contained
+    jac = dedup.ngram_jaccard_pairs(df, threshold=0.5)
+    assert (1, 2) not in {(r["id_a"], r["id_b"]) for r in jac.collect()}
