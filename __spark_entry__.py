@@ -1631,6 +1631,16 @@ def q_dedup_containment(spark, sf):
     )
 
 
+def q_sentence_chunks(spark, sf):
+    """RAG-style sentence-window chunking: 5-sentence windows, 1-sentence
+    overlap, sentence boundaries marked lookbehind-free so the oracle
+    replays them. Explode-once plan; ordered rebuild in one groupBy."""
+    from pdf_to_vectordb_etl_spark.operators import chunking
+
+    docs = _t(spark, sf, "documents")
+    return chunking.sentence_chunks(docs, sentences_per_chunk=5, overlap=1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -1734,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_clean": q_web_clean,
         "grouped_split": q_grouped_split,
         "dedup_containment": q_dedup_containment,
+        "sentence_chunks": q_sentence_chunks,
     }
 
 
@@ -3039,5 +3050,27 @@ def oracle_sql() -> dict[str, str]:
               FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
             SELECT id_a, id_b, round(c, 4) AS containment FROM pairs WHERE c >= 0.5
+        """,
+        "sentence_chunks": """
+            WITH s0 AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(text, '([.!?])\s+', '\1' || chr(31), 'g'), chr(31)) AS raw
+              FROM documents),
+            s1 AS (SELECT doc_id, list_filter(raw, x -> trim(x) <> '') AS sents FROM s0),
+            ex AS (
+              SELECT doc_id, unnest(range(len(sents))) AS pos,
+                     unnest(sents) AS sent, len(sents) AS n
+              FROM s1 WHERE len(sents) > 0),
+            mem AS (
+              SELECT doc_id, pos, sent, n,
+                     unnest(generate_series(
+                       greatest(0, CAST(ceil((pos - 4) / 4.0) AS BIGINT)),
+                       pos // 4)) AS chunk_id
+              FROM ex),
+            kept AS (SELECT * FROM mem WHERE chunk_id = 0 OR chunk_id * 4 < n - 1)
+            SELECT doc_id, chunk_id,
+                   string_agg(sent, ' ' ORDER BY pos) AS chunk_text,
+                   count(*) AS n_sentences
+            FROM kept GROUP BY doc_id, chunk_id
         """,
     }

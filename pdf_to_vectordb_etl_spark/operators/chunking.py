@@ -71,3 +71,80 @@ def chunk_counts(chunks: DataFrame, key_cols: tuple[str, ...] = ("year", "subjec
     """Chunks per group — must equal question counts (round-trip
     property ``chunk(concat(q)) == q``, SURVEY §7 guiding decision 1)."""
     return chunks.groupBy(*key_cols).agg(F.count("*").alias("n_chunks"))
+
+
+# U+001F as the sentence separator: inserted AFTER enders, then split —
+# the lookbehind-free formulation, so the oracle (RE2 SQL) can replay it
+_SENT_SEP = "\x1f"
+
+
+def split_sentences(c, keep_empty: bool = False):
+    """Sentence array from a text Column: mark ``[.!?]`` + whitespace
+    boundaries with a control char, split on it. No lookarounds, so the
+    exact same regexp runs on any RE2 engine."""
+    marked = F.regexp_replace(c, r"([.!?])\s+", r"$1" + _SENT_SEP)
+    parts = F.split(marked, _SENT_SEP)
+    if keep_empty:
+        return parts
+    return F.filter(parts, lambda s: F.trim(s) != "")
+
+
+def sentence_chunks(
+    df: DataFrame,
+    sentences_per_chunk: int = 5,
+    overlap: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sentence-aligned sliding chunks (the RAG ingestion chunker):
+    windows of ``sentences_per_chunk`` sentences advancing by
+    ``sentences_per_chunk - overlap``, so consecutive chunks share
+    ``overlap`` sentences and no sentence is ever split mid-chunk.
+
+    Plan shape (the explode-once rule, see dedup.py docstring): the
+    sentence array explodes ONCE to (doc, pos, sentence) rows; each
+    sentence then computes the small set of chunk ids it belongs to
+    (a <= 2-element sequence for overlap < K/2) and explodes that;
+    one groupBy (doc, chunk) rebuilds ordered text. The heavy string
+    column crosses exactly one shuffle, already cut into sentences —
+    never recomputed per window, never referenced above its explode.
+    Trailing starts whose sentences all sit inside the previous chunk
+    are dropped (no fully-redundant tail chunks)."""
+    if not 0 <= overlap < sentences_per_chunk:
+        raise ValueError("need 0 <= overlap < sentences_per_chunk")
+    k = sentences_per_chunk
+    stride = k - overlap
+    parts = split_sentences(F.col(text_col))
+    # size() beside the posexplode: the array builds twice per DOC (not
+    # per element/window) — cheaper than a count shuffle, and still
+    # explode-once for the per-element path
+    sents = df.select(
+        F.col(id_col),
+        F.posexplode(parts).alias("pos", "sent"),
+        F.size(parts).alias("_n"),
+    )
+    c_lo = F.greatest(
+        F.lit(0), F.ceil((F.col("pos") - F.lit(k - 1)) / F.lit(stride))
+    )
+    c_hi = F.floor(F.col("pos") / F.lit(stride))
+    chunks = (
+        sents.withColumn("_cids", F.sequence(c_lo.cast("int"), c_hi.cast("int")))
+        .select(id_col, "pos", "sent", "_n", F.explode("_cids").alias("chunk_id"))
+        # a start is real if it's chunk 0 or begins before n - overlap
+        .filter(
+            (F.col("chunk_id") == 0)
+            | (F.col("chunk_id") * stride < F.col("_n") - overlap)
+        )
+        .groupBy(id_col, "chunk_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "sent"))),
+                    lambda s: s["sent"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.count("*").alias("n_sentences"),
+        )
+    )
+    return chunks

@@ -134,3 +134,36 @@ def test_pairing_all_or_nothing(spark):
     broken = files.filter(~((F.col("kind") == "GB") & (F.col("day") == "D1")))
     pairs2, orphans2 = joins.pair_tests_with_keys(broken)
     assert orphans2.count() == 1
+
+
+def test_sentence_chunks_overlap_and_coverage(spark):
+    from pdf_to_vectordb_etl_spark.operators import chunking
+
+    text = " ".join(f"Sentence number {i}." for i in range(11))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {
+        r["chunk_id"]: (r["chunk_text"], r["n_sentences"])
+        for r in chunking.sentence_chunks(
+            df, sentences_per_chunk=5, overlap=1
+        ).collect()
+    }
+    # 11 sentences, K=5, stride=4 -> starts 0, 4, 8
+    assert sorted(got) == [0, 1, 2]
+    assert got[0][1] == 5 and got[1][1] == 5 and got[2][1] == 3
+    # overlap: chunk 1 starts with the last sentence of chunk 0
+    assert got[1][0].startswith("Sentence number 4.")
+    assert got[0][0].endswith("Sentence number 4.")
+    # every sentence appears at least once across chunks
+    all_text = " ".join(t for t, _ in got.values())
+    assert all(f"Sentence number {i}." in all_text for i in range(11))
+
+
+def test_sentence_chunks_short_doc_single_chunk(spark):
+    from pdf_to_vectordb_etl_spark.operators import chunking
+
+    df = spark.createDataFrame(
+        [(1, "Only one. Two here."), (2, "No enders at all")],
+        "doc_id long, text string",
+    )
+    got = chunking.sentence_chunks(df, 5, 1).collect()
+    assert {(r["doc_id"], r["chunk_id"]) for r in got} == {(1, 0), (2, 0)}
