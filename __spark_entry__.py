@@ -1641,6 +1641,50 @@ def q_sentence_chunks(spark, sf):
     return chunking.sentence_chunks(docs, sentences_per_chunk=5, overlap=1)
 
 
+def q_histogram_equidepth(spark, sf):
+    """Equi-DEPTH histogram (decile buckets) over order totals: ntile
+    on a total order. The global-sort window is the exact form; at
+    100 TB substitute percentile_approx cutpoints + a broadcast range
+    join (same output contract, no global sort) — the equi-width twin
+    (histogram_price) is the no-sort scale path."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events")
+    w = Window.orderBy("value", "event_id")
+    b = ev.select(F.ntile(10).over(w).alias("bucket"), "value")
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 4).alias("lo"),
+        F.round(F.max("value"), 4).alias("hi"),
+        F.round(F.avg("value"), 2).alias("avg_value"),
+    )
+
+
+def q_sessionize_native(spark, sf):
+    """Same 30-min-gap sessions as sessionize_batch, but via Spark's
+    BUILT-IN session_window aggregate (merging session windows inside
+    one aggregation — no explicit lag/cumsum plumbing). Prefer the
+    built-in where it expresses the semantics; the islands form remains
+    for engines/cases without it. Oracle = the islands SQL, proving the
+    two formulations agree row-for-row."""
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("t"),
+    )
+    s = ev.groupBy("user_id", F.session_window("t", "30 minutes")).agg(
+        F.count("*").alias("n_events"),
+        (
+            F.unix_micros(F.max("t")) - F.unix_micros(F.min("t"))
+        ).alias("span_us"),
+    )
+    return s.select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+        "n_events",
+        "span_us",
+    ).orderBy("user_id", "session_start_us")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -1745,6 +1789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_split": q_grouped_split,
         "dedup_containment": q_dedup_containment,
         "sentence_chunks": q_sentence_chunks,
+        "histogram_equidepth": q_histogram_equidepth,
+        "sessionize_native": q_sessionize_native,
     }
 
 
@@ -3072,5 +3118,37 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(sent, ' ' ORDER BY pos) AS chunk_text,
                    count(*) AS n_sentences
             FROM kept GROUP BY doc_id, chunk_id
+        """,
+        "histogram_equidepth": """
+            WITH b AS (
+              SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS bucket
+              FROM events)
+            SELECT bucket, count(*) AS n,
+                   round(min(value), 4) AS lo,
+                   round(max(value), 4) AS hi,
+                   round(avg(value), 2) AS avg_value
+            FROM b GROUP BY bucket
+        """,
+        "sessionize_native": """
+            WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+            flg AS (
+              SELECT user_id, event_id, tus,
+                     CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id
+                              ORDER BY tus, event_id) > 1800000000
+                          OR lag(tus) OVER (PARTITION BY user_id
+                              ORDER BY tus, event_id) IS NULL
+                          THEN 1 ELSE 0 END AS new_s
+              FROM e),
+            isl AS (
+              SELECT user_id, tus,
+                     sum(new_s) OVER (PARTITION BY user_id
+                         ORDER BY tus, event_id
+                         ROWS UNBOUNDED PRECEDING) AS sid
+              FROM flg)
+            SELECT user_id, min(tus) AS session_start_us,
+                   count(*) AS n_events,
+                   max(tus) - min(tus) AS span_us
+            FROM isl GROUP BY user_id, sid
         """,
     }
