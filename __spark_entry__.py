@@ -1685,6 +1685,46 @@ def q_sessionize_native(spark, sf):
     ).orderBy("user_id", "session_start_us")
 
 
+def q_cdc_apply_changes(spark, sf):
+    """CDC MERGE: apply an insert/upsert/delete change batch onto a
+    snapshot — one max_by aggregation over the union, O(snapshot +
+    batch), deletes drop the key. Even event_ids form the base
+    snapshot, odd ones the change batch (value < 5 => delete)."""
+    from pdf_to_vectordb_etl_spark.operators import cdc
+
+    ev = _t(spark, sf, "events").select("event_id", "user_id", "event_type", "value")
+    base = ev.filter(F.col("event_id") % 2 == 0)
+    snapshot = base.groupBy("user_id").agg(
+        F.max_by("event_type", "event_id").alias("event_type"),
+        F.max_by("value", "event_id").alias("value"),
+    )
+    changes = ev.filter(F.col("event_id") % 2 == 1).select(
+        "user_id", "event_type", "value",
+        F.when(F.col("value") < 5, F.lit("delete")).otherwise(F.lit("upsert")).alias("op"),
+        F.col("event_id").alias("ord"),
+    )
+    out = cdc.apply_changes(snapshot, changes, ["user_id"], "ord")
+    return out.select("user_id", "event_type", F.round("value", 4).alias("value"))
+
+
+def q_small_qty_revenue(spark, sf):
+    """TPC-H Q17 class — correlated scalar subquery: revenue of line
+    items ordering below 20% of their part's average quantity. Written
+    AS the correlated form; Catalyst decorrelates it into an aggregate
+    + join (no per-row re-scan), which is the point: declare the
+    semantics, let the planner pick the join."""
+    _t(spark, sf, "lineitem").createOrReplaceTempView("li_q17")
+    _t(spark, sf, "part").createOrReplaceTempView("part_q17")
+    return spark.sql("""
+        SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM li_q17 l JOIN part_q17 p ON p.p_partkey = l.l_partkey
+        WHERE p.p_size <= 10
+          AND l.l_quantity < (
+            SELECT 0.2 * avg(l2.l_quantity) FROM li_q17 l2
+            WHERE l2.l_partkey = l.l_partkey)
+    """)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -1791,6 +1831,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_chunks": q_sentence_chunks,
         "histogram_equidepth": q_histogram_equidepth,
         "sessionize_native": q_sessionize_native,
+        "cdc_apply_changes": q_cdc_apply_changes,
+        "small_qty_revenue": q_small_qty_revenue,
     }
 
 
@@ -3150,5 +3192,44 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    max(tus) - min(tus) AS span_us
             FROM isl GROUP BY user_id, sid
+        """,
+        "cdc_apply_changes": """
+            WITH base AS (SELECT * FROM events WHERE event_id % 2 = 0),
+            snap AS (
+              SELECT user_id, arg_max(event_type, event_id) AS event_type,
+                     arg_max(value, event_id) AS value
+              FROM base GROUP BY user_id),
+            chg AS (
+              SELECT user_id, event_type, value,
+                     CASE WHEN value < 5 THEN 'delete' ELSE 'upsert' END AS op,
+                     event_id AS ord
+              FROM events WHERE event_id % 2 = 1),
+            uni AS (
+              SELECT user_id, CAST(NULL AS VARCHAR) AS op,
+                     CAST(-4611686018427387904 AS BIGINT) AS ord,
+                     event_type, value
+              FROM snap
+              UNION ALL
+              SELECT user_id, op, ord, event_type, value FROM chg),
+            win AS (
+              SELECT user_id,
+                     max(ord) AS mord,
+                     arg_max(event_type, ord) AS event_type,
+                     arg_max(value, ord) AS value
+              FROM uni GROUP BY user_id),
+            lastop AS (
+              SELECT w.user_id, w.event_type, w.value, u.op
+              FROM win w JOIN uni u
+                ON u.user_id = w.user_id AND u.ord = w.mord)
+            SELECT user_id, event_type, round(value, 4) AS value
+            FROM lastop WHERE op IS NULL OR op <> 'delete'
+        """,
+        "small_qty_revenue": """
+            SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_size <= 10
+              AND l.l_quantity < (
+                SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+                WHERE l2.l_partkey = l.l_partkey)
         """,
     }

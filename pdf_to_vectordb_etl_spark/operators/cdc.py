@@ -47,3 +47,52 @@ def snapshot_diff(
     if not keep_unchanged:
         out = out.filter(F.col("change_type") != "unchanged")
     return out.select(*key_cols, "change_type")
+
+
+def apply_changes(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    op_col: str = "op",
+    delete_op: str = "delete",
+) -> DataFrame:
+    """MERGE a CDC change batch (insert/update/delete ops) into a
+    snapshot — the batch form of Delta/Iceberg ``MERGE INTO`` on an
+    append-only changelog.
+
+    Semantics: per key, the highest-``order_col`` row across
+    (snapshot ∪ changes) wins; if the winner is a ``delete`` op the key
+    disappears. Snapshot rows enter the union with a NULL op and a
+    LONG_MIN-class order (any change beats them) — long, not double,
+    so nanosecond-scale version counters keep exact total order
+    (doubles lose integers past 2^53). ``order_col`` must be unique per
+    key within the batch (make it so upstream: version counter, or
+    time*shards+shard); ties would make max_by nondeterministic. ONE
+    shuffle on the key via ``max_by`` partial aggregation — no window
+    sorting all versions, same plan class as
+    aggregates.latest_per_key, O(snapshot + batch).
+    """
+    payload = [c for c in snapshot.columns if c not in key_cols]
+    s = snapshot.select(
+        *key_cols,
+        F.lit(None).cast("string").alias("_op"),
+        F.lit(-(1 << 62)).cast("long").alias("_ord"),
+        F.struct(*[F.col(c) for c in payload]).alias("_p"),
+    )
+    c = changes.select(
+        *key_cols,
+        F.col(op_col).cast("string").alias("_op"),
+        F.col(order_col).cast("long").alias("_ord"),
+        F.struct(*[F.col(p) for p in payload]).alias("_p"),
+    )
+    won = (
+        s.unionByName(c)
+        .groupBy(*key_cols)
+        .agg(
+            F.max_by("_p", "_ord").alias("_p"),
+            F.max_by("_op", "_ord").alias("_op"),
+        )
+        .filter(F.col("_op").isNull() | (F.col("_op") != delete_op))
+    )
+    return won.select(*key_cols, *[F.col(f"_p.{p}").alias(p) for p in payload])

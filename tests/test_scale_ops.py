@@ -405,3 +405,38 @@ def test_zorder_write_prunes_both_dimensions(spark, sf_dir, tmp_path):
     # both dimensions prune: neither predicate touches all files
     assert u_hit <= len(files) * 0.75
     assert v_hit <= len(files) * 0.75
+
+
+def test_cdc_apply_changes_merge_semantics(spark):
+    from pdf_to_vectordb_etl_spark.operators import cdc
+
+    snapshot = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+        "k long, name string, v double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a2", 1.5, "upsert", 10),   # update key 1
+            (2, None, 0.0, "delete", 11),   # delete key 2
+            (4, "d", 4.0, "upsert", 12),    # insert key 4
+            (5, "e", 5.0, "upsert", 13),    # insert then...
+            (5, None, 0.0, "delete", 14),   # ...delete key 5 (later op wins)
+            (3, None, 0.0, "delete", 15),   # delete then...
+            (3, "c2", 3.5, "upsert", 16),   # ...re-insert key 3
+        ],
+        "k long, name string, v double, op string, ord long",
+    )
+    got = {
+        r["k"]: (r["name"], r["v"])
+        for r in cdc.apply_changes(snapshot, changes, ["k"], "ord").collect()
+    }
+    assert got == {1: ("a2", 1.5), 3: ("c2", 3.5), 4: ("d", 4.0)}
+
+
+def test_cdc_apply_changes_empty_batch_is_identity(spark):
+    from pdf_to_vectordb_etl_spark.operators import cdc
+
+    snapshot = spark.createDataFrame([(1, "a", 1.0)], "k long, name string, v double")
+    empty = spark.createDataFrame([], "k long, name string, v double, op string, ord long")
+    got = cdc.apply_changes(snapshot, empty, ["k"], "ord").collect()
+    assert [(r["k"], r["name"], r["v"]) for r in got] == [(1, "a", 1.0)]
