@@ -412,3 +412,50 @@ def test_stream_compact_snapshot_fails_loud_on_corrupt_state(
     assert "_LATEST-7" in os.listdir(snap)
     with pytest.raises(Exception):
         read_snapshot(spark, str(snap)).collect()
+
+
+def test_read_documents_multiformat_and_quarantine(spark, tmp_path):
+    """JSONL with a malformed line + CSV + evolved parquet must unify
+    onto the document contract; the bad line lands in quarantine."""
+    from pdf_to_vectordb_etl_spark.sources import docs as D
+
+    jl = tmp_path / "drop.jsonl"
+    jl.write_text(
+        '{"doc_id": 1, "text": "hello json", "lang": "en", "source": "a", "n_chars": 10}\n'
+        'NOT JSON AT ALL{{{\n'
+        '{"doc_id": 2, "text": "second", "lang": "de", "source": "a", "n_chars": 6}\n'
+    )
+    cs = tmp_path / "drop.csv"
+    cs.write_text("doc_id,text,lang,source,n_chars\n3,from csv,fr,b,8\n")
+    # evolved parquet: missing n_chars, extra column "extra"
+    pq_dir = str(tmp_path / "drop.parquet")
+    spark.createDataFrame(
+        [(4, "from parquet", "es", "c", "x")],
+        "doc_id long, text string, lang string, source string, extra string",
+    ).write.parquet(pq_dir)
+
+    j = D.read_documents(spark, str(jl))
+    good, bad = D.split_quarantine(j)
+    assert bad.count() == 1 and "NOT JSON" in bad.first()[D.CORRUPT_COL]
+    assert {r["doc_id"] for r in good.collect()} == {1, 2}
+
+    corpus = D.read_corpus(spark, [str(jl), str(cs), pq_dir])
+    rows = {r["doc_id"]: r for r in corpus.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[3]["text"] == "from csv" and rows[3]["n_chars"] == 8
+    assert rows[4]["n_chars"] is None  # evolved: padded with typed NULL
+    assert "extra" not in corpus.columns
+    assert [f.name for f in corpus.schema.fields] == [
+        "doc_id", "text", "lang", "source", "n_chars"
+    ]
+
+
+def test_read_documents_text_lines(spark, tmp_path):
+    from pdf_to_vectordb_etl_spark.sources import docs as D
+
+    t = tmp_path / "lines.txt"
+    t.write_text("first line\nsecond line\n")
+    df = D.read_documents(spark, str(t))
+    got = sorted(r["text"] for r in df.collect())
+    assert got == ["first line", "second line"]
+    assert df.filter(F.col("doc_id").isNull()).count() == 0

