@@ -1725,6 +1725,29 @@ def q_small_qty_revenue(spark, sf):
     """)
 
 
+def q_quality_expectations(spark, sf):
+    """Data-quality expectations: N checks, ONE aggregate pass, a tiny
+    report frame out (name, counts, rates, breached). The contract
+    checks run here against the documents corpus."""
+    from pdf_to_vectordb_etl_spark.operators.quality_checks import (
+        Expectation,
+        check_report,
+    )
+
+    docs = _t(spark, sf, "documents")
+    exps = [
+        Expectation("doc_id_not_null", F.col("doc_id").isNotNull()),
+        Expectation("n_chars_matches_text", F.col("n_chars") == F.length("text")),
+        Expectation("text_nonempty", F.length("text") > 0),
+        Expectation(
+            "lang_known",
+            F.col("lang").isin("en", "de", "fr", "es", "zh"),
+            max_violation_rate=0.5,
+        ),
+    ]
+    return check_report(docs, exps)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -1833,6 +1856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_native": q_sessionize_native,
         "cdc_apply_changes": q_cdc_apply_changes,
         "small_qty_revenue": q_small_qty_revenue,
+        "quality_expectations": q_quality_expectations,
     }
 
 
@@ -3231,5 +3255,26 @@ def oracle_sql() -> dict[str, str]:
               AND l.l_quantity < (
                 SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
                 WHERE l2.l_partkey = l.l_partkey)
+        """,
+        "quality_expectations": """
+            WITH a AS (
+              SELECT count(*) AS n,
+                     count_if(doc_id IS NULL) AS v0,
+                     count_if(NOT coalesce(n_chars = length(text), FALSE)) AS v1,
+                     count_if(NOT coalesce(length(text) > 0, FALSE)) AS v2,
+                     count_if(NOT coalesce(lang IN ('en','de','fr','es','zh'), FALSE)) AS v3
+              FROM documents)
+            SELECT name, n AS n_rows, CAST(v AS BIGINT) AS n_violations,
+                   round(v * 1.0 / n, 6) AS violation_rate,
+                   CAST(mx AS DOUBLE) AS max_violation_rate,
+                   (v * 1.0 / n) > mx AS breached
+            FROM (
+              SELECT 'doc_id_not_null' AS name, n, v0 AS v, 0.0 AS mx FROM a
+              UNION ALL
+              SELECT 'n_chars_matches_text', n, v1, 0.0 FROM a
+              UNION ALL
+              SELECT 'text_nonempty', n, v2, 0.0 FROM a
+              UNION ALL
+              SELECT 'lang_known', n, v3, 0.5 FROM a)
         """,
     }

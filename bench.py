@@ -58,6 +58,9 @@ def main() -> None:
         "sample_split",            # deterministic split + report
         "curation_repetition",     # gram repetition signals
         "curation_contamination",  # benchmark 8-gram overlap
+        "kmeans_centroids",        # iterative Lloyd clustering
+        "small_qty_revenue",       # correlated subquery (Q17 class)
+        "sentence_chunks",         # RAG sentence-window chunking
         "enem_questions" if "enem_questions" in entry.queries() else "ta_fingerprint",
     ]
     qs = entry.queries()

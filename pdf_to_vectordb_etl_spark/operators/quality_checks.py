@@ -1,0 +1,81 @@
+"""Data-quality expectations (beyond-reference).
+
+Delta-expectations / dbt-test class checks for a corpus pipeline: each
+expectation is a boolean Column; ALL expectations evaluate in ONE pass
+(a single aggregate over conditional counts — no per-check scan), and
+enforcement either raises, drops violating rows, or just reports.
+
+At 100 TB the one-pass property is the whole point: N checks cost one
+scan, and the violation report is N tiny rows on the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+@dataclass(frozen=True)
+class Expectation:
+    name: str
+    condition: Column  # True = row passes
+    max_violation_rate: float = 0.0  # tolerated fraction of violating rows
+
+
+class ExpectationError(AssertionError):
+    """Raised when an expectation breaches its tolerated violation rate;
+    carries the full report so the failure is actionable."""
+
+    def __init__(self, report: list[dict]):
+        self.report = report
+        breached = [r["name"] for r in report if r["breached"]]
+        super().__init__(f"expectations breached: {breached}; report={report}")
+
+
+def check_report(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
+    """Violation report, one row per expectation, computed in ONE
+    aggregate pass: (name, n_rows, n_violations, violation_rate,
+    max_violation_rate, breached)."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, e in enumerate(expectations):
+        aggs.append(
+            F.count_if(~F.coalesce(e.condition, F.lit(False))).alias(f"_v{i}")
+        )
+    row = df.agg(*aggs)
+    reports = []
+    for i, e in enumerate(expectations):
+        rate = F.when(
+            F.col("_n") > 0, F.col(f"_v{i}") / F.col("_n")
+        ).otherwise(F.lit(0.0))
+        reports.append(
+            F.struct(
+                F.lit(e.name).alias("name"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_v{i}").alias("n_violations"),
+                F.round(rate, 6).alias("violation_rate"),
+                F.lit(e.max_violation_rate).alias("max_violation_rate"),
+                (rate > e.max_violation_rate).alias("breached"),
+            )
+        )
+    return row.select(F.explode(F.array(*reports)).alias("r")).select("r.*")
+
+
+def enforce(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
+    """Raise :class:`ExpectationError` if any expectation breaches its
+    tolerance; otherwise return ``df`` unchanged. The report costs one
+    aggregate job; the returned frame is untouched (no extra scan on
+    the success path)."""
+    report = [r.asDict() for r in check_report(df, expectations).collect()]
+    if any(r["breached"] for r in report):
+        raise ExpectationError(report)
+    return df
+
+
+def drop_violations(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
+    """Row-level enforcement: keep only rows passing EVERY expectation
+    (NULL condition = violation). One narrow filter, no aggregate."""
+    cond = F.lit(True)
+    for e in expectations:
+        cond = cond & F.coalesce(e.condition, F.lit(False))
+    return df.filter(cond)

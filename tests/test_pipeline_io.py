@@ -459,3 +459,51 @@ def test_read_documents_text_lines(spark, tmp_path):
     got = sorted(r["text"] for r in df.collect())
     assert got == ["first line", "second line"]
     assert df.filter(F.col("doc_id").isNull()).count() == 0
+
+
+def test_overwrite_partitions_touches_only_present_partitions(spark, tmp_path):
+    path = str(tmp_path / "table")
+    day1 = spark.createDataFrame([("d1", 1), ("d1", 2)], "day string, v int")
+    day2 = spark.createDataFrame([("d2", 3)], "day string, v int")
+    sinks.overwrite_partitions(day1.union(day2), path, ["day"])
+    # backfill day2 only; day1 must survive byte-for-byte
+    fix = spark.createDataFrame([("d2", 99)], "day string, v int")
+    sinks.overwrite_partitions(fix, path, ["day"])
+    got = {(r["day"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {("d1", 1), ("d1", 2), ("d2", 99)}
+
+
+def test_expectations_one_pass_report_and_enforce(spark, sf_dir):
+    from pdf_to_vectordb_etl_spark.operators.quality_checks import (
+        Expectation,
+        ExpectationError,
+        check_report,
+        drop_violations,
+        enforce,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    exps = [
+        Expectation("doc_id_not_null", F.col("doc_id").isNotNull()),
+        Expectation("n_chars_matches_text", F.col("n_chars") == F.length("text")),
+        Expectation("text_nonempty", F.length("text") > 0),
+        Expectation("lang_known", F.col("lang").isin("en", "de", "fr", "es", "zh"),
+                    max_violation_rate=0.5),
+    ]
+    rep = {r["name"]: r for r in check_report(docs, exps).collect()}
+    assert len(rep) == 4 and all(r["n_rows"] == docs.count() for r in rep.values())
+    assert not rep["doc_id_not_null"]["breached"]
+
+    # enforce passes on the real corpus contract
+    enforce(docs, exps[:1])
+
+    # a planted violation breaches and reports precisely
+    import pytest
+
+    broken = docs.limit(10).withColumn("doc_id", F.lit(None).cast("long"))
+    with pytest.raises(ExpectationError) as ei:
+        enforce(broken, exps[:1])
+    assert ei.value.report[0]["n_violations"] == 10
+
+    kept = drop_violations(broken.union(docs.limit(5)), exps[:1])
+    assert kept.count() == 5
