@@ -1748,6 +1748,21 @@ def q_quality_expectations(spark, sf):
     return check_report(docs, exps)
 
 
+def q_resample_locf(spark, sf):
+    """Time-series resampling: daily grid per user, avg value per
+    bucket, LOCF carry across empty days. Grid densification via
+    sequence-explode; one LOCF window; rounding before the fill keeps
+    carried values engine-identical."""
+    ev = _t(spark, sf, "events").select(
+        "user_id", F.expr("ts div 1000").alias("tus"), "value"
+    )
+    out = aggregates.resample_locf(
+        ev, time_col="tus", by="user_id", value_col="value",
+        step=86_400_000_000,
+    )
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -1857,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply_changes": q_cdc_apply_changes,
         "small_qty_revenue": q_small_qty_revenue,
         "quality_expectations": q_quality_expectations,
+        "resample_locf": q_resample_locf,
     }
 
 
@@ -3276,5 +3292,28 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'text_nonempty', n, v2, 0.0 FROM a
               UNION ALL
               SELECT 'lang_known', n, v3, 0.5 FROM a)
+        """,
+        "resample_locf": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) // 86400000000 AS bucket, value
+              FROM events),
+            b AS (
+              SELECT user_id, bucket, round(avg(value), 4) AS v
+              FROM e GROUP BY user_id, bucket),
+            span AS (
+              SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+              FROM b GROUP BY user_id),
+            grid AS (
+              SELECT user_id, unnest(generate_series(lo, hi)) AS bucket
+              FROM span),
+            dense AS (
+              SELECT g.user_id, g.bucket, b.v
+              FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.bucket = g.bucket)
+            SELECT user_id, bucket * 86400000000 AS bucket_start,
+                   v IS NOT NULL AS observed,
+                   last_value(v IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+            FROM dense
         """,
     }

@@ -186,3 +186,49 @@ def latest_per_key(
     aggs = [F.max_by(c, order_col).alias(c) for c in payload_cols]
     aggs.append(F.max(order_col).alias(order_col))
     return df.groupBy(key).agg(*aggs)
+
+
+def resample_locf(
+    df: DataFrame,
+    time_col: str,
+    by: str,
+    value_col: str,
+    step: int,
+    agg: str = "avg",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Downsample an irregular series onto a fixed time grid with LOCF
+    gap fill: one row per (key, bucket) for EVERY bucket between the
+    key's first and last observation; empty buckets carry the last
+    observed aggregate forward.
+
+    Plan: bucket aggregate (one shuffle, partial combine) -> per-key
+    min/max bucket (tiny) -> ``sequence``/explode densifies the grid
+    (array built only under its own explode) -> left join the
+    aggregates back on (key, bucket) -> one LOCF window. Grid size is
+    span/step per key — choose ``step`` so that's bounded; total work
+    is O(events + grid), never O(events x grid). The per-bucket value
+    rounds BEFORE the fill so carried values are bit-identical to their
+    source bucket (engine-portable).
+    """
+    # integer `div`, not double /: exact bucketing for epoch-scale longs
+    b = (
+        df.select(F.col(by), F.expr(f"`{time_col}` div {int(step)}").alias("bucket"),
+                  F.col(value_col))
+        .groupBy(by, "bucket")
+        .agg(F.round(getattr(F, agg)(value_col), round_dp).alias("_v"))
+    )
+    span = b.groupBy(by).agg(
+        F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")
+    )
+    grid = span.select(
+        by, F.explode(F.sequence("_lo", "_hi")).alias("bucket")
+    )
+    dense = grid.join(b, [by, "bucket"], "left")
+    filled = forward_fill(dense, "_v", by, ["bucket"], out_col="value_filled")
+    return filled.select(
+        by,
+        (F.col("bucket") * step).alias("bucket_start"),
+        (F.col("_v").isNotNull()).alias("observed"),
+        "value_filled",
+    )

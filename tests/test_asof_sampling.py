@@ -177,3 +177,25 @@ def test_bm25_absent_term_empty(spark):
 
     docs = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
     assert textsearch.bm25_scores(docs, ["zzzznope"]).count() == 0
+
+
+def test_resample_locf_dense_grid_and_carry(spark):
+    from pdf_to_vectordb_etl_spark.operators import aggregates
+
+    # user 1: observations in buckets 0 and 3 (gap at 1, 2)
+    df = spark.createDataFrame(
+        [(1, 5, 10.0), (1, 8, 30.0), (1, 305, 50.0), (2, 100, 7.0)],
+        "user_id long, tus long, value double",
+    )
+    out = aggregates.resample_locf(df, "tus", "user_id", "value", step=100)
+    rows = {
+        (r["user_id"], r["bucket_start"]): (r["observed"], r["value_filled"])
+        for r in out.collect()
+    }
+    # user 1 spans buckets 0..3 -> 4 dense rows; user 2 just one
+    assert len(rows) == 5
+    assert rows[(1, 0)] == (True, 20.0)  # avg(10, 30)
+    assert rows[(1, 100)] == (False, 20.0)  # carried
+    assert rows[(1, 200)] == (False, 20.0)  # carried
+    assert rows[(1, 300)] == (True, 50.0)
+    assert rows[(2, 100)] == (True, 7.0)
