@@ -148,6 +148,10 @@ def assign_ids(
     ``2022_D1_N3`` names two questions. ``sequential``: reference-compat
     count-continuation (qdrant_text_loader.py:189,:210-211) — a single-
     partition window; correct but serializing, gated to compat use.
+
+    NOTE: under Spark's default case-INsensitive resolution the added
+    ``id`` column REPLACES an existing ``ID`` column — capture the
+    natural key first if you need it downstream.
     """
     if mode == "hash":
         keys = (natural_key,) if isinstance(natural_key, str) else natural_key

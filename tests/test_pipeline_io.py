@@ -507,3 +507,38 @@ def test_expectations_one_pass_report_and_enforce(spark, sf_dir):
 
     kept = drop_violations(broken.union(docs.limit(5)), exps[:1])
     assert kept.count() == 5
+
+
+def test_sequential_id_stream_continues_across_runs(spark, tmp_path):
+    """T4 compat: dense sequential ids must continue across micro-batches
+    AND across separate stream runs (offset recovered from committed
+    markers, not from memory)."""
+    from pdf_to_vectordb_etl_spark.streaming.pipeline import (
+        read_page_stream,
+        run_sequential_id_etl,
+    )
+
+    drop = str(tmp_path / "drop")
+    ckpt = str(tmp_path / "ckpt")
+    offsets = str(tmp_path / "offsets")
+    got: list = []
+
+    def sink(df, batch_id):
+        got.extend((r["id"], r["subject"]) for r in df.collect())
+
+    c1 = synthetic.corpus_df(spark, years=(2022,), days=("D1",))
+    c1.repartition("doc_id").write.mode("overwrite").json(drop)
+    q = run_sequential_id_etl(read_page_stream(spark, drop), ckpt, offsets, sink)
+    q.awaitTermination(180)
+    n1 = len(got)
+    assert n1 > 0
+    assert sorted(i for i, _ in got) == list(range(n1))  # dense 0..n1-1
+
+    # second run: new files land; ids must continue at n1
+    c2 = synthetic.corpus_df(spark, years=(2023,), days=("D1",))
+    c2.repartition("doc_id").write.mode("append").json(drop)
+    q2 = run_sequential_id_etl(read_page_stream(spark, drop), ckpt, offsets, sink)
+    q2.awaitTermination(180)
+    n2 = len(got)
+    assert n2 > n1
+    assert sorted(i for i, _ in got) == list(range(n2))  # still dense, no reuse
