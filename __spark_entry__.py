@@ -1763,6 +1763,18 @@ def q_resample_locf(spark, sf):
     return out
 
 
+def q_pq_reconstruction(spark, sf):
+    """Product quantization quality gate: train m=4 x k=16 codebooks
+    (one Lloyd round per subspace) over the embeddings table, then
+    report codes-used and mean squared reconstruction error per
+    subspace — the decide-before-rewrite metric for PQ compression."""
+    from pdf_to_vectordb_etl_spark.operators import quantization as pq
+
+    emb = _t(spark, sf, "embeddings")
+    books = pq.pq_train(emb, m=4, k=16, n_iters=1, dim=64)
+    return pq.pq_reconstruction_report(emb, books)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -1873,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_qty_revenue": q_small_qty_revenue,
         "quality_expectations": q_quality_expectations,
         "resample_locf": q_resample_locf,
+        "pq_reconstruction": q_pq_reconstruction,
     }
 
 
@@ -1885,6 +1898,131 @@ _SHINGLES = (
     "list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 0)),"
     " i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"
 )
+
+
+_PQ_ORACLE = """
+WITH
+            sub0 AS (SELECT vec_id, embedding[1:16] AS v FROM embeddings),
+            init0 AS (
+              SELECT row_number() OVER (ORDER BY vec_id) AS cid, CAST(v AS DOUBLE[]) AS c
+              FROM (SELECT vec_id, v FROM sub0
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+            a0 AS (
+              SELECT s.vec_id, s.v, c.cid,
+                     row_number() OVER (PARTITION BY s.vec_id
+                       ORDER BY round(list_cosine_similarity(s.v, c.c), 6) DESC, c.cid) AS rn
+              FROM sub0 s CROSS JOIN init0 c),
+            x0 AS (SELECT cid, unnest(range(len(v))) AS dim, unnest(v) AS x
+                     FROM a0 WHERE rn = 1),
+            d0 AS (SELECT cid, dim, round(avg(x), 6) AS cd FROM x0 GROUP BY cid, dim),
+            cent0 AS (SELECT cid, list(cd ORDER BY dim) AS c FROM d0 GROUP BY cid),
+            e0 AS (
+              SELECT s.vec_id, s.v, c.cid,
+                     row_number() OVER (PARTITION BY s.vec_id
+                       ORDER BY round(list_cosine_similarity(s.v, c.c), 6) DESC, c.cid) AS rn
+              FROM sub0 s CROSS JOIN cent0 c),
+            y0 AS (SELECT cid, vec_id, unnest(range(len(v))) AS dim, unnest(v) AS x
+                     FROM e0 WHERE rn = 1),
+            r0 AS (
+              SELECT y.vec_id, y.cid,
+                     sum((CAST(y.x AS DOUBLE) - d.cd) * (CAST(y.x AS DOUBLE) - d.cd)) AS sq
+              FROM y0 y JOIN d0 d ON d.cid = y.cid AND d.dim = y.dim
+              GROUP BY y.vec_id, y.cid),
+            sub1 AS (SELECT vec_id, embedding[17:32] AS v FROM embeddings),
+            init1 AS (
+              SELECT row_number() OVER (ORDER BY vec_id) AS cid, CAST(v AS DOUBLE[]) AS c
+              FROM (SELECT vec_id, v FROM sub1
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+            a1 AS (
+              SELECT s.vec_id, s.v, c.cid,
+                     row_number() OVER (PARTITION BY s.vec_id
+                       ORDER BY round(list_cosine_similarity(s.v, c.c), 6) DESC, c.cid) AS rn
+              FROM sub1 s CROSS JOIN init1 c),
+            x1 AS (SELECT cid, unnest(range(len(v))) AS dim, unnest(v) AS x
+                     FROM a1 WHERE rn = 1),
+            d1 AS (SELECT cid, dim, round(avg(x), 6) AS cd FROM x1 GROUP BY cid, dim),
+            cent1 AS (SELECT cid, list(cd ORDER BY dim) AS c FROM d1 GROUP BY cid),
+            e1 AS (
+              SELECT s.vec_id, s.v, c.cid,
+                     row_number() OVER (PARTITION BY s.vec_id
+                       ORDER BY round(list_cosine_similarity(s.v, c.c), 6) DESC, c.cid) AS rn
+              FROM sub1 s CROSS JOIN cent1 c),
+            y1 AS (SELECT cid, vec_id, unnest(range(len(v))) AS dim, unnest(v) AS x
+                     FROM e1 WHERE rn = 1),
+            r1 AS (
+              SELECT y.vec_id, y.cid,
+                     sum((CAST(y.x AS DOUBLE) - d.cd) * (CAST(y.x AS DOUBLE) - d.cd)) AS sq
+              FROM y1 y JOIN d1 d ON d.cid = y.cid AND d.dim = y.dim
+              GROUP BY y.vec_id, y.cid),
+            sub2 AS (SELECT vec_id, embedding[33:48] AS v FROM embeddings),
+            init2 AS (
+              SELECT row_number() OVER (ORDER BY vec_id) AS cid, CAST(v AS DOUBLE[]) AS c
+              FROM (SELECT vec_id, v FROM sub2
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+            a2 AS (
+              SELECT s.vec_id, s.v, c.cid,
+                     row_number() OVER (PARTITION BY s.vec_id
+                       ORDER BY round(list_cosine_similarity(s.v, c.c), 6) DESC, c.cid) AS rn
+              FROM sub2 s CROSS JOIN init2 c),
+            x2 AS (SELECT cid, unnest(range(len(v))) AS dim, unnest(v) AS x
+                     FROM a2 WHERE rn = 1),
+            d2 AS (SELECT cid, dim, round(avg(x), 6) AS cd FROM x2 GROUP BY cid, dim),
+            cent2 AS (SELECT cid, list(cd ORDER BY dim) AS c FROM d2 GROUP BY cid),
+            e2 AS (
+              SELECT s.vec_id, s.v, c.cid,
+                     row_number() OVER (PARTITION BY s.vec_id
+                       ORDER BY round(list_cosine_similarity(s.v, c.c), 6) DESC, c.cid) AS rn
+              FROM sub2 s CROSS JOIN cent2 c),
+            y2 AS (SELECT cid, vec_id, unnest(range(len(v))) AS dim, unnest(v) AS x
+                     FROM e2 WHERE rn = 1),
+            r2 AS (
+              SELECT y.vec_id, y.cid,
+                     sum((CAST(y.x AS DOUBLE) - d.cd) * (CAST(y.x AS DOUBLE) - d.cd)) AS sq
+              FROM y2 y JOIN d2 d ON d.cid = y.cid AND d.dim = y.dim
+              GROUP BY y.vec_id, y.cid),
+            sub3 AS (SELECT vec_id, embedding[49:64] AS v FROM embeddings),
+            init3 AS (
+              SELECT row_number() OVER (ORDER BY vec_id) AS cid, CAST(v AS DOUBLE[]) AS c
+              FROM (SELECT vec_id, v FROM sub3
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+            a3 AS (
+              SELECT s.vec_id, s.v, c.cid,
+                     row_number() OVER (PARTITION BY s.vec_id
+                       ORDER BY round(list_cosine_similarity(s.v, c.c), 6) DESC, c.cid) AS rn
+              FROM sub3 s CROSS JOIN init3 c),
+            x3 AS (SELECT cid, unnest(range(len(v))) AS dim, unnest(v) AS x
+                     FROM a3 WHERE rn = 1),
+            d3 AS (SELECT cid, dim, round(avg(x), 6) AS cd FROM x3 GROUP BY cid, dim),
+            cent3 AS (SELECT cid, list(cd ORDER BY dim) AS c FROM d3 GROUP BY cid),
+            e3 AS (
+              SELECT s.vec_id, s.v, c.cid,
+                     row_number() OVER (PARTITION BY s.vec_id
+                       ORDER BY round(list_cosine_similarity(s.v, c.c), 6) DESC, c.cid) AS rn
+              FROM sub3 s CROSS JOIN cent3 c),
+            y3 AS (SELECT cid, vec_id, unnest(range(len(v))) AS dim, unnest(v) AS x
+                     FROM e3 WHERE rn = 1),
+            r3 AS (
+              SELECT y.vec_id, y.cid,
+                     sum((CAST(y.x AS DOUBLE) - d.cd) * (CAST(y.x AS DOUBLE) - d.cd)) AS sq
+              FROM y3 y JOIN d3 d ON d.cid = y.cid AND d.dim = y.dim
+              GROUP BY y.vec_id, y.cid)
+
+              SELECT 0 AS subspace, count(DISTINCT cid) AS n_codes_used,
+                     round(avg(sq), 4) AS avg_sq_err
+              FROM r0
+              UNION ALL
+              SELECT 1 AS subspace, count(DISTINCT cid) AS n_codes_used,
+                     round(avg(sq), 4) AS avg_sq_err
+              FROM r1
+              UNION ALL
+              SELECT 2 AS subspace, count(DISTINCT cid) AS n_codes_used,
+                     round(avg(sq), 4) AS avg_sq_err
+              FROM r2
+              UNION ALL
+              SELECT 3 AS subspace, count(DISTINCT cid) AS n_codes_used,
+                     round(avg(sq), 4) AS avg_sq_err
+              FROM r3
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3316,4 +3454,5 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
             FROM dense
         """,
+        "pq_reconstruction": _PQ_ORACLE,
     }

@@ -1,0 +1,134 @@
+"""Product quantization (PQ) for embedding columns (beyond-reference).
+
+At 100 TB an fp32 embedding column dominates storage and shuffle; PQ
+(Jégou et al., 2011 — public algorithm) stores each vector as m small
+codes: split the dimension into m subspaces, k-means each subspace
+independently, and keep only each subvector's nearest-centroid code.
+dim=64 float32 (256 B) at m=4, k=16 becomes 4 codes (4 B at k<=256) —
+a 64x compression with bounded reconstruction error.
+
+Everything reuses the clustering module's DataFrame-native Lloyd
+machinery, so training is m independent linear passes (m is a small
+constant — the driver loop is over SUBSPACES, never rows), encoding is
+one union + one groupBy, and the whole path inherits k-means'
+determinism contract (md5 init, 6 dp rounding) — an external SQL
+oracle replays training, encoding, and reconstruction error exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .clustering import kmeans_assign, kmeans_fit
+
+
+def _subspace(df: DataFrame, j: int, sub_dim: int, vec_col: str, id_col: str) -> DataFrame:
+    # F.slice is 1-based; subspace j covers [j*sub_dim+1, (j+1)*sub_dim]
+    return df.select(
+        F.col(id_col),
+        F.slice(F.col(vec_col), j * sub_dim + 1, sub_dim).alias(vec_col),
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    n_iters: int = 1,
+    dim: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Codebooks: (subspace, cluster_id, centroid, n_members) — an
+    independent k-means per subspace. m linear passes; nothing
+    quadratic; the returned table is m*k rows (kilobytes)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub_dim = dim // m
+    books = []
+    for j in range(m):
+        cb = kmeans_fit(
+            _subspace(df, j, sub_dim, vec_col, id_col),
+            k=k, n_iters=n_iters, vec_col=vec_col, id_col=id_col,
+        )
+        books.append(cb.select(F.lit(j).alias("subspace"), "cluster_id",
+                               "centroid", "n_members"))
+    out = books[0]
+    for b in books[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes) — codes[j] = nearest centroid of subspace j. Per
+    subspace one broadcast-argmax assign; the m small (id, code) frames
+    union and fold to an array with ONE groupBy."""
+    meta = codebooks.groupBy("subspace").count().collect()
+    m = len(meta)
+    sub_dim_row = codebooks.select(F.size("centroid")).first()
+    sub_dim = sub_dim_row[0]
+    parts = []
+    for j in range(m):
+        cb = codebooks.filter(F.col("subspace") == j).select("cluster_id", "centroid")
+        assigned = kmeans_assign(
+            _subspace(df, j, sub_dim, vec_col, id_col), cb, vec_col, id_col
+        )
+        parts.append(assigned.select(id_col, F.lit(j).alias("subspace"),
+                                     F.col("cluster_id").alias("code")))
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    return allc.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("subspace", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+
+
+def pq_reconstruction_report(
+    df: DataFrame,
+    codebooks: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-subspace quality report: codes actually used and mean squared
+    L2 reconstruction error of the quantized subvectors — the metric
+    that decides whether (m, k) is adequate before committing a corpus
+    rewrite. One assign + one join + one aggregate per subspace."""
+    sub_dim = codebooks.select(F.size("centroid")).first()[0]
+    m = codebooks.agg(F.countDistinct("subspace")).first()[0]
+    reports = []
+    for j in range(m):
+        cb = codebooks.filter(F.col("subspace") == j).select("cluster_id", "centroid")
+        sub = _subspace(df, j, sub_dim, vec_col, id_col)
+        assigned = kmeans_assign(sub, cb, vec_col, id_col)
+        joined = assigned.join(F.broadcast(cb), "cluster_id")
+        sqerr = F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"), F.col("centroid"),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        reports.append(
+            joined.select(F.lit(j).alias("subspace"),
+                          F.col("cluster_id"), sqerr.alias("_e"))
+            .groupBy("subspace")
+            .agg(
+                F.countDistinct("cluster_id").alias("n_codes_used"),
+                F.round(F.avg("_e"), 4).alias("avg_sq_err"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

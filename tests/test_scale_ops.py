@@ -440,3 +440,30 @@ def test_cdc_apply_changes_empty_batch_is_identity(spark):
     empty = spark.createDataFrame([], "k long, name string, v double, op string, ord long")
     got = cdc.apply_changes(snapshot, empty, ["k"], "ord").collect()
     assert [(r["k"], r["name"], r["v"]) for r in got] == [(1, "a", 1.0)]
+
+
+def test_pq_encode_shape_and_determinism(spark, sf_dir):
+    from pdf_to_vectordb_etl_spark.operators import quantization as pq
+
+    emb = load(spark, sf_dir, "embeddings")
+    books = pq.pq_train(emb, m=4, k=8, n_iters=1, dim=64)
+    assert books.count() <= 4 * 8
+    codes = pq.pq_encode(emb, books)
+    rows = codes.collect()
+    assert len(rows) == emb.count()
+    assert all(len(r["codes"]) == 4 for r in rows)
+    # deterministic: re-encoding yields identical codes
+    again = {r["vec_id"]: r["codes"] for r in pq.pq_encode(emb, books).collect()}
+    assert all(again[r["vec_id"]] == r["codes"] for r in rows)
+
+
+def test_pq_error_shrinks_with_k(spark, sf_dir):
+    from pdf_to_vectordb_etl_spark.operators import quantization as pq
+
+    emb = load(spark, sf_dir, "embeddings").limit(200)
+    def total_err(k):
+        books = pq.pq_train(emb, m=4, k=k, n_iters=1, dim=64)
+        rep = pq.pq_reconstruction_report(emb, books)
+        return sum(r["avg_sq_err"] for r in rep.collect())
+
+    assert total_err(16) < total_err(2)  # richer codebook -> lower error
