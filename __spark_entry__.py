@@ -1775,6 +1775,21 @@ def q_pq_reconstruction(spark, sf):
     return pq.pq_reconstruction_report(emb, books)
 
 
+def q_pq_adc_topk(spark, sf):
+    """Similarity search over COMPRESSED vectors: PQ-encode the corpus,
+    then rank by asymmetric distance (m table lookups per row, never a
+    full vector) for the vec_id=0 query; top-20 with rounded-score +
+    id tiebreak so the cut is engine-stable."""
+    from pdf_to_vectordb_etl_spark.operators import quantization as pq
+
+    emb = _t(spark, sf, "embeddings")
+    books = pq.pq_train(emb, m=4, k=16, n_iters=1, dim=64)
+    codes = pq.pq_encode(emb, books)
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    top = pq.pq_topk(codes, books, list(query), k=20)
+    return top.select("vec_id", F.round("adc_sim", 4).alias("adc_sim"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -1886,6 +1901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_expectations": q_quality_expectations,
         "resample_locf": q_resample_locf,
         "pq_reconstruction": q_pq_reconstruction,
+        "pq_adc_topk": q_pq_adc_topk,
     }
 
 
@@ -2022,6 +2038,128 @@ WITH
               SELECT 3 AS subspace, count(DISTINCT cid) AS n_codes_used,
                      round(avg(sq), 4) AS avg_sq_err
               FROM r3
+"""
+
+
+_PQ_ADC_ORACLE = """
+WITH
+            sub0 AS (SELECT vec_id, embedding[1:16] AS v FROM embeddings),
+            init0 AS (
+              SELECT row_number() OVER (ORDER BY vec_id) AS cid, CAST(v AS DOUBLE[]) AS c
+              FROM (SELECT vec_id, v FROM sub0
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+            a0 AS (
+              SELECT s.vec_id, s.v, c.cid,
+                     row_number() OVER (PARTITION BY s.vec_id
+                       ORDER BY round(list_cosine_similarity(s.v, c.c), 6) DESC, c.cid) AS rn
+              FROM sub0 s CROSS JOIN init0 c),
+            x0 AS (SELECT cid, unnest(range(len(v))) AS dim, unnest(v) AS x
+                     FROM a0 WHERE rn = 1),
+            d0 AS (SELECT cid, dim, round(avg(x), 6) AS cd FROM x0 GROUP BY cid, dim),
+            cent0 AS (SELECT cid, list(cd ORDER BY dim) AS c FROM d0 GROUP BY cid),
+            e0 AS (
+              SELECT s.vec_id, s.v, c.cid,
+                     row_number() OVER (PARTITION BY s.vec_id
+                       ORDER BY round(list_cosine_similarity(s.v, c.c), 6) DESC, c.cid) AS rn
+              FROM sub0 s CROSS JOIN cent0 c),
+            qs0 AS (SELECT unnest(range(16)) AS dim, unnest(embedding[1:16]) AS qx
+                      FROM embeddings WHERE vec_id = 0),
+            t0 AS (SELECT d.cid, sum(d.cd * CAST(q.qx AS DOUBLE)) AS dot,
+                            sum(d.cd * d.cd) AS n2
+                     FROM d0 d JOIN qs0 q ON q.dim = d.dim GROUP BY d.cid),
+            s0 AS (SELECT e.vec_id, t.dot, t.n2
+                     FROM (SELECT vec_id, cid FROM e0 WHERE rn = 1) e
+                     JOIN t0 t ON t.cid = e.cid),
+            sub1 AS (SELECT vec_id, embedding[17:32] AS v FROM embeddings),
+            init1 AS (
+              SELECT row_number() OVER (ORDER BY vec_id) AS cid, CAST(v AS DOUBLE[]) AS c
+              FROM (SELECT vec_id, v FROM sub1
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+            a1 AS (
+              SELECT s.vec_id, s.v, c.cid,
+                     row_number() OVER (PARTITION BY s.vec_id
+                       ORDER BY round(list_cosine_similarity(s.v, c.c), 6) DESC, c.cid) AS rn
+              FROM sub1 s CROSS JOIN init1 c),
+            x1 AS (SELECT cid, unnest(range(len(v))) AS dim, unnest(v) AS x
+                     FROM a1 WHERE rn = 1),
+            d1 AS (SELECT cid, dim, round(avg(x), 6) AS cd FROM x1 GROUP BY cid, dim),
+            cent1 AS (SELECT cid, list(cd ORDER BY dim) AS c FROM d1 GROUP BY cid),
+            e1 AS (
+              SELECT s.vec_id, s.v, c.cid,
+                     row_number() OVER (PARTITION BY s.vec_id
+                       ORDER BY round(list_cosine_similarity(s.v, c.c), 6) DESC, c.cid) AS rn
+              FROM sub1 s CROSS JOIN cent1 c),
+            qs1 AS (SELECT unnest(range(16)) AS dim, unnest(embedding[17:32]) AS qx
+                      FROM embeddings WHERE vec_id = 0),
+            t1 AS (SELECT d.cid, sum(d.cd * CAST(q.qx AS DOUBLE)) AS dot,
+                            sum(d.cd * d.cd) AS n2
+                     FROM d1 d JOIN qs1 q ON q.dim = d.dim GROUP BY d.cid),
+            s1 AS (SELECT e.vec_id, t.dot, t.n2
+                     FROM (SELECT vec_id, cid FROM e1 WHERE rn = 1) e
+                     JOIN t1 t ON t.cid = e.cid),
+            sub2 AS (SELECT vec_id, embedding[33:48] AS v FROM embeddings),
+            init2 AS (
+              SELECT row_number() OVER (ORDER BY vec_id) AS cid, CAST(v AS DOUBLE[]) AS c
+              FROM (SELECT vec_id, v FROM sub2
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+            a2 AS (
+              SELECT s.vec_id, s.v, c.cid,
+                     row_number() OVER (PARTITION BY s.vec_id
+                       ORDER BY round(list_cosine_similarity(s.v, c.c), 6) DESC, c.cid) AS rn
+              FROM sub2 s CROSS JOIN init2 c),
+            x2 AS (SELECT cid, unnest(range(len(v))) AS dim, unnest(v) AS x
+                     FROM a2 WHERE rn = 1),
+            d2 AS (SELECT cid, dim, round(avg(x), 6) AS cd FROM x2 GROUP BY cid, dim),
+            cent2 AS (SELECT cid, list(cd ORDER BY dim) AS c FROM d2 GROUP BY cid),
+            e2 AS (
+              SELECT s.vec_id, s.v, c.cid,
+                     row_number() OVER (PARTITION BY s.vec_id
+                       ORDER BY round(list_cosine_similarity(s.v, c.c), 6) DESC, c.cid) AS rn
+              FROM sub2 s CROSS JOIN cent2 c),
+            qs2 AS (SELECT unnest(range(16)) AS dim, unnest(embedding[33:48]) AS qx
+                      FROM embeddings WHERE vec_id = 0),
+            t2 AS (SELECT d.cid, sum(d.cd * CAST(q.qx AS DOUBLE)) AS dot,
+                            sum(d.cd * d.cd) AS n2
+                     FROM d2 d JOIN qs2 q ON q.dim = d.dim GROUP BY d.cid),
+            s2 AS (SELECT e.vec_id, t.dot, t.n2
+                     FROM (SELECT vec_id, cid FROM e2 WHERE rn = 1) e
+                     JOIN t2 t ON t.cid = e.cid),
+            sub3 AS (SELECT vec_id, embedding[49:64] AS v FROM embeddings),
+            init3 AS (
+              SELECT row_number() OVER (ORDER BY vec_id) AS cid, CAST(v AS DOUBLE[]) AS c
+              FROM (SELECT vec_id, v FROM sub3
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+            a3 AS (
+              SELECT s.vec_id, s.v, c.cid,
+                     row_number() OVER (PARTITION BY s.vec_id
+                       ORDER BY round(list_cosine_similarity(s.v, c.c), 6) DESC, c.cid) AS rn
+              FROM sub3 s CROSS JOIN init3 c),
+            x3 AS (SELECT cid, unnest(range(len(v))) AS dim, unnest(v) AS x
+                     FROM a3 WHERE rn = 1),
+            d3 AS (SELECT cid, dim, round(avg(x), 6) AS cd FROM x3 GROUP BY cid, dim),
+            cent3 AS (SELECT cid, list(cd ORDER BY dim) AS c FROM d3 GROUP BY cid),
+            e3 AS (
+              SELECT s.vec_id, s.v, c.cid,
+                     row_number() OVER (PARTITION BY s.vec_id
+                       ORDER BY round(list_cosine_similarity(s.v, c.c), 6) DESC, c.cid) AS rn
+              FROM sub3 s CROSS JOIN cent3 c),
+            qs3 AS (SELECT unnest(range(16)) AS dim, unnest(embedding[49:64]) AS qx
+                      FROM embeddings WHERE vec_id = 0),
+            t3 AS (SELECT d.cid, sum(d.cd * CAST(q.qx AS DOUBLE)) AS dot,
+                            sum(d.cd * d.cd) AS n2
+                     FROM d3 d JOIN qs3 q ON q.dim = d.dim GROUP BY d.cid),
+            s3 AS (SELECT e.vec_id, t.dot, t.n2
+                     FROM (SELECT vec_id, cid FROM e3 WHERE rn = 1) e
+                     JOIN t3 t ON t.cid = e.cid),
+            qn AS (SELECT sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS qn
+                   FROM (SELECT unnest(embedding) AS x FROM embeddings WHERE vec_id = 0)),
+            alls AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1
+                     UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3),
+            sc AS (SELECT vec_id,
+                          round(sum(dot) / (sqrt(sum(n2)) * (SELECT qn FROM qn)), 6) AS adc6
+                   FROM alls GROUP BY vec_id)
+            SELECT vec_id, round(adc6, 4) AS adc_sim
+            FROM sc ORDER BY adc6 DESC, vec_id LIMIT 20
 """
 
 
@@ -3455,4 +3593,5 @@ def oracle_sql() -> dict[str, str]:
             FROM dense
         """,
         "pq_reconstruction": _PQ_ORACLE,
+        "pq_adc_topk": _PQ_ADC_ORACLE,
     }

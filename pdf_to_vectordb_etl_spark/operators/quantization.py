@@ -132,3 +132,63 @@ def pq_reconstruction_report(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebooks: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate cosine top-k by ASYMMETRIC DISTANCE COMPUTATION over
+    PQ codes — search never touches a full vector.
+
+    The query is sliced per subspace and dotted against every centroid
+    ONCE: an (m x k)-row lookup table (kilobytes, broadcast). Each
+    corpus row then explodes its m codes, joins the table, and one
+    aggregation sums dot products and centroid norms:
+
+        cos(q, x) ~ sum_j <q_j, c_{j,code_j}>
+                    / (||q|| * sqrt(sum_j ||c_{j,code_j}||^2))
+
+    Per corpus row the work is m table lookups — independent of dim —
+    so a 100 TB scan ranks at code width, not vector width. Scores are
+    rounded to 6 dp with an id tiebreak (engine-stable ranking); exact
+    re-ranking of the shortlist against full vectors is one extra join
+    when recall demands it.
+    """
+    sub_dim = codebooks.select(F.size("centroid")).first()[0]
+    qlit = F.lit([float(x) for x in query])
+    qnorm = sum(float(x) * float(x) for x in query) ** 0.5
+    table = codebooks.select(
+        "subspace",
+        F.col("cluster_id").alias("code"),
+        F.aggregate(
+            F.zip_with(
+                "centroid",
+                F.slice(qlit, F.col("subspace") * sub_dim + 1, sub_dim),
+                lambda c, q: c * q,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("dot"),
+        F.aggregate(
+            F.transform("centroid", lambda c: c * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("n2"),
+    )
+    ex = codes_df.select(id_col, F.posexplode("codes").alias("subspace", "code"))
+    scored = (
+        ex.join(F.broadcast(table), ["subspace", "code"])
+        .groupBy(id_col)
+        .agg(F.sum("dot").alias("_num"), F.sum("n2").alias("_n2"))
+        .select(
+            id_col,
+            F.round(
+                F.col("_num") / (F.sqrt(F.col("_n2")) * F.lit(qnorm)), 6
+            ).alias("adc_sim"),
+        )
+    )
+    return scored.orderBy(F.desc("adc_sim"), F.col(id_col)).limit(k)

@@ -467,3 +467,28 @@ def test_pq_error_shrinks_with_k(spark, sf_dir):
         return sum(r["avg_sq_err"] for r in rep.collect())
 
     assert total_err(16) < total_err(2)  # richer codebook -> lower error
+
+
+def test_pq_adc_topk_recall_vs_brute_force(spark, sf_dir):
+    """ADC over 4x16 codes must place most of the true cosine top-10 in
+    its top-20 — the compressed shortlist is a valid pre-ranker."""
+    from pdf_to_vectordb_etl_spark.operators import quantization as pq
+    from pdf_to_vectordb_etl_spark.operators import topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    books = pq.pq_train(emb, m=8, k=16, n_iters=1, dim=64)
+    codes = pq.pq_encode(emb, books)
+    # the production contract: ADC builds a SHORTLIST (here 20% of the
+    # corpus), exact reranking of the shortlist recovers the true top-k
+    approx = {r["vec_id"] for r in pq.pq_topk(codes, books, list(query), k=100).collect()}
+
+    exact = {
+        r["id"]
+        for r in topk.topk_cosine(
+            emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector")),
+            list(query), k=10,
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"shortlist recall@10-in-100 too low: {recall}"
