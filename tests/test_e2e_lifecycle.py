@@ -71,3 +71,18 @@ def test_tried_equals_inserted_accounting(spark, tmp_path):
     by_kind = {r["kind"]: r for r in pivot}
     for s in ("eng", "lang", "spani", "huma"):
         assert by_kind["todas_questoes"][s] == by_kind["questoes_add"][s]
+
+
+def test_registry_integrity():
+    """Every queries() entry must have a DuckDB oracle twin or be one of
+    the explicitly-known rows-only entries; every oracle key must name a
+    query. Guards against silently shipping unoracled operators."""
+    import __spark_entry__ as entry
+
+    q = set(entry.queries())
+    o = set(entry.oracle_sql())
+    assert o <= q, f"orphan oracles: {o - q}"
+    rows_only = q - o
+    assert rows_only <= {"dedup_simhash", "mm_decode_meta"}, (
+        f"unexpected rows-only queries: {rows_only}"
+    )
