@@ -1790,6 +1790,58 @@ def q_pq_adc_topk(spark, sf):
     return top.select("vec_id", F.round("adc_sim", 4).alias("adc_sim"))
 
 
+def q_order_priority_exists(spark, sf):
+    """TPC-H Q4 class — EXISTS subquery as a LEFT SEMI join: orders
+    with at least one line shipped >60 days after the order date,
+    counted per priority. Semi join ships only the key."""
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (o["o_orderkey"] == li["l_orderkey"]) & (
+        li["l_shipdate"] > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def q_promo_revenue(spark, sf):
+    """TPC-H Q14 class — conditional revenue share: percentage of
+    revenue from PROMO parts. One join + one agg; the CASE folds into
+    the partial aggregation."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.join(p, li["l_partkey"] == p["p_partkey"])
+    return j.agg(
+        F.round(
+            100 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            / F.sum(rev),
+            4,
+        ).alias("promo_revenue_pct")
+    )
+
+
+def q_disjunctive_revenue(spark, sf):
+    """TPC-H Q19 class — OR-of-ANDs predicate across both join sides:
+    the planner must keep the join equi (partkey) and evaluate the
+    disjunction as a post-join filter without exploding the plan."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(p, li["l_partkey"] == p["p_partkey"])
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 20)
+         & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 30)
+           & F.col("p_size").between(1, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 40)
+           & F.col("p_size").between(1, 30))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.filter(cond).agg(F.round(F.sum(rev), 2).alias("revenue"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -1902,6 +1954,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_locf": q_resample_locf,
         "pq_reconstruction": q_pq_reconstruction,
         "pq_adc_topk": q_pq_adc_topk,
+        "order_priority_exists": q_order_priority_exists,
+        "promo_revenue": q_promo_revenue,
+        "disjunctive_revenue": q_disjunctive_revenue,
     }
 
 
@@ -3594,4 +3649,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pq_reconstruction": _PQ_ORACLE,
         "pq_adc_topk": _PQ_ADC_ORACLE,
+        "order_priority_exists": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders o
+            WHERE EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority
+        """,
+        "promo_revenue": """
+            SELECT round(
+                     100 * sum(CASE WHEN p.p_type = 'PROMO'
+                                    THEN l.l_extendedprice * (1 - l.l_discount)
+                                    ELSE 0.0 END)
+                     / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                   AS promo_revenue_pct
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        """,
+        "disjunctive_revenue": """
+            SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 20
+                   AND p.p_size BETWEEN 1 AND 10)
+               OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 30
+                   AND p.p_size BETWEEN 1 AND 20)
+               OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 40
+                   AND p.p_size BETWEEN 1 AND 30)
+        """,
     }

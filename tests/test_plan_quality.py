@@ -176,3 +176,11 @@ def test_cdc_apply_changes_single_agg_no_window(spark, sf_dir):
     plan = _plan(_q(spark, sf_dir, "cdc_apply_changes"), "simple")
     assert "Window" not in plan
     assert "max_by" in plan or "HashAggregate" in plan
+
+
+def test_exists_is_semi_join_and_disjunction_stays_equi(spark, sf_dir):
+    p4 = _plan(_q(spark, sf_dir, "order_priority_exists"), "simple")
+    assert "LeftSemi" in p4  # EXISTS never materializes matches
+    p19 = _plan(_q(spark, sf_dir, "disjunctive_revenue"), "simple")
+    # the OR-of-ANDs must not break the equi join into a nested loop
+    assert "BroadcastNestedLoopJoin" not in p19 and "CartesianProduct" not in p19
