@@ -1842,6 +1842,62 @@ def q_disjunctive_revenue(spark, sf):
     return j.filter(cond).agg(F.round(F.sum(rev), 2).alias("revenue"))
 
 
+def q_string_surface(spark, sf):
+    """Scalar string-function surface over documents: the portable core
+    (pad/slice/search/translate/case) in one projection — function
+    parity proven value-for-value against the SQL twin."""
+    d = _t(spark, sf, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.upper(F.substring(t, 1, 12)).alias("up12"),
+        F.lower(F.right(t, F.lit(8))).alias("low8"),
+        F.lpad(F.col("lang"), 5, ".").alias("langpad"),
+        F.reverse(F.left(t, F.lit(6))).alias("rev6"),
+        F.length(F.translate(t, "aeiou", "")).alias("n_consonant_chars"),
+        F.instr(t, "data").alias("data_at"),
+        F.repeat(F.col("lang"), 2).alias("lang2"),
+    )
+
+
+def q_array_surface(spark, sf):
+    """Array-function surface: dedup/sort/set-ops/flatten over token
+    arrays — the collection algebra a curation DSL leans on."""
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    first5 = F.slice(toks, 1, 5)
+    last5 = F.slice(toks, -5, 5)
+    return d.select(
+        "doc_id",
+        F.size(F.array_distinct(toks)).alias("n_distinct_toks"),
+        F.array_join(F.array_sort(first5), "|").alias("first5_sorted"),
+        F.size(F.array_intersect(first5, last5)).alias("n_common_ends"),
+        F.size(F.array_union(first5, last5)).alias("n_union_ends"),
+        F.size(F.array_except(first5, last5)).alias("n_first_only"),
+        F.size(F.flatten(F.array(first5, last5))).alias("n_flat"),
+    )
+
+
+def q_window_value_functions(spark, sf):
+    """Window VALUE-function surface per user ordered by time:
+    first/last/nth event plus cumulative distribution."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("tus"), "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first("event_type").over(wall).alias("first_type"),
+        F.last("event_type").over(wall).alias("last_type"),
+        F.nth_value("event_type", 2).over(wall).alias("second_type"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -1957,6 +2013,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_exists": q_order_priority_exists,
         "promo_revenue": q_promo_revenue,
         "disjunctive_revenue": q_disjunctive_revenue,
+        "string_surface": q_string_surface,
+        "array_surface": q_array_surface,
+        "window_value_functions": q_window_value_functions,
     }
 
 
@@ -3676,5 +3735,49 @@ def oracle_sql() -> dict[str, str]:
                    AND p.p_size BETWEEN 1 AND 20)
                OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 40
                    AND p.p_size BETWEEN 1 AND 30)
+        """,
+        "string_surface": """
+            SELECT doc_id,
+                   upper(substr(text, 1, 12)) AS up12,
+                   lower(right(text, 8)) AS low8,
+                   lpad(lang, 5, '.') AS langpad,
+                   reverse(left(text, 6)) AS rev6,
+                   length(translate(text, 'aeiou', '')) AS n_consonant_chars,
+                   strpos(text, 'data') AS data_at,
+                   repeat(lang, 2) AS lang2
+            FROM documents
+        """,
+        "array_surface": """
+            WITH t AS (
+              SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+              FROM documents),
+            s AS (
+              SELECT doc_id, toks, toks[1:5] AS first5,
+                     toks[greatest(len(toks)-4, 1):len(toks)] AS last5
+              FROM t)
+            SELECT doc_id,
+                   len(list_distinct(toks)) AS n_distinct_toks,
+                   array_to_string(list_sort(first5), '|') AS first5_sorted,
+                   len(list_intersect(first5, last5)) AS n_common_ends,
+                   len(list_distinct(list_concat(first5, last5))) AS n_union_ends,
+                   len(list_filter(list_distinct(first5), x -> NOT list_contains(last5, x))) AS n_first_only,
+                   len(first5) + len(last5) AS n_flat
+            FROM s
+        """,
+        "window_value_functions": """
+            WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
+              FROM events)
+            SELECT user_id, event_id,
+                   first_value(event_type) OVER w AS first_type,
+                   last_value(event_type) OVER (PARTITION BY user_id
+                     ORDER BY tus, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type,
+                   nth_value(event_type, 2) OVER (PARTITION BY user_id
+                     ORDER BY tus, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_type,
+                   round(cume_dist() OVER w, 6) AS cdist
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
         """,
     }
