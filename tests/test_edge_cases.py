@@ -97,3 +97,67 @@ def test_forward_fill_idempotent(spark):
     once = aggregates.forward_fill(df, "v", by="k", order_cols=["t"], out_col="vf")
     twice = aggregates.forward_fill(once, "vf", by="k", order_cols=["t"], out_col="vf2")
     assert twice.filter(~F.col("vf").eqNullSafe(F.col("vf2"))).count() == 0
+
+
+def test_zorder_constant_column_degenerates_cleanly(spark):
+    """A zero-span column maps to bucket 0 everywhere — the key becomes
+    a 1-D sort, no divide-by-zero, no nulls."""
+    from pdf_to_vectordb_etl_spark.operators.zorder import zorder_key
+
+    df = spark.createDataFrame([(i, 7.0) for i in range(10)], "x long, y double")
+    out = zorder_key(df, "x", "y", "z").collect()
+    assert len(out) == 10
+    assert all(r["z"] is not None for r in out)
+    # constant y contributes nothing: z strictly increases with x rank
+    zs = [r["z"] for r in sorted(out, key=lambda r: r["x"])]
+    assert zs == sorted(zs)
+
+
+def test_kmeans_empty_input_returns_empty_model(spark):
+    from pdf_to_vectordb_etl_spark.operators import clustering
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    model = clustering.kmeans_fit(empty, k=3, n_iters=1)
+    assert model.count() == 0
+
+
+def test_resample_locf_empty_and_single_point(spark):
+    from pdf_to_vectordb_etl_spark.operators import aggregates
+
+    empty = spark.createDataFrame([], "user_id long, tus long, value double")
+    assert aggregates.resample_locf(empty, "tus", "user_id", "value", 100).count() == 0
+
+    one = spark.createDataFrame([(1, 50, 2.0)], "user_id long, tus long, value double")
+    got = aggregates.resample_locf(one, "tus", "user_id", "value", 100).collect()
+    assert len(got) == 1 and got[0]["value_filled"] == 2.0
+
+
+def test_quality_checks_empty_frame_no_breach(spark):
+    from pdf_to_vectordb_etl_spark.operators.quality_checks import (
+        Expectation,
+        check_report,
+        enforce,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    exps = [Expectation("id_not_null", F.col("doc_id").isNotNull())]
+    rep = check_report(empty, exps).collect()
+    assert rep[0]["n_rows"] == 0 and not rep[0]["breached"]
+    enforce(empty, exps)  # must not raise
+
+
+def test_pq_train_rejects_indivisible_dim(spark):
+    import pytest
+
+    from pdf_to_vectordb_etl_spark.operators import quantization as pq
+
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="not divisible"):
+        pq.pq_train(df, m=2, k=2, dim=3)
+
+
+def test_sentence_chunks_empty_text_yields_no_rows(spark):
+    from pdf_to_vectordb_etl_spark.operators import chunking
+
+    df = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id long, text string")
+    assert chunking.sentence_chunks(df, 5, 1).count() == 0
