@@ -171,3 +171,51 @@ def test_stream_dedup_first_wins_across_batches(spark, sf_dir, tmp_path):
     # every key exactly once despite 2x input across multiple batches
     assert got.count() == events.count()
     assert got.select("event_id").distinct().count() == events.count()
+
+
+def test_stream_cap_per_key_enforces_quota_across_batches(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas quota: at most `cap` docs admitted per
+    source across ALL micro-batches; admitted ids are a subset of input."""
+    from pdf_to_vectordb_etl_spark.streaming.stateful import (
+        stream_cap_per_key,
+        stream_cap_per_key_tws,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    src = str(tmp_path / "docs_src")
+    docs.repartition(4).write.mode("overwrite").parquet(src)  # 4 micro-batches
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_cap_per_key(stream, key="source", cap=7, id_col="doc_id")
+        .writeStream.format("memory")
+        .queryName("cap_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("cap_stream").collect()
+    per_key = {}
+    for r in got:
+        per_key.setdefault(r["key"], []).append(r["admitted_id"])
+    totals = {r["source"]: c for r, c in
+              [(x, x["n"]) for x in docs.groupBy("source").agg(F.count("*").alias("n")).collect()]}
+    assert per_key, "stream admitted nothing"
+    for k, ids in per_key.items():
+        assert len(ids) == min(7, totals[k]), (k, len(ids))
+        assert len(set(ids)) == len(ids)  # no id admitted twice
+    all_ids = {r["doc_id"] for r in docs.collect()}
+    assert all(i in all_ids for ids in per_key.values() for i in ids)
+    # the transformWithState twin gates cleanly when protobuf is absent
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        import pytest
+
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            stream_cap_per_key_tws(stream)
