@@ -1898,6 +1898,35 @@ def q_window_value_functions(spark, sf):
     )
 
 
+def q_unpivot_metrics(spark, sf):
+    """Wide->long melt (unpivot): per-returnflag metric matrix to
+    (flag, metric, value) triplets — the inverse of A4's pivot, one
+    Expand node, no shuffle beyond the feeding aggregate."""
+    li = _t(spark, sf, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"],
+        "metric", "value",
+    )
+
+
+def q_null_semantics(spark, sf):
+    """NULL-handling surface: coalesce / nullif / null-safe equality
+    aggregated per event type — the semantics every engine must agree
+    on before any filter can be trusted."""
+    ev = _t(spark, sf, "events")
+    v = F.nullif(F.col("event_type"), F.lit("error"))
+    return ev.groupBy("event_type").agg(
+        F.count(v).alias("n_nonnull"),
+        F.count_if(v.eqNullSafe(F.lit(None).cast("string"))).alias("n_nullsafe_null"),
+        F.count_if(F.coalesce(v, F.lit("<none>")) == "<none>").alias("n_coalesced"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -2016,6 +2045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_surface": q_string_surface,
         "array_surface": q_array_surface,
         "window_value_functions": q_window_value_functions,
+        "unpivot_metrics": q_unpivot_metrics,
+        "null_semantics": q_null_semantics,
     }
 
 
@@ -3779,5 +3810,23 @@ def oracle_sql() -> dict[str, str]:
                    round(cume_dist() OVER w, 6) AS cdist
             FROM e
             WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+        """,
+        "unpivot_metrics": """
+            WITH wide AS (
+              SELECT l_returnflag,
+                     round(sum(l_quantity), 2) AS sum_qty,
+                     round(sum(l_extendedprice), 2) AS sum_price,
+                     round(sum(l_discount), 2) AS sum_disc
+              FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag, metric, value
+            FROM wide UNPIVOT (value FOR metric IN (sum_qty, sum_price, sum_disc))
+        """,
+        "null_semantics": """
+            WITH e AS (SELECT event_type, nullif(event_type, 'error') AS v FROM events)
+            SELECT event_type,
+                   count(v) AS n_nonnull,
+                   CAST(count_if(v IS NOT DISTINCT FROM NULL) AS BIGINT) AS n_nullsafe_null,
+                   CAST(count_if(coalesce(v, '<none>') = '<none>') AS BIGINT) AS n_coalesced
+            FROM e GROUP BY event_type
         """,
     }
