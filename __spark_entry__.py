@@ -1927,6 +1927,35 @@ def q_null_semantics(spark, sf):
     )
 
 
+def q_hybrid_search_rrf(spark, sf):
+    """Hybrid retrieval: BM25 top-50 and cosine top-50 shortlists fused
+    by reciprocal-rank fusion (1/(60+rank)) — no score calibration,
+    engine-stable integer ranks, top-20 out. doc_id and vec_id are
+    aligned in the synthetic corpus."""
+    from pyspark.sql import Window
+
+    from pdf_to_vectordb_etl_spark.operators import textsearch
+
+    docs = _t(spark, sf, "documents")
+    lex = textsearch.bm25_topk(docs, ["merge", "window", "data"], k=50)
+    wl = Window.orderBy(F.desc("score"), "id")
+    lex = lex.select("id", F.row_number().over(wl).alias("rank"))
+
+    emb = _t(spark, sf, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    corpus = emb.filter(F.col("vec_id") > 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    sem = topk.topk_cosine(corpus, list(qv), k=50)
+    ws = Window.orderBy(F.desc(F.round("cosine_sim", 4)), "id")
+    sem = sem.select("id", F.row_number().over(ws).alias("rank"))
+
+    out = textsearch.hybrid_rrf(lex, sem, k=20)
+    return out.select(
+        F.col("id").alias("doc_id"), "rrf_score", "lexical_rank", "semantic_rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -2047,6 +2076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_value_functions": q_window_value_functions,
         "unpivot_metrics": q_unpivot_metrics,
         "null_semantics": q_null_semantics,
+        "hybrid_search_rrf": q_hybrid_search_rrf,
     }
 
 
@@ -3828,5 +3858,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count_if(v IS NOT DISTINCT FROM NULL) AS BIGINT) AS n_nullsafe_null,
                    CAST(count_if(coalesce(v, '<none>') = '<none>') AS BIGINT) AS n_coalesced
             FROM e GROUP BY event_type
+        """,
+        "hybrid_search_rrf": """
+            WITH p AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> len(x) > 0) AS toks
+              FROM documents),
+            d AS (
+              SELECT doc_id, len(toks) AS dl,
+                     list_filter(toks, t -> t IN ('merge', 'window', 'data')) AS qt
+              FROM p),
+            t AS (SELECT doc_id, dl, unnest(qt) AS term FROM d),
+            tf AS (SELECT doc_id, term, any_value(dl) AS dl, count(*) AS tf
+                   FROM t GROUP BY 1, 2),
+            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            c AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+            s AS (
+              SELECT tf.doc_id,
+                     ln((c.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1)
+                     * (tf.tf * 2.2)
+                     / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / c.avgdl)) AS sc
+              FROM tf JOIN dft USING (term) CROSS JOIN c),
+            lexall AS (
+              SELECT doc_id, round(sum(sc), 4) AS score
+              FROM s GROUP BY doc_id
+              ORDER BY round(sum(sc), 4) DESC, doc_id LIMIT 50),
+            lex AS (
+              SELECT doc_id AS id,
+                     CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS lrank
+              FROM lexall),
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            scored AS (
+              SELECT e.vec_id AS id,
+                     round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 4) AS sim
+              FROM embeddings e, q WHERE e.vec_id > 0),
+            semall AS (
+              SELECT id, sim FROM scored ORDER BY sim DESC, id LIMIT 50),
+            sem AS (
+              SELECT id,
+                     CAST(row_number() OVER (ORDER BY sim DESC, id) AS INT) AS srank
+              FROM semall),
+            fused AS (
+              SELECT coalesce(l.id, m.id) AS doc_id,
+                     round(coalesce(1.0 / (60 + l.lrank), 0.0)
+                           + coalesce(1.0 / (60 + m.srank), 0.0), 6) AS rrf_score,
+                     l.lrank AS lexical_rank, m.srank AS semantic_rank
+              FROM lex l FULL OUTER JOIN sem m ON l.id = m.id)
+            SELECT doc_id, rrf_score, lexical_rank, semantic_rank
+            FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 20
         """,
     }

@@ -97,3 +97,40 @@ def bm25_topk(
     s = bm25_scores(docs, query_terms, text_col, id_col, **kwargs)
     r = s.select("id", F.round("score", 4).alias("score"))
     return r.orderBy(F.desc("score"), F.asc("id")).limit(k)
+
+
+def hybrid_rrf(
+    lexical: DataFrame,
+    semantic: DataFrame,
+    k: int = 20,
+    c: int = 60,
+    id_col: str = "id",
+) -> DataFrame:
+    """Hybrid retrieval by RECIPROCAL RANK FUSION (Cormack et al. 2009,
+    public technique): fuse a lexical (BM25) and a semantic (vector)
+    ranking without score calibration — ``rrf = Σ 1/(c + rank)`` over
+    the lists a document appears in.
+
+    Inputs are shortlist frames carrying (id, rank) with rank starting
+    at 1; the fusion is a full-outer join of two k-row frames (tiny at
+    any corpus scale — the heavy lifting happened inside each
+    retriever), one projection, one TakeOrdered. Rank-based fusion is
+    what makes the combination engine-stable: float score scales never
+    meet, only integer ranks do."""
+    lex = lexical.select(F.col(id_col), F.col("rank").alias("_lr"))
+    sem = semantic.select(F.col(id_col), F.col("rank").alias("_sr"))
+    fused = lex.join(sem, id_col, "full_outer")
+    rrf = (
+        F.coalesce(1.0 / (F.lit(c) + F.col("_lr")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(c) + F.col("_sr")), F.lit(0.0))
+    )
+    return (
+        fused.select(
+            id_col,
+            F.round(rrf, 6).alias("rrf_score"),
+            F.col("_lr").alias("lexical_rank"),
+            F.col("_sr").alias("semantic_rank"),
+        )
+        .orderBy(F.desc("rrf_score"), F.col(id_col))
+        .limit(k)
+    )

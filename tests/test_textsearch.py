@@ -55,3 +55,18 @@ def test_bm25_empty_query_raises(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         textsearch.bm25_scores(docs, [])
+
+
+def test_hybrid_rrf_rewards_presence_in_both_lists(spark):
+    from pdf_to_vectordb_etl_spark.operators.textsearch import hybrid_rrf
+
+    lex = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "id long, rank int")
+    sem = spark.createDataFrame([(2, 1), (4, 2), (5, 3)], "id long, rank int")
+    out = hybrid_rrf(lex, sem, k=10)
+    rows = {r["id"]: r for r in out.collect()}
+    # doc 2 is in both lists -> must outrank every single-list doc
+    best = max(rows.values(), key=lambda r: r["rrf_score"])
+    assert best["id"] == 2
+    assert rows[2]["lexical_rank"] == 2 and rows[2]["semantic_rank"] == 1
+    assert rows[1]["semantic_rank"] is None  # lexical-only doc
+    assert len(rows) == 5  # union of both shortlists
