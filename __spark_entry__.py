@@ -1956,6 +1956,18 @@ def q_hybrid_search_rrf(spark, sf):
     )
 
 
+def q_weighted_sample(spark, sf):
+    """Quality-weighted downsampling: each document survives with
+    probability equal to its quality score (md5-deterministic, narrow,
+    no shuffle) — the soft quality filter. Report per-lang survival."""
+    from pdf_to_vectordb_etl_spark.operators import sampling
+
+    docs = _t(spark, sf, "documents")
+    scored = ta.quality_score(docs)
+    kept = sampling.weighted_sample(scored, F.round(F.col("quality_score"), 6))
+    return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -2077,6 +2089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_metrics": q_unpivot_metrics,
         "null_semantics": q_null_semantics,
         "hybrid_search_rrf": q_hybrid_search_rrf,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -2352,13 +2365,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, substr(text, strpos(text, 'window')) AS stripped
             FROM documents WHERE strpos(text, 'window') > 0
         """,
-        "f4_regexp_scrub": """
+        "f4_regexp_scrub": r"""
             SELECT doc_id,
-                   substr(regexp_replace(text, '\\b(dup|vec)\\b', '', 'g'), 1, 120)
+                   substr(regexp_replace(text, '\b(dup|vec)\b', '', 'g'), 1, 120)
                      AS scrubbed
             FROM documents
         """,
-        "x_filename_parse": """
+        "x_filename_parse": r"""
             WITH p AS (
               SELECT doc_id,
                      '/corpus/' || CAST(2015 + doc_id % 9 AS VARCHAR) || '/enem_'
@@ -2367,7 +2380,7 @@ def oracle_sql() -> dict[str, str]:
                        || CAST(1 + doc_id % 9 AS VARCHAR) || '.pdf' AS path
               FROM documents)
             SELECT doc_id,
-                   CAST(regexp_extract(split_part(path, '/', -1), '20\\d{2}') AS INT) AS year,
+                   CAST(regexp_extract(split_part(path, '/', -1), '20\d{2}') AS INT) AS year,
                    regexp_extract(split_part(path, '/', -1), '_(.{3,}?)_', 1) AS token,
                    regexp_extract(split_part(path, '/', -1), 'D[12]') AS day,
                    regexp_extract(split_part(path, '/', -1), 'CD[1-9]') AS color,
@@ -2893,11 +2906,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(
                     CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45
         """,
-        "ta_token_counts": """
+        "ta_token_counts": r"""
             SELECT doc_id,
                    CASE WHEN length(trim(text)) = 0 THEN 0
-                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_ws_tokens,
-                   len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_subword_tokens
+                        ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws_tokens,
+                   len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_subword_tokens
             FROM documents
         """,
         "ta_quality": r"""
@@ -3131,15 +3144,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_vecs
             FROM ex GROUP BY label, dim
         """,
-        "ta_top_terms": """
+        "ta_top_terms": r"""
             WITH toks AS (
-              SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+              SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
               FROM documents)
             SELECT tok, count(*) AS n FROM toks
             WHERE length(tok) > 0
             GROUP BY tok ORDER BY n DESC, tok LIMIT 20
         """,
-        "ta_pii_scrub": """
+        "ta_pii_scrub": r"""
             WITH s AS (
               SELECT doc_id,
                      text || ' contact user' || CAST(doc_id AS VARCHAR)
@@ -3148,13 +3161,13 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT doc_id,
                    md5(regexp_replace(regexp_replace(regexp_replace(t,
-                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
-                       '\\+?\\b(?:\\d{1,3}[-. ])?\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}\\b', '<PHONE>', 'g'))
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                       '\+?\b(?:\d{1,3}[-. ])?\d{3}[-. ]\d{3,4}[-. ]\d{4}\b', '<PHONE>', 'g'))
                    AS scrubbed_md5,
-                   len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
-                   + len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
-                   + len(regexp_extract_all(t, '\\+?\\b(?:\\d{1,3}[-. ])?\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}\\b'))
+                   len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                   + len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                   + len(regexp_extract_all(t, '\+?\b(?:\d{1,3}[-. ])?\d{3}[-. ]\d{3,4}[-. ]\d{4}\b'))
                    AS n_pii
             FROM s
         """,
@@ -3211,7 +3224,7 @@ def oracle_sql() -> dict[str, str]:
                     CAST(x.embedding AS DOUBLE[]),
                     CAST(y.embedding AS DOUBLE[])) >= 0.45
         """,
-        "ta_bigram_lm": """
+        "ta_bigram_lm": r"""
             WITH toks AS (
               SELECT doc_id,
                      unnest(string_split_regex(lower(text), '\s+')) AS tok,
@@ -3561,7 +3574,7 @@ def oracle_sql() -> dict[str, str]:
                           (y3 | (y3 << 1)) & 1431655765 AS y4 FROM p3)
             SELECT event_id, x4 | (y4 << 1) AS z FROM p4
         """,
-        "web_clean": """
+        "web_clean": r"""
             WITH raw AS (
               SELECT doc_id,
                      'HTTPS://WWW.' || source || '.Example.CO.UK:443/docs/'
@@ -3576,26 +3589,26 @@ def oracle_sql() -> dict[str, str]:
                        || regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS c1
               FROM raw),
             c2 AS (SELECT doc_id, h,
-                          regexp_replace(c1, '^([a-z0-9+.-]+://)www\\.', '\\1') AS c FROM cu),
+                          regexp_replace(c1, '^([a-z0-9+.-]+://)www\.', '\1') AS c FROM cu),
             c3 AS (SELECT doc_id, h,
-                          regexp_replace(c, '^([a-z0-9+.-]+://[^/?#:]+):(?:80|443)([/?#].*)?$', '\\1\\2') AS c FROM c2),
+                          regexp_replace(c, '^([a-z0-9+.-]+://[^/?#:]+):(?:80|443)([/?#].*)?$', '\1\2') AS c FROM c2),
             c4 AS (SELECT doc_id, h, regexp_replace(c, '#.*$', '') AS c FROM c3),
             c5 AS (SELECT doc_id, h,
-                          regexp_replace(c, '([?&])(?:utm_[a-z]+|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)=[^&#]*', '\\1', 'g') AS c FROM c4),
+                          regexp_replace(c, '([?&])(?:utm_[a-z]+|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)=[^&#]*', '\1', 'g') AS c FROM c4),
             c6 AS (SELECT doc_id, h, regexp_replace(c, '[?&]+$', '') AS c FROM c5),
-            c7 AS (SELECT doc_id, h, regexp_replace(c, '\\?&', '?') AS c FROM c6),
+            c7 AS (SELECT doc_id, h, regexp_replace(c, '\?&', '?') AS c FROM c6),
             c8 AS (SELECT doc_id, h, regexp_replace(regexp_replace(c, '&&+', '&', 'g'), '/$', '') AS c FROM c7),
             host AS (
               SELECT doc_id, c AS canonical_url, h,
                      regexp_replace(regexp_replace(
                        lower(regexp_extract(c, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
-                       ':[0-9]+$', ''), '^www\\.', '') AS hst
+                       ':[0-9]+$', ''), '^www\.', '') AS hst
               FROM c8),
             dom AS (
               SELECT doc_id, canonical_url, h,
-                     CASE WHEN regexp_extract(hst, '([^.]+\\.(?:co\\.uk|org\\.uk|ac\\.uk|gov\\.uk|com\\.au|net\\.au|org\\.au|com\\.br|com\\.mx|co\\.jp|co\\.kr|co\\.in|com\\.cn|com\\.tw|com\\.sg|co\\.nz|co\\.za|com\\.ar|com\\.tr))$', 1) <> ''
-                          THEN regexp_extract(hst, '([^.]+\\.(?:co\\.uk|org\\.uk|ac\\.uk|gov\\.uk|com\\.au|net\\.au|org\\.au|com\\.br|com\\.mx|co\\.jp|co\\.kr|co\\.in|com\\.cn|com\\.tw|com\\.sg|co\\.nz|co\\.za|com\\.ar|com\\.tr))$', 1)
-                          ELSE regexp_extract(hst, '([^.]+\\.[^.]+)$', 1) END AS domain
+                     CASE WHEN regexp_extract(hst, '([^.]+\.(?:co\.uk|org\.uk|ac\.uk|gov\.uk|com\.au|net\.au|org\.au|com\.br|com\.mx|co\.jp|co\.kr|co\.in|com\.cn|com\.tw|com\.sg|co\.nz|co\.za|com\.ar|com\.tr))$', 1) <> ''
+                          THEN regexp_extract(hst, '([^.]+\.(?:co\.uk|org\.uk|ac\.uk|gov\.uk|com\.au|net\.au|org\.au|com\.br|com\.mx|co\.jp|co\.kr|co\.in|com\.cn|com\.tw|com\.sg|co\.nz|co\.za|com\.ar|com\.tr))$', 1)
+                          ELSE regexp_extract(hst, '([^.]+\.[^.]+)$', 1) END AS domain
               FROM host),
             ent AS (
               SELECT doc_id, canonical_url, domain,
@@ -3605,7 +3618,7 @@ def oracle_sql() -> dict[str, str]:
                        '&lt;', '<'), '&gt;', '>'), '&amp;', '&') AS t
               FROM dom)
             SELECT doc_id, canonical_url, domain,
-                   trim(regexp_replace(t, '\\s+', ' ', 'g')) AS clean_text
+                   trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text
             FROM ent
         """,
         "grouped_split": """
@@ -3618,7 +3631,7 @@ def oracle_sql() -> dict[str, str]:
                    source, count(*) AS n_docs
             FROM b GROUP BY 1, 2
         """,
-        "dedup_containment": """
+        "dedup_containment": r"""
             WITH sh AS (
               SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 0)), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
               FROM (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w FROM documents)),
@@ -3630,7 +3643,7 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1, 2)
             SELECT id_a, id_b, round(c, 4) AS containment FROM pairs WHERE c >= 0.5
         """,
-        "sentence_chunks": """
+        "sentence_chunks": r"""
             WITH s0 AS (
               SELECT doc_id,
                      string_split(regexp_replace(text, '([.!?])\s+', '\1' || chr(31), 'g'), chr(31)) AS raw
@@ -3808,7 +3821,7 @@ def oracle_sql() -> dict[str, str]:
                    repeat(lang, 2) AS lang2
             FROM documents
         """,
-        "array_surface": """
+        "array_surface": r"""
             WITH t AS (
               SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
               FROM documents),
@@ -3908,5 +3921,43 @@ def oracle_sql() -> dict[str, str]:
               FROM lex l FULL OUTER JOIN sem m ON l.id = m.id)
             SELECT doc_id, rrf_score, lexical_rank, semantic_rank
             FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 20
+        """,
+        "weighted_sample": r"""
+            WITH f AS (
+              SELECT doc_id, lang,
+                     length(text) AS n_chars,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+                     len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                     len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it)\b'))
+                       AS n_stop
+              FROM documents),
+            g AS (
+              SELECT doc_id, lang,
+                     CASE WHEN n_tokens > 0
+                          THEN (n_chars - (n_tokens - 1)) * 1.0 / n_tokens ELSE 0.0 END
+                       AS mean_token_len,
+                     CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END
+                       AS punct_ratio,
+                     CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens ELSE 0.0 END
+                       AS stopword_ratio
+              FROM f),
+            s AS (
+              SELECT doc_id, lang,
+                     round(least(stopword_ratio * 4, 1.0) * 0.4
+                           + CASE WHEN mean_token_len BETWEEN 3 AND 10 THEN 0.4 ELSE 0.0 END
+                           + CASE WHEN punct_ratio < 0.2 THEN 0.2 ELSE 0.0 END, 6) AS w,
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hx
+              FROM g),
+            b AS (
+              SELECT lang, w,
+                     (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+                     + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+                     + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS bucket
+              FROM s)
+            SELECT lang, count(*) AS n_kept
+            FROM b WHERE bucket < w * 65536
+            GROUP BY lang
         """,
     }

@@ -129,3 +129,23 @@ def grouped_split(
     overlap). Same md5-bucket mechanism as :func:`deterministic_split`:
     narrow, layout-invariant, re-derivable in SQL downstream."""
     return df.withColumn("split", split_column(F.col(group_col), weights))
+
+
+def weighted_sample(
+    df: DataFrame, weight: Column, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic PER-ROW weighted keep: row survives iff its md5
+    bucket falls below its own weight (a keep-probability in [0, 1]).
+
+    The curation use: weight = quality score, so high-quality documents
+    survive at higher rates than boilerplate WITHOUT a hard cutoff —
+    the soft alternative to quality_quantile_filter. Same md5 basis as
+    every sampler here: layout-invariant, retry-stable, re-derivable in
+    SQL. Narrow (no shuffle); weights outside [0, 1] clamp.
+    """
+    w = F.least(F.lit(1.0), F.greatest(F.lit(0.0), weight))
+    # bucket/65536 in [0,1): keep iff below the row's own rate
+    frac = (
+        F.conv(hash_bucket_hex(id_col), 16, 10).cast("double") / F.lit(float(_BUCKETS))
+    )
+    return df.filter(frac < w)

@@ -177,3 +177,23 @@ def test_containment_catches_subset_jaccard_misses(spark):
     assert (1, 2) in got  # the quote is fully contained
     jac = dedup.ngram_jaccard_pairs(df, threshold=0.5)
     assert (1, 2) not in {(r["id_a"], r["id_b"]) for r in jac.collect()}
+
+
+def test_weighted_sample_rates_track_weights(spark):
+    from pdf_to_vectordb_etl_spark.operators import sampling
+
+    n = 4000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, 0.9).otherwise(0.1).alias("w"),
+    )
+    kept = sampling.weighted_sample(df, F.col("w"))
+    hi = kept.filter(F.col("w") == 0.9).count() / (n / 2)
+    lo = kept.filter(F.col("w") == 0.1).count() / (n / 2)
+    assert 0.85 < hi < 0.95 and 0.05 < lo < 0.15
+    # deterministic: same ids survive on re-run
+    again = {r["doc_id"] for r in sampling.weighted_sample(df, F.col("w")).collect()}
+    assert again == {r["doc_id"] for r in kept.collect()}
+    # clamping: weight > 1 keeps everything, < 0 keeps nothing
+    assert sampling.weighted_sample(df, F.lit(5.0)).count() == n
+    assert sampling.weighted_sample(df, F.lit(-1.0)).count() == 0
