@@ -1968,6 +1968,36 @@ def q_weighted_sample(spark, sf):
     return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
 
 
+def q_hard_negatives(spark, sf):
+    """Contrastive-pair mining: for each anchor (vec_id < 10), the top-5
+    HARD negatives — similar enough to be informative (cosine >= 0.3)
+    but below the near-duplicate band (< 0.95), so positives/dups never
+    leak into the negative set. Broadcast the 10 anchors; rank per
+    anchor with one window; the corpus never self-joins."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.select("vec_id", "embedding")
+    sim = F.round(
+        topk.cosine_similarity(F.col("embedding"), F.col("qv")), 4
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .withColumn("sim", sim)
+        .filter((F.col("sim") >= 0.3) & (F.col("sim") < 0.95))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("sim"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("anchor_id", F.col("vec_id").alias("negative_id"), "sim", "rank")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -2090,6 +2120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_semantics": q_null_semantics,
         "hybrid_search_rrf": q_hybrid_search_rrf,
         "weighted_sample": q_weighted_sample,
+        "hard_negatives": q_hard_negatives,
     }
 
 
@@ -3959,5 +3990,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n_kept
             FROM b WHERE bucket < w * 65536
             GROUP BY lang
+        """,
+        "hard_negatives": r"""
+            WITH a AS (
+              SELECT vec_id AS anchor_id, embedding AS qv
+              FROM embeddings WHERE vec_id < 10),
+            s AS (
+              SELECT a.anchor_id, e.vec_id,
+                     round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), CAST(a.qv AS DOUBLE[])), 4) AS sim
+              FROM embeddings e CROSS JOIN a
+              WHERE e.vec_id <> a.anchor_id),
+            f AS (SELECT * FROM s WHERE sim >= 0.3 AND sim < 0.95),
+            r AS (
+              SELECT anchor_id, vec_id AS negative_id, sim,
+                     CAST(row_number() OVER (PARTITION BY anchor_id
+                       ORDER BY sim DESC, vec_id) AS INT) AS rank
+              FROM f)
+            SELECT anchor_id, negative_id, sim, rank FROM r WHERE rank <= 5
         """,
     }
