@@ -1998,6 +1998,27 @@ def q_hard_negatives(spark, sf):
     )
 
 
+def q_datetime_surface(spark, sf):
+    """Date/time function surface over order dates: trunc, extract,
+    end-of-month, month arithmetic, day difference vs a fixed epoch —
+    the calendar algebra behind every partition scheme. o_orderdate is
+    wall-clock (NTZ) on both engines, so values match exactly."""
+    o = _t(spark, sf, "orders")
+    d = F.col("o_orderdate")
+    ref = F.lit("1995-06-15").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.year(d).alias("yr"),
+        F.quarter(d).alias("qtr"),
+        F.dayofweek(d).alias("dow"),
+        F.last_day(d).alias("month_end"),
+        F.datediff(d.cast("date"), ref).alias("days_from_ref"),
+        F.round(F.months_between(d.cast("date"), ref), 4).alias("months_from_ref"),
+        F.date_add(d.cast("date"), 30).alias("plus30"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -2121,6 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_rrf": q_hybrid_search_rrf,
         "weighted_sample": q_weighted_sample,
         "hard_negatives": q_hard_negatives,
+        "datetime_surface": q_datetime_surface,
     }
 
 
@@ -4008,5 +4030,21 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY sim DESC, vec_id) AS INT) AS rank
               FROM f)
             SELECT anchor_id, negative_id, sim, rank FROM r WHERE rank <= 5
+        """,
+        "datetime_surface": r"""
+            SELECT o_orderkey,
+                   CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+                   CAST(year(o_orderdate) AS INT) AS yr,
+                   CAST(quarter(o_orderdate) AS INT) AS qtr,
+                   CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+                   last_day(CAST(o_orderdate AS DATE)) AS month_end,
+                   CAST(datediff('day', DATE '1995-06-15', CAST(o_orderdate AS DATE)) AS INT)
+                     AS days_from_ref,
+                   round((year(o_orderdate) - 1995) * 12 + (month(o_orderdate) - 6)
+                         + CASE WHEN day(o_orderdate) = 15 THEN 0
+                                ELSE (day(o_orderdate) - 15) / 31.0 END, 4)
+                     AS months_from_ref,
+                   CAST(o_orderdate AS DATE) + 30 AS plus30
+            FROM orders
         """,
     }
