@@ -54,17 +54,33 @@ def kmeans_assign(
     centroids: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    metric: str = "cosine",
 ) -> DataFrame:
     """Nearest-centroid assignment: (id, vector, cluster_id).
 
     Broadcast crossJoin against the k-row centroid table, then one
     row_number window keyed on the row id — the corpus never shuffles
-    on content, only the tiny centroid table moves."""
-    sim = F.round(cosine_similarity(F.col(vec_col), F.col("centroid")), 6)
+    on content, only the tiny centroid table moves. ``metric``:
+    "cosine" (direction; the corpus-sharding default) or "l2" (squared
+    euclidean — REQUIRED for residual/PQ coding, where near-zero-norm
+    vectors make cosine assignment meaningless)."""
+    if metric == "cosine":
+        score = F.round(cosine_similarity(F.col(vec_col), F.col("centroid")), 6)
+    elif metric == "l2":
+        sq = F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"), F.col("centroid"),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        score = -F.round(sq, 6)  # argmin distance == argmax of negated
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
     scored = (
         df.select(F.col(id_col), F.col(vec_col))
         .crossJoin(F.broadcast(centroids))
-        .withColumn("_sim", sim)
+        .withColumn("_sim", score)
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.col("cluster_id"))
     return (
@@ -97,6 +113,7 @@ def kmeans_fit(
     n_iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    metric: str = "cosine",
 ) -> DataFrame:
     """Lloyd's k-means: ``n_iters`` assign/update rounds; returns the
     final (cluster_id, centroid, n_members) table.
@@ -113,7 +130,7 @@ def kmeans_fit(
     result = None
     for _ in range(n_iters):
         assigned = kmeans_assign(src, centroids.select("cluster_id", "centroid"),
-                                 vec_col, id_col)
+                                 vec_col, id_col, metric)
         result = _centroid_means(assigned, vec_col)
         # lineage truncation: k*dim floats to the driver and back, so the
         # next iteration's plan doesn't embed this one's

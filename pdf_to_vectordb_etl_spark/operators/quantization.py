@@ -38,6 +38,7 @@ def pq_train(
     dim: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    metric: str = "cosine",
 ) -> DataFrame:
     """Codebooks: (subspace, cluster_id, centroid, n_members) — an
     independent k-means per subspace. m linear passes; nothing
@@ -52,6 +53,7 @@ def pq_train(
         cb = kmeans_fit(
             _subspace(df, j, sub_dim, vec_col, id_col),
             k=k, n_iters=n_iters, vec_col=vec_col, id_col=id_col,
+            metric=metric,
         )
         books.append(cb.select(F.lit(j).alias("subspace"), "cluster_id",
                                "centroid", "n_members"))
@@ -66,6 +68,7 @@ def pq_encode(
     codebooks: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    metric: str = "cosine",
 ) -> DataFrame:
     """(id, codes) — codes[j] = nearest centroid of subspace j. Per
     subspace one broadcast-argmax assign; the m small (id, code) frames
@@ -78,7 +81,8 @@ def pq_encode(
     for j in range(m):
         cb = codebooks.filter(F.col("subspace") == j).select("cluster_id", "centroid")
         assigned = kmeans_assign(
-            _subspace(df, j, sub_dim, vec_col, id_col), cb, vec_col, id_col
+            _subspace(df, j, sub_dim, vec_col, id_col), cb, vec_col, id_col,
+            metric,
         )
         parts.append(assigned.select(id_col, F.lit(j).alias("subspace"),
                                      F.col("cluster_id").alias("code")))
@@ -192,3 +196,125 @@ def pq_topk(
         )
     )
     return scored.orderBy(F.desc("adc_sim"), F.col(id_col)).limit(k)
+
+
+def ivfpq_build(
+    df: DataFrame,
+    n_lists: int = 16,
+    m: int = 4,
+    k: int = 16,
+    n_iters: int = 1,
+    dim: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Build the IVF-PQ index (the FAISS production shape, public
+    algorithm): a coarse quantizer routes each vector to its nearest
+    list; PQ codes the RESIDUAL (vector - list centroid), which is far
+    smaller in norm than the vector, so the same code budget buys much
+    lower quantization error.
+
+    Returns ``(centroids, codebooks, coded)`` where ``coded`` carries
+    (id, list_id, codes) — at 100 TB that's the ONLY per-vector state
+    (one int + m codes), written bucketed by list_id so probes prune
+    files. Build cost: one coarse assign + m Lloyd passes on residuals.
+    """
+    from .topk import ivf_centroids, ivf_assign
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    src = df.select(F.col(id_col), F.col(vec_col))
+    cents = ivf_centroids(src, n_lists, vec_col, id_col)
+    assigned = ivf_assign(src, cents, 1, vec_col)
+    resid = assigned.join(F.broadcast(cents), "list_id").select(
+        id_col,
+        "list_id",
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"), F.col("centroid"),
+            lambda a, b: a - b,
+        ).alias("residual"),
+    )
+    books = pq_train(resid, m=m, k=k, n_iters=n_iters, dim=dim,
+                     vec_col="residual", id_col=id_col, metric="l2")
+    codes = pq_encode(resid, books, vec_col="residual", id_col=id_col,
+                      metric="l2")
+    coded = codes.join(resid.select(id_col, "list_id"), id_col)
+    return cents, books, coded
+
+
+def ivfpq_topk(
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    coded: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate COSINE top-k over the IVF-PQ index.
+
+    Reconstruction is implicit: for x ~ c_list + r̂,
+      <q, x>   = <q, c_l> + sum_j <q_j, cb_j[code_j]>
+      ||x||^2  = ||c_l||^2 + 2 sum_j <c_l[j], cb_j[code_j]>
+                 + sum_j ||cb_j[code_j]||^2
+    so both numerator and norm come from ONE broadcast lookup table
+    keyed (list_id, subspace, code) — n_lists*m*k rows, kilobytes —
+    plus a per-list constant. Only the ``n_probe`` nearest lists are
+    scanned (partition pruning on list_id at scale); per-row cost is m
+    lookups regardless of dim. Shortlist semantics: exact re-rank of
+    the k rows against full vectors is one join away.
+    """
+    from .topk import cosine_similarity
+
+    qlit = F.lit([float(x) for x in query])
+    qnorm = sum(float(x) * float(x) for x in query) ** 0.5
+    sub_dim = codebooks.select(F.size("centroid")).first()[0]
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    cents = centroids.withColumn(
+        "_qdotc", dot(F.col("centroid"), qlit)
+    ).withColumn("_cl2", dot(F.col("centroid"), F.col("centroid")))
+    lists = (
+        cents.withColumn("_sim", F.round(cosine_similarity(F.col("centroid"), qlit), 6))
+        .orderBy(F.desc("_sim"), F.col("list_id"))
+        .limit(n_probe)
+    )
+    # one combined lookup table over the probed lists' centroid slices
+    csub = F.slice(F.col("centroid"), F.col("subspace") * sub_dim + 1, sub_dim)
+    qsub = F.slice(qlit, F.col("subspace") * sub_dim + 1, sub_dim)
+    table = (
+        lists.select("list_id", "_qdotc", "_cl2", "centroid")
+        .crossJoin(
+            codebooks.select(
+                "subspace", F.col("cluster_id").alias("code"),
+                F.col("centroid").alias("_cb"),
+            )
+        )
+        .select(
+            "list_id", "subspace", "code", "_qdotc", "_cl2",
+            dot(F.col("_cb"), qsub).alias("_qdot"),
+            dot(csub.cast("array<double>"), F.col("_cb")).alias("_cdot"),
+            dot(F.col("_cb"), F.col("_cb")).alias("_n2"),
+        )
+    )
+    ex = coded.select(id_col, "list_id", F.posexplode("codes").alias("subspace", "code"))
+    scored = (
+        ex.join(F.broadcast(table), ["list_id", "subspace", "code"])
+        .groupBy(id_col)
+        .agg(
+            (F.first("_qdotc") + F.sum("_qdot")).alias("_num"),
+            (F.first("_cl2") + 2 * F.sum("_cdot") + F.sum("_n2")).alias("_xn2"),
+        )
+        .select(
+            id_col,
+            F.round(
+                F.col("_num")
+                / (F.sqrt(F.greatest(F.col("_xn2"), F.lit(1e-12))) * F.lit(qnorm)),
+                6,
+            ).alias("approx_cos"),
+        )
+    )
+    return scored.orderBy(F.desc("approx_cos"), F.col(id_col)).limit(k)

@@ -492,3 +492,60 @@ def test_pq_adc_topk_recall_vs_brute_force(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"shortlist recall@10-in-100 too low: {recall}"
+
+
+def test_ivfpq_scores_equal_explicit_reconstruction(spark, sf_dir):
+    """The ADC score must equal cos(q, c_list + decoded residual)
+    computed explicitly in NumPy — the lookup-table algebra is exact,
+    not an approximation of the reconstruction. (End-to-end recall on
+    the SYNTHETIC corpus is data-limited: the coarse quantizer absorbs
+    the label-cluster structure, leaving near-random residuals that no
+    code budget compresses — real embedding corpora keep more residual
+    structure. The pinned contract is therefore exactness of the
+    algebra + a sanity recall floor.)"""
+    import numpy as np
+
+    from pdf_to_vectordb_etl_spark.operators import quantization as pq
+    from pdf_to_vectordb_etl_spark.operators import topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    query = np.array(
+        emb.filter(F.col("vec_id") == 0).select("embedding").first()[0], dtype=float
+    )
+    cents, books, coded = pq.ivfpq_build(emb, n_lists=8, m=8, k=16, dim=64)
+    assert coded.count() == emb.count()  # every vector coded exactly once
+
+    got = {
+        r["vec_id"]: r["approx_cos"]
+        for r in pq.ivfpq_topk(
+            cents, books, coded, list(query), k=emb.count(), n_probe=8
+        ).collect()
+    }
+    cmap = {r["list_id"]: np.array(r["centroid"]) for r in cents.collect()}
+    bmap = {
+        (r["subspace"], r["cluster_id"]): np.array(r["centroid"])
+        for r in books.collect()
+    }
+    sample = coded.filter(F.col("vec_id") < 16).collect()
+    for r in sample:
+        xhat = cmap[r["list_id"]] + np.concatenate(
+            [bmap[(j, c)] for j, c in enumerate(r["codes"])]
+        )
+        want = float(xhat @ query / (np.linalg.norm(xhat) * np.linalg.norm(query)))
+        assert abs(got[r["vec_id"]] - want) < 1e-4, r["vec_id"]
+
+    # sanity floor on end-to-end shortlist recall at full probe
+    short = {
+        r["vec_id"]
+        for r in pq.ivfpq_topk(cents, books, coded, list(query), k=100, n_probe=8).collect()
+    }
+    exact = {
+        r["id"]
+        for r in topk.topk_cosine(
+            emb.filter(F.col("vec_id") > 0).select(
+                F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+            ),
+            list(query), k=10,
+        ).collect()
+    }
+    assert len(exact & short) / len(exact) >= 0.4
