@@ -2019,6 +2019,24 @@ def q_datetime_surface(spark, sf):
     )
 
 
+def q_json_struct_surface(spark, sf):
+    """Structured JSON surface: from_json with an explicit schema (no
+    inference scan), struct field access, and a to_json round-trip —
+    the semi-structured column workflow at scan speed."""
+    ev = _t(spark, sf, "events")
+    parsed = ev.select(
+        "event_id",
+        F.from_json(F.col("props"), "k INT").alias("p"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        (F.col("p.k") % 7).alias("k_mod7"),
+        F.to_json(F.struct(F.col("p.k").alias("k"))).alias("roundtrip"),
+        F.col("p").isNull().alias("parse_failed"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -2143,6 +2161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "hard_negatives": q_hard_negatives,
         "datetime_surface": q_datetime_surface,
+        "json_struct_surface": q_json_struct_surface,
     }
 
 
@@ -4046,5 +4065,13 @@ def oracle_sql() -> dict[str, str]:
                      AS months_from_ref,
                    CAST(o_orderdate AS DATE) + 30 AS plus30
             FROM orders
+        """,
+        "json_struct_surface": r"""
+            SELECT event_id,
+                   CAST(json_extract(props, '$.k') AS INT) AS k,
+                   CAST(json_extract(props, '$.k') AS INT) % 7 AS k_mod7,
+                   '{"k":' || json_extract(props, '$.k') || '}' AS roundtrip,
+                   json_extract(props, '$.k') IS NULL AS parse_failed
+            FROM events
         """,
     }
