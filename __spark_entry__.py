@@ -2037,6 +2037,22 @@ def q_json_struct_surface(spark, sf):
     )
 
 
+def q_scd2_intervals(spark, sf):
+    """SCD Type-2 historization: the events changelog becomes validity
+    intervals per user — no-op updates collapsed, [valid_from,
+    valid_to) from one lead window, open interval on the current
+    version."""
+    from pdf_to_vectordb_etl_spark.operators import cdc
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", F.expr("ts div 1000").alias("tus"), "event_type"
+    )
+    out = cdc.scd2_intervals(ev, ["user_id"], "tus", ["event_type"])
+    return out.select(
+        "user_id", "event_type", "valid_from", "valid_to", "is_current"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -2162,6 +2178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "datetime_surface": q_datetime_surface,
         "json_struct_surface": q_json_struct_surface,
+        "scd2_intervals": q_scd2_intervals,
     }
 
 
@@ -4073,5 +4090,23 @@ def oracle_sql() -> dict[str, str]:
                    '{"k":' || json_extract(props, '$.k') || '}' AS roundtrip,
                    json_extract(props, '$.k') IS NULL AS parse_failed
             FROM events
+        """,
+        "scd2_intervals": r"""
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS tus, event_type FROM events),
+            d AS (
+              SELECT user_id, tus, event_type,
+                     lag(event_type) OVER (PARTITION BY user_id ORDER BY tus)
+                       AS prev_type
+              FROM e),
+            kept AS (
+              SELECT user_id, tus, event_type FROM d
+              WHERE prev_type IS DISTINCT FROM event_type)
+            SELECT user_id, event_type,
+                   tus AS valid_from,
+                   lead(tus) OVER (PARTITION BY user_id ORDER BY tus) AS valid_to,
+                   lead(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
+                     AS is_current
+            FROM kept
         """,
     }

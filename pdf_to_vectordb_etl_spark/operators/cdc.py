@@ -96,3 +96,44 @@ def apply_changes(
         .filter(F.col("_op").isNull() | (F.col("_op") != delete_op))
     )
     return won.select(*key_cols, *[F.col(f"_p.{p}").alias(p) for p in payload])
+
+
+def scd2_intervals(
+    changes: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2: turn a changelog into validity
+    intervals — one row per version per key with ``[valid_from,
+    valid_to)`` bounds, ``valid_to`` NULL on the current version.
+
+    One window per key (lead over the version order): a single shuffle
+    on the key, linear per key, parallel across keys — the standard
+    warehouse historization, and the inverse of
+    :func:`aggregates.latest_per_key` (which keeps only the last
+    interval). Consecutive versions with IDENTICAL payload are collapsed
+    first (null-safe struct compare against lag), so storage is
+    O(distinct versions), not O(events).
+    """
+    from pyspark.sql import Window
+
+    payload_cols = payload_cols or [
+        c for c in changes.columns if c not in key_cols and c != order_col
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    p = F.struct(*[F.col(c) for c in payload_cols])
+    # drop no-op updates: payload identical to the previous version
+    dedup = (
+        changes.withColumn("_prev", F.lag(p).over(w))
+        .filter(~p.eqNullSafe(F.col("_prev")))
+        .drop("_prev")
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(order_col)
+    return dedup.select(
+        *key_cols,
+        *payload_cols,
+        F.col(order_col).alias("valid_from"),
+        F.lead(order_col).over(w2).alias("valid_to"),
+        F.lead(order_col).over(w2).isNull().alias("is_current"),
+    )

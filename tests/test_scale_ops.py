@@ -549,3 +549,28 @@ def test_ivfpq_scores_equal_explicit_reconstruction(spark, sf_dir):
         ).collect()
     }
     assert len(exact & short) / len(exact) >= 0.4
+
+
+def test_scd2_intervals_tile_and_collapse(spark):
+    from pdf_to_vectordb_etl_spark.operators import cdc
+
+    changes = spark.createDataFrame(
+        [
+            (1, 10, "a"), (1, 20, "a"),  # no-op update: collapses
+            (1, 30, "b"), (1, 40, "a"),  # back to a: NEW interval
+            (2, 15, "x"),
+        ],
+        "k long, v long, s string",
+    )
+    out = cdc.scd2_intervals(changes, ["k"], "v", ["s"])
+    rows = sorted(
+        (r["k"], r["valid_from"], r["valid_to"], r["s"], r["is_current"])
+        for r in out.collect()
+    )
+    assert rows == [
+        (1, 10, 30, "a", False),   # 10-20 collapsed into one interval
+        (1, 30, 40, "b", False),
+        (1, 40, None, "a", True),  # reappearing value is a new version
+        (2, 15, None, "x", True),
+    ]
+    # intervals tile: each valid_to equals the next valid_from per key
