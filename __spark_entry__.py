@@ -2053,6 +2053,47 @@ def q_scd2_intervals(spark, sf):
     )
 
 
+def q_winsorize_values(spark, sf):
+    """Outlier clipping: per-event-type [p05, p95] winsorization of
+    value; exact percentile cutoffs broadcast back, means before/after
+    reported per type."""
+    ev = _t(spark, sf, "events")
+    w = aggregates.winsorize(ev, "value", by="event_type",
+                             lower_q=0.05, upper_q=0.95)
+    return w.groupBy("event_type").agg(
+        F.round(F.avg("value"), 2).alias("mean_raw"),
+        F.round(F.avg("value_w"), 2).alias("mean_winsorized"),
+        F.round(F.min("value_w"), 4).alias("clip_lo"),
+        F.round(F.max("value_w"), 4).alias("clip_hi"),
+    )
+
+
+def q_sequence_pattern(spark, sf):
+    """Event-sequence pattern analytics WITHOUT a sessionizer: each
+    user's history collapses to an ordered initial-letter string, and
+    conversion paths become one regexp count (view followed by purchase
+    with no intervening purchase). One groupBy + codegen regexp."""
+    ev = _t(spark, sf, "events").select(
+        "user_id", F.expr("ts div 1000").alias("tus"), "event_id",
+        F.substring("event_type", 1, 1).alias("c"),
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tus", "event_id", "c"))),
+                lambda s: s["c"],
+            ),
+        ).alias("path")
+    )
+    return seq.select(
+        "user_id",
+        F.length("path").alias("n_events"),
+        F.regexp_count(F.col("path"), F.lit("v[^p]*p")).alias("n_view_to_purchase"),
+        F.regexp_count(F.col("path"), F.lit("e")).alias("n_errors"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -2179,6 +2220,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datetime_surface": q_datetime_surface,
         "json_struct_surface": q_json_struct_surface,
         "scd2_intervals": q_scd2_intervals,
+        "winsorize_values": q_winsorize_values,
+        "sequence_pattern": q_sequence_pattern,
     }
 
 
@@ -4108,5 +4151,38 @@ def oracle_sql() -> dict[str, str]:
                    lead(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
                      AS is_current
             FROM kept
+        """,
+        "winsorize_values": r"""
+            WITH c AS (
+              SELECT event_type,
+                     round(quantile_cont(value, 0.05), 6) AS lo,
+                     round(quantile_cont(value, 0.95), 6) AS hi
+              FROM events GROUP BY event_type),
+            w AS (
+              SELECT e.event_type, e.value,
+                     least(greatest(e.value, c.lo), c.hi) AS value_w
+              FROM events e JOIN c USING (event_type))
+            SELECT event_type,
+                   round(avg(value), 2) AS mean_raw,
+                   round(avg(value_w), 2) AS mean_winsorized,
+                   round(min(value_w), 4) AS clip_lo,
+                   round(max(value_w), 4) AS clip_hi
+            FROM w GROUP BY event_type
+        """,
+        "sequence_pattern": r"""
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS tus, event_id,
+                     substr(event_type, 1, 1) AS c
+              FROM events),
+            s AS (
+              SELECT user_id,
+                     string_agg(c, '' ORDER BY tus, event_id) AS path
+              FROM e GROUP BY user_id)
+            SELECT user_id,
+                   length(path) AS n_events,
+                   CAST(len(regexp_extract_all(path, 'v[^p]*p')) AS INT)
+                     AS n_view_to_purchase,
+                   CAST(len(regexp_extract_all(path, 'e')) AS INT) AS n_errors
+            FROM s
         """,
     }

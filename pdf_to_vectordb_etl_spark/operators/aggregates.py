@@ -232,3 +232,30 @@ def resample_locf(
         (F.col("_v").isNotNull()).alias("observed"),
         "value_filled",
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    by: str | None = None,
+    lower_q: float = 0.01,
+    upper_q: float = 0.99,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Clip ``value_col`` to its [lower_q, upper_q] quantile band —
+    per ``by`` group when given — the standard outlier guard before any
+    mean/variance-based quality scoring.
+
+    Exact ``percentile`` cutoffs (one aggregate; the cutoff table is
+    group-count-sized and broadcasts back), rounded before the clip so
+    the boundary is engine-stable. Adds ``<value_col>_w``."""
+    lo = F.round(F.expr(f"percentile({value_col}, {lower_q})"), round_dp)
+    hi = F.round(F.expr(f"percentile({value_col}, {upper_q})"), round_dp)
+    if by is None:
+        cuts = df.agg(lo.alias("_lo"), hi.alias("_hi"))
+        joined = df.crossJoin(F.broadcast(cuts))
+    else:
+        cuts = df.groupBy(by).agg(lo.alias("_lo"), hi.alias("_hi"))
+        joined = df.join(F.broadcast(cuts), by)
+    clipped = F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi"))
+    return joined.withColumn(f"{value_col}_w", clipped).drop("_lo", "_hi")

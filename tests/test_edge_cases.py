@@ -161,3 +161,18 @@ def test_sentence_chunks_empty_text_yields_no_rows(spark):
 
     df = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id long, text string")
     assert chunking.sentence_chunks(df, 5, 1).count() == 0
+
+
+def test_winsorize_clips_only_tails(spark):
+    from pdf_to_vectordb_etl_spark.operators import aggregates
+
+    vals = list(range(1, 101))  # 1..100
+    df = spark.createDataFrame([(float(v),) for v in vals], "value double")
+    w = aggregates.winsorize(df, "value", lower_q=0.05, upper_q=0.95)
+    got = sorted(r["value_w"] for r in w.collect())
+    assert got[0] > 1.0 and got[-1] < 100.0  # tails clipped
+    mid = [r["value_w"] for r in w.filter(F.col("value").between(20, 80)).collect()]
+    assert all(
+        abs(a - b) < 1e-9
+        for a, b in zip(sorted(mid), [float(v) for v in range(20, 81)])
+    )  # interior untouched
