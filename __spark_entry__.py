@@ -2094,6 +2094,24 @@ def q_sequence_pattern(spark, sf):
     )
 
 
+def q_robust_stats_mad(spark, sf):
+    """Robust dispersion per event type: median + median absolute
+    deviation (two exact percentile passes; the median table broadcasts
+    back between them). The outlier-insensitive scale estimate that
+    mean/stddev quality gates should be cross-checked against."""
+    ev = _t(spark, sf, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("_d")
+    )
+    return dev.groupBy("event_type").agg(
+        F.round(F.first("med"), 4).alias("median_value"),
+        F.round(F.expr("percentile(_d, 0.5)"), 4).alias("mad"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -2222,6 +2240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_intervals": q_scd2_intervals,
         "winsorize_values": q_winsorize_values,
         "sequence_pattern": q_sequence_pattern,
+        "robust_stats_mad": q_robust_stats_mad,
     }
 
 
@@ -4184,5 +4203,17 @@ def oracle_sql() -> dict[str, str]:
                      AS n_view_to_purchase,
                    CAST(len(regexp_extract_all(path, 'e')) AS INT) AS n_errors
             FROM s
+        """,
+        "robust_stats_mad": r"""
+            WITH m AS (
+              SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+              FROM events GROUP BY event_type),
+            d AS (
+              SELECT e.event_type, m.med, abs(e.value - m.med) AS dd
+              FROM events e JOIN m USING (event_type))
+            SELECT event_type,
+                   round(any_value(med), 4) AS median_value,
+                   round(quantile_cont(dd, 0.5), 4) AS mad
+            FROM d GROUP BY event_type
         """,
     }
