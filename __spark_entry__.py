@@ -2112,6 +2112,27 @@ def q_robust_stats_mad(spark, sf):
     )
 
 
+def q_corpus_entropy(spark, sf):
+    """Per-language unigram entropy (bits/token): the corpus-diversity
+    statistic behind mixture decisions — low entropy flags templated or
+    repetitive sources. Explode once, two hash aggs, log2 arithmetic in
+    codegen."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    tf = toks.groupBy("lang", "tok").agg(F.count("*").alias("n"))
+    tot = tf.groupBy("lang").agg(F.sum("n").alias("total"))
+    p = tf.join(tot, "lang").select(
+        "lang", (F.col("n") / F.col("total")).alias("p")
+    )
+    return p.groupBy("lang").agg(
+        F.round(-F.sum(F.col("p") * F.log2("p")), 4).alias("entropy_bits"),
+        F.count("*").alias("vocab_size"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -2241,6 +2262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_values": q_winsorize_values,
         "sequence_pattern": q_sequence_pattern,
         "robust_stats_mad": q_robust_stats_mad,
+        "corpus_entropy": q_corpus_entropy,
     }
 
 
@@ -4215,5 +4237,21 @@ def oracle_sql() -> dict[str, str]:
                    round(any_value(med), 4) AS median_value,
                    round(quantile_cont(dd, 0.5), 4) AS mad
             FROM d GROUP BY event_type
+        """,
+        "corpus_entropy": r"""
+            WITH toks AS (
+              SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS tok
+              FROM documents),
+            tf AS (
+              SELECT lang, tok, count(*) AS n
+              FROM toks WHERE length(tok) > 0 GROUP BY lang, tok),
+            tot AS (SELECT lang, sum(n) AS total FROM tf GROUP BY lang),
+            p AS (
+              SELECT tf.lang, tf.n * 1.0 / tot.total AS p
+              FROM tf JOIN tot USING (lang))
+            SELECT lang,
+                   round(-sum(p * log2(p)), 4) AS entropy_bits,
+                   count(*) AS vocab_size
+            FROM p GROUP BY lang
         """,
     }
