@@ -176,3 +176,44 @@ def test_winsorize_clips_only_tails(spark):
         abs(a - b) < 1e-9
         for a, b in zip(sorted(mid), [float(v) for v in range(20, 81)])
     )  # interior untouched
+
+
+def test_sequence_pattern_semantics(spark):
+    """v[^p]*p counts non-overlapping view→purchase conversions in the
+    time-ordered path — pin the regex semantics on a crafted history."""
+    rows = [
+        (1, t, i, et)
+        for i, (t, et) in enumerate(
+            [(10, "view"), (20, "view"), (30, "purchase"),
+             (40, "view"), (50, "purchase"), (60, "error")]
+        )
+    ]
+    df = spark.createDataFrame(rows, "user_id long, tus long, event_id long, event_type string")
+    seq = df.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tus", "event_id",
+                    F.substring("event_type", 1, 1).alias("c")))),
+                lambda s: s["c"],
+            ),
+        ).alias("path")
+    )
+    r = seq.select(
+        "path",
+        F.regexp_count(F.col("path"), F.lit("v[^p]*p")).alias("n_conv"),
+    ).first()
+    assert r["path"] == "vvpvpe"
+    assert r["n_conv"] == 2  # "vvp" then "vp" — non-overlapping
+
+
+def test_from_json_quarantines_malformed(spark):
+    df = spark.createDataFrame(
+        [(1, '{"k": 5}'), (2, "not json"), (3, None)], "id long, props string"
+    )
+    parsed = df.select(
+        "id", F.from_json("props", "k INT").alias("p")
+    ).select("id", F.col("p.k").alias("k"), F.col("p").isNull().alias("failed"))
+    got = {r["id"]: (r["k"], r["failed"]) for r in parsed.collect()}
+    assert got[1] == (5, False)
+    assert got[2][1] is True and got[3][1] is True
