@@ -216,4 +216,7 @@ def test_from_json_quarantines_malformed(spark):
     ).select("id", F.col("p.k").alias("k"), F.col("p").isNull().alias("failed"))
     got = {r["id"]: (r["k"], r["failed"]) for r in parsed.collect()}
     assert got[1] == (5, False)
-    assert got[2][1] is True and got[3][1] is True
+    # PERMISSIVE semantics: malformed input -> struct of NULL fields
+    # (struct itself non-null); only NULL input -> NULL struct
+    assert got[2] == (None, False)
+    assert got[3] == (None, True)
