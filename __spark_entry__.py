@@ -2033,7 +2033,9 @@ def q_json_struct_surface(spark, sf):
         F.col("p.k").alias("k"),
         (F.col("p.k") % 7).alias("k_mod7"),
         F.to_json(F.struct(F.col("p.k").alias("k"))).alias("roundtrip"),
-        F.col("p").isNull().alias("parse_failed"),
+        # field-level: malformed input yields a null-fielded struct in
+        # PERMISSIVE mode, so the struct itself is a poor failure signal
+        F.col("p.k").isNull().alias("parse_failed"),
     )
 
 
