@@ -2135,6 +2135,25 @@ def q_corpus_entropy(spark, sf):
     )
 
 
+def q_top_terms_per_lang(spark, sf):
+    """Per-GROUP heavy hitters: top-5 tokens per language via a ranked
+    window — WindowGroupLimit pushes the limit into the sort, so no
+    group ever materializes its full vocabulary ranking."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    tf = toks.groupBy("lang", "tok").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tok"))
+    return (
+        tf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "tok", "n", "rank")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -2265,6 +2284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pattern": q_sequence_pattern,
         "robust_stats_mad": q_robust_stats_mad,
         "corpus_entropy": q_corpus_entropy,
+        "top_terms_per_lang": q_top_terms_per_lang,
     }
 
 
@@ -4255,5 +4275,17 @@ def oracle_sql() -> dict[str, str]:
                    round(-sum(p * log2(p)), 4) AS entropy_bits,
                    count(*) AS vocab_size
             FROM p GROUP BY lang
+        """,
+        "top_terms_per_lang": r"""
+            WITH toks AS (
+              SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS tok
+              FROM documents),
+            tf AS (
+              SELECT lang, tok, count(*) AS n
+              FROM toks WHERE length(tok) > 0 GROUP BY lang, tok)
+            SELECT lang, tok, n,
+                   CAST(row_number() OVER (PARTITION BY lang
+                     ORDER BY n DESC, tok) AS INT) AS rank
+            FROM tf QUALIFY rank <= 5
         """,
     }
