@@ -2154,6 +2154,47 @@ def q_top_terms_per_lang(spark, sf):
     )
 
 
+def q_dedup_rate_by_source(spark, sf):
+    """Duplication pressure per source: docs vs distinct normalized
+    digests — the triage report that decides where dedup effort goes.
+    One narrow digest projection + one two-level aggregate."""
+    docs = _t(spark, sf, "documents")
+    d = docs.select(
+        "source",
+        F.sha2(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")), 256).alias("dg"),
+    )
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("dg").alias("n_distinct"),
+        F.round(1 - F.countDistinct("dg") / F.count("*"), 4).alias("dup_rate"),
+    )
+
+
+def q_token_pareto(spark, sf):
+    """Token concentration (Pareto): cumulative share of corpus tokens
+    held by docs ranked largest-first, sampled at deciles — the skew
+    lens for length-capping decisions. Doc-count table is small; one
+    ranked window over it."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf, "documents")
+    counts = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                        lambda t: F.length(t) > 0)).alias("n_tok"),
+    )
+    w = Window.orderBy(F.desc("n_tok"), F.asc("doc_id"))
+    total = counts.agg(F.sum("n_tok").alias("t"), F.count("*").alias("n"))
+    ranked = counts.crossJoin(F.broadcast(total)).select(
+        F.ntile(10).over(w).alias("decile"),
+        "n_tok", "t",
+    )
+    return ranked.groupBy("decile").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.sum("n_tok") / F.first("t"), 4).alias("token_share"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -2285,6 +2326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_stats_mad": q_robust_stats_mad,
         "corpus_entropy": q_corpus_entropy,
         "top_terms_per_lang": q_top_terms_per_lang,
+        "dedup_rate_by_source": q_dedup_rate_by_source,
+        "token_pareto": q_token_pareto,
     }
 
 
@@ -4287,5 +4330,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY lang
                      ORDER BY n DESC, tok) AS INT) AS rank
             FROM tf QUALIFY rank <= 5
+        """,
+        "dedup_rate_by_source": r"""
+            WITH d AS (
+              SELECT source,
+                     sha256(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS dg
+              FROM documents)
+            SELECT source, count(*) AS n_docs,
+                   count(DISTINCT dg) AS n_distinct,
+                   round(1 - count(DISTINCT dg) * 1.0 / count(*), 4) AS dup_rate
+            FROM d GROUP BY source
+        """,
+        "token_pareto": r"""
+            WITH c AS (
+              SELECT doc_id,
+                     len(list_filter(string_split_regex(lower(text), '\s+'),
+                                     x -> length(x) > 0)) AS n_tok
+              FROM documents),
+            t AS (SELECT sum(n_tok) AS tt FROM c),
+            r AS (
+              SELECT ntile(10) OVER (ORDER BY n_tok DESC, doc_id) AS decile,
+                     n_tok, (SELECT tt FROM t) AS tt
+              FROM c)
+            SELECT decile, count(*) AS n_docs,
+                   round(sum(n_tok) * 1.0 / any_value(tt), 4) AS token_share
+            FROM r GROUP BY decile
         """,
     }
