@@ -2195,6 +2195,37 @@ def q_token_pareto(spark, sf):
     )
 
 
+def q_higher_moments(spark, sf):
+    """Skewness and excess kurtosis per event type, computed from raw
+    power sums in ONE pass (sum x, x^2, x^3, x^4 -> moments) — the
+    explicit formulation is engine-portable where built-in skewness()
+    differs in sample-vs-population convention across engines."""
+    ev = _t(spark, sf, "events").select("event_type", F.col("value").alias("x"))
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+        F.sum(F.col("x") * F.col("x") * F.col("x")).alias("s3"),
+        F.sum(F.col("x") * F.col("x") * F.col("x") * F.col("x")).alias("s4"),
+    )
+    mu = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mu * mu
+    m3 = F.col("s3") / F.col("n") - 3 * mu * F.col("s2") / F.col("n") + 2 * mu * mu * mu
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * mu * F.col("s3") / F.col("n")
+        + 6 * mu * mu * F.col("s2") / F.col("n")
+        - 3 * mu * mu * mu * mu
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.round(mu, 3).alias("mean_x"),
+        F.round(m3 / F.pow(m2, 1.5), 3).alias("skewness_pop"),
+        F.round(m4 / (m2 * m2) - 3, 3).alias("excess_kurtosis_pop"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -2328,6 +2359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms_per_lang": q_top_terms_per_lang,
         "dedup_rate_by_source": q_dedup_rate_by_source,
         "token_pareto": q_token_pareto,
+        "higher_moments": q_higher_moments,
     }
 
 
@@ -4355,5 +4387,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT decile, count(*) AS n_docs,
                    round(sum(n_tok) * 1.0 / any_value(tt), 4) AS token_share
             FROM r GROUP BY decile
+        """,
+        "higher_moments": r"""
+            WITH s AS (
+              SELECT event_type, count(*) AS n,
+                     sum(value) AS s1, sum(value * value) AS s2,
+                     sum(value * value * value) AS s3,
+                     sum(value * value * value * value) AS s4
+              FROM events GROUP BY event_type),
+            m AS (
+              SELECT event_type, n, s1 / n AS mu,
+                     s2 / n - (s1 / n) * (s1 / n) AS m2,
+                     s3 / n - 3 * (s1 / n) * s2 / n + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+                     s4 / n - 4 * (s1 / n) * s3 / n
+                       + 6 * (s1 / n) * (s1 / n) * s2 / n
+                       - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+              FROM s)
+            SELECT event_type, n,
+                   round(mu, 3) AS mean_x,
+                   round(m3 / (m2 ** 1.5), 3) AS skewness_pop,
+                   round(m4 / (m2 * m2) - 3, 3) AS excess_kurtosis_pop
+            FROM m
         """,
     }
