@@ -253,3 +253,58 @@ def overwrite_partitions(df, path: str, partition_cols: list[str]) -> None:
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+def write_sharded_with_manifest(
+    df,
+    path: str,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "epoch0",
+):
+    """Training-export sink: write the corpus as hive-partitioned shards
+    (``shard=K/``) in the deterministic md5 order, plus a single-file
+    ``_manifest`` the training job consumes — one row per shard with
+    row count, token count, and an order-INSENSITIVE content checksum
+    (xor of row hashes — layout changes don't change it, any row change
+    does).
+
+    The manifest is the contract between curation and training: a
+    loader schedules shards by token count and verifies checksums
+    before touching the data. Everything is one job over the curated
+    frame + one tiny aggregate; the manifest is coalesced to one file
+    because it is KB-sized metadata, not data.
+    """
+    from pyspark.sql import functions as F
+
+    from .operators.curation import shard_shuffle
+
+    sharded = shard_shuffle(df, n_shards=n_shards, id_col=id_col, salt=salt)
+    (
+        sharded.repartition("shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    tok = F.size(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"),
+            lambda t: F.length(t) > 0,
+        )
+    )
+    manifest = (
+        sharded.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(tok).alias("n_tokens"),
+            # bit_xor aggregate: order-insensitive, partial-combinable
+            # (never materializes per-shard hash lists), any changed
+            # row flips it
+            F.expr(f"bit_xor(xxhash64({id_col}, {text_col}))").alias("checksum"),
+        )
+        .orderBy("shard")
+    )
+    manifest.coalesce(1).write.mode("overwrite").json(f"{path}/_manifest")
+    return manifest

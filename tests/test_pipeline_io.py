@@ -542,3 +542,39 @@ def test_sequential_id_stream_continues_across_runs(spark, tmp_path):
     n2 = len(got)
     assert n2 > n1
     assert sorted(i for i, _ in got) == list(range(n2))  # still dense, no reuse
+
+
+def test_write_sharded_with_manifest(spark, sf_dir, tmp_path):
+    """Sharded export: manifest rows must reconcile exactly with the
+    written shards, and the checksum must be layout-insensitive but
+    content-sensitive."""
+    docs = load(spark, sf_dir, "documents")
+    dest = str(tmp_path / "export")
+    m1 = sinks.write_sharded_with_manifest(docs, dest, n_shards=4).collect()
+    assert len(m1) == 4
+    back = spark.read.parquet(dest)
+    assert back.count() == docs.count()
+    per_shard = {r["shard"]: r["count"] for r in back.groupBy("shard").count().collect()}
+    for r in m1:
+        assert per_shard[r["shard"]] == r["n_rows"]
+        assert r["n_tokens"] > 0
+    # repartitioned input -> identical checksums (order-insensitive)
+    m2 = sinks.write_sharded_with_manifest(
+        docs.repartition(17), str(tmp_path / "export2"), n_shards=4
+    ).collect()
+    assert {(r["shard"], r["checksum"]) for r in m1} == {
+        (r["shard"], r["checksum"]) for r in m2
+    }
+    # content change -> checksum change
+    mutated = docs.withColumn(
+        "text", F.when(F.col("doc_id") == 0, F.lit("CHANGED")).otherwise(F.col("text"))
+    )
+    m3 = sinks.write_sharded_with_manifest(
+        mutated, str(tmp_path / "export3"), n_shards=4
+    ).collect()
+    assert {(r["shard"], r["checksum"]) for r in m1} != {
+        (r["shard"], r["checksum"]) for r in m3
+    }
+    # manifest json readable
+    man = spark.read.json(f"{dest}/_manifest")
+    assert man.count() == 4
