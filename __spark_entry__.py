@@ -2226,6 +2226,27 @@ def q_higher_moments(spark, sf):
     )
 
 
+def q_delta_encode(spark, sf):
+    """Delta encoding per user: first event carries its absolute
+    timestamp, every later one the gap to its predecessor — the
+    storage/transport form for monotone series (deltas compress orders
+    of magnitude better than absolutes). One lag window; the running
+    sum over deltas reconstructs the original exactly, so the encoding
+    is lossless by construction."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("tus")
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    delta = F.col("tus") - F.lag("tus").over(w)
+    return ev.select(
+        "user_id", "event_id",
+        F.coalesce(delta, F.col("tus")).alias("delta_us"),
+        (F.lag("tus").over(w).isNull()).alias("is_base"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -2360,6 +2381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_rate_by_source": q_dedup_rate_by_source,
         "token_pareto": q_token_pareto,
         "higher_moments": q_higher_moments,
+        "delta_encode": q_delta_encode,
     }
 
 
@@ -4408,5 +4430,15 @@ def oracle_sql() -> dict[str, str]:
                    round(m3 / (m2 ** 1.5), 3) AS skewness_pop,
                    round(m4 / (m2 * m2) - 3, 3) AS excess_kurtosis_pop
             FROM m
+        """,
+        "delta_encode": r"""
+            WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts) AS tus FROM events)
+            SELECT user_id, event_id,
+                   coalesce(tus - lag(tus) OVER (PARTITION BY user_id
+                     ORDER BY tus, event_id), tus) AS delta_us,
+                   lag(tus) OVER (PARTITION BY user_id
+                     ORDER BY tus, event_id) IS NULL AS is_base
+            FROM e
         """,
     }

@@ -199,3 +199,25 @@ def test_resample_locf_dense_grid_and_carry(spark):
     assert rows[(1, 200)] == (False, 20.0)  # carried
     assert rows[(1, 300)] == (True, 50.0)
     assert rows[(2, 100)] == (True, 7.0)
+
+
+def test_delta_encode_roundtrip_lossless(spark):
+    from pyspark.sql import Window
+
+    ev = spark.createDataFrame(
+        [(1, 1, 100), (1, 2, 250), (1, 3, 900), (2, 4, 50)],
+        "user_id long, event_id long, tus long",
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    enc = ev.select(
+        "user_id", "event_id",
+        F.coalesce(F.col("tus") - F.lag("tus").over(w), F.col("tus")).alias("delta_us"),
+    )
+    dec = enc.withColumn(
+        "tus",
+        F.sum("delta_us").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    got = sorted((r["user_id"], r["event_id"], r["tus"]) for r in dec.collect())
+    assert got == [(1, 1, 100), (1, 2, 250), (1, 3, 900), (2, 4, 50)]
