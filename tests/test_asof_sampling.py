@@ -213,11 +213,11 @@ def test_delta_encode_roundtrip_lossless(spark):
         "user_id", "event_id",
         F.coalesce(F.col("tus") - F.lag("tus").over(w), F.col("tus")).alias("delta_us"),
     )
-    dec = enc.withColumn(
-        "tus",
-        F.sum("delta_us").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
+    # reconstruct: running sum of deltas in the same per-key order
+    # (the encoded frame no longer carries tus, so order on event_id)
+    w2 = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
+    dec = enc.withColumn("tus", F.sum("delta_us").over(w2))
     got = sorted((r["user_id"], r["event_id"], r["tus"]) for r in dec.collect())
     assert got == [(1, 1, 100), (1, 2, 250), (1, 3, 900), (2, 4, 50)]
