@@ -873,10 +873,14 @@ def q_dedup_incremental_minhash(spark, sf):
 
 
 def q_dedup_simhash(spark, sf):
-    """SimHash-64 signatures per doc. xxhash64-based — rows-only check;
-    tests pin that identical texts collide."""
+    """SimHash-64 signatures per doc, portable-hash mode (60-bit md5
+    shingle hash): the full bit-vote signature is recomputed by the
+    DuckDB oracle, value-for-value — xxhash64 mode (the default, tested
+    equal in structure) can't be replayed outside the JVM."""
     docs = _t(spark, sf, "documents")
-    out = dedup.simhash_signatures(docs, "text", "doc_id", shingle_n=2)
+    out = dedup.simhash_signatures(
+        docs, "text", "doc_id", shingle_n=2, portable_hash=True
+    )
     return out.select(F.col("id").alias("doc_id"), "simhash")
 
 
@@ -1642,16 +1646,33 @@ def q_sentence_chunks(spark, sf):
 
 
 def q_histogram_equidepth(spark, sf):
-    """Equi-DEPTH histogram (decile buckets) over order totals: ntile
-    on a total order. The global-sort window is the exact form; at
-    100 TB substitute percentile_approx cutpoints + a broadcast range
-    join (same output contract, no global sort) — the equi-width twin
-    (histogram_price) is the no-sort scale path."""
-    from pyspark.sql import Window
-
+    """Equi-DEPTH histogram (decile buckets) over event values — NO
+    global sort: 9 exact decile cutpoints from one ``percentile``
+    aggregate, broadcast back as a 1-row cross join, bucket assigned by
+    counting cutpoints below the value. Scales: the aggregate is a
+    partial-combinable reduction and the per-row bucketing is narrow —
+    unlike a global-window ``ntile`` that funnels the corpus through a
+    single task. Ties share a bucket (value-based, not rank-based), so
+    depths are approximately-equal rather than exactly N/10; cutpoints
+    rounded to 6 decimals on both engines so the oracle agrees."""
     ev = _t(spark, sf, "events")
-    w = Window.orderBy("value", "event_id")
-    b = ev.select(F.ntile(10).over(w).alias("bucket"), "value")
+    cuts = ev.agg(
+        F.transform(
+            F.percentile("value", F.array(*[F.lit(i / 10.0) for i in range(1, 10)])),
+            lambda c: F.round(c, 6),
+        ).alias("cs")
+    )
+    b = ev.crossJoin(F.broadcast(cuts)).select(
+        (
+            1
+            + F.aggregate(
+                "cs",
+                F.lit(0),
+                lambda acc, c: acc + F.when(F.col("value") > c, 1).otherwise(0),
+            )
+        ).alias("bucket"),
+        "value",
+    )
     return b.groupBy("bucket").agg(
         F.count("*").alias("n"),
         F.round(F.min("value"), 4).alias("lo"),
@@ -1866,7 +1887,10 @@ def q_array_surface(spark, sf):
     d = _t(spark, sf, "documents")
     toks = F.split(F.lower(F.col("text")), r"\s+")
     first5 = F.slice(toks, 1, 5)
-    last5 = F.slice(toks, -5, 5)
+    # clamp the start: slice(toks, -5, 5) returns an EMPTY array when the
+    # array has <5 elements (negative start out of range), while the DuckDB
+    # twin's toks[greatest(len-4,1):len] returns the whole array
+    last5 = F.slice(toks, F.greatest(F.size(toks) - 4, F.lit(1)), 5)
     return d.select(
         "doc_id",
         F.size(F.array_distinct(toks)).alias("n_distinct_toks"),
@@ -2032,7 +2056,12 @@ def q_json_struct_surface(spark, sf):
         "event_id",
         F.col("p.k").alias("k"),
         (F.col("p.k") % 7).alias("k_mod7"),
-        F.to_json(F.struct(F.col("p.k").alias("k"))).alias("roundtrip"),
+        # ignoreNullFields=false: a null/absent k serializes as {"k":null}
+        # instead of {} so the oracle can reproduce the byte form
+        F.to_json(
+            F.struct(F.col("p.k").alias("k")),
+            options={"ignoreNullFields": "false"},
+        ).alias("roundtrip"),
         # field-level: malformed input yields a null-fielded struct in
         # PERMISSIVE mode, so the struct itself is a poor failure signal
         F.col("p.k").isNull().alias("parse_failed"),
@@ -2047,9 +2076,13 @@ def q_scd2_intervals(spark, sf):
     from pdf_to_vectordb_etl_spark.operators import cdc
 
     ev = _t(spark, sf, "events").select(
-        "user_id", F.expr("ts div 1000").alias("tus"), "event_type"
+        "user_id", F.expr("ts div 1000").alias("tus"), "event_type", "event_id"
     )
-    out = cdc.scd2_intervals(ev, ["user_id"], "tus", ["event_type"])
+    # event_id tiebreak: two events for one user in the same microsecond
+    # must sort deterministically on both engines or the hash gate flakes
+    out = cdc.scd2_intervals(
+        ev, ["user_id"], "tus", ["event_type"], tiebreak_cols=["event_id"]
+    )
     return out.select(
         "user_id", "event_type", "valid_from", "valid_to", "is_current"
     )
@@ -2171,23 +2204,42 @@ def q_dedup_rate_by_source(spark, sf):
 
 
 def q_token_pareto(spark, sf):
-    """Token concentration (Pareto): cumulative share of corpus tokens
-    held by docs ranked largest-first, sampled at deciles — the skew
-    lens for length-capping decisions. Doc-count table is small; one
-    ranked window over it."""
-    from pyspark.sql import Window
-
+    """Token concentration (Pareto): share of corpus tokens held by
+    docs grouped into size deciles (decile 1 = largest) — the skew lens
+    for length-capping decisions. NO global sort: the per-doc count
+    table is corpus-cardinality (one row PER DOCUMENT), so ranking it
+    through a single-partition window dies at 100x — instead 9 exact
+    decile cutpoints of n_tok come from one partial-combinable
+    ``percentile`` aggregate and are broadcast back; decile = 10 minus
+    the number of cutpoints the doc exceeds. Value ties share a decile
+    (depths approximately N/10); cutpoints rounded to 6 decimals on
+    both engines so the oracle agrees."""
     docs = _t(spark, sf, "documents")
     counts = docs.select(
         "doc_id",
         F.size(F.filter(F.split(F.lower(F.col("text")), r"\s+"),
                         lambda t: F.length(t) > 0)).alias("n_tok"),
     )
-    w = Window.orderBy(F.desc("n_tok"), F.asc("doc_id"))
-    total = counts.agg(F.sum("n_tok").alias("t"), F.count("*").alias("n"))
-    ranked = counts.crossJoin(F.broadcast(total)).select(
-        F.ntile(10).over(w).alias("decile"),
-        "n_tok", "t",
+    cuts = counts.agg(
+        F.transform(
+            F.percentile(
+                "n_tok", F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+            ),
+            lambda c: F.round(c, 6),
+        ).alias("cs"),
+        F.sum("n_tok").alias("t"),
+    )
+    ranked = counts.crossJoin(F.broadcast(cuts)).select(
+        (
+            10
+            - F.aggregate(
+                "cs",
+                F.lit(0),
+                lambda acc, c: acc + F.when(F.col("n_tok") > c, 1).otherwise(0),
+            )
+        ).alias("decile"),
+        "n_tok",
+        "t",
     )
     return ranked.groupBy("decile").agg(
         F.count("*").alias("n_docs"),
@@ -2912,6 +2964,39 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1, 2)
             SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.5
         """,
+        # Full signature recomputation: same bigram shingles, same
+        # 60-bit md5 shingle hash (hex chars folded via list_reduce —
+        # DuckDB 1.0 has no conv()), same +1/-1 bit votes and sign-pack.
+        "dedup_simhash": f"""
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(w)-1, 0)),
+                       i -> w[i] || ' ' || w[i+1])) AS shingles
+              FROM (SELECT doc_id, string_split({_NORM}, ' ') AS w
+                    FROM documents)),
+            ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+            h AS (
+              SELECT doc_id,
+                     list_reduce(list_transform(
+                       string_split(substr(md5(s), 1, 15), ''),
+                       c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                       (a, b) -> a * 16 + b) AS h
+              FROM ex),
+            v AS (
+              SELECT doc_id, i,
+                     sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+              FROM h, range(0, 60) t(i)
+              GROUP BY doc_id, i),
+            sig AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN vote > 0
+                              THEN CAST(1 AS BIGINT) << i
+                              ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+              FROM v GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
+            FROM documents d LEFT JOIN sig s USING (doc_id)
+        """,
         "dedup_incremental_exact": f"""
             WITH t AS (
               SELECT doc_id, lang, source, {_NORM} AS norm,
@@ -3268,6 +3353,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, octet_length(encode(text)) AS n_bytes,
                    sha256(text) AS digest
             FROM documents
+        """,
+        # Replays fake_decode: width/height are 16 + (md5 byte 0/1 % 240),
+        # images decode to one frame. Hex-pair -> byte via strpos.
+        "mm_decode_meta": """
+            WITH b AS (
+              SELECT doc_id AS media_id,
+                     (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+                       + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1 AS h0,
+                     (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
+                       + strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1 AS h1
+              FROM documents)
+            SELECT media_id,
+                   CAST(16 + h0 % 240 AS INT) AS width,
+                   CAST(16 + h1 % 240 AS INT) AS height,
+                   CAST(1 AS INT) AS n_frames
+            FROM b
         """,
         "star_shipping_priority": """
             SELECT l_orderkey, o_orderpriority,
@@ -3847,10 +3948,10 @@ def oracle_sql() -> dict[str, str]:
               FROM events),
             s AS (
               SELECT event_id,
-                     CAST(greatest(0, least(65535,
-                       floor((CAST(user_id AS DOUBLE) - xlo) * 65535.0 / (xhi - xlo)))) AS BIGINT) AS xs,
-                     CAST(greatest(0, least(65535,
-                       floor((value - ylo) * 65535.0 / (yhi - ylo)))) AS BIGINT) AS ys
+                     CAST(CASE WHEN xhi = xlo THEN 0 ELSE greatest(0, least(65535,
+                       floor((CAST(user_id AS DOUBLE) - xlo) * 65535.0 / (xhi - xlo)))) END AS BIGINT) AS xs,
+                     CAST(CASE WHEN yhi = ylo THEN 0 ELSE greatest(0, least(65535,
+                       floor((value - ylo) * 65535.0 / (yhi - ylo)))) END AS BIGINT) AS ys
               FROM events, b),
             p1 AS (SELECT event_id,
                           (xs | (xs << 8)) & 16711935 AS x1,
@@ -3958,9 +4059,16 @@ def oracle_sql() -> dict[str, str]:
             FROM kept GROUP BY doc_id, chunk_id
         """,
         "histogram_equidepth": """
-            WITH b AS (
-              SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS bucket
-              FROM events)
+            WITH cs AS (
+              SELECT list_transform(
+                       quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                             0.6, 0.7, 0.8, 0.9]),
+                       c -> round(c, 6)) AS cs
+              FROM events),
+            b AS (
+              SELECT value,
+                     1 + len(list_filter(cs, c -> value > c)) AS bucket
+              FROM events, cs)
             SELECT bucket, count(*) AS n,
                    round(min(value), 4) AS lo,
                    round(max(value), 4) AS hi,
@@ -4287,29 +4395,35 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         """,
         "json_struct_surface": r"""
-            SELECT event_id,
-                   CAST(json_extract(props, '$.k') AS INT) AS k,
-                   CAST(json_extract(props, '$.k') AS INT) % 7 AS k_mod7,
-                   '{"k":' || json_extract(props, '$.k') || '}' AS roundtrip,
-                   json_extract(props, '$.k') IS NULL AS parse_failed
-            FROM events
+            WITH p AS (
+              SELECT event_id,
+                     CASE WHEN json_valid(props)
+                          THEN CAST(json_extract(props, '$.k') AS INT) END AS k
+              FROM events)
+            SELECT event_id, k, k % 7 AS k_mod7,
+                   '{"k":' || coalesce(CAST(k AS VARCHAR), 'null') || '}'
+                     AS roundtrip,
+                   k IS NULL AS parse_failed
+            FROM p
         """,
         "scd2_intervals": r"""
             WITH e AS (
-              SELECT user_id, epoch_us(ts) AS tus, event_type FROM events),
+              SELECT user_id, epoch_us(ts) AS tus, event_type, event_id
+              FROM events),
             d AS (
-              SELECT user_id, tus, event_type,
-                     lag(event_type) OVER (PARTITION BY user_id ORDER BY tus)
-                       AS prev_type
+              SELECT user_id, tus, event_type, event_id,
+                     lag(event_type) OVER (PARTITION BY user_id
+                       ORDER BY tus, event_id) AS prev_type
               FROM e),
             kept AS (
-              SELECT user_id, tus, event_type FROM d
+              SELECT user_id, tus, event_type, event_id FROM d
               WHERE prev_type IS DISTINCT FROM event_type)
             SELECT user_id, event_type,
                    tus AS valid_from,
-                   lead(tus) OVER (PARTITION BY user_id ORDER BY tus) AS valid_to,
-                   lead(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
-                     AS is_current
+                   lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+                     AS valid_to,
+                   lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+                     IS NULL AS is_current
             FROM kept
         """,
         "winsorize_values": r"""
@@ -4401,11 +4515,17 @@ def oracle_sql() -> dict[str, str]:
                      len(list_filter(string_split_regex(lower(text), '\s+'),
                                      x -> length(x) > 0)) AS n_tok
               FROM documents),
-            t AS (SELECT sum(n_tok) AS tt FROM c),
+            cs AS (
+              SELECT list_transform(
+                       quantile_cont(n_tok, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                             0.6, 0.7, 0.8, 0.9]),
+                       q -> round(q, 6)) AS cs,
+                     sum(n_tok) AS tt
+              FROM c),
             r AS (
-              SELECT ntile(10) OVER (ORDER BY n_tok DESC, doc_id) AS decile,
-                     n_tok, (SELECT tt FROM t) AS tt
-              FROM c)
+              SELECT 10 - len(list_filter(cs, q -> n_tok > q)) AS decile,
+                     n_tok, tt
+              FROM c, cs)
             SELECT decile, count(*) AS n_docs,
                    round(sum(n_tok) * 1.0 / any_value(tt), 4) AS token_share
             FROM r GROUP BY decile

@@ -103,6 +103,7 @@ def scd2_intervals(
     key_cols: list[str],
     order_col: str,
     payload_cols: list[str] | None = None,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Slowly-changing-dimension TYPE 2: turn a changelog into validity
     intervals — one row per version per key with ``[valid_from,
@@ -115,13 +116,22 @@ def scd2_intervals(
     interval). Consecutive versions with IDENTICAL payload are collapsed
     first (null-safe struct compare against lag), so storage is
     O(distinct versions), not O(events).
+
+    ``tiebreak_cols`` extends the window ORDER BY (not the interval
+    bounds) so two versions sharing an ``order_col`` value still sort
+    deterministically — without it, lag/lead tie order is engine- and
+    run-nondeterministic and equal-timestamp versions may collapse
+    differently across runs.
     """
     from pyspark.sql import Window
 
     payload_cols = payload_cols or [
-        c for c in changes.columns if c not in key_cols and c != order_col
+        c
+        for c in changes.columns
+        if c not in key_cols and c != order_col and c not in (tiebreak_cols or [])
     ]
-    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    order_cols = [order_col, *(tiebreak_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
     p = F.struct(*[F.col(c) for c in payload_cols])
     # drop no-op updates: payload identical to the previous version
     dedup = (
@@ -129,7 +139,7 @@ def scd2_intervals(
         .filter(~p.eqNullSafe(F.col("_prev")))
         .drop("_prev")
     )
-    w2 = Window.partitionBy(*key_cols).orderBy(order_col)
+    w2 = Window.partitionBy(*key_cols).orderBy(*order_cols)
     return dedup.select(
         *key_cols,
         *payload_cols,

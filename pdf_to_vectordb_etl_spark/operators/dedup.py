@@ -436,18 +436,33 @@ def simhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 2,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """(id, simhash) via explode + 64 partial-aggregated bit votes — the
     distributed form of :func:`simhash64` (identical values). Preferred
     for wide scans: per-shingle work parallelizes past a one-task scan
-    and the shuffle carries 64 small longs per doc."""
+    and the shuffle carries 64 small longs per doc.
+
+    ``portable_hash=True`` swaps xxhash64 for the top 60 bits of md5 —
+    bit-for-bit reproducible in any engine with md5 (DuckDB, Postgres,
+    ...), at the cost of a slower hash. Use when signatures must be
+    verified or joined across engines; bits 60-63 of the signature are
+    then always 0 (votes start at -n)."""
+    if portable_hash:
+        hash_shingle = lambda c: (  # noqa: E731
+            F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+        )
+    else:
+        hash_shingle = F.xxhash64
     ex = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id").select(
         "id", F.explode_outer(word_shingles(F.col(text_col), shingle_n)).alias("_s")
     ).select(
         "id",
         # xxhash64(NULL) is the seed (non-null!): keep the shingle-less
         # placeholder row's hash NULL so its bit votes stay 0
-        F.when(F.col("_s").isNull(), F.lit(None)).otherwise(F.xxhash64("_s")).alias("h"),
+        F.when(F.col("_s").isNull(), F.lit(None))
+        .otherwise(hash_shingle(F.col("_s")))
+        .alias("h"),
     )
     one = F.lit(1).cast("long")
     votes = [

@@ -82,10 +82,13 @@ def _real_decode(kind: str, payload: bytes) -> dict:
 
 def fake_decode(kind: str, payload: bytes) -> dict:
     """Deterministic decode stand-in: dimensions/frames/features derive
-    from the payload digest. Same return contract as a real decoder."""
+    from the payload's md5 digest. Same return contract as a real
+    decoder; md5 (not a keyed/uncommon hash) so any engine with an md5
+    builtin can independently recompute the expected metadata — the
+    correctness oracle does exactly that."""
     import hashlib
 
-    h = hashlib.blake2b(payload or b"", digest_size=16).digest()
+    h = hashlib.md5(payload or b"").digest()
     return {
         "width": 16 + h[0] % 240,
         "height": 16 + h[1] % 240,

@@ -83,9 +83,7 @@ def test_registry_integrity():
     o = set(entry.oracle_sql())
     assert o <= q, f"orphan oracles: {o - q}"
     rows_only = q - o
-    assert rows_only <= {"dedup_simhash", "mm_decode_meta"}, (
-        f"unexpected rows-only queries: {rows_only}"
-    )
+    assert rows_only == set(), f"unexpected rows-only queries: {rows_only}"
 
 
 def test_curate_corpus_end_to_end(spark, sf_dir):
