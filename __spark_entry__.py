@@ -1811,6 +1811,27 @@ def q_pq_adc_topk(spark, sf):
     return top.select("vec_id", F.round("adc_sim", 4).alias("adc_sim"))
 
 
+def q_ivfpq_topk(spark, sf):
+    """End-to-end IVF-PQ search (the FAISS production shape): coarse
+    quantizer routes to 8 lists, residuals PQ-coded (m=4, k=16), query
+    probes its 4 nearest lists and ranks by the ADC lookup algebra —
+    per-row cost is m table lookups and only probed lists are scanned
+    (partition pruning on list_id at scale). Fully deterministic
+    (md5-sampled inits, 6-dp rounding, id tiebreaks), so the oracle
+    replays the ENTIRE index build + search in DuckDB and the result is
+    hash-verified — not merely recall-checked; tests additionally pin
+    ADC-equals-explicit-reconstruction and a recall floor."""
+    from pdf_to_vectordb_etl_spark.operators import quantization as pq
+
+    emb = _t(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    cents, books, coded = pq.ivfpq_build(
+        emb, n_lists=8, m=4, k=16, n_iters=1, dim=64
+    )
+    top = pq.ivfpq_topk(cents, books, coded, list(query), k=10, n_probe=4)
+    return top.select("vec_id", F.round("approx_cos", 4).alias("approx_cos"))
+
+
 def q_order_priority_exists(spark, sf):
     """TPC-H Q4 class — EXISTS subquery as a LEFT SEMI join: orders
     with at least one line shipped >60 days after the order date,
@@ -2411,6 +2432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_locf": q_resample_locf,
         "pq_reconstruction": q_pq_reconstruction,
         "pq_adc_topk": q_pq_adc_topk,
+        "ivfpq_topk": q_ivfpq_topk,
         "order_priority_exists": q_order_priority_exists,
         "promo_revenue": q_promo_revenue,
         "disjunctive_revenue": q_disjunctive_revenue,
@@ -2693,6 +2715,109 @@ WITH
             SELECT vec_id, round(adc6, 4) AS adc_sim
             FROM sc ORDER BY adc6 DESC, vec_id LIMIT 20
 """
+
+
+def _ivfpq_oracle_sql(
+    n_lists: int = 8, m: int = 4, k: int = 16, sub_dim: int = 16,
+    dim: int = 64, n_probe: int = 4, topk: int = 10,
+) -> str:
+    """Full DuckDB replay of ivfpq_build + ivfpq_topk: md5-sampled
+    coarse centroids, 6-dp-rounded cosine list assignment, per-subspace
+    residual k-means (md5 init, one Lloyd pass, L2 argmin on 6-dp
+    rounded squared distance, 6-dp-rounded means), nearest-code
+    encoding, then cosine of the explicitly reconstructed vector
+    (exactly equal to the ADC lookup algebra — pinned by
+    tests/test_scale_ops.py::test_ivfpq_scores_equal_explicit_
+    reconstruction). Generated per subspace to stay maintainable."""
+    sq = (
+        "list_sum(list_transform(generate_series(1, {d}),"
+        " i -> (s.v[i] - c.c[i]) * (s.v[i] - c.c[i])))"
+    ).format(d=sub_dim)
+    blocks = []
+    for j in range(m):
+        lo, hi = j * sub_dim + 1, (j + 1) * sub_dim
+        blocks.append(f"""
+            rs{j} AS (SELECT vec_id, r[{lo}:{hi}] AS v FROM resid),
+            init{j} AS (
+              SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS c
+              FROM (SELECT vec_id, v FROM rs{j}
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})),
+            a{j} AS (
+              SELECT vec_id, v, cid FROM (
+                SELECT s.vec_id, s.v, c.cid,
+                       row_number() OVER (PARTITION BY s.vec_id
+                         ORDER BY round({sq}, 6) ASC, c.cid) AS rn
+                FROM rs{j} s CROSS JOIN init{j} c)
+              WHERE rn = 1),
+            x{j} AS (SELECT cid, unnest(generate_series(1, {sub_dim})) AS dim,
+                            unnest(v) AS x
+                     FROM a{j}),
+            d{j} AS (SELECT cid, dim, round(avg(x), 6) AS cd
+                     FROM x{j} GROUP BY cid, dim),
+            cent{j} AS (SELECT cid, list(cd ORDER BY dim) AS c
+                        FROM d{j} GROUP BY cid),
+            e{j} AS (
+              SELECT vec_id, cid AS code{j} FROM (
+                SELECT s.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY s.vec_id
+                         ORDER BY round({sq}, 6) ASC, c.cid) AS rn
+                FROM rs{j} s CROSS JOIN cent{j} c)
+              WHERE rn = 1),
+            cb{j} AS (SELECT e{j}.vec_id, cent{j}.c AS cb
+                      FROM e{j} JOIN cent{j} ON cent{j}.cid = e{j}.code{j})""")
+    concat = "cb0.cb"
+    for j in range(1, m):
+        concat = f"list_concat({concat}, cb{j}.cb)"
+    cb_joins = "\n              ".join(
+        f"JOIN cb{j} ON cb{j}.vec_id = resid.vec_id" for j in range(m)
+    )
+    return f"""
+            WITH emb AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            qv AS (SELECT v AS q FROM emb WHERE vec_id = 0),
+            cents AS (
+              SELECT row_number() OVER (ORDER BY vec_id) AS list_id,
+                     v AS centroid
+              FROM (SELECT vec_id, v FROM emb
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                    LIMIT {n_lists})),
+            cassign AS (
+              SELECT vec_id, v, list_id FROM (
+                SELECT e.vec_id, e.v, ct.list_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY round(list_cosine_similarity(e.v, ct.centroid), 6)
+                           DESC, ct.list_id) AS rn
+                FROM emb e CROSS JOIN cents ct)
+              WHERE rn = 1),
+            resid AS (
+              SELECT a.vec_id, a.list_id,
+                     list_transform(generate_series(1, {dim}),
+                                    i -> a.v[i] - ct.centroid[i]) AS r
+              FROM cassign a JOIN cents ct USING (list_id)),
+            {",".join(blocks)},
+            probe AS (
+              SELECT list_id, centroid FROM (
+                SELECT ct.list_id, ct.centroid,
+                       row_number() OVER (
+                         ORDER BY round(list_cosine_similarity(q.q, ct.centroid), 6)
+                           DESC, ct.list_id) AS rn
+                FROM cents ct CROSS JOIN qv q)
+              WHERE rn <= {n_probe}),
+            xhat AS (
+              SELECT resid.vec_id,
+                     list_transform(generate_series(1, {dim}),
+                                    i -> p.centroid[i] + ({concat})[i]) AS xv
+              FROM resid
+              JOIN probe p USING (list_id)
+              {cb_joins}),
+            s AS (
+              SELECT x.vec_id,
+                     round(list_cosine_similarity(x.xv, q.q), 6) AS s
+              FROM xhat x CROSS JOIN qv q)
+            SELECT vec_id, round(s, 4) AS approx_cos
+            FROM s
+            QUALIFY row_number() OVER (ORDER BY s DESC, vec_id) <= {topk}
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4182,6 +4307,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pq_reconstruction": _PQ_ORACLE,
         "pq_adc_topk": _PQ_ADC_ORACLE,
+        "ivfpq_topk": _ivfpq_oracle_sql(),
         "order_priority_exists": """
             SELECT o_orderpriority, count(*) AS n_orders
             FROM orders o

@@ -65,21 +65,29 @@ def main() -> None:
     ]
     qs = entry.queries()
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     # best-of-3 per query: the box hosting local[32] is shared, and a
     # single co-scheduled burst can triple one query's wall time; min
-    # over three runs measures the plan, not the neighbor
+    # over three runs measures the plan, not the neighbor. The median is
+    # ALSO reported so a round-over-round delta is self-diagnosing:
+    # min << median means scheduler noise, min ~= median means the plan.
     for name in names:
         if name not in qs:
             continue
-        best, n = None, 0
+        runs, n = [], 0
         for _ in range(3):
             t0 = time.time()
             df = qs[name](spark, sf_dir)
             n = df.count()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+            runs.append(time.time() - t0)
+        runs.sort()
+        timings[name] = round(runs[0], 3)
+        medians[name] = round(runs[len(runs) // 2], 3)
+        print(
+            f"# {name}: {n} rows in {timings[name]}s"
+            f" (median {medians[name]}s)",
+            file=sys.stderr,
+        )
 
     # flagship entry() on its pinned sf
     t0 = time.time()
@@ -94,6 +102,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
                 "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
             }
         )

@@ -110,7 +110,7 @@ def stratified_sample(
         pairs += [F.lit(k), F.lit(_threshold(v))]
     mapping = F.create_map(*pairs) if pairs else F.create_map()
     thr = F.coalesce(
-        mapping.getItem(F.col(strata_col)), F.lit(_threshold(default_rate))
+        mapping[F.col(strata_col)], F.lit(_threshold(default_rate))
     )
     return df.filter(hash_bucket_hex(id_col) < thr)
 

@@ -84,6 +84,9 @@ def test_registry_integrity():
     assert o <= q, f"orphan oracles: {o - q}"
     rows_only = q - o
     assert rows_only == set(), f"unexpected rows-only queries: {rows_only}"
+    # pin the total so README/COVERAGE counts can't drift silently —
+    # update BOTH the docs and this number when adding queries
+    assert len(q) == 134, f"registry has {len(q)} queries; docs say 134"
 
 
 def test_curate_corpus_end_to_end(spark, sf_dir):
