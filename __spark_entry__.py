@@ -884,6 +884,23 @@ def q_dedup_simhash(spark, sf):
     return out.select(F.col("id").alias("doc_id"), "simhash")
 
 
+def q_bpe_pair_counts(spark, sf):
+    """Tokenizer-training inner loop: corpus-wide adjacent character-
+    pair counts weighted by word frequency (the BPE merge-candidate
+    table), top-50. Vocab-collapse first, so the pair expansion never
+    touches raw text."""
+    docs = _t(spark, sf, "documents")
+    return ta.bpe_pair_counts(docs, "text", top_n=50)
+
+
+def q_pmi_collocations(spark, sf):
+    """Collocation mining: adjacent word pairs ranked by PMI (min
+    count 5, top-40) — explode-once adjacency, two vocab-sized hash
+    aggs, broadcast totals."""
+    docs = _t(spark, sf, "documents")
+    return ta.pmi_collocations(docs, "text", "doc_id", min_count=5, top_n=40)
+
+
 def q_ta_token_counts(spark, sf):
     """Token counting: whitespace + BPE-ish regex tokens."""
     docs = _t(spark, sf, "documents")
@@ -2372,6 +2389,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": q_dedup_semantic,
         "dedup_simhash": q_dedup_simhash,
         "ta_token_counts": q_ta_token_counts,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "pmi_collocations": q_pmi_collocations,
         "ta_quality": q_ta_quality,
         "ta_langid": q_ta_langid,
         "ta_fingerprint": q_ta_fingerprint,
@@ -3741,6 +3760,51 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(
                     CAST(x.embedding AS DOUBLE[]),
                     CAST(y.embedding AS DOUBLE[])) >= 0.45
+        """,
+        "bpe_pair_counts": r"""
+            WITH w AS (
+              SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+              FROM documents),
+            v AS (SELECT w, count(*) AS freq FROM w
+                  WHERE length(w) > 0 GROUP BY w),
+            p AS (
+              SELECT freq,
+                     unnest(list_transform(
+                       generate_series(1, len(string_split(w, '')) - 1),
+                       i -> string_split(w, '')[i] || string_split(w, '')[i+1]))
+                       AS pair
+              FROM v),
+            c AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+                  FROM p GROUP BY pair)
+            SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT 50
+        """,
+        "pmi_collocations": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '\s+')) AS tok,
+                     unnest(range(len(string_split_regex(lower(text), '\s+'))))
+                       AS pos
+              FROM documents),
+            t2 AS (SELECT * FROM toks WHERE tok <> ''),
+            big AS (
+              SELECT tok AS w1,
+                     lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+              FROM t2),
+            b2 AS (SELECT w1, w2 FROM big WHERE w2 IS NOT NULL),
+            bc AS (SELECT w1, w2, count(*) AS c12 FROM b2 GROUP BY w1, w2),
+            uc AS (SELECT tok AS w, count(*) AS c FROM t2 GROUP BY tok),
+            tot AS (SELECT (SELECT count(*) FROM t2) AS n,
+                           (SELECT count(*) FROM b2) AS p),
+            j AS (
+              SELECT bc.w1, bc.w2, bc.c12,
+                     round(log2(bc.c12 * 1.0 * tot.n * tot.n
+                                / (tot.p * 1.0 * u1.c * u2.c)), 4) AS pmi
+              FROM bc
+              JOIN uc u1 ON u1.w = bc.w1
+              JOIN uc u2 ON u2.w = bc.w2, tot
+              WHERE bc.c12 >= 5)
+            SELECT w1, w2, c12, pmi FROM j
+            ORDER BY pmi DESC, w1, w2 LIMIT 40
         """,
         "ta_bigram_lm": r"""
             WITH toks AS (

@@ -198,3 +198,96 @@ def bigram_logprob_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.count("*").alias("n_bigrams"),
         )
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", top_n: int = 50
+) -> DataFrame:
+    """The counting step of BPE tokenizer training (Sennrich et al.,
+    2016 — public algorithm): frequency of adjacent symbol (character)
+    pairs across the corpus, weighted by word frequency.
+
+    Scale shape: the corpus collapses to a word-frequency VOCAB table
+    first (one explode + one hash agg — vocab is sublinear in corpus
+    size), so the per-character pair expansion runs over vocab rows,
+    never raw text. The final top-N is ``orderBy().limit()`` =
+    TakeOrderedAndProject — per-partition partial top-N then a merge of
+    N-row lists, NOT a global sort. One full merge iteration of real
+    BPE = take the top pair, rewrite the vocab, re-count; this operator
+    is that inner loop's dominant cost, run once."""
+    words = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+    ).filter(F.length("w") > 0)
+    vocab = words.groupBy("w").agg(F.count("*").alias("freq"))
+    chars = F.split(F.col("w"), "")
+    pairs = F.when(
+        F.size(chars) > 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size(chars) - 1),
+            lambda i: F.concat(F.element_at(chars, i), F.element_at(chars, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        vocab.select("freq", F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+    )
+    return counts.orderBy(F.desc("n"), F.col("pair")).limit(top_n)
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    top_n: int = 40,
+) -> DataFrame:
+    """Collocation mining: adjacent word pairs ranked by pointwise
+    mutual information, PMI = log2(p(w1,w2) / (p(w1)·p(w2))) — the
+    classic signal for multi-word expressions a phrase-aware tokenizer
+    or n-gram vocabulary wants to keep whole.
+
+    Same explode-once + lead() adjacency as
+    :func:`bigram_logprob_scores`; bigram and unigram counts are two
+    partial-combinable hash aggs; the count tables joined for scoring
+    are vocab-sized (<< corpus). ``min_count`` guards the PMI
+    degeneracy where hapax pairs score highest; the final cut is
+    TakeOrderedAndProject on (rounded pmi, w1, w2), deterministic
+    across engines."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    big = (
+        toks.withColumn("w2", F.lead("tok").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select(F.col("tok").alias("w1"), "w2")
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uc = toks.groupBy(F.col("tok").alias("w")).agg(F.count("*").alias("c"))
+    tot = (
+        toks.agg(F.count("*").alias("n"))
+        .crossJoin(big.agg(F.count("*").alias("p")))
+    )
+    scored = (
+        bc.filter(F.col("c12") >= min_count)
+        .join(uc.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uc.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log2(
+                    (F.col("c12") * 1.0 * F.col("n") * F.col("n"))
+                    / (F.col("p") * 1.0 * F.col("c1") * F.col("c2"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(top_n)
