@@ -184,3 +184,26 @@ def test_exists_is_semi_join_and_disjunction_stays_equi(spark, sf_dir):
     p19 = _plan(_q(spark, sf_dir, "disjunctive_revenue"), "simple")
     # the OR-of-ANDs must not break the equi join into a nested loop
     assert "BroadcastNestedLoopJoin" not in p19 and "CartesianProduct" not in p19
+
+
+def test_decile_queries_have_no_global_window(spark, sf_dir):
+    """token_pareto and histogram_equidepth were rewritten from a
+    single-partition ntile to percentile cutpoints broadcast back: the
+    plan must carry NO Window operator at all (the cutpoint aggregate
+    is partial-combinable; bucketing is a narrow projection)."""
+    for name in ["token_pareto", "histogram_equidepth"]:
+        plan = _plan(_q(spark, sf_dir, name), "simple")
+        # no Window operator at all => no ntile, no global sort; the
+        # percentile aggregate (whose NAME contains "ntile") is the
+        # partial-combinable replacement, so match the operator only
+        assert "Window" not in plan, name
+
+
+def test_vocab_topn_is_take_ordered_not_global_sort(spark, sf_dir):
+    """bpe_pair_counts / pmi_collocations end in orderBy().limit() over
+    a vocab-sized aggregate: must plan as TakeOrderedAndProject
+    (per-partition partial top-N + merge), never a full Sort+Exchange
+    of the aggregate output."""
+    for name in ["bpe_pair_counts", "pmi_collocations"]:
+        plan = _plan(_q(spark, sf_dir, name), "simple")
+        assert "TakeOrderedAndProject" in plan, name
