@@ -884,6 +884,28 @@ def q_dedup_simhash(spark, sf):
     return out.select(F.col("id").alias("doc_id"), "simhash")
 
 
+def q_length_bucketed_batches(spark, sf):
+    """Padded-batch assembly: power-of-two length buckets, md5 shuffle
+    within (bucket, shard), fixed-size cuts, per-batch padding
+    efficiency — the bucketing-vs-packing decision table."""
+    from pdf_to_vectordb_etl_spark.operators import curation
+
+    docs = _t(spark, sf, "documents")
+    return curation.length_bucketed_batches(docs, batch_size=32, n_shards=4)
+
+
+def q_jl_projection(spark, sf):
+    """Johnson–Lindenstrauss ±1 random projection 64 -> 16: the
+    literal-folded sign matrix makes this a narrow shuffle-free codegen
+    projection; the oracle regenerates the identical md5-derived matrix
+    and replays the arithmetic."""
+    from pdf_to_vectordb_etl_spark.operators import embedding
+
+    emb = _t(spark, sf, "embeddings")
+    out = embedding.random_projection(emb, out_dim=16, in_dim=64)
+    return out.select("vec_id", "projected")
+
+
 def q_bpe_pair_counts(spark, sf):
     """Tokenizer-training inner loop: corpus-wide adjacent character-
     pair counts weighted by word frequency (the BPE merge-candidate
@@ -2389,6 +2411,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": q_dedup_semantic,
         "dedup_simhash": q_dedup_simhash,
         "ta_token_counts": q_ta_token_counts,
+        "jl_projection": q_jl_projection,
+        "length_bucketed_batches": q_length_bucketed_batches,
         "bpe_pair_counts": q_bpe_pair_counts,
         "pmi_collocations": q_pmi_collocations,
         "ta_quality": q_ta_quality,
@@ -3761,6 +3785,28 @@ def oracle_sql() -> dict[str, str]:
                     CAST(x.embedding AS DOUBLE[]),
                     CAST(y.embedding AS DOUBLE[])) >= 0.45
         """,
+        # The identical md5-derived sign matrix is regenerated here in
+        # Python and inlined as a SQL literal — both engines then run
+        # the same dot products over the same constants.
+        "jl_projection": (lambda _mat: f"""
+            SELECT vec_id,
+                   list_transform({_mat},
+                     r -> round(list_sum(list_transform(
+                            generate_series(1, 64),
+                            i -> r[i] * CAST(embedding[i] AS DOUBLE))), 6))
+                     AS projected
+            FROM embeddings
+        """)(
+            "["
+            + ", ".join(
+                "[" + ", ".join(repr(x) for x in row) + "]"
+                for row in __import__(
+                    "pdf_to_vectordb_etl_spark.operators.embedding",
+                    fromlist=["jl_sign_matrix"],
+                ).jl_sign_matrix(64, 16)
+            )
+            + "]"
+        ),
         "bpe_pair_counts": r"""
             WITH w AS (
               SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
@@ -4041,6 +4087,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST((cum - 1) // 256 - (cum - n_tokens) // 256 + 1 AS INT)
                      AS n_seqs_spanned
             FROM c
+        """,
+        "length_bucketed_batches": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                          END AS n_tokens,
+                     md5(CAST(doc_id AS VARCHAR) || ':epoch0') AS hh
+              FROM documents),
+            s AS (
+              SELECT doc_id, n_tokens, hh,
+                     CAST((ascii(substr(hh, 1, 1)) * 16
+                           + ascii(substr(hh, 2, 1))) % 4 AS INT) AS shard,
+                     CAST(floor(log2(n_tokens)) AS INT) AS bucket
+              FROM base WHERE n_tokens > 0),
+            b AS (
+              SELECT bucket, shard, n_tokens,
+                     CAST((row_number() OVER (
+                       PARTITION BY bucket, shard ORDER BY hh, doc_id) - 1)
+                       // 32 AS INT) AS batch_idx
+              FROM s),
+            g AS (
+              SELECT bucket, shard, batch_idx,
+                     count(*) AS n_docs,
+                     CAST(max(n_tokens) AS BIGINT) AS max_len,
+                     CAST(sum(n_tokens) AS BIGINT) AS sum_len
+              FROM b GROUP BY bucket, shard, batch_idx)
+            SELECT bucket, shard, batch_idx, n_docs, max_len, sum_len,
+                   round(1 - sum_len * 1.0 / (n_docs * max_len), 4)
+                     AS padding_frac
+            FROM g
         """,
         "curation_quality_filter": r"""
             WITH f AS (

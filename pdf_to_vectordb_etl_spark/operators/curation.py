@@ -300,3 +300,64 @@ def contamination_check(
             (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    batch_size: int = 32,
+    n_shards: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "epoch0",
+) -> DataFrame:
+    """Length-bucketed batch assembly (the padded-batch counterpart of
+    :func:`pack_sequences`): documents are grouped into power-of-two
+    length buckets, deterministically shuffled within each bucket, and
+    cut into fixed-size batches; emits one row per batch with its
+    padding efficiency — the knob that decides whether bucketing is
+    worth it vs packing for a given corpus.
+
+    Parallelism note: the window partitions on (bucket, shard), never
+    bucket alone — a handful of length buckets would otherwise funnel
+    the corpus through ~log2(max_len) tasks. Shards are the same
+    md5-derived split as pack_sequences, so batches are deterministic
+    under any layout; per shard the work is one shuffle + one window +
+    one aggregate."""
+    from ..operators.textanalysis import token_count
+
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    shard = (
+        (F.ascii(F.substring(h, 1, 1)) * 16 + F.ascii(F.substring(h, 2, 1)))
+        % n_shards
+    ).cast("int")
+    base = (
+        df.select(
+            F.col(id_col),
+            token_count(F.col(text_col)).alias("n_tokens"),
+            h.alias("_h"),
+            shard.alias("shard"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "bucket", F.floor(F.log2(F.col("n_tokens"))).cast("int")
+        )
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy("_h", id_col)
+    batched = base.withColumn(
+        "batch_idx",
+        ((F.row_number().over(w) - 1) / batch_size).cast("int"),
+    )
+    return (
+        batched.groupBy("bucket", "shard", "batch_idx")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("n_tokens").alias("max_len"),
+            F.sum("n_tokens").alias("sum_len"),
+        )
+        .withColumn(
+            "padding_frac",
+            F.round(
+                1 - F.col("sum_len") / (F.col("n_docs") * F.col("max_len")), 4
+            ),
+        )
+    )

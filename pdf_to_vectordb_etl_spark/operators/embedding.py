@@ -185,3 +185,62 @@ def vector_points(
             ).alias("metadata"),
         ).alias("payload"),
     )
+
+
+def jl_sign_matrix(in_dim: int, out_dim: int, seed: str = "jl0") -> list[list[float]]:
+    """Deterministic ±1/sqrt(out_dim) Johnson–Lindenstrauss projection
+    matrix (Achlioptas 2003, public result): sign of bit 0 of
+    md5(seed:j:i). Pure function of (dims, seed) — any engine or
+    language regenerates the identical matrix, so a SQL oracle can
+    replay the projection exactly. out_dim x in_dim, kilobytes."""
+    import hashlib
+
+    scale = 1.0 / (out_dim ** 0.5)
+    return [
+        [
+            scale
+            if hashlib.md5(f"{seed}:{j}:{i}".encode()).digest()[0] % 2 == 0
+            else -scale
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 16,
+    in_dim: int | None = None,
+    vec_col: str = "embedding",
+    seed: str = "jl0",
+) -> DataFrame:
+    """JL random projection: embed dim -> out_dim with distances
+    preserved in expectation — the cheap pre-step that makes clustering
+    / near-dup candidate generation O(out_dim) per comparison instead
+    of O(dim).
+
+    The sign matrix is a driver-side constant folded into the plan as a
+    literal (out_dim x in_dim doubles — kilobytes), so the projection
+    is a narrow, shuffle-free codegen projection: per row,
+    out_dim x in_dim multiply-adds inside higher-order functions. No
+    UDF, no join, nothing leaves the scan stage; at 100 TB this runs at
+    I/O speed."""
+    if in_dim is None:
+        in_dim = len(df.select(vec_col).first()[0])
+    mat = jl_sign_matrix(in_dim, out_dim, seed)
+    rows = F.array(*[
+        F.array(*[F.lit(x) for x in row]) for row in mat
+    ])
+    v = F.col(vec_col).cast("array<double>")
+    proj = F.transform(
+        rows,
+        lambda r: F.round(
+            F.aggregate(
+                F.zip_with(r, v, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ),
+    )
+    return df.withColumn("projected", proj)
