@@ -884,6 +884,26 @@ def q_dedup_simhash(spark, sf):
     return out.select(F.col("id").alias("doc_id"), "simhash")
 
 
+def q_skew_key_report(spark, sf):
+    """Pre-launch skew diagnosis of the events.user_id join key: top-5
+    hottest keys with shares plus distinct-key count and p50/p99 depth
+    — one partial-combinable agg + constant-size reductions."""
+    from pdf_to_vectordb_etl_spark.operators import skew
+
+    ev = _t(spark, sf, "events")
+    return skew.key_skew_report(ev, "user_id", top_n=5)
+
+
+def q_int8_quantize(spark, sf):
+    """Symmetric per-vector int8 quantization of the embedding column
+    (4x storage cut): scale, codes, and max reconstruction error in one
+    narrow shuffle-free pass."""
+    from pdf_to_vectordb_etl_spark.operators import quantization as pq
+
+    emb = _t(spark, sf, "embeddings")
+    return pq.int8_quantize(emb)
+
+
 def q_length_bucketed_batches(spark, sf):
     """Padded-batch assembly: power-of-two length buckets, md5 shuffle
     within (bucket, shard), fixed-size cuts, per-batch padding
@@ -1268,6 +1288,67 @@ def q_t5_stream_join(spark, sf):
             F.min("lag_s").alias("min_lag_s"),
             F.max("lag_s").alias("max_lag_s"),
         )
+    )
+
+
+def q_t7_stream_sessionize(spark, sf):
+    """T7 — session_window under Structured Streaming: the stream form
+    of sessionize_native over availableNow micro-batches (complete
+    mode; see stream_sessionize docstring for the append+watermark
+    24/7 shape). Oracle = the batch islands SQL — stream and batch
+    must agree row-for-row."""
+    import tempfile
+
+    from pdf_to_vectordb_etl_spark.streaming.pipeline import stream_sessionize
+
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    sessions = stream_sessionize(stream, gap="30 minutes")
+    name = "t7_stream_sessionize_result"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t7ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "user_id", "session_start_us", "n_events", "span_us"
+    )
+
+
+def q_idle_customer_balance(spark, sf):
+    """TPC-H Q22 class — customers with above-average positive balance
+    and no URGENT orders, totaled per market segment: one 1-row
+    broadcast (the global average), one left-anti join whose build side
+    is pre-filtered AND pre-distinct'd (only urgent custkeys ship), one
+    aggregate. (The anti-join predicate is on urgent orders — in this
+    synthetic corpus every customer has some order, which would make
+    the textbook no-orders-at-all form trivially empty.)"""
+    c = _t(spark, sf, "customer")
+    urgent = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderpriority").startswith("1"))
+        .select("o_custkey")
+        .distinct()
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    idle = rich.join(urgent, rich["c_custkey"] == urgent["o_custkey"], "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
     )
 
 
@@ -2413,6 +2494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_token_counts": q_ta_token_counts,
         "jl_projection": q_jl_projection,
         "length_bucketed_batches": q_length_bucketed_batches,
+        "int8_quantize": q_int8_quantize,
+        "skew_key_report": q_skew_key_report,
         "bpe_pair_counts": q_bpe_pair_counts,
         "pmi_collocations": q_pmi_collocations,
         "ta_quality": q_ta_quality,
@@ -2441,6 +2524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_ship_join": q_interval_ship_join,
         "latest_per_key": q_latest_per_key,
         "t5_stream_join": q_t5_stream_join,
+        "t7_stream_sessionize": q_t7_stream_sessionize,
         "centroids_ivf_train": q_centroids_ivf_train,
         "ta_top_terms": q_ta_top_terms,
         "ta_pii_scrub": q_ta_pii_scrub,
@@ -2477,6 +2561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk": q_pq_adc_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "order_priority_exists": q_order_priority_exists,
+        "idle_customer_balance": q_idle_customer_balance,
         "promo_revenue": q_promo_revenue,
         "disjunctive_revenue": q_disjunctive_revenue,
         "string_surface": q_string_surface,
@@ -2864,7 +2949,7 @@ def _ivfpq_oracle_sql(
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "s1_scan_pruned_projection": """
             SELECT l_orderkey, l_linenumber, l_extendedprice
             FROM lineitem
@@ -4088,6 +4173,43 @@ def oracle_sql() -> dict[str, str]:
                      AS n_seqs_spanned
             FROM c
         """,
+        "skew_key_report": r"""
+            WITH c AS (
+              SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+            g AS (
+              SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+                     round(quantile_cont(n, 0.5), 4) AS p50_n,
+                     round(quantile_cont(n, 0.99), 4) AS p99_n
+              FROM c),
+            t AS (SELECT user_id, n FROM c ORDER BY n DESC, user_id LIMIT 5)
+            SELECT t.user_id, CAST(t.n AS BIGINT) AS n,
+                   round(t.n * 1.0 / g.n_rows, 6) AS share,
+                   g.n_keys, g.p50_n, g.p99_n
+            FROM t, g
+        """,
+        "int8_quantize": r"""
+            WITH v AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+            s AS (
+              SELECT vec_id, v,
+                     list_max(list_transform(v, x -> abs(x))) AS amax
+              FROM v),
+            sc AS (
+              SELECT vec_id, v,
+                     CASE WHEN amax > 0 THEN amax / 127.0 ELSE 0.0 END AS scl
+              FROM s),
+            c AS (
+              SELECT vec_id, v, scl,
+                     list_transform(v, x -> CASE WHEN scl > 0
+                       THEN CAST(round(x / scl, 0) AS INT) ELSE 0 END) AS codes
+              FROM sc)
+            SELECT vec_id, round(scl, 9) AS scale, codes,
+                   round(list_max(list_transform(
+                     generate_series(1, len(v)),
+                     i -> abs(v[i] - codes[i] * scl))), 6) AS max_abs_err
+            FROM c
+        """,
         "length_bucketed_batches": r"""
             WITH base AS (
               SELECT doc_id,
@@ -4828,4 +4950,21 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY tus, event_id) IS NULL AS is_base
             FROM e
         """,
+        "idle_customer_balance": """
+            WITH a AS (
+              SELECT avg(c_acctbal) AS avg_bal FROM customer
+              WHERE c_acctbal > 0)
+            SELECT c_mktsegment, count(*) AS n_cust,
+                   round(sum(c_acctbal), 2) AS total_bal
+            FROM customer, a
+            WHERE c_acctbal > avg_bal
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority LIKE '1%')
+            GROUP BY c_mktsegment
+        """,
     }
+    # the streaming session_window form must agree row-for-row with the
+    # batch islands formulation — same oracle by construction
+    d["t7_stream_sessionize"] = d["sessionize_native"]
+    return d

@@ -318,3 +318,53 @@ def ivfpq_topk(
         )
     )
     return scored.orderBy(F.desc("approx_cos"), F.col(id_col)).limit(k)
+
+
+def int8_quantize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: each vector is
+    scaled by 127/max(|x|) and rounded — the standard 4x storage cut
+    for embedding columns (fp32 -> int8) that keeps cosine rankings
+    nearly intact because the per-vector scale cancels in the
+    numerator/norm ratio.
+
+    Narrow, shuffle-free, pure codegen: one pass computes the scale
+    (array_max of |x|), one ``transform`` emits the codes. Returns
+    (id, scale, codes, max_abs_err) — the error column makes the
+    quality check free at write time instead of a second scan.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    # degenerate all-zero vector: scale 0 codes 0, error 0
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(0.0))
+    codes = F.transform(
+        v,
+        lambda x: F.when(
+            F.col("_scale") > 0, F.round(x / F.col("_scale"), 0).cast("int")
+        ).otherwise(F.lit(0)),
+    )
+    err = F.round(
+        F.array_max(
+            F.zip_with(
+                v,
+                F.col("codes"),
+                lambda x, c: F.abs(x - c.cast("double") * F.col("_scale")),
+            )
+        ),
+        6,
+    )
+    return (
+        df.select(F.col(id_col), v.alias(vec_col))
+        .withColumn("_scale", scale)
+        .withColumn("codes", codes)
+        .withColumn("max_abs_err", err)
+        .select(
+            id_col,
+            F.round("_scale", 9).alias("scale"),
+            "codes",
+            "max_abs_err",
+        )
+    )

@@ -337,3 +337,38 @@ def run_sequential_id_etl(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_sessionize(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Beyond-reference: gap-based sessions via the BUILT-IN
+    ``session_window`` aggregate running under Structured Streaming —
+    the stream form of the batch ``sessionize_native`` query; state is
+    the set of open sessions, merged incrementally as micro-batches
+    arrive.
+
+    Emits (user_id, session_start_us, n_events, span_us) — identical
+    contract to the batch islands formulation, so batch SQL is the
+    parity oracle. Run in ``complete`` output mode for availableNow
+    backfills (append would hold back sessions newer than the
+    watermark); for an unbounded 24/7 stream switch to append + a real
+    watermark so state stays bounded."""
+    ev = normalize_event_times(events_stream, ts_col).select(
+        "user_id",
+        "event_id",
+        # integer div, not `/`: nanos ~1.7e18 exceed double's 2^53 exact range
+        F.timestamp_micros(F.expr(f"{ts_col} div 1000")).alias("t"),
+    )
+    s = ev.groupBy("user_id", F.session_window("t", gap)).agg(
+        F.count("*").alias("n_events"),
+        (F.unix_micros(F.max("t")) - F.unix_micros(F.min("t"))).alias("span_us"),
+    )
+    return s.select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+        "n_events",
+        "span_us",
+    )
