@@ -2440,6 +2440,67 @@ def q_delta_encode(spark, sf):
     )
 
 
+def q_span_dedup(spark, sf):
+    """Duplicated-span removal (ExactSubstr at 4-gram granularity, Lee
+    et al. 2022): any 4-token span present in >= 3 distinct docs is cut
+    everywhere and the docs reassembled. See
+    webcorpus.remove_duplicated_spans for the explode-once / span-hash
+    agg / bounded-fanout plan; no all-pairs work."""
+    from pdf_to_vectordb_etl_spark.operators import webcorpus
+
+    docs = _t(spark, sf, "documents")
+    return webcorpus.remove_duplicated_spans(docs, n=4, min_docs=3)
+
+
+def q_ta_perplexity(spark, sf):
+    """CCNet-style perplexity filter: score every doc under an add-k
+    corpus bigram LM (textanalysis.smoothed_perplexity_scores), then
+    keep docs at or below the exact 75th-percentile perplexity — the
+    cutpoint comes from one partial-combinable ``percentile`` aggregate
+    broadcast back (no global sort; same shape as token_pareto).
+    Cut rounded to 4 decimals on both engines."""
+    docs = _t(spark, sf, "documents")
+    scores = ta.smoothed_perplexity_scores(docs, k=0.5)
+    cut = scores.agg(F.round(F.percentile("ppl", F.lit(0.75)), 4).alias("cut"))
+    return (
+        scores.crossJoin(F.broadcast(cut))
+        .filter(F.col("ppl") <= F.col("cut"))
+        .select("doc_id", "ppl", "n_bigrams")
+    )
+
+
+def q_binary_hamming_topk(spark, sf):
+    """Two-stage ANN over 1-bit sign signatures: Hamming shortlist on
+    packed 32-bit words (xor + popcount — 1/32nd of the vector bytes
+    read), exact-cosine rerank of the shortlist only. Both stages are
+    WindowGroupLimit per-query windows; see
+    quantization.binary_topk_rerank."""
+    from pdf_to_vectordb_etl_spark.operators import quantization as qz
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    c = emb.filter(F.col("vec_id") >= 3)
+    return qz.binary_topk_rerank(c, q, k=5, shortlist=20)
+
+
+def q_mrl_recall(spark, sf):
+    """Matryoshka truncation sweep: recall@10 of 16- and 32-dim prefix
+    cosine rankings vs the full 64-dim ranking, per query — one
+    broadcast cross join computes every similarity column in a single
+    corpus pass; each ranking is WindowGroupLimit. See
+    embedding.matryoshka_topk_recall."""
+    from pdf_to_vectordb_etl_spark.operators import embedding as ebd
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    c = emb.filter(F.col("vec_id") >= 5)
+    return ebd.matryoshka_topk_recall(c, q, prefix_dims=(16, 32), k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -2584,6 +2645,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_pareto": q_token_pareto,
         "higher_moments": q_higher_moments,
         "delta_encode": q_delta_encode,
+        "span_dedup": q_span_dedup,
+        "ta_perplexity": q_ta_perplexity,
+        "binary_hamming_topk": q_binary_hamming_topk,
+        "mrl_recall": q_mrl_recall,
     }
 
 
@@ -4962,6 +5027,143 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderpriority LIKE '1%')
             GROUP BY c_mktsegment
+        """,
+        "span_dedup": r"""
+            WITH raw AS (
+              SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+              FROM documents),
+            toks AS (
+              SELECT doc_id, unnest(ws) AS tok, unnest(range(len(ws))) AS pos
+              FROM raw),
+            t2 AS (SELECT * FROM toks WHERE tok <> ''),
+            sp AS (
+              SELECT doc_id, pos,
+                     concat_ws(' ', tok, lead(tok, 1) OVER w,
+                               lead(tok, 2) OVER w, lead(tok, 3) OVER w) AS g,
+                     lead(tok, 3) OVER w AS lastw
+              FROM t2 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+            sp2 AS (SELECT doc_id, pos, g FROM sp WHERE lastw IS NOT NULL),
+            hot AS (SELECT g FROM sp2 GROUP BY g
+                    HAVING count(DISTINCT doc_id) >= 3),
+            cov AS (
+              SELECT DISTINCT doc_id, pos + off AS pos
+              FROM (SELECT doc_id, pos FROM sp2 JOIN hot USING (g)),
+                   unnest(range(4)) AS u(off)),
+            kept AS (
+              SELECT t2.doc_id, t2.pos, t2.tok
+              FROM t2 LEFT JOIN cov
+                ON t2.doc_id = cov.doc_id AND t2.pos = cov.pos
+              WHERE cov.pos IS NULL),
+            rebuilt AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id),
+            totals AS (
+              SELECT doc_id, count(*) AS n_total FROM t2 GROUP BY doc_id)
+            SELECT t.doc_id,
+                   coalesce(r.clean_text, '') AS clean_text,
+                   coalesce(r.n_kept, 0) AS n_kept,
+                   t.n_total - coalesce(r.n_kept, 0) AS n_removed
+            FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+        """,
+        "ta_perplexity": r"""
+            WITH raw AS (
+              SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+              FROM documents),
+            toks AS (
+              SELECT doc_id, unnest(ws) AS tok, unnest(range(len(ws))) AS pos
+              FROM raw),
+            t2 AS (SELECT * FROM toks WHERE tok <> ''),
+            big AS (
+              SELECT doc_id, tok AS w1,
+                     lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+              FROM t2),
+            b2 AS (SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL),
+            vs AS (SELECT count(DISTINCT tok) AS v FROM t2),
+            bc AS (SELECT w1, w2, count(*) AS c12 FROM b2 GROUP BY w1, w2),
+            uc AS (SELECT w1, count(*) AS c1 FROM b2 GROUP BY w1),
+            probs AS (
+              SELECT bc.w1, bc.w2,
+                     ln((c12 + 0.5) / (c1 + 0.5 * v)) AS lp
+              FROM bc JOIN uc ON bc.w1 = uc.w1 CROSS JOIN vs),
+            scores AS (
+              SELECT b2.doc_id, round(exp(-avg(lp)), 4) AS ppl,
+                     count(*) AS n_bigrams
+              FROM b2 JOIN probs ON b2.w1 = probs.w1 AND b2.w2 = probs.w2
+              GROUP BY b2.doc_id),
+            cut AS (SELECT round(quantile_cont(ppl, 0.75), 4) AS c FROM scores)
+            SELECT doc_id, ppl, n_bigrams
+            FROM scores, cut WHERE ppl <= c
+        """,
+        "binary_hamming_topk": """
+            WITH base AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            sg AS (
+              SELECT vec_id, v,
+                     list_transform(range(CAST(ceil(len(v) / 32.0) AS INT)),
+                       w -> list_sum(list_transform(range(32),
+                         j -> CASE WHEN 32*w + j + 1 <= len(v)
+                                    AND v[32*w + j + 1] > 0
+                              THEN CAST(2**j AS BIGINT) ELSE 0 END))) AS sig
+              FROM base),
+            q AS (SELECT vec_id AS qid, v AS qv, sig AS qsig
+                  FROM sg WHERE vec_id < 3),
+            c AS (SELECT vec_id, v, sig FROM sg WHERE vec_id >= 3),
+            ham AS (
+              SELECT qid, c.vec_id, qv, v,
+                     CAST(list_sum(list_transform(range(len(sig)),
+                       i -> bit_count(xor(sig[i+1], qsig[i+1])))) AS INT)
+                       AS hamming
+              FROM c CROSS JOIN q),
+            s1 AS (
+              SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY hamming, vec_id) AS r1
+              FROM ham),
+            s2 AS (
+              SELECT qid, vec_id, hamming,
+                     round(list_cosine_similarity(v, qv), 4) AS cosine
+              FROM s1 WHERE r1 <= 20)
+            SELECT qid, vec_id, hamming, cosine, rank FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY qid
+                             ORDER BY cosine DESC, vec_id) AS INT) AS rank
+              FROM s2)
+            WHERE rank <= 5
+        """,
+        "mrl_recall": """
+            WITH base AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT vec_id AS qid, v AS qv FROM base WHERE vec_id < 5),
+            c AS (SELECT vec_id, v FROM base WHERE vec_id >= 5),
+            sims AS (
+              SELECT qid, vec_id,
+                     round(list_cosine_similarity(v, qv), 5) AS s_full,
+                     round(list_cosine_similarity(v[1:16], qv[1:16]), 5) AS s_16,
+                     round(list_cosine_similarity(v[1:32], qv[1:32]), 5) AS s_32
+              FROM c CROSS JOIN q),
+            full_k AS (
+              SELECT qid, vec_id FROM (
+                SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+                       ORDER BY s_full DESC, vec_id) AS r FROM sims)
+              WHERE r <= 10),
+            k16 AS (
+              SELECT qid, vec_id FROM (
+                SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+                       ORDER BY s_16 DESC, vec_id) AS r FROM sims)
+              WHERE r <= 10),
+            k32 AS (
+              SELECT qid, vec_id FROM (
+                SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+                       ORDER BY s_32 DESC, vec_id) AS r FROM sims)
+              WHERE r <= 10),
+            h16 AS (SELECT qid, count(*) / 10.0 AS recall
+                    FROM k16 JOIN full_k USING (qid, vec_id) GROUP BY qid),
+            h32 AS (SELECT qid, count(*) / 10.0 AS recall
+                    FROM k32 JOIN full_k USING (qid, vec_id) GROUP BY qid)
+            SELECT 16 AS prefix_dim, q.qid, coalesce(h16.recall, 0.0) AS recall
+            FROM q LEFT JOIN h16 ON q.qid = h16.qid
+            UNION ALL
+            SELECT 32 AS prefix_dim, q.qid, coalesce(h32.recall, 0.0) AS recall
+            FROM q LEFT JOIN h32 ON q.qid = h32.qid
         """,
     }
     # the streaming session_window form must agree row-for-row with the

@@ -244,3 +244,83 @@ def random_projection(
         ),
     )
     return df.withColumn("projected", proj)
+
+
+def matryoshka_topk_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    prefix_dims: tuple[int, ...] = (16, 32),
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id: str = "qid",
+) -> DataFrame:
+    """Recall@k of prefix-truncated cosine rankings against the
+    full-dimension ranking — the evaluation that decides how far a
+    Matryoshka-style embedding (Kusupati et al. 2022: information
+    front-loaded into leading dims) can be cut for cheap first-stage
+    retrieval.
+
+    One broadcast cross join computes ALL similarity columns (full +
+    every prefix) in a single pass over the corpus; each ranking is a
+    per-query window with a rank filter (WindowGroupLimit — k rows per
+    query leave each partition), and recall is |truncated ∩ full| / k
+    via an equi-join on (qid, id). Sims rounded to 5 before ranking,
+    ties broken by id, so external replays rank identically.
+
+    Returns (prefix_dim, qid, recall) — one row per (dim, query).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.vector import cosine_similarity
+
+    joined = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("_cv")
+    ).crossJoin(
+        F.broadcast(
+            queries.select(F.col(query_id), F.col(vec_col).alias("_qv"))
+        )
+    )
+    sims = joined.select(
+        query_id,
+        id_col,
+        F.round(cosine_similarity(F.col("_cv"), F.col("_qv")), 5).alias("s_full"),
+        *[
+            F.round(
+                cosine_similarity(
+                    F.slice("_cv", 1, d), F.slice("_qv", 1, d)
+                ),
+                5,
+            ).alias(f"s_{d}")
+            for d in prefix_dims
+        ],
+    )
+
+    def ranked(col: str) -> DataFrame:
+        w = Window.partitionBy(query_id).orderBy(F.desc(col), id_col)
+        return (
+            sims.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= k)
+            .select(query_id, id_col)
+        )
+
+    full = ranked("s_full")
+    out = None
+    for d in prefix_dims:
+        hits = (
+            ranked(f"s_{d}")
+            .join(full, [query_id, id_col])
+            .groupBy(query_id)
+            .agg((F.count("*") / F.lit(float(k))).alias("recall"))
+        )
+        part = (
+            queries.select(query_id)
+            .join(hits, query_id, "left")
+            .select(
+                F.lit(d).alias("prefix_dim"),
+                query_id,
+                F.coalesce(F.col("recall"), F.lit(0.0)).alias("recall"),
+            )
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -200,6 +200,57 @@ def bigram_logprob_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def smoothed_perplexity_scores(
+    df: DataFrame, k: float = 0.5, text_col: str = "text"
+) -> DataFrame:
+    """Per-document perplexity under an add-k-smoothed corpus bigram LM
+    (the CCNet / Wenzek et al. 2020 quality signal — they score against
+    a KenLM model; here the model is trained on the corpus itself so the
+    whole computation stays inside the engine):
+
+        P(w2|w1) = (c12 + k) / (c1 + k*V),  V = unigram vocab size
+        ppl      = exp(-mean ln P)
+
+    Same plan as :func:`bigram_logprob_scores` — explode once, lead()
+    adjacency, two vocab-sized hash aggs, broadcast model join — plus a
+    1-row vocab-size aggregate cross-joined in (a broadcast, not a
+    shuffle). Low ppl = text the corpus LM finds predictable."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.withColumn("w2", F.lead("tok").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.col("tok").alias("w1"), "w2")
+    )
+    vsize = toks.agg(F.countDistinct("tok").alias("v"))
+    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uc = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    probs = (
+        bc.join(uc, "w1")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "w1",
+            "w2",
+            F.log((F.col("c12") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("v"))).alias(
+                "lp"
+            ),
+        )
+    )
+    return (
+        big.join(F.broadcast(probs), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.exp(-F.avg("lp")), 4).alias("ppl"),
+            F.count("*").alias("n_bigrams"),
+        )
+    )
+
+
 def bpe_pair_counts(
     df: DataFrame, text_col: str = "text", top_n: int = 50
 ) -> DataFrame:

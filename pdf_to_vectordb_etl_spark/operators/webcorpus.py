@@ -110,6 +110,88 @@ def registrable_domain(c: Column) -> Column:
     return F.when(three != "", three).otherwise(two)
 
 
+def remove_duplicated_spans(
+    df: DataFrame,
+    n: int = 5,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level duplicated-span removal (the ExactSubstr idea of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", at word n-gram granularity; also the line-dedup step of
+    CCNet, generalized to token spans): any ``n``-token span that occurs
+    in >= ``min_docs`` distinct documents is boilerplate — every token
+    it covers is cut from every document, and the survivors are
+    reassembled in order.
+
+    Returns one row per input document: (id, clean_text, n_kept,
+    n_removed).
+
+    Scale shape: tokenize -> explode ONCE -> one lead() window per doc
+    builds the span key at each start position -> one hash agg on the
+    8-byte span hash counts distinct docs (the span vocabulary is
+    sublinear in corpus size, like the bigram-LM model table) -> the
+    flagged starts fan out to at most n covered positions each (bounded
+    blowup on flagged spans only, not the corpus) -> one left-anti join
+    drops covered tokens -> ordered reassembly is the A2 sorted-struct
+    collect. No all-pairs comparison anywhere; every join is an
+    equi-join on (id, pos) or the span hash."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    w = Window.partitionBy("id").orderBy("pos")
+    leads = [F.lead("tok", i).over(w) for i in range(1, n)]
+    spans = toks.select(
+        "id",
+        "pos",
+        F.when(
+            F.lead("tok", n - 1).over(w).isNotNull(),
+            F.xxhash64(F.concat_ws(" ", F.col("tok"), *leads)),
+        ).alias("span_h"),
+    ).filter(F.col("span_h").isNotNull())
+    hot = (
+        spans.groupBy("span_h")
+        .agg(F.countDistinct("id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("span_h")
+    )
+    covered = (
+        spans.join(hot, "span_h")
+        .select(
+            "id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = toks.join(covered, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = toks.groupBy("id").agg(F.count("*").alias("n_total"))
+    return (
+        totals.join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            (F.col("n_total") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+    )
+
+
 def domain_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Docs per registrable domain — the input to per-domain capping
     (curation.cap_per_group) and crawl-skew review. One hash agg."""

@@ -113,3 +113,127 @@ def test_key_skew_report_shares_and_counts(spark, sf_dir):
         ev.groupBy("user_id").count().orderBy(F.desc("count"), "user_id").limit(5)
     )
     assert {r["user_id"] for r in rep} == {r["user_id"] for r in true_top.collect()}
+
+
+def test_span_dedup_removes_shared_spans_only(spark):
+    """A 4-gram shared by 3 docs is cut from all of them; unique text
+    survives; a doc that is nothing but the hot span comes back as an
+    empty string with n_kept = 0 (not a dropped row)."""
+    from pdf_to_vectordb_etl_spark.operators import webcorpus
+
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (1, f"alpha beta {boiler} gamma"),
+        (2, f"{boiler} delta epsilon"),
+        (3, boiler),
+        (4, "totally unique text here now"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in webcorpus.remove_duplicated_spans(df, n=4, min_docs=3).collect()
+    }
+    assert len(out) == 4  # every input doc present
+    assert out[1]["clean_text"] == "alpha beta gamma"
+    assert out[1]["n_removed"] == 4
+    assert out[2]["clean_text"] == "delta epsilon"
+    assert out[3]["clean_text"] == "" and out[3]["n_kept"] == 0
+    assert out[4]["clean_text"] == "totally unique text here now"
+    assert out[4]["n_removed"] == 0
+
+
+def test_span_dedup_overlapping_hot_spans_union_coverage(spark):
+    """Two overlapping hot 3-grams cover the union of their positions —
+    tokens are removed once, and the remainder stitches in order."""
+    from pdf_to_vectordb_etl_spark.operators import webcorpus
+
+    # "a b c d" contains hot grams "a b c" and "b c d" in 3 docs
+    rows = [
+        (1, "x a b c d y"),
+        (2, "a b c d z"),
+        (3, "w a b c d"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in webcorpus.remove_duplicated_spans(df, n=3, min_docs=3).collect()
+    }
+    assert out[1]["clean_text"] == "x y"
+    assert out[2]["clean_text"] == "z"
+    assert out[3]["clean_text"] == "w"
+
+
+def test_perplexity_predictable_text_scores_lower(spark):
+    """A document made of the corpus's dominant bigram chain gets lower
+    perplexity than one of rare transitions; ppl = exp(-mean ln P) is
+    always >= 1."""
+    from pdf_to_vectordb_etl_spark.operators import textanalysis as ta
+
+    common = "the cat sat on the mat"
+    rows = [(i, common) for i in range(10)] + [(99, "quantum flux mat the")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in ta.smoothed_perplexity_scores(df).collect()}
+    assert all(r["ppl"] >= 1.0 for r in out.values())
+    assert out[0]["ppl"] < out[99]["ppl"]
+    assert out[0]["n_bigrams"] == 5
+
+
+def test_binarize_embeddings_packing_roundtrip(spark):
+    """Sign bits land in the right word/bit positions; packed words stay
+    within 32 unsigned bits (DOUBLE-exact, oracle-portable)."""
+    from pdf_to_vectordb_etl_spark.operators import quantization as qz
+
+    # 34 dims: bit 0 and bit 33 set -> word0 = 1, word1 = 2
+    v = [1.0] + [-1.0] * 32 + [0.5]
+    df = spark.createDataFrame([(1, v)], ["vec_id", "embedding"])
+    row = qz.binarize_embeddings(df).collect()[0]
+    assert row["sig"] == [1, 2]
+    # dims not a multiple of 32: missing tail bits read as 0
+    df2 = spark.createDataFrame([(2, [-1.0, 1.0])], ["vec_id", "embedding"])
+    assert qz.binarize_embeddings(df2).collect()[0]["sig"] == [2]
+
+
+def test_hamming_topk_matches_exact_on_separable_data(spark):
+    """With orthogonal-ish sign patterns the Hamming stage keeps the
+    true neighbour; rank-1 result equals exact cosine argmax."""
+    from pdf_to_vectordb_etl_spark.operators import quantization as qz
+    from pyspark.sql import functions as F
+
+    import random
+
+    rng = random.Random(7)
+    base = [[rng.choice([-1.0, 1.0]) for _ in range(64)] for _ in range(3)]
+    rows = []
+    for i, b in enumerate(base):
+        for j in range(10):  # noisy copies of each prototype
+            rows.append(
+                (i * 10 + j, [x + rng.uniform(-0.3, 0.3) for x in b])
+            )
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(base)], ["qid", "embedding"]
+    )
+    out = qz.binary_topk_rerank(corpus, queries, k=3, shortlist=10).collect()
+    for r in out:
+        # every retrieved neighbour comes from the query's own cluster
+        assert r["vec_id"] // 10 == r["qid"], r
+    assert {(r["qid"], r["rank"]) for r in out} == {
+        (q, k) for q in range(3) for k in (1, 2, 3)
+    }
+
+
+def test_mrl_recall_full_prefix_is_perfect(spark):
+    """Truncating to the FULL dimension must give recall 1.0 for every
+    query (sanity: the metric, not the data)."""
+    from pdf_to_vectordb_etl_spark.operators import embedding as ebd
+    from pyspark.sql import functions as F
+    from tests.conftest import load
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    c = emb.filter(F.col("vec_id") >= 2)
+    out = ebd.matryoshka_topk_recall(c, q, prefix_dims=(64,), k=5).collect()
+    assert len(out) == 2
+    assert all(r["recall"] == 1.0 for r in out)
