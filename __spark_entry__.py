@@ -2501,6 +2501,68 @@ def q_mrl_recall(spark, sf):
     return ebd.matryoshka_topk_recall(c, q, prefix_dims=(16, 32), k=10)
 
 
+def q_cohort_retention(spark, sf):
+    """Cohort-retention triangle on the event stream: users bucketed by
+    first-seen day, distinct actives per (cohort_day, day_offset), rate
+    vs cohort size. Two same-key hash aggs + a broadcast cohort-size
+    join; see aggregates.cohort_retention."""
+    ev = _t(spark, sf, "events").withColumn(
+        "t", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    return aggregates.cohort_retention(ev, user_col="user_id", time_col="t")
+
+
+def q_anomaly_zscore(spark, sf):
+    """Trailing-window anomaly detection: per-user rolling mean/std
+    over the previous 20 events (frame excludes self), emit |z| > 2.5.
+    One ROWS-bounded window per key; z rounded before the threshold so
+    replays flag identical rows. See aggregates.rolling_zscore_flags."""
+    ev = _t(spark, sf, "events").withColumn("tus", F.expr("ts div 1000"))
+    return aggregates.rolling_zscore_flags(
+        ev, key_col="user_id", order_cols=("tus", "event_id"),
+        value_col="value", lookback=20, threshold=2.5,
+    )
+
+
+def q_sole_late_supplier(spark, sf):
+    """Q21-class (waiting-supplier): suppliers that were the ONLY late
+    shipper in a multi-supplier order. Decorrelated formulation: one
+    lineitem⋈orders join derives lateness, one per-order hash agg
+    counts (suppliers, late suppliers), qualifying orders join back —
+    no correlated EXISTS/NOT-EXISTS pair, no per-row re-scan of
+    lineitem; top-10 is TakeOrderedAndProject."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    s = _t(spark, sf, "supplier")
+    lo = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("late"),
+    )
+    per = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late"
+        ),
+    )
+    sole = per.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1)).select(
+        "l_orderkey"
+    )
+    waits = (
+        lo.filter("late")
+        .join(sole, "l_orderkey")
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        waits.groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -2649,6 +2711,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_perplexity": q_ta_perplexity,
         "binary_hamming_topk": q_binary_hamming_topk,
         "mrl_recall": q_mrl_recall,
+        "cohort_retention": q_cohort_retention,
+        "anomaly_zscore": q_anomaly_zscore,
+        "sole_late_supplier": q_sole_late_supplier,
     }
 
 
@@ -5164,6 +5229,65 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 32 AS prefix_dim, q.qid, coalesce(h32.recall, 0.0) AS recall
             FROM q LEFT JOIN h32 ON q.qid = h32.qid
+        """,
+        "cohort_retention": """
+            WITH f AS (
+              SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE)
+                       AS cohort_day
+              FROM events GROUP BY user_id),
+            sz AS (SELECT cohort_day, count(*) AS cohort_size
+                   FROM f GROUP BY cohort_day),
+            j AS (
+              SELECT e.user_id, f.cohort_day,
+                     datediff('day', f.cohort_day, CAST(e.ts AS DATE))
+                       AS day_offset
+              FROM events e JOIN f ON e.user_id = f.user_id),
+            c AS (SELECT cohort_day, day_offset,
+                         count(DISTINCT user_id) AS n_users
+                  FROM j GROUP BY cohort_day, day_offset)
+            SELECT c.cohort_day, c.day_offset, c.n_users,
+                   round(c.n_users / CAST(sz.cohort_size AS DOUBLE), 4)
+                     AS retention
+            FROM c JOIN sz USING (cohort_day)
+        """,
+        "anomaly_zscore": """
+            WITH e AS (
+              SELECT user_id, event_id, value, epoch_us(ts) AS tus
+              FROM events),
+            w AS (
+              SELECT user_id, event_id, value,
+                     avg(value) OVER win AS m,
+                     stddev_samp(value) OVER win AS sd
+              FROM e
+              WINDOW win AS (PARTITION BY user_id ORDER BY tus, event_id
+                             ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+            SELECT user_id, event_id, round(value, 4) AS value,
+                   round((value - m) / sd, 4) AS z
+            FROM w
+            WHERE sd IS NOT NULL AND sd > 0
+              AND abs(round((value - m) / sd, 4)) > 2.5
+        """,
+        "sole_late_supplier": """
+            WITH lo AS (
+              SELECT l_orderkey, l_suppkey,
+                     l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            per AS (
+              SELECT l_orderkey,
+                     count(DISTINCT l_suppkey) AS n_supp,
+                     count(DISTINCT CASE WHEN late THEN l_suppkey END)
+                       AS n_late
+              FROM lo GROUP BY l_orderkey),
+            sole AS (SELECT l_orderkey FROM per
+                     WHERE n_supp > 1 AND n_late = 1)
+            SELECT s_name, count(*) AS numwait
+            FROM lo
+            JOIN sole USING (l_orderkey)
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE late
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 10
         """,
     }
     # the streaming session_window form must agree row-for-row with the

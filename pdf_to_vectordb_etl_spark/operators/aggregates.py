@@ -259,3 +259,82 @@ def winsorize(
         joined = df.join(F.broadcast(cuts), by)
     clipped = F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi"))
     return joined.withColumn(f"{value_col}_w", clipped).drop("_lo", "_hi")
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    time_col: str = "t",
+) -> DataFrame:
+    """Classic cohort-retention triangle: users bucketed by first-seen
+    day, distinct-user counts per (cohort_day, day_offset), plus the
+    retention rate against the cohort's own size.
+
+    Two hash aggs and two equi-joins, all keyed on ``user_col`` or the
+    tiny cohort table: the per-user first-seen agg and the join back to
+    the event stream shuffle on the SAME key, so Spark reuses the
+    exchange; the cohort-size join is calendar-cardinality and
+    broadcast. Nothing is windowed, nothing global-sorts.
+    """
+    first = events.groupBy(user_col).agg(
+        F.to_date(F.min(time_col)).alias("cohort_day")
+    )
+    sizes = first.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_size")
+    )
+    joined = events.join(first, user_col).select(
+        user_col,
+        "cohort_day",
+        F.datediff(F.to_date(F.col(time_col)), F.col("cohort_day")).alias(
+            "day_offset"
+        ),
+    )
+    counts = joined.groupBy("cohort_day", "day_offset").agg(
+        F.countDistinct(user_col).alias("n_users")
+    )
+    return counts.join(F.broadcast(sizes), "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "n_users",
+        F.round(F.col("n_users") / F.col("cohort_size"), 4).alias("retention"),
+    )
+
+
+def rolling_zscore_flags(
+    events: DataFrame,
+    key_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("tus", "event_id"),
+    value_col: str = "value",
+    lookback: int = 20,
+    threshold: float = 2.5,
+) -> DataFrame:
+    """Streaming-style anomaly flags: each value is scored against the
+    mean/stddev of its own trailing ``lookback`` rows (frame excludes
+    the current row — no self-leakage), and rows with |z| above the
+    threshold are emitted.
+
+    One window partitioned by ``key_col`` — per-key state, embarrassingly
+    parallel across keys; the frame is ROWS-bounded so memory is
+    O(lookback) per open partition. z rounded to 4 BEFORE the threshold
+    compare so external replays flag the identical row set.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-lookback, -1)
+    )
+    mean = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    z = F.round((F.col(value_col) - mean) / sd, 4)
+    return (
+        events.withColumn("_sd", sd)
+        .withColumn("z", z)
+        .filter(
+            F.col("_sd").isNotNull()
+            & (F.col("_sd") > 0)
+            & (F.abs(F.col("z")) > threshold)
+        )
+        .select(key_col, "event_id", F.round(value_col, 4).alias("value"), "z")
+    )

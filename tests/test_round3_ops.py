@@ -237,3 +237,45 @@ def test_mrl_recall_full_prefix_is_perfect(spark):
     out = ebd.matryoshka_topk_recall(c, q, prefix_dims=(64,), k=5).collect()
     assert len(out) == 2
     assert all(r["recall"] == 1.0 for r in out)
+
+
+def test_cohort_retention_triangle(spark):
+    """Day-0 retention is 1.0 for every cohort; later offsets count
+    only returning users against the cohort's own size."""
+    from datetime import datetime as dt
+
+    from pdf_to_vectordb_etl_spark.operators import aggregates
+
+    rows = [
+        (1, dt(2024, 1, 1, 9)), (1, dt(2024, 1, 2, 9)),   # A: d0 + d1
+        (2, dt(2024, 1, 1, 12)),                            # B: d0 only
+        (3, dt(2024, 1, 2, 8)), (3, dt(2024, 1, 4, 8)),    # C: cohort d1
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "t"])
+    out = {
+        (str(r["cohort_day"]), r["day_offset"]): r
+        for r in aggregates.cohort_retention(ev).collect()
+    }
+    assert out[("2024-01-01", 0)]["n_users"] == 2
+    assert out[("2024-01-01", 0)]["retention"] == 1.0
+    assert out[("2024-01-01", 1)]["n_users"] == 1
+    assert out[("2024-01-01", 1)]["retention"] == 0.5
+    assert out[("2024-01-02", 0)]["n_users"] == 1
+    assert out[("2024-01-02", 2)]["n_users"] == 1
+    assert len(out) == 4
+
+
+def test_rolling_zscore_flags_spike_not_self_contaminated(spark):
+    """A spike after a flat run is flagged; the trailing frame excludes
+    the current row, so the spike can't suppress its own z-score; the
+    flat rows themselves are never flagged (sd = 0)."""
+    from pdf_to_vectordb_etl_spark.operators import aggregates
+
+    vals = [10.0, 10.2, 9.8, 10.1, 9.9, 10.0, 10.2, 9.8, 50.0, 10.0]
+    rows = [(7, i, float(i), v) for i, v in enumerate(vals)]
+    ev = spark.createDataFrame(rows, ["user_id", "event_id", "tus", "value"])
+    out = aggregates.rolling_zscore_flags(
+        ev, lookback=8, threshold=2.5
+    ).collect()
+    assert [r["event_id"] for r in out] == [8], out
+    assert out[0]["z"] > 100  # flat window -> tiny sd -> huge z
