@@ -2563,6 +2563,19 @@ def q_sole_late_supplier(spark, sf):
     )
 
 
+def q_graph_pagerank(spark, sf):
+    """Weighted PageRank (3 fixed iterations, damping 0.85, dangling
+    mass redistributed) over the user-journey transition graph derived
+    from the event stream. Per iteration: one rank⋈edges equi-join +
+    one hash agg — the standard distributed formulation; see
+    operators/graph.py for the lineage-truncation notes."""
+    from pdf_to_vectordb_etl_spark.operators import graph
+
+    ev = _t(spark, sf, "events").withColumn("tus", F.expr("ts div 1000"))
+    edges = graph.transition_edges(ev)
+    return graph.pagerank(edges, iterations=3, damping=0.85, weight_col="w")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -2714,6 +2727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "anomaly_zscore": q_anomaly_zscore,
         "sole_late_supplier": q_sole_late_supplier,
+        "graph_pagerank": q_graph_pagerank,
     }
 
 
@@ -5288,6 +5302,49 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s_name
             ORDER BY numwait DESC, s_name
             LIMIT 10
+        """,
+        "graph_pagerank": """
+            WITH e0 AS (
+              SELECT user_id, event_type, epoch_us(ts) AS tus, event_id
+              FROM events),
+            tr AS (
+              SELECT event_type AS s,
+                     lead(event_type) OVER (PARTITION BY user_id
+                       ORDER BY tus, event_id) AS t
+              FROM e0),
+            e AS (SELECT s AS src, t AS dst, CAST(count(*) AS DOUBLE) AS w
+                  FROM tr WHERE t IS NOT NULL GROUP BY s, t),
+            ow AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+            p AS (SELECT e.src, e.dst, w / ow AS p
+                  FROM e JOIN ow ON e.src = ow.src),
+            nodes AS (SELECT DISTINCT node FROM (
+              SELECT src AS node FROM e UNION SELECT dst FROM e)),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            base AS (SELECT node, n FROM nodes CROSS JOIN nn),
+            hasout AS (SELECT DISTINCT src FROM p),
+            r0 AS (SELECT node, n, 1.0 / n AS rank FROM base),
+            d0 AS (SELECT coalesce(sum(rank), 0) AS m FROM r0
+                   LEFT JOIN hasout ON node = src WHERE src IS NULL),
+            c0 AS (SELECT dst, sum(rank * p.p) AS c
+                   FROM r0 JOIN p ON node = p.src GROUP BY dst),
+            r1 AS (SELECT node, n, (1 - 0.85) / n
+                     + 0.85 * (coalesce(c, 0) + d0.m / n) AS rank
+                   FROM base LEFT JOIN c0 ON node = dst CROSS JOIN d0),
+            d1 AS (SELECT coalesce(sum(rank), 0) AS m FROM r1
+                   LEFT JOIN hasout ON node = src WHERE src IS NULL),
+            c1 AS (SELECT dst, sum(rank * p.p) AS c
+                   FROM r1 JOIN p ON node = p.src GROUP BY dst),
+            r2 AS (SELECT node, n, (1 - 0.85) / n
+                     + 0.85 * (coalesce(c, 0) + d1.m / n) AS rank
+                   FROM base LEFT JOIN c1 ON node = dst CROSS JOIN d1),
+            d2 AS (SELECT coalesce(sum(rank), 0) AS m FROM r2
+                   LEFT JOIN hasout ON node = src WHERE src IS NULL),
+            c2 AS (SELECT dst, sum(rank * p.p) AS c
+                   FROM r2 JOIN p ON node = p.src GROUP BY dst),
+            r3 AS (SELECT node, (1 - 0.85) / n
+                     + 0.85 * (coalesce(c, 0) + d2.m / n) AS rank
+                   FROM base LEFT JOIN c2 ON node = dst CROSS JOIN d2)
+            SELECT node, round(rank, 6) AS rank FROM r3
         """,
     }
     # the streaming session_window form must agree row-for-row with the

@@ -279,3 +279,42 @@ def test_rolling_zscore_flags_spike_not_self_contaminated(spark):
     ).collect()
     assert [r["event_id"] for r in out] == [8], out
     assert out[0]["z"] > 100  # flat window -> tiny sd -> huge z
+
+
+def test_pagerank_cycle_and_mass_conservation(spark):
+    """A symmetric 2-cycle splits rank evenly; total rank mass stays 1
+    even with a dangling node (its mass is redistributed, not lost);
+    a hub with two spokes pointing at it outranks the spokes."""
+    from pdf_to_vectordb_etl_spark.operators import graph
+
+    cyc = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "a", 1.0)], ["src", "dst", "w"]
+    )
+    r = {x["node"]: x["rank"] for x in graph.pagerank(cyc, weight_col="w").collect()}
+    assert abs(r["a"] - 0.5) < 1e-6 and abs(r["b"] - 0.5) < 1e-6
+
+    dang = spark.createDataFrame(
+        [("a", "b", 1.0)], ["src", "dst", "w"]  # b has no out-edges
+    )
+    rd = {x["node"]: x["rank"] for x in graph.pagerank(dang, weight_col="w").collect()}
+    assert abs(sum(rd.values()) - 1.0) < 1e-5, rd
+    assert rd["b"] > rd["a"]  # b receives a's mass
+
+    star = spark.createDataFrame(
+        [("s1", "hub", 1.0), ("s2", "hub", 1.0), ("hub", "s1", 1.0)],
+        ["src", "dst", "w"],
+    )
+    rs = {x["node"]: x["rank"] for x in graph.pagerank(star, weight_col="w").collect()}
+    assert rs["hub"] > rs["s1"] >= rs["s2"]
+
+
+def test_transition_edges_counts_and_order(spark):
+    from pdf_to_vectordb_etl_spark.operators import graph
+
+    rows = [  # user 1: a->b->a ; user 2: a->b  => a->b x2, b->a x1
+        (1, 0, 0, "a"), (1, 1, 1, "b"), (1, 2, 2, "a"),
+        (2, 0, 3, "a"), (2, 1, 4, "b"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "tus", "event_id", "event_type"])
+    e = {(r["src"], r["dst"]): r["w"] for r in graph.transition_edges(ev).collect()}
+    assert e == {("a", "b"): 2.0, ("b", "a"): 1.0}
