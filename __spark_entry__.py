@@ -5109,19 +5109,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "span_dedup": r"""
             WITH raw AS (
-              SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text),
+                       '\s+', ' ', 'g')), ' ') AS ws
               FROM documents),
-            toks AS (
-              SELECT doc_id, unnest(ws) AS tok, unnest(range(len(ws))) AS pos
-              FROM raw),
-            t2 AS (SELECT * FROM toks WHERE tok <> ''),
-            sp AS (
-              SELECT doc_id, pos,
-                     concat_ws(' ', tok, lead(tok, 1) OVER w,
-                               lead(tok, 2) OVER w, lead(tok, 3) OVER w) AS g,
-                     lead(tok, 3) OVER w AS lastw
-              FROM t2 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-            sp2 AS (SELECT doc_id, pos, g FROM sp WHERE lastw IS NOT NULL),
+            t2 AS (
+              SELECT doc_id, tok, pos,
+                     CASE WHEN pos + 4 <= len(ws)
+                       THEN array_to_string(ws[pos+1:pos+4], ' ') END AS g
+              FROM (SELECT doc_id, ws, unnest(ws) AS tok,
+                           unnest(range(len(ws))) AS pos
+                    FROM raw)
+              WHERE tok <> ''),
+            sp2 AS (SELECT doc_id, pos, g FROM t2 WHERE g IS NOT NULL),
             hot AS (SELECT g FROM sp2 GROUP BY g
                     HAVING count(DISTINCT doc_id) >= 3),
             cov AS (
@@ -5138,7 +5138,8 @@ def oracle_sql() -> dict[str, str]:
                      count(*) AS n_kept
               FROM kept GROUP BY doc_id),
             totals AS (
-              SELECT doc_id, count(*) AS n_total FROM t2 GROUP BY doc_id)
+              SELECT doc_id, len(list_filter(ws, t -> t <> '')) AS n_total
+              FROM raw)
             SELECT t.doc_id,
                    coalesce(r.clean_text, '') AS clean_text,
                    coalesce(r.n_kept, 0) AS n_kept,

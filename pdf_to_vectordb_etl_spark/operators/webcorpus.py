@@ -128,39 +128,49 @@ def remove_duplicated_spans(
     Returns one row per input document: (id, clean_text, n_kept,
     n_removed).
 
-    Scale shape: tokenize -> explode ONCE -> one lead() window per doc
-    builds the span key at each start position -> one hash agg on the
-    8-byte span hash counts distinct docs (the span vocabulary is
-    sublinear in corpus size, like the bigram-LM model table) -> the
+    Scale shape: tokenize into a normalized word array (narrow, per
+    doc), build the span hash at every start position INSIDE the array
+    via transform-over-sequence, then explode ONCE into (id, pos, tok,
+    span_h) rows — NO per-doc sort window anywhere (the r2 bigram-LM
+    shape needs lead(); spans don't, because the whole doc is already
+    in hand as an array). One hash agg on the 8-byte span hash counts
+    distinct docs (span vocabulary is sublinear in corpus size); the
     flagged starts fan out to at most n covered positions each (bounded
-    blowup on flagged spans only, not the corpus) -> one left-anti join
-    drops covered tokens -> ordered reassembly is the A2 sorted-struct
-    collect. No all-pairs comparison anywhere; every join is an
-    equi-join on (id, pos) or the span hash."""
-    from pyspark.sql import Window
-
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "tok"),
-    ).filter(F.col("tok") != "")
-    w = Window.partitionBy("id").orderBy("pos")
-    leads = [F.lead("tok", i).over(w) for i in range(1, n)]
-    spans = toks.select(
-        "id",
-        "pos",
+    blowup on flagged spans only, not the corpus); one left-anti join
+    drops covered tokens; ordered reassembly is the A2 sorted-struct
+    collect. The token stream is re-derived (narrow re-scan, zero extra
+    shuffles) on the hot-span and kept branches — at 100 TB persist it
+    if scan bandwidth, not CPU, is the constraint."""
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+    entry = lambda i: F.struct(  # noqa: E731
+        (i - 1).alias("pos"),
+        F.element_at(words, i).alias("tok"),
         F.when(
-            F.lead("tok", n - 1).over(w).isNotNull(),
-            F.xxhash64(F.concat_ws(" ", F.col("tok"), *leads)),
+            i + (n - 1) <= F.size(words),
+            F.xxhash64(F.array_join(F.slice(words, i, n), " ")),
         ).alias("span_h"),
-    ).filter(F.col("span_h").isNotNull())
+    )
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.transform(F.sequence(F.lit(1), F.size(words)), entry)
+            ).alias("e"),
+        )
+        .select("id", "e.pos", "e.tok", "e.span_h")
+        .filter(F.col("tok") != "")
+    )
     hot = (
-        spans.groupBy("span_h")
+        toks.filter(F.col("span_h").isNotNull())
+        .groupBy("span_h")
         .agg(F.countDistinct("id").alias("nd"))
         .filter(F.col("nd") >= min_docs)
         .select("span_h")
     )
     covered = (
-        spans.join(hot, "span_h")
+        toks.join(hot, "span_h")
         .select(
             "id",
             F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("pos"),
@@ -178,7 +188,10 @@ def remove_duplicated_spans(
         ).alias("clean_text"),
         F.count("*").alias("n_kept"),
     )
-    totals = toks.groupBy("id").agg(F.count("*").alias("n_total"))
+    totals = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.filter(words, lambda t: F.length(t) > 0)).alias("n_total"),
+    )
     return (
         totals.join(rebuilt, "id", "left")
         .select(
