@@ -2576,6 +2576,62 @@ def q_graph_pagerank(spark, sf):
     return graph.pagerank(edges, iterations=3, damping=0.85, weight_col="w")
 
 
+def q_mmr_rerank(spark, sf):
+    """MMR diversified top-5 (lambda 0.7, shortlist 15): corpus touched
+    once for the rounded-cosine shortlist (WindowGroupLimit); the
+    greedy selection loops over the persisted shortlist-pair table —
+    see topk.mmr_rerank. Every score rounds before its argmax so the
+    oracle replays the identical selection sequence."""
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    c = emb.filter(F.col("vec_id") >= 3)
+    return topk.mmr_rerank(c, q, k=5, shortlist=15, lam=0.7)
+
+
+def q_top_supplier_revenue(spark, sf):
+    """Q15-class: suppliers hitting the MAX quarterly revenue. The max
+    is a 1-row aggregate broadcast back (scalar-subquery decorrelation);
+    revenue rounds to 2 on both engines before the equality."""
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1995-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_rev")
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("m"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("m"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+def q_resample_interp(spark, sf):
+    """Linear-interpolation resample onto a 6-hour grid per user —
+    the companion of resample_locf; empty buckets get the
+    distance-weighted blend of the surrounding observed buckets,
+    edges clamp. Two shared-partition windows; see
+    aggregates.resample_interpolate."""
+    ev = _t(spark, sf, "events").select(
+        "user_id", F.expr("ts div 1000").alias("tus"), "value"
+    )
+    return aggregates.resample_interpolate(
+        ev, time_col="tus", by="user_id", value_col="value",
+        step=21_600_000_000,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -2728,6 +2784,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_zscore": q_anomaly_zscore,
         "sole_late_supplier": q_sole_late_supplier,
         "graph_pagerank": q_graph_pagerank,
+        "mmr_rerank": q_mmr_rerank,
+        "top_supplier_revenue": q_top_supplier_revenue,
+        "resample_interp": q_resample_interp,
     }
 
 
@@ -2987,6 +3046,66 @@ WITH
             SELECT vec_id, round(adc6, 4) AS adc_sim
             FROM sc ORDER BY adc6 DESC, vec_id LIMIT 20
 """
+
+
+def _mmr_oracle_sql(k: int = 5, shortlist: int = 15, nq: int = 3) -> str:
+    """DuckDB replay of the full MMR greedy selection: the shortlist +
+    pair table once, then one (max-sim, score, argmax) CTE block per
+    greedy step — same unrolled-iteration pattern as the PageRank and
+    IVF-PQ oracles. `(1 - 0.7)` is left symbolic so both engines derive
+    the identical double for 1-lambda."""
+    blocks = []
+    prev = "sel1"
+    for step in range(2, k + 1):
+        blocks.append(f"""
+            m{step} AS (
+              SELECT p.qid, p.ca AS cid, max(p.sim) AS ms
+              FROM pairs p JOIN {prev} s ON p.qid = s.qid AND p.cb = s.cid
+              GROUP BY p.qid, p.ca),
+            r{step} AS (
+              SELECT r.qid, r.cid, r.rel,
+                     round(0.7 * r.rel - (1 - 0.7) * m{step}.ms, 6) AS sc
+              FROM rel r JOIN m{step}
+                ON r.qid = m{step}.qid AND r.cid = m{step}.cid
+              WHERE NOT EXISTS (SELECT 1 FROM {prev} s
+                                WHERE s.qid = r.qid AND s.cid = r.cid)),
+            s{step} AS (
+              SELECT qid, cid, rel, {step} AS mmr_rank FROM (
+                SELECT *, row_number() OVER (PARTITION BY qid
+                         ORDER BY sc DESC, cid) AS rn FROM r{step})
+              WHERE rn = 1),
+            sel{step} AS (SELECT * FROM {prev} UNION ALL
+                          SELECT * FROM s{step})""")
+        prev = f"sel{step}"
+    return f"""
+            WITH base AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+            q AS (SELECT vec_id AS qid, v AS qv FROM base
+                  WHERE vec_id < {nq}),
+            c AS (SELECT vec_id AS cid, v FROM base WHERE vec_id >= {nq}),
+            sc AS (
+              SELECT qid, cid, v,
+                     round(list_cosine_similarity(v, qv), 6) AS rel
+              FROM c CROSS JOIN q),
+            cand AS (
+              SELECT qid, cid, v, rel FROM (
+                SELECT *, row_number() OVER (PARTITION BY qid
+                       ORDER BY rel DESC, cid) AS rn FROM sc)
+              WHERE rn <= {shortlist}),
+            rel AS (SELECT qid, cid, rel FROM cand),
+            pairs AS (
+              SELECT a.qid, a.cid AS ca, b.cid AS cb,
+                     round(list_cosine_similarity(a.v, b.v), 6) AS sim
+              FROM cand a JOIN cand b
+                ON a.qid = b.qid AND a.cid <> b.cid),
+            sel1 AS (
+              SELECT qid, cid, rel, 1 AS mmr_rank FROM (
+                SELECT *, row_number() OVER (PARTITION BY qid
+                       ORDER BY rel DESC, cid) AS rn FROM rel)
+              WHERE rn = 1),{",".join(blocks)}
+            SELECT qid, cid AS vec_id, rel, mmr_rank FROM {prev}
+        """
 
 
 def _ivfpq_oracle_sql(
@@ -5346,6 +5465,63 @@ def oracle_sql() -> dict[str, str]:
                      + 0.85 * (coalesce(c, 0) + d2.m / n) AS rank
                    FROM base LEFT JOIN c2 ON node = dst CROSS JOIN d2)
             SELECT node, round(rank, 6) AS rank FROM r3
+        """,
+        "mmr_rerank": _mmr_oracle_sql(),
+        "top_supplier_revenue": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_rev
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+                AND l_shipdate < TIMESTAMP '1995-04-01'
+              GROUP BY l_suppkey),
+            mx AS (SELECT max(total_rev) AS m FROM rev)
+            SELECT s_suppkey, s_name, total_rev
+            FROM rev CROSS JOIN mx
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_rev = m
+        """,
+        "resample_interp": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) // 21600000000 AS bucket, value
+              FROM events),
+            b AS (
+              SELECT user_id, bucket, round(avg(value), 4) AS v
+              FROM e GROUP BY user_id, bucket),
+            span AS (
+              SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+              FROM b GROUP BY user_id),
+            grid AS (
+              SELECT user_id, unnest(generate_series(lo, hi)) AS bucket
+              FROM span),
+            dense AS (
+              SELECT g.user_id, g.bucket, b.v
+              FROM grid g LEFT JOIN b
+                ON b.user_id = g.user_id AND b.bucket = g.bucket),
+            anch AS (
+              SELECT user_id, bucket, v,
+                     last_value(v IGNORE NULLS) OVER wb AS pv,
+                     last_value(CASE WHEN v IS NOT NULL THEN bucket END
+                       IGNORE NULLS) OVER wb AS pb,
+                     first_value(v IGNORE NULLS) OVER wf AS nv,
+                     first_value(CASE WHEN v IS NOT NULL THEN bucket END
+                       IGNORE NULLS) OVER wf AS nb
+              FROM dense
+              WINDOW wb AS (PARTITION BY user_id ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     wf AS (PARTITION BY user_id ORDER BY bucket
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+            SELECT user_id, bucket * 21600000000 AS bucket_start,
+                   v IS NOT NULL AS observed,
+                   floor((CASE
+                     WHEN v IS NOT NULL THEN v
+                     WHEN pv IS NULL THEN nv
+                     WHEN nv IS NULL THEN pv
+                     ELSE pv + (nv - pv) * (bucket - pb)
+                            / CAST(nb - pb AS DOUBLE)
+                   END) * 10000.0 + 0.5) / 10000.0 AS value_interp
+            FROM anch
         """,
     }
     # the streaming session_window form must agree row-for-row with the

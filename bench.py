@@ -61,6 +61,9 @@ def main() -> None:
         "kmeans_centroids",        # iterative Lloyd clustering
         "small_qty_revenue",       # correlated subquery (Q17 class)
         "sentence_chunks",         # RAG sentence-window chunking
+        "span_dedup",              # corpus duplicated-span removal
+        "binary_hamming_topk",     # 1-bit sign ANN + rerank
+        "graph_pagerank",          # iterative graph centrality
         "enem_questions" if "enem_questions" in entry.queries() else "ta_fingerprint",
     ]
     qs = entry.queries()

@@ -338,3 +338,85 @@ def rolling_zscore_flags(
         )
         .select(key_col, "event_id", F.round(value_col, 4).alias("value"), "z")
     )
+
+
+def resample_interpolate(
+    df: DataFrame,
+    time_col: str,
+    by: str,
+    value_col: str,
+    step: int,
+    agg: str = "avg",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Fixed-grid resample with LINEAR interpolation between observed
+    buckets (the companion of :func:`resample_locf`): an empty bucket
+    gets prev + (next-prev) * elapsed-share; before the first / after
+    the last observation it clamps to the nearest observed value.
+
+    Same densify plan as LOCF (bucket agg -> per-key span -> sequence
+    explode -> left join back) plus TWO windows per key — a backward
+    last-non-null carrying (prev bucket, prev value) and a forward
+    first-non-null carrying (next bucket, next value). Both windows
+    share the per-key partitioning; interpolation itself is a narrow
+    projection. Observed buckets round BEFORE interpolation so both
+    anchors are engine-portable bit-exact."""
+    from pyspark.sql import Window
+
+    b = (
+        df.select(
+            F.col(by),
+            F.expr(f"`{time_col}` div {int(step)}").alias("bucket"),
+            F.col(value_col),
+        )
+        .groupBy(by, "bucket")
+        .agg(F.round(getattr(F, agg)(value_col), round_dp).alias("_v"))
+    )
+    span = b.groupBy(by).agg(
+        F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")
+    )
+    grid = span.select(by, F.explode(F.sequence("_lo", "_hi")).alias("bucket"))
+    dense = grid.join(b, [by, "bucket"], "left")
+    wb = (
+        Window.partitionBy(by)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(by)
+        .orderBy("bucket")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_bucket = F.when(F.col("_v").isNotNull(), F.col("bucket"))
+    out = dense.select(
+        by,
+        "bucket",
+        "_v",
+        F.last("_v", ignorenulls=True).over(wb).alias("_pv"),
+        F.last(obs_bucket, ignorenulls=True).over(wb).alias("_pb"),
+        F.first("_v", ignorenulls=True).over(wf).alias("_nv"),
+        F.first(obs_bucket, ignorenulls=True).over(wf).alias("_nb"),
+    )
+    interp = (
+        F.when(F.col("_v").isNotNull(), F.col("_v"))
+        .when(F.col("_pv").isNull(), F.col("_nv"))
+        .when(F.col("_nv").isNull(), F.col("_pv"))
+        .otherwise(
+            F.col("_pv")
+            + (F.col("_nv") - F.col("_pv"))
+            * (F.col("bucket") - F.col("_pb"))
+            / (F.col("_nb") - F.col("_pb"))
+        )
+    )
+    # floor(x*10^dp + 0.5)/10^dp instead of round(): a blend of two
+    # round-dp anchors lands on exact .5 ties often, where engine
+    # round() implementations disagree (HALF_UP on decimal expansion vs
+    # float tie-to-even); the floor form is pinned by IEEE ops alone,
+    # so any engine replaying the same doubles emits the same digits.
+    p = float(10 ** round_dp)
+    return out.select(
+        by,
+        (F.col("bucket") * step).alias("bucket_start"),
+        F.col("_v").isNotNull().alias("observed"),
+        (F.floor(interp * p + F.lit(0.5)) / p).alias("value_interp"),
+    )

@@ -236,3 +236,109 @@ def topk_cosine_lsh(
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine_sim"), F.col(corpus_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    lam: float = 0.7,
+    corpus_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    query_id: str = "qid",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein 1998): greedily pick the candidate maximizing
+    ``lam * rel(c) - (1-lam) * max_{s in S} sim(c, s)`` — relevance
+    traded against redundancy with what's already selected.
+
+    Scale shape: the corpus is touched ONCE — a rounded-cosine
+    shortlist per query (WindowGroupLimit: ``shortlist`` rows per query
+    leave each partition). Everything after runs on the
+    shortlist×shortlist pair table (queries × shortlist² rows, tiny and
+    persisted); each greedy step is one anti-join + one max-agg + one
+    1-row-per-query window over that table — k driver-side loop
+    iterations, no Python in any row path. Relevance, pairwise sims,
+    and step scores all round to 6 BEFORE argmax (ties broken by id)
+    so external replays select the identical set in the identical
+    order.
+
+    Returns (qid, id, rel, mmr_rank) with mmr_rank 1..k in selection
+    order.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.vector import cosine_similarity
+
+    scored = corpus.crossJoin(
+        F.broadcast(
+            queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("_qv"))
+        )
+    ).select(
+        "qid",
+        F.col(corpus_id).alias("cid"),
+        F.col(corpus_vec).alias("_cv"),
+        F.round(cosine_similarity(F.col(corpus_vec), F.col("_qv")), 6).alias("rel"),
+    )
+    wshort = Window.partitionBy("qid").orderBy(F.desc("rel"), "cid")
+    cand = (
+        scored.withColumn("_r", F.row_number().over(wshort))
+        .filter(F.col("_r") <= shortlist)
+        .select("qid", "cid", "_cv", "rel")
+        .persist()
+    )
+    rel = cand.select("qid", "cid", "rel")
+    pairs = (
+        cand.select("qid", F.col("cid").alias("ca"), F.col("_cv").alias("_va"))
+        .join(
+            cand.select("qid", F.col("cid").alias("cb"), F.col("_cv").alias("_vb")),
+            "qid",
+        )
+        .filter(F.col("ca") != F.col("cb"))
+        .select(
+            "qid",
+            "ca",
+            "cb",
+            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6).alias("sim"),
+        )
+        .persist()
+    )
+    wpick = Window.partitionBy("qid").orderBy(F.desc("_s"), "cid")
+    selected = (
+        rel.withColumn("_s", F.col("rel"))
+        .withColumn("_r", F.row_number().over(wpick))
+        .filter(F.col("_r") == 1)
+        .select("qid", "cid", "rel", F.lit(1).alias("mmr_rank"))
+    )
+    for step in range(2, k + 1):
+        rem = rel.join(selected.select("qid", "cid"), ["qid", "cid"], "left_anti")
+        ms = (
+            pairs.join(
+                selected.select("qid", F.col("cid").alias("cb")), ["qid", "cb"]
+            )
+            .groupBy("qid", F.col("ca").alias("cid"))
+            .agg(F.max("sim").alias("_maxsim"))
+        )
+        pick = (
+            rem.join(ms, ["qid", "cid"])
+            .withColumn(
+                "_s",
+                F.round(
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(1.0 - lam) * F.col("_maxsim"),
+                    6,
+                ),
+            )
+            .withColumn("_r", F.row_number().over(wpick))
+            .filter(F.col("_r") == 1)
+            .select("qid", "cid", "rel", F.lit(step).alias("mmr_rank"))
+        )
+        selected = selected.unionByName(pick).persist()
+    return selected.select(
+        F.col("qid").alias(query_id),
+        F.col("cid").alias(corpus_id),
+        "rel",
+        "mmr_rank",
+    )

@@ -318,3 +318,43 @@ def test_transition_edges_counts_and_order(spark):
     ev = spark.createDataFrame(rows, ["user_id", "tus", "event_id", "event_type"])
     e = {(r["src"], r["dst"]): r["w"] for r in graph.transition_edges(ev).collect()}
     assert e == {("a", "b"): 2.0, ("b", "a"): 1.0}
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """With lambda=0.5, a near-duplicate of the first pick scores ~0
+    (rel ~ redundancy) and the diverse candidate wins slot 2."""
+    from pdf_to_vectordb_etl_spark.operators import topk
+
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0]),  # rel 0.8 -> picked first (id tiebreak)
+            (11, [1.0, 0.0]),  # exact duplicate: score 0.5*(0.8-1) < 0
+            (12, [0.0, 1.0]),  # orthogonal: score 0.5*(0.6-0) = 0.3
+        ],
+        ["vec_id", "embedding"],
+    )
+    q = spark.createDataFrame([(0, [0.8, 0.6])], ["qid", "embedding"])
+    out = topk.mmr_rerank(corpus, q, k=3, shortlist=3, lam=0.5).collect()
+    order = [r["vec_id"] for r in sorted(out, key=lambda r: r["mmr_rank"])]
+    assert order == [10, 12, 11], order
+
+
+def test_resample_interpolate_linear_blend(spark):
+    """Observed anchors pass through unchanged; interior gaps blend
+    linearly with the right distance weights."""
+    from pdf_to_vectordb_etl_spark.operators import aggregates
+
+    rows = [(1, 0, 10.0), (1, 4, 30.0)]
+    df = spark.createDataFrame(rows, ["user_id", "tus", "value"])
+    out = {
+        r["bucket_start"]: r
+        for r in aggregates.resample_interpolate(
+            df, time_col="tus", by="user_id", value_col="value", step=1
+        ).collect()
+    }
+    assert len(out) == 5
+    assert out[0]["value_interp"] == 10.0 and out[0]["observed"]
+    assert out[4]["value_interp"] == 30.0 and out[4]["observed"]
+    assert out[1]["value_interp"] == 15.0 and not out[1]["observed"]
+    assert out[2]["value_interp"] == 20.0
+    assert out[3]["value_interp"] == 25.0
