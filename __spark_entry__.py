@@ -2632,6 +2632,62 @@ def q_resample_interp(spark, sf):
     )
 
 
+def q_bloom_screen(spark, sf):
+    """Bloom-filter membership pre-screen (the cheap gate before an
+    incremental-dedup anti-join): bitset built over the even-id half of
+    the corpus as a partial-combinable bit_or aggregate, then every doc
+    probed against the broadcast 512-row bitset. Emits bloom_hit next
+    to exact_hit so the no-false-negative guarantee and the FPR are
+    both visible. Portable 60-bit md5 positions; see
+    operators/sketch.py."""
+    from pdf_to_vectordb_etl_spark.operators import sketch
+
+    docs = _t(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0).select("text")
+    bloom = sketch.bloom_build(corpus, "text")
+    hits = sketch.bloom_probe(
+        docs.select("doc_id", "text"), bloom, "text", "doc_id"
+    )
+    exact = corpus.distinct().withColumn("_ex", F.lit(True))
+    return (
+        docs.select("doc_id", "text")
+        .join(hits, "doc_id")
+        .join(exact, "text", "left")
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.coalesce(F.col("_ex"), F.lit(False)).alias("exact_hit"),
+        )
+    )
+
+
+def q_cms_heavy_hitters(spark, sf):
+    """Count-Min frequency estimates for the exact top-15 tokens: the
+    sketch is one (row, pos) hash agg — constant-size, broadcast to the
+    probe side; estimates are min-over-depth and can never
+    underestimate (pinned in the output). See operators/sketch.py."""
+    from pdf_to_vectordb_etl_spark.operators import sketch
+
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    cms = sketch.countmin_build(toks, "tok")
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "tok")
+        .limit(15)
+    )
+    est = sketch.countmin_estimate(top.select("tok"), cms, "tok")
+    return top.join(est, top["tok"] == est["elem"]).select(
+        "tok",
+        "exact_n",
+        "est_n",
+        (F.col("est_n") >= F.col("exact_n")).alias("no_underestimate"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -2787,6 +2843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": q_mmr_rerank,
         "top_supplier_revenue": q_top_supplier_revenue,
         "resample_interp": q_resample_interp,
+        "bloom_screen": q_bloom_screen,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
     }
 
 
@@ -5522,6 +5580,75 @@ def oracle_sql() -> dict[str, str]:
                             / CAST(nb - pb AS DOUBLE)
                    END) * 10000.0 + 0.5) / 10000.0 AS value_interp
             FROM anch
+        """,
+        # portable 60-bit md5 hash replay (same fold as dedup_simhash):
+        # h60(x) = base-16 fold of the top 15 hex chars of md5(x)
+        "bloom_screen": """
+            WITH corpus AS (
+              SELECT text FROM documents WHERE doc_id % 2 = 0),
+            cpos AS (
+              SELECT list_reduce(list_transform(
+                       string_split(substr(md5(CAST(i AS VARCHAR) || ':' || text), 1, 15), ''),
+                       c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                       (a, b) -> a * 16 + b) % 16384 AS p
+              FROM corpus, range(4) t(i)),
+            bits AS (
+              SELECT CAST(p // 32 AS INT) AS word_idx,
+                     bit_or(CAST(2**(p % 32) AS BIGINT)) AS bits
+              FROM cpos GROUP BY 1),
+            pr AS (
+              SELECT doc_id,
+                     list_reduce(list_transform(
+                       string_split(substr(md5(CAST(i AS VARCHAR) || ':' || text), 1, 15), ''),
+                       c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                       (a, b) -> a * 16 + b) % 16384 AS p
+              FROM documents, range(4) t(i)),
+            j AS (
+              SELECT doc_id,
+                     (coalesce(bits, 0) & CAST(2**(p % 32) AS BIGINT)) <> 0
+                       AS hit
+              FROM pr LEFT JOIN bits
+                ON CAST(p // 32 AS INT) = word_idx),
+            bh AS (SELECT doc_id, bool_and(hit) AS bloom_hit
+                   FROM j GROUP BY doc_id),
+            ex AS (SELECT DISTINCT text FROM corpus)
+            SELECT d.doc_id, bh.bloom_hit,
+                   (ex.text IS NOT NULL) AS exact_hit
+            FROM documents d
+            JOIN bh USING (doc_id)
+            LEFT JOIN ex ON d.text = ex.text
+        """,
+        "cms_heavy_hitters": r"""
+            WITH toks AS (
+              SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+              FROM documents),
+            t2 AS (SELECT tok FROM toks WHERE tok <> ''),
+            cms AS (
+              SELECT i AS row, p AS pos, count(*) AS n
+              FROM (SELECT tok, i,
+                      list_reduce(list_transform(
+                        string_split(substr(md5(CAST(i AS VARCHAR) || ':' || tok), 1, 15), ''),
+                        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                        (a, b) -> a * 16 + b) % 1024 AS p
+                    FROM t2, range(4) t(i))
+              GROUP BY i, p),
+            top AS (
+              SELECT tok, count(*) AS exact_n
+              FROM t2 GROUP BY tok
+              ORDER BY exact_n DESC, tok LIMIT 15),
+            est AS (
+              SELECT q.tok, min(coalesce(cms.n, 0)) AS est_n
+              FROM (SELECT top.tok, i,
+                      list_reduce(list_transform(
+                        string_split(substr(md5(CAST(i AS VARCHAR) || ':' || top.tok), 1, 15), ''),
+                        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                        (a, b) -> a * 16 + b) % 1024 AS p
+                    FROM top, range(4) t(i)) q
+              LEFT JOIN cms ON cms.row = q.i AND cms.pos = q.p
+              GROUP BY q.tok)
+            SELECT top.tok, top.exact_n, est.est_n,
+                   est.est_n >= top.exact_n AS no_underestimate
+            FROM top JOIN est ON top.tok = est.tok
         """,
     }
     # the streaming session_window form must agree row-for-row with the

@@ -358,3 +358,38 @@ def test_resample_interpolate_linear_blend(spark):
     assert out[1]["value_interp"] == 15.0 and not out[1]["observed"]
     assert out[2]["value_interp"] == 20.0
     assert out[3]["value_interp"] == 25.0
+
+
+def test_bloom_no_false_negatives_and_low_fpr(spark):
+    """Every inserted element probes MAYBE (structural guarantee);
+    absent elements rarely do at 16384 bits / ~1000 set."""
+    from pdf_to_vectordb_etl_spark.operators import sketch
+
+    rows = [(i, f"element-{i}") for i in range(400)]
+    df = spark.createDataFrame(rows, ["id", "val"])
+    corpus = df.filter("id % 2 = 0")
+    bloom = sketch.bloom_build(corpus, "val")
+    out = {r["id"]: r["bloom_hit"] for r in
+           sketch.bloom_probe(df, bloom, "val", "id").collect()}
+    present = [out[i] for i in range(0, 400, 2)]
+    absent = [out[i] for i in range(1, 400, 2)]
+    assert all(present), "false negative: impossible by construction"
+    assert sum(absent) / len(absent) < 0.05, "FPR blew past 5%"
+
+
+def test_cms_never_underestimates_and_is_tight_when_sparse(spark):
+    from pdf_to_vectordb_etl_spark.operators import sketch
+    from pyspark.sql import functions as F
+
+    rows = [(f"tok{i % 7}",) for i in range(70)] + [("rare",)]
+    df = spark.createDataFrame(rows, ["tok"])
+    cms = sketch.countmin_build(df, "tok")
+    probes = df.distinct()
+    est = {r["elem"]: r["est_n"] for r in
+           sketch.countmin_estimate(probes, cms, "tok").collect()}
+    exact = {r["tok"]: r["cnt"] for r in
+             df.groupBy("tok").agg(F.count("*").alias("cnt")).collect()}
+    for tok, n in exact.items():
+        assert est[tok] >= n, (tok, est[tok], n)
+    # 8 distinct keys in 4x1024 cells: min-over-depth recovers exact
+    assert est == exact
