@@ -2688,6 +2688,100 @@ def q_cms_heavy_hitters(spark, sf):
     )
 
 
+def q_nation_trade_volume(spark, sf):
+    """Q7-class bi-nation trade: revenue between (supplier nation,
+    customer nation) pairs per year. The nation dim joins TWICE (one
+    broadcast per role); the fact chain lineitem⋈orders⋈customer stays
+    shuffle-partitioned on its join keys and is never broadcast."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(sn), s["s_nationkey"] == F.col("sn_key"))
+        .join(F.broadcast(cn), c["c_nationkey"] == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").alias("trade_year"),
+        )
+        .agg(
+            # prices/discounts are exact 2-dp values: summing in DECIMAL
+            # is order-independent and exact, so the 2-dp result can't
+            # flake on a .005 float-summation boundary across engines
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (
+                        F.lit(1).cast("decimal(18,2)")
+                        - F.col("l_discount").cast("decimal(18,2)")
+                    )
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .filter(F.col("trade_year").isin(1994, 1995))
+    )
+
+
+def q_budget_subset(spark, sf):
+    """Token-budget corpus selection: per source, keep the
+    highest-quality documents whose running token total stays within a
+    3000-token budget — the curation step that turns 'rank by quality'
+    into an actual training-set cut. One per-source window (sources are
+    many at scale, so the sort is partitioned, never global); quality
+    rounds before ranking so replays cut at the identical doc."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf, "documents")
+    scored = ta.quality_score(docs).select(
+        "doc_id",
+        "source",
+        F.round("quality_score", 4).alias("q"),
+        ta.token_count(F.col("text")).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("q"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        scored.withColumn("cum_tok", F.sum("n_tok").over(w))
+        .filter(F.col("cum_tok") <= 3000)
+        .select("source", "doc_id", "q", "n_tok", "cum_tok")
+    )
+
+
+def q_sample_k_per_group(spark, sf):
+    """Deterministic k-per-group sample: exactly min(k, |group|) docs
+    per language, chosen by md5 rank — layout-invariant like the rest
+    of the sampling family, and a per-group WindowGroupLimit (only k
+    rows leave each partition)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat_ws(":", F.lit("kpg"), F.col("doc_id"))), "doc_id"
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 4)
+        .select("lang", "doc_id", "rk")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -2845,6 +2939,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_interp": q_resample_interp,
         "bloom_screen": q_bloom_screen,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "nation_trade_volume": q_nation_trade_volume,
+        "budget_subset": q_budget_subset,
+        "sample_k_per_group": q_sample_k_per_group,
     }
 
 
@@ -5649,6 +5746,70 @@ def oracle_sql() -> dict[str, str]:
             SELECT top.tok, top.exact_n, est.est_n,
                    est.est_n >= top.exact_n AS no_underestimate
             FROM top JOIN est ON top.tok = est.tok
+        """,
+        "nation_trade_volume": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   year(o_orderdate) AS trade_year,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                     AS DOUBLE), 2) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            WHERE sn.n_name <> cn.n_name
+              AND year(o_orderdate) IN (1994, 1995)
+            GROUP BY supp_nation, cust_nation, trade_year
+        """,
+        "budget_subset": r"""
+            WITH f AS (
+              SELECT doc_id, source,
+                     length(text) AS n_chars,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END
+                       AS n_tokens,
+                     len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                     len(regexp_extract_all(lower(text),
+                         '\b(the|a|of|and|to|in|is|it)\b')) AS n_stop
+              FROM documents),
+            g AS (
+              SELECT doc_id, source, n_tokens,
+                     CASE WHEN n_tokens > 0
+                          THEN (n_chars - (n_tokens - 1)) * 1.0 / n_tokens
+                          ELSE 0.0 END AS mean_token_len,
+                     CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars
+                          ELSE 0.0 END AS punct_ratio,
+                     CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens
+                          ELSE 0.0 END AS stopword_ratio
+              FROM f),
+            s AS (
+              SELECT doc_id, source, n_tokens AS n_tok,
+                     round(least(stopword_ratio * 4, 1.0) * 0.4
+                       + CASE WHEN mean_token_len BETWEEN 3 AND 10
+                              THEN 0.4 ELSE 0.0 END
+                       + CASE WHEN punct_ratio < 0.2 THEN 0.2 ELSE 0.0 END,
+                       4) AS q
+              FROM g)
+            SELECT source, doc_id, q, n_tok, cum_tok FROM (
+              SELECT source, doc_id, q, n_tok,
+                     CAST(sum(n_tok) OVER (PARTITION BY source
+                       ORDER BY q DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum_tok
+              FROM s)
+            WHERE cum_tok <= 3000
+        """,
+        "sample_k_per_group": """
+            SELECT lang, doc_id, rk FROM (
+              SELECT lang, doc_id,
+                     CAST(row_number() OVER (PARTITION BY lang
+                       ORDER BY md5('kpg:' || CAST(doc_id AS VARCHAR)),
+                                doc_id) AS INT) AS rk
+              FROM documents)
+            WHERE rk <= 4
         """,
     }
     # the streaming session_window form must agree row-for-row with the
