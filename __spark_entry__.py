@@ -2782,6 +2782,35 @@ def q_sample_k_per_group(spark, sf):
     )
 
 
+def q_t8_stream_anomaly(spark, sf):
+    """T8 — streaming rolling z-score anomaly flags: per-user trailing
+    window as bounded applyInPandasWithState state, availableNow
+    micro-batches. Oracle = the batch window SQL (anomaly_zscore) —
+    stream and batch must flag the identical row set."""
+    import tempfile
+
+    from pdf_to_vectordb_etl_spark.streaming.pipeline import stream_anomaly
+
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    flags = stream_anomaly(stream, lookback=20, threshold=2.5)
+    name = "t8_stream_anomaly_result"
+    q = (
+        flags.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t8ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -2942,6 +2971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_trade_volume": q_nation_trade_volume,
         "budget_subset": q_budget_subset,
         "sample_k_per_group": q_sample_k_per_group,
+        "t8_stream_anomaly": q_t8_stream_anomaly,
     }
 
 
@@ -5812,7 +5842,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE rk <= 4
         """,
     }
+
     # the streaming session_window form must agree row-for-row with the
     # batch islands formulation — same oracle by construction
     d["t7_stream_sessionize"] = d["sessionize_native"]
+    # the stateful streaming flagger must emit the identical flag set
+    # to the batch trailing-window formulation — same oracle
+    d["t8_stream_anomaly"] = d["anomaly_zscore"]
     return d

@@ -372,3 +372,27 @@ def stream_sessionize(
         "n_events",
         "span_us",
     )
+
+
+def stream_anomaly(
+    events_stream: DataFrame,
+    lookback: int = 20,
+    threshold: float = 2.5,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Beyond-reference: per-key rolling z-score anomaly flags under
+    Structured Streaming — the stream form of the batch
+    aggregates.rolling_zscore_flags, with the trailing window held as
+    bounded per-key state (O(lookback) doubles per user) by
+    applyInPandasWithState. Same rounding, same self-excluding frame:
+    over identical rows the flag set equals the batch operator's, so
+    the batch window SQL is the parity oracle."""
+    from .stateful import stream_zscore_flags
+
+    ev = normalize_event_times(events_stream, ts_col).select(
+        "user_id",
+        F.expr(f"{ts_col} div 1000").alias("tus"),
+        "event_id",
+        "value",
+    )
+    return stream_zscore_flags(ev, lookback=lookback, threshold=threshold)

@@ -21,6 +21,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
     LongType,
     StructField,
     StructType,
@@ -247,4 +249,70 @@ def stream_cap_per_key_tws(
             outputMode="append",
             timeMode="none",
         )
+    )
+
+
+ANOM_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("z", DoubleType()),
+    ]
+)
+ANOM_STATE = StructType(
+    [StructField("vals", ArrayType(DoubleType()))]
+)
+
+
+def make_zscore_flagger(lookback: int = 20, threshold: float = 2.5):
+    """Streaming twin of aggregates.rolling_zscore_flags: per-key state
+    is the trailing ``lookback`` values (bounded — O(lookback) doubles
+    per key, independent of stream length); each new value is scored
+    against the mean/sample-std of the state BEFORE it is appended, so
+    the frame excludes self exactly like the batch ROWS window. z
+    rounds to 4 before the threshold compare — identical flag set to
+    the batch operator over the same rows."""
+
+    def _flag(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty:
+            return
+        rows = rows.sort_values(["tus", "event_id"])
+        hist: list[float] = list(state.get[0]) if state.exists else []
+        out = []
+        for eid, v in zip(rows["event_id"], rows["value"]):
+            v = float(v)
+            win = hist[-lookback:]
+            n = len(win)
+            if n >= 2:
+                m = sum(win) / n
+                var = sum((x - m) * (x - m) for x in win) / (n - 1)
+                if var > 0:
+                    z = round((v - m) / var ** 0.5, 4)
+                    if abs(z) > threshold:
+                        out.append((key[0], int(eid), round(v, 4), z))
+            hist.append(v)
+            if len(hist) > lookback:
+                hist = hist[-lookback:]
+        state.update((hist,))
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "event_id", "value", "z"])
+
+    return _flag
+
+
+def stream_zscore_flags(
+    events_stream: DataFrame, lookback: int = 20, threshold: float = 2.5
+) -> DataFrame:
+    """Emit anomaly flags as events arrive (append mode)."""
+    prepped = events_stream.select("user_id", "tus", "event_id", "value")
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        make_zscore_flagger(lookback, threshold),
+        outputStructType=ANOM_OUT,
+        stateStructType=ANOM_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -219,3 +219,54 @@ def test_stream_cap_per_key_enforces_quota_across_batches(spark, sf_dir, tmp_pat
 
         with pytest.raises(NotImplementedError, match="protobuf"):
             stream_cap_per_key_tws(stream)
+
+
+def test_stream_anomaly_matches_batch_across_microbatches(spark, sf_dir, tmp_path):
+    """The streaming flagger's state carries the trailing window across
+    micro-batches: time-split files fed one per trigger must produce
+    EXACTLY the batch operator's flag set (same rows, same z)."""
+    import time as _time
+
+    from pdf_to_vectordb_etl_spark.operators import aggregates
+    from pdf_to_vectordb_etl_spark.streaming.pipeline import stream_anomaly
+
+    events = load(spark, sf_dir, "events").filter(F.col("user_id") < 15)
+    cut = events.agg(F.expr("percentile(ts, 0.5)")).first()[0]
+    src = str(tmp_path / "srcdir")
+    # two time-ordered files -> two micro-batches; earlier file written
+    # first so the file source (mtime order) replays time order
+    events.filter(F.col("ts") <= cut).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    _time.sleep(1.1)
+    events.filter(F.col("ts") > cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    raw_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_anomaly(stream, lookback=20, threshold=2.5)
+        .writeStream.format("memory")
+        .queryName("t8_x_batch")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck8"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["event_id"], r["z"])
+        for r in spark.table("t8_x_batch").collect()
+    }
+    ev = events.withColumn("tus", F.expr("ts div 1000"))
+    want = {
+        (r["user_id"], r["event_id"], r["z"])
+        for r in aggregates.rolling_zscore_flags(
+            ev, lookback=20, threshold=2.5
+        ).collect()
+    }
+    assert got == want and len(want) > 0
