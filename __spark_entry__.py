@@ -2811,6 +2811,62 @@ def q_t8_stream_anomaly(spark, sf):
     return spark.table(name)
 
 
+def q_returned_revenue(spark, sf):
+    """Q10-class: top-20 customers by revenue on RETURNED lineitems.
+    The return-flag filter pushes to the lineitem scan; customer and
+    nation join after the revenue agg (agg first, join the small result
+    — not the other way around); top-20 is TakeOrderedAndProject.
+    DECIMAL-exact revenue sums."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    rev = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (
+                        F.lit(1).cast("decimal(18,2)")
+                        - F.col("l_discount").cast("decimal(18,2)")
+                    )
+                ).cast("double"),
+                2,
+            ).alias("revenue")
+        )
+    )
+    return (
+        rev.join(c, rev["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select("c_custkey", "c_name", F.col("n_name").alias("nation"), "revenue")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def q_large_volume_orders(spark, sf):
+    """Q18-class: orders whose total quantity exceeds a threshold,
+    with their customer. HAVING on the agg first (the qualifying set is
+    tiny), THEN the join back — never the join-then-filter order that
+    shuffles the whole fact table twice."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 1).alias("total_qty"))
+        .filter(F.col("total_qty") > 140)
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -2972,6 +3028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_subset": q_budget_subset,
         "sample_k_per_group": q_sample_k_per_group,
         "t8_stream_anomaly": q_t8_stream_anomaly,
+        "returned_revenue": q_returned_revenue,
+        "large_volume_orders": q_large_volume_orders,
     }
 
 
@@ -5840,6 +5898,32 @@ def oracle_sql() -> dict[str, str]:
                                 doc_id) AS INT) AS rk
               FROM documents)
             WHERE rk <= 4
+        """,
+        "returned_revenue": """
+            WITH rev AS (
+              SELECT o_custkey,
+                     round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                       AS DOUBLE), 2) AS revenue
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_returnflag = 'R'
+              GROUP BY o_custkey)
+            SELECT c_custkey, c_name, n_name AS nation, revenue
+            FROM rev
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "large_volume_orders": """
+            WITH big AS (
+              SELECT l_orderkey, round(sum(l_quantity), 1) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING round(sum(l_quantity), 1) > 140)
+            SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
         """,
     }
 

@@ -261,12 +261,19 @@ def matryoshka_topk_recall(
     front-loaded into leading dims) can be cut for cheap first-stage
     retrieval.
 
-    One broadcast cross join computes ALL similarity columns (full +
-    every prefix) in a single pass over the corpus; each ranking is a
-    per-query window with a rank filter (WindowGroupLimit — k rows per
-    query leave each partition), and recall is |truncated ∩ full| / k
-    via an equi-join on (qid, id). Sims rounded to 5 before ranking,
-    ties broken by id, so external replays rank identically.
+    The broadcast cross join projects ALL similarity columns (full +
+    every prefix) in one expression tree; each ranking is a per-query
+    window with a rank filter (WindowGroupLimit — k rows per query
+    leave each partition), and recall is |truncated ∩ full| / k via an
+    equi-join on (qid, id). Each ranking re-derives the narrow sims
+    subtree (one corpus re-scan per prefix, no extra shuffle) — the
+    deliberate trade against the alternative single-pass plan, whose
+    multi-column window would shuffle EVERY corpus row to Q partitions
+    and full-sort them (Q = query count, so those partitions are huge
+    at scale; WindowGroupLimit cannot push a rank filter through an OR
+    of rank columns). Persist the sims projection if scan bandwidth
+    beats shuffle capacity on your cluster. Sims rounded to 5 before
+    ranking, ties broken by id, so external replays rank identically.
 
     Returns (prefix_dim, qid, recall) — one row per (dim, query).
     """

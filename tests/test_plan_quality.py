@@ -207,3 +207,43 @@ def test_vocab_topn_is_take_ordered_not_global_sort(spark, sf_dir):
     for name in ["bpe_pair_counts", "pmi_collocations"]:
         plan = _plan(_q(spark, sf_dir, name), "simple")
         assert "TakeOrderedAndProject" in plan, name
+
+
+def test_span_dedup_has_no_window_or_sort(spark, sf_dir):
+    plan = _plan(_q(spark, sf_dir, "span_dedup"), "simple")
+    # span hashes are built inside the word array and exploded once —
+    # no per-doc lead() window, hence no per-doc sort anywhere
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_binary_hamming_both_stages_group_limited(spark, sf_dir):
+    plan = _plan(_q(spark, sf_dir, "binary_hamming_topk"), "simple")
+    # Hamming shortlist AND cosine rerank both rank-limit-pushed
+    assert "WindowGroupLimit" in plan
+    # query side broadcast; the corpus is never sort-merge joined
+    assert "SortMergeJoin" not in plan
+
+
+def test_sketch_builds_are_partial_aggregates(spark, sf_dir):
+    for name in ("bloom_screen", "cms_heavy_hitters"):
+        plan = _plan(_q(spark, sf_dir, name), "simple")
+        # sketch construction must partial-combine per partition
+        # (partial_bit_or / partial_count before the exchange)
+        assert "partial_" in plan, name
+
+
+def test_q21_class_decorrelated_no_nested_loop(spark, sf_dir):
+    plan = _plan(_q(spark, sf_dir, "sole_late_supplier"), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_budget_subset_window_is_partitioned(spark, sf_dir):
+    plan = _plan(_q(spark, sf_dir, "budget_subset"), "simple")
+    # the cumsum window partitions by source — never an empty
+    # partition-spec global window
+    assert "Window" in plan
+    import re
+
+    assert not re.search(r"Window .*\[\], \[", plan), "global window found"
