@@ -2867,6 +2867,284 @@ def q_large_volume_orders(spark, sf):
     )
 
 
+def q_pricing_summary(spark, sf):
+    """TPC-H Q1 class — the canonical full-scan pricing report: one
+    groupBy over the fact table, every aggregate partial-combinable
+    (sum/avg/count fold map-side), grouping key cardinality 6. At 100 TB
+    this is the best-case shape: scan + map-side combine + 6-row
+    exchange."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "2001-08-01")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 1).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+def q_forecast_revenue(spark, sf):
+    """TPC-H Q6 class — revenue-change forecast: tight range predicates
+    on three columns, no join, single scalar out. All three predicates
+    push to the parquet scan; the agg is a map-side fold."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.year("l_shipdate") == 1996)
+            & F.col("l_discount").between(0.02, 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_market_share(spark, sf):
+    """TPC-H Q8 class — national market share: NATION_2's slice of
+    STANDARD-part revenue sold to ASIA customers, per order year. The
+    nation/region dims join twice (customer side and supplier side) —
+    both broadcast; the conditional numerator folds into the same
+    partial agg as the denominator (one pass, no second join)."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    cn = n.join(r, n["n_regionkey"] == r["r_regionkey"]).select(
+        F.col("n_nationkey").alias("c_nkey")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    p = _t(spark, sf, "part").filter(F.col("p_type") == "STANDARD").select("p_partkey")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(cn, c["c_nationkey"] == F.col("c_nkey"))
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(sn, s["s_nationkey"] == F.col("s_nkey"))
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_2", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q_product_profit(spark, sf):
+    """TPC-H Q9 class — product-line profit by supplier nation and
+    order year for 'red' parts. No partsupp table in this schema, so
+    supply cost is the deterministic proxy 0.8 * p_retailprice *
+    l_quantity (documented; the oracle uses the identical formula).
+    Part/supplier/nation dims broadcast; one shuffle for the agg."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    p = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.8 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    j = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(n, s["s_nationkey"] == n["n_nationkey"])
+    )
+    return (
+        j.groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+    )
+
+
+def q_shiplag_priority(spark, sf):
+    """TPC-H Q12 class — ship-mode priority matrix, adapted to this
+    schema (no l_shipmode): lines bucket into SLOW/FAST by
+    order-to-ship lag, counting critical (1-URGENT/2-HIGH) vs other
+    priorities per bucket for 1997 shipments. CASE counts fold into one
+    partial agg; dates compared as DATE on both engines."""
+    li = _t(spark, sf, "lineitem").filter(F.year("l_shipdate") == 1997)
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    lag = F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+    bucket = F.when(lag > 60, F.lit("SLOW")).otherwise(F.lit("FAST"))
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy(bucket.alias("ship_bucket")).agg(
+        F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(crit, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+def q_customer_distribution(spark, sf):
+    """TPC-H Q13 class — customer order-count distribution: LEFT join
+    so zero-order customers keep a 0 bucket, then a second agg over the
+    counts. Two shuffles by construction (custkey, then c_count); the
+    second exchange carries one row per distinct count."""
+    c = _t(spark, sf, "customer").select("c_custkey")
+    o = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        .select("o_custkey", "o_orderkey")
+    )
+    cnt = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return cnt.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q_min_cost_supplier(spark, sf):
+    """TPC-H Q2 class — min-cost supplier per part within a region. No
+    partsupp table: the supply relation derives from lineitem as
+    groupBy(part, supp) -> min unit price (round-4 BEFORE the min-join
+    so the equality key is the identical double on both engines). Ties
+    keep all suppliers, as in the spec. Dims broadcast; the min-cost
+    self-join is on the small qualifying subset, not the fact table."""
+    li = _t(spark, sf, "lineitem")
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
+            "unit_cost"
+        )
+    )
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    sx = (
+        s.join(n, s["s_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    px = (
+        _t(spark, sf, "part")
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey")
+    )
+    cand = supply.join(px, supply["l_partkey"] == px["p_partkey"]).join(
+        sx, supply["l_suppkey"] == sx["s_suppkey"]
+    )
+    minc = cand.groupBy(F.col("p_partkey").alias("m_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        cand.join(
+            minc,
+            (cand["p_partkey"] == minc["m_partkey"])
+            & (cand["unit_cost"] == minc["min_cost"]),
+        )
+        .select(
+            cand["p_partkey"].alias("p_partkey"),
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "unit_cost",
+        )
+    )
+
+
+def q_important_parts(spark, sf):
+    """TPC-H Q11 class — important-stock scan: per-part supplied value
+    from two nations' suppliers, kept only when it exceeds a fraction
+    of the total (scalar subquery). Written as declarative SQL so
+    Catalyst plans the total as a one-row broadcast against the
+    grouped set — no second scan of the filtered join output."""
+    _t(spark, sf, "lineitem").createOrReplaceTempView("li_q11")
+    _t(spark, sf, "supplier").createOrReplaceTempView("s_q11")
+    _t(spark, sf, "nation").createOrReplaceTempView("n_q11")
+    return spark.sql("""
+        WITH supplied AS (
+          SELECT l.l_partkey, l.l_extendedprice
+          FROM li_q11 l
+          JOIN s_q11 s ON l.l_suppkey = s.s_suppkey
+          JOIN n_q11 n ON s.s_nationkey = n.n_nationkey
+          WHERE n.n_name IN ('NATION_3', 'NATION_8')
+        )
+        SELECT l_partkey AS p_key,
+               round(sum(l_extendedprice), 2) AS part_value
+        FROM supplied
+        GROUP BY l_partkey
+        HAVING sum(l_extendedprice) > (
+          SELECT 0.0012 * sum(l_extendedprice) FROM supplied)
+    """)
+
+
+def q_supplier_part_attrs(spark, sf):
+    """TPC-H Q16 class — supplier counts by part attributes: distinct
+    (part, supplier) pairs from lineitem, anti-joined against
+    'complaint' suppliers (negative balance), counted per
+    brand/type/size. The distinct and countDistinct both partial-
+    aggregate; the anti side is a broadcast."""
+    pairs = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    bad = (
+        _t(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    px = _t(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35, 40, 45)
+    )
+    return (
+        pairs.join(px, pairs["l_partkey"] == px["p_partkey"])
+        .join(bad, pairs["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_excess_suppliers(spark, sf):
+    """TPC-H Q20 class — suppliers holding an outsized share of a part
+    family: per (supplier, part) 1997 shipped quantity of 'blue' parts
+    vs 30% of the part's total (threshold is fractional, quantities
+    integral — no boundary-tie risk). Qualifying pairs semi-join back
+    to the supplier dim."""
+    li = _t(spark, sf, "lineitem").filter(F.year("l_shipdate") == 1997)
+    p = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_name").like("%blue%"))
+        .select("p_partkey")
+    )
+    q97 = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    tot = q97.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("supp_qty").alias("part_qty")
+    )
+    excess = q97.join(tot, q97["l_partkey"] == tot["t_partkey"]).filter(
+        F.col("supp_qty") > 0.3 * F.col("part_qty")
+    )
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    return (
+        s.join(excess.select("l_suppkey").distinct(), s["s_suppkey"] == F.col("l_suppkey"), "left_semi")
+        .join(n, s["s_nationkey"] == n["n_nationkey"])
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -3030,6 +3308,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t8_stream_anomaly": q_t8_stream_anomaly,
         "returned_revenue": q_returned_revenue,
         "large_volume_orders": q_large_volume_orders,
+        "pricing_summary": q_pricing_summary,
+        "forecast_revenue": q_forecast_revenue,
+        "market_share": q_market_share,
+        "product_profit": q_product_profit,
+        "shiplag_priority": q_shiplag_priority,
+        "customer_distribution": q_customer_distribution,
+        "min_cost_supplier": q_min_cost_supplier,
+        "important_parts": q_important_parts,
+        "supplier_part_attrs": q_supplier_part_attrs,
+        "excess_suppliers": q_excess_suppliers,
     }
 
 
@@ -5924,6 +6212,149 @@ def oracle_sql() -> dict[str, str]:
             FROM big
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 1) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                     AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2001-08-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE year(l_shipdate) = 1996
+              AND l_discount BETWEEN 0.02 AND 0.06
+              AND l_quantity < 24
+        """,
+        "market_share": """
+            SELECT year(o_orderdate) AS o_year,
+                   round(sum(CASE WHEN sn.n_name = 'NATION_2'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            GROUP BY year(o_orderdate)
+        """,
+        "product_profit": """
+            SELECT sn.n_name AS nation, year(o_orderdate) AS o_year,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             - 0.8 * p_retailprice * l_quantity), 2) AS profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            GROUP BY sn.n_name, year(o_orderdate)
+        """,
+        "shiplag_priority": """
+            SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                       CAST(l_shipdate AS DATE)) > 60
+                        THEN 'SLOW' ELSE 'FAST' END AS ship_bucket,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE year(l_shipdate) = 1997
+            GROUP BY 1
+        """,
+        "customer_distribution": """
+            WITH cnt AS (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer
+              LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+                         WHERE o_orderpriority <> '4-NOT SPECIFIED') o
+                ON c_custkey = o.o_custkey
+              GROUP BY c_custkey)
+            SELECT c_count, count(*) AS custdist FROM cnt GROUP BY c_count
+        """,
+        "min_cost_supplier": """
+            WITH supply AS (
+              SELECT l_partkey, l_suppkey,
+                     round(min(l_extendedprice / l_quantity), 4) AS unit_cost
+              FROM lineitem GROUP BY l_partkey, l_suppkey),
+            sx AS (
+              SELECT s_suppkey, s_name, s_acctbal, n_name
+              FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+            cand AS (
+              SELECT p.p_partkey, sx.s_suppkey, sx.s_name, sx.s_acctbal,
+                     sx.n_name, supply.unit_cost
+              FROM supply
+              JOIN part p ON supply.l_partkey = p.p_partkey
+                AND p.p_size = 15 AND p.p_type = 'STANDARD'
+              JOIN sx ON supply.l_suppkey = sx.s_suppkey),
+            minc AS (
+              SELECT p_partkey, min(unit_cost) AS min_cost
+              FROM cand GROUP BY p_partkey)
+            SELECT cand.p_partkey, s_suppkey, s_name, n_name AS nation,
+                   round(s_acctbal, 2) AS s_acctbal, unit_cost
+            FROM cand
+            JOIN minc ON cand.p_partkey = minc.p_partkey
+              AND cand.unit_cost = minc.min_cost
+        """,
+        "important_parts": """
+            WITH supplied AS (
+              SELECT l.l_partkey, l.l_extendedprice
+              FROM lineitem l
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              JOIN nation n ON s.s_nationkey = n.n_nationkey
+              WHERE n.n_name IN ('NATION_3', 'NATION_8'))
+            SELECT l_partkey AS p_key,
+                   round(sum(l_extendedprice), 2) AS part_value
+            FROM supplied
+            GROUP BY l_partkey
+            HAVING sum(l_extendedprice) > (
+              SELECT 0.0012 * sum(l_extendedprice) FROM supplied)
+        """,
+        "supplier_part_attrs": """
+            WITH pairs AS (
+              SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM pairs
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+              AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40, 45)
+              AND l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "excess_suppliers": """
+            WITH q97 AS (
+              SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey AND p_name LIKE '%blue%'
+              WHERE year(l_shipdate) = 1997
+              GROUP BY l_partkey, l_suppkey),
+            tot AS (
+              SELECT l_partkey, sum(supp_qty) AS part_qty
+              FROM q97 GROUP BY l_partkey),
+            keep AS (
+              SELECT DISTINCT q97.l_suppkey
+              FROM q97 JOIN tot ON q97.l_partkey = tot.l_partkey
+              WHERE supp_qty > 0.3 * part_qty)
+            SELECT s_suppkey, s_name, n_name AS nation
+            FROM supplier
+            JOIN keep ON s_suppkey = keep.l_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
         """,
     }
 
