@@ -3145,6 +3145,113 @@ def q_excess_suppliers(spark, sf):
     )
 
 
+def q_temperature_resample(spark, sf):
+    """Temperature-flattened mixture resampling (alpha=0.5, budget half
+    the corpus): small sources up-weighted toward n^alpha shares, rows
+    kept by the deterministic md5 bucket. Two tiny aggs + broadcast
+    rate join — the per-row path is narrow."""
+    from pdf_to_vectordb_etl_spark.operators import curation
+
+    docs = _t(spark, sf, "documents")
+    return curation.temperature_resample(docs, alpha=0.5, budget_frac=0.5)
+
+
+def q_quality_logreg(spark, sf):
+    """Learned-quality-filter serving shape: engineered features → a
+    fixed-weight logistic model applied as one narrow codegen
+    projection (weights are literals; no shuffle, no Python). Features
+    and logit round before the sigmoid so the keep boundary is
+    engine-stable."""
+    docs = _t(spark, sf, "documents")
+    out = ta.quality_logreg(docs)
+    return out.select("doc_id", "quality_prob", "keep")
+
+
+def q_ngram_novelty(spark, sf):
+    """Per-document 5-gram novelty (share of the doc's shingles that
+    exist nowhere else) — inverted-index join on shingle hashes, the
+    dedup-family shape; zero-shingle docs kept with novelty 0."""
+    docs = _t(spark, sf, "documents")
+    return ta.ngram_novelty(docs, n=5)
+
+
+def q_graph_triangles(spark, sf):
+    """Triangle census + global clustering coefficient of the
+    shared-rare-token document graph. Ordered-adjacency plan: edges
+    stored once as a<b, so each triangle matches exactly one
+    e1⋈e2⋈e3 path — two equi-joins, no orientation dedup; wedges come
+    from one degree agg. DF-capped posting lists bound the fan-out."""
+    from pdf_to_vectordb_etl_spark.operators import graph
+
+    docs = _t(spark, sf, "documents")
+    edges = graph.shared_token_edges(docs, min_df=2, max_df=3)
+    return graph.triangle_stats(edges)
+
+
+def q_embedding_whiten(spark, sf):
+    """Per-dimension whitening of the embeddings table: ONE hash agg
+    produces all 2·dim partial-combinable power sums (no explode — a
+    dim-cardinality shuffle would have only 64 reduce groups), stats
+    re-enter as broadcast literals, and the standardization runs as a
+    narrow transform() per row."""
+    from pdf_to_vectordb_etl_spark.operators import embedding as emb_ops
+
+    emb = _t(spark, sf, "embeddings")
+    return emb_ops.whiten(emb, dim=64)
+
+
+def q_lambda_surface(spark, sf):
+    """Higher-order-function surface: transform / aggregate / filter /
+    exists / forall / zip_with lambdas over the token array, all scalar
+    outputs — the collection lambda algebra stays entirely inside
+    whole-stage codegen."""
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    lens = F.transform(toks, lambda x: F.length(x))
+    sym = F.zip_with(
+        toks,
+        F.reverse(toks),
+        lambda a, b: F.when(a == b, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return d.select(
+        "doc_id",
+        F.aggregate(lens, F.lit(0), lambda acc, x: acc + x)
+        .cast("long")
+        .alias("sum_len"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long"),
+        F.exists(toks, lambda x: x.rlike("^[0-9]+$")).alias("has_number"),
+        F.forall(toks, lambda x: F.length(x) < 20).alias("all_short"),
+        F.array_max(lens).alias("max_len"),
+        F.aggregate(sym, F.lit(0), lambda acc, x: acc + x)
+        .cast("long")
+        .alias("n_sym"),
+    )
+
+
+def q_map_surface(spark, sf):
+    """Map-function surface: map_from_arrays / size / element_at /
+    map_keys / map_filter / transform_values / map_contains_key over a
+    per-doc token→length map, scalar outputs. The oracle derives the
+    identical scalars from the distinct-key list (DuckDB's MAP algebra
+    differs, the VALUES are the contract)."""
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    keys = F.array_distinct(F.slice(toks, 1, 4))
+    m = F.map_from_arrays(keys, F.transform(keys, lambda x: F.length(x)))
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    return d.select(
+        "doc_id",
+        F.size(m).alias("n_keys"),
+        F.element_at(m, F.element_at(toks, 1)).alias("first_tok_len"),
+        F.array_join(F.array_sort(F.map_keys(m)), "|").alias("keys_sorted"),
+        F.size(F.map_filter(m, lambda k, v: v > 3)).alias("n_long_keys"),
+        F.aggregate(F.map_values(doubled), F.lit(0), lambda acc, x: acc + x)
+        .cast("long")
+        .alias("sum_doubled"),
+        F.map_contains_key(m, "the").alias("has_the"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -3318,6 +3425,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "important_parts": q_important_parts,
         "supplier_part_attrs": q_supplier_part_attrs,
         "excess_suppliers": q_excess_suppliers,
+        "temperature_resample": q_temperature_resample,
+        "quality_logreg": q_quality_logreg,
+        "ngram_novelty": q_ngram_novelty,
+        "graph_triangles": q_graph_triangles,
+        "embedding_whiten": q_embedding_whiten,
+        "lambda_surface": q_lambda_surface,
+        "map_surface": q_map_surface,
     }
 
 
@@ -6355,6 +6469,190 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier
             JOIN keep ON s_suppkey = keep.l_suppkey
             JOIN nation ON s_nationkey = n_nationkey
+        """,
+        "temperature_resample": """
+            WITH counts AS (
+              SELECT source, count(*) AS n_g FROM documents GROUP BY source),
+            tot AS (
+              SELECT sum(n_g) AS n_total, sum(pow(n_g, 0.5)) AS z FROM counts),
+            rates AS (
+              SELECT source,
+                     round(least(1.0, 0.5 * n_total * pow(n_g, 0.5) / z / n_g), 6)
+                       AS keep_rate
+              FROM counts, tot),
+            b AS (
+              SELECT d.doc_id, d.source, r.keep_rate,
+                     (strpos('0123456789abcdef',
+                        substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+                     + (strpos('0123456789abcdef',
+                        substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+                     + (strpos('0123456789abcdef',
+                        substr(md5(CAST(d.doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef',
+                        substr(md5(CAST(d.doc_id AS VARCHAR)), 4, 1)) - 1) AS bucket
+              FROM documents d JOIN rates r USING (source))
+            SELECT doc_id, source, keep_rate
+            FROM b WHERE bucket < keep_rate * 65536
+        """,
+        "quality_logreg": r"""
+            WITH f AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END
+                       AS n_tokens,
+                     len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                     len(regexp_extract_all(lower(text),
+                         '\b(the|a|of|and|to|in|is|it)\b')) AS n_stop,
+                     len(regexp_extract_all(text, '[A-Z]')) AS n_upper
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     round(CASE WHEN n_tokens > 0
+                           THEN (n_chars - (n_tokens - 1)) * 1.0 / n_tokens
+                           ELSE 0.0 END, 6) AS mean_token_len,
+                     round(CASE WHEN n_chars > 0
+                           THEN n_punct * 1.0 / n_chars ELSE 0.0 END, 6)
+                       AS punct_ratio,
+                     round(CASE WHEN n_tokens > 0
+                           THEN n_stop * 1.0 / n_tokens ELSE 0.0 END, 6)
+                       AS stopword_ratio,
+                     round(CASE WHEN n_chars > 0
+                           THEN n_upper * 1.0 / n_chars ELSE 0.0 END, 6)
+                       AS upper_ratio,
+                     round(ln(1.0 + n_tokens), 6) AS log1p_tokens
+              FROM f),
+            z AS (
+              SELECT doc_id,
+                     round(-2.2 + 3.2 * stopword_ratio + -6.0 * punct_ratio
+                           + -2.5 * upper_ratio + 0.15 * mean_token_len
+                           + 0.35 * log1p_tokens, 8) AS z
+              FROM g)
+            SELECT doc_id,
+                   round(1.0 / (1.0 + exp(-z)), 6) AS quality_prob,
+                   round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS keep
+            FROM z
+        """,
+        "ngram_novelty": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                                  ' ') AS w
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 4, 0)),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                            || w[i+3] || ' ' || w[i+4]))) AS s
+              FROM w),
+            dfh AS (SELECT s, count(*) AS gdf FROM sh GROUP BY s),
+            per AS (
+              SELECT doc_id, count(*) AS n_grams,
+                     CAST(sum(CASE WHEN gdf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_unique
+              FROM sh JOIN dfh USING (s) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(n_grams, 0) AS n_grams,
+                   coalesce(n_unique, 0) AS n_unique,
+                   CASE WHEN coalesce(n_grams, 0) > 0
+                        THEN round(n_unique * 1.0 / n_grams, 6)
+                        ELSE 0.0 END AS novelty
+            FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        "graph_triangles": r"""
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     unnest(list_distinct(string_split_regex(lower(text), '\s+')))
+                       AS tok
+              FROM documents),
+            rare AS (
+              SELECT tok FROM toks GROUP BY tok
+              HAVING count(*) BETWEEN 2 AND 3),
+            post AS (SELECT id, tok FROM toks JOIN rare USING (tok)),
+            e AS (
+              SELECT DISTINCT a.id AS a, b.id AS b
+              FROM post a JOIN post b ON a.tok = b.tok AND a.id < b.id),
+            tri AS (
+              SELECT count(*) AS t
+              FROM e e1
+              JOIN e e2 ON e1.b = e2.a
+              JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b),
+            deg AS (
+              SELECT node, count(*) AS d
+              FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+              GROUP BY node)
+            SELECT count(*) AS n_nodes,
+                   CAST(sum(d) / 2 AS BIGINT) AS n_edges,
+                   CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges,
+                   (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles,
+                   CASE WHEN sum(d * (d - 1) / 2) > 0
+                        THEN round(3.0 * (SELECT t FROM tri)
+                                   / sum(d * (d - 1) / 2), 6)
+                        ELSE 0.0 END AS global_cc
+            FROM deg
+        """,
+        "embedding_whiten": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            x AS (
+              SELECT vec_id, unnest(generate_series(1, len(v))) AS dim,
+                     unnest(v) AS x
+              FROM e),
+            st AS (
+              SELECT dim, round(avg(x), 6) AS m,
+                     round(sqrt(greatest(avg(x * x) - avg(x) * avg(x), 0.0)), 6)
+                       AS s
+              FROM x GROUP BY dim),
+            arr AS (
+              SELECT list(m ORDER BY dim) AS ms,
+                     list(CASE WHEN s > 0 THEN s ELSE 1.0 END ORDER BY dim) AS ss
+              FROM st),
+            z AS (
+              SELECT vec_id,
+                     list_transform(generate_series(1, len(v)),
+                                    i -> round((v[i] - ms[i]) / ss[i], 4) + 0.0) AS z
+              FROM e, arr)
+            SELECT vec_id, z,
+                   round(sqrt(list_aggregate(
+                     list_transform(z, zz -> zz * zz), 'sum')), 4) AS z_norm
+            FROM z
+        """,
+        "lambda_surface": r"""
+            WITH t AS (
+              SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+              FROM documents)
+            SELECT doc_id,
+                   CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum')
+                     AS BIGINT) AS sum_len,
+                   len(list_filter(t, x -> length(x) > 4)) AS n_long,
+                   coalesce(list_aggregate(list_transform(t,
+                     x -> regexp_matches(x, '^[0-9]+$')), 'bool_or'), FALSE)
+                     AS has_number,
+                   coalesce(list_aggregate(list_transform(t,
+                     x -> length(x) < 20), 'bool_and'), TRUE) AS all_short,
+                   list_aggregate(list_transform(t, x -> length(x)), 'max')
+                     AS max_len,
+                   CAST(list_aggregate(list_transform(
+                     generate_series(1, len(t)),
+                     i -> CASE WHEN t[i] = t[len(t) - i + 1] THEN 1 ELSE 0 END),
+                     'sum') AS BIGINT) AS n_sym
+            FROM t
+        """,
+        "map_surface": r"""
+            WITH t AS (
+              SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+              FROM documents),
+            k AS (SELECT doc_id, t, list_distinct(t[1:4]) AS ks FROM t)
+            SELECT doc_id,
+                   len(ks) AS n_keys,
+                   length(t[1]) AS first_tok_len,
+                   list_aggregate(list_sort(ks), 'string_agg', '|') AS keys_sorted,
+                   len(list_filter(ks, x -> length(x) > 3)) AS n_long_keys,
+                   CAST(2 * list_aggregate(list_transform(ks, x -> length(x)),
+                     'sum') AS BIGINT) AS sum_doubled,
+                   list_contains(ks, 'the') AS has_the
+            FROM k
         """,
     }
 

@@ -361,3 +361,53 @@ def length_bucketed_batches(
             ),
         )
     )
+
+
+def temperature_resample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+    by: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-flattened mixture resampling (the exponential-
+    smoothing scheme multilingual pretraining uses, e.g. the XLM /
+    mBERT alpha-sampling, public): target share of group g is
+    n_g^alpha / Σ n^alpha — alpha < 1 up-weights small groups — and the
+    per-group keep probability for a total budget B = budget_frac · N
+    is min(1, B · share_g / n_g). Rows keep deterministically via the
+    same md5 bucket as every sampler here (layout-invariant,
+    retry-stable, SQL-replayable). Two tiny aggregates + a broadcast
+    rate join; nothing wide touches document bodies."""
+    from .sampling import _BUCKETS, hash_bucket_hex
+
+    counts = df.groupBy(by).agg(F.count("*").alias("n_g"))
+    tot = counts.agg(
+        F.sum("n_g").alias("n_total"),
+        F.sum(F.pow("n_g", F.lit(alpha))).alias("z"),
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            by,
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(budget_frac)
+                    * F.col("n_total")
+                    * F.pow("n_g", F.lit(alpha))
+                    / F.col("z")
+                    / F.col("n_g"),
+                ),
+                6,
+            ).alias("keep_rate"),
+        )
+    )
+    frac = F.conv(hash_bucket_hex(id_col), 16, 10).cast("double") / F.lit(
+        float(_BUCKETS)
+    )
+    return (
+        df.join(F.broadcast(rates), by)
+        .filter(frac < F.col("keep_rate"))
+        .select(id_col, by, "keep_rate")
+    )

@@ -331,3 +331,63 @@ def matryoshka_topk_recall(
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def whiten(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    round_stats: int = 6,
+    round_out: int = 4,
+) -> DataFrame:
+    """Per-dimension standardization (mean-center, unit-variance) of an
+    embedding column — the preprocessing step before PQ/IVF training or
+    cosine retrieval when dimensions have wildly different scales.
+
+    Scale shape: per-dim sums come from ONE hash aggregate producing
+    2·dim partial-combinable sums (F.sum over array slots — no explode,
+    so no dim-cardinality shuffle with only `dim` reduce groups).
+    Exactly dim means + dim stds (a few KB) are collected to the driver
+    — the same lineage-truncation move as kmeans_fit — then re-enter
+    the plan as broadcast literals; the whitening itself is a narrow
+    codegen transform() per row. Stats round to ``round_stats`` dp
+    before use so downstream comparisons are engine-stable; degenerate
+    dims (std 0 after rounding) pass through centered only."""
+    import math
+
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    v = F.col(vec_col)
+    sums = emb.agg(
+        F.count("*").alias("n"),
+        F.array(*[F.sum(v[i].cast("double")) for i in range(dim)]).alias("s"),
+        F.array(
+            *[F.sum(v[i].cast("double") * v[i].cast("double")) for i in range(dim)]
+        ).alias("ss"),
+    ).first()
+    n = sums["n"]
+    means = [round(s / n, round_stats) for s in sums["s"]]
+    stds = [
+        round(math.sqrt(max(ss / n - (s / n) ** 2, 0.0)), round_stats)
+        for s, ss in zip(sums["s"], sums["ss"])
+    ]
+    mean_lit = F.array(*[F.lit(m) for m in means])
+    std_lit = F.array(*[F.lit(s if s > 0 else 1.0) for s in stds])
+    # + 0.0 after the round collapses IEEE negative zero so the rounded
+    # output is bit-identical across engines (-0.0 vs 0.0 hash apart)
+    z = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.round(
+            (v[i].cast("double") - F.element_at(mean_lit, i + 1))
+            / F.element_at(std_lit, i + 1),
+            round_out,
+        )
+        + F.lit(0.0),
+    )
+    znorm = F.round(
+        F.sqrt(F.aggregate(z, F.lit(0.0), lambda acc, x: acc + x * x)), round_out
+    )
+    return emb.select(
+        F.col(id_col), z.alias("z"), znorm.alias("z_norm")
+    )

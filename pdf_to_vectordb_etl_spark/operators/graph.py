@@ -106,3 +106,87 @@ def transition_edges(
         )
         .agg(F.count("*").cast("double").alias("w"))
     )
+
+
+def shared_token_edges(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    max_df: int = 3,
+) -> DataFrame:
+    """Undirected doc-doc edge list (a < b) connecting documents that
+    share a RARE token (document frequency in [min_df, max_df]) — the
+    candidate graph a near-dup pipeline walks. Inverted-index shape:
+    explode distinct tokens once, prune posting lists by DF *before*
+    the self-join, so the pair fan-out per token is bounded by
+    max_df·(max_df−1)/2 — never quadratic in corpus size. Tokens hash
+    to 8-byte longs for the shuffle (join key is the hash, not the
+    string)."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+        ).alias("_tok"),
+    ).select("id", F.xxhash64("_tok").alias("h"))
+    rare = (
+        toks.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= min_df) & (F.col("df") <= max_df))
+        .select("h")
+    )
+    posting = toks.join(rare, "h")
+    a = posting.select("h", F.col("id").alias("a"))
+    b = posting.select("h", F.col("id").alias("b"))
+    return (
+        a.join(b, "h")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Global triangle census of an undirected (a < b) edge list:
+    node/edge counts, triangle count, and the global clustering
+    coefficient 3·triangles / wedges.
+
+    The triangle join is the textbook ordered-adjacency plan: because
+    every edge is stored once with a < b, a triangle a<b<c is matched
+    exactly once by e1=(a,b) ⋈ e2=(b,c) ⋈ e3=(a,c) — two equi-joins,
+    no orientation dedup pass afterwards. Wedges come from the degree
+    table (Σ d·(d−1)/2), one agg. At scale the dominant cost is the
+    e1⋈e2 join keyed on the shared vertex — high-degree hubs are the
+    skew risk, which the DF cap in shared_token_edges bounds upstream."""
+    e = edges.select("a", "b").persist()
+    e2 = e.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e.join(e2, e["b"] == e2["b2"])
+        .join(e3, (e["a"] == e3["a3"]) & (e2["c"] == e3["c3"]))
+        .count()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    out = deg.agg(
+        F.count("*").alias("n_nodes"),
+        (F.sum("d") / 2).cast("long").alias("n_edges"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+    ).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        F.lit(tri).cast("long").alias("n_triangles"),
+        F.when(
+            F.col("n_wedges") > 0,
+            F.round(3.0 * F.lit(tri) / F.col("n_wedges"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("global_cc"),
+    )
+    e.unpersist()
+    return out

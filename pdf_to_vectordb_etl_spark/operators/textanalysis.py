@@ -342,3 +342,87 @@ def pmi_collocations(
         )
     )
     return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(top_n)
+
+
+# fixed, public-recipe logistic quality model: hand-set weights over the
+# quality_features signals (a stand-in for fastText/logreg quality
+# classifiers trained offline — the SERVING side is what a Spark
+# pipeline owns: a broadcast weight vector applied in one codegen
+# projection, no Python per row)
+QUALITY_LOGREG_WEIGHTS: dict[str, float] = {
+    "stopword_ratio": 3.2,
+    "punct_ratio": -6.0,
+    "upper_ratio": -2.5,
+    "mean_token_len": 0.15,
+    "log1p_tokens": 0.35,
+}
+QUALITY_LOGREG_BIAS: float = -2.2
+
+
+def quality_logreg(
+    df: DataFrame, text_col: str = "text", threshold: float = 0.5
+) -> DataFrame:
+    """Linear-model quality scoring: engineered features → fixed-weight
+    logistic regression → keep/drop at ``threshold``. The model applies
+    as a single narrow projection (dot product + sigmoid in codegen);
+    at 100 TB this is the shape any learned quality filter serves in —
+    weights broadcast as literals, zero shuffles, zero Python."""
+    feats = quality_features(df, text_col).withColumn(
+        "log1p_tokens", F.log(F.lit(1.0) + F.col("n_tokens"))
+    )
+    # features round to 6 dp and the logit to 8 dp BEFORE the sigmoid so
+    # both engines feed exp() the identical double — the keep boundary
+    # then depends only on exp's own (sub-ulp) cross-engine agreement
+    z = F.lit(QUALITY_LOGREG_BIAS)
+    for name, w in QUALITY_LOGREG_WEIGHTS.items():
+        z = z + F.lit(w) * F.round(F.col(name), 6)
+    z = F.round(z, 8)
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feats.withColumn(
+        "quality_prob", F.round(prob, 6).cast("double")
+    ).withColumn("keep", F.round(prob, 6) >= threshold)
+
+
+def ngram_novelty(
+    df: DataFrame, n: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document n-gram novelty: the share of a document's distinct
+    word ``n``-grams that appear in NO other document — the inverse
+    signal of contamination/duplication, used to up-weight genuinely
+    novel text in curation mixes.
+
+    Inverted-index shape (the dedup-family join): explode distinct
+    shingle hashes once, document frequency by one hash agg, novelty by
+    one more — work is linear in corpus shingles, never doc-by-doc.
+    Documents too short for any n-gram report 0 shingles / 0.0 novelty
+    (kept via left join)."""
+    from .dedup import _spread, word_shingles
+
+    ex = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
+    sh = ex.select(
+        "id", F.explode(word_shingles(F.col(text_col), n)).alias("_s")
+    ).select("id", F.xxhash64("_s").alias("h"))
+    df_h = sh.groupBy("h").agg(F.count("*").alias("gdf"))
+    per_doc = (
+        sh.join(df_h, "h")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("gdf") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("n_unique"), F.lit(0)).alias("n_unique"),
+            F.when(
+                F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+                F.round(F.col("n_unique") / F.col("n_grams"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("novelty"),
+        )
+    )

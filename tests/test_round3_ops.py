@@ -393,3 +393,99 @@ def test_cms_never_underestimates_and_is_tight_when_sparse(spark):
         assert est[tok] >= n, (tok, est[tok], n)
     # 8 distinct keys in 4x1024 cells: min-over-depth recovers exact
     assert est == exact
+
+
+def test_temperature_resample_limits(spark, sf_dir):
+    """alpha=1 reduces to uniform thinning (every group keeps at
+    budget_frac); alpha=0 targets equal per-group allocations, so rare
+    sources keep at strictly higher rates than dominant ones."""
+    docs = load(spark, sf_dir, "documents")
+    flat = curation.temperature_resample(docs, alpha=1.0, budget_frac=0.5)
+    rates = {r["source"]: r["keep_rate"] for r in
+             flat.select("source", "keep_rate").distinct().collect()}
+    assert all(abs(v - 0.5) < 1e-6 for v in rates.values()), rates
+
+    counts = {r["source"]: r["n"] for r in
+              docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    smallest = min(counts, key=counts.get)
+    biggest = max(counts, key=counts.get)
+    if counts[smallest] < counts[biggest]:
+        sharp = curation.temperature_resample(docs, alpha=0.0, budget_frac=0.5)
+        srates = {r["source"]: r["keep_rate"] for r in
+                  sharp.select("source", "keep_rate").distinct().collect()}
+        # rare sources survive at a higher rate under flattening
+        assert srates.get(smallest, 1.0) > srates.get(biggest, 0.0)
+
+
+def test_quality_logreg_monotone_in_stopwords(spark):
+    """More stopwords (other features equal) must raise the logistic
+    score — the weight is positive, so the serving path must preserve
+    monotonicity end to end."""
+    from pdf_to_vectordb_etl_spark.operators import textanalysis as ta
+
+    df = spark.createDataFrame(
+        [(1, "zqx wvu ptk mno bcd efg hij klm"),
+         (2, "the of and to in is it a")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["quality_prob"]
+           for r in ta.quality_logreg(df).collect()}
+    assert 0.0 <= out[1] <= 1.0 and 0.0 <= out[2] <= 1.0
+    assert out[2] > out[1]
+
+
+def test_ngram_novelty_clone_drops_to_zero(spark):
+    """A cloned document shares every 5-gram with its twin => novelty 0
+    for both; a unique long doc scores 1; a too-short doc reports 0
+    shingles and novelty 0 (kept, not dropped)."""
+    from pdf_to_vectordb_etl_spark.operators import textanalysis as ta
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    uniq = "one two three four five six seven eight nine ten eleven"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, uniq), (4, "tiny doc")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in ta.ngram_novelty(df, n=5).collect()}
+    assert out[1]["novelty"] == 0.0 and out[2]["novelty"] == 0.0
+    assert out[3]["novelty"] == 1.0
+    assert out[4]["n_grams"] == 0 and out[4]["novelty"] == 0.0
+
+
+def test_triangle_stats_known_graph(spark):
+    """Triangle {1,2,3} plus pendant edge (3,4): 1 triangle, 4 nodes,
+    4 edges, wedges = 1+1+3+0 = 5, cc = 3/5."""
+    from pdf_to_vectordb_etl_spark.operators import graph
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], ["a", "b"]
+    )
+    row = graph.triangle_stats(e).first()
+    assert row["n_nodes"] == 4 and row["n_edges"] == 4
+    assert row["n_triangles"] == 1 and row["n_wedges"] == 5
+    assert abs(row["global_cc"] - 0.6) < 1e-9
+
+
+def test_whiten_standardizes(spark, sf_dir):
+    """Whitened output has per-dimension mean ~0 and std ~1 (to the
+    4-dp output rounding), and degenerate dims don't divide by zero."""
+    emb = load(spark, sf_dir, "embeddings").limit(300)
+    out = embedding.whiten(emb, dim=64)
+    x = out.select(F.posexplode("z").alias("dim", "x"))
+    st = x.groupBy("dim").agg(
+        F.avg("x").alias("m"), F.stddev_pop("x").alias("s")
+    ).collect()
+    assert all(abs(r["m"]) < 0.01 for r in st)
+    assert all(abs(r["s"] - 1.0) < 0.02 for r in st)
+
+
+def test_whiten_plan_has_no_explode(spark, sf_dir):
+    """The stats pass must come from array-slot sums (partial
+    aggregation), never a posexplode shuffle with dim-cardinality
+    reduce groups; the whitening itself must be a narrow projection
+    (zero Exchange in the final plan)."""
+    emb = load(spark, sf_dir, "embeddings").limit(50)
+    out = embedding.whiten(emb, dim=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan  # no explode anywhere
+    assert "Exchange" not in plan  # narrow end to end
