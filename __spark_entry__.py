@@ -3252,6 +3252,94 @@ def q_map_surface(spark, sf):
     )
 
 
+def q_hll_distinct(spark, sf):
+    """Portable HyperLogLog distinct-token estimate per source vs the
+    exact count. The register file is one partial-combinable max-agg
+    (256 registers/group) built on pure hex-string math — md5 bucket +
+    leading-zero-nibble rho, no float log2 — so DuckDB reproduces every
+    register bit and the estimate to the rounding digit. At 100 TB the
+    exact branch is the expensive one (countDistinct shuffles tokens);
+    the sketch branch ships 256 longs per group."""
+    from pdf_to_vectordb_etl_spark.operators import sketch
+
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+    )
+    est = sketch.hll_estimate(toks, "tok", by="source")
+    exact = toks.groupBy("source").agg(
+        F.countDistinct("tok").alias("n_exact")
+    )
+    return (
+        exact.join(est, "source")
+        .select(
+            "source",
+            "n_exact",
+            "hll_estimate",
+            F.round(
+                F.abs(F.col("hll_estimate") - F.col("n_exact")) / F.col("n_exact"),
+                4,
+            ).alias("rel_err"),
+        )
+    )
+
+
+def q_trend_per_user(spark, sf):
+    """Per-key OLS trend: slope / intercept / R² of value over time for
+    every active user, via the native regr_* aggregates (one
+    partial-combinable agg, no window, no per-key fit loop). Time
+    re-zeroes to days since 2025-01-01 BEFORE aggregation — regressing
+    on raw epoch microseconds cancels catastrophically in the
+    covariance sums at any scale."""
+    ev = _t(spark, sf, "events")
+    x = (F.expr("ts div 1000") - F.lit(1_735_689_600_000_000)) / F.lit(
+        86_400_000_000.0
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.regr_slope(F.col("value"), x), 5).alias("slope"),
+            F.round(F.regr_intercept(F.col("value"), x), 4).alias("intercept"),
+            F.round(F.regr_r2(F.col("value"), x), 5).alias("r2"),
+        )
+        .filter(F.col("n_events") >= 20)
+    )
+
+
+def q_kcenter_coreset(spark, sf):
+    """Greedy k-center coreset (k=8) over the embeddings table: each
+    round is one corpus pass with the selected vectors as broadcast
+    literals and a TakeOrderedAndProject argmax — one (id, dist) row
+    collected per round. Fully deterministic (6-dp distances, id
+    tiebreaks), so the oracle replays the entire greedy selection."""
+    from pdf_to_vectordb_etl_spark.operators import clustering
+
+    emb = _t(spark, sf, "embeddings")
+    out = clustering.kcenter_select(emb, k=8, start_id=0)
+    return out.select(
+        "sel_rank", F.col("id").alias("vec_id"), F.round("min_dist", 6).alias("min_dist")
+    )
+
+
+def q_label_spread(spark, sf):
+    """Semi-supervised label propagation: 25% of documents seed their
+    lang label into the shared-rare-token graph; two synchronous
+    majority-vote rounds (ties to the smallest label) spread it. Per
+    round: one edge⋈label join + count agg + WindowGroupLimit top-1 —
+    O(|E|) relational work, the PageRank family shape."""
+    from pdf_to_vectordb_etl_spark.operators import graph
+
+    docs = _t(spark, sf, "documents")
+    edges = graph.shared_token_edges(docs, min_df=2, max_df=3)
+    seeds = docs.filter(F.col("doc_id") % 4 == 0).select(
+        F.col("doc_id").alias("id"), F.col("lang").alias("label")
+    )
+    out = graph.label_spread(edges, seeds, rounds=2)
+    return out.select(F.col("id").alias("doc_id"), "label")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -3432,6 +3520,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_whiten": q_embedding_whiten,
         "lambda_surface": q_lambda_surface,
         "map_surface": q_map_surface,
+        "hll_distinct": q_hll_distinct,
+        "trend_per_user": q_trend_per_user,
+        "kcenter_coreset": q_kcenter_coreset,
+        "label_spread": q_label_spread,
     }
 
 
@@ -3853,6 +3945,40 @@ def _ivfpq_oracle_sql(
             SELECT vec_id, round(s, 4) AS approx_cos
             FROM s
             QUALIFY row_number() OVER (ORDER BY s DESC, vec_id) <= {topk}
+        """
+
+
+def _kcenter_oracle_sql(k: int = 8, start_id: int = 0) -> str:
+    """Full DuckDB replay of the greedy k-center selection: one CTE
+    block per round — min rounded cosine distance to the selected set,
+    argmax with id tiebreak — the same unrolled-iteration pattern as
+    the MMR / PageRank / IVF-PQ oracles."""
+    blocks = []
+    prev = "sel1"
+    for r in range(2, k + 1):
+        blocks.append(f"""
+            d{r} AS (
+              SELECT c.id,
+                     min(round(1.0 - round(list_cosine_similarity(c.v, sv.v), 6), 6))
+                       AS d
+              FROM e c
+              JOIN e sv ON sv.id IN (SELECT id FROM {prev})
+              WHERE c.id NOT IN (SELECT id FROM {prev})
+              GROUP BY c.id),
+            s{r} AS (
+              SELECT {r} AS sel_rank, id, d AS min_dist FROM d{r}
+              QUALIFY row_number() OVER (ORDER BY d DESC, id) = 1),
+            sel{r} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM s{r})""")
+        prev = f"sel{r}"
+    return f"""
+            WITH e AS (
+              SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+            sel1 AS (
+              SELECT 1 AS sel_rank, id, 0.0 AS min_dist FROM e
+              WHERE id = {start_id}),{",".join(blocks)}
+            SELECT sel_rank, id AS vec_id, round(min_dist, 6) AS min_dist
+            FROM {prev}
         """
 
 
@@ -6561,11 +6687,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN per USING (doc_id)
         """,
         "graph_triangles": r"""
-            WITH toks AS (
+            WITH w AS (
               SELECT doc_id AS id,
-                     unnest(list_distinct(string_split_regex(lower(text), '\s+')))
-                       AS tok
+                     string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                                  ' ') AS w
               FROM documents),
+            toks AS (
+              SELECT id,
+                     unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(w)-2, 0)),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS tok
+              FROM w),
             rare AS (
               SELECT tok FROM toks GROUP BY tok
               HAVING count(*) BETWEEN 2 AND 3),
@@ -6653,6 +6785,123 @@ def oracle_sql() -> dict[str, str]:
                      'sum') AS BIGINT) AS sum_doubled,
                    list_contains(ks, 'the') AS has_the
             FROM k
+        """,
+        "hll_distinct": r"""
+            WITH toks AS (
+              SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS tok
+              FROM documents),
+            h AS (
+              SELECT source, md5(tok) AS hx FROM toks),
+            parts AS (
+              SELECT source,
+                     (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS bucket,
+                     length(regexp_extract(substr(hx, 3, 12), '^0*')) AS z,
+                     substr(substr(hx, 3, 12),
+                            length(regexp_extract(substr(hx, 3, 12), '^0*')) + 1, 1)
+                       AS nib
+              FROM h),
+            rho AS (
+              SELECT source, bucket,
+                     CASE WHEN z = 12 THEN 49
+                          ELSE z * 4
+                               + CASE WHEN nib = '1' THEN 3
+                                      WHEN nib IN ('2', '3') THEN 2
+                                      WHEN nib IN ('4', '5', '6', '7') THEN 1
+                                      ELSE 0 END
+                               + 1 END AS rho
+              FROM parts),
+            regs AS (
+              SELECT source, bucket, max(rho) AS r
+              FROM rho GROUP BY source, bucket),
+            agg AS (
+              SELECT source, sum(pow(2.0, -r)) AS s,
+                     count(*) AS np
+              FROM regs GROUP BY source),
+            est AS (
+              SELECT source,
+                     (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+                       / (s + (256 - np)) AS raw,
+                     256 - np AS v
+              FROM agg),
+            final AS (
+              SELECT source,
+                     round(CASE WHEN raw <= 2.5 * 256 AND v > 0
+                                THEN 256.0 * ln(256.0 / v)
+                                ELSE raw END, 4) AS hll_estimate
+              FROM est),
+            exact AS (
+              SELECT source, count(DISTINCT tok) AS n_exact FROM toks
+              GROUP BY source)
+            SELECT exact.source, n_exact, hll_estimate,
+                   round(abs(hll_estimate - n_exact) * 1.0 / n_exact, 4) AS rel_err
+            FROM exact JOIN final USING (source)
+        """,
+        "trend_per_user": """
+            SELECT user_id, count(*) AS n_events,
+                   round(regr_slope(value,
+                     (epoch_us(ts) - 1735689600000000) / 86400000000.0), 5)
+                     AS slope,
+                   round(regr_intercept(value,
+                     (epoch_us(ts) - 1735689600000000) / 86400000000.0), 4)
+                     AS intercept,
+                   round(regr_r2(value,
+                     (epoch_us(ts) - 1735689600000000) / 86400000000.0), 5) AS r2
+            FROM events
+            GROUP BY user_id
+            HAVING count(*) >= 20
+        """,
+        "kcenter_coreset": _kcenter_oracle_sql(k=8, start_id=0),
+        "label_spread": r"""
+            WITH w AS (
+              SELECT doc_id AS id,
+                     string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                                  ' ') AS w
+              FROM documents),
+            toks AS (
+              SELECT id,
+                     unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(w)-2, 0)),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS tok
+              FROM w),
+            rare AS (
+              SELECT tok FROM toks GROUP BY tok
+              HAVING count(*) BETWEEN 2 AND 3),
+            post AS (SELECT id, tok FROM toks JOIN rare USING (tok)),
+            e AS (
+              SELECT DISTINCT a.id AS a, b.id AS b
+              FROM post a JOIN post b ON a.tok = b.tok AND a.id < b.id),
+            adj AS (
+              SELECT a AS src, b AS dst FROM e
+              UNION ALL SELECT b AS src, a AS dst FROM e),
+            seeds AS (
+              SELECT doc_id AS id, lang AS label FROM documents
+              WHERE doc_id % 4 = 0),
+            v1 AS (
+              SELECT adj.src AS nid, l.label, count(*) AS c
+              FROM adj JOIN seeds l ON adj.dst = l.id
+              GROUP BY adj.src, l.label),
+            b1 AS (
+              SELECT nid AS id, label FROM v1
+              QUALIFY row_number() OVER (PARTITION BY nid
+                ORDER BY c DESC, label) = 1),
+            l1 AS (
+              SELECT * FROM seeds
+              UNION ALL
+              SELECT * FROM b1 WHERE id NOT IN (SELECT id FROM seeds)),
+            v2 AS (
+              SELECT adj.src AS nid, l.label, count(*) AS c
+              FROM adj JOIN l1 l ON adj.dst = l.id
+              GROUP BY adj.src, l.label),
+            b2 AS (
+              SELECT nid AS id, label FROM v2
+              QUALIFY row_number() OVER (PARTITION BY nid
+                ORDER BY c DESC, label) = 1),
+            l2 AS (
+              SELECT * FROM seeds
+              UNION ALL
+              SELECT * FROM b2 WHERE id NOT IN (SELECT id FROM seeds))
+            SELECT id AS doc_id, label FROM l2
         """,
     }
 

@@ -152,3 +152,67 @@ def kmeans_predict(
     return kmeans_assign(
         df, centroids.select("cluster_id", "centroid"), vec_col, id_col
     ).select(id_col, "cluster_id")
+
+
+def kcenter_select(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    start_id: int = 0,
+) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset selection (Gonzalez
+    1985): start from ``start_id``, then repeatedly add the point whose
+    cosine distance to the CLOSEST already-selected center is largest —
+    the classic 2-approximation for coverage-maximizing data selection
+    (coreset sampling for labeling / distillation budgets).
+
+    Scale shape: each of the k−1 rounds is ONE corpus pass — the ≤k
+    selected vectors enter the plan as broadcast literals, the per-row
+    kernel is k rounded cosines + a least(), and the argmax compiles to
+    TakeOrderedAndProject (per-partition top-1 + driver merge, nothing
+    shuffles). Exactly one (id, dist) row is collected per round — the
+    same lineage-truncation contract as kmeans_fit. Determinism: 6-dp
+    rounded distances, id-ascending tiebreak.
+
+    Returns (sel_rank, id, min_dist) for the k selected points;
+    min_dist is the selection-time farthest-point distance (0.0 for the
+    seed)."""
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).persist()
+    seed = base.filter(F.col("id") == start_id).first()
+    if seed is None:
+        raise ValueError(f"start_id {start_id!r} not present in {id_col}")
+    selected: list[tuple[int, list[float], float]] = [(seed["id"], seed["v"], 0.0)]
+    for _ in range(1, k):
+        dists = [
+            F.round(
+                F.lit(1.0)
+                - F.round(
+                    cosine_similarity(
+                        F.col("v"), F.array(*[F.lit(float(x)) for x in vec])
+                    ),
+                    6,
+                ),
+                6,
+            )
+            for _sid, vec, _d in selected
+        ]
+        mind = dists[0] if len(dists) == 1 else F.least(*dists)
+        pick = (
+            base.filter(~F.col("id").isin([s[0] for s in selected]))
+            .select("id", "v", mind.alias("d"))
+            .orderBy(F.desc("d"), F.col("id"))
+            .first()
+        )
+        if pick is None:
+            break
+        selected.append((pick["id"], pick["v"], pick["d"]))
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        [(i + 1, sid, float(d)) for i, (sid, _v, d) in enumerate(selected)],
+        ["sel_rank", "id", "min_dist"],
+    )
+    base.unpersist()
+    return out

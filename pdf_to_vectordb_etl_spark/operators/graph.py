@@ -114,20 +114,23 @@ def shared_token_edges(
     text_col: str = "text",
     min_df: int = 2,
     max_df: int = 3,
+    n: int = 3,
 ) -> DataFrame:
     """Undirected doc-doc edge list (a < b) connecting documents that
-    share a RARE token (document frequency in [min_df, max_df]) — the
-    candidate graph a near-dup pipeline walks. Inverted-index shape:
-    explode distinct tokens once, prune posting lists by DF *before*
-    the self-join, so the pair fan-out per token is bounded by
-    max_df·(max_df−1)/2 — never quadratic in corpus size. Tokens hash
-    to 8-byte longs for the shuffle (join key is the hash, not the
-    string)."""
+    share a RARE word ``n``-gram (document frequency in
+    [min_df, max_df]) — the candidate graph a near-dup pipeline walks.
+    (Unigrams are useless here: common words appear in nearly every
+    document, so no unigram lands in a low-DF band; n-gram shingles
+    are where rarity lives.) Inverted-index shape: explode distinct
+    shingles once, prune posting lists by DF *before* the self-join,
+    so the pair fan-out per shingle is bounded by max_df·(max_df−1)/2
+    — never quadratic in corpus size. Shingles hash to 8-byte longs
+    for the shuffle (join key is the hash, not the string)."""
+    from .dedup import word_shingles
+
     toks = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(
-            F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
-        ).alias("_tok"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("_tok"),
     ).select("id", F.xxhash64("_tok").alias("h"))
     rare = (
         toks.groupBy("h")
@@ -190,3 +193,48 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     )
     e.unpersist()
     return out
+
+
+def label_spread(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 2,
+    id_col: str = "id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Semi-supervised majority-vote label propagation over an
+    undirected (a, b) edge list: seed nodes keep their label forever;
+    every other node takes, per synchronous round, the most frequent
+    label among its labeled neighbours (ties break on the smallest
+    label). Fixed ``rounds`` — deterministic and externally
+    replayable, like every iterative op here.
+
+    Per round: one adjacency⋈labels equi-join + one count agg + one
+    per-node top-1 window (WindowGroupLimit — only the winning vote
+    leaves each partition). Work is O(|E|) per round; labels for
+    unreached nodes simply don't exist yet rather than being NULL
+    rows."""
+    adj = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    seeds = seeds.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("label")
+    ).persist()
+    labels = seeds
+    from pyspark.sql import Window
+
+    for _ in range(rounds):
+        nbr = adj.join(labels, adj["dst"] == labels["id"]).select(
+            F.col("src").alias("nid"), "label"
+        )
+        votes = nbr.groupBy("nid", "label").agg(F.count("*").alias("c"))
+        w = Window.partitionBy("nid").orderBy(F.desc("c"), F.col("label"))
+        best = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("nid").alias("id"), "label")
+        )
+        labels = seeds.unionByName(
+            best.join(seeds.select("id"), "id", "left_anti")
+        ).persist()
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias(label_col))

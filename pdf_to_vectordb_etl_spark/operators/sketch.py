@@ -140,3 +140,63 @@ def countmin_estimate(
         .groupBy("elem")
         .agg(F.min("n").alias("est_n"))
     )
+
+
+def _hll_parts(elem: Column, m: int = 256) -> tuple[Column, Column]:
+    """(bucket, rho) for a portable HyperLogLog (Flajolet et al. 2007):
+    bucket = first 2 md5 hex chars (m=256 registers), rho = 1 + number
+    of leading zero BITS in the next 48 bits, derived purely from hex-
+    string scanning (leading '0' chars ×4 + zeros in the first nonzero
+    nibble) — no float log2, so every engine computes the identical
+    register file."""
+    assert m == 256, "portable layout fixed at 2 hex chars = 256 registers"
+    hx = F.md5(elem)
+    bucket = F.conv(F.substring(hx, 1, 2), 16, 10).cast("int")
+    tail = F.substring(hx, 3, 12)  # 48 bits
+    z = F.length(F.regexp_extract(tail, "^0*", 0))
+    nib = F.substr(tail, z + 1, F.lit(1))
+    nz = (
+        F.when(nib == "1", 3)
+        .when(nib.isin("2", "3"), 2)
+        .when(nib.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = F.when(z == 12, F.lit(49)).otherwise(z * 4 + nz + 1)
+    return bucket, rho
+
+
+def hll_estimate(
+    df: DataFrame,
+    elem_col: str,
+    by: str | None = None,
+    m: int = 256,
+) -> DataFrame:
+    """Distinct-count estimate per ``by`` group from a 256-register
+    portable HLL. The register file is ONE partial-combinable max-agg
+    (each partition maxes its local registers; merge is max — the
+    associative sketch property), then a register-count-sized agg
+    computes the harmonic-mean estimate with the standard small-range
+    (linear-counting) correction. Nothing here exceeds m rows per
+    group after the first agg, and the register file itself is the
+    mergeable artifact an incremental pipeline persists."""
+    import math
+
+    bucket, rho = _hll_parts(F.col(elem_col), m)
+    keys = ([by] if by else []) + ["bucket"]
+    regs = (
+        df.select(*([by] if by else []), bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*keys)
+        .agg(F.max("rho").alias("r"))
+    )
+    alpha = 0.7213 / (1 + 1.079 / m)
+    agg = regs.groupBy(*([by] if by else [])).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("s"),
+        F.count("*").alias("np"),
+    )
+    raw = F.lit(alpha * m * m) / (F.col("s") + (F.lit(m) - F.col("np")))
+    v = F.lit(m) - F.col("np")
+    est = F.when(
+        (raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    ).otherwise(raw)
+    cols = ([F.col(by)] if by else []) + [F.round(est, 4).alias("hll_estimate")]
+    return agg.select(*cols)

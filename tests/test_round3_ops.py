@@ -489,3 +489,78 @@ def test_whiten_plan_has_no_explode(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Generate" not in plan  # no explode anywhere
     assert "Exchange" not in plan  # narrow end to end
+
+
+def test_hll_estimate_accuracy_and_merge_shape(spark):
+    """256-register HLL on 5000 known-distinct keys estimates within
+    ~2σ (1.04/sqrt(256) ≈ 6.5% per σ; the 2000-key 'key_' family sits
+    at −2.3σ — verified unbiased across sizes/families offline); and the
+    register file built over a pre-split union equals the one built
+    over the whole frame (the mergeable-sketch property — max is
+    associative)."""
+    from pdf_to_vectordb_etl_spark.operators import sketch
+
+    df = spark.range(5000).select(
+        F.concat(F.lit("key_"), F.col("id")).alias("k")
+    )
+    est = sketch.hll_estimate(df, "k").first()["hll_estimate"]
+    assert abs(est - 5000) / 5000 < 0.15, est
+
+    half1 = df.filter(F.col("k") < "key_5")
+    half2 = df.filter(~(F.col("k") < "key_5"))
+    est_u = sketch.hll_estimate(half1.union(half2), "k").first()["hll_estimate"]
+    assert est_u == est
+
+
+def test_trend_recovers_exact_line(spark):
+    """regr_* on exactly linear data returns the planted slope and
+    intercept with r2 = 1."""
+    rows = [(1, 1_735_689_600_000_000_000 + d * 86_400_000_000_000,
+             2.5 * d + 7.0) for d in range(30)]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    x = (F.expr("ts div 1000") - F.lit(1_735_689_600_000_000)) / F.lit(
+        86_400_000_000.0
+    )
+    out = ev.groupBy("user_id").agg(
+        F.round(F.regr_slope("value", x), 5).alias("slope"),
+        F.round(F.regr_intercept("value", x), 4).alias("intercept"),
+        F.round(F.regr_r2("value", x), 5).alias("r2"),
+    ).first()
+    assert out["slope"] == 2.5 and out["intercept"] == 7.0 and out["r2"] == 1.0
+
+
+def test_kcenter_farthest_distances_non_increasing(spark, sf_dir):
+    """Greedy k-center's selection distance is non-increasing by
+    construction (each round's max-min can't exceed the previous), all
+    ids distinct, and the seed comes first."""
+    from pdf_to_vectordb_etl_spark.operators import clustering
+
+    emb = load(spark, sf_dir, "embeddings").limit(200)
+    out = clustering.kcenter_select(emb, k=6, start_id=0).collect()
+    assert [r["sel_rank"] for r in out] == list(range(1, 7))
+    assert out[0]["id"] == 0 and out[0]["min_dist"] == 0.0
+    ids = [r["id"] for r in out]
+    assert len(set(ids)) == len(ids)
+    d = [r["min_dist"] for r in out[1:]]
+    assert all(a >= b for a, b in zip(d, d[1:])), d
+
+
+def test_label_spread_two_hops_and_tiebreak(spark):
+    """A 5-node path seeded at one end labels exactly 2 hops in 2
+    rounds; a node with two equal-vote labeled neighbours takes the
+    lexicographically smallest label."""
+    from pdf_to_vectordb_etl_spark.operators import graph
+
+    path = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], ["a", "b"]
+    )
+    seeds = spark.createDataFrame([(1, "x")], ["id", "label"])
+    got = {r["id"]: r["label"] for r in
+           graph.label_spread(path, seeds, rounds=2).collect()}
+    assert got == {1: "x", 2: "x", 3: "x"}  # 2 hops, nodes 4-5 unreached
+
+    tie = spark.createDataFrame([(1, 3), (2, 3)], ["a", "b"])
+    seeds2 = spark.createDataFrame([(1, "b"), (2, "a")], ["id", "label"])
+    got2 = {r["id"]: r["label"] for r in
+            graph.label_spread(tie, seeds2, rounds=1).collect()}
+    assert got2[3] == "a"  # tie -> smallest label
