@@ -3340,6 +3340,81 @@ def q_label_spread(spark, sf):
     return out.select(F.col("id").alias("doc_id"), "label")
 
 
+def q_t9_stream_hll(spark, sf):
+    """T9 — incremental distinct-count sketching: the HLL register file
+    maintained as a streaming max-aggregate (associative, so each
+    micro-batch folds in without rescanning history), then the
+    harmonic-mean estimate over the ≤ sources×256-row snapshot. Over
+    identical rows the snapshot equals the batch register file, so the
+    batch HLL SQL is the parity oracle."""
+    import tempfile
+
+    from pdf_to_vectordb_etl_spark.operators import sketch
+    from pdf_to_vectordb_etl_spark.streaming.pipeline import stream_hll_registers
+
+    raw_schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+    )
+    regs = stream_hll_registers(stream)
+    name = "t9_stream_hll_regs"
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t9ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    return sketch.hll_estimate_from_registers(spark.table(name), by="source")
+
+
+def q_ewma_smooth(spark, sf):
+    """Bounded-lookback EWMA per user: the α(1−α)^j ladder enters both
+    engines as the same Python-float literals, the trailing-window dot
+    product replaces the sequential recurrence — one ROWS window, no
+    UDF, parallel across keys."""
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("tus"), "value"
+    )
+    out = aggregates.ewma(
+        ev, value_col="value", by="user_id", order_cols=("tus", "event_id"),
+        alpha=0.3, lookback=20,
+    )
+    return out.select("user_id", "event_id", "ewma")
+
+
+def _ewma_oracle_sql(alpha: float = 0.3, lookback: int = 20) -> str:
+    """DuckDB twin of aggregates.ewma: identical weight-ladder literals
+    (Python repr round-trips to the same double), identical trailing
+    ROWS frame, identical sequential summation order."""
+    wts = [alpha * (1 - alpha) ** (lookback - 1 - k) for k in range(lookback)]
+    wl = "[" + ", ".join(repr(w) for w in wts) + "]"
+    lb = lookback
+    return f"""
+            WITH ev AS (
+              SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events),
+            a AS (
+              SELECT user_id, event_id,
+                     list(value) OVER (PARTITION BY user_id
+                       ORDER BY tus, event_id
+                       ROWS BETWEEN {lb - 1} PRECEDING AND CURRENT ROW) AS arr
+              FROM ev),
+            w AS (SELECT {wl} AS wl)
+            SELECT user_id, event_id,
+                   round(
+                     list_aggregate(list_transform(generate_series(1, len(arr)),
+                       i -> arr[i] * wl[{lb} - len(arr) + i]), 'sum')
+                     / list_aggregate(list_transform(generate_series(1, len(arr)),
+                       i -> wl[{lb} - len(arr) + i]), 'sum'), 6) AS ewma
+            FROM a, w
+        """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -3524,6 +3599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_per_user": q_trend_per_user,
         "kcenter_coreset": q_kcenter_coreset,
         "label_spread": q_label_spread,
+        "t9_stream_hll": q_t9_stream_hll,
+        "ewma_smooth": q_ewma_smooth,
     }
 
 
@@ -6903,6 +6980,50 @@ def oracle_sql() -> dict[str, str]:
               SELECT * FROM b2 WHERE id NOT IN (SELECT id FROM seeds))
             SELECT id AS doc_id, label FROM l2
         """,
+        "t9_stream_hll": r"""
+            WITH toks AS (
+              SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS tok
+              FROM documents),
+            h AS (
+              SELECT source, md5(tok) AS hx FROM toks),
+            parts AS (
+              SELECT source,
+                     (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS bucket,
+                     length(regexp_extract(substr(hx, 3, 12), '^0*')) AS z,
+                     substr(substr(hx, 3, 12),
+                            length(regexp_extract(substr(hx, 3, 12), '^0*')) + 1, 1)
+                       AS nib
+              FROM h),
+            rho AS (
+              SELECT source, bucket,
+                     CASE WHEN z = 12 THEN 49
+                          ELSE z * 4
+                               + CASE WHEN nib = '1' THEN 3
+                                      WHEN nib IN ('2', '3') THEN 2
+                                      WHEN nib IN ('4', '5', '6', '7') THEN 1
+                                      ELSE 0 END
+                               + 1 END AS rho
+              FROM parts),
+            regs AS (
+              SELECT source, bucket, max(rho) AS r
+              FROM rho GROUP BY source, bucket),
+            agg AS (
+              SELECT source, sum(pow(2.0, -r)) AS s, count(*) AS np
+              FROM regs GROUP BY source),
+            est AS (
+              SELECT source,
+                     (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+                       / (s + (256 - np)) AS raw,
+                     256 - np AS v
+              FROM agg)
+            SELECT source,
+                   round(CASE WHEN raw <= 2.5 * 256 AND v > 0
+                              THEN 256.0 * ln(256.0 / v)
+                              ELSE raw END, 4) AS hll_estimate
+            FROM est
+        """,
+        "ewma_smooth": _ewma_oracle_sql(alpha=0.3, lookback=20),
     }
 
     # the streaming session_window form must agree row-for-row with the

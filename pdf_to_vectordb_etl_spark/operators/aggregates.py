@@ -420,3 +420,51 @@ def resample_interpolate(
         F.col("_v").isNotNull().alias("observed"),
         (F.floor(interp * p + F.lit(0.5)) / p).alias("value_interp"),
     )
+
+
+def ewma(
+    df: DataFrame,
+    value_col: str = "value",
+    by: str = "user_id",
+    order_cols: tuple[str, ...] = ("tus", "event_id"),
+    alpha: float = 0.3,
+    lookback: int = 20,
+) -> DataFrame:
+    """Exponentially-weighted moving average per key over a trailing
+    ROWS window — the bounded-memory form every monitoring pipeline
+    uses (the unbounded recurrence y_t = αx_t + (1−α)y_{t−1} is
+    inherently sequential; truncating at ``lookback`` makes it a
+    windowed dot product with fixed weights, embarrassingly parallel
+    across keys and identical in the limit).
+
+    The α(1−α)^j weight ladder is computed ONCE in Python and enters
+    the plan as a literal array — both the Spark kernel and any SQL
+    replay index the same doubles, so results agree to the last bit
+    before rounding. Weights renormalize over the rows actually
+    present (short prefixes average over what exists). One window +
+    one narrow aggregate; no recurrence, no UDF."""
+    from pyspark.sql import Window
+
+    wts = [alpha * (1 - alpha) ** (lookback - 1 - k) for k in range(lookback)]
+    wlit = F.array(*[F.lit(w) for w in wts])
+    w = (
+        Window.partitionBy(by)
+        .orderBy(*order_cols)
+        .rowsBetween(-(lookback - 1), 0)
+    )
+    arr = F.collect_list(F.col(value_col).cast("double")).over(w)
+    s = F.size(arr)
+    idx = F.sequence(F.lit(0), s - 1)
+    num = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(arr, i + 1)
+        * F.element_at(wlit, F.lit(lookback) - s + i + 1),
+    )
+    den = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, i: acc + F.element_at(wlit, F.lit(lookback) - s + i + 1),
+    )
+    return df.withColumn("ewma", F.round(num / den, 6))

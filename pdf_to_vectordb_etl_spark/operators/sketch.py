@@ -179,15 +179,36 @@ def hll_estimate(
     (linear-counting) correction. Nothing here exceeds m rows per
     group after the first agg, and the register file itself is the
     mergeable artifact an incremental pipeline persists."""
-    import math
+    regs = hll_registers(df, elem_col, by=by, m=m)
+    return hll_estimate_from_registers(regs, by=by, m=m)
 
+
+def hll_registers(
+    df: DataFrame,
+    elem_col: str,
+    by: str | None = None,
+    m: int = 256,
+) -> DataFrame:
+    """The HLL register file: per (by, bucket) max rho — ONE
+    partial-combinable max-agg. This is the mergeable artifact an
+    incremental/streaming pipeline maintains (max is associative, so a
+    stream's state store or a persisted parquet of registers absorbs
+    new data without rescanning old)."""
     bucket, rho = _hll_parts(F.col(elem_col), m)
     keys = ([by] if by else []) + ["bucket"]
-    regs = (
+    return (
         df.select(*([by] if by else []), bucket.alias("bucket"), rho.alias("rho"))
         .groupBy(*keys)
         .agg(F.max("rho").alias("r"))
     )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, by: str | None = None, m: int = 256
+) -> DataFrame:
+    """Harmonic-mean estimate + linear-counting small-range correction
+    over a register file (from hll_registers, a streaming snapshot, or
+    a merge of either — the math only sees (bucket, r) rows)."""
     alpha = 0.7213 / (1 + 1.079 / m)
     agg = regs.groupBy(*([by] if by else [])).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("s"),

@@ -396,3 +396,34 @@ def stream_anomaly(
         "value",
     )
     return stream_zscore_flags(ev, lookback=lookback, threshold=threshold)
+
+
+def stream_hll_registers(
+    docs_stream: DataFrame,
+    elem_expr: F.Column | None = None,
+    by: str = "source",
+) -> DataFrame:
+    """Beyond-reference: incremental distinct-count sketching under
+    Structured Streaming — the register file of sketch.hll_registers
+    maintained as a streaming max-aggregate. Because the register
+    update is an associative max, the streaming state IS the sketch:
+    each micro-batch folds its rows in without ever rescanning history,
+    and a snapshot of this aggregate at any point equals the batch
+    register file over the same rows (so the batch HLL SQL is the
+    parity oracle for the derived estimate). The estimate itself is a
+    trivial batch pass over the ≤ groups×256-row snapshot — chaining a
+    second streaming agg is both unsupported and unnecessary."""
+    from ..operators.sketch import _hll_parts
+
+    elem = (
+        elem_expr
+        if elem_expr is not None
+        else F.explode(F.split(F.lower(F.col("text")), r"\s+"))
+    )
+    toks = docs_stream.select(F.col(by), elem.alias("_tok"))
+    bucket, rho = _hll_parts(F.col("_tok"))
+    return (
+        toks.select(by, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(by, "bucket")
+        .agg(F.max("rho").alias("r"))
+    )

@@ -564,3 +564,66 @@ def test_label_spread_two_hops_and_tiebreak(spark):
     got2 = {r["id"]: r["label"] for r in
             graph.label_spread(tie, seeds2, rounds=1).collect()}
     assert got2[3] == "a"  # tie -> smallest label
+
+
+def test_ewma_constant_series_and_reference_loop(spark):
+    """EWMA of a constant series is that constant (weights
+    renormalize); on a varying series the windowed form matches a
+    plain Python reference computation of the same truncated dot
+    product."""
+    from pdf_to_vectordb_etl_spark.operators import aggregates
+
+    rows = [(1, i, i * 1000, 5.0) for i in range(30)]
+    ev = spark.createDataFrame(rows, ["user_id", "event_id", "tus", "value"])
+    out = aggregates.ewma(ev, alpha=0.3, lookback=20).collect()
+    assert all(r["ewma"] == 5.0 for r in out)
+
+    vals = [float(v) for v in (1, 4, 2, 8, 5, 7, 3, 9, 6, 2)]
+    rows2 = [(2, i, i * 1000, v) for i, v in enumerate(vals)]
+    ev2 = spark.createDataFrame(rows2, ["user_id", "event_id", "tus", "value"])
+    got = {r["event_id"]: r["ewma"]
+           for r in aggregates.ewma(ev2, alpha=0.3, lookback=20).collect()}
+    wts = [0.3 * 0.7 ** (19 - k) for k in range(20)]
+    for t in range(len(vals)):
+        lo = max(0, t - 19)
+        window = vals[lo:t + 1]
+        used = wts[20 - len(window):]
+        ref = round(sum(v * w for v, w in zip(window, used)) / sum(used), 6)
+        assert abs(got[t] - ref) < 1e-9, (t, got[t], ref)
+
+
+def test_stream_hll_registers_equal_batch(spark, sf_dir):
+    """The streaming register snapshot over the full table equals the
+    batch register file row-for-row — the associative-max sketch
+    property under micro-batching."""
+    import tempfile
+
+    from pdf_to_vectordb_etl_spark.operators import sketch
+    from pdf_to_vectordb_etl_spark.streaming.pipeline import stream_hll_registers
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    q = (
+        stream_hll_registers(stream)
+        .writeStream.format("memory")
+        .queryName("t9_regs_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t9t"))
+        .start()
+    )
+    q.awaitTermination(300)
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+    )
+    batch = sketch.hll_registers(toks, "tok", by="source")
+    streamed = spark.table("t9_regs_test")
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0

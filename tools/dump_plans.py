@@ -57,6 +57,19 @@ HEADLINE = [
     ("cohort_retention", "first-seen agg and join-back share the user_id exchange; cohort sizes broadcast"),
     ("sole_late_supplier", "Q21 class decorrelated: per-order agg + join-back, no EXISTS re-scan"),
     ("ta_perplexity", "LM model broadcast onto the bigram stream; percentile cutpoint broadcast, no sort"),
+    ("pricing_summary", "Q1 class: full-scan two-phase agg, every aggregate partial-combinable"),
+    ("market_share", "Q8 class: nation dim broadcast twice; conditional numerator folds into ONE partial agg"),
+    ("customer_distribution", "Q13 class: LEFT join keeps zero-order customers; two exchanges by construction"),
+    ("min_cost_supplier", "Q2 class: supply relation aggregated from the fact table BEFORE any dim join"),
+    ("important_parts", "Q11 class: scalar-subquery total joins back as a 1-row broadcast"),
+    ("quality_logreg", "logistic quality scoring entirely inside codegen — zero Exchange"),
+    ("ngram_novelty", "inverted-index DF join on 8-byte shingle hashes; zero-shingle docs kept via left join"),
+    ("embedding_whiten", "2·dim array-slot sums in ONE agg (no explode); whitening narrow, zero Exchange"),
+    ("graph_triangles", "ordered-adjacency triangle join (a<b storage = each triangle matched once)"),
+    ("hll_distinct", "HLL register file = one partial-combinable max agg; 256 rows/group after it"),
+    ("trend_per_user", "per-key OLS via regr_* partial-combinable agg — no window, no fit loop"),
+    ("label_spread", "per-round edge-to-label equi-join + count agg + WindowGroupLimit vote"),
+    ("temperature_resample", "keep-rate table broadcast back; the per-row keep filter is narrow"),
 ]
 
 
