@@ -3415,6 +3415,18 @@ def _ewma_oracle_sql(alpha: float = 0.3, lookback: int = 20) -> str:
         """
 
 
+def q_semantic_chunks(spark, sf):
+    """Embedding-drift semantic chunking: new chunk where consecutive-
+    unit cosine drops below 0.2 (12-token segments — this corpus has no
+    sentence punctuation). Units explode once, one per-doc window (lag
+    + running boundary count); the portable md5 embedding makes every
+    cosine bit-identical across engines."""
+    from pdf_to_vectordb_etl_spark.operators import chunking
+
+    docs = _t(spark, sf, "documents")
+    return chunking.semantic_chunks(docs, threshold=0.2, dim=16, segment_tokens=12)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -3601,6 +3613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_spread": q_label_spread,
         "t9_stream_hll": q_t9_stream_hll,
         "ewma_smooth": q_ewma_smooth,
+        "semantic_chunks": q_semantic_chunks,
     }
 
 
@@ -7024,6 +7037,52 @@ def oracle_sql() -> dict[str, str]:
             FROM est
         """,
         "ewma_smooth": _ewma_oracle_sql(alpha=0.3, lookback=20),
+        "semantic_chunks": r"""
+            WITH s0 AS (
+              SELECT doc_id, string_split_regex(text, '\s+') AS toks
+              FROM documents),
+            s1 AS (
+              SELECT doc_id,
+                     list_transform(
+                       generate_series(0,
+                         CAST(ceil(len(toks) / 12.0) AS BIGINT) - 1),
+                       i -> array_to_string(toks[i*12+1:i*12+12], ' ')) AS sents
+              FROM s0),
+            ex AS (
+              SELECT doc_id, unnest(range(len(sents))) AS sent_idx,
+                     unnest(sents) AS sent
+              FROM s1 WHERE len(sents) > 0),
+            e AS (
+              SELECT doc_id, sent_idx,
+                     list_transform(generate_series(0, 15),
+                       i -> CAST(concat('0x',
+                              substr(md5(sent || ':se:' || i), 1, 8)) AS BIGINT)
+                            / 2147483648.0 - 1.0) AS v
+              FROM ex),
+            l AS (
+              SELECT doc_id, sent_idx, v,
+                     lag(v) OVER (PARTITION BY doc_id ORDER BY sent_idx) AS pv
+              FROM e),
+            c AS (
+              SELECT doc_id, sent_idx,
+                     CASE WHEN pv IS NULL THEN NULL ELSE
+                       round(
+                         list_aggregate(list_transform(generate_series(1, 16),
+                           i -> v[i] * pv[i]), 'sum')
+                         / (sqrt(list_aggregate(list_transform(v, x -> x * x),
+                              'sum'))
+                            * sqrt(list_aggregate(list_transform(pv, x -> x * x),
+                                'sum'))), 6)
+                     END AS cos_prev
+              FROM l)
+            SELECT doc_id, sent_idx,
+                   CAST(sum(CASE WHEN cos_prev IS NULL OR cos_prev < 0.2
+                                 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY sent_idx
+                           ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS chunk_id,
+                   cos_prev
+            FROM c
+        """,
     }
 
     # the streaming session_window form must agree row-for-row with the

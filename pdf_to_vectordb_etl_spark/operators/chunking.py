@@ -148,3 +148,88 @@ def sentence_chunks(
         )
     )
     return chunks
+
+
+def portable_embedding(text, dim: int = 16, salt: str = "se") -> "F.Column":
+    """md5-derived pseudo-embedding with EXACT cross-engine replay:
+    component i = int(md5(text‖':salt:'‖i)[:8 hex]) / 2³¹ − 1 — every
+    step (hex parse, power-of-two divide, subtract) is exact in IEEE
+    double, so an external engine reproduces the vector bit-for-bit
+    (unlike deterministic_embedding's xxhash64, which is JVM-only).
+    The hermetic stand-in where a value-exact oracle must replay the
+    vectors; a real model plugs in via embedding.embed_with_client."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat(t, F.lit(f":{salt}:"), i.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(2147483648.0)
+        - F.lit(1.0),
+    )
+
+
+def semantic_chunks(
+    df: DataFrame,
+    threshold: float = 0.2,
+    dim: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    segment_tokens: int | None = None,
+) -> DataFrame:
+    """Embedding-drift semantic chunking (the RAG chunker that cuts
+    where MEANING shifts rather than every K sentences): split to
+    sentences, embed each, start a new chunk wherever the cosine to
+    the previous sentence drops below ``threshold``.
+
+    Plan shape: sentences explode ONCE; the embedding is built from
+    the exploded sentence row (never referenced above its explode);
+    one per-doc window provides lag + running boundary count — the
+    sessionization "islands" shape, so one shuffle on doc_id total.
+    With the portable md5 embedding every cosine is bit-identical
+    across engines (6-dp rounded before the threshold compare).
+
+    ``segment_tokens`` switches the unit from sentences to fixed
+    N-token segments — the fallback for corpora without sentence
+    punctuation (where everything would be one "sentence" and drift
+    detection has nothing to compare)."""
+    from pyspark.sql import Window
+
+    from ..functions.vector import cosine_similarity
+
+    if segment_tokens:
+        toks = F.split(F.col(text_col), r"\s+")
+        n_seg = F.ceil(F.size(toks) / F.lit(segment_tokens)).cast("int")
+        parts = F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * segment_tokens + 1, segment_tokens), " "
+            ),
+        )
+    else:
+        parts = split_sentences(F.col(text_col))
+    ex = (
+        df.select(F.col(id_col), parts.alias("_sents"))
+        .filter(F.size("_sents") > 0)
+        .select(
+            id_col, F.posexplode("_sents").alias("sent_idx", "_sent")
+        )
+    )
+    emb = portable_embedding(F.col("_sent"), dim=dim)
+    w = Window.partitionBy(id_col).orderBy("sent_idx")
+    scored = ex.withColumn("_e", emb).withColumn(
+        "cos_prev",
+        F.round(cosine_similarity(F.col("_e"), F.lag("_e").over(w)), 6),
+    )
+    flag = F.when(
+        F.col("cos_prev").isNull() | (F.col("cos_prev") < threshold), 1
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return scored.select(
+        id_col,
+        "sent_idx",
+        (F.sum(flag).over(run) - 1).alias("chunk_id"),
+        "cos_prev",
+    )

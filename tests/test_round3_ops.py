@@ -627,3 +627,27 @@ def test_stream_hll_registers_equal_batch(spark, sf_dir):
     streamed = spark.table("t9_regs_test")
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_semantic_chunks_merges_repeats_and_cuts_drift(spark):
+    """A document whose segments repeat verbatim stays ONE chunk
+    (cos = 1 between identical units); chunk ids are dense, start at 0,
+    and never decrease within a doc."""
+    from pdf_to_vectordb_etl_spark.operators import chunking
+
+    seg = "alpha beta gamma delta"  # 4 tokens -> one segment at width 4
+    df = spark.createDataFrame(
+        [(1, " ".join([seg] * 5)),
+         (2, "one two three four five six seven eight nine ten eleven twelve")],
+        ["doc_id", "text"],
+    )
+    out = chunking.semantic_chunks(
+        df, threshold=0.2, dim=16, segment_tokens=4
+    ).collect()
+    d1 = sorted([r for r in out if r["doc_id"] == 1], key=lambda r: r["sent_idx"])
+    assert len(d1) == 5
+    assert all(r["chunk_id"] == 0 for r in d1)  # identical units merge
+    assert all(r["cos_prev"] == 1.0 for r in d1[1:])
+    d2 = sorted([r for r in out if r["doc_id"] == 2], key=lambda r: r["sent_idx"])
+    ids = [r["chunk_id"] for r in d2]
+    assert ids[0] == 0 and all(a <= b for a, b in zip(ids, ids[1:]))
