@@ -3427,6 +3427,68 @@ def q_semantic_chunks(spark, sf):
     return chunking.semantic_chunks(docs, threshold=0.2, dim=16, segment_tokens=12)
 
 
+def q_vocab_coverage(spark, sf):
+    """Tokenizer-vocab coverage: top-2000-token vocabulary (count-desc,
+    token-asc deterministic cut) vs per-language OOV occurrence rate.
+    Vocabulary via TakeOrderedAndProject; vocab side broadcast."""
+    docs = _t(spark, sf, "documents")
+    return ta.vocab_coverage(docs, vocab_size=2000)
+
+
+def q_dedup_idf_containment(spark, sf):
+    """IDF-weighted containment near-dup pairs: boilerplate shingles
+    barely count, rare shared content drives the score. Inverted-index
+    join on shingle hashes; corpus size enters as a 1-row broadcast."""
+    docs = _t(spark, sf, "documents")
+    return dedup.idf_weighted_containment_pairs(docs, threshold=0.5)
+
+
+def q_cooccurrence_pairs(spark, sf):
+    """Market-basket pair mining over the event stream: support and
+    lift per unordered event-type pair. Per-key fan-out bounded by the
+    item domain; key-universe size broadcast."""
+    from pdf_to_vectordb_etl_spark.operators import profiling
+
+    ev = _t(spark, sf, "events")
+    return profiling.cooccurrence_pairs(
+        ev, key_col="user_id", item_col="event_type", min_keys=10
+    )
+
+
+def q_psi_drift(spark, sf):
+    """Population Stability Index per event type between the early and
+    late half of the stream — the ML-monitoring drift score. One 1-row
+    bounds broadcast, narrow binning, one partial-combinable count agg,
+    PSI fold over ≤ groups×bins rows."""
+    from pdf_to_vectordb_etl_spark.operators import profiling
+
+    ev = _t(spark, sf, "events").select(
+        "event_type", F.expr("ts div 1000").alias("tus"), "value"
+    )
+    return profiling.psi_drift(
+        ev, value_col="value", by="event_type", ts_col="tus", bins=10
+    )
+
+
+def q_markov_transitions(spark, sf):
+    """First-order Markov transition matrix of the user journey:
+    per-key lead() adjacency (one window), count agg, per-source
+    normalization over the event-type-cardinality edge table."""
+    from pyspark.sql import Window
+
+    from pdf_to_vectordb_etl_spark.operators import graph
+
+    ev = _t(spark, sf, "events").withColumn("tus", F.expr("ts div 1000"))
+    edges = graph.transition_edges(ev)
+    wsrc = Window.partitionBy("src")
+    return edges.select(
+        "src",
+        "dst",
+        F.col("w").cast("long").alias("n"),
+        F.round(F.col("w") / F.sum("w").over(wsrc), 6).alias("p"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -3614,6 +3676,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t9_stream_hll": q_t9_stream_hll,
         "ewma_smooth": q_ewma_smooth,
         "semantic_chunks": q_semantic_chunks,
+        "vocab_coverage": q_vocab_coverage,
+        "dedup_idf_containment": q_dedup_idf_containment,
+        "cooccurrence_pairs": q_cooccurrence_pairs,
+        "psi_drift": q_psi_drift,
+        "markov_transitions": q_markov_transitions,
     }
 
 
@@ -7082,6 +7149,129 @@ def oracle_sql() -> dict[str, str]:
                            ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS chunk_id,
                    cos_prev
             FROM c
+        """,
+        "vocab_coverage": r"""
+            WITH toks AS (
+              SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS tok
+              FROM documents),
+            vc AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+            vocab AS (
+              SELECT tok FROM vc
+              QUALIFY row_number() OVER (ORDER BY n DESC, tok) <= 2000),
+            f AS (
+              SELECT t.lang, (v.tok IS NULL) AS oov
+              FROM toks t LEFT JOIN vocab v ON t.tok = v.tok)
+            SELECT lang, count(*) AS n_tokens,
+                   CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+                   round(sum(CASE WHEN oov THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+                     AS oov_rate
+            FROM f GROUP BY lang
+        """,
+        "dedup_idf_containment": f"""
+            WITH w AS (
+              SELECT doc_id AS id, string_split({_NORM}, ' ') AS w
+              FROM documents),
+            sh AS (SELECT id, unnest({_SHINGLES}) AS s FROM w),
+            tot AS (SELECT count(*) AS n FROM documents),
+            dfh AS (SELECT s, count(*) AS df_h FROM sh GROUP BY s),
+            wex AS (
+              SELECT id, s, ln(1 + (SELECT n FROM tot) * 1.0 / df_h) AS idf
+              FROM sh JOIN dfh USING (s)),
+            ws AS (SELECT id, sum(idf) AS wsum FROM wex GROUP BY id),
+            com AS (
+              SELECT a.id AS id_a, b.id AS id_b, sum(a.idf) AS w_common
+              FROM wex a JOIN wex b ON a.s = b.s AND a.id < b.id
+              GROUP BY a.id, b.id),
+            scored AS (
+              SELECT id_a, id_b,
+                     round(w_common / least(wa.wsum, wb.wsum), 6)
+                       AS idf_containment
+              FROM com
+              JOIN ws wa ON wa.id = com.id_a
+              JOIN ws wb ON wb.id = com.id_b)
+            SELECT id_a, id_b, idf_containment
+            FROM scored WHERE idf_containment >= 0.5
+        """,
+        "cooccurrence_pairs": """
+            WITH items AS (
+              SELECT DISTINCT user_id AS k, event_type AS item FROM events),
+            tot AS (SELECT count(DISTINCT k) AS n FROM items),
+            per_item AS (SELECT item, count(*) AS n_item FROM items GROUP BY item),
+            pairs AS (
+              SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_keys
+              FROM items a JOIN items b ON a.k = b.k AND a.item < b.item
+              GROUP BY a.item, b.item
+              HAVING count(*) >= 10)
+            SELECT item_a, item_b, n_keys,
+                   round(n_keys * 1.0 / tot.n, 6) AS support,
+                   round((n_keys * tot.n) * 1.0 / (na.n_item * nb.n_item), 4)
+                     AS lift
+            FROM pairs
+            JOIN per_item na ON na.item = item_a
+            JOIN per_item nb ON nb.item = item_b
+            CROSS JOIN tot
+        """,
+        "psi_drift": """
+            WITH ev AS (
+              SELECT event_type, epoch_us(ts) AS tus, value FROM events),
+            bounds AS (
+              SELECT min(tus) AS t_lo, max(tus) AS t_hi,
+                     min(value) AS v_lo, max(value) AS v_hi
+              FROM ev),
+            binned AS (
+              SELECT event_type,
+                     CASE WHEN tus < (t_lo + t_hi) / 2 THEN 'ref'
+                          ELSE 'cur' END AS half,
+                     CASE WHEN v_hi = v_lo THEN 0
+                          ELSE least(9, CAST(floor((value - v_lo)
+                                 / (v_hi - v_lo) * 10) AS INT)) END AS bin
+              FROM ev CROSS JOIN bounds),
+            counts AS (
+              SELECT event_type, half, bin, count(*) AS c
+              FROM binned GROUP BY event_type, half, bin),
+            tot AS (
+              SELECT event_type, half, count(*) AS n
+              FROM binned GROUP BY event_type, half),
+            probs AS (
+              SELECT counts.event_type, counts.half, counts.bin,
+                     (c + 0.5) / (n + 0.5 * 10) AS p
+              FROM counts JOIN tot
+                ON counts.event_type = tot.event_type
+                AND counts.half = tot.half),
+            ref AS (SELECT event_type, bin, p AS p_ref FROM probs
+                    WHERE half = 'ref'),
+            cur AS (SELECT event_type, bin, p AS p_cur FROM probs
+                    WHERE half = 'cur'),
+            nr AS (SELECT event_type, n AS nr FROM tot WHERE half = 'ref'),
+            nc AS (SELECT event_type, n AS nc FROM tot WHERE half = 'cur'),
+            merged AS (
+              SELECT coalesce(ref.event_type, cur.event_type) AS event_type,
+                     coalesce(p_ref, 0.5 / (nr + 0.5 * 10)) AS pr,
+                     coalesce(p_cur, 0.5 / (nc + 0.5 * 10)) AS pc
+              FROM ref
+              FULL OUTER JOIN cur
+                ON ref.event_type = cur.event_type AND ref.bin = cur.bin
+              JOIN nr ON nr.event_type = coalesce(ref.event_type, cur.event_type)
+              JOIN nc ON nc.event_type = coalesce(ref.event_type, cur.event_type))
+            SELECT event_type,
+                   round(sum((pc - pr) * ln(pc / pr)), 5) AS psi
+            FROM merged GROUP BY event_type
+        """,
+        "markov_transitions": """
+            WITH ev AS (
+              SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
+              FROM events),
+            nx AS (
+              SELECT event_type AS src,
+                     lead(event_type) OVER (PARTITION BY user_id
+                       ORDER BY tus, event_id) AS dst
+              FROM ev),
+            e AS (
+              SELECT src, dst, count(*) AS n
+              FROM nx WHERE dst IS NOT NULL GROUP BY src, dst)
+            SELECT src, dst, n,
+                   round(n * 1.0 / sum(n) OVER (PARTITION BY src), 6) AS p
+            FROM e
         """,
     }
 

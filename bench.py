@@ -64,6 +64,12 @@ def main() -> None:
         "span_dedup",              # corpus duplicated-span removal
         "binary_hamming_topk",     # 1-bit sign ANN + rerank
         "graph_pagerank",          # iterative graph centrality
+        "pricing_summary",         # full-scan pricing report (Q1 class)
+        "hll_distinct",            # portable HLL sketch vs exact
+        "ngram_novelty",           # inverted-index novelty scoring
+        "trend_per_user",          # per-key OLS (regr_* aggregates)
+        "ewma_smooth",             # trailing-window EWMA
+        "semantic_chunks",         # embedding-drift chunking
         "enem_questions" if "enem_questions" in entry.queries() else "ta_fingerprint",
     ]
     qs = entry.queries()

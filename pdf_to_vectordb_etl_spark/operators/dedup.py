@@ -937,3 +937,49 @@ def ngram_containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
+
+
+def idf_weighted_containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Containment with IDF weighting: shared boilerplate shingles
+    (high DF, low IDF) barely count, while sharing RARE content drives
+    the score — the de-boilerplated version of
+    :func:`ngram_containment_pairs` for web corpora where every page
+    shares a nav/footer template.
+
+    score(A,B) = Σ_{s∈A∩B} idf(s) / min(Σ_{s∈A} idf(s), Σ_{s∈B} idf(s)),
+    idf(s) = ln(1 + N/df(s)). Same inverted-index plan (equi-join on
+    shingle hashes); the DF table reuses the exploded shingles, and
+    the corpus size enters as a 1-row broadcast."""
+    ex = _shingle_hashes(df, text_col, id_col, n)
+    tot = df.agg(F.count("*").alias("_n"))
+    dfh = ex.groupBy("h").agg(F.count("*").alias("df_h"))
+    wex = (
+        ex.join(dfh, "h")
+        .crossJoin(F.broadcast(tot))
+        .select("id", "h", F.log(1 + F.col("_n") / F.col("df_h")).alias("idf"))
+    )
+    wsum = wex.groupBy("id").agg(F.sum("idf").alias("wsum"))
+    a = wex.select(F.col("id").alias("id_a"), "h", "idf")
+    b = wex.select(F.col("id").alias("id_b"), "h")
+    wcommon = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("idf").alias("w_common"))
+    )
+    wa = wsum.select(F.col("id").alias("id_a"), F.col("wsum").alias("wa"))
+    wb = wsum.select(F.col("id").alias("id_b"), F.col("wsum").alias("wb"))
+    score = F.round(F.col("w_common") / F.least(F.col("wa"), F.col("wb")), 6)
+    return (
+        wcommon.join(wa, "id_a")
+        .join(wb, "id_b")
+        .withColumn("idf_containment", score)
+        .filter(F.col("idf_containment") >= threshold)
+        .select("id_a", "id_b", "idf_containment")
+    )

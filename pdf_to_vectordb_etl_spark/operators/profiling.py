@@ -40,3 +40,139 @@ def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
             "as (column, n_nulls, n_distinct, min_v, max_v)"
         )
     )
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    key_col: str = "user_id",
+    item_col: str = "event_type",
+    min_keys: int = 10,
+) -> DataFrame:
+    """Market-basket pair mining: for every unordered item pair, the
+    number of keys exhibiting both, the support, and the lift vs
+    independence — the association signal behind co-view/co-purchase
+    and tag-co-occurrence analyses.
+
+    Plan: distinct (key, item) once, then a self-join per key with
+    item_a < item_b — per-key fan-out is |items|²/2, bounded by the
+    item DOMAIN (not the corpus), so the join output is
+    keys × domain²/2 worst-case; for unbounded domains pre-filter to
+    the top-M items first. Everything else is three small aggregates
+    and a 1-row broadcast of the key universe size."""
+    items = df.select(
+        F.col(key_col).alias("k"), F.col(item_col).alias("item")
+    ).distinct()
+    tot = items.agg(F.countDistinct("k").alias("_n"))
+    per_item = items.groupBy("item").agg(F.count("*").alias("n_item"))
+    a = items.select("k", F.col("item").alias("item_a"))
+    b = items.select("k", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_keys"))
+        .filter(F.col("n_keys") >= min_keys)
+    )
+    na = per_item.select(F.col("item").alias("item_a"), F.col("n_item").alias("n_a"))
+    nb = per_item.select(F.col("item").alias("item_b"), F.col("n_item").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "item_a")
+        .join(F.broadcast(nb), "item_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "item_a",
+            "item_b",
+            "n_keys",
+            F.round(F.col("n_keys") / F.col("_n"), 6).alias("support"),
+            F.round(
+                (F.col("n_keys") * F.col("_n"))
+                / (F.col("n_a") * F.col("n_b")),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str = "value",
+    by: str = "event_type",
+    ts_col: str = "tus",
+    bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between the early and late half of a
+    stream, per group — the standard ML-monitoring drift score
+    (PSI < 0.1 stable, > 0.25 action). Reference = rows before the
+    midpoint of the observed time range; comparison = rows after.
+
+    Plan: ONE 1-row agg broadcasts the global (t_min, t_max, v_min,
+    v_max); binning is then a narrow projection; counts are one
+    partial-combinable agg over (group, half, bin); the PSI fold runs
+    over ≤ groups×bins rows. Laplace smoothing keeps empty bins
+    finite; identical constants on both engines."""
+    bounds = df.agg(
+        F.min(ts_col).alias("t_lo"),
+        F.max(ts_col).alias("t_hi"),
+        F.min(value_col).alias("v_lo"),
+        F.max(value_col).alias("v_hi"),
+    )
+    j = df.crossJoin(F.broadcast(bounds))
+    mid = (F.col("t_lo") + F.col("t_hi")) / 2
+    span = F.col("v_hi") - F.col("v_lo")
+    binned = j.select(
+        F.col(by),
+        F.when(F.col(ts_col) < mid, F.lit("ref")).otherwise(F.lit("cur")).alias(
+            "half"
+        ),
+        F.when(span == 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(bins - 1),
+                F.floor((F.col(value_col) - F.col("v_lo")) / span * bins).cast(
+                    "int"
+                ),
+            )
+        )
+        .alias("bin"),
+    )
+    counts = binned.groupBy(by, "half", "bin").agg(F.count("*").alias("c"))
+    tot = binned.groupBy(by, "half").agg(F.count("*").alias("n"))
+    probs = counts.join(tot, [by, "half"]).select(
+        by,
+        "half",
+        "bin",
+        ((F.col("c") + 0.5) / (F.col("n") + 0.5 * bins)).alias("p"),
+    )
+    ref = probs.filter(F.col("half") == "ref").select(
+        by, "bin", F.col("p").alias("p_ref")
+    )
+    cur = probs.filter(F.col("half") == "cur").select(
+        by, "bin", F.col("p").alias("p_cur")
+    )
+    # full outer on bins so a bin present in only one half still counts
+    # (the absent side gets the pure-smoothing mass)
+    n_ref = tot.filter(F.col("half") == "ref").select(by, F.col("n").alias("nr"))
+    n_cur = tot.filter(F.col("half") == "cur").select(by, F.col("n").alias("nc"))
+    both = (
+        ref.join(cur, [by, "bin"], "full_outer")
+        .join(F.broadcast(n_ref), by)
+        .join(F.broadcast(n_cur), by)
+        .select(
+            by,
+            F.coalesce(F.col("p_ref"), 0.5 / (F.col("nr") + 0.5 * bins)).alias(
+                "pr"
+            ),
+            F.coalesce(F.col("p_cur"), 0.5 / (F.col("nc") + 0.5 * bins)).alias(
+                "pc"
+            ),
+        )
+    )
+    return (
+        both.groupBy(by)
+        .agg(
+            F.round(
+                F.sum((F.col("pc") - F.col("pr")) * F.log(F.col("pc") / F.col("pr"))),
+                5,
+            ).alias("psi")
+        )
+    )

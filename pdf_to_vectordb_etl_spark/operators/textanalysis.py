@@ -426,3 +426,48 @@ def ngram_novelty(
             .alias("novelty"),
         )
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab_size: int = 2000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by: str = "lang",
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the top-``vocab_size``
+    token vocabulary by corpus frequency (count-desc, token-asc ties —
+    deterministic cut) and report, per ``by`` group, the share of
+    token OCCURRENCES that fall outside it (the OOV rate a fixed-vocab
+    tokenizer would suffer).
+
+    Plan: one explode of the token stream feeds both the vocabulary
+    TakeOrderedAndProject (per-partition heap, vocab_size rows out)
+    and the coverage join; the vocab side broadcasts. Two aggregates
+    total; nothing wider than the token stream itself."""
+    toks = df.select(
+        F.col(by), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.col("tok"))
+        .limit(vocab_size)
+        .select("tok")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("_in", F.lit(1))), "tok", "left"
+    )
+    return (
+        flagged.groupBy(by)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            by,
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )

@@ -247,3 +247,59 @@ def test_budget_subset_window_is_partitioned(spark, sf_dir):
     import re
 
     assert not re.search(r"Window .*\[\], \[", plan), "global window found"
+
+
+def test_pricing_summary_two_phase_single_exchange(spark, sf_dir):
+    """Q1 class: the full-scan report must be one partial+final agg
+    pair around exactly one Exchange — no window, no sort."""
+    plan = _plan(_q(spark, sf_dir, "pricing_summary"), "simple")
+    assert plan.count("HashAggregate") == 2
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan and "Sort" not in plan
+
+
+def test_trend_per_user_is_pure_aggregate(spark, sf_dir):
+    """Per-key OLS must compile to regr_* partial aggregation — never a
+    per-key window or a collect-and-fit loop."""
+    plan = _plan(_q(spark, sf_dir, "trend_per_user"), "simple")
+    assert plan.count("HashAggregate") == 2
+    assert "Window" not in plan
+
+
+def test_hll_registers_partial_aggregate(spark, sf_dir):
+    """The register file must be a two-phase max-agg (each partition
+    folds its own registers before the shuffle)."""
+    from pdf_to_vectordb_etl_spark.operators import sketch
+    from tests.conftest import load
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.selectExpr("source", "explode(split(lower(text), '\\\\s+')) AS tok")
+    plan = _plan(sketch.hll_registers(toks, "tok", by="source"), "simple")
+    assert plan.count("HashAggregate") == 2
+    assert plan.count("Exchange") == 1
+
+
+def test_triangle_join_no_quadratic_fallback(spark, sf_dir):
+    """Triangle census: both joins must stay equi (hash/SMJ) — a
+    nested-loop or cartesian here is the quadratic failure mode."""
+    plan = _plan(_q(spark, sf_dir, "graph_triangles"), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quality_logreg_is_narrow(spark, sf_dir):
+    """Logistic scoring must be a pure projection over the scan: zero
+    Exchange, zero Python."""
+    plan = _plan(_q(spark, sf_dir, "quality_logreg"), "simple")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ewma_window_is_partitioned(spark, sf_dir):
+    """The EWMA trailing window must be per-user — a global window
+    would serialize the whole stream through one task."""
+    plan = _plan(_q(spark, sf_dir, "ewma_smooth"), "simple")
+    assert "Window" in plan
+    # the "No Partition Defined" warning marker is the authoritative signal
+    formatted = _plan(_q(spark, sf_dir, "ewma_smooth"))
+    assert "No Partition Defined" not in formatted

@@ -651,3 +651,57 @@ def test_semantic_chunks_merges_repeats_and_cuts_drift(spark):
     d2 = sorted([r for r in out if r["doc_id"] == 2], key=lambda r: r["sent_idx"])
     ids = [r["chunk_id"] for r in d2]
     assert ids[0] == 0 and all(a <= b for a, b in zip(ids, ids[1:]))
+
+
+def test_psi_drift_detects_planted_shift(spark):
+    """PSI ~ 0 when both halves share a distribution; large when the
+    late half shifts. Planted: type 'a' stable, type 'b' doubles its
+    values in the second half."""
+    from pdf_to_vectordb_etl_spark.operators import profiling
+
+    rows = []
+    for i in range(400):
+        t = i * 1000
+        rows.append(("a", t, float(i % 50)))
+        rows.append(("b", t, float(i % 50) * (4.0 if i >= 200 else 1.0)))
+    ev = spark.createDataFrame(rows, ["event_type", "tus", "value"])
+    out = {r["event_type"]: r["psi"]
+           for r in profiling.psi_drift(ev, bins=10).collect()}
+    assert out["a"] < 0.05, out
+    assert out["b"] > 0.5, out
+
+
+def test_cooccurrence_lift_identifies_dependence(spark):
+    """Keys that always pair x with y give lift > 1; independent items
+    hover near 1."""
+    from pdf_to_vectordb_etl_spark.operators import profiling
+
+    rows = []
+    for k in range(100):
+        if k < 50:
+            rows += [(k, "x"), (k, "y")]  # x and y always together
+        else:
+            rows += [(k, "z"), (k, "w")]
+    ev = spark.createDataFrame(rows, ["user_id", "event_type"])
+    out = {(r["item_a"], r["item_b"]): r
+           for r in profiling.cooccurrence_pairs(ev, min_keys=5).collect()}
+    # P(x)=P(y)=0.5, P(x,y)=0.5 -> lift = 0.5/(0.5*0.5) = 2
+    assert out[("x", "y")]["n_keys"] == 50
+    assert out[("x", "y")]["lift"] == 2.0
+    assert ("x", "z") not in out  # never co-occur
+
+
+def test_vocab_coverage_full_vocab_zero_oov(spark):
+    """With vocab_size >= distinct tokens, OOV is zero everywhere; with
+    a tiny vocab, OOV is strictly positive."""
+    from pdf_to_vectordb_etl_spark.operators import textanalysis as ta
+
+    df = spark.createDataFrame(
+        [(1, "a b c d", "en"), (2, "a b e f", "de")],
+        ["doc_id", "text", "lang"],
+    )
+    full = ta.vocab_coverage(df, vocab_size=100).collect()
+    assert all(r["oov_rate"] == 0.0 for r in full)
+    tiny = {r["lang"]: r["oov_rate"]
+            for r in ta.vocab_coverage(df, vocab_size=2).collect()}
+    assert tiny["en"] > 0 and tiny["de"] > 0
