@@ -3,7 +3,7 @@
 A corpus at 100 TB arrives as a mix of parquet drops, JSONL crawl
 exports, and CSV manifests — plus malformed lines. One reader contract:
 
-  read_documents — parquet / json(l) / csv / text into the documents
+  read_documents — parquet / orc / json(l) / csv / text into the documents
                    schema; JSON and CSV parse PERMISSIVE with a
                    quarantine column instead of failing the job on one
                    bad record (fail-fast is per-batch poison at scale)
@@ -38,6 +38,7 @@ DOCUMENT_SCHEMA = T.StructType(
 
 _EXT_FORMAT = {
     ".parquet": "parquet",
+    ".orc": "orc",
     ".json": "json",
     ".jsonl": "json",
     ".ndjson": "json",
@@ -88,6 +89,8 @@ def read_documents(
     fmt = fmt or _infer_format(path)
     if fmt == "parquet":
         df = spark.read.option("mergeSchema", "true").parquet(path)
+    elif fmt == "orc":
+        df = spark.read.option("mergeSchema", "true").orc(path)
     elif fmt in ("json", "csv"):
         with_corrupt = T.StructType(
             schema.fields + [T.StructField(CORRUPT_COL, T.StringType(), True)]

@@ -578,3 +578,22 @@ def test_write_sharded_with_manifest(spark, sf_dir, tmp_path):
     # manifest json readable
     man = spark.read.json(f"{dest}/_manifest")
     assert man.count() == 4
+
+
+def test_read_documents_orc_roundtrip(spark, tmp_path):
+    """ORC drops read back through the same contract (mergeSchema on,
+    aligned to the documents schema)."""
+    from pdf_to_vectordb_etl_spark.sources import docs as D
+
+    df = spark.createDataFrame(
+        [(1, "hello world", "en", "s1", 11)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    p = str(tmp_path / "drop.orc")
+    df.write.orc(p)
+    back = D.read_documents(spark, p)
+    assert [f.name for f in back.schema.fields] == [
+        "doc_id", "text", "lang", "source", "n_chars"
+    ]
+    row = back.first()
+    assert row["doc_id"] == 1 and row["text"] == "hello world"
