@@ -3489,6 +3489,64 @@ def q_markov_transitions(spark, sf):
     )
 
 
+def q_quota_allocate(spark, sf):
+    """Largest-remainder allocation of an exact 200-doc budget across
+    sources, weighted by sqrt(availability). One count agg + a rank
+    window over the GROUP table (never the corpus); allocations sum to
+    exactly the budget."""
+    from pdf_to_vectordb_etl_spark.operators import curation
+
+    docs = _t(spark, sf, "documents")
+    return curation.quota_allocate(
+        docs, total=200, weight=F.sqrt(F.col("n_avail")), by="source"
+    )
+
+
+def q_decay_weighted_value(spark, sf):
+    """Recency-decayed value per user (half-life 30 days, anchored at
+    the corpus max timestamp — a 1-row broadcast, not wall clock). One
+    partial-combinable agg; decay factor in codegen."""
+    ev = _t(spark, sf, "events").select(
+        "user_id", F.expr("ts div 1000").alias("tus"), "value"
+    )
+    return aggregates.time_decay_sum(ev, half_life_days=30.0)
+
+
+def q_iqr_outliers(spark, sf):
+    """Tukey-fence outliers per event type: exact quartiles in one agg,
+    group-cardinality fence table broadcast back, 6-dp fences so the
+    flag boundary is engine-stable."""
+    ev = _t(spark, sf, "events").select("event_type", "value")
+    return aggregates.iqr_outlier_flags(ev, value_col="value", by="event_type")
+
+
+def q_dedup_explain(spark, sf):
+    """Near-dup pair EXPLANATION: shared-shingle count + a sorted
+    3-shingle sample per candidate pair — the review payload a dedup
+    decision queue renders. Shingle arrays join to the (small) pair
+    table, never materialized corpus-wide."""
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8).select("id_a", "id_b")
+    return dedup.explain_pairs(docs, pairs, n=3, sample=3)
+
+
+def q_negative_edges(spark, sf):
+    """Link-prediction negative sampling over the shared-rare-shingle
+    document graph: per source node, the 2 non-neighbours ranked first
+    by md5(src‖dst) — deterministic, layout-invariant. (The event-type
+    transition graph is COMPLETE on this corpus — no negatives exist —
+    so the doc graph is the meaningful target.) Domain-quadratic
+    candidates; the operator documents the hash-bucketed swap for
+    million-node graphs."""
+    from pdf_to_vectordb_etl_spark.operators import graph
+
+    docs = _t(spark, sf, "documents")
+    edges = graph.shared_token_edges(docs, min_df=2, max_df=3).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    return graph.negative_edge_sample(edges, k_per_src=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -3681,6 +3739,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccurrence_pairs": q_cooccurrence_pairs,
         "psi_drift": q_psi_drift,
         "markov_transitions": q_markov_transitions,
+        "quota_allocate": q_quota_allocate,
+        "decay_weighted_value": q_decay_weighted_value,
+        "iqr_outliers": q_iqr_outliers,
+        "dedup_explain": q_dedup_explain,
+        "negative_edges": q_negative_edges,
     }
 
 
@@ -7272,6 +7335,107 @@ def oracle_sql() -> dict[str, str]:
             SELECT src, dst, n,
                    round(n * 1.0 / sum(n) OVER (PARTITION BY src), 6) AS p
             FROM e
+        """,
+        "quota_allocate": """
+            WITH counts AS (
+              SELECT source, count(*) AS n_avail FROM documents GROUP BY source),
+            c2 AS (SELECT source, n_avail, sqrt(n_avail) AS w FROM counts),
+            tot AS (SELECT sum(w) AS wsum FROM c2),
+            q AS (
+              SELECT source, n_avail, 200 * w / wsum AS ideal_raw
+              FROM c2, tot),
+            q2 AS (
+              SELECT source, n_avail,
+                     round(ideal_raw, 6) AS ideal,
+                     CAST(floor(ideal_raw) AS BIGINT) AS base,
+                     round(ideal_raw - floor(ideal_raw), 6) AS rem
+              FROM q),
+            lft AS (SELECT 200 - sum(base) AS l FROM q2)
+            SELECT source, n_avail, ideal,
+                   least(n_avail,
+                         base + CASE WHEN row_number() OVER
+                                  (ORDER BY rem DESC, source) <= l
+                                THEN 1 ELSE 0 END) AS n_alloc
+            FROM q2, lft
+        """,
+        "decay_weighted_value": """
+            WITH ev AS (
+              SELECT user_id, epoch_us(ts) AS tus, value FROM events),
+            ref AS (SELECT max(tus) AS r FROM ev)
+            SELECT user_id, count(*) AS n_events,
+                   round(sum(value * pow(0.5,
+                     (((SELECT r FROM ref) - tus) / 86400000000.0) / 30.0)), 4)
+                     AS decayed_value
+            FROM ev GROUP BY user_id
+        """,
+        "iqr_outliers": """
+            WITH ev AS (SELECT event_type, value FROM events),
+            q AS (
+              SELECT event_type,
+                     quantile_cont(value, 0.25) AS q1,
+                     quantile_cont(value, 0.75) AS q3
+              FROM ev GROUP BY event_type),
+            f AS (
+              SELECT event_type,
+                     round(q1 - 1.5 * (q3 - q1), 6) AS lo,
+                     round(q3 + 1.5 * (q3 - q1), 6) AS hi
+              FROM q)
+            SELECT ev.event_type, value, lo, hi
+            FROM ev JOIN f USING (event_type)
+            WHERE value < lo OR value > hi
+        """,
+        "dedup_explain": f"""
+            WITH sh AS (
+              SELECT doc_id, {_SHINGLES} AS shingles
+              FROM (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents)),
+            ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) * 1.0 / (any_value(a.n) + any_value(b.n) - count(*)) AS j
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            keep AS (SELECT id_a, id_b FROM pairs WHERE j >= 0.8),
+            com AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id)
+            SELECT com.id_a, com.id_b,
+                   count(*) AS n_shared,
+                   array_to_string(list_sort(list(s))[1:3], ' | ') AS shared_sample
+            FROM com JOIN keep
+              ON com.id_a = keep.id_a AND com.id_b = keep.id_b
+            GROUP BY com.id_a, com.id_b
+        """,
+        "negative_edges": """
+            WITH w AS (
+              SELECT doc_id AS id,
+                     string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                                  ' ') AS w
+              FROM documents),
+            toks AS (
+              SELECT id,
+                     unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(w)-2, 0)),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS tok
+              FROM w),
+            rare AS (
+              SELECT tok FROM toks GROUP BY tok
+              HAVING count(*) BETWEEN 2 AND 3),
+            post AS (SELECT id, tok FROM toks JOIN rare USING (tok)),
+            e AS (
+              SELECT DISTINCT a.id AS src, b.id AS dst
+              FROM post a JOIN post b ON a.tok = b.tok AND a.id < b.id),
+            nodes AS (SELECT src AS n FROM e UNION SELECT dst AS n FROM e),
+            cand AS (
+              SELECT a.n AS src, b.n AS dst
+              FROM nodes a CROSS JOIN nodes b WHERE a.n <> b.n),
+            neg AS (
+              SELECT cand.src, cand.dst
+              FROM cand LEFT JOIN e
+                ON cand.src = e.src AND cand.dst = e.dst
+              WHERE e.src IS NULL)
+            SELECT src, dst FROM neg
+            QUALIFY row_number() OVER (PARTITION BY src
+              ORDER BY md5(src || '→' || dst), dst) <= 2
         """,
     }
 

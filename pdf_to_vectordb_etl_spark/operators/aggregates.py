@@ -468,3 +468,57 @@ def ewma(
         lambda acc, i: acc + F.element_at(wlit, F.lit(lookback) - s + i + 1),
     )
     return df.withColumn("ewma", F.round(num / den, 6))
+
+
+def time_decay_sum(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "tus",
+    by: str = "user_id",
+    half_life_days: float = 30.0,
+) -> DataFrame:
+    """Recency-weighted value per key: Σ value · 0.5^(age/half_life),
+    the standard decay featurization (recent activity dominates, old
+    activity never fully vanishes). Age is measured from the corpus
+    max timestamp — a 1-row broadcast, so the feature is deterministic
+    for a given snapshot rather than wall-clock-dependent. One
+    partial-combinable agg; the decay factor is a narrow projection."""
+    ref = df.agg(F.max(ts_col).alias("_ref"))
+    age_days = (F.col("_ref") - F.col(ts_col)) / F.lit(86_400_000_000.0)
+    wt = F.pow(F.lit(0.5), age_days / F.lit(half_life_days))
+    return (
+        df.crossJoin(F.broadcast(ref))
+        .groupBy(by)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col(value_col) * wt), 4).alias("decayed_value"),
+        )
+    )
+
+
+def iqr_outlier_flags(
+    df: DataFrame,
+    value_col: str = "value",
+    by: str = "event_type",
+    k: float = 1.5,
+) -> DataFrame:
+    """Tukey-fence outliers per group: rows outside
+    [Q1 − k·IQR, Q3 + k·IQR]. Exact percentiles (one partial-
+    combinable agg producing a group-cardinality cutoff table that
+    joins back broadcast-cheap); fences round to 6 dp so the flag
+    boundary is engine-stable. Returns only the flagged rows."""
+    q = df.groupBy(by).agg(
+        F.expr(f"percentile({value_col}, 0.25)").alias("_q1"),
+        F.expr(f"percentile({value_col}, 0.75)").alias("_q3"),
+    )
+    iqr = F.col("_q3") - F.col("_q1")
+    fences = q.select(
+        by,
+        F.round(F.col("_q1") - k * iqr, 6).alias("lo"),
+        F.round(F.col("_q3") + k * iqr, 6).alias("hi"),
+    )
+    return (
+        df.join(F.broadcast(fences), by)
+        .filter((F.col(value_col) < F.col("lo")) | (F.col(value_col) > F.col("hi")))
+        .select(by, value_col, "lo", "hi")
+    )

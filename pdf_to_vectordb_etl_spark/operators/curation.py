@@ -411,3 +411,55 @@ def temperature_resample(
         .filter(frac < F.col("keep_rate"))
         .select(id_col, by, "keep_rate")
     )
+
+
+def quota_allocate(
+    df: DataFrame,
+    total: int,
+    weight: Column,
+    by: str = "source",
+) -> DataFrame:
+    """Largest-remainder (Hamilton) quota allocation: split an EXACT
+    ``total`` across groups proportionally to ``weight`` — floor the
+    ideal quotas, then hand the leftover seats to the largest
+    fractional remainders (ties to the smaller group key, so the
+    allocation is deterministic and engine-replayable). The standard
+    way to cut an eval set or labeling budget that must sum exactly.
+
+    Plan: one count agg, a 1-row weight-total broadcast, one rank
+    window over the GROUP table (group-cardinality rows, never the
+    corpus). Emits (group, n_avail, ideal round-6, n_alloc); n_alloc
+    sums to exactly ``total`` (capped at availability)."""
+    counts = df.groupBy(by).agg(F.count("*").alias("n_avail")).withColumn(
+        "w", weight.cast("double")
+    )
+    tot = counts.agg(F.sum("w").alias("_wsum"))
+    q = counts.crossJoin(F.broadcast(tot)).select(
+        by,
+        "n_avail",
+        (F.lit(total) * F.col("w") / F.col("_wsum")).alias("ideal"),
+    )
+    q = q.select(
+        by,
+        "n_avail",
+        F.round("ideal", 6).alias("ideal"),
+        F.floor("ideal").cast("long").alias("base"),
+        F.round(F.col("ideal") - F.floor("ideal"), 6).alias("rem"),
+    )
+    leftover = q.agg((F.lit(total) - F.sum("base")).alias("_left"))
+    w = Window.orderBy(F.desc("rem"), F.col(by))
+    alloc = (
+        q.crossJoin(F.broadcast(leftover))
+        .withColumn("_rk", F.row_number().over(w))
+        .select(
+            by,
+            "n_avail",
+            "ideal",
+            F.least(
+                F.col("n_avail"),
+                F.col("base")
+                + F.when(F.col("_rk") <= F.col("_left"), 1).otherwise(0),
+            ).alias("n_alloc"),
+        )
+    )
+    return alloc

@@ -983,3 +983,38 @@ def idf_weighted_containment_pairs(
         .filter(F.col("idf_containment") >= threshold)
         .select("id_a", "id_b", "idf_containment")
     )
+
+
+def explain_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    n: int = 3,
+    sample: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup EXPLANATION: for an (id_a, id_b) pair table, the count
+    of shared word n-grams plus a deterministic sample (first
+    ``sample`` in sorted order) — the human-review payload a dedup
+    decision queue shows next to every candidate pair.
+
+    The shingle ARRAY is built per document once and joined to the
+    (small) pair table twice — never materialized corpus-wide, so cost
+    is pairs × per-doc shingle size, not corpus². Intersection and the
+    sorted sample are collection codegen."""
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.array_sort(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(inter).alias("n_shared"),
+            F.array_join(F.slice(inter, 1, sample), " | ").alias("shared_sample"),
+        )
+    )

@@ -238,3 +238,43 @@ def label_spread(
             best.join(seeds.select("id"), "id", "left_anti")
         ).persist()
     return labels.select(F.col("id").alias(id_col), F.col("label").alias(label_col))
+
+
+def negative_edge_sample(
+    edges: DataFrame,
+    k_per_src: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Deterministic negative sampling for link-prediction training:
+    per source node, the ``k_per_src`` non-neighbours ranked first by
+    md5(src‖dst) — layout-invariant, retry-stable, SQL-replayable
+    (the md5 determinism contract shared with operators/sampling.py).
+
+    Candidates come from node-set × node-set minus the edge list
+    (anti join). That is quadratic in the NODE DOMAIN — correct for
+    state-machine/category graphs (event types, labels); for
+    million-node graphs swap the candidate generator for hash-bucketed
+    proposals and keep the same anti-join + rank tail."""
+    from pyspark.sql import Window
+
+    nodes = (
+        edges.select(F.col(src_col).alias("n"))
+        .union(edges.select(F.col(dst_col).alias("n")))
+        .distinct()
+    )
+    a = nodes.select(F.col("n").alias("src"))
+    b = nodes.select(F.col("n").alias("dst"))
+    cand = a.crossJoin(b).filter(F.col("src") != F.col("dst"))
+    pos = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    neg = cand.join(pos, ["src", "dst"], "left_anti")
+    w = Window.partitionBy("src").orderBy(
+        F.md5(F.concat_ws("→", "src", "dst")), F.col("dst")
+    )
+    return (
+        neg.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k_per_src)
+        .select("src", "dst")
+    )

@@ -705,3 +705,70 @@ def test_vocab_coverage_full_vocab_zero_oov(spark):
     tiny = {r["lang"]: r["oov_rate"]
             for r in ta.vocab_coverage(df, vocab_size=2).collect()}
     assert tiny["en"] > 0 and tiny["de"] > 0
+
+
+def test_quota_allocate_sums_exactly(spark, sf_dir):
+    """Largest-remainder quotas must sum to EXACTLY the requested
+    total (the floor-only plan undershoots) and never exceed a
+    group's availability."""
+    from pdf_to_vectordb_etl_spark.operators import curation
+
+    docs = load(spark, sf_dir, "documents")
+    out = curation.quota_allocate(
+        docs, total=123, weight=F.sqrt(F.col("n_avail")), by="source"
+    ).collect()
+    assert sum(r["n_alloc"] for r in out) == 123
+    assert all(r["n_alloc"] <= r["n_avail"] for r in out)
+
+
+def test_time_decay_sum_discounts_age(spark):
+    """An event at the anchor keeps full value; one exactly one
+    half-life older contributes half."""
+    from pdf_to_vectordb_etl_spark.operators import aggregates
+
+    day_us = 86_400_000_000
+    rows = [(1, 30 * day_us, 10.0), (1, 0, 10.0)]  # anchor + 30d older
+    ev = spark.createDataFrame(rows, ["user_id", "tus", "value"])
+    out = aggregates.time_decay_sum(ev, half_life_days=30.0).first()
+    assert out["decayed_value"] == 15.0  # 10 + 10*0.5
+
+
+def test_iqr_outliers_flags_planted_point(spark):
+    """A planted extreme value is flagged; the bulk interior is not."""
+    from pdf_to_vectordb_etl_spark.operators import aggregates
+
+    rows = [("a", float(v)) for v in range(100)] + [("a", 10_000.0)]
+    ev = spark.createDataFrame(rows, ["event_type", "value"])
+    out = aggregates.iqr_outlier_flags(ev, by="event_type").collect()
+    assert len(out) == 1 and out[0]["value"] == 10_000.0
+
+
+def test_explain_pairs_counts_shared_shingles(spark):
+    """Two identical 6-token docs share all 4 trigram shingles; the
+    sample is the sorted first 3."""
+    from pdf_to_vectordb_etl_spark.operators import dedup
+
+    txt = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame([(1, txt), (2, txt)], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    row = dedup.explain_pairs(df, pairs, n=3, sample=3).first()
+    assert row["n_shared"] == 4
+    assert row["shared_sample"].count("|") == 2  # exactly 3 entries
+
+
+def test_negative_edges_disjoint_from_positives(spark):
+    """Sampled negatives never collide with the positive edge set and
+    respect the per-source cap."""
+    from pdf_to_vectordb_etl_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], ["src", "dst"]
+    )
+    neg = graph.negative_edge_sample(edges, k_per_src=2).collect()
+    pos = {(1, 2), (2, 3), (3, 4), (4, 5)}
+    got = {(r["src"], r["dst"]) for r in neg}
+    assert got and not (got & pos)
+    from collections import Counter
+
+    per_src = Counter(r["src"] for r in neg)
+    assert all(v <= 2 for v in per_src.values())
