@@ -3547,6 +3547,86 @@ def q_negative_edges(spark, sf):
     return graph.negative_edge_sample(edges, k_per_src=2)
 
 
+def q_corr_surface(spark, sf):
+    """Bivariate-statistics aggregate surface per event type: Pearson
+    corr, population/sample covariance and variance of (value, hour-of
+    -day) — one partial-combinable agg, rounded identically on both
+    engines. Time re-zeroes (mod 24h) so the sums stay small."""
+    ev = _t(spark, sf, "events")
+    hod = (F.expr("ts div 1000") % F.lit(86_400_000_000)) / F.lit(
+        3_600_000_000.0
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.corr(F.col("value"), hod), 6).alias("corr_vh"),
+        F.round(F.covar_pop(F.col("value"), hod), 6).alias("covar_p"),
+        F.round(F.covar_samp(F.col("value"), hod), 6).alias("covar_s"),
+        F.round(F.var_pop("value"), 6).alias("var_p"),
+        F.round(F.var_samp("value"), 6).alias("var_s"),
+    )
+
+
+def q_ks_drift(spark, sf):
+    """Two-sample Kolmogorov-Smirnov statistic per event type between
+    the early and late half of the stream — the distribution-free
+    companion to psi_drift (no binning choice). Per group: empirical
+    CDFs of both halves at every observed value via counting joins,
+    then max |ΔCDF| — windows stay partitioned by event_type."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events").select(
+        "event_type", F.expr("ts div 1000").alias("tus"), "value"
+    )
+    bounds = ev.agg(
+        F.min("tus").alias("t_lo"), F.max("tus").alias("t_hi")
+    )
+    j = ev.crossJoin(F.broadcast(bounds))
+    half = F.when(
+        F.col("tus") < (F.col("t_lo") + F.col("t_hi")) / 2, F.lit("ref")
+    ).otherwise(F.lit("cur"))
+    labeled = j.select("event_type", half.alias("half"), "value")
+    tot = labeled.groupBy("event_type", "half").agg(F.count("*").alias("n"))
+    # distinct evaluation points; CDF of each half at each point via a
+    # cumulative count over a per-group window ordered by value
+    counts = labeled.groupBy("event_type", "half", "value").agg(
+        F.count("*").alias("c")
+    )
+    pts = counts.select("event_type", "value").distinct()
+    grid = (
+        pts.join(
+            tot.select("event_type", "half").distinct(), "event_type"
+        )
+        .join(counts, ["event_type", "half", "value"], "left")
+        .select(
+            "event_type", "half", "value",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    w = Window.partitionBy("event_type", "half").orderBy("value")
+    cum = grid.withColumn(
+        "cdf_n", F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    cdf = cum.join(tot, ["event_type", "half"]).select(
+        "event_type", "half", "value",
+        (F.col("cdf_n") / F.col("n")).alias("cdf"),
+    )
+    ref = cdf.filter(F.col("half") == "ref").select(
+        "event_type", "value", F.col("cdf").alias("f_ref")
+    )
+    cur = cdf.filter(F.col("half") == "cur").select(
+        "event_type", "value", F.col("cdf").alias("f_cur")
+    )
+    return (
+        ref.join(cur, ["event_type", "value"])
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max(F.abs(F.col("f_ref") - F.col("f_cur"))), 6).alias(
+                "ks_stat"
+            )
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -3744,6 +3824,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iqr_outliers": q_iqr_outliers,
         "dedup_explain": q_dedup_explain,
         "negative_edges": q_negative_edges,
+        "corr_surface": q_corr_surface,
+        "ks_drift": q_ks_drift,
     }
 
 
@@ -7436,6 +7518,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT src, dst FROM neg
             QUALIFY row_number() OVER (PARTITION BY src
               ORDER BY md5(src || '→' || dst), dst) <= 2
+        """,
+        "corr_surface": """
+            SELECT event_type, count(*) AS n,
+                   round(corr(value,
+                     (epoch_us(ts) % 86400000000) / 3600000000.0), 6)
+                     AS corr_vh,
+                   round(covar_pop(value,
+                     (epoch_us(ts) % 86400000000) / 3600000000.0), 6)
+                     AS covar_p,
+                   round(covar_samp(value,
+                     (epoch_us(ts) % 86400000000) / 3600000000.0), 6)
+                     AS covar_s,
+                   round(var_pop(value), 6) AS var_p,
+                   round(var_samp(value), 6) AS var_s
+            FROM events GROUP BY event_type
+        """,
+        "ks_drift": """
+            WITH ev AS (
+              SELECT event_type, epoch_us(ts) AS tus, value FROM events),
+            bounds AS (SELECT min(tus) AS t_lo, max(tus) AS t_hi FROM ev),
+            labeled AS (
+              SELECT event_type,
+                     CASE WHEN tus < (t_lo + t_hi) / 2 THEN 'ref'
+                          ELSE 'cur' END AS half,
+                     value
+              FROM ev CROSS JOIN bounds),
+            tot AS (
+              SELECT event_type, half, count(*) AS n
+              FROM labeled GROUP BY event_type, half),
+            counts AS (
+              SELECT event_type, half, value, count(*) AS c
+              FROM labeled GROUP BY event_type, half, value),
+            pts AS (SELECT DISTINCT event_type, value FROM counts),
+            halves AS (SELECT DISTINCT event_type, half FROM tot),
+            grid AS (
+              SELECT pts.event_type, halves.half, pts.value,
+                     coalesce(counts.c, 0) AS c
+              FROM pts
+              JOIN halves ON pts.event_type = halves.event_type
+              LEFT JOIN counts
+                ON counts.event_type = pts.event_type
+                AND counts.half = halves.half
+                AND counts.value = pts.value),
+            cum AS (
+              SELECT event_type, half, value,
+                     sum(c) OVER (PARTITION BY event_type, half
+                       ORDER BY value ROWS UNBOUNDED PRECEDING) AS cdf_n
+              FROM grid),
+            cdf AS (
+              SELECT cum.event_type, cum.half, cum.value,
+                     cdf_n * 1.0 / tot.n AS cdf
+              FROM cum JOIN tot
+                ON cum.event_type = tot.event_type AND cum.half = tot.half),
+            ref AS (SELECT event_type, value, cdf AS f_ref FROM cdf
+                    WHERE half = 'ref'),
+            cur AS (SELECT event_type, value, cdf AS f_cur FROM cdf
+                    WHERE half = 'cur')
+            SELECT ref.event_type,
+                   round(max(abs(f_ref - f_cur)), 6) AS ks_stat
+            FROM ref JOIN cur
+              ON ref.event_type = cur.event_type AND ref.value = cur.value
+            GROUP BY ref.event_type
         """,
     }
 

@@ -772,3 +772,28 @@ def test_negative_edges_disjoint_from_positives(spark):
 
     per_src = Counter(r["src"] for r in neg)
     assert all(v <= 2 for v in per_src.values())
+
+
+def test_rag_ingest_to_index_end_to_end(spark, sf_dir):
+    """The composed RAG plan: chunks >= docs, every chunk routed to a
+    valid list, report stages present; and with a never-split
+    threshold each doc collapses to exactly ONE chunk whose rebuilt
+    text equals the whitespace-normalized original (order-preserving
+    concat proof)."""
+    from pdf_to_vectordb_etl_spark.plans.rag import ingest_to_index
+
+    docs = load(spark, sf_dir, "documents").limit(60)
+    chunks, cents, report = ingest_to_index(docs, dim=16, n_lists=4)
+    rep = {r["stage"]: r["n"] for r in report.collect()}
+    assert rep["input"] == 60 and rep["chunks"] >= rep["exact_dedup"]
+    rows = chunks.collect()
+    assert all(1 <= r["list_id"] <= 4 for r in rows)
+    assert cents.count() == 4
+
+    one, _, _ = ingest_to_index(
+        docs.limit(5), chunk_threshold=-2.0, dim=16, n_lists=2
+    )
+    got = {r["doc_id"]: r["chunk_text"] for r in one.collect()}
+    want = {r["doc_id"]: " ".join(r["text"].split())
+            for r in docs.limit(5).collect()}
+    assert got == want  # single chunk per doc, text rebuilt in order
