@@ -3627,6 +3627,16 @@ def q_ks_drift(spark, sf):
     )
 
 
+def q_timed_funnel(spark, sf):
+    """Time-boxed conversion funnel view→click(≤30 m)→purchase(≤2 h):
+    three min-aggs + key equi-joins — never a per-key sort-and-walk.
+    One row per step with the conversion rate vs step 1."""
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("tus")
+    )
+    return aggregates.timed_funnel(ev)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -3826,6 +3836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_edges": q_negative_edges,
         "corr_surface": q_corr_surface,
         "ks_drift": q_ks_drift,
+        "timed_funnel": q_timed_funnel,
     }
 
 
@@ -7580,6 +7591,34 @@ def oracle_sql() -> dict[str, str]:
             FROM ref JOIN cur
               ON ref.event_type = cur.event_type AND ref.value = cur.value
             GROUP BY ref.event_type
+        """,
+        "timed_funnel": """
+            WITH ev AS (
+              SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+            v AS (
+              SELECT user_id, min(tus) AS t1 FROM ev
+              WHERE event_type = 'view' GROUP BY user_id),
+            c AS (
+              SELECT ev.user_id, v.t1, min(tus) AS t2
+              FROM ev JOIN v ON ev.user_id = v.user_id
+              WHERE event_type = 'click' AND tus > v.t1
+              GROUP BY ev.user_id, v.t1
+              HAVING min(tus) <= v.t1 + 1800000000),
+            p AS (
+              SELECT ev.user_id, c.t2, min(tus) AS t3
+              FROM ev JOIN c ON ev.user_id = c.user_id
+              WHERE event_type = 'purchase' AND tus > c.t2
+              GROUP BY ev.user_id, c.t2
+              HAVING min(tus) <= c.t2 + 7200000000),
+            base AS (SELECT count(*) AS b FROM v)
+            SELECT step, n_keys,
+                   round(n_keys * 1.0 / (SELECT b FROM base), 6) AS rate
+            FROM (
+              SELECT 'view' AS step, count(*) AS n_keys FROM v
+              UNION ALL
+              SELECT 'click' AS step, count(*) AS n_keys FROM c
+              UNION ALL
+              SELECT 'purchase' AS step, count(*) AS n_keys FROM p)
         """,
     }
 

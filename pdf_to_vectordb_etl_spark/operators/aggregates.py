@@ -522,3 +522,68 @@ def iqr_outlier_flags(
         .filter((F.col(value_col) < F.col("lo")) | (F.col(value_col) > F.col("hi")))
         .select(by, value_col, "lo", "hi")
     )
+
+
+def timed_funnel(
+    df: DataFrame,
+    steps: tuple[str, str, str] = ("view", "click", "purchase"),
+    windows_us: tuple[int, int] = (1_800_000_000, 7_200_000_000),
+    key: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "tus",
+) -> DataFrame:
+    """Time-boxed conversion funnel: step 1 = a key's FIRST ``steps[0]``
+    event; step 2 = its first ``steps[1]`` strictly after that, within
+    ``windows_us[0]``; step 3 = its first ``steps[2]`` after the
+    qualifying step 2, within ``windows_us[1]``. Emits one row per
+    step: (step, n_keys, rate-vs-step-1).
+
+    The anti-pattern this replaces is a per-key sort + Python walk;
+    here each stage is a min-agg plus an equi-join on the key — three
+    partial-combinable aggregates total, each output key-cardinality.
+    Deterministic: "first" is min(ts), no tie ambiguity at equal ts
+    because min is order-free."""
+    s1, s2, s3 = steps
+    w12, w23 = windows_us
+    t = F.col(ts_col)
+    v = (
+        df.filter(F.col(type_col) == s1)
+        .groupBy(key)
+        .agg(F.min(ts_col).alias("t1"))
+    )
+    c = (
+        df.filter(F.col(type_col) == s2)
+        .join(v, key)
+        .filter(t > F.col("t1"))
+        .groupBy(key, "t1")
+        .agg(F.min(ts_col).alias("t2"))
+        .filter(F.col("t2") <= F.col("t1") + F.lit(w12))
+    )
+    p = (
+        df.filter(F.col(type_col) == s3)
+        .join(c.select(key, "t2"), key)
+        .filter(t > F.col("t2"))
+        .groupBy(key, "t2")
+        .agg(F.min(ts_col).alias("t3"))
+        .filter(F.col("t3") <= F.col("t2") + F.lit(w23))
+    )
+    n1 = v.agg(F.count("*").alias("n")).select(
+        F.lit(s1).alias("step"), "n"
+    )
+    n2 = c.agg(F.count("*").alias("n")).select(
+        F.lit(s2).alias("step"), "n"
+    )
+    n3 = p.agg(F.count("*").alias("n")).select(
+        F.lit(s3).alias("step"), "n"
+    )
+    base = v.agg(F.count("*").alias("_b"))
+    return (
+        n1.unionByName(n2)
+        .unionByName(n3)
+        .crossJoin(F.broadcast(base))
+        .select(
+            "step",
+            F.col("n").alias("n_keys"),
+            F.round(F.col("n") / F.col("_b"), 6).alias("rate"),
+        )
+    )

@@ -797,3 +797,23 @@ def test_rag_ingest_to_index_end_to_end(spark, sf_dir):
     want = {r["doc_id"]: " ".join(r["text"].split())
             for r in docs.limit(5).collect()}
     assert got == want  # single chunk per doc, text rebuilt in order
+
+
+def test_timed_funnel_windows_enforced(spark):
+    """User A converts fully in-window; user B's click lands outside
+    30 min (drops at step 2); user C clicks before viewing (no
+    conversion). Rates are relative to step-1 keys."""
+    from pdf_to_vectordb_etl_spark.operators import aggregates
+
+    m = 60_000_000  # one minute in micros
+    rows = [
+        (1, "view", 0), (1, "click", 10 * m), (1, "purchase", 60 * m),
+        (2, "view", 0), (2, "click", 45 * m),
+        (3, "click", 0), (3, "view", 10 * m),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_type", "tus"])
+    out = {r["step"]: r for r in aggregates.timed_funnel(ev).collect()}
+    assert out["view"]["n_keys"] == 3
+    assert out["click"]["n_keys"] == 1  # only user 1 within 30 min
+    assert out["purchase"]["n_keys"] == 1
+    assert out["click"]["rate"] == round(1 / 3, 6)
