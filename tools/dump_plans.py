@@ -70,6 +70,18 @@ HEADLINE = [
     ("trend_per_user", "per-key OLS via regr_* partial-combinable agg — no window, no fit loop"),
     ("label_spread", "per-round edge-to-label equi-join + count agg + WindowGroupLimit vote"),
     ("temperature_resample", "keep-rate table broadcast back; the per-row keep filter is narrow"),
+    ("ewma_smooth", "per-key trailing ROWS window; weight ladder as literals — no recurrence"),
+    ("psi_drift", "1-row bounds broadcast + narrow binning + two partial-combinable count aggs"),
+    ("ks_drift", "per-group cumulative CDF windows (partitioned, never global)"),
+    ("vocab_coverage", "vocabulary cut via TakeOrderedAndProject; vocab side broadcast back"),
+    ("semantic_chunks", "explode-once units; ONE per-doc window for lag + boundary cumsum"),
+    ("cooccurrence_pairs", "per-key pair self-join bounded by item domain; 1-row key-universe broadcast"),
+    ("decay_weighted_value", "snapshot anchor as 1-row broadcast; decay factor in codegen; one agg"),
+    ("iqr_outliers", "exact-quartile agg; group-cardinality fence table broadcast back"),
+    ("timed_funnel", "three chained min-aggs + key equi-joins; no per-key sort-and-walk"),
+    ("dedup_idf_containment", "inverted-index join on shingle hashes; 1-row corpus-size broadcast"),
+    ("quota_allocate", "rank window over the GROUP table only (group-cardinality rows)"),
+    ("markov_transitions", "one lead window per key + count agg; per-source normalization window"),
 ]
 
 
