@@ -3637,6 +3637,94 @@ def q_timed_funnel(spark, sf):
     return aggregates.timed_funnel(ev)
 
 
+def q_bpe_apply(spark, sf):
+    """BPE tokenizer serving: fixed priority-ordered merges applied as
+    boundary-guarded regexp passes (single left-to-right scan per rule
+    — deterministic and engine-identical); per-doc subword counts."""
+    docs = _t(spark, sf, "documents")
+    return ta.bpe_apply_report(docs)
+
+
+def _bpe_oracle_sql() -> str:
+    """DuckDB twin of bpe_apply_report: the identical regexp chain
+    (RE2 backreference syntax), generated from the same merge list."""
+    import re as _re
+
+    from pdf_to_vectordb_etl_spark.operators.textanalysis import (
+        BPE_DEFAULT_MERGES,
+    )
+
+    steps = []
+    prev = "s0"
+    for i, (a, b) in enumerate(BPE_DEFAULT_MERGES, start=1):
+        pat = f"(^|·){_re.escape(a)}·{_re.escape(b)}(·|$)"
+        steps.append(
+            f"            s{i} AS (SELECT doc_id, regexp_replace(sym,"
+            f" '{pat}', '\\1{a}{b}\\2', 'g') AS sym FROM {prev})"
+        )
+        prev = f"s{i}"
+    steps_sql = ",\n".join(steps)
+    return rf"""
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '\s+')) AS w
+              FROM documents),
+            w2 AS (SELECT doc_id, w FROM words WHERE w <> ''),
+            s0 AS (
+              SELECT doc_id,
+                     regexp_replace(regexp_replace(w, '(.)', '\1·', 'g'),
+                                    '·$', '') AS sym
+              FROM w2),
+{steps_sql}
+            SELECT doc_id, count(*) AS n_words,
+                   CAST(sum(len(string_split(sym, '·'))) AS BIGINT)
+                     AS n_subwords,
+                   round(sum(len(string_split(sym, '·'))) * 1.0 / count(*), 6)
+                     AS subwords_per_word
+            FROM {prev} GROUP BY doc_id
+        """
+
+
+def q_t10_stream_cdc(spark, sf):
+    """T10 — streaming CDC MERGE with deletes: the odd-event changelog
+    (value<5 ⇒ delete) maintained as a tombstone-retaining versioned
+    snapshot via foreachBatch; the live view must equal the one-shot
+    MERGE regardless of micro-batch boundaries (convergence is pinned
+    separately by the interleaved-version test)."""
+    import tempfile
+
+    from pdf_to_vectordb_etl_spark.operators.cdc import live_rows
+    from pdf_to_vectordb_etl_spark.streaming.pipeline import (
+        read_snapshot,
+        stream_apply_changes,
+    )
+
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    ch = stream.filter(F.col("event_id") % 2 == 1).select(
+        "user_id",
+        "event_type",
+        "value",
+        F.when(F.col("value") < 5, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        F.col("event_id").alias("ord"),
+    )
+    snap = tempfile.mkdtemp(prefix="t10snap")
+    q = stream_apply_changes(
+        ch, snap, tempfile.mkdtemp(prefix="t10ckpt"), ["user_id"], "ord"
+    )
+    q.awaitTermination(300)
+    return live_rows(read_snapshot(spark, snap)).select(
+        "user_id", "event_type", F.round("value", 4).alias("value")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -3837,6 +3925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_surface": q_corr_surface,
         "ks_drift": q_ks_drift,
         "timed_funnel": q_timed_funnel,
+        "bpe_apply": q_bpe_apply,
+        "t10_stream_cdc": q_t10_stream_cdc,
     }
 
 
@@ -7619,6 +7709,22 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'click' AS step, count(*) AS n_keys FROM c
               UNION ALL
               SELECT 'purchase' AS step, count(*) AS n_keys FROM p)
+        """,
+        "bpe_apply": _bpe_oracle_sql(),
+        "t10_stream_cdc": """
+            WITH ch AS (
+              SELECT user_id, event_type, value,
+                     CASE WHEN value < 5 THEN 'delete' ELSE 'upsert' END AS op,
+                     event_id AS ord
+              FROM events WHERE event_id % 2 = 1),
+            win AS (
+              SELECT user_id,
+                     arg_max(event_type, ord) AS event_type,
+                     arg_max(value, ord) AS value,
+                     arg_max(op, ord) AS op
+              FROM ch GROUP BY user_id)
+            SELECT user_id, event_type, round(value, 4) AS value
+            FROM win WHERE op <> 'delete'
         """,
     }
 

@@ -147,3 +147,52 @@ def scd2_intervals(
         F.lead(order_col).over(w2).alias("valid_to"),
         F.lead(order_col).over(w2).isNull().alias("is_current"),
     )
+
+
+def merge_changelog(
+    snapshot: DataFrame | None,
+    changes: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Tombstone-retaining changelog merge — the INCREMENTAL form of
+    :func:`apply_changes`. Where apply_changes drops deleted keys
+    outright (correct for one-shot MERGE), a micro-batched pipeline
+    must KEEP the winning delete with its version: otherwise a
+    lower-versioned upsert arriving in a later batch would resurrect a
+    key the one-shot semantics say is dead (and symmetrically, a late
+    low-versioned delete would kill a live key). Snapshot rows carry
+    (_op, _ver) forward; the winner per key is max_by version across
+    snapshot ∪ batch — associative, so ANY batch split of the same
+    changelog converges to the identical snapshot. Read the live view
+    with :func:`live_rows`."""
+    payload = [
+        c for c in changes.columns if c not in [*key_cols, op_col, order_col]
+    ]
+    c = changes.select(
+        *key_cols,
+        F.col(op_col).cast("string").alias("_op"),
+        F.col(order_col).cast("long").alias("_ver"),
+        F.struct(*[F.col(p) for p in payload]).alias("_p"),
+    )
+    if snapshot is not None:
+        s = snapshot.select(
+            *key_cols, "_op", "_ver",
+            F.struct(*[F.col(p) for p in payload]).alias("_p"),
+        )
+        c = s.unionByName(c)
+    won = c.groupBy(*key_cols).agg(
+        F.max_by("_p", "_ver").alias("_p"),
+        F.max_by("_op", "_ver").alias("_op"),
+        F.max("_ver").alias("_ver"),
+    )
+    return won.select(
+        *key_cols, *[F.col(f"_p.{p}").alias(p) for p in payload], "_op", "_ver"
+    )
+
+
+def live_rows(snapshot: DataFrame, delete_op: str = "delete") -> DataFrame:
+    """The queryable view of a merge_changelog snapshot: tombstones
+    filtered, bookkeeping columns dropped."""
+    return snapshot.filter(F.col("_op") != delete_op).drop("_op", "_ver")

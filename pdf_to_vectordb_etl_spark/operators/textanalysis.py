@@ -471,3 +471,54 @@ def vocab_coverage(
             F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
         )
     )
+
+
+#: a shipped tokenizer's merge rules (training happens offline via
+#: bpe_pair_counts; serving applies a FIXED priority-ordered list)
+BPE_DEFAULT_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("e", "r"), ("i", "n"), ("a", "n"), ("o", "n"), ("th", "e"),
+)
+
+
+def bpe_apply_report(
+    df: DataFrame,
+    merges: tuple[tuple[str, str], ...] = BPE_DEFAULT_MERGES,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BPE tokenizer SERVING: apply a fixed, priority-ordered merge
+    list to every word and report per-document subword counts — the
+    other half of the tokenizer loop whose training side is
+    bpe_pair_counts.
+
+    Each word becomes a '·'-separated symbol sequence; each merge rule
+    is ONE boundary-guarded regexp_replace — a single left-to-right
+    non-rescanning pass, which is deterministic and byte-identical
+    across regex engines (documented semantics: adjacent occurrences
+    sharing a separator merge only the first; exact-BPE iterates to
+    fixpoint, serving pipelines ship the single-pass form for a
+    bounded per-rule cost). Explode words once; the whole merge chain
+    is codegen regexp work; one agg back to documents."""
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    sym = F.regexp_replace(F.col("w"), r"(.)", r"$1·")
+    sym = F.regexp_replace(sym, r"·$", "")
+    for a, b in merges:
+        import re as _re
+
+        pat = f"(^|·){_re.escape(a)}·{_re.escape(b)}(·|$)"
+        sym = F.regexp_replace(sym, pat, f"$1{a}{b}$2")
+    out = words.select(
+        id_col,
+        F.size(F.split(sym, "·")).alias("n_sub"),
+    )
+    return (
+        out.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sub").alias("n_subwords"),
+            F.round(F.sum("n_sub") / F.count("*"), 6).alias("subwords_per_word"),
+        )
+    )

@@ -427,3 +427,49 @@ def stream_hll_registers(
         .groupBy(by, "bucket")
         .agg(F.max("rho").alias("r"))
     )
+
+
+def stream_apply_changes(
+    changes_stream: DataFrame,
+    snapshot_path: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    order_col: str,
+    op_col: str = "op",
+    available_now: bool = True,
+):
+    """T10 — streaming CDC MERGE with delete semantics: maintain an
+    upsert/delete changelog as a versioned snapshot via foreachBatch,
+    tombstones retained (cdc.merge_changelog) so ANY micro-batch split
+    of the changelog converges to the one-shot MERGE result — batch
+    boundaries are arbitrary relative to version order, and without
+    retained (_op, _ver) a late low-versioned change would corrupt the
+    snapshot. Same versioned-directory commit protocol as
+    stream_compact_snapshot (new v-<n> + atomic _LATEST marker; replay
+    re-merges idempotently because max_by version is a no-op on
+    duplicates). Read the live view with cdc.live_rows(read_snapshot)."""
+    from ..operators.cdc import merge_changelog
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev_v = _snapshot_latest_version(spark, snapshot_path)
+        prev = (
+            spark.read.parquet(f"{snapshot_path}/v-{prev_v}")
+            if prev_v is not None
+            else None
+        )
+        merged = merge_changelog(
+            prev, batch_df, key_cols, order_col, op_col=op_col
+        )
+        new_v = 0 if prev_v is None else prev_v + 1
+        merged.write.mode("overwrite").parquet(f"{snapshot_path}/v-{new_v}")
+        fs, jvm = _hadoop_fs(spark, snapshot_path)
+        Path = jvm.org.apache.hadoop.fs.Path
+        fs.create(Path(f"{snapshot_path}/_LATEST-{new_v}"), True).close()
+
+    writer = changes_stream.writeStream.foreachBatch(merge).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -817,3 +817,53 @@ def test_timed_funnel_windows_enforced(spark):
     assert out["click"]["n_keys"] == 1  # only user 1 within 30 min
     assert out["purchase"]["n_keys"] == 1
     assert out["click"]["rate"] == round(1 / 3, 6)
+
+
+def test_stream_cdc_converges_across_adversarial_batches(spark, tmp_path):
+    """Micro-batch boundaries are arbitrary relative to version order;
+    tombstone retention must make the streamed snapshot equal the
+    one-shot MERGE even when a LOW-versioned delete arrives AFTER a
+    high-versioned upsert (must not kill) and a low-versioned upsert
+    arrives after a high-versioned delete (must not resurrect)."""
+    from pdf_to_vectordb_etl_spark.operators.cdc import live_rows, merge_changelog
+    from pdf_to_vectordb_etl_spark.streaming.pipeline import (
+        read_snapshot,
+        stream_apply_changes,
+    )
+
+    cols = ["user_id", "value", "op", "ord"]
+    batch1 = [(1, 10.0, "upsert", 100), (2, 20.0, "delete", 100)]
+    batch2 = [(1, 1.0, "delete", 50), (2, 2.0, "upsert", 50),
+              (3, 30.0, "upsert", 10)]
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    spark.createDataFrame(batch1, cols).coalesce(1).write.parquet(
+        str(drop / "b1.parquet")
+    )
+    spark.createDataFrame(batch2, cols).coalesce(1).write.parquet(
+        str(drop / "b2.parquet")
+    )
+    schema = spark.createDataFrame(batch1, cols).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop) + "/*.parquet")
+    )
+    snap = str(tmp_path / "snap")
+    q = stream_apply_changes(
+        stream, snap, str(tmp_path / "ckpt"), ["user_id"], "ord"
+    )
+    q.awaitTermination(300)
+    streamed = {
+        r["user_id"]: r["value"]
+        for r in live_rows(read_snapshot(spark, snap)).collect()
+    }
+    allc = spark.createDataFrame(batch1 + batch2, cols)
+    oneshot = {
+        r["user_id"]: r["value"]
+        for r in live_rows(
+            merge_changelog(None, allc, ["user_id"], "ord")
+        ).collect()
+    }
+    assert streamed == oneshot == {1: 10.0, 3: 30.0}
+    # user 1 survives the late low-ver delete; user 2 stays dead
