@@ -597,3 +597,41 @@ def test_read_documents_orc_roundtrip(spark, tmp_path):
     ]
     row = back.first()
     assert row["doc_id"] == 1 and row["text"] == "hello world"
+
+
+def test_cli_list_and_query(tmp_path):
+    """The module CLI lists the registry and runs a query end-to-end in
+    a subprocess (the reference's script ergonomics)."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "pdf_to_vectordb_etl_spark", "list"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 0
+    assert "pricing_summary:" in out.stdout
+
+    out = subprocess.run(
+        [sys.executable, "-m", "pdf_to_vectordb_etl_spark", "query",
+         "a1_groupby_agg", "--sf", "/root/testdata/sf0.001"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    assert "l_returnflag" in out.stdout or "rows" in out.stdout.lower() or "+" in out.stdout
+
+
+def test_cli_sql_over_registered_views(tmp_path):
+    """Ad-hoc SQL over the registered corpus views, including the
+    normalized events table."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "pdf_to_vectordb_etl_spark", "sql",
+         "SELECT count(*) AS n FROM events",
+         "--sf", "/root/testdata/sf0.001"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    assert "| n " in out.stdout or "|n" in out.stdout.replace(" ", "")
