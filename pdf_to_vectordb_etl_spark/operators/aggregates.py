@@ -584,6 +584,10 @@ def timed_funnel(
         .select(
             "step",
             F.col("n").alias("n_keys"),
-            F.round(F.col("n") / F.col("_b"), 6).alias("rate"),
+            # ANSI mode: 0-user funnels must yield NULL rates, not a
+            # divide-by-zero job failure
+            F.when(
+                F.col("_b") > 0, F.round(F.col("n") / F.col("_b"), 6)
+            ).alias("rate"),
         )
     )

@@ -220,3 +220,56 @@ def test_from_json_quarantines_malformed(spark):
     # (struct itself non-null); only NULL input -> NULL struct
     assert got[2] == (None, False)
     assert got[3] == (None, True)
+
+
+def test_round3_ops_on_degenerate_inputs(spark):
+    """Degenerate-input sweep for the round-3 operators: empty frames
+    and constant/singleton groups must produce empty/neutral results,
+    never crash."""
+    from pdf_to_vectordb_etl_spark.operators import aggregates, profiling, sketch
+
+    empty_ev = spark.createDataFrame(
+        [], "user_id long, event_id long, tus long, value double"
+    )
+    assert aggregates.ewma(empty_ev).count() == 0
+    assert aggregates.time_decay_sum(empty_ev).count() == 0
+
+    # funnel with zero step-1 users: rows exist, no division crash
+    no_views = spark.createDataFrame(
+        [(1, "click", 0)], ["user_id", "event_type", "tus"]
+    )
+    rows = {r["step"]: r for r in aggregates.timed_funnel(no_views).collect()}
+    assert rows["view"]["n_keys"] == 0
+
+    # constant values: PSI's zero-span guard puts all mass in bin 0,
+    # both halves identical -> psi ~ 0
+    const = spark.createDataFrame(
+        [("a", t * 1000, 7.0) for t in range(100)],
+        ["event_type", "tus", "value"],
+    )
+    psi = profiling.psi_drift(const).first()["psi"]
+    assert abs(psi) < 1e-9
+
+    # singleton group: IQR = 0 -> fences collapse to the value -> no flags
+    one = spark.createDataFrame([("a", 5.0)], ["event_type", "value"])
+    assert aggregates.iqr_outlier_flags(one).count() == 0
+
+    # HLL over an empty frame: no registers, no estimate rows
+    empty_docs = spark.createDataFrame([], "source string, tok string")
+    assert sketch.hll_estimate(empty_docs, "tok", by="source").count() == 0
+
+
+def test_quota_allocate_budget_exceeds_availability(spark):
+    """When the budget exceeds total availability, every group caps at
+    its availability (the exact-sum property is unattainable and must
+    degrade to the cap, not crash)."""
+    from pdf_to_vectordb_etl_spark.operators import curation
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 3 else "b") for i in range(10)],
+        ["doc_id", "source"],
+    )
+    out = curation.quota_allocate(
+        df, total=1000, weight=F.col("n_avail") * 1.0, by="source"
+    ).collect()
+    assert all(r["n_alloc"] == r["n_avail"] for r in out)
