@@ -4197,24 +4197,26 @@ def _mmr_oracle_sql(k: int = 5, shortlist: int = 15, nq: int = 3) -> str:
     blocks = []
     prev = "sel1"
     for step in range(2, k + 1):
+        # MATERIALIZED: stop DuckDB inlining each greedy prefix into its
+        # two references per step (same fix as the k-center oracle)
         blocks.append(f"""
-            m{step} AS (
+            m{step} AS MATERIALIZED (
               SELECT p.qid, p.ca AS cid, max(p.sim) AS ms
               FROM pairs p JOIN {prev} s ON p.qid = s.qid AND p.cb = s.cid
               GROUP BY p.qid, p.ca),
-            r{step} AS (
+            r{step} AS MATERIALIZED (
               SELECT r.qid, r.cid, r.rel,
                      round(0.7 * r.rel - (1 - 0.7) * m{step}.ms, 6) AS sc
               FROM rel r JOIN m{step}
                 ON r.qid = m{step}.qid AND r.cid = m{step}.cid
               WHERE NOT EXISTS (SELECT 1 FROM {prev} s
                                 WHERE s.qid = r.qid AND s.cid = r.cid)),
-            s{step} AS (
+            s{step} AS MATERIALIZED (
               SELECT qid, cid, rel, {step} AS mmr_rank FROM (
                 SELECT *, row_number() OVER (PARTITION BY qid
                          ORDER BY sc DESC, cid) AS rn FROM r{step})
               WHERE rn = 1),
-            sel{step} AS (SELECT * FROM {prev} UNION ALL
+            sel{step} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL
                           SELECT * FROM s{step})""")
         prev = f"sel{step}"
     return f"""
@@ -4228,13 +4230,13 @@ def _mmr_oracle_sql(k: int = 5, shortlist: int = 15, nq: int = 3) -> str:
               SELECT qid, cid, v,
                      round(list_cosine_similarity(v, qv), 6) AS rel
               FROM c CROSS JOIN q),
-            cand AS (
+            cand AS MATERIALIZED (
               SELECT qid, cid, v, rel FROM (
                 SELECT *, row_number() OVER (PARTITION BY qid
                        ORDER BY rel DESC, cid) AS rn FROM sc)
               WHERE rn <= {shortlist}),
             rel AS (SELECT qid, cid, rel FROM cand),
-            pairs AS (
+            pairs AS MATERIALIZED (
               SELECT a.qid, a.cid AS ca, b.cid AS cb,
                      round(list_cosine_similarity(a.v, b.v), 6) AS sim
               FROM cand a JOIN cand b
@@ -4359,8 +4361,11 @@ def _kcenter_oracle_sql(k: int = 8, start_id: int = 0) -> str:
     blocks = []
     prev = "sel1"
     for r in range(2, k + 1):
+        # MATERIALIZED: without it DuckDB inlines each sel{r} chain into
+        # every reference, re-executing the whole greedy prefix per round
+        # (measured 40 s -> ~2 s at sf0.01)
         blocks.append(f"""
-            d{r} AS (
+            d{r} AS MATERIALIZED (
               SELECT c.id,
                      min(round(1.0 - round(list_cosine_similarity(c.v, sv.v), 6), 6))
                        AS d
@@ -4368,10 +4373,11 @@ def _kcenter_oracle_sql(k: int = 8, start_id: int = 0) -> str:
               JOIN e sv ON sv.id IN (SELECT id FROM {prev})
               WHERE c.id NOT IN (SELECT id FROM {prev})
               GROUP BY c.id),
-            s{r} AS (
+            s{r} AS MATERIALIZED (
               SELECT {r} AS sel_rank, id, d AS min_dist FROM d{r}
               QUALIFY row_number() OVER (ORDER BY d DESC, id) = 1),
-            sel{r} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM s{r})""")
+            sel{r} AS MATERIALIZED (
+              SELECT * FROM {prev} UNION ALL SELECT * FROM s{r})""")
         prev = f"sel{r}"
     return f"""
             WITH e AS (
