@@ -3725,6 +3725,22 @@ def q_t10_stream_cdc(spark, sf):
     )
 
 
+def q_hll_sliding_uniques(spark, sf):
+    """Distinct users per 6-day SLIDING window — the non-subtractable
+    query where sketch mergeability earns its keep: per-day register
+    files merge via a windowed max over the register TABLE (256 rows a
+    day), never a rescan of raw events."""
+    from pdf_to_vectordb_etl_spark.operators import sketch
+
+    ev = _t(spark, sf, "events").select(
+        F.expr("(ts div 1000) div 86400000000").alias("day"),
+        F.col("user_id").cast("string").alias("uid"),
+    )
+    return sketch.hll_sliding_uniques(
+        ev, elem_col="uid", time_bucket_col="day", window_buckets=6
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -3927,6 +3943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timed_funnel": q_timed_funnel,
         "bpe_apply": q_bpe_apply,
         "t10_stream_cdc": q_t10_stream_cdc,
+        "hll_sliding_uniques": q_hll_sliding_uniques,
     }
 
 
@@ -7731,6 +7748,62 @@ def oracle_sql() -> dict[str, str]:
               FROM ch GROUP BY user_id)
             SELECT user_id, event_type, round(value, 4) AS value
             FROM win WHERE op <> 'delete'
+        """,
+        "hll_sliding_uniques": """
+            WITH ev AS (
+              SELECT epoch_us(ts) // 86400000000 AS day,
+                     CAST(user_id AS VARCHAR) AS uid
+              FROM events),
+            h AS (SELECT day, md5(uid) AS hx FROM ev),
+            parts AS (
+              SELECT day,
+                     (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS bucket,
+                     length(regexp_extract(substr(hx, 3, 12), '^0*')) AS z,
+                     substr(substr(hx, 3, 12),
+                            length(regexp_extract(substr(hx, 3, 12), '^0*')) + 1, 1)
+                       AS nib
+              FROM h),
+            rho AS (
+              SELECT day, bucket,
+                     CASE WHEN z = 12 THEN 49
+                          ELSE z * 4
+                               + CASE WHEN nib = '1' THEN 3
+                                      WHEN nib IN ('2', '3') THEN 2
+                                      WHEN nib IN ('4', '5', '6', '7') THEN 1
+                                      ELSE 0 END
+                               + 1 END AS rho
+              FROM parts),
+            regs AS (
+              SELECT day, bucket, max(rho) AS r
+              FROM rho GROUP BY day, bucket),
+            days AS (SELECT DISTINCT day FROM regs),
+            bkts AS (SELECT DISTINCT bucket FROM regs),
+            dense AS (
+              SELECT days.day, bkts.bucket, coalesce(regs.r, 0) AS r
+              FROM days CROSS JOIN bkts
+              LEFT JOIN regs
+                ON regs.day = days.day AND regs.bucket = bkts.bucket),
+            merged AS (
+              SELECT day, bucket,
+                     max(r) OVER (PARTITION BY bucket ORDER BY day
+                       ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS rw
+              FROM dense),
+            live AS (SELECT day, bucket, rw AS r FROM merged WHERE rw > 0),
+            agg AS (
+              SELECT day, sum(pow(2.0, -r)) AS s, count(*) AS np
+              FROM live GROUP BY day),
+            est AS (
+              SELECT day,
+                     (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+                       / (s + (256 - np)) AS raw,
+                     256 - np AS v
+              FROM agg)
+            SELECT day AS time_bucket,
+                   round(CASE WHEN raw <= 2.5 * 256 AND v > 0
+                              THEN 256.0 * ln(256.0 / v)
+                              ELSE raw END, 4) AS hll_estimate
+            FROM est
         """,
     }
 

@@ -221,3 +221,52 @@ def hll_estimate_from_registers(
     ).otherwise(raw)
     cols = ([F.col(by)] if by else []) + [F.round(est, 4).alias("hll_estimate")]
     return agg.select(*cols)
+
+
+def hll_sliding_uniques(
+    df: DataFrame,
+    elem_col: str,
+    time_bucket_col: str,
+    window_buckets: int = 6,
+    m: int = 256,
+) -> DataFrame:
+    """Distinct elements per SLIDING time window — the query exact
+    counting cannot do incrementally (sliding distinct is not
+    subtractable) and the one that shows why sketches carry their
+    weight: per-bucket register files merge with max, so an N-bucket
+    sliding window is a per-(register, bucket) windowed max over the
+    register TABLE (m rows per bucket — constant, tiny), never a
+    rescan of raw events.
+
+    Returns (time_bucket, hll_estimate) for every bucket, estimating
+    uniques over [bucket − window_buckets + 1, bucket]."""
+    from pyspark.sql import Window
+
+    bucket, rho = _hll_parts(F.col(elem_col), m)
+    regs = (
+        df.select(
+            F.col(time_bucket_col).alias("tb"),
+            bucket.alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("tb", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    # densify: every (tb, bucket) pair so the sliding max sees gaps as
+    # absent registers (tb domain × 256 rows — register-table-sized)
+    tbs = regs.select("tb").distinct()
+    buckets = regs.select("bucket").distinct()
+    dense = (
+        tbs.crossJoin(buckets)
+        .join(regs, ["tb", "bucket"], "left")
+        .select("tb", "bucket", F.coalesce(F.col("r"), F.lit(0)).alias("r"))
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("tb")
+        .rowsBetween(-(window_buckets - 1), 0)
+    )
+    merged = dense.withColumn("rw", F.max("r").over(w)).filter(F.col("rw") > 0)
+    return hll_estimate_from_registers(
+        merged.select("tb", "bucket", F.col("rw").alias("r")), by="tb", m=m
+    ).select(F.col("tb").alias("time_bucket"), "hll_estimate")

@@ -867,3 +867,27 @@ def test_stream_cdc_converges_across_adversarial_batches(spark, tmp_path):
     }
     assert streamed == oneshot == {1: 10.0, 3: 30.0}
     # user 1 survives the late low-ver delete; user 2 stays dead
+
+
+def test_hll_sliding_uniques_tracks_churn(spark):
+    """Planted churn: 100 users active in days 0-2, a DISJOINT 100 in
+    days 3-5. The 6-day window at day 5 must see ~200 uniques while the
+    per-day estimate sees ~100 — the merge across buckets is what a
+    plain per-bucket distinct cannot give without rescanning."""
+    from pdf_to_vectordb_etl_spark.operators import sketch
+
+    rows = []
+    for d in range(6):
+        base = 0 if d < 3 else 1000
+        rows += [(d, str(base + u)) for u in range(100)]
+    ev = spark.createDataFrame(rows, ["day", "uid"])
+    out = {r["time_bucket"]: r["hll_estimate"]
+           for r in sketch.hll_sliding_uniques(
+               ev, "uid", "day", window_buckets=6).collect()}
+    assert abs(out[2] - 100) / 100 < 0.2      # only cohort 1 so far
+    assert abs(out[5] - 200) / 200 < 0.2      # both cohorts in window
+
+    narrow = {r["time_bucket"]: r["hll_estimate"]
+              for r in sketch.hll_sliding_uniques(
+                  ev, "uid", "day", window_buckets=1).collect()}
+    assert abs(narrow[5] - 100) / 100 < 0.2   # single-day window
