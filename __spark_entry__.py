@@ -3741,6 +3741,23 @@ def q_hll_sliding_uniques(spark, sf):
     )
 
 
+def q_sample_weighted_k(spark, sf):
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    exponential keys): top-5 docs per language by u^(1/quality) —
+    deterministic md5 uniforms, per-group rank window, 12-dp key
+    rounding so both engines cut identically."""
+    from pdf_to_vectordb_etl_spark.operators import sampling
+
+    docs = _t(spark, sf, "documents")
+    scored = ta.quality_score(docs).select(
+        "doc_id", "lang", F.round("quality_score", 6).alias("qw")
+    )
+    out = sampling.weighted_sample_without_replacement(
+        scored, k=5, weight=F.col("qw"), by="lang"
+    )
+    return out.select("doc_id", "lang", "qw")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -3944,6 +3961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_apply": q_bpe_apply,
         "t10_stream_cdc": q_t10_stream_cdc,
         "hll_sliding_uniques": q_hll_sliding_uniques,
+        "sample_weighted_k": q_sample_weighted_k,
     }
 
 
@@ -7804,6 +7822,52 @@ def oracle_sql() -> dict[str, str]:
                               THEN 256.0 * ln(256.0 / v)
                               ELSE raw END, 4) AS hll_estimate
             FROM est
+        """,
+        "sample_weighted_k": r"""
+            WITH f AS (
+              SELECT doc_id, lang,
+                     length(text) AS n_chars,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END
+                       AS n_tokens,
+                     len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                     len(regexp_extract_all(lower(text),
+                         '\b(the|a|of|and|to|in|is|it)\b')) AS n_stop
+              FROM documents),
+            g AS (
+              SELECT doc_id, lang,
+                     CASE WHEN n_tokens > 0
+                          THEN (n_chars - (n_tokens - 1)) * 1.0 / n_tokens
+                          ELSE 0.0 END AS mean_token_len,
+                     CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars
+                          ELSE 0.0 END AS punct_ratio,
+                     CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens
+                          ELSE 0.0 END AS stopword_ratio
+              FROM f),
+            s AS (
+              SELECT doc_id, lang,
+                     round(least(stopword_ratio * 4, 1.0) * 0.4
+                           + CASE WHEN mean_token_len BETWEEN 3 AND 10
+                                  THEN 0.4 ELSE 0.0 END
+                           + CASE WHEN punct_ratio < 0.2 THEN 0.2
+                                  ELSE 0.0 END, 6) AS qw,
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hx
+              FROM g),
+            b AS (
+              SELECT doc_id, lang, qw,
+                     ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+                      + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+                      + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)
+                      + 1.0) / 65536.0 AS u
+              FROM s),
+            keyed AS (
+              SELECT doc_id, lang, qw,
+                     round(pow(u, 1.0 / greatest(qw, 1e-12)), 12) AS k
+              FROM b)
+            SELECT doc_id, lang, qw FROM keyed
+            QUALIFY row_number() OVER (PARTITION BY lang
+              ORDER BY k DESC, doc_id) <= 5
         """,
     }
 

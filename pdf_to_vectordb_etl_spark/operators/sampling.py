@@ -149,3 +149,44 @@ def weighted_sample(
         F.conv(hash_bucket_hex(id_col), 16, 10).cast("double") / F.lit(float(_BUCKETS))
     )
     return df.filter(frac < w)
+
+
+def weighted_sample_without_replacement(
+    df: DataFrame,
+    k: int,
+    weight: Column,
+    by: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via exponential keys
+    (Efraimidis & Spirakis 2006, public): each row draws the key
+    u^(1/w) with u uniform from the row's md5 bucket; the top-k keys
+    per group are a correct weighted sample — one pass, no rejection
+    loop, deterministic (same md5 basis as every sampler here) and
+    distributed (per-group rank window / TakeOrdered, never a
+    sequential draw).
+
+    u maps from the 4-hex-digit bucket to (0, 1] as (bucket+1)/65536 —
+    zero-safe so ln(u) is finite; weights clamp below at a tiny
+    epsilon so zero-weight rows sort last instead of dividing by
+    zero. The key is rounded to 12 dp (both engines compute the same
+    pow/ln inputs; rounding absorbs libm ulp differences) with the id
+    as the tiebreak."""
+    from pyspark.sql import Window
+
+    u = (F.conv(hash_bucket_hex(id_col), 16, 10).cast("double") + 1.0) / F.lit(
+        float(_BUCKETS)
+    )
+    w_ = F.greatest(weight.cast("double"), F.lit(1e-12))
+    key = F.round(F.pow(u, F.lit(1.0) / w_), 12)
+    if by is None:
+        ranked = df.withColumn("_key", key).orderBy(
+            F.desc("_key"), F.col(id_col)
+        ).limit(k)
+        return ranked.drop("_key")
+    win = Window.partitionBy(by).orderBy(F.desc(key), F.col(id_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(win))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

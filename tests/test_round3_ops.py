@@ -891,3 +891,26 @@ def test_hll_sliding_uniques_tracks_churn(spark):
               for r in sketch.hll_sliding_uniques(
                   ev, "uid", "day", window_buckets=1).collect()}
     assert abs(narrow[5] - 100) / 100 < 0.2   # single-day window
+
+
+def test_weighted_sample_without_replacement_favors_heavy(spark):
+    """A-ES exponential keys: with one row carrying overwhelming
+    weight, it must appear in essentially every top-k; sample size is
+    exactly k per group; zero-weight rows never displace weighted
+    ones."""
+    from pdf_to_vectordb_etl_spark.operators import sampling
+
+    rows = [(i, "g", 1000.0 if i == 7 else 0.001) for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "w"])
+    out = sampling.weighted_sample_without_replacement(
+        df, k=5, weight=F.col("w"), by="grp"
+    ).collect()
+    assert len(out) == 5
+    assert 7 in {r["doc_id"] for r in out}  # heavy row always sampled
+
+    zeros = [(100 + i, "g", 0.0) for i in range(5)]
+    df2 = spark.createDataFrame(rows + zeros, ["doc_id", "grp", "w"])
+    out2 = sampling.weighted_sample_without_replacement(
+        df2, k=5, weight=F.col("w"), by="grp"
+    ).collect()
+    assert all(r["doc_id"] < 100 for r in out2)  # zero-weight rows last
