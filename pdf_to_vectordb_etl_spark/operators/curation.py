@@ -419,47 +419,67 @@ def quota_allocate(
     weight: Column,
     by: str = "source",
 ) -> DataFrame:
-    """Largest-remainder (Hamilton) quota allocation: split an EXACT
-    ``total`` across groups proportionally to ``weight`` — floor the
-    ideal quotas, then hand the leftover seats to the largest
-    fractional remainders (ties to the smaller group key, so the
-    allocation is deterministic and engine-replayable). The standard
-    way to cut an eval set or labeling budget that must sum exactly.
+    """Largest-remainder (Hamilton) quota allocation with capacity
+    caps: split an EXACT ``total`` across groups proportionally to
+    ``weight`` — floor the ideal quotas (clamped to availability),
+    then hand leftover seats to the largest fractional remainders,
+    cycling past saturated groups (ties to the smaller group key:
+    deterministic and replayable). The standard way to cut an eval set
+    or labeling budget that must sum exactly.
 
-    Plan: one count agg, a 1-row weight-total broadcast, one rank
-    window over the GROUP table (group-cardinality rows, never the
-    corpus). Emits (group, n_avail, ideal round-6, n_alloc); n_alloc
-    sums to exactly ``total`` (capped at availability)."""
-    counts = df.groupBy(by).agg(F.count("*").alias("n_avail")).withColumn(
-        "w", weight.cast("double")
+    Plan: ONE count agg over the corpus; the seat loop then runs on
+    the collected GROUP table (group-cardinality rows — kilobytes at
+    any scale, the kmeans_fit lineage-truncation contract), because a
+    single rank window cannot redistribute seats forfeited by capped
+    groups. Emits (group, n_avail, ideal round-6, n_alloc);
+    sum(n_alloc) == min(total, Σ n_avail) UNCONDITIONALLY (pinned by a
+    hypothesis property)."""
+    rows = (
+        df.groupBy(by)
+        .agg(F.count("*").alias("n_avail"))
+        .withColumn("w", weight.cast("double"))
+        .collect()
     )
-    tot = counts.agg(F.sum("w").alias("_wsum"))
-    q = counts.crossJoin(F.broadcast(tot)).select(
-        by,
-        "n_avail",
-        (F.lit(total) * F.col("w") / F.col("_wsum")).alias("ideal"),
-    )
-    q = q.select(
-        by,
-        "n_avail",
-        F.round("ideal", 6).alias("ideal"),
-        F.floor("ideal").cast("long").alias("base"),
-        F.round(F.col("ideal") - F.floor("ideal"), 6).alias("rem"),
-    )
-    leftover = q.agg((F.lit(total) - F.sum("base")).alias("_left"))
-    w = Window.orderBy(F.desc("rem"), F.col(by))
-    alloc = (
-        q.crossJoin(F.broadcast(leftover))
-        .withColumn("_rk", F.row_number().over(w))
-        .select(
-            by,
-            "n_avail",
-            "ideal",
-            F.least(
-                F.col("n_avail"),
-                F.col("base")
-                + F.when(F.col("_rk") <= F.col("_left"), 1).otherwise(0),
-            ).alias("n_alloc"),
+    # the group table is group-cardinality by definition (kilobytes at
+    # any corpus scale) — the seat loop runs on the driver, the same
+    # lineage-truncation contract as kmeans_fit's k×dim collect. A pure
+    # one-window formulation cannot redistribute seats forfeited by
+    # capacity-capped groups; the loop makes the exact-sum guarantee
+    # unconditional: sum(n_alloc) == min(total, Σ n_avail).
+    wsum = sum(r["w"] for r in rows)
+    groups = []
+    for r in rows:
+        ideal = total * r["w"] / wsum if wsum > 0 else 0.0
+        base = min(int(ideal), r["n_avail"])
+        groups.append(
+            {
+                "g": r[by],
+                "n_avail": r["n_avail"],
+                "ideal": round(ideal, 6),
+                "alloc": base,
+                "rem": round(ideal - int(ideal), 6),
+            }
         )
+    left = min(total, sum(g["n_avail"] for g in groups)) - sum(
+        g["alloc"] for g in groups
     )
-    return alloc
+    order = sorted(groups, key=lambda g: (-g["rem"], g["g"]))
+    while left > 0:
+        progressed = False
+        for g in order:
+            if left == 0:
+                break
+            if g["alloc"] < g["n_avail"]:
+                g["alloc"] += 1
+                left -= 1
+                progressed = True
+        if not progressed:
+            break
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(g["g"], g["n_avail"], g["ideal"], g["alloc"]) for g in groups],
+        [by, "n_avail", "ideal", "n_alloc"],
+    ).select(
+        by, "n_avail", F.col("ideal").cast("double").alias("ideal"),
+        F.col("n_alloc").cast("long").alias("n_alloc"),
+    )

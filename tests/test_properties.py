@@ -126,3 +126,83 @@ def test_cluster_pairs_matches_union_find(spark, edges):
         root = find(n)
         want[n] = min(m for m in nodes if find(m) == root)
     assert got == want
+
+
+@given(
+    changes=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),        # key
+            st.floats(min_value=0, max_value=100,
+                      allow_nan=False, allow_infinity=False),
+            st.sampled_from(["upsert", "delete"]),
+        ),
+        min_size=1,
+        max_size=16,
+        unique_by=lambda t: None,  # allow repeats; versions disambiguate
+    ),
+    split_at=st.integers(min_value=0, max_value=16),
+)
+@SETTINGS
+def test_merge_changelog_any_split_converges(spark, changes, split_at):
+    """Associativity property behind streaming CDC (T10): merging a
+    changelog in ANY two-batch split equals the one-shot merge —
+    including splits that put high versions in the first batch."""
+    from pdf_to_vectordb_etl_spark.operators.cdc import live_rows, merge_changelog
+
+    rows = [(k, v, op, i) for i, (k, v, op) in enumerate(changes)]
+    cols = ["user_id", "value", "op", "ord"]
+    split_at = min(split_at, len(rows))
+    # adversarial: REVERSE version order across the split
+    rows_rev = sorted(rows, key=lambda r: -r[3])
+    b1, b2 = rows_rev[:split_at], rows_rev[split_at:]
+
+    allc = spark.createDataFrame(rows, cols)
+    oneshot = {
+        r["user_id"]: r["value"]
+        for r in live_rows(merge_changelog(None, allc, ["user_id"], "ord")).collect()
+    }
+    snap = None
+    for batch in (b1, b2):
+        if not batch:
+            continue
+        snap = merge_changelog(
+            snap, spark.createDataFrame(batch, cols), ["user_id"], "ord"
+        )
+    streamed = (
+        {}
+        if snap is None
+        else {r["user_id"]: r["value"] for r in live_rows(snap).collect()}
+    )
+    assert streamed == oneshot
+
+
+@given(
+    weights=st.lists(
+        st.floats(min_value=0.01, max_value=50,
+                  allow_nan=False, allow_infinity=False),
+        min_size=2,
+        max_size=6,
+    ),
+    total=st.integers(min_value=1, max_value=40),
+)
+@SETTINGS
+def test_quota_allocate_exact_sum_property(spark, weights, total):
+    """Largest-remainder allocations sum to exactly min(total,
+    availability) for arbitrary positive weights."""
+    from pdf_to_vectordb_etl_spark.operators import curation
+
+    rows = []
+    avail = []
+    for g, _w in enumerate(weights):
+        n = 3 + (g * 7) % 11
+        avail.append(n)
+        rows += [(g * 1000 + i, f"s{g}") for i in range(n)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    wmap = {f"s{g}": w for g, w in enumerate(weights)}
+    wcol = F.col("source")
+    expr = F.lit(float(weights[0]))
+    for g, w in enumerate(weights):
+        expr = F.when(wcol == f"s{g}", float(w)).otherwise(expr)
+    out = curation.quota_allocate(df, total=total, weight=expr, by="source").collect()
+    got = sum(r["n_alloc"] for r in out)
+    assert got == min(total, sum(avail))
