@@ -3758,6 +3758,27 @@ def q_sample_weighted_k(spark, sf):
     return out.select("doc_id", "lang", "qw")
 
 
+def q_variant_surface(spark, sf):
+    """Spark 4 VARIANT surface over the props JSON column: parse_json
+    → typed variant_get extraction, schema_of_variant, null probing —
+    the open-ended semi-structured path (vs from_json's fixed schema
+    in json_struct_surface). The oracle reproduces the VALUES from
+    DuckDB's JSON algebra; the binary variant encoding is the engine's
+    own affair."""
+    ev = _t(spark, sf, "events")
+    v = F.parse_json(F.col("props"))
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k_int"),
+        F.try_variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.missing", "int").alias("k_missing"),
+        F.schema_of_variant(v).alias("v_schema"),
+        F.is_variant_null(F.try_variant_get(v, "$.k", "variant")).alias(
+            "k_is_json_null"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -3962,6 +3983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t10_stream_cdc": q_t10_stream_cdc,
         "hll_sliding_uniques": q_hll_sliding_uniques,
         "sample_weighted_k": q_sample_weighted_k,
+        "variant_surface": q_variant_surface,
     }
 
 
@@ -7868,6 +7890,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, qw FROM keyed
             QUALIFY row_number() OVER (PARTITION BY lang
               ORDER BY k DESC, doc_id) <= 5
+        """,
+        "variant_surface": """
+            SELECT event_id,
+                   CAST(json_extract(props, '$.k') AS INT) AS k_int,
+                   json_extract_string(props, '$.k') AS k_str,
+                   CAST(json_extract(props, '$.missing') AS INT) AS k_missing,
+                   'OBJECT<k: ' ||
+                     CASE json_type(props, '$.k')
+                       WHEN 'UBIGINT' THEN 'BIGINT'
+                       WHEN 'BIGINT' THEN 'BIGINT'
+                       WHEN 'DOUBLE' THEN 'DOUBLE'
+                       ELSE 'STRING' END || '>' AS v_schema,
+                   coalesce(json_type(props, '$.k') = 'NULL', FALSE)
+                     AS k_is_json_null
+            FROM events
         """,
     }
 
