@@ -3779,6 +3779,54 @@ def q_variant_surface(spark, sf):
     )
 
 
+def q_try_surface(spark, sf):
+    """Error-safe arithmetic surface: under ANSI mode (Spark 4's
+    default) bare division/cast/element_at THROW on bad input; the
+    try_* family is how a pipeline encodes 'null, not job-abort'.
+    Exercised on real divide-by-zero and malformed-cast rows."""
+    ev = _t(spark, sf, "events")
+    denom = F.col("event_id") % 5
+    return ev.select(
+        "event_id",
+        F.try_divide(F.col("value"), denom.cast("double")).alias("per_bucket"),
+        F.try_add(F.col("event_id"), F.lit(9_223_372_036_854_775_800)).alias(
+            "near_overflow"
+        ),
+        F.try_to_number(
+            F.when(F.col("event_id") % 3 == 0, F.lit("12.5")).otherwise(
+                F.lit("not-a-number")
+            ),
+            F.lit("99.9"),
+        )
+        .cast("double")
+        .alias("parsed"),
+        F.try_element_at(F.split(F.col("event_type"), "_"), F.lit(2)).alias(
+            "second_part"
+        ),
+    )
+
+
+def q_bitmap_distinct(spark, sf):
+    """EXACT mergeable distinct counting via bitmap aggregates — the
+    precise counterpart to the HLL sketch (same partial-combinable
+    merge shape, bitmap OR instead of register max; costs memory
+    proportional to the id domain instead of 256 registers). Spark
+    side exercises bitmap_bit_position / bitmap_construct_agg /
+    bitmap_count; the oracle states the semantics: COUNT(DISTINCT)."""
+    ev = _t(spark, sf, "events")
+    pos = F.expr("bitmap_bit_position(user_id)")
+    bucket = F.expr("bitmap_bucket_number(user_id)")
+    per_bucket = (
+        ev.select("event_type", bucket.alias("bkt"), pos.alias("pos"))
+        .groupBy("event_type", "bkt")
+        .agg(F.expr("bitmap_count(bitmap_construct_agg(pos))").alias("n"))
+    )
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(F.sum("n").alias("n_distinct_users"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -3984,6 +4032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_sliding_uniques": q_hll_sliding_uniques,
         "sample_weighted_k": q_sample_weighted_k,
         "variant_surface": q_variant_surface,
+        "try_surface": q_try_surface,
+        "bitmap_distinct": q_bitmap_distinct,
     }
 
 
@@ -7905,6 +7955,21 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(json_type(props, '$.k') = 'NULL', FALSE)
                      AS k_is_json_null
             FROM events
+        """,
+        "try_surface": """
+            SELECT event_id,
+                   CASE WHEN event_id % 5 <> 0
+                        THEN value / (event_id % 5) END AS per_bucket,
+                   CASE WHEN event_id <= 7
+                        THEN event_id + 9223372036854775800 END AS near_overflow,
+                   CAST(CASE WHEN event_id % 3 = 0 THEN 12.5 END AS DOUBLE)
+                     AS parsed,
+                   string_split(event_type, '_')[2] AS second_part
+            FROM events
+        """,
+        "bitmap_distinct": """
+            SELECT event_type, count(DISTINCT user_id) AS n_distinct_users
+            FROM events GROUP BY event_type
         """,
     }
 
