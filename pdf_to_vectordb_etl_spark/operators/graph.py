@@ -245,6 +245,7 @@ def negative_edge_sample(
     k_per_src: int = 2,
     src_col: str = "src",
     dst_col: str = "dst",
+    max_nodes: int = 100_000,
 ) -> DataFrame:
     """Deterministic negative sampling for link-prediction training:
     per source node, the ``k_per_src`` non-neighbours ranked first by
@@ -263,6 +264,15 @@ def negative_edge_sample(
         .union(edges.select(F.col(dst_col).alias("n")))
         .distinct()
     )
+    n_nodes = nodes.count()
+    if n_nodes > max_nodes:
+        raise ValueError(
+            f"negative_edge_sample: {n_nodes} nodes exceeds max_nodes="
+            f"{max_nodes}; the all-pairs candidate generator is quadratic "
+            "in the node domain. For million-node graphs generate "
+            "candidates by hash bucket (md5(src) bucket × md5(dst) bucket "
+            "equi-join proposals) and keep the same anti-join + rank tail."
+        )
     a = nodes.select(F.col("n").alias("src"))
     b = nodes.select(F.col("n").alias("dst"))
     cand = a.crossJoin(b).filter(F.col("src") != F.col("dst"))

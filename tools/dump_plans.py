@@ -82,6 +82,12 @@ HEADLINE = [
     ("dedup_idf_containment", "inverted-index join on shingle hashes; 1-row corpus-size broadcast"),
     ("quota_allocate", "rank window over the GROUP table only (group-cardinality rows)"),
     ("markov_transitions", "one lead window per key + count agg; per-source normalization window"),
+    ("hll_sliding_uniques", "sliding distinct via windowed max over the REGISTER table, not raw events"),
+    ("sample_weighted_k", "A-ES exponential keys; per-group rank window (WindowGroupLimit)"),
+    ("bpe_apply", "merge rules as codegen regexp passes; one agg back to documents"),
+    ("timed_funnel", "three chained min-aggs; key equi-joins only"),
+    ("bitmap_distinct", "bitmap_construct_agg partial per bucket; exact mergeable distinct"),
+    ("try_surface", "error-safe arithmetic entirely inside codegen, zero Exchange"),
 ]
 
 
