@@ -238,8 +238,11 @@ def hll_sliding_uniques(
     register TABLE (m rows per bucket — constant, tiny), never a
     rescan of raw events.
 
-    Returns (time_bucket, hll_estimate) for every bucket, estimating
-    uniques over [bucket − window_buckets + 1, bucket]."""
+    Returns (time_bucket, hll_estimate) for every OBSERVED bucket,
+    estimating uniques over the trailing ``window_buckets`` observed
+    buckets (a ROWS frame: gaps in the bucket domain slide over
+    present buckets — densify the bucket axis upstream if you need
+    strict calendar windows over sparse streams)."""
     from pyspark.sql import Window
 
     bucket, rho = _hll_parts(F.col(elem_col), m)
