@@ -3827,6 +3827,36 @@ def q_bitmap_distinct(spark, sf):
     )
 
 
+def q_mm_resize_plan(spark, sf):
+    """Multimodal resize PLANNING — the native half of the resize pass:
+    aspect-preserving target dims (longest side 96, never upscaled)
+    from metadata alone, so the Arrow pixel kernel later touches only
+    needs_resize rows. Dims derive from the same md5 fake-decoder
+    contract as mm_decode_meta, so the whole plan replays in SQL."""
+    from pdf_to_vectordb_etl_spark.operators import multimodal
+
+    docs = _t(spark, sf, "documents")
+    hx = F.md5("text")
+    w = (16 + F.conv(F.substring(hx, 1, 2), 16, 10).cast("int") % 240).alias(
+        "width"
+    )
+    h = (16 + F.conv(F.substring(hx, 3, 2), 16, 10).cast("int") % 240).alias(
+        "height"
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.struct(w, h).alias("meta")
+    )
+    out = multimodal.plan_resize(media, max_side=96)
+    return out.select(
+        "media_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        "target_width",
+        "target_height",
+        "needs_resize",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -4034,6 +4064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_surface": q_variant_surface,
         "try_surface": q_try_surface,
         "bitmap_distinct": q_bitmap_distinct,
+        "mm_resize_plan": q_mm_resize_plan,
     }
 
 
@@ -7970,6 +8001,36 @@ def oracle_sql() -> dict[str, str]:
         "bitmap_distinct": """
             SELECT event_type, count(DISTINCT user_id) AS n_distinct_users
             FROM events GROUP BY event_type
+        """,
+        "mm_resize_plan": """
+            WITH b AS (
+              SELECT doc_id AS media_id,
+                     CAST(16 + ((strpos('0123456789abcdef',
+                              substr(md5(text), 1, 1)) - 1) * 16
+                            + strpos('0123456789abcdef',
+                              substr(md5(text), 2, 1)) - 1) % 240 AS INT)
+                       AS width,
+                     CAST(16 + ((strpos('0123456789abcdef',
+                              substr(md5(text), 3, 1)) - 1) * 16
+                            + strpos('0123456789abcdef',
+                              substr(md5(text), 4, 1)) - 1) % 240 AS INT)
+                       AS height
+              FROM documents),
+            p AS (
+              SELECT media_id, width, height,
+                     least(1.0, 96.0 / greatest(CAST(width AS DOUBLE),
+                                                CAST(height AS DOUBLE)))
+                       AS scale
+              FROM b)
+            SELECT media_id, width, height,
+                   CAST(greatest(1, floor(width * scale)) AS INT)
+                     AS target_width,
+                   CAST(greatest(1, floor(height * scale)) AS INT)
+                     AS target_height,
+                   CAST(greatest(1, floor(width * scale)) AS INT) <> width
+                     OR CAST(greatest(1, floor(height * scale)) AS INT)
+                        <> height AS needs_resize
+            FROM p
         """,
     }
 

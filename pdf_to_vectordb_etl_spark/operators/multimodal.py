@@ -135,3 +135,113 @@ def sample_frames(decoded: DataFrame, every_n: int = 8) -> DataFrame:
     return decoded.select(
         "media_id", F.explode(kept).alias("frame_index")
     )
+
+
+def plan_resize(
+    media: DataFrame, max_side: int = 224, meta_col: str = "meta"
+) -> DataFrame:
+    """The NATIVE half of image resizing: target dimensions from the
+    metadata struct alone — aspect-preserving, longest side capped at
+    ``max_side``, never upscaled — so the expensive pixel pass
+    (resize_images) runs only on rows whose target differs from the
+    source, selected WITHOUT touching payload bytes. Pure column math;
+    floor semantics match any external planner."""
+    w = F.col(f"{meta_col}.width").cast("double")
+    h = F.col(f"{meta_col}.height").cast("double")
+    scale = F.least(F.lit(1.0), F.lit(float(max_side)) / F.greatest(w, h))
+    tw = F.greatest(F.lit(1), F.floor(w * scale)).cast("int")
+    th = F.greatest(F.lit(1), F.floor(h * scale)).cast("int")
+    return media.withColumn(
+        "target_width", tw
+    ).withColumn("target_height", th).withColumn(
+        "needs_resize",
+        (tw != F.col(f"{meta_col}.width"))
+        | (th != F.col(f"{meta_col}.height")),
+    )
+
+
+def _real_resize(payload: bytes, tw: int, th: int) -> bytes:
+    """PIL-backed resize — import-gated: the container has no imaging
+    libraries, so this kernel has never executed here; fake_resize is
+    the hermetic twin with the identical signature."""
+    try:
+        import io
+
+        from PIL import Image  # noqa: PLC0415
+    except ImportError as e:  # pragma: no cover - env without PIL
+        raise NotImplementedError(
+            "real image resize requires pillow; use fake_resize"
+        ) from e
+    im = Image.open(io.BytesIO(payload))
+    out = io.BytesIO()
+    im.resize((tw, th)).save(out, format=im.format or "PNG")
+    return out.getvalue()
+
+
+def fake_resize(payload: bytes, tw: int, th: int) -> bytes:
+    """Deterministic stand-in: output length = 3·tw·th (RGB byte
+    count), content derived from md5(payload) — size math and
+    determinism are testable without an imaging library."""
+    import hashlib
+
+    seed = hashlib.md5(payload or b"").digest()
+    need = 3 * tw * th
+    return (seed * (need // len(seed) + 1))[:need]
+
+
+def resize_images(
+    media: DataFrame,
+    max_side: int = 224,
+    resizer=_real_resize,
+) -> DataFrame:
+    """Arrow-batched resize pass: plan_resize picks targets natively,
+    rows already at target pass through byte-for-byte (no Python
+    round-trip cost beyond the filter), and only ``needs_resize`` rows'
+    payloads cross to the kernel. Output keeps MEDIA_SCHEMA's
+    (media_id, kind, payload, meta) shape with refreshed dimensions —
+    composable with decode_media / sample_frames downstream."""
+    import hashlib
+
+    import pandas as pd
+
+    planned = plan_resize(media, max_side=max_side)
+    passthrough = planned.filter(~F.col("needs_resize")).select(
+        "media_id", "kind", "payload", "meta"
+    )
+    todo = planned.filter(F.col("needs_resize")).select(
+        "media_id", "kind", "payload",
+        F.col("meta.duration_ms").alias("dur_ms"),
+        "target_width", "target_height",
+    )
+
+    out_schema = MEDIA_SCHEMA
+
+    def _run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                data = resizer(
+                    bytes(r.payload) if r.payload is not None else b"",
+                    int(r.target_width),
+                    int(r.target_height),
+                )
+                rows.append(
+                    {
+                        "media_id": r.media_id,
+                        "kind": r.kind,
+                        "payload": data,
+                        "meta": {
+                            "n_bytes": len(data),
+                            "digest": hashlib.sha256(data).hexdigest(),
+                            "width": int(r.target_width),
+                            "height": int(r.target_height),
+                            "duration_ms": r.dur_ms,
+                        },
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            )
+
+    resized = todo.mapInPandas(_run, out_schema)
+    return passthrough.unionByName(resized)
