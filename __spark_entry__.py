@@ -3857,6 +3857,52 @@ def q_mm_resize_plan(spark, sf):
     )
 
 
+def q_xml_surface(spark, sf):
+    """XML ingestion surface (Spark 4 native from_xml + xpath): a
+    per-row XML record built from event fields, parsed back through an
+    explicit schema and probed with xpath — the feed-ingestion path for
+    XML drops. The oracle is a semantic twin (DuckDB has no XML; the
+    VALUES round-trip to the original fields is the contract)."""
+    ev = _t(spark, sf, "events")
+    xml = F.concat(
+        F.lit('<rec id="'),
+        F.col("event_id"),
+        F.lit('"><type>'),
+        F.col("event_type"),
+        F.lit("</type><v>"),
+        F.round("value", 4),
+        F.lit("</v></rec>"),
+    )
+    parsed = F.from_xml(
+        xml, "struct<_id: long, type: string, v: double>"
+    )
+    return ev.select(
+        "event_id",
+        parsed.getField("_id").alias("xml_id"),
+        parsed.getField("type").alias("xml_type"),
+        parsed.getField("v").alias("xml_v"),
+        F.expr(
+            "xpath_string(concat('<r><t>', event_type, '</t></r>'), 'r/t/text()')"
+        ).alias("xpath_type"),
+    )
+
+
+def q_lateral_surface(spark, sf):
+    """LATERAL VIEW surface: explode + posexplode + OUTER variant in
+    SQL syntax — the per-row table-generator join every nested-data
+    pipeline leans on. OUTER keeps rows whose array is empty (here:
+    docs with < 3 tokens still appear with NULL trigram)."""
+    _t(spark, sf, "documents").createOrReplaceTempView("docs_lat")
+    return spark.sql(r"""
+        SELECT doc_id, pos, tok
+        FROM (
+          SELECT doc_id, slice(split(lower(text), '\\s+'), 1, 5) AS toks
+          FROM docs_lat
+        )
+        LATERAL VIEW OUTER posexplode(toks) t AS pos, tok
+    """)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -4065,6 +4111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "try_surface": q_try_surface,
         "bitmap_distinct": q_bitmap_distinct,
         "mm_resize_plan": q_mm_resize_plan,
+        "xml_surface": q_xml_surface,
+        "lateral_surface": q_lateral_surface,
     }
 
 
@@ -8031,6 +8079,22 @@ def oracle_sql() -> dict[str, str]:
                      OR CAST(greatest(1, floor(height * scale)) AS INT)
                         <> height AS needs_resize
             FROM p
+        """,
+        "xml_surface": """
+            SELECT event_id,
+                   event_id AS xml_id,
+                   event_type AS xml_type,
+                   round(value, 4) AS xml_v,
+                   event_type AS xpath_type
+            FROM events
+        """,
+        "lateral_surface": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     (string_split_regex(lower(text), '\s+'))[1:5] AS toks
+              FROM documents)
+            SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS tok
+            FROM base, unnest(generate_series(1, len(toks))) AS u(i)
         """,
     }
 
