@@ -943,3 +943,53 @@ def test_resize_images_kernel_and_passthrough(spark):
     import hashlib
 
     assert m2["digest"] == hashlib.sha256(bytes(out[2]["payload"])).hexdigest()
+
+
+def test_observation_metrics_single_pass(spark, sf_dir):
+    """Pipeline instrumentation via the Observation API: quality-gate
+    metrics (row count, null count, value sum) ride along with the
+    action — ONE pass, no second job — the production alternative to
+    re-counting a frame for monitoring."""
+    from pyspark.sql import Observation
+
+    docs = load(spark, sf_dir, "documents")
+    obs = Observation("ingest_metrics")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("n_chars")).alias("total_chars"),
+        F.count(F.when(F.col("text").isNull(), 1)).alias("null_texts"),
+    )
+    n = observed.filter(F.length("text") > 0).count()
+    got = obs.get
+    assert got["n_rows"] == docs.count()
+    assert got["null_texts"] == 0
+    assert got["total_chars"] > 0
+    assert n <= got["n_rows"]
+
+
+def test_python_udtf_integration_point(spark):
+    """Spark 4 Python UDTF surface: a table function that yields one
+    row per fixed-size text window — the integration point for custom
+    generators that genuinely need imperative logic (everything in the
+    engine's own hot paths stays native; this pins that the escape
+    hatch works and keeps its declared schema)."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="win_id: int, chunk: string")
+    class WindowsOf:
+        def eval(self, text: str, size: int):
+            if text is None:
+                return
+            for i in range(0, len(text), size):
+                yield i // size, text[i:i + size]
+
+    spark.udtf.register("windows_of", WindowsOf)
+    out = WindowsOf(lit("abcdefghij"), lit(4)).collect()
+    assert [(r["win_id"], r["chunk"]) for r in out] == [
+        (0, "abcd"), (1, "efgh"), (2, "ij")
+    ]
+    sql_out = spark.sql(
+        "SELECT * FROM windows_of('xyz', 2)"
+    ).collect()
+    assert [(r["win_id"], r["chunk"]) for r in sql_out] == [(0, "xy"), (1, "z")]
