@@ -503,11 +503,11 @@ def bpe_apply_report(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"),
     ).filter(F.col("w") != "")
+    import re as _re
+
     sym = F.regexp_replace(F.col("w"), r"(.)", r"$1·")
     sym = F.regexp_replace(sym, r"·$", "")
     for a, b in merges:
-        import re as _re
-
         pat = f"(^|·){_re.escape(a)}·{_re.escape(b)}(·|$)"
         sym = F.regexp_replace(sym, pat, f"$1{a}{b}$2")
     out = words.select(
