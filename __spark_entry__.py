@@ -3490,15 +3490,18 @@ def q_markov_transitions(spark, sf):
 
 
 def q_quota_allocate(spark, sf):
-    """Largest-remainder allocation of an exact 200-doc budget across
-    sources, weighted by sqrt(availability). One count agg + a rank
-    window over the GROUP table (never the corpus); allocations sum to
-    exactly the budget."""
+    """Largest-remainder allocation of an exact 100-doc budget across
+    sources, weighted proportionally to availability — the
+    configuration where the capacity cap provably never binds (ideal_g
+    = total·n_g/N ≤ n_g whenever total ≤ N), so the DuckDB single-
+    window Hamilton replay equals the operator's cap-aware seat loop
+    on ANY corpus. The capped/redistribution path is pinned separately
+    by the hypothesis property and the budget-exceeds test."""
     from pdf_to_vectordb_etl_spark.operators import curation
 
     docs = _t(spark, sf, "documents")
     return curation.quota_allocate(
-        docs, total=200, weight=F.sqrt(F.col("n_avail")), by="source"
+        docs, total=100, weight=F.col("n_avail").cast("double"), by="source"
     )
 
 
@@ -3762,11 +3765,17 @@ def q_variant_surface(spark, sf):
     """Spark 4 VARIANT surface over the props JSON column: parse_json
     → typed variant_get extraction, schema_of_variant, null probing —
     the open-ended semi-structured path (vs from_json's fixed schema
-    in json_struct_surface). The oracle reproduces the VALUES from
-    DuckDB's JSON algebra; the binary variant encoding is the engine's
-    own affair."""
+    in json_struct_surface); try_parse_json keeps malformed rows
+    null-valued rather than job-fatal. The oracle reproduces the
+    VALUES from DuckDB's JSON algebra (json_valid-guarded for the
+    malformed case); the binary variant encoding is the engine's own
+    affair."""
     ev = _t(spark, sf, "events")
-    v = F.parse_json(F.col("props"))
+    # try_parse_json: a malformed props row yields NULLs downstream
+    # (probed: schema NULL, extraction NULL, is_variant_null false)
+    # instead of aborting the job — the null-not-abort contract the
+    # try_surface query pins for arithmetic
+    v = F.try_parse_json(F.col("props"))
     return ev.select(
         "event_id",
         F.try_variant_get(v, "$.k", "int").alias("k_int"),
@@ -7589,9 +7598,10 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "vocab_coverage": r"""
-            WITH toks AS (
+            WITH toks0 AS (
               SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS tok
               FROM documents),
+            toks AS (SELECT lang, tok FROM toks0 WHERE tok <> ''),
             vc AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
             vocab AS (
               SELECT tok FROM vc
@@ -7714,10 +7724,11 @@ def oracle_sql() -> dict[str, str]:
         "quota_allocate": """
             WITH counts AS (
               SELECT source, count(*) AS n_avail FROM documents GROUP BY source),
-            c2 AS (SELECT source, n_avail, sqrt(n_avail) AS w FROM counts),
+            c2 AS (SELECT source, n_avail, CAST(n_avail AS DOUBLE) AS w
+                   FROM counts),
             tot AS (SELECT sum(w) AS wsum FROM c2),
             q AS (
-              SELECT source, n_avail, 200 * w / wsum AS ideal_raw
+              SELECT source, n_avail, 100 * w / wsum AS ideal_raw
               FROM c2, tot),
             q2 AS (
               SELECT source, n_avail,
@@ -7725,7 +7736,7 @@ def oracle_sql() -> dict[str, str]:
                      CAST(floor(ideal_raw) AS BIGINT) AS base,
                      round(ideal_raw - floor(ideal_raw), 6) AS rem
               FROM q),
-            lft AS (SELECT 200 - sum(base) AS l FROM q2)
+            lft AS (SELECT 100 - sum(base) AS l FROM q2)
             SELECT source, n_avail, ideal,
                    least(n_avail,
                          base + CASE WHEN row_number() OVER
@@ -8010,7 +8021,7 @@ def oracle_sql() -> dict[str, str]:
                       + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
                       + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
                       + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)
-                      + 1.0) / 65536.0 AS u
+                      + 0.5) / 65536.0 AS u
               FROM s),
             keyed AS (
               SELECT doc_id, lang, qw,
@@ -8022,16 +8033,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "variant_surface": """
             SELECT event_id,
-                   CAST(json_extract(props, '$.k') AS INT) AS k_int,
-                   json_extract_string(props, '$.k') AS k_str,
-                   CAST(json_extract(props, '$.missing') AS INT) AS k_missing,
-                   'OBJECT<k: ' ||
-                     CASE json_type(props, '$.k')
-                       WHEN 'UBIGINT' THEN 'BIGINT'
-                       WHEN 'BIGINT' THEN 'BIGINT'
-                       WHEN 'DOUBLE' THEN 'DOUBLE'
-                       ELSE 'STRING' END || '>' AS v_schema,
-                   coalesce(json_type(props, '$.k') = 'NULL', FALSE)
+                   CASE WHEN json_valid(props)
+                        THEN CAST(json_extract(props, '$.k') AS INT) END
+                     AS k_int,
+                   CASE WHEN json_valid(props)
+                        THEN json_extract_string(props, '$.k') END AS k_str,
+                   CASE WHEN json_valid(props)
+                        THEN CAST(json_extract(props, '$.missing') AS INT) END
+                     AS k_missing,
+                   CASE WHEN json_valid(props) THEN
+                     'OBJECT<k: ' ||
+                       CASE json_type(props, '$.k')
+                         WHEN 'UBIGINT' THEN 'BIGINT'
+                         WHEN 'BIGINT' THEN 'BIGINT'
+                         WHEN 'DOUBLE' THEN 'DOUBLE'
+                         ELSE 'STRING' END || '>' END AS v_schema,
+                   coalesce(json_valid(props)
+                            AND json_type(props, '$.k') = 'NULL', FALSE)
                      AS k_is_json_null
             FROM events
         """,

@@ -182,13 +182,25 @@ def merge_changelog(
             F.struct(*[F.col(p) for p in payload]).alias("_p"),
         )
         c = s.unionByName(c)
+    # ONE max_by with an atomic (op, payload) value and a (ver, op)
+    # ordering key: two independent max_by calls would tear op and
+    # payload from DIFFERENT rows on a version tie (delete + re-insert
+    # emitted with the same version), making batch splits diverge. The
+    # op in the ordering key is the deterministic tiebreak: 'upsert'
+    # sorts above 'delete', so a same-version delete+upsert pair always
+    # resolves to the upsert, in every split.
     won = c.groupBy(*key_cols).agg(
-        F.max_by("_p", "_ver").alias("_p"),
-        F.max_by("_op", "_ver").alias("_op"),
+        F.max_by(
+            F.struct(F.col("_op"), F.col("_p")),
+            F.struct(F.col("_ver"), F.col("_op")),
+        ).alias("_w"),
         F.max("_ver").alias("_ver"),
     )
     return won.select(
-        *key_cols, *[F.col(f"_p.{p}").alias(p) for p in payload], "_op", "_ver"
+        *key_cols,
+        *[F.col(f"_w._p.{p}").alias(p) for p in payload],
+        F.col("_w._op").alias("_op"),
+        "_ver",
     )
 
 

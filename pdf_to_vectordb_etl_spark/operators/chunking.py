@@ -171,6 +171,25 @@ def portable_embedding(text, dim: int = 16, salt: str = "se") -> "F.Column":
     )
 
 
+def chunk_units(text, segment_tokens: int | None = None) -> "F.Column":
+    """The ONE definition of a document's chunkable units: sentence
+    array by default, fixed N-token segments when ``segment_tokens``
+    is set. semantic_chunks and plans/rag share this expression — the
+    (doc, sent_idx) join between them silently corrupts chunk text if
+    two copies of the segmentation ever drift apart."""
+    t = F.col(text) if isinstance(text, str) else text
+    if segment_tokens:
+        toks = F.split(t, r"\s+")
+        n_seg = F.ceil(F.size(toks) / F.lit(segment_tokens)).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * segment_tokens + 1, segment_tokens), " "
+            ),
+        )
+    return split_sentences(t)
+
+
 def semantic_chunks(
     df: DataFrame,
     threshold: float = 0.2,
@@ -199,17 +218,7 @@ def semantic_chunks(
 
     from ..functions.vector import cosine_similarity
 
-    if segment_tokens:
-        toks = F.split(F.col(text_col), r"\s+")
-        n_seg = F.ceil(F.size(toks) / F.lit(segment_tokens)).cast("int")
-        parts = F.transform(
-            F.sequence(F.lit(0), n_seg - 1),
-            lambda i: F.array_join(
-                F.slice(toks, i * segment_tokens + 1, segment_tokens), " "
-            ),
-        )
-    else:
-        parts = split_sentences(F.col(text_col))
+    parts = chunk_units(text_col, segment_tokens)
     ex = (
         df.select(F.col(id_col), parts.alias("_sents"))
         .filter(F.size("_sents") > 0)

@@ -449,9 +449,10 @@ def simhash_signatures(
     verified or joined across engines; bits 60-63 of the signature are
     then always 0 (votes start at -n)."""
     if portable_hash:
-        hash_shingle = lambda c: (  # noqa: E731
-            F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
-        )
+        # the ONE portable-60-bit-hash definition lives in sketch._h60;
+        # the Bloom/CMS/HLL sketches and this signature path must stay
+        # bit-identical for cross-engine replay
+        from .sketch import _h60 as hash_shingle
     else:
         hash_shingle = F.xxhash64
     ex = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id").select(

@@ -59,6 +59,7 @@ def pagerank(
     n = nodes.count()
     has_out = probs.select("src").distinct()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    prev_ranks = None
     for _ in range(iterations):
         dang = (
             ranks.join(has_out, ranks["node"] == has_out["src"], "left_anti")
@@ -82,6 +83,17 @@ def pagerank(
             )
             .persist()
         )
+        ranks.count()  # materialize before freeing the previous tier
+        if prev_ranks is not None and prev_ranks.is_cached:
+            prev_ranks.unpersist()
+        prev_ranks = ranks
+    # free the per-iteration inputs; the FINAL ranks stay cached (the
+    # node table may be huge — never collected) and the caller may
+    # unpersist it when done. Before this cleanup every iteration
+    # leaked its tier for the application lifetime.
+    for df_ in (probs, nodes):
+        if df_.is_cached:
+            df_.unpersist()
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 

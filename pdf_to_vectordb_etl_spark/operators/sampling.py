@@ -166,15 +166,18 @@ def weighted_sample_without_replacement(
     distributed (per-group rank window / TakeOrdered, never a
     sequential draw).
 
-    u maps from the 4-hex-digit bucket to (0, 1] as (bucket+1)/65536 —
-    zero-safe so ln(u) is finite; weights clamp below at a tiny
+    u maps from the 4-hex-digit bucket to (0, 1) as (bucket+0.5)/65536
+    — strictly inside the unit interval: u=0 would make the key 0 for
+    every weight, and u=1 would make it 1.0 for EVERY weight (a
+    zero-weight row in the top hash bucket would then outrank all
+    heavy rows — the 0xffff pathology). Weights clamp below at a tiny
     epsilon so zero-weight rows sort last instead of dividing by
     zero. The key is rounded to 12 dp (both engines compute the same
     pow/ln inputs; rounding absorbs libm ulp differences) with the id
     as the tiebreak."""
     from pyspark.sql import Window
 
-    u = (F.conv(hash_bucket_hex(id_col), 16, 10).cast("double") + 1.0) / F.lit(
+    u = (F.conv(hash_bucket_hex(id_col), 16, 10).cast("double") + 0.5) / F.lit(
         float(_BUCKETS)
     )
     w_ = F.greatest(weight.cast("double"), F.lit(1e-12))

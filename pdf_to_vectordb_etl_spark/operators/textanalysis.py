@@ -447,7 +447,8 @@ def vocab_coverage(
     total; nothing wider than the token stream itself."""
     toks = df.select(
         F.col(by), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok")
-    )
+    ).filter(F.col("tok") != "")  # module convention: '' (leading-
+    # whitespace artifact) never counts as a token or a vocab slot
     vocab = (
         toks.groupBy("tok")
         .agg(F.count("*").alias("n"))

@@ -335,10 +335,23 @@ def mmr_rerank(
             .filter(F.col("_r") == 1)
             .select("qid", "cid", "rel", F.lit(step).alias("mmr_rank"))
         )
+        prev = selected
         selected = selected.unionByName(pick).persist()
-    return selected.select(
+        selected.count()  # materialize the new tier before freeing the old
+        if prev.is_cached:
+            prev.unpersist()
+    out = selected.select(
         F.col("qid").alias(query_id),
         F.col("cid").alias(corpus_id),
         "rel",
         "mmr_rank",
     )
+    # hand the caller an unpinned plan: collect the (tiny, <= nq*k-row)
+    # result out of the cached lineage so the shortlist/pair caches can
+    # be released instead of leaking for the application lifetime
+    rows = out.collect()
+    for df_ in (cand, pairs, selected):
+        if df_.is_cached:
+            df_.unpersist()
+    spark = cand.sparkSession
+    return spark.createDataFrame(rows, out.schema)

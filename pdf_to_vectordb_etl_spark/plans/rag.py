@@ -57,29 +57,16 @@ def ingest_to_index(
         id_col=id_col,
     )
     # rebuild chunk text: join segment units back, ordered concat per
-    # (doc, chunk) — one shuffle, the A2 ordered-concat shape
-    if segment_tokens:
-        toks = F.split(F.col(text_col), r"\s+")
-        n_seg = F.ceil(F.size(toks) / F.lit(segment_tokens)).cast("int")
-        units = d1.select(
-            id_col,
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), n_seg - 1),
-                    lambda i: F.array_join(
-                        F.slice(toks, i * segment_tokens + 1, segment_tokens),
-                        " ",
-                    ),
-                )
-            ).alias("sent_idx", "unit"),
-        )
-    else:
-        units = d1.select(
-            id_col,
-            F.posexplode(
-                chunking.split_sentences(F.col(text_col))
-            ).alias("sent_idx", "unit"),
-        )
+    # (doc, chunk) — one shuffle, the A2 ordered-concat shape. The
+    # units come from chunking.chunk_units — the SAME expression
+    # semantic_chunks exploded, so the (doc, sent_idx) join cannot
+    # drift.
+    units = d1.select(
+        id_col,
+        F.posexplode(
+            chunking.chunk_units(text_col, segment_tokens)
+        ).alias("sent_idx", "unit"),
+    )
     chunks = (
         seg.join(units, [id_col, "sent_idx"])
         .groupBy(id_col, "chunk_id")

@@ -993,3 +993,25 @@ def test_python_udtf_integration_point(spark):
         "SELECT * FROM windows_of('xyz', 2)"
     ).collect()
     assert [(r["win_id"], r["chunk"]) for r in sql_out] == [(0, "xy"), (1, "z")]
+
+
+def test_merge_changelog_version_tie_is_atomic(spark):
+    """A delete and an upsert sharing one version must resolve to ONE
+    row's (op, payload) pair — upsert wins deterministically — in
+    every batch split (two independent max_by calls would tear them)."""
+    from pdf_to_vectordb_etl_spark.operators.cdc import live_rows, merge_changelog
+
+    cols = ["user_id", "value", "op", "ord"]
+    a = [(1, 10.0, "delete", 5)]
+    b = [(1, 20.0, "upsert", 5)]
+    for first, second in ((a, b), (b, a)):
+        snap = merge_changelog(None, spark.createDataFrame(first, cols),
+                               ["user_id"], "ord")
+        snap = merge_changelog(snap, spark.createDataFrame(second, cols),
+                               ["user_id"], "ord")
+        rows = live_rows(snap).collect()
+        assert len(rows) == 1 and rows[0]["value"] == 20.0
+    oneshot = merge_changelog(
+        None, spark.createDataFrame(a + b, cols), ["user_id"], "ord"
+    )
+    assert live_rows(oneshot).first()["value"] == 20.0
