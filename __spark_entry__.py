@@ -1242,7 +1242,8 @@ def q_latest_per_key(spark, sf):
     version into a per-key sort; see aggregates.latest_per_key)."""
     ev = _t(spark, sf, "events").withColumn("tus", F.expr("ts div 1000"))
     out = aggregates.latest_per_key(
-        ev, key="user_id", order_col="tus", payload_cols=["event_type", "value"]
+        ev, key="user_id", order_col="tus",
+        payload_cols=["event_type", "value"], tiebreak_col="event_id",
     )
     return out.select(
         "user_id",
@@ -5396,8 +5397,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "latest_per_key": """
             SELECT user_id,
-                   arg_max(event_type, ts) AS last_type,
-                   round(arg_max(value, ts), 4) AS last_value,
+                   arg_max(event_type,
+                     printf('%020d:%020d', epoch_us(ts), event_id))
+                     AS last_type,
+                   round(arg_max(value,
+                     printf('%020d:%020d', epoch_us(ts), event_id)), 4)
+                     AS last_value,
                    epoch_us(max(ts)) AS last_tus
             FROM events GROUP BY user_id
         """,

@@ -169,23 +169,36 @@ def latest_per_key(
     key: str,
     order_col: str,
     payload_cols: list[str],
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """CDC-style compaction: collapse each ``key`` to its most recent
     record by ``order_col`` (changelog -> snapshot).
 
-    Uses ``max_by`` — a single aggregation with map-side partial
-    combine, so the shuffle carries one row per (partition, key) instead
-    of every version. (String payloads make the buffer non-mutable, so
-    Spark picks SortAggregate over HashAggregate — the partial-combine
-    shuffle shape, which is what matters at scale, is identical.) At
-    100 TB changelog scale this beats the row_number()-over-window
-    form, whose sort shuffles *all* versions;
-    ties on ``order_col`` are nondeterministic — pre-combine a tiebreak
-    column into ``order_col`` (e.g. struct/packed long) if ties exist.
-    """
-    aggs = [F.max_by(c, order_col).alias(c) for c in payload_cols]
-    aggs.append(F.max(order_col).alias(order_col))
-    return df.groupBy(key).agg(*aggs)
+    ONE ``max_by`` of the whole payload struct — per-column max_by
+    calls would resolve order ties independently and stitch the
+    snapshot from DIFFERENT rows. With ``tiebreak_col`` the ordering
+    key becomes a zero-padded '%020d:%020d' string (lexicographic =
+    numeric; the multiplication-packed long overflows at micros ×
+    id scale), making ties fully deterministic and replayable by any
+    engine whose arg_max takes a string key. Map-side partial combine:
+    the shuffle carries one row per (partition, key) instead of every
+    version — at 100 TB changelog scale this beats the
+    row_number()-over-window form, whose sort shuffles *all*
+    versions."""
+    okey = (
+        F.col(order_col)
+        if tiebreak_col is None
+        else F.format_string(
+            "%020d:%020d", F.col(order_col), F.col(tiebreak_col)
+        )
+    )
+    out = df.groupBy(key).agg(
+        F.max_by(F.struct(*[F.col(c) for c in payload_cols]), okey).alias("_w"),
+        F.max(order_col).alias(order_col),
+    )
+    return out.select(
+        key, *[F.col(f"_w.{c}").alias(c) for c in payload_cols], order_col
+    )
 
 
 def resample_locf(

@@ -86,16 +86,25 @@ def apply_changes(
         F.col(order_col).cast("long").alias("_ord"),
         F.struct(*[F.col(p) for p in payload]).alias("_p"),
     )
+    # atomic winner: one max_by of (op, payload) keyed on (_ord, _op) —
+    # the contract still demands unique _ord per key, but if an
+    # upstream violates it the snapshot degrades to a deterministic
+    # whole-row winner instead of tearing op and payload from
+    # different rows (same hardening as merge_changelog)
     won = (
         s.unionByName(c)
         .groupBy(*key_cols)
         .agg(
-            F.max_by("_p", "_ord").alias("_p"),
-            F.max_by("_op", "_ord").alias("_op"),
+            F.max_by(
+                F.struct(F.col("_op"), F.col("_p")),
+                F.struct(F.col("_ord"), F.col("_op")),
+            ).alias("_w")
         )
-        .filter(F.col("_op").isNull() | (F.col("_op") != delete_op))
+        .filter(F.col("_w._op").isNull() | (F.col("_w._op") != delete_op))
     )
-    return won.select(*key_cols, *[F.col(f"_p.{p}").alias(p) for p in payload])
+    return won.select(
+        *key_cols, *[F.col(f"_w._p.{p}").alias(p) for p in payload]
+    )
 
 
 def scd2_intervals(
