@@ -3913,6 +3913,86 @@ def q_lateral_surface(spark, sf):
     """)
 
 
+def q_graph_khop(spark, sf):
+    """Multi-source BFS to depth 3 over the shared-rare-token doc
+    graph (same edge generator as graph_triangles/label_spread): every
+    document within 3 hops of the seed set (doc_id % 50 == 0) with its
+    minimum hop distance — the contamination blast-radius /
+    crawl-frontier primitive. Per hop: one frontier⋈adjacency
+    equi-join + distinct + anti-join vs visited; work is
+    O(frontier-adjacent edges), see graph.k_hop_reachability."""
+    from pdf_to_vectordb_etl_spark.operators import graph
+
+    docs = _t(spark, sf, "documents")
+    edges = graph.shared_token_edges(docs, min_df=2, max_df=3)
+    seeds = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("id")
+    )
+    out = graph.k_hop_reachability(
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        seeds,
+        max_hops=3,
+        directed=False,
+    )
+    return out.select(F.col("node").alias("doc_id"), "hops")
+
+
+def q_rendezvous_shard(spark, sf):
+    """Rendezvous (highest-random-weight) sharding: stable doc→shard
+    assignment where growing the shard count 8→9 moves only the ~1/9
+    of keys the new shard wins — vs ~8/9 under mod-N. Reports, per
+    8-shard bucket: row count, how many rows a 9-shard layout would
+    steal, and the moved fraction. Narrow (pure per-row argmax
+    expression, no shuffle before the final stats agg); the md5
+    argmax replays byte-identically in DuckDB via arg_max."""
+    from pdf_to_vectordb_etl_spark.operators import sampling
+
+    d = _t(spark, sf, "documents")
+    j = d.select(
+        sampling.rendezvous_shard("doc_id", 8).cast("long").alias("shard8"),
+        sampling.rendezvous_shard("doc_id", 9).cast("long").alias("shard9"),
+    )
+    moved = F.sum(
+        (F.col("shard8") != F.col("shard9")).cast("long")
+    ).alias("n_moved")
+    return j.groupBy(F.col("shard8").alias("shard")).agg(
+        F.count("*").alias("n_docs"),
+        moved,
+        F.round(
+            F.sum((F.col("shard8") != F.col("shard9")).cast("long"))
+            / F.count("*"),
+            4,
+        ).alias("moved_frac"),
+    )
+
+
+def q_text_normalize(spark, sf):
+    """Portable text normalization (the dedup/shingle key form):
+    accent folding via one codepoint translate table, NBSP→space,
+    lowercase, whitespace-run collapse. The dirty input is
+    synthesized deterministically from each doc's 80-char prefix
+    (accent-injected + NBSP-padded, the web_clean precedent), so the
+    fold is exercised on every row even though the synthetic corpus
+    is ASCII; roundtrip_ok pins fold(inject(x)) == normalize(x)."""
+    from pdf_to_vectordb_etl_spark.operators import webcorpus
+
+    d = _t(spark, sf, "documents")
+    prefix = F.substring(F.col("text"), 1, 80)
+    acc = F.translate(prefix, "aeiouAEIOU", "áèîõüÀÉÎÕÜ")
+    dirty = F.regexp_replace(acc, " ", "\u00a0 ")  # NBSP + space run
+    return d.select(
+        "doc_id",
+        webcorpus.normalize_text(dirty).alias("norm"),
+        (
+            F.length(acc)
+            - F.length(F.translate(acc, webcorpus.ACCENT_FROM, ""))
+        ).cast("long").alias("n_accented"),
+        (
+            webcorpus.normalize_text(dirty) == webcorpus.normalize_text(prefix)
+        ).alias("roundtrip_ok"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -4123,6 +4203,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_resize_plan": q_mm_resize_plan,
         "xml_surface": q_xml_surface,
         "lateral_surface": q_lateral_surface,
+        "graph_khop": q_graph_khop,
+        "rendezvous_shard": q_rendezvous_shard,
+        "text_normalize": q_text_normalize,
     }
 
 
@@ -4382,6 +4465,44 @@ WITH
             SELECT vec_id, round(adc6, 4) AS adc_sim
             FROM sc ORDER BY adc6 DESC, vec_id LIMIT 20
 """
+
+
+def _normalize_oracle_sql() -> str:
+    """DuckDB replay of webcorpus.normalize_text on the accent-injected
+    80-char prefix. The fold table is injected from the module
+    constants (single source of truth — the from/to strings can never
+    drift between engines); NBSP is chr(160) on the SQL side and a
+    ``\\u00a0`` literal on the Spark side."""
+    from pdf_to_vectordb_etl_spark.operators.webcorpus import (
+        ACCENT_FROM,
+        ACCENT_TO,
+    )
+
+    def fold(x: str) -> str:
+        return (
+            "trim(regexp_replace(replace(lower(translate("
+            f"{x}, '{ACCENT_FROM}', '{ACCENT_TO}')), chr(160), ' '), "
+            r"'\s+', ' ', 'g'))"
+        )
+
+    return f"""
+        WITH p AS (
+          SELECT doc_id, substr(text, 1, 80) AS prefix FROM documents),
+        a AS (
+          SELECT doc_id, prefix,
+                 translate(prefix, 'aeiouAEIOU', 'áèîõüÀÉÎÕÜ') AS acc
+          FROM p),
+        d AS (
+          SELECT doc_id, prefix, acc,
+                 regexp_replace(acc, ' ', chr(160) || ' ', 'g') AS dirty
+          FROM a)
+        SELECT doc_id,
+               {fold('dirty')} AS norm,
+               CAST(length(acc) - length(translate(acc, '{ACCENT_FROM}', ''))
+                    AS BIGINT) AS n_accented,
+               ({fold('dirty')} = {fold('prefix')}) AS roundtrip_ok
+        FROM d
+    """
 
 
 def _mmr_oracle_sql(k: int = 5, shortlist: int = 15, nq: int = 3) -> str:
@@ -8119,6 +8240,74 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS tok
             FROM base, unnest(generate_series(1, len(toks))) AS u(i)
         """,
+        "graph_khop": r"""
+            WITH w AS (
+              SELECT doc_id AS id,
+                     string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                                  ' ') AS w
+              FROM documents),
+            toks AS (
+              SELECT id,
+                     unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(w)-2, 0)),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS tok
+              FROM w),
+            rare AS (
+              SELECT tok FROM toks GROUP BY tok
+              HAVING count(*) BETWEEN 2 AND 3),
+            post AS (SELECT id, tok FROM toks JOIN rare USING (tok)),
+            e AS MATERIALIZED (
+              SELECT DISTINCT a.id AS a, b.id AS b
+              FROM post a JOIN post b ON a.tok = b.tok AND a.id < b.id),
+            adj AS MATERIALIZED (
+              SELECT a AS src, b AS dst FROM e
+              UNION ALL SELECT b AS src, a AS dst FROM e),
+            v0 AS MATERIALIZED (
+              SELECT doc_id AS node FROM documents WHERE doc_id % 50 = 0),
+            f1 AS MATERIALIZED (
+              SELECT DISTINCT adj.dst AS node
+              FROM adj JOIN v0 ON adj.src = v0.node
+              WHERE adj.dst NOT IN (SELECT node FROM v0)),
+            v1 AS MATERIALIZED (
+              SELECT node FROM v0 UNION ALL SELECT node FROM f1),
+            f2 AS MATERIALIZED (
+              SELECT DISTINCT adj.dst AS node
+              FROM adj JOIN f1 ON adj.src = f1.node
+              WHERE adj.dst NOT IN (SELECT node FROM v1)),
+            v2 AS MATERIALIZED (
+              SELECT node FROM v1 UNION ALL SELECT node FROM f2),
+            f3 AS MATERIALIZED (
+              SELECT DISTINCT adj.dst AS node
+              FROM adj JOIN f2 ON adj.src = f2.node
+              WHERE adj.dst NOT IN (SELECT node FROM v2))
+            SELECT node AS doc_id, CAST(0 AS INT) AS hops FROM v0
+            UNION ALL SELECT node, CAST(1 AS INT) FROM f1
+            UNION ALL SELECT node, CAST(2 AS INT) FROM f2
+            UNION ALL SELECT node, CAST(3 AS INT) FROM f3
+        """,
+        "rendezvous_shard": """
+            WITH s8 AS MATERIALIZED (
+              SELECT doc_id,
+                     arg_max(s, md5(CAST(doc_id AS VARCHAR) || '#'
+                                    || CAST(s AS VARCHAR))) AS shard8
+              FROM documents, (SELECT unnest(range(8)) AS s)
+              GROUP BY doc_id),
+            s9 AS MATERIALIZED (
+              SELECT doc_id,
+                     arg_max(s, md5(CAST(doc_id AS VARCHAR) || '#'
+                                    || CAST(s AS VARCHAR))) AS shard9
+              FROM documents, (SELECT unnest(range(9)) AS s)
+              GROUP BY doc_id),
+            j AS (SELECT shard8, shard9 FROM s8 JOIN s9 USING (doc_id))
+            SELECT shard8 AS shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_moved,
+                   round(CAST(sum(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END)
+                              AS DOUBLE) / count(*), 4) AS moved_frac
+            FROM j GROUP BY shard8
+        """,
+        "text_normalize": _normalize_oracle_sql(),
     }
 
     # the streaming session_window form must agree row-for-row with the

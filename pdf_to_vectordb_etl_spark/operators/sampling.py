@@ -193,3 +193,39 @@ def weighted_sample_without_replacement(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def rendezvous_shard(
+    key: Column | str, n_shards: int, salt: str = ""
+) -> Column:
+    """Rendezvous (highest-random-weight) shard assignment (Thaler &
+    Ravishankar 1998, public): shard(key) = argmax over s in
+    [0, n_shards) of md5(key ‖ '#' ‖ s ‖ salt). The property mod-N
+    sharding lacks: growing N→N+1 moves only ~1/(N+1) of keys (each
+    key moves iff the NEW shard's weight is its maximum), so shard
+    counts can be re-tuned on a live 100 TB corpus without a full
+    reshuffle — only the stolen keys migrate.
+
+    Same md5 determinism contract as every sampler here:
+    layout-invariant, retry-stable, byte-identical in DuckDB
+    (arg_max over the same concat). Narrow — a per-row expression,
+    no shuffle; per-row cost is O(n_shards) hashes, so this shape is
+    for shard counts in the hundreds. For thousands of shards use
+    HRW over ~64 virtual nodes per shard or jump-consistent hashing
+    and keep the same argmax contract.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    c = F.col(key) if isinstance(key, str) else key
+    pairs = F.array(
+        *[
+            F.struct(
+                F.md5(
+                    F.concat_ws("#", c.cast("string"), F.lit(str(s) + salt))
+                ).alias("w"),
+                F.lit(s).alias("s"),
+            )
+            for s in range(n_shards)
+        ]
+    )
+    return F.array_max(pairs)["s"]

@@ -213,3 +213,42 @@ def domain_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
         .groupBy(F.col("_domain").alias("domain"))
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+#: 1:1 accent-fold pairs (multi-char expansions like ß→ss are out of
+#: scope for translate; they belong to a locale-aware pass). Kept as
+#: pairs so the from/to strings can never drift out of alignment, and
+#: exported so external oracles fold with byte-identical tables.
+_ACCENT_PAIRS = (
+    ("áàâãäåāăą", "a"), ("éèêëēĕėęě", "e"), ("íìîïĩīĭį", "i"),
+    ("óòôõöōŏő", "o"), ("úùûüũūŭůű", "u"), ("çćĉċč", "c"),
+    ("ñńņň", "n"), ("ýÿŷ", "y"),
+    ("ÁÀÂÃÄÅ", "A"), ("ÉÈÊË", "E"), ("ÍÌÎÏ", "I"), ("ÓÒÔÕÖ", "O"),
+    ("ÚÙÛÜ", "U"), ("Ç", "C"), ("Ñ", "N"), ("Ý", "Y"),
+)
+ACCENT_FROM = "".join(src for src, _ in _ACCENT_PAIRS)
+ACCENT_TO = "".join(dst * len(src) for src, dst in _ACCENT_PAIRS)
+
+
+def fold_accents(c: Column) -> Column:
+    """Diacritic folding via one codepoint-for-codepoint ``translate``
+    — the portable subset of Unicode NFKD+strip-combining that both
+    Spark and DuckDB compute byte-identically (neither engine ships a
+    SQL-level NFKD, and a Python UDF would put a per-row interpreter
+    hop in the scan path). Covers Latin-1 Supplement + the common
+    Latin Extended-A letters; anything outside the table passes
+    through unchanged."""
+    return F.translate(c, ACCENT_FROM, ACCENT_TO)
+
+
+def normalize_text(c: Column) -> Column:
+    """Canonical text-normalization pass for dedup/shingling keys:
+    fold accents, lowercase, map NBSP to space, collapse whitespace
+    runs, trim. Pure codegen string expressions — runs at scan speed;
+    the output is the *join key* form (exact dedup, n-gram shingles,
+    contamination checks all key on it), so engine portability is the
+    whole point."""
+    folded = F.lower(fold_accents(c))
+    return F.trim(
+        F.regexp_replace(F.translate(folded, "\u00a0", " "), r"\s+", " ")
+    )

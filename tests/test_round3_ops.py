@@ -1015,3 +1015,94 @@ def test_merge_changelog_version_tie_is_atomic(spark):
         None, spark.createDataFrame(a + b, cols), ["user_id"], "ord"
     )
     assert live_rows(oneshot).first()["value"] == 20.0
+
+
+def test_k_hop_reachability_min_hops(spark):
+    """Hand-built path graph a-b-c-d-e plus an isolated island: hop
+    distances are the true BFS minima, nodes beyond max_hops are
+    absent, and an undirected traversal crosses edges both ways."""
+    from pdf_to_vectordb_etl_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")],
+        ["src", "dst"],
+    )
+    seeds = spark.createDataFrame([("a",)], ["id"])
+    out = {
+        r["node"]: r["hops"]
+        for r in graph.k_hop_reachability(
+            edges, seeds, max_hops=3, directed=False
+        ).collect()
+    }
+    assert out == {"a": 0, "b": 1, "c": 2, "d": 3}  # e is 4 hops; x,y island
+    # directed: the reverse edge is not traversable
+    seeds_e = spark.createDataFrame([("e",)], ["id"])
+    out_dir = {
+        r["node"]: r["hops"]
+        for r in graph.k_hop_reachability(
+            edges, seeds_e, max_hops=3, directed=True
+        ).collect()
+    }
+    assert out_dir == {"e": 0}
+    # multi-source: min over seeds wins, duplicate seeds collapse
+    seeds2 = spark.createDataFrame([("a",), ("d",), ("d",)], ["id"])
+    out2 = {
+        r["node"]: r["hops"]
+        for r in graph.k_hop_reachability(
+            edges, seeds2, max_hops=1, directed=False
+        ).collect()
+    }
+    assert out2 == {"a": 0, "d": 0, "b": 1, "c": 1, "e": 1}
+
+
+def test_rendezvous_shard_stability_and_movement(spark):
+    """HRW invariants: assignment is layout-independent and in range;
+    growing 8->9 shards moves roughly 1/9 of keys (far below mod-N's
+    ~8/9), and every key that moved landed on the NEW shard."""
+    from pdf_to_vectordb_etl_spark.operators import sampling
+
+    n = 2000
+    df = spark.range(n).withColumnRenamed("id", "k")
+    out = df.select(
+        "k",
+        sampling.rendezvous_shard("k", 8).alias("s8"),
+        sampling.rendezvous_shard("k", 9).alias("s9"),
+    ).collect()
+    assert all(0 <= r["s8"] < 8 and 0 <= r["s9"] < 9 for r in out)
+    moved = [r for r in out if r["s8"] != r["s9"]]
+    frac = len(moved) / n
+    assert 0.05 <= frac <= 0.20, f"moved {frac:.2%}, expected ~1/9"
+    assert all(r["s9"] == 8 for r in moved), "HRW move must target the new shard"
+    # repartitioned layout yields byte-identical assignments
+    out2 = {
+        r["k"]: r["s8"]
+        for r in df.repartition(7)
+        .select("k", sampling.rendezvous_shard("k", 8).alias("s8"))
+        .collect()
+    }
+    assert all(out2[r["k"]] == r["s8"] for r in out)
+
+
+def test_normalize_text_folds_and_collapses(spark):
+    """Accent fold + NBSP + whitespace collapse on adversarial rows,
+    including chars outside the fold table passing through."""
+    from pdf_to_vectordb_etl_spark.operators import webcorpus
+
+    rows = [
+        ("Crème  brûlée",),          # fold + run collapse
+        ("    padded   ",),  # NBSP + trim
+        ("ÀÉÎÕÜ çñ ýÿ",),            # uppercase + consonant folds
+        ("中文 unchanged",),          # outside the table: passthrough
+        ("",),
+    ]
+    df = spark.createDataFrame(rows, ["t"])
+    got = [
+        r["n"] for r in df.select(webcorpus.normalize_text("t").alias("n")).collect()
+    ]
+    assert got == [
+        "creme brulee",
+        "padded",
+        "aeiou cn yy",
+        "中文 unchanged",
+        "",
+    ]
