@@ -54,6 +54,9 @@ HEADLINE = [
     ("span_dedup", "span hashes built in-array then exploded once: NO per-doc window/sort"),
     ("binary_hamming_topk", "sign-bit ANN: both stages WindowGroupLimit, one qid shuffle"),
     ("graph_pagerank", "per-iteration rank-to-edges equi-join + hash agg; tiny node table broadcast"),
+    ("graph_khop", "per-hop frontier-adjacency equi-join + anti-join vs cached visited tiers; no full-graph rescan"),
+    ("rendezvous_shard", "HRW argmax is a narrow per-row expression; only the final stats agg shuffles"),
+    ("text_normalize", "fold/collapse chain is one codegen projection riding the scan"),
     ("cohort_retention", "first-seen agg and join-back share the user_id exchange; cohort sizes broadcast"),
     ("sole_late_supplier", "Q21 class decorrelated: per-order agg + join-back, no EXISTS re-scan"),
     ("ta_perplexity", "LM model broadcast onto the bigram stream; percentile cutpoint broadcast, no sort"),
@@ -125,6 +128,18 @@ def main() -> None:
             for ln in formatted.splitlines()
             if "PushedFilters" in ln or "ReadSchema" in ln
         ]
+        # iterative ops (pagerank, k-hop BFS) return DataFrames whose
+        # lineage nests every persisted tier's full upstream plan via
+        # InMemoryRelation — thousands of repeated lines that document
+        # nothing (execution reads the caches). Cap the tree; the head
+        # holds the operators that matter.
+        simple_lines = simple.splitlines()
+        if len(simple_lines) > 120:
+            simple = "\n".join(simple_lines[:120]) + (
+                f"\n... truncated ({len(simple_lines)} lines total: nested"
+                " InMemoryRelation lineage of persisted iteration tiers;"
+                " runtime reads the caches, not this tree)"
+            )
         out.append(f"## {name}")
         out.append(f"*{why}*")
         out.append("")
