@@ -3993,6 +3993,103 @@ def q_text_normalize(spark, sf):
     )
 
 
+def q_dedup_prefix_filter(spark, sf):
+    """Near-dup pairs by 3-gram Jaccard >= 0.5 via AllPairs/PPJoin
+    prefix filtering: only each doc's |x|-ceil(t|x|)+1 rarest shingles
+    enter the candidate self-join (common shingles sort last and never
+    join — the hot-key fan-out of the full inverted index is gone),
+    then a size-ratio prune and exact verification on candidates only.
+    No false negatives, so the output is IDENTICAL to
+    dedup_ngram_jaccard and shares its exact-Jaccard oracle."""
+    docs = _t(spark, sf, "documents")
+    out = dedup.prefix_filter_jaccard_pairs(docs, threshold=0.5, n=3)
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_kmv_distinct(spark, sf):
+    """KMV (k-minimum-values) distinct sketch, k=128: per source, the
+    128 smallest md5 tags over distinct tokens; estimate (k-1)/u_k,
+    exact when a group holds < k tags. Unlike HLL the sketch rows are
+    exact values — the whole sketch (not just the estimate) replays
+    byte-identically in DuckDB — and the sketch doubles as a uniform
+    sample of the distinct domain. Distinct agg + per-group
+    WindowGroupLimit; never a single-partition window."""
+    from pdf_to_vectordb_etl_spark.operators import sketch
+
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    sk = sketch.kmv_bottomk(toks, "tok", k=128, by="source")
+    est = sketch.kmv_estimate(sk, k=128, by="source")
+    exact = toks.groupBy("source").agg(
+        F.count_distinct("tok").alias("exact_distinct")
+    )
+    return est.join(exact, "source").select(
+        "source",
+        F.round("est_distinct", 4).alias("est_distinct"),
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+def q_t11_stream_cms(spark, sf):
+    """T11 — streaming Count-Min frequency sketching: the counter file
+    maintained as a streaming sum-aggregate (associative increments —
+    state bounded at depth×width rows, batch-split-invariant), then
+    point estimates for the exact top-15 tokens over the snapshot.
+    Over identical rows the snapshot equals the batch sketch, so the
+    batch CMS SQL (cms_heavy_hitters) is the parity oracle."""
+    import tempfile
+
+    from pdf_to_vectordb_etl_spark.operators import sketch
+    from pdf_to_vectordb_etl_spark.streaming.pipeline import (
+        stream_countmin_registers,
+    )
+
+    raw_schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+    )
+    regs = stream_countmin_registers(stream)
+    name = "t11_stream_cms_regs"
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t11ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    cms = spark.table(name)
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "tok")
+        .limit(15)
+    )
+    est = sketch.countmin_estimate(top.select("tok"), cms, "tok")
+    return top.join(est, top["tok"] == est["elem"]).select(
+        "tok",
+        "exact_n",
+        "est_n",
+        (F.col("est_n") >= F.col("exact_n")).alias("no_underestimate"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -4206,6 +4303,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_khop": q_graph_khop,
         "rendezvous_shard": q_rendezvous_shard,
         "text_normalize": q_text_normalize,
+        "dedup_prefix_filter": q_dedup_prefix_filter,
+        "kmv_distinct": q_kmv_distinct,
+        "t11_stream_cms": q_t11_stream_cms,
     }
 
 
@@ -8308,6 +8408,37 @@ def oracle_sql() -> dict[str, str]:
             FROM j GROUP BY shard8
         """,
         "text_normalize": _normalize_oracle_sql(),
+        "kmv_distinct": r"""
+            WITH toks AS (
+              SELECT source,
+                     unnest(string_split_regex(lower(text), '\s+')) AS tok
+              FROM documents),
+            t2 AS (SELECT source, tok FROM toks WHERE tok <> ''),
+            d AS (
+              SELECT DISTINCT source,
+                     (('0x' || substr(md5(tok), 1, 12))::BIGINT + 0.5)
+                       / 281474976710656.0 AS u
+              FROM t2),
+            sk AS (
+              SELECT source, u FROM d
+              QUALIFY row_number() OVER (PARTITION BY source ORDER BY u)
+                <= 128),
+            est AS (
+              SELECT source,
+                     CASE WHEN count(*) < 128
+                          THEN CAST(count(*) AS DOUBLE)
+                          ELSE 127.0 / max(u) END AS e
+              FROM sk GROUP BY source),
+            ex AS (
+              SELECT source, count(DISTINCT tok) AS exact_distinct
+              FROM t2 GROUP BY source)
+            SELECT est.source,
+                   round(e, 4) AS est_distinct,
+                   exact_distinct,
+                   round(abs(e - exact_distinct) * 1.0 / exact_distinct, 4)
+                     AS rel_err
+            FROM est JOIN ex ON est.source = ex.source
+        """,
     }
 
     # the streaming session_window form must agree row-for-row with the
@@ -8316,4 +8447,10 @@ def oracle_sql() -> dict[str, str]:
     # the stateful streaming flagger must emit the identical flag set
     # to the batch trailing-window formulation — same oracle
     d["t8_stream_anomaly"] = d["anomaly_zscore"]
+    # prefix filtering has no false negatives, so its output must equal
+    # the plain inverted-index operator's exact-Jaccard pair set
+    d["dedup_prefix_filter"] = d["dedup_ngram_jaccard"]
+    # streaming CMS registers over identical rows == the batch sketch,
+    # so the batch CMS estimate SQL is the parity oracle
+    d["t11_stream_cms"] = d["cms_heavy_hitters"]
     return d

@@ -149,6 +149,91 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by word-n-gram Jaccard — same contract and same
+    output as ``ngram_jaccard_pairs`` — via AllPairs/PPJoin-class
+    prefix filtering (Bayardo et al. WWW'07; Xiao et al. WWW'08,
+    public): with shingles globally ordered rarest-first, two sets of
+    sizes |x|,|y| with J ≥ t MUST collide inside their first
+    |x| − ⌈t·|x|⌉ + 1 shingles, so only that prefix enters the
+    candidate self-join. The full inverted index joins every posting
+    — its fan-out is Σ df(s)², dominated by the most common shingles;
+    the prefix index drops exactly those (common shingles sort last
+    and fall outside every prefix), which is the difference between a
+    hot-key shuffle and a bounded one at 100 TB. A size-ratio filter
+    (J ≥ t ⇒ t·max(|x|,|y|) ≤ min(|x|,|y|)) prunes candidates before
+    verification; verification rejoins ONLY candidate pairs against
+    the full shingle sets (fan-out |x| per surviving pair). Exactness:
+    no false negatives by the prefix lemma, so output ≡ the baseline
+    operator's (pinned in tests AND by sharing its oracle).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from pyspark.sql import Window
+
+    ex = _shingle_hashes(df, text_col, id_col, n).persist()
+    counts = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
+    docfreq = ex.groupBy("h").agg(F.count("*").alias("_df"))
+    # rarest-first global order (df, then hash as the total-order tiebreak
+    # — both docs of a pair must rank shingles IDENTICALLY for the lemma)
+    ranked = (
+        ex.join(docfreq, "h")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("_df", "h")
+            ),
+        )
+        .join(counts, "id")
+        .filter(
+            F.col("_rn")
+            <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        )
+        .select("id", "h", "n_sh")
+    )
+    a = ranked.select(
+        F.col("id").alias("id_a"), "h", F.col("n_sh").alias("na")
+    )
+    b = ranked.select(
+        F.col("id").alias("id_b"), "h", F.col("n_sh").alias("nb")
+    )
+    cand = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.least("na", "nb")
+            >= F.lit(threshold) * F.greatest("na", "nb")
+        )
+        .select("id_a", "id_b", "na", "nb")
+        .distinct()
+    )
+    fa = ex.select(F.col("id").alias("id_a"), "h")
+    fb = ex.select(F.col("id").alias("id_b"), "h")
+    common = (
+        cand.join(fa, "id_a")
+        .join(fb, ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.any_value("na").alias("na"),
+            F.any_value("nb").alias("nb"),
+        )
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    out = (
+        common.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
 # ---------------------------------------------------------------- MinHash/LSH
 
 def minhash_signatures(

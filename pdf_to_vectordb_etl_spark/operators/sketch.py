@@ -273,3 +273,75 @@ def hll_sliding_uniques(
     return hll_estimate_from_registers(
         merged.select("tb", "bucket", F.col("rw").alias("r")), by="tb", m=m
     ).select(F.col("tb").alias("time_bucket"), "hll_estimate")
+
+
+# ----------------------------------------------------------------- KMV
+
+#: 12 md5 hex chars = 48 bits: exactly representable in DOUBLE, and the
+#: ('0x'||hex)::BIGINT cast replays it in DuckDB without nibble math.
+_KMV_HEX = 12
+_KMV_SPAN = float(16**_KMV_HEX)
+
+
+def kmv_u(c: Column) -> Column:
+    """Uniform (0,1) tag for a distinct element: first 12 md5 hex chars
+    + 0.5, scaled — strictly inside the unit interval (same guard as
+    sampling.weighted_sample: u=0 would break the estimator below)."""
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, _KMV_HEX), 16, 10)
+    return (h.cast("double") + 0.5) / F.lit(_KMV_SPAN)
+
+
+def kmv_bottomk(
+    df: DataFrame,
+    elem_col: str,
+    k: int = 256,
+    by: str | None = None,
+) -> DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef et al. 2002; Beyer
+    et al. 2007, public): per group, the ``k`` smallest uniform hash
+    tags over DISTINCT elements. Complements the HLL register file
+    with two properties HLL lacks: the sketch doubles as a uniform
+    sample of the distinct domain (quantiles/joins over it are
+    meaningful), and every value in it is exact — so the whole sketch
+    is deterministically replayable by an external engine, not just
+    the estimate.
+
+    Mergeable: bottom-k of a union == bottom-k of the concatenated
+    per-partition bottom-ks (pinned in tests). Plan shape: project to
+    the tag, distinct on it (one hash agg — distinct elements whose
+    48-bit tags collide collapse, a ≤0.2%-at-1M-distinct negative bias
+    the estimator absorbs and the oracle reproduces), then per-group
+    rank window (WindowGroupLimit: only k rows leave each partition)
+    or, with no grouping, a global TakeOrdered limit — never a
+    single-partition window. The sketch is ≤ groups×k rows of one
+    double each. Returns (by?, u)."""
+    from pyspark.sql import Window
+
+    keys = [by] if by else []
+    d = df.select(
+        *keys, kmv_u(F.col(elem_col)).alias("u")
+    ).distinct()
+    if not keys:
+        return d.orderBy("u").limit(k)
+    w = Window.partitionBy(*keys).orderBy("u")
+    return (
+        d.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def kmv_estimate(bottomk: DataFrame, k: int, by: str | None = None) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: (k-1)/u_k with u_k
+    the k-th smallest tag; a group holding fewer than k tags has been
+    seen in full, so its count is exact. One agg over the ≤ groups×k
+    sketch rows. Returns (by?, est_distinct)."""
+    keys = [by] if by else []
+    g = bottomk.groupBy(*keys) if keys else bottomk.groupBy()
+    return g.agg(
+        F.when(
+            F.count("*") < k, F.count("*").cast("double")
+        )
+        .otherwise((F.lit(float(k - 1))) / F.max("u"))
+        .alias("est_distinct")
+    )

@@ -429,6 +429,48 @@ def stream_hll_registers(
     )
 
 
+def stream_countmin_registers(
+    docs_stream,
+    elem_expr: F.Column | None = None,
+    depth: int = 4,
+    width: int = 1024,
+) -> "DataFrame":
+    """T11 — incremental frequency sketching under Structured
+    Streaming: the Count-Min counter file of sketch.countmin_build
+    maintained as a streaming sum-aggregate. Counter increments are
+    associative and commutative, so the streaming state IS the sketch
+    — each micro-batch folds its (row, pos) increments in without
+    rescanning history, batch-split-invariant by construction — and a
+    snapshot at any point equals the batch sketch over the same rows
+    (the batch CMS SQL is therefore the parity oracle). State is
+    bounded at depth×width rows regardless of stream length; point
+    estimates (min over depth counters, never an underestimate) are a
+    batch pass over the snapshot via sketch.countmin_estimate."""
+    from ..operators.sketch import _pos
+
+    elem = (
+        elem_expr
+        if elem_expr is not None
+        else F.explode(F.split(F.lower(F.col("text")), r"\s+"))
+    )
+    toks = docs_stream.select(elem.alias("_tok")).filter(F.col("_tok") != "")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                _pos(F.col("_tok"), i, width).alias("pos"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        toks.select(F.explode(rows).alias("e"))
+        .select("e.row", "e.pos")
+        .groupBy("row", "pos")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def stream_apply_changes(
     changes_stream: DataFrame,
     snapshot_path: str,

@@ -1106,3 +1106,121 @@ def test_normalize_text_folds_and_collapses(spark):
         "中文 unchanged",
         "",
     ]
+
+
+def test_prefix_filter_equals_baseline_with_fewer_candidates(spark, sf_dir):
+    """The prefix lemma: identical pair output to the full
+    inverted-index operator at the same threshold, while the candidate
+    self-join touches strictly fewer postings (common shingles fall
+    outside every prefix)."""
+    from pdf_to_vectordb_etl_spark.operators import dedup
+    from pdf_to_vectordb_etl_spark.operators.dedup import _shingle_hashes
+
+    docs = load(spark, sf_dir, "documents")
+    base = dedup.ngram_jaccard_pairs(docs, threshold=0.5, n=3).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("j")
+    )
+    pf = dedup.prefix_filter_jaccard_pairs(docs, threshold=0.5, n=3).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("j")
+    )
+    assert base.exceptAll(pf).count() == 0
+    assert pf.exceptAll(base).count() == 0
+    # posting-volume pin: Sum df(s)^2 over indexed shingles shrinks
+    ex = _shingle_hashes(docs, "text", "doc_id", 3)
+    full_fanout = (
+        ex.groupBy("h").count().agg(F.sum(F.col("count") ** 2)).first()[0]
+    )
+    # recompute the prefix posting count directly: rarest-first ranks
+    from pyspark.sql import Window
+
+    counts = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
+    docfreq = ex.groupBy("h").agg(F.count("*").alias("_df"))
+    pref = (
+        ex.join(docfreq, "h")
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("id").orderBy("_df", "h")),
+        )
+        .join(counts, "id")
+        .filter(F.col("_rn") <= F.col("n_sh") - F.ceil(0.5 * F.col("n_sh")) + 1)
+    )
+    pref_fanout = (
+        pref.groupBy("h").count().agg(F.sum(F.col("count") ** 2)).first()[0]
+    )
+    assert pref_fanout < full_fanout, (pref_fanout, full_fanout)
+
+
+def test_kmv_merge_and_exact_small_groups(spark):
+    """KMV invariants: a group with < k distinct elements is counted
+    exactly; bottom-k of a union equals bottom-k over concatenated
+    per-split sketches (mergeability); estimate tracks the true
+    cardinality within the k^-1/2 error regime."""
+    from pdf_to_vectordb_etl_spark.operators import sketch
+
+    n = 5000
+    df = spark.range(n).select(
+        F.concat(F.lit("e"), F.col("id")).alias("elem")
+    )
+    k = 64
+    sk = sketch.kmv_bottomk(df, "elem", k=k)
+    est = sketch.kmv_estimate(sk, k=k).first()["est_distinct"]
+    assert abs(est - n) / n < 0.5, est  # 1/sqrt(64) regime, loose band
+    # exact when under k
+    small = spark.range(40).select(F.concat(F.lit("s"), F.col("id")).alias("elem"))
+    est_small = sketch.kmv_estimate(
+        sketch.kmv_bottomk(small, "elem", k=k), k=k
+    ).first()["est_distinct"]
+    assert est_small == 40.0
+    # mergeability: sketch(A ∪ B) == bottom-k(sketch(A) ∪ sketch(B))
+    a = df.filter(F.col("elem") < "e3")
+    b = df.filter(F.col("elem") >= "e3")
+    sk_union = sketch.kmv_bottomk(df, "elem", k=k)
+    # merge = bottom-k over the CONCATENATED sketches' tags (no rehash)
+    merged = (
+        sketch.kmv_bottomk(a, "elem", k=k)
+        .unionByName(sketch.kmv_bottomk(b, "elem", k=k))
+        .distinct()
+        .orderBy("u")
+        .limit(k)
+    )
+    got = sorted(r["u"] for r in merged.collect())
+    want = sorted(r["u"] for r in sk_union.collect())
+    assert got == want
+
+
+def test_stream_cms_registers_equal_batch(spark, sf_dir):
+    """T11: the streaming Count-Min counter snapshot over the full
+    table equals the batch sketch row-for-row — associative-sum state
+    under micro-batching."""
+    import tempfile
+
+    from pdf_to_vectordb_etl_spark.operators import sketch
+    from pdf_to_vectordb_etl_spark.streaming.pipeline import (
+        stream_countmin_registers,
+    )
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    q = (
+        stream_countmin_registers(stream)
+        .writeStream.format("memory")
+        .queryName("t11_regs_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t11t"))
+        .start()
+    )
+    q.awaitTermination(300)
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    batch = sketch.countmin_build(toks, "tok")
+    streamed = spark.table("t11_regs_test")
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
