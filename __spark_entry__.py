@@ -4090,6 +4090,46 @@ def q_t11_stream_cms(spark, sf):
     )
 
 
+def q_merkle_diff(spark, sf):
+    """Anti-entropy snapshot reconciliation: two-level Merkle compare
+    — one partial-combinable XOR-checksum agg per snapshot (4096 rows
+    out regardless of table size), fingerprint join to localize
+    disagreeing buckets, row-level full-outer diff over ONLY those
+    buckets. Output ≡ the one-shot snapshot_diff (no false negatives:
+    a changed row always changes its bucket's fingerprint), so the
+    oracle verifies the changelog directly. The 'new' snapshot is
+    synthesized deterministically: +1 value drift on id%101, deletes
+    on id%103, inserts cloned to id+10M on id%107."""
+    from pdf_to_vectordb_etl_spark.operators import cdc
+
+    ev = _t(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 10000).cast("long").alias("vi"),
+        "value",
+    )
+    old = ev.select("event_id", "event_type", "vi")
+    base = ev.filter(F.col("event_id") % 103 != 0).select(
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("event_id") % 101 == 0,
+            F.floor((F.col("value") + 1) * 10000).cast("long"),
+        )
+        .otherwise(F.col("vi"))
+        .alias("vi"),
+    )
+    added = ev.filter(F.col("event_id") % 107 == 0).select(
+        (F.col("event_id") + 10_000_000).alias("event_id"),
+        "event_type",
+        "vi",
+    )
+    new = base.unionByName(added)
+    return cdc.merkle_diff(
+        old, new, ["event_id"], ["event_type", "vi"], n_buckets=4096
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -4306,6 +4346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_prefix_filter": q_dedup_prefix_filter,
         "kmv_distinct": q_kmv_distinct,
         "t11_stream_cms": q_t11_stream_cms,
+        "merkle_diff": q_merkle_diff,
     }
 
 
@@ -8438,6 +8479,30 @@ def oracle_sql() -> dict[str, str]:
                    round(abs(e - exact_distinct) * 1.0 / exact_distinct, 4)
                      AS rel_err
             FROM est JOIN ex ON est.source = ex.source
+        """,
+        "merkle_diff": """
+            WITH o AS (
+              SELECT event_id, event_type,
+                     CAST(floor(value * 10000) AS BIGINT) AS vi
+              FROM events),
+            n AS (
+              SELECT event_id, event_type,
+                     CASE WHEN event_id % 101 = 0
+                          THEN CAST(floor((value + 1) * 10000) AS BIGINT)
+                          ELSE CAST(floor(value * 10000) AS BIGINT) END AS vi
+              FROM events WHERE event_id % 103 <> 0
+              UNION ALL
+              SELECT event_id + 10000000, event_type,
+                     CAST(floor(value * 10000) AS BIGINT)
+              FROM events WHERE event_id % 107 = 0)
+            SELECT coalesce(o.event_id, n.event_id) AS event_id,
+                   CASE WHEN o.event_id IS NULL THEN 'added'
+                        WHEN n.event_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS change_type
+            FROM o FULL JOIN n
+              ON o.event_id = n.event_id
+            WHERE o.event_id IS NULL OR n.event_id IS NULL
+               OR o.event_type <> n.event_type OR o.vi <> n.vi
         """,
     }
 

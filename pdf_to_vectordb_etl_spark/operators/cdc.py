@@ -217,3 +217,114 @@ def live_rows(snapshot: DataFrame, delete_op: str = "delete") -> DataFrame:
     """The queryable view of a merge_changelog snapshot: tombstones
     filtered, bookkeeping columns dropped."""
     return snapshot.filter(F.col("_op") != delete_op).drop("_op", "_ver")
+
+
+# ------------------------------------------------------- Merkle reconcile
+
+def _h60_concat(cols: list[str]):
+    """Portable 60-bit row hash over named columns: unit-separated
+    concat (0x1f never occurs in the data's printable domain) through
+    the repo's md5-60-bit construction (sketch._h60) — replayable in
+    DuckDB via the same strpos nibble fold or ('0x'||hex) cast."""
+    from .sketch import _h60
+
+    return _h60(
+        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
+    )
+
+
+def merkle_summary(
+    df: DataFrame,
+    key_cols: list[str],
+    payload_cols: list[str],
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Bucketed checksum summary for cheap snapshot reconciliation
+    (the anti-entropy / Merkle-tree idea from replicated storage
+    systems — Merkle 1987; Dynamo-class stores use it for replica
+    sync; all public): each row hashes to one of ``n_buckets`` by its
+    KEY, and the bucket's fingerprint is the XOR of portable 60-bit
+    row hashes over key+payload, plus a row count.
+
+    XOR is commutative/associative, so the whole summary is ONE
+    partial-combinable aggregate — map-side combine leaves
+    ``n_buckets`` rows per executor and the result is n_buckets rows
+    total, whatever the table size. Comparing two 100 TB snapshots
+    costs two scans + a join of two 4096-row tables; the row-level
+    shuffle (`merkle_diff`) then touches ONLY the buckets whose
+    fingerprints differ — O(churn-containing fraction), never
+    O(table). snapshot_diff above is the one-shot full-shuffle
+    alternative; this pair is the incremental-scale path.
+
+    Hashes are the repo's portable md5-60-bit construction (same as
+    sketch/sampling), so an external engine derives the identical
+    summary — cross-system reconciliation is the whole point.
+    """
+    rowh = _h60_concat([*key_cols, *payload_cols])
+    bucket = _h60_concat(key_cols) % n_buckets
+    return (
+        df.select(bucket.alias("bucket"), rowh.alias("_rh"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.expr("bit_xor(_rh)").alias("checksum"),
+        )
+    )
+
+
+def merkle_changed_buckets(
+    summary_old: DataFrame, summary_new: DataFrame
+) -> DataFrame:
+    """Buckets whose (count, checksum) fingerprints disagree between
+    two summaries — a full-outer join of two n_buckets-row tables
+    (absent bucket == empty bucket). Returns (bucket)."""
+    o = summary_old.select(
+        "bucket",
+        F.col("n_rows").alias("_no"),
+        F.col("checksum").alias("_co"),
+    )
+    n = summary_new.select(
+        "bucket",
+        F.col("n_rows").alias("_nn"),
+        F.col("checksum").alias("_cn"),
+    )
+    j = o.join(n, "bucket", "full_outer")
+    differs = ~(
+        F.coalesce(F.col("_no"), F.lit(0)).eqNullSafe(
+            F.coalesce(F.col("_nn"), F.lit(0))
+        )
+        & F.coalesce(F.col("_co"), F.lit(0)).eqNullSafe(
+            F.coalesce(F.col("_cn"), F.lit(0))
+        )
+    )
+    return j.filter(differs).select("bucket")
+
+
+def merkle_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    payload_cols: list[str],
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Row-level changelog computed the anti-entropy way: summarize
+    both snapshots (one agg each), find disagreeing buckets (tiny
+    join), then run the full-outer row diff ONLY over rows hashing
+    into those buckets (broadcast semi-join on the bucket id). Output
+    contract matches snapshot_diff: (key..., change_type) — and
+    equals it exactly, since unchanged buckets contain no changed
+    rows (pinned in tests)."""
+    changed = merkle_changed_buckets(
+        merkle_summary(old, key_cols, payload_cols, n_buckets),
+        merkle_summary(new, key_cols, payload_cols, n_buckets),
+    )
+    bucket = _h60_concat(key_cols) % n_buckets
+    o = old.withColumn("_b", bucket).join(
+        F.broadcast(changed), F.col("_b") == F.col("bucket"), "left_semi"
+    )
+    n = new.withColumn("_b", bucket).join(
+        F.broadcast(changed), F.col("_b") == F.col("bucket"), "left_semi"
+    )
+    return snapshot_diff(
+        o.drop("_b"), n.drop("_b"), key_cols, compare_cols=payload_cols
+    )

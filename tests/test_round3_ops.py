@@ -1224,3 +1224,47 @@ def test_stream_cms_registers_equal_batch(spark, sf_dir):
     streamed = spark.table("t11_regs_test")
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_merkle_diff_equals_snapshot_diff_and_localizes(spark, sf_dir):
+    """Anti-entropy reconciliation invariants: the bucket-localized
+    diff equals the one-shot full-outer snapshot_diff row-for-row; the
+    summary is bounded at n_buckets rows; and the disagreeing-bucket
+    set is a small fraction of the table's buckets when churn is
+    small (that locality is the entire point)."""
+    from pdf_to_vectordb_etl_spark.operators import cdc
+    from tests.conftest import load as _load
+
+    ev = _load(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.floor(F.col("value") * 10000).cast("long").alias("vi"),
+    )
+    old = ev
+    new = (
+        ev.filter(F.col("event_id") % 211 != 0)
+        .withColumn(
+            "vi",
+            F.when(F.col("event_id") % 199 == 0, F.col("vi") + 7).otherwise(
+                F.col("vi")
+            ),
+        )
+    )
+    keys, payload = ["event_id"], ["event_type", "vi"]
+    want = sorted(
+        (r["event_id"], r["change_type"])
+        for r in cdc.snapshot_diff(old, new, keys, payload).collect()
+    )
+    got = sorted(
+        (r["event_id"], r["change_type"])
+        for r in cdc.merkle_diff(old, new, keys, payload, n_buckets=512).collect()
+    )
+    assert got == want and len(got) > 0
+    s_old = cdc.merkle_summary(old, keys, payload, n_buckets=512)
+    s_new = cdc.merkle_summary(new, keys, payload, n_buckets=512)
+    assert s_old.count() <= 512
+    n_changed = cdc.merkle_changed_buckets(s_old, s_new).count()
+    # ~1.5% churn over 512 buckets: most buckets must fingerprint equal
+    assert 0 < n_changed < 512 * 0.5, n_changed
+    # identical snapshots -> zero disagreeing buckets, empty diff
+    assert cdc.merkle_changed_buckets(s_old, s_old).count() == 0
+    assert cdc.merkle_diff(old, old, keys, payload, n_buckets=512).count() == 0
