@@ -4130,6 +4130,25 @@ def q_merkle_diff(spark, sf):
     )
 
 
+def q_fd_profile(spark, sf):
+    """Functional-dependency profiling (g3 error): for candidate
+    det→dep pairs, the minimum number of row deletions for the FD to
+    hold — 0 for the key-determined pair (event_id→event_type),
+    positive for behavioral pairs. Two partial-combinable aggs per
+    pair, no windows or joins; see profiling.fd_violations."""
+    from pdf_to_vectordb_etl_spark.operators import profiling
+
+    ev = _t(spark, sf, "events").select("event_id", "user_id", "event_type")
+    return profiling.fd_violations(
+        ev,
+        [
+            ("event_id", "event_type"),
+            ("user_id", "event_type"),
+            ("event_type", "user_id"),
+        ],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -4347,6 +4366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "t11_stream_cms": q_t11_stream_cms,
         "merkle_diff": q_merkle_diff,
+        "fd_profile": q_fd_profile,
     }
 
 
@@ -8503,6 +8523,34 @@ def oracle_sql() -> dict[str, str]:
               ON o.event_id = n.event_id
             WHERE o.event_id IS NULL OR n.event_id IS NULL
                OR o.event_type <> n.event_type OR o.vi <> n.vi
+        """,
+        "fd_profile": """
+            SELECT 'event_id' AS determinant, 'event_type' AS dependent,
+                   CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(coalesce(sum(_n - _mode), 0) AS BIGINT) AS n_violations,
+                   coalesce(sum(_n - _mode), 0) = 0 AS holds
+            FROM (SELECT event_id, sum(c) AS _n, max(c) AS _mode
+                  FROM (SELECT event_id, event_type, count(*) AS c
+                        FROM events GROUP BY 1, 2)
+                  GROUP BY event_id)
+            UNION ALL
+            SELECT 'user_id', 'event_type',
+                   CAST(count(*) AS BIGINT),
+                   CAST(coalesce(sum(_n - _mode), 0) AS BIGINT),
+                   coalesce(sum(_n - _mode), 0) = 0
+            FROM (SELECT user_id, sum(c) AS _n, max(c) AS _mode
+                  FROM (SELECT user_id, event_type, count(*) AS c
+                        FROM events GROUP BY 1, 2)
+                  GROUP BY user_id)
+            UNION ALL
+            SELECT 'event_type', 'user_id',
+                   CAST(count(*) AS BIGINT),
+                   CAST(coalesce(sum(_n - _mode), 0) AS BIGINT),
+                   coalesce(sum(_n - _mode), 0) = 0
+            FROM (SELECT event_type, sum(c) AS _n, max(c) AS _mode
+                  FROM (SELECT event_type, user_id, count(*) AS c
+                        FROM events GROUP BY 1, 2)
+                  GROUP BY event_type)
         """,
     }
 

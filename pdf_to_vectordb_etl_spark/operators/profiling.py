@@ -176,3 +176,45 @@ def psi_drift(
             ).alias("psi")
         )
     )
+
+
+def fd_violations(
+    df: DataFrame, pairs: list[tuple[str, str]]
+) -> DataFrame:
+    """Functional-dependency check over candidate column pairs (the
+    core primitive of FD-discovery profilers — Papenbrock et al.,
+    VLDB'15 'Functional Dependency Discovery', public): for each
+    (determinant → dependent) candidate, the violation count is
+    Σ_over_det_values (group size − mode frequency) — the minimum
+    number of rows to delete for the FD to hold exactly (the g3 error
+    measure). ``holds`` iff that count is 0.
+
+    Per pair: one (det, dep) hash agg, one det-level re-agg, one
+    global fold — all partial-combinable, no windows, no joins; pairs
+    are evaluated independently and unioned (the candidate list is
+    human-sized). Skew-safe: the mode per determinant comes from
+    max(count), never from collecting a group."""
+    outs = []
+    for det, dep in pairs:
+        g = df.groupBy(det, dep).agg(F.count("*").alias("_c"))
+        per_det = g.groupBy(det).agg(
+            F.sum("_c").alias("_n"), F.max("_c").alias("_mode")
+        )
+        outs.append(
+            per_det.agg(
+                F.count("*").alias("n_groups"),
+                F.coalesce(F.sum(F.col("_n") - F.col("_mode")), F.lit(0))
+                .cast("long")
+                .alias("n_violations"),
+            ).select(
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                "n_groups",
+                "n_violations",
+                (F.col("n_violations") == 0).alias("holds"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -303,3 +303,65 @@ def test_ewma_window_is_partitioned(spark, sf_dir):
     # the "No Partition Defined" warning marker is the authoritative signal
     formatted = _plan(_q(spark, sf_dir, "ewma_smooth"))
     assert "No Partition Defined" not in formatted
+
+
+def test_kmv_grouped_uses_window_group_limit(spark, sf_dir):
+    """The per-group bottom-k rank must push the k-limit into the
+    window (only 128 rows leave each partition), and the global form
+    must be a TakeOrdered, never a single-partition window."""
+    from pdf_to_vectordb_etl_spark.operators import sketch
+    from tests.conftest import load
+
+    docs = load(spark, sf_dir, "documents")
+    import pyspark.sql.functions as F
+
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    )
+    grouped = _plan(sketch.kmv_bottomk(toks, "tok", k=128, by="source"), "simple")
+    assert "WindowGroupLimit" in grouped
+    glob = _plan(sketch.kmv_bottomk(toks, "tok", k=128), "simple")
+    assert "TakeOrdered" in glob
+    assert "Window" not in glob
+
+
+def test_merkle_summary_is_partial_aggregate(spark, sf_dir):
+    """The snapshot fingerprint must map-side combine (partial
+    bit_xor + count before the exchange) — that is what makes the
+    summary one constant-size pass over a 100 TB snapshot."""
+    from pdf_to_vectordb_etl_spark.operators import cdc
+    from tests.conftest import load
+
+    ev = load(spark, sf_dir, "events")
+    plan = _plan(
+        cdc.merkle_summary(ev, ["event_id"], ["event_type"], 4096), "simple"
+    )
+    assert "partial_" in plan
+    assert "Window" not in plan and "Sort" not in plan
+
+
+def test_rendezvous_assignment_is_narrow(spark, sf_dir):
+    """Shard assignment is a pure projection riding the scan: no
+    Exchange, no Window, no Sort in the per-row plan."""
+    from pdf_to_vectordb_etl_spark.operators import sampling
+    from tests.conftest import load
+
+    docs = load(spark, sf_dir, "documents")
+    plan = _plan(
+        docs.select(sampling.rendezvous_shard("doc_id", 8).alias("s")), "simple"
+    )
+    assert "Exchange" not in plan
+    assert "Window" not in plan and "Sort" not in plan
+
+
+def test_prefix_filter_joins_on_hashes(spark, sf_dir):
+    """Candidate generation and verification join on 8-byte shingle
+    hashes (h#...L), never on shingle strings; no cartesian fallback."""
+    plan = _plan(_q(spark, sf_dir, "dedup_prefix_filter"), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    join_keys = re.findall(r"SortMergeJoin \[([^\]]*)\]", plan)
+    for keys in join_keys:
+        assert "_s#" not in keys, keys  # raw shingle strings never join

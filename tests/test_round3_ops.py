@@ -1268,3 +1268,23 @@ def test_merkle_diff_equals_snapshot_diff_and_localizes(spark, sf_dir):
     # identical snapshots -> zero disagreeing buckets, empty diff
     assert cdc.merkle_changed_buckets(s_old, s_old).count() == 0
     assert cdc.merkle_diff(old, old, keys, payload, n_buckets=512).count() == 0
+
+
+def test_fd_violations_g3_semantics(spark):
+    """g3 measure by hand: det=1 -> {a:3, b:1} violates by 1; det=2 ->
+    {a:2} clean; an exact FD reports holds=True with 0 violations."""
+    from pdf_to_vectordb_etl_spark.operators import profiling
+
+    rows = [(1, "a")] * 3 + [(1, "b")] + [(2, "a")] * 2
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = {
+        (r["determinant"], r["dependent"]): r
+        for r in profiling.fd_violations(df, [("k", "v"), ("v", "k")]).collect()
+    }
+    kv = out[("k", "v")]
+    assert kv["n_groups"] == 2 and kv["n_violations"] == 1 and not kv["holds"]
+    vk = out[("v", "k")]  # v=a -> {1:3, 2:2} violates by 2; v=b clean
+    assert vk["n_groups"] == 2 and vk["n_violations"] == 2 and not vk["holds"]
+    ident = profiling.fd_violations(df.withColumn("w", F.col("k")), [("k", "w")])
+    r = ident.first()
+    assert r["holds"] and r["n_violations"] == 0

@@ -57,6 +57,9 @@ HEADLINE = [
     ("graph_khop", "per-hop frontier-adjacency equi-join + anti-join vs cached visited tiers; no full-graph rescan"),
     ("rendezvous_shard", "HRW argmax is a narrow per-row expression; only the final stats agg shuffles"),
     ("text_normalize", "fold/collapse chain is one codegen projection riding the scan"),
+    ("dedup_prefix_filter", "only rarest-prefix postings enter the candidate self-join; exact verify on candidates"),
+    ("kmv_distinct", "distinct-on-tag agg + per-group WindowGroupLimit; estimate over <= groups*k rows"),
+    ("merkle_diff", "two partial bit_xor summary aggs + tiny fingerprint join; row shuffle only for disagreeing buckets"),
     ("cohort_retention", "first-seen agg and join-back share the user_id exchange; cohort sizes broadcast"),
     ("sole_late_supplier", "Q21 class decorrelated: per-order agg + join-back, no EXISTS re-scan"),
     ("ta_perplexity", "LM model broadcast onto the bigram stream; percentile cutpoint broadcast, no sort"),
