@@ -4149,6 +4149,22 @@ def q_fd_profile(spark, sf):
     )
 
 
+def q_graph_cc_star(spark, sf):
+    """Connected components by large-star/small-star contraction over
+    the shared-rare-token doc graph — O(log² n) rounds on ANY topology
+    (dedup.cluster_pairs' min-label propagation is O(diameter) and
+    now raises on non-convergence; star contraction is the
+    chain-safe path). Label = component-minimum doc_id; oracle is a
+    DuckDB recursive-CTE reachability fixpoint, so parity holds
+    whatever the round count."""
+    from pdf_to_vectordb_etl_spark.operators import graph
+
+    docs = _t(spark, sf, "documents")
+    edges = graph.shared_token_edges(docs, min_df=2, max_df=3)
+    out = graph.connected_components_star(edges)
+    return out.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -4367,6 +4383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t11_stream_cms": q_t11_stream_cms,
         "merkle_diff": q_merkle_diff,
         "fd_profile": q_fd_profile,
+        "graph_cc_star": q_graph_cc_star,
     }
 
 
@@ -8551,6 +8568,36 @@ def oracle_sql() -> dict[str, str]:
                   FROM (SELECT event_type, user_id, count(*) AS c
                         FROM events GROUP BY 1, 2)
                   GROUP BY event_type)
+        """,
+        "graph_cc_star": r"""
+            WITH w AS (
+              SELECT doc_id AS id,
+                     string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                                  ' ') AS w
+              FROM documents),
+            toks AS (
+              SELECT id,
+                     unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(w)-2, 0)),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS tok
+              FROM w),
+            rare AS (
+              SELECT tok FROM toks GROUP BY tok
+              HAVING count(*) BETWEEN 2 AND 3),
+            post AS (SELECT id, tok FROM toks JOIN rare USING (tok)),
+            e AS MATERIALIZED (
+              SELECT DISTINCT a.id AS a, b.id AS b
+              FROM post a JOIN post b ON a.tok = b.tok AND a.id < b.id),
+            edges AS MATERIALIZED (
+              SELECT a, b FROM e UNION SELECT b, a FROM e),
+            nodes AS (SELECT DISTINCT a AS id FROM edges),
+            reach AS (
+              WITH RECURSIVE r(id, m) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT e2.a, r.m FROM edges e2 JOIN r ON e2.b = r.id)
+              SELECT id, min(m) AS cluster_id FROM r GROUP BY id)
+            SELECT id AS doc_id, cluster_id FROM reach
         """,
     }
 

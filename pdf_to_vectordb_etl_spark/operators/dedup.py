@@ -590,12 +590,18 @@ def cluster_pairs(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     """Connected components over near-dup pair edges -> (id, cluster_id)
     with cluster_id = the component's minimum member id.
 
-    Alternating min-label propagation: each round every node adopts the
-    smallest label among itself and its neighbours; rounds double the
-    reach, so convergence needs O(log(diameter)) rounds — dup clusters
-    are near-cliques (diameter ~2), so 2-3 rounds in practice. Each
-    round is one shuffle on id; the driver only checks a convergence
-    count. Labels persist per round to cut lineage growth.
+    Min-label propagation: each round every node adopts the smallest
+    label among itself and its neighbours — reach extends ONE hop per
+    round, so convergence needs O(diameter) rounds. Dup clusters are
+    near-cliques (diameter ~2): 2-3 rounds in practice. For
+    chain-shaped graphs (reply threads, citation paths) use
+    graph.connected_components_star — O(log² n) rounds on any topology.
+    Each round is one shuffle on id; the driver only checks a
+    convergence count. Labels localCheckpoint per round: each round
+    references the previous labels 3× (neighbor join, improve join,
+    changed-count join), so persist() alone leaves a 3^rounds logical
+    plan that OOMs the driver around round 15 on high-diameter inputs
+    (observed) — checkpointing truncates it to a leaf.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -609,7 +615,7 @@ def cluster_pairs(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("cluster_id", F.col("id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -625,7 +631,7 @@ def cluster_pairs(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
                     F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -633,10 +639,22 @@ def cluster_pairs(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silent non-convergence returned WRONG labels before this
+        # guard (observed: a 150-edge random graph left 10 nodes
+        # mislabeled after 20 rounds) — fail loudly and point to the
+        # topology-independent alternative
+        edges.unpersist()
+        raise ValueError(
+            f"cluster_pairs: labels still changing after {max_iterations} "
+            "rounds — component diameter exceeds the iteration budget. "
+            "Raise max_iterations, or use "
+            "graph.connected_components_star (O(log^2 n) rounds on any "
+            "topology) for chain-shaped graphs."
+        )
     edges.unpersist()
     return labels
 

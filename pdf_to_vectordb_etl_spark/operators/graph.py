@@ -374,3 +374,109 @@ def negative_edge_sample(
         .filter(F.col("_rk") <= k_per_src)
         .select("src", "dst")
     )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    (Kiveris et al., SoCC 2014 "Connected Components in MapReduce and
+    Beyond", public) -> (id, cluster_id = component minimum).
+
+    dedup.cluster_pairs (neighbor-min label propagation) extends reach
+    ONE hop per round — O(diameter) shuffles, fine for near-clique dup
+    clusters but wrong for chain-shaped graphs (reply threads, citation
+    paths) where diameter ~ n. Star contraction rewires the edge list
+    itself each round (every node hooks onto its neighborhood minimum),
+    which squares the contraction per alternation: O(log² n) rounds on
+    ANY topology — pinned in tests: a 512-node path converges inside 12
+    rounds where label propagation would need 511.
+
+    Per round: one groupBy-min over neighborhoods + one equi-join —
+    same partitioning both phases; the edge list never grows (large-star
+    emits ≤ one edge per (center, larger-neighbor) pair). Convergence is
+    detected from a (count, xor-of-hashes) fingerprint — two scalar
+    aggs, no driver-side edge sets.
+
+    Lineage: each alternation references the previous edge list ~16
+    times (neighborhood union ×2 per phase, min join, emit union), so
+    persist() alone leaves a 16^rounds logical plan — the driver OOMs
+    analyzing it around round 10 (observed). Every round therefore
+    ``localCheckpoint``s the new edge list, which truncates the plan to
+    a leaf; at 100 TB swap for reliable checkpoint() on HDFS — same
+    contract, executor-loss-safe.
+    """
+    E = (
+        edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        E.select(F.col("u").alias("id"))
+        .unionByName(E.select(F.col("v").alias("id")))
+        .distinct()
+        .persist()
+    )
+    nodes.count()
+
+    def _fingerprint(e: DataFrame):
+        row = e.agg(
+            F.count("*").alias("c"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)
+            ).alias("x"),
+        ).first()
+        return row["c"], row["x"]
+
+    def _adj(e: DataFrame) -> DataFrame:
+        return e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        adj = _adj(e)
+        mins = adj.groupBy("u").agg(F.min("v").alias("_mn"))
+        m = F.least(F.col("u"), F.col("_mn")).alias("_m")
+        return (
+            adj.join(mins, "u")
+            .select("u", "v", m)
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        adj = _adj(e).filter(F.col("v") <= F.col("u"))
+        mins = adj.groupBy("u").agg(F.min("v").alias("_mn"))
+        m = F.least(F.col("u"), F.col("_mn")).alias("_m")
+        withm = adj.join(mins, "u").select("u", "v", m)
+        child = withm.select(F.col("v").alias("u"), F.col("_m").alias("v"))
+        center = withm.select("u", F.col("_m").alias("v")).distinct()
+        return (
+            child.unionByName(center)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    fp = _fingerprint(E)
+    for _ in range(max_rounds):
+        e3 = _small_star(_large_star(E)).localCheckpoint(eager=True)
+        fp2 = _fingerprint(e3)
+        E = e3
+        if fp2 == fp:
+            break
+        fp = fp2
+    children = E.select(F.col("u").alias("id"), F.col("v").alias("cluster_id"))
+    roots = nodes.join(
+        children.select("id"), "id", "left_anti"
+    ).select("id", F.col("id").alias("cluster_id"))
+    out = children.distinct().unionByName(roots).persist()
+    out.count()
+    if nodes.is_cached:
+        nodes.unpersist()
+    return out

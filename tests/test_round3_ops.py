@@ -1288,3 +1288,72 @@ def test_fd_violations_g3_semantics(spark):
     ident = profiling.fd_violations(df.withColumn("w", F.col("k")), [("k", "w")])
     r = ident.first()
     assert r["holds"] and r["n_violations"] == 0
+
+
+def test_cc_star_topologies_and_truth(spark):
+    """Star-contraction CC on adversarial topologies: a 64-node path
+    (diameter 63 — the min-label killer), two islands incl. a cycle,
+    and a 150-edge random graph checked against driver-side
+    union-find ground truth."""
+    from pdf_to_vectordb_etl_spark.operators import graph
+
+    def cc(rows):
+        e = spark.createDataFrame(rows, ["a", "b"])
+        return {
+            r["id"]: r["cluster_id"]
+            for r in graph.connected_components_star(e).collect()
+        }
+
+    path = [(i + 1, i) if i % 2 else (i, i + 1) for i in range(63)]
+    out = cc(path)
+    assert set(out.values()) == {0} and len(out) == 64
+    out2 = cc([(10, 11), (11, 12), (20, 21), (21, 22), (22, 20)])
+    assert out2 == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 22: 20}
+    import random
+
+    random.seed(7)
+    pairs = [
+        (a, b)
+        for a, b in [
+            (random.randrange(200), random.randrange(200)) for _ in range(150)
+        ]
+        if a != b
+    ]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    from collections import defaultdict
+
+    comp = defaultdict(set)
+    for n in parent:
+        comp[find(n)].add(n)
+    truth = {n: min(comp[find(n)]) for n in parent}
+    assert cc(pairs) == truth
+
+
+def test_cluster_pairs_raises_on_nonconvergence(spark):
+    """A 30-node path with a 3-round budget cannot converge — the old
+    code returned silently-wrong labels; it must now raise and point
+    at the star-contraction alternative."""
+    import pytest
+
+    from pdf_to_vectordb_etl_spark.operators import dedup
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["id_a", "id_b"]
+    )
+    with pytest.raises(ValueError, match="connected_components_star"):
+        dedup.cluster_pairs(chain, max_iterations=3)
+    # and with budget it converges to one component
+    out = dedup.cluster_pairs(chain, max_iterations=40).collect()
+    assert {r["cluster_id"] for r in out} == {0}
