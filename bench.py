@@ -70,6 +70,11 @@ def main() -> None:
         "trend_per_user",          # per-key OLS (regr_* aggregates)
         "ewma_smooth",             # trailing-window EWMA
         "semantic_chunks",         # embedding-drift chunking
+        "merkle_diff",             # anti-entropy snapshot reconcile
+        "kmv_distinct",            # KMV bottom-k distinct sketch
+        "rendezvous_shard",        # HRW sharding + movement stats
+        "text_normalize",          # portable fold/collapse normalize
+        "fd_profile",              # functional-dependency profiling
         "enem_questions" if "enem_questions" in entry.queries() else "ta_fingerprint",
     ]
     qs = entry.queries()

@@ -1357,3 +1357,53 @@ def test_cluster_pairs_raises_on_nonconvergence(spark):
     # and with budget it converges to one component
     out = dedup.cluster_pairs(chain, max_iterations=40).collect()
     assert {r["cluster_id"] for r in out} == {0}
+
+
+def test_pdf_pages_python_datasource_parity(spark, tmp_path):
+    """Spark 4 Python DataSource (`pdf_pages`) vs the binaryFile +
+    mapInPandas pipeline: identical page rows from the same decoder
+    kernel; empty folders scan to zero rows; partition planning is one
+    file per task."""
+    from pdf_to_vectordb_etl_spark.sources import pdf as pdfsrc
+    from pdf_to_vectordb_etl_spark.sources.pydatasource import (
+        PdfPagesDataSource,
+        PdfPagesReader,
+    )
+
+    d = tmp_path / "pdfs"
+    d.mkdir()
+    for i, name in enumerate(
+        [
+            "2022_PV_impresso_D1_CD1.pdf",
+            "2021_PV_impresso_D1_CD5.pdf",
+            "2020_PV_impresso_D2_CD7.pdf",
+        ]
+    ):
+        (d / name).write_bytes(b"%PDF-fake-" + bytes([i]) * (50 + i))
+    (d / "notes.txt").write_text("not a pdf")
+
+    spark.dataSource.register(PdfPagesDataSource)
+    via_ds = (
+        spark.read.format("pdf_pages")
+        .option("decoder", "fake")
+        .load(str(d))
+        .orderBy("path", "page_index")
+        .collect()
+    )
+    via_map = (
+        pdfsrc.pages_from_pdfs(
+            pdfsrc.scan_pdf_folder(spark, str(d)), pdfsrc.fake_pdf_decoder
+        )
+        .select("path", "page_index", "page_text", "n_images")
+        .orderBy("path", "page_index")
+        .collect()
+    )
+    assert [tuple(r) for r in via_ds] == [tuple(r) for r in via_map]
+    assert len(via_ds) >= 6  # fake decoder yields 2-4 pages per file
+    # planning: one partition per pdf, names only, non-pdf pruned
+    parts = PdfPagesReader({"path": str(d)}).partitions()
+    assert len(parts) == 3
+    # empty folder: empty scan, no error
+    e = tmp_path / "empty"
+    e.mkdir()
+    assert spark.read.format("pdf_pages").load(str(e)).count() == 0
