@@ -1407,3 +1407,142 @@ def test_pdf_pages_python_datasource_parity(spark, tmp_path):
     e = tmp_path / "empty"
     e.mkdir()
     assert spark.read.format("pdf_pages").load(str(e)).count() == 0
+
+
+def test_pdf_pages_stream_reader_exactly_once(spark, tmp_path):
+    """The pdf_pages streaming source: files dropped between
+    micro-batches are each decoded exactly once (offset = emitted file
+    list), and readBetweenOffsets replays a batch deterministically."""
+    import json
+
+    from pdf_to_vectordb_etl_spark.sources.pydatasource import (
+        PdfPagesDataSource,
+        PdfPagesStreamReader,
+    )
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    (d / "2022_PV_impresso_D1_CD1.pdf").write_bytes(b"%PDF-a" * 20)
+
+    spark.dataSource.register(PdfPagesDataSource)
+    sink = str(tmp_path / "sink")
+
+    def run_batch():
+        # parquet sink: supports checkpoint recovery (memory sink
+        # refuses to resume from an existing offset log)
+        q = (
+            spark.readStream.format("pdf_pages")
+            .option("decoder", "fake")
+            .load(str(d))
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(sink).collect()
+
+    first = run_batch()
+    assert len(first) >= 2 and all("CD1" in r["path"] for r in first)
+    # drop a second file, resume from the SAME checkpoint: only the
+    # new file's pages are appended — each file decoded exactly once
+    (d / "2021_PV_impresso_D1_CD5.pdf").write_bytes(b"%PDF-b" * 25)
+    both = run_batch()
+    added = len(both) - len(first)
+    assert added >= 2
+    assert sum("CD5" in r["path"] for r in both) == added
+    assert sum("CD1" in r["path"] for r in both) == len(first)
+    # replay determinism
+    rd = PdfPagesStreamReader({"path": str(d), "decoder": "fake"})
+    start = rd.initialOffset()
+    rows1, end = rd.read(start)
+    replay = list(rd.readBetweenOffsets(start, end))
+    assert sorted(list(rows1)) == sorted(replay)
+    assert len(json.loads(end["files"])) == 2
+
+
+def test_jsonl_manifest_writer_commit_and_abort(spark, tmp_path):
+    """The transactional writer: committed output is final shard files
+    + _MANIFEST.json whose counts/checksums match, with no staged
+    residue; abort removes staged files."""
+    import json
+    import os
+
+    from pdf_to_vectordb_etl_spark.sources.pydatasource import (
+        JsonlManifestDataSource,
+        JsonlManifestWriter,
+        ShardCommit,
+    )
+
+    spark.dataSource.register(JsonlManifestDataSource)
+    out = tmp_path / "export"
+    df = spark.range(100).selectExpr(
+        "id", "concat('doc-', id) AS name"
+    ).repartition(4)
+    df.write.format("jsonl_manifest").mode("append").save(str(out))
+    files = sorted(os.listdir(out))
+    assert "_MANIFEST.json" in files
+    shards = [f for f in files if f.startswith("shard-")]
+    assert len(shards) == 4
+    assert not [f for f in files if f.startswith(".staged")]
+    manifest = json.loads((out / "_MANIFEST.json").read_text())
+    assert manifest["n_rows"] == 100 and manifest["n_shards"] == 4
+    n_lines = sum(
+        len((out / s).read_text().splitlines()) for s in shards
+    )
+    assert n_lines == 100
+    # every line is valid json with both columns
+    row = json.loads((out / shards[0]).read_text().splitlines()[0])
+    assert set(row) == {"id", "name"}
+    # abort cleans staging
+    staged = out / ".staged-shard-99999-dead.jsonl"
+    staged.write_text("partial\n")
+    JsonlManifestWriter({"path": str(out)}, None).abort(
+        [ShardCommit(str(staged), str(out / "shard-99999.jsonl"), 1, 0)]
+    )
+    assert not staged.exists()
+
+
+def test_pdf_pages_pushdown_prunes_files(spark, tmp_path):
+    """Path predicates reach partition planning: a contains('2022')
+    filter leaves ONE partition (file) and the same rows as post-scan
+    filtering."""
+    from pyspark.sql.datasource import StringContains
+
+    from pdf_to_vectordb_etl_spark.sources.pydatasource import (
+        PdfPagesDataSource,
+        PdfPagesReader,
+    )
+
+    d = tmp_path / "pdfs"
+    d.mkdir()
+    for name in [
+        "2022_PV_impresso_D1_CD1.pdf",
+        "2021_PV_impresso_D1_CD5.pdf",
+        "2020_PV_impresso_D2_CD7.pdf",
+    ]:
+        (d / name).write_bytes(b"%PDF-" + name.encode())
+    from pdf_to_vectordb_etl_spark.sources.pydatasource import (
+        PdfPagesPushdownReader,
+    )
+
+    rd = PdfPagesPushdownReader({"path": str(d)})
+    residual = list(rd.pushFilters([StringContains(("path",), "2022")]))
+    assert residual == []  # fully handled at planning
+    assert len(rd.partitions()) == 1
+    # e2e: same rows as reading all then filtering
+    spark.dataSource.register(PdfPagesDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        allrows = (
+            spark.read.format("pdf_pages")
+            .option("pushdown", "true")
+            .load(str(d))
+            .filter(F.col("path").contains("2022"))
+            .collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+    assert allrows and all("2022" in r["path"] for r in allrows)
