@@ -4167,6 +4167,35 @@ def q_graph_cc_star(spark, sf):
     return out.select(F.col("id").alias("doc_id"), "cluster_id")
 
 
+def q_k_anonymity(spark, sf):
+    """k-anonymity (k=5) risk profile over quasi-identifiers
+    (lang, source, n_chars//100): equivalence-class sizes from one
+    hash agg, summary fold on top — re-identifiable rows, the k the
+    data actually satisfies, and the suppression fraction needed."""
+    from pdf_to_vectordb_etl_spark.operators import quality_checks
+
+    d = _t(spark, sf, "documents").select(
+        "lang", "source", (F.col("n_chars") / 100).cast("long").alias("size_band")
+    )
+    return quality_checks.k_anonymity_report(
+        d, ["lang", "source", "size_band"], k=5
+    )
+
+
+def q_canary_roundtrip(spark, sf):
+    """Memorization-audit canaries: a deterministic md5-selected ~5%
+    of documents get a unique <canary:hash16> marker appended
+    (layout-invariant — the set re-derives from ids alone, no stored
+    state), then the detector extracts every marker back. Output is
+    the (doc_id, canary) ground-truth table a secret-sharer
+    memorization eval scores against."""
+    from pdf_to_vectordb_etl_spark.operators import curation
+
+    docs = _t(spark, sf, "documents")
+    injected = curation.inject_canaries(docs, rate=0.05)
+    return curation.detect_canaries(injected)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -4386,6 +4415,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merkle_diff": q_merkle_diff,
         "fd_profile": q_fd_profile,
         "graph_cc_star": q_graph_cc_star,
+        "k_anonymity": q_k_anonymity,
+        "canary_roundtrip": q_canary_roundtrip,
     }
 
 
@@ -4889,6 +4920,10 @@ def _kcenter_oracle_sql(k: int = 8, start_id: int = 0) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from pdf_to_vectordb_etl_spark.operators.sampling import (
+        _threshold as _canary_thr,
+    )
+
     d = {
         "s1_scan_pruned_projection": """
             SELECT l_orderkey, l_linenumber, l_extendedprice
@@ -8570,6 +8605,32 @@ def oracle_sql() -> dict[str, str]:
                   FROM (SELECT event_type, user_id, count(*) AS c
                         FROM events GROUP BY 1, 2)
                   GROUP BY event_type)
+        """,
+        "k_anonymity": """
+            WITH d AS (
+              SELECT lang, source, n_chars // 100 AS size_band
+              FROM documents),
+            g AS (
+              SELECT lang, source, size_band, count(*) AS n
+              FROM d GROUP BY 1, 2, 3)
+            SELECT CAST(count(*) AS BIGINT) AS n_classes,
+                   CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS classes_under_k,
+                   CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+                     AS rows_under_k,
+                   min(n) AS min_class_size,
+                   min(n) >= 5 AS k_anonymous,
+                   round(sum(CASE WHEN n < 5 THEN n ELSE 0 END) * 1.0
+                         / sum(n), 4) AS suppression_frac
+            FROM g
+        """,
+        "canary_roundtrip": f"""
+            SELECT doc_id,
+                   substr(md5('canary!' || CAST(doc_id AS VARCHAR)), 1, 16)
+                     AS canary
+            FROM documents
+            WHERE substr(md5('canary#' || CAST(doc_id AS VARCHAR)), 1, 4)
+                  < '{_canary_thr(0.05)}'
         """,
         "graph_cc_star": r"""
             WITH w AS (

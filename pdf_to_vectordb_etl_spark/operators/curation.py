@@ -483,3 +483,59 @@ def quota_allocate(
         by, "n_avail", F.col("ideal").cast("double").alias("ideal"),
         F.col("n_alloc").cast("long").alias("n_alloc"),
     )
+
+
+def inject_canaries(
+    df: DataFrame,
+    rate: float = 0.01,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    secret: str = "canary",
+) -> DataFrame:
+    """Deterministic canary injection for memorization auditing (the
+    public practice from Carlini et al.'s secret-sharer line of work):
+    a stable ~``rate`` of documents — chosen by the same md5-bucket
+    contract as every sampler here, so the set is layout-invariant and
+    re-derivable without storing it — get a unique marker string
+    ``<canary:md5(secret‖id)[:16]>`` appended. Downstream, a model
+    that reproduces marker strings verbatim has memorized its training
+    data; the injected set is the ground truth. Adds ``has_canary``
+    and rewrites ``text``; narrow projection, no shuffle."""
+    from .sampling import _threshold, hash_bucket_hex
+
+    picked = hash_bucket_hex(F.concat(F.lit(secret + "#"), F.col(id_col).cast("string"))) < F.lit(
+        _threshold(rate)
+    )
+    marker = F.concat(
+        F.lit("<canary:"),
+        F.substring(
+            F.md5(F.concat(F.lit(secret + "!"), F.col(id_col).cast("string"))),
+            1,
+            16,
+        ),
+        F.lit(">"),
+    )
+    return df.withColumns(
+        {
+            "has_canary": picked,
+            text_col: F.when(
+                picked, F.concat(F.col(text_col), F.lit(" "), marker)
+            ).otherwise(F.col(text_col)),
+        }
+    )
+
+
+def detect_canaries(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Inverse of :func:`inject_canaries`: extract marker strings from
+    text (one regexp, scan-speed) — run over model OUTPUTS to measure
+    memorization, or over a corpus to verify/strip canaries before an
+    evaluation split. Returns (id, canary) for rows carrying one."""
+    got = F.regexp_extract(F.col(text_col), r"<canary:([0-9a-f]{16})>", 1)
+    return (
+        df.select(F.col(id_col), got.alias("canary"))
+        .filter(F.col("canary") != "")
+    )

@@ -79,3 +79,41 @@ def drop_violations(df: DataFrame, expectations: list[Expectation]) -> DataFrame
     for e in expectations:
         cond = cond & F.coalesce(e.condition, F.lit(False))
     return df.filter(cond)
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_identifiers: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity risk profile over quasi-identifier columns (Sweeney
+    2002, public): every row whose QI combination is shared by fewer
+    than ``k`` rows is re-identifiable; the standard pre-release check
+    before a derived dataset ships. Returns one summary row:
+    equivalence-class count, how many classes/rows fall under k, the
+    minimum class size (the k the data actually satisfies), and the
+    suppression fraction (share of rows to drop for k-anonymity).
+
+    One hash agg over the QI tuple + one fold — partial-combinable,
+    no windows; the per-class table never leaves the executors."""
+    g = df.groupBy(*quasi_identifiers).agg(F.count("*").alias("_n"))
+    return g.agg(
+        F.count("*").alias("n_classes"),
+        F.sum(F.when(F.col("_n") < k, 1).otherwise(0))
+        .cast("long")
+        .alias("classes_under_k"),
+        F.sum(F.when(F.col("_n") < k, F.col("_n")).otherwise(0))
+        .cast("long")
+        .alias("rows_under_k"),
+        F.min("_n").alias("min_class_size"),
+        F.sum("_n").cast("long").alias("n_rows"),
+    ).select(
+        "n_classes",
+        "classes_under_k",
+        "rows_under_k",
+        "min_class_size",
+        (F.col("min_class_size") >= k).alias("k_anonymous"),
+        F.round(F.col("rows_under_k") / F.col("n_rows"), 4).alias(
+            "suppression_frac"
+        ),
+    )

@@ -1546,3 +1546,53 @@ def test_pdf_pages_pushdown_prunes_files(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
     assert allrows and all("2022" in r["path"] for r in allrows)
+
+
+def test_k_anonymity_semantics(spark):
+    """Hand-built QI classes: sizes {a:6, b:3, c:1} at k=5 -> 2 classes
+    under k covering 4 rows, min size 1, suppression 4/10; a k=1 check
+    is always anonymous."""
+    from pdf_to_vectordb_etl_spark.operators import quality_checks
+
+    rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)]
+    df = spark.createDataFrame(rows, ["qi"])
+    r = quality_checks.k_anonymity_report(df, ["qi"], k=5).first()
+    assert r["n_classes"] == 3 and r["classes_under_k"] == 2
+    assert r["rows_under_k"] == 4 and r["min_class_size"] == 1
+    assert not r["k_anonymous"] and abs(r["suppression_frac"] - 0.4) < 1e-9
+    assert quality_checks.k_anonymity_report(df, ["qi"], k=1).first()[
+        "k_anonymous"
+    ]
+
+
+def test_canary_inject_detect_roundtrip(spark, sf_dir):
+    """Canary invariants: detection recovers exactly the injected set
+    with the expected marker per id; non-selected docs are untouched;
+    the selected set is layout-invariant (same ids after repartition)."""
+    import hashlib
+
+    from pdf_to_vectordb_etl_spark.operators import curation
+
+    docs = load(spark, sf_dir, "documents")
+    inj = curation.inject_canaries(docs, rate=0.1)
+    got = {
+        r["doc_id"]: r["canary"]
+        for r in curation.detect_canaries(inj).collect()
+    }
+    flagged = {
+        r["doc_id"]: r["text"]
+        for r in inj.filter("has_canary").collect()
+    }
+    assert set(got) == set(flagged) and len(got) > 0
+    for doc_id, canary in got.items():
+        want = hashlib.md5(f"canary!{doc_id}".encode()).hexdigest()[:16]
+        assert canary == want
+        assert flagged[doc_id].endswith(f"<canary:{canary}>")
+    # untouched rows: text byte-identical to the source
+    clean = inj.filter("NOT has_canary").select("doc_id", "text")
+    orig = docs.select("doc_id", "text")
+    assert clean.exceptAll(orig).count() == 0
+    # layout invariance
+    inj2 = curation.inject_canaries(docs.repartition(13), rate=0.1)
+    got2 = {r["doc_id"] for r in curation.detect_canaries(inj2).collect()}
+    assert got2 == set(got)
