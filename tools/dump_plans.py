@@ -60,6 +60,9 @@ HEADLINE = [
     ("dedup_prefix_filter", "only rarest-prefix postings enter the candidate self-join; exact verify on candidates"),
     ("kmv_distinct", "distinct-on-tag agg + per-group WindowGroupLimit; estimate over <= groups*k rows"),
     ("merkle_diff", "two partial bit_xor summary aggs + tiny fingerprint join; row shuffle only for disagreeing buckets"),
+    ("fd_profile", "two partial-combinable aggs per candidate pair; mode via max(count), no windows"),
+    ("k_anonymity", "QI-class hash agg + summary fold; class table never leaves executors"),
+    ("canary_roundtrip", "md5-selected injection + regexp detection: one narrow codegen projection"),
     ("cohort_retention", "first-seen agg and join-back share the user_id exchange; cohort sizes broadcast"),
     ("sole_late_supplier", "Q21 class decorrelated: per-order agg + join-back, no EXISTS re-scan"),
     ("ta_perplexity", "LM model broadcast onto the bigram stream; percentile cutpoint broadcast, no sort"),
