@@ -4196,6 +4196,68 @@ def q_canary_roundtrip(spark, sf):
     return curation.detect_canaries(injected)
 
 
+def q_seasonal_decompose(spark, sf):
+    """Classical additive seasonal decomposition (2×MA trend, weekly
+    period) of the daily event-count series per event_type:
+    value = trend + seasonal + remainder. One ROWS window per key +
+    one (key, phase) agg broadcast back — parallel across keys, no
+    recurrence; edge days without a full MA window carry NULL trend."""
+    ev = _t(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("(ts div 1000) div 86400000000").alias("day"),
+    ).agg(F.count("*").cast("double").alias("v"))
+    out = aggregates.seasonal_decompose(
+        daily, value_col="v", time_col="day", by="event_type", period=7
+    )
+    return out.select(
+        "event_type", "day", "v", "trend", "seasonal", "remainder"
+    )
+
+
+def q_t12_stream_kmv(spark, sf):
+    """T12 — streaming KMV distinct sketch: per-source bottom-128 md5
+    tags as custom applyInPandasWithState state (≤ k doubles per key,
+    bounded forever). Min-k over a set union is associative and
+    commutative, so ANY micro-batch split converges to the batch
+    sketch — the batch KMV SQL is the parity oracle. The final row per
+    key is the max-n_tags row (n_tags is non-decreasing)."""
+    import tempfile
+
+    from pdf_to_vectordb_etl_spark.streaming.stateful import stream_kmv_bottomk
+
+    raw_schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+    )
+    est = stream_kmv_bottomk(stream, k=128)
+    name = "t12_stream_kmv_out"
+    q = (
+        est.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t12ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    snap = spark.table(name)
+    return (
+        snap.groupBy("key")
+        .agg(
+            F.max_by(F.struct("n_tags", "est_distinct"), "n_tags").alias("_s")
+        )
+        .select(
+            F.col("key").alias("source"),
+            F.col("_s.n_tags").alias("n_tags"),
+            F.col("_s.est_distinct").alias("est_distinct"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -4417,6 +4479,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_cc_star": q_graph_cc_star,
         "k_anonymity": q_k_anonymity,
         "canary_roundtrip": q_canary_roundtrip,
+        "seasonal_decompose": q_seasonal_decompose,
+        "t12_stream_kmv": q_t12_stream_kmv,
     }
 
 
@@ -8605,6 +8669,63 @@ def oracle_sql() -> dict[str, str]:
                   FROM (SELECT event_type, user_id, count(*) AS c
                         FROM events GROUP BY 1, 2)
                   GROUP BY event_type)
+        """,
+        "t12_stream_kmv": r"""
+            WITH toks AS (
+              SELECT source,
+                     unnest(string_split_regex(lower(text), '\s+')) AS tok
+              FROM documents),
+            t2 AS (SELECT source, tok FROM toks WHERE tok <> ''),
+            d AS (
+              SELECT DISTINCT source,
+                     (('0x' || substr(md5(tok), 1, 12))::BIGINT + 0.5)
+                       / 281474976710656.0 AS u
+              FROM t2),
+            sk AS (
+              SELECT source, u FROM d
+              QUALIFY row_number() OVER (PARTITION BY source ORDER BY u)
+                <= 128)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_tags,
+                   round(CASE WHEN count(*) < 128
+                              THEN CAST(count(*) AS DOUBLE)
+                              ELSE 127.0 / max(u) END, 4) AS est_distinct
+            FROM sk GROUP BY source
+        """,
+        "seasonal_decompose": """
+            WITH daily AS (
+              SELECT event_type,
+                     epoch_us(ts) // 86400000000 AS day,
+                     CAST(count(*) AS DOUBLE) AS v
+              FROM events GROUP BY 1, 2),
+            ma AS (
+              SELECT event_type, day, v,
+                     avg(v) OVER w AS a,
+                     count(v) OVER w AS nw
+              FROM daily
+              WINDOW w AS (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+            tr AS (
+              SELECT event_type, day, v,
+                     CASE WHEN nw = 7 THEN a END AS trend,
+                     day % 7 AS phase
+              FROM ma),
+            prof AS (
+              SELECT event_type, phase, avg(v - trend) AS praw
+              FROM tr WHERE trend IS NOT NULL
+              GROUP BY event_type, phase),
+            ctr AS (
+              SELECT event_type, avg(praw) AS pmean
+              FROM prof GROUP BY event_type),
+            seas AS (
+              SELECT prof.event_type, phase, praw - pmean AS seasonal
+              FROM prof JOIN ctr ON prof.event_type = ctr.event_type)
+            SELECT tr.event_type, day, v,
+                   round(trend, 6) AS trend,
+                   round(coalesce(seasonal, 0.0), 6) AS seasonal,
+                   round(v - trend - coalesce(seasonal, 0.0), 6) AS remainder
+            FROM tr LEFT JOIN seas
+              ON tr.event_type = seas.event_type AND tr.phase = seas.phase
         """,
         "k_anonymity": """
             WITH d AS (

@@ -604,3 +604,76 @@ def timed_funnel(
             ).alias("rate"),
         )
     )
+
+
+def seasonal_decompose(
+    series: DataFrame,
+    value_col: str = "v",
+    time_col: str = "t",
+    by: str | None = None,
+    period: int = 7,
+) -> DataFrame:
+    """Additive seasonal decomposition of a regular series (the
+    classical moving-average method behind every STL-style monitor,
+    public): value = trend + seasonal + remainder, with
+    trend = centered (period+1)-point moving average (half-weight
+    endpoints for even periods, the textbook 2x-MA), seasonal = the
+    per-phase mean of the detrended series re-centered to sum to zero
+    over one period, remainder = what's left.
+
+    Plan: one trailing/leading ROWS window per key for the MA, one
+    (key, phase) hash agg broadcast back for the seasonal profile —
+    parallel across keys, no global window, no recurrence. Edge rows
+    without a full MA window carry NULL trend/remainder (honest NaN
+    policy rather than a shrinking-window estimate the oracle can't
+    replay). Returns the input plus trend/seasonal/remainder rounded
+    to 6."""
+    from pyspark.sql import Window
+
+    keys = [by] if by else []
+    half = period // 2
+    w = (
+        Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    ).orderBy(time_col)
+    if period % 2 == 0:
+        # 2xMA: average of the two period-length windows offset by one
+        # == weighted window with half-weight first/last of period+1
+        wspan = w.rowsBetween(-half, half)
+        ends = (
+            F.first(value_col).over(wspan) + F.last(value_col).over(wspan)
+        ) / 2
+        trend_raw = (
+            (F.sum(value_col).over(wspan) - ends) / F.lit(float(period))
+        )
+        n_in_span = F.count(value_col).over(wspan)
+        full = period + 1
+    else:
+        wspan = w.rowsBetween(-half, half)
+        trend_raw = F.avg(value_col).over(wspan)
+        n_in_span = F.count(value_col).over(wspan)
+        full = period
+    d = series.withColumn(
+        "_trend", F.when(n_in_span == full, trend_raw)
+    ).withColumn("_phase", F.pmod(F.col(time_col), period))
+    prof = (
+        d.filter(F.col("_trend").isNotNull())
+        .groupBy(*keys, "_phase")
+        .agg(F.avg(F.col(value_col) - F.col("_trend")).alias("_praw"))
+    )
+    center = prof.groupBy(*keys).agg(F.avg("_praw").alias("_pmean"))
+    prof = prof.join(center, keys) if keys else prof.crossJoin(
+        F.broadcast(center)
+    )
+    prof = prof.select(
+        *keys, "_phase", (F.col("_praw") - F.col("_pmean")).alias("_seasonal")
+    )
+    out = d.join(F.broadcast(prof), [*keys, "_phase"], "left")
+    return out.select(
+        *series.columns,
+        F.round("_trend", 6).alias("trend"),
+        F.round(F.coalesce("_seasonal", F.lit(0.0)), 6).alias("seasonal"),
+        F.round(
+            F.col(value_col) - F.col("_trend") - F.coalesce("_seasonal", F.lit(0.0)),
+            6,
+        ).alias("remainder"),
+    )

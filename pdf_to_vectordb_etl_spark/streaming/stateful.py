@@ -316,3 +316,64 @@ def stream_zscore_flags(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_kmv_bottomk(
+    stream: DataFrame,
+    k: int = 128,
+    by: str = "source",
+    text_col: str = "text",
+):
+    """T12 — streaming KMV distinct sketch: per key, the k smallest
+    md5 tags over distinct tokens maintained as custom state. The
+    bottom-k of a set union is batch-split-INVARIANT (min-k is
+    associative and commutative, and tags are hashes — no
+    order-dependence anywhere), so any micro-batch arrangement of the
+    same rows converges to the batch sketch and the batch KMV SQL is
+    the parity oracle. State per key is ≤ k doubles — bounded however
+    long the stream runs; emits (key, n_tags, est_distinct) per
+    updated key per batch, n_tags non-decreasing so the latest row per
+    key is the max-n_tags row."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType, StringType
+
+    from ..operators.sketch import kmv_u
+
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("n_tags", LongType()),
+            StructField("est_distinct", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("tags", ArrayType(DoubleType()))]
+    )
+
+    toks = (
+        stream.select(
+            F.col(by).alias("key"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_tok"),
+        )
+        .filter(F.col("_tok") != "")
+        .select("key", kmv_u(F.col("_tok")).alias("u"))
+    )
+
+    def _kmv(key_t, pdfs, state: GroupState):
+        tags = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            tags.update(float(x) for x in pdf["u"])
+        keep = sorted(tags)[:k]
+        state.update((keep,))
+        est = float(len(keep)) if len(keep) < k else (k - 1) / keep[-1]
+        yield pd.DataFrame(
+            {
+                "key": [key_t[0]],
+                "n_tags": [len(keep)],
+                "est_distinct": [round(est, 4)],
+            }
+        )
+
+    return toks.groupBy("key").applyInPandasWithState(
+        _kmv, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

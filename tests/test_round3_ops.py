@@ -1596,3 +1596,110 @@ def test_canary_inject_detect_roundtrip(spark, sf_dir):
     inj2 = curation.inject_canaries(docs.repartition(13), rate=0.1)
     got2 = {r["doc_id"] for r in curation.detect_canaries(inj2).collect()}
     assert got2 == set(got)
+
+
+def test_seasonal_decompose_recovers_planted_structure(spark):
+    """Planted series v = 2*t + weekly pattern: the centered MA
+    recovers the linear trend exactly, the per-phase profile recovers
+    the (centered) pattern, and interior remainders are ~0; seasonal
+    components sum to ~0 over one period; edge rows carry NULL trend."""
+    from pdf_to_vectordb_etl_spark.operators import aggregates
+
+    pattern = [5.0, -3.0, 0.0, 2.0, -4.0, 1.0, -1.0]
+    rows = [
+        ("k", t, 2.0 * t + pattern[t % 7]) for t in range(35)
+    ]
+    df = spark.createDataFrame(rows, ["g", "t", "v"])
+    out = {
+        r["t"]: r
+        for r in aggregates.seasonal_decompose(
+            df, value_col="v", time_col="t", by="g", period=7
+        ).collect()
+    }
+    assert len(out) == 35
+    for t in range(35):
+        r = out[t]
+        if t < 3 or t >= 32:
+            assert r["trend"] is None and r["remainder"] is None
+            continue
+        assert abs(r["trend"] - 2.0 * t) < 1e-6, t
+        want_seasonal = pattern[t % 7] - sum(pattern) / 7
+        assert abs(r["seasonal"] - want_seasonal) < 1e-6, t
+        assert abs(r["remainder"]) < 1e-6, t
+    season_sum = sum(out[t]["seasonal"] for t in range(7, 14))
+    assert abs(season_sum) < 1e-5
+
+
+def test_stream_kmv_multibatch_equals_batch(spark, sf_dir, tmp_path):
+    """T12: the streaming KMV snapshot over rows split across TWO
+    micro-batches equals the batch bottom-k sketch estimate — min-k
+    state is batch-split-invariant."""
+    import tempfile
+
+    from pdf_to_vectordb_etl_spark.operators import sketch
+    from pdf_to_vectordb_etl_spark.streaming.stateful import stream_kmv_bottomk
+
+    import shutil
+
+    docs = load(spark, sf_dir, "documents")
+    half_a = tmp_path / "a"
+    half_b = tmp_path / "b"
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(str(half_a))
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.parquet(str(half_b))
+    live = tmp_path / "live"
+    live.mkdir()
+
+    def _move_in(src_dir, name):
+        part = next(pp for pp in src_dir.glob("*.parquet"))
+        shutil.copy(part, live / name)
+
+    raw_schema = spark.read.parquet(str(half_a)).schema
+    ck = str(tmp_path / "ck")
+    rows = []
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(str(live))
+        )
+        q = (
+            stream_kmv_bottomk(stream, k=64)
+            .writeStream.foreachBatch(
+                lambda bdf, _bid: rows.extend(bdf.collect())
+            )
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # batch 1: even docs only; batch 2 (same checkpoint): odd docs —
+    # the state must carry across runs
+    _move_in(half_a, "a.parquet")
+    run_once()
+    n_first = len(rows)
+    _move_in(half_b, "b.parquet")
+    run_once()
+    assert n_first > 0 and len(rows) > n_first  # two real batches
+    best = {}
+    for r in rows:
+        if r["key"] not in best or r["n_tags"] > best[r["key"]][0]:
+            best[r["key"]] = (r["n_tags"], r["est_distinct"])
+    got = best
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+    ).filter("tok != ''")
+    bk = sketch.kmv_bottomk(toks, "tok", k=64, by="source")
+    want_est = {
+        r["source"]: round(r["est_distinct"], 4)
+        for r in sketch.kmv_estimate(bk, k=64, by="source").collect()
+    }
+    want_n = {
+        r["source"]: r["cnt"]
+        for r in bk.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert {k: v[1] for k, v in got.items()} == want_est
+    assert {k: v[0] for k, v in got.items()} == want_n
