@@ -1703,3 +1703,72 @@ def test_stream_kmv_multibatch_equals_batch(spark, sf_dir, tmp_path):
     }
     assert {k: v[1] for k, v in got.items()} == want_est
     assert {k: v[0] for k, v in got.items()} == want_n
+
+
+def test_maintain_table_verifies_and_catches_corruption(spark, sf_dir, tmp_path):
+    """The compact->summarize->verify lifecycle: a Z-order rewrite of
+    the events table passes content verification; a corrupted rewrite
+    (one value nudged) is caught by the fingerprint compare and
+    raises before publishing."""
+    import pytest
+
+    from pdf_to_vectordb_etl_spark.operators import cdc
+    from pdf_to_vectordb_etl_spark.plans.maintain import maintain_table
+    from tests.conftest import load as _load
+
+    src = str(tmp_path / "src")
+    ev = _load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.floor(F.col("value") * 10000).cast("long").alias("vi"),
+    )
+    # fragment the source: many small files
+    ev.repartition(23).write.parquet(src)
+    report = maintain_table(
+        spark,
+        src,
+        str(tmp_path / "dest"),
+        key_cols=["event_id"],
+        payload_cols=["user_id", "event_type", "vi"],
+        zorder_cols=("user_id", "vi"),
+        n_files=4,
+        n_buckets=512,
+    )
+    assert report["verified"] and report["n_rows"] == ev.count()
+    import os
+
+    shards = [
+        f
+        for f in os.listdir(tmp_path / "dest")
+        if f.endswith(".parquet")
+    ]
+    assert len(shards) == 4
+    # corruption: one row's payload changes between summary and rewrite
+    bad = ev.withColumn(
+        "vi", F.when(F.col("event_id") == 7, F.col("vi") + 1).otherwise(F.col("vi"))
+    )
+    s_good = cdc.merkle_summary(ev, ["event_id"], ["user_id", "event_type", "vi"], 512)
+    s_bad = cdc.merkle_summary(bad, ["event_id"], ["user_id", "event_type", "vi"], 512)
+    assert cdc.merkle_changed_buckets(s_good, s_bad).count() == 1
+    baddir = str(tmp_path / "badsrc")
+    ev.write.parquet(baddir)
+    # simulate a rewrite that corrupts: write bad data into dest path
+    # by monkeypatching write_zordered's input — simplest equivalent:
+    # verify directly that a corrupt dest fails the plan's check
+    from pdf_to_vectordb_etl_spark.plans import maintain as mt
+
+    orig = mt.zorder.write_zordered
+
+    def corrupt_write(df, path, x, y, n_files=16, mode="overwrite"):
+        orig(bad, path, x, y, n_files=n_files, mode=mode)
+
+    mt.zorder.write_zordered = corrupt_write
+    try:
+        with pytest.raises(ValueError, match="changed 1 bucket"):
+            maintain_table(
+                spark, src, str(tmp_path / "dest2"),
+                key_cols=["event_id"],
+                payload_cols=["user_id", "event_type", "vi"],
+                zorder_cols=("user_id", "vi"), n_files=4, n_buckets=512,
+            )
+    finally:
+        mt.zorder.write_zordered = orig
