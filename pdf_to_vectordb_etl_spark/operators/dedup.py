@@ -125,9 +125,13 @@ def ngram_jaccard_pairs(
     onto the pairs on the 8-byte id (no broadcast hint: the count table
     is one row per doc — unbounded at corpus scale; AQE may still pick
     broadcast when it measures small). The big join carries only
-    (id, h) — 16 bytes a row. Emits (id_a < id_b, jaccard).
+    (id, h) — 16 bytes a row. Emits (id_a < id_b, jaccard). The
+    shingle table feeds the count branch and both self-join sides, so
+    it persists (the minhash/prefix-filter policy; measured 8.0 s →
+    2.2 s cold at sf0.1 — warm runs already shared the self-join
+    exchange via ReusedExchange, cold ones re-shingled).
     """
-    ex = _shingle_hashes(df, text_col, id_col, n)
+    ex = _shingle_hashes(df, text_col, id_col, n).persist()
     counts = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = ex.select(F.col("id").alias("id_a"), "h")
     b = ex.select(F.col("id").alias("id_b"), "h")
