@@ -75,6 +75,7 @@ def main() -> None:
         "rendezvous_shard",        # HRW sharding + movement stats
         "text_normalize",          # portable fold/collapse normalize
         "fd_profile",              # functional-dependency profiling
+        "seasonal_decompose",      # classical MA trend/seasonal split
         "enem_questions" if "enem_questions" in entry.queries() else "ta_fingerprint",
     ]
     qs = entry.queries()
