@@ -4258,6 +4258,35 @@ def q_t12_stream_kmv(spark, sf):
     )
 
 
+def q_cusum_changepoints(spark, sf):
+    """Two-sided CUSUM mean-shift detection on the daily event-count
+    series per event_type. The max(0, ·) recurrence is rewritten as
+    cumsum − running-min (closed windowed form), so the detector is
+    one per-key window — no UDF, no recursion, parallel across keys."""
+    ev = _t(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("(ts div 1000) div 86400000000").alias("day"),
+    ).agg(F.count("*").cast("double").alias("v"))
+    return aggregates.cusum_changepoints(
+        daily, value_col="v", by="event_type", order_cols=("day",),
+        slack=0.5, threshold=3.0,
+    )
+
+
+def q_query_expansion(spark, sf):
+    """Pseudo-relevance-feedback (RM3-class) expansion for the BM25
+    demo query: top-10 feedback docs → candidate terms weighted by
+    feedback-tf × corpus-idf → 5 best new terms. Feedback ids
+    broadcast; term selection is TakeOrdered on the rounded weight."""
+    from pdf_to_vectordb_etl_spark.operators import textsearch
+
+    docs = _t(spark, sf, "documents")
+    return textsearch.expand_query(
+        docs, ["merge", "window", "data"], fb_k=10, n_expansion=5
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -4481,6 +4510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canary_roundtrip": q_canary_roundtrip,
         "seasonal_decompose": q_seasonal_decompose,
         "t12_stream_kmv": q_t12_stream_kmv,
+        "cusum_changepoints": q_cusum_changepoints,
+        "query_expansion": q_query_expansion,
     }
 
 
@@ -8669,6 +8700,88 @@ def oracle_sql() -> dict[str, str]:
                   FROM (SELECT event_type, user_id, count(*) AS c
                         FROM events GROUP BY 1, 2)
                   GROUP BY event_type)
+        """,
+        "query_expansion": """
+            WITH p AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> len(x) > 0) AS toks
+              FROM documents),
+            d AS (
+              SELECT doc_id, len(toks) AS dl,
+                     list_filter(toks, t -> t IN ('merge', 'window', 'data')) AS qt
+              FROM p),
+            t AS (SELECT doc_id, dl, unnest(qt) AS term FROM d),
+            tf AS (SELECT doc_id, term, any_value(dl) AS dl, count(*) AS tf
+                   FROM t GROUP BY 1, 2),
+            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            c AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+            s AS (
+              SELECT tf.doc_id,
+                     ln((c.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1)
+                     * (tf.tf * 2.2)
+                     / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / c.avgdl)) AS sc
+              FROM tf JOIN dft USING (term) CROSS JOIN c),
+            fb AS (
+              SELECT doc_id, round(sum(sc), 4) AS score
+              FROM s GROUP BY doc_id
+              ORDER BY round(sum(sc), 4) DESC, doc_id
+              LIMIT 10),
+            alltok AS (SELECT doc_id AS id, unnest(toks) AS term FROM p),
+            cdf AS (
+              SELECT term, count(*) AS df
+              FROM (SELECT DISTINCT id, term FROM alltok) GROUP BY term),
+            fbtf AS (
+              SELECT term, count(*) AS fb_tf
+              FROM alltok JOIN fb ON alltok.id = fb.doc_id
+              WHERE len(term) >= 3
+                AND term NOT IN ('merge', 'window', 'data')
+              GROUP BY term),
+            nd AS (SELECT count(*) AS n FROM documents)
+            SELECT term,
+                   CAST(fb_tf AS BIGINT) AS fb_tf,
+                   CAST(df AS BIGINT) AS df,
+                   round(fb_tf * ln(CAST(n AS DOUBLE) / df), 6) AS weight
+            FROM fbtf JOIN cdf USING (term) CROSS JOIN nd
+            ORDER BY weight DESC, term
+            LIMIT 5
+        """,
+        "cusum_changepoints": """
+            WITH daily AS (
+              SELECT event_type,
+                     epoch_us(ts) // 86400000000 AS day,
+                     CAST(count(*) AS DOUBLE) AS v
+              FROM events GROUP BY 1, 2),
+            st AS (
+              SELECT event_type, avg(v) AS mu, stddev_pop(v) AS sd
+              FROM daily GROUP BY event_type),
+            z AS (
+              SELECT d.event_type, day, v,
+                     (CASE WHEN sd > 0 THEN (v - mu) / sd ELSE 0.0 END)
+                       - 0.5 AS zp,
+                     -(CASE WHEN sd > 0 THEN (v - mu) / sd ELSE 0.0 END)
+                       - 0.5 AS zn
+              FROM daily d JOIN st ON d.event_type = st.event_type),
+            m AS (
+              SELECT event_type, day, v,
+                     sum(zp) OVER w AS mp,
+                     sum(zn) OVER w AS mn
+              FROM z
+              WINDOW w AS (PARTITION BY event_type ORDER BY day
+                           ROWS UNBOUNDED PRECEDING)),
+            s AS (
+              SELECT event_type, day, v,
+                     mp - least(min(mp) OVER w, 0.0) AS sp,
+                     mn - least(min(mn) OVER w, 0.0) AS sn
+              FROM m
+              WINDOW w AS (PARTITION BY event_type ORDER BY day
+                           ROWS UNBOUNDED PRECEDING))
+            SELECT event_type, day, v,
+                   round(sp, 6) AS s_pos,
+                   round(sn, 6) AS s_neg,
+                   sp > 3.0 AS alarm_up,
+                   sn > 3.0 AS alarm_down
+            FROM s
         """,
         "t12_stream_kmv": r"""
             WITH toks AS (

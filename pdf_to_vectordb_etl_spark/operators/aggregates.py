@@ -677,3 +677,55 @@ def seasonal_decompose(
             6,
         ).alias("remainder"),
     )
+
+
+def cusum_changepoints(
+    series: DataFrame,
+    value_col: str = "v",
+    by: str = "key",
+    order_cols: tuple[str, ...] = ("t",),
+    slack: float = 0.5,
+    threshold: float = 5.0,
+) -> DataFrame:
+    """Two-sided standardized CUSUM change detection (Page 1954,
+    public): per key, S⁺ₜ = max(0, S⁺ₜ₋₁ + zₜ − k) flags upward mean
+    shifts when it exceeds h (S⁻ symmetric). The recurrence looks
+    sequential, but max(0, ·) prefix recursion has a closed windowed
+    form: S⁺ₜ = Mₜ − min_{j≤t} Mⱼ with M = cumsum(z − k) — so the
+    whole detector is one per-key window (cumsum + running-min twice),
+    zero UDFs, parallel across keys; the (mean, std) standardization
+    is a per-key aggregate joined back (AQE broadcasts the small
+    side). Emits every row with s_pos/s_neg and the alarm flags —
+    downstream keeps `filter(alarm)` for the changepoint list."""
+    from pyspark.sql import Window
+
+    stats = series.groupBy(by).agg(
+        F.avg(value_col).alias("_mu"),
+        F.stddev_pop(value_col).alias("_sd"),
+    )
+    z = F.when(
+        F.col("_sd") > 0, (F.col(value_col) - F.col("_mu")) / F.col("_sd")
+    ).otherwise(F.lit(0.0))
+    w = Window.partitionBy(by).orderBy(*order_cols)
+    wall = w.rowsBetween(Window.unboundedPreceding, 0)
+    d = (
+        series.join(stats, by)
+        .withColumn("_zp", z - F.lit(slack))
+        .withColumn("_zn", -z - F.lit(slack))
+    )
+    # two projections: Spark forbids nesting a window inside a window,
+    # so M materializes as a column before its running-min
+    d = d.withColumn("_mp", F.sum("_zp").over(wall)).withColumn(
+        "_mn", F.sum("_zn").over(wall)
+    )
+    s_pos = F.col("_mp") - F.least(F.min("_mp").over(wall), F.lit(0.0))
+    s_neg = F.col("_mn") - F.least(F.min("_mn").over(wall), F.lit(0.0))
+    return d.select(
+        by,
+        *order_cols,
+        F.col(value_col),
+        F.round(s_pos, 6).alias("s_pos"),
+        F.round(s_neg, 6).alias("s_neg"),
+        (s_pos > threshold).alias("alarm_up"),
+        (s_neg > threshold).alias("alarm_down"),
+    )

@@ -134,3 +134,53 @@ def hybrid_rrf(
         .orderBy(F.desc("rrf_score"), F.col(id_col))
         .limit(k)
     )
+
+
+def expand_query(
+    docs: DataFrame,
+    query_terms: list[str],
+    fb_k: int = 10,
+    n_expansion: int = 5,
+    min_len: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (the RM3 idea —
+    Lavrenko & Croft 2001, public): take the BM25 top-``fb_k``
+    feedback docs, weight their terms by feedback-tf × corpus-idf,
+    and return the ``n_expansion`` best new terms to OR into the
+    query. The standard second-pass recall lever when the corpus
+    vocabulary drifts from the user's.
+
+    Plan: feedback ids are a ≤ fb_k-row broadcast semi-join; corpus
+    document frequencies come from one distinct+agg over the hashed
+    token table (the only wide shuffle — shared shape with BM25's df
+    pass); final selection is TakeOrdered on (rounded weight, term) —
+    deterministic and engine-replayable, never a global sort. Returns
+    (term, fb_tf, df, weight)."""
+    fb = bm25_topk(docs, query_terms, k=fb_k, text_col=text_col, id_col=id_col)
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
+    )
+    n_docs = docs.count()
+    df_t = (
+        toks.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    )
+    excluded = [t.lower() for t in query_terms]
+    fb_tf = (
+        toks.join(F.broadcast(fb.select("id")), "id", "left_semi")
+        .filter(
+            (F.length("term") >= min_len) & ~F.col("term").isin(*excluded)
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("fb_tf"))
+    )
+    weighted = fb_tf.join(df_t, "term").select(
+        "term",
+        "fb_tf",
+        "df",
+        F.round(
+            F.col("fb_tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("weight"),
+    )
+    return weighted.orderBy(F.desc("weight"), "term").limit(n_expansion)

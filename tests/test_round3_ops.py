@@ -1772,3 +1772,67 @@ def test_maintain_table_verifies_and_catches_corruption(spark, sf_dir, tmp_path)
             )
     finally:
         mt.zorder.write_zordered = orig
+
+
+def test_cusum_matches_recurrence_and_detects_shift(spark):
+    """The windowed closed form (cumsum - running-min) equals the
+    direct S_t = max(0, S_{t-1} + z_t - k) recurrence computed in
+    Python, and a planted +2σ mean shift raises alarm_up only after
+    the shift while the in-control prefix stays quiet."""
+    from pdf_to_vectordb_etl_spark.operators import aggregates
+
+    base = [0.0, 1.0, -1.0, 0.5, -0.5] * 6          # in-control
+    shifted = [4.0, 5.0, 3.5, 4.5, 4.0] * 4          # mean shift
+    vals = base + shifted
+    rows = [("k", t, v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["key", "t", "v"])
+    out = {
+        r["t"]: r
+        for r in aggregates.cusum_changepoints(
+            df, value_col="v", by="key", order_cols=("t",),
+            slack=0.5, threshold=3.0,
+        ).collect()
+    }
+    # direct recurrence on the same standardization
+    mu = sum(vals) / len(vals)
+    sd = (sum((x - mu) ** 2 for x in vals) / len(vals)) ** 0.5
+    sp = sn = 0.0
+    for t, v in enumerate(vals):
+        z = (v - mu) / sd
+        sp = max(0.0, sp + z - 0.5)
+        sn = max(0.0, sn - z - 0.5)
+        assert abs(out[t]["s_pos"] - round(sp, 6)) < 1e-6, t
+        assert abs(out[t]["s_neg"] - round(sn, 6)) < 1e-6, t
+    assert not any(out[t]["alarm_up"] for t in range(len(base)))
+    assert any(out[t]["alarm_up"] for t in range(len(base), len(vals)))
+
+
+def test_query_expansion_hand_computed(spark):
+    """Tiny corpus with hand-computable RM3 weights: the feedback docs
+    (matching 'spark') contribute 'shuffle' (rare, high idf) above
+    'common' (in every doc, idf ln(1)=0 → weight 0 and excluded only
+    by rank); query terms and short tokens never expand."""
+    from pdf_to_vectordb_etl_spark.operators import textsearch
+
+    rows = [
+        (1, "spark shuffle shuffle common ok"),
+        (2, "spark shuffle common go"),
+        (3, "nothing relevant here common"),
+        (4, "common filler text common"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = textsearch.expand_query(
+        df, ["spark"], fb_k=2, n_expansion=3, min_len=3
+    ).collect()
+    terms = [r["term"] for r in out]
+    assert "spark" not in terms and "ok" not in terms and "go" not in terms
+    assert terms[0] == "shuffle"
+    import math
+
+    top = out[0]
+    assert top["fb_tf"] == 3 and top["df"] == 2
+    assert abs(top["weight"] - round(3 * math.log(4 / 2), 6)) < 1e-9
+    # 'common' appears in all 4 docs -> idf ln(1) = 0 -> weight 0
+    w = {r["term"]: r["weight"] for r in out}
+    if "common" in w:
+        assert w["common"] == 0.0
