@@ -4287,6 +4287,122 @@ def q_query_expansion(spark, sf):
     )
 
 
+_RL_FIELDS = [
+    # (label, m = P(agree|match), u = P(agree|non-match))
+    ("name", 0.95, 0.001),
+    ("bal", 0.90, 0.01),
+    ("seg", 0.95, 0.2),
+]
+
+
+def q_record_linkage(spark, sf):
+    """Fellegi–Sunter record linkage on a planted dirty feed: ~1/7 of
+    customers re-arrive with a typo'd name (levenshtein 1), a 0.005
+    balance drift, same segment; ~1/11 arrive as decoys (alien name,
+    +500 balance, foreign segment). Blocking on nation bounds the
+    candidate join; three field comparators contribute
+    Python-computed log(m/u) literal weights (engine-portable);
+    threshold 10 links exactly the full-agreement clones — systematic
+    Customer#NNN names make levenshtein≤2 alone ambiguous, which is
+    the point of summing field evidence."""
+    from pdf_to_vectordb_etl_spark.operators import joins as jn
+
+    c = _t(spark, sf, "customer")
+    base = c.select(
+        F.col("c_custkey").alias("id"),
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    clones = base.filter(F.col("id") % 7 == 0).select(
+        (F.col("id") + 1_000_000).alias("id"),
+        F.expr("substr(c_name, 1, length(c_name) - 1) || 'X'").alias("c_name"),
+        "c_nationkey",
+        (F.col("c_acctbal") + 0.005).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    decoys = base.filter(F.col("id") % 11 == 0).select(
+        (F.col("id") + 2_000_000).alias("id"),
+        F.concat(F.lit("Unknown#"), F.col("id").cast("string")).alias("c_name"),
+        "c_nationkey",
+        (F.col("c_acctbal") + 500.0).alias("c_acctbal"),
+        F.lit("DECOY").alias("c_mktsegment"),
+    )
+    dirty = clones.unionByName(decoys)
+    fields = [
+        (
+            "name",
+            lambda j: F.levenshtein("c_name_l", "c_name_r") <= 2,
+            _RL_FIELDS[0][1],
+            _RL_FIELDS[0][2],
+        ),
+        (
+            "bal",
+            lambda j: F.abs(F.col("c_acctbal_l") - F.col("c_acctbal_r"))
+            <= 0.01,
+            _RL_FIELDS[1][1],
+            _RL_FIELDS[1][2],
+        ),
+        (
+            "seg",
+            lambda j: F.col("c_mktsegment_l") == F.col("c_mktsegment_r"),
+            _RL_FIELDS[2][1],
+            _RL_FIELDS[2][2],
+        ),
+    ]
+    return jn.record_linkage(
+        base, dirty, ["c_nationkey"], fields, id_col="id", threshold=10.0
+    )
+
+
+def _record_linkage_oracle_sql() -> str:
+    """DuckDB replay with the SAME Python-computed log-weight literals
+    the operator injects (round 6) — no libm inside either engine."""
+    import math
+
+    w = {}
+    for label, m, u in _RL_FIELDS:
+        w[f"{label}_a"] = round(math.log(m / u), 6)
+        w[f"{label}_d"] = round(math.log((1 - m) / (1 - u)), 6)
+    return f"""
+        WITH base AS (
+          SELECT c_custkey AS id, c_name, c_nationkey, c_acctbal,
+                 c_mktsegment
+          FROM customer),
+        clones AS (
+          SELECT id + 1000000 AS id,
+                 substr(c_name, 1, length(c_name) - 1) || 'X' AS c_name,
+                 c_nationkey, c_acctbal + 0.005 AS c_acctbal, c_mktsegment
+          FROM base WHERE id % 7 = 0),
+        decoys AS (
+          SELECT id + 2000000 AS id,
+                 'Unknown#' || CAST(id AS VARCHAR) AS c_name,
+                 c_nationkey, c_acctbal + 500.0 AS c_acctbal,
+                 'DECOY' AS c_mktsegment
+          FROM base WHERE id % 11 = 0),
+        dirty AS (SELECT * FROM clones UNION ALL SELECT * FROM decoys),
+        j AS (
+          SELECT b.id AS id_l, d.id AS id_r,
+                 levenshtein(b.c_name, d.c_name) <= 2 AS agree_name,
+                 abs(b.c_acctbal - d.c_acctbal) <= 0.01 AS agree_bal,
+                 b.c_mktsegment = d.c_mktsegment AS agree_seg
+          FROM base b JOIN dirty d ON b.c_nationkey = d.c_nationkey),
+        s AS (
+          SELECT id_l, id_r,
+                 round((CASE WHEN agree_name THEN CAST({w["name_a"]} AS DOUBLE)
+                             ELSE CAST({w["name_d"]} AS DOUBLE) END)
+                     + (CASE WHEN agree_bal THEN CAST({w["bal_a"]} AS DOUBLE)
+                             ELSE CAST({w["bal_d"]} AS DOUBLE) END)
+                     + (CASE WHEN agree_seg THEN CAST({w["seg_a"]} AS DOUBLE)
+                             ELSE CAST({w["seg_d"]} AS DOUBLE) END), 4)
+                   AS score,
+                 agree_name, agree_bal, agree_seg
+          FROM j)
+        SELECT * FROM s WHERE score >= 10.0
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -4512,6 +4628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t12_stream_kmv": q_t12_stream_kmv,
         "cusum_changepoints": q_cusum_changepoints,
         "query_expansion": q_query_expansion,
+        "record_linkage": q_record_linkage,
     }
 
 
@@ -8701,6 +8818,7 @@ def oracle_sql() -> dict[str, str]:
                         FROM events GROUP BY 1, 2)
                   GROUP BY event_type)
         """,
+        "record_linkage": _record_linkage_oracle_sql(),
         "query_expansion": """
             WITH p AS (
               SELECT doc_id,

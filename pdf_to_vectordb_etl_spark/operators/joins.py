@@ -189,3 +189,63 @@ def asof_join(
     for c in payload_cols:
         out = out.withColumn(right_prefix + c, F.col("_m")[c])
     return out.drop("_t", "_probe", "_r", "_m")
+
+
+def record_linkage(
+    left: DataFrame,
+    right: DataFrame,
+    blocking_cols: list[str],
+    fields: list[tuple],
+    id_col: str = "id",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Probabilistic record linkage, Fellegi–Sunter style (Fellegi &
+    Sunter 1969, public): candidate pairs come from an equi-join on
+    ``blocking_cols`` (the fan-out bound — never all-pairs), each
+    field comparator contributes log(m/u) on agreement and
+    log((1−m)/(1−u)) on disagreement (m = P(agree | match),
+    u = P(agree | non-match)), and pairs scoring ≥ ``threshold`` link.
+
+    ``fields`` entries are (label, agree_fn, m, u) where ``agree_fn``
+    maps (left_col_name -> right_col_name) suffixed columns to a
+    BOOLEAN Column — e.g. a levenshtein band, an absolute-difference
+    tolerance, or plain equality. Log-weights are computed driver-side
+    in Python and enter the plan as double literals, so an external
+    oracle replays the exact same numbers (no libm drift inside the
+    engines). One blocked equi-join + a codegen projection; weights
+    are literals, the only shuffle is the block join. Returns
+    (id_l, id_r, score, per-field agreement booleans)."""
+    import math
+
+    l = left.select(
+        *[F.col(c).alias(f"{c}_l") for c in left.columns]
+    )
+    r = right.select(
+        *[F.col(c).alias(f"{c}_r") for c in right.columns]
+    )
+    cond = None
+    for c in blocking_cols:
+        e = F.col(f"{c}_l") == F.col(f"{c}_r")
+        cond = e if cond is None else (cond & e)
+    j = l.join(r, cond)
+    score = F.lit(0.0)
+    agree_cols = []
+    for label, agree_fn, m, u in fields:
+        if not (0.0 < u < m < 1.0):
+            raise ValueError(
+                f"field {label}: need 0 < u < m < 1, got m={m} u={u}"
+            )
+        a = agree_fn(j)
+        w_agree = round(math.log(m / u), 6)
+        w_dis = round(math.log((1.0 - m) / (1.0 - u)), 6)
+        score = score + F.when(a, F.lit(w_agree)).otherwise(F.lit(w_dis))
+        agree_cols.append(a.alias(f"agree_{label}"))
+    return (
+        j.select(
+            F.col(f"{id_col}_l").alias("id_l"),
+            F.col(f"{id_col}_r").alias("id_r"),
+            F.round(score, 4).alias("score"),
+            *agree_cols,
+        )
+        .filter(F.col("score") >= threshold)
+    )

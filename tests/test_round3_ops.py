@@ -1836,3 +1836,22 @@ def test_query_expansion_hand_computed(spark):
     w = {r["term"]: r["weight"] for r in out}
     if "common" in w:
         assert w["common"] == 0.0
+
+
+def test_record_linkage_precision_recall(spark, sf_dir):
+    """The planted-feed linkage recovers every clone (recall 1.0) with
+    zero false links (precision 1.0) at threshold 10; decoys never
+    link; per-field agreement booleans are all true on links."""
+    import __spark_entry__ as entry
+
+    out = entry.q_record_linkage(spark, sf_dir).collect()
+    assert out, "no links"
+    assert all(r["id_r"] == r["id_l"] + 1_000_000 for r in out)
+    assert all(
+        r["agree_name"] and r["agree_bal"] and r["agree_seg"] for r in out
+    )
+    n_clones = (
+        load(spark, sf_dir, "customer").filter("c_custkey % 7 = 0").count()
+    )
+    assert len(out) == n_clones
+    assert not any(r["id_r"] >= 2_000_000 for r in out)  # decoys rejected
