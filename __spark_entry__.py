@@ -4403,6 +4403,37 @@ def _record_linkage_oracle_sql() -> str:
     """
 
 
+def q_spatial_neighbors(spark, sf):
+    """Spatial neighbor join: users get deterministic md5-derived
+    (lat, lon) positions; all pairs within 100 km via 2°-cell binning
+    (3×3 neighborhood equi-join, bounded by cell occupancy — never
+    all-pairs) and exact haversine verification rounded to 6 dp."""
+    from pdf_to_vectordb_etl_spark.operators import spatial
+
+    docs = _t(spark, sf, "documents").select("doc_id").distinct()
+
+    def u(tag):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(tag), F.col("doc_id").cast("string"))),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("double")
+            + 0.5
+        ) / F.lit(float(16**12))
+
+    pts = docs.select(
+        F.col("doc_id").alias("id"),
+        (F.lit(-60.0) + u("lat#") * 120.0).alias("lat"),
+        (F.lit(-180.0) + u("lon#") * 360.0).alias("lon"),
+    )
+    return spatial.neighbor_pairs(pts, radius_km=300.0, cell_deg=6.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -4629,6 +4660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoints": q_cusum_changepoints,
         "query_expansion": q_query_expansion,
         "record_linkage": q_record_linkage,
+        "spatial_neighbors": q_spatial_neighbors,
     }
 
 
@@ -8819,6 +8851,47 @@ def oracle_sql() -> dict[str, str]:
                   GROUP BY event_type)
         """,
         "record_linkage": _record_linkage_oracle_sql(),
+        "spatial_neighbors": """
+            WITH docs AS (SELECT DISTINCT doc_id FROM documents),
+            pts AS (
+              SELECT doc_id AS id,
+                     -60.0 + ((('0x' || substr(md5('lat#' ||
+                       CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT + 0.5)
+                       / 281474976710656.0) * 120.0 AS lat,
+                     -180.0 + ((('0x' || substr(md5('lon#' ||
+                       CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT + 0.5)
+                       / 281474976710656.0) * 360.0 AS lon
+              FROM docs),
+            cells AS (
+              SELECT id, lat, lon,
+                     CAST(floor(lat / 6.0) AS BIGINT) AS cx,
+                     CAST(floor(lon / 6.0) AS BIGINT) AS cy
+              FROM pts),
+            a AS (
+              SELECT id AS id_a, lat AS lat_a, lon AS lon_a,
+                     cx + dx AS nx, cy + dy AS ny
+              FROM cells,
+                   (SELECT unnest([-1, 0, 1]) AS dx) dxs,
+                   (SELECT unnest([-1, 0, 1]) AS dy) dys),
+            b AS (
+              SELECT id AS id_b, lat AS lat_b, lon AS lon_b,
+                     cx AS nx, cy AS ny
+              FROM cells),
+            cand AS (
+              SELECT id_a, id_b, lat_a, lon_a, lat_b, lon_b
+              FROM a JOIN b USING (nx, ny)
+              WHERE id_a < id_b),
+            d AS (
+              SELECT id_a, id_b,
+                     round(2 * 6371.0 * asin(sqrt(
+                       sin(radians(lat_b - lat_a) / 2)
+                         * sin(radians(lat_b - lat_a) / 2)
+                       + cos(radians(lat_a)) * cos(radians(lat_b))
+                         * sin(radians(lon_b - lon_a) / 2)
+                         * sin(radians(lon_b - lon_a) / 2))), 6) AS dist_km
+              FROM cand)
+            SELECT id_a, id_b, dist_km FROM d WHERE dist_km <= 300.0
+        """,
         "query_expansion": """
             WITH p AS (
               SELECT doc_id,

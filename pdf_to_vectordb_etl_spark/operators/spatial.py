@@ -1,0 +1,105 @@
+"""Geospatial neighbor joins (beyond-reference).
+
+Spark has no native spatial join; the standard scalable shape (used by
+every geo extension, public knowledge) is grid binning: hash each
+point to a lat/lon cell sized ≥ the search radius, equi-join each
+point's cell against its 3×3 cell neighborhood, then verify exact
+great-circle distance on the candidates. Cost is bounded by cell
+occupancy (never all-pairs), the join key is a pair of small ints,
+and AQE handles dense-city cell skew like any hot-key equi-join.
+
+All expressions are codegen trig (`radians/sin/cos/asin/sqrt` exist in
+Spark and DuckDB alike); distances round to 6 dp before any threshold
+comparison so sub-ulp libm differences between engines cannot flip a
+boundary pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+EARTH_RADIUS_KM = 6371.0
+
+
+def haversine_km(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """Great-circle distance in km (haversine; spherical earth,
+    R = 6371 km — the standard approximation, ≤ 0.5% vs ellipsoid)."""
+    dphi = F.radians(lat2 - lat1) / 2
+    dlmb = F.radians(lon2 - lon1) / 2
+    a = (
+        F.sin(dphi) * F.sin(dphi)
+        + F.cos(F.radians(lat1))
+        * F.cos(F.radians(lat2))
+        * F.sin(dlmb)
+        * F.sin(dlmb)
+    )
+    return 2 * EARTH_RADIUS_KM * F.asin(F.sqrt(a))
+
+
+def neighbor_pairs(
+    points: DataFrame,
+    radius_km: float,
+    cell_deg: float,
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """All point pairs within ``radius_km`` (id_a < id_b, dist_km).
+
+    ``cell_deg`` must be ≥ the radius in degrees at the highest
+    |latitude| present (lon degrees shrink by cos(lat)); the guard is
+    the caller's because the frame may be lazy. One side of the join
+    explodes to its 3×3 cell neighborhood (9 small-int rows — the
+    bounded fan-out), the other keeps its single cell; candidates
+    verify with exact haversine rounded to 6 dp."""
+    if radius_km <= 0 or cell_deg <= 0:
+        raise ValueError("radius_km and cell_deg must be positive")
+    cx = F.floor(F.col(lat_col) / cell_deg).cast("long")
+    cy = F.floor(F.col(lon_col) / cell_deg).cast("long")
+    base = points.select(
+        F.col(id_col).alias("id"),
+        F.col(lat_col).alias("lat"),
+        F.col(lon_col).alias("lon"),
+        cx.alias("cx"),
+        cy.alias("cy"),
+    )
+    nbr_cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    (F.col("cx") + dx).alias("nx"),
+                    (F.col("cy") + dy).alias("ny"),
+                )
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    )
+    a = base.select(
+        F.col("id").alias("id_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        nbr_cells.alias("_c"),
+    ).select("id_a", "lat_a", "lon_a", "_c.nx", "_c.ny")
+    b = base.select(
+        F.col("id").alias("id_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        F.col("cx").alias("nx"),
+        F.col("cy").alias("ny"),
+    )
+    dist = F.round(
+        haversine_km(
+            F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")
+        ),
+        6,
+    )
+    return (
+        a.join(b, ["nx", "ny"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist_km", dist)
+        .filter(F.col("dist_km") <= radius_km)
+        .select("id_a", "id_b", "dist_km")
+    )

@@ -1855,3 +1855,54 @@ def test_record_linkage_precision_recall(spark, sf_dir):
     )
     assert len(out) == n_clones
     assert not any(r["id_r"] >= 2_000_000 for r in out)  # decoys rejected
+
+
+def test_spatial_neighbor_join_equals_brute_force(spark):
+    """Cell-binned neighbor join == brute-force all-pairs haversine
+    filter on a deterministic point cloud (no pair lost at cell
+    borders, none duplicated); a known distance pins the formula
+    (1° of longitude at the equator = 111.19 km)."""
+    import math
+
+    from pdf_to_vectordb_etl_spark.operators import spatial
+
+    pts = [
+        (i, -30.0 + (i * 37 % 60), -100.0 + (i * 53 % 120) * 0.9)
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(pts, ["id", "lat", "lon"])
+    got = sorted(
+        (r["id_a"], r["id_b"], r["dist_km"])
+        for r in spatial.neighbor_pairs(
+            df, radius_km=500.0, cell_deg=10.0
+        ).collect()
+    )
+
+    def hav(a, b):
+        (la1, lo1), (la2, lo2) = a, b
+        dphi = math.radians(la2 - la1) / 2
+        dl = math.radians(lo2 - lo1) / 2
+        x = (
+            math.sin(dphi) ** 2
+            + math.cos(math.radians(la1))
+            * math.cos(math.radians(la2))
+            * math.sin(dl) ** 2
+        )
+        return 2 * 6371.0 * math.asin(math.sqrt(x))
+
+    want = sorted(
+        (i, j, round(hav((pts[i][1], pts[i][2]), (pts[j][1], pts[j][2])), 6))
+        for i in range(80)
+        for j in range(i + 1, 80)
+        if round(hav((pts[i][1], pts[i][2]), (pts[j][1], pts[j][2])), 6) <= 500.0
+    )
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in want]
+    for (_a, _b, dg), (_c, _d, dw) in zip(got, want):
+        assert abs(dg - dw) < 1e-5
+    eq = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 0.0, 1.0)], ["id", "lat", "lon"]
+    )
+    d = spatial.neighbor_pairs(eq, radius_km=200.0, cell_deg=5.0).first()[
+        "dist_km"
+    ]
+    assert abs(d - 111.194927) < 1e-3
