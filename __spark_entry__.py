@@ -4434,6 +4434,41 @@ def q_spatial_neighbors(spark, sf):
     return spatial.neighbor_pairs(pts, radius_km=300.0, cell_deg=6.0)
 
 
+def q_spatial_density_clusters(spark, sf):
+    """DBSCAN-class density clustering over the md5-derived point
+    cloud: cores = ≥2 neighbors within 300 km; clusters = star-CC of
+    the core-core graph (min-member labels); borders attach to their
+    smallest core neighbor's cluster (deterministic, unlike classic
+    scan-order DBSCAN); the rest is noise."""
+    from pdf_to_vectordb_etl_spark.operators import spatial
+
+    docs = _t(spark, sf, "documents").select("doc_id").distinct()
+
+    def u(tag):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(tag), F.col("doc_id").cast("string"))),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("double")
+            + 0.5
+        ) / F.lit(float(16**12))
+
+    pts = docs.select(
+        F.col("doc_id").alias("id"),
+        (F.lit(-60.0) + u("lat#") * 120.0).alias("lat"),
+        (F.lit(-180.0) + u("lon#") * 360.0).alias("lon"),
+    )
+    out = spatial.density_clusters(
+        pts, radius_km=300.0, cell_deg=6.0, min_neighbors=2
+    )
+    return out.select(F.col("id").alias("doc_id"), "role", "cluster_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -4661,6 +4696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_expansion": q_query_expansion,
         "record_linkage": q_record_linkage,
         "spatial_neighbors": q_spatial_neighbors,
+        "spatial_density_clusters": q_spatial_density_clusters,
     }
 
 
@@ -8891,6 +8927,83 @@ def oracle_sql() -> dict[str, str]:
                          * sin(radians(lon_b - lon_a) / 2))), 6) AS dist_km
               FROM cand)
             SELECT id_a, id_b, dist_km FROM d WHERE dist_km <= 300.0
+        """,
+        "spatial_density_clusters": """
+            WITH docs AS (SELECT DISTINCT doc_id FROM documents),
+            pts AS (
+              SELECT doc_id AS id,
+                     -60.0 + ((('0x' || substr(md5('lat#' ||
+                       CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT + 0.5)
+                       / 281474976710656.0) * 120.0 AS lat,
+                     -180.0 + ((('0x' || substr(md5('lon#' ||
+                       CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT + 0.5)
+                       / 281474976710656.0) * 360.0 AS lon
+              FROM docs),
+            cells AS (
+              SELECT id, lat, lon,
+                     CAST(floor(lat / 6.0) AS BIGINT) AS cx,
+                     CAST(floor(lon / 6.0) AS BIGINT) AS cy
+              FROM pts),
+            a AS (
+              SELECT id AS id_a, lat AS lat_a, lon AS lon_a,
+                     cx + dx AS nx, cy + dy AS ny
+              FROM cells,
+                   (SELECT unnest([-1, 0, 1]) AS dx) dxs,
+                   (SELECT unnest([-1, 0, 1]) AS dy) dys),
+            b AS (
+              SELECT id AS id_b, lat AS lat_b, lon AS lon_b,
+                     cx AS nx, cy AS ny
+              FROM cells),
+            dd AS (
+              SELECT id_a, id_b,
+                     round(2 * 6371.0 * asin(sqrt(
+                       sin(radians(lat_b - lat_a) / 2)
+                         * sin(radians(lat_b - lat_a) / 2)
+                       + cos(radians(lat_a)) * cos(radians(lat_b))
+                         * sin(radians(lon_b - lon_a) / 2)
+                         * sin(radians(lon_b - lon_a) / 2))), 6) AS dist_km
+              FROM a JOIN b USING (nx, ny)
+              WHERE id_a < id_b),
+            pairs AS MATERIALIZED (
+              SELECT id_a, id_b FROM dd WHERE dist_km <= 300.0),
+            half AS MATERIALIZED (
+              SELECT id_a AS id, id_b AS nbr FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+            core AS MATERIALIZED (
+              SELECT id FROM half GROUP BY id HAVING count(*) >= 2),
+            cce AS MATERIALIZED (
+              SELECT id_a AS x, id_b AS y FROM pairs
+              WHERE id_a IN (SELECT id FROM core)
+                AND id_b IN (SELECT id FROM core)),
+            ccb AS MATERIALIZED (
+              SELECT x, y FROM cce UNION SELECT y, x FROM cce),
+            cnodes AS (SELECT DISTINCT x AS id FROM ccb),
+            reach AS (
+              WITH RECURSIVE r(id, m) AS (
+                SELECT id, id FROM cnodes
+                UNION
+                SELECT e.x, r.m FROM ccb e JOIN r ON e.y = r.id)
+              SELECT id, min(m) AS cluster_id FROM r GROUP BY id),
+            lone AS (
+              SELECT id, id AS cluster_id FROM core
+              WHERE id NOT IN (SELECT id FROM cnodes)),
+            corelbl AS MATERIALIZED (
+              SELECT * FROM reach UNION ALL SELECT * FROM lone),
+            border AS MATERIALIZED (
+              SELECT h.id, min(cl.cluster_id) AS cluster_id
+              FROM half h
+              JOIN core c ON h.nbr = c.id
+              JOIN corelbl cl ON cl.id = h.nbr
+              WHERE h.id NOT IN (SELECT id FROM core)
+              GROUP BY h.id)
+            SELECT p.id AS doc_id,
+                   CASE WHEN cl.id IS NOT NULL THEN 'core'
+                        WHEN bo.id IS NOT NULL THEN 'border'
+                        ELSE 'noise' END AS role,
+                   coalesce(cl.cluster_id, bo.cluster_id) AS cluster_id
+            FROM pts p
+            LEFT JOIN corelbl cl ON p.id = cl.id
+            LEFT JOIN border bo ON p.id = bo.id
         """,
         "query_expansion": """
             WITH p AS (

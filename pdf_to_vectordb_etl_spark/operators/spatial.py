@@ -103,3 +103,94 @@ def neighbor_pairs(
         .filter(F.col("dist_km") <= radius_km)
         .select("id_a", "id_b", "dist_km")
     )
+
+
+def density_clusters(
+    points: DataFrame,
+    radius_km: float,
+    cell_deg: float,
+    min_neighbors: int = 2,
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Density-based spatial clustering — the DBSCAN decomposition
+    (Ester et al. 1996, public) with the order-dependence removed:
+    CORE points have ≥ ``min_neighbors`` others within ``radius_km``;
+    clusters are connected components of the core–core neighbor graph
+    (cluster id = minimum core member, via star contraction — O(log²)
+    rounds); BORDER points attach to the smallest cluster id among
+    their core neighbors (classic DBSCAN assigns them to whichever
+    cluster scans first — engine-nondeterministic; the min rule is
+    deterministic and externally replayable); everything else is
+    NOISE with a NULL cluster.
+
+    Cost = one binned neighbor join (never all-pairs) + one degree
+    agg + CC on the (much smaller) core subgraph. Returns
+    (id, role ∈ core|border|noise, cluster_id nullable)."""
+    from .graph import connected_components_star
+
+    pairs = neighbor_pairs(
+        points, radius_km, cell_deg, id_col, lat_col, lon_col
+    ).persist()
+    deg = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("_deg"))
+    )
+    core = deg.filter(F.col("_deg") >= min_neighbors).select("id").persist()
+    cc_edges = (
+        pairs.join(core.select(F.col("id").alias("id_a")), "id_a", "left_semi")
+        .join(core.select(F.col("id").alias("id_b")), "id_b", "left_semi")
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    )
+    labels = connected_components_star(cc_edges)
+    # isolated cores (no core neighbor) form singleton clusters
+    lone_core = core.join(labels.select("id"), "id", "left_anti").select(
+        "id", F.col("id").alias("cluster_id")
+    )
+    core_lbl = labels.unionByName(lone_core).persist()
+    half = pairs.select(
+        F.col("id_a").alias("id"), F.col("id_b").alias("nbr")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("nbr"))
+    )
+    border = (
+        half.join(core.select(F.col("id").alias("nbr")), "nbr", "left_semi")
+        .join(core, "id", "left_anti")
+        .join(
+            core_lbl.select(
+                F.col("id").alias("nbr"), F.col("cluster_id")
+            ),
+            "nbr",
+        )
+        .groupBy("id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    all_ids = points.select(F.col(id_col).alias("id"))
+    out = (
+        all_ids.join(
+            core_lbl.withColumn("role", F.lit("core")), "id", "left"
+        )
+        .join(
+            border.select(
+                "id", F.col("cluster_id").alias("_bc")
+            ).withColumn("_brole", F.lit("border")),
+            "id",
+            "left",
+        )
+        .select(
+            "id",
+            F.coalesce(F.col("role"), F.col("_brole"), F.lit("noise")).alias(
+                "role"
+            ),
+            F.coalesce(F.col("cluster_id"), F.col("_bc")).alias("cluster_id"),
+        )
+    )
+    out = out.persist()
+    out.count()  # settle before freeing the inputs it reads
+    for df_ in (pairs, core, core_lbl, labels):
+        if df_.is_cached:
+            df_.unpersist()
+    return out

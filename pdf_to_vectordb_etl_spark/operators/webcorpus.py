@@ -225,9 +225,22 @@ _ACCENT_PAIRS = (
     ("ñńņň", "n"), ("ýÿŷ", "y"),
     ("ÁÀÂÃÄÅ", "A"), ("ÉÈÊË", "E"), ("ÍÌÎÏ", "I"), ("ÓÒÔÕÖ", "O"),
     ("ÚÙÛÜ", "U"), ("Ç", "C"), ("Ñ", "N"), ("Ý", "Y"),
+    # Cyrillic/Greek homoglyphs — the spoofing-canonicalization pass a
+    # dedup/contamination key needs (a doc that swaps Latin 'a' for
+    # Cyrillic 'а' must not dodge the exact-hash screen)
+    ("\u0430\u0435\u043e\u0440\u0441\u0443\u0445", "aeopcyx"),
+    ("\u0410\u0412\u0415\u041a\u041c\u041d\u041e\u0420\u0421\u0422\u0425", "ABEKMHOPCTX"),
+    ("\u03bf\u039f\u0391\u0392\u0395\u0396\u0397\u0399\u039a\u039c\u039d\u03a1\u03a4\u03a7", "oOABEZHIKMNPTX"),
 )
 ACCENT_FROM = "".join(src for src, _ in _ACCENT_PAIRS)
-ACCENT_TO = "".join(dst * len(src) for src, dst in _ACCENT_PAIRS)
+# a pair maps each source char to ONE replacement char (dst repeated),
+# or carries a position-aligned replacement string of equal length
+# (the homoglyph rows)
+ACCENT_TO = "".join(
+    dst * len(src) if len(dst) == 1 else dst for src, dst in _ACCENT_PAIRS
+)
+for _src, _dst in _ACCENT_PAIRS:
+    assert len(_dst) in (1, len(_src)), (_src, _dst)
 
 
 def fold_accents(c: Column) -> Column:

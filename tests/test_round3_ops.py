@@ -1093,6 +1093,7 @@ def test_normalize_text_folds_and_collapses(spark):
         ("    padded   ",),  # NBSP + trim
         ("ÀÉÎÕÜ çñ ýÿ",),            # uppercase + consonant folds
         ("中文 unchanged",),          # outside the table: passthrough
+        ("s\u0440\u0430m \u0395\u039dEM",),  # Cyrillic/Greek homoglyph spoof
         ("",),
     ]
     df = spark.createDataFrame(rows, ["t"])
@@ -1104,6 +1105,7 @@ def test_normalize_text_folds_and_collapses(spark):
         "padded",
         "aeiou cn yy",
         "中文 unchanged",
+        "spam enem",
         "",
     ]
 
@@ -1906,3 +1908,30 @@ def test_spatial_neighbor_join_equals_brute_force(spark):
         "dist_km"
     ]
     assert abs(d - 111.194927) < 1e-3
+
+
+def test_density_clusters_roles_and_labels(spark):
+    """Hand-built geometry: a 4-point tight cluster (all core), one
+    border point near a single core, and two isolated noise points.
+    Labels are component minima; border adopts its core neighbor's
+    cluster; DBSCAN role decomposition is exact."""
+    from pdf_to_vectordb_etl_spark.operators import spatial
+
+    # degrees at the equator: 1 deg ~ 111 km; radius 150 km ~ 1.35 deg
+    pts = [
+        (1, 0.0, 0.0), (2, 0.0, 1.0), (3, 1.0, 0.0), (4, 1.0, 1.0),  # clique
+        (5, 0.0, 2.0),  # 111 km from #2 only (#4 is 157 km) -> border
+        (6, 30.0, 30.0), (7, -40.0, 100.0),  # noise
+    ]
+    df = spark.createDataFrame(pts, ["id", "lat", "lon"])
+    out = {
+        r["id"]: (r["role"], r["cluster_id"])
+        for r in spatial.density_clusters(
+            df, radius_km=120.0, cell_deg=3.0, min_neighbors=2
+        ).collect()
+    }
+    assert out[1] == ("core", 1)
+    assert out[2] == ("core", 1) and out[3] == ("core", 1)
+    assert out[4] == ("core", 1)
+    assert out[5] == ("border", 1)
+    assert out[6] == ("noise", None) and out[7] == ("noise", None)
