@@ -63,6 +63,11 @@ HEADLINE = [
     ("fd_profile", "two partial-combinable aggs per candidate pair; mode via max(count), no windows"),
     ("k_anonymity", "QI-class hash agg + summary fold; class table never leaves executors"),
     ("canary_roundtrip", "md5-selected injection + regexp detection: one narrow codegen projection"),
+    ("cusum_changepoints", "max(0,.) recurrence as cumsum - running-min: one per-key window, no UDF"),
+    ("seasonal_decompose", "per-key centered-MA window + phase-profile agg broadcast back"),
+    ("query_expansion", "feedback ids broadcast; TakeOrdered on rounded weight, no global sort"),
+    ("record_linkage", "blocked equi-join candidates; literal log-weights in one codegen projection"),
+    ("spatial_neighbors", "3x3 cell-neighborhood equi-join bounded by cell occupancy; codegen trig verify"),
     ("cohort_retention", "first-seen agg and join-back share the user_id exchange; cohort sizes broadcast"),
     ("sole_late_supplier", "Q21 class decorrelated: per-order agg + join-back, no EXISTS re-scan"),
     ("ta_perplexity", "LM model broadcast onto the bigram stream; percentile cutpoint broadcast, no sort"),
