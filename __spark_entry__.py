@@ -4469,6 +4469,65 @@ def q_spatial_density_clusters(spark, sf):
     return out.select(F.col("id").alias("doc_id"), "role", "cluster_id")
 
 
+def q_t13_stream_cusum(spark, sf):
+    """T13 — streaming CUSUM: the recurrence frontier (s⁺, s⁻,
+    last_t) carried as per-key state across micro-batches — a
+    genuinely sequential state, unlike the associative sketch states
+    of T9-T12. Reference (mu, sd) per key is trained batch-side and
+    pickled in (5 keys); the metric stream is the daily-count series
+    written to a drop folder and replayed time-ordered. Identical
+    fold ⇒ the batch CUSUM SQL is the parity oracle."""
+    import tempfile
+
+    ev = _t(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("(ts div 1000) div 86400000000").alias("day"),
+    ).agg(F.count("*").cast("double").alias("v"))
+    ref = {
+        r["event_type"]: (r["mu"], r["sd"])
+        for r in daily.groupBy("event_type")
+        .agg(
+            F.avg("v").alias("mu"), F.stddev_pop("v").alias("sd")
+        )
+        .collect()
+    }
+    from pdf_to_vectordb_etl_spark.streaming.stateful import stream_cusum
+
+    d = tempfile.mkdtemp(prefix="t13in")
+    daily.write.mode("overwrite").parquet(d)
+    raw_schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(raw_schema).parquet(d)
+    out = stream_cusum(
+        stream,
+        ref,
+        key_col="event_type",
+        time_col="day",
+        value_col="v",
+        slack=0.5,
+        threshold=3.0,
+    )
+    name = "t13_stream_cusum_out"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t13ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.col("key").alias("event_type"),
+        F.col("t").alias("day"),
+        "v",
+        "s_pos",
+        "s_neg",
+        "alarm_up",
+        "alarm_down",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -4697,6 +4756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "record_linkage": q_record_linkage,
         "spatial_neighbors": q_spatial_neighbors,
         "spatial_density_clusters": q_spatial_density_clusters,
+        "t13_stream_cusum": q_t13_stream_cusum,
     }
 
 
@@ -9226,4 +9286,7 @@ def oracle_sql() -> dict[str, str]:
     # streaming CMS registers over identical rows == the batch sketch,
     # so the batch CMS estimate SQL is the parity oracle
     d["t11_stream_cms"] = d["cms_heavy_hitters"]
+    # the streaming CUSUM fold over time-ordered arrival with the
+    # batch-trained reference stats replays the batch detector exactly
+    d["t13_stream_cusum"] = d["cusum_changepoints"]
     return d

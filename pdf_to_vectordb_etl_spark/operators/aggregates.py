@@ -686,6 +686,7 @@ def cusum_changepoints(
     order_cols: tuple[str, ...] = ("t",),
     slack: float = 0.5,
     threshold: float = 5.0,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Two-sided standardized CUSUM change detection (Page 1954,
     public): per key, S⁺ₜ = max(0, S⁺ₜ₋₁ + zₜ − k) flags upward mean
@@ -696,13 +697,19 @@ def cusum_changepoints(
     zero UDFs, parallel across keys; the (mean, std) standardization
     is a per-key aggregate joined back (AQE broadcasts the small
     side). Emits every row with s_pos/s_neg and the alarm flags —
-    downstream keeps `filter(alarm)` for the changepoint list."""
+    downstream keeps `filter(alarm)` for the changepoint list.
+
+    ``stats`` (by, _mu, _sd) overrides the self-computed
+    standardization — the trained-on-history mode the streaming twin
+    (streaming.stateful.stream_cusum) shares, so both paths
+    standardize identically."""
     from pyspark.sql import Window
 
-    stats = series.groupBy(by).agg(
-        F.avg(value_col).alias("_mu"),
-        F.stddev_pop(value_col).alias("_sd"),
-    )
+    if stats is None:
+        stats = series.groupBy(by).agg(
+            F.avg(value_col).alias("_mu"),
+            F.stddev_pop(value_col).alias("_sd"),
+        )
     z = F.when(
         F.col("_sd") > 0, (F.col(value_col) - F.col("_mu")) / F.col("_sd")
     ).otherwise(F.lit(0.0))

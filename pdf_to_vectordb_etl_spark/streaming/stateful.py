@@ -377,3 +377,103 @@ def stream_kmv_bottomk(
     return toks.groupBy("key").applyInPandasWithState(
         _kmv, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_cusum(
+    stream: DataFrame,
+    ref_stats: dict,
+    key_col: str = "key",
+    time_col: str = "t",
+    value_col: str = "v",
+    slack: float = 0.5,
+    threshold: float = 3.0,
+):
+    """T13 — streaming CUSUM change detection: unlike the associative
+    sketch states (T9-T12), the CUSUM recurrence
+    S⁺ₜ = max(0, S⁺ₜ₋₁ + zₜ − k) genuinely carries ACROSS batches, so
+    the state is the recurrence frontier: (s_pos, s_neg, last_t) per
+    key — three scalars, bounded forever. Standardization uses FIXED
+    reference statistics (the trained-on-history pattern; passed as a
+    plain {key: (mu, sd)} dict — small, pickled into the operator),
+    which is what makes streaming and batch agree: given time-ordered
+    arrival per key, any batch split replays the identical fold, and
+    the batch twin (aggregates.cusum_changepoints with the same
+    ``stats``) is the parity oracle. Rows inside a batch are sorted by
+    event time per key before folding; late rows violating last_t
+    raise rather than silently corrupting the recurrence."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BooleanType, DoubleType, LongType, StringType
+
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("t", LongType()),
+            StructField("v", DoubleType()),
+            StructField("s_pos", DoubleType()),
+            StructField("s_neg", DoubleType()),
+            StructField("alarm_up", BooleanType()),
+            StructField("alarm_down", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("mp", DoubleType()),
+            StructField("mn", DoubleType()),
+            StructField("min_mp", DoubleType()),
+            StructField("min_mn", DoubleType()),
+            StructField("last_t", LongType()),
+        ]
+    )
+
+    def _cusum(key_t, pdfs, state: GroupState):
+        import pandas as _pd
+
+        # state carries the CLOSED FORM's running values (cumsum M and
+        # its running min), not the clamped S directly: the batch twin
+        # computes S = M - least(min M, 0), and replicating that exact
+        # operation order keeps the two paths bit-identical — folding
+        # max(0, S+z-k) instead accumulates DIFFERENT floating-point
+        # error and can flip a 6-dp rounding boundary vs the oracle
+        inf = float("inf")
+        mp, mn, min_mp, min_mn, last_t = (
+            state.get if state.exists else (0.0, 0.0, inf, inf, -(1 << 62))
+        )
+        key = key_t[0]
+        mu, sd = ref_stats.get(key, (0.0, 1.0))
+        rows = _pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(time_col)
+        out = {c.name: [] for c in out_schema.fields}
+        for t, v in zip(rows[time_col], rows[value_col]):
+            t = int(t)
+            if t <= last_t:
+                raise ValueError(
+                    f"stream_cusum: out-of-order arrival for key {key!r}: "
+                    f"t={t} after last_t={last_t} — the recurrence cannot "
+                    "absorb late data; route late rows to a batch rebuild."
+                )
+            z = (float(v) - mu) / sd if sd > 0 else 0.0
+            mp = mp + (z - slack)
+            mn = mn + (-z - slack)
+            min_mp = mp if mp < min_mp else min_mp
+            min_mn = mn if mn < min_mn else min_mn
+            sp = mp - (min_mp if min_mp < 0.0 else 0.0)
+            sn = mn - (min_mn if min_mn < 0.0 else 0.0)
+            last_t = t
+            out["key"].append(key)
+            out["t"].append(t)
+            out["v"].append(float(v))
+            out["s_pos"].append(round(sp, 6))
+            out["s_neg"].append(round(sn, 6))
+            out["alarm_up"].append(sp > threshold)
+            out["alarm_down"].append(sn > threshold)
+        state.update((mp, mn, min_mp, min_mn, last_t))
+        yield _pd.DataFrame(out)
+
+    prepped = stream.select(
+        F.col(key_col).alias("key"),
+        F.col(time_col).cast("long").alias(time_col),
+        F.col(value_col).cast("double").alias(value_col),
+    )
+    return prepped.groupBy("key").applyInPandasWithState(
+        _cusum, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

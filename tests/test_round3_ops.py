@@ -1935,3 +1935,98 @@ def test_density_clusters_roles_and_labels(spark):
     assert out[4] == ("core", 1)
     assert out[5] == ("border", 1)
     assert out[6] == ("noise", None) and out[7] == ("noise", None)
+
+
+def test_stream_cusum_carries_recurrence_across_batches(spark, sf_dir, tmp_path):
+    """T13: the recurrence frontier survives micro-batch boundaries —
+    two time-ordered files replayed through one checkpoint produce
+    exactly the batch detector's rows; out-of-order arrival raises."""
+    import tempfile
+
+    import pytest
+
+    from pdf_to_vectordb_etl_spark.operators import aggregates
+    from pdf_to_vectordb_etl_spark.streaming.stateful import stream_cusum
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("(ts div 1000) div 86400000000").alias("day"),
+    ).agg(F.count("*").cast("double").alias("v"))
+    stats = daily.groupBy("event_type").agg(
+        F.avg("v").alias("_mu"), F.stddev_pop("v").alias("_sd")
+    )
+    ref = {
+        r["event_type"]: (r["_mu"], r["_sd"]) for r in stats.collect()
+    }
+    cut = daily.agg(F.expr("percentile(day, 0.5)")).first()[0]
+    live = tmp_path / "live"
+    live.mkdir()
+    daily.filter(F.col("day") <= cut).coalesce(1).write.parquet(
+        str(live / "p1")
+    )
+    schema = daily.schema
+    ck = str(tmp_path / "ck")
+    rows = []
+
+    def run_once():
+        q = (
+            stream_cusum(
+                spark.readStream.schema(schema).parquet(str(live / "*")),
+                ref,
+                key_col="event_type",
+                time_col="day",
+                value_col="v",
+                slack=0.5,
+                threshold=3.0,
+            )
+            .writeStream.foreachBatch(
+                lambda bdf, _id: rows.extend(bdf.collect())
+            )
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    n_first = len(rows)
+    daily.filter(F.col("day") > cut).coalesce(1).write.parquet(
+        str(live / "p2")
+    )
+    run_once()
+    assert 0 < n_first < len(rows)
+    got = sorted(
+        (r["key"], r["t"], r["s_pos"], r["s_neg"]) for r in rows
+    )
+    want = sorted(
+        (r["event_type"], r["day"], r["s_pos"], r["s_neg"])
+        for r in aggregates.cusum_changepoints(
+            daily, value_col="v", by="event_type", order_cols=("day",),
+            slack=0.5, threshold=3.0, stats=stats,
+        ).collect()
+    )
+    assert got == want
+    # replaying an EARLIER day against the carried frontier must raise
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    daily.filter(F.col("day") <= cut).coalesce(1).write.parquet(
+        str(bad / "late")
+    )
+    with pytest.raises(Exception, match="out-of-order"):
+        q = (
+            stream_cusum(
+                spark.readStream.schema(schema).parquet(str(bad / "*")),
+                ref,
+                key_col="event_type",
+                time_col="day",
+                value_col="v",
+            )
+            .writeStream.foreachBatch(lambda bdf, _id: bdf.collect())
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)  # frontier already past cut
+            .start()
+        )
+        q.awaitTermination(120)
