@@ -2030,3 +2030,40 @@ def test_stream_cusum_carries_recurrence_across_batches(spark, sf_dir, tmp_path)
             .start()
         )
         q.awaitTermination(120)
+
+
+def test_monitor_deseasonalized_cusum_beats_raw(spark):
+    """The composition's reason to exist: a strong weekly pattern plus
+    a mid-stream +4 level shift. CUSUM on the deseasonalized remainder
+    fires at the shift; the identical detector on the RAW series
+    (same slack/threshold) never fires at all — the seasonal swing
+    inflates sigma so a 4-unit shift is only ~0.8 raw-sigma, drowned
+    in the standardization."""
+    from pdf_to_vectordb_etl_spark.operators import aggregates
+    from pdf_to_vectordb_etl_spark.plans.monitor import monitor_series
+
+    pattern = [6.0, -6.0, 4.0, -4.0, 5.0, -5.0, 0.0]
+    shift_at = 42
+    rows = [
+        ("m", t, pattern[t % 7] + (4.0 if t >= shift_at else 0.0))
+        for t in range(70)
+    ]
+    df = spark.createDataFrame(rows, ["key", "t", "v"])
+    rep = monitor_series(
+        df, value_col="v", time_col="t", by="key", period=7,
+        slack=0.5, threshold=4.0,
+    ).first()
+    assert rep["seasonal_amplitude"] > 8  # the pattern was found
+    assert rep["first_alarm"] is not None
+    # the centered MA sees the shift up to half a window early (the
+    # trend at t in [shift-3, shift) already averages shifted points),
+    # so on-time means within the MA half-window of the truth
+    assert shift_at - 3 <= rep["first_alarm"] <= shift_at + 6
+    raw = aggregates.cusum_changepoints(
+        df, value_col="v", by="key", order_cols=("t",),
+        slack=0.5, threshold=4.0,
+    )
+    raw_first = (
+        raw.filter("alarm_up OR alarm_down").agg(F.min("t")).first()[0]
+    )
+    assert raw_first is None  # the raw detector misses the shift entirely
