@@ -4528,6 +4528,151 @@ def q_t13_stream_cusum(spark, sf):
     )
 
 
+# --------------------------------------------------------------------------
+# evaluation statistics — grading the pipeline's own filters/clusterings
+# --------------------------------------------------------------------------
+
+def q_eval_auc(spark, sf):
+    """Distributed ROC AUC on a fixed 1000-bin score grid: does event
+    value separate purchases from the rest?  The corpus reduces to
+    ≤1000 bins in one map-side-combined agg; the cumulative-negatives
+    window runs over that constant-size bin table (bounded by
+    construction — audit-allowlisted), then one rank-sum aggregate
+    emits a single row."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation as ev
+
+    events = _t(spark, sf, "events")
+    return ev.binned_auc(
+        events, "value", F.col("event_type") == "purchase",
+        n_bins=1000, lo=0.0, hi=500.0,
+    )
+
+
+def q_survival_km(spark, sf):
+    """Kaplan-Meier user-retention curve: per-user lifetime in days
+    (first→last event), churn observed when the user's final event is
+    an ``error`` (deterministic last-event pick via (ts, event_id)
+    tiebreak).  Subjects fold to the distinct-duration table — time-
+    domain-sized, not user-sized — before the ordered at-risk /
+    survival-product windows (bounded by construction)."""
+    from pyspark.sql import Window
+
+    from pdf_to_vectordb_etl_spark.operators import evaluation as ev
+
+    ev_t = _t(spark, sf, "events").select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("tus"), "event_type"
+    )
+    w_last = Window.partitionBy("user_id").orderBy(
+        F.desc("tus"), F.desc("event_id")
+    )
+    per_user = (
+        ev_t.withColumn("_last", F.first("event_type").over(w_last))
+        .groupBy("user_id")
+        .agg(
+            F.expr("(max(tus) - min(tus)) div 86400000000").alias("duration"),
+            (F.max("_last") == "error").alias("observed"),
+        )
+    )
+    return ev.kaplan_meier(per_user, "duration", "observed")
+
+
+def q_ab_welch_ttest(spark, sf):
+    """Welch's unequal-variance t-test: do click and view events carry
+    different mean values?  One conditional aggregate (count/avg/var
+    per arm, vars rounded before the t/df formulas) — no shuffle
+    beyond the single global agg, trivially partial-combinable."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation as ev
+
+    events = _t(spark, sf, "events")
+    return ev.welch_ttest(events, "event_type", "value", "click", "view")
+
+
+def q_calibration_bins(spark, sf):
+    """Reliability diagram for the learned quality filter: bucket
+    quality_prob into 10 equal-width bins and compare mean predicted
+    probability against the observed positive rate (label: English
+    doc), plus per-bin Brier score.  One aggregate, 10 output rows."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation as ev
+
+    docs = _t(spark, sf, "documents")
+    scored = ta.quality_logreg(docs).select("doc_id", "quality_prob").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return ev.calibration_bins(
+        scored, "quality_prob", F.col("lang") == "en", n_bins=10
+    )
+
+
+def q_silhouette_labels(spark, sf):
+    """Simplified silhouette per embedding label: distance to own vs
+    nearest-other label centroid, the O(n·k) centroid form.  Centroids
+    build via explode-once hash agg (rounded 6dp for engine parity)
+    and broadcast as k rows; the corpus never shuffles on content."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation as ev
+
+    emb = _t(spark, sf, "embeddings")
+    return ev.silhouette_by_cluster(emb, "embedding", "label", "vec_id")
+
+
+def q_gini_by_source(spark, sf):
+    """Token-mass concentration per source: Gini coefficient of the
+    per-document whitespace token count within each source, via the
+    rank formula over a PARTITIONED (per-source, parallel) window with
+    a doc_id tiebreak.  Complements token_pareto's corpus-level
+    decile view with a per-source inequality scalar."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation as ev
+
+    docs = _t(spark, sf, "documents").select(
+        "source", "doc_id", ta.token_count(F.col("text")).alias("n_tok")
+    )
+    return ev.gini_by_group(docs, "source", "n_tok", "doc_id")
+
+
+def q_assoc_rules(spark, sf):
+    """Market-basket association rules over order baskets × part
+    brands: support / confidence / lift with a 0.5% min-support cut.
+    Pair supports come from a self-join on the basket key (fan-out
+    bounded by basket width); brand supports and the basket total ride
+    as broadcasts — no driver-side count action in the plan."""
+    from pdf_to_vectordb_etl_spark.operators.association import (
+        association_rules,
+    )
+
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part")
+    baskets = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li.l_partkey == F.col("p_partkey"),
+    ).select(F.col("l_orderkey").alias("bid"), F.col("p_brand").alias("item"))
+    return association_rules(baskets, "bid", "item", min_support=0.005)
+
+
+def q_link_adamic_adar(spark, sf):
+    """Adamic-Adar link prediction on the rare-shingle doc graph:
+    score non-adjacent doc pairs by Σ 1/ln(deg) over shared neighbors.
+    Two-hop pairs come from a self-join on the middle node with hubs
+    cut at deg ≤ 100 BEFORE the join (bounds fan-out at deg² per
+    middle), then existing edges leave via left-anti."""
+    from pdf_to_vectordb_etl_spark.operators.graph import (
+        adamic_adar,
+        shared_token_edges,
+    )
+
+    docs = _t(spark, sf, "documents")
+    edges = shared_token_edges(docs, min_df=2, max_df=3, n=3)
+    return adamic_adar(edges, min_deg=2, max_deg=100)
+
+
+def q_zipf_fit(spark, sf):
+    """Zipf's-law fit of the corpus unigram distribution: regr_slope /
+    intercept / R² of ln(freq) on ln(rank) over the top-100 tokens.
+    The rank window runs over the vocabulary aggregate (vocabulary-
+    bounded, audit-allowlisted), the fit is the partial-combinable
+    regr_* family."""
+    docs = _t(spark, sf, "documents")
+    return ta.zipf_fit(docs, "text", top_n=100)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -4757,6 +4902,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_neighbors": q_spatial_neighbors,
         "spatial_density_clusters": q_spatial_density_clusters,
         "t13_stream_cusum": q_t13_stream_cusum,
+        "eval_auc": q_eval_auc,
+        "survival_km": q_survival_km,
+        "ab_welch_ttest": q_ab_welch_ttest,
+        "calibration_bins": q_calibration_bins,
+        "silhouette_labels": q_silhouette_labels,
+        "gini_by_source": q_gini_by_source,
+        "assoc_rules": q_assoc_rules,
+        "link_adamic_adar": q_link_adamic_adar,
+        "zipf_fit": q_zipf_fit,
     }
 
 
@@ -9259,6 +9413,265 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e2.a, r.m FROM edges e2 JOIN r ON e2.b = r.id)
               SELECT id, min(m) AS cluster_id FROM r GROUP BY id)
             SELECT id AS doc_id, cluster_id FROM reach
+        """,
+        "eval_auc": """
+            WITH b AS (
+              SELECT CAST(least(greatest(floor((value - 0.0) / 0.5), 0), 999)
+                          AS INT) AS bin,
+                     CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                              END) AS BIGINT) AS pos,
+                     CAST(sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1
+                              END) AS BIGINT) AS neg
+              FROM events GROUP BY 1),
+            c AS (
+              SELECT pos, neg,
+                     CAST(coalesce(sum(neg) OVER (ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS BIGINT) AS cumneg
+              FROM b)
+            SELECT round(sum(pos * (cumneg + neg / 2.0))
+                         / (CAST(sum(pos) AS DOUBLE)
+                            * CAST(sum(neg) AS DOUBLE)), 6) AS auc,
+                   CAST(sum(pos) AS BIGINT) AS n_pos,
+                   CAST(sum(neg) AS BIGINT) AS n_neg
+            FROM c
+        """,
+        "survival_km": """
+            WITH ev AS (
+              SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
+              FROM events),
+            lastt AS (
+              SELECT user_id, tus, event_type,
+                     first_value(event_type) OVER (PARTITION BY user_id
+                       ORDER BY tus DESC, event_id DESC) AS last_type
+              FROM ev),
+            per_user AS (
+              SELECT user_id,
+                     (max(tus) - min(tus)) // 86400000000 AS duration,
+                     max(last_type) = 'error' AS observed
+              FROM lastt GROUP BY user_id),
+            grp AS (
+              SELECT duration,
+                     CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_events,
+                     CAST(sum(CASE WHEN observed THEN 0 ELSE 1 END)
+                          AS BIGINT) AS n_censored
+              FROM per_user GROUP BY duration),
+            r AS (
+              SELECT duration, n_events, n_censored,
+                     CAST(sum(n_events + n_censored) OVER ()
+                          - coalesce(sum(n_events + n_censored) OVER (
+                              ORDER BY duration ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND 1 PRECEDING), 0)
+                          AS BIGINT) AS n_at_risk
+              FROM grp)
+            SELECT duration, n_at_risk, n_events, n_censored,
+                   round(exp(sum(ln(greatest(
+                           1.0 - n_events * 1.0 / n_at_risk, 1e-300)))
+                         OVER (ORDER BY duration ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW)), 6) AS survival
+            FROM r ORDER BY duration
+        """,
+        "ab_welch_ttest": """
+            WITH a AS (
+              SELECT count(CASE WHEN event_type = 'click' THEN 1 END) AS n_a,
+                     count(CASE WHEN event_type = 'view' THEN 1 END) AS n_b,
+                     round(avg(CASE WHEN event_type = 'click' THEN value END),
+                           6) AS mean_a,
+                     round(avg(CASE WHEN event_type = 'view' THEN value END),
+                           6) AS mean_b,
+                     round(var_samp(CASE WHEN event_type = 'click' THEN value
+                                    END), 6) AS var_a,
+                     round(var_samp(CASE WHEN event_type = 'view' THEN value
+                                    END), 6) AS var_b
+              FROM events)
+            SELECT n_a, n_b, mean_a, mean_b,
+                   round((mean_a - mean_b)
+                         / sqrt(var_a / n_a + var_b / n_b), 4) AS t_stat,
+                   round(pow(var_a / n_a + var_b / n_b, 2)
+                         / (pow(var_a / n_a, 2) / (n_a - 1)
+                            + pow(var_b / n_b, 2) / (n_b - 1)), 2) AS df
+            FROM a
+        """,
+        "calibration_bins": r"""
+            WITH f AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END
+                       AS n_tokens,
+                     len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                     len(regexp_extract_all(lower(text),
+                         '\b(the|a|of|and|to|in|is|it)\b')) AS n_stop,
+                     len(regexp_extract_all(text, '[A-Z]')) AS n_upper
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     round(CASE WHEN n_tokens > 0
+                           THEN (n_chars - (n_tokens - 1)) * 1.0 / n_tokens
+                           ELSE 0.0 END, 6) AS mean_token_len,
+                     round(CASE WHEN n_chars > 0
+                           THEN n_punct * 1.0 / n_chars ELSE 0.0 END, 6)
+                       AS punct_ratio,
+                     round(CASE WHEN n_tokens > 0
+                           THEN n_stop * 1.0 / n_tokens ELSE 0.0 END, 6)
+                       AS stopword_ratio,
+                     round(CASE WHEN n_chars > 0
+                           THEN n_upper * 1.0 / n_chars ELSE 0.0 END, 6)
+                       AS upper_ratio,
+                     round(ln(1.0 + n_tokens), 6) AS log1p_tokens
+              FROM f),
+            z AS (
+              SELECT doc_id,
+                     round(-2.2 + 3.2 * stopword_ratio + -6.0 * punct_ratio
+                           + -2.5 * upper_ratio + 0.15 * mean_token_len
+                           + 0.35 * log1p_tokens, 8) AS z
+              FROM g),
+            p AS (
+              SELECT z.doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS p,
+                     d.lang = 'en' AS y
+              FROM z JOIN documents d ON z.doc_id = d.doc_id)
+            SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(avg(p), 6) AS mean_prob,
+                   round(avg(CASE WHEN y THEN 1.0 ELSE 0.0 END), 6)
+                     AS pos_rate,
+                   round(avg(pow(p - CASE WHEN y THEN 1.0 ELSE 0.0 END, 2)),
+                         6) AS brier
+            FROM p GROUP BY 1 ORDER BY 1
+        """,
+        "silhouette_labels": """
+            WITH pts AS (
+              SELECT vec_id, label, pos, CAST(embedding[pos] AS DOUBLE) AS x
+              FROM (SELECT vec_id, label, embedding,
+                           unnest(generate_series(1, len(embedding))) AS pos
+                    FROM embeddings)),
+            cent AS (
+              SELECT label AS clu, pos, round(avg(x), 6) AS c
+              FROM pts GROUP BY label, pos),
+            d AS (
+              SELECT p.vec_id, p.label, c.clu,
+                     sqrt(sum(pow(p.x - c.c, 2))) AS dist
+              FROM pts p JOIN cent c ON p.pos = c.pos
+              GROUP BY p.vec_id, p.label, c.clu),
+            pp AS (
+              SELECT vec_id, label,
+                     min(CASE WHEN clu = label THEN dist END) AS a,
+                     min(CASE WHEN clu <> label THEN dist END) AS b
+              FROM d GROUP BY vec_id, label)
+            SELECT label, CAST(count(*) AS BIGINT) AS n,
+                   round(avg((b - a) / greatest(a, b)), 6) AS mean_silhouette
+            FROM pp GROUP BY label ORDER BY label
+        """,
+        "gini_by_source": r"""
+            WITH t AS (
+              SELECT source, doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END
+                       AS n_tok
+              FROM documents),
+            r AS (
+              SELECT source, CAST(n_tok AS DOUBLE) AS x,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY n_tok, doc_id) AS i
+              FROM t)
+            SELECT source, CAST(count(*) AS BIGINT) AS n,
+                   round(2.0 * sum(i * x) / (count(*) * sum(x))
+                         - (count(*) + 1.0) / count(*), 6) AS gini
+            FROM r GROUP BY source ORDER BY source
+        """,
+        "assoc_rules": """
+            WITH items AS (
+              SELECT DISTINCT l.l_orderkey AS bid, p.p_brand AS item
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+            tot AS (SELECT CAST(count(DISTINCT bid) AS BIGINT) AS n_b
+                    FROM items),
+            si AS (SELECT item, CAST(count(*) AS BIGINT) AS s
+                   FROM items GROUP BY item),
+            pair AS (
+              SELECT a.item AS ia, b.item AS ib,
+                     CAST(count(*) AS BIGINT) AS sab
+              FROM items a JOIN items b
+                ON a.bid = b.bid AND a.item < b.item
+              GROUP BY a.item, b.item),
+            directed AS (
+              SELECT ia AS ant, ib AS cons, sab FROM pair
+              UNION ALL
+              SELECT ib AS ant, ia AS cons, sab FROM pair),
+            e AS (
+              SELECT d.ant, d.cons, d.sab, sa.s AS s_ant, sc.s AS s_cons,
+                     t.n_b
+              FROM directed d
+              JOIN si sa ON d.ant = sa.item
+              JOIN si sc ON d.cons = sc.item
+              CROSS JOIN tot t)
+            SELECT ant, cons, sab AS supp,
+                   round(sab * 1.0 / s_ant, 6) AS confidence,
+                   round(CAST(sab AS DOUBLE) * n_b
+                         / (CAST(s_ant AS DOUBLE) * s_cons), 6) AS lift
+            FROM e WHERE sab >= CAST(n_b AS DOUBLE) * 0.005
+        """,
+        "link_adamic_adar": r"""
+            WITH w AS (
+              SELECT doc_id AS id,
+                     string_split(lower(regexp_replace(trim(text), '\s+', ' ',
+                                                       'g')), ' ') AS w
+              FROM documents),
+            toks AS (
+              SELECT id,
+                     unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(w)-2, 0)),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS tok
+              FROM w),
+            rare AS (
+              SELECT tok FROM toks GROUP BY tok
+              HAVING count(*) BETWEEN 2 AND 3),
+            post AS (SELECT id, tok FROM toks JOIN rare USING (tok)),
+            e AS MATERIALIZED (
+              SELECT DISTINCT a.id AS a, b.id AS b
+              FROM post a JOIN post b ON a.tok = b.tok AND a.id < b.id),
+            adj AS MATERIALIZED (
+              SELECT a AS src, b AS mid FROM e
+              UNION ALL SELECT b AS src, a AS mid FROM e),
+            deg AS (
+              SELECT mid, count(*) AS d FROM adj GROUP BY mid
+              HAVING count(*) BETWEEN 2 AND 100),
+            hop AS (
+              SELECT a.src, a.mid, 1.0 / ln(deg.d) AS wt
+              FROM adj a JOIN deg ON a.mid = deg.mid),
+            pairs AS (
+              SELECT l.src AS a, r.src AS b, round(sum(l.wt), 6) AS score
+              FROM hop l JOIN hop r ON l.mid = r.mid AND l.src < r.src
+              GROUP BY l.src, r.src)
+            SELECT p.a, p.b, p.score FROM pairs p
+            WHERE NOT EXISTS (SELECT 1 FROM e
+                              WHERE e.a = p.a AND e.b = p.b)
+        """,
+        "zipf_fit": r"""
+            WITH w AS (
+              SELECT string_split(lower(regexp_replace(trim(text), '\s+', ' ',
+                                                       'g')), ' ') AS w
+              FROM documents),
+            tk AS (SELECT unnest(w) AS tok FROM w),
+            freq AS (
+              SELECT tok, count(*) AS f FROM tk WHERE tok <> ''
+              GROUP BY tok),
+            top AS (
+              SELECT ln(CAST(f AS DOUBLE)) AS lf,
+                     ln(CAST(rank AS DOUBLE)) AS lr
+              FROM (SELECT f, tok,
+                           row_number() OVER (ORDER BY f DESC, tok) AS rank
+                    FROM freq)
+              WHERE rank <= 100),
+            fit AS (
+              SELECT round(regr_slope(lf, lr), 4) AS slope,
+                     round(regr_intercept(lf, lr), 4) AS intercept,
+                     round(regr_r2(lf, lr), 4) AS r2,
+                     CAST(count(*) AS BIGINT) AS n_fit
+              FROM top),
+            v AS (SELECT CAST(count(*) AS BIGINT) AS vocab_size FROM freq)
+            SELECT slope, intercept, r2, n_fit, vocab_size
+            FROM fit CROSS JOIN v
         """,
     }
 

@@ -494,3 +494,44 @@ def connected_components_star(
     if nodes.is_cached:
         nodes.unpersist()
     return out
+
+
+def adamic_adar(
+    edges: DataFrame,
+    min_deg: int = 2,
+    max_deg: int = 100,
+) -> DataFrame:
+    """Adamic-Adar link prediction over an undirected edge list
+    (columns ``a < b``): for every non-adjacent pair sharing at least
+    one neighbor, score = Σ_{m ∈ N(a)∩N(b)} 1/ln(deg(m)).
+
+    Shape: symmetrize once, compute degrees with one hash aggregate,
+    then the two-hop pairs come from a self-join ON THE MIDDLE NODE —
+    fan-out per middle node is deg², so hubs are cut at ``max_deg``
+    BEFORE the join (standard AA practice: a hub's 1/ln(deg) weight is
+    noise anyway, and the cap bounds the join quadratically at
+    max_deg² per node instead of corpus-scale).  ``min_deg`` drops
+    degree-1 middles that cannot connect two distinct endpoints.
+    Existing edges leave via one left-anti join.
+
+    Returns ``a, b, score`` with a < b, score rounded to 6 dp.
+    """
+    adj = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("mid")
+    ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("mid")))
+    deg = (
+        adj.groupBy("mid")
+        .agg(F.count("*").alias("_d"))
+        .filter((F.col("_d") >= min_deg) & (F.col("_d") <= max_deg))
+        .withColumn("_w", 1.0 / F.log(F.col("_d").cast("double")))
+    )
+    hop = adj.join(deg.select("mid", "_w"), "mid")
+    l = hop.select("mid", F.col("src").alias("a"), "_w")
+    r = hop.select("mid", F.col("src").alias("b"))
+    pairs = (
+        l.join(r, "mid")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.round(F.sum("_w"), 6).alias("score"))
+    )
+    return pairs.join(edges.select("a", "b"), ["a", "b"], "left_anti")

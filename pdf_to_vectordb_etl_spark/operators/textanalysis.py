@@ -523,3 +523,51 @@ def bpe_apply_report(
             F.round(F.sum("n_sub") / F.count("*"), 6).alias("subwords_per_word"),
         )
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_n: int = 100,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus unigram distribution: regress
+    ln(freq) on ln(rank) for the ``top_n`` most frequent tokens and
+    report the slope (Zipfian text ≈ −1), intercept, and R².
+
+    The corpus reduces to the vocabulary with one explode-once hash
+    aggregate; ranking then runs over the vocabulary table (bounded by
+    vocabulary size, not corpus size) with a (freq desc, token)
+    tiebreak so the rank — and therefore the regression input — is
+    fully deterministic.  The fit itself is the partial-combinable
+    ``regr_*`` aggregate family over ≤ top_n points.
+
+    Returns one row: ``slope, intercept, r2, n_fit, vocab_size``.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.explode(
+            F.split(
+                F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")),
+                " ",
+            )
+        ).alias("tok")
+    ).filter(F.col("tok") != "")
+    freq = toks.groupBy("tok").agg(F.count("*").alias("freq"))
+    w = Window.orderBy(F.desc("freq"), F.col("tok"))
+    top = (
+        freq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            F.log(F.col("freq").cast("double")).alias("_lf"),
+            F.log(F.col("rank").cast("double")).alias("_lr"),
+        )
+    )
+    fit = top.agg(
+        F.round(F.expr("regr_slope(_lf, _lr)"), 4).alias("slope"),
+        F.round(F.expr("regr_intercept(_lf, _lr)"), 4).alias("intercept"),
+        F.round(F.expr("regr_r2(_lf, _lr)"), 4).alias("r2"),
+        F.count("*").cast("long").alias("n_fit"),
+    )
+    vocab = freq.agg(F.count("*").cast("long").alias("vocab_size"))
+    return fit.crossJoin(F.broadcast(vocab))

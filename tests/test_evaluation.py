@@ -1,0 +1,140 @@
+"""Property pins for the evaluation-statistics suite.
+
+Each estimator gets a constructed input with a hand-computable truth:
+a perfectly-separating score for AUC, a planted mean shift for Welch,
+well-separated clusters for silhouette, an exact-Zipf frequency table
+for the fit, a path graph for Adamic-Adar.  The cross-engine value
+parity is the DuckDB oracle's job (tools/check_oracle.py); these tests
+pin the MATH.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from pdf_to_vectordb_etl_spark.operators import evaluation as ev
+from pdf_to_vectordb_etl_spark.operators.association import association_rules
+from pdf_to_vectordb_etl_spark.operators.graph import adamic_adar
+from pdf_to_vectordb_etl_spark.operators.textanalysis import zipf_fit
+
+
+def test_auc_separating_and_random(spark):
+    # positives all score above negatives -> AUC == 1.0
+    rows = [(float(i), 0) for i in range(50)] + [
+        (float(100 + i), 1) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "score double, y int")
+    r = ev.binned_auc(df, "score", F.col("y") == 1, n_bins=100, lo=0.0, hi=200.0)
+    row = r.collect()[0]
+    assert row.auc == 1.0 and row.n_pos == 50 and row.n_neg == 50
+    # identical score distribution -> every pair ties at its bin -> 0.5
+    rows = [(float(i % 10), (i // 10) % 2) for i in range(100)]
+    df = spark.createDataFrame(rows, "score double, y int")
+    row = ev.binned_auc(
+        df, "score", F.col("y") == 1, n_bins=10, lo=0.0, hi=10.0
+    ).collect()[0]
+    assert abs(row.auc - 0.5) < 1e-9
+
+
+def test_kaplan_meier_textbook_curve(spark):
+    # classic toy: events at t=1 (1 of 4 at risk) and t=3 (1 of 2),
+    # censored at t=2 -> S = 0.75, then 0.75, then 0.75*0.5
+    rows = [(1, True), (2, False), (3, True), (3, False)]
+    df = spark.createDataFrame(rows, "duration long, observed boolean")
+    out = ev.kaplan_meier(df).collect()
+    assert [r.duration for r in out] == [1, 2, 3]
+    assert [r.n_at_risk for r in out] == [4, 3, 2]
+    assert [r.survival for r in out] == [0.75, 0.75, 0.375]
+    # survival is monotone non-increasing and at-risk starts at N
+    assert all(a.survival >= b.survival for a, b in zip(out, out[1:]))
+
+
+def test_welch_detects_planted_shift(spark):
+    rows = [("a", 10.0 + (i % 5) * 0.1) for i in range(40)] + [
+        ("b", 12.0 + (i % 5) * 0.1) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ev.welch_ttest(df, "g", "v", "a", "b").collect()[0]
+    assert r.n_a == 40 and r.n_b == 40
+    assert r.mean_a < r.mean_b and r.t_stat < -10
+    assert r.df > 0
+
+
+def test_calibration_perfectly_calibrated_bins(spark):
+    # p=0.25 with 1/4 positives, p=0.75 with 3/4 positives
+    rows = [(0.25, i % 4 == 0) for i in range(40)] + [
+        (0.75, i % 4 != 0) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "p double, y boolean")
+    out = {r.bin: r for r in ev.calibration_bins(df, "p", F.col("y")).collect()}
+    assert set(out) == {2, 7}
+    assert out[2].mean_prob == 0.25 and out[2].pos_rate == 0.25
+    assert out[7].mean_prob == 0.75 and out[7].pos_rate == 0.75
+    # brier for a calibrated p: p(1-p)^2 + (1-p)p^2 = p(1-p)
+    assert abs(out[2].brier - 0.25 * 0.75) < 1e-6
+
+
+def test_silhouette_separated_vs_merged(spark):
+    # two tight, far-apart clusters -> silhouette near 1
+    rows = [(i, 0, [0.0 + i * 0.01, 0.0]) for i in range(10)] + [
+        (100 + i, 1, [100.0 + i * 0.01, 0.0]) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    out = ev.silhouette_by_cluster(df).collect()
+    assert len(out) == 2
+    assert all(r.mean_silhouette > 0.99 for r in out)
+
+
+def test_gini_uniform_and_concentrated(spark):
+    uni = [("s", i, 10) for i in range(10)]
+    conc = [("c", i, 0) for i in range(9)] + [("c", 9, 1000)]
+    df = spark.createDataFrame(uni + conc, "g string, id long, x long")
+    out = {r.g: r for r in ev.gini_by_group(df, "g", "x", "id").collect()}
+    assert out["s"].gini == 0.0
+    # all mass on one member of 10 -> G = 1 - 1/n = 0.9
+    assert abs(out["c"].gini - 0.9) < 1e-9
+
+
+def test_association_rules_identity_and_bounds(spark):
+    # x and y always co-occur; z co-occurs with x half the time
+    rows = []
+    for b in range(20):
+        rows += [(b, "x"), (b, "y")]
+        if b % 2 == 0:
+            rows.append((b, "z"))
+    df = spark.createDataFrame(rows, "bid long, item string")
+    out = {(r.ant, r.cons): r for r in
+           association_rules(df, "bid", "item", min_support=0.05).collect()}
+    assert out[("x", "y")].confidence == 1.0 and out[("y", "x")].confidence == 1.0
+    assert out[("x", "y")].lift == 1.0  # supp(x)=supp(y)=N
+    assert out[("z", "x")].confidence == 1.0  # z implies x
+    assert out[("x", "z")].confidence == 0.5
+    assert out[("z", "x")].lift == 1.0
+    assert all(0.0 < r.confidence <= 1.0 for r in out.values())
+
+
+def test_adamic_adar_path_graph(spark):
+    # path 1-2-3 plus 2-4: middle node 2 (deg 3) predicts the three
+    # non-edges among {1,3,4}, each scoring 1/ln(3); degree-1 middles
+    # contribute nothing
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (2, 4)], "a long, b long"
+    )
+    out = {(r.a, r.b): r.score for r in adamic_adar(edges).collect()}
+    w = round(1.0 / math.log(3.0), 6)
+    assert out == {(1, 3): w, (1, 4): w, (3, 4): w}
+
+
+def test_zipf_fit_recovers_minus_one_slope(spark):
+    # build text whose token counts are exactly floor(1000/rank):
+    # ln f = ln 1000 - ln rank -> slope ~= -1, r2 ~= 1
+    words = []
+    for rank in range(1, 51):
+        words += [f"w{rank:03d}"] * (1000 // rank)
+    docs = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    r = zipf_fit(docs, top_n=50).collect()[0]
+    assert r.n_fit == 50 and r.vocab_size == 50
+    assert -1.05 < r.slope < -0.95
+    assert r.r2 > 0.99

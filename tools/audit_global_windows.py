@@ -48,6 +48,9 @@ ALLOWLIST = {
     "hybrid_search_rrf": "rank fusion over two k=50 shortlists — window input bounded by construction",
     "share_of_total": "percent-of-total over the 5-row segment aggregate (agg first, window on the aggregate)",
     "yoy_growth": "lag() over the 8-row per-year aggregate",
+    "eval_auc": "cumulative negatives over the fixed 1000-bin score grid — bounded by construction",
+    "survival_km": "at-risk/survival windows over the distinct-duration table — time-domain-sized, not subject-sized",
+    "zipf_fit": "rank over the vocabulary aggregate (vocabulary-bounded), cut to top-100 before the fit",
 }
 
 
