@@ -4673,6 +4673,168 @@ def q_zipf_fit(spark, sf):
     return ta.zipf_fit(docs, "text", top_n=100)
 
 
+def q_eval_pr_auc(spark, sf):
+    """Average precision (PR-AUC) of event value as a purchase
+    classifier, on the same fixed 1000-bin grid as eval_auc — one
+    combinable histogram agg, then a bounded descending window +
+    rank-sum (sklearn's step-wise AP, binned)."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation as ev
+
+    events = _t(spark, sf, "events")
+    return ev.binned_average_precision(
+        events, "value", F.col("event_type") == "purchase",
+        n_bins=1000, lo=0.0, hi=500.0,
+    )
+
+
+def q_eval_cohens_kappa(spark, sf):
+    """Chance-corrected agreement (Cohen's kappa) between the
+    heuristic language detector and the true lang column.  Confusion
+    cells from one hash agg; everything downstream is class-dimension
+    joins."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation as ev
+
+    docs = _t(spark, sf, "documents")
+    labeled = docs.select(
+        ta.detect_language(F.col("text")).alias("pred"),
+        F.col("lang").alias("truth"),
+    )
+    return ev.cohens_kappa(labeled, "pred", "truth")
+
+
+def q_eval_confusion_f1(spark, sf):
+    """Per-class precision/recall/F1 of the language detector vs the
+    true lang over the union of predicted and true class sets (classes
+    the detector never emits — e.g. zh — still report recall=0; pt /
+    und report their false-positive volume)."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation as ev
+
+    docs = _t(spark, sf, "documents")
+    labeled = docs.select(
+        ta.detect_language(F.col("text")).alias("pred"),
+        F.col("lang").alias("truth"),
+    )
+    return ev.confusion_stats(labeled, "pred", "truth")
+
+
+def q_eval_mrr_ann(spark, sf):
+    """Retrieval quality of the embedding space itself: for every 10th
+    vector as a query, brute-force cosine top-10 over the corpus
+    (self excluded BEFORE ranking), first rank whose neighbor shares
+    the query's label → MRR and recall@10.  Query side broadcasts;
+    the per-qid rank window is partitioned; the final fold is one
+    aggregate."""
+    from pyspark.sql import Window
+
+    from pdf_to_vectordb_etl_spark.functions.vector import cosine_similarity
+
+    emb = _t(spark, sf, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("_qv"),
+        F.col("label").alias("qlabel"),
+    )
+    pairs = (
+        emb.select("vec_id", "embedding", "label")
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "vec_id",
+            "label",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("_qv")), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.col("vec_id"))
+    top = pairs.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 10
+    )
+    per_q = top.groupBy("qid").agg(
+        F.min(
+            F.when(F.col("label") == F.col("qlabel"), F.col("rank"))
+        ).alias("first_hit")
+    )
+    return per_q.agg(
+        F.round(F.avg(F.coalesce(1.0 / F.col("first_hit"), F.lit(0.0))), 6)
+        .alias("mrr"),
+        F.round(
+            F.avg(F.col("first_hit").isNotNull().cast("int")), 6
+        ).alias("recall_at_10"),
+        F.count("*").cast("long").alias("n_queries"),
+    )
+
+
+def q_eval_ndcg_bm25(spark, sf):
+    """NDCG@10 of the BM25 ranking for the standard 3-term query, with
+    graded relevance = total query-term occurrences in the document.
+    DCG over the BM25 top-10, IDCG over the relevance-ideal top-10
+    (TakeOrdered global limit — no full sort); the position windows
+    run over 10-row shortlists (bounded by construction)."""
+    from pyspark.sql import Window
+
+    from pdf_to_vectordb_etl_spark.operators import textsearch
+
+    terms = ["merge", "window", "data"]
+    docs = _t(spark, sf, "documents")
+    rel = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                textsearch.tokens("text"), lambda t: t.isin(*terms)
+            )
+        ).alias("rel"),
+    )
+    top10 = textsearch.bm25_topk(docs, terms, k=10).select(
+        F.col("id").alias("doc_id"), "score"
+    )
+    w_bm = Window.orderBy(F.desc("score"), F.col("doc_id"))
+    dcg_t = (
+        top10.withColumn("pos", F.row_number().over(w_bm))
+        .join(rel, "doc_id")
+        .agg(F.round(F.sum(F.col("rel") / F.log2(F.col("pos") + 1)), 4)
+             .alias("dcg"))
+    )
+    ideal10 = (
+        rel.filter(F.col("rel") > 0)
+        .orderBy(F.desc("rel"), F.col("doc_id"))
+        .limit(10)
+    )
+    w_id = Window.orderBy(F.desc("rel"), F.col("doc_id"))
+    idcg_t = (
+        ideal10.withColumn("pos", F.row_number().over(w_id))
+        .agg(F.round(F.sum(F.col("rel") / F.log2(F.col("pos") + 1)), 4)
+             .alias("idcg"))
+    )
+    n_rel = rel.filter(F.col("rel") > 0).agg(
+        F.count("*").cast("long").alias("n_rel")
+    )
+    return (
+        dcg_t.crossJoin(idcg_t)
+        .crossJoin(n_rel)
+        .select(
+            "dcg",
+            "idcg",
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+            "n_rel",
+        )
+    )
+
+
+def q_indep_lang_source(spark, sf):
+    """Chi-squared independence test + Cramér's V + mutual information
+    between document language and source — is the corpus mix balanced
+    or is language confounded with provenance?  One contingency agg
+    (χ² via the zero-cell-free Σ o²/e − N identity), class-dimension
+    joins after."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation as ev
+
+    docs = _t(spark, sf, "documents")
+    return ev.contingency_independence(docs, "lang", "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -4911,6 +5073,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assoc_rules": q_assoc_rules,
         "link_adamic_adar": q_link_adamic_adar,
         "zipf_fit": q_zipf_fit,
+        "eval_pr_auc": q_eval_pr_auc,
+        "eval_cohens_kappa": q_eval_cohens_kappa,
+        "eval_confusion_f1": q_eval_confusion_f1,
+        "eval_mrr_ann": q_eval_mrr_ann,
+        "eval_ndcg_bm25": q_eval_ndcg_bm25,
+        "indep_lang_source": q_indep_lang_source,
     }
 
 
@@ -9672,6 +9840,218 @@ def oracle_sql() -> dict[str, str]:
             v AS (SELECT CAST(count(*) AS BIGINT) AS vocab_size FROM freq)
             SELECT slope, intercept, r2, n_fit, vocab_size
             FROM fit CROSS JOIN v
+        """,
+        "eval_pr_auc": """
+            WITH b AS (
+              SELECT CAST(least(greatest(floor((value - 0.0) / 0.5), 0), 999)
+                          AS INT) AS bin,
+                     CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                              END) AS BIGINT) AS pos,
+                     CAST(sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1
+                              END) AS BIGINT) AS neg
+              FROM events GROUP BY 1),
+            c AS (
+              SELECT pos, neg,
+                     CAST(sum(pos) OVER (ORDER BY bin DESC ROWS BETWEEN
+                          UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                       AS cumtp,
+                     CAST(sum(neg) OVER (ORDER BY bin DESC ROWS BETWEEN
+                          UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                       AS cumfp
+              FROM b)
+            SELECT round(sum(pos * (cumtp * 1.0 / (cumtp + cumfp)))
+                         / CAST(sum(pos) AS DOUBLE), 6) AS ap,
+                   CAST(sum(pos) AS BIGINT) AS n_pos,
+                   CAST(sum(neg) AS BIGINT) AS n_neg
+            FROM c
+        """,
+        "eval_cohens_kappa": r"""
+            WITH s AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS s_de,
+                     len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b')) AS s_en,
+                     len(regexp_extract_all(lower(text), '\b(el|la|de|que|los)\b')) AS s_es,
+                     len(regexp_extract_all(lower(text), '\b(le|la|les|des|est)\b')) AS s_fr,
+                     len(regexp_extract_all(lower(text), '\b(o|que|de|em|uma)\b')) AS s_pt
+              FROM documents),
+            pred AS (
+              SELECT doc_id,
+                     CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_pt) = 0 THEN 'und'
+                          WHEN s_pt = greatest(s_de, s_en, s_es, s_fr, s_pt) THEN 'pt'
+                          WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_pt) THEN 'fr'
+                          WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_pt) THEN 'es'
+                          WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_pt) THEN 'en'
+                          ELSE 'de' END AS pr
+              FROM s),
+            cm AS (
+              SELECT pred.pr, d.lang AS tr, CAST(count(*) AS BIGINT) AS c
+              FROM pred JOIN documents d USING (doc_id) GROUP BY 1, 2),
+            tot AS (
+              SELECT CAST(sum(c) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN pr = tr THEN c ELSE 0 END) AS BIGINT)
+                       AS agree
+              FROM cm),
+            mp AS (SELECT pr AS cls, CAST(sum(c) AS BIGINT) AS m FROM cm
+                   GROUP BY pr),
+            mt AS (SELECT tr AS cls, CAST(sum(c) AS BIGINT) AS m FROM cm
+                   GROUP BY tr),
+            pe AS (
+              SELECT sum(CAST(mp.m AS DOUBLE) * mt.m) AS pe_num
+              FROM mp JOIN mt USING (cls))
+            SELECT n,
+                   round(agree * 1.0 / n, 6) AS po,
+                   round(pe_num / (CAST(n AS DOUBLE) * n), 6) AS pe,
+                   round((agree * 1.0 / n - pe_num / (CAST(n AS DOUBLE) * n))
+                         / (1.0 - pe_num / (CAST(n AS DOUBLE) * n)), 6)
+                     AS kappa
+            FROM tot CROSS JOIN pe
+        """,
+        "eval_confusion_f1": r"""
+            WITH s AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS s_de,
+                     len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b')) AS s_en,
+                     len(regexp_extract_all(lower(text), '\b(el|la|de|que|los)\b')) AS s_es,
+                     len(regexp_extract_all(lower(text), '\b(le|la|les|des|est)\b')) AS s_fr,
+                     len(regexp_extract_all(lower(text), '\b(o|que|de|em|uma)\b')) AS s_pt
+              FROM documents),
+            pred AS (
+              SELECT doc_id,
+                     CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_pt) = 0 THEN 'und'
+                          WHEN s_pt = greatest(s_de, s_en, s_es, s_fr, s_pt) THEN 'pt'
+                          WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_pt) THEN 'fr'
+                          WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_pt) THEN 'es'
+                          WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_pt) THEN 'en'
+                          ELSE 'de' END AS pr
+              FROM s),
+            cm AS (
+              SELECT pred.pr, d.lang AS tr, CAST(count(*) AS BIGINT) AS c
+              FROM pred JOIN documents d USING (doc_id) GROUP BY 1, 2),
+            tp AS (SELECT pr AS cls, c AS tp FROM cm WHERE pr = tr),
+            mp AS (SELECT pr AS cls, CAST(sum(c) AS BIGINT) AS m FROM cm
+                   GROUP BY pr),
+            mt AS (SELECT tr AS cls, CAST(sum(c) AS BIGINT) AS m FROM cm
+                   GROUP BY tr),
+            base AS (
+              SELECT coalesce(mp.cls, mt.cls) AS class,
+                     CAST(coalesce(tp.tp, 0) AS BIGINT) AS tp,
+                     CAST(coalesce(mp.m, 0) - coalesce(tp.tp, 0) AS BIGINT)
+                       AS fp,
+                     CAST(coalesce(mt.m, 0) - coalesce(tp.tp, 0) AS BIGINT)
+                       AS fn
+              FROM mp FULL OUTER JOIN mt ON mp.cls = mt.cls
+              LEFT JOIN tp ON coalesce(mp.cls, mt.cls) = tp.cls),
+            pr AS (
+              SELECT class, tp, fp, fn,
+                     CASE WHEN tp + fp > 0 THEN tp * 1.0 / (tp + fp)
+                          ELSE 0.0 END AS p,
+                     CASE WHEN tp + fn > 0 THEN tp * 1.0 / (tp + fn)
+                          ELSE 0.0 END AS r
+              FROM base)
+            SELECT class, tp, fp, fn,
+                   round(p, 6) AS "precision",
+                   round(r, 6) AS recall,
+                   round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r)
+                         ELSE 0.0 END, 6) AS f1
+            FROM pr ORDER BY class
+        """,
+        "eval_mrr_ann": """
+            WITH q AS (
+              SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+              FROM embeddings WHERE vec_id % 10 = 0),
+            p AS (
+              SELECT q.qid, q.qlabel, e.vec_id, e.label,
+                     round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.qv AS DOUBLE[])), 6) AS sim
+              FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+            r AS (
+              SELECT qid, qlabel, label,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY sim DESC, vec_id) AS rank
+              FROM p),
+            h AS (
+              SELECT qid,
+                     min(CASE WHEN label = qlabel THEN rank END) AS first_hit
+              FROM r WHERE rank <= 10 GROUP BY qid)
+            SELECT round(avg(coalesce(1.0 / first_hit, 0.0)), 6) AS mrr,
+                   round(avg(CASE WHEN first_hit IS NOT NULL THEN 1.0
+                             ELSE 0.0 END), 6) AS recall_at_10,
+                   CAST(count(*) AS BIGINT) AS n_queries
+            FROM h
+        """,
+        "eval_ndcg_bm25": """
+            WITH p AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> len(x) > 0) AS toks
+              FROM documents),
+            d AS (
+              SELECT doc_id, len(toks) AS dl,
+                     list_filter(toks, t -> t IN ('merge', 'window', 'data'))
+                       AS qt
+              FROM p),
+            rel AS (SELECT doc_id, len(qt) AS rel FROM d),
+            t AS (SELECT doc_id, dl, unnest(qt) AS term FROM d),
+            tf AS (SELECT doc_id, term, any_value(dl) AS dl, count(*) AS tf
+                   FROM t GROUP BY 1, 2),
+            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            c AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+            s AS (
+              SELECT tf.doc_id,
+                     ln((c.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1)
+                     * (tf.tf * 2.2)
+                     / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / c.avgdl))
+                       AS sc
+              FROM tf JOIN dft USING (term) CROSS JOIN c),
+            sc AS (SELECT doc_id, round(sum(sc), 4) AS score FROM s
+                   GROUP BY doc_id),
+            top10 AS (SELECT doc_id, score FROM sc
+                      ORDER BY score DESC, doc_id LIMIT 10),
+            dcg AS (
+              SELECT round(sum(rel.rel / log2(x.pos + 1)), 4) AS dcg
+              FROM (SELECT doc_id, row_number() OVER (ORDER BY score DESC,
+                           doc_id) AS pos
+                    FROM top10) x
+              JOIN rel ON x.doc_id = rel.doc_id),
+            ideal AS (
+              SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS pos
+              FROM rel WHERE rel > 0 ORDER BY rel DESC, doc_id LIMIT 10),
+            idcg AS (SELECT round(sum(rel / log2(pos + 1)), 4) AS idcg
+                     FROM ideal),
+            nr AS (SELECT CAST(count(*) AS BIGINT) AS n_rel FROM rel
+                   WHERE rel > 0)
+            SELECT dcg, idcg, round(dcg / idcg, 6) AS ndcg, n_rel
+            FROM dcg CROSS JOIN idcg CROSS JOIN nr
+        """,
+        "indep_lang_source": """
+            WITH cm AS (
+              SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS o
+              FROM documents GROUP BY 1, 2),
+            ma AS (SELECT a, CAST(sum(o) AS BIGINT) AS mao FROM cm GROUP BY a),
+            mb AS (SELECT b, CAST(sum(o) AS BIGINT) AS mbo FROM cm GROUP BY b),
+            tot AS (
+              SELECT CAST(sum(o) AS DOUBLE) AS n,
+                     CAST(count(DISTINCT a) AS BIGINT) AS r,
+                     CAST(count(DISTINCT b) AS BIGINT) AS c
+              FROM cm),
+            cells AS (
+              SELECT cm.o, ma.mao, mb.mbo, tot.n, tot.r, tot.c
+              FROM cm JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot),
+            agg AS (
+              SELECT any_value(n) AS n, any_value(r) AS r, any_value(c) AS c,
+                     sum(CAST(o AS DOUBLE) * o
+                         / (CAST(mao AS DOUBLE) * mbo / n)) AS sum_o2e,
+                     sum((o / n) * ln(o * n
+                         / (CAST(mao AS DOUBLE) * mbo))) AS mi
+              FROM cells)
+            SELECT CAST(n AS BIGINT) AS n,
+                   (r - 1) * (c - 1) AS dof,
+                   round(sum_o2e - n, 4) AS chi2,
+                   round(sqrt((sum_o2e - n) / (n * least(r - 1, c - 1))), 6)
+                     AS cramers_v,
+                   round(mi, 6) AS mi_nats
+            FROM agg
         """,
     }
 

@@ -309,3 +309,193 @@ def gini_by_group(
         )
         .orderBy(group_col)
     )
+
+
+def binned_average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: Column,
+    n_bins: int = 1000,
+    lo: float = 0.0,
+    hi: float = 500.0,
+) -> DataFrame:
+    """Average precision (PR-AUC) on the same fixed score grid as
+    :func:`binned_auc`: AP = Σ_b ΔR_b · P_b walking bins from the
+    highest score down, with precision measured at each bin's
+    threshold (the sklearn step-wise definition, binned).  Identical
+    scale shape to the AUC: corpus → ≤ n_bins rows, then one
+    bounded descending window + one aggregate.
+
+    Returns one row: ``ap, n_pos, n_neg``.
+    """
+    width = (hi - lo) / n_bins
+    b = F.least(
+        F.greatest(F.floor((F.col(score_col) - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    y = label_col.cast("int")
+    binned = (
+        df.select(b.alias("bin"), y.alias("y"))
+        .groupBy("bin")
+        .agg(
+            F.sum("y").alias("pos"),
+            (F.count("*") - F.sum("y")).alias("neg"),
+        )
+    )
+    w_desc = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = binned.withColumn("cumtp", F.sum("pos").over(w_desc)).withColumn(
+        "cumfp", F.sum("neg").over(w_desc)
+    )
+    prec = F.col("cumtp") / (F.col("cumtp") + F.col("cumfp"))
+    return cum.agg(
+        F.round(
+            F.sum(F.col("pos") * prec) / F.sum("pos").cast("double"), 6
+        ).alias("ap"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+    )
+
+
+def cohens_kappa(df: DataFrame, pred_col: str, truth_col: str) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between a predicted
+    and a true labeling.  The confusion matrix is one hash aggregate
+    (cells ≤ classes², tiny); observed agreement and the chance term
+    Σ p_pred(c)·p_true(c) then come from class-dimension joins of the
+    cell table — nothing beyond the first aggregate ever sees a
+    corpus-sized row set.
+
+    Returns one row: ``n, po, pe, kappa``.
+    """
+    cm = df.groupBy(
+        F.col(pred_col).alias("_p"), F.col(truth_col).alias("_t")
+    ).agg(F.count("*").alias("_c"))
+    tot = cm.agg(
+        F.sum("_c").cast("long").alias("_n"),
+        F.sum(F.when(F.col("_p") == F.col("_t"), F.col("_c")).otherwise(0))
+        .cast("long")
+        .alias("_agree"),
+    )
+    mp = cm.groupBy(F.col("_p").alias("_cls")).agg(F.sum("_c").alias("_mp"))
+    mt = cm.groupBy(F.col("_t").alias("_cls")).agg(F.sum("_c").alias("_mt"))
+    pe_num = (
+        mp.join(mt, "_cls")
+        .agg(F.sum(F.col("_mp").cast("double") * F.col("_mt")).alias("_pe_num"))
+    )
+    j = tot.crossJoin(pe_num)
+    po = F.col("_agree") / F.col("_n")
+    pe = F.col("_pe_num") / (F.col("_n").cast("double") * F.col("_n"))
+    return j.select(
+        F.col("_n").alias("n"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
+    )
+
+
+def confusion_stats(df: DataFrame, pred_col: str, truth_col: str) -> DataFrame:
+    """Per-class confusion-matrix statistics: tp / fp / fn, precision,
+    recall, F1 — over the UNION of predicted and true class sets (a
+    class never predicted still reports recall; a class never true
+    still reports its false-positive volume).  One corpus aggregate;
+    everything after is class-dimension-sized.
+
+    Returns ``class, tp, fp, fn, precision, recall, f1`` ordered by
+    class; undefined ratios (0 denominators) report 0.0.
+    """
+    cm = df.groupBy(
+        F.col(pred_col).alias("_p"), F.col(truth_col).alias("_t")
+    ).agg(F.count("*").alias("_c"))
+    tp = (
+        cm.filter(F.col("_p") == F.col("_t"))
+        .select(F.col("_p").alias("_cls"), F.col("_c").alias("_tp"))
+    )
+    mp = cm.groupBy(F.col("_p").alias("_cls")).agg(F.sum("_c").alias("_mp"))
+    mt = cm.groupBy(F.col("_t").alias("_cls")).agg(F.sum("_c").alias("_mt"))
+    base = (
+        mp.join(mt, "_cls", "full_outer")
+        .join(tp, "_cls", "left")
+        .select(
+            F.col("_cls").alias("class"),
+            F.coalesce("_tp", F.lit(0)).cast("long").alias("tp"),
+            (F.coalesce("_mp", F.lit(0)) - F.coalesce("_tp", F.lit(0)))
+            .cast("long")
+            .alias("fp"),
+            (F.coalesce("_mt", F.lit(0)) - F.coalesce("_tp", F.lit(0)))
+            .cast("long")
+            .alias("fn"),
+        )
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.col("tp") / (F.col("tp") + F.col("fp")),
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.col("tp") / (F.col("tp") + F.col("fn")),
+    ).otherwise(F.lit(0.0))
+    out = base.withColumn("_prec", prec).withColumn("_rec", rec)
+    f1 = F.when(
+        F.col("_prec") + F.col("_rec") > 0,
+        2.0 * F.col("_prec") * F.col("_rec") / (F.col("_prec") + F.col("_rec")),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "class",
+        "tp",
+        "fp",
+        "fn",
+        F.round("_prec", 6).alias("precision"),
+        F.round("_rec", 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    ).orderBy("class")
+
+
+def contingency_independence(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Chi-squared test of independence + Cramér's V + mutual
+    information for two categorical columns, all from ONE corpus
+    aggregate (the contingency cells) followed by class-dimension
+    joins.  χ² uses the zero-cell-free identity Σ o²/e − N (unobserved
+    cells contribute nothing to Σ o²/e), so the cell cross-product is
+    never materialized.
+
+    Returns one row: ``n, dof, chi2, cramers_v, mi_nats``.
+    """
+    cm = df.groupBy(
+        F.col(a_col).alias("_a"), F.col(b_col).alias("_b")
+    ).agg(F.count("*").alias("_o"))
+    ma = cm.groupBy("_a").agg(F.sum("_o").alias("_ma"))
+    mb = cm.groupBy("_b").agg(F.sum("_o").alias("_mb"))
+    tot = cm.agg(
+        F.sum("_o").cast("double").alias("_n"),
+        F.countDistinct("_a").alias("_r"),
+        F.countDistinct("_b").alias("_c"),
+    )
+    cells = cm.join(ma, "_a").join(mb, "_b").crossJoin(F.broadcast(tot))
+    e = F.col("_ma").cast("double") * F.col("_mb") / F.col("_n")
+    o = F.col("_o").cast("double")
+    agg = cells.agg(
+        F.first("_n").alias("_n"),
+        F.first("_r").alias("_r"),
+        F.first("_c").alias("_c"),
+        F.sum(o * o / e).alias("_sum_o2e"),
+        F.sum(
+            (o / F.col("_n"))
+            * F.log(
+                o * F.col("_n") / (F.col("_ma").cast("double") * F.col("_mb"))
+            )
+        ).alias("_mi"),
+    )
+    chi2 = F.col("_sum_o2e") - F.col("_n")
+    v = F.sqrt(
+        chi2 / (F.col("_n") * F.least(F.col("_r") - 1, F.col("_c") - 1))
+    )
+    return agg.select(
+        F.col("_n").cast("long").alias("n"),
+        ((F.col("_r") - 1) * (F.col("_c") - 1)).cast("long").alias("dof"),
+        F.round(chi2, 4).alias("chi2"),
+        F.round(v, 6).alias("cramers_v"),
+        F.round(F.col("_mi"), 6).alias("mi_nats"),
+    )

@@ -138,3 +138,63 @@ def test_zipf_fit_recovers_minus_one_slope(spark):
     assert r.n_fit == 50 and r.vocab_size == 50
     assert -1.05 < r.slope < -0.95
     assert r.r2 > 0.99
+
+
+def test_pr_auc_perfect_separation(spark):
+    rows = [(float(i), 0) for i in range(50)] + [
+        (float(100 + i), 1) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "score double, y int")
+    r = ev.binned_average_precision(
+        df, "score", F.col("y") == 1, n_bins=100, lo=0.0, hi=200.0
+    ).collect()[0]
+    assert r.ap == 1.0 and r.n_pos == 50 and r.n_neg == 50
+
+
+def test_cohens_kappa_perfect_and_chance(spark):
+    perfect = spark.createDataFrame(
+        [("a", "a")] * 30 + [("b", "b")] * 20, "p string, t string"
+    )
+    r = ev.cohens_kappa(perfect, "p", "t").collect()[0]
+    assert r.kappa == 1.0 and r.po == 1.0
+    # prediction independent of truth -> kappa ~= 0
+    chance = spark.createDataFrame(
+        [("a" if i % 2 == 0 else "b", "a" if (i // 2) % 2 == 0 else "b")
+         for i in range(100)],
+        "p string, t string",
+    )
+    r = ev.cohens_kappa(chance, "p", "t").collect()[0]
+    assert abs(r.kappa) < 1e-9
+
+
+def test_confusion_stats_hand_counts(spark):
+    # truth: 3a 2b; pred: a->a, one b misread as c
+    rows = [("a", "a"), ("a", "a"), ("a", "a"), ("b", "b"), ("c", "b")]
+    df = spark.createDataFrame(rows, "p string, t string")
+    out = {r["class"]: r for r in ev.confusion_stats(df, "p", "t").collect()}
+    assert set(out) == {"a", "b", "c"}
+    assert (out["a"].tp, out["a"].fp, out["a"].fn) == (3, 0, 0)
+    assert out["a"].f1 == 1.0
+    assert (out["b"].tp, out["b"].fp, out["b"].fn) == (1, 0, 1)
+    assert abs(out["b"].f1 - 2 / 3) < 1e-6
+    # class c never true: recall undefined -> 0, precision 0
+    assert (out["c"].tp, out["c"].fp, out["c"].fn) == (0, 1, 0)
+    assert out["c"].precision == 0.0 and out["c"].recall == 0.0
+
+
+def test_contingency_independence_extremes(spark):
+    # perfectly dependent: b determined by a -> V = 1, MI = ln 2
+    dep = spark.createDataFrame(
+        [("x", "u")] * 25 + [("y", "v")] * 25, "a string, b string"
+    )
+    r = ev.contingency_independence(dep, "a", "b").collect()[0]
+    assert r.cramers_v == 1.0
+    assert abs(r.mi_nats - math.log(2)) < 1e-6
+    # independent uniform -> chi2 = 0, MI = 0
+    ind = spark.createDataFrame(
+        [("x" if i % 2 == 0 else "y", "u" if (i // 2) % 2 == 0 else "v")
+         for i in range(100)],
+        "a string, b string",
+    )
+    r = ev.contingency_independence(ind, "a", "b").collect()[0]
+    assert r.chi2 == 0.0 and r.mi_nats == 0.0 and r.dof == 1

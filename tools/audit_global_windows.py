@@ -51,6 +51,8 @@ ALLOWLIST = {
     "eval_auc": "cumulative negatives over the fixed 1000-bin score grid — bounded by construction",
     "survival_km": "at-risk/survival windows over the distinct-duration table — time-domain-sized, not subject-sized",
     "zipf_fit": "rank over the vocabulary aggregate (vocabulary-bounded), cut to top-100 before the fit",
+    "eval_pr_auc": "descending cum-tp/fp over the fixed 1000-bin score grid — bounded by construction",
+    "eval_ndcg_bm25": "position windows over the two 10-row top-k shortlists (post-limit) — bounded by construction",
 }
 
 
