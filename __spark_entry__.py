@@ -4835,6 +4835,80 @@ def q_indep_lang_source(spark, sf):
     return ev.contingency_independence(docs, "lang", "source")
 
 
+def q_hll_set_users(spark, sf):
+    """Sketch-algebra set report over HLL register files: distinct
+    click-users vs view-users, union by per-bucket max (the
+    associative merge), intersection by inclusion-exclusion, Jaccard
+    derived — rows are scanned once per side; all set math happens on
+    ≤256-row register files."""
+    from pdf_to_vectordb_etl_spark.operators import sketch
+
+    ev_t = _t(spark, sf, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    return sketch.hll_set_report(ev_t, "uid", "event_type", "click", "view")
+
+
+def q_kmv_set_users(spark, sf):
+    """KMV set algebra (bottom-k sketches): click-users vs view-users
+    — union sketch by tag merge, Jaccard by the Kmin(A∪B) membership
+    estimator, intersection = ρ·|A∪B|.  Every post-distinct table is
+    ≤k rows; tag joins are exact (same md5 derivation both sides)."""
+    from pdf_to_vectordb_etl_spark.operators import sketch
+
+    ev_t = _t(spark, sf, "events").select("event_type", "user_id")
+    return sketch.kmv_set_report(
+        ev_t, "user_id", "event_type", "click", "view", k=256
+    )
+
+
+def q_bootstrap_mean_ci(spark, sf):
+    """Poisson-bootstrap 95% CI for the mean event value: every row
+    draws a deterministic Poisson(1) weight per replicate from
+    md5(event_id, rep); 100 weighted means fold map-side to
+    n_boot×partitions rows, and the interval is an exact percentile
+    over the 100-row replicate table.  The distributed bootstrap — no
+    global with-replacement draw, no driver-side resampling."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation as ev
+
+    events = _t(spark, sf, "events")
+    return ev.poisson_bootstrap_mean_ci(
+        events, "value", "event_id", n_boot=100, alpha=0.05
+    )
+
+
+def q_t14_stream_auc(spark, sf):
+    """T14 — incremental ROC AUC: the (bin, pos, neg) score histogram
+    maintained as a streaming sum-aggregate (associative, state
+    bounded at 1000 rows), then the rank-sum finale over the snapshot.
+    Over identical rows the snapshot equals the batch histogram, so
+    the batch AUC SQL is the parity oracle."""
+    import tempfile
+
+    from pdf_to_vectordb_etl_spark.operators import evaluation as ev
+    from pdf_to_vectordb_etl_spark.streaming.pipeline import stream_score_bins
+
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    bins = stream_score_bins(stream, "value")
+    name = "t14_stream_auc_bins"
+    q = (
+        bins.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t14ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    return ev.auc_from_bins(spark.table(name))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -5079,6 +5153,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_mrr_ann": q_eval_mrr_ann,
         "eval_ndcg_bm25": q_eval_ndcg_bm25,
         "indep_lang_source": q_indep_lang_source,
+        "hll_set_users": q_hll_set_users,
+        "kmv_set_users": q_kmv_set_users,
+        "bootstrap_mean_ci": q_bootstrap_mean_ci,
+        "t14_stream_auc": q_t14_stream_auc,
     }
 
 
@@ -10053,6 +10131,138 @@ def oracle_sql() -> dict[str, str]:
                    round(mi, 6) AS mi_nats
             FROM agg
         """,
+        "hll_set_users": """
+            WITH h AS (
+              SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+              FROM events WHERE event_type IN ('click', 'view')),
+            parts AS (
+              SELECT event_type,
+                     (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)
+                       AS bucket,
+                     length(regexp_extract(substr(hx, 3, 12), '^0*')) AS z,
+                     substr(substr(hx, 3, 12),
+                            length(regexp_extract(substr(hx, 3, 12), '^0*'))
+                            + 1, 1) AS nib
+              FROM h),
+            rho AS (
+              SELECT event_type, bucket,
+                     CASE WHEN z = 12 THEN 49
+                          ELSE z * 4
+                               + CASE WHEN nib = '1' THEN 3
+                                      WHEN nib IN ('2', '3') THEN 2
+                                      WHEN nib IN ('4', '5', '6', '7') THEN 1
+                                      ELSE 0 END
+                               + 1 END AS rho
+              FROM parts),
+            regs AS (
+              SELECT event_type, bucket, max(rho) AS r
+              FROM rho GROUP BY 1, 2),
+            ra AS (SELECT bucket, r FROM regs WHERE event_type = 'click'),
+            rb AS (SELECT bucket, r FROM regs WHERE event_type = 'view'),
+            mg AS (
+              SELECT greatest(coalesce(ra.r, 0), coalesce(rb.r, 0)) AS r
+              FROM ra FULL OUTER JOIN rb ON ra.bucket = rb.bucket),
+            sa AS (SELECT sum(pow(2.0, -r)) AS s, count(*) AS np FROM ra),
+            sb AS (SELECT sum(pow(2.0, -r)) AS s, count(*) AS np FROM rb),
+            su AS (SELECT sum(pow(2.0, -r)) AS s, count(*) AS np FROM mg),
+            ea AS (
+              SELECT round(CASE WHEN (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+                                     / (s + (256 - np)) <= 2.5 * 256
+                                     AND (256 - np) > 0
+                                THEN 256.0 * ln(256.0 / (256 - np))
+                                ELSE (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+                                     / (s + (256 - np)) END, 4) AS est_a
+              FROM sa),
+            eb AS (
+              SELECT round(CASE WHEN (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+                                     / (s + (256 - np)) <= 2.5 * 256
+                                     AND (256 - np) > 0
+                                THEN 256.0 * ln(256.0 / (256 - np))
+                                ELSE (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+                                     / (s + (256 - np)) END, 4) AS est_b
+              FROM sb),
+            eu AS (
+              SELECT round(CASE WHEN (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+                                     / (s + (256 - np)) <= 2.5 * 256
+                                     AND (256 - np) > 0
+                                THEN 256.0 * ln(256.0 / (256 - np))
+                                ELSE (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+                                     / (s + (256 - np)) END, 4) AS est_union
+              FROM su)
+            SELECT est_a, est_b, est_union,
+                   round(greatest(est_a + est_b - est_union, 0.0), 4)
+                     AS est_intersection,
+                   round(greatest(est_a + est_b - est_union, 0.0) / est_union,
+                         6) AS jaccard
+            FROM ea CROSS JOIN eb CROSS JOIN eu
+        """,
+        "kmv_set_users": """
+            WITH d AS (
+              SELECT DISTINCT event_type,
+                     (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+                       ::BIGINT + 0.5) / 281474976710656.0 AS u
+              FROM events WHERE event_type IN ('click', 'view')),
+            ka AS (SELECT u FROM d WHERE event_type = 'click'
+                   ORDER BY u LIMIT 256),
+            kb AS (SELECT u FROM d WHERE event_type = 'view'
+                   ORDER BY u LIMIT 256),
+            uk AS (
+              SELECT DISTINCT u
+              FROM (SELECT u FROM ka UNION ALL SELECT u FROM kb)
+              ORDER BY u LIMIT 256),
+            ea AS (SELECT CASE WHEN count(*) < 256
+                               THEN CAST(count(*) AS DOUBLE)
+                               ELSE 255.0 / max(u) END AS est_a FROM ka),
+            eb AS (SELECT CASE WHEN count(*) < 256
+                               THEN CAST(count(*) AS DOUBLE)
+                               ELSE 255.0 / max(u) END AS est_b FROM kb),
+            eu AS (SELECT CASE WHEN count(*) < 256
+                               THEN CAST(count(*) AS DOUBLE)
+                               ELSE 255.0 / max(u) END AS est_union FROM uk),
+            bo AS (SELECT count(*) AS both_n FROM uk
+                   WHERE u IN (SELECT u FROM ka)
+                     AND u IN (SELECT u FROM kb)),
+            nu AS (SELECT count(*) AS nu FROM uk)
+            SELECT round(est_a, 4) AS est_a,
+                   round(est_b, 4) AS est_b,
+                   round(est_union, 4) AS est_union,
+                   round(both_n * 1.0 / nu, 6) AS jaccard,
+                   round((both_n * 1.0 / nu) * est_union, 4)
+                     AS est_intersection
+            FROM ea CROSS JOIN eb CROSS JOIN eu CROSS JOIN bo CROSS JOIN nu
+        """,
+        "bootstrap_mean_ci": """
+            WITH reps AS (
+              SELECT e.value, r.rep,
+                     (('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || '|'
+                                          || CAST(r.rep AS VARCHAR)), 1, 12))
+                       ::BIGINT + 0.5) / 281474976710656.0 AS u
+              FROM events e
+              CROSS JOIN (SELECT unnest(generate_series(0, 99)) AS rep) r),
+            w AS (
+              SELECT rep, value,
+                     CASE WHEN u < 0.36787944117144233 THEN 0
+                          WHEN u < 0.7357588823428847 THEN 1
+                          WHEN u < 0.9196986029286058 THEN 2
+                          WHEN u < 0.9810118431238462 THEN 3
+                          WHEN u < 0.9963401531726563 THEN 4
+                          WHEN u < 0.9994058151824183 THEN 5
+                          WHEN u < 0.9999167588507119 THEN 6
+                          WHEN u < 0.9999897508033253 THEN 7
+                          ELSE 8 END AS w
+              FROM reps),
+            m AS (
+              SELECT rep, sum(w * value) / CAST(sum(w) AS DOUBLE) AS m
+              FROM w GROUP BY rep),
+            base AS (SELECT round(avg(value), 6) AS mean FROM events),
+            ci AS (
+              SELECT round(quantile_cont(m, 0.025), 6) AS ci_lo,
+                     round(quantile_cont(m, 0.975), 6) AS ci_hi,
+                     CAST(count(*) AS BIGINT) AS n_boot
+              FROM m)
+            SELECT mean, ci_lo, ci_hi, n_boot FROM base CROSS JOIN ci
+        """,
     }
 
     # the streaming session_window form must agree row-for-row with the
@@ -10082,4 +10292,7 @@ def oracle_sql() -> dict[str, str]:
     # the streaming CUSUM fold over time-ordered arrival with the
     # batch-trained reference stats replays the batch detector exactly
     d["t13_stream_cusum"] = d["cusum_changepoints"]
+    # the streaming score histogram is an associative sum — its
+    # snapshot equals the batch bins, so the batch AUC SQL is the oracle
+    d["t14_stream_auc"] = d["eval_auc"]
     return d

@@ -50,13 +50,30 @@ def binned_auc(
 
     Returns one row: ``auc, n_pos, n_neg``.
     """
+    binned = score_bin_histogram(df, score_col, label_col, n_bins, lo, hi)
+    return auc_from_bins(binned)
+
+
+def score_bin_histogram(
+    df: DataFrame,
+    score_col: str,
+    label_col: Column,
+    n_bins: int = 1000,
+    lo: float = 0.0,
+    hi: float = 500.0,
+) -> DataFrame:
+    """(bin, pos, neg) histogram on the fixed score grid — ONE
+    map-side-combined aggregate, and the mergeable artifact behind
+    both AUC and AP: per-bin counts are associative sums, so a
+    streaming aggregate or a union of per-shard histograms folds into
+    the identical table (the t14 streaming twin relies on this)."""
     width = (hi - lo) / n_bins
     b = F.least(
         F.greatest(F.floor((F.col(score_col) - F.lit(lo)) / F.lit(width)), F.lit(0)),
         F.lit(n_bins - 1),
     ).cast("int")
     y = label_col.cast("int")
-    binned = (
+    return (
         df.select(b.alias("bin"), y.alias("y"))
         .groupBy("bin")
         .agg(
@@ -64,6 +81,12 @@ def binned_auc(
             (F.count("*") - F.sum("y")).alias("neg"),
         )
     )
+
+
+def auc_from_bins(binned: DataFrame) -> DataFrame:
+    """Rank-sum AUC finale over a (bin, pos, neg) histogram (from
+    :func:`score_bin_histogram`, a streaming snapshot, or a merge of
+    shard histograms — the math only sees ≤ n_bins rows)."""
     w_prev = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
     cum = binned.withColumn(
         "cumneg", F.coalesce(F.sum("neg").over(w_prev), F.lit(0))
@@ -499,3 +522,77 @@ def contingency_independence(
         F.round(v, 6).alias("cramers_v"),
         F.round(F.col("_mi"), 6).alias("mi_nats"),
     )
+
+
+# cumulative Poisson(1) CDF, inverse-transform thresholds for the
+# bootstrap weights; literals (not scipy) so the DuckDB oracle uses the
+# exact same constants.  P(X > 7) ~= 1e-5 — the tail is capped at 8.
+_POIS1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508033253,
+)
+
+
+def poisson_bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_boot: int = 100,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Bootstrap confidence interval for the mean, via the POISSON
+    bootstrap (Chamandy et al., public) — the resampling scheme that
+    actually distributes: instead of drawing n-with-replacement (which
+    needs global coordination), every row independently receives a
+    Poisson(1) multiplicity per replicate, derived deterministically
+    from md5(id, replicate) by inverse-CDF lookup.  One explode
+    (×``n_boot``) feeds a per-replicate weighted-mean aggregate that
+    map-side combines to ``n_boot`` rows per partition, so the shuffle
+    moves n_boot×partitions rows — never the corpus.  The interval is
+    the (α/2, 1−α/2) exact percentile over the n_boot replicate means.
+
+    Returns one row: ``mean, ci_lo, ci_hi, n_boot``.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws("|", F.col(id_col).cast("string"),
+                                F.col("_rep").cast("string"))
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(float(1 << 48))
+    w = F.lit(8)
+    for i in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS1_CDF[i]), F.lit(i)).otherwise(w)
+    reps = (
+        df.select(
+            F.col(id_col),
+            F.col(value_col).cast("double").alias("_x"),
+            F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("_rep"),
+        )
+        .withColumn("_w", w)
+        .groupBy("_rep")
+        .agg(
+            (F.sum(F.col("_w") * F.col("_x")) / F.sum("_w")).alias("_m")
+        )
+    )
+    base = df.agg(F.round(F.avg(F.col(value_col)), 6).alias("mean"))
+    ci = reps.agg(
+        F.round(F.expr(f"percentile(_m, {alpha / 2})"), 6).alias("ci_lo"),
+        F.round(F.expr(f"percentile(_m, {1 - alpha / 2})"), 6).alias("ci_hi"),
+        F.count("*").cast("long").alias("n_boot"),
+    )
+    return base.crossJoin(ci).select("mean", "ci_lo", "ci_hi", "n_boot")

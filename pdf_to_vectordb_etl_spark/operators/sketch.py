@@ -345,3 +345,119 @@ def kmv_estimate(bottomk: DataFrame, k: int, by: str | None = None) -> DataFrame
         .otherwise((F.lit(float(k - 1))) / F.max("u"))
         .alias("est_distinct")
     )
+
+
+def hll_set_report(
+    df: DataFrame,
+    elem_col: str,
+    split_col: str,
+    a_value: str,
+    b_value: str,
+    m: int = 256,
+) -> DataFrame:
+    """Sketch-algebra set report from HLL register files only: |A|,
+    |B|, |A∪B| (merge = per-bucket max — the associative property),
+    |A∩B| by inclusion-exclusion, and the derived Jaccard.  The two
+    register files are one partial-combinable agg each over their
+    filtered slices; everything after is ≤ m-row arithmetic.  This is
+    the operation that makes persisted per-shard/per-day register
+    files composable without ever rescanning rows.
+
+    Returns one row: ``est_a, est_b, est_union, est_intersection,
+    jaccard``.
+    """
+    ra = hll_registers(
+        df.filter(F.col(split_col) == a_value), elem_col, m=m
+    ).withColumnRenamed("r", "ra")
+    rb = hll_registers(
+        df.filter(F.col(split_col) == b_value), elem_col, m=m
+    ).withColumnRenamed("r", "rb")
+    merged = (
+        ra.join(rb, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.greatest(
+                F.coalesce("ra", F.lit(0)), F.coalesce("rb", F.lit(0))
+            ).alias("r"),
+        )
+    )
+    ea = hll_estimate_from_registers(ra.select("bucket", F.col("ra").alias("r")), m=m) \
+        .withColumnRenamed("hll_estimate", "est_a")
+    eb = hll_estimate_from_registers(rb.select("bucket", F.col("rb").alias("r")), m=m) \
+        .withColumnRenamed("hll_estimate", "est_b")
+    eu = hll_estimate_from_registers(merged, m=m).withColumnRenamed(
+        "hll_estimate", "est_union"
+    )
+    inter = F.greatest(
+        F.col("est_a") + F.col("est_b") - F.col("est_union"), F.lit(0.0)
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(inter, 4).alias("est_intersection"),
+            F.round(inter / F.col("est_union"), 6).alias("jaccard"),
+        )
+    )
+
+
+def kmv_set_report(
+    df: DataFrame,
+    elem_col: str,
+    split_col: str,
+    a_value: str,
+    b_value: str,
+    k: int = 256,
+) -> DataFrame:
+    """KMV set algebra (Beyer et al. 2007, public): bottom-k sketches
+    of A and B; the union sketch is the bottom-k of the concatenated
+    tags (mergeability), and the Jaccard estimator is ρ = |{t ∈
+    Kmin(A∪B) : t ∈ A and t ∈ B}| / |Kmin(A∪B)| — membership tested
+    against the full per-set sketches, exact because Kmin(A∪B) never
+    reaches past either set's k-th tag.  Intersection = ρ·|A∪B|.
+    All joins are on the tag value (exact doubles from the same md5
+    derivation); every table after the first distinct is ≤ k rows.
+
+    Returns one row: ``est_a, est_b, est_union, jaccard,
+    est_intersection``.
+    """
+    def bottom(v):
+        return kmv_bottomk(
+            df.filter(F.col(split_col) == v), elem_col, k=k
+        )
+
+    ka, kb = bottom(a_value), bottom(b_value)
+    union_k = (
+        ka.unionByName(kb).distinct().orderBy("u").limit(k)
+    )
+    def est(sk, name):
+        return sk.agg(
+            F.when(F.count("*") < k, F.count("*").cast("double"))
+            .otherwise(F.lit(float(k - 1)) / F.max("u"))
+            .alias(name)
+        )
+
+    rho_t = (
+        union_k.join(ka.select(F.col("u").alias("u")), "u", "left_semi")
+        .join(kb.select(F.col("u").alias("u")), "u", "left_semi")
+        .agg(F.count("*").alias("_both"))
+    )
+    denom = union_k.agg(F.count("*").alias("_nu"))
+    out = (
+        est(ka, "est_a")
+        .crossJoin(est(kb, "est_b"))
+        .crossJoin(est(union_k, "est_union"))
+        .crossJoin(rho_t)
+        .crossJoin(denom)
+    )
+    jac = F.col("_both") / F.col("_nu")
+    return out.select(
+        F.round("est_a", 4).alias("est_a"),
+        F.round("est_b", 4).alias("est_b"),
+        F.round("est_union", 4).alias("est_union"),
+        F.round(jac, 6).alias("jaccard"),
+        F.round(jac * F.col("est_union"), 4).alias("est_intersection"),
+    )

@@ -515,3 +515,40 @@ def stream_apply_changes(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_score_bins(
+    events_stream: DataFrame,
+    score_col: str = "value",
+    pos_expr: F.Column | None = None,
+    n_bins: int = 1000,
+    lo: float = 0.0,
+    hi: float = 500.0,
+) -> DataFrame:
+    """Beyond-reference: incremental ROC-AUC maintenance under
+    Structured Streaming — the (bin, pos, neg) score histogram of
+    evaluation.score_bin_histogram kept as a streaming sum-aggregate.
+    Per-bin counts are associative sums, so the streaming state IS the
+    histogram: every micro-batch folds in without rescanning history,
+    the state is bounded at n_bins rows, and a snapshot equals the
+    batch histogram over the same rows — evaluation.auc_from_bins on
+    the snapshot reproduces the batch AUC exactly (the batch AUC SQL
+    is the parity oracle)."""
+    pos = (
+        pos_expr if pos_expr is not None else F.col("event_type") == "purchase"
+    )
+    width = (hi - lo) / n_bins
+    b = F.least(
+        F.greatest(
+            F.floor((F.col(score_col) - F.lit(lo)) / F.lit(width)), F.lit(0)
+        ),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    return (
+        events_stream.select(b.alias("bin"), pos.cast("int").alias("y"))
+        .groupBy("bin")
+        .agg(
+            F.sum("y").alias("pos"),
+            (F.count("*") - F.sum("y")).alias("neg"),
+        )
+    )

@@ -198,3 +198,85 @@ def test_contingency_independence_extremes(spark):
     )
     r = ev.contingency_independence(ind, "a", "b").collect()[0]
     assert r.chi2 == 0.0 and r.mi_nats == 0.0 and r.dof == 1
+
+
+def test_hll_and_kmv_set_reports_extremes(spark):
+    from pdf_to_vectordb_etl_spark.operators import sketch
+
+    # identical sets -> jaccard 1; disjoint -> intersection ~ 0
+    same = spark.createDataFrame(
+        [("a", str(i)) for i in range(200)]
+        + [("b", str(i)) for i in range(200)],
+        "g string, e string",
+    )
+    r = sketch.hll_set_report(same, "e", "g", "a", "b").collect()[0]
+    assert r.jaccard == 1.0 and r.est_a == r.est_b == r.est_union
+    r = sketch.kmv_set_report(same, "e", "g", "a", "b", k=64).collect()[0]
+    assert r.jaccard == 1.0 and r.est_union == r.est_a
+
+    disj = spark.createDataFrame(
+        [("a", f"x{i}") for i in range(200)]
+        + [("b", f"y{i}") for i in range(200)],
+        "g string, e string",
+    )
+    r = sketch.kmv_set_report(disj, "e", "g", "a", "b", k=64).collect()[0]
+    assert r.jaccard == 0.0 and r.est_intersection == 0.0
+    r = sketch.hll_set_report(disj, "e", "g", "a", "b").collect()[0]
+    # estimator noise can make a+b-union slightly nonzero; it must be tiny
+    assert r.jaccard < 0.05
+
+
+def test_poisson_bootstrap_constant_and_coverage(spark):
+    const = spark.createDataFrame(
+        [(i, 7.5) for i in range(500)], "id long, v double"
+    )
+    r = ev.poisson_bootstrap_mean_ci(const, "v", "id", n_boot=50).collect()[0]
+    assert r.mean == 7.5 and r.ci_lo == 7.5 and r.ci_hi == 7.5
+    spread = spark.createDataFrame(
+        [(i, float(i % 100)) for i in range(2000)], "id long, v double"
+    )
+    r = ev.poisson_bootstrap_mean_ci(spread, "v", "id", n_boot=50).collect()[0]
+    assert r.ci_lo < r.mean < r.ci_hi
+    assert r.ci_hi - r.ci_lo < 10.0  # sane width for sd~29, n=2000
+
+
+def test_stream_score_bins_snapshot_equals_batch(spark, tmp_path):
+    import pyspark.sql.functions as SF
+
+    from pdf_to_vectordb_etl_spark.streaming.pipeline import stream_score_bins
+
+    rows = [(float(i % 50), "purchase" if i % 3 == 0 else "view")
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "value double, event_type string")
+    src = str(tmp_path / "evsrc")
+    df.repartition(3).write.mode("overwrite").parquet(src)
+    raw = spark.read.parquet(src)
+    batch = ev.score_bin_histogram(
+        raw, "value", SF.col("event_type") == "purchase", 100, 0.0, 50.0
+    )
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    bins = stream_score_bins(
+        stream, "value", SF.col("event_type") == "purchase", 100, 0.0, 50.0
+    )
+    q = (
+        bins.writeStream.format("memory")
+        .queryName("t14_test_bins")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    snap = {r.bin: (r.pos, r.neg) for r in spark.table("t14_test_bins").collect()}
+    exact = {r.bin: (r.pos, r.neg) for r in batch.collect()}
+    assert snap == exact
+    # and the derived AUC matches the batch AUC
+    a1 = ev.auc_from_bins(spark.table("t14_test_bins")).collect()[0].auc
+    a2 = ev.binned_auc(
+        raw, "value", SF.col("event_type") == "purchase", 100, 0.0, 50.0
+    ).collect()[0].auc
+    assert a1 == a2
