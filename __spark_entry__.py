@@ -4723,13 +4723,21 @@ def q_eval_mrr_ann(spark, sf):
     (self excluded BEFORE ranking), first rank whose neighbor shares
     the query's label → MRR and recall@10.  Query side broadcasts;
     the per-qid rank window is partitioned; the final fold is one
-    aggregate."""
+    aggregate.
+
+    Scale note: the query panel is a FIXED-SIZE deterministic sample
+    (every 10th id below 5000 → ≤500 queries at any corpus size), so
+    total work is panel×corpus — linear in the corpus, never
+    quadratic.  This is the exact-eval harness; serving-scale
+    retrieval goes through the IVF path (k1_topk_ivf)."""
     from pyspark.sql import Window
 
     from pdf_to_vectordb_etl_spark.functions.vector import cosine_similarity
 
     emb = _t(spark, sf, "embeddings")
-    qs = emb.filter(F.col("vec_id") % 10 == 0).select(
+    qs = emb.filter(
+        (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 5000)
+    ).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("_qv"),
         F.col("label").alias("qlabel"),
@@ -10036,7 +10044,7 @@ def oracle_sql() -> dict[str, str]:
         "eval_mrr_ann": """
             WITH q AS (
               SELECT vec_id AS qid, embedding AS qv, label AS qlabel
-              FROM embeddings WHERE vec_id % 10 = 0),
+              FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 5000),
             p AS (
               SELECT q.qid, q.qlabel, e.vec_id, e.label,
                      round(list_cosine_similarity(
