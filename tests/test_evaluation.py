@@ -280,3 +280,28 @@ def test_stream_score_bins_snapshot_equals_batch(spark, tmp_path):
         raw, "value", SF.col("event_type") == "purchase", 100, 0.0, 50.0
     ).collect()[0].auc
     assert a1 == a2
+
+
+def test_evaluate_corpus_composed_report(spark, sf_dir):
+    from pdf_to_vectordb_etl_spark.plans.evaluate import evaluate_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rep = {r.metric: r.value for r in
+           evaluate_corpus(spark, docs, emb).collect()}
+    expected = {
+        "quality_auc", "quality_ap", "quality_brier", "langid_kappa",
+        "langid_macro_f1", "lang_source_cramers_v", "token_gini_max",
+        "zipf_slope", "ann_mrr", "ann_recall_at_10",
+    }
+    assert set(rep) == expected
+    assert 0.0 <= rep["quality_auc"] <= 1.0
+    assert 0.0 <= rep["quality_ap"] <= 1.0
+    assert 0.0 <= rep["quality_brier"] <= 1.0
+    assert -1.0 <= rep["langid_kappa"] <= 1.0
+    assert 0.0 <= rep["langid_macro_f1"] <= 1.0
+    assert 0.0 <= rep["lang_source_cramers_v"] <= 1.0
+    assert 0.0 <= rep["token_gini_max"] < 1.0
+    assert rep["zipf_slope"] < 0.0  # natural-ish text is Zipf-decreasing
+    assert 0.0 <= rep["ann_mrr"] <= 1.0
+    assert 0.0 <= rep["ann_recall_at_10"] <= 1.0
