@@ -102,6 +102,15 @@ HEADLINE = [
     ("timed_funnel", "three chained min-aggs; key equi-joins only"),
     ("bitmap_distinct", "bitmap_construct_agg partial per bucket; exact mergeable distinct"),
     ("try_surface", "error-safe arithmetic entirely inside codegen, zero Exchange"),
+    ("eval_auc", "corpus folds to a fixed 1000-bin histogram in ONE partial agg; rank-sum over bins only"),
+    ("survival_km", "subjects fold to the distinct-duration table; at-risk/survival windows over time-domain rows"),
+    ("silhouette_labels", "k-row centroid broadcast; a/b reduction map-side combines on the point id"),
+    ("gini_by_source", "per-source PARTITIONED rank windows; one agg per group"),
+    ("assoc_rules", "pair supports via self-join on the basket key (width-bounded fan-out); totals broadcast"),
+    ("link_adamic_adar", "two-hop self-join on the middle node with deg<=100 hub cut BEFORE the join"),
+    ("eval_mrr_ann", "fixed query panel broadcast; per-qid partitioned rank; corpus never shuffles on content"),
+    ("hll_set_users", "set algebra over two 256-row register files; rows scanned once per side"),
+    ("bootstrap_mean_ci", "x100 explode folds map-side to n_boot rows/partition; percentile over 100-row table"),
 ]
 
 
