@@ -4917,6 +4917,51 @@ def q_t14_stream_auc(spark, sf):
     return ev.auc_from_bins(spark.table(name))
 
 
+def q_theilsen_trend(spark, sf):
+    """Robust per-user value trend: Theil-Sen median-of-pairwise-slopes
+    (outlier-immune twin of trend_per_user's OLS).  Points capped at a
+    deterministic 50 per key BEFORE the pair join, so fan-out is
+    bounded at 50²/2 per key no matter how hot the key; median is the
+    exact per-key percentile over the bounded pair set."""
+    from pdf_to_vectordb_etl_spark.operators.aggregates import theilsen_trend
+
+    ev = _t(spark, sf, "events")
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        (
+            (F.expr("ts div 1000") - F.lit(1_735_689_600_000_000))
+            / F.lit(86_400_000_000.0)
+        ).alias("xd"),
+        "value",
+    )
+    return theilsen_trend(
+        pts, "user_id", "xd", "value", "event_id",
+        max_points=50, min_points=20,
+    )
+
+
+def q_forecast_backtest(spark, sf):
+    """Forecast-quality gate: hold out the last 7 days of each event
+    type's daily-revenue series and score naive vs seasonal-naive
+    forecasts with sMAPE + MASE (Hyndman's scale-free standard) — the
+    honest baseline any fancier forecaster must beat.  One broadcast
+    cutoff, an equi-join for the seasonal lookup, a max_by agg for
+    naive, and a per-key PARTITIONED lag window for the MASE scale."""
+    from pdf_to_vectordb_etl_spark.operators.aggregates import (
+        forecast_backtest,
+    )
+
+    ev = _t(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("(ts div 1000) div 86400000000").alias("day"),
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    return forecast_backtest(
+        daily, "event_type", "day", "v", horizon=7, season=7
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -5165,6 +5210,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_set_users": q_kmv_set_users,
         "bootstrap_mean_ci": q_bootstrap_mean_ci,
         "t14_stream_auc": q_t14_stream_auc,
+        "theilsen_trend": q_theilsen_trend,
+        "forecast_backtest": q_forecast_backtest,
     }
 
 
@@ -10270,6 +10317,83 @@ def oracle_sql() -> dict[str, str]:
                      CAST(count(*) AS BIGINT) AS n_boot
               FROM m)
             SELECT mean, ci_lo, ci_hi, n_boot FROM base CROSS JOIN ci
+        """,
+        "theilsen_trend": """
+            WITH e AS (
+              SELECT user_id, event_id,
+                     (epoch_us(ts) - 1735689600000000) / 86400000000.0 AS x,
+                     value AS y
+              FROM events),
+            pts AS (
+              SELECT user_id, x, y,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY x, event_id) AS rn
+              FROM e QUALIFY rn <= 50),
+            pairs AS (
+              SELECT a.user_id, (b.y - a.y) / (b.x - a.x) AS s
+              FROM pts a JOIN pts b
+                ON a.user_id = b.user_id AND a.rn < b.rn AND a.x <> b.x),
+            npts AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n_points
+              FROM pts GROUP BY 1),
+            agg AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+                     round(quantile_cont(s, 0.5), 5) AS ts_slope
+              FROM pairs GROUP BY 1)
+            SELECT a.user_id, n_points, n_pairs, ts_slope
+            FROM agg a JOIN npts USING (user_id)
+            WHERE n_points >= 20
+        """,
+        "forecast_backtest": """
+            WITH daily AS (
+              SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                     round(sum(value), 6) AS v
+              FROM events GROUP BY 1, 2),
+            cut AS (SELECT max(day) - 7 AS c FROM daily),
+            train AS (SELECT d.* FROM daily d CROSS JOIN cut WHERE day <= c),
+            test AS (SELECT d.* FROM daily d CROSS JOIN cut WHERE day > c),
+            lastv AS (
+              SELECT event_type, arg_max(v, day) AS naive,
+                     CAST(count(*) AS BIGINT) AS n_train
+              FROM train GROUP BY 1),
+            seas AS (
+              SELECT event_type, day + 7 AS day, v AS seasonal FROM train),
+            j AS (
+              SELECT t.event_type, t.day, t.v, l.naive, l.n_train, s.seasonal
+              FROM test t
+              LEFT JOIN lastv l USING (event_type)
+              LEFT JOIN seas s USING (event_type, day)),
+            sc AS (
+              SELECT event_type, any_value(n_train) AS n_train,
+                     CAST(count(*) AS BIGINT) AS n_test,
+                     round(avg(CASE WHEN naive IS NOT NULL
+                                    AND abs(v) + abs(naive) > 0
+                               THEN 2.0 * abs(v - naive)
+                                    / (abs(v) + abs(naive))
+                               WHEN naive IS NOT NULL THEN 0.0 END), 6)
+                       AS smape_naive,
+                     round(avg(CASE WHEN seasonal IS NOT NULL
+                                    AND abs(v) + abs(seasonal) > 0
+                               THEN 2.0 * abs(v - seasonal)
+                                    / (abs(v) + abs(seasonal))
+                               WHEN seasonal IS NOT NULL THEN 0.0 END), 6)
+                       AS smape_seasonal,
+                     avg(CASE WHEN seasonal IS NOT NULL
+                         THEN abs(v - seasonal) END) AS mae_s
+              FROM j GROUP BY 1),
+            ins AS (
+              SELECT event_type, avg(abs(v - prev)) AS mae_naive
+              FROM (SELECT event_type, v,
+                           lag(v) OVER (PARTITION BY event_type
+                             ORDER BY day) AS prev
+                    FROM train)
+              GROUP BY 1)
+            SELECT sc.event_type, n_train, n_test, smape_naive,
+                   smape_seasonal,
+                   round(CASE WHEN mae_naive > 0 THEN mae_s / mae_naive
+                              WHEN mae_s = 0 THEN 0.0 END, 6)
+                     AS mase_seasonal
+            FROM sc LEFT JOIN ins USING (event_type)
         """,
     }
 

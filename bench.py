@@ -76,6 +76,10 @@ def main() -> None:
         "text_normalize",          # portable fold/collapse normalize
         "fd_profile",              # functional-dependency profiling
         "seasonal_decompose",      # classical MA trend/seasonal split
+        "eval_auc",                # binned distributed ROC AUC
+        "silhouette_labels",       # centroid silhouette (O(n*k))
+        "assoc_rules",             # market-basket support/conf/lift
+        "hll_set_users",           # sketch set algebra (union/Jaccard)
         "enem_questions" if "enem_questions" in entry.queries() else "ta_fingerprint",
     ]
     qs = entry.queries()

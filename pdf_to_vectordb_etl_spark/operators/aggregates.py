@@ -736,3 +736,168 @@ def cusum_changepoints(
         (s_pos > threshold).alias("alarm_up"),
         (s_neg > threshold).alias("alarm_down"),
     )
+
+
+def theilsen_trend(
+    df: DataFrame,
+    by: str,
+    x_col: str,
+    y_col: str,
+    tiebreak_col: str,
+    max_points: int = 50,
+    min_points: int = 5,
+) -> DataFrame:
+    """Theil-Sen robust trend per key: the MEDIAN of all pairwise
+    slopes (y_j − y_i)/(x_j − x_i) — immune to the outliers that pull
+    an OLS slope (the robust twin of the regr_slope trend).
+
+    Scale shape: the pairwise join is quadratic in points PER KEY, so
+    each key is first capped at ``max_points`` by a deterministic
+    (x, tiebreak) rank — bounding fan-out at max_points²/2 per key
+    regardless of how many rows a hot key carries; the join itself is
+    an equi-join on the key.  Same-x pairs (simultaneous observations)
+    are excluded — their slope is undefined.  The median is the exact
+    per-key percentile, an aggregate over the bounded pair set.
+
+    Returns ``{by}, n_points, n_pairs, ts_slope`` for keys with at
+    least ``min_points`` observations.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(by).orderBy("_x", tiebreak_col)
+    pts = (
+        df.select(
+            F.col(by),
+            F.col(x_col).cast("double").alias("_x"),
+            F.col(y_col).cast("double").alias("_y"),
+            F.col(tiebreak_col),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_points)
+        .select(by, "_x", "_y", "_rn")
+    )
+    a = pts.select(
+        F.col(by), F.col("_x").alias("_xa"), F.col("_y").alias("_ya"),
+        F.col("_rn").alias("_ra"),
+    )
+    b = pts.select(
+        F.col(by), F.col("_x").alias("_xb"), F.col("_y").alias("_yb"),
+        F.col("_rn").alias("_rb"),
+    )
+    pairs = (
+        a.join(b, by)
+        .filter((F.col("_ra") < F.col("_rb")) & (F.col("_xa") != F.col("_xb")))
+        .select(
+            by,
+            ((F.col("_yb") - F.col("_ya")) / (F.col("_xb") - F.col("_xa")))
+            .alias("_s"),
+        )
+    )
+    npts = pts.groupBy(by).agg(F.count("*").cast("long").alias("n_points"))
+    return (
+        pairs.groupBy(by)
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.expr("percentile(_s, 0.5)"), 5).alias("ts_slope"),
+        )
+        .join(npts, by)
+        .filter(F.col("n_points") >= min_points)
+        .select(by, "n_points", "n_pairs", "ts_slope")
+    )
+
+
+def forecast_backtest(
+    series: DataFrame,
+    by: str,
+    time_col: str,
+    value_col: str,
+    horizon: int = 7,
+    season: int = 7,
+) -> DataFrame:
+    """Holdout backtest of the two standard zero-parameter forecasters
+    over a per-key bucketed series: hold out the last ``horizon``
+    buckets, forecast them with NAIVE (last training value) and
+    SEASONAL-NAIVE (value ``season`` buckets earlier), and score with
+    sMAPE plus MASE (seasonal-naive MAE scaled by the in-sample naive
+    MAE — Hyndman's scale-free standard).  The honest baseline every
+    fancier forecaster must beat.
+
+    Shapes: one global cutoff from a 1-row max-time aggregate
+    (broadcast); the seasonal forecast is an equi-join on (key, t −
+    season); the naive forecast is a per-key max_by aggregate joined
+    back; in-sample MAE uses a per-key PARTITIONED lag window.
+    Requires ``horizon ≤ season`` so every seasonal lookup lands in
+    the training span.
+
+    Returns ``{by}, n_train, n_test, smape_naive, smape_seasonal,
+    mase_seasonal`` (metrics rounded to 6; NULL when a forecast has no
+    base — e.g. a key born inside the holdout).
+    """
+    from pyspark.sql import Window
+
+    if horizon > season:
+        raise ValueError("horizon must be <= season (lookups leave train)")
+    cutoff = series.agg(
+        (F.max(time_col) - F.lit(horizon)).alias("_cut")
+    )
+    s = series.select(
+        F.col(by), F.col(time_col).alias("_t"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).crossJoin(F.broadcast(cutoff))
+    train = s.filter(F.col("_t") <= F.col("_cut")).select(by, "_t", "_v")
+    test = s.filter(F.col("_t") > F.col("_cut")).select(by, "_t", "_v")
+
+    last = train.groupBy(by).agg(
+        F.max_by("_v", "_t").alias("_naive"),
+        F.count("*").cast("long").alias("n_train"),
+    )
+    seas = train.select(
+        F.col(by), (F.col("_t") + F.lit(season)).alias("_t"),
+        F.col("_v").alias("_seasonal"),
+    )
+    joined = (
+        test.join(last, by, "left")
+        .join(seas, [by, "_t"], "left")
+    )
+    def _smape(f):
+        # a 0/0 term (value and forecast both zero) counts as 0 error;
+        # the mirror CASE keeps the DuckDB twin identical under ANSI
+        denom = F.abs(F.col("_v")) + F.abs(f)
+        return F.avg(
+            F.when(f.isNotNull() & (denom > 0),
+                   2.0 * F.abs(F.col("_v") - f) / denom)
+            .when(f.isNotNull(), F.lit(0.0))
+        )
+    scored = joined.groupBy(by).agg(
+        F.first("n_train").alias("n_train"),
+        F.count("*").cast("long").alias("n_test"),
+        F.round(_smape(F.col("_naive")), 6).alias("smape_naive"),
+        F.round(_smape(F.col("_seasonal")), 6).alias("smape_seasonal"),
+        F.avg(F.when(F.col("_seasonal").isNotNull(),
+                     F.abs(F.col("_v") - F.col("_seasonal")))).alias("_mae_s"),
+    )
+    w = Window.partitionBy(by).orderBy("_t")
+    insample = (
+        train.withColumn("_prev", F.lag("_v").over(w))
+        .groupBy(by)
+        .agg(F.avg(F.abs(F.col("_v") - F.col("_prev"))).alias("_mae_naive"))
+    )
+    return (
+        scored.join(insample, by, "left")
+        .select(
+            by,
+            "n_train",
+            "n_test",
+            "smape_naive",
+            "smape_seasonal",
+            # a flat training series (naive MAE 0) makes MASE undefined
+            # unless the forecast is also perfect — report 0 then, NULL
+            # otherwise (never divide by zero under ANSI)
+            F.round(
+                F.when(F.col("_mae_naive") > 0,
+                       F.col("_mae_s") / F.col("_mae_naive"))
+                .when(F.col("_mae_s") == 0, F.lit(0.0)),
+                6,
+            ).alias("mase_seasonal"),
+        )
+    )

@@ -305,3 +305,33 @@ def test_evaluate_corpus_composed_report(spark, sf_dir):
     assert rep["zipf_slope"] < 0.0  # natural-ish text is Zipf-decreasing
     assert 0.0 <= rep["ann_mrr"] <= 1.0
     assert 0.0 <= rep["ann_recall_at_10"] <= 1.0
+
+
+def test_theilsen_ignores_outlier(spark):
+    from pdf_to_vectordb_etl_spark.operators.aggregates import theilsen_trend
+
+    # y = 2x exactly, except one wild outlier at x=10 -> TS slope
+    # stays 2.0 (the median pairwise slope); OLS would be pulled hard
+    rows = [(1, i, float(i), 2.0 * i) for i in range(10)] + [
+        (1, 10, 10.0, 1000.0)
+    ]
+    df = spark.createDataFrame(rows, "k int, eid long, x double, y double")
+    r = theilsen_trend(df, "k", "x", "y", "eid", min_points=5).collect()[0]
+    assert r.ts_slope == 2.0 and r.n_points == 11
+
+
+def test_forecast_backtest_perfect_season_and_constant(spark):
+    from pdf_to_vectordb_etl_spark.operators.aggregates import (
+        forecast_backtest,
+    )
+
+    # weekly-periodic series: seasonal-naive is exact on the holdout
+    per = [(("s"), d, float(10 + (d % 7))) for d in range(28)]
+    # constant series: naive is exact
+    const = [(("c"), d, 5.0) for d in range(28)]
+    df = spark.createDataFrame(per + const, "k string, day long, v double")
+    out = {r.k: r for r in
+           forecast_backtest(df, "k", "day", "v", 7, 7).collect()}
+    assert out["s"].smape_seasonal == 0.0 and out["s"].n_test == 7
+    assert out["s"].mase_seasonal == 0.0
+    assert out["c"].smape_naive == 0.0 and out["c"].smape_seasonal == 0.0
