@@ -4962,6 +4962,87 @@ def q_forecast_backtest(spark, sf):
     )
 
 
+def q_ivf_recall_curve(spark, sf):
+    """ANN tuning surface: recall@10 of the IVF index vs exact
+    brute-force, swept over n_probe ∈ {1,2,4} — the curve an operator
+    reads to pick the recall/cost point.  ONE probe assignment at the
+    deepest level feeds all three sweep points (level n = probe rank ≤
+    n), so the corpus is scanned once for candidates; every stage is
+    the deterministic portable IVF (md5-sampled centroids, 6-dp
+    ranks), so the ENTIRE sweep — index, probes, both top-10s, the
+    recall fold — replays in DuckDB and is hash-verified."""
+    from pyspark.sql import Window
+
+    from pdf_to_vectordb_etl_spark.functions.vector import cosine_similarity
+    from pdf_to_vectordb_etl_spark.operators.topk import (
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("_qv")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 20).select("vec_id", "embedding")
+    cents = ivf_centroids(corpus, 16, "embedding", "vec_id")
+    home = ivf_assign(corpus, cents, 1, "embedding")
+    qsc = qs.crossJoin(F.broadcast(cents)).withColumn(
+        "_csim",
+        F.round(cosine_similarity(F.col("_qv"), F.col("centroid")), 6),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("_csim"), F.col("list_id"))
+    qp = (
+        qsc.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= 4)
+        .select("qid", "_qv", "list_id", "_pr")
+    )
+    cand = home.join(F.broadcast(qp), "list_id")
+    lv = cand.select(
+        "qid", "_qv", "vec_id", "embedding", "_pr",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(4))).alias("n_probe"),
+    ).filter(F.col("_pr") <= F.col("n_probe"))
+    scored = lv.withColumn(
+        "_sim",
+        F.round(cosine_similarity(F.col("embedding"), F.col("_qv")), 6),
+    )
+    w2 = Window.partitionBy("qid", "n_probe").orderBy(
+        F.desc("_sim"), F.col("vec_id")
+    )
+    ivf10 = (
+        scored.withColumn("_r", F.row_number().over(w2))
+        .filter(F.col("_r") <= 10)
+        .select("qid", "n_probe", "vec_id")
+    )
+    ex = corpus.crossJoin(F.broadcast(qs)).withColumn(
+        "_sim",
+        F.round(cosine_similarity(F.col("embedding"), F.col("_qv")), 6),
+    )
+    w3 = Window.partitionBy("qid").orderBy(F.desc("_sim"), F.col("vec_id"))
+    exact10 = (
+        ex.withColumn("_r", F.row_number().over(w3))
+        .filter(F.col("_r") <= 10)
+        .select("qid", "vec_id")
+    )
+    hits = ivf10.join(exact10, ["qid", "vec_id"]).groupBy(
+        "qid", "n_probe"
+    ).agg(F.count("*").alias("_hit"))
+    frame = qs.select(
+        "qid",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(4))).alias("n_probe"),
+    )
+    per_q = frame.join(hits, ["qid", "n_probe"], "left").select(
+        "qid", "n_probe", F.coalesce("_hit", F.lit(0)).alias("_hit")
+    )
+    return (
+        per_q.groupBy("n_probe")
+        .agg(
+            F.round(F.avg(F.col("_hit") / 10.0), 6).alias("recall_at_10"),
+            F.count("*").cast("long").alias("n_queries"),
+        )
+        .orderBy("n_probe")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -5212,6 +5293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t14_stream_auc": q_t14_stream_auc,
         "theilsen_trend": q_theilsen_trend,
         "forecast_backtest": q_forecast_backtest,
+        "ivf_recall_curve": q_ivf_recall_curve,
     }
 
 
@@ -10394,6 +10476,80 @@ def oracle_sql() -> dict[str, str]:
                               WHEN mae_s = 0 THEN 0.0 END, 6)
                      AS mase_seasonal
             FROM sc LEFT JOIN ins USING (event_type)
+        """,
+        "ivf_recall_curve": """
+            WITH corpus AS (
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
+            queries AS (
+              SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 20),
+            sampled AS (
+              SELECT vec_id, embedding FROM corpus
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+            cents AS (
+              SELECT row_number() OVER (ORDER BY vec_id) AS list_id,
+                     CAST(embedding AS DOUBLE[]) AS centroid
+              FROM sampled),
+            home AS (
+              SELECT vec_id, embedding, list_id FROM (
+                SELECT c.vec_id, c.embedding, ct.list_id,
+                       row_number() OVER (
+                         PARTITION BY c.vec_id
+                         ORDER BY round(list_cosine_similarity(
+                           CAST(c.embedding AS DOUBLE[]), ct.centroid), 6)
+                           DESC, ct.list_id) AS r
+                FROM corpus c CROSS JOIN cents ct)
+              WHERE r = 1),
+            qp AS (
+              SELECT qid, qv, list_id, r AS pr FROM (
+                SELECT q.qid, q.qv, ct.list_id,
+                       row_number() OVER (
+                         PARTITION BY q.qid
+                         ORDER BY round(list_cosine_similarity(
+                           q.qv, ct.centroid), 6) DESC, ct.list_id) AS r
+                FROM queries q CROSS JOIN cents ct)
+              WHERE r <= 4),
+            lv AS (
+              SELECT qp.qid, qp.qv, h.vec_id, h.embedding, l.n
+              FROM home h JOIN qp ON h.list_id = qp.list_id
+              CROSS JOIN (VALUES (1), (2), (4)) l(n)
+              WHERE qp.pr <= l.n),
+            ivf10 AS (
+              SELECT qid, n, vec_id FROM (
+                SELECT qid, n, vec_id,
+                       row_number() OVER (
+                         PARTITION BY qid, n
+                         ORDER BY round(list_cosine_similarity(
+                           CAST(embedding AS DOUBLE[]), qv), 6) DESC,
+                           vec_id) AS r
+                FROM lv)
+              WHERE r <= 10),
+            ex10 AS (
+              SELECT qid, vec_id FROM (
+                SELECT q.qid, c.vec_id,
+                       row_number() OVER (
+                         PARTITION BY q.qid
+                         ORDER BY round(list_cosine_similarity(
+                           CAST(c.embedding AS DOUBLE[]), q.qv), 6) DESC,
+                           c.vec_id) AS r
+                FROM corpus c CROSS JOIN queries q)
+              WHERE r <= 10),
+            hits AS (
+              SELECT i.qid, i.n, CAST(count(*) AS BIGINT) AS hit
+              FROM ivf10 i JOIN ex10 e
+                ON i.qid = e.qid AND i.vec_id = e.vec_id
+              GROUP BY 1, 2),
+            frame AS (
+              SELECT q.qid, l.n
+              FROM queries q CROSS JOIN (VALUES (1), (2), (4)) l(n)),
+            per_q AS (
+              SELECT f.qid, f.n, coalesce(h.hit, 0) AS hit
+              FROM frame f LEFT JOIN hits h
+                ON f.qid = h.qid AND f.n = h.n)
+            SELECT n AS n_probe,
+                   round(avg(hit / 10.0), 6) AS recall_at_10,
+                   CAST(count(*) AS BIGINT) AS n_queries
+            FROM per_q GROUP BY n ORDER BY n
         """,
     }
 

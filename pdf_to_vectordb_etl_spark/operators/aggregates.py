@@ -775,6 +775,10 @@ def theilsen_trend(
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= max_points)
         .select(by, "_x", "_y", "_rn")
+        # three consumers (both pair-join sides + the point counts):
+        # persist the capped table once instead of re-running the
+        # scan+window per consumer
+        .persist()
     )
     a = pts.select(
         F.col(by), F.col("_x").alias("_xa"), F.col("_y").alias("_ya"),

@@ -35,9 +35,13 @@ def association_rules(
     basket count; confidence = supp/supp(ant); lift = confidence /
     P(cons).
     """
+    # items feeds FOUR consumers (total, item supports, both self-join
+    # sides); persist it once instead of re-running the scan+distinct
+    # per consumer — at corpus scale the cached relation spills
+    # MEMORY_AND_DISK, still cheaper than 4 full passes
     items = baskets.select(
         F.col(basket_col).alias("_bid"), F.col(item_col).alias("_item")
-    ).distinct()
+    ).distinct().persist()
     total = items.agg(F.countDistinct("_bid").alias("_n_b"))
     supp_item = items.groupBy("_item").agg(F.count("*").alias("_s"))
     a = items.select("_bid", F.col("_item").alias("_ia"))

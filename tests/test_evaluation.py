@@ -335,3 +335,14 @@ def test_forecast_backtest_perfect_season_and_constant(spark):
     assert out["s"].smape_seasonal == 0.0 and out["s"].n_test == 7
     assert out["s"].mase_seasonal == 0.0
     assert out["c"].smape_naive == 0.0 and out["c"].smape_seasonal == 0.0
+
+
+def test_ivf_recall_curve_monotone(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    rows = {r.n_probe: r.recall_at_10 for r in
+            entry.queries()["ivf_recall_curve"](spark, sf_dir).collect()}
+    assert sorted(rows) == [1, 2, 4]
+    # more probes can never lose candidates -> recall non-decreasing
+    assert rows[1] <= rows[2] <= rows[4]
+    assert all(0.0 <= v <= 1.0 for v in rows.values())

@@ -54,6 +54,7 @@ ALLOWLIST = {
     "eval_pr_auc": "descending cum-tp/fp over the fixed 1000-bin score grid — bounded by construction",
     "eval_ndcg_bm25": "position windows over the two 10-row top-k shortlists (post-limit) — bounded by construction",
     "t14_stream_auc": "rank-sum finale over the 1000-row streaming bin snapshot — state bounded by construction",
+    "ivf_recall_curve": "centroid list_id numbering over the 16-row post-limit md5 sample — bounded by construction",
 }
 
 
