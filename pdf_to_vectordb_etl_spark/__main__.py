@@ -14,6 +14,9 @@ same one-command surface, plus direct access to the 200-query registry:
   python -m pdf_to_vectordb_etl_spark process-folder IN COLLECTION [--dim 64]
       the reference lifecycle: folder of PDFs -> extracted questions ->
       embedded vector collection + per-(year, subject) stats
+  python -m pdf_to_vectordb_etl_spark evaluate [--sf DIR]
+      the composed corpus-quality report (plans/evaluate.py): one
+      (metric, value) row per grade — AUC, calibration, kappa, MRR, ...
 """
 
 from __future__ import annotations
@@ -64,6 +67,9 @@ def main(argv: list[str] | None = None) -> int:
     pf.add_argument("collection_path")
     pf.add_argument("--dim", type=int, default=64)
 
+    ev = sub.add_parser("evaluate")
+    ev.add_argument("--sf", default="/root/testdata/sf0.001")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "list":
@@ -96,6 +102,13 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.input_dir, args.collection_path, dim=args.dim
         )
         stats.show(truncate=False)
+        return 0
+    if args.cmd == "evaluate":
+        from .plans.evaluate import evaluate_corpus
+
+        docs = spark.read.parquet(f"{args.sf}/documents.parquet")
+        emb = spark.read.parquet(f"{args.sf}/embeddings.parquet")
+        evaluate_corpus(spark, docs, emb).show(50, truncate=False)
         return 0
     return 2
 
