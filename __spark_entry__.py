@@ -5043,6 +5043,45 @@ def q_ivf_recall_curve(spark, sf):
     )
 
 
+def q_t15_stream_survival(spark, sf):
+    """T15 — streaming survival analysis: per-user lifetime state
+    (first/last event, last type) maintained as ONE associative
+    streaming aggregate (min / max / max_by), then the Kaplan-Meier
+    finale over the snapshot.  Over identical rows the snapshot equals
+    the batch per-user table, so the batch KM SQL is the parity
+    oracle."""
+    import tempfile
+
+    from pdf_to_vectordb_etl_spark.operators import evaluation as ev
+    from pdf_to_vectordb_etl_spark.streaming.pipeline import (
+        stream_user_lifetimes,
+    )
+
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    lifetimes = stream_user_lifetimes(stream)
+    name = "t15_stream_survival_state"
+    q = (
+        lifetimes.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t15ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    per_user = spark.table(name).select(
+        F.expr("(last_tus - first_tus) div 86400000000").alias("duration"),
+        (F.col("last_type") == "error").alias("observed"),
+    )
+    return ev.kaplan_meier(per_user, "duration", "observed")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -5294,6 +5333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theilsen_trend": q_theilsen_trend,
         "forecast_backtest": q_forecast_backtest,
         "ivf_recall_curve": q_ivf_recall_curve,
+        "t15_stream_survival": q_t15_stream_survival,
     }
 
 
@@ -10583,4 +10623,8 @@ def oracle_sql() -> dict[str, str]:
     # the streaming score histogram is an associative sum — its
     # snapshot equals the batch bins, so the batch AUC SQL is the oracle
     d["t14_stream_auc"] = d["eval_auc"]
+    # per-user lifetime state is associative min/max/max_by — its
+    # snapshot equals the batch per-user table, so the batch KM SQL
+    # is the oracle
+    d["t15_stream_survival"] = d["survival_km"]
     return d

@@ -552,3 +552,37 @@ def stream_score_bins(
             (F.count("*") - F.sum("y")).alias("neg"),
         )
     )
+
+
+def stream_user_lifetimes(events_stream: DataFrame) -> DataFrame:
+    """Beyond-reference: per-user lifetime state for streaming
+    survival analysis — (first event, last event, last event type) as
+    ONE streaming aggregate of purely associative functions (min, max,
+    max_by on the (ts, event_id) tiebreak order).  The state is one
+    row per user; every micro-batch folds in without rescanning
+    history, and a snapshot equals the batch per-user table over the
+    same rows — evaluation.kaplan_meier on the derived (duration,
+    observed) rows reproduces the batch survival curve exactly, so
+    the batch KM SQL is the parity oracle.
+
+    Takes the RAW events stream (readStream schema); the physical
+    time type folds to bigint micros via normalize_event_times — the
+    same narrow projection every batch operator uses."""
+    withts = normalize_event_times(events_stream, "ts")
+    tus = F.expr("ts div 1000")
+    return (
+        withts.select(
+            "user_id",
+            tus.alias("_tus"),
+            "event_id",
+            "event_type",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("_tus").alias("first_tus"),
+            F.max("_tus").alias("last_tus"),
+            F.max_by(
+                "event_type", F.struct(F.col("_tus"), F.col("event_id"))
+            ).alias("last_type"),
+        )
+    )

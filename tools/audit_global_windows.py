@@ -55,6 +55,7 @@ ALLOWLIST = {
     "eval_ndcg_bm25": "position windows over the two 10-row top-k shortlists (post-limit) — bounded by construction",
     "t14_stream_auc": "rank-sum finale over the 1000-row streaming bin snapshot — state bounded by construction",
     "ivf_recall_curve": "centroid list_id numbering over the 16-row post-limit md5 sample — bounded by construction",
+    "t15_stream_survival": "KM finale over the per-user streaming snapshot folded to the distinct-duration table — time-domain-sized",
 }
 
 
