@@ -5082,6 +5082,36 @@ def q_t15_stream_survival(spark, sf):
     return ev.kaplan_meier(per_user, "duration", "observed")
 
 
+def q_conformal_interval(spark, sf):
+    """Split-conformal prediction intervals per event type: md5-half
+    calibration split, |residual| quantile as the distribution-free
+    interval half-width, empirical coverage verified on the held-out
+    half (≈ 1−α by the conformal guarantee).  Two passes of
+    partial-combinable aggregates; the exact quantile sorts only
+    within a group's calibration residuals."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation as ev
+
+    events = _t(spark, sf, "events")
+    return ev.conformal_interval(
+        events, "event_type", "value", "event_id", alpha=0.1
+    )
+
+
+def q_permutation_test(spark, sf):
+    """Randomization test for the click-vs-view mean difference:
+    deterministic md5 coin re-assigns arms per replicate (binomial-
+    split variant — no global label shuffle), 200 replicate diffs fold
+    map-side, two-sided p-value against the observed diff.  The
+    nonparametric companion to ab_welch_ttest."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation as ev
+
+    events = _t(spark, sf, "events")
+    return ev.permutation_test(
+        events, "event_type", "value", "event_id", "click", "view",
+        n_perm=200,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -5334,6 +5364,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_backtest": q_forecast_backtest,
         "ivf_recall_curve": q_ivf_recall_curve,
         "t15_stream_survival": q_t15_stream_survival,
+        "conformal_interval": q_conformal_interval,
+        "permutation_test": q_permutation_test,
     }
 
 
@@ -10590,6 +10622,68 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(hit / 10.0), 6) AS recall_at_10,
                    CAST(count(*) AS BIGINT) AS n_queries
             FROM per_q GROUP BY n ORDER BY n
+        """,
+        "conformal_interval": """
+            WITH base AS (
+              SELECT event_type, value AS v,
+                     substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < '8' AS cal
+              FROM events),
+            pred AS (
+              SELECT event_type,
+                     CAST(sum(CASE WHEN cal THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_calib,
+                     CAST(count(*) - sum(CASE WHEN cal THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_test,
+                     round(avg(CASE WHEN cal THEN v END), 6) AS mu
+              FROM base GROUP BY 1),
+            scored AS (
+              SELECT b.event_type, b.cal, abs(b.v - p.mu) AS resid,
+                     p.n_calib, p.n_test
+              FROM base b JOIN pred p USING (event_type)),
+            stats AS (
+              SELECT event_type, any_value(n_calib) AS n_calib,
+                     any_value(n_test) AS n_test,
+                     quantile_cont(CASE WHEN cal THEN resid END, 0.9) AS q
+              FROM scored GROUP BY 1),
+            cov AS (
+              SELECT s.event_type,
+                     round(avg(CASE WHEN s.resid <= st.q THEN 1.0
+                               ELSE 0.0 END), 6) AS coverage
+              FROM scored s JOIN stats st USING (event_type)
+              WHERE NOT s.cal GROUP BY 1)
+            SELECT st.event_type, n_calib, n_test, round(q, 6) AS qhat,
+                   coverage
+            FROM stats st JOIN cov USING (event_type)
+            ORDER BY st.event_type
+        """,
+        "permutation_test": """
+            WITH two AS (
+              SELECT event_id AS id, event_type AS g, value AS v
+              FROM events WHERE event_type IN ('click', 'view')),
+            obs AS (
+              SELECT round(avg(CASE WHEN g = 'click' THEN v END)
+                           - avg(CASE WHEN g = 'view' THEN v END), 6)
+                       AS obs_diff
+              FROM two),
+            reps AS (
+              SELECT t.v, r.rep,
+                     (('0x' || substr(md5(CAST(t.id AS VARCHAR) || '|'
+                                          || CAST(r.rep AS VARCHAR)), 1, 12))
+                       ::BIGINT + 0.5) / 281474976710656.0 < 0.5 AS a
+              FROM two t
+              CROSS JOIN (SELECT unnest(generate_series(0, 199)) AS rep) r),
+            d AS (
+              SELECT rep,
+                     round(avg(CASE WHEN a THEN v END)
+                           - avg(CASE WHEN NOT a THEN v END), 6) AS d
+              FROM reps GROUP BY rep),
+            ex AS (
+              SELECT round((1.0 + sum(CASE WHEN abs(d) >= abs(o.obs_diff)
+                                      THEN 1 ELSE 0 END)) / 201.0, 6)
+                       AS p_value,
+                     CAST(count(*) AS BIGINT) AS n_perm
+              FROM d CROSS JOIN obs o)
+            SELECT obs_diff, p_value, n_perm FROM obs CROSS JOIN ex
         """,
     }
 

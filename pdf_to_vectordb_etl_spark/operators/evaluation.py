@@ -596,3 +596,159 @@ def poisson_bootstrap_mean_ci(
         F.count("*").cast("long").alias("n_boot"),
     )
     return base.crossJoin(ci).select("mean", "ci_lo", "ci_hi", "n_boot")
+
+
+def conformal_interval(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split-conformal prediction interval per group: hold out a
+    deterministic md5 half as the calibration set, predict with the
+    calibration mean, take the (1−α) exact quantile of absolute
+    calibration residuals as the interval half-width, and report the
+    empirical coverage on the other half — the distribution-free
+    uncertainty wrapper (Vovk et al., public) every point predictor
+    can wear.
+
+    One conditional aggregate per group computes calibration n / mean
+    (rounded 6 dp so both engines share the predictor), a second pass
+    folds residual quantile + test coverage.  The exact per-group
+    percentile sorts only within a group's calibration residuals;
+    at corpus scale swap in percentile_approx — same contract.
+    (Uses the fixed 1−α quantile; the finite-sample ⌈(n+1)(1−α)⌉/n
+    correction shifts coverage by O(1/n), negligible beyond small
+    groups.)
+
+    Returns ``{group_col}, n_calib, n_test, qhat, coverage`` ordered
+    by group.
+    """
+    is_calib = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1) < "8"
+    base = df.select(
+        F.col(group_col),
+        F.col(value_col).cast("double").alias("_v"),
+        is_calib.alias("_cal"),
+    )
+    pred = base.groupBy(group_col).agg(
+        F.sum(F.col("_cal").cast("int")).cast("long").alias("n_calib"),
+        (F.count("*") - F.sum(F.col("_cal").cast("int")))
+        .cast("long")
+        .alias("n_test"),
+        F.round(F.avg(F.when(F.col("_cal"), F.col("_v"))), 6).alias("_mu"),
+    )
+    scored = base.join(pred, group_col).withColumn(
+        "_resid", F.abs(F.col("_v") - F.col("_mu"))
+    )
+    q = 1.0 - alpha
+    stats = scored.groupBy(group_col).agg(
+        F.first("n_calib").alias("n_calib"),
+        F.first("n_test").alias("n_test"),
+        F.expr(f"percentile(CASE WHEN _cal THEN _resid END, {q!r})")
+        .alias("_q"),
+    )
+    cov = (
+        scored.filter(~F.col("_cal"))
+        .join(F.broadcast(stats.select(group_col, "_q")), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.round(
+                F.avg((F.col("_resid") <= F.col("_q")).cast("int")), 6
+            ).alias("coverage")
+        )
+    )
+    return (
+        stats.join(cov, group_col)
+        .select(
+            group_col,
+            "n_calib",
+            "n_test",
+            F.round("_q", 6).alias("qhat"),
+            "coverage",
+        )
+        .orderBy(group_col)
+    )
+
+
+def permutation_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    group_a: str,
+    group_b: str,
+    n_perm: int = 200,
+) -> DataFrame:
+    """Randomization test for a difference in means: re-assign every
+    row to a pseudo-arm by a deterministic md5 coin per replicate
+    (the binomial-split variant of the permutation test — valid under
+    the same exchangeability null, and the version that distributes:
+    no global shuffle of labels, just a per-row hash), rebuild the
+    mean difference ``n_perm`` times, and report the two-sided
+    p-value (1 + #{|diff_r| ≥ |observed|}) / (n_perm + 1).
+
+    Shapes like the Poisson bootstrap: one ×n_perm explode whose
+    per-replicate conditional means fold map-side to n_perm rows per
+    partition; the final comparison is an aggregate over the
+    n_perm-row replicate table against a broadcast 1-row observed
+    diff.
+
+    Returns one row: ``obs_diff, p_value, n_perm``.
+    """
+    two = df.filter(F.col(group_col).isin(group_a, group_b)).select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    obs = two.agg(
+        F.round(
+            F.avg(F.when(F.col("_g") == group_a, F.col("_v")))
+            - F.avg(F.when(F.col("_g") == group_b, F.col("_v"))),
+            6,
+        ).alias("obs_diff")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws("|", F.col("_id").cast("string"),
+                                F.col("_rep").cast("string"))
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(float(1 << 48))
+    reps = (
+        two.select(
+            "_id",
+            "_v",
+            F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("_rep"),
+        )
+        .withColumn("_a", u < 0.5)
+        .groupBy("_rep")
+        .agg(
+            # rounded so the |diff| >= |observed| comparison can't flip
+            # on last-ulp summation-order noise between engines
+            F.round(
+                F.avg(F.when(F.col("_a"), F.col("_v")))
+                - F.avg(F.when(~F.col("_a"), F.col("_v"))),
+                6,
+            ).alias("_d")
+        )
+    )
+    extreme = reps.crossJoin(F.broadcast(obs)).agg(
+        F.round(
+            (1.0 + F.sum(
+                (F.abs(F.col("_d")) >= F.abs(F.col("obs_diff"))).cast("int")
+            ))
+            / F.lit(float(n_perm + 1)),
+            6,
+        ).alias("p_value"),
+        F.count("*").cast("long").alias("n_perm"),
+    )
+    return obs.crossJoin(extreme).select("obs_diff", "p_value", "n_perm")

@@ -346,3 +346,29 @@ def test_ivf_recall_curve_monotone(spark, sf_dir):
     # more probes can never lose candidates -> recall non-decreasing
     assert rows[1] <= rows[2] <= rows[4]
     assert all(0.0 <= v <= 1.0 for v in rows.values())
+
+
+def test_conformal_coverage_near_level(spark):
+    # unimodal residuals, big groups -> empirical coverage near 1-alpha
+    rows = [(i, "g", float((i * 37) % 100)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    r = ev.conformal_interval(df, "g", "v", "id", alpha=0.1).collect()[0]
+    assert r.n_calib + r.n_test == 4000
+    assert 0.85 <= r.coverage <= 0.95
+    assert r.qhat > 0
+
+
+def test_permutation_test_shift_vs_null(spark):
+    # strong planted shift -> p at the resolution floor 1/(R+1)
+    rows = [(i, "a", 10.0 + (i % 7) * 0.1) for i in range(300)] + [
+        (1000 + i, "b", 20.0 + (i % 7) * 0.1) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    r = ev.permutation_test(df, "g", "v", "id", "a", "b", n_perm=99).collect()[0]
+    assert r.p_value == 0.01  # 1/(99+1)
+    # identical distributions -> p should NOT be extreme
+    rows = [(i, "a" if i % 2 == 0 else "b", float((i * 13) % 50))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    r = ev.permutation_test(df, "g", "v", "id", "a", "b", n_perm=99).collect()[0]
+    assert r.p_value > 0.05
