@@ -365,3 +365,42 @@ def test_prefix_filter_joins_on_hashes(spark, sf_dir):
     join_keys = re.findall(r"SortMergeJoin \[([^\]]*)\]", plan)
     for keys in join_keys:
         assert "_s#" not in keys, keys  # raw shingle strings never join
+
+
+def test_eval_auc_bounded_reduction(spark, sf_dir):
+    plan = _plan(_q(spark, sf_dir, "eval_auc"), "simple")
+    # corpus folds through one partial+final bin aggregate; the window
+    # then sees only the bin table. No join, no corpus-side sort.
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_silhouette_broadcasts_centroids(spark, sf_dir):
+    plan = _plan(_q(spark, sf_dir, "silhouette_labels"), "simple")
+    # the k-row centroid table broadcasts; the corpus never sort-merges
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_assoc_rules_broadcast_supports(spark, sf_dir):
+    plan = _plan(_q(spark, sf_dir, "assoc_rules"), "simple")
+    # item supports + basket total ride as broadcasts; the only big
+    # join is the basket-key self-join
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_bootstrap_folds_map_side(spark, sf_dir):
+    plan = _plan(_q(spark, sf_dir, "bootstrap_mean_ci"), "simple")
+    # the x100 explode must partial-aggregate per replicate BEFORE the
+    # shuffle: partial+final HashAggregate pair around one Exchange
+    # on the replicate key
+    assert plan.count("HashAggregate") >= 2
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_mrr_query_panel_broadcasts(spark, sf_dir):
+    plan = _plan(_q(spark, sf_dir, "eval_mrr_ann"), "simple")
+    # fixed query panel broadcasts onto the corpus; per-qid rank is a
+    # partitioned window (qid exchange), never a global sort of pairs
+    assert "BroadcastExchange" in plan
+    assert "WindowGroupLimit" in plan or "Window" in plan
