@@ -5112,6 +5112,30 @@ def q_permutation_test(spark, sf):
     )
 
 
+def q_money_exact(spark, sf):
+    """Exact-money arithmetic surface: prices quantize to integer
+    cents and discounts to basis points via ``floor`` (tie-free and
+    bit-identical across engines, unlike decimal half-up vs half-even
+    casts), then revenue accumulates in DECIMAL(38,0) micro-units —
+    no float drift, no rounding-mode divergence, partial-combinable.
+    The pattern a financial pipeline uses instead of summing doubles."""
+    li = _t(spark, sf, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    bp = F.floor(F.col("l_discount") * 10000).cast("long")
+    unit = (cents * (F.lit(10000) - bp)).cast("decimal(38,0)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(cents).cast("long").alias("gross_cents"),
+            # BIGINT presentation fits through ~sf100; the DECIMAL(38,0)
+            # accumulator above is what survives 100 TB
+            F.sum(unit).cast("long").alias("revenue_e6"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -5366,6 +5390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t15_stream_survival": q_t15_stream_survival,
         "conformal_interval": q_conformal_interval,
         "permutation_test": q_permutation_test,
+        "money_exact": q_money_exact,
     }
 
 
@@ -10684,6 +10709,19 @@ def oracle_sql() -> dict[str, str]:
                      CAST(count(*) AS BIGINT) AS n_perm
               FROM d CROSS JOIN obs o)
             SELECT obs_diff, p_value, n_perm FROM obs CROSS JOIN ex
+        """,
+        "money_exact": """
+            WITH q AS (
+              SELECT l_returnflag,
+                     CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+                     CAST(floor(l_discount * 10000) AS BIGINT) AS bp
+              FROM lineitem)
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) AS gross_cents,
+                   CAST(sum(CAST(cents * (10000 - bp) AS DECIMAL(38,0)))
+                        AS BIGINT) AS revenue_e6
+            FROM q GROUP BY 1 ORDER BY 1
         """,
     }
 
