@@ -6706,15 +6706,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderpriority
         """,
         "latest_per_key": """
-            SELECT user_id,
-                   arg_max(event_type,
-                     printf('%020d:%020d', epoch_us(ts), event_id))
-                     AS last_type,
-                   round(arg_max(value,
-                     printf('%020d:%020d', epoch_us(ts), event_id)), 4)
-                     AS last_value,
-                   epoch_us(max(ts)) AS last_tus
-            FROM events GROUP BY user_id
+            SELECT user_id, last_type, round(lv, 4) AS last_value,
+                   last_tus
+            FROM (
+              SELECT user_id, event_type AS last_type, value AS lv,
+                     max(epoch_us(ts)) OVER (PARTITION BY user_id)
+                       AS last_tus,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+              FROM events)
+            WHERE rn = 1
         """,
         "t5_stream_join": """
             WITH v AS (
@@ -9005,8 +9006,11 @@ def oracle_sql() -> dict[str, str]:
                     WHERE half = 'ref'),
             cur AS (SELECT event_type, bin, p AS p_cur FROM probs
                     WHERE half = 'cur'),
-            nr AS (SELECT event_type, n AS nr FROM tot WHERE half = 'ref'),
-            nc AS (SELECT event_type, n AS nc FROM tot WHERE half = 'cur'),
+            halves AS (
+              SELECT event_type,
+                     coalesce(sum(CASE WHEN half = 'ref' THEN n END), 0) AS nr,
+                     coalesce(sum(CASE WHEN half = 'cur' THEN n END), 0) AS nc
+              FROM tot GROUP BY event_type),
             merged AS (
               SELECT coalesce(ref.event_type, cur.event_type) AS event_type,
                      coalesce(p_ref, 0.5 / (nr + 0.5 * 10)) AS pr,
@@ -9014,8 +9018,8 @@ def oracle_sql() -> dict[str, str]:
               FROM ref
               FULL OUTER JOIN cur
                 ON ref.event_type = cur.event_type AND ref.bin = cur.bin
-              JOIN nr ON nr.event_type = coalesce(ref.event_type, cur.event_type)
-              JOIN nc ON nc.event_type = coalesce(ref.event_type, cur.event_type))
+              JOIN halves
+                ON halves.event_type = coalesce(ref.event_type, cur.event_type))
             SELECT event_type,
                    round(sum((pc - pr) * ln(pc / pr)), 5) AS psi
             FROM merged GROUP BY event_type
@@ -10678,7 +10682,7 @@ def oracle_sql() -> dict[str, str]:
               WHERE NOT s.cal GROUP BY 1)
             SELECT st.event_type, n_calib, n_test, round(q, 6) AS qhat,
                    coverage
-            FROM stats st JOIN cov USING (event_type)
+            FROM stats st LEFT JOIN cov USING (event_type)
             ORDER BY st.event_type
         """,
         "permutation_test": """

@@ -177,20 +177,20 @@ def latest_per_key(
     ONE ``max_by`` of the whole payload struct — per-column max_by
     calls would resolve order ties independently and stitch the
     snapshot from DIFFERENT rows. With ``tiebreak_col`` the ordering
-    key becomes a zero-padded '%020d:%020d' string (lexicographic =
-    numeric; the multiplication-packed long overflows at micros ×
-    id scale), making ties fully deterministic and replayable by any
-    engine whose arg_max takes a string key. Map-side partial combine:
-    the shuffle carries one row per (partition, key) instead of every
-    version — at 100 TB changelog scale this beats the
-    row_number()-over-window form, whose sort shuffles *all*
-    versions."""
+    key is a (order, tiebreak) STRUCT — numerically correct over the
+    full signed domain (a zero-padded '%020d' string key would order
+    '-…10' before '-…05' and pick the OLDER record for negative
+    values; a multiplication-packed long overflows at micros × id
+    scale). An external replay without struct-keyed arg_max uses the
+    equivalent row_number()-over-(order DESC, tiebreak DESC) window.
+    Map-side partial combine: the shuffle carries one row per
+    (partition, key) instead of every version — at 100 TB changelog
+    scale this beats the row_number()-over-window form, whose sort
+    shuffles *all* versions."""
     okey = (
         F.col(order_col)
         if tiebreak_col is None
-        else F.format_string(
-            "%020d:%020d", F.col(order_col), F.col(tiebreak_col)
-        )
+        else F.struct(F.col(order_col), F.col(tiebreak_col))
     )
     out = df.groupBy(key).agg(
         F.max_by(F.struct(*[F.col(c) for c in payload_cols]), okey).alias("_w"),

@@ -225,11 +225,23 @@ def _h60_concat(cols: list[str]):
     """Portable 60-bit row hash over named columns: unit-separated
     concat (0x1f never occurs in the data's printable domain) through
     the repo's md5-60-bit construction (sketch._h60) — replayable in
-    DuckDB via the same strpos nibble fold or ('0x'||hex) cast."""
+    DuckDB via the same strpos nibble fold or ('0x'||hex) cast.
+
+    NULLs get an explicit sentinel per column: concat_ws SKIPS null
+    operands, so without it (k, 'b', NULL) and (k, NULL, 'b') would
+    concat — and hash — identically, and a change that shifts a value
+    across a NULL column would be invisible to the checksum (while
+    snapshot_diff's null-safe compare reports it)."""
     from .sketch import _h60
 
     return _h60(
-        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00<null>"))
+                for c in cols
+            ],
+        )
     )
 
 

@@ -236,16 +236,26 @@ def mixture_plan(
     ``floor(w_g * T)`` docs. Emits per group: available count, weight,
     planned keep count, and the sampling rate to feed
     ``sampling.deterministic_sample``. Two tiny aggregates and a
-    1-row scalar cross join — nothing touches document bodies."""
+    1-row scalar cross join — nothing touches document bodies.
+
+    A group whose ``weight`` evaluates to NULL (e.g. a map lookup on
+    an unlisted source) is treated as weight 0 — excluded from the
+    plan — NOT kept wholesale: ``F.least`` skips NULL operands, so an
+    unguarded NULL would otherwise make n_keep = n_docs and silently
+    flood the mixture with the unweighted group."""
     counts = df.groupBy(by).agg(F.count("*").alias("n_docs")).withColumn(
-        "weight", weight.cast("double")
+        "weight", F.coalesce(weight.cast("double"), F.lit(0.0))
     )
     t = counts.filter(F.col("weight") > 0).agg(
         F.min(F.col("n_docs") / F.col("weight")).alias("_t")
     )
+    # coalesce: with NO positive weights _t is NULL (empty min) and an
+    # unguarded least(n_docs, NULL) would keep everything
     n_keep = F.least(
         F.col("n_docs"),
-        F.floor(F.col("weight") * F.col("_t") + F.lit(1e-9)),
+        F.coalesce(
+            F.floor(F.col("weight") * F.col("_t") + F.lit(1e-9)), F.lit(0)
+        ),
     ).cast("long")
     return (
         counts.crossJoin(F.broadcast(t))

@@ -658,8 +658,11 @@ def conformal_interval(
             ).alias("coverage")
         )
     )
+    # LEFT join: a group the md5 split leaves with zero test rows
+    # still reports its n_calib/qhat row (coverage NULL), instead of
+    # silently vanishing from the per-group contract
     return (
-        stats.join(cov, group_col)
+        stats.join(cov, group_col, "left")
         .select(
             group_col,
             "n_calib",

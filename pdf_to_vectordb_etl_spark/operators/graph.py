@@ -478,13 +478,24 @@ def connected_components_star(
         )
 
     fp = _fingerprint(E)
+    converged = False
     for _ in range(max_rounds):
         e3 = _small_star(_large_star(E)).localCheckpoint(eager=True)
         fp2 = _fingerprint(e3)
         E = e3
         if fp2 == fp:
+            converged = True
             break
         fp = fp2
+    if not converged:
+        # same contract as dedup.cluster_pairs: silently-wrong labels
+        # are worse than an error — a non-star edge list at exhaustion
+        # means split/non-minimum component ids downstream
+        raise RuntimeError(
+            f"star contraction did not converge in {max_rounds} rounds; "
+            "raise max_rounds (O(log² n) alternations suffice on any "
+            "topology)"
+        )
     children = E.select(F.col("u").alias("id"), F.col("v").alias("cluster_id"))
     roots = nodes.join(
         children.select("id"), "id", "left_anti"

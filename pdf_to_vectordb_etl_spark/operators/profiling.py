@@ -151,12 +151,22 @@ def psi_drift(
     )
     # full outer on bins so a bin present in only one half still counts
     # (the absent side gets the pure-smoothing mass)
-    n_ref = tot.filter(F.col("half") == "ref").select(by, F.col("n").alias("nr"))
-    n_cur = tot.filter(F.col("half") == "cur").select(by, F.col("n").alias("nc"))
+    # one zero-filled row per group (NOT two filtered inner joins):
+    # a group living entirely in one half — a brand-new or vanished
+    # category, maximal drift by definition — must stay in the report
+    # with the absent side reading pure smoothing mass, not silently
+    # drop out of it
+    halves = tot.groupBy(by).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("half") == "ref", F.col("n"))), F.lit(0)
+        ).alias("nr"),
+        F.coalesce(
+            F.sum(F.when(F.col("half") == "cur", F.col("n"))), F.lit(0)
+        ).alias("nc"),
+    )
     both = (
         ref.join(cur, [by, "bin"], "full_outer")
-        .join(F.broadcast(n_ref), by)
-        .join(F.broadcast(n_cur), by)
+        .join(F.broadcast(halves), by)
         .select(
             by,
             F.coalesce(F.col("p_ref"), 0.5 / (F.col("nr") + 0.5 * bins)).alias(

@@ -58,8 +58,11 @@ def language_scores(text: Column | str) -> Column:
 
 
 def detect_language(text: Column | str, default: str = "und") -> Column:
-    """Heuristic language ID: argmax of marker-hit counts with
-    deterministic alphabetical tie-break; ``und`` when nothing hits."""
+    """Heuristic language ID: argmax of marker-hit counts; equal-hit
+    ties resolve deterministically to the lexicographically LARGEST
+    language code (array_max's struct compare: hits first, then lang
+    — matching the oracle's CASE chain, which tests pt→fr→es→en before
+    defaulting de); ``und`` when nothing hits."""
     t = _c(text)
     scored = F.array(
         *[

@@ -225,9 +225,11 @@ _ACCENT_PAIRS = (
     ("ñńņň", "n"), ("ýÿŷ", "y"),
     ("ÁÀÂÃÄÅ", "A"), ("ÉÈÊË", "E"), ("ÍÌÎÏ", "I"), ("ÓÒÔÕÖ", "O"),
     ("ÚÙÛÜ", "U"), ("Ç", "C"), ("Ñ", "N"), ("Ý", "Y"),
-    # Cyrillic/Greek homoglyphs — the spoofing-canonicalization pass a
-    # dedup/contamination key needs (a doc that swaps Latin 'a' for
-    # Cyrillic 'а' must not dodge the exact-hash screen)
+    # Cyrillic/Greek homoglyphs — the spoofing-canonicalization pass
+    # an ingest pipeline applies BEFORE dedup keys are built (a doc
+    # that swaps Latin 'a' for Cyrillic 'а' dodges the exact-hash
+    # screen unless this normalization runs first — see
+    # normalize_text's scope note)
     ("\u0430\u0435\u043e\u0440\u0441\u0443\u0445", "aeopcyx"),
     ("\u0410\u0412\u0415\u041a\u041c\u041d\u041e\u0420\u0421\u0422\u0425", "ABEKMHOPCTX"),
     ("\u03bf\u039f\u0391\u0392\u0395\u0396\u0397\u0399\u039a\u039c\u039d\u03a1\u03a4\u03a7", "oOABEZHIKMNPTX"),
@@ -255,12 +257,18 @@ def fold_accents(c: Column) -> Column:
 
 
 def normalize_text(c: Column) -> Column:
-    """Canonical text-normalization pass for dedup/shingling keys:
-    fold accents, lowercase, map NBSP to space, collapse whitespace
-    runs, trim. Pure codegen string expressions — runs at scan speed;
-    the output is the *join key* form (exact dedup, n-gram shingles,
-    contamination checks all key on it), so engine portability is the
-    whole point."""
+    """Web-ingest canonicalization: fold accents + homoglyphs,
+    lowercase, map NBSP to space, collapse whitespace runs, trim.
+    Pure codegen string expressions — runs at scan speed.
+
+    Scope note: this is the INGEST-side key form. ``dedup.
+    normalize_text`` (the function the dedup/shingle operators key on
+    directly) lowercases and collapses whitespace but does NOT fold —
+    so homoglyph-spoofed duplicates are caught only when documents
+    pass through this ingest normalization (or ``fold_accents``)
+    BEFORE reaching the dedup keys, which is the web-corpus
+    pipeline's ordering. Run it first, or fold explicitly, when
+    spoofing is a threat model."""
     folded = F.lower(fold_accents(c))
     return F.trim(
         F.regexp_replace(F.translate(folded, "\u00a0", " "), r"\s+", " ")

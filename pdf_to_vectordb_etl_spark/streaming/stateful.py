@@ -445,7 +445,12 @@ def stream_cusum(
         out = {c.name: [] for c in out_schema.fields}
         for t, v in zip(rows[time_col], rows[value_col]):
             t = int(t)
-            if t <= last_t:
+            # strictly-late rows are unabsorbable; EQUAL timestamps are
+            # accepted and folded in arrival order (a duplicate metric
+            # sample must not permanently kill the query — batch parity
+            # is guaranteed for strictly-increasing series, which the
+            # t13 day-bucketed feed satisfies)
+            if t < last_t:
                 raise ValueError(
                     f"stream_cusum: out-of-order arrival for key {key!r}: "
                     f"t={t} after last_t={last_t} — the recurrence cannot "

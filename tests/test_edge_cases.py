@@ -273,3 +273,102 @@ def test_quota_allocate_budget_exceeds_availability(spark):
         df, total=1000, weight=F.col("n_avail") * 1.0, by="source"
     ).collect()
     assert all(r["n_alloc"] == r["n_avail"] for r in out)
+
+
+# ------------- round-3 review-fix regression pins -------------------
+
+
+def test_cc_star_raises_on_exhaustion(spark):
+    import pytest as _pytest
+
+    from pdf_to_vectordb_etl_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    # a 64-node path cannot finish in 1 alternation: must raise, never
+    # return split/non-minimum labels (the cluster_pairs contract)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "a long, b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_star(edges, max_rounds=1)
+
+
+def test_merkle_hash_distinguishes_null_shift(spark):
+    from pdf_to_vectordb_etl_spark.operators.cdc import merkle_summary
+
+    a = spark.createDataFrame([(1, "b", None)], "k long, p1 string, p2 string")
+    b = spark.createDataFrame([(1, None, "b")], "k long, p1 string, p2 string")
+    sa = merkle_summary(a, ["k"], ["p1", "p2"], n_buckets=4)
+    sb = merkle_summary(b, ["k"], ["p1", "p2"], n_buckets=4)
+    ha = {(r.bucket, r.checksum) for r in sa.collect()}
+    hb = {(r.bucket, r.checksum) for r in sb.collect()}
+    # shifting a value across a NULL column must change the checksum
+    assert ha != hb
+
+
+def test_mixture_plan_null_weight_excluded(spark):
+    from pdf_to_vectordb_etl_spark.operators.curation import mixture_plan
+
+    import pyspark.sql.functions as SF
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(10)] + [("mystery", i) for i in range(10)],
+        "source string, doc_id long",
+    )
+    w = SF.create_map(SF.lit("a"), SF.lit(1.0))[SF.col("source")]
+    plan = {r.source: r for r in mixture_plan(df, w).collect()}
+    # unmapped source -> weight 0, keep 0 — never kept wholesale
+    assert plan["mystery"].n_keep == 0
+    assert plan["a"].n_keep == 10
+    # all weights unmapped -> everything excluded, not everything kept
+    w_none = SF.create_map(SF.lit("zzz"), SF.lit(1.0))[SF.col("source")]
+    plan = {r.source: r.n_keep for r in mixture_plan(df, w_none).collect()}
+    assert set(plan.values()) == {0}
+
+
+def test_psi_drift_keeps_one_sided_group(spark):
+    from pdf_to_vectordb_etl_spark.operators.profiling import psi_drift
+
+    # 'new' appears only in the late half: maximal drift must be
+    # REPORTED, not silently dropped by a one-sided join
+    rows = [("old", float(i), float(i % 50)) for i in range(100)] + [
+        ("new", 90.0 + i / 10.0, float(i % 50)) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, tus double, value double")
+    out = {r.event_type: r.psi for r in
+           psi_drift(df, "value", "event_type", "tus").collect()}
+    assert "new" in out and "old" in out
+    assert out["new"] > out["old"]
+
+
+def test_conformal_group_without_test_rows_survives(spark):
+    from pdf_to_vectordb_etl_spark.operators import evaluation as ev
+
+    # hand-picked ids whose md5 first hex char is < '8' -> all calib
+    import hashlib
+
+    calib_ids = [i for i in range(200) if hashlib.md5(str(i).encode())
+                 .hexdigest()[0] < "8"][:10]
+    rows = [(i, "solo", 1.0) for i in calib_ids] + [
+        (1000 + i, "big", float(i % 10)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = {r.g: r for r in
+           ev.conformal_interval(df, "g", "v", "id").collect()}
+    assert "solo" in out  # group reported even with n_test == 0
+    assert out["solo"].n_test == 0 and out["solo"].coverage is None
+
+
+def test_latest_per_key_negative_order_values(spark):
+    from pdf_to_vectordb_etl_spark.operators.aggregates import latest_per_key
+
+    # negative order domain (pre-1970 epoch): -5 is NEWER than -10;
+    # the old '%020d' string key ordered '-…10' after '-…05' and kept
+    # the stale record
+    df = spark.createDataFrame(
+        [(1, -10, 7, "old"), (1, -5, 3, "new")],
+        "k long, ord long, tb long, payload string",
+    )
+    r = latest_per_key(df, "k", "ord", ["payload"], tiebreak_col="tb").collect()[0]
+    assert r.payload == "new" and r.ord == -5

@@ -2067,3 +2067,38 @@ def test_monitor_deseasonalized_cusum_beats_raw(spark):
         raw.filter("alarm_up OR alarm_down").agg(F.min("t")).first()[0]
     )
     assert raw_first is None  # the raw detector misses the shift entirely
+
+
+def test_stream_cusum_tolerates_equal_timestamps(spark, tmp_path):
+    """A duplicate metric sample (same t, same key) folds in arrival
+    order instead of permanently failing the query; strictly-late rows
+    still raise (pinned by the cross-batch test above)."""
+    from pdf_to_vectordb_etl_spark.streaming.stateful import stream_cusum
+
+    src = tmp_path / "dups"
+    src.mkdir()
+    df = spark.createDataFrame(
+        [("k", 1, 10.0), ("k", 2, 11.0), ("k", 2, 12.0), ("k", 3, 13.0)],
+        "event_type string, day long, v double",
+    )
+    df.coalesce(1).write.parquet(str(src / "p1"))
+    rows = []
+    q = (
+        stream_cusum(
+            spark.readStream.schema(df.schema).parquet(str(src / "*")),
+            {"k": (11.0, 1.0)},
+            key_col="event_type",
+            time_col="day",
+            value_col="v",
+            slack=0.5,
+            threshold=3.0,
+        )
+        .writeStream.foreachBatch(lambda bdf, _id: rows.extend(bdf.collect()))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(rows) == 4  # both t=2 samples processed, none dropped
+    assert [r["t"] for r in sorted(rows, key=lambda r: (r["t"], r["v"]))] == [1, 2, 2, 3]
