@@ -1682,7 +1682,13 @@ def q_kmeans_centroids(spark, sf):
     """Iterative Lloyd k-means (k=8, 2 rounds) over the embeddings
     table: deterministic md5-ranked init, rounded-cosine argmax assign,
     posexplode-once mean update, lineage truncated between rounds.
-    Output exploded per (cluster, dim) so the hash is order-free."""
+    Output exploded per (cluster, dim) so the hash is order-free.
+
+    Centroids emit at their native 6-dp quantization, NOT re-rounded:
+    re-rounding a 6-dp-grid value to 4 dp lands on exact .xx05
+    boundaries ~1% of the time, where Spark's BigDecimal HALF_UP and
+    DuckDB's multiply-based rounding disagree (observed at sf0.001 —
+    0.02005 → 0.0201 vs 0.0200)."""
     from pdf_to_vectordb_etl_spark.operators import clustering
 
     emb = _t(spark, sf, "embeddings")
@@ -1691,7 +1697,7 @@ def q_kmeans_centroids(spark, sf):
         "cluster_id",
         "n_members",
         F.posexplode("centroid").alias("dim", "c"),
-    ).select("cluster_id", "n_members", "dim", F.round("c", 4).alias("c"))
+    )
 
 
 def q_zorder_key(spark, sf):
@@ -3017,15 +3023,21 @@ def q_customer_distribution(spark, sf):
 def q_min_cost_supplier(spark, sf):
     """TPC-H Q2 class — min-cost supplier per part within a region. No
     partsupp table: the supply relation derives from lineitem as
-    groupBy(part, supp) -> min unit price (round-4 BEFORE the min-join
-    so the equality key is the identical double on both engines). Ties
-    keep all suppliers, as in the spec. Dims broadcast; the min-cost
-    self-join is on the small qualifying subset, not the fact table."""
+    groupBy(part, supp) -> min unit price, FLOOR-quantized to 4 dp
+    BEFORE the min-join so the equality key is the identical double on
+    both engines (engine round() functions disagree when a quotient
+    lands within an ulp of a .00005 boundary — observed at sf0.001;
+    floor is tie-free). Ties keep all suppliers, as in the spec. Dims
+    broadcast; the min-cost self-join is on the small qualifying
+    subset, not the fact table."""
     li = _t(spark, sf, "lineitem")
     supply = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
-            "unit_cost"
-        )
+        (
+            F.floor(
+                F.min(F.col("l_extendedprice") / F.col("l_quantity")) * 10000
+            )
+            / 10000
+        ).alias("unit_cost")
     )
     s = _t(spark, sf, "supplier")
     n = _t(spark, sf, "nation")
@@ -7280,7 +7292,7 @@ def oracle_sql() -> dict[str, str]:
               FROM a2 WHERE rn = 1),
             d2 AS (SELECT cluster_id, dim, round(avg(x), 6) AS c, count(*) AS n
                    FROM m2 GROUP BY cluster_id, dim)
-            SELECT cluster_id, n AS n_members, dim, round(c, 4) AS c FROM d2
+            SELECT cluster_id, n AS n_members, dim, c FROM d2
         """,
         "zorder_key": """
             WITH b AS (
@@ -8447,7 +8459,8 @@ def oracle_sql() -> dict[str, str]:
         "min_cost_supplier": """
             WITH supply AS (
               SELECT l_partkey, l_suppkey,
-                     round(min(l_extendedprice / l_quantity), 4) AS unit_cost
+                     floor(min(l_extendedprice / l_quantity) * 10000)
+                       / 10000 AS unit_cost
               FROM lineitem GROUP BY l_partkey, l_suppkey),
             sx AS (
               SELECT s_suppkey, s_name, s_acctbal, n_name
