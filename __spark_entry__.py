@@ -5148,6 +5148,34 @@ def q_money_exact(spark, sf):
     )
 
 
+def q_mm_extract_features(spark, sf):
+    """Multimodal feature-extraction plumbing: payloads through the
+    Arrow-batched mapInPandas extractor (deterministic codepoint-
+    bucket histogram fake; real model kernels import-gated).  The
+    kernel emits INTEGER counts — exact in any engine — and the
+    normalized fraction is floor-quantized column math, so the whole
+    Python extraction stage is SQL-replayable and hash-verified."""
+    from pdf_to_vectordb_etl_spark.operators import multimodal
+
+    docs = _t(spark, sf, "documents")
+    media = multimodal.as_media(
+        docs.withColumn("payload", F.encode("text", "UTF-8")),
+        "payload",
+        "doc_id",
+    )
+    out = multimodal.extract_features(media)
+    ex = out.select(
+        "media_id", "n_units", F.posexplode("counts").alias("dim", "cnt")
+    )
+    frac = F.when(
+        F.col("n_units") > 0,
+        F.floor(F.col("cnt") * 1000000 / F.col("n_units")) / 1000000,
+    ).otherwise(F.lit(0.0))
+    return ex.select(
+        "media_id", "n_units", "dim", "cnt", frac.alias("frac")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -5403,6 +5431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal_interval": q_conformal_interval,
         "permutation_test": q_permutation_test,
         "money_exact": q_money_exact,
+        "mm_extract_features": q_mm_extract_features,
     }
 
 
@@ -10739,6 +10768,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(cents * (10000 - bp) AS DECIMAL(38,0)))
                         AS BIGINT) AS revenue_e6
             FROM q GROUP BY 1 ORDER BY 1
+        """,
+        "mm_extract_features": """
+            WITH d AS (
+              SELECT doc_id AS media_id, text, length(text) AS n_units
+              FROM documents),
+            dims AS (SELECT unnest(generate_series(0, 15)) AS dim),
+            ch AS (
+              SELECT media_id, unnest(string_split(text, '')) AS c FROM d),
+            bc AS (
+              SELECT media_id, least(ascii(c), 255) // 16 AS dim,
+                     count(*) AS cnt
+              FROM ch WHERE c <> '' GROUP BY 1, 2),
+            f AS (
+              SELECT d.media_id, d.n_units, dims.dim,
+                     CAST(coalesce(bc.cnt, 0) AS BIGINT) AS cnt
+              FROM d CROSS JOIN dims
+              LEFT JOIN bc ON bc.media_id = d.media_id
+                AND bc.dim = dims.dim)
+            SELECT media_id, CAST(n_units AS BIGINT) AS n_units,
+                   CAST(dim AS INT) AS dim, cnt,
+                   CASE WHEN n_units > 0
+                        THEN floor(cnt * 1000000 / n_units) / 1000000
+                        ELSE 0.0 END AS frac
+            FROM f
         """,
     }
 

@@ -245,3 +245,62 @@ def resize_images(
 
     resized = todo.mapInPandas(_run, out_schema)
     return passthrough.unionByName(resized)
+
+
+def _real_feature_kernel(kind: str, payload: bytes) -> list[int]:
+    """Real per-media feature extractor (CLIP/CNN image embedding,
+    mel-spectrogram stats for audio) — import-gated: none of the model
+    runtimes ship in this environment."""
+    raise NotImplementedError(
+        "feature-extraction model runtimes (torch/librosa) are not "
+        "installed; use fake_feature_kernel for the hermetic path"
+    )
+
+
+def fake_feature_kernel(kind: str, payload: bytes, n_dims: int = 16) -> list[int]:
+    """Deterministic stand-in feature extractor: the codepoint-bucket
+    histogram of the payload decoded as UTF-8 (bucket = min(cp,255)//16
+    over ``n_dims`` = 16 buckets). Counts are INTEGERS — exact in any
+    engine, so the whole extraction replays in SQL with zero float
+    risk; normalization happens downstream in column expressions, not
+    in Python (Python's banker's rounding vs SQL round() diverges on
+    exact .5 fractions like k/128)."""
+    text = payload.decode("utf-8", errors="strict") if payload else ""
+    counts = [0] * n_dims
+    for ch in text:
+        counts[min(ord(ch), 255) // 16] += 1
+    return counts
+
+
+def extract_features(
+    media: DataFrame, extractor=fake_feature_kernel, n_dims: int = 16
+) -> DataFrame:
+    """Feature-extraction step of the multimodal pipeline via
+    ``mapInPandas`` — payload bytes cross to Python once,
+    Arrow-batched; output is (media_id, n_units, counts array<long>)
+    — payload-free and narrow. ``n_units`` is the total unit count
+    (Σ counts), the normalization denominator for downstream column
+    math."""
+    import pandas as pd
+
+    schema = (
+        "media_id long, n_units long, counts array<long>"
+    )
+
+    def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                c = extractor(
+                    r.kind, bytes(r.payload) if r.payload is not None else b""
+                )
+                out.append(
+                    {
+                        "media_id": r.media_id,
+                        "n_units": int(sum(c)),
+                        "counts": c,
+                    }
+                )
+            yield pd.DataFrame(out, columns=["media_id", "n_units", "counts"])
+
+    return media.select("media_id", "kind", "payload").mapInPandas(_run, schema)

@@ -372,3 +372,22 @@ def test_permutation_test_shift_vs_null(spark):
     df = spark.createDataFrame(rows, "id long, g string, v double")
     r = ev.permutation_test(df, "g", "v", "id", "a", "b", n_perm=99).collect()[0]
     assert r.p_value > 0.05
+
+
+def test_mm_extract_features_counts_and_gate(spark):
+    import pytest as _pytest
+
+    from pdf_to_vectordb_etl_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame([(1, "abab"), (2, "")], "doc_id long, t string")
+    media = mm.as_media(
+        df.withColumn("payload", F.encode("t", "UTF-8")), "payload", "doc_id"
+    )
+    out = {r.media_id: r for r in mm.extract_features(media).collect()}
+    # 'a'=97, 'b'=98 -> both bucket 6; empty payload -> all-zero counts
+    assert out[1].n_units == 4 and out[1].counts[6] == 4
+    assert sum(out[1].counts) == 4
+    assert out[2].n_units == 0 and sum(out[2].counts) == 0
+    # the real kernel is import-gated, never silently fake
+    with _pytest.raises(NotImplementedError):
+        mm._real_feature_kernel("image", b"x")
