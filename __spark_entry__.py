@@ -10102,8 +10102,10 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY n_tok, doc_id) AS i
               FROM t)
             SELECT source, CAST(count(*) AS BIGINT) AS n,
-                   round(2.0 * sum(i * x) / (count(*) * sum(x))
-                         - (count(*) + 1.0) / count(*), 6) AS gini
+                   round(CASE WHEN sum(x) > 0
+                         THEN 2.0 * sum(i * x) / (count(*) * sum(x))
+                              - (count(*) + 1.0) / count(*)
+                         ELSE 0.0 END, 6) AS gini
             FROM r GROUP BY source ORDER BY source
         """,
         "assoc_rules": """

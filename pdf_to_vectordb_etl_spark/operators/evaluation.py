@@ -319,16 +319,19 @@ def gini_by_group(
         F.col(tiebreak_col),
         F.col(x_col).cast("double").alias("_x"),
     ).withColumn("_i", F.row_number().over(w))
+    # zero total mass (every member 0) is perfect equality by
+    # convention — and an ANSI division-by-zero without the guard
+    gini = F.when(
+        F.sum("_x") > 0,
+        2.0 * F.sum(F.col("_i") * F.col("_x"))
+        / (F.count("*") * F.sum("_x"))
+        - (F.count("*") + 1.0) / F.count("*"),
+    ).otherwise(F.lit(0.0))
     return (
         ranked.groupBy(group_col)
         .agg(
             F.count("*").cast("long").alias("n"),
-            F.round(
-                2.0 * F.sum(F.col("_i") * F.col("_x"))
-                / (F.count("*") * F.sum("_x"))
-                - (F.count("*") + 1.0) / F.count("*"),
-                6,
-            ).alias("gini"),
+            F.round(gini, 6).alias("gini"),
         )
         .orderBy(group_col)
     )

@@ -206,3 +206,58 @@ def test_quota_allocate_exact_sum_property(spark, weights, total):
     out = curation.quota_allocate(df, total=total, weight=expr, by="source").collect()
     got = sum(r["n_alloc"] for r in out)
     assert got == min(total, sum(avail))
+
+
+# --------------- evaluation-suite invariants (round 3) -----------------
+
+_scores = st.lists(
+    st.tuples(st.floats(0.0, 99.9, allow_nan=False), st.booleans()),
+    min_size=4,
+    max_size=40,
+).filter(lambda xs: any(y for _, y in xs) and any(not y for _, y in xs))
+
+
+@given(rows=_scores)
+@SETTINGS
+def test_auc_complement_identity(spark, rows):
+    """Mid-rank-tie AUC satisfies AUC(y) + AUC(¬y) = 1 exactly."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation as ev
+
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    a = ev.binned_auc(df, "s", F.col("y"), n_bins=50, lo=0.0, hi=100.0)
+    b = ev.binned_auc(df, "s", ~F.col("y"), n_bins=50, lo=0.0, hi=100.0)
+    assert abs(a.collect()[0].auc + b.collect()[0].auc - 1.0) < 2e-6
+
+
+@given(
+    xs=st.lists(st.integers(0, 1000), min_size=2, max_size=25),
+    c=st.integers(2, 9),
+)
+@SETTINGS
+def test_gini_scale_invariance(spark, xs, c):
+    """Gini is scale-free: gini(c·x) == gini(x)."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation as ev
+
+    rows = [("g", i, x) for i, x in enumerate(xs)] + [
+        ("h", i, x * c) for i, x in enumerate(xs)
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, x long")
+    out = {r.g: r.gini for r in ev.gini_by_group(df, "g", "x", "id").collect()}
+    if sum(xs) > 0:
+        assert out["g"] == out["h"]
+
+
+@given(durs=st.lists(st.integers(0, 20), min_size=1, max_size=30))
+@SETTINGS
+def test_km_no_censoring_equals_ecdf(spark, durs):
+    """With zero censoring, Kaplan-Meier reduces to the empirical
+    survival function S(t) = |{d > t}| / n at every event time."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation as ev
+
+    df = spark.createDataFrame(
+        [(d, True) for d in durs], "duration long, observed boolean"
+    )
+    n = len(durs)
+    for r in ev.kaplan_meier(df).collect():
+        expect = sum(1 for d in durs if d > r.duration) / n
+        assert abs(r.survival - expect) < 1e-6
