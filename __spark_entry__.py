@@ -5176,6 +5176,78 @@ def q_mm_extract_features(spark, sf):
     )
 
 
+def q_t16_stream_psi(spark, sf):
+    """T16 — streaming drift monitoring: the live-window value
+    histogram maintained as an associative streaming sum (state
+    bounded at groups×bins rows), scored against a batch-trained
+    reference histogram with the SAME smoothing/fold as the batch PSI
+    (profiling.psi_from_counts — one code path for both).  Bounds
+    (time midpoint as exact integer ceil, value range) train
+    batch-side and enter the stream as literals, so over identical
+    rows the snapshot equals the batch 'cur' half and the batch PSI
+    SQL is the parity oracle."""
+    import tempfile
+
+    from pdf_to_vectordb_etl_spark.operators.profiling import psi_from_counts
+    from pdf_to_vectordb_etl_spark.streaming.pipeline import stream_psi_counts
+
+    ev = _t(spark, sf, "events").select(
+        "event_type", F.expr("ts div 1000").alias("tus"), "value"
+    )
+    b = ev.agg(
+        F.min("tus").alias("t_lo"),
+        F.max("tus").alias("t_hi"),
+        F.min("value").alias("v_lo"),
+        F.max("value").alias("v_hi"),
+    ).first()
+    # integer ceil of the midpoint: tus >= ceil(mid) == NOT(tus < mid)
+    # for integer tus, so the stream's filter matches the batch split
+    t_mid = (int(b.t_lo) + int(b.t_hi) + 1) // 2
+    span = float(b.v_hi) - float(b.v_lo)
+    bin_expr = (
+        F.lit(0)
+        if span == 0
+        else F.least(
+            F.lit(9),
+            F.floor((F.col("value") - F.lit(float(b.v_lo))) / F.lit(span) * 10)
+            .cast("int"),
+        )
+    )
+    ref_counts = (
+        ev.filter(F.col("tus") < t_mid)
+        .select("event_type", bin_expr.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("c"))
+        .withColumn("half", F.lit("ref"))
+    )
+
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    live = stream_psi_counts(
+        stream, t_mid, float(b.v_lo), float(b.v_hi), "event_type", "value", 10
+    )
+    name = "t16_stream_psi_counts"
+    q = (
+        live.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t16ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    cur_counts = spark.table(name).withColumn("half", F.lit("cur"))
+    counts = ref_counts.unionByName(cur_counts.select(
+        "event_type", "bin", "c", "half"
+    ))
+    return psi_from_counts(counts, by="event_type", bins=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -5432,6 +5504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "permutation_test": q_permutation_test,
         "money_exact": q_money_exact,
         "mm_extract_features": q_mm_extract_features,
+        "t16_stream_psi": q_t16_stream_psi,
     }
 
 
@@ -10831,4 +10904,8 @@ def oracle_sql() -> dict[str, str]:
     # snapshot equals the batch per-user table, so the batch KM SQL
     # is the oracle
     d["t15_stream_survival"] = d["survival_km"]
+    # the live histogram is an associative sum over the same split/
+    # binning literals — snapshot == the batch 'cur' half, so the
+    # batch PSI SQL is the oracle
+    d["t16_stream_psi"] = d["psi_drift"]
     return d

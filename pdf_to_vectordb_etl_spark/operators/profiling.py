@@ -136,7 +136,17 @@ def psi_drift(
         .alias("bin"),
     )
     counts = binned.groupBy(by, "half", "bin").agg(F.count("*").alias("c"))
-    tot = binned.groupBy(by, "half").agg(F.count("*").alias("n"))
+    return psi_from_counts(counts, by=by, bins=bins)
+
+
+def psi_from_counts(
+    counts: DataFrame, by: str = "event_type", bins: int = 10
+) -> DataFrame:
+    """PSI finale over a (by, half, bin, c) count table — shared by the
+    batch splitter above and the streaming path (t16), whose live
+    histogram snapshot unions with the batch reference counts into
+    exactly this shape. Everything here is groups×bins-sized."""
+    tot = counts.groupBy(by, "half").agg(F.sum("c").alias("n"))
     probs = counts.join(tot, [by, "half"]).select(
         by,
         "half",

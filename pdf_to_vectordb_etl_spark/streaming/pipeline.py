@@ -586,3 +586,42 @@ def stream_user_lifetimes(events_stream: DataFrame) -> DataFrame:
             ).alias("last_type"),
         )
     )
+
+
+def stream_psi_counts(
+    events_stream: DataFrame,
+    t_mid_us: int,
+    v_lo: float,
+    v_hi: float,
+    by: str = "event_type",
+    value_col: str = "value",
+    bins: int = 10,
+) -> DataFrame:
+    """Beyond-reference: streaming drift monitoring — the live
+    (group, bin) histogram of the PSI comparison window maintained as
+    an associative streaming sum.  The reference bounds (time
+    midpoint, value range) are trained batch-side and passed as
+    LITERALS, so binning is a narrow stateless projection and the
+    state is bounded at groups×bins rows.  Rows at or after
+    ``t_mid_us`` (micros) feed the live histogram; over identical
+    rows the snapshot equals profiling.psi_drift's 'cur'-half counts,
+    so the batch PSI SQL is the parity oracle for the derived score."""
+    withts = normalize_event_times(events_stream, "ts")
+    tus = F.expr("ts div 1000")
+    span = v_hi - v_lo
+    b = (
+        F.lit(0)
+        if span == 0
+        else F.least(
+            F.lit(bins - 1),
+            F.floor((F.col(value_col) - F.lit(v_lo)) / F.lit(span) * bins).cast(
+                "int"
+            ),
+        )
+    )
+    return (
+        withts.filter(tus >= F.lit(t_mid_us))
+        .select(F.col(by), b.alias("bin"))
+        .groupBy(by, "bin")
+        .agg(F.count("*").alias("c"))
+    )
