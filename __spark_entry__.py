@@ -5248,6 +5248,43 @@ def q_t16_stream_psi(spark, sf):
     return psi_from_counts(counts, by="event_type", bins=10)
 
 
+def q_tree_rollup(spark, sf):
+    """Hierarchical subtree rollup without iteration: over the
+    implicit binary tree parent(d) = d div 2, every doc's ancestor
+    chain is CLOSED-FORM (shiftright cascade, ≤ 64 levels at any id
+    width), so the per-ancestor subtree aggregate is one explode +
+    hash agg — the pointer-jumping alternative for when the hierarchy
+    is an iterative fixpoint lives in graph.k_hop_reachability.  Each
+    node reports its subtree's doc count and total chars (itself
+    included)."""
+    docs = _t(spark, sf, "documents").select(
+        (F.col("doc_id") + 1).alias("node"), "n_chars"
+    )
+    anc = docs.select(
+        "n_chars",
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(0, 40), "
+                "i -> shiftright(node, i)), a -> a > 0)"
+            )
+        ).alias("anode"),
+    )
+    return (
+        anc.groupBy("anode")
+        .agg(
+            F.count("*").cast("long").alias("subtree_docs"),
+            F.sum("n_chars").cast("long").alias("subtree_chars"),
+        )
+        .join(docs.select(F.col("node").alias("anode")), "anode")
+        .select(
+            (F.col("anode") - 1).alias("doc_id"),
+            "subtree_docs",
+            "subtree_chars",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -5505,6 +5542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "money_exact": q_money_exact,
         "mm_extract_features": q_mm_extract_features,
         "t16_stream_psi": q_t16_stream_psi,
+        "tree_rollup": q_tree_rollup,
     }
 
 
@@ -10867,6 +10905,25 @@ def oracle_sql() -> dict[str, str]:
                         THEN floor(cnt * 1000000 / n_units) / 1000000
                         ELSE 0.0 END AS frac
             FROM f
+        """,
+        "tree_rollup": """
+            WITH d AS (
+              SELECT doc_id + 1 AS node, n_chars FROM documents),
+            anc AS (
+              SELECT n_chars,
+                     unnest(list_filter(
+                       list_transform(generate_series(0, 40),
+                                      i -> node // pow(2, i)::BIGINT),
+                       a -> a > 0)) AS anode
+              FROM d),
+            agg AS (
+              SELECT CAST(anode AS BIGINT) AS anode,
+                     CAST(count(*) AS BIGINT) AS subtree_docs,
+                     CAST(sum(n_chars) AS BIGINT) AS subtree_chars
+              FROM anc GROUP BY 1)
+            SELECT d.node - 1 AS doc_id, subtree_docs, subtree_chars
+            FROM agg JOIN d ON agg.anode = d.node
+            ORDER BY doc_id
         """,
     }
 
