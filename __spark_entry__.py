@@ -619,10 +619,22 @@ def q_fuzzy_levenshtein(spark, sf):
     """Fuzzy near-dup candidate pairs: same lang, |len diff| <= 20, edit
     distance of the 40-char prefix <= 8 — blocked self-join (lang +
     length band prunes the quadratic pair space before the O(k^2)
-    levenshtein kernel runs)."""
+    levenshtein kernel runs).
+
+    Non-ASCII codepoints project to '?' BEFORE the distance: Spark's
+    levenshtein counts codepoints while DuckDB's counts BYTES, so a
+    multi-byte character would score differently per engine; on the
+    ASCII projection byte == codepoint and the engines agree (each
+    non-ASCII char still costs one edit, the right blocking
+    semantics)."""
     docs = _t(spark, sf, "documents")
     d = docs.select(
-        "doc_id", "lang", "n_chars", F.substring("text", 1, 40).alias("p")
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.regexp_replace(
+            F.substring("text", 1, 40), r"[^\x00-\x7f]", "?"
+        ).alias("p"),
     )
     a = d.select(
         F.col("doc_id").alias("id_a"), "lang",
@@ -681,9 +693,17 @@ def q_approx_sketches(spark, sf):
     rank = (
         ev.join(sk.select("event_type", "_ap50"), "event_type")
         .groupBy("event_type")
-        .agg(F.sum((F.col("value") <= F.col("_ap50")).cast("long")).alias("_n_le"))
+        .agg(
+            F.sum((F.col("value") <= F.col("_ap50")).cast("long")).alias("_n_le"),
+            F.sum((F.col("value") < F.col("_ap50")).cast("long")).alias("_n_lt"),
+        )
     )
-    frac = F.col("_n_le") / F.col("_n")
+    # tie-robust median validity: on a heavily-tied distribution the
+    # <=-fraction can legitimately exceed 52% (every tie counts), so
+    # the check is the standard median property — strictly-below mass
+    # can't pass the upper band, at-or-below mass must reach the lower
+    frac_le = F.col("_n_le") / F.col("_n")
+    frac_lt = F.col("_n_lt") / F.col("_n")
     return (
         sk.join(rank, "event_type")
         .select(
@@ -691,7 +711,7 @@ def q_approx_sketches(spark, sf):
             "n_users",
             (F.abs(F.col("_au") - F.col("n_users")) <= 0.05 * F.col("n_users"))
             .alias("hll_within_5pct"),
-            ((frac >= 0.48) & (frac <= 0.52)).alias("p50_within_rank_2pct"),
+            ((frac_lt <= 0.52) & (frac_le >= 0.48)).alias("p50_within_rank_2pct"),
         )
     )
 
@@ -1187,12 +1207,28 @@ def q_stats_moments(spark, sf):
     carries one accumulator per (partition, group) — no second scan,
     no window."""
     li = _t(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+    # corr derived from NULL-safe accumulators: Spark 4's ANSI corr()
+    # raises DIVIDE_BY_ZERO on a zero-variance group, DuckDB's returns
+    # NULL — covar_pop/(sd_pop·sd_pop) with a nullif guard matches
+    # DuckDB's NULL on degenerate groups and its value elsewhere
+    agg = li.groupBy("l_returnflag").agg(
+        F.covar_pop("l_quantity", "l_extendedprice").alias("_cv"),
+        F.stddev_pop("l_quantity").alias("_sx"),
+        F.stddev_pop("l_extendedprice").alias("_sy"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
         F.round(F.stddev_samp("l_discount"), 6).alias("sd_discount"),
         F.round(F.var_pop("l_tax"), 6).alias("var_tax"),
         F.count("*").alias("n"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round(
+            F.col("_cv") / F.expr("nullif(_sx * _sy, 0.0)"), 4
+        ).alias("corr_qty_price"),
+        "covar_qty_price",
+        "sd_discount",
+        "var_tax",
+        "n",
     )
 
 
@@ -1554,7 +1590,9 @@ def q_share_of_total(spark, sf):
     return seg.select(
         "c_mktsegment",
         F.round("rev", 2).alias("revenue"),
-        F.round(F.col("rev") / total, 6).alias("share"),
+        F.round(
+            F.col("rev") / F.when(total != 0, total), 6
+        ).alias("share"),
     )
 
 
@@ -1986,7 +2024,9 @@ def q_promo_revenue(spark, sf):
     return j.agg(
         F.round(
             100 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-            / F.sum(rev),
+            / F.expr(
+                "nullif(sum(l_extendedprice * (1 - l_discount)), 0.0)"
+            ),
             4,
         ).alias("promo_revenue_pct")
     )
@@ -2421,8 +2461,14 @@ def q_higher_moments(spark, sf):
         "event_type",
         "n",
         F.round(mu, 3).alias("mean_x"),
-        F.round(m3 / F.pow(m2, 1.5), 3).alias("skewness_pop"),
-        F.round(m4 / (m2 * m2) - 3, 3).alias("excess_kurtosis_pop"),
+        # constant series: m2 = 0, skew/kurtosis undefined (NULL) —
+        # never an ANSI /0 crash
+        F.round(
+            m3 / F.when(m2 > 0, F.pow(m2, 1.5)), 3
+        ).alias("skewness_pop"),
+        F.round(
+            m4 / F.when(m2 > 0, m2 * m2) - 3, 3
+        ).alias("excess_kurtosis_pop"),
     )
 
 
@@ -3572,13 +3618,27 @@ def q_corr_surface(spark, sf):
     hod = (F.expr("ts div 1000") % F.lit(86_400_000_000)) / F.lit(
         3_600_000_000.0
     )
-    return ev.groupBy("event_type").agg(
+    # corr derived from NULL-safe accumulators (Spark 4 ANSI corr()
+    # raises on zero-variance groups; DuckDB's returns NULL)
+    agg = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.round(F.corr(F.col("value"), hod), 6).alias("corr_vh"),
+        F.covar_pop(F.col("value"), hod).alias("_cv"),
+        F.stddev_pop("value").alias("_sx"),
+        F.stddev_pop(hod).alias("_sy"),
         F.round(F.covar_pop(F.col("value"), hod), 6).alias("covar_p"),
         F.round(F.covar_samp(F.col("value"), hod), 6).alias("covar_s"),
         F.round(F.var_pop("value"), 6).alias("var_p"),
         F.round(F.var_samp("value"), 6).alias("var_s"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(F.col("_cv") / F.expr("nullif(_sx * _sy, 0.0)"), 6)
+        .alias("corr_vh"),
+        "covar_p",
+        "covar_s",
+        "var_p",
+        "var_s",
     )
 
 
@@ -5797,7 +5857,9 @@ WITH
             alls AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1
                      UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3),
             sc AS (SELECT vec_id,
-                          round(sum(dot) / (sqrt(sum(n2)) * (SELECT qn FROM qn)), 6) AS adc6
+                          round(sum(dot) / (sqrt(greatest(sum(n2), 1e-12))
+                          * greatest((SELECT qn FROM qn), 1e-12)), 6)
+                     AS adc6
                    FROM alls GROUP BY vec_id)
             SELECT vec_id, round(adc6, 4) AS adc_sim
             FROM sc ORDER BY adc6 DESC, vec_id LIMIT 20
@@ -6564,14 +6626,19 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
-        "fuzzy_levenshtein": """
+        "fuzzy_levenshtein": r"""
+            WITH p AS (
+              SELECT doc_id, lang, n_chars,
+                     regexp_replace(substr(text, 1, 40),
+                                    '[^\x00-\x7f]', '?', 'g') AS p
+              FROM documents)
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS lev
-            FROM documents a
-            JOIN documents b
+                   levenshtein(a.p, b.p) AS lev
+            FROM p a
+            JOIN p b
               ON a.lang = b.lang AND a.doc_id < b.doc_id
              AND abs(a.n_chars - b.n_chars) <= 20
-            WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 8
+            WHERE levenshtein(a.p, b.p) <= 8
         """,
         "dedup_clusters": f"""
             WITH sh AS (
@@ -6753,7 +6820,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_name
         """,
         "json_props_extract": """
-            SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+            SELECT CASE WHEN json_valid(props)
+                        THEN CAST(json_extract_string(props, '$.k') AS INT)
+                   END % 10 AS k_mod,
                    count(*) AS n
             FROM events GROUP BY 1
         """,
@@ -9520,8 +9589,9 @@ def oracle_sql() -> dict[str, str]:
                          WHEN 'BIGINT' THEN 'BIGINT'
                          WHEN 'DOUBLE' THEN 'DOUBLE'
                          ELSE 'STRING' END || '>' END AS v_schema,
-                   coalesce(json_valid(props)
-                            AND json_type(props, '$.k') = 'NULL', FALSE)
+                   coalesce(CASE WHEN json_valid(props)
+                                 THEN json_type(props, '$.k') = 'NULL'
+                            END, FALSE)
                      AS k_is_json_null
             FROM events
         """,
@@ -10067,8 +10137,8 @@ def oracle_sql() -> dict[str, str]:
                           0) AS BIGINT) AS cumneg
               FROM b)
             SELECT round(sum(pos * (cumneg + neg / 2.0))
-                         / (CAST(sum(pos) AS DOUBLE)
-                            * CAST(sum(neg) AS DOUBLE)), 6) AS auc,
+                         / nullif(CAST(sum(pos) AS DOUBLE)
+                                  * sum(neg), 0.0), 6) AS auc,
                    CAST(sum(pos) AS BIGINT) AS n_pos,
                    CAST(sum(neg) AS BIGINT) AS n_neg
             FROM c
@@ -10331,7 +10401,7 @@ def oracle_sql() -> dict[str, str]:
                        AS cumfp
               FROM b)
             SELECT round(sum(pos * (cumtp * 1.0 / (cumtp + cumfp)))
-                         / CAST(sum(pos) AS DOUBLE), 6) AS ap,
+                         / nullif(CAST(sum(pos) AS DOUBLE), 0.0), 6) AS ap,
                    CAST(sum(pos) AS BIGINT) AS n_pos,
                    CAST(sum(neg) AS BIGINT) AS n_neg
             FROM c
@@ -10519,7 +10589,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(n AS BIGINT) AS n,
                    (r - 1) * (c - 1) AS dof,
                    round(sum_o2e - n, 4) AS chi2,
-                   round(sqrt((sum_o2e - n) / (n * least(r - 1, c - 1))), 6)
+                   round(sqrt((sum_o2e - n)
+                              / nullif(n * least(r - 1, c - 1), 0.0)), 6)
                      AS cramers_v,
                    round(mi, 6) AS mi_nats
             FROM agg
@@ -10646,7 +10717,8 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 8 END AS w
               FROM reps),
             m AS (
-              SELECT rep, sum(w * value) / CAST(sum(w) AS DOUBLE) AS m
+              SELECT rep, sum(w * value)
+                          / nullif(CAST(sum(w) AS DOUBLE), 0.0) AS m
               FROM w GROUP BY rep),
             base AS (SELECT round(avg(value), 6) AS mean FROM events),
             ci AS (
@@ -10831,7 +10903,9 @@ def oracle_sql() -> dict[str, str]:
               FROM scored GROUP BY 1),
             cov AS (
               SELECT s.event_type,
-                     round(avg(CASE WHEN s.resid <= st.q THEN 1.0
+                     round(avg(CASE WHEN st.q IS NULL OR s.resid IS NULL
+                                    THEN NULL
+                                    WHEN s.resid <= st.q THEN 1.0
                                ELSE 0.0 END), 6) AS coverage
               FROM scored s JOIN stats st USING (event_type)
               WHERE NOT s.cal GROUP BY 1)
@@ -10862,7 +10936,9 @@ def oracle_sql() -> dict[str, str]:
                            - avg(CASE WHEN NOT a THEN v END), 6) AS d
               FROM reps GROUP BY rep),
             ex AS (
-              SELECT round((1.0 + sum(CASE WHEN abs(d) >= abs(o.obs_diff)
+              SELECT round((1.0 + sum(CASE WHEN o.obs_diff IS NULL
+                                           OR d IS NULL THEN NULL
+                                      WHEN abs(d) >= abs(o.obs_diff)
                                       THEN 1 ELSE 0 END)) / 201.0, 6)
                        AS p_value,
                      CAST(count(*) AS BIGINT) AS n_perm

@@ -41,7 +41,11 @@ def cosine_similarity(
     norm_a: Column | None = None,
     norm_b: Column | None = None,
 ) -> Column:
-    """Cosine similarity; NULL-safe on zero-norm vectors (returns NULL).
+    """Cosine similarity; zero-norm vectors score -1.0 (maximally
+    dissimilar) — DuckDB's ``list_cosine_similarity`` sentinel, adopted
+    here so the two engines agree on degenerate inputs AND so zero
+    vectors sink deterministically to the bottom of a DESC ranking
+    instead of riding engine-specific NULL ordering.
 
     Pass precomputed ``norm_a``/``norm_b`` in pairwise joins so the
     per-pair kernel is one dot product instead of three array folds."""
@@ -49,4 +53,4 @@ def cosine_similarity(
     na = l2_norm(a) if norm_a is None else norm_a
     nb = l2_norm(b) if norm_b is None else norm_b
     denom = na * nb
-    return F.when(denom == 0, F.lit(None)).otherwise(d / denom)
+    return F.when(denom == 0, F.lit(-1.0)).otherwise(d / denom)

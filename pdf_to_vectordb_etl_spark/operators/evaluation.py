@@ -91,10 +91,12 @@ def auc_from_bins(binned: DataFrame) -> DataFrame:
     cum = binned.withColumn(
         "cumneg", F.coalesce(F.sum("neg").over(w_prev), F.lit(0))
     )
+    # a single-class input has no ranking to score: AUC is NULL, not a
+    # division-by-zero crash (nullif mirrors the oracle's guard)
     return cum.agg(
         F.round(
             F.sum(F.col("pos") * (F.col("cumneg") + F.col("neg") / 2.0))
-            / (F.sum("pos").cast("double") * F.sum("neg").cast("double")),
+            / F.expr("nullif(CAST(sum(pos) AS DOUBLE) * sum(neg), 0.0)"),
             6,
         ).alias("auc"),
         F.sum("pos").cast("long").alias("n_pos"),
@@ -375,9 +377,12 @@ def binned_average_precision(
         "cumfp", F.sum("neg").over(w_desc)
     )
     prec = F.col("cumtp") / (F.col("cumtp") + F.col("cumfp"))
+    # no positives -> AP undefined (NULL), never a /0 crash
     return cum.agg(
         F.round(
-            F.sum(F.col("pos") * prec) / F.sum("pos").cast("double"), 6
+            F.sum(F.col("pos") * prec)
+            / F.expr("nullif(CAST(sum(pos) AS DOUBLE), 0.0)"),
+            6,
         ).alias("ap"),
         F.sum("pos").cast("long").alias("n_pos"),
         F.sum("neg").cast("long").alias("n_neg"),
@@ -515,8 +520,10 @@ def contingency_independence(
         ).alias("_mi"),
     )
     chi2 = F.col("_sum_o2e") - F.col("_n")
+    # a 1×k table has dof 0: V is undefined (NULL), never a /0 crash
     v = F.sqrt(
-        chi2 / (F.col("_n") * F.least(F.col("_r") - 1, F.col("_c") - 1))
+        chi2
+        / F.expr("nullif(_n * least(_r - 1, _c - 1), 0.0)")
     )
     return agg.select(
         F.col("_n").cast("long").alias("n"),
@@ -589,7 +596,12 @@ def poisson_bootstrap_mean_ci(
         .withColumn("_w", w)
         .groupBy("_rep")
         .agg(
-            (F.sum(F.col("_w") * F.col("_x")) / F.sum("_w")).alias("_m")
+            # a replicate can draw all-zero weights (p ≈ e^-n); it has
+            # no resample mean — NULL, skipped by the percentile
+            (
+                F.sum(F.col("_w") * F.col("_x"))
+                / F.expr("nullif(sum(_w), 0)")
+            ).alias("_m")
         )
     )
     base = df.agg(F.round(F.avg(F.col(value_col)), 6).alias("mean"))

@@ -164,7 +164,9 @@ def pq_topk(
     """
     sub_dim = codebooks.select(F.size("centroid")).first()[0]
     qlit = F.lit([float(x) for x in query])
-    qnorm = sum(float(x) * float(x) for x in query) ** 0.5
+    # 1e-12 floor: a zero query vector scores 0 everywhere instead
+    # of dividing by zero (same floor in the DuckDB twin)
+    qnorm = max(sum(float(x) * float(x) for x in query) ** 0.5, 1e-12)
     table = codebooks.select(
         "subspace",
         F.col("cluster_id").alias("code"),
@@ -191,7 +193,12 @@ def pq_topk(
         .select(
             id_col,
             F.round(
-                F.col("_num") / (F.sqrt(F.col("_n2")) * F.lit(qnorm)), 6
+                F.col("_num")
+                / (
+                    F.sqrt(F.greatest(F.col("_n2"), F.lit(1e-12)))
+                    * F.lit(qnorm)
+                ),
+                6,
             ).alias("adc_sim"),
         )
     )
@@ -267,7 +274,9 @@ def ivfpq_topk(
     from .topk import cosine_similarity
 
     qlit = F.lit([float(x) for x in query])
-    qnorm = sum(float(x) * float(x) for x in query) ** 0.5
+    # 1e-12 floor: a zero query vector scores 0 everywhere instead
+    # of dividing by zero (same floor in the DuckDB twin)
+    qnorm = max(sum(float(x) * float(x) for x in query) ** 0.5, 1e-12)
     sub_dim = codebooks.select(F.size("centroid")).first()[0]
 
     def dot(a, b):
@@ -310,9 +319,17 @@ def ivfpq_topk(
         )
         .select(
             id_col,
+            # a zero query vector scores the cosine sentinel -1.0 for
+            # every candidate (DuckDB's list_cosine_similarity
+            # convention, matching functions.vector.cosine_similarity)
             F.round(
-                F.col("_num")
-                / (F.sqrt(F.greatest(F.col("_xn2"), F.lit(1e-12))) * F.lit(qnorm)),
+                F.when(F.lit(qnorm <= 1e-12), F.lit(-1.0)).otherwise(
+                    F.col("_num")
+                    / (
+                        F.sqrt(F.greatest(F.col("_xn2"), F.lit(1e-12)))
+                        * F.lit(qnorm)
+                    )
+                ),
                 6,
             ).alias("approx_cos"),
         )

@@ -54,13 +54,18 @@ def test_topk_k_larger_than_corpus(spark):
     assert out.count() == 3  # all rows, no crash, no padding
 
 
-def test_topk_zero_norm_vector_is_null_sim(spark):
+def test_topk_zero_norm_vector_scores_sentinel(spark):
+    # zero-norm vectors score the -1.0 sentinel (DuckDB's
+    # list_cosine_similarity convention) — maximally dissimilar,
+    # deterministically LAST in a DESC ranking instead of NULL-ordered
     emb = spark.createDataFrame(
         [(1, [0.0, 0.0]), (2, [1.0, 0.0])], "id long, vector array<float>"
     )
     out = topk.topk_cosine(emb, [1.0, 0.0], k=5)
-    sims = {r["id"]: r["cosine_sim"] for r in out.collect()}
-    assert sims[1] is None and abs(sims[2] - 1.0) < 1e-6
+    rows = out.collect()
+    sims = {r["id"]: r["cosine_sim"] for r in rows}
+    assert sims[1] == -1.0 and abs(sims[2] - 1.0) < 1e-6
+    assert [r["id"] for r in rows] == [2, 1]  # sentinel sinks to bottom
 
 
 def test_embedder_on_null_and_empty(spark):

@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Build a DEGENERATE testdata directory for robustness sweeps.
+
+The driver regenerates testdata between rounds; literals and
+denominators that hold on today's healthy distributions can crash
+(ANSI division by zero) or hash-diverge on edge-shaped data. This
+fixture concentrates the edges: near-empty tables, ONE user, tied
+timestamps, empty/whitespace/1-char/unicode documents, constant
+values, zero discounts, a single part/supplier/order chain.
+
+Usage: python tools/make_degenerate.py [outdir]   (default
+/tmp/spark_graft_degenerate), then
+``python tools/check_oracle.py --sf <outdir>``. Crashes and
+mismatches are the signal; empty results that hash-match are fine.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_degenerate"
+
+
+def w(name: str, table: pa.Table) -> None:
+    pq.write_table(table, os.path.join(OUT, f"{name}.parquet"))
+
+
+def main() -> None:
+    os.makedirs(OUT, exist_ok=True)
+    ts = dt.datetime(1999, 12, 31, 23, 59, 59)
+    us = pa.timestamp("us")
+
+    w("region", pa.table({
+        "r_regionkey": pa.array([0], pa.int64()),
+        "r_name": ["EUROPE"],
+    }))
+    w("nation", pa.table({
+        "n_nationkey": pa.array([0], pa.int64()),
+        "n_name": ["NATION_0"],
+        "n_regionkey": pa.array([0], pa.int64()),
+    }))
+    w("customer", pa.table({
+        "c_custkey": pa.array([1], pa.int64()),
+        "c_name": ["Customer#000000001"],
+        "c_acctbal": [0.0],
+        "c_nationkey": pa.array([0], pa.int64()),
+        "c_mktsegment": ["BUILDING"],
+    }))
+    w("supplier", pa.table({
+        "s_suppkey": pa.array([1], pa.int64()),
+        "s_name": ["Supplier#000000001"],
+        "s_acctbal": [0.0],
+        "s_nationkey": pa.array([0], pa.int64()),
+    }))
+    w("part", pa.table({
+        "p_partkey": pa.array([1], pa.int64()),
+        "p_name": ["azure red blue"],
+        "p_brand": ["Brand#1"],
+        "p_type": ["STANDARD BRUSHED"],
+        "p_size": pa.array([15], pa.int32()),
+        "p_retailprice": [0.0],
+    }))
+    w("orders", pa.table({
+        "o_orderkey": pa.array([1], pa.int64()),
+        "o_custkey": pa.array([1], pa.int64()),
+        "o_orderstatus": ["F"],
+        "o_totalprice": [0.0],
+        "o_orderdate": pa.array([ts], us),
+        "o_orderpriority": ["1-URGENT"],
+    }))
+    w("lineitem", pa.table({
+        "l_orderkey": pa.array([1, 1], pa.int64()),
+        "l_partkey": pa.array([1, 1], pa.int64()),
+        "l_suppkey": pa.array([1, 1], pa.int64()),
+        "l_linenumber": pa.array([1, 2], pa.int32()),
+        "l_quantity": [1.0, 1.0],
+        "l_extendedprice": [0.0, 0.0],   # zero-revenue world
+        "l_discount": [0.0, 0.0],
+        "l_tax": [0.0, 0.0],
+        "l_returnflag": ["N", "N"],
+        "l_linestatus": ["O", "O"],
+        "l_shipdate": pa.array([ts, ts], us),
+    }))
+    # ONE user, every event at the SAME instant, constant value, one type
+    w("events", pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array([ts, ts, ts], us),
+        "user_id": pa.array([7, 7, 7], pa.int64()),
+        "event_type": ["click", "click", "click"],
+        "value": [5.0, 5.0, 5.0],
+        "props": ['{"k": 1}', "not json", ""],
+    }))
+    # empty / whitespace / single-char / unicode / duplicate docs
+    texts = ["", "   ", "a", "é ñ 中", "dup dup", "dup dup"]
+    w("documents", pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": texts,
+        "lang": ["en"] * len(texts),
+        "source": ["src0"] * len(texts),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }))
+    # constant + zero vectors (cosine with a zero vector!)
+    vecs = [[0.0] * 64, [1.0] * 64, [1.0] * 64]
+    w("embeddings", pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 0], pa.int32()),
+    }))
+    print(f"wrote degenerate fixture to {OUT}")
+
+
+if __name__ == "__main__":
+    main()
