@@ -5345,6 +5345,71 @@ def q_tree_rollup(spark, sf):
     )
 
 
+def q_runs_test(spark, sf):
+    """Wald-Wolfowitz runs test per event type: is the time-ordered
+    sequence of above/below-median values random, or does it trend /
+    oscillate?  Median from one exact per-group percentile agg
+    (broadcast back), signs and run boundaries from a per-key
+    PARTITIONED lag window, then the closed-form normal approximation
+    z = (R − E[R]) / √Var.  Values equal to the median drop (the
+    classical convention); degenerate groups (n₁ or n₂ = 0, or
+    Var = 0) report NULL, never a /0 crash."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events").select(
+        "event_type", F.expr("ts div 1000").alias("tus"), "event_id", "value"
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("_med")
+    )
+    signed = (
+        ev.join(F.broadcast(med), "event_type")
+        .filter(F.col("value") != F.col("_med"))
+        .select(
+            "event_type",
+            "tus",
+            "event_id",
+            (F.col("value") > F.col("_med")).cast("int").alias("s"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("tus", "event_id")
+    runs = signed.withColumn(
+        "_chg",
+        F.when(
+            F.lag("s").over(w).isNull() | (F.lag("s").over(w) != F.col("s")),
+            1,
+        ).otherwise(0),
+    )
+    agg = runs.groupBy("event_type").agg(
+        F.sum("_chg").cast("long").alias("n_runs"),
+        F.sum("s").cast("long").alias("n_above"),
+        (F.count("*") - F.sum("s")).cast("long").alias("n_below"),
+    )
+    n1 = F.col("n_above").cast("double")
+    n2 = F.col("n_below").cast("double")
+    n = n1 + n2
+    e_runs = 2.0 * n1 * n2 / n + 1.0
+    var = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / (n * n * (n - 1.0))
+    )
+    z = (F.col("n_runs") - e_runs) / F.sqrt(var)
+    return agg.select(
+        "event_type",
+        "n_runs",
+        "n_above",
+        "n_below",
+        F.round(
+            F.when(
+                (n1 > 0) & (n2 > 0) & (n > 1)
+                & (2.0 * n1 * n2 > n1 + n2),
+                z,
+            ),
+            4,
+        ).alias("z_runs"),
+    ).orderBy("event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -5603,6 +5668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_extract_features": q_mm_extract_features,
         "t16_stream_psi": q_t16_stream_psi,
         "tree_rollup": q_tree_rollup,
+        "runs_test": q_runs_test,
     }
 
 
@@ -11000,6 +11066,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.node - 1 AS doc_id, subtree_docs, subtree_chars
             FROM agg JOIN d ON agg.anode = d.node
             ORDER BY doc_id
+        """,
+        "runs_test": """
+            WITH ev AS (
+              SELECT event_type, epoch_us(ts) AS tus, event_id, value
+              FROM events),
+            med AS (
+              SELECT event_type, quantile_cont(value, 0.5) AS m
+              FROM ev GROUP BY 1),
+            signed AS (
+              SELECT ev.event_type, tus, event_id,
+                     CASE WHEN value > m THEN 1 ELSE 0 END AS s
+              FROM ev JOIN med USING (event_type)
+              WHERE value <> m),
+            runs AS (
+              SELECT event_type, s,
+                     CASE WHEN lag(s) OVER (PARTITION BY event_type
+                            ORDER BY tus, event_id) IS NULL
+                          OR lag(s) OVER (PARTITION BY event_type
+                            ORDER BY tus, event_id) <> s
+                          THEN 1 ELSE 0 END AS chg
+              FROM signed),
+            agg AS (
+              SELECT event_type,
+                     CAST(sum(chg) AS BIGINT) AS n_runs,
+                     CAST(sum(s) AS BIGINT) AS n_above,
+                     CAST(count(*) - sum(s) AS BIGINT) AS n_below
+              FROM runs GROUP BY 1)
+            SELECT event_type, n_runs, n_above, n_below,
+                   round(CASE WHEN n_above > 0 AND n_below > 0
+                              AND n_above + n_below > 1
+                              AND 2.0 * n_above * n_below
+                                  > n_above + n_below
+                         THEN (n_runs - (2.0 * n_above * n_below
+                                         / (n_above + n_below) + 1.0))
+                              / sqrt(2.0 * n_above * n_below
+                                     * (2.0 * n_above * n_below
+                                        - n_above - n_below)
+                                     / (CAST(n_above + n_below AS DOUBLE)
+                                        * (n_above + n_below)
+                                        * (n_above + n_below - 1.0)))
+                         END, 4) AS z_runs
+            FROM agg ORDER BY event_type
         """,
     }
 

