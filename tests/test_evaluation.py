@@ -393,12 +393,33 @@ def test_mm_extract_features_counts_and_gate(spark):
         mm._real_feature_kernel("image", b"x")
 
 
-def test_runs_test_alternating_vs_blocked(spark, sf_dir):
-    """Sanity on real data plus hand-built extremes: a perfectly
-    alternating sequence has maximal runs (z >> 0), a fully blocked
-    one minimal runs (z << 0)."""
+def test_runs_test_alternating_vs_blocked(spark, sf_dir, tmp_path):
+    """Hand-built extremes through the full query: a perfectly
+    alternating sequence maximizes runs (z >> 0), a fully blocked one
+    collapses to two runs (z << 0); plus a sanity pass on real data."""
+    import datetime as dt
+
     import __spark_entry__ as entry
 
-    rows = {r.event_type: r for r in
+    base = dt.datetime(2020, 1, 1)
+    rows = []
+    for i in range(60):  # alternating high/low around the median
+        rows.append((i, base + dt.timedelta(hours=i), 1,
+                     "alt", 10.0 if i % 2 == 0 else 1.0, "{}"))
+    for i in range(60):  # 30 highs then 30 lows: exactly two runs
+        rows.append((100 + i, base + dt.timedelta(hours=i), 1,
+                     "blk", 10.0 if i < 30 else 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r.event_type: r for r in
+           entry.queries()["runs_test"](spark, str(tmp_path)).collect()}
+    assert out["alt"].n_runs == 60 and out["alt"].z_runs > 5
+    assert out["blk"].n_runs == 2 and out["blk"].z_runs < -5
+
+    real = {r.event_type: r for r in
             entry.queries()["runs_test"](spark, sf_dir).collect()}
-    assert all(r.n_runs >= 1 for r in rows.values())
+    assert all(r.n_runs >= 1 for r in real.values())
