@@ -453,6 +453,57 @@ def q_a4_pivot(spark, sf):
     )
 
 
+def q_a3_extraction_stats(spark, sf):
+    """A3 — the tried-vs-inserted long-form stats table (reference
+    qdrant_text_loader.py:301-308) over the synthetic enem corpus:
+    kind 'todas_questoes' counts every extracted question per
+    (year, subject); 'questoes_add' counts the subset that carries a
+    real answer (the rows the vector load inserts). The corpus is a
+    pure function of (year, day, number), so the oracle re-derives
+    both halves with closed-form SQL — the same ground-truth twin as
+    enem_questions."""
+    from pdf_to_vectordb_etl_spark.operators import aggregates
+    from pdf_to_vectordb_etl_spark.plans import etl
+    from pdf_to_vectordb_etl_spark.sources import synthetic
+
+    qs = etl.extract_questions(synthetic.corpus_df(spark))
+    expected = aggregates.question_counts(qs)
+    inserted = aggregates.question_counts(
+        qs.filter(F.col("correct_answer").isNotNull())
+    )
+    return aggregates.extraction_stats(expected, inserted)
+
+
+def q_o7_stats_csv_roundtrip(spark, sf):
+    """O7 — the stats-CSV SINK content itself under the correctness
+    gate: pivot the A3 long-form stats, write through
+    sinks.write_stats_csv (one header CSV file), read the file back
+    with an explicit schema, and hash-compare against the oracle's
+    SQL pivot. Pins that what lands on disk — not just the pre-sink
+    DataFrame — matches the reference CSV shape."""
+    import tempfile
+
+    from pdf_to_vectordb_etl_spark import sinks
+    from pdf_to_vectordb_etl_spark.operators import aggregates
+    from pdf_to_vectordb_etl_spark.plans import etl
+    from pdf_to_vectordb_etl_spark.sources import synthetic
+
+    qs = etl.extract_questions(synthetic.corpus_df(spark))
+    stats = aggregates.extraction_stats(
+        aggregates.question_counts(qs),
+        aggregates.question_counts(
+            qs.filter(F.col("correct_answer").isNotNull())
+        ),
+    )
+    path = tempfile.mkdtemp(prefix="o7_stats_csv_")
+    sinks.write_stats_csv(stats, path)
+    schema = (
+        "year INT, kind STRING, eng BIGINT, lang BIGINT, spani BIGINT, "
+        "natu BIGINT, math BIGINT, huma BIGINT"
+    )
+    return spark.read.schema(schema).option("header", True).csv(path)
+
+
 def q_a5_parity_check(spark, sf):
     """A5 — corpus cardinality + parity flags."""
     docs = _t(spark, sf, "documents")
@@ -1159,6 +1210,25 @@ def q_mm_decode_meta(spark, sf):
     )
     out = multimodal.decode_media(media, decoder=multimodal.fake_decode)
     return out.select("media_id", "width", "height", "n_frames")
+
+
+def q_mm_sample_frames(spark, sf):
+    """Video frame-sampling plan: decode metadata (fake kernel, md5-
+    deterministic frame counts), then one row per kept frame index —
+    native sequence+filter+explode, no Python in the sampling step.
+    The pixel fetch would be a second decode pass over only the
+    sampled (media_id, frame) pairs."""
+    from pdf_to_vectordb_etl_spark.operators import multimodal
+
+    docs = _t(spark, sf, "documents")
+    media = multimodal.as_media(
+        docs.withColumn("payload", F.encode("text", "UTF-8")),
+        "payload",
+        "doc_id",
+        kind="video",
+    )
+    decoded = multimodal.decode_media(media, decoder=multimodal.fake_decode)
+    return multimodal.sample_frames(decoded, every_n=8)
 
 
 def q_n1_to_json(spark, sf):
@@ -2505,6 +2575,45 @@ def q_span_dedup(spark, sf):
     return webcorpus.remove_duplicated_spans(docs, n=4, min_docs=3)
 
 
+def q_exact_substr_dedup(spark, sf):
+    """True ExactSubstr dedup at character granularity (Lee et al.
+    2022 semantics, threshold 50 chars, any occurrence count >= 2
+    incl. within-doc): every char covered by a >=50-char substring
+    that occurs twice anywhere in the corpus is cut from every
+    occurrence. Sliding per-offset windows make alignment irrelevant
+    (straddling duplicates caught by construction) — see
+    webcorpus.exact_substring_dedup for the hash-agg/interval-merge
+    plan; the span-hash TOKEN variant (span_dedup) remains the
+    coarse-grained fast path."""
+    from pdf_to_vectordb_etl_spark.operators import webcorpus
+
+    docs = _t(spark, sf, "documents")
+    return webcorpus.exact_substring_dedup(docs, min_len=50, min_count=2)
+
+
+def q_suffix_ranks(spark, sf):
+    """Distributed suffix array by prefix doubling (Manber-Myers; the
+    cluster-side construction behind ExactSubstr/substring mining):
+    O(log max_len) rounds of equi-join + distributed dense-rank (range
+    partition + per-partition offsets — no single-partition Window
+    anywhere). The oracle needs none of that machinery: dense rank ==
+    dense_rank() OVER (ORDER BY suffix), one sort in DuckDB —
+    hash-verifying every rank the doubling pipeline produced. Inputs
+    ASCII-projected and capped at 120 chars: Spark orders strings by
+    UTF-16 unit, DuckDB by UTF-8 byte — identical on ASCII (the r3
+    levenshtein precedent), and the cap bounds gate latency."""
+    from pdf_to_vectordb_etl_spark.operators import suffixes
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    d2 = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.substring("text", 1, 120), r"[^\x20-\x7e]", ""
+        ).alias("text"),
+    )
+    return suffixes.suffix_ranks(d2)
+
+
 def q_ta_perplexity(spark, sf):
     """CCNet-style perplexity filter: score every doc under an add-k
     corpus bigram LM (textanalysis.smoothed_perplexity_scores), then
@@ -3597,9 +3706,11 @@ def q_negative_edges(spark, sf):
     document graph: per source node, the 2 non-neighbours ranked first
     by md5(src‖dst) — deterministic, layout-invariant. (The event-type
     transition graph is COMPLETE on this corpus — no negatives exist —
-    so the doc graph is the meaningful target.) Domain-quadratic
-    candidates; the operator documents the hash-bucketed swap for
-    million-node graphs."""
+    so the doc graph is the meaningful target.) Candidates come from
+    the hash-bucketed window generator (md5-bucket equi-join, ~64
+    proposals per source, O(n·64) volume) — this corpus lands ~7
+    buckets, so the oracle hash-verifies the bucketed path itself, not
+    a small-domain degenerate of it."""
     from pdf_to_vectordb_etl_spark.operators import graph
 
     docs = _t(spark, sf, "documents")
@@ -5428,8 +5539,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4_lead_chunks": q_w4_lead_chunks,
         "a1_groupby_agg": q_a1_groupby_agg,
         "a2_ordered_concat": q_a2_ordered_concat,
+        "a3_extraction_stats": q_a3_extraction_stats,
         "a4_pivot": q_a4_pivot,
         "a5_parity_check": q_a5_parity_check,
+        "o7_stats_csv_roundtrip": q_o7_stats_csv_roundtrip,
         "k1_topk_cosine": q_k1_topk_cosine,
         "k2_dim_guard": q_k2_dim_guard,
         "k3_first_match": q_k3_first_match,
@@ -5485,6 +5598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k1_topk_ivf": q_k1_topk_ivf,
         "t3_stream_agg": q_t3_stream_agg,
         "mm_decode_meta": q_mm_decode_meta,
+        "mm_sample_frames": q_mm_sample_frames,
         "skew_salted_join": q_skew_salted_join,
         "skew_two_phase_count": q_skew_two_phase_count,
         "t4_stateful_totals": q_t4_stateful_totals,
@@ -5555,6 +5669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "higher_moments": q_higher_moments,
         "delta_encode": q_delta_encode,
         "span_dedup": q_span_dedup,
+        "exact_substr_dedup": q_exact_substr_dedup,
+        "suffix_ranks": q_suffix_ranks,
         "ta_perplexity": q_ta_perplexity,
         "binary_hamming_topk": q_binary_hamming_topk,
         "mrl_recall": q_mrl_recall,
@@ -5923,9 +6039,11 @@ WITH
             alls AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1
                      UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3),
             sc AS (SELECT vec_id,
-                          round(sum(dot) / (sqrt(greatest(sum(n2), 1e-12))
-                          * greatest((SELECT qn FROM qn), 1e-12)), 6)
-                     AS adc6
+                          CASE WHEN (SELECT qn FROM qn) <= 1e-12 THEN -1.0
+                               ELSE round(sum(dot)
+                                    / (sqrt(greatest(sum(n2), 1e-12))
+                                    * greatest((SELECT qn FROM qn), 1e-12)), 6)
+                          END AS adc6
                    FROM alls GROUP BY vec_id)
             SELECT vec_id, round(adc6, 4) AS adc_sim
             FROM sc ORDER BY adc6 DESC, vec_id LIMIT 20
@@ -6327,6 +6445,99 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang,
                    md5(string_agg(substr(text, 1, 20), '' ORDER BY doc_id)) AS content_md5
             FROM documents GROUP BY lang
+        """,
+        # Shared closed-form re-derivation of the synthetic enem corpus
+        # (same CTE chain as enem_questions) -> long-form A3 stats.
+        "a3_extraction_stats": """
+            WITH params AS (
+              SELECT y.year, d.day,
+                     CASE WHEN d.day = 'D1' THEN 95 ELSE 91 END AS max_i,
+                     CASE WHEN d.day = 'D1' THEN 1 ELSE 2 END AS dnum
+              FROM (VALUES (2022), (2023)) y(year)
+              CROSS JOIN (VALUES ('D1'), ('D2')) d(day)),
+            q AS (
+              SELECT year, day, dnum, i AS internal,
+                     CASE WHEN day = 'D1' AND i > 5 THEN i - 5
+                          WHEN day = 'D1' THEN i
+                          ELSE i + 90 END AS num,
+                     CAST(ceil(i / 5.0) AS INT) AS c
+              FROM params
+              CROSS JOIN (SELECT unnest(generate_series(1, 95)) AS i) s
+              WHERE i <= max_i),
+            q2 AS (SELECT *, c + (c - 1) // 8 AS page_idx FROM q),
+            emitted AS (
+              SELECT * FROM q2
+              WHERE (internal * 31 + year) % 23 <> 0
+                AND (page_idx + year + dnum) % 7 <> 0),
+            rows_ AS (
+              SELECT CAST(year AS INT) AS year,
+                     CASE WHEN day = 'D2' AND internal <= 45 THEN 'natu'
+                          WHEN day = 'D2' THEN 'math'
+                          WHEN internal <= 5 THEN 'eng'
+                          WHEN internal <= 10 THEN 'spani'
+                          WHEN internal <= 50 THEN 'lang'
+                          ELSE 'huma' END AS subject,
+                     CASE WHEN (num * 13 + year) % 29 = 0 THEN NULL
+                          ELSE 'x' END AS ca
+              FROM emitted)
+            SELECT year, subject, 'todas_questoes' AS kind,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM rows_ GROUP BY year, subject
+            UNION ALL
+            SELECT year, subject, 'questoes_add' AS kind,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM rows_ WHERE ca IS NOT NULL GROUP BY year, subject
+        """,
+        # The same stats pivoted to the CSV sink shape (max(CASE) pivot
+        # == Spark's first-over-single-value; absent combos NULL).
+        "o7_stats_csv_roundtrip": """
+            WITH params AS (
+              SELECT y.year, d.day,
+                     CASE WHEN d.day = 'D1' THEN 95 ELSE 91 END AS max_i,
+                     CASE WHEN d.day = 'D1' THEN 1 ELSE 2 END AS dnum
+              FROM (VALUES (2022), (2023)) y(year)
+              CROSS JOIN (VALUES ('D1'), ('D2')) d(day)),
+            q AS (
+              SELECT year, day, dnum, i AS internal,
+                     CASE WHEN day = 'D1' AND i > 5 THEN i - 5
+                          WHEN day = 'D1' THEN i
+                          ELSE i + 90 END AS num,
+                     CAST(ceil(i / 5.0) AS INT) AS c
+              FROM params
+              CROSS JOIN (SELECT unnest(generate_series(1, 95)) AS i) s
+              WHERE i <= max_i),
+            q2 AS (SELECT *, c + (c - 1) // 8 AS page_idx FROM q),
+            emitted AS (
+              SELECT * FROM q2
+              WHERE (internal * 31 + year) % 23 <> 0
+                AND (page_idx + year + dnum) % 7 <> 0),
+            rows_ AS (
+              SELECT CAST(year AS INT) AS year,
+                     CASE WHEN day = 'D2' AND internal <= 45 THEN 'natu'
+                          WHEN day = 'D2' THEN 'math'
+                          WHEN internal <= 5 THEN 'eng'
+                          WHEN internal <= 10 THEN 'spani'
+                          WHEN internal <= 50 THEN 'lang'
+                          ELSE 'huma' END AS subject,
+                     CASE WHEN (num * 13 + year) % 29 = 0 THEN NULL
+                          ELSE 'x' END AS ca
+              FROM emitted),
+            st AS (
+              SELECT year, subject, 'todas_questoes' AS kind,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM rows_ GROUP BY year, subject
+              UNION ALL
+              SELECT year, subject, 'questoes_add' AS kind,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM rows_ WHERE ca IS NOT NULL GROUP BY year, subject)
+            SELECT year, kind,
+                   max(CASE WHEN subject = 'eng' THEN n END) AS eng,
+                   max(CASE WHEN subject = 'lang' THEN n END) AS lang,
+                   max(CASE WHEN subject = 'spani' THEN n END) AS spani,
+                   max(CASE WHEN subject = 'natu' THEN n END) AS natu,
+                   max(CASE WHEN subject = 'math' THEN n END) AS math,
+                   max(CASE WHEN subject = 'huma' THEN n END) AS huma
+            FROM st GROUP BY year, kind
         """,
         "a4_pivot": """
             SELECT user_id % 10 AS cohort,
@@ -6856,6 +7067,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(16 + h1 % 240 AS INT) AS height,
                    CAST(1 AS INT) AS n_frames
             FROM b
+        """,
+        # Replays fake_decode's video branch (n_frames = 1 + md5
+        # byte2 % 64) + the every-8th sampling filter.
+        "mm_sample_frames": """
+            WITH b AS (
+              SELECT doc_id AS media_id,
+                     (strpos('0123456789abcdef', substr(md5(text), 5, 1)) - 1)
+                       * 16
+                       + strpos('0123456789abcdef', substr(md5(text), 6, 1))
+                       - 1 AS h2
+              FROM documents),
+            f AS (SELECT media_id, 1 + h2 % 64 AS nf FROM b)
+            SELECT media_id, CAST(i AS INT) AS frame_index
+            FROM (SELECT media_id, unnest(range(nf)) AS i FROM f)
+            WHERE i % 8 = 0
         """,
         "star_shipping_priority": """
             SELECT l_orderkey, o_orderpriority,
@@ -8204,6 +8430,53 @@ def oracle_sql() -> dict[str, str]:
                                 AND o_orderpriority LIKE '1%')
             GROUP BY c_mktsegment
         """,
+        "suffix_ranks": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_replace(substr(text, 1, 120),
+                                    '[^\x20-\x7e]', '', 'g') AS t
+              FROM documents WHERE doc_id < 100),
+            s AS (
+              SELECT doc_id, p AS pos, substr(t, p + 1) AS suf
+              FROM (SELECT doc_id, t, unnest(range(length(t))) AS p
+                    FROM d))
+            SELECT doc_id, pos,
+                   CAST(dense_rank() OVER (ORDER BY suf) - 1 AS BIGINT)
+                     AS srank
+            FROM s
+        """,
+        "exact_substr_dedup": """
+            WITH d AS (
+              SELECT doc_id, text, length(text) AS n FROM documents),
+            w AS (
+              SELECT doc_id, pos + 1 AS i, substr(text, pos + 1, 50) AS sub
+              FROM (SELECT doc_id, text, unnest(range(n - 49)) AS pos
+                    FROM d WHERE n >= 50)),
+            hot AS (SELECT sub FROM w GROUP BY sub HAVING count(*) >= 2),
+            cov AS (
+              SELECT DISTINCT doc_id, i + off AS pos
+              FROM (SELECT doc_id, i FROM w JOIN hot USING (sub)),
+                   unnest(range(50)) AS u(off)),
+            chars AS (
+              SELECT doc_id, p + 1 AS pos
+              FROM (SELECT doc_id, unnest(range(n)) AS p FROM d)),
+            kept AS (
+              SELECT c.doc_id, c.pos
+              FROM chars c LEFT JOIN cov
+                ON c.doc_id = cov.doc_id AND c.pos = cov.pos
+              WHERE cov.pos IS NULL),
+            reb AS (
+              SELECT k.doc_id,
+                     string_agg(substr(d.text, k.pos, 1), ''
+                                ORDER BY k.pos) AS clean_text,
+                     count(*) AS n_kept
+              FROM kept k JOIN d USING (doc_id) GROUP BY k.doc_id)
+            SELECT d.doc_id,
+                   coalesce(r.clean_text, '') AS clean_text,
+                   coalesce(r.n_kept, 0) AS n_kept,
+                   d.n - coalesce(r.n_kept, 0) AS n_removed
+            FROM d LEFT JOIN reb r USING (doc_id)
+        """,
         "span_dedup": r"""
             WITH raw AS (
               SELECT doc_id,
@@ -9418,9 +9691,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT a.id AS src, b.id AS dst
               FROM post a JOIN post b ON a.tok = b.tok AND a.id < b.id),
             nodes AS (SELECT src AS n FROM e UNION SELECT dst AS n FROM e),
+            bc AS (SELECT greatest(count(*) // 64, 1) AS nb FROM nodes),
+            nbk AS (
+              SELECT n, ('0x' || substr(md5(CAST(n AS VARCHAR)), 1, 4))::BIGINT
+                        % (SELECT nb FROM bc) AS b
+              FROM nodes),
             cand AS (
-              SELECT a.n AS src, b.n AS dst
-              FROM nodes a CROSS JOIN nodes b WHERE a.n <> b.n),
+              SELECT a.n AS src, b2.n AS dst
+              FROM nbk a JOIN nbk b2
+                ON b2.b = (a.b + 1) % (SELECT nb FROM bc)
+               AND a.n <> b2.n),
             neg AS (
               SELECT cand.src, cand.dst
               FROM cand LEFT JOIN e
@@ -10508,9 +10788,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT n,
                    round(agree * 1.0 / n, 6) AS po,
                    round(pe_num / (CAST(n AS DOUBLE) * n), 6) AS pe,
-                   round((agree * 1.0 / n - pe_num / (CAST(n AS DOUBLE) * n))
-                         / (1.0 - pe_num / (CAST(n AS DOUBLE) * n)), 6)
-                     AS kappa
+                   round(CASE WHEN pe_num / (CAST(n AS DOUBLE) * n) < 1.0
+                              THEN (agree * 1.0 / n
+                                    - pe_num / (CAST(n AS DOUBLE) * n))
+                                   / (1.0 - pe_num / (CAST(n AS DOUBLE) * n))
+                         END, 6) AS kappa
             FROM tot CROSS JOIN pe
         """,
         "eval_confusion_f1": r"""
@@ -10723,8 +11005,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT est_a, est_b, est_union,
                    round(greatest(est_a + est_b - est_union, 0.0), 4)
                      AS est_intersection,
-                   round(greatest(est_a + est_b - est_union, 0.0) / est_union,
-                         6) AS jaccard
+                   round(greatest(est_a + est_b - est_union, 0.0)
+                         / nullif(est_union, 0.0), 6) AS jaccard
             FROM ea CROSS JOIN eb CROSS JOIN eu
         """,
         "kmv_set_users": """
@@ -10757,8 +11039,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT round(est_a, 4) AS est_a,
                    round(est_b, 4) AS est_b,
                    round(est_union, 4) AS est_union,
-                   round(both_n * 1.0 / nu, 6) AS jaccard,
-                   round((both_n * 1.0 / nu) * est_union, 4)
+                   round(both_n * 1.0 / nullif(nu, 0), 6) AS jaccard,
+                   round((both_n * 1.0 / nullif(nu, 0)) * est_union, 4)
                      AS est_intersection
             FROM ea CROSS JOIN eb CROSS JOIN eu CROSS JOIN bo CROSS JOIN nu
         """,

@@ -114,6 +114,23 @@ def main() -> None:
     timings["entry_flagship"] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # noise verdict: per query, min << median means a co-scheduled
+    # burst inflated some runs (box contention); min ~= median means
+    # the number measures the plan. A noisy box produces many noisy
+    # queries at once, so the count is the one-line adjudicator a
+    # later reader needs before believing any regression.
+    noisy = sum(
+        1
+        for k, m in medians.items()
+        if timings[k] > 0.05 and m > 1.5 * timings[k]
+    )
+    verdict = (
+        "clean (min~=median; numbers measure the plans)"
+        if noisy <= max(2, len(medians) // 10)
+        else f"NOISY box ({noisy}/{len(medians)} queries with median>"
+        "1.5x min; re-run before believing regressions)"
+    )
+    print(f"# noise verdict: {verdict}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -122,6 +139,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_median": medians,
+                "noise_verdict": verdict,
+                "noisy_query_count": noisy,
                 "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
             }
         )

@@ -776,9 +776,12 @@ def theilsen_trend(
         .filter(F.col("_rn") <= max_points)
         .select(by, "_x", "_y", "_rn")
         # three consumers (both pair-join sides + the point counts):
-        # persist the capped table once instead of re-running the
-        # scan+window per consumer
-        .persist()
+        # materialize the capped table once instead of re-running the
+        # scan+window per consumer.  localCheckpoint, not persist —
+        # blocks release on GC, so long-lived sessions calling this
+        # repeatedly don't leak cached relations (no unpersist handle
+        # on the returned lazy DataFrame).
+        .localCheckpoint(eager=True)
     )
     a = pts.select(
         F.col(by), F.col("_x").alias("_xa"), F.col("_y").alias("_ya"),

@@ -36,12 +36,14 @@ def association_rules(
     P(cons).
     """
     # items feeds FOUR consumers (total, item supports, both self-join
-    # sides); persist it once instead of re-running the scan+distinct
-    # per consumer — at corpus scale the cached relation spills
-    # MEMORY_AND_DISK, still cheaper than 4 full passes
+    # sides); materialize it once instead of re-running the
+    # scan+distinct per consumer.  localCheckpoint (not persist): the
+    # checkpointed blocks are released when the DataFrame is GC'd, so
+    # repeated calls in a long-lived session don't accumulate cached
+    # relations the caller never gets a handle to unpersist.
     items = baskets.select(
         F.col(basket_col).alias("_bid"), F.col(item_col).alias("_item")
-    ).distinct().persist()
+    ).distinct().localCheckpoint(eager=True)
     total = items.agg(F.countDistinct("_bid").alias("_n_b"))
     supp_item = items.groupBy("_item").agg(F.count("*").alias("_s"))
     a = items.select("_bid", F.col("_item").alias("_ia"))

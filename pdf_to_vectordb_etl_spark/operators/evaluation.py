@@ -421,7 +421,9 @@ def cohens_kappa(df: DataFrame, pred_col: str, truth_col: str) -> DataFrame:
         F.col("_n").alias("n"),
         F.round(po, 6).alias("po"),
         F.round(pe, 6).alias("pe"),
-        F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
+        # pe = 1 (single-class matrix) makes kappa 0/0; report NULL
+        # like every other degenerate ratio in this module
+        F.round(F.when(pe < 1.0, (po - pe) / (1.0 - pe)), 6).alias("kappa"),
     )
 
 

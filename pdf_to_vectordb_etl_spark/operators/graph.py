@@ -345,37 +345,68 @@ def negative_edge_sample(
     k_per_src: int = 2,
     src_col: str = "src",
     dst_col: str = "dst",
-    max_nodes: int = 100_000,
+    candidates_per_src: int = 64,
+    n_windows: int = 1,
 ) -> DataFrame:
     """Deterministic negative sampling for link-prediction training:
-    per source node, the ``k_per_src`` non-neighbours ranked first by
-    md5(src‖dst) — layout-invariant, retry-stable, SQL-replayable
-    (the md5 determinism contract shared with operators/sampling.py).
+    per source node, the ``k_per_src`` non-neighbour candidates ranked
+    first by md5(src‖dst) — layout-invariant, retry-stable,
+    SQL-replayable (the md5 determinism contract shared with
+    operators/sampling.py).
 
-    Candidates come from node-set × node-set minus the edge list
-    (anti join). That is quadratic in the NODE DOMAIN — correct for
-    state-machine/category graphs (event types, labels); for
-    million-node graphs swap the candidate generator for hash-bucketed
-    proposals and keep the same anti-join + rank tail."""
+    Candidate generation is HASH-BUCKETED, never all-pairs: each node
+    gets bucket = md5-prefix(node) mod B where
+    B = max(1, n_nodes // max(candidates_per_src, 8·k)), and window
+    ``r`` proposes src×dst pairs whose buckets satisfy
+    dst_bucket == (src_bucket + r) mod B — one equi-join per window,
+    ~candidates_per_src proposals per source, total candidate volume
+    O(n_nodes · candidates_per_src · n_windows) instead of O(n²).
+    Small domains (n ≤ pool) degenerate to B = 1, where window 0 IS the
+    full cross join — exact all-pairs semantics for state-machine /
+    category graphs, bounded proposals for million-node graphs, one
+    code path.  The md5 bucket (not Spark's murmur ``hash``) keeps the
+    whole plan DuckDB-replayable, so the oracle hash-verifies the
+    bucketed path itself.
+
+    Hubs whose window pool is saturated by real neighbours return
+    fewer than k negatives; widen ``n_windows`` (each adds one
+    equi-join and ~candidates_per_src more proposals per source) when
+    max-degree ≳ candidates_per_src.
+
+    The single driver-side scalar is ``n_nodes`` (one count agg —
+    needed because B parameterizes the hash literal)."""
     from pyspark.sql import Window
+
+    from .sampling import hash_bucket_hex
 
     nodes = (
         edges.select(F.col(src_col).alias("n"))
         .union(edges.select(F.col(dst_col).alias("n")))
         .distinct()
     )
+    pool = max(candidates_per_src, 8 * k_per_src)
     n_nodes = nodes.count()
-    if n_nodes > max_nodes:
-        raise ValueError(
-            f"negative_edge_sample: {n_nodes} nodes exceeds max_nodes="
-            f"{max_nodes}; the all-pairs candidate generator is quadratic "
-            "in the node domain. For million-node graphs generate "
-            "candidates by hash bucket (md5(src) bucket × md5(dst) bucket "
-            "equi-join proposals) and keep the same anti-join + rank tail."
-        )
-    a = nodes.select(F.col("n").alias("src"))
-    b = nodes.select(F.col("n").alias("dst"))
-    cand = a.crossJoin(b).filter(F.col("src") != F.col("dst"))
+    n_buckets = max(1, n_nodes // pool)
+    if n_buckets == 1:
+        a = nodes.select(F.col("n").alias("src"))
+        b = nodes.select(F.col("n").alias("dst"))
+        cand = a.crossJoin(b).filter(F.col("src") != F.col("dst"))
+    else:
+        bkt = F.conv(hash_bucket_hex("n"), 16, 10).cast("long") % n_buckets
+        nb = nodes.select("n", bkt.alias("_b")).localCheckpoint(eager=True)
+        a = nb.select(F.col("n").alias("src"), F.col("_b").alias("_bs"))
+        b = nb.select(F.col("n").alias("dst"), F.col("_b").alias("_bd"))
+        windows = [
+            a.join(
+                b,
+                b["_bd"] == (a["_bs"] + F.lit(r + 1)) % n_buckets,
+            ).select("src", "dst")
+            for r in range(n_windows)
+        ]
+        cand = windows[0]
+        for wdf in windows[1:]:
+            cand = cand.unionByName(wdf)
+        cand = cand.filter(F.col("src") != F.col("dst"))
     pos = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()

@@ -192,11 +192,15 @@ def pq_topk(
         .agg(F.sum("dot").alias("_num"), F.sum("n2").alias("_n2"))
         .select(
             id_col,
+            # a zero query vector scores the cosine sentinel -1.0,
+            # matching ivfpq_topk and functions.vector.cosine_similarity
             F.round(
-                F.col("_num")
-                / (
-                    F.sqrt(F.greatest(F.col("_n2"), F.lit(1e-12)))
-                    * F.lit(qnorm)
+                F.when(F.lit(qnorm <= 1e-12), F.lit(-1.0)).otherwise(
+                    F.col("_num")
+                    / (
+                        F.sqrt(F.greatest(F.col("_n2"), F.lit(1e-12)))
+                        * F.lit(qnorm)
+                    )
                 ),
                 6,
             ).alias("adc_sim"),

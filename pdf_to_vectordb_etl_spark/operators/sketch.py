@@ -399,7 +399,10 @@ def hll_set_report(
             "est_b",
             "est_union",
             F.round(inter, 4).alias("est_intersection"),
-            F.round(inter / F.col("est_union"), 6).alias("jaccard"),
+            # est_union = 0 only when both slices were empty → NULL
+            F.round(
+                inter / F.nullif(F.col("est_union"), F.lit(0.0)), 6
+            ).alias("jaccard"),
         )
     )
 
@@ -453,7 +456,8 @@ def kmv_set_report(
         .crossJoin(rho_t)
         .crossJoin(denom)
     )
-    jac = F.col("_both") / F.col("_nu")
+    # empty union sketch (_nu = 0) → NULL, not 0/0
+    jac = F.col("_both") / F.nullif(F.col("_nu"), F.lit(0))
     return out.select(
         F.round("est_a", 4).alias("est_a"),
         F.round("est_b", 4).alias("est_b"),

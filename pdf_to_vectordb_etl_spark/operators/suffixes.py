@@ -1,0 +1,148 @@
+"""Distributed suffix ranking by prefix doubling (beyond-reference).
+
+The suffix array is the workhorse behind ExactSubstr dedup (Lee et al.
+2022), substring-frequency mining and longest-repeated-substring
+analysis. On one machine you build it with a sort; across a cluster the
+public formulation is PREFIX DOUBLING (Manber & Myers 1990/93): after
+round k every suffix carries the dense rank of its first 2^k
+characters, and round k+1 ranks the PAIR (rank[p], rank[p + 2^k]) — so
+each round is one equi-join plus one distributed dense-rank, and
+ceil(log2(max_len)) rounds order every suffix completely. This is the
+same O(log n)-rounds shape Flink/MapReduce suffix-array papers use
+(e.g. "Suffix Array Construction on MapReduce", and pDC3): all-corpus
+sorts, never an all-pairs product.
+
+The distributed dense-rank is the one primitive Spark lacks natively at
+scale (a global Window would serialize on a single partition — banned
+in this repo): ``global_dense_rank`` range-partitions the DISTINCT
+keys, dense-ranks them per partition (a Window partitioned by the
+partition id — parallel, no global exchange), and adds per-partition
+offsets; the only driver-side data is one count per partition
+(#shuffle-partitions rows). Equal keys land in one range partition, so
+per-partition dense ranks + offsets compose to the exact global dense
+rank.
+
+Identical suffixes (possible across duplicated docs) keep EQUAL rank at
+every level — the output is therefore the dense lexicographic rank of
+each suffix, which is exactly ``dense_rank() OVER (ORDER BY suffix)``
+in any SQL engine: the DuckDB oracle replays it with one sort, no
+doubling, making the whole O(log n) pipeline hash-verifiable.
+
+Suffixes never cross document boundaries (each ends at its doc's end),
+and a missing position at offset 2^k ranks as -1 < every real rank —
+the standard sentinel that makes "shorter prefix sorts first" hold,
+matching plain string comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def global_dense_rank(
+    df: DataFrame, key_cols: list[str], out_col: str = "_rk"
+) -> DataFrame:
+    """Exact 0-based global dense rank over ``key_cols`` without a
+    single-partition Window.
+
+    Range-partition the distinct keys (equal keys are never split by a
+    RangePartitioner), dense-rank within each partition (Window keyed
+    on spark_partition_id — every partition ranks in parallel), then
+    shift by the cumulative distinct-count of the partitions before it.
+    Driver-side state: one (pid, n_distinct) row per shuffle partition.
+    Returns ``df`` with ``out_col`` joined on (broadcast of the ranked
+    key table is NOT assumed — the join is a plain equi-join on the
+    keys, shuffling 8-byte ranks)."""
+    from pyspark.sql import Window
+
+    keys = df.select(*key_cols).distinct()
+    parts = max(2, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
+    ranged = keys.repartitionByRange(parts, *key_cols)
+    pid = F.spark_partition_id().alias("_pid")
+    w = Window.partitionBy("_pid").orderBy(*key_cols)
+    local = ranged.select(*key_cols, pid).withColumn(
+        "_lrk", F.dense_rank().over(w)
+    )
+    local = local.localCheckpoint(eager=True)
+    sizes = (
+        local.groupBy("_pid")
+        .agg(F.max("_lrk").alias("_n"))
+        .orderBy("_pid")
+        .collect()
+    )
+    offset, offsets = 0, {}
+    for r in sizes:
+        offsets[r["_pid"]] = offset
+        offset += r["_n"]
+    omap = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    ranked = local.select(
+        *key_cols,
+        (F.col("_lrk") - 1 + omap[F.col("_pid")]).cast("long").alias(out_col),
+    )
+    return df.join(ranked, key_cols)
+
+
+def suffix_ranks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_len: int | None = None,
+) -> DataFrame:
+    """(id, pos, srank) for every suffix of every document — srank is
+    the dense lexicographic rank of the suffix among ALL corpus
+    suffixes. Prefix doubling: O(log max_len) rounds of
+    join + dense-rank; per-round lineage cut with localCheckpoint
+    (the k-references-per-round plan would otherwise go exponential —
+    same contract as connected_components_star)."""
+    t = F.col(text_col)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(t, "")).alias("pos", "ch"),
+    ).filter(F.col("ch") != "")
+    cur = global_dense_rank(base, ["ch"], "r").select("id", "pos", "r")
+    cur = cur.localCheckpoint(eager=True)
+    if max_len is None:
+        max_len = int(
+            df.agg(F.max(F.length(t)).alias("m")).first()["m"] or 0
+        )
+    n_suffixes = cur.count()
+    width = 1
+    while width < max_len:
+        nxt_rank = cur.select(
+            F.col("id"),
+            (F.col("pos") - width).alias("pos"),
+            F.col("r").alias("r2"),
+        )
+        paired = (
+            cur.join(nxt_rank, ["id", "pos"], "left")
+            .select(
+                "id", "pos", "r", F.coalesce("r2", F.lit(-1)).alias("r2")
+            )
+        )
+        cur = global_dense_rank(paired, ["r", "r2"], "rn").select(
+            "id", "pos", F.col("rn").alias("r")
+        )
+        cur = cur.localCheckpoint(eager=True)
+        width *= 2
+        if cur.agg(F.max("r")).first()[0] == n_suffixes - 1:
+            break  # all suffixes already distinct — fully ordered
+    return cur.select(
+        F.col("id").alias(id_col), "pos", F.col("r").alias("srank")
+    )
+
+
+def repeated_suffix_groups(
+    ranks: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Suffix-rank groups shared by >1 suffix — i.e. full suffixes that
+    are IDENTICAL strings (the dense-rank ties). One hash agg."""
+    return (
+        ranks.groupBy("srank")
+        .agg(
+            F.count("*").alias("n_suffixes"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+        .filter(F.col("n_suffixes") > 1)
+    )

@@ -125,6 +125,16 @@ def remove_duplicated_spans(
     it covers is cut from every document, and the survivors are
     reassembled in order.
 
+    Approximation bound (exact, not heuristic): windows slide at every
+    token offset, so ANY duplicated token run of length >= n shared by
+    >= min_docs docs is removed IN FULL regardless of alignment —
+    "straddling" duplicates cannot escape. What this variant cannot
+    see, by construction: (a) duplicated runs SHORTER than n tokens,
+    and (b) runs repeated only WITHIN one document (the counter is
+    distinct docs). For character-granularity ExactSubstr semantics
+    with within-doc counting — the Lee et al. formulation proper — use
+    :func:`exact_substring_dedup`.
+
     Returns one row per input document: (id, clean_text, n_kept,
     n_removed).
 
@@ -202,6 +212,128 @@ def remove_duplicated_spans(
                 "n_removed"
             ),
         )
+    )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    min_len: int = 50,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cross_doc_only: bool = False,
+) -> DataFrame:
+    """True ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better") at CHARACTER granularity: every
+    character covered by a substring of length >= ``min_len`` that
+    occurs >= ``min_count`` times in the corpus (within- or cross-doc;
+    ``cross_doc_only`` switches the counter to distinct docs) is cut
+    from every occurrence, and each document is reassembled from its
+    surviving character ranges.
+
+    Where the paper builds a suffix array, the distributed
+    formulation slides an ``min_len``-char window over every offset:
+    a duplicated substring of ANY length L >= min_len contains a
+    duplicated min_len-window at every one of its L - min_len + 1
+    offsets, so flagging windows and unioning their spans covers
+    exactly the characters a suffix-array scan at the same threshold
+    would — same semantics, no global suffix sort (which would need
+    O(log n) all-corpus rank rounds). Misaligned ("straddling")
+    duplicates are caught by construction: windows are per-offset, not
+    tiled, so alignment never matters — pinned by test.
+
+    Scale shape: one transform-over-sequence builds the per-doc window
+    array (hashes only, never the substrings), one explode →
+    (id, offset, xxhash64) rows — corpus-linear with an 8-byte payload;
+    one hash agg on the window hash; flagged offsets join back
+    (corpus-linear, hot windows only); per-doc interval merge and text
+    reconstruction are array/aggregate HOFs over doc-bounded arrays —
+    no char-level explode, no window function, no Python. At 100 TB the
+    only wide ops are the window-hash agg and the flagged-offset join,
+    both on 8-byte keys.
+
+    Returns (id, clean_text, n_kept, n_removed) in characters.
+    """
+    L = int(min_len)
+    t = F.col(text_col)
+    win = lambda i: F.struct(  # noqa: E731
+        i.alias("i"), F.xxhash64(t.substr(i, F.lit(L))).alias("h")
+    )
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — docs
+    # shorter than L must yield an explicitly empty window array
+    starts_seq = F.when(
+        F.length(t) >= L, F.sequence(F.lit(1), F.length(t) - (L - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.transform(starts_seq, win)).alias("e"),
+    ).select("id", "e.i", "e.h")
+    counter = (
+        F.countDistinct("id") if cross_doc_only else F.count("*")
+    ).alias("c")
+    hot = (
+        toks.groupBy("h")
+        .agg(counter)
+        .filter(F.col("c") >= min_count)
+        .select("h")
+    )
+    flagged = (
+        toks.join(hot, "h")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list("i")).alias("starts"))
+    )
+    # sorted starts -> merged [lo, hi] char intervals; each start
+    # covers [s, s+L-1] and starts ascend, so an overlapping/adjacent
+    # start always extends the LAST interval's hi to s+L-1
+    empty_iv = F.array().cast("array<struct<lo:int,hi:int>>")
+    merged = F.aggregate(
+        F.col("starts"),
+        empty_iv,
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (s <= F.element_at(acc, -1)["hi"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["lo"].alias("lo"),
+                        (s + (L - 1)).alias("hi"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(s.alias("lo"), (s + (L - 1)).alias("hi"))
+                ),
+            )
+        ),
+    )
+    joined = df.select(F.col(id_col).alias("id"), t.alias("_t")).join(
+        flagged, "id", "left"
+    )
+    tt = F.col("_t")
+    rebuilt = F.when(F.col("starts").isNull(), tt).otherwise(
+        F.aggregate(
+            merged,
+            F.struct(F.lit(1).alias("pos"), F.lit("").alias("acc")),
+            lambda st, iv: F.struct(
+                (iv["hi"] + 1).alias("pos"),
+                F.concat(
+                    st["acc"], tt.substr(st["pos"], iv["lo"] - st["pos"])
+                ).alias("acc"),
+            ),
+            lambda st: F.concat(
+                st["acc"], tt.substr(st["pos"], F.length(tt))
+            ),
+        )
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        rebuilt.alias("clean_text"),
+        F.length(rebuilt).alias("n_kept"),
+        (F.length(tt) - F.length(rebuilt)).alias("n_removed"),
     )
 
 

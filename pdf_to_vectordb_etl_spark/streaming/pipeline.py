@@ -614,8 +614,14 @@ def stream_psi_counts(
         if span == 0
         else F.least(
             F.lit(bins - 1),
-            F.floor((F.col(value_col) - F.lit(v_lo)) / F.lit(span) * bins).cast(
-                "int"
+            # clamp at 0 too: live values below the batch-trained v_lo
+            # literal would otherwise mint negative bin ids that the
+            # batch psi convention (data-global bounds) can never emit
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col(value_col) - F.lit(v_lo)) / F.lit(span) * bins
+                ).cast("int"),
             ),
         )
     )

@@ -404,3 +404,49 @@ def test_mrr_query_panel_broadcasts(spark, sf_dir):
     # partitioned window (qid exchange), never a global sort of pairs
     assert "BroadcastExchange" in plan
     assert "WindowGroupLimit" in plan or "Window" in plan
+
+
+def test_star_join_aqe_switchover(spark, sf_dir):
+    """Pins the docstring claim of the un-hinted star joins
+    (q_star_shipping_priority / q_star_region_volume): the fact-fact
+    joins carry NO broadcast hint, so the physical strategy is
+    threshold-driven — AQE broadcasts at small SF where runtime stats
+    fit the threshold, and the SAME plan falls back to sort-merge /
+    shuffled-hash when relations exceed it (simulated here by
+    disabling the broadcast thresholds — exactly what a 100x scale-up
+    does to a fixed threshold). A forced F.broadcast() on
+    orders/customer/lineitem would make the second half fail."""
+    confs = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    saved = {c: spark.conf.get(c, None) for c in confs}
+    try:
+        for name in ["star_shipping_priority", "star_region_volume"]:
+            # small SF, default thresholds: AQE broadcasts the facts
+            for c in confs:
+                spark.conf.set(c, "10485760")
+            df = _q(spark, sf_dir, name)
+            df.collect()
+            final = df._jdf.queryExecution().executedPlan().toString()
+            assert "isFinalPlan=true" in final, name
+            assert "SortMergeJoin" not in final, (
+                f"{name}: AQE should broadcast every join at tiny SF"
+            )
+            # thresholds off = relations too big to broadcast: the
+            # un-hinted fact joins must degrade to sort-merge, not OOM
+            # through a forced broadcast
+            for c in confs:
+                spark.conf.set(c, "-1")
+            df2 = _q(spark, sf_dir, name)
+            df2.collect()
+            final2 = df2._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in final2 or "ShuffledHashJoin" in final2, (
+                f"{name}: fact joins must shuffle when broadcast is off"
+            )
+    finally:
+        for c, v in saved.items():
+            if v is None:
+                spark.conf.unset(c)
+            else:
+                spark.conf.set(c, v)

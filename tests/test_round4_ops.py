@@ -1,0 +1,335 @@
+"""Round-4 additions: hash-bucketed negative sampling, degenerate-ratio
+NULL guards (kappa, sketch Jaccard), zero-query PQ sentinel, streaming
+PSI bin clamp."""
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+
+
+def test_negative_edges_small_domain_exact(spark):
+    """B = 1 (node count below the candidate pool) keeps the exact
+    all-pairs semantics: per src, the k non-neighbours with globally
+    smallest md5(src‖dst), replicated here with hashlib."""
+    from pdf_to_vectordb_etl_spark.operators import graph
+
+    pos = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(pos, ["src", "dst"])
+    got = {
+        (r["src"], r["dst"])
+        for r in graph.negative_edge_sample(edges, k_per_src=2).collect()
+    }
+    nodes = {1, 2, 3, 4, 5}
+    expected = set()
+    for s in nodes:
+        cands = [
+            (s, d)
+            for d in nodes
+            if d != s and (s, d) not in set(pos)
+        ]
+        cands.sort(
+            key=lambda p: (
+                hashlib.md5(f"{p[0]}→{p[1]}".encode()).hexdigest(),
+                p[1],
+            )
+        )
+        expected.update(cands[:2])
+    assert got == expected
+
+
+def test_negative_edges_bucketed_path_bounded(spark):
+    """Above the candidate pool the generator must go through the
+    md5-bucket equi-join — never a cross join. Planted 10k-node chain:
+    the physical plan carries no Cartesian/nested-loop join, output is
+    disjoint from positives, capped per source, and non-trivially
+    large (most sources get their full k)."""
+    from collections import Counter
+
+    from pdf_to_vectordb_etl_spark.operators import graph
+
+    n = 10_000
+    base = spark.range(n).select(F.col("id").alias("src"))
+    edges = base.select(
+        "src", ((F.col("src") + 1) % n).alias("dst")
+    )
+    out = graph.negative_edge_sample(edges, k_per_src=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = out.collect()
+    pos = {(i, (i + 1) % n) for i in range(n)}
+    got = {(r["src"], r["dst"]) for r in rows}
+    assert not (got & pos)
+    assert all(r["src"] != r["dst"] for r in rows)
+    per_src = Counter(r["src"] for r in rows)
+    assert all(v <= 2 for v in per_src.values())
+    # pool≈64 candidates per src vs degree 2: virtually every source
+    # fills its quota — guards against a silently-empty generator
+    assert len(rows) > 1.9 * n
+
+
+def test_stream_psi_counts_clamps_low_outliers(spark):
+    """Live values below the batch-trained v_lo literal land in bin 0,
+    never a negative bin (which batch PSI could never emit)."""
+    from pdf_to_vectordb_etl_spark.streaming.pipeline import (
+        stream_psi_counts,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-02 00:00:00", "click", -50.0),
+            (2, "2024-01-02 00:00:00", "click", 5.0),
+            (3, "2024-01-02 00:00:00", "click", 999.0),
+        ],
+        ["event_id", "ts_s", "event_type", "value"],
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+    )
+    out = stream_psi_counts(
+        ev, t_mid_us=0, v_lo=0.0, v_hi=10.0, bins=10
+    ).collect()
+    bins = {r["bin"]: r["c"] for r in out}
+    assert min(bins) >= 0 and max(bins) <= 9
+    assert bins[0] == 1 and bins[5] == 1 and bins[9] == 1
+
+
+def test_cohens_kappa_single_class_is_null(spark):
+    """pe = 1 (single-class confusion matrix) reports NULL kappa, not
+    NaN — matching the module's degenerate-ratio convention."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation as ev
+
+    df = spark.createDataFrame(
+        [("a", "a")] * 5, ["pred", "truth"]
+    )
+    row = ev.cohens_kappa(df, "pred", "truth").first()
+    assert row["po"] == 1.0 and row["pe"] == 1.0
+    assert row["kappa"] is None
+
+
+def test_kmv_jaccard_empty_slices_null(spark):
+    """Empty union sketch yields NULL jaccard/intersection, not 0/0."""
+    from pdf_to_vectordb_etl_spark.operators import sketch
+
+    df = spark.createDataFrame(
+        [(1, "other")], ["uid", "event_type"]
+    )
+    row = sketch.kmv_set_report(
+        df, "uid", "event_type", "click", "view"
+    ).first()
+    assert row["jaccard"] is None and row["est_intersection"] is None
+
+
+def test_exact_substr_straddling_duplicate_removed(spark):
+    """The adversarial case the token span-hash variant was suspected
+    of missing: a duplicated region at DIFFERENT offsets in each doc
+    (no shared alignment). Per-offset sliding windows must remove it
+    in full from both docs."""
+    from pdf_to_vectordb_etl_spark.operators.webcorpus import (
+        exact_substring_dedup,
+    )
+
+    dup = "THE-EXACT-DUPLICATED-PASSAGE-IS-THIS-SENTENCE-1234567890"
+    # boundary chars differ on every side so the maximal duplicated
+    # substring is exactly `dup` (a shared adjacent char would join it)
+    docs = spark.createDataFrame(
+        [
+            (1, "aaa1" + dup + "2tail one"),
+            (2, "a much longer and different prefix here9" + dup),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in exact_substring_dedup(docs, min_len=40, min_count=2)
+        .collect()
+    }
+    assert dup not in out[1]["clean_text"]
+    assert dup not in out[2]["clean_text"]
+    assert out[1]["clean_text"] == "aaa12tail one"
+    assert out[2]["clean_text"] == "a much longer and different prefix here9"
+    assert out[1]["n_removed"] == len(dup)
+    assert out[2]["n_removed"] == len(dup)
+
+
+def test_exact_substr_below_threshold_survives(spark):
+    """A duplicate one char SHORTER than min_len is untouched — the
+    documented exact bound of the windowed formulation."""
+    from pdf_to_vectordb_etl_spark.operators.webcorpus import (
+        exact_substring_dedup,
+    )
+
+    dup = "x" * 39  # min_len - 1
+    docs = spark.createDataFrame(
+        [(1, "aaa" + dup + "bbb"), (2, "ccc" + dup + "ddd")],
+        ["doc_id", "text"],
+    )
+    out = exact_substring_dedup(docs, min_len=40, min_count=2).collect()
+    assert all(r["n_removed"] == 0 for r in out)
+
+
+def test_exact_substr_within_doc_repeat_removed(spark):
+    """min_count counts OCCURRENCES (Lee et al. semantics): a passage
+    repeated twice inside ONE doc is cut — both copies — while
+    cross_doc_only=True keeps it."""
+    from pdf_to_vectordb_etl_spark.operators.webcorpus import (
+        exact_substring_dedup,
+    )
+
+    dup = "INTERNAL-REPEATED-BLOCK-0123456789-ABCDEFGHIJ"
+    # distinct boundary chars: the maximal within-doc repeat is `dup`
+    docs = spark.createDataFrame(
+        [(1, "s1A" + dup + "Bmid C" + dup + "D s2")], ["doc_id", "text"]
+    )
+    row = exact_substring_dedup(docs, min_len=40, min_count=2).first()
+    assert dup not in row["clean_text"]
+    assert row["n_removed"] == 2 * len(dup)
+    keep = exact_substring_dedup(
+        docs, min_len=40, min_count=2, cross_doc_only=True
+    ).first()
+    assert keep["n_removed"] == 0
+
+
+def test_exact_substr_short_doc_untouched(spark):
+    """Docs shorter than min_len have no windows — and must not fall
+    into Spark's sequence(1, 0) == [1, 0] descending-sequence trap."""
+    from pdf_to_vectordb_etl_spark.operators.webcorpus import (
+        exact_substring_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "short"), (2, "short"), (3, "")], ["doc_id", "text"]
+    )
+    out = exact_substring_dedup(docs, min_len=40, min_count=2).collect()
+    assert all(r["n_removed"] == 0 for r in out)
+    assert {r["doc_id"]: r["clean_text"] for r in out} == {
+        1: "short", 2: "short", 3: ""
+    }
+
+
+def test_suffix_ranks_match_python_sort(spark):
+    """Prefix-doubling ranks equal the dense rank of a plain Python
+    sort of all suffixes — including the shorter-prefix-sorts-first
+    boundary ('ban' suffixes interleaving with 'banana' ones)."""
+    from pdf_to_vectordb_etl_spark.operators import suffixes
+
+    docs = spark.createDataFrame(
+        [(1, "banana"), (2, "ban"), (3, "abc")], ["doc_id", "text"]
+    )
+    got = {
+        (r["doc_id"], r["pos"]): r["srank"]
+        for r in suffixes.suffix_ranks(docs).collect()
+    }
+    sufs = []
+    for did, txt in [(1, "banana"), (2, "ban"), (3, "abc")]:
+        for p in range(len(txt)):
+            sufs.append((txt[p:], did, p))
+    ranks, last, r = {}, None, -1
+    for s, did, p in sorted(sufs):
+        if s != last:
+            r += 1
+            last = s
+        ranks[(did, p)] = r
+    assert got == ranks
+
+
+def test_suffix_ranks_ties_on_identical_docs(spark):
+    """Identical documents produce identical suffixes — dense ranks
+    must TIE (equal srank), not break arbitrarily, and
+    repeated_suffix_groups must surface every tied group."""
+    from pdf_to_vectordb_etl_spark.operators import suffixes
+
+    docs = spark.createDataFrame(
+        [(1, "xyzw"), (2, "xyzw"), (3, "qq")], ["doc_id", "text"]
+    )
+    ranks = suffixes.suffix_ranks(docs)
+    rows = ranks.collect()
+    by_rank = {}
+    for r in rows:
+        by_rank.setdefault(r["srank"], []).append((r["doc_id"], r["pos"]))
+    # every suffix of doc1 ties with the same-pos suffix of doc2
+    for pos in range(4):
+        shared = [
+            k for k, v in by_rank.items() if (1, pos) in v and (2, pos) in v
+        ]
+        assert shared, f"pos {pos} suffixes of identical docs must tie"
+    groups = {
+        r["srank"]: (r["n_suffixes"], r["n_docs"])
+        for r in suffixes.repeated_suffix_groups(ranks).collect()
+    }
+    # exactly the 4 cross-doc ties (the xyzw suffixes); 'qq' vs 'q'
+    # are different strings so doc 3 contributes none
+    assert len(groups) == 4
+    assert sorted(groups.values()) == [(2, 2)] * 4
+
+
+def test_global_dense_rank_exact(spark):
+    """The distributed dense-rank primitive is exact on a key set that
+    spans many range partitions, with duplicates."""
+    import pyspark.sql.functions as SF
+
+    from pdf_to_vectordb_etl_spark.operators.suffixes import (
+        global_dense_rank,
+    )
+
+    df = spark.range(5000).select(
+        (SF.col("id") % 997).alias("k"), SF.col("id").alias("orig")
+    )
+    out = global_dense_rank(df, ["k"], "rk").collect()
+    assert len(out) == 5000
+    assert all(r["rk"] == r["k"] for r in out)  # dense rank of 0..996
+
+
+def test_real_kernel_probe_plumbing(spark, tmp_path):
+    """The real-PDF integration probe must run its full
+    scan -> decode -> parse -> report chain with the fake decoder on a
+    planted folder (the hermetic twin of the pymupdf-host run that
+    asserts BASELINE.md's 2022 counts), and the CLI must exit 2 (clean
+    skip) when pymupdf is absent."""
+    import subprocess
+    import sys as _sys
+
+    from tools.real_kernel_probe import run_probe
+
+    pdf_dir = tmp_path / "pdfs"
+    pdf_dir.mkdir()
+    for name in [
+        "2022_PV_impresso_D1_CD1.pdf",
+        "2022_GB_impresso_D1_CD1.pdf",
+    ]:
+        (pdf_dir / name).write_bytes(b"%PDF-1.4 fake " + name.encode())
+    got = run_probe(spark, str(pdf_dir), use_fake=True)
+    assert isinstance(got, dict)  # ran end-to-end; fake pages parse to 0
+
+    try:
+        import fitz  # type: ignore  # noqa: F401
+
+        return  # real pymupdf present: the CLI path is the real probe
+    except ImportError:
+        pass
+    r = subprocess.run(
+        [_sys.executable, "tools/real_kernel_probe.py"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=120,
+    )
+    assert r.returncode == 2, r.stdout + r.stderr
+    assert "PROBE SKIPPED" in r.stdout
+
+
+def test_pq_topk_zero_query_scores_sentinel(spark, sf_dir):
+    """A zero query vector scores the cosine sentinel -1.0 everywhere,
+    matching ivfpq_topk and functions.vector.cosine_similarity."""
+    from pdf_to_vectordb_etl_spark.operators import quantization as pq
+    from tests.conftest import load
+
+    emb = load(spark, sf_dir, "embeddings").limit(50)
+    books = pq.pq_train(emb, m=4, k=4, n_iters=1, dim=64)
+    codes = pq.pq_encode(emb, books)
+    top = pq.pq_topk(codes, books, [0.0] * 64, k=5).collect()
+    assert len(top) == 5
+    assert all(r["adc_sim"] == -1.0 for r in top)
