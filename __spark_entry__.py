@@ -2614,6 +2614,73 @@ def q_suffix_ranks(spark, sf):
     return suffixes.suffix_ranks(d2)
 
 
+def q_longest_repeated_substring(spark, sf):
+    """The flagship suffix-array statistic without the suffix array:
+    binary search on window length (repetition is monotone in length —
+    O(log max_len) hash-agg passes), then extract the smallest
+    witness. The oracle derives the same answer by the classical
+    suffix route — max LCP over ADJACENT sorted suffixes — so two
+    genuinely different algorithms must agree on (length, witness,
+    counts). Same ASCII/120-char projection as suffix_ranks."""
+    from pdf_to_vectordb_etl_spark.operators import suffixes
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    d2 = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.substring("text", 1, 120), r"[^\x20-\x7e]", ""
+        ).alias("text"),
+    )
+    return suffixes.longest_repeated_substring(d2)
+
+
+def q_t17_stream_gram_hist(spark, sf):
+    """T17 — the DSIR feature space maintained live: hashed uni+bigram
+    bucket counts over a document stream as an associative streaming
+    sum (state bounded at 512 rows). One code path with the batch
+    models (curation.hashed_gram_array/gram_bucket), so over identical
+    rows the snapshot equals the batch histogram and the batch SQL is
+    the parity oracle."""
+    import tempfile
+
+    from pdf_to_vectordb_etl_spark.streaming.pipeline import (
+        stream_gram_histogram,
+    )
+
+    raw_schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+    )
+    live = stream_gram_histogram(stream, n_buckets=512)
+    name = "t17_gram_hist"
+    q = (
+        live.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t17ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select("b", "c")
+
+
+def q_dsir_select(spark, sf):
+    """DSIR data selection (Xie et al. 2023): hashed uni+bigram bag
+    models on target (lang='en') vs the raw pool, per-doc log
+    importance ratio, top-50. Two 4096-row broadcast histograms + one
+    per-doc sum — see curation.dsir_weights."""
+    from pdf_to_vectordb_etl_spark.operators import curation
+
+    docs = _t(spark, sf, "documents")
+    return curation.dsir_weights(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=4096, k=50
+    )
+
+
 def q_ta_perplexity(spark, sf):
     """CCNet-style perplexity filter: score every doc under an add-k
     corpus bigram LM (textanalysis.smoothed_perplexity_scores), then
@@ -5671,6 +5738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "exact_substr_dedup": q_exact_substr_dedup,
         "suffix_ranks": q_suffix_ranks,
+        "longest_repeated_substring": q_longest_repeated_substring,
+        "dsir_select": q_dsir_select,
         "ta_perplexity": q_ta_perplexity,
         "binary_hamming_topk": q_binary_hamming_topk,
         "mrl_recall": q_mrl_recall,
@@ -5783,6 +5852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "money_exact": q_money_exact,
         "mm_extract_features": q_mm_extract_features,
         "t16_stream_psi": q_t16_stream_psi,
+        "t17_stream_gram_hist": q_t17_stream_gram_hist,
         "tree_rollup": q_tree_rollup,
         "runs_test": q_runs_test,
     }
@@ -8429,6 +8499,116 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderpriority LIKE '1%')
             GROUP BY c_mktsegment
+        """,
+        # T17: the live histogram is an associative sum over the same
+        # gram/bucket projection — snapshot == batch histogram.
+        "t17_stream_gram_hist": r"""
+            WITH d AS (
+              SELECT string_split(trim(regexp_replace(lower(text),
+                       '\s+', ' ', 'g')), ' ') AS ws
+              FROM documents),
+            g AS (
+              SELECT tok FROM (
+                SELECT unnest(list_filter(ws, w -> w <> '')) AS tok
+                FROM d
+                UNION ALL
+                SELECT unnest(list_transform(
+                         generate_series(1, len(ws) - 1),
+                         i -> ws[i] || ' ' || ws[i + 1])) AS tok
+                FROM d WHERE len(ws) >= 2)
+              WHERE tok <> '')
+            SELECT ('0x' || substr(md5(tok), 1, 4))::BIGINT % 512 AS b,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM g GROUP BY b
+        """,
+        # DSIR replay: same hashed uni+bigram buckets (16 md5 bits mod
+        # 4096 — zero modulo bias), add-1 smoothed target/raw models,
+        # per-doc log-ratio sum, rounded-score top-50.
+        "dsir_select": r"""
+            WITH d AS (
+              SELECT doc_id, lang,
+                     string_split(trim(regexp_replace(lower(text),
+                       '\s+', ' ', 'g')), ' ') AS ws
+              FROM documents),
+            g AS (
+              SELECT doc_id, lang, tok FROM (
+                SELECT doc_id, lang,
+                       unnest(list_filter(ws, w -> w <> '')) AS tok
+                FROM d
+                UNION ALL
+                SELECT doc_id, lang,
+                       unnest(list_transform(
+                         generate_series(1, len(ws) - 1),
+                         i -> ws[i] || ' ' || ws[i + 1])) AS tok
+                FROM d WHERE len(ws) >= 2)
+              WHERE tok <> ''),
+            bk AS (
+              SELECT doc_id, lang,
+                     ('0x' || substr(md5(tok), 1, 4))::BIGINT % 4096 AS b
+              FROM g),
+            th AS (SELECT b, count(*) AS c FROM bk WHERE lang = 'en'
+                   GROUP BY b),
+            tt AS (SELECT coalesce(sum(c), 0) AS t FROM th),
+            rh AS (SELECT b, count(*) AS c FROM bk GROUP BY b),
+            rt AS (SELECT sum(c) AS t FROM rh),
+            ratio AS (
+              SELECT r.b,
+                     coalesce(
+                       ln((t2.c + 1.0) / ((SELECT t FROM tt) + 4096.0)),
+                       ln(1.0 / ((SELECT t FROM tt) + 4096.0)))
+                     - ln((r.c + 1.0) / ((SELECT t FROM rt) + 4096.0))
+                       AS lr
+              FROM rh r LEFT JOIN th t2 ON r.b = t2.b),
+            sc AS (
+              SELECT bk.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                     round(sum(ratio.lr), 6) AS logw
+              FROM bk JOIN ratio USING (b) GROUP BY bk.doc_id)
+            SELECT doc_id, n_grams, logw FROM sc
+            ORDER BY logw DESC, doc_id LIMIT 50
+        """,
+        # LRS by the classical suffix route: max LCP over adjacent
+        # sorted suffixes (monotone prefix equality -> max k with equal
+        # prefixes IS the LCP), then the smallest repeated witness.
+        "longest_repeated_substring": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_replace(substr(text, 1, 120),
+                                    '[^\x20-\x7e]', '', 'g') AS t
+              FROM documents WHERE doc_id < 100),
+            s AS (
+              SELECT doc_id, substr(t, p + 1) AS suf
+              FROM (SELECT doc_id, t, unnest(range(length(t))) AS p
+                    FROM d)),
+            o AS (SELECT suf, lead(suf) OVER (ORDER BY suf) AS nxt FROM s),
+            pr AS (SELECT suf, nxt FROM o WHERE nxt IS NOT NULL),
+            kk AS (
+              SELECT suf, nxt,
+                     unnest(generate_series(
+                       1, least(length(suf), length(nxt)))) AS k
+              FROM pr),
+            lcps AS (
+              SELECT suf, nxt, max(k) AS lcp FROM kk
+              WHERE substr(suf, 1, k) = substr(nxt, 1, k)
+              GROUP BY suf, nxt),
+            mx AS (SELECT max(lcp) AS lrs_len FROM lcps),
+            w AS (
+              SELECT doc_id, substr(t, p + 1, (SELECT lrs_len FROM mx))
+                       AS sub
+              FROM (SELECT doc_id, t, unnest(range(length(t))) AS p
+                    FROM d)
+              WHERE p + (SELECT lrs_len FROM mx) <= length(t)),
+            hot AS (
+              SELECT sub, CAST(count(*) AS BIGINT) AS n_occurrences,
+                     CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+              FROM w GROUP BY sub HAVING count(*) >= 2),
+            win AS (SELECT * FROM hot ORDER BY sub LIMIT 1)
+            SELECT CAST(coalesce((SELECT lrs_len FROM mx), 0) AS INT)
+                     AS lrs_len,
+                   (SELECT sub FROM win) AS lrs,
+                   CAST(coalesce((SELECT n_occurrences FROM win), 0)
+                        AS BIGINT) AS n_occurrences,
+                   CAST(coalesce((SELECT n_docs FROM win), 0) AS BIGINT)
+                     AS n_docs
         """,
         "suffix_ranks": r"""
             WITH d AS (

@@ -62,6 +62,7 @@ def main() -> None:
         "small_qty_revenue",       # correlated subquery (Q17 class)
         "sentence_chunks",         # RAG sentence-window chunking
         "span_dedup",              # corpus duplicated-span removal
+        "exact_substr_dedup",      # char-level ExactSubstr dedup
         "binary_hamming_topk",     # 1-bit sign ANN + rerank
         "graph_pagerank",          # iterative graph centrality
         "pricing_summary",         # full-scan pricing report (Q1 class)

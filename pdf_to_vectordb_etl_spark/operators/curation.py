@@ -423,6 +423,112 @@ def temperature_resample(
     )
 
 
+def hashed_gram_array(text: Column) -> Column:
+    """Uni+bigram feature array for hashed bag models (the DSIR
+    feature space; shared by the T17 streaming histogram): lowercase,
+    whitespace-normalized words plus adjacent-pair bigrams. Pure
+    Column expression — usable in batch and streaming projections."""
+    words = F.split(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")), " ")
+    # bigrams only when >= 2 words (sequence(1, 0) would descend and a
+    # missing element_at would silently fold a unigram back in)
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(F.filter(words, lambda w: w != ""), bigrams)
+
+
+def gram_bucket(tok: Column, n_buckets: int) -> Column:
+    """md5 16-bit prefix mod ``n_buckets`` — zero modulo bias when
+    n_buckets divides 65536; SQL-replayable everywhere."""
+    return (
+        F.conv(F.substring(F.md5(tok), 1, 4), 16, 10).cast("long")
+        % n_buckets
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+) -> DataFrame:
+    """DSIR — Data Selection with Importance Resampling (Xie et al.
+    2023, public): score every raw document by the log importance
+    ratio of two hashed-n-gram bag models, one trained on the TARGET
+    distribution (the data you want more of) and one on the raw pool:
+
+        log w(doc) = Σ_gram [ ln p_target(bucket) − ln p_raw(bucket) ]
+
+    with uni+bigram features hashed to ``n_buckets`` md5 buckets and
+    add-1 smoothing. Top-``k`` by rounded weight (doc-id tiebreak) is
+    the selected set; feed the full weight column to
+    temperature_resample/quota_allocate for soft selection instead.
+
+    Scale shape: one explode of each corpus's gram stream (grams built
+    per-doc THEN exploded once — the repo's explode-once rule), two
+    B-bounded histogram aggregates that broadcast back (B = 4096 rows,
+    a few KB at any corpus size), one per-doc sum. The md5 bucket (16
+    hash bits, B divides 65536 → zero modulo bias) keeps both models
+    byte-replayable in any SQL engine.
+
+    Returns (doc_id, n_grams, logw) for the selected top-k."""
+    grams = hashed_gram_array(F.col(text_col))
+
+    def exploded(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            F.col(id_col).alias("id"), F.explode(grams).alias("tok")
+        ).filter(F.col("tok") != "")
+        return toks.select(
+            "id", gram_bucket(F.col("tok"), n_buckets).alias("b")
+        )
+
+    def hist(toks: DataFrame, name: str) -> DataFrame:
+        h = toks.groupBy("b").agg(F.count("*").alias("c"))
+        tot = h.agg(F.sum("c").alias("t"))
+        return h.crossJoin(F.broadcast(tot)).select(
+            "b",
+            F.log(
+                (F.col("c") + 1.0) / (F.col("t") + float(n_buckets))
+            ).alias(name),
+        )
+
+    raw_toks = exploded(raw)
+    tgt_toks = exploded(target)
+    tgt = hist(tgt_toks, "lp_t")
+    rawh = hist(raw_toks, "lp_r")
+    # raw histogram covers every bucket raw docs touch, so the left
+    # join below never misses lp_r; buckets the target never saw
+    # smooth to ln(1 / (n_target_grams + B))
+    n_tgt_total = tgt_toks.count()
+    fallback = F.log(F.lit(1.0) / F.lit(float(n_tgt_total + n_buckets)))
+    ratio = rawh.join(tgt, "b", "left").select(
+        "b", (F.coalesce("lp_t", fallback) - F.col("lp_r")).alias("lr")
+    )
+    scored = (
+        raw_toks.join(F.broadcast(ratio), "b")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.round(F.sum("lr"), 6).alias("logw"),
+        )
+    )
+    # orderBy().limit(k) compiles to TakeOrdered — per-partition top-k
+    # + a k-row driver merge, no single-partition sort
+    return (
+        scored.orderBy(F.desc("logw"), F.col("id"))
+        .limit(k)
+        .select(F.col("id").alias(id_col), "n_grams", "logw")
+    )
+
+
 def quota_allocate(
     df: DataFrame,
     total: int,

@@ -133,6 +133,98 @@ def suffix_ranks(
     )
 
 
+def longest_repeated_substring(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """The corpus's longest substring occurring >= ``min_count`` times
+    (within- or cross-doc) — the flagship suffix-array statistic, here
+    by BINARY SEARCH on window length: "some length-m substring
+    repeats" is monotone in m, so O(log max_len) corpus passes (one
+    hash agg each) bracket the answer exactly; a final pass extracts
+    the lexicographically-smallest witness and its occurrence counts.
+
+    Windows group by the SUBSTRING VALUE, not a hash — exact by
+    construction at any corpus the gate runs. At 100 TB group by
+    xxhash64 first and verify only the surviving candidates by value
+    (two-phase, same passes), trading one extra join for never
+    shuffling raw text.
+
+    Returns ONE row: (lrs_len, lrs, n_occurrences, n_docs) — zeros and
+    NULL lrs when nothing repeats. Driver-side state: one boolean per
+    probe (the documented O(log max_len) action loop)."""
+    t = F.col(text_col)
+    src = df.select(F.col(id_col).alias("id"), t.alias("_t")).filter(
+        F.length("_t") > 0
+    )
+    src = src.localCheckpoint(eager=True)
+    max_len = int(src.agg(F.max(F.length("_t"))).first()[0] or 0)
+
+    def windows(m: int) -> DataFrame:
+        seq = F.when(
+            F.length("_t") >= m,
+            F.sequence(F.lit(1), F.length("_t") - (m - 1)),
+        ).otherwise(F.array().cast("array<int>"))
+        return src.select(
+            "id",
+            F.explode(
+                F.transform(
+                    seq,
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.col("_t").substr(i, F.lit(m)).alias("sub"),
+                    ),
+                )
+            ).alias("e"),
+        ).select("id", "e.i", "e.sub")
+
+    def repeats(m: int) -> bool:
+        return (
+            windows(m)
+            .groupBy("sub")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") >= min_count)
+            .limit(1)
+            .count()
+            > 0
+        )
+
+    spark = df.sparkSession
+    if max_len == 0 or not repeats(1):
+        return spark.createDataFrame(
+            [(0, None, 0, 0)],
+            "lrs_len INT, lrs STRING, n_occurrences BIGINT, n_docs BIGINT",
+        )
+    lo, hi = 1, max_len  # repeats(lo) True; (hi, max_len] impossible
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if repeats(mid):
+            lo = mid
+        else:
+            hi = mid - 1
+    w = windows(lo)
+    hot = (
+        w.groupBy("sub")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+    return (
+        hot.orderBy("sub")
+        .limit(1)
+        .select(
+            F.lit(lo).alias("lrs_len"),
+            F.col("sub").alias("lrs"),
+            "n_occurrences",
+            "n_docs",
+        )
+    )
+
+
 def repeated_suffix_groups(
     ranks: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -631,3 +631,28 @@ def stream_psi_counts(
         .groupBy(by, "bin")
         .agg(F.count("*").alias("c"))
     )
+
+
+def stream_gram_histogram(
+    docs_stream: DataFrame, n_buckets: int = 512, text_col: str = "text"
+) -> DataFrame:
+    """T17 — the DSIR feature space maintained LIVE: hashed uni+bigram
+    bucket counts over a document stream as an associative streaming
+    sum, state bounded at ``n_buckets`` rows regardless of corpus
+    size. The gram build + bucket hash is a narrow stateless
+    projection (operators.curation.hashed_gram_array / gram_bucket —
+    one code path with the batch DSIR models); over identical rows the
+    snapshot equals the batch histogram, so the batch SQL is the
+    parity oracle. Feeding this into dsir_weights' ratio math gives
+    continuously-retrained selection models without rescanning the
+    corpus."""
+    from ..operators.curation import gram_bucket, hashed_gram_array
+
+    ex = docs_stream.select(
+        F.explode(hashed_gram_array(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok") != "")
+    return (
+        ex.select(gram_bucket(F.col("tok"), n_buckets).alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("c"))
+    )

@@ -266,6 +266,55 @@ def test_suffix_ranks_ties_on_identical_docs(spark):
     assert sorted(groups.values()) == [(2, 2)] * 4
 
 
+def test_longest_repeated_substring_known_answer(spark):
+    """Binary-search LRS finds the planted longest duplicate exactly:
+    length, witness, occurrence and doc counts."""
+    from pdf_to_vectordb_etl_spark.operators import suffixes
+
+    dup = "SHARED-RUN-abcdefgh"
+    docs = spark.createDataFrame(
+        [
+            (1, "xx" + dup + "yy"),
+            (2, "zzz" + dup + "w"),
+            (3, "bcdefghijk"),  # all-distinct chars: zero repeats
+        ],
+        ["doc_id", "text"],
+    )
+    row = suffixes.longest_repeated_substring(docs).first()
+    assert row["lrs_len"] == len(dup)
+    assert row["lrs"] == dup
+    assert row["n_occurrences"] == 2 and row["n_docs"] == 2
+    none = suffixes.longest_repeated_substring(
+        docs.filter("doc_id = 3")
+    ).first()
+    assert none["lrs_len"] == 0 and none["lrs"] is None
+    assert none["n_occurrences"] == 0 and none["n_docs"] == 0
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    """DSIR's importance ratio must rank documents that share the
+    target's n-gram distribution above the off-distribution pool."""
+    from pdf_to_vectordb_etl_spark.operators.curation import dsir_weights
+
+    target_like = [
+        (i, "the quick brown fox jumps over the lazy dog again")
+        for i in range(10)
+    ]
+    off = [
+        (100 + i, "zzz qqq www eee rrr ttt yyy uuu iii ooo")
+        for i in range(10)
+    ]
+    raw = spark.createDataFrame(target_like + off, ["doc_id", "text"])
+    target = spark.createDataFrame(target_like[:5], ["doc_id", "text"])
+    top = dsir_weights(raw, target, n_buckets=256, k=10).collect()
+    assert {r["doc_id"] for r in top} == {i for i, _ in target_like}
+    # full scoring separates the two populations strictly
+    allrows = dsir_weights(raw, target, n_buckets=256, k=20).collect()
+    tgt_scores = [r["logw"] for r in allrows if r["doc_id"] < 100]
+    off_scores = [r["logw"] for r in allrows if r["doc_id"] >= 100]
+    assert min(tgt_scores) > max(off_scores)
+
+
 def test_global_dense_rank_exact(spark):
     """The distributed dense-rank primitive is exact on a key set that
     spans many range partitions, with duplicates."""

@@ -38,6 +38,12 @@ EXEC_HEAVY = {
     "dedup_embedding_cosine", "dedup_embedding_blocked", "binary_hamming_topk",
     "dedup_incremental_exact", "dedup_incremental_minhash", "zorder_files",
     "compaction_plan", "enem_questions", "enem_txt", "enem_json",
+    # r4: prefix-doubling rounds / binary-search probes / CSV sink
+    # round-trip all execute during build; dense-rank windows are
+    # partitioned by spark_partition_id (never global) — pinned in
+    # tests/test_round4_ops.py
+    "suffix_ranks", "longest_repeated_substring", "o7_stats_csv_roundtrip",
+    "t17_stream_gram_hist",
 }
 
 #: (query, reason) pairs for windows that are global BY DESIGN —
