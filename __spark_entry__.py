@@ -2668,6 +2668,72 @@ def q_t17_stream_gram_hist(spark, sf):
     return spark.table(name).select("b", "c")
 
 
+def q_bpe_train(spark, sf):
+    """FULL BPE tokenizer training (8 merge rounds) on the ASCII-
+    projected corpus: the learned merge table, bit-deterministic in
+    any engine (integer pair counts, lexicographic tiebreaks). The
+    oracle replays all 8 rounds as an unrolled MATERIALIZED CTE chain
+    — the same pattern as the PageRank/IVF-PQ/MMR replays. See
+    textanalysis.bpe_train_merges for the vocab-collapse scale shape
+    and the ' sym '-wrapped encoding that makes literal replace() a
+    correct left-to-right merge."""
+    from pdf_to_vectordb_etl_spark.operators import textanalysis as ta
+
+    docs = _t(spark, sf, "documents")
+    d2 = docs.select(
+        F.regexp_replace("text", r"[^\x20-\x7e]", "").alias("text")
+    )
+    return ta.bpe_train_merges(d2, n_merges=8)
+
+
+def _bpe_train_oracle_sql(n_merges: int = 8) -> str:
+    """Unrolled DuckDB replay of bpe_train_merges: one
+    (pair-count, argmax, rewrite) CTE block per merge round.
+    MATERIALIZED on every round's vocab and argmax — each is
+    referenced several times and inlining would re-execute the whole
+    prefix per reference (the k-center/MMR lesson). An empty argmax
+    cascades NULL vocab -> zero rows for all later rounds, matching
+    the operator's early break."""
+    ctes = [
+        r"""v0 AS MATERIALIZED (
+              SELECT CAST(count(*) AS BIGINT) AS freq,
+                     regexp_replace(w, '(.)', ' \1 ', 'g') AS s
+              FROM (SELECT unnest(string_split_regex(lower(
+                       regexp_replace(text, '[^\x20-\x7e]', '', 'g')),
+                       '\s+')) AS w
+                    FROM documents)
+              WHERE length(w) > 0
+              GROUP BY w)"""
+    ]
+    for k in range(1, n_merges + 1):
+        ctes.append(
+            f"""p{k} AS (
+              SELECT ws[i] AS l, ws[i + 1] AS r,
+                     CAST(sum(freq) AS BIGINT) AS n
+              FROM (SELECT freq, ws,
+                           unnest(generate_series(1, len(ws) - 1)) AS i
+                    FROM (SELECT freq, string_split(trim(s), '  ') AS ws
+                          FROM v{k - 1})
+                    WHERE len(ws) > 1)
+              GROUP BY l, r),
+            m{k} AS MATERIALIZED (
+              SELECT l, r, n FROM p{k} ORDER BY n DESC, l, r LIMIT 1),
+            v{k} AS MATERIALIZED (
+              SELECT freq,
+                     replace(s,
+                       ' ' || (SELECT l FROM m{k}) || '  '
+                           || (SELECT r FROM m{k}) || ' ',
+                       ' ' || (SELECT l FROM m{k})
+                           || (SELECT r FROM m{k}) || ' ') AS s
+              FROM v{k - 1})"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT {k} AS step, l, r, n FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
 def q_dsir_select(spark, sf):
     """DSIR data selection (Xie et al. 2023): hashed uni+bigram bag
     models on target (lang='en') vs the raw pool, per-doc log
@@ -2675,7 +2741,12 @@ def q_dsir_select(spark, sf):
     per-doc sum — see curation.dsir_weights."""
     from pdf_to_vectordb_etl_spark.operators import curation
 
-    docs = _t(spark, sf, "documents")
+    # the local fixture is one parquet file = one scan partition;
+    # spread the doc rows so the gram explode parallelizes (a real
+    # corpus scan arrives multi-split and skips this)
+    docs = _t(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return curation.dsir_weights(
         docs, docs.filter(F.col("lang") == "en"), n_buckets=4096, k=50
     )
@@ -5740,6 +5811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suffix_ranks": q_suffix_ranks,
         "longest_repeated_substring": q_longest_repeated_substring,
         "dsir_select": q_dsir_select,
+        "bpe_train": q_bpe_train,
         "ta_perplexity": q_ta_perplexity,
         "binary_hamming_topk": q_binary_hamming_topk,
         "mrl_recall": q_mrl_recall,
@@ -8500,6 +8572,7 @@ def oracle_sql() -> dict[str, str]:
                                 AND o_orderpriority LIKE '1%')
             GROUP BY c_mktsegment
         """,
+        "bpe_train": _bpe_train_oracle_sql(8),
         # T17: the live histogram is an associative sum over the same
         # gram/bucket projection — snapshot == batch histogram.
         "t17_stream_gram_hist": r"""

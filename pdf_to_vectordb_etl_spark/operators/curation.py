@@ -500,8 +500,12 @@ def dsir_weights(
             ).alias(name),
         )
 
-    raw_toks = exploded(raw)
-    tgt_toks = exploded(target)
+    # each token table feeds two consumers (its histogram + the scoring
+    # join / the smoothing count): materialize the explode ONCE —
+    # localCheckpoint releases on GC, and the stored rows are 12-byte
+    # (id, bucket) pairs, not text
+    raw_toks = exploded(raw).localCheckpoint(eager=True)
+    tgt_toks = exploded(target).localCheckpoint(eager=True)
     tgt = hist(tgt_toks, "lp_t")
     rawh = hist(raw_toks, "lp_r")
     # raw histogram covers every bucket raw docs touch, so the left

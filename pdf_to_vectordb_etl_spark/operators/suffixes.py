@@ -70,6 +70,10 @@ def global_dense_rank(
         .orderBy("_pid")
         .collect()
     )
+    if not sizes:
+        # empty key set (e.g. a corpus of empty documents): create_map
+        # with zero args types as map<void,void> and breaks resolution
+        return df.withColumn(out_col, F.lit(None).cast("long")).limit(0)
     offset, offsets = 0, {}
     for r in sizes:
         offsets[r["_pid"]] = offset

@@ -289,6 +289,80 @@ def bpe_pair_counts(
     return counts.orderBy(F.desc("n"), F.col("pair")).limit(top_n)
 
 
+def bpe_train_merges(
+    df: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """FULL iterative BPE tokenizer training (Sennrich et al. 2016,
+    public): ``n_merges`` rounds of (count adjacent symbol pairs over
+    the word-frequency vocab) -> (argmax pair, count-desc then
+    lexicographic — integer counts, so the argmax is bit-deterministic
+    in any engine) -> (merge that pair left-to-right in every vocab
+    word). Returns the learned merge table (step, l, r, n) — the
+    artifact a tokenizer ships.
+
+    Scale shape: the corpus collapses ONCE to the word-frequency vocab
+    (explode + hash agg; vocab is sublinear in corpus size); every
+    round then runs on vocab rows only — one pair-count agg, one
+    driver-side argmax scalar (two short strings; the documented
+    O(n_merges) action loop), one native string rewrite, lineage cut
+    per round with localCheckpoint.
+
+    Symbol encoding: each symbol is wrapped ``' sym '`` and the word is
+    their concatenation, so a pair occurrence is the literal
+    ``' a  b '`` and ``replace()`` merges EVERY occurrence
+    left-to-right — adjacent occurrences share no characters (the
+    single-space join would swallow the shared separator and skip
+    every other occurrence). Words never contain spaces, so the
+    encoding is unambiguous and replays byte-identically in any SQL
+    engine with literal replace()."""
+    words = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+    ).filter(F.length("w") > 0)
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            "freq",
+            F.regexp_replace("w", "(.)", " $1 ").alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ws = F.split(F.trim(F.col("s")), "  ")
+    pairs = F.when(
+        F.size(ws) > 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.struct(
+                F.element_at(ws, i).alias("l"),
+                F.element_at(ws, i + 1).alias("r"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+    merges = []
+    for step in range(1, n_merges + 1):
+        top = (
+            vocab.select("freq", F.explode(pairs).alias("p"))
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").cast("long").alias("n"))
+            .orderBy(F.desc("n"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0]["l"], top[0]["r"], top[0]["n"]
+        merges.append((step, a, b, n))
+        vocab = vocab.select(
+            "freq",
+            F.replace(
+                F.col("s"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
+            ).alias("s"),
+        ).localCheckpoint(eager=True)
+    return df.sparkSession.createDataFrame(
+        merges, "step INT, l STRING, r STRING, n BIGINT"
+    )
+
+
 def pmi_collocations(
     df: DataFrame,
     text_col: str = "text",

@@ -36,6 +36,8 @@ def curate_corpus(
     n_shards: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    dsir_target: DataFrame | None = None,
+    dsir_keep: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation chain; returns ``(curated, report)``.
 
@@ -59,6 +61,17 @@ def curate_corpus(
     ).select(id_col)
     d3 = d2.join(keep, id_col, "left_semi")
     stages.append(("quality_filter", d3))
+
+    if dsir_target is not None and dsir_keep:
+        # optional distribution targeting: keep the dsir_keep docs
+        # whose hashed-n-gram profile best matches the target corpus
+        # (curation.dsir_weights) — runs after quality so the models
+        # train on surviving text only
+        sel = curation.dsir_weights(
+            d3, dsir_target, k=dsir_keep, id_col=id_col, text_col=text_col
+        ).select(id_col)
+        d3 = d3.join(sel, id_col, "left_semi")
+        stages.append(("dsir_select", d3))
 
     d4 = curation.cap_per_group(d3, by="source", n=cap_per_source, id_col=id_col)
     stages.append(("source_cap", d4))

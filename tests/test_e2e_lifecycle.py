@@ -86,7 +86,7 @@ def test_registry_integrity():
     assert rows_only == set(), f"unexpected rows-only queries: {rows_only}"
     # pin the total so README/COVERAGE counts can't drift silently —
     # update BOTH the docs and this number when adding queries
-    assert len(q) == 265, f"registry has {len(q)} queries; docs say 265"
+    assert len(q) == 266, f"registry has {len(q)} queries; docs say 266"
 
 
 def test_curate_corpus_end_to_end(spark, sf_dir):
@@ -113,6 +113,19 @@ def test_curate_corpus_end_to_end(spark, sf_dir):
     rows = curated.collect()
     assert len(rows) == rep["split_shuffle"]
     assert {r["split"] for r in rows} <= {"train", "val", "test"}
+
+    # optional DSIR stage: target the English slice, keep 100 —
+    # the stage slots between quality filter and source cap and the
+    # report gains its row
+    curated2, report2 = curate_corpus(
+        corpus,
+        cap_per_source=40,
+        dsir_target=docs.filter(F.col("lang") == "en"),
+        dsir_keep=100,
+    )
+    rep2 = {r["stage"]: r["n_docs"] for r in report2.collect()}
+    assert rep2["dsir_select"] == 100
+    assert rep2["source_cap"] <= rep2["dsir_select"]
     assert all(r["shard"] is not None and r["pos"] is not None for r in rows)
     # no text survives twice
     texts = [r["text"] for r in rows]

@@ -450,3 +450,20 @@ def test_star_join_aqe_switchover(spark, sf_dir):
                 spark.conf.unset(c)
             else:
                 spark.conf.set(c, v)
+
+
+def test_dsir_takeordered_and_broadcasts(spark, sf_dir):
+    plan = _plan(_q(spark, sf_dir, "dsir_select"), "simple")
+    # final top-k is TakeOrdered (per-partition partial + k-row driver
+    # merge), the B-bounded ratio table broadcasts, nothing sort-merges
+    assert "TakeOrdered" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_exact_substr_no_window_no_cartesian(spark, sf_dir):
+    plan = _plan(_q(spark, sf_dir, "exact_substr_dedup"), "simple")
+    # window-hash agg + flagged-offset join + per-doc interval HOFs:
+    # no Window operator, no Cartesian anywhere
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

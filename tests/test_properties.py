@@ -261,3 +261,84 @@ def test_km_no_censoring_equals_ecdf(spark, durs):
     for r in ev.kaplan_meier(df).collect():
         expect = sum(1 for d in durs if d > r.duration) / n
         assert abs(r.survival - expect) < 1e-6
+
+
+def _brute_exact_substr(texts: dict[int, str], L: int, min_count: int):
+    """Python reference for exact_substring_dedup: flag every L-char
+    window whose substring occurs >= min_count times corpus-wide, cut
+    the union of flagged spans, rebuild."""
+    from collections import Counter
+
+    counts = Counter()
+    for t in texts.values():
+        for i in range(len(t) - L + 1):
+            counts[t[i : i + L]] += 1
+    out = {}
+    for did, t in texts.items():
+        cut = [False] * len(t)
+        for i in range(len(t) - L + 1):
+            if counts[t[i : i + L]] >= min_count:
+                for j in range(i, i + L):
+                    cut[j] = True
+        clean = "".join(ch for ch, c in zip(t, cut) if not c)
+        out[did] = (clean, len(t) - len(clean))
+    return out
+
+
+small_ascii = st.text(
+    alphabet=st.sampled_from("ab "), min_size=0, max_size=40
+)
+
+
+@given(texts=st.lists(small_ascii, min_size=1, max_size=6))
+@SETTINGS
+def test_exact_substring_dedup_matches_bruteforce(spark, texts):
+    """Tiny alphabet ('a','b',space) maximizes accidental repeats —
+    overlapping flagged windows, whole-doc cuts, cross- and within-doc
+    duplicates all occur; Spark must equal the quadratic reference."""
+    from pdf_to_vectordb_etl_spark.operators.webcorpus import (
+        exact_substring_dedup,
+    )
+
+    L = 5
+    corpus = {i: t for i, t in enumerate(texts)}
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in exact_substring_dedup(df, min_len=L, min_count=2).collect()
+    }
+    assert got == _brute_exact_substr(corpus, L, 2)
+
+
+@given(texts=st.lists(st.text(alphabet=st.sampled_from("abc"),
+                              min_size=0, max_size=12),
+                      min_size=1, max_size=4))
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_suffix_ranks_match_bruteforce(spark, texts):
+    """Prefix doubling == dense rank of the Python-sorted suffix list,
+    on tiny alphabets where cross-doc ties and shared prefixes abound.
+    Few examples: each drives the full O(log max_len) round loop."""
+    from pdf_to_vectordb_etl_spark.operators.suffixes import suffix_ranks
+
+    corpus = {i: t for i, t in enumerate(texts)}
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["pos"]): r["srank"]
+        for r in suffix_ranks(df).collect()
+    }
+    sufs = sorted(
+        {t[p:] for t in corpus.values() for p in range(len(t))}
+    )
+    rank_of = {s: i for i, s in enumerate(sufs)}
+    expected = {
+        (did, p): rank_of[t[p:]]
+        for did, t in corpus.items()
+        for p in range(len(t))
+    }
+    assert got == expected

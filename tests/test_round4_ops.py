@@ -315,6 +315,36 @@ def test_dsir_prefers_target_like_docs(spark):
     assert min(tgt_scores) > max(off_scores)
 
 
+def test_bpe_train_merges_known_corpus(spark):
+    """Hand-checkable BPE run (the Sennrich toy): corpus of 'low' x3 +
+    'lower' x2 — first merge must be the most frequent adjacent pair
+    ('l','o': 5 occurrences), second ('lo','w': 5), and the merged
+    symbol participates in later rounds (proof the rewrite feeds back
+    into counting)."""
+    from pdf_to_vectordb_etl_spark.operators.textanalysis import (
+        bpe_train_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lower")], ["doc_id", "text"]
+    )
+    rows = bpe_train_merges(docs, n_merges=3).orderBy("step").collect()
+    assert [(r["l"], r["r"], r["n"]) for r in rows] == [
+        ("l", "o", 5),
+        ("lo", "w", 5),
+        # (low,e) and (e,r) tie at 2; lexicographic tiebreak: 'e' < 'low'
+        ("e", "r", 2),
+    ]
+    # adjacent-occurrence regression: 'abab' must merge BOTH (a,b)
+    # pairs in one rewrite (the shared-separator trap)
+    docs2 = spark.createDataFrame([(1, "abab abab")], ["doc_id", "text"])
+    first = bpe_train_merges(docs2, n_merges=1).first()
+    assert (first["l"], first["r"], first["n"]) == ("a", "b", 4)
+    # single-char vocab: no pairs -> empty merge table, no crash
+    docs3 = spark.createDataFrame([(1, "a b c a")], ["doc_id", "text"])
+    assert bpe_train_merges(docs3, n_merges=2).count() == 0
+
+
 def test_global_dense_rank_exact(spark):
     """The distributed dense-rank primitive is exact on a key set that
     spans many range partitions, with duplicates."""

@@ -43,7 +43,7 @@ EXEC_HEAVY = {
     # partitioned by spark_partition_id (never global) — pinned in
     # tests/test_round4_ops.py
     "suffix_ranks", "longest_repeated_substring", "o7_stats_csv_roundtrip",
-    "t17_stream_gram_hist",
+    "t17_stream_gram_hist", "bpe_train",
 }
 
 #: (query, reason) pairs for windows that are global BY DESIGN —

@@ -34,6 +34,11 @@ DEFAULT = [
     "pricing_summary",
     "market_share",
     "customer_distribution",
+    # r4 additions (dedup-family ratios carry the replica-regime
+    # caveat recorded in SCALE.md)
+    "exact_substr_dedup",
+    "dsir_select",
+    "bpe_train",
 ]
 
 REPLICATE = {
