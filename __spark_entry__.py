@@ -3858,6 +3858,63 @@ def q_negative_edges(spark, sf):
     return graph.negative_edge_sample(edges, k_per_src=2)
 
 
+def q_graph_kcore(spark, sf):
+    """k-core of the shared-rare-shingle doc graph (k=4): iterative
+    peeling to fixpoint, per-round degree agg + two semi-joins +
+    localCheckpoint. max_rounds matches the oracle's unroll depth (12)
+    — extra rounds past fixpoint are no-ops (peeling is idempotent),
+    and a graph needing MORE rounds makes the operator RAISE rather
+    than silently diverge from the replay."""
+    from pdf_to_vectordb_etl_spark.operators import graph
+
+    docs = _t(spark, sf, "documents")
+    edges = graph.shared_token_edges(docs, min_df=2, max_df=3)
+    return graph.k_core(edges, k=4, max_rounds=12)
+
+
+def _kcore_oracle_sql(k: int = 4, rounds: int = 12) -> str:
+    """Unrolled DuckDB replay of k_core over the shared-rare-shingle
+    graph: the negative_edges edge CTE symmetrized, then ``rounds``
+    peel blocks (degree -> keep -> induced edges). Idempotent past
+    fixpoint, so any unroll depth >= the true round count is exact."""
+    head = r"""
+        WITH w AS (
+          SELECT doc_id AS id,
+                 string_split(lower(regexp_replace(trim(text), '\s+', ' ',
+                   'g')), ' ') AS w
+          FROM documents),
+        toks AS (
+          SELECT id,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(w)-2, 0)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS tok
+          FROM w),
+        rare AS (
+          SELECT tok FROM toks GROUP BY tok
+          HAVING count(*) BETWEEN 2 AND 3),
+        post AS (SELECT id, tok FROM toks JOIN rare USING (tok)),
+        und AS (
+          SELECT DISTINCT a.id AS u, b.id AS v
+          FROM post a JOIN post b ON a.tok = b.tok AND a.id < b.id),
+        e0 AS MATERIALIZED (
+          SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und)"""
+    blocks = []
+    for r in range(1, rounds + 1):
+        blocks.append(
+            f"""d{r} AS (SELECT u, count(*) AS c FROM e{r - 1} GROUP BY u),
+            kp{r} AS MATERIALIZED (SELECT u FROM d{r} WHERE c >= {k}),
+            e{r} AS MATERIALIZED (
+              SELECT e.u, e.v FROM e{r - 1} e
+              JOIN kp{r} x ON e.u = x.u
+              JOIN kp{r} y ON e.v = y.u)"""
+        )
+    final = (
+        f"SELECT u AS node, CAST(count(*) AS BIGINT) AS degree "
+        f"FROM e{rounds} GROUP BY u"
+    )
+    return head + ",\n" + ",\n".join(blocks) + "\n" + final
+
+
 def q_corr_surface(spark, sf):
     """Bivariate-statistics aggregate surface per event type: Pearson
     corr, population/sample covariance and variance of (value, hour-of
@@ -5659,6 +5716,38 @@ def q_runs_test(spark, sf):
     ).orderBy("event_type")
 
 
+def q_calibration_isotonic(spark, sf):
+    """Weighted isotonic (PAVA-semantics) calibration of purchase rate
+    vs event value on a 50-bin grid: one map-side agg folds the corpus
+    to <=50 rows, then the closed-form minimax characterization
+    (max_{j<=i} min_{k>=i} interval mean) runs as bounded triangular
+    self-joins on that tiny relation — no convergence loop, no global
+    window, integer-ratio arithmetic that is bit-identical across
+    engines."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation as ev
+
+    events = _t(spark, sf, "events")
+    return ev.isotonic_calibration(
+        events, "value", F.col("event_type") == "purchase",
+        n_bins=50, lo=0.0, hi=500.0,
+    )
+
+
+def q_eval_woe_iv(spark, sf):
+    """Weight-of-evidence / information value of the hour-of-day
+    feature against the purchase target: does time-of-day separate
+    purchasers?  One bucket agg + one broadcast totals join; NULL WoE
+    on single-class buckets."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation as ev
+
+    events = _t(spark, sf, "events")
+    return ev.woe_iv(
+        events,
+        F.expr("(ts div 3600000000000) % 24").cast("int"),
+        F.col("event_type") == "purchase",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -5864,6 +5953,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iqr_outliers": q_iqr_outliers,
         "dedup_explain": q_dedup_explain,
         "negative_edges": q_negative_edges,
+        "graph_kcore": q_graph_kcore,
+        "calibration_isotonic": q_calibration_isotonic,
+        "eval_woe_iv": q_eval_woe_iv,
         "corr_surface": q_corr_surface,
         "ks_drift": q_ks_drift,
         "timed_funnel": q_timed_funnel,
@@ -9923,6 +10015,65 @@ def oracle_sql() -> dict[str, str]:
             FROM com JOIN keep
               ON com.id_a = keep.id_a AND com.id_b = keep.id_b
             GROUP BY com.id_a, com.id_b
+        """,
+        "graph_kcore": _kcore_oracle_sql(4, 12),
+        "calibration_isotonic": """
+            WITH raw AS (
+              SELECT CAST(greatest(0, least(floor(value / 10.0), 49)) AS INT)
+                       AS bin,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+              FROM events WHERE value IS NOT NULL),
+            bins AS MATERIALIZED (
+              SELECT bin, CAST(count(*) AS BIGINT) AS w,
+                     CAST(sum(y) AS BIGINT) AS s
+              FROM raw GROUP BY bin),
+            cum AS MATERIALIZED (
+              SELECT a.bin, a.w, a.s,
+                     CAST(sum(c.w) AS BIGINT) AS wc,
+                     CAST(sum(c.s) AS BIGINT) AS sc
+              FROM bins a JOIN bins c ON c.bin <= a.bin
+              GROUP BY a.bin, a.w, a.s),
+            pairs AS MATERIALIZED (
+              SELECT j.bin AS jbin, k.bin AS kbin,
+                     CAST(k.sc - (j.sc - j.s) AS DOUBLE)
+                       / CAST(k.wc - (j.wc - j.w) AS DOUBLE) AS av
+              FROM cum j JOIN cum k ON j.bin <= k.bin),
+            inner_ AS (
+              SELECT i.bin AS ibin, i.w, i.s, p.jbin, min(p.av) AS m
+              FROM pairs p JOIN bins i
+                ON p.jbin <= i.bin AND p.kbin >= i.bin
+              GROUP BY i.bin, i.w, i.s, p.jbin)
+            SELECT ibin AS bin, w AS n,
+                   round(CAST(s AS DOUBLE) / w, 6) AS pos_rate,
+                   round(max(m), 6) AS iso
+            FROM inner_ GROUP BY ibin, w, s ORDER BY bin
+        """,
+        "eval_woe_iv": """
+            WITH per AS (
+              SELECT CAST((epoch_us(ts) // 3600000000) % 24 AS INT) AS bucket,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+              FROM events GROUP BY 1),
+            per2 AS (SELECT bucket, n, n_pos, n - n_pos AS n_neg FROM per),
+            tot AS (
+              SELECT CAST(sum(n_pos) AS BIGINT) AS p,
+                     CAST(sum(n_neg) AS BIGINT) AS nn
+              FROM per2)
+            SELECT bucket, n, n_pos,
+                   round(CASE WHEN n_pos > 0 AND n_neg > 0
+                              AND p > 0 AND nn > 0
+                         THEN ln((CAST(n_pos AS DOUBLE) / p)
+                                 / (CAST(n_neg AS DOUBLE) / nn)) END, 6)
+                     AS woe,
+                   round(CASE WHEN n_pos > 0 AND n_neg > 0
+                              AND p > 0 AND nn > 0
+                         THEN (CAST(n_pos AS DOUBLE) / p
+                               - CAST(n_neg AS DOUBLE) / nn)
+                              * ln((CAST(n_pos AS DOUBLE) / p)
+                                   / (CAST(n_neg AS DOUBLE) / nn)) END, 6)
+                     AS iv_contrib
+            FROM per2 CROSS JOIN tot ORDER BY bucket
         """,
         "negative_edges": """
             WITH w AS (

@@ -772,3 +772,144 @@ def permutation_test(
         F.count("*").cast("long").alias("n_perm"),
     )
     return obs.crossJoin(extreme).select("obs_diff", "p_value", "n_perm")
+
+
+def isotonic_calibration(
+    scored: DataFrame,
+    score_col: str,
+    label_col: Column,
+    n_bins: int = 50,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Weighted isotonic regression of the positive rate against the
+    score (PAVA semantics), the standard monotone re-calibration for a
+    quality/classifier score before thresholding a 100 TB corpus on it.
+
+    Shape: one map-side-combined aggregate folds the corpus to
+    ``n_bins`` (bin, weight, positives) rows — the ONLY pass that sees
+    data-cardinality rows.  The fit itself uses the closed-form minimax
+    characterization of isotonic regression (Robertson-Wright-Dykstra;
+    public):  iso(i) = max_{j<=i} min_{k>=i} wavg(y over bins j..k) —
+    no iterative pool merging, no convergence loop, no global window:
+    cumulative sums and the (j,i,k) triangle are bounded self-joins on
+    the <= ``n_bins``-row relation (B^3/6 intermediate rows; ~20k at
+    B=50).  Arithmetic is integer-sum ratios in doubles — bit-identical
+    across engines — with a single terminal round(6).
+
+    Returns ``bin, n, pos_rate, iso`` ordered by bin; ``iso`` is
+    non-decreasing by construction.
+    """
+    y = label_col.cast("int")
+    width = (hi - lo) / n_bins
+    b = F.greatest(
+        F.lit(0),
+        F.least(
+            F.floor((F.col(score_col) - F.lit(lo)) / F.lit(width)),
+            F.lit(n_bins - 1),
+        ),
+    ).cast("int")
+    bins = (
+        scored.filter(F.col(score_col).isNotNull())
+        .select(b.alias("bin"), y.alias("y"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("w"), F.sum("y").cast("long").alias("s"))
+    )
+    # cumulative (W, S) up to each bin via a triangular self-join —
+    # bounded B^2 work, avoids a single-partition window entirely
+    cum = (
+        bins.alias("a")
+        .join(bins.alias("c"), F.col("c.bin") <= F.col("a.bin"))
+        .groupBy(F.col("a.bin").alias("bin"), F.col("a.w").alias("w"),
+                 F.col("a.s").alias("s"))
+        .agg(F.sum("c.w").alias("cw"), F.sum("c.s").alias("cs"))
+    )
+    # interval mean A(j,k) for every j <= k: (S_k - S_{j-1}) / (W_k -
+    # W_{j-1}) with S_{j-1} = S_j - s_j (same trick in the oracle)
+    jj = cum.select(
+        F.col("bin").alias("jbin"),
+        (F.col("cs") - F.col("s")).alias("Sjm1"),
+        (F.col("cw") - F.col("w")).alias("Wjm1"),
+    )
+    kk = cum.select(
+        F.col("bin").alias("kbin"), F.col("cs").alias("Sk"),
+        F.col("cw").alias("Wk"),
+    )
+    pairs = jj.join(kk, F.col("jbin") <= F.col("kbin")).select(
+        "jbin", "kbin",
+        (
+            (F.col("Sk") - F.col("Sjm1")).cast("double")
+            / (F.col("Wk") - F.col("Wjm1")).cast("double")
+        ).alias("avg"),
+    )
+    idx = bins.select(F.col("bin").alias("ibin"), "w", "s")
+    inner = (
+        pairs.join(
+            idx,
+            (F.col("jbin") <= F.col("ibin")) & (F.col("kbin") >= F.col("ibin")),
+        )
+        .groupBy("ibin", "w", "s", "jbin")
+        .agg(F.min("avg").alias("m"))
+    )
+    return (
+        inner.groupBy("ibin", "w", "s")
+        .agg(F.max("m").alias("_iso"))
+        .select(
+            F.col("ibin").alias("bin"),
+            F.col("w").alias("n"),
+            F.round(F.col("s").cast("double") / F.col("w"), 6).alias("pos_rate"),
+            F.round("_iso", 6).alias("iso"),
+        )
+        .orderBy("bin")
+    )
+
+
+def woe_iv(
+    df: DataFrame,
+    bucket_col: Column,
+    label_col: Column,
+) -> DataFrame:
+    """Weight-of-evidence / information-value screening of a candidate
+    feature bucketing against a binary target — the standard scorecard
+    question "does this feature separate the classes, and how much?"
+    asked of corpus metadata (source, length bucket, hour) before
+    training a quality classifier on it.
+
+    WoE_i = ln((pos_i/P) / (neg_i/N));  IV_i = (pos_i/P − neg_i/N)·WoE_i.
+    One map-side-combined aggregate to bucket cardinality, one
+    broadcast single-row totals join.  Buckets with a zero class count
+    yield NULL WoE/IV (undefined log-odds), matching this module's
+    degenerate-ratio convention.
+
+    Returns ``bucket, n, n_pos, woe, iv_contrib`` ordered by bucket.
+    """
+    y = label_col.cast("int")
+    per = (
+        df.select(bucket_col.alias("bucket"), y.alias("y"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+        )
+        .withColumn("n_neg", F.col("n") - F.col("n_pos"))
+    )
+    tot = per.agg(
+        F.sum("n_pos").cast("long").alias("tp"),
+        F.sum("n_neg").cast("long").alias("tn"),
+    )
+    pr = F.col("n_pos").cast("double") / F.col("tp").cast("double")
+    nr = F.col("n_neg").cast("double") / F.col("tn").cast("double")
+    ok = (
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+        & (F.col("tp") > 0) & (F.col("tn") > 0)
+    )
+    woe = F.log(pr / nr)
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            "bucket", "n", "n_pos",
+            F.round(F.when(ok, woe), 6).alias("woe"),
+            F.round(F.when(ok, (pr - nr) * woe), 6).alias("iv_contrib"),
+        )
+        .orderBy("bucket")
+    )

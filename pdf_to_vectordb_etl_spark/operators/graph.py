@@ -577,3 +577,63 @@ def adamic_adar(
         .agg(F.round(F.sum("_w"), 6).alias("score"))
     )
     return pairs.join(edges.select("a", "b"), ["a", "b"], "left_anti")
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_rounds: int = 16,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman 1983,
+    public): repeatedly delete nodes of degree < k until fixpoint; the
+    survivors form the k-core — the standard "dense part of the
+    near-dup / citation graph" extractor.
+
+    Per round: one degree agg + two semi-joins on the surviving node
+    set; the edge list only shrinks. Convergence is detected from one
+    scalar count; each round localCheckpoints (the two-semi-join
+    lineage would otherwise go exponential — the
+    connected_components_star contract). Raises if ``max_rounds`` is
+    exhausted before fixpoint — peeling can need O(n) rounds on
+    chain-shaped graphs (a path peels from the ends), so callers on
+    path-heavy graphs must raise the budget; returning a
+    partially-peeled set would be silently wrong.
+
+    Returns (node, degree) — degree WITHIN the k-core."""
+    E = (
+        edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    E = (
+        E.unionByName(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = E.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            return E.select(F.col("u").alias("node")).withColumn(
+                "degree", F.lit(0).cast("long")
+            )
+        deg = E.groupBy("u").agg(F.count("*").alias("_d"))
+        keep = deg.filter(F.col("_d") >= k).select("u")
+        E2 = (
+            E.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n2 = E2.count()
+        if n2 == n_edges:
+            return (
+                E2.groupBy("u")
+                .agg(F.count("*").cast("long").alias("degree"))
+                .select(F.col("u").alias("node"), "degree")
+            )
+        E, n_edges = E2, n2
+    raise ValueError(
+        f"k_core: no fixpoint after {max_rounds} rounds; chain-shaped "
+        "graphs peel O(n) rounds — raise max_rounds"
+    )

@@ -412,3 +412,110 @@ def test_pq_topk_zero_query_scores_sentinel(spark, sf_dir):
     top = pq.pq_topk(codes, books, [0.0] * 64, k=5).collect()
     assert len(top) == 5
     assert all(r["adc_sim"] == -1.0 for r in top)
+
+
+def test_k_core_clique_survives_pendant_path_peels(spark):
+    """K5 (every node degree 4) with a pendant path 5-10-11-12 hung off
+    node 5: the 3-core is exactly the clique — the path peels from the
+    free end over several rounds (degree-1 tail each round)."""
+    from pdf_to_vectordb_etl_spark.operators import graph
+
+    clique = [(a, b) for a in range(1, 6) for b in range(1, 6) if a < b]
+    path = [(5, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(clique + path, ["a", "b"])
+    got = {
+        (r["node"], r["degree"])
+        for r in graph.k_core(edges, k=3).collect()
+    }
+    assert got == {(n, 4) for n in range(1, 6)}
+
+
+def test_k_core_empty_when_k_exceeds_graph(spark):
+    """k above the max possible degree peels everything to the empty
+    core (no rows), without raising."""
+    from pdf_to_vectordb_etl_spark.operators import graph
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["a", "b"])
+    assert graph.k_core(edges, k=3).count() == 0
+
+
+def test_k_core_raises_on_exhausted_rounds(spark):
+    """A chain peels one node per end per round; max_rounds=1 on a
+    6-node path cannot reach fixpoint and must raise, never return a
+    partially-peeled set."""
+    import pytest
+
+    from pdf_to_vectordb_etl_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], ["a", "b"]
+    )
+    with pytest.raises(ValueError, match="no fixpoint"):
+        graph.k_core(edges, k=2, max_rounds=1)
+
+
+def test_isotonic_calibration_matches_hand_pava(spark):
+    """Hand-computed PAVA: bin rates [0.5, 0.0, 1.0] with weights
+    [2, 1, 1] pool the violating first two bins into 1/3; the minimax
+    closed form must reproduce exactly that fit."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation as ev
+
+    rows = [(0.1, 1), (0.1, 0), (0.35, 0), (0.6, 1)]
+    df = spark.createDataFrame(rows, ["score", "y"])
+    got = {
+        r["bin"]: (r["n"], r["pos_rate"], r["iso"])
+        for r in ev.isotonic_calibration(
+            df, "score", F.col("y") == 1, n_bins=4, lo=0.0, hi=1.0
+        ).collect()
+    }
+    assert got == {
+        0: (2, 0.5, 0.333333),
+        1: (1, 0.0, 0.333333),
+        2: (1, 1.0, 1.0),
+    }
+
+
+def test_isotonic_calibration_monotone_on_events(spark, sf_dir):
+    """On real event data the fitted curve must be non-decreasing in
+    the bin index (the defining isotonic property)."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation as ev
+    from tests.conftest import load
+
+    events = load(spark, sf_dir, "events")
+    iso = [
+        r["iso"]
+        for r in ev.isotonic_calibration(
+            events, "value", F.col("event_type") == "purchase",
+            n_bins=50, lo=0.0, hi=500.0,
+        ).collect()
+    ]
+    assert len(iso) > 5
+    assert all(a <= b + 1e-9 for a, b in zip(iso, iso[1:]))
+
+
+def test_woe_iv_hand_computed(spark):
+    """Two buckets, P=3 pos / N=3 neg total: bucket a has 2 pos + 1
+    neg -> WoE = ln((2/3)/(1/3)) = ln 2; bucket b mirrors to -ln 2.
+    A single-class bucket yields NULL WoE/IV."""
+    import math
+
+    from pdf_to_vectordb_etl_spark.operators import evaluation as ev
+
+    rows = [("a", 1), ("a", 1), ("a", 0), ("b", 0), ("b", 0), ("b", 1),
+            ("c", 1)]
+    df = spark.createDataFrame(rows, ["k", "y"])
+    out = {
+        r["bucket"]: (r["n"], r["n_pos"], r["woe"], r["iv_contrib"])
+        for r in ev.woe_iv(df, F.col("k"), F.col("y") == 1).collect()
+    }
+    # totals: P = 4 positives, N = 3 negatives (bucket c's lone
+    # positive counts toward P even though its own WoE is undefined)
+    woe_a = math.log((2 / 4) / (1 / 3))
+    woe_b = math.log((1 / 4) / (2 / 3))
+    assert out["a"] == (
+        3, 2, round(woe_a, 6), round((2 / 4 - 1 / 3) * woe_a, 6)
+    )
+    assert out["b"] == (
+        3, 1, round(woe_b, 6), round((1 / 4 - 2 / 3) * woe_b, 6)
+    )
+    assert out["c"][2] is None and out["c"][3] is None
