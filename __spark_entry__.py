@@ -5748,6 +5748,78 @@ def q_eval_woe_iv(spark, sf):
     )
 
 
+def q_zonemap_prune(spark, sf):
+    """Data-skipping planner: would a 1996 ship-date filter prune
+    files under (a) hash-of-orderkey ingest layout vs (b) monthly
+    date clustering?  Zone maps (per-shard min/max — the parquet
+    footer-stat equivalent) from two map-side aggs per layout; the
+    date-clustered layout should skip ~6/7 of rows, the hash layout
+    nothing."""
+    from pdf_to_vectordb_etl_spark.operators import zorder
+
+    li = _t(spark, sf, "lineitem")
+    day = F.expr("datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01')")
+    d = F.expr("CAST(l_shipdate AS DATE)")
+    layouts = {
+        "hash64": F.conv(
+            F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 2),
+            16, 10,
+        ).cast("int") % 64,
+        "bymonth": (F.year(d) * 12 + F.month(d)).cast("int"),
+    }
+    return zorder.zonemap_prune_report(
+        li, day, layouts,
+        F.expr("datediff(DATE '1996-01-01', DATE '1970-01-01')"),
+        F.expr("datediff(DATE '1996-12-31', DATE '1970-01-01')"),
+    )
+
+
+def q_js_divergence_sources(spark, sf):
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions on the global top-200 vocabulary — the symmetric
+    corpus-slice-difference number behind mixture rebalancing.  One
+    explode+agg sees the corpus; everything else runs on the
+    sources×200 grid.  Terms are floor-quantized to 1e-12 and summed
+    as integers so the reduction is order-free on both engines."""
+    from pdf_to_vectordb_etl_spark.operators import textanalysis as ta
+
+    docs = _t(spark, sf, "documents")
+    return ta.js_divergence_pairs(docs, "source", "text", top_v=200)
+
+
+def q_stump_value_split(spark, sf):
+    """Depth-1 decision tree: the single best value threshold (by
+    weighted Gini) separating purchases from the rest, fit on the
+    fixed 1000-bin score grid — one map-side histogram, cumulative
+    counts over the bounded bin table (audit-allowlisted), exact
+    integer impurity inputs, deterministic (gini, bin) argmin."""
+    from pdf_to_vectordb_etl_spark.operators import supervised
+
+    events = _t(spark, sf, "events")
+    return supervised.stump_split(
+        events, "value", F.col("event_type") == "purchase",
+        n_bins=1000, lo=0.0, hi=500.0,
+    )
+
+
+def q_ols_value_by_time(spark, sf):
+    """Per-event-type two-feature OLS (value-cents ~ hour-of-day +
+    day-of-week) solved in closed form: one 9-sufficient-statistics
+    agg per group, exact decimal Cramer determinants over integer
+    sums — bit-identical coefficients on any engine or partitioning;
+    singular groups yield NULL betas."""
+    from pdf_to_vectordb_etl_spark.operators import supervised
+
+    events = _t(spark, sf, "events")
+    return supervised.ols_closed_form(
+        events,
+        "event_type",
+        F.expr("(ts div 3600000000000) % 24"),
+        F.expr("((ts div 86400000000000) + 4) % 7"),
+        F.floor(F.col("value") * 100),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -5956,6 +6028,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": q_graph_kcore,
         "calibration_isotonic": q_calibration_isotonic,
         "eval_woe_iv": q_eval_woe_iv,
+        "zonemap_prune": q_zonemap_prune,
+        "js_divergence_sources": q_js_divergence_sources,
+        "stump_value_split": q_stump_value_split,
+        "ols_value_by_time": q_ols_value_by_time,
         "corr_surface": q_corr_surface,
         "ks_drift": q_ks_drift,
         "timed_funnel": q_timed_funnel,
@@ -10074,6 +10150,187 @@ def oracle_sql() -> dict[str, str]:
                                    / (CAST(n_neg AS DOUBLE) / nn)) END, 6)
                      AS iv_contrib
             FROM per2 CROSS JOIN tot ORDER BY bucket
+        """,
+        "zonemap_prune": """
+            WITH keyed AS (
+              SELECT CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+                          AS INT) AS k,
+                     CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),
+                                          1, 2))::BIGINT % 64 AS INT)
+                       AS hash64,
+                     CAST(year(CAST(l_shipdate AS DATE)) * 12
+                          + month(CAST(l_shipdate AS DATE)) AS INT)
+                       AS bymonth
+              FROM lineitem),
+            bounds AS (
+              SELECT CAST(DATE '1996-01-01' - DATE '1970-01-01' AS INT)
+                       AS lo,
+                     CAST(DATE '1996-12-31' - DATE '1970-01-01' AS INT)
+                       AS hi),
+            zh AS (
+              SELECT hash64 AS shard, min(k) AS kmin, max(k) AS kmax,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM keyed GROUP BY 1),
+            zm AS (
+              SELECT bymonth AS shard, min(k) AS kmin, max(k) AS kmax,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM keyed GROUP BY 1),
+            rep AS (
+              SELECT 'hash64' AS layout,
+                     CAST(count(*) AS BIGINT) AS n_shards,
+                     CAST(sum(CASE WHEN kmax >= lo AND kmin <= hi
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                       AS shards_scanned,
+                     CAST(sum(n) AS BIGINT) AS rows_total,
+                     CAST(sum(CASE WHEN kmax >= lo AND kmin <= hi
+                              THEN n ELSE 0 END) AS BIGINT)
+                       AS rows_scanned
+              FROM zh CROSS JOIN bounds
+              UNION ALL
+              SELECT 'bymonth',
+                     CAST(count(*) AS BIGINT),
+                     CAST(sum(CASE WHEN kmax >= lo AND kmin <= hi
+                              THEN 1 ELSE 0 END) AS BIGINT),
+                     CAST(sum(n) AS BIGINT),
+                     CAST(sum(CASE WHEN kmax >= lo AND kmin <= hi
+                              THEN n ELSE 0 END) AS BIGINT)
+              FROM zm CROSS JOIN bounds)
+            SELECT layout, n_shards, shards_scanned, rows_total,
+                   rows_scanned,
+                   round(100.0 * (1.0 - CAST(rows_scanned AS DOUBLE)
+                         / nullif(CAST(rows_total AS DOUBLE), 0.0)), 4)
+                     AS prune_pct
+            FROM rep ORDER BY layout
+        """,
+        "js_divergence_sources": r"""
+            WITH toks AS (
+              SELECT source AS g,
+                     unnest(string_split_regex(lower(text), '\s+')) AS tok
+              FROM documents),
+            tks AS (SELECT g, tok FROM toks WHERE length(tok) > 0),
+            vocab AS MATERIALIZED (
+              SELECT tok FROM tks GROUP BY tok
+              ORDER BY count(*) DESC, tok LIMIT 200),
+            gc AS MATERIALIZED (
+              SELECT g, tok, CAST(count(*) AS BIGINT) AS c
+              FROM tks JOIN vocab USING (tok) GROUP BY g, tok),
+            tot AS (
+              SELECT g, CAST(sum(c) AS BIGINT) AS t
+              FROM gc GROUP BY g HAVING sum(c) > 0),
+            grid AS MATERIALIZED (
+              SELECT tot.g, v.tok,
+                     CAST(coalesce(gc.c, 0) AS DOUBLE)
+                       / CAST(tot.t AS DOUBLE) AS p
+              FROM tot CROSS JOIN vocab v
+              LEFT JOIN gc ON gc.g = tot.g AND gc.tok = v.tok),
+            pairs AS (
+              SELECT a.g AS g1, b.g AS g2, a.p AS pa, b.p AS pb
+              FROM grid a JOIN grid b ON a.tok = b.tok AND a.g < b.g)
+            SELECT g1, g2,
+                   round(0.5 * CAST(sum(CAST(floor(
+                     (CASE WHEN pa > 0
+                           THEN pa * ln(pa / ((pa + pb) / 2.0))
+                           ELSE 0.0 END
+                      + CASE WHEN pb > 0
+                             THEN pb * ln(pb / ((pa + pb) / 2.0))
+                             ELSE 0.0 END) * 1e12) AS BIGINT))
+                     AS DOUBLE) / 1e12, 6) AS jsd
+            FROM pairs GROUP BY g1, g2 ORDER BY g1, g2
+        """,
+        "stump_value_split": """
+            WITH raw AS (
+              SELECT CAST(least(greatest(floor(value / 0.5), 0), 999)
+                          AS INT) AS bin,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS y
+              FROM events),
+            binned AS (
+              SELECT bin, CAST(sum(y) AS BIGINT) AS pos,
+                     CAST(count(*) - sum(y) AS BIGINT) AS neg
+              FROM raw GROUP BY bin),
+            cum AS (
+              SELECT bin,
+                     CAST(sum(pos) OVER (ORDER BY bin) AS BIGINT) AS pl,
+                     CAST(sum(neg) OVER (ORDER BY bin) AS BIGINT) AS ql
+              FROM binned),
+            tot AS (
+              SELECT CAST(sum(pos) AS BIGINT) AS tp,
+                     CAST(sum(neg) AS BIGINT) AS tq
+              FROM binned),
+            scored AS (
+              SELECT bin AS split_bin,
+                     round(CAST((bin + 1) * 0.5 AS DOUBLE), 6) AS threshold,
+                     round(
+                       ((pl + ql) / (CAST(tp + tq AS DOUBLE)))
+                       * (1.0 - (CAST(pl AS DOUBLE) / (pl + ql))
+                               * (CAST(pl AS DOUBLE) / (pl + ql))
+                             - (CAST(ql AS DOUBLE) / (pl + ql))
+                               * (CAST(ql AS DOUBLE) / (pl + ql)))
+                       + ((tp - pl + tq - ql)
+                          / (CAST(tp + tq AS DOUBLE)))
+                       * (1.0 - (CAST(tp - pl AS DOUBLE)
+                                 / (tp - pl + tq - ql))
+                               * (CAST(tp - pl AS DOUBLE)
+                                  / (tp - pl + tq - ql))
+                             - (CAST(tq - ql AS DOUBLE)
+                                / (tp - pl + tq - ql))
+                               * (CAST(tq - ql AS DOUBLE)
+                                  / (tp - pl + tq - ql))), 6) AS gini,
+                     pl + ql AS n_left,
+                     tp - pl + tq - ql AS n_right
+              FROM cum CROSS JOIN tot
+              WHERE pl + ql > 0 AND tp - pl + tq - ql > 0)
+            SELECT split_bin, threshold, gini,
+                   CAST(n_left AS BIGINT) AS n_left,
+                   CAST(n_right AS BIGINT) AS n_right
+            FROM scored ORDER BY gini, split_bin LIMIT 1
+        """,
+        "ols_value_by_time": """
+            WITH d AS (
+              SELECT event_type AS g,
+                     CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT)
+                       AS x1,
+                     CAST(((epoch_us(ts) // 86400000000) + 4) % 7
+                          AS BIGINT) AS x2,
+                     CAST(floor(value * 100) AS BIGINT) AS y
+              FROM events),
+            s AS (
+              SELECT g, CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(x1) AS HUGEINT) AS s1,
+                     CAST(sum(x2) AS HUGEINT) AS s2,
+                     CAST(sum(x1 * x1) AS HUGEINT) AS s11,
+                     CAST(sum(x1 * x2) AS HUGEINT) AS s12,
+                     CAST(sum(x2 * x2) AS HUGEINT) AS s22,
+                     CAST(sum(y) AS HUGEINT) AS sy,
+                     CAST(sum(x1 * y) AS HUGEINT) AS s1y,
+                     CAST(sum(x2 * y) AS HUGEINT) AS s2y
+              FROM d GROUP BY g),
+            dets AS (
+              SELECT g, n,
+                     n * (s11 * s22 - s12 * s12)
+                       - s1 * (s1 * s22 - s12 * s2)
+                       + s2 * (s1 * s12 - s11 * s2) AS det,
+                     sy * (s11 * s22 - s12 * s12)
+                       - s1 * (s1y * s22 - s12 * s2y)
+                       + s2 * (s1y * s12 - s11 * s2y) AS d0,
+                     n * (s1y * s22 - s12 * s2y)
+                       - sy * (s1 * s22 - s12 * s2)
+                       + s2 * (s1 * s2y - s1y * s2) AS d1,
+                     n * (s11 * s2y - s1y * s12)
+                       - s1 * (s1 * s2y - s1y * s2)
+                       + sy * (s1 * s12 - s11 * s2) AS d2
+              FROM s)
+            SELECT g AS "group", CAST(n AS BIGINT) AS n,
+                   round(CASE WHEN det <> 0
+                         THEN CAST(d0 AS DOUBLE) / CAST(det AS DOUBLE)
+                         END, 6) AS b0,
+                   round(CASE WHEN det <> 0
+                         THEN CAST(d1 AS DOUBLE) / CAST(det AS DOUBLE)
+                         END, 6) AS b1,
+                   round(CASE WHEN det <> 0
+                         THEN CAST(d2 AS DOUBLE) / CAST(det AS DOUBLE)
+                         END, 6) AS b2
+            FROM dets ORDER BY g
         """,
         "negative_edges": """
             WITH w AS (

@@ -1,0 +1,148 @@
+"""Distributed supervised-learning primitives: closed-form fits only.
+
+A 100 TB curation pipeline trains small models *on* corpus metadata —
+"which threshold on this quality score best separates labels" (a
+decision stump), "how do these two features jointly predict the
+target" (ordinary least squares) — and it wants them without an
+iterative solver: every estimator here folds the corpus to a bounded
+sufficient-statistics relation in ONE map-side-combined aggregate and
+finishes with closed-form arithmetic on that tiny table.  The OLS
+normal equations are solved in EXACT integer arithmetic (decimal
+Cramer determinants over integer-quantized sums), so the fitted
+coefficients are bit-identical on any engine and any partitioning.
+
+(Beyond-reference capability; no counterpart in the reference
+pipeline.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from pdf_to_vectordb_etl_spark.operators.evaluation import score_bin_histogram
+
+
+def stump_split(
+    df: DataFrame,
+    score_col: str,
+    label_col: Column,
+    n_bins: int = 1000,
+    lo: float = 0.0,
+    hi: float = 500.0,
+) -> DataFrame:
+    """Best single threshold on ``score_col`` for separating a binary
+    label — a depth-1 decision tree (CART stump) by weighted Gini
+    impurity, fit on the same fixed ``n_bins`` score grid as the AUC
+    family (one map-side histogram; the cumulative window runs over the
+    ≤ ``n_bins``-row bin table, bounded by construction).
+
+    Every candidate split "x ≤ right-edge-of-bin-b" is scored as
+    (nL/n)·gini(L) + (nR/n)·gini(R) from exact integer cumulative
+    counts; the argmin tie-breaks on the smallest bin, so the result is
+    deterministic.  Splits with an empty side are excluded; a
+    single-bin (or empty) input yields no rows rather than a 0/0.
+
+    Returns one row: ``split_bin, threshold, gini, n_left, n_right``.
+    """
+    binned = score_bin_histogram(df, score_col, label_col, n_bins, lo, hi)
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = binned.select(
+        "bin",
+        F.sum("pos").over(w_cum).cast("long").alias("pl"),
+        F.sum("neg").over(w_cum).cast("long").alias("ql"),
+    )
+    tot = binned.agg(
+        F.sum("pos").cast("long").alias("tp"),
+        F.sum("neg").cast("long").alias("tq"),
+    )
+    nl = (F.col("pl") + F.col("ql")).cast("double")
+    nr = (F.col("tp") - F.col("pl") + F.col("tq") - F.col("ql")).cast("double")
+    n = nl + nr
+    gini_l = 1.0 - (
+        (F.col("pl") / nl) * (F.col("pl") / nl)
+        + (F.col("ql") / nl) * (F.col("ql") / nl)
+    )
+    pr = (F.col("tp") - F.col("pl")) / nr
+    qr = (F.col("tq") - F.col("ql")) / nr
+    gini_r = 1.0 - (pr * pr + qr * qr)
+    width = (hi - lo) / n_bins
+    scored = (
+        cum.join(F.broadcast(tot))
+        .filter((nl > 0) & (nr > 0))
+        .select(
+            F.col("bin").alias("split_bin"),
+            F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(width), 6)
+            .alias("threshold"),
+            F.round((nl / n) * gini_l + (nr / n) * gini_r, 6).alias("gini"),
+            (F.col("pl") + F.col("ql")).alias("n_left"),
+            (F.col("tp") - F.col("pl") + F.col("tq") - F.col("ql"))
+            .alias("n_right"),
+        )
+    )
+    return scored.orderBy("gini", "split_bin").limit(1)
+
+
+def ols_closed_form(
+    df: DataFrame,
+    group_col: str,
+    x1: Column,
+    x2: Column,
+    y_cents: Column,
+) -> DataFrame:
+    """Per-group two-feature ordinary least squares fit, solved in
+    closed form from the normal equations — no gradient steps, no
+    iterations: ONE map-side-combined aggregate collects the nine
+    sufficient statistics (n, Σx1, Σx2, Σx1², Σx1x2, Σx2², Σy, Σx1y,
+    Σx2y) per group, then Cramer's rule inverts the 3×3 system.
+
+    All inputs must be INTEGERS (quantize the target to cents/millis
+    first): the sums are then exact longs and the determinants exact
+    decimal(38,0) products, so the coefficients are bit-identical
+    across engines and partitionings — the only float op is the final
+    numerator/determinant division.  A singular system (collinear or
+    constant features, degenerate groups) yields NULL coefficients via
+    the det≠0 guard, never a division error.
+
+    Returns ``group, n, b0, b1, b2`` (b in cents per unit) ordered by
+    group.
+    """
+    d = df.select(
+        F.col(group_col).alias("g"),
+        x1.cast("long").alias("x1"),
+        x2.cast("long").alias("x2"),
+        y_cents.cast("long").alias("y"),
+    )
+    s = d.groupBy("g").agg(
+        F.count("*").alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    dec = "decimal(38,0)"
+    n_, s1, s2 = (F.col(c).cast(dec) for c in ("n", "s1", "s2"))
+    s11, s12, s22 = (F.col(c).cast(dec) for c in ("s11", "s12", "s22"))
+    sy, s1y, s2y = (F.col(c).cast(dec) for c in ("sy", "s1y", "s2y"))
+
+    def det3(a, b, c, d2, e, f, g2, h, i):
+        return a * (e * i - f * h) - b * (d2 * i - f * g2) + c * (d2 * h - e * g2)
+
+    det = det3(n_, s1, s2, s1, s11, s12, s2, s12, s22)
+    d0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+    d1 = det3(n_, sy, s2, s1, s1y, s12, s2, s2y, s22)
+    d2_ = det3(n_, s1, sy, s1, s11, s1y, s2, s12, s2y)
+    ok = det != F.lit(0).cast(dec)
+    return s.select(
+        F.col("g").alias("group"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.when(ok, d0.cast("double") / det.cast("double")), 6)
+        .alias("b0"),
+        F.round(F.when(ok, d1.cast("double") / det.cast("double")), 6)
+        .alias("b1"),
+        F.round(F.when(ok, d2_.cast("double") / det.cast("double")), 6)
+        .alias("b2"),
+    ).orderBy("group")

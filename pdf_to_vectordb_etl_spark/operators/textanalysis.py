@@ -648,3 +648,85 @@ def zipf_fit(
     )
     vocab = freq.agg(F.count("*").cast("long").alias("vocab_size"))
     return fit.crossJoin(F.broadcast(vocab))
+
+
+def js_divergence_pairs(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_v: int = 200,
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-group unigram
+    distributions — the symmetric, bounded [0, ln 2] "how different are
+    these two corpus slices" number behind mixture rebalancing and
+    source-drift review (Lin 1991, public).
+
+    Distributions are restricted to the global top-``top_v`` tokens so
+    the comparison domain is fixed and tiny: the corpus-sized work is
+    one explode + hash agg; the vocabulary cut is a TakeOrderedAndProject
+    (deterministic ``(count desc, token)`` tie-break), and everything
+    after — the dense group×vocab grid, the pair join, the ln terms —
+    runs on ≤ groups·top_v rows.  Zero-probability terms contribute 0
+    (the JSD convention); groups with no vocabulary mass are dropped.
+
+    Returns ``g1, g2, jsd`` (nats) for each unordered group pair.
+    """
+    toks = (
+        docs.select(
+            F.col(group_col).alias("g"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+        )
+        .filter(F.length("tok") > 0)
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("_n"))
+        .orderBy(F.desc("_n"), "tok")
+        .limit(top_v)
+        .select("tok")
+    )
+    gc = (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("g", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = gc.groupBy("g").agg(F.sum("c").alias("t")).filter(F.col("t") > 0)
+    grid = (
+        tot.crossJoin(vocab)
+        .join(gc, ["g", "tok"], "left")
+        .select(
+            "g", "tok",
+            (F.coalesce(F.col("c"), F.lit(0)).cast("double")
+             / F.col("t").cast("double")).alias("p"),
+        )
+    )
+    a = grid.select(
+        F.col("g").alias("g1"), "tok", F.col("p").alias("pa")
+    )
+    b = grid.select(
+        F.col("g").alias("g2"), F.col("tok").alias("tok2"),
+        F.col("p").alias("pb"),
+    )
+    pairs = a.join(
+        b, (F.col("tok") == F.col("tok2")) & (F.col("g1") < F.col("g2"))
+    )
+    m = (F.col("pa") + F.col("pb")) / 2.0
+    term = F.when(
+        F.col("pa") > 0, F.col("pa") * F.log(F.col("pa") / m)
+    ).otherwise(0.0) + F.when(
+        F.col("pb") > 0, F.col("pb") * F.log(F.col("pb") / m)
+    ).otherwise(0.0)
+    # floor-quantize each term to 1e-12 and sum as exact integers:
+    # a float sum over ~top_v terms is partition-order-dependent in
+    # the last ulps, which rolls round(6) boundary dice across engines
+    # (the CLAUDE.md quantization rule); the integer sum is exact and
+    # order-free on both sides, bias ≤ top_v·1e-12 ≪ the 6dp grid
+    tq = F.floor(term * F.lit(1e12)).cast("long")
+    return (
+        pairs.groupBy("g1", "g2")
+        .agg(
+            F.round(0.5 * F.sum(tq).cast("double") / F.lit(1e12), 6)
+            .alias("jsd")
+        )
+        .orderBy("g1", "g2")
+    )

@@ -94,3 +94,68 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def zonemap_prune_report(
+    df: DataFrame,
+    key: Column,
+    layouts: dict[str, Column],
+    lo: Column,
+    hi: Column,
+) -> DataFrame:
+    """Data-skipping effectiveness report: for each candidate physical
+    layout (a shard-id expression), build the zone map (per-shard
+    min/max of ``key`` — exactly what parquet footer stats give each
+    file) and measure how much of the table a range predicate
+    ``key BETWEEN lo AND hi`` would actually scan.
+
+    This is the planning question behind every 100 TB layout decision
+    — "if we cluster by X instead of ingest order, how many files does
+    the date filter still touch?" — answered from two map-side-combined
+    aggregates per layout (shard-cardinality exchange, then a 1-row
+    fold); no data is rewritten to evaluate a layout.
+
+    Returns one row per layout: ``layout, n_shards, shards_scanned,
+    rows_total, rows_scanned, prune_pct`` (percent of ROWS skipped;
+    NULL on an empty table).
+    """
+    reports = []
+    for name, shard in layouts.items():
+        zones = (
+            df.select(shard.alias("shard"), key.alias("k"))
+            .groupBy("shard")
+            .agg(
+                F.min("k").alias("kmin"),
+                F.max("k").alias("kmax"),
+                F.count("*").alias("n"),
+            )
+        )
+        overlap = (F.col("kmax") >= lo) & (F.col("kmin") <= hi)
+        reports.append(
+            zones.agg(
+                F.lit(name).alias("layout"),
+                F.count("*").cast("long").alias("n_shards"),
+                F.sum(F.when(overlap, 1).otherwise(0))
+                .cast("long")
+                .alias("shards_scanned"),
+                F.sum("n").cast("long").alias("rows_total"),
+                F.sum(F.when(overlap, F.col("n")).otherwise(0))
+                .cast("long")
+                .alias("rows_scanned"),
+            ).withColumn(
+                "prune_pct",
+                F.round(
+                    100.0
+                    * (
+                        1.0
+                        - F.col("rows_scanned").cast("double")
+                        / F.expr("nullif(CAST(rows_total AS DOUBLE), 0.0)")
+                    ),
+                    4,
+                ),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("layout")

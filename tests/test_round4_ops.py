@@ -519,3 +519,98 @@ def test_woe_iv_hand_computed(spark):
         3, 1, round(woe_b, 6), round((1 / 4 - 2 / 3) * woe_b, 6)
     )
     assert out["c"][2] is None and out["c"][3] is None
+
+
+def test_zonemap_prune_report_perfect_vs_useless_layout(spark):
+    """100 rows keyed 0..99 in 10 perfectly clustered shards (k//10)
+    vs one big shard: predicate [20, 39] scans exactly 2 clustered
+    shards (20 rows, 80% pruned) but the whole single-shard table."""
+    from pdf_to_vectordb_etl_spark.operators import zorder
+
+    df = spark.range(100).select(F.col("id").cast("int").alias("k"))
+    out = {
+        r["layout"]: (
+            r["n_shards"], r["shards_scanned"], r["rows_scanned"],
+            r["prune_pct"],
+        )
+        for r in zorder.zonemap_prune_report(
+            df, F.col("k"),
+            {"clustered": (F.col("k") / 10).cast("int"),
+             "single": F.lit(0)},
+            F.lit(20), F.lit(39),
+        ).collect()
+    }
+    assert out["clustered"] == (10, 2, 20, 80.0)
+    assert out["single"] == (1, 1, 100, 0.0)
+
+
+def test_js_divergence_identical_zero_disjoint_ln2(spark):
+    """JSD is 0 for identical distributions and ln 2 for disjoint
+    ones (its maximum in nats); a mixed pair lands strictly between."""
+    import math
+
+    rows = (
+        [(1, "alpha beta", "A"), (2, "alpha beta", "B")]
+        + [(3, "gamma delta", "C")]
+        + [(4, "alpha gamma", "D")]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    from pdf_to_vectordb_etl_spark.operators import textanalysis as ta
+
+    out = {
+        (r["g1"], r["g2"]): r["jsd"]
+        for r in ta.js_divergence_pairs(docs, "source", "text").collect()
+    }
+    assert out[("A", "B")] == 0.0
+    assert abs(out[("A", "C")] - math.log(2.0)) < 1e-5
+    assert 0.0 < out[("A", "D")] < math.log(2.0)
+
+
+def test_stump_split_finds_planted_threshold(spark):
+    """Labels are exactly value > 10: the best Gini split must land on
+    the bin whose right edge is 10.0 with impurity 0."""
+    from pdf_to_vectordb_etl_spark.operators import supervised
+
+    rows = [(float(v), 1 if v > 10 else 0) for v in range(1, 21)]
+    df = spark.createDataFrame(rows, ["value", "y"])
+    row = supervised.stump_split(
+        df, "value", F.col("y") == 1, n_bins=20, lo=0.0, hi=20.0
+    ).first()
+    # value 10 lands in bin 10 (right edge 11.0): the zero-impurity
+    # split keeps values 1..10 left, 11..20 right
+    assert row["threshold"] == 11.0
+    assert row["gini"] == 0.0
+    assert row["n_left"] == 10 and row["n_right"] == 10
+
+
+def test_ols_closed_form_matches_numpy(spark):
+    """Exact-integer Cramer solve equals numpy lstsq on a
+    well-conditioned planted system; a constant-feature group is
+    singular and yields NULL betas."""
+    import numpy as np
+
+    from pdf_to_vectordb_etl_spark.operators import supervised
+
+    rng_rows = [
+        (i % 7, (i * 3) % 5, 100 + 20 * (i % 7) - 7 * ((i * 3) % 5) + (i % 3))
+        for i in range(60)
+    ]
+    data = [("g", x1, x2, y) for x1, x2, y in rng_rows] + [
+        ("flat", 1, 1, 5), ("flat", 1, 1, 9)
+    ]
+    df = spark.createDataFrame(data, ["k", "x1", "x2", "y"])
+    out = {
+        r["group"]: r
+        for r in supervised.ols_closed_form(
+            df, "k", F.col("x1"), F.col("x2"), F.col("y")
+        ).collect()
+    }
+    X = np.array([[1.0, x1, x2] for x1, x2, _ in rng_rows])
+    yv = np.array([y for _, _, y in rng_rows], dtype=float)
+    beta = np.linalg.lstsq(X, yv, rcond=None)[0]
+    got = out["g"]
+    assert abs(got["b0"] - beta[0]) < 1e-4
+    assert abs(got["b1"] - beta[1]) < 1e-4
+    assert abs(got["b2"] - beta[2]) < 1e-4
+    flat = out["flat"]
+    assert flat["b0"] is None and flat["b1"] is None and flat["b2"] is None

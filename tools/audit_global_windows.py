@@ -62,6 +62,7 @@ ALLOWLIST = {
     "t14_stream_auc": "rank-sum finale over the 1000-row streaming bin snapshot — state bounded by construction",
     "ivf_recall_curve": "centroid list_id numbering over the 16-row post-limit md5 sample — bounded by construction",
     "t15_stream_survival": "KM finale over the per-user streaming snapshot folded to the distinct-duration table — time-domain-sized",
+    "stump_value_split": "cumulative class counts over the fixed 1000-bin score grid — bounded by construction (same family as eval_auc)",
 }
 
 
