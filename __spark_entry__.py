@@ -5820,6 +5820,83 @@ def q_ols_value_by_time(spark, sf):
     )
 
 
+def q_eval_auc_delong(spark, sf):
+    """AUC with DeLong SE and 95% CI on the fixed 1000-bin grid —
+    placement values collapse to bin-weighted moments; the (V−auc)²
+    sums are 1e-12 floor-quantized integers so the statistic is
+    order-free and engine-identical (windows over the bounded bin
+    table; audit-allowlisted)."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation as ev
+
+    events = _t(spark, sf, "events")
+    return ev.auc_delong_ci(
+        events, "value", F.col("event_type") == "purchase",
+        n_bins=1000, lo=0.0, hi=500.0,
+    )
+
+
+def q_eval_ece(spark, sf):
+    """Expected calibration error of the learned quality filter (same
+    quality_prob / English-label setup as calibration_bins), plus the
+    max per-bin gap: per-bin means rounded 6dp then lifted onto the
+    exact 1e-6 integer grid, so the weighted gap sum is exact integer
+    arithmetic."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation as ev
+
+    docs = _t(spark, sf, "documents")
+    scored = ta.quality_logreg(docs).select("doc_id", "quality_prob").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return ev.expected_calibration_error(
+        scored, "quality_prob", F.col("lang") == "en", n_bins=10
+    )
+
+
+def q_keyphrases_tfidf(spark, sf):
+    """Top-3 TF-IDF keyphrases per document (min_df=2, add-one
+    smoothed idf): explode once, two hash aggs, broadcast N, per-doc
+    WindowGroupLimit with a (score desc, token) tie-break."""
+    from pdf_to_vectordb_etl_spark.operators import textanalysis as ta2
+
+    docs = _t(spark, sf, "documents")
+    return ta2.keyphrases_tfidf(docs, k=3, min_df=2)
+
+
+def q_t18_stream_woe(spark, sf):
+    """T18 — feature screening maintained live: streaming hour-of-day
+    purchase counts (24-row bounded state, associative sum) snapshot
+    through the SAME woe_from_counts finale as batch eval_woe_iv, so
+    the batch WoE SQL is the parity oracle."""
+    import tempfile
+
+    from pdf_to_vectordb_etl_spark.operators import evaluation as ev
+    from pdf_to_vectordb_etl_spark.streaming.pipeline import (
+        stream_woe_counts,
+    )
+
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    live = stream_woe_counts(stream)
+    name = "t18_woe_counts"
+    q = (
+        live.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t18ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    return ev.woe_from_counts(
+        spark.table(name).select("bucket", "n", "n_pos")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -6032,6 +6109,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "js_divergence_sources": q_js_divergence_sources,
         "stump_value_split": q_stump_value_split,
         "ols_value_by_time": q_ols_value_by_time,
+        "eval_auc_delong": q_eval_auc_delong,
+        "eval_ece": q_eval_ece,
+        "t18_stream_woe": q_t18_stream_woe,
+        "keyphrases_tfidf": q_keyphrases_tfidf,
         "corr_surface": q_corr_surface,
         "ks_drift": q_ks_drift,
         "timed_funnel": q_timed_funnel,
@@ -10151,6 +10232,33 @@ def oracle_sql() -> dict[str, str]:
                      AS iv_contrib
             FROM per2 CROSS JOIN tot ORDER BY bucket
         """,
+        "t18_stream_woe": """
+            WITH per AS (
+              SELECT CAST((epoch_us(ts) // 3600000000) % 24 AS INT) AS bucket,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+              FROM events GROUP BY 1),
+            per2 AS (SELECT bucket, n, n_pos, n - n_pos AS n_neg FROM per),
+            tot AS (
+              SELECT CAST(sum(n_pos) AS BIGINT) AS p,
+                     CAST(sum(n_neg) AS BIGINT) AS nn
+              FROM per2)
+            SELECT bucket, n, n_pos,
+                   round(CASE WHEN n_pos > 0 AND n_neg > 0
+                              AND p > 0 AND nn > 0
+                         THEN ln((CAST(n_pos AS DOUBLE) / p)
+                                 / (CAST(n_neg AS DOUBLE) / nn)) END, 6)
+                     AS woe,
+                   round(CASE WHEN n_pos > 0 AND n_neg > 0
+                              AND p > 0 AND nn > 0
+                         THEN (CAST(n_pos AS DOUBLE) / p
+                               - CAST(n_neg AS DOUBLE) / nn)
+                              * ln((CAST(n_pos AS DOUBLE) / p)
+                                   / (CAST(n_neg AS DOUBLE) / nn)) END, 6)
+                     AS iv_contrib
+            FROM per2 CROSS JOIN tot ORDER BY bucket
+        """,
         "zonemap_prune": """
             WITH keyed AS (
               SELECT CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
@@ -10331,6 +10439,154 @@ def oracle_sql() -> dict[str, str]:
                          THEN CAST(d2 AS DOUBLE) / CAST(det AS DOUBLE)
                          END, 6) AS b2
             FROM dets ORDER BY g
+        """,
+        "eval_auc_delong": """
+            WITH raw AS (
+              SELECT CAST(least(greatest(floor(value / 0.5), 0), 999)
+                          AS INT) AS bin,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS y
+              FROM events),
+            binned AS (
+              SELECT bin, CAST(sum(y) AS BIGINT) AS pos,
+                     CAST(count(*) - sum(y) AS BIGINT) AS neg
+              FROM raw GROUP BY bin),
+            cum AS (
+              SELECT bin, pos, neg,
+                     CAST(coalesce(sum(neg) OVER (ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS negb,
+                     CAST(coalesce(sum(pos) OVER (ORDER BY bin
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+                       0) AS BIGINT) AS posa
+              FROM binned),
+            tot AS (
+              SELECT CAST(sum(pos) AS BIGINT) AS n1,
+                     CAST(sum(neg) AS BIGINT) AS n0
+              FROM binned),
+            a AS (
+              SELECT n1, n0,
+                     (SELECT sum(pos * (negb + neg / 2.0)) FROM cum)
+                       / nullif(CAST(n1 AS DOUBLE) * n0, 0.0) AS auc_x
+              FROM tot),
+            q AS (
+              SELECT a.n1, a.n0, a.auc_x,
+                     sum(CASE WHEN a.n0 > 0 AND a.n1 > 0 THEN
+                       CAST(floor(((c.pos
+                         * ((c.negb + c.neg / 2.0)
+                            / CAST(a.n0 AS DOUBLE) - a.auc_x))
+                         * ((c.negb + c.neg / 2.0)
+                            / CAST(a.n0 AS DOUBLE) - a.auc_x))
+                         * 1e12) AS BIGINT) END) AS s10q,
+                     sum(CASE WHEN a.n0 > 0 AND a.n1 > 0 THEN
+                       CAST(floor(((c.neg
+                         * ((c.posa + c.pos / 2.0)
+                            / CAST(a.n1 AS DOUBLE) - a.auc_x))
+                         * ((c.posa + c.pos / 2.0)
+                            / CAST(a.n1 AS DOUBLE) - a.auc_x))
+                         * 1e12) AS BIGINT) END) AS s01q
+              FROM a LEFT JOIN cum c ON TRUE
+              GROUP BY a.n1, a.n0, a.auc_x)
+            SELECT round(auc_x, 6) AS auc,
+                   round(CASE WHEN n1 > 1 AND n0 > 1 THEN
+                     sqrt((CAST(s10q AS DOUBLE) / 1e12 / (n1 - 1)) / n1
+                          + (CAST(s01q AS DOUBLE) / 1e12 / (n0 - 1)) / n0)
+                     END, 6) AS se,
+                   round(CASE WHEN n1 > 1 AND n0 > 1 THEN
+                     auc_x - 1.96 * sqrt(
+                       (CAST(s10q AS DOUBLE) / 1e12 / (n1 - 1)) / n1
+                       + (CAST(s01q AS DOUBLE) / 1e12 / (n0 - 1)) / n0)
+                     END, 6) AS ci_lo,
+                   round(CASE WHEN n1 > 1 AND n0 > 1 THEN
+                     auc_x + 1.96 * sqrt(
+                       (CAST(s10q AS DOUBLE) / 1e12 / (n1 - 1)) / n1
+                       + (CAST(s01q AS DOUBLE) / 1e12 / (n0 - 1)) / n0)
+                     END, 6) AS ci_hi,
+                   n1 AS n_pos, n0 AS n_neg
+            FROM q
+        """,
+        "eval_ece": r"""
+            WITH f AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END
+                       AS n_tokens,
+                     len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                     len(regexp_extract_all(lower(text),
+                         '\b(the|a|of|and|to|in|is|it)\b')) AS n_stop,
+                     len(regexp_extract_all(text, '[A-Z]')) AS n_upper
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     round(CASE WHEN n_tokens > 0
+                           THEN (n_chars - (n_tokens - 1)) * 1.0 / n_tokens
+                           ELSE 0.0 END, 6) AS mean_token_len,
+                     round(CASE WHEN n_chars > 0
+                           THEN n_punct * 1.0 / n_chars ELSE 0.0 END, 6)
+                       AS punct_ratio,
+                     round(CASE WHEN n_tokens > 0
+                           THEN n_stop * 1.0 / n_tokens ELSE 0.0 END, 6)
+                       AS stopword_ratio,
+                     round(CASE WHEN n_chars > 0
+                           THEN n_upper * 1.0 / n_chars ELSE 0.0 END, 6)
+                       AS upper_ratio,
+                     round(ln(1.0 + n_tokens), 6) AS log1p_tokens
+              FROM f),
+            z AS (
+              SELECT doc_id,
+                     round(-2.2 + 3.2 * stopword_ratio + -6.0 * punct_ratio
+                           + -2.5 * upper_ratio + 0.15 * mean_token_len
+                           + 0.35 * log1p_tokens, 8) AS z
+              FROM g),
+            p AS (
+              SELECT z.doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS p,
+                     d.lang = 'en' AS y
+              FROM z JOIN documents d ON z.doc_id = d.doc_id),
+            binsq AS (
+              SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(round(round(avg(p), 6) * 1e6) AS BIGINT) AS mq,
+                     CAST(round(round(avg(CASE WHEN y THEN 1 ELSE 0 END),
+                                      6) * 1e6) AS BIGINT) AS pq
+              FROM p GROUP BY 1)
+            SELECT round(CAST(sum(n * abs(mq - pq)) AS DOUBLE)
+                         / (1e6 * nullif(CAST(sum(n) AS DOUBLE), 0.0)), 6)
+                     AS ece,
+                   round(CAST(max(abs(mq - pq)) AS DOUBLE) / 1e6, 6)
+                     AS max_ce,
+                   CAST(count(*) AS BIGINT) AS n_bins_used,
+                   CAST(sum(n) AS BIGINT) AS n
+            FROM binsq
+        """,
+        "keyphrases_tfidf": r"""
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     unnest(string_split_regex(lower(text), '\s+')) AS tok
+              FROM documents),
+            tks AS (SELECT id, tok FROM toks WHERE length(tok) > 0),
+            tf AS (
+              SELECT id, tok, CAST(count(*) AS BIGINT) AS tf
+              FROM tks GROUP BY id, tok),
+            dft AS (
+              SELECT tok, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY tok HAVING count(*) >= 2),
+            nd AS (
+              SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+              FROM documents),
+            sc AS (
+              SELECT tf.id, tf.tok,
+                     tf.tf * ln(CAST(n_docs + 1 AS DOUBLE)
+                                / CAST(df + 1 AS DOUBLE)) AS score
+              FROM tf JOIN dft USING (tok) CROSS JOIN nd),
+            rk AS (
+              SELECT id, tok, score,
+                     row_number() OVER (PARTITION BY id
+                       ORDER BY score DESC, tok) AS rank
+              FROM sc)
+            SELECT id AS doc_id, CAST(rank AS INT) AS rank,
+                   tok AS token, round(score, 6) AS score
+            FROM rk WHERE rank <= 3 ORDER BY doc_id, rank
         """,
         "negative_edges": """
             WITH w AS (

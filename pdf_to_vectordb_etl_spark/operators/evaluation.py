@@ -891,8 +891,17 @@ def woe_iv(
             F.count("*").alias("n"),
             F.sum("y").cast("long").alias("n_pos"),
         )
-        .withColumn("n_neg", F.col("n") - F.col("n_pos"))
     )
+    return woe_from_counts(per)
+
+
+def woe_from_counts(per: DataFrame) -> DataFrame:
+    """WoE/IV finale over a ``(bucket, n, n_pos)`` counts relation —
+    the mergeable artifact behind :func:`woe_iv`: per-bucket counts
+    are associative sums, so a streaming aggregate snapshot (the T18
+    twin) or a union of shard counts folds into the identical input
+    and this finale produces the identical report."""
+    per = per.withColumn("n_neg", F.col("n") - F.col("n_pos"))
     tot = per.agg(
         F.sum("n_pos").cast("long").alias("tp"),
         F.sum("n_neg").cast("long").alias("tn"),
@@ -912,4 +921,126 @@ def woe_iv(
             F.round(F.when(ok, (pr - nr) * woe), 6).alias("iv_contrib"),
         )
         .orderBy("bucket")
+    )
+
+
+def auc_delong_ci(
+    df: DataFrame,
+    score_col: str,
+    label_col: Column,
+    n_bins: int = 1000,
+    lo: float = 0.0,
+    hi: float = 500.0,
+) -> DataFrame:
+    """ROC AUC with its DeLong standard error and 95% CI (DeLong,
+    DeLong & Clarke-Pearson 1988, public), on the same fixed
+    ``n_bins`` score grid as :func:`binned_auc` — the question "is
+    this quality score's separation real or noise" answered without a
+    second pass over the corpus.
+
+    Positives in a bin share the placement value V10 = (#neg below +
+    ½·#neg tied)/n0 (and symmetrically V01 for negatives), so the
+    per-observation DeLong variances collapse to pos/neg-weighted
+    moments over the ≤ ``n_bins``-row bin table.  The AUC entering
+    (V−auc)² is the unrounded exact ratio (its numerator sums
+    .5-granular values — exact in doubles), and each weighted squared
+    deviation is floor-quantized to 1e-12 and summed as integers, so
+    the whole statistic is order-free and engine-identical.
+
+    Returns one row: ``auc, se, ci_lo, ci_hi, n_pos, n_neg`` (se/CI
+    NULL when either class has < 2 observations).
+    """
+    binned = score_bin_histogram(df, score_col, label_col, n_bins, lo, hi)
+    w_prev = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    w_after = Window.orderBy("bin").rowsBetween(1, Window.unboundedFollowing)
+    cum = binned.select(
+        "bin", "pos", "neg",
+        F.coalesce(F.sum("neg").over(w_prev), F.lit(0)).alias("negb"),
+        F.coalesce(F.sum("pos").over(w_after), F.lit(0)).alias("posa"),
+    )
+    tot = binned.agg(
+        F.sum("pos").cast("long").alias("n1"),
+        F.sum("neg").cast("long").alias("n0"),
+    )
+    both = cum.join(F.broadcast(tot))
+    # exact AUC numerator: Σ pos·(negb + neg/2) is a sum of values on
+    # the 0.5 grid — exact in doubles at any summation order
+    num = F.sum(F.col("pos") * (F.col("negb") + F.col("neg") / 2.0))
+    auc_exact = num / F.expr("nullif(CAST(max(n1) AS DOUBLE) * max(n0), 0.0)")
+    stats = both.agg(
+        F.max("n1").alias("n1"),
+        F.max("n0").alias("n0"),
+        auc_exact.alias("_auc"),
+    )
+    withauc = both.join(F.broadcast(stats.select("_auc")))
+    v10 = (F.col("negb") + F.col("neg") / 2.0) / F.col("n0").cast("double")
+    v01 = (F.col("posa") + F.col("pos") / 2.0) / F.col("n1").cast("double")
+    d10 = v10 - F.col("_auc")
+    d01 = v01 - F.col("_auc")
+    q10 = F.floor(F.col("pos") * d10 * d10 * F.lit(1e12)).cast("long")
+    q01 = F.floor(F.col("neg") * d01 * d01 * F.lit(1e12)).cast("long")
+    fin = withauc.agg(
+        F.max("n1").alias("n1"),
+        F.max("n0").alias("n0"),
+        F.max("_auc").alias("_auc"),
+        F.sum(F.when((F.col("n0") > 0) & (F.col("n1") > 0), q10)).alias("s10q"),
+        F.sum(F.when((F.col("n0") > 0) & (F.col("n1") > 0), q01)).alias("s01q"),
+    )
+    ok = (F.col("n1") > 1) & (F.col("n0") > 1)
+    s10 = F.col("s10q").cast("double") / 1e12 / (F.col("n1") - 1)
+    s01 = F.col("s01q").cast("double") / 1e12 / (F.col("n0") - 1)
+    se = F.sqrt(s10 / F.col("n1") + s01 / F.col("n0"))
+    return fin.select(
+        F.round("_auc", 6).alias("auc"),
+        F.round(F.when(ok, se), 6).alias("se"),
+        F.round(F.when(ok, F.col("_auc") - 1.96 * se), 6).alias("ci_lo"),
+        F.round(F.when(ok, F.col("_auc") + 1.96 * se), 6).alias("ci_hi"),
+        F.col("n1").alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+    )
+
+
+def expected_calibration_error(
+    scored: DataFrame,
+    prob_col: str,
+    label_col: Column,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Expected calibration error (ECE) and max calibration gap — the
+    one-number summary of the reliability diagram
+    (:func:`calibration_bins`): Σ (n_i/n)·|mean_prob_i − pos_rate_i|
+    over equal-width probability bins.
+
+    The per-bin means are rounded to 6 decimals first (the
+    calibration_bins convention, engine-identical), then lifted onto
+    the exact 1e-6 integer grid so the weighted gap sum is exact
+    integer arithmetic — no float-summation order sensitivity.
+
+    Returns one row: ``ece, max_ce, n_bins_used, n``.
+    """
+    y = label_col.cast("int")
+    b = F.least(
+        F.floor(F.col(prob_col) * n_bins), F.lit(n_bins - 1)
+    ).cast("int")
+    bins = (
+        scored.select(b.alias("bin"), F.col(prob_col).alias("p"), y.alias("y"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("p"), 6).alias("mp"),
+            F.round(F.avg("y"), 6).alias("pr"),
+        )
+    )
+    mq = F.round(F.col("mp") * 1e6, 0).cast("long")
+    pq = F.round(F.col("pr") * 1e6, 0).cast("long")
+    gap = F.abs(mq - pq)
+    return bins.agg(
+        F.round(
+            F.sum(F.col("n") * gap).cast("double")
+            / (F.lit(1e6) * F.expr("nullif(CAST(sum(n) AS DOUBLE), 0.0)")),
+            6,
+        ).alias("ece"),
+        F.round(F.max(gap).cast("double") / 1e6, 6).alias("max_ce"),
+        F.count("*").cast("long").alias("n_bins_used"),
+        F.sum("n").cast("long").alias("n"),
     )

@@ -730,3 +730,71 @@ def js_divergence_pairs(
         )
         .orderBy("g1", "g2")
     )
+
+
+def keyphrases_tfidf(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_df: int = 2,
+) -> DataFrame:
+    """Top-``k`` TF-IDF keyphrases per document — the classic
+    "what is this document about" extractor used for corpus browsing
+    and weak topic labels.
+
+    One explode feeds both the per-(doc, token) term frequencies and
+    the document-frequency table; N comes from a 1-row aggregate
+    crossJoined back (broadcast, no driver round-trip); idf =
+    ln((N+1)/(df+1)) with add-one smoothing.  The per-doc top-k is a
+    PARTITIONED row_number with a deterministic (score desc, token)
+    tie-break — Spark compiles the rank≤k filter to WindowGroupLimit,
+    so no doc ever materializes more than k+heap rows.  Tokens seen in
+    fewer than ``min_df`` docs are dropped before the join (typo
+    suppression), and every score is a ratio of exact integers —
+    engine-identical.
+
+    Returns ``doc_id, rank, token, score`` ordered by (doc_id, rank).
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+        )
+        .filter(F.length("tok") > 0)
+    )
+    tf = toks.groupBy("id", "tok").agg(F.count("*").alias("tf"))
+    df_t = (
+        tf.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    n_docs = docs.agg(
+        F.count_distinct(F.col(id_col)).alias("n_docs")
+    )
+    scored = (
+        tf.join(df_t, "tok")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * F.log(
+                (F.col("n_docs") + 1).cast("double")
+                / (F.col("df") + 1).cast("double")
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), "tok")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id").alias("doc_id"),
+            "rank",
+            F.col("tok").alias("token"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy("doc_id", "rank")
+    )

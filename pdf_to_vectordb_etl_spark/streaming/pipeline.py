@@ -656,3 +656,26 @@ def stream_gram_histogram(
         .groupBy("b")
         .agg(F.count("*").alias("c"))
     )
+
+
+def stream_woe_counts(
+    events_stream: DataFrame,
+    label_value: str = "purchase",
+) -> DataFrame:
+    """Beyond-reference: the T18 feature-screening twin — live
+    (hour-of-day, n, n_pos) counts for the weight-of-evidence report
+    maintained as an associative streaming sum.  Binning is a
+    stateless narrow projection on the raw stream (event times
+    normalized in-transform, same contract as the other T-series
+    ops); state is bounded at 24 rows.  Over identical rows the
+    snapshot equals batch woe_iv's bucket aggregate, so feeding it to
+    ``evaluation.woe_from_counts`` reproduces the batch report and the
+    batch WoE SQL is the parity oracle."""
+    withts = normalize_event_times(events_stream, "ts")
+    bucket = F.expr("(ts div 3600000000000) % 24").cast("int")
+    y = (F.col("event_type") == label_value).cast("int")
+    return (
+        withts.select(bucket.alias("bucket"), y.alias("y"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.sum("y").cast("long").alias("n_pos"))
+    )

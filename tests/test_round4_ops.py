@@ -614,3 +614,109 @@ def test_ols_closed_form_matches_numpy(spark):
     assert abs(got["b2"] - beta[2]) < 1e-4
     flat = out["flat"]
     assert flat["b0"] is None and flat["b1"] is None and flat["b2"] is None
+
+
+def test_auc_delong_matches_reference_formula(spark):
+    """Binned DeLong vs a direct numpy placement-value implementation
+    on well-separated distinct scores (one observation per bin, so
+    binning is exact)."""
+    import numpy as np
+
+    from pdf_to_vectordb_etl_spark.operators import evaluation as ev
+
+    pos_scores = [12.0, 15.0, 17.0, 9.0, 14.0]
+    neg_scores = [3.0, 5.0, 8.0, 11.0, 2.0, 6.0]
+    rows = [(s, 1) for s in pos_scores] + [(s, 0) for s in neg_scores]
+    df = spark.createDataFrame(rows, ["value", "y"])
+    row = ev.auc_delong_ci(
+        df, "value", F.col("y") == 1, n_bins=20, lo=0.0, hi=20.0
+    ).first()
+
+    p, n = np.array(pos_scores), np.array(neg_scores)
+    v10 = np.array([(np.sum(n < x) + 0.5 * np.sum(n == x)) / len(n) for x in p])
+    v01 = np.array([(np.sum(p > x) + 0.5 * np.sum(p == x)) / len(p) for x in n])
+    auc = v10.mean()
+    se = float(
+        np.sqrt(v10.var(ddof=1) / len(p) + v01.var(ddof=1) / len(n))
+    )
+    assert abs(row["auc"] - auc) < 1e-6
+    assert abs(row["se"] - se) < 1e-5
+    assert abs(row["ci_lo"] - (auc - 1.96 * se)) < 1e-4
+    assert abs(row["ci_hi"] - (auc + 1.96 * se)) < 1e-4
+    assert row["n_pos"] == 5 and row["n_neg"] == 6
+
+
+def test_auc_delong_single_class_null_se(spark):
+    """One positive observation: AUC defined, SE/CI NULL (n1 < 2)."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation as ev
+
+    rows = [(12.0, 1), (3.0, 0), (5.0, 0)]
+    df = spark.createDataFrame(rows, ["value", "y"])
+    row = ev.auc_delong_ci(
+        df, "value", F.col("y") == 1, n_bins=20, lo=0.0, hi=20.0
+    ).first()
+    assert row["auc"] == 1.0
+    assert row["se"] is None and row["ci_lo"] is None
+
+
+def test_ece_perfect_and_maximal_calibration(spark):
+    """Predictions equal to the empirical rate give ECE 0; confident
+    always-wrong predictions give ECE ~1."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation as ev
+
+    # bin [0.4, 0.5): two rows at p=0.45, one positive -> pos_rate 0.5
+    good = spark.createDataFrame(
+        [(0.45, 1), (0.45, 0), (0.55, 1), (0.55, 0)], ["p", "y"]
+    )
+    row = ev.expected_calibration_error(
+        good, "p", F.col("y") == 1, n_bins=10
+    ).first()
+    assert abs(row["ece"] - 0.05) < 1e-9  # |0.45-0.5| and |0.55-0.5|
+    assert row["n_bins_used"] == 2 and row["n"] == 4
+
+    bad = spark.createDataFrame([(0.95, 0), (0.95, 0)], ["p", "y"])
+    row = ev.expected_calibration_error(
+        bad, "p", F.col("y") == 1, n_bins=10
+    ).first()
+    assert abs(row["ece"] - 0.95) < 1e-9
+    assert row["max_ce"] == row["ece"]
+
+
+def test_keyphrases_tfidf_surfaces_distinctive_token(spark):
+    """A token unique to one doc (but above min_df) outranks corpus-
+    wide tokens; tokens below min_df never appear."""
+    from pdf_to_vectordb_etl_spark.operators import textanalysis as ta
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common zebra zebra zebra"),
+            (2, "common common zebra unique"),
+            (3, "common common common"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = ta.keyphrases_tfidf(docs, k=2, min_df=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["token"])
+    # 'unique' has df=1 -> dropped; zebra (df=2) outranks common (df=3)
+    assert all(t != "unique" for ts in by_doc.values() for t in ts)
+    assert by_doc[1][0] == "zebra"
+    assert by_doc[3] == ["common"]
+    ranks = [r["rank"] for r in out if r["doc_id"] == 1]
+    assert ranks == [1, 2]
+
+
+def test_t18_stream_woe_equals_batch(spark):
+    """The T18 snapshot through woe_from_counts equals batch woe_iv
+    row-for-row on the same data (shared finale, associative counts)."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    live = {
+        tuple(r) for r in entry.queries()["t18_stream_woe"](spark, sf).collect()
+    }
+    batch = {
+        tuple(r) for r in entry.queries()["eval_woe_iv"](spark, sf).collect()
+    }
+    assert live == batch and len(live) > 0

@@ -63,6 +63,7 @@ ALLOWLIST = {
     "ivf_recall_curve": "centroid list_id numbering over the 16-row post-limit md5 sample — bounded by construction",
     "t15_stream_survival": "KM finale over the per-user streaming snapshot folded to the distinct-duration table — time-domain-sized",
     "stump_value_split": "cumulative class counts over the fixed 1000-bin score grid — bounded by construction (same family as eval_auc)",
+    "eval_auc_delong": "placement-value cum windows over the fixed 1000-bin score grid — bounded by construction (same family as eval_auc)",
 }
 
 
