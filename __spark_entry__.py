@@ -1530,6 +1530,35 @@ def q_ivf_assign_cosine(spark, sf):
     return assigned.select("vec_id", F.col("list_id").alias("best_label"))
 
 
+def q_ivf_incremental_assign(spark, sf):
+    """Incremental ANN-index maintenance: the corpus (vec_id % 4 != 0)
+    trained the IVF index — here it participates only as its persisted
+    per-list occupancy artifact — and the ingest batch (vec_id % 4 = 0)
+    is broadcast-assigned into the EXISTING centroids, producing the
+    per-list occupancy-drift + home-similarity report that tells an
+    operator the quantizer needs retraining. All ratios derive from
+    exact integers (counts, 1e-6-floor-quantized sims), so the whole
+    report replays bit-identically in DuckDB."""
+    emb = _t(spark, sf, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+    cd = ex.groupBy("label", "dim").agg(F.avg("x").alias("c"))
+    cent = (
+        cd.groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("list_id"), "centroid")
+    )
+    corpus = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    base = topk.ivf_occupancy(corpus, cent, "embedding", "vec_id")
+    return topk.ivf_incremental_assign(
+        batch, cent, base, "embedding", "vec_id"
+    ).orderBy("list_id")
+
+
 def q_dedup_semantic(spark, sf):
     """SemDeDup (arXiv:2303.09540): per-label mean centroids -> nearest-
     centroid assignment -> exact cosine pairs WITHIN clusters only
@@ -2666,6 +2695,103 @@ def q_t17_stream_gram_hist(spark, sf):
     )
     q.awaitTermination(300)
     return spark.table(name).select("b", "c")
+
+
+def q_t19_stream_minhash_screen(spark, sf):
+    """T19 — the live near-dup ingest gate: the corpus half
+    (md5-bucket < '8') participates as its persisted band table; the
+    new half streams in and is banded PER-ROW (stateless — no
+    aggregation-before-join), band-joined against the static table,
+    verified by per-row exact Jaccard on shingle-hash arrays, and
+    pair-deduped by one bounded streaming agg. Snapshot hash-matches
+    the batch incremental screen, so the oracle is the same DuckDB
+    exact new×corpus Jaccard set as dedup_incremental_minhash."""
+    import tempfile
+
+    from pdf_to_vectordb_etl_spark.streaming.pipeline import (
+        minhash_band_table,
+        stream_minhash_screen,
+    )
+
+    docs = _t(spark, sf, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    bands = minhash_band_table(docs.filter(h < "8"))
+    raw_schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+    )
+    live = stream_minhash_screen(
+        stream.filter(h >= "8"), bands, threshold=0.5
+    )
+    name = "t19_minhash_screen"
+    q = (
+        live.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t19ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select("new_id", "corpus_id", "jaccard")
+
+
+def q_t20_stream_ivf_drift(spark, sf):
+    """T20 — live IVF index-drift telemetry: the ingest half
+    (vec_id % 4 = 0) STREAMS through a stateless per-row
+    nearest-centroid argmax (centroids baked as a bounded literal) +
+    one ≤ n_lists-row streaming agg; the snapshot plus the persisted
+    baseline occupancy feeds the SAME drift-report finale as the
+    batch ivf_incremental_assign — whose oracle therefore verifies
+    this path too."""
+    import tempfile
+
+    from pdf_to_vectordb_etl_spark.streaming.pipeline import (
+        stream_ivf_occupancy,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+    cd = ex.groupBy("label", "dim").agg(F.avg("x").alias("c"))
+    cent = (
+        cd.groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("list_id"), "centroid")
+    )
+    cent_rows = [
+        (r["list_id"], list(r["centroid"])) for r in cent.collect()
+    ]
+    base = topk.ivf_occupancy(
+        emb.filter(F.col("vec_id") % 4 != 0), cent, "embedding", "vec_id"
+    )
+    raw_schema = spark.read.parquet(f"{sf}/embeddings.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf)
+    )
+    live = stream_ivf_occupancy(
+        stream.filter(F.col("vec_id") % 4 == 0), cent_rows, "embedding"
+    )
+    name = "t20_ivf_occ"
+    q = (
+        live.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t20ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    return topk.ivf_drift_report(spark.table(name), base).orderBy("list_id")
 
 
 def q_bpe_train(spark, sf):
@@ -5989,6 +6115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_top_terms": q_ta_top_terms,
         "ta_pii_scrub": q_ta_pii_scrub,
         "ivf_assign_cosine": q_ivf_assign_cosine,
+        "ivf_incremental_assign": q_ivf_incremental_assign,
         "ta_bigram_lm": q_ta_bigram_lm,
         "t6_stream_enrich": q_t6_stream_enrich,
         "snapshot_diff": q_snapshot_diff,
@@ -6174,6 +6301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_extract_features": q_mm_extract_features,
         "t16_stream_psi": q_t16_stream_psi,
         "t17_stream_gram_hist": q_t17_stream_gram_hist,
+        "t19_stream_minhash_screen": q_t19_stream_minhash_screen,
+        "t20_stream_ivf_drift": q_t20_stream_ivf_drift,
         "tree_rollup": q_tree_rollup,
         "runs_test": q_runs_test,
     }
@@ -7693,6 +7822,53 @@ def oracle_sql() -> dict[str, str]:
                   FROM sims)
             SELECT vec_id, list_id AS best_label FROM r WHERE rn = 1
         """,
+        # incremental IVF maintenance: same centroid CTE; assignment
+        # ranked on floor(sim*1e6) (integral key -> engine-identical
+        # winner); every ratio is int/int so the report is bit-exact.
+        "ivf_incremental_assign": """
+            WITH ex AS (
+              SELECT label, unnest(range(len(embedding))) AS dim,
+                     unnest(embedding) AS x
+              FROM embeddings),
+            cd AS (SELECT label, dim, avg(x) AS c FROM ex GROUP BY label, dim),
+            cent AS (SELECT label AS list_id, list(c ORDER BY dim) AS centroid
+                     FROM cd GROUP BY label),
+            sims AS (
+              SELECT e.vec_id, c.list_id,
+                     CAST(floor(list_cosine_similarity(e.embedding,
+                          c.centroid) * 1e6) AS BIGINT) AS sq
+              FROM embeddings e CROSS JOIN cent c),
+            a AS (SELECT vec_id, list_id, sq,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY sq DESC, list_id) AS rn
+                  FROM sims),
+            home AS (SELECT vec_id, list_id, sq FROM a WHERE rn = 1),
+            base AS (SELECT list_id, CAST(count(*) AS BIGINT) AS n_base
+                     FROM home WHERE vec_id % 4 <> 0 GROUP BY list_id),
+            newo AS (SELECT list_id, CAST(count(*) AS BIGINT) AS n_new,
+                            CAST(sum(sq) AS BIGINT) AS ssq
+                     FROM home WHERE vec_id % 4 = 0 GROUP BY list_id),
+            occ AS (SELECT coalesce(b.list_id, w.list_id) AS list_id,
+                           coalesce(n_base, 0) AS n_base,
+                           coalesce(n_new, 0) AS n_new, ssq
+                    FROM base b FULL OUTER JOIN newo w
+                      ON b.list_id = w.list_id),
+            tot AS (SELECT CAST(sum(n_base) AS BIGINT) AS tb,
+                           CAST(sum(n_new) AS BIGINT) AS tn FROM occ)
+            SELECT list_id, n_base, n_new,
+                   floor(n_base / nullif(CAST(tb AS DOUBLE), 0.0) * 1e6)
+                     / 1e6 AS share_base,
+                   floor(n_new / nullif(CAST(tn AS DOUBLE), 0.0) * 1e6)
+                     / 1e6 AS share_new,
+                   floor(n_new / nullif(CAST(tn AS DOUBLE), 0.0) * 1e6)
+                     / 1e6
+                   - floor(n_base / nullif(CAST(tb AS DOUBLE), 0.0) * 1e6)
+                     / 1e6 AS drift,
+                   CASE WHEN n_new > 0
+                        THEN floor(CAST(ssq AS DOUBLE) / n_new) / 1e6
+                   END AS mean_home_sim
+            FROM occ CROSS JOIN tot ORDER BY list_id
+        """,
         # SemDeDup twin: same assignment CTE as ivf_assign_cosine
         # (round-6 + list_id tiebreak matches topk.ivf_assign), then
         # exact within-cluster cosine pairs.
@@ -8875,15 +9051,16 @@ def oracle_sql() -> dict[str, str]:
             rt AS (SELECT sum(c) AS t FROM rh),
             ratio AS (
               SELECT r.b,
-                     coalesce(
+                     CAST(floor((coalesce(
                        ln((t2.c + 1.0) / ((SELECT t FROM tt) + 4096.0)),
                        ln(1.0 / ((SELECT t FROM tt) + 4096.0)))
-                     - ln((r.c + 1.0) / ((SELECT t FROM rt) + 4096.0))
-                       AS lr
+                     - ln((r.c + 1.0) / ((SELECT t FROM rt) + 4096.0)))
+                       * 1e9) AS BIGINT) AS lr_q
               FROM rh r LEFT JOIN th t2 ON r.b = t2.b),
             sc AS (
               SELECT bk.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-                     round(sum(ratio.lr), 6) AS logw
+                     floor(CAST(sum(ratio.lr_q) AS DOUBLE) / 1000.0)
+                       / 1e6 AS logw
               FROM bk JOIN ratio USING (b) GROUP BY bk.doc_id)
             SELECT doc_id, n_grams, logw FROM sc
             ORDER BY logw DESC, doc_id LIMIT 50
@@ -10351,7 +10528,7 @@ def oracle_sql() -> dict[str, str]:
                           AS INT) AS bin,
                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
                        AS y
-              FROM events),
+              FROM events WHERE value IS NOT NULL),
             binned AS (
               SELECT bin, CAST(sum(y) AS BIGINT) AS pos,
                      CAST(count(*) - sum(y) AS BIGINT) AS neg
@@ -10413,8 +10590,18 @@ def oracle_sql() -> dict[str, str]:
                      CAST(sum(x1 * y) AS HUGEINT) AS s1y,
                      CAST(sum(x2 * y) AS HUGEINT) AS s2y
               FROM d GROUP BY g),
+            -- mirror the Spark-side decimal(38) overflow guard: any
+            -- statistic past 1e12 yields NULL betas on BOTH engines
+            -- (HUGEINT would keep computing where Spark cannot)
+            sg AS (
+              SELECT *, greatest(CAST(n AS DOUBLE), abs(CAST(s1 AS DOUBLE)),
+                       abs(CAST(s2 AS DOUBLE)), abs(CAST(s11 AS DOUBLE)),
+                       abs(CAST(s12 AS DOUBLE)), abs(CAST(s22 AS DOUBLE)),
+                       abs(CAST(sy AS DOUBLE)), abs(CAST(s1y AS DOUBLE)),
+                       abs(CAST(s2y AS DOUBLE))) <= 1e12 AS fits
+              FROM s),
             dets AS (
-              SELECT g, n,
+              SELECT g, n, fits,
                      n * (s11 * s22 - s12 * s12)
                        - s1 * (s1 * s22 - s12 * s2)
                        + s2 * (s1 * s12 - s11 * s2) AS det,
@@ -10427,15 +10614,15 @@ def oracle_sql() -> dict[str, str]:
                      n * (s11 * s2y - s1y * s12)
                        - s1 * (s1 * s2y - s1y * s2)
                        + sy * (s1 * s12 - s11 * s2) AS d2
-              FROM s)
+              FROM sg)
             SELECT g AS "group", CAST(n AS BIGINT) AS n,
-                   round(CASE WHEN det <> 0
+                   round(CASE WHEN fits AND det <> 0
                          THEN CAST(d0 AS DOUBLE) / CAST(det AS DOUBLE)
                          END, 6) AS b0,
-                   round(CASE WHEN det <> 0
+                   round(CASE WHEN fits AND det <> 0
                          THEN CAST(d1 AS DOUBLE) / CAST(det AS DOUBLE)
                          END, 6) AS b1,
-                   round(CASE WHEN det <> 0
+                   round(CASE WHEN fits AND det <> 0
                          THEN CAST(d2 AS DOUBLE) / CAST(det AS DOUBLE)
                          END, 6) AS b2
             FROM dets ORDER BY g
@@ -10446,7 +10633,7 @@ def oracle_sql() -> dict[str, str]:
                           AS INT) AS bin,
                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
                        AS y
-              FROM events),
+              FROM events WHERE value IS NOT NULL),
             binned AS (
               SELECT bin, CAST(sum(y) AS BIGINT) AS pos,
                      CAST(count(*) - sum(y) AS BIGINT) AS neg
@@ -11392,7 +11579,7 @@ def oracle_sql() -> dict[str, str]:
                               END) AS BIGINT) AS pos,
                      CAST(sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1
                               END) AS BIGINT) AS neg
-              FROM events GROUP BY 1),
+              FROM events WHERE value IS NOT NULL GROUP BY 1),
             c AS (
               SELECT pos, neg,
                      CAST(coalesce(sum(neg) OVER (ORDER BY bin
@@ -11653,7 +11840,7 @@ def oracle_sql() -> dict[str, str]:
                               END) AS BIGINT) AS pos,
                      CAST(sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1
                               END) AS BIGINT) AS neg
-              FROM events GROUP BY 1),
+              FROM events WHERE value IS NOT NULL GROUP BY 1),
             c AS (
               SELECT pos, neg,
                      CAST(sum(pos) OVER (ORDER BY bin DESC ROWS BETWEEN
@@ -12348,4 +12535,13 @@ def oracle_sql() -> dict[str, str]:
     # binning literals — snapshot == the batch 'cur' half, so the
     # batch PSI SQL is the oracle
     d["t16_stream_psi"] = d["psi_drift"]
+    # the streaming screen's snapshot over identical rows equals the
+    # batch incremental MinHash screen — which equals the exact
+    # new×corpus Jaccard set by the recall-1.0 argument — so the same
+    # DuckDB exact-Jaccard SQL is the oracle
+    d["t19_stream_minhash_screen"] = d["dedup_incremental_minhash"]
+    # the streaming occupancy agg is associative and ranks with the
+    # identical floor-quantized argmax; snapshot + the same finale ==
+    # the batch report, so the batch drift-report SQL is the oracle
+    d["t20_stream_ivf_drift"] = d["ivf_incremental_assign"]
     return d

@@ -35,6 +35,27 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
+    # fixed-work calibration probe: the noise verdict below catches a
+    # BURSTY box (min << median) but not a UNIFORMLY slow one (every
+    # run inflated alike — bit the r3 AND r4 driver benches). This
+    # scalar is the same work every round — a JVM-side range-sum and a
+    # fixed parquet scan+agg — so a later judge divides any query time
+    # by (calibration_s / its historical ~baseline) to adjudicate
+    # contention without re-running. best-of-3, same policy as queries.
+    def _calibrate() -> float:
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            spark.range(500_000_000).selectExpr("sum(id)").collect()
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+                "sum(l_extendedprice * (1 - l_discount))", "count(*)"
+            ).collect()
+            runs.append(time.time() - t0)
+        return round(min(runs), 3)
+
+    calibration_s = _calibrate()
+    print(f"# calibration_s: {calibration_s}", file=sys.stderr)
+
     # headline set: one per operator family, heaviest variants included
     names = [
         "a1_groupby_agg",          # scan+agg (TPC-H Q1 class)
@@ -142,6 +163,7 @@ def main() -> None:
                 "queries_median": medians,
                 "noise_verdict": verdict,
                 "noisy_query_count": noisy,
+                "calibration_s": calibration_s,
                 "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
             }
         )

@@ -513,15 +513,30 @@ def dsir_weights(
     # smooth to ln(1 / (n_target_grams + B))
     n_tgt_total = tgt_toks.count()
     fallback = F.log(F.lit(1.0) / F.lit(float(n_tgt_total + n_buckets)))
+    # floor-quantize the per-bucket log-ratio to a 1e-9 integer grid
+    # and sum exactly: a double sum is partition-order-dependent in the
+    # last ulps, and logw is both an output and the top-k ORDER BY key,
+    # so a rounding-boundary flip would change the selected doc set
+    # across engines (the CLAUDE.md quantization rule; same pattern as
+    # textanalysis.js_divergence_pairs). Sum magnitude ≤ n_grams·~1e10
+    # ≪ 2^63. The final value is floor-quantized (not round()ed) onto
+    # the 6dp grid: sum/1000.0 is correctly rounded and ≥1e-3 away from
+    # the next integer whenever it isn't exactly on it, so floor is
+    # bit-deterministic on both engines.
     ratio = rawh.join(tgt, "b", "left").select(
-        "b", (F.coalesce("lp_t", fallback) - F.col("lp_r")).alias("lr")
+        "b",
+        F.floor(
+            (F.coalesce("lp_t", fallback) - F.col("lp_r")) * F.lit(1e9)
+        ).alias("lr_q"),
     )
     scored = (
         raw_toks.join(F.broadcast(ratio), "b")
         .groupBy("id")
         .agg(
             F.count("*").alias("n_grams"),
-            F.round(F.sum("lr"), 6).alias("logw"),
+            (
+                F.floor(F.sum("lr_q") / F.lit(1000.0)) / F.lit(1e6)
+            ).alias("logw"),
         )
     )
     # orderBy().limit(k) compiles to TakeOrdered — per-partition top-k

@@ -60,6 +60,9 @@ def embed_with_client(
     out_col: str = "vector",
     dim: int = EMBEDDING_DIM,
     batch_size: int = 128,
+    max_retries: int = 2,
+    retry_backoff_s: float = 0.0,
+    on_error: str = "raise",
 ) -> DataFrame:
     """U3 as an iterator-of-series pandas UDF around any batch client.
 
@@ -67,14 +70,54 @@ def embed_with_client(
     texts from inside each Arrow batch — executor-side, parallel across
     partitions, batched over the wire (the reference calls the API once
     per chunk, serially: qdrant_text_loader.py:283).
+
+    Failure semantics (a real API client WILL flake):
+
+    - each sub-batch call is retried up to ``max_retries`` times with
+      exponential backoff (``retry_backoff_s`` · 2^attempt; 0 disables
+      sleeping) — retries happen INSIDE the task, so one 429/timeout
+      doesn't burn a whole Spark task attempt and re-embed every other
+      sub-batch in the partition;
+    - a client that returns the wrong number of vectors is a contract
+      violation, surfaced as ValueError immediately — never silently
+      misaligning every subsequent row in the Arrow batch;
+    - ``on_error='raise'`` (default) re-raises after retries exhaust,
+      failing the task; ``on_error='null'`` contains the blast radius
+      to the failing sub-batch — its rows get NULL vectors, every
+      other row still embeds, and the NULLs are a filterable signal
+      for a later repair pass.
     """
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null': {on_error!r}")
+
     @F.pandas_udf(T.ArrayType(T.FloatType()))
     def _embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import time as _time
+
         for texts in batches:
-            out: list[list[float]] = []
+            out: list[list[float] | None] = []
             vals = texts.fillna("").tolist()
             for lo in range(0, len(vals), batch_size):
-                out.extend(embed_fn(vals[lo : lo + batch_size]))
+                sub = vals[lo : lo + batch_size]
+                for attempt in range(max_retries + 1):
+                    try:
+                        vecs = list(embed_fn(sub))
+                        if len(vecs) != len(sub):
+                            raise ValueError(
+                                f"embed_fn returned {len(vecs)} vectors "
+                                f"for {len(sub)} texts — refusing to "
+                                "misalign rows"
+                            )
+                        break
+                    except Exception:
+                        if attempt == max_retries:
+                            if on_error == "null":
+                                vecs = [None] * len(sub)
+                                break
+                            raise
+                        if retry_backoff_s > 0:
+                            _time.sleep(retry_backoff_s * (2**attempt))
+                out.extend(vecs)
             yield pd.Series(out)
 
     return df.withColumn(out_col, _embed(F.col(text_col)))

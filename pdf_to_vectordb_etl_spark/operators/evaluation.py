@@ -73,8 +73,14 @@ def score_bin_histogram(
         F.lit(n_bins - 1),
     ).cast("int")
     y = label_col.cast("int")
+    # NULL scores must not score: Spark's greatest/least skip NULLs so
+    # an unfiltered NULL would land in bin 0, while SQL engines keep a
+    # NULL bin whose ORDER BY position differs (Spark NULLS FIRST vs
+    # DuckDB NULLS LAST) — drop them here so every consumer (AUC,
+    # DeLong, AP, stump, t14 stream) and every oracle agrees
     return (
-        df.select(b.alias("bin"), y.alias("y"))
+        df.filter(F.col(score_col).isNotNull())
+        .select(b.alias("bin"), y.alias("y"))
         .groupBy("bin")
         .agg(
             F.sum("y").alias("pos"),
@@ -356,20 +362,7 @@ def binned_average_precision(
 
     Returns one row: ``ap, n_pos, n_neg``.
     """
-    width = (hi - lo) / n_bins
-    b = F.least(
-        F.greatest(F.floor((F.col(score_col) - F.lit(lo)) / F.lit(width)), F.lit(0)),
-        F.lit(n_bins - 1),
-    ).cast("int")
-    y = label_col.cast("int")
-    binned = (
-        df.select(b.alias("bin"), y.alias("y"))
-        .groupBy("bin")
-        .agg(
-            F.sum("y").alias("pos"),
-            (F.count("*") - F.sum("y")).alias("neg"),
-        )
-    )
+    binned = score_bin_histogram(df, score_col, label_col, n_bins, lo, hi)
     w_desc = Window.orderBy(F.desc("bin")).rowsBetween(
         Window.unboundedPreceding, 0
     )

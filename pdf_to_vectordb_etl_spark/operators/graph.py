@@ -358,15 +358,24 @@ def negative_edge_sample(
     gets bucket = md5-prefix(node) mod B where
     B = max(1, n_nodes // max(candidates_per_src, 8·k)), and window
     ``r`` proposes src×dst pairs whose buckets satisfy
-    dst_bucket == (src_bucket + r) mod B — one equi-join per window,
-    ~candidates_per_src proposals per source, total candidate volume
-    O(n_nodes · candidates_per_src · n_windows) instead of O(n²).
-    Small domains (n ≤ pool) degenerate to B = 1, where window 0 IS the
-    full cross join — exact all-pairs semantics for state-machine /
-    category graphs, bounded proposals for million-node graphs, one
-    code path.  The md5 bucket (not Spark's murmur ``hash``) keeps the
-    whole plan DuckDB-replayable, so the oracle hash-verifies the
-    bucketed path itself.
+    dst_bucket == (src_bucket + r + 1) mod B — one equi-join per
+    window, ~candidates_per_src proposals per source, total candidate
+    volume O(n_nodes · candidates_per_src · n_windows) instead of
+    O(n²). The same-bucket window (offset 0) is deliberately excluded:
+    offsets 1..B-1 each propose a disjoint, equal-sized,
+    self-pair-free slice of the pair space, so every window costs the
+    same and never proposes src == dst; the price is that same-bucket
+    negatives (an md5-uniform ~1/B of all pairs) are unreachable at
+    any n_windows, which the bucket hash makes an unbiased thinning.
+    ``n_windows`` is capped at B - 1 — beyond that the offsets wrap
+    mod B and would re-propose earlier windows' pairs, double-filling
+    ``k_per_src`` slots with duplicates. Small domains (n ≤ pool)
+    degenerate to B = 1, where window 0 IS the full cross join — exact
+    all-pairs semantics for state-machine / category graphs, bounded
+    proposals for million-node graphs, one code path.  The md5 bucket
+    (not Spark's murmur ``hash``) keeps the whole plan
+    DuckDB-replayable, so the oracle hash-verifies the bucketed path
+    itself.
 
     Hubs whose window pool is saturated by real neighbours return
     fewer than k negatives; widen ``n_windows`` (each adds one
@@ -396,12 +405,15 @@ def negative_edge_sample(
         nb = nodes.select("n", bkt.alias("_b")).localCheckpoint(eager=True)
         a = nb.select(F.col("n").alias("src"), F.col("_b").alias("_bs"))
         b = nb.select(F.col("n").alias("dst"), F.col("_b").alias("_bd"))
+        # offsets wrap mod B past B-1 and would duplicate candidates
+        # (same (src,dst) filling two k_per_src slots) — cap, and the
+        # B-1 distinct offsets already cover every cross-bucket pair
         windows = [
             a.join(
                 b,
                 b["_bd"] == (a["_bs"] + F.lit(r + 1)) % n_buckets,
             ).select("src", "dst")
-            for r in range(n_windows)
+            for r in range(min(n_windows, n_buckets - 1))
         ]
         cand = windows[0]
         for wdf in windows[1:]:

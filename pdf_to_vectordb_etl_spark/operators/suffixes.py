@@ -137,6 +137,83 @@ def suffix_ranks(
     )
 
 
+def _window_starts(m: int):
+    """1-based window starts for length-``m`` windows over ``_t`` —
+    explicitly empty when the doc is shorter than m (Spark's
+    sequence(1, 0) is DESCENDING [1, 0], never empty)."""
+    return F.when(
+        F.length("_t") >= m,
+        F.sequence(F.lit(1), F.length("_t") - (m - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+
+
+def _window_hashes(src: DataFrame, m: int) -> DataFrame:
+    """(id, i, h): every length-``m`` window as its xxhash64 ONLY —
+    the corpus-sized relation of the probe never carries raw text,
+    just 8-byte hashes (the 100 TB shuffle contract)."""
+    return (
+        src.select(
+            "id",
+            F.explode(
+                F.transform(
+                    _window_starts(m),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.xxhash64(
+                            F.col("_t").substr(i, F.lit(m))
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("e"),
+        ).select("id", "e.i", "e.h")
+    )
+
+
+def _verified_hot_windows(
+    src: DataFrame, m: int, min_count: int
+) -> DataFrame:
+    """(sub, n_occurrences, n_docs) for every length-``m`` substring
+    occurring >= ``min_count`` times — TWO-PHASE: the corpus-wide agg
+    groups 8-byte xxhash64 values; only windows whose hash is hot
+    re-derive their substring and are re-counted by VALUE, so a 64-bit
+    collision can neither fake a repeat nor (since all occurrences of
+    a colliding value share the hash and thus all reach phase 2)
+    hide one. Raw text shuffles only for candidates — bounded by the
+    duplicate volume, not the corpus."""
+    wh = _window_hashes(src, m)
+    hot_h = (
+        wh.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("h")
+    )
+    cand = (
+        wh.join(hot_h, "h")
+        .groupBy("id")
+        .agg(F.collect_list("i").alias("cis"))
+    )
+    vals = (
+        src.join(cand, "id")
+        .select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.col("cis"),
+                    lambda i: F.col("_t").substr(i, F.lit(m)),
+                )
+            ).alias("sub"),
+        )
+    )
+    return (
+        vals.groupBy("sub")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+
+
 def longest_repeated_substring(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -146,15 +223,17 @@ def longest_repeated_substring(
     """The corpus's longest substring occurring >= ``min_count`` times
     (within- or cross-doc) — the flagship suffix-array statistic, here
     by BINARY SEARCH on window length: "some length-m substring
-    repeats" is monotone in m, so O(log max_len) corpus passes (one
-    hash agg each) bracket the answer exactly; a final pass extracts
-    the lexicographically-smallest witness and its occurrence counts.
+    repeats" is monotone in m, so O(log max_len) corpus passes bracket
+    the answer exactly; a final pass extracts the lexicographically-
+    smallest witness and its occurrence counts.
 
-    Windows group by the SUBSTRING VALUE, not a hash — exact by
-    construction at any corpus the gate runs. At 100 TB group by
-    xxhash64 first and verify only the surviving candidates by value
-    (two-phase, same passes), trading one extra join for never
-    shuffling raw text.
+    Every probe (and the witness pass) is the two-phase
+    :func:`_verified_hot_windows`: group by xxhash64 corpus-wide,
+    verify survivors by substring value — raw text never shuffles
+    through the corpus-sized agg, at the midpoint probe (~max_len/2
+    chars per key) or anywhere else. Exactness is unchanged: phase 2
+    re-counts candidates by value, so hash collisions cannot flip a
+    probe.
 
     Returns ONE row: (lrs_len, lrs, n_occurrences, n_docs) — zeros and
     NULL lrs when nothing repeats. Driver-side state: one boolean per
@@ -166,33 +245,9 @@ def longest_repeated_substring(
     src = src.localCheckpoint(eager=True)
     max_len = int(src.agg(F.max(F.length("_t"))).first()[0] or 0)
 
-    def windows(m: int) -> DataFrame:
-        seq = F.when(
-            F.length("_t") >= m,
-            F.sequence(F.lit(1), F.length("_t") - (m - 1)),
-        ).otherwise(F.array().cast("array<int>"))
-        return src.select(
-            "id",
-            F.explode(
-                F.transform(
-                    seq,
-                    lambda i: F.struct(
-                        i.alias("i"),
-                        F.col("_t").substr(i, F.lit(m)).alias("sub"),
-                    ),
-                )
-            ).alias("e"),
-        ).select("id", "e.i", "e.sub")
-
     def repeats(m: int) -> bool:
         return (
-            windows(m)
-            .groupBy("sub")
-            .agg(F.count("*").alias("c"))
-            .filter(F.col("c") >= min_count)
-            .limit(1)
-            .count()
-            > 0
+            _verified_hot_windows(src, m, min_count).limit(1).count() > 0
         )
 
     spark = df.sparkSession
@@ -208,15 +263,7 @@ def longest_repeated_substring(
             lo = mid
         else:
             hi = mid - 1
-    w = windows(lo)
-    hot = (
-        w.groupBy("sub")
-        .agg(
-            F.count("*").alias("n_occurrences"),
-            F.countDistinct("id").alias("n_docs"),
-        )
-        .filter(F.col("n_occurrences") >= min_count)
-    )
+    hot = _verified_hot_windows(src, lo, min_count)
     return (
         hot.orderBy("sub")
         .limit(1)

@@ -103,6 +103,20 @@ def ols_closed_form(
     constant features, degenerate groups) yields NULL coefficients via
     the det≠0 guard, never a division error.
 
+    Magnitude bound: Spark caps decimals at 38 digits while a 128-bit
+    engine (DuckDB HUGEINT) keeps computing, so unguarded determinants
+    would diverge exactly at scale — every Cramer term is a product of
+    three sufficient statistics with ≤ 2 two-term sums
+    (|det| ≤ 6·M³, intermediate products ≤ 2·M²), so the computation
+    is overflow-free whenever every statistic (n and the nine sums)
+    stays ≤ 1e12 (6·(1e12)³ = 6e36 < 1e38).  Groups that exceed the
+    bound get NULL coefficients via the SAME guard (checked BEFORE the
+    determinants are evaluated — Spark's CaseWhen short-circuits, so
+    ANSI mode never sees the overflow); with cents-scale inputs
+    |x| ≤ 1e4 that admits n ≈ 1e8 rows per group, and shrinking the
+    feature scale (or pre-centering) buys the rest of the way to any
+    corpus size.
+
     Returns ``group, n, b0, b1, b2`` (b in cents per unit) ordered by
     group.
     """
@@ -135,14 +149,34 @@ def ols_closed_form(
     d0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
     d1 = det3(n_, sy, s2, s1, s1y, s12, s2, s2y, s22)
     d2_ = det3(n_, s1, sy, s1, s11, s1y, s2, s12, s2y)
-    ok = det != F.lit(0).cast(dec)
+    # overflow guard (see docstring): every statistic ≤ 1e12 keeps all
+    # decimal(38,0) intermediates under 1e38.  Must be checked OUTSIDE
+    # the det expressions — CaseWhen short-circuits, so ANSI mode never
+    # evaluates a determinant for an out-of-bound group.
+    fits = F.greatest(
+        F.col("n").cast("double"),
+        *[
+            F.abs(F.col(c)).cast("double")
+            for c in ("s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y")
+        ],
+    ) <= F.lit(1e12)
+
+    def coeff(num):
+        return F.when(
+            fits,
+            F.round(
+                F.when(
+                    det != F.lit(0).cast(dec),
+                    num.cast("double") / det.cast("double"),
+                ),
+                6,
+            ),
+        )
+
     return s.select(
         F.col("g").alias("group"),
         F.col("n").cast("long").alias("n"),
-        F.round(F.when(ok, d0.cast("double") / det.cast("double")), 6)
-        .alias("b0"),
-        F.round(F.when(ok, d1.cast("double") / det.cast("double")), 6)
-        .alias("b1"),
-        F.round(F.when(ok, d2_.cast("double") / det.cast("double")), 6)
-        .alias("b2"),
+        coeff(d0).alias("b0"),
+        coeff(d1).alias("b1"),
+        coeff(d2_).alias("b2"),
     ).orderBy("group")

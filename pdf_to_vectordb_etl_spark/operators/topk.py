@@ -207,6 +207,126 @@ def topk_cosine_ivf(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_occupancy(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "vector",
+    id_col: str = "id",
+) -> DataFrame:
+    """Per-list occupancy of an IVF index — the (list_id, n) artifact
+    an index build persists alongside its centroids so later ingest
+    batches can measure drift without rescanning the corpus. One
+    broadcast-assign pass + one count agg."""
+    assigned = _assign_floorq(df, centroids, vec_col, id_col)
+    return assigned.groupBy("list_id").agg(F.count("*").alias("n"))
+
+
+def _assign_floorq(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Nearest-centroid assignment ranked on floor(sim·1e6) — the
+    1e-6-grid quantization makes the ranking key integral, so the
+    winner (and every downstream count built from it) replays
+    bit-identically in any SQL engine. Keeps ``_sq`` for
+    home-similarity stats."""
+    from pyspark.sql import Window
+
+    sim = cosine_similarity(F.col(vec_col), F.col("centroid"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("_sq"), F.col("list_id"))
+    return (
+        df.select(id_col, vec_col)
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("_sq", F.floor(sim * F.lit(1e6)).cast("long"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "list_id", "_sq")
+    )
+
+
+def ivf_incremental_assign(
+    batch: DataFrame,
+    centroids: DataFrame,
+    baseline_occupancy: DataFrame,
+    vec_col: str = "vector",
+    id_col: str = "id",
+) -> DataFrame:
+    """Incremental IVF index maintenance: assign a NEW ingest batch
+    into an EXISTING index (the persisted centroid artifact — nothing
+    retrains, nothing rescans the corpus) and report per-list
+    occupancy drift plus the batch's home-centroid similarity — the
+    two signals that tell an operator the quantizer has gone stale
+    and a retrain is due (mirrors dedup.incremental_exact_dedup's
+    artifact contract: the corpus participates only as its persisted
+    (list_id, n) occupancy table).
+
+    Per ingest the cost is O(|batch| · n_lists) broadcast-assign work
+    plus a ≤ n_lists-row join — proportional to the batch, never the
+    corpus. All derived ratios are built from exact integers (counts
+    and 1e-6-floor-quantized similarities), so every column replays
+    bit-identically in an external SQL engine: int/int division is
+    correctly rounded from identical inputs on both sides, with no
+    float-sum order anywhere.
+
+    Returns one row per list (full outer: lists the batch never
+    touches and lists newborn in the batch both appear):
+    ``list_id, n_base, n_new, share_base, share_new, drift,
+    mean_home_sim`` — drift = share_new − share_base (positive: the
+    list is over-filling vs the trained distribution), mean_home_sim
+    NULL for untouched lists, shares NULL when the respective total
+    is zero."""
+    assigned = _assign_floorq(batch, centroids, vec_col, id_col)
+    newocc = assigned.groupBy("list_id").agg(
+        F.count("*").alias("n_new"), F.sum("_sq").alias("_ssq")
+    )
+    return ivf_drift_report(newocc, baseline_occupancy)
+
+
+def ivf_drift_report(
+    new_occupancy: DataFrame, baseline_occupancy: DataFrame
+) -> DataFrame:
+    """Finalize the drift report from a batch's per-list occupancy
+    aggregate ``(list_id, n_new, _ssq)`` and the persisted baseline
+    ``(list_id, n)`` — split out so the STREAMING occupancy snapshot
+    (streaming.pipeline.stream_ivf_occupancy) feeds the identical
+    finale as the batch path. Only ≤ n_lists-row relations in here."""
+    occ = (
+        baseline_occupancy.select("list_id", F.col("n").alias("n_base"))
+        .join(new_occupancy, "list_id", "full_outer")
+        .select(
+            "list_id",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            "_ssq",
+        )
+    )
+    tot = occ.agg(
+        F.sum("n_base").alias("_tb"), F.sum("n_new").alias("_tn")
+    )
+    share = lambda n, t: F.floor(  # noqa: E731
+        F.col(n) / F.expr(f"nullif(CAST({t} AS DOUBLE), 0.0)") * 1e6
+    ) / 1e6
+    return (
+        occ.crossJoin(F.broadcast(tot))
+        .select(
+            "list_id",
+            "n_base",
+            "n_new",
+            share("n_base", "_tb").alias("share_base"),
+            share("n_new", "_tn").alias("share_new"),
+            (
+                share("n_new", "_tn") - share("n_base", "_tb")
+            ).alias("drift"),
+            F.when(
+                F.col("n_new") > 0,
+                F.floor(F.col("_ssq") / F.col("n_new")) / 1e6,
+            ).alias("mean_home_sim"),
+        )
+    )
+
+
 def topk_cosine_lsh(
     corpus: DataFrame,
     queries: DataFrame,

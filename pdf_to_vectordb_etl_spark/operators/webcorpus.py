@@ -245,12 +245,17 @@ def exact_substring_dedup(
     Scale shape: one transform-over-sequence builds the per-doc window
     array (hashes only, never the substrings), one explode →
     (id, offset, xxhash64) rows — corpus-linear with an 8-byte payload;
-    one hash agg on the window hash; flagged offsets join back
-    (corpus-linear, hot windows only); per-doc interval merge and text
-    reconstruction are array/aggregate HOFs over doc-bounded arrays —
-    no char-level explode, no window function, no Python. At 100 TB the
-    only wide ops are the window-hash agg and the flagged-offset join,
-    both on 8-byte keys.
+    one hash agg on the window hash; then a TWO-PHASE verify: windows
+    whose hash is hot re-derive their actual substring and are
+    re-counted by VALUE before any character is cut, so a 64-bit
+    collision (expected ~1e8 over the ~1e14 windows of a 100 TB
+    corpus) can never delete text from an un-duplicated doc. Raw text
+    only shuffles for hot candidates (duplicate-volume-bounded, not
+    corpus-bounded). Per-doc interval merge and text reconstruction
+    are array/aggregate HOFs over doc-bounded arrays — no char-level
+    explode, no window function, no Python. At 100 TB the corpus-wide
+    ops are the window-hash agg and the flagged-offset join, both on
+    8-byte keys.
 
     Returns (id, clean_text, n_kept, n_removed) in characters.
     """
@@ -277,8 +282,47 @@ def exact_substring_dedup(
         .filter(F.col("c") >= min_count)
         .select("h")
     )
-    flagged = (
+    # phase 2 — verify candidates by VALUE before cutting: a 64-bit
+    # xxhash collision would otherwise delete L chars from an
+    # un-duplicated doc (over ~1e14 windows at 100 TB, birthday
+    # collisions are ~1e8 — not ignorable), and the DuckDB oracle
+    # groups by substring value. Every occurrence of a colliding value
+    # shares the hash, so the candidate set contains ALL its
+    # occurrences and the phase-2 counter is exact. Only hot-window
+    # offsets re-derive their substring (duplicate-volume-bounded, not
+    # corpus-bounded); the checkpoint materializes the candidate
+    # values once for the agg + join-back pair.
+    cand = (
         toks.join(hot, "h")
+        .groupBy("id")
+        .agg(F.collect_list("i").alias("cis"))
+    )
+    vals = (
+        df.select(F.col(id_col).alias("id"), t.alias("_ct"))
+        .join(cand, "id")
+        .select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.col("cis"),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.col("_ct").substr(i, F.lit(L)).alias("sub"),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select("id", "e.i", "e.sub")
+        .localCheckpoint(eager=False)
+    )
+    hotv = (
+        vals.groupBy("sub")
+        .agg(counter)
+        .filter(F.col("c") >= min_count)
+        .select("sub")
+    )
+    flagged = (
+        vals.join(hotv, "sub")
         .groupBy("id")
         .agg(F.array_sort(F.collect_list("i")).alias("starts"))
     )

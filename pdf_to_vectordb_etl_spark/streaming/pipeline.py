@@ -544,8 +544,11 @@ def stream_score_bins(
         ),
         F.lit(n_bins - 1),
     ).cast("int")
+    # NULL scores dropped, matching evaluation.score_bin_histogram's
+    # filter (an unfiltered NULL would land in bin 0 via least/greatest)
     return (
-        events_stream.select(b.alias("bin"), pos.cast("int").alias("y"))
+        events_stream.filter(F.col(score_col).isNotNull())
+        .select(b.alias("bin"), pos.cast("int").alias("y"))
         .groupBy("bin")
         .agg(
             F.sum("y").alias("pos"),
@@ -655,6 +658,180 @@ def stream_gram_histogram(
         ex.select(gram_bucket(F.col("tok"), n_buckets).alias("b"))
         .groupBy("b")
         .agg(F.count("*").alias("c"))
+    )
+
+
+def _minhash_band_pairs_expr(
+    text_col: str, n_hashes: int, bands: int, shingle_n: int
+):
+    """Per-ROW MinHash banding: array of (bucket, hs) structs for one
+    document — fully stateless, so a STREAM can band its documents
+    without the per-doc groupBy the batch path uses (a streaming
+    aggregation before a join is unsupported). Semantics are identical
+    to dedup._shingle_hashes + the banded signature: word_shingles is
+    already per-doc distinct, sig_i = min(xxhash64(h, i)), bucket_b =
+    xxhash64(b, sig_{b·rows}..sig_{b·rows+rows-1}) with INT literal
+    seeds on both paths (xxhash64 is type-sensitive).
+
+    The shingle-hash array is bound ONCE through a single-element
+    transform lambda and referenced only through the lambda variable,
+    then everything explodes through one struct array — nothing is
+    referenced above its own explode (the CollapseProject rule), so
+    the shingle build runs once per document, not once per band."""
+    from ..operators.dedup import word_shingles
+
+    rows = n_hashes // bands
+    hs_expr = F.transform(
+        word_shingles(F.col(text_col), shingle_n),
+        lambda s: F.xxhash64(s),
+    )
+
+    def per_doc(hsv):
+        def sig(i):
+            return F.array_min(
+                F.transform(hsv, lambda h: F.xxhash64(h, F.lit(i)))
+            )
+
+        return F.array(
+            *[
+                F.struct(
+                    F.xxhash64(
+                        F.lit(b), *[sig(b * rows + r) for r in range(rows)]
+                    ).alias("bucket"),
+                    hsv.alias("hs"),
+                )
+                for b in range(bands)
+            ]
+        )
+
+    return F.element_at(F.transform(F.array(hs_expr), per_doc), 1)
+
+
+def minhash_band_table(
+    corpus: DataFrame,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The persisted corpus-side artifact of the streaming near-dup
+    screen: (bucket, corpus_id, c_hs, c_n) — band buckets plus the
+    doc's shingle-hash array for the per-row exact-Jaccard verify. A
+    pure function of corpus text (write-once at index build; the
+    incremental_minhash_pairs artifact contract)."""
+    pairs = _minhash_band_pairs_expr(text_col, n_hashes, bands, shingle_n)
+    return (
+        corpus.select(F.col(id_col).alias("corpus_id"), pairs.alias("_p"))
+        .select("corpus_id", F.explode("_p").alias("e"))
+        .select(
+            "e.bucket",
+            "corpus_id",
+            F.col("e.hs").alias("c_hs"),
+            F.size("e.hs").alias("c_n"),
+        )
+        .filter(F.col("c_n") > 0)
+    )
+
+
+def stream_minhash_screen(
+    docs_stream: DataFrame,
+    corpus_bands: DataFrame,
+    threshold: float = 0.5,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """T19 — the LIVE near-dup ingest gate (batch twin:
+    dedup.incremental_minhash_pairs): each micro-batch's documents are
+    banded per-row (stateless — see :func:`_minhash_band_pairs_expr`),
+    equi-joined against the STATIC persisted corpus band table (a
+    stream-static join holds no state and re-broadcasts nothing per
+    batch), verified per-row by exact Jaccard on the two shingle-hash
+    arrays, and deduped across bands by one bounded streaming
+    aggregation keyed on the (new_id, corpus_id) pair.
+
+    No corpus×corpus work, no new×new, no watermark, join state zero;
+    per-batch cost is O(|batch| · bands) probe rows. Over identical
+    rows the snapshot equals the batch screen, so the batch
+    exact-Jaccard SQL is the parity oracle (the recall-1.0 argument of
+    dedup_incremental_minhash).
+
+    Returns a streaming (new_id, corpus_id, jaccard) DataFrame."""
+    pairs = _minhash_band_pairs_expr(text_col, n_hashes, bands, shingle_n)
+    probe = (
+        docs_stream.select(F.col(id_col).alias("new_id"), pairs.alias("_p"))
+        .select("new_id", F.explode("_p").alias("e"))
+        .select(
+            "new_id",
+            "e.bucket",
+            F.col("e.hs").alias("hs"),
+            F.size("e.hs").alias("n"),
+        )
+        .filter(F.col("n") > 0)
+    )
+    inter = F.size(F.array_intersect(F.col("hs"), F.col("c_hs")))
+    j = inter / (F.col("n") + F.col("c_n") - inter)
+    return (
+        probe.join(corpus_bands, "bucket")
+        .withColumn("_jraw", j)
+        .filter(F.col("_jraw") >= threshold)  # raw-j cut, like the batch
+        .withColumn("_j", F.round(F.col("_jraw"), 4))
+        .groupBy("new_id", "corpus_id")
+        .agg(F.max("_j").alias("jaccard"))
+    )
+
+
+def stream_ivf_occupancy(
+    vec_stream: DataFrame,
+    centroid_rows: list[tuple[int, list[float]]],
+    vec_col: str = "vector",
+) -> DataFrame:
+    """T20 — LIVE IVF index-drift telemetry: per-list occupancy of an
+    ingest stream against an EXISTING index. The nearest-centroid
+    argmax is a per-row stateless expression over the centroid table
+    baked in as a literal array (k × dim floats — the kmeans-contract
+    bounded artifact; a Window rank is unsupported on streams and a
+    per-id aggregation would hold unbounded state), ranked exactly
+    like the batch path: floor(cos·1e6) DESC, list_id ASC via a
+    struct array_max. One bounded streaming agg (state ≤ n_lists
+    rows) yields ``(list_id, n_new, _ssq)`` — feed the snapshot plus
+    the persisted baseline to ``topk.ivf_drift_report`` for the
+    identical report the batch ``ivf_incremental_assign`` emits, so
+    the batch SQL is the parity oracle."""
+    from ..functions.vector import cosine_similarity
+
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(int(lid)).alias("list_id"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("centroid"),
+            )
+            for lid, vec in centroid_rows
+        ]
+    )
+    # array_max on (sq, -list_id) == rank by sq DESC, list_id ASC
+    best = F.array_max(
+        F.transform(
+            cents,
+            lambda c: F.struct(
+                F.floor(
+                    cosine_similarity(F.col(vec_col), c["centroid"])
+                    * F.lit(1e6)
+                )
+                .cast("long")
+                .alias("sq"),
+                (-c["list_id"]).alias("nl"),
+            ),
+        )
+    )
+    return (
+        vec_stream.select(best.alias("_b"))
+        .select((-F.col("_b.nl")).alias("list_id"), F.col("_b.sq").alias("_sq"))
+        .groupBy("list_id")
+        .agg(F.count("*").alias("n_new"), F.sum("_sq").alias("_ssq"))
     )
 
 

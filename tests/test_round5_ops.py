@@ -1,0 +1,486 @@
+"""Round-5 pins: the r4 ADVICE.md findings stay fixed.
+
+Each test pins one of the five advisor findings — DSIR integer-grid
+weights, ExactSubstr value-verify, negative-sample window cap,
+NULL-score binning, and the OLS decimal(38) overflow guard.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def test_ols_overflow_guard_nulls_not_error(spark):
+    """A group whose sufficient statistics exceed the 1e12 bound must
+    yield NULL betas (Spark decimal(38,0) would overflow where
+    DuckDB's HUGEINT keeps computing) — and must NOT raise under ANSI
+    because the guard short-circuits before the determinants."""
+    from pdf_to_vectordb_etl_spark.operators import supervised
+
+    big = 10**7  # x1*x1 sums past 1e12 within a handful of rows
+    rows = [("huge", big + i, big - i, 3 * big + i) for i in range(12)]
+    rows += [
+        ("ok", i % 7, (i * 3) % 5, 10 + 2 * (i % 7) + (i * 3) % 5)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["k", "x1", "x2", "y"])
+    out = {
+        r["group"]: r
+        for r in supervised.ols_closed_form(
+            df, "k", F.col("x1"), F.col("x2"), F.col("y")
+        ).collect()
+    }
+    h = out["huge"]
+    assert h["b0"] is None and h["b1"] is None and h["b2"] is None
+    assert h["n"] == 12
+    # the well-conditioned group still solves
+    assert out["ok"]["b1"] is not None
+
+
+def test_score_bin_histogram_drops_null_scores(spark):
+    """NULL scores must not land in bin 0 (Spark greatest/least skip
+    NULLs); they are filtered so every engine's histogram agrees."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation as ev
+
+    rows = [(0.1, 1), (0.2, 0), (None, 1), (None, 0), (499.0, 1)]
+    df = spark.createDataFrame(rows, "value double, y int")
+    binned = ev.score_bin_histogram(
+        df, "value", F.col("y") == 1, n_bins=1000, lo=0.0, hi=500.0
+    )
+    total = binned.agg(
+        F.sum(F.col("pos") + F.col("neg")).alias("t")
+    ).first()["t"]
+    assert total == 3  # the two NULL-score rows are gone
+    b0 = {r["bin"]: (r["pos"], r["neg"]) for r in binned.collect()}
+    assert b0[0] == (1, 1)  # only the two real low scores
+
+
+def test_negative_sample_window_wrap_no_duplicates(spark):
+    """n_windows >= n_buckets must not re-propose earlier windows'
+    pairs: the offset cap keeps every (src, dst) candidate unique so
+    duplicates can never double-fill k_per_src slots."""
+    from pdf_to_vectordb_etl_spark.operators import graph
+
+    # 40 nodes, pool=8 -> B=5 buckets; ask for far more windows than B
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i + 1) % 40}") for i in range(40)], ["src", "dst"]
+    )
+    neg = graph.negative_edge_sample(
+        edges, k_per_src=4, candidates_per_src=8, n_windows=50
+    )
+    rows = neg.collect()
+    pairs = [(r["src"], r["dst"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    # negatives never collide with real edges or self-pairs
+    real = {(f"n{i}", f"n{(i + 1) % 40}") for i in range(40)}
+    for s, d in pairs:
+        assert s != d and (s, d) not in real
+
+
+def test_exact_substr_value_verify_unchanged_semantics(spark):
+    """Two-phase value verification must not change results on
+    collision-free input: a planted 60-char duplicate is still cut
+    from both docs, unique text survives."""
+    from pdf_to_vectordb_etl_spark.operators.webcorpus import (
+        exact_substring_dedup,
+    )
+
+    dup = "the quick brown fox jumps over the lazy dog again and again!"
+    assert len(dup) == 60
+    rows = [
+        (1, f"alpha {dup} omega"),
+        (2, f"start-{dup}-finish"),
+        (3, "completely unique text that repeats nothing of interest"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in exact_substring_dedup(df, min_len=50, min_count=2).collect()
+    }
+    assert dup not in out[1]["clean_text"]
+    assert dup not in out[2]["clean_text"]
+    assert out[3]["n_removed"] == 0
+    # phase-2 exists structurally: the plan re-groups by substring value
+    plan = exact_substring_dedup(
+        df, min_len=50, min_count=2
+    )._jdf.queryExecution().analyzed().toString()
+    assert "sub" in plan
+
+
+def test_dsir_logw_on_6dp_floor_grid(spark):
+    """dsir_weights' logw is floor-quantized onto the 6dp grid from an
+    exact integer sum — partition-order-free, so a repartitioned input
+    yields bit-identical weights AND an identical selected set."""
+    from pdf_to_vectordb_etl_spark.operators.curation import dsir_weights
+
+    rows = [
+        (i, ("english common words " * 4) + f"tail{i}") for i in range(40)
+    ] + [(100 + i, f"otra lengua distinta {i} palabras") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    tgt = df.filter(F.col("doc_id") < 40)
+    a = dsir_weights(df, tgt, n_buckets=256, k=20).collect()
+    b = dsir_weights(df.repartition(13), tgt, n_buckets=256, k=20).collect()
+    assert [(r["doc_id"], r["logw"]) for r in a] == [
+        (r["doc_id"], r["logw"]) for r in b
+    ]
+    for r in a:
+        # 6dp grid representative: scaling by 1e6 lands on an integer
+        assert abs(r["logw"] * 1e6 - round(r["logw"] * 1e6)) < 1e-3
+
+
+# ---------------------------------------------------------- embed failures
+
+
+def _mk_chunks(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["i", "chunk"]
+    ).repartition(1)
+
+
+def test_embed_retry_then_success(spark, tmp_path):
+    """A client that flakes twice then succeeds must be retried inside
+    the task: correct vectors out, exactly initial+2 attempts made."""
+    from pdf_to_vectordb_etl_spark.operators import embedding
+
+    marker = str(tmp_path / "attempts.log")
+
+    def flaky(texts):
+        with open(marker, "a") as f:
+            f.write("x\n")
+        with open(marker) as f:
+            n = sum(1 for _ in f)
+        if n <= 2:
+            raise RuntimeError("simulated 429")
+        return embedding.fake_client_embed(texts, dim=8)
+
+    out = embedding.embed_with_client(
+        _mk_chunks(spark, ["a", "b", "c"]), flaky, dim=8,
+        batch_size=16, max_retries=2,
+    ).collect()
+    assert all(r["vector"] is not None and len(r["vector"]) == 8 for r in out)
+    with open(marker) as f:
+        assert sum(1 for _ in f) == 3  # 1 failure-free call after 2 retries
+
+
+def test_embed_retries_exhausted_raises(spark):
+    """on_error='raise' (default): a persistently failing client fails
+    the job after max_retries+1 attempts."""
+    from pyspark.errors import PythonException
+
+    from pdf_to_vectordb_etl_spark.operators import embedding
+
+    def dead(texts):
+        raise RuntimeError("simulated outage")
+
+    with pytest.raises(PythonException):
+        embedding.embed_with_client(
+            _mk_chunks(spark, ["a", "b"]), dead, batch_size=4, max_retries=1
+        ).collect()
+
+
+def test_embed_on_error_null_isolates_failing_subbatch(spark):
+    """on_error='null': only the poisoned sub-batch's rows go NULL;
+    every other sub-batch embeds, and rows stay aligned to texts."""
+    from pdf_to_vectordb_etl_spark.operators import embedding
+
+    def picky(texts):
+        if any("BOOM" in t for t in texts):
+            raise RuntimeError("poison")
+        return embedding.fake_client_embed(texts, dim=8)
+
+    texts = ["t0", "t1", "BOOM", "t3", "t4", "t5"]
+    rows = embedding.embed_with_client(
+        _mk_chunks(spark, texts), picky, dim=8,
+        batch_size=2, max_retries=0, on_error="null",
+    ).collect()
+    got = {r["i"]: r["vector"] for r in rows}
+    assert got[2] is None and got[3] is None  # the (BOOM, t3) sub-batch
+    for i in (0, 1, 4, 5):
+        expected = embedding.fake_client_embed([texts[i]], dim=8)[0]
+        assert got[i] == pytest.approx(expected, abs=1e-6)
+
+
+def test_embed_misaligned_client_is_refused(spark):
+    """A client returning the wrong vector count must raise, never
+    silently shift later rows onto earlier texts."""
+    from pyspark.errors import PythonException
+
+    from pdf_to_vectordb_etl_spark.operators import embedding
+
+    def short(texts):
+        return embedding.fake_client_embed(texts[:-1], dim=8)
+
+    with pytest.raises(PythonException):
+        embedding.embed_with_client(
+            _mk_chunks(spark, ["a", "b", "c"]), short,
+            batch_size=8, max_retries=0,
+        ).collect()
+
+
+def test_embed_empty_input(spark):
+    """Zero rows in, zero rows out — no client call, no crash."""
+    from pdf_to_vectordb_etl_spark.operators import embedding
+
+    def never(texts):  # pragma: no cover - must not be called
+        raise AssertionError("client called on empty input")
+
+    df = _mk_chunks(spark, ["x"]).filter("i < 0")
+    assert embedding.embed_with_client(df, never).collect() == []
+
+
+# ------------------------------------------------- LRS two-phase probe
+
+
+def test_lrs_probe_shuffles_hashes_not_text(spark):
+    """The corpus-sized relation of every LRS probe carries only
+    8-byte xxhash64 window keys — no string column — so the midpoint
+    probe (~max_len/2 chars per window) never shuffles raw text; only
+    hot candidates re-derive values in the bounded phase-2 agg."""
+    from pdf_to_vectordb_etl_spark.operators import suffixes
+
+    docs = spark.createDataFrame(
+        [(1, "abcabcabc"), (2, "xyzxyz")], ["doc_id", "text"]
+    )
+    src = docs.select(F.col("doc_id").alias("id"), F.col("text").alias("_t"))
+    wh = suffixes._window_hashes(src, 4)
+    assert [f.dataType.simpleString() for f in wh.schema.fields] == [
+        "bigint", "int", "bigint"
+    ]
+    # the phase-1 corpus agg's grouping key is the hash (a bigint) —
+    # the only string anywhere in its plan is under xxhash64()
+    plan = (
+        wh.groupBy("h")
+        .count()
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "xxhash64" in plan
+    assert "substr" not in plan.split("xxhash64")[0]
+
+
+def test_lrs_two_phase_still_exact(spark):
+    """Planted LRS recovered exactly through the hash-group +
+    value-verify probes (same answers the r4 value-grouping gave)."""
+    from pdf_to_vectordb_etl_spark.operators import suffixes
+
+    long_dup = "the rain in spain stays mainly on the plain"
+    docs = spark.createDataFrame(
+        [
+            (1, f"AA {long_dup} BB"),
+            (2, f"CC {long_dup} DD"),
+            (3, "nothing shared here at all beyond tiny bits"),
+        ],
+        ["doc_id", "text"],
+    )
+    row = suffixes.longest_repeated_substring(docs).first()
+    assert row["lrs_len"] == len(f" {long_dup} ")
+    assert row["lrs"] == f" {long_dup} "
+    assert row["n_occurrences"] == 2 and row["n_docs"] == 2
+
+    # nothing repeats -> the zero row
+    uniq = spark.createDataFrame(
+        [(1, "abcdefg"), (2, "hijklmn")], ["doc_id", "text"]
+    )
+    z = suffixes.longest_repeated_substring(uniq).first()
+    assert z["lrs_len"] == 0 and z["lrs"] is None
+
+
+# ------------------------------------- suffix array <-> ExactSubstr bridge
+
+
+def test_suffix_array_reconciles_exact_substr_dedup(spark):
+    """Two independent algorithms, one answer (Lee et al. 2022 build
+    ExactSubstr FROM the suffix array; this repo has both halves):
+    repeated spans of length >= L derived from suffix_ranks + adjacent
+    LCP must cover EXACTLY the characters webcorpus.exact_substring_
+    dedup cuts on the same corpus slice.
+
+    A length-L window at (doc, s) is duplicated iff the suffix at
+    (doc, s) shares an LCP >= L with a rank-adjacent suffix (suffixes
+    with a common L-prefix are contiguous in rank order), so the
+    suffix route's covered set is the union of [s, s+L-1] over those
+    starts — character-for-character what ExactSubstr removes."""
+    from pdf_to_vectordb_etl_spark.operators import suffixes, webcorpus
+
+    L = 20
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 40)
+        .select(
+            "doc_id",
+            F.regexp_replace(
+                F.substring("text", 1, 100), r"[^\x20-\x7e]", ""
+            ).alias("text"),
+        )
+        .filter(F.length("text") > 0)
+    )
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+    # route 1: distributed suffix array -> adjacent-LCP repeated spans
+    ranks = suffixes.suffix_ranks(docs).collect()
+    order = sorted(
+        ranks, key=lambda r: (r["srank"], r["doc_id"], r["pos"])
+    )
+    sufs = [
+        (r["doc_id"], r["pos"], texts[r["doc_id"]][r["pos"]:])
+        for r in order
+    ]
+
+    def lcp(a, b):
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    neigh = [0] * len(sufs)
+    for i in range(len(sufs) - 1):
+        c = lcp(sufs[i][2], sufs[i + 1][2])
+        neigh[i] = max(neigh[i], c)
+        neigh[i + 1] = max(neigh[i + 1], c)
+    covered: dict[int, set[int]] = {d: set() for d in texts}
+    for (d, pos, suf), m in zip(sufs, neigh):
+        if m >= L and len(suf) >= L:
+            covered[d].update(range(pos, pos + L))
+
+    # route 2: the shipped ExactSubstr operator
+    out = {
+        r["doc_id"]: r
+        for r in webcorpus.exact_substring_dedup(
+            docs, min_len=L, min_count=2
+        ).collect()
+    }
+    assert set(out) == set(texts)
+    for d, text in texts.items():
+        cut = covered[d]
+        expect_clean = "".join(
+            ch for i, ch in enumerate(text) if i not in cut
+        )
+        assert out[d]["clean_text"] == expect_clean, f"doc {d}"
+        assert out[d]["n_removed"] == len(cut), f"doc {d}"
+
+
+# --------------------------------------------- incremental IVF maintenance
+
+
+def test_ivf_incremental_assign_detects_planted_shift(spark):
+    """A distribution shift in the ingest batch shows up as positive
+    occupancy drift on the over-filling list and negative on the
+    starved one — the retrain trigger the report exists for."""
+    from pdf_to_vectordb_etl_spark.operators import topk
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], ["list_id", "centroid"]
+    )
+    # balanced baseline: 50 vectors per list
+    base = spark.createDataFrame([(0, 50), (1, 50)], ["list_id", "n"])
+    # shifted batch: 9 of 10 vectors live near centroid 1
+    batch = spark.createDataFrame(
+        [(i, [0.1, 0.99]) for i in range(9)] + [(9, [0.99, 0.1])],
+        ["id", "vector"],
+    )
+    rep = {
+        r["list_id"]: r
+        for r in topk.ivf_incremental_assign(batch, cents, base).collect()
+    }
+    assert rep[0]["n_base"] == 50 and rep[0]["n_new"] == 1
+    assert rep[1]["n_new"] == 9
+    assert rep[1]["drift"] == pytest.approx(0.9 - 0.5, abs=1e-5)
+    assert rep[0]["drift"] == pytest.approx(0.1 - 0.5, abs=1e-5)
+    assert rep[0]["share_base"] == pytest.approx(0.5, abs=1e-5)
+    assert 0.0 < rep[1]["mean_home_sim"] <= 1.0
+
+
+def test_ivf_incremental_untouched_and_newborn_lists(spark):
+    """Full-outer semantics: a list the batch never touches reports
+    n_new=0 with NULL mean sim; a list absent from the baseline
+    artifact (e.g. added by a partial retrain) reports n_base=0."""
+    from pdf_to_vectordb_etl_spark.operators import topk
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], ["list_id", "centroid"]
+    )
+    base = spark.createDataFrame([(0, 10), (7, 5)], ["list_id", "n"])
+    batch = spark.createDataFrame([(1, [0.0, 1.0])], ["id", "vector"])
+    rep = {
+        r["list_id"]: r
+        for r in topk.ivf_incremental_assign(batch, cents, base).collect()
+    }
+    assert set(rep) == {0, 1, 7}
+    assert rep[0]["n_new"] == 0 and rep[0]["mean_home_sim"] is None
+    assert rep[7]["n_new"] == 0
+    assert rep[1]["n_base"] == 0 and rep[1]["n_new"] == 1
+    # a perfectly-homed vector: cosine 1 -> mean_home_sim 1.0
+    assert rep[1]["mean_home_sim"] == pytest.approx(1.0, abs=1e-6)
+
+
+# --------------------------------------------- T19 streaming near-dup gate
+
+
+def test_stream_minhash_screen_equals_batch_incremental(spark, tmp_path):
+    """T19 snapshot == dedup.incremental_minhash_pairs on identical
+    rows: the per-row stateless banding must reproduce the batch
+    groupBy signatures bit-for-bit (same xxhash64 seeds and types)."""
+    import json
+
+    from pdf_to_vectordb_etl_spark.operators import dedup
+    from pdf_to_vectordb_etl_spark.streaming.pipeline import (
+        minhash_band_table,
+        stream_minhash_screen,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seven "
+        "wizards brew strong potions at midnight near the old tower "
+    )
+    corpus_rows = [
+        (1, base + "alpha ending one"),
+        (2, "completely different corpus text with no overlap at all "
+            "whatsoever in any shingle of three words honest"),
+    ]
+    new_rows = [
+        (101, base + "alpha ending one extra"),   # near-dup of 1
+        (102, "novel unseen content that matches nothing in the corpus "
+              "not even a little bit of it three words running"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    new = spark.createDataFrame(new_rows, ["doc_id", "text"])
+
+    batch = {
+        (r["new_id"], r["corpus_id"]): round(r["jaccard"], 4)
+        for r in dedup.incremental_minhash_pairs(
+            new, corpus, threshold=0.5
+        ).collect()
+    }
+    assert (101, 1) in batch  # the planted near-dup is found by batch
+
+    # stream the new docs as JSON files, one per micro-batch
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    for i, (d, t) in enumerate(new_rows):
+        (drop / f"doc{i}.json").write_text(
+            json.dumps({"doc_id": d, "text": t}) + "\n"
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(drop))
+    )
+    live = stream_minhash_screen(
+        stream, minhash_band_table(corpus), threshold=0.5
+    )
+    q = (
+        live.writeStream.format("memory")
+        .queryName("t19_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["new_id"], r["corpus_id"]): r["jaccard"]
+        for r in spark.table("t19_test").collect()
+    }
+    assert got == batch
