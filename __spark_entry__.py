@@ -1143,21 +1143,6 @@ def q_t3_stream_agg(spark, sf):
     return spark.table(name).orderBy("event_type")
 
 
-def q_skew_salted_join(spark, sf):
-    """Skew path — salted equi-join (hot keys spread over salt buckets)
-    must produce exactly the plain-join result the oracle computes."""
-    from pdf_to_vectordb_etl_spark.operators import skew
-
-    ev = _t(spark, sf, "events").withColumn(
-        "k", F.when(F.col("event_id") % 5 < 4, 1).otherwise(F.col("event_id") % 100)
-    )
-    dim = spark.range(0, 100).select(
-        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
-    )
-    j = skew.salted_join(ev, dim, "k", buckets=8)
-    return j.groupBy("k").agg(F.count("*").alias("n"), F.sum("v").alias("sum_v"))
-
-
 def q_skew_two_phase_count(spark, sf):
     """Skew path — two-phase (salted partial + final) hot-group count."""
     from pdf_to_vectordb_etl_spark.operators import skew
@@ -2663,6 +2648,31 @@ def q_longest_repeated_substring(spark, sf):
     return suffixes.longest_repeated_substring(d2)
 
 
+def q_suffix_window_starts(spark, sf):
+    """Repeated length-20 window starts derived from the SUFFIX-ARRAY
+    side: prefix-doubling ranks to width 16 + the overlapping
+    power-of-two trick (width-16 ranks at offsets 0 and 4 ⟺ exact
+    20-char prefix equality — the sparse-table LCP identity). This is
+    the construction Lee et al. 2022 build ExactSubstr from; the
+    DuckDB oracle groups the same windows by substring VALUE, and a
+    pytest pin reconciles the flagged-char set against
+    webcorpus.exact_substring_dedup's independent window-hash route.
+    Same ASCII/120-char projection + doc cap as suffix_ranks (the
+    dense-rank rounds bound gate latency)."""
+    from pdf_to_vectordb_etl_spark.operators import suffixes
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    d2 = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.substring("text", 1, 120), r"[^\x20-\x7e]", ""
+        ).alias("text"),
+    )
+    return suffixes.repeated_window_starts(d2, 20).orderBy(
+        "doc_id", "start"
+    )
+
+
 def q_t17_stream_gram_hist(spark, sf):
     """T17 — the DSIR feature space maintained live: hashed uni+bigram
     bucket counts over a document stream as an associative streaming
@@ -2792,6 +2802,220 @@ def q_t20_stream_ivf_drift(spark, sf):
     )
     q.awaitTermination(300)
     return topk.ivf_drift_report(spark.table(name), base).orderBy("list_id")
+
+
+def q_equi_depth_bins(spark, sf):
+    """Exact global ntile (equi-depth binning) at corpus scale without
+    a single-partition Window: range-partition the rows, per-partition
+    row_number keyed on the partition id, cumulative per-partition
+    count offsets (driver state: one count per partition — the
+    global_dense_rank machinery applied to ROW numbering), then the
+    standard ntile fill (first N mod n buckets take ceil(N/n)). Order
+    key (value, event_id) is unique, so numbering is deterministic;
+    the per-bucket sum(rn) checksum pins every row's assignment. NULL
+    values filtered on both sides (Spark orders NULLS FIRST, DuckDB
+    NULLS LAST)."""
+    from pdf_to_vectordb_etl_spark.operators import suffixes
+
+    ev = (
+        _t(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "value")
+    )
+    binned = suffixes.global_ntile(
+        ev, ["value", "event_id"], 32, rn_col="rn"
+    )
+    return (
+        binned.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("rn").alias("sum_rn"),
+            F.min("value").alias("lo_value"),
+            F.max("value").alias("hi_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def q_cdc_chunks(spark, sf):
+    """Content-defined chunking (rsync/LBFS boundaries, Muthitacharoen
+    et al. SOSP 2001): cut after any position whose 16-char rolling
+    context md5-buckets under 040/4096 (~64-char average chunks).
+    Boundaries depend only on local content, so an insertion early in
+    a doc re-syncs within one window — the shift-robust dedup
+    granularity fixed-offset chunking can't give (pinned by test).
+    ASCII-projected (Spark substr counts UTF-16 units, DuckDB
+    codepoints — identical on ASCII only). The oracle replays
+    boundary predicate, cut pairing and chunk digests verbatim."""
+    from pdf_to_vectordb_etl_spark.operators import chunking
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", r"[^\x20-\x7e]", "").alias("text"),
+    )
+    return chunking.content_defined_chunks(
+        docs, window=16, avg_size=64
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def q_blocklist_hits(spark, sf):
+    """Broadcast multi-pattern blocklist matcher (the CCNet /
+    RefinedWeb bad-phrase gate; Spark analog of an Aho-Corasick scan):
+    ONE corpus explode into shortest-pattern-length window hashes,
+    broadcast equi-join on the pattern-prefix hash, exact value verify
+    on the survivors — candidates bounded by prefix frequency, not
+    corpus size. The pattern table is data-derived (top-10 most
+    frequent >=6-char words, count-then-word ordered) so regenerated
+    testdata can never make it degenerate; ASCII-projected BEFORE
+    lowering so both engines lowercase identical input."""
+    from pdf_to_vectordb_etl_spark.operators import textsearch
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.lower(
+            F.regexp_replace("text", r"[^\x20-\x7e]", "")
+        ).alias("text"),
+    )
+    toks = docs.select(
+        F.explode(textsearch.tokens(F.col("text"))).alias("w")
+    ).filter(F.length("w") >= 6)
+    pats = (
+        toks.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(10)
+        .select(F.col("w").alias("pattern"))
+    )
+    return textsearch.multi_pattern_hits(docs, pats).orderBy(
+        "doc_id", "pattern"
+    )
+
+
+def q_skew_salted_join(spark, sf):
+    """Skew-defeating salted equi-join on the 5-hot-key event_type
+    dimension: big side salted by a deterministic row hash, small side
+    replicated once per salt — result-identical to the plain join
+    (which IS the oracle), only the shuffle distribution changes. The
+    finale sums exact 1e-6-grid integers so the proof of identity is
+    hash-tight."""
+    from pdf_to_vectordb_etl_spark.operators import joins
+
+    ev = _t(spark, sf, "events").select("event_id", "event_type", "value")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("w", F.length("event_type").cast("long"))
+    )
+    j = joins.salted_join(ev, dim, ["event_type"], n_salts=8)
+    q = F.floor(F.col("value") * 1e6).cast("long")
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(q * F.col("w")).alias("wsum_q"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_ddsketch_quantiles(spark, sf):
+    """Mergeable relative-error quantiles (DDSketch, Masson et al.
+    VLDB 2019): per-event-type log-γ bucket counts (a few hundred rows
+    per group at α=1% for ANY corpus size — partial-combinable like
+    the HLL/CMS registers) + the bounded cumulative walk finale. The
+    oracle replays bucketing, walk and midpoint estimates exactly."""
+    from pdf_to_vectordb_etl_spark.operators import sketch
+
+    events = _t(spark, sf, "events")
+    b = sketch.ddsketch_buckets(events, "value", by="event_type", alpha=0.01)
+    return sketch.ddsketch_quantiles(
+        b, qs=(0.5, 0.9, 0.99), by="event_type", alpha=0.01
+    )
+
+
+def q_t21_stream_ddsketch(spark, sf):
+    """T21 — live mergeable quantiles: the DDSketch bucket table
+    maintained as an associative streaming sum (state ≤ log-γ-range
+    rows per event type); the snapshot feeds the identical quantile
+    finale as the batch path, so the batch SQL is the parity oracle."""
+    import tempfile
+
+    from pdf_to_vectordb_etl_spark.operators import sketch
+
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    live = sketch.ddsketch_buckets(stream, "value", by="event_type", alpha=0.01)
+    name = "t21_ddsketch"
+    q = (
+        live.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t21ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    return sketch.ddsketch_quantiles(
+        spark.table(name), qs=(0.5, 0.9, 0.99), by="event_type", alpha=0.01
+    )
+
+
+def q_t22_stream_blocklist(spark, sf):
+    """T22 — live blocklist telemetry: the batch-derived pattern table
+    (static, broadcast) screens a document ingest stream per-row
+    (stateless window hashes ⋈ static prefix table + value verify —
+    the IDENTICAL textsearch helper the batch matcher uses); the only
+    stream state is the per-pattern associative sum, ≤ blocklist-size
+    rows. Snapshot == the batch counts aggregated per pattern, so the
+    aggregated batch SQL is the oracle."""
+    import tempfile
+
+    from pdf_to_vectordb_etl_spark.operators import textsearch
+    from pdf_to_vectordb_etl_spark.streaming.pipeline import (
+        stream_blocklist_totals,
+    )
+
+    ascii_lower = F.lower(F.regexp_replace("text", r"[^\x20-\x7e]", ""))
+    batch_docs = spark.read.parquet(f"{sf}/documents.parquet")
+    toks = batch_docs.select(
+        F.explode(textsearch.tokens(ascii_lower)).alias("w")
+    ).filter(F.length("w") >= 6)
+    pats = (
+        toks.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(10)
+        .select(F.col("w").alias("pattern"))
+    )
+    if pats.limit(1).count() == 0:
+        # degenerate corpus (no >=6-char words): the batch matcher
+        # returns empty for an empty blocklist; so does the screen
+        return spark.createDataFrame([], "pattern string, n_hits long")
+    raw_schema = batch_docs.schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+        .select("doc_id", ascii_lower.alias("text"))
+    )
+    live = stream_blocklist_totals(stream, pats)
+    name = "t22_blocklist"
+    q = (
+        live.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t22ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("pattern")
 
 
 def q_bpe_train(spark, sf):
@@ -6101,7 +6325,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_stream_agg": q_t3_stream_agg,
         "mm_decode_meta": q_mm_decode_meta,
         "mm_sample_frames": q_mm_sample_frames,
-        "skew_salted_join": q_skew_salted_join,
         "skew_two_phase_count": q_skew_two_phase_count,
         "t4_stateful_totals": q_t4_stateful_totals,
         "cube_order_matrix": q_cube_order_matrix,
@@ -6175,6 +6398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substr_dedup": q_exact_substr_dedup,
         "suffix_ranks": q_suffix_ranks,
         "longest_repeated_substring": q_longest_repeated_substring,
+        "suffix_window_starts": q_suffix_window_starts,
         "dsir_select": q_dsir_select,
         "bpe_train": q_bpe_train,
         "ta_perplexity": q_ta_perplexity,
@@ -6303,6 +6527,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t17_stream_gram_hist": q_t17_stream_gram_hist,
         "t19_stream_minhash_screen": q_t19_stream_minhash_screen,
         "t20_stream_ivf_drift": q_t20_stream_ivf_drift,
+        "blocklist_hits": q_blocklist_hits,
+        "cdc_chunks": q_cdc_chunks,
+        "ddsketch_quantiles": q_ddsketch_quantiles,
+        "equi_depth_bins": q_equi_depth_bins,
+        "skew_salted_join": q_skew_salted_join,
+        "t21_stream_ddsketch": q_t21_stream_ddsketch,
+        "t22_stream_blocklist": q_t22_stream_blocklist,
         "tree_rollup": q_tree_rollup,
         "runs_test": q_runs_test,
     }
@@ -7685,16 +7916,6 @@ def oracle_sql() -> dict[str, str]:
         "t3_stream_agg": """
             SELECT event_type, count(*) AS n FROM events
             GROUP BY event_type ORDER BY event_type
-        """,
-        "skew_salted_join": """
-            WITH e AS (
-              SELECT CASE WHEN event_id % 5 < 4 THEN 1
-                          ELSE event_id % 100 END AS k
-              FROM events),
-            dim AS (SELECT i AS k, i * 10 AS v
-                    FROM (SELECT unnest(generate_series(0, 99)) AS i))
-            SELECT e.k, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v
-            FROM e JOIN dim ON e.k = dim.k GROUP BY e.k
         """,
         "skew_two_phase_count": """
             SELECT event_type, count(*) AS n FROM events GROUP BY event_type
@@ -9123,6 +9344,108 @@ def oracle_sql() -> dict[str, str]:
                    CAST(dense_rank() OVER (ORDER BY suf) - 1 AS BIGINT)
                      AS srank
             FROM s
+        """,
+        # suffix_window_starts: the Spark side derives repeated
+        # 20-char window starts from prefix-doubling suffix ranks
+        # (no substring values anywhere); the oracle groups the same
+        # windows by VALUE — two independent constructions must agree
+        # on the exact (doc, start, occurrence-count) set.
+        "suffix_window_starts": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_replace(substr(text, 1, 120),
+                                    '[^\x20-\x7e]', '', 'g') AS t
+              FROM documents WHERE doc_id < 100),
+            w AS (
+              SELECT doc_id, pos + 1 AS start, substr(t, pos + 1, 20) AS sub
+              FROM (SELECT doc_id, t, unnest(range(length(t) - 19)) AS pos
+                    FROM d WHERE length(t) >= 20)),
+            hot AS (
+              SELECT sub, CAST(count(*) AS BIGINT) AS n_occurrences
+              FROM w GROUP BY sub HAVING count(*) >= 2)
+            SELECT doc_id, CAST(start AS INT) AS start, n_occurrences
+            FROM w JOIN hot USING (sub)
+            ORDER BY doc_id, start
+        """,
+        # equi_depth_bins: the oracle IS the window-function form the
+        # distributed machinery must replicate bit-for-bit — ntile +
+        # row_number over the same unique (value, event_id) order
+        "equi_depth_bins": """
+            WITH r AS (
+              SELECT value,
+                     row_number() OVER (ORDER BY value, event_id) AS rn,
+                     ntile(32) OVER (ORDER BY value, event_id) AS bucket
+              FROM events WHERE value IS NOT NULL)
+            SELECT CAST(bucket AS INT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(rn) AS BIGINT) AS sum_rn,
+                   min(value) AS lo_value,
+                   max(value) AS hi_value
+            FROM r GROUP BY bucket ORDER BY bucket
+        """,
+        # cdc_chunks: boundary = first 3 md5-hex chars of the 16-char
+        # context < '040'; cuts = {0} ∪ boundaries ∪ {len}; chunk
+        # digests by value. Same md5-bucket idiom both engines.
+        "cdc_chunks": r"""
+            WITH d AS MATERIALIZED (
+              SELECT doc_id,
+                     regexp_replace(text, '[^\x20-\x7e]', '', 'g') AS t
+              FROM documents),
+            b AS (
+              SELECT doc_id, i
+              FROM (SELECT doc_id, t,
+                           unnest(range(16, length(t))) AS i
+                    FROM d)
+              WHERE substr(md5(substr(t, i - 15, 16)), 1, 3) < '040'),
+            cuts AS (
+              SELECT doc_id, 0 AS c FROM d WHERE length(t) > 0
+              UNION ALL SELECT doc_id, i FROM b
+              UNION ALL SELECT doc_id, length(t) FROM d
+                WHERE length(t) > 0),
+            seg AS (
+              SELECT doc_id, c AS lo,
+                     lead(c) OVER (PARTITION BY doc_id ORDER BY c) AS hi
+              FROM cuts),
+            chunks AS (
+              SELECT s.doc_id,
+                     CAST(row_number() OVER (PARTITION BY s.doc_id
+                                             ORDER BY s.lo) - 1 AS INT)
+                       AS chunk_idx,
+                     CAST(s.lo + 1 AS INT) AS start,
+                     CAST(s.hi - s.lo AS INT) AS chunk_len,
+                     md5(substr(d.t, s.lo + 1, s.hi - s.lo)) AS digest
+              FROM seg s JOIN d USING (doc_id)
+              WHERE s.hi IS NOT NULL)
+            SELECT doc_id, chunk_idx, start, chunk_len, digest
+            FROM chunks ORDER BY doc_id, chunk_idx
+        """,
+        # blocklist_hits: the oracle replays the data-derived pattern
+        # table (top-10 frequent >=6-char words, count-then-word
+        # order) and counts PER-OFFSET occurrences by direct substr
+        # comparison — no hashing anywhere on the oracle side, so the
+        # Spark prefix-hash+verify route must be exactly collision-free
+        "blocklist_hits": r"""
+            WITH d AS MATERIALIZED (
+              SELECT doc_id,
+                     lower(regexp_replace(text, '[^\x20-\x7e]', '', 'g'))
+                       AS t
+              FROM documents),
+            tok AS (
+              SELECT unnest(regexp_split_to_array(t, '[^a-z0-9]+')) AS w
+              FROM d),
+            pat AS MATERIALIZED (
+              SELECT w AS pattern FROM tok WHERE length(w) >= 6
+              GROUP BY w ORDER BY count(*) DESC, w LIMIT 10),
+            pos AS (
+              SELECT doc_id, t, unnest(range(length(t))) AS p FROM d),
+            hit AS (
+              SELECT doc_id, pattern,
+                     CAST(count(*) AS BIGINT) AS n_hits
+              FROM pos JOIN pat
+                ON substr(t, p + 1, length(pattern)) = pattern
+              GROUP BY doc_id, pattern)
+            SELECT doc_id, pattern, n_hits FROM hit
+            ORDER BY doc_id, pattern
         """,
         "exact_substr_dedup": """
             WITH d AS (
@@ -12544,4 +12867,79 @@ def oracle_sql() -> dict[str, str]:
     # identical floor-quantized argmax; snapshot + the same finale ==
     # the batch report, so the batch drift-report SQL is the oracle
     d["t20_stream_ivf_drift"] = d["ivf_incremental_assign"]
+    # DDSketch: γ = (1+α)/(1−α) at α=0.01; idx = ceil(log_γ x) with a
+    # γ^-150 zero cutoff; quantile = first bucket whose cumulative
+    # count reaches ceil(q(n−1))+1; midpoint estimate 2γ^i/(γ+1),
+    # floor-quantized 1e-6. The bucket counts are associative, so the
+    # streaming twin shares the SQL.
+    _g = (1.0 + 0.01) / (1.0 - 0.01)
+    _tiny = _g ** -150
+    d["ddsketch_quantiles"] = f"""
+        WITH b AS (
+          SELECT event_type,
+                 CAST(CASE WHEN value > {_tiny!r} THEN ceil(ln(value) / ln({_g!r}))
+                           WHEN value < -{_tiny!r} THEN -ceil(ln(-value) / ln({_g!r}))
+                           ELSE 0 END AS BIGINT) AS idx,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM events WHERE value IS NOT NULL
+          GROUP BY 1, 2),
+        c AS (
+          SELECT event_type, idx, cnt,
+                 CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+          FROM b),
+        t AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+              FROM b GROUP BY 1),
+        qq AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+        hit AS (
+          SELECT c.event_type, qq.q,
+                 arg_min(
+                   floor((CASE WHEN c.idx > 0
+                          THEN power({_g!r}, c.idx) * 2.0 / ({_g!r} + 1.0)
+                          WHEN c.idx < 0
+                          THEN -power({_g!r}, -c.idx) * 2.0 / ({_g!r} + 1.0)
+                          ELSE 0.0 END) * 1e6) / 1e6,
+                   c.idx) AS est,
+                 max(t.n) AS n
+          FROM c JOIN t USING (event_type) CROSS JOIN qq
+          WHERE c.cum >= ceil(qq.q * (t.n - 1)) + 1
+          GROUP BY 1, 2)
+        SELECT event_type, q, est, CAST(n AS BIGINT) AS n
+        FROM hit ORDER BY event_type, q
+    """
+    d["t21_stream_ddsketch"] = d["ddsketch_quantiles"]
+    # T22: per-row stateless matching + a <=10-row associative sum —
+    # snapshot == the batch matcher aggregated per pattern
+    d["t22_stream_blocklist"] = r"""
+        WITH d AS MATERIALIZED (
+          SELECT doc_id,
+                 lower(regexp_replace(text, '[^\x20-\x7e]', '', 'g')) AS t
+          FROM documents),
+        tok AS (
+          SELECT unnest(regexp_split_to_array(t, '[^a-z0-9]+')) AS w
+          FROM d),
+        pat AS MATERIALIZED (
+          SELECT w AS pattern FROM tok WHERE length(w) >= 6
+          GROUP BY w ORDER BY count(*) DESC, w LIMIT 10),
+        pos AS (
+          SELECT doc_id, t, unnest(range(length(t))) AS p FROM d)
+        SELECT pattern, CAST(count(*) AS BIGINT) AS n_hits
+        FROM pos JOIN pat
+          ON substr(t, p + 1, length(pattern)) = pattern
+        GROUP BY pattern ORDER BY pattern
+    """
+    # the salted join is result-identical to the plain join — the
+    # oracle replays it unsalted
+    d["skew_salted_join"] = """
+        WITH dim AS (
+          SELECT DISTINCT event_type,
+                 CAST(length(event_type) AS BIGINT) AS w
+          FROM events)
+        SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(e.value * 1e6) AS BIGINT) * d.w)
+                    AS BIGINT) AS wsum_q
+        FROM events e JOIN dim d USING (event_type)
+        GROUP BY e.event_type ORDER BY e.event_type
+    """
     return d

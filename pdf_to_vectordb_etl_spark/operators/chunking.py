@@ -242,3 +242,90 @@ def semantic_chunks(
         (F.sum(flag).over(run) - 1).alias("chunk_id"),
         "cos_prev",
     )
+
+
+def content_defined_chunks(
+    df: DataFrame,
+    window: int = 16,
+    avg_size: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS boundary trick, public
+    since Muthitacharoen et al. SOSP 2001): cut a document AFTER
+    position i whenever the rolling ``window``-char context ending at
+    i hashes under a threshold chosen so chunks average ~``avg_size``
+    chars. Because boundaries depend only on LOCAL content, inserting
+    or deleting bytes early in a document re-syncs within one window —
+    every later chunk keeps its identity — where fixed-offset chunking
+    shifts every subsequent chunk (the property storage dedup and
+    shift-robust corpus dedup need; pinned by test).
+
+    Determinism contract: the boundary predicate is a string compare
+    on the first 3 hex chars of md5(window) against a threshold
+    (probability t/4096 per position, t = round(4096/avg_size)) — the
+    repo's md5-bucket idiom, replayable verbatim in any SQL engine.
+
+    Plan shape: boundaries, cut pairs and chunk coordinates are
+    doc-bounded array HOFs in ONE projection; a single explode emits
+    (lo, hi) pairs and the chunk text/digest derive per-row AFTER the
+    explode (no array re-reference above its Generate). Corpus-linear;
+    nothing global.
+
+    Returns (id_col, chunk_idx, start, chunk_len, digest) — start is
+    1-based, digest = md5 of the chunk text."""
+    if window < 1 or avg_size < 2:
+        raise ValueError("window >= 1 and avg_size >= 2 required")
+    t = F.col(text_col)
+    thr = format(max(1, round(4096 / avg_size)), "03x")
+    n = F.length(t)
+    # candidate boundary END positions: window .. len-1 (a cut at len
+    # is implicit); sequence(a, b) with b < a is DESCENDING in Spark,
+    # never empty — short docs must yield an explicitly empty array
+    cand = F.when(
+        n - 1 >= window, F.sequence(F.lit(window), n - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bounds = F.filter(
+        cand,
+        lambda i: F.substring(
+            F.md5(t.substr(i - (window - 1), F.lit(window))), 1, 3
+        )
+        < F.lit(thr),
+    )
+    cuts = F.concat(F.array(F.lit(0)), bounds, F.array(n))
+    pairs = F.zip_with(
+        F.slice(cuts, 1, F.size(cuts) - 1),
+        F.slice(cuts, 2, F.size(cuts) - 1),
+        lambda lo, hi: F.struct(lo.alias("lo"), hi.alias("hi")),
+    )
+    rows = df.filter(n > 0).select(
+        F.col(id_col).alias("_id"),
+        t.alias("_t"),
+        F.posexplode(pairs).alias("chunk_idx", "p"),
+    )
+    chunk = F.col("_t").substr(F.col("p.lo") + 1, F.col("p.hi") - F.col("p.lo"))
+    return rows.select(
+        F.col("_id").alias(id_col),
+        F.col("chunk_idx").cast("int"),
+        (F.col("p.lo") + 1).cast("int").alias("start"),
+        (F.col("p.hi") - F.col("p.lo")).cast("int").alias("chunk_len"),
+        F.md5(chunk).alias("digest"),
+    )
+
+
+def cdc_dedup_stats(chunks: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Corpus dedup accounting over a content-defined chunk table: per
+    duplicated digest, how many copies and how many chars the
+    single-instance store saves. One hash agg on 32-char digests."""
+    return (
+        chunks.groupBy("digest")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.countDistinct(id_col).alias("n_docs"),
+            F.max("chunk_len").alias("chunk_len"),
+            (
+                (F.count("*") - 1) * F.max("chunk_len")
+            ).alias("dup_chars"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )

@@ -249,3 +249,43 @@ def record_linkage(
         )
         .filter(F.col("score") >= threshold)
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-defeating equi-join: when a handful of hot keys would pile
+    one shuffle partition to death (the skew_key_report signal), salt
+    the BIG side with a deterministic content-derived value in
+    [0, n_salts) and replicate the SMALL side once per salt, so every
+    hot key's rows spread across ``n_salts`` reducers. Result set is
+    IDENTICAL to the plain join — only the physical distribution
+    changes — so any SQL engine replays it as the unsalted join.
+
+    The salt is ``xxhash64(all big columns) % n_salts`` — no RNG, so
+    task retries and re-runs salt identically (the repo's md5/xxhash
+    determinism contract). Rows that are full duplicates share a
+    salt; if your skew IS duplicate rows, aggregate first.
+
+    Spark's AQE skew-join handles sort-merge skew at runtime; this
+    operator covers what AQE cannot — broadcast-ineligible dimension
+    joins feeding stateful/streaming stages, or co-grouped work after
+    the join that inherits the partitioning.
+
+    Only ``inner`` and ``left`` are supported: a right/full join
+    against the replicated small side would duplicate unmatched
+    small-side rows n_salts times."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)
+    ).cast("int")
+    b = big.withColumn("_salt", salt)
+    s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    return b.join(s, on + ["_salt"], how).drop("_salt")

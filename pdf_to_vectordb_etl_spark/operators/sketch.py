@@ -465,3 +465,108 @@ def kmv_set_report(
         F.round(jac, 6).alias("jaccard"),
         F.round(jac * F.col("est_union"), 4).alias("est_intersection"),
     )
+
+
+# --------------------------------------------------------------- DDSketch
+
+
+def ddsketch_buckets(
+    df: DataFrame,
+    value_col: str,
+    by: str | None = None,
+    alpha: float = 0.01,
+) -> DataFrame:
+    """DDSketch bucket table (Masson, Rim & Lee, VLDB 2019 "DDSketch:
+    A Fast and Fully-Mergeable Quantile Sketch with Relative-Error
+    Guarantees", public): log-γ buckets with γ = (1+α)/(1−α), index
+    ceil(log_γ x) for x > 0, a dedicated zero bucket (idx 0, holds
+    |x| < γ⁻¹⁵⁰ too — the standard min-indexable cutoff), and a
+    mirrored negative store (negative idx).
+
+    The sketch IS the (bucket, count) table — counts are associative
+    sums, so per-shard sketches, a streaming aggregate, or any union
+    of partials folds into the identical table (the HLL/CMS register
+    contract). Bucket-table size is log_γ(max/min) rows — a few
+    hundred for any float range at α = 1% — REGARDLESS of corpus
+    size; that bound is what makes the quantile finale's cumulative
+    window safe.
+
+    Returns (by?, idx, cnt)."""
+    g = (1.0 + alpha) / (1.0 - alpha)
+    lg = F.log(F.lit(g))
+    v = F.col(value_col)
+    # min-indexable magnitude: γ^-150 (~at α=1%: 5e-2... exact cutoff
+    # only matters for denormal-ish values; everything below folds
+    # into the zero bucket, as the paper's collapsing variant does)
+    tiny = float(g) ** -150
+    idx = (
+        F.when(v > tiny, F.ceil(F.log(v) / lg))
+        .when(v < -tiny, -F.ceil(F.log(-v) / lg))
+        .otherwise(F.lit(0))
+    ).cast("long")
+    keys = ([by] if by else []) + ["idx"]
+    return (
+        df.filter(v.isNotNull())
+        .select(*([by] if by else []), idx.alias("idx"))
+        .groupBy(*keys)
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def ddsketch_quantiles(
+    buckets: DataFrame,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    by: str | None = None,
+    alpha: float = 0.01,
+) -> DataFrame:
+    """Quantile finale over a DDSketch bucket table: walk buckets in
+    index order accumulating counts; the q-quantile estimate for the
+    first bucket whose cumulative count reaches ceil(q·(n−1))+1 is the
+    bucket midpoint 2γ^idx/(γ+1) (sign-mirrored for the negative
+    store, 0 for the zero bucket) — guaranteed within relative error α
+    of the true quantile for positive data.
+
+    The cumulative window runs over the BOUNDED bucket table (log-γ
+    range rows — see ddsketch_buckets), per group when ``by`` is set.
+    The group total comes from a full-frame window over the same
+    bounded table rather than a groupBy + self-join (a streaming
+    memory-sink snapshot trips Spark's self-join attribute
+    resolution, and the join bought nothing). Estimates are
+    floor-quantized to the 1e-6 grid (both engines compute pow from
+    the same integer idx, then the same floor) so the report replays
+    bit-identically.
+
+    Returns (by?, q, est, n)."""
+    from pyspark.sql import Window
+
+    g = (1.0 + alpha) / (1.0 - alpha)
+    part = [by] if by else []
+    w = Window.partitionBy(*part).orderBy("idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy(*part).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = buckets.withColumn("_cum", F.sum("cnt").over(w)).withColumn(
+        "_n", F.sum("cnt").over(w_all)
+    )
+    qdf = cum.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    # rank of the q-quantile under the paper's convention
+    need = F.ceil(F.col("q") * (F.col("_n") - 1)) + 1
+    est = (
+        F.when(F.col("idx") > 0, F.pow(F.lit(g), F.col("idx")) * 2.0 / (g + 1.0))
+        .when(F.col("idx") < 0, -F.pow(F.lit(g), -F.col("idx")) * 2.0 / (g + 1.0))
+        .otherwise(F.lit(0.0))
+    )
+    hit = (
+        cum.crossJoin(F.broadcast(qdf))
+        .filter(F.col("_cum") >= need)
+        .groupBy(*part, "q")
+        .agg(
+            F.min_by(F.floor(est * 1e6) / 1e6, F.col("idx")).alias("est"),
+            F.max("_n").alias("n"),
+        )
+    )
+    return hit.orderBy(*part, "q")

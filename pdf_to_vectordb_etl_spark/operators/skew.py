@@ -46,11 +46,15 @@ def salted_join(
     times; the join key becomes (key..., salt) so one hot key's rows
     spread over ``buckets`` tasks instead of one straggler. Use when the
     small side is too big to broadcast but small enough to replicate.
-    """
+
+    Delegates to :func:`joins.salted_join` (the single
+    implementation), which also enforces the inner/left-only guard: a
+    right/full join against the replicated small side would duplicate
+    every unmatched small-side row ``buckets`` times."""
+    from pdf_to_vectordb_etl_spark.operators.joins import salted_join as _sj
+
     keys = [on] if isinstance(on, str) else list(on)
-    b = with_salt(big, keys[0], buckets)
-    s = replicate_for_salt(small, buckets)
-    return b.join(s, [*keys, "_salt"], how).drop("_salt")
+    return _sj(big, small, keys, n_salts=buckets, how=how)
 
 
 def two_phase_count(

@@ -276,6 +276,109 @@ def longest_repeated_substring(
     )
 
 
+def _prefix_rank_table(
+    src: DataFrame, upto_width: int
+) -> DataFrame:
+    """(id, pos, r): prefix-doubling rank table stopped at EXACTLY
+    ``upto_width`` (a power of two) — ``r`` is the dense rank of each
+    suffix's first ``upto_width`` characters (sentinel −1 beyond the
+    doc end, so shorter prefixes never collide with full-width ones).
+    The shared inner loop of :func:`suffix_ranks`, without the
+    run-to-full-order termination."""
+    base = src.select(
+        "id",
+        F.posexplode(F.split(F.col("_t"), "")).alias("pos", "ch"),
+    ).filter(F.col("ch") != "")
+    cur = global_dense_rank(base, ["ch"], "r").select("id", "pos", "r")
+    cur = cur.localCheckpoint(eager=True)
+    width = 1
+    while width < upto_width:
+        nxt = cur.select(
+            "id", (F.col("pos") - width).alias("pos"), F.col("r").alias("r2")
+        )
+        paired = cur.join(nxt, ["id", "pos"], "left").select(
+            "id", "pos", "r", F.coalesce("r2", F.lit(-1)).alias("r2")
+        )
+        cur = global_dense_rank(paired, ["r", "r2"], "rn").select(
+            "id", "pos", F.col("rn").alias("r")
+        )
+        cur = cur.localCheckpoint(eager=True)
+        width *= 2
+    return cur
+
+
+def repeated_window_starts(
+    df: DataFrame,
+    window_len: int,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cross_doc_only: bool = False,
+) -> DataFrame:
+    """Every 1-based start of a length-``window_len`` substring that
+    occurs >= ``min_count`` times in the corpus — derived from the
+    SUFFIX-ARRAY side, the construction Lee et al. 2022 actually use
+    for ExactSubstr, so it is the independent cross-check for
+    :func:`webcorpus.exact_substring_dedup`'s window-hash route (two
+    different algorithms must agree on the exact flagged-start set;
+    pinned by test and by a value-grouping DuckDB oracle).
+
+    Exact length-L prefix equality falls out of prefix-doubling ranks
+    with the overlapping power-of-two trick (the same identity behind
+    sparse-table LCP queries): with w = the largest power of two
+    <= L, two suffixes share their first L characters iff their
+    width-w ranks agree at offset 0 AND at offset L - w (the two
+    w-blocks overlap and cover [0, L)). So one rank table to width w
+    (ceil(log2 L) dense-rank rounds), one self-join at offset L - w,
+    and one hash agg on the 16-byte rank pair give the exact repeated
+    classes — no substring values, no hashes of substrings, no global
+    sort. Only starts with >= L characters remaining participate
+    (shorter suffixes are never windows).
+
+    Returns (id_col, start, n_occurrences) with 1-based starts."""
+    L = int(window_len)
+    if L < 1:
+        raise ValueError(f"window_len must be >= 1, got {L}")
+    w = 1
+    while w * 2 <= L:
+        w *= 2
+    src = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_t")
+    ).filter(F.length("_t") > 0)
+    ranks = _prefix_rank_table(src, w)
+    lens = src.select("id", F.length("_t").alias("_len"))
+    starts = (
+        ranks.join(lens, "id")
+        .filter(F.col("pos") <= F.col("_len") - L)
+        .select("id", "pos", "r")
+    )
+    tail = ranks.select(
+        "id", (F.col("pos") - (L - w)).alias("pos"), F.col("r").alias("rb")
+    )
+    keyed = (
+        starts.join(tail, ["id", "pos"])
+        if L != w
+        else starts.withColumn("rb", F.col("r"))
+    )
+    counter = (
+        F.countDistinct("id") if cross_doc_only else F.count("*")
+    ).alias("c")
+    hot = (
+        keyed.groupBy("r", "rb")
+        .agg(counter, F.count("*").alias("n_occurrences"))
+        .filter(F.col("c") >= min_count)
+        .select("r", "rb", "n_occurrences")
+    )
+    return (
+        keyed.join(hot, ["r", "rb"])
+        .select(
+            F.col("id").alias(id_col),
+            (F.col("pos") + 1).cast("int").alias("start"),
+            F.col("n_occurrences").cast("long"),
+        )
+    )
+
+
 def repeated_suffix_groups(
     ranks: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -289,3 +392,96 @@ def repeated_suffix_groups(
         )
         .filter(F.col("n_suffixes") > 1)
     )
+
+
+def _row_numbered(
+    df: DataFrame, order_cols: list[str], out_col: str
+) -> tuple[DataFrame, int]:
+    """Shared machinery: (df + exact 1-based global row number, total
+    row count) under ORDER BY ``order_cols`` — range-partition the
+    rows, row_number per partition (Window keyed on the partition id,
+    fully parallel), shift by cumulative per-partition counts. Driver
+    state: one count per shuffle partition."""
+    from pyspark.sql import Window
+
+    parts = max(2, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
+    ranged = df.repartitionByRange(parts, *order_cols)
+    local = ranged.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_lrn",
+        F.row_number().over(
+            Window.partitionBy("_pid").orderBy(*order_cols)
+        ),
+    )
+    local = local.localCheckpoint(eager=True)
+    sizes = (
+        local.groupBy("_pid").agg(F.count("*").alias("_n")).orderBy("_pid").collect()
+    )
+    offset, offsets = 0, {}
+    for r in sizes:
+        offsets[r["_pid"]] = offset
+        offset += r["_n"]
+    if not offsets:
+        return (
+            local.withColumn(out_col, F.lit(None).cast("long")).drop(
+                "_pid", "_lrn"
+            ),
+            0,
+        )
+    omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    return (
+        local.withColumn(
+            out_col,
+            (F.col("_lrn") + omap[F.col("_pid")]).cast("long"),
+        ).drop("_pid", "_lrn"),
+        offset,
+    )
+
+
+def global_row_number(
+    df: DataFrame, order_cols: list[str], out_col: str = "rn"
+) -> DataFrame:
+    """Exact 1-based ``row_number() OVER (ORDER BY order_cols)`` for
+    every row WITHOUT a single-partition Window — the companion of
+    :func:`global_dense_rank` for row-level numbering (equi-depth
+    binning, pagination, deterministic sharding by sort position).
+
+    The order key must be UNIQUE per row (append a tiebreaker id
+    column otherwise): a RangePartitioner can split equal keys across
+    partitions, which would make tied rows' numbers depend on
+    partition placement."""
+    out, _ = _row_numbered(df, order_cols, out_col)
+    return out
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    n: int,
+    out_col: str = "bucket",
+    rn_col: str | None = None,
+) -> DataFrame:
+    """Exact ``ntile(n) OVER (ORDER BY order_cols)`` at corpus scale —
+    equi-depth binning / quantile bucketing without a global sort on
+    one reducer. Standard ntile fill: the first N mod n buckets take
+    ceil(N/n) rows, the rest floor(N/n); buckets are 1-based. Order
+    keys must be unique (see :func:`global_row_number`). Pass
+    ``rn_col`` to also keep the underlying row number."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    keep_rn = rn_col or "_gnt_rn"
+    out, total = _row_numbered(df, order_cols, keep_rn)
+    big = total % n
+    size = total // n
+    i = F.col(keep_rn) - 1
+    bucket = (
+        F.when(i < big * (size + 1), F.floor(i / (size + 1)))
+        .otherwise(
+            big
+            + F.floor(
+                (i - big * (size + 1)) / F.greatest(F.lit(size), F.lit(1))
+            )
+        )
+        + 1
+    ).cast("int")
+    out = out.withColumn(out_col, bucket)
+    return out if rn_col else out.drop(keep_rn)

@@ -184,3 +184,146 @@ def expand_query(
         ).alias("weight"),
     )
     return weighted.orderBy(F.desc("weight"), "term").limit(n_expansion)
+
+
+def _pattern_prefix_table(
+    patterns: DataFrame, pattern_col: str
+) -> tuple[DataFrame, int] | None:
+    """(broadcastable prefix table, l0) for the multi-pattern matcher:
+    each pattern keyed by the xxhash64 of its first-l0-char prefix
+    (l0 = shortest pattern length), full pattern + length riding along
+    for the value verify. None when the pattern table is empty. The
+    ``.first()`` action runs on the STATIC pattern side only, so the
+    streaming screen can share this helper."""
+    pats = patterns.select(
+        F.col(pattern_col).alias("_pat"),
+        F.length(pattern_col).alias("_plen"),
+    )
+    min_len_row = pats.agg(F.min("_plen").alias("m")).first()
+    if min_len_row["m"] is None:
+        return None
+    l0 = int(min_len_row["m"])
+    if l0 < 1:
+        raise ValueError("patterns must be non-empty strings")
+    pref = pats.select(
+        "_pat",
+        "_plen",
+        F.xxhash64(F.substring("_pat", 1, l0)).alias("_h"),
+    )
+    return pref, l0
+
+
+def _verified_pattern_hits(
+    docs: DataFrame, pref: DataFrame, l0: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(_id, _pat, i) — one row per VERIFIED pattern occurrence: one
+    explode into l0-char window hashes, broadcast prefix-hash join,
+    exact full-length value verify. Stateless per input row, so it
+    runs identically on a batch DataFrame or a readStream."""
+    t = F.col(text_col)
+    starts = F.when(
+        F.length(t) >= l0, F.sequence(F.lit(1), F.length(t) - (l0 - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    wins = docs.select(
+        F.col(id_col).alias("_id"),
+        t.alias("_t"),
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.alias("i"),
+                    F.xxhash64(t.substr(i, F.lit(l0))).alias("_h"),
+                ),
+            )
+        ).alias("e"),
+    ).select("_id", "_t", "e.i", "e._h")
+    return wins.join(F.broadcast(pref), "_h").filter(
+        F.col("_t").substr(F.col("i"), F.col("_plen")) == F.col("_pat")
+    )
+
+
+def multi_pattern_hits(
+    docs: DataFrame,
+    patterns: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pattern_col: str = "pattern",
+) -> DataFrame:
+    """Exact per-offset occurrence counts of MANY fixed-string patterns
+    against every document in one corpus pass — the blocklist /
+    bad-phrase matcher every web-corpus pipeline runs (CCNet /
+    RefinedWeb-style filtering), i.e. the Spark analog of an
+    Aho-Corasick scan.
+
+    Plan shape (one explode regardless of pattern count or length
+    spread): let ℓ₀ = the SHORTEST pattern's length. Every pattern's
+    match at position i implies its ℓ₀-char PREFIX matches at i, so
+    the corpus is exploded ONCE into length-ℓ₀ window hashes
+    (xxhash64 — 8-byte rows, never substrings; the window array is
+    built and exploded in one Generate, per the CollapseProject rule)
+    and equi-joined against the broadcast pattern-prefix hashes.
+    Survivors — bounded by how often any pattern PREFIX occurs, not
+    by corpus size — re-derive the full-length window by value
+    (``substr(text, i, len(pattern)) = pattern``), so hash collisions
+    cannot fake a hit and the result is exact. A blocklist whose
+    shortest pattern is very short (1-2 chars) makes every position a
+    candidate — keep patterns >= ~4 chars or pre-filter such entries.
+
+    Patterns are assumed small enough to broadcast (blocklists are
+    thousands of rows); matching is case-sensitive — normalize both
+    sides upstream for case-insensitive semantics.
+
+    Returns (id_col, pattern_col, n_hits) with n_hits >= 1 —
+    overlapping occurrences each count (per-offset semantics: "aaa"
+    hits "aaaa" twice)."""
+    got = _pattern_prefix_table(patterns, pattern_col)
+    if got is None:
+        return docs.sparkSession.createDataFrame(
+            [], f"{id_col} long, {pattern_col} string, n_hits long"
+        )
+    pref, l0 = got
+    verified = _verified_pattern_hits(docs, pref, l0, id_col, text_col)
+    verified = verified.groupBy("_id", "_pat").agg(
+        F.count("*").alias("n_hits")
+    )
+    return verified.select(
+        F.col("_id").alias(id_col),
+        F.col("_pat").alias(pattern_col),
+        F.col("n_hits").cast("long"),
+    )
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    patterns: DataFrame,
+    max_hits: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pattern_col: str = "pattern",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Drop (well: flag) documents whose total blocklist-hit mass
+    exceeds ``max_hits`` — the standard web-corpus gate composed from
+    :func:`multi_pattern_hits`. With ``weight_col`` on the pattern
+    table, hits are weighted (severity scores); otherwise each
+    occurrence counts 1. Returns every input doc with
+    (total_hits, keep) so the caller can filter or audit."""
+    hits = multi_pattern_hits(docs, patterns, id_col, text_col, pattern_col)
+    if weight_col is not None:
+        w = patterns.select(
+            F.col(pattern_col).alias(pattern_col),
+            F.col(weight_col).alias("_w"),
+        )
+        hits = hits.join(F.broadcast(w), pattern_col).withColumn(
+            "n_hits", F.col("n_hits") * F.col("_w")
+        )
+    per_doc = hits.groupBy(id_col).agg(F.sum("n_hits").alias("total_hits"))
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("total_hits", F.lit(0)).cast("long").alias("total_hits"),
+            (F.coalesce("total_hits", F.lit(0)) <= max_hits).alias("keep"),
+        )
+    )

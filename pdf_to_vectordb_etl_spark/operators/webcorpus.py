@@ -244,25 +244,41 @@ def exact_substring_dedup(
 
     Scale shape: one transform-over-sequence builds the per-doc window
     array (hashes only, never the substrings), one explode →
-    (id, offset, xxhash64) rows — corpus-linear with an 8-byte payload;
-    one hash agg on the window hash; then a TWO-PHASE verify: windows
-    whose hash is hot re-derive their actual substring and are
-    re-counted by VALUE before any character is cut, so a 64-bit
-    collision (expected ~1e8 over the ~1e14 windows of a 100 TB
-    corpus) can never delete text from an un-duplicated doc. Raw text
-    only shuffles for hot candidates (duplicate-volume-bounded, not
-    corpus-bounded). Per-doc interval merge and text reconstruction
-    are array/aggregate HOFs over doc-bounded arrays — no char-level
-    explode, no window function, no Python. At 100 TB the corpus-wide
-    ops are the window-hash agg and the flagged-offset join, both on
-    8-byte keys.
+    (id, offset, h1, h2) rows — corpus-linear with a 16-byte key
+    payload; one hash agg on the PAIR of independent xxhash64 values
+    (seeded differently — a 128-bit effective key); flagged offsets
+    join back on the same pair. A single 64-bit hash would birthday-
+    collide ~1e8 times over the ~1e14 windows of a 100 TB corpus and
+    each collision deletes L chars from an un-duplicated doc; with
+    the 128-bit pair a false cut needs two DIFFERENT substrings to
+    agree on BOTH hashes — expected colliding pairs ≈ W²/2 · 2⁻¹²⁸ ≈
+    3e-11 at W = 1e14, i.e. never. (An earlier two-phase substring-
+    value verify was exact but re-derived and shuffled raw text for
+    every hot window — 15× slower on a duplicate-heavy corpus where
+    candidates ≈ corpus; the dual hash keeps the agg 100%
+    fixed-width.) The DuckDB oracle groups by substring VALUE, which
+    the pair key matches up to that 2⁻¹²⁸ bound. Per-doc interval
+    merge and text reconstruction are array/aggregate HOFs over
+    doc-bounded arrays — no char-level explode, no window function,
+    no Python. At 100 TB the corpus-wide ops are the window-hash agg
+    and the flagged-offset join, both on 16-byte keys.
 
     Returns (id, clean_text, n_kept, n_removed) in characters.
     """
     L = int(min_len)
     t = F.col(text_col)
-    win = lambda i: F.struct(  # noqa: E731
-        i.alias("i"), F.xxhash64(t.substr(i, F.lit(L))).alias("h")
+    # bind the substring once per window via the single-element
+    # transform trick so the two hashes don't each re-slice the text
+    win = lambda i: F.element_at(  # noqa: E731
+        F.transform(
+            F.array(t.substr(i, F.lit(L))),
+            lambda s: F.struct(
+                i.alias("i"),
+                F.xxhash64(s).alias("h"),
+                F.xxhash64(s, F.lit(0x5EED)).alias("h2"),
+            ),
+        ),
+        1,
     )
     # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — docs
     # shorter than L must yield an explicitly empty window array
@@ -272,57 +288,18 @@ def exact_substring_dedup(
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.transform(starts_seq, win)).alias("e"),
-    ).select("id", "e.i", "e.h")
+    ).select("id", "e.i", "e.h", "e.h2")
     counter = (
         F.countDistinct("id") if cross_doc_only else F.count("*")
     ).alias("c")
     hot = (
-        toks.groupBy("h")
+        toks.groupBy("h", "h2")
         .agg(counter)
         .filter(F.col("c") >= min_count)
-        .select("h")
-    )
-    # phase 2 — verify candidates by VALUE before cutting: a 64-bit
-    # xxhash collision would otherwise delete L chars from an
-    # un-duplicated doc (over ~1e14 windows at 100 TB, birthday
-    # collisions are ~1e8 — not ignorable), and the DuckDB oracle
-    # groups by substring value. Every occurrence of a colliding value
-    # shares the hash, so the candidate set contains ALL its
-    # occurrences and the phase-2 counter is exact. Only hot-window
-    # offsets re-derive their substring (duplicate-volume-bounded, not
-    # corpus-bounded); the checkpoint materializes the candidate
-    # values once for the agg + join-back pair.
-    cand = (
-        toks.join(hot, "h")
-        .groupBy("id")
-        .agg(F.collect_list("i").alias("cis"))
-    )
-    vals = (
-        df.select(F.col(id_col).alias("id"), t.alias("_ct"))
-        .join(cand, "id")
-        .select(
-            "id",
-            F.explode(
-                F.transform(
-                    F.col("cis"),
-                    lambda i: F.struct(
-                        i.alias("i"),
-                        F.col("_ct").substr(i, F.lit(L)).alias("sub"),
-                    ),
-                )
-            ).alias("e"),
-        )
-        .select("id", "e.i", "e.sub")
-        .localCheckpoint(eager=False)
-    )
-    hotv = (
-        vals.groupBy("sub")
-        .agg(counter)
-        .filter(F.col("c") >= min_count)
-        .select("sub")
+        .select("h", "h2")
     )
     flagged = (
-        vals.join(hotv, "sub")
+        toks.join(hot, ["h", "h2"])
         .groupBy("id")
         .agg(F.array_sort(F.collect_list("i")).alias("starts"))
     )

@@ -856,3 +856,43 @@ def stream_woe_counts(
         .groupBy("bucket")
         .agg(F.count("*").alias("n"), F.sum("y").cast("long").alias("n_pos"))
     )
+
+
+def stream_blocklist_totals(
+    docs_stream: DataFrame,
+    patterns: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pattern_col: str = "pattern",
+) -> DataFrame:
+    """T22 — LIVE blocklist telemetry (batch twin:
+    textsearch.multi_pattern_hits): per-pattern total occurrence
+    counts over a document ingest stream. Matching is per-row
+    stateless — one explode into shortest-pattern-length window
+    hashes, a stream⋈static broadcast join against the pattern-prefix
+    table (zero join state), exact full-length value verify — the
+    IDENTICAL helper the batch matcher uses, so over the same rows
+    the snapshot equals the batch counts and the batch SQL is the
+    parity oracle. The only streaming state is the final associative
+    sum: ≤ one row PER PATTERN, bounded by the blocklist size, never
+    by the stream (a per-doc aggregate would grow without bound —
+    deliberately not offered here; gate per-doc in foreachBatch where
+    each doc lives in exactly one micro-batch).
+
+    Returns a streaming (pattern, n_hits) DataFrame for a
+    complete-mode sink (countDistinct doc telemetry is a batch-side
+    concern — unsupported on streams)."""
+    from pdf_to_vectordb_etl_spark.operators.textsearch import (
+        _pattern_prefix_table,
+        _verified_pattern_hits,
+    )
+
+    got = _pattern_prefix_table(patterns, pattern_col)
+    if got is None:
+        raise ValueError("empty pattern table")
+    pref, l0 = got
+    hits = _verified_pattern_hits(docs_stream, pref, l0, id_col, text_col)
+    return (
+        hits.groupBy(F.col("_pat").alias(pattern_col))
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )

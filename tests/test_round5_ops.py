@@ -76,10 +76,11 @@ def test_negative_sample_window_wrap_no_duplicates(spark):
         assert s != d and (s, d) not in real
 
 
-def test_exact_substr_value_verify_unchanged_semantics(spark):
-    """Two-phase value verification must not change results on
-    collision-free input: a planted 60-char duplicate is still cut
-    from both docs, unique text survives."""
+def test_exact_substr_dual_hash_collision_guard(spark):
+    """The 128-bit dual-hash window key must not change results on a
+    planted duplicate (collision probability 2^-128), and the plan
+    must group on BOTH independent hashes — the guard against a
+    single-64-bit birthday collision deleting unique text."""
     from pdf_to_vectordb_etl_spark.operators.webcorpus import (
         exact_substring_dedup,
     )
@@ -99,11 +100,11 @@ def test_exact_substr_value_verify_unchanged_semantics(spark):
     assert dup not in out[1]["clean_text"]
     assert dup not in out[2]["clean_text"]
     assert out[3]["n_removed"] == 0
-    # phase-2 exists structurally: the plan re-groups by substring value
+    # both independent hash columns are grouping keys in the hot agg
     plan = exact_substring_dedup(
         df, min_len=50, min_count=2
     )._jdf.queryExecution().analyzed().toString()
-    assert "sub" in plan
+    assert "h2" in plan and plan.count("xxhash64") >= 2
 
 
 def test_dsir_logw_on_6dp_floor_grid(spark):
@@ -484,3 +485,418 @@ def test_stream_minhash_screen_equals_batch_incremental(spark, tmp_path):
         for r in spark.table("t19_test").collect()
     }
     assert got == batch
+
+
+# ------------------------------------------------------------- DDSketch
+
+
+def test_ddsketch_relative_error_and_mergeability(spark):
+    """DDSketch guarantees: every quantile estimate is within relative
+    error alpha of the true value (positive data), and the sketch is
+    fully mergeable — bucket tables of two disjoint halves sum to the
+    whole-corpus bucket table (the property the T21 streaming twin
+    rides on)."""
+    from pdf_to_vectordb_etl_spark.operators import sketch
+
+    vals = [float(1 + (i * 37) % 1000) + 0.25 for i in range(2000)]
+    df = spark.createDataFrame([(v,) for v in vals], ["value"])
+    alpha = 0.01
+    b = sketch.ddsketch_buckets(df, "value", alpha=alpha)
+    out = {
+        r["q"]: r["est"]
+        for r in sketch.ddsketch_quantiles(
+            b, qs=(0.5, 0.9, 0.99), alpha=alpha
+        ).collect()
+    }
+    s = sorted(vals)
+    import math
+
+    for q, est in out.items():
+        true = s[math.ceil(q * (len(s) - 1))]
+        assert abs(est - true) <= alpha * true + 1e-9, (q, est, true)
+
+    # mergeability: half-sketches sum to the full sketch
+    h1 = sketch.ddsketch_buckets(
+        df.filter(F.col("value") < 500), "value", alpha=alpha
+    )
+    h2 = sketch.ddsketch_buckets(
+        df.filter(F.col("value") >= 500), "value", alpha=alpha
+    )
+    merged = {
+        r["idx"]: r["cnt"]
+        for r in h1.unionByName(h2)
+        .groupBy("idx")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    whole = {r["idx"]: r["cnt"] for r in b.collect()}
+    assert merged == whole
+
+
+def test_ddsketch_zero_and_negative_stores(spark):
+    """Zero bucket and mirrored negative store: sign-correct
+    estimates, zeros land at exactly 0.0."""
+    from pdf_to_vectordb_etl_spark.operators import sketch
+
+    rows = [(-100.0,), (-10.0,), (0.0,), (10.0,), (100.0,)]
+    df = spark.createDataFrame(rows, ["value"])
+    out = {
+        r["q"]: r["est"]
+        for r in sketch.ddsketch_quantiles(
+            sketch.ddsketch_buckets(df, "value"), qs=(0.0, 0.5, 1.0)
+        ).collect()
+    }
+    assert out[0.0] < -99  # most-negative bucket
+    assert out[0.5] == 0.0  # the zero bucket
+    assert out[1.0] > 99
+
+
+# ------------------------------------------------------------ salted join
+
+
+def test_salted_join_identical_to_plain_join(spark):
+    """salted_join must return exactly the plain join's rows (only the
+    physical distribution differs), spread hot keys across salts, and
+    replicate the small side once per salt."""
+    from pdf_to_vectordb_etl_spark.operators import joins
+
+    big = spark.createDataFrame(
+        [(i, "hot" if i % 10 < 9 else "cold", float(i)) for i in range(500)],
+        ["id", "k", "v"],
+    )
+    small = spark.createDataFrame(
+        [("hot", 1), ("cold", 2), ("absent", 3)], ["k", "w"]
+    )
+    plain = {(r["id"], r["w"]) for r in big.join(small, ["k"]).collect()}
+    salted = joins.salted_join(big, small, ["k"], n_salts=8)
+    got = {(r["id"], r["w"]) for r in salted.collect()}
+    assert got == plain and len(got) == 500
+
+    # hot key really spreads: its big-side rows carry >1 distinct salt
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(8))
+    n_salts_hot = (
+        big.filter(F.col("k") == "hot")
+        .select(salt.alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n_salts_hot > 1
+
+    # left join keeps unmatched big rows exactly once
+    bigx = big.unionByName(
+        spark.createDataFrame([(999, "nokey", 0.0)], ["id", "k", "v"])
+    )
+    left = joins.salted_join(bigx, small, ["k"], n_salts=4, how="left")
+    assert left.count() == 501
+    assert left.filter(F.col("k") == "nokey").first()["w"] is None
+
+    with pytest.raises(ValueError):
+        joins.salted_join(big, small, ["k"], how="full")
+
+
+# --------------------------------------- suffix-array ⟷ ExactSubstr
+
+def test_repeated_window_starts_matches_brute_force(spark):
+    """The prefix-doubling derivation (width-w ranks at offsets 0 and
+    L−w) must produce EXACTLY the value-grouped repeated-window set,
+    across window lengths that exercise L == 2^k, L == 2^k + 1 and
+    the offset-overlap case, plus cross_doc_only counting."""
+    from collections import Counter, defaultdict
+
+    from pdf_to_vectordb_etl_spark.operators import suffixes
+
+    docs = [(1, "abcabcxabc"), (2, "zzabcabczz"), (3, "qqqq"), (4, "ab")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for L in (2, 3, 4, 5):
+        got = {
+            (r["doc_id"], r["start"], r["n_occurrences"])
+            for r in suffixes.repeated_window_starts(df, L).collect()
+        }
+        cnt = Counter(
+            t[s : s + L] for _, t in docs for s in range(len(t) - L + 1)
+        )
+        exp = {
+            (d, s + 1, cnt[t[s : s + L]])
+            for d, t in docs
+            for s in range(len(t) - L + 1)
+            if cnt[t[s : s + L]] >= 2
+        }
+        assert got == exp, f"L={L}"
+    by_doc = defaultdict(set)
+    for d, t in docs:
+        for s in range(len(t) - 2):
+            by_doc[t[s : s + 3]].add(d)
+    got = {
+        (r["doc_id"], r["start"])
+        for r in suffixes.repeated_window_starts(
+            df, 3, cross_doc_only=True
+        ).collect()
+    }
+    exp = {
+        (d, s + 1)
+        for d, t in docs
+        for s in range(len(t) - 2)
+        if len(by_doc[t[s : s + 3]]) >= 2
+    }
+    assert got == exp
+
+
+def test_suffix_route_reconciles_exact_substring_dedup(spark):
+    """VERDICT r4 #3: the suffix-array route (repeated_window_starts)
+    and the window-hash route (exact_substring_dedup) are independent
+    algorithms for the same ExactSubstr semantics — the set of removed
+    characters must be IDENTICAL, including straddling duplicates the
+    alignment-free windows were built for."""
+    from collections import defaultdict
+
+    from pdf_to_vectordb_etl_spark.operators import suffixes, webcorpus
+
+    L = 6
+    shared = "DUPLICATEBLOCK"  # 14 chars, repeats across docs offset
+    docs = [
+        (1, "aaa" + shared + "bbb"),
+        (2, "zq" + shared + "ppp"),          # straddling alignment
+        (3, "within" + "XYXYXYXYXY" + "within"),  # within-doc repeat
+        (4, "short"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    starts = suffixes.repeated_window_starts(df, L, min_count=2)
+    covered = defaultdict(set)
+    for r in starts.collect():
+        covered[r["doc_id"]].update(
+            range(r["start"], r["start"] + L)
+        )  # 1-based char positions
+
+    ded = {
+        r["doc_id"]: r
+        for r in webcorpus.exact_substring_dedup(
+            df, min_len=L, min_count=2
+        ).collect()
+    }
+    for d, t in docs:
+        keep = "".join(
+            ch for i, ch in enumerate(t, 1) if i not in covered[d]
+        )
+        assert ded[d]["clean_text"] == keep, f"doc {d}"
+        assert ded[d]["n_removed"] == len(covered[d]), f"doc {d}"
+    # sanity: the shared block was actually flagged somewhere
+    assert covered[1] and covered[3]
+
+
+# ------------------------------------------------- blocklist matcher
+
+def test_multi_pattern_hits_exact_per_offset(spark):
+    """Prefix-hash + value-verify must equal brute-force per-offset
+    counting — overlapping self-matches, patterns longer than the
+    shortest (prefix-length) pattern, absent patterns, empty docs."""
+    from pdf_to_vectordb_etl_spark.operators import textsearch
+
+    docs = [(1, "the cat sat on the mat, the catcat"), (2, "aaaa bb catx"), (3, "")]
+    pats = ["cat", "aaa", "the cat", "zzz"]
+    ddf = spark.createDataFrame(docs, ["doc_id", "text"])
+    pdf = spark.createDataFrame([(p,) for p in pats], ["pattern"])
+    got = {
+        (r["doc_id"], r["pattern"], r["n_hits"])
+        for r in textsearch.multi_pattern_hits(ddf, pdf).collect()
+    }
+    exp = set()
+    for d, t in docs:
+        for p in pats:
+            c = sum(
+                1
+                for i in range(len(t) - len(p) + 1)
+                if t[i : i + len(p)] == p
+            )
+            if c:
+                exp.add((d, p, c))
+    assert got == exp
+    assert (1, "aaa", 2) not in got  # "aaaa" is doc 2, overlap counted there
+    assert (2, "aaa", 2) in got  # overlapping occurrences both count
+
+    # empty pattern table -> empty result, not an error
+    empty = spark.createDataFrame([], "pattern string")
+    assert textsearch.multi_pattern_hits(ddf, empty).count() == 0
+
+
+def test_blocklist_filter_weighted_gate(spark):
+    from pdf_to_vectordb_etl_spark.operators import textsearch
+
+    ddf = spark.createDataFrame(
+        [(1, "bad bad good"), (2, "all good here"), (3, "")],
+        ["doc_id", "text"],
+    )
+    pw = spark.createDataFrame([("bad", 5), ("good", 1)], ["pattern", "w"])
+    out = {
+        r["doc_id"]: (r["total_hits"], r["keep"])
+        for r in textsearch.blocklist_filter(
+            ddf, pw, max_hits=2, weight_col="w"
+        ).collect()
+    }
+    assert out == {1: (11, False), 2: (1, True), 3: (0, True)}
+
+
+# --------------------------------------- content-defined chunking
+
+def test_content_defined_chunks_brute_force_and_shift_robust(spark):
+    """CDC boundaries/digests must match a byte-for-byte Python replay,
+    and prepending chars to a document must preserve almost every
+    chunk identity (the re-sync property that motivates CDC over
+    fixed-offset chunking)."""
+    import hashlib
+    import random
+
+    from pdf_to_vectordb_etl_spark.operators import chunking
+
+    rnd = random.Random(7)
+    base = "".join(rnd.choice("abcdefg ") for _ in range(400))
+    docs = [(1, base), (2, "XX" + base), (3, "tiny"), (4, "")]
+    ddf = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        tuple(r)
+        for r in chunking.content_defined_chunks(
+            ddf, window=8, avg_size=32
+        ).collect()
+    }
+
+    thr = format(max(1, round(4096 / 32)), "03x")
+    exp = set()
+    for d, t in docs:
+        if not t:
+            continue
+        bounds = [
+            i
+            for i in range(8, len(t))
+            if hashlib.md5(t[i - 8 : i].encode()).hexdigest()[:3] < thr
+        ]
+        cuts = [0] + bounds + [len(t)]
+        for j, (lo, hi) in enumerate(zip(cuts, cuts[1:])):
+            exp.add(
+                (d, j, lo + 1, hi - lo,
+                 hashlib.md5(t[lo:hi].encode()).hexdigest())
+            )
+    assert got == exp
+
+    d1 = {r[4] for r in got if r[0] == 1}
+    d2 = {r[4] for r in got if r[0] == 2}
+    assert len(d1 & d2) >= len(d1) - 2  # re-synced after the 2-char shift
+
+    stats = {
+        r["digest"]: r
+        for r in chunking.cdc_dedup_stats(
+            chunking.content_defined_chunks(ddf, window=8, avg_size=32)
+        ).collect()
+    }
+    shared = next(iter(d1 & d2))
+    assert stats[shared]["n_copies"] == 2 and stats[shared]["n_docs"] == 2
+
+
+# ------------------------------------------ global row number / ntile
+
+def test_global_ntile_matches_duckdb_semantics(spark):
+    """global_ntile must equal ntile()/row_number() OVER a true global
+    ORDER BY — across n < N, n = N, n > N, and n = 1 — while never
+    running a single-partition Window (the machinery is range
+    partition + per-partition offsets)."""
+    import random
+
+    import duckdb
+
+    from pdf_to_vectordb_etl_spark.operators import suffixes
+
+    rnd = random.Random(42)
+    rows = [(i, rnd.uniform(-5, 5)) for i in range(197)]
+    df = spark.createDataFrame(rows, ["id", "v"]).repartition(7)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES %s) AS t(id, v)"
+        % ",".join(f"({i},{v!r})" for i, v in rows)
+    )
+    for n in (1, 5, 197, 500):
+        got = {
+            (r["id"], r["rn"], r["bucket"])
+            for r in suffixes.global_ntile(
+                df, ["v", "id"], n, rn_col="rn"
+            ).collect()
+        }
+        exp = set(
+            con.execute(
+                "SELECT id, row_number() OVER (ORDER BY v, id),"
+                " ntile(?) OVER (ORDER BY v, id) FROM t",
+                [n],
+            ).fetchall()
+        )
+        assert got == exp, f"n={n}"
+    # empty input: no rows, no error
+    e = spark.createDataFrame([], "id long, v double")
+    assert suffixes.global_ntile(e, ["v", "id"], 4).count() == 0
+
+
+# ------------------------------------------------- T22 stream blocklist
+
+def test_stream_blocklist_totals_equal_batch(spark, sf_dir):
+    """T22: the streaming per-pattern totals snapshot equals the batch
+    matcher aggregated per pattern — same helper, same rows, so exact
+    set equality (the stream state is one associative sum per
+    pattern, bounded by the blocklist, not the stream)."""
+    import tempfile
+
+    from pdf_to_vectordb_etl_spark.operators import textsearch
+    from pdf_to_vectordb_etl_spark.streaming.pipeline import (
+        stream_blocklist_totals,
+    )
+    from tests.conftest import load
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower(
+            F.regexp_replace("text", r"[^\x20-\x7e]", "")
+        ).alias("text"),
+    )
+    toks = docs.select(
+        F.explode(textsearch.tokens(F.col("text"))).alias("w")
+    ).filter(F.length("w") >= 6)
+    pats = (
+        toks.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(5)
+        .select(F.col("w").alias("pattern"))
+    )
+    batch = {
+        (r["pattern"], r["n"])
+        for r in textsearch.multi_pattern_hits(docs, pats)
+        .groupBy("pattern")
+        .agg(F.sum("n_hits").alias("n"))
+        .collect()
+    }
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select(
+            "doc_id",
+            F.lower(
+                F.regexp_replace("text", r"[^\x20-\x7e]", "")
+            ).alias("text"),
+        )
+    )
+    q = (
+        stream_blocklist_totals(stream, pats)
+        .writeStream.format("memory")
+        .queryName("t22_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t22t"))
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["pattern"], r["n_hits"])
+        for r in spark.table("t22_test").collect()
+    }
+    assert got == batch and len(got) >= 1
