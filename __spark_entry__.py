@@ -2804,6 +2804,23 @@ def q_t20_stream_ivf_drift(spark, sf):
     return topk.ivf_drift_report(spark.table(name), base).orderBy("list_id")
 
 
+def q_adaboost_stumps(spark, sf):
+    """Discrete AdaBoost over binned decision stumps (value grid vs
+    the purchase label): ONE distributed histogram pass, then 6
+    boosting rounds on the collected 250-row cell table (the DSIR
+    bounded-driver-artifact contract). The libm-free formulation —
+    reweight by r = (1−ε)/ε, ε 1e-9-floor-quantized, no ln/exp — makes
+    the unrolled-CTE DuckDB replay bit-identical with no
+    rounding-boundary dice."""
+    from pdf_to_vectordb_etl_spark.operators import supervised
+
+    events = _t(spark, sf, "events")
+    return supervised.adaboost_stumps(
+        events, "value", F.col("event_type") == "purchase",
+        n_rounds=6, n_bins=250, lo=0.0, hi=500.0,
+    ).orderBy("round")
+
+
 def q_equi_depth_bins(spark, sf):
     """Exact global ntile (equi-depth binning) at corpus scale without
     a single-partition Window: range-partition the rows, per-partition
@@ -2837,6 +2854,62 @@ def q_equi_depth_bins(spark, sf):
     )
 
 
+def q_skyline_pareto(spark, sf):
+    """2-D skyline (Pareto frontier, Börzsönyi et al. ICDE 2001) over
+    per-user engagement: maximize event count AND maximize total value
+    (both negated into skyline_2d's canonical minimize-minimize form).
+    The engine runs the sorted-scan formulation — one per-x min hash
+    agg, range partition, per-partition running minima with a
+    one-scalar-per-partition broadcast prefix map — never an O(n^2)
+    self-join; the oracle IS the independent O(n^2) NOT EXISTS
+    dominance filter. value is 1e-6 floor-quantized per row BEFORE the
+    sum so both engines aggregate identical exact integers."""
+    from pdf_to_vectordb_etl_spark.operators import spatial
+
+    ev = _t(spark, sf, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 1e6)).cast("long").alias("value_units"),
+    )
+    return (
+        spatial.skyline_2d(per_user, -F.col("n_events"), -F.col("value_units"))
+        .select("user_id", "n_events", "value_units")
+        .orderBy("user_id")
+    )
+
+
+def q_bleu_rouge(spark, sf):
+    """Corpus BLEU-4 + ROUGE-1/2 recall (Papineni 2002 / Lin 2004) over
+    (candidate, reference) pairs built from the documents table: the
+    reference is the ASCII-projected lowered text, the candidate drops
+    every 7th word (a lossy machine 'summary' — realistic clipping and
+    brevity penalty, pinned non-degenerate by the n_pairs/c_len/r_len
+    columns in the same row). All n-gram counters are exact integers;
+    the engine shuffles md5 gram keys while the oracle groups raw gram
+    VALUES (independent keying, the blocklist_hits precedent); the two
+    libm calls (exp/ln) act on identical exact-integer-derived doubles
+    with 1e-6 floor finales (the graph_hyperball precedent)."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.lower(
+            F.regexp_replace("text", r"[^\x20-\x7e]", "")
+        ).alias("t"),
+    )
+    ws = F.split(F.trim(F.regexp_replace(F.col("t"), r"\s+", " ")), " ")
+    pairs = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_join(
+            F.filter(ws, lambda w, i: (i + 1) % 7 != 0), " "
+        ).alias("cand"),
+        F.col("t").alias("ref"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+    return evaluation.bleu_rouge_corpus(pairs, "cand", "ref", "id", max_n=4)
+
+
 def q_cdc_chunks(spark, sf):
     """Content-defined chunking (rsync/LBFS boundaries, Muthitacharoen
     et al. SOSP 2001): cut after any position whose 16-char rolling
@@ -2849,13 +2922,47 @@ def q_cdc_chunks(spark, sf):
     boundary predicate, cut pairing and chunk digests verbatim."""
     from pdf_to_vectordb_etl_spark.operators import chunking
 
-    docs = _t(spark, sf, "documents").select(
-        "doc_id",
-        F.regexp_replace("text", r"[^\x20-\x7e]", "").alias("text"),
+    docs = (
+        _t(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.regexp_replace("text", r"[^\x20-\x7e]", "").alias("text"),
+        )
+        # the per-position md5 scan is CPU-bound: spread a small
+        # single-file input across the cores (at 100 TB the many-file
+        # scan parallelizes naturally and this is a no-op-sized cost)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     return chunking.content_defined_chunks(
         docs, window=16, avg_size=64
     ).orderBy("doc_id", "chunk_idx")
+
+
+def q_cdc_incremental(spark, sf):
+    """Chunk-level daily-ingest dedup accounting: the md5(doc_id)
+    hex-bucket split (< 'c' = 75% corpus, rest = today's batch — the
+    incremental_exact precedent), corpus persisted as its chunk-digest
+    table only, one left join of the batch's CDC chunks against it.
+    dup_fraction is 1e-6 floor-quantized from exact integer char
+    counts. The oracle replays the chunking once over all docs and
+    splits by the same bucket."""
+    from pdf_to_vectordb_etl_spark.operators import chunking
+
+    docs = (
+        _t(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.regexp_replace("text", r"[^\x20-\x7e]", "").alias("text"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    b = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    corpus = docs.filter(b < "c")
+    newb = docs.filter(b >= "c")
+    cd = chunking.content_defined_chunks(
+        corpus, window=16, avg_size=64
+    ).select("digest")
+    return chunking.incremental_cdc_report(newb, cd).orderBy("doc_id")
 
 
 def q_blocklist_hits(spark, sf):
@@ -3844,6 +3951,23 @@ def q_graph_triangles(spark, sf):
     return graph.triangle_stats(edges)
 
 
+def q_graph_hyperball(spark, sf):
+    """HyperBall neighborhood function N(t), t = 0..3, of the
+    shared-rare-token document graph (Boldi & Vigna 2013 — the
+    4-degrees-of-separation algorithm): per-node 256-register HLL
+    balls, each round one edges⋈registers join + (node, bucket)
+    max-agg; exact per-node BFS would be O(n·m). Registers are the
+    engine's portable md5-hex layout, so the oracle replays every
+    register of every round; per-node estimates floor-quantize at 1e-6
+    BEFORE the corpus sum (exact integer N(t), no float-sum order
+    dice)."""
+    from pdf_to_vectordb_etl_spark.operators import graph
+
+    docs = _t(spark, sf, "documents")
+    edges = graph.shared_token_edges(docs, min_df=2, max_df=3)
+    return graph.hyperball_neighborhood(edges, rounds=3).orderBy("t")
+
+
 def q_embedding_whiten(spark, sf):
     """Per-dimension whitening of the embeddings table: ONE hash agg
     produces all 2·dim partial-combinable power sums (no explode — a
@@ -4375,6 +4499,165 @@ def q_bpe_apply(spark, sf):
     — deterministic and engine-identical); per-doc subword counts."""
     docs = _t(spark, sf, "documents")
     return ta.bpe_apply_report(docs)
+
+
+def _hyperball_oracle_sql(rounds: int = 3) -> str:
+    """DuckDB twin of graph_hyperball: the shared-rare-token edge CTEs
+    (verbatim from the label_spread oracle), the portable HLL register
+    init (the hll_distinct oracle's md5-hex bucket/rho idiom), then
+    ``rounds`` unrolled MATERIALIZED register-max rounds, each followed
+    by the per-node estimate finale with the 1e-6 floor BEFORE the
+    exact-integer corpus sum."""
+    prelude = r"""
+        WITH w AS (
+          SELECT doc_id AS id,
+                 string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                              ' ') AS w
+          FROM documents),
+        toks AS (
+          SELECT id,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(w)-2, 0)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS tok
+          FROM w),
+        rare AS (
+          SELECT tok FROM toks GROUP BY tok
+          HAVING count(*) BETWEEN 2 AND 3),
+        post AS (SELECT id, tok FROM toks JOIN rare USING (tok)),
+        e AS (
+          SELECT DISTINCT a.id AS a, b.id AS b
+          FROM post a JOIN post b ON a.tok = b.tok AND a.id < b.id),
+        adj AS MATERIALIZED (
+          SELECT a AS src, b AS dst FROM e
+          UNION ALL SELECT b AS src, a AS dst FROM e),
+        nodes AS (SELECT DISTINCT src AS node FROM adj),
+        h0 AS (SELECT node, md5(CAST(node AS VARCHAR)) AS hx FROM nodes),
+        p0 AS (
+          SELECT node,
+                 (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS bucket,
+                 length(regexp_extract(substr(hx, 3, 12), '^0*')) AS z,
+                 substr(substr(hx, 3, 12),
+                        length(regexp_extract(substr(hx, 3, 12), '^0*')) + 1, 1)
+                   AS nib
+          FROM h0),
+        regs0 AS MATERIALIZED (
+          SELECT node, bucket,
+                 CASE WHEN z = 12 THEN 49
+                      ELSE z * 4
+                           + CASE WHEN nib = '1' THEN 3
+                                  WHEN nib IN ('2', '3') THEN 2
+                                  WHEN nib IN ('4', '5', '6', '7') THEN 1
+                                  ELSE 0 END
+                           + 1 END AS r
+          FROM p0)"""
+
+    def est_cte(t: int) -> str:
+        return f""",
+est{t} AS (
+  SELECT {t} AS t, CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(coalesce(sum(nf), 0) AS BIGINT) AS nf_q6
+  FROM (
+    SELECT node,
+           floor(CASE WHEN raw <= 640 AND v > 0
+                      THEN 256 * ln(256.0 / v) ELSE raw END * 1e6) AS nf
+    FROM (
+      SELECT node,
+             (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+               / (s + (256 - np)) AS raw,
+             256 - np AS v
+      FROM (SELECT node, sum(pow(2.0, -r)) AS s, count(*) AS np
+            FROM regs{t} GROUP BY node))))"""
+
+    parts = [prelude, est_cte(0)]
+    for t in range(1, rounds + 1):
+        parts.append(f""",
+regs{t} AS MATERIALIZED (
+  SELECT node, bucket, max(r) AS r
+  FROM (SELECT * FROM regs{t - 1}
+        UNION ALL
+        SELECT a.src AS node, r.bucket, r.r
+        FROM adj a JOIN regs{t - 1} r ON r.node = a.dst)
+  GROUP BY node, bucket)""")
+        parts.append(est_cte(t))
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST(t AS INT) AS t, n_nodes, nf_q6 FROM est{t}"
+        for t in range(rounds + 1)
+    )
+    parts.append("\n" + union + "\nORDER BY t")
+    return "".join(parts)
+
+
+def _adaboost_oracle_sql(n_bins: int = 250, n_rounds: int = 6) -> str:
+    """DuckDB twin of adaboost_stumps: the M boosting rounds unrolled
+    as MATERIALIZED CTEs (the bpe_train replay pattern) over the
+    DENSIFIED bin table — generate_series LEFT JOIN the binned counts,
+    so empty bins are candidate thresholds on both engines. Every
+    arithmetic step is IEEE +,*,/ and floor on identical operands in
+    bin-ascending order (the cumulative windows), so the replay is
+    bit-identical to the driver-side round loop with no
+    rounding-boundary dice."""
+    width = 500.0 / n_bins
+    cells1 = f"""
+  SELECT g.bin, coalesce(h.pos, 0) AS pos, coalesce(h.neg, 0) AS neg,
+         1.0 AS vp, 1.0 AS vn
+  FROM (SELECT unnest(range({n_bins})) AS bin) g
+  LEFT JOIN (
+    SELECT CAST(least(greatest(floor(value / {width}), 0),
+                      {n_bins - 1}) AS INT) AS bin,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS pos,
+           CAST(count(*) - sum(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS neg
+    FROM events WHERE value IS NOT NULL GROUP BY 1) h USING (bin)"""
+    parts = [f"WITH cells1 AS MATERIALIZED ({cells1})"]
+    picks = []
+    for m in range(1, n_rounds + 1):
+        parts.append(f""",
+cum{m} AS MATERIALIZED (
+  SELECT bin,
+         sum(pos * vp) OVER (ORDER BY bin) AS cp,
+         sum(neg * vn) OVER (ORDER BY bin) AS cn,
+         sum(pos * vp) OVER () AS tp,
+         sum(neg * vn) OVER () AS tn
+  FROM cells{m}),
+best{m} AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT bin AS t, 1 AS pol,
+           floor((cp + tn - cn) * 1e9) / 1e9 AS eq, tp + tn AS tt
+    FROM cum{m}
+    UNION ALL
+    SELECT bin, -1, floor((tp + tn - (cp + tn - cn)) * 1e9) / 1e9,
+           tp + tn
+    FROM cum{m})
+  ORDER BY eq, t, pol LIMIT 1),
+pick{m} AS MATERIALIZED (
+  SELECT {m} AS round, t, pol,
+         floor(eq / tt * 1e9) / 1e9 AS eps_q,
+         CASE WHEN floor(eq / tt * 1e9) / 1e9 > 0
+              THEN (1.0 - floor(eq / tt * 1e9) / 1e9)
+                   / (floor(eq / tt * 1e9) / 1e9) END AS r_q
+  FROM best{m}),
+cells{m + 1} AS MATERIALIZED (
+  SELECT c.bin, c.pos, c.neg,
+         CASE WHEN p.r_q IS NOT NULL AND NOT (
+                CASE WHEN p.pol = 1 THEN c.bin > p.t
+                     ELSE c.bin <= p.t END)
+              THEN c.vp * p.r_q ELSE c.vp END AS vp,
+         CASE WHEN p.r_q IS NOT NULL AND (
+                CASE WHEN p.pol = 1 THEN c.bin > p.t
+                     ELSE c.bin <= p.t END)
+              THEN c.vn * p.r_q ELSE c.vn END AS vn
+  FROM cells{m} c, pick{m} p)""")
+        picks.append(
+            f"SELECT CAST(round AS INT) AS round,"
+            f" CAST(t AS INT) AS split_bin,"
+            f" CAST(pol AS INT) AS polarity, eps_q, r_q FROM pick{m}"
+        )
+    parts.append(
+        "\n" + "\nUNION ALL\n".join(picks) + "\nORDER BY round"
+    )
+    return "".join(parts)
 
 
 def _bpe_oracle_sql() -> str:
@@ -6440,6 +6723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_per_user": q_trend_per_user,
         "kcenter_coreset": q_kcenter_coreset,
         "label_spread": q_label_spread,
+        "graph_hyperball": q_graph_hyperball,
         "t9_stream_hll": q_t9_stream_hll,
         "ewma_smooth": q_ewma_smooth,
         "semantic_chunks": q_semantic_chunks,
@@ -6527,11 +6811,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t17_stream_gram_hist": q_t17_stream_gram_hist,
         "t19_stream_minhash_screen": q_t19_stream_minhash_screen,
         "t20_stream_ivf_drift": q_t20_stream_ivf_drift,
+        "adaboost_stumps": q_adaboost_stumps,
+        "bleu_rouge": q_bleu_rouge,
         "blocklist_hits": q_blocklist_hits,
         "cdc_chunks": q_cdc_chunks,
+        "cdc_incremental": q_cdc_incremental,
         "ddsketch_quantiles": q_ddsketch_quantiles,
         "equi_depth_bins": q_equi_depth_bins,
         "skew_salted_join": q_skew_salted_join,
+        "skyline_pareto": q_skyline_pareto,
         "t21_stream_ddsketch": q_t21_stream_ddsketch,
         "t22_stream_blocklist": q_t22_stream_blocklist,
         "tree_rollup": q_tree_rollup,
@@ -9367,6 +9655,8 @@ def oracle_sql() -> dict[str, str]:
             FROM w JOIN hot USING (sub)
             ORDER BY doc_id, start
         """,
+        "adaboost_stumps": _adaboost_oracle_sql(250, 6),
+        "graph_hyperball": _hyperball_oracle_sql(3),
         # equi_depth_bins: the oracle IS the window-function form the
         # distributed machinery must replicate bit-for-bit — ntile +
         # row_number over the same unique (value, event_id) order
@@ -9418,6 +9708,199 @@ def oracle_sql() -> dict[str, str]:
               WHERE s.hi IS NOT NULL)
             SELECT doc_id, chunk_idx, start, chunk_len, digest
             FROM chunks ORDER BY doc_id, chunk_idx
+        """,
+        # cdc_incremental: replay the chunking ONCE over every doc,
+        # split chunk rows by the md5(doc_id) bucket, then the same
+        # left-join accounting on digest values
+        "cdc_incremental": r"""
+            WITH d AS MATERIALIZED (
+              SELECT doc_id,
+                     regexp_replace(text, '[^\x20-\x7e]', '', 'g') AS t,
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bk
+              FROM documents),
+            b AS (
+              SELECT doc_id, i
+              FROM (SELECT doc_id, t,
+                           unnest(range(16, length(t))) AS i
+                    FROM d)
+              WHERE substr(md5(substr(t, i - 15, 16)), 1, 3) < '040'),
+            cuts AS (
+              SELECT doc_id, 0 AS c FROM d WHERE length(t) > 0
+              UNION ALL SELECT doc_id, i FROM b
+              UNION ALL SELECT doc_id, length(t) FROM d
+                WHERE length(t) > 0),
+            seg AS (
+              SELECT doc_id, c AS lo,
+                     lead(c) OVER (PARTITION BY doc_id ORDER BY c) AS hi
+              FROM cuts),
+            chunks AS MATERIALIZED (
+              SELECT s.doc_id, d.bk,
+                     CAST(s.hi - s.lo AS BIGINT) AS chunk_len,
+                     md5(substr(d.t, s.lo + 1, s.hi - s.lo)) AS digest
+              FROM seg s JOIN d USING (doc_id)
+              WHERE s.hi IS NOT NULL),
+            corpus AS MATERIALIZED (
+              SELECT DISTINCT digest FROM chunks WHERE bk < 'c'),
+            rep AS (
+              SELECT n.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_chunks,
+                     CAST(sum(CASE WHEN c.digest IS NOT NULL
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_known,
+                     CAST(sum(CASE WHEN c.digest IS NOT NULL
+                                   THEN n.chunk_len ELSE 0 END)
+                          AS BIGINT) AS known_chars,
+                     CAST(sum(n.chunk_len) AS BIGINT) AS total_chars
+              FROM (SELECT * FROM chunks WHERE bk >= 'c') n
+              LEFT JOIN corpus c USING (digest)
+              GROUP BY n.doc_id)
+            SELECT doc_id, n_chunks, n_known, known_chars, total_chars,
+                   CASE WHEN total_chars > 0
+                        THEN floor(known_chars * 1000000 / total_chars)
+                             / 1e6
+                        ELSE 0.0 END AS dup_fraction
+            FROM rep ORDER BY doc_id
+        """,
+        # skyline_pareto: the independent O(n^2) NOT EXISTS dominance
+        # filter (maximize-maximize), vs the engine's sorted-scan
+        # formulation — two algorithms, one frontier
+        "skyline_pareto": """
+            WITH per_user AS (
+              SELECT user_id,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     CAST(sum(CAST(floor(value * 1e6) AS BIGINT))
+                          AS BIGINT) AS value_units
+              FROM events
+              WHERE value IS NOT NULL AND user_id IS NOT NULL
+              GROUP BY user_id)
+            SELECT p.user_id, p.n_events, p.value_units
+            FROM per_user p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM per_user q
+              WHERE q.n_events >= p.n_events
+                AND q.value_units >= p.value_units
+                AND (q.n_events > p.n_events
+                     OR q.value_units > p.value_units))
+            ORDER BY user_id
+        """,
+        # bleu_rouge: full replay grouping raw gram VALUES (the engine
+        # groups md5 keys); exact-integer counters, identical libm
+        # inputs, 1e-6 floor finales
+        "bleu_rouge": r"""
+            WITH d AS (
+              SELECT doc_id AS id,
+                     trim(regexp_replace(
+                       lower(regexp_replace(text, '[^\x20-\x7e]', '',
+                                            'g')),
+                       '\s+', ' ', 'g')) AS t
+              FROM documents),
+            words AS MATERIALIZED (
+              SELECT id,
+                     CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+                          ELSE string_split(t, ' ') END AS rw
+              FROM d),
+            pairs AS MATERIALIZED (
+              SELECT id, rw,
+                     list_transform(
+                       list_filter(generate_series(1, len(rw)),
+                                   i -> i % 7 != 0),
+                       i -> rw[i]) AS cw
+              FROM words),
+            ns AS (SELECT unnest([1, 2, 3, 4]) AS n),
+            gramrows AS (
+              SELECT p.id, ns.n, g.g, 1 AS c, 0 AS r
+              FROM pairs p, ns,
+                   unnest(list_transform(
+                     generate_series(1, len(p.cw) - ns.n + 1),
+                     i -> array_to_string(p.cw[i:i + ns.n - 1], ' ')))
+                   AS g(g)
+              UNION ALL
+              SELECT p.id, ns.n, g.g, 0, 1
+              FROM pairs p, ns,
+                   unnest(list_transform(
+                     generate_series(1, len(p.rw) - ns.n + 1),
+                     i -> array_to_string(p.rw[i:i + ns.n - 1], ' ')))
+                   AS g(g)),
+            pg AS (
+              SELECT id, n, g,
+                     CAST(sum(c) AS BIGINT) AS cc,
+                     CAST(sum(r) AS BIGINT) AS rc
+              FROM gramrows GROUP BY id, n, g),
+            pn AS (
+              SELECT n,
+                     CAST(sum(least(cc, rc)) AS BIGINT) AS clip,
+                     CAST(sum(cc) AS BIGINT) AS tc,
+                     CAST(sum(rc) AS BIGINT) AS tr
+              FROM pg GROUP BY n),
+            flat AS (
+              SELECT
+                CAST(coalesce(sum(CASE WHEN n = 1 THEN clip END), 0)
+                     AS BIGINT) AS clip1,
+                CAST(coalesce(sum(CASE WHEN n = 2 THEN clip END), 0)
+                     AS BIGINT) AS clip2,
+                CAST(coalesce(sum(CASE WHEN n = 3 THEN clip END), 0)
+                     AS BIGINT) AS clip3,
+                CAST(coalesce(sum(CASE WHEN n = 4 THEN clip END), 0)
+                     AS BIGINT) AS clip4,
+                CAST(coalesce(sum(CASE WHEN n = 1 THEN tc END), 0)
+                     AS BIGINT) AS tot1,
+                CAST(coalesce(sum(CASE WHEN n = 2 THEN tc END), 0)
+                     AS BIGINT) AS tot2,
+                CAST(coalesce(sum(CASE WHEN n = 3 THEN tc END), 0)
+                     AS BIGINT) AS tot3,
+                CAST(coalesce(sum(CASE WHEN n = 4 THEN tc END), 0)
+                     AS BIGINT) AS tot4,
+                CAST(coalesce(sum(CASE WHEN n = 1 THEN tr END), 0)
+                     AS BIGINT) AS rtot1,
+                CAST(coalesce(sum(CASE WHEN n = 2 THEN tr END), 0)
+                     AS BIGINT) AS rtot2
+              FROM pn),
+            np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs
+                   FROM pairs),
+            fin AS (SELECT * FROM np, flat)
+            SELECT n_pairs,
+                   tot1 AS c_len,
+                   rtot1 AS r_len,
+                   clip1, clip2, clip3, clip4,
+                   tot1, tot2, tot3, tot4,
+                   rtot1, rtot2,
+                   CASE WHEN tot1 > 0
+                        THEN floor(clip1 * 1000000 / tot1) / 1e6
+                        END AS p1_q6,
+                   CASE WHEN tot2 > 0
+                        THEN floor(clip2 * 1000000 / tot2) / 1e6
+                        END AS p2_q6,
+                   CASE WHEN tot3 > 0
+                        THEN floor(clip3 * 1000000 / tot3) / 1e6
+                        END AS p3_q6,
+                   CASE WHEN tot4 > 0
+                        THEN floor(clip4 * 1000000 / tot4) / 1e6
+                        END AS p4_q6,
+                   CASE WHEN rtot1 > 0
+                        THEN floor(clip1 * 1000000 / rtot1) / 1e6
+                        END AS rouge1_q6,
+                   CASE WHEN rtot2 > 0
+                        THEN floor(clip2 * 1000000 / rtot2) / 1e6
+                        END AS rouge2_q6,
+                   CASE WHEN tot1 > 0 THEN
+                     floor((CASE WHEN tot1 >= rtot1 THEN 1.0
+                            ELSE exp(1.0 - CAST(rtot1 AS DOUBLE)
+                                     / tot1) END) * 1e6) / 1e6
+                     END AS bp_q6,
+                   CASE WHEN tot1 <= 0 THEN NULL
+                        WHEN clip1 > 0 AND clip2 > 0 AND clip3 > 0
+                             AND clip4 > 0
+                        THEN floor(
+                          (CASE WHEN tot1 >= rtot1 THEN 1.0
+                           ELSE exp(1.0 - CAST(rtot1 AS DOUBLE)
+                                    / tot1) END)
+                          * exp((ln(CAST(clip1 AS DOUBLE) / tot1)
+                                 + ln(CAST(clip2 AS DOUBLE) / tot2)
+                                 + ln(CAST(clip3 AS DOUBLE) / tot3)
+                                 + ln(CAST(clip4 AS DOUBLE) / tot4))
+                                / 4) * 1e6) / 1e6
+                        ELSE 0.0 END AS bleu_q6
+            FROM fin
         """,
         # blocklist_hits: the oracle replays the data-derived pattern
         # table (top-10 frequent >=6-char words, count-then-word

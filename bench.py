@@ -102,6 +102,11 @@ def main() -> None:
         "silhouette_labels",       # centroid silhouette (O(n*k))
         "assoc_rules",             # market-basket support/conf/lift
         "hll_set_users",           # sketch set algebra (union/Jaccard)
+        "cdc_chunks",              # content-defined chunking (r5)
+        "blocklist_hits",          # broadcast multi-pattern matcher (r5)
+        "ddsketch_quantiles",      # mergeable quantile sketch (r5)
+        "equi_depth_bins",         # distributed exact ntile (r5)
+        "adaboost_stumps",         # boosted stumps, one-pass histogram (r5)
         "enem_questions" if "enem_questions" in entry.queries() else "ta_fingerprint",
     ]
     qs = entry.queries()

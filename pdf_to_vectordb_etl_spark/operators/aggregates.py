@@ -908,3 +908,65 @@ def forecast_backtest(
             ).alias("mase_seasonal"),
         )
     )
+
+
+def autocorr_lags(
+    series: DataFrame,
+    key_col: str,
+    value_col: str,
+    max_lag: int = 10,
+) -> DataFrame:
+    """Per-lag autocorrelation of an integer-valued series indexed by
+    an integer position key: for each lag k in 1..max_lag, the Pearson
+    correlation between (x_t, x_{t+k}) over the overlapping pairs —
+    the ACF diagnostic behind every seasonality / AR-order decision
+    (Box & Jenkins ch. 2).
+
+    Distributed shape: the series (already one row per position — an
+    upstream corpus agg) is equi-joined to itself shifted by each lag
+    via one lags-table explode, then ONE hash agg per lag folds the
+    five sufficient statistics as exact int64 sums (caller contract:
+    values are integer-quantized and |x|·sqrt(n·max_lag) bounded so
+    n·Σxy fits 2^63 — quantize coarser upstream at bigger scales).
+    The finale is the textbook closed form r = (n·Σxy − Σx·Σy) /
+    (sqrt(n·Σx² − Σx²)·sqrt(n·Σy² − Σy²)) on those exact integers,
+    1e-6 floor-quantized; degenerate lags (n < 2 or zero variance on
+    either side) are NULL.
+
+    Returns one row per lag: lag, n_pairs, r_q6."""
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    a = series.select(
+        F.col(key_col).alias("_t"), F.col(value_col).cast("long").alias("_x")
+    ).filter(F.col("_t").isNotNull() & F.col("_x").isNotNull())
+    lags = a.sparkSession.range(1, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    shifted = a.crossJoin(F.broadcast(lags)).select(
+        (F.col("_t") + F.col("lag")).alias("_t"),
+        F.col("_x").alias("_y"),
+        "lag",
+    )
+    pairs = a.join(shifted, "_t")
+    s = pairs.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("_x").cast("long").alias("sx"),
+        F.sum("_y").cast("long").alias("sy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("long").alias("sxx"),
+        F.sum(F.col("_y") * F.col("_y")).cast("long").alias("syy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("long").alias("sxy"),
+    )
+    n = F.col("n_pairs")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    r = cov.cast("double") / (
+        F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))
+    )
+    return s.select(
+        "lag",
+        "n_pairs",
+        F.when(
+            (n >= 2) & (vx > 0) & (vy > 0), F.floor(r * 1e6) / 1e6
+        ).alias("r_q6"),
+    ).orderBy("lag")

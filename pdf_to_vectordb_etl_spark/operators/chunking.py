@@ -293,10 +293,21 @@ def content_defined_chunks(
         < F.lit(thr),
     )
     cuts = F.concat(F.array(F.lit(0)), bounds, F.array(n))
-    pairs = F.zip_with(
-        F.slice(cuts, 1, F.size(cuts) - 1),
-        F.slice(cuts, 2, F.size(cuts) - 1),
-        lambda lo, hi: F.struct(lo.alias("lo"), hi.alias("hi")),
+    # bind `cuts` ONCE as a lambda var (single-element transform trick,
+    # see CLAUDE.md): the two slice() references would otherwise inline
+    # the whole md5 boundary scan twice per row — HOFs run interpreted
+    # (no codegen, no subexpression elimination), so the duplication is
+    # a measured ~2x on the hot path
+    pairs = F.element_at(
+        F.transform(
+            F.array(cuts),
+            lambda c: F.zip_with(
+                F.slice(c, 1, F.size(c) - 1),
+                F.slice(c, 2, F.size(c) - 1),
+                lambda lo, hi: F.struct(lo.alias("lo"), hi.alias("hi")),
+            ),
+        ),
+        1,
     )
     rows = df.filter(n > 0).select(
         F.col(id_col).alias("_id"),
@@ -328,4 +339,59 @@ def cdc_dedup_stats(chunks: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ).alias("dup_chars"),
         )
         .filter(F.col("n_copies") > 1)
+    )
+
+
+def incremental_cdc_report(
+    new: DataFrame,
+    corpus_digests: DataFrame,
+    window: int = 16,
+    avg_size: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Daily-ingest chunk-level dedup accounting: chunk the NEW batch
+    with :func:`content_defined_chunks` and report, per document, how
+    much of it the single-instance store already holds — the
+    shift-robust twin of ``dedup.incremental_exact_dedup`` (a document
+    edited anywhere still re-syncs to mostly-known chunks, where a
+    whole-doc digest would see 100% new).
+
+    The corpus participates ONLY as its persisted chunk-digest table
+    (the incremental_minhash/IVF artifact contract): one left join of
+    the batch's chunks against the distinct 32-char digests; cost per
+    ingest is O(|new chunks| + |corpus digests|), nothing re-reads or
+    re-pairs the corpus. ``dup_fraction`` is 1e-6 floor-quantized from
+    exact integer char counts (no float-sum dice).
+
+    Returns (id_col, n_chunks, n_known, known_chars, total_chars,
+    dup_fraction)."""
+    chunks = content_defined_chunks(
+        new, window=window, avg_size=avg_size,
+        id_col=id_col, text_col=text_col,
+    )
+    known = (
+        corpus_digests.select(F.col("digest"))
+        .distinct()
+        .withColumn("_known", F.lit(1))
+    )
+    j = chunks.join(known, "digest", "left")
+    per_doc = j.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(F.when(F.col("_known").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_known"),
+        F.sum(
+            F.when(F.col("_known").isNotNull(), F.col("chunk_len")).otherwise(0)
+        )
+        .cast("long")
+        .alias("known_chars"),
+        F.sum("chunk_len").cast("long").alias("total_chars"),
+    )
+    frac = F.floor(
+        F.col("known_chars") * 1000000 / F.col("total_chars")
+    ) / 1e6
+    return per_doc.withColumn(
+        "dup_fraction",
+        F.when(F.col("total_chars") > 0, frac).otherwise(F.lit(0.0)),
     )

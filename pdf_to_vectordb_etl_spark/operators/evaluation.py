@@ -1037,3 +1037,352 @@ def expected_calibration_error(
         F.count("*").cast("long").alias("n_bins_used"),
         F.sum("n").cast("long").alias("n"),
     )
+
+
+def _word_ngrams(ws: Column, max_n: int) -> Column:
+    """All 1..max_n word n-grams of a (materialized) words-array column
+    as ``array<struct<n:int, g:string>>`` with g = md5 of the
+    space-joined gram (32-char portable key — grams never shuffle as
+    raw text).  The inner ``sequence(1, size-n+1)`` is guarded by
+    ``size >= n`` because a descending Spark sequence would fabricate
+    windows on short inputs (the exact_substring_dedup trap)."""
+    empty = F.array().cast("array<struct<n:int,g:string>>")
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(max_n)),
+            lambda n: F.when(
+                F.size(ws) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ws) - n + 1),
+                    lambda i: F.struct(
+                        n.cast("int").alias("n"),
+                        F.md5(
+                            F.concat_ws(" ", F.slice(ws, i, n))
+                        ).alias("g"),
+                    ),
+                ),
+            ).otherwise(empty),
+        )
+    )
+
+
+def bleu_rouge_corpus(
+    pairs: DataFrame,
+    cand_col: str = "cand",
+    ref_col: str = "ref",
+    id_col: str = "id",
+    max_n: int = 4,
+) -> DataFrame:
+    """Corpus-level BLEU (Papineni et al. 2002) + ROUGE-1/2 recall
+    (Lin 2004) over (candidate, reference) text pairs — the standard
+    generation-quality metrics, as ONE distributed n-gram aggregation.
+
+    Shape: one projection tokenizes both sides (lowercase, whitespace
+    collapse), one explode emits every 1..max_n-gram of both sides as
+    (pair, n, md5(gram), c, r) counter rows, one hash agg per
+    (pair, n, gram) computes the clipped overlap min(count_cand,
+    count_ref) — clipping is per-pair, per the definition — and a
+    second agg folds everything to ONE row per n, then one final row.
+    All counters are exact integers until the finale; modified
+    precisions and ROUGE recalls are floor-quantized integer ratios
+    (floor(clip*1e6/total) — no float division dice).  The geometric
+    mean and brevity penalty use exp/ln on identical exact-integer-
+    derived doubles on both engines (the hyperball ln precedent), with
+    the single bleu_q6 value floor-quantized at 1e-6.
+
+    BLEU = BP * exp(mean_n ln p_n), BP = min(1, exp(1 - r/c)); the
+    corpus-BLEU convention (sum counts over pairs, then one ratio), not
+    the sentence-BLEU average.  bleu_q6 is 0.0 when any clip_n = 0
+    (standard smoothing-free corpus BLEU) and NULL when the candidate
+    side is empty.
+
+    Returns one row: n_pairs, c_len, r_len, clip{1..max_n},
+    tot{1..max_n} (candidate n-gram totals), rtot1, rtot2,
+    p{1..max_n}_q6, rouge1_q6, rouge2_q6, bp_q6, bleu_q6."""
+    if max_n < 2:
+        raise ValueError("max_n >= 2 required (ROUGE-2 is reported)")
+
+    def _words(c: Column) -> Column:
+        t = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+        return F.when(F.length(t) > 0, F.split(t, " ")).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    toks = pairs.select(
+        F.col(id_col).alias("_id"),
+        _words(F.col(cand_col)).alias("cw"),
+        _words(F.col(ref_col)).alias("rw"),
+    )
+    # materialize the gram arrays in their own projection, then explode
+    # a single concat — each array expression is referenced exactly
+    # once below its build (the CollapseProject bind-once rule)
+    gr = toks.select(
+        "_id",
+        _word_ngrams(F.col("cw"), max_n).alias("cg"),
+        _word_ngrams(F.col("rw"), max_n).alias("rg"),
+    )
+    rows = gr.select(
+        "_id",
+        F.explode(
+            F.concat(
+                F.transform(
+                    F.col("cg"),
+                    lambda s: F.struct(
+                        s["n"].alias("n"), s["g"].alias("g"),
+                        F.lit(1).alias("c"), F.lit(0).alias("r"),
+                    ),
+                ),
+                F.transform(
+                    F.col("rg"),
+                    lambda s: F.struct(
+                        s["n"].alias("n"), s["g"].alias("g"),
+                        F.lit(0).alias("c"), F.lit(1).alias("r"),
+                    ),
+                ),
+            )
+        ).alias("e"),
+    )
+    per_gram = rows.groupBy("_id", "e.n", "e.g").agg(
+        F.sum("e.c").alias("cc"), F.sum("e.r").alias("rc")
+    )
+    per_n = per_gram.groupBy("n").agg(
+        F.sum(F.least("cc", "rc")).cast("long").alias("clip"),
+        F.sum("cc").cast("long").alias("tc"),
+        F.sum("rc").cast("long").alias("tr"),
+    )
+
+    def pick(n: int, c: str) -> Column:
+        # coalesce: an all-empty corpus leaves per_n with zero rows and
+        # sum() NULL — fold to exact-integer 0 so the finale's guards
+        # (den > 0, c_len <= 0) stay three-valued-logic-free
+        return F.coalesce(
+            F.sum(F.when(F.col("n") == n, F.col(c)).otherwise(0)), F.lit(0)
+        ).cast("long")
+
+    agg_cols = []
+    for n in range(1, max_n + 1):
+        agg_cols += [pick(n, "clip").alias(f"clip{n}"), pick(n, "tc").alias(f"tot{n}")]
+    agg_cols += [pick(1, "tr").alias("rtot1"), pick(2, "tr").alias("rtot2")]
+    flat = per_n.agg(*agg_cols)
+    n_pairs = pairs.agg(F.count("*").cast("long").alias("n_pairs"))
+    row = n_pairs.crossJoin(flat)
+
+    def q6ratio(num: str, den: str) -> Column:
+        return F.when(
+            F.col(den) > 0,
+            F.floor(F.col(num) * 1000000 / F.col(den)) / 1e6,
+        )
+
+    c_len, r_len = F.col("tot1"), F.col("rtot1")
+    log_sum = None
+    all_pos = F.lit(True)
+    for n in range(1, max_n + 1):
+        term = F.log(F.col(f"clip{n}").cast("double") / F.col(f"tot{n}"))
+        log_sum = term if log_sum is None else log_sum + term
+        all_pos = all_pos & (F.col(f"clip{n}") > 0)
+    bp = F.when(c_len >= r_len, F.lit(1.0)).otherwise(
+        F.exp(F.lit(1.0) - r_len.cast("double") / c_len)
+    )
+    bleu = F.when(c_len <= 0, F.lit(None).cast("double")).otherwise(
+        F.when(
+            all_pos,
+            F.floor(bp * F.exp(log_sum / max_n) * 1e6) / 1e6,
+        ).otherwise(F.lit(0.0))
+    )
+    out = row.select(
+        "n_pairs",
+        c_len.alias("c_len"),
+        r_len.alias("r_len"),
+        *[F.col(f"clip{n}") for n in range(1, max_n + 1)],
+        *[F.col(f"tot{n}") for n in range(1, max_n + 1)],
+        "rtot1",
+        "rtot2",
+        *[q6ratio(f"clip{n}", f"tot{n}").alias(f"p{n}_q6") for n in range(1, max_n + 1)],
+        q6ratio("clip1", "rtot1").alias("rouge1_q6"),
+        q6ratio("clip2", "rtot2").alias("rouge2_q6"),
+        F.when(c_len > 0, F.floor(bp * 1e6) / 1e6).alias("bp_q6"),
+        bleu.alias("bleu_q6"),
+    )
+    return out
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test — the standard
+    nonparametric two-sample location test (Mann & Whitney 1947): does
+    ``value_col`` stochastically dominate between the two groups?
+
+    Distributed shape: NO global sort of the corpus.  One hash agg
+    reduces the rows to per-distinct-value counts (n_a, total), then
+    :func:`~..suffixes.global_prefix_sum` computes each value's exact
+    exclusive rank offset (range partition + per-partition running sums
+    + one scalar per partition on the driver), and one final agg folds
+    the rank-sum.  Tie-corrected normal approximation.
+
+    All counters are exact integers: with ties, the average rank of a
+    value v is before(v) + (tot(v)+1)/2, so 2·R1 = Σ n_a·(2·before +
+    tot + 1) stays integral.  The variance/z finale is double math on
+    those exact integers (documented int64 bound: n1·n2 and the
+    tie-cube sum must fit 2^63 — beyond ~3e9 rows per side switch the
+    two products to DECIMAL(38,0)); z_q6 is 1e-6 floor-quantized.
+
+    Returns one row: n1, n2, two_r1 (=2·R1), two_u1 (=2·U1), tie_sum
+    (Σ t³−t over tie groups), z_q6 (NULL when either side is empty or
+    the variance is 0 — all values tied)."""
+    f = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isin([group_a, group_b])
+    )
+    t = f.groupBy(value_col).agg(
+        F.sum(
+            F.when(F.col(group_col) == group_a, 1).otherwise(0)
+        ).cast("long").alias("na"),
+        F.count("*").cast("long").alias("tot"),
+    )
+    from . import suffixes
+
+    c = suffixes.global_prefix_sum(t, [value_col], "tot", "before")
+    s = c.agg(
+        F.coalesce(
+            F.sum(
+                F.col("na")
+                * (2 * F.col("before") + F.col("tot") + 1)
+            ),
+            F.lit(0),
+        ).cast("long").alias("two_r1"),
+        F.coalesce(F.sum("na"), F.lit(0)).cast("long").alias("n1"),
+        F.coalesce(F.sum(F.col("tot") - F.col("na")), F.lit(0))
+        .cast("long")
+        .alias("n2"),
+        F.coalesce(
+            F.sum(F.col("tot") * F.col("tot") * F.col("tot") - F.col("tot")),
+            F.lit(0),
+        ).cast("long").alias("tie_sum"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    big_n = n1 + n2
+    two_u1 = (F.col("two_r1") - n1 * (n1 + 1)).alias("two_u1")
+    var = (
+        (n1 * n2).cast("double")
+        / 12.0
+        * (
+            (big_n + 1).cast("double")
+            - F.col("tie_sum").cast("double")
+            / (big_n * (big_n - 1)).cast("double")
+        )
+    )
+    z = (F.col("two_u1") - n1 * n2).cast("double") / 2.0 / F.sqrt(var)
+    return s.select("n1", "n2", "two_r1", two_u1, "tie_sum").select(
+        "*",
+        F.when(
+            (n1 > 0) & (n2 > 0) & (var > 0),
+            F.floor(z * 1e6) / 1e6,
+        ).alias("z_q6"),
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    x_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Mutual information (nats) between a categorical column and a
+    fixed-width binning of a numeric column, plus both marginal
+    entropies and the normalized MI — the standard feature-relevance /
+    dependence screen (Cover & Thomas ch. 2).
+
+    Fixed-width bins on [lo, hi] (clamped at the edges) — NO quantile
+    estimation, so the contingency table is exact integer counts from
+    ONE corpus-wide hash agg into <= |X|*n_bins cells.  Marginals and
+    the grand total are hash aggs of that bounded cell table plus
+    broadcast joins — no Windows anywhere, global or otherwise.  Every
+    per-cell term (n_xy/N)*ln(N*n_xy/(n_x*n_y)) is computed on exact-
+    integer-derived doubles and 1e-9 floor-quantized BEFORE the
+    exact-integer cell sum (the hyperball convention: quantize each
+    summand, sum on the integer grid, divide once at the end), so
+    partition order can never move the total; the marginal entropies
+    get the same treatment.
+
+    Returns one row: n, n_cells, mi_q (MI, 6dp off the 1e-9 grid),
+    h_x_q, h_y_q (marginal entropies), nmi_q (MI/sqrt(Hx*Hy), NULL
+    when either entropy is 0)."""
+    if n_bins < 1 or not hi > lo:
+        raise ValueError("need n_bins >= 1 and hi > lo")
+    f = df.filter(F.col(value_col).isNotNull() & F.col(x_col).isNotNull())
+    binned = f.select(
+        F.col(x_col).alias("x"),
+        F.least(
+            F.lit(n_bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col(value_col) - lo) / ((hi - lo) / n_bins)),
+            ),
+        ).cast("int").alias("b"),
+    )
+    cells = binned.groupBy("x", "b").agg(
+        F.count("*").cast("long").alias("nxy")
+    )
+    mx = cells.groupBy("x").agg(F.sum("nxy").cast("long").alias("nx"))
+    mb = cells.groupBy("b").agg(F.sum("nxy").cast("long").alias("nb"))
+    tot = cells.agg(
+        F.coalesce(F.sum("nxy"), F.lit(0)).cast("long").alias("n")
+    )
+
+    def q9(c):
+        return F.floor(c * 1e9).cast("long")
+
+    nn = F.col("n").cast("double")
+    mi_term = (
+        F.col("nxy").cast("double")
+        / nn
+        * F.log(
+            nn
+            * F.col("nxy").cast("double")
+            / (F.col("nx").cast("double") * F.col("nb").cast("double"))
+        )
+    )
+    mi9 = (
+        cells.join(F.broadcast(mx), "x")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.coalesce(F.sum(q9(mi_term)), F.lit(0)).alias("_mi9"),
+            F.count("*").cast("long").alias("n_cells"),
+        )
+    )
+
+    def ent9(marg, cnt):
+        p = F.col(cnt).cast("double") / nn
+        return (
+            marg.crossJoin(F.broadcast(tot))
+            .agg(F.coalesce(F.sum(q9(-p * F.log(p))), F.lit(0)))
+            .toDF("_e9")
+        )
+
+    row = (
+        tot.crossJoin(mi9)
+        .crossJoin(ent9(mx, "nx").withColumnRenamed("_e9", "_hx9"))
+        .crossJoin(ent9(mb, "nb").withColumnRenamed("_e9", "_hy9"))
+    )
+    mi = F.col("_mi9") / 1e9
+    hx = F.col("_hx9") / 1e9
+    hy = F.col("_hy9") / 1e9
+    return row.select(
+        "n",
+        "n_cells",
+        (F.floor(mi * 1e6) / 1e6).alias("mi_q"),
+        (F.floor(hx * 1e6) / 1e6).alias("h_x_q"),
+        (F.floor(hy * 1e6) / 1e6).alias("h_y_q"),
+        F.when(
+            (F.col("_hx9") > 0) & (F.col("_hy9") > 0),
+            F.floor(mi / F.sqrt(hx * hy) * 1e6) / 1e6,
+        ).alias("nmi_q"),
+    )

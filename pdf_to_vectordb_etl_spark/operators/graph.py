@@ -649,3 +649,86 @@ def k_core(
         f"k_core: no fixpoint after {max_rounds} rounds; chain-shaped "
         "graphs peel O(n) rounds — raise max_rounds"
     )
+
+
+def hyperball_neighborhood(
+    edges: DataFrame,
+    rounds: int = 3,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013, "In-Core Computation of
+    Geometric Centralities with HyperBall" / the 4-degrees-of-
+    separation methodology, public): the neighborhood function
+    N(t) = Σ_v |B(v, t)| — how many (node, node-within-t-hops) pairs
+    the graph holds — estimated by giving every node a 256-register
+    HyperLogLog counter and iterating "my ball = me ∪ my neighbours'
+    balls", which in register space is an element-wise max. Exact BFS
+    per node is O(n·m); HyperBall is t rounds of one edges⋈registers
+    equi-join + one (node, bucket) max-agg — PageRank-family cost, the
+    only formulation that stands at 10^9-node scale.
+
+    Registers reuse the engine's portable HLL layout
+    (sketch._hll_parts: md5-hex bucket + leading-zero rho — no float
+    anywhere in the register file), so the DuckDB oracle replays every
+    register of every round exactly. Per-node estimates use the
+    standard harmonic-mean + linear-counting finale; per-register
+    2^-r sums are exact in doubles for any realistic rho (span << 53
+    bits), and each node's estimate is floor-quantized at 1e-6 BEFORE
+    the corpus sum, so N(t) is an exact integer with no float-sum
+    order dice. Per-round localCheckpoint cuts the iterative lineage
+    (the connected_components_star contract).
+
+    Input is an undirected a<b edge list (shared_token_edges shape);
+    balls follow both directions. Returns one row per t in
+    [0, rounds]: (t, n_nodes, nf_q6) with nf_q6 = Σ_v
+    floor(est|B(v,t)|·1e6)."""
+    from .sketch import _hll_parts
+
+    adj = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(
+        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    adj = adj.localCheckpoint(eager=True)
+    nodes = adj.select(F.col("src").alias("node")).distinct()
+    bucket, rho = _hll_parts(F.col("node").cast("string"))
+    regs = nodes.select("node", bucket.alias("bucket"), rho.alias("r"))
+    regs = regs.localCheckpoint(eager=True)
+
+    def _nf(t: int):
+        # per-node harmonic-mean estimate with linear-counting
+        # correction, 1e-6 floor-quantized BEFORE the global sum
+        agg = regs.groupBy("node").agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("s"),
+            F.count("*").alias("np"),
+        )
+        m = 256
+        alpha = 0.7213 / (1 + 1.079 / m)
+        raw = F.lit(alpha * m * m) / (F.col("s") + (F.lit(m) - F.col("np")))
+        v = F.lit(m) - F.col("np")
+        est = F.when(
+            (raw <= 2.5 * m) & (v > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+        ).otherwise(raw)
+        row = agg.agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(est * 1e6)).alias("nf"),
+        ).first()
+        return (t, int(row["n"] or 0), int(row["nf"] or 0))
+
+    out = [_nf(0)]
+    for t in range(1, rounds + 1):
+        pulled = adj.join(regs, adj.dst == regs.node).select(
+            F.col("src").alias("node"), "bucket", "r"
+        )
+        regs = (
+            regs.unionByName(pulled)
+            .groupBy("node", "bucket")
+            .agg(F.max("r").alias("r"))
+        )
+        regs = regs.localCheckpoint(eager=True)
+        out.append(_nf(t))
+    return edges.sparkSession.createDataFrame(
+        out, "t INT, n_nodes BIGINT, nf_q6 BIGINT"
+    )

@@ -16,7 +16,7 @@ boundary pair.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 EARTH_RADIUS_KM = 6371.0
 
@@ -194,3 +194,82 @@ def density_clusters(
         if df_.is_cached:
             df_.unpersist()
     return out
+
+
+def skyline_2d(
+    df: DataFrame,
+    x: Column | str,
+    y: Column | str,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier, Börzsönyi et al. ICDE 2001
+    "The Skyline Operator"): keep the rows no other row strictly
+    dominates, where both ``x`` and ``y`` are minimized (pass a
+    negated column to maximize a criterion).  A row is dominated iff
+    another row is <= on both axes and < on at least one; ties on both
+    axes survive together.
+
+    Distributed shape — the sorted-scan formulation, not the O(n^2)
+    dominance self-join: (1) one hash agg reduces the corpus to the
+    per-x minimum of y (anything above its x-group minimum is already
+    dominated); (2) the distinct-x table is range-partitioned on x and
+    each partition computes its exclusive running minimum in parallel
+    (Window keyed on spark_partition_id — the global_dense_rank
+    contract, never a single-partition sort); (3) one bounded collect
+    of per-partition minima (one row per shuffle partition) builds the
+    broadcast prefix-min map, so a point survives iff its y is
+    strictly below every y at strictly smaller x; (4) one equi-join on
+    (x, y) restores the surviving original rows with all their
+    columns.  Shuffle payload is the distinct-x table, never the
+    corpus; driver state is one scalar per partition.
+
+    Returns ``df`` filtered to its skyline rows (original schema)."""
+    xc = F.col(x) if isinstance(x, str) else x
+    yc = F.col(y) if isinstance(y, str) else y
+    d2 = df.withColumn("_sky_x", xc).withColumn("_sky_y", yc)
+    ytype = d2.schema["_sky_y"].dataType
+    xmins = d2.groupBy("_sky_x").agg(F.min("_sky_y").alias("_ymin"))
+    parts = max(
+        2, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    )
+    ranged = (
+        xmins.repartitionByRange(parts, "_sky_x")
+        .select("_sky_x", "_ymin", F.spark_partition_id().alias("_pid"))
+        .localCheckpoint(eager=True)
+    )
+    sizes = (
+        ranged.groupBy("_pid")
+        .agg(F.min("_ymin").alias("_m"))
+        .orderBy("_pid")
+        .collect()
+    )
+    if not sizes:
+        return df.limit(0)
+    running, entries = None, []
+    for r in sizes:
+        if running is not None:
+            entries += [F.lit(r["_pid"]), F.lit(running).cast(ytype)]
+        m = r["_m"]
+        if m is not None and (running is None or m < running):
+            running = m
+    if entries:
+        prior = F.create_map(*entries)[F.col("_pid")]
+    else:
+        prior = F.lit(None).cast(ytype)
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("_sky_x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # least() skips NULLs (no preceding row / no prior partition), so
+    # a missing bound never disqualifies the row
+    best_before = F.least(prior, F.min("_ymin").over(w))
+    frontier = ranged.withColumn("_bb", best_before).filter(
+        F.col("_bb").isNull() | (F.col("_ymin") < F.col("_bb"))
+    )
+    out = d2.join(
+        frontier.select(
+            "_sky_x", F.col("_ymin").alias("_sky_y")
+        ),
+        ["_sky_x", "_sky_y"],
+    )
+    return out.drop("_sky_x", "_sky_y")

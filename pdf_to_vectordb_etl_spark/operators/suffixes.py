@@ -437,6 +437,62 @@ def _row_numbered(
     )
 
 
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    measure_col: str,
+    out_col: str = "before",
+) -> DataFrame:
+    """Exact EXCLUSIVE prefix sum of an integer ``measure_col`` under a
+    global ``ORDER BY order_cols`` — i.e. ``sum(measure) OVER (ORDER BY
+    … ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)`` — WITHOUT a
+    single-partition Window: range partition, per-partition running sum
+    (Window keyed on the partition id, fully parallel), shift by the
+    broadcast cumulative per-partition totals.  Driver state: one sum
+    per shuffle partition — the :func:`global_row_number` machinery
+    with count generalized to an arbitrary additive measure (rank-sum
+    statistics, CDF walks, offset assignment).
+
+    Order keys must be UNIQUE per row (a RangePartitioner can split
+    equal keys across partitions, making tied rows' prefix sums
+    placement-dependent).  The first row's prefix sum is 0."""
+    from pyspark.sql import Window
+
+    parts = max(2, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
+    ranged = df.repartitionByRange(parts, *order_cols)
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = (
+        ranged.withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_lps",
+            F.coalesce(F.sum(measure_col).over(w), F.lit(0)).cast("long"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sizes = (
+        local.groupBy("_pid")
+        .agg(F.sum(measure_col).cast("long").alias("_s"))
+        .orderBy("_pid")
+        .collect()
+    )
+    offset, offsets = 0, {}
+    for r in sizes:
+        offsets[r["_pid"]] = offset
+        offset += r["_s"] or 0
+    if not offsets:
+        return local.withColumn(out_col, F.lit(0).cast("long")).drop(
+            "_pid", "_lps"
+        )
+    omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    return local.withColumn(
+        out_col, (F.col("_lps") + omap[F.col("_pid")]).cast("long")
+    ).drop("_pid", "_lps")
+
+
 def global_row_number(
     df: DataFrame, order_cols: list[str], out_col: str = "rn"
 ) -> DataFrame:

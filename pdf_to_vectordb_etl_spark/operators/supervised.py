@@ -180,3 +180,148 @@ def ols_closed_form(
         coeff(d1).alias("b1"),
         coeff(d2_).alias("b2"),
     ).orderBy("group")
+def adaboost_stumps(
+    df: DataFrame,
+    score_col: str,
+    label_col: Column,
+    n_rounds: int = 6,
+    n_bins: int = 250,
+    lo: float = 0.0,
+    hi: float = 500.0,
+) -> DataFrame:
+    """Discrete AdaBoost (Freund & Schapire 1997) over binned decision
+    stumps — ensemble training as ONE distributed pass plus a bounded
+    finale.
+
+    Corpus work is exactly one map-side-combined aggregate: the
+    (bin, pos, neg) histogram from
+    :func:`evaluation.score_bin_histogram` (NULL-filtered, clamped
+    fixed grid — the mergeable artifact the AUC/DeLong/stump family
+    shares). Boosting never touches rows again: because every stump
+    thresholds the SAME binned feature, a row's reweighting history is
+    a function of its (bin, label) cell alone, so the M rounds run on
+    the collected <= n_bins-row histogram (the DSIR 4096-bucket /
+    kmeans k x dim bounded-driver-artifact contract — the driver holds
+    cells, never data).
+
+    Determinism contract (cross-engine bit-exactness): the libm-free
+    formulation — reweight misclassified cells by r = (1 - eps)/eps
+    instead of exp(+-alpha), alpha = ln r never materialized — keeps
+    every operation IEEE +,*,/,floor on identical operands in
+    identical (bin-ascending) order, so the DuckDB unrolled-CTE replay
+    matches bit-for-bit with NO rounding-boundary dice: candidate
+    errors and eps are 1e-9 FLOOR-quantized before the
+    (err, bin, polarity) argmin tie-break and the ratio.
+
+    Degenerate rounds: eps_q = 0 (a perfect stump) emits r_q = NULL
+    and leaves weights unchanged thereafter — rounds stay at the
+    fixed count so the fixed-depth oracle replays; eps ~ 0.5 yields
+    r ~ 1 and boosting plateaus, which is the correct no-signal
+    behavior, not an error.
+
+    Returns (round, split_bin, polarity, eps_q, r_q): stump m predicts
+    label 1 when polarity=+1 and bin > split_bin (mirrored for -1);
+    its standard vote weight is alpha_m = ln r_m, left to the caller
+    so the model table itself stays libm-free."""
+    import math
+
+    if n_rounds < 1 or n_bins < 2:
+        raise ValueError("n_rounds >= 1 and n_bins >= 2 required")
+    hist = {
+        r["bin"]: (int(r["pos"]), int(r["neg"]))
+        for r in score_bin_histogram(
+            df, score_col, label_col, n_bins=n_bins, lo=lo, hi=hi
+        ).collect()
+    }
+    vp = [1.0] * n_bins
+    vn = [1.0] * n_bins
+    out = []
+    for m in range(1, n_rounds + 1):
+        P = N = 0.0
+        cp = [0.0] * n_bins
+        cn = [0.0] * n_bins
+        for b in range(n_bins):
+            p, n = hist.get(b, (0, 0))
+            P += p * vp[b]
+            N += n * vn[b]
+            cp[b] = P
+            cn[b] = N
+        T = P + N
+        best = None
+        for t in range(n_bins):
+            e1 = cp[t] + (N - cn[t])  # polarity +1: predict 1 iff bin > t
+            for pol, e in ((1, e1), (-1, T - e1)):
+                key = (math.floor(e * 1e9) / 1e9, t, pol)
+                if best is None or key < best:
+                    best = key
+        eq, t, pol = best
+        eps_q = math.floor(eq / T * 1e9) / 1e9 if T > 0 else None
+        r_q = (1.0 - eps_q) / eps_q if eps_q else None
+        out.append((m, t, pol, eps_q, r_q))
+        if r_q is not None:
+            for b in range(n_bins):
+                pred1 = (b > t) if pol == 1 else (b <= t)
+                if pred1:
+                    vn[b] *= r_q  # y=0 predicted 1: wrong
+                else:
+                    vp[b] *= r_q  # y=1 predicted 0: wrong
+    return df.sparkSession.createDataFrame(
+        out,
+        "round INT, split_bin INT, polarity INT, eps_q DOUBLE, r_q DOUBLE",
+    )
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    label_col: Column,
+    id_cols: list[str],
+    smoothing: int = 0,
+) -> DataFrame:
+    """Leave-one-out target encoding (Micci-Barreca 2001, the KDD-cup
+    categorical-encoding standard): replace a categorical feature with
+    the mean label of its category computed EXCLUDING the row itself —
+    the leakage-free form — optionally smoothed toward the global
+    prior with pseudo-count ``smoothing``.
+
+    Distributed shape: one hash agg per category (sum, count), one
+    1-row global agg, one broadcast join back — no window, no
+    per-row state.  The encoding is computed as ONE exact-integer
+    ratio: enc = ((s_c − y_i)·N + m·S) / ((n_c − 1 + m)·N), numerator
+    and denominator both int64 (bound: category-sum × corpus-count
+    must fit 2^63 — beyond that promote the two products to
+    DECIMAL(38,0)), floor-quantized at 1e-6 — bit-identical on any
+    engine with zero float dice.  Unsmoothed singleton categories
+    (n_c = 1, m = 0) are NULL.
+
+    Returns ``id_cols`` + cat_col + y (the 0/1 label) + enc_q6."""
+    if smoothing < 0:
+        raise ValueError("smoothing must be >= 0")
+    base = df.select(
+        *id_cols,
+        F.col(cat_col).alias("_cat"),
+        label_col.cast("long").alias("y"),
+    ).filter(F.col("_cat").isNotNull() & F.col("y").isNotNull())
+    per_cat = base.groupBy("_cat").agg(
+        F.sum("y").cast("long").alias("_s"),
+        F.count("*").cast("long").alias("_n"),
+    )
+    glob = base.agg(
+        F.coalesce(F.sum("y"), F.lit(0)).cast("long").alias("_gs"),
+        F.count("*").cast("long").alias("_gn"),
+    )
+    m = F.lit(smoothing).cast("long")
+    num = (F.col("_s") - F.col("y")) * F.col("_gn") + m * F.col("_gs")
+    den = (F.col("_n") - 1 + m) * F.col("_gn")
+    return (
+        base.join(F.broadcast(per_cat), "_cat")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            *id_cols,
+            F.col("_cat").alias(cat_col),
+            "y",
+            F.when(
+                den > 0, F.floor(num * 1000000 / den) / 1e6
+            ).alias("enc_q6"),
+        )
+    )

@@ -900,3 +900,125 @@ def test_stream_blocklist_totals_equal_batch(spark, sf_dir):
         for r in spark.table("t22_test").collect()
     }
     assert got == batch and len(got) >= 1
+
+
+# ----------------------------------------------------- AdaBoost stumps
+
+def test_adaboost_perfect_stump_and_noisy_boost(spark):
+    """A perfectly separable grid yields eps_q = 0 and r_q = NULL on
+    round 1 (and identical picks thereafter — weights frozen); a 10%
+    label-noise version finds the planted threshold with eps ~ 0.1 and
+    keeps boosting with r > 1."""
+    from pdf_to_vectordb_etl_spark.operators import supervised
+
+    # scores on a [0, 100) grid, planted split at 50
+    clean = [(float(i % 100) + 0.5, (i % 100) >= 50) for i in range(2000)]
+    df = spark.createDataFrame(clean, "score double, y boolean")
+    out = supervised.adaboost_stumps(
+        df, "score", F.col("y"), n_rounds=3, n_bins=100, lo=0.0, hi=100.0
+    ).collect()
+    assert out[0]["eps_q"] == 0.0 and out[0]["r_q"] is None
+    assert out[0]["split_bin"] == 49 and out[0]["polarity"] == 1
+    # frozen weights -> every later round repeats the perfect stump
+    assert all(
+        (r["split_bin"], r["polarity"], r["eps_q"]) == (49, 1, 0.0)
+        for r in out[1:]
+    )
+
+    noisy = [
+        (s, (not y) if i % 10 == 0 else y)
+        for i, (s, y) in enumerate(clean)
+    ]
+    dfn = spark.createDataFrame(noisy, "score double, y boolean")
+    outn = supervised.adaboost_stumps(
+        dfn, "score", F.col("y"), n_rounds=4, n_bins=100, lo=0.0, hi=100.0
+    ).collect()
+    assert outn[0]["split_bin"] in (49, 50)  # the noise pattern can
+    # legitimately shift the optimum one bin past the planted split
+    assert 0.05 < outn[0]["eps_q"] < 0.15
+    assert outn[0]["r_q"] > 1.0
+    # round 2 reweights: it must not re-pick the identical stump
+    assert (outn[1]["split_bin"], outn[1]["polarity"]) != (
+        outn[0]["split_bin"],
+        outn[0]["polarity"],
+    )
+    # NULL scores never bin (score_bin_histogram contract)
+    withnull = dfn.union(
+        spark.createDataFrame([(None, True)], "score double, y boolean")
+    )
+    outw = supervised.adaboost_stumps(
+        withnull, "score", F.col("y"), n_rounds=1, n_bins=100,
+        lo=0.0, hi=100.0,
+    ).collect()
+    assert outw[0]["eps_q"] == outn[0]["eps_q"]
+
+
+def test_incremental_cdc_report_shift_robust(spark):
+    """An edited re-ingest (chars prepended to a stored doc) must show
+    a high dup_fraction — the chunk store re-syncs past the edit —
+    while a genuinely new doc shows ~0; whole-doc digests would call
+    both 100% new."""
+    import random
+
+    from pdf_to_vectordb_etl_spark.operators import chunking
+
+    rnd = random.Random(11)
+    stored = "".join(rnd.choice("abcdefgh ") for _ in range(600))
+    fresh = "".join(rnd.choice("qrstuvwx ") for _ in range(600))
+    corpus = spark.createDataFrame([(1, stored)], ["doc_id", "text"])
+    cd = chunking.content_defined_chunks(
+        corpus, window=8, avg_size=32
+    ).select("digest")
+    newb = spark.createDataFrame(
+        [(10, "EDITED! " + stored), (11, fresh)], ["doc_id", "text"]
+    )
+    rep = {
+        r["doc_id"]: r
+        for r in chunking.incremental_cdc_report(
+            newb, cd, window=8, avg_size=32
+        ).collect()
+    }
+    assert rep[10]["dup_fraction"] > 0.8
+    assert rep[11]["dup_fraction"] < 0.1
+    assert rep[10]["known_chars"] + rep[11]["total_chars"] > 0
+    # accounting invariants
+    for r in rep.values():
+        assert r["n_known"] <= r["n_chunks"]
+        assert r["known_chars"] <= r["total_chars"]
+
+
+# ------------------------------------------------------- HyperBall
+
+def test_hyperball_tracks_exact_neighborhood_function(spark):
+    """On a path graph + disconnected pair, every round's N(t) estimate
+    must sit within HLL linear-counting error (<2%) of the exact
+    neighborhood function, and the register iteration must saturate
+    (N stops growing once balls cover components)."""
+    from pdf_to_vectordb_etl_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)] + [(10, 11)], ["a", "b"]
+    )
+    out = {r["t"]: r for r in graph.hyperball_neighborhood(edges, rounds=5).collect()}
+    nodes = list(range(6)) + [10, 11]
+    adj = {n: set() for n in nodes}
+    for a in range(5):
+        adj[a].add(a + 1)
+        adj[a + 1].add(a)
+    adj[10].add(11)
+    adj[11].add(10)
+
+    def ball(v, t):
+        cur = {v}
+        for _ in range(t):
+            cur = cur | {u for x in cur for u in adj[x]}
+        return len(cur)
+
+    for t in range(6):
+        exact = sum(ball(v, t) for v in nodes)
+        est = out[t]["nf_q6"] / 1e6
+        assert abs(est - exact) / exact < 0.02, (t, est, exact)
+        assert out[t]["n_nodes"] == 8
+    # monotone growth until coverage: the path's diameter is 5, so the
+    # t=5 ball is strictly larger than t=4's
+    assert out[5]["nf_q6"] > out[4]["nf_q6"]

@@ -1,0 +1,315 @@
+"""Round-5 third batch: BLEU/ROUGE corpus scoring and the 2-D skyline.
+
+Both are pinned against independent brute-force references computed in
+plain Python on the same rows (the longest_repeated_substring
+two-algorithms-agree pattern), plus the edge cases their docstrings
+promise (clipping, brevity penalty, empty candidates; dominance ties,
+duplicates, maximize-via-negation).
+"""
+
+import math
+import random
+from collections import Counter
+
+import pyspark.sql.functions as F
+
+
+def _brute_skyline(pts, better_y=min):
+    """O(n^2) dominance filter; pts = [(id, x, y)], minimize x, and
+    minimize y when better_y is min else maximize."""
+
+    def dominated(p, q):
+        yq, yp = q[2], p[2]
+        y_ok = yq <= yp if better_y is min else yq >= yp
+        y_strict = yq < yp if better_y is min else yq > yp
+        return q[1] <= p[1] and y_ok and (q[1] < p[1] or y_strict)
+
+    return sorted(
+        (p[1], p[2], p[0])
+        for p in pts
+        if not any(dominated(p, q) for q in pts)
+    )
+
+
+def test_skyline_matches_bruteforce(spark):
+    random.seed(7)
+    pts = [(i, random.randint(0, 30), random.randint(0, 30)) for i in range(300)]
+    # exact duplicates and x-ties must survive together; x=-1 sits
+    # left of every random point so the pair is provably frontier
+    pts += [(1000, -1, 5), (1001, -1, 5), (1002, -1, 9)]
+    from pdf_to_vectordb_etl_spark.operators.spatial import skyline_2d
+
+    df = spark.createDataFrame(pts, "id INT, px INT, py INT")
+    got = sorted(
+        (r.px, r.py, r.id) for r in skyline_2d(df, "px", "py").collect()
+    )
+    assert got == _brute_skyline(pts)
+    # the duplicate pair at (-1, 5) is on the frontier, both copies
+    # kept; the x-tied (-1, 9) is dominated by them
+    assert (-1, 5, 1000) in got and (-1, 5, 1001) in got
+    assert (-1, 9, 1002) not in got
+
+
+def test_skyline_maximize_via_negation(spark):
+    random.seed(11)
+    pts = [(i, random.randint(0, 20), random.randint(0, 20)) for i in range(200)]
+    from pdf_to_vectordb_etl_spark.operators.spatial import skyline_2d
+
+    df = spark.createDataFrame(pts, "id INT, px INT, py INT")
+    got = sorted(
+        (r.px, r.py, r.id)
+        for r in skyline_2d(df, F.col("px"), -F.col("py")).collect()
+    )
+    assert got == _brute_skyline(pts, better_y=max)
+
+
+def test_skyline_empty_and_single(spark):
+    from pdf_to_vectordb_etl_spark.operators.spatial import skyline_2d
+
+    df = spark.createDataFrame([(1, 3, 4)], "id INT, px INT, py INT")
+    assert skyline_2d(df.filter("px < 0"), "px", "py").count() == 0
+    assert [
+        (r.px, r.py) for r in skyline_2d(df, "px", "py").collect()
+    ] == [(3, 4)]
+
+
+def _brute_bleu(pairs, max_n=4):
+    def grams(ws, n):
+        return Counter(tuple(ws[i : i + n]) for i in range(len(ws) - n + 1))
+
+    clip = {n: 0 for n in range(1, max_n + 1)}
+    tot = dict(clip)
+    rtot = dict(clip)
+    for _, c, r in pairs:
+        cw = c.lower().split()
+        rw = r.lower().split()
+        for n in range(1, max_n + 1):
+            gc, gr = grams(cw, n), grams(rw, n)
+            tot[n] += sum(gc.values())
+            rtot[n] += sum(gr.values())
+            clip[n] += sum(min(v, gr[g]) for g, v in gc.items())
+    return clip, tot, rtot
+
+
+def test_bleu_rouge_matches_bruteforce(spark):
+    pairs = [
+        (1, "the cat sat on the mat", "the cat sat on the mat"),
+        (2, "the the the the", "the cat"),  # clipping caps p1 at 1/4
+        (3, "a b c", "a b c d e f"),  # short candidate -> BP < 1
+        (4, "", "x y z"),  # empty candidate contributes nothing
+    ]
+    from pdf_to_vectordb_etl_spark.operators.evaluation import (
+        bleu_rouge_corpus,
+    )
+
+    df = spark.createDataFrame(pairs, "id INT, cand STRING, ref STRING")
+    row = bleu_rouge_corpus(df, "cand", "ref", "id").collect()[0]
+    clip, tot, rtot = _brute_bleu(pairs)
+    assert row.n_pairs == 4
+    assert row.c_len == tot[1] and row.r_len == rtot[1]
+    for n in range(1, 5):
+        assert row[f"clip{n}"] == clip[n] and row[f"tot{n}"] == tot[n]
+        assert row[f"p{n}_q6"] == math.floor(clip[n] * 1e6 / tot[n]) / 1e6
+    assert row.rouge1_q6 == math.floor(clip[1] * 1e6 / rtot[1]) / 1e6
+    assert row.rouge2_q6 == math.floor(clip[2] * 1e6 / rtot[2]) / 1e6
+    bp = 1.0 if tot[1] >= rtot[1] else math.exp(1 - rtot[1] / tot[1])
+    assert row.bp_q6 == math.floor(bp * 1e6) / 1e6
+    want = (
+        math.floor(
+            bp
+            * math.exp(
+                sum(math.log(clip[n] / tot[n]) for n in range(1, 5)) / 4
+            )
+            * 1e6
+        )
+        / 1e6
+        if all(clip[n] > 0 for n in range(1, 5))
+        else 0.0
+    )
+    assert row.bleu_q6 == want
+
+
+def test_bleu_identical_corpus_is_one(spark):
+    from pdf_to_vectordb_etl_spark.operators.evaluation import (
+        bleu_rouge_corpus,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e", "a b c d e")], "id INT, cand STRING, ref STRING"
+    )
+    r = bleu_rouge_corpus(df, "cand", "ref", "id").collect()[0]
+    assert r.bleu_q6 == 1.0 and r.bp_q6 == 1.0 and r.rouge1_q6 == 1.0
+
+
+def test_bleu_zero_ngram_overlap_is_zero_and_empty_cand_null(spark):
+    from pdf_to_vectordb_etl_spark.operators.evaluation import (
+        bleu_rouge_corpus,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "p q r s t", "a b c d e")], "id INT, cand STRING, ref STRING"
+    )
+    r = bleu_rouge_corpus(df, "cand", "ref", "id").collect()[0]
+    assert r.bleu_q6 == 0.0 and r.clip1 == 0
+    e = spark.createDataFrame(
+        [(1, "", "x y"), (2, "  ", "z")], "id INT, cand STRING, ref STRING"
+    )
+    re_ = bleu_rouge_corpus(e, "cand", "ref", "id").collect()[0]
+    assert re_.bleu_q6 is None and re_.bp_q6 is None and re_.c_len == 0
+
+
+def test_global_prefix_sum_exact(spark):
+    df = spark.createDataFrame(
+        [(i, i % 3 + 1) for i in range(57)], "k INT, m INT"
+    )
+    from pdf_to_vectordb_etl_spark.operators import suffixes
+
+    got = {
+        r["k"]: r["before"]
+        for r in suffixes.global_prefix_sum(df, ["k"], "m").collect()
+    }
+    acc = 0
+    for i in range(57):
+        assert got[i] == acc
+        acc += i % 3 + 1
+    # empty input survives (no partitions → constant-0 column)
+    assert suffixes.global_prefix_sum(df.limit(0), ["k"], "m").count() == 0
+
+
+def test_mann_whitney_matches_bruteforce(spark):
+    from collections import Counter
+
+    from pdf_to_vectordb_etl_spark.operators import evaluation
+
+    random.seed(11)
+    rows = [("a", float(random.randint(0, 20))) for _ in range(80)] + [
+        ("b", float(random.randint(3, 25))) for _ in range(60)
+    ]
+    d = spark.createDataFrame(rows, "g STRING, v DOUBLE")
+    got = evaluation.mann_whitney_u(d, "v", "g", "a", "b").collect()[0]
+    cnt = Counter(v for _, v in rows)
+    rank, pos = {}, 1
+    for v in sorted(cnt):
+        rank[v] = pos + (cnt[v] - 1) / 2
+        pos += cnt[v]
+    r1 = sum(rank[v] for g, v in rows if g == "a")
+    n1 = sum(1 for g, _ in rows if g == "a")
+    n2 = len(rows) - n1
+    u1 = r1 - n1 * (n1 + 1) / 2
+    big = n1 + n2
+    tie = sum(t**3 - t for t in cnt.values())
+    var = n1 * n2 / 12 * ((big + 1) - tie / (big * (big - 1)))
+    z = (u1 - n1 * n2 / 2) / math.sqrt(var)
+    assert got["two_r1"] == int(2 * r1)
+    assert got["two_u1"] == int(2 * u1)
+    assert got["tie_sum"] == tie
+    assert abs(got["z_q6"] - z) < 2e-6
+    # degenerate guards: one-sided and all-tied inputs are NULL z
+    one = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g STRING, v DOUBLE")
+    assert evaluation.mann_whitney_u(one, "v", "g", "a", "b").collect()[0][
+        "z_q6"
+    ] is None
+    tied = spark.createDataFrame(
+        [("a", 5.0), ("b", 5.0), ("b", 5.0)], "g STRING, v DOUBLE"
+    )
+    assert evaluation.mann_whitney_u(tied, "v", "g", "a", "b").collect()[0][
+        "z_q6"
+    ] is None
+
+
+def test_mutual_information_matches_bruteforce(spark):
+    from collections import Counter
+
+    from pdf_to_vectordb_etl_spark.operators import evaluation
+
+    rows = [
+        ("a", 1.0), ("a", 2.0), ("a", 9.0),
+        ("b", 8.0), ("b", 9.5), ("b", 1.5),
+    ] * 5
+    d = spark.createDataFrame(rows, "x STRING, v DOUBLE")
+    got = evaluation.mutual_information(d, "x", "v", 0.0, 10.0, 5).collect()[0]
+    cells = Counter((x, min(4, max(0, int(v / 2)))) for x, v in rows)
+    n = sum(cells.values())
+    nx, nb = Counter(), Counter()
+    for (x, b), c in cells.items():
+        nx[x] += c
+        nb[b] += c
+    mi = sum(
+        c / n * math.log(n * c / (nx[x] * nb[b]))
+        for (x, b), c in cells.items()
+    )
+    hx = -sum(c / n * math.log(c / n) for c in nx.values())
+    hy = -sum(c / n * math.log(c / n) for c in nb.values())
+    assert got["n"] == n and got["n_cells"] == len(cells)
+    assert abs(got["mi_q"] - mi) < 1e-5
+    assert abs(got["h_x_q"] - hx) < 1e-5
+    assert abs(got["nmi_q"] - mi / math.sqrt(hx * hy)) < 1e-5
+    # independent columns → MI 0; constant x → Hx 0 → NULL nmi
+    ind = spark.createDataFrame(
+        [("a", 1.0), ("a", 9.0), ("b", 1.0), ("b", 9.0)] * 3,
+        "x STRING, v DOUBLE",
+    )
+    r = evaluation.mutual_information(ind, "x", "v", 0.0, 10.0, 2).collect()[0]
+    assert r["mi_q"] == 0.0 and r["nmi_q"] == 0.0
+    const = spark.createDataFrame(
+        [("a", 1.0), ("a", 9.0)], "x STRING, v DOUBLE"
+    )
+    r = evaluation.mutual_information(const, "x", "v", 0.0, 10.0, 2).collect()[0]
+    assert r["nmi_q"] is None and r["h_x_q"] == 0.0
+
+
+def test_target_encode_loo(spark):
+    import pyspark.sql.functions as SF
+
+    from pdf_to_vectordb_etl_spark.operators import supervised
+
+    rows = [(1, "a", 1), (2, "a", 0), (3, "a", 1), (4, "b", 1), (5, "c", 0)]
+    d = spark.createDataFrame(rows, "id INT, c STRING, y INT")
+    got = {
+        r["id"]: r["enc_q6"]
+        for r in supervised.target_encode_loo(
+            d, "c", SF.col("y"), ["id"]
+        ).collect()
+    }
+    # own row excluded: id=1 sees mean(0,1)=0.5; id=2 sees mean(1,1)=1
+    assert got[1] == 0.5 and got[2] == 1.0 and got[3] == 0.5
+    # unsmoothed singletons are NULL (no leakage-free estimate)
+    assert got[4] is None and got[5] is None
+    sm = {
+        r["id"]: r["enc_q6"]
+        for r in supervised.target_encode_loo(
+            d, "c", SF.col("y"), ["id"], smoothing=2
+        ).collect()
+    }
+    # ((s−y)·N + m·S) / ((n−1+m)·N): id=4 → (0·5 + 2·3)/(2·5) = 0.6
+    assert sm[4] == 0.6 and sm[5] == 0.6
+    # id=1 → ((2−1)·5 + 2·3)/((3−1+2)·5) = 11/20
+    assert sm[1] == 0.55
+
+
+def test_autocorr_lags_period_and_bruteforce(spark):
+    from pdf_to_vectordb_etl_spark.operators import aggregates
+
+    n = 200
+    xs = [(t, 100 + (t % 7) * 10) for t in range(n)]
+    d = spark.createDataFrame(xs, "t INT, x INT")
+    got = {
+        r["lag"]: r["r_q6"]
+        for r in aggregates.autocorr_lags(d, "t", "x", 8).collect()
+    }
+    assert abs(got[7] - 1.0) < 1e-5  # the planted period
+    pairs = [(xs[t][1], xs[t + 2][1]) for t in range(n - 2)]
+    mx = sum(p[0] for p in pairs) / len(pairs)
+    my = sum(p[1] for p in pairs) / len(pairs)
+    num = sum((a - mx) * (b - my) for a, b in pairs)
+    den = math.sqrt(sum((a - mx) ** 2 for a, _ in pairs)) * math.sqrt(
+        sum((b - my) ** 2 for _, b in pairs)
+    )
+    assert abs(got[2] - num / den) < 1e-5
+    # gaps in the index simply shrink n_pairs; constant series → NULL
+    const = spark.createDataFrame([(t, 5) for t in range(20)], "t INT, x INT")
+    r = {
+        x["lag"]: x["r_q6"]
+        for x in aggregates.autocorr_lags(const, "t", "x", 2).collect()
+    }
+    assert r[1] is None and r[2] is None
