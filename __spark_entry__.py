@@ -2880,6 +2880,131 @@ def q_skyline_pareto(spark, sf):
     )
 
 
+def q_mann_whitney(spark, sf):
+    """Mann-Whitney U rank-sum test, purchase vs view values: per-
+    distinct-value counts (one hash agg), exact exclusive rank offsets
+    via global_prefix_sum (range partition + per-partition running
+    sums — no global sort anywhere), tie-corrected normal z. All
+    counters exact integers (2·R1 stays integral under average ranks);
+    the oracle is the literal one-window cumulative form the
+    distributed machinery must replicate bit-for-bit (the
+    equi_depth_bins pattern)."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation
+
+    ev = _t(spark, sf, "events")
+    return evaluation.mann_whitney_u(
+        ev, "value", "event_type", "purchase", "view"
+    )
+
+
+def q_mutual_information(spark, sf):
+    """Binned mutual information + marginal entropies + NMI between
+    event_type and a fixed-width value binning: one corpus hash agg
+    into <= |types|·10 cells, marginals as bounded-table aggs +
+    broadcast joins (no Windows), every summand 1e-9 floor-quantized
+    BEFORE the exact-integer cell sum so partition order can never
+    move the total (the hyperball convention)."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation
+
+    ev = _t(spark, sf, "events")
+    return evaluation.mutual_information(
+        ev, "event_type", "value", 0.0, 500.0, 10
+    )
+
+
+def q_target_encode(spark, sf):
+    """Leave-one-out target encoding (Micci-Barreca 2001) of
+    event_type against a high-value label: per-category sufficient
+    statistics + one broadcast join back; the encoding is ONE exact-
+    integer ratio ((s−y)·N + m·S)/((n−1+m)·N) floor-quantized at 1e-6
+    — bit-identical across engines with zero float dice."""
+    from pdf_to_vectordb_etl_spark.operators import supervised
+
+    ev = _t(spark, sf, "events").filter(F.col("value").isNotNull())
+    return supervised.target_encode_loo(
+        ev,
+        "event_type",
+        (F.col("value") >= 250).cast("int"),
+        ["event_id"],
+        smoothing=20,
+    ).orderBy("event_id")
+
+
+def q_acf_daily_revenue(spark, sf):
+    """Autocorrelation function of the daily order-revenue series,
+    lags 1..10: the series is one corpus hash agg (exact integer
+    revenue units, // 100 to bound the int64 products), the per-lag
+    pairs are one broadcast lags-explode + self-equi-join on the day
+    key, and each lag folds five exact-integer sufficient statistics
+    with the textbook closed-form finale 1e-6 floor-quantized.
+    Positive-revenue contract makes Spark `div` (truncate) and DuckDB
+    `//` (floor) agree."""
+    from pdf_to_vectordb_etl_spark.operators import aggregates
+
+    o = _t(spark, sf, "orders").filter(F.col("o_orderdate").isNotNull())
+    daily = (
+        o.groupBy(
+            F.datediff(
+                "o_orderdate", F.lit("1970-01-01").cast("date")
+            ).alias("day")
+        )
+        .agg(
+            F.sum(F.floor("o_totalprice")).cast("long").alias("units")
+        )
+        .select("day", F.expr("units div 100").alias("x"))
+    )
+    return aggregates.autocorr_lags(daily, "day", "x", 10)
+
+
+def q_t23_stream_skyline(spark, sf):
+    """T23 — live Pareto frontier: per-user engagement totals
+    maintained as an associative streaming agg (state bounded by user
+    cardinality — the t4_stateful_totals shape; count + exact
+    1e-6-grid value sum are both merge-able), then the snapshot feeds
+    the IDENTICAL skyline_2d finale as the batch path, so the batch
+    skyline SQL is the parity oracle."""
+    import tempfile
+
+    from pdf_to_vectordb_etl_spark.operators import spatial
+
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    live = (
+        stream.filter(
+            F.col("value").isNotNull() & F.col("user_id").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1e6))
+            .cast("long")
+            .alias("value_units"),
+        )
+    )
+    name = "t23_skyline"
+    q = (
+        live.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t23ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spatial.skyline_2d(
+            spark.table(name), -F.col("n_events"), -F.col("value_units")
+        )
+        .select("user_id", "n_events", "value_units")
+        .orderBy("user_id")
+    )
+
+
 def q_bleu_rouge(spark, sf):
     """Corpus BLEU-4 + ROUGE-1/2 recall (Papineni 2002 / Lin 2004) over
     (candidate, reference) pairs built from the documents table: the
@@ -6820,6 +6945,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equi_depth_bins": q_equi_depth_bins,
         "skew_salted_join": q_skew_salted_join,
         "skyline_pareto": q_skyline_pareto,
+        "mann_whitney_u": q_mann_whitney,
+        "mutual_information": q_mutual_information,
+        "target_encode_loo": q_target_encode,
+        "acf_daily_revenue": q_acf_daily_revenue,
+        "t23_stream_skyline": q_t23_stream_skyline,
         "t21_stream_ddsketch": q_t21_stream_ddsketch,
         "t22_stream_blocklist": q_t22_stream_blocklist,
         "tree_rollup": q_tree_rollup,
@@ -9901,6 +10031,167 @@ def oracle_sql() -> dict[str, str]:
                                 / 4) * 1e6) / 1e6
                         ELSE 0.0 END AS bleu_q6
             FROM fin
+        """,
+        # mann_whitney_u: the literal one-window cumulative-rank form
+        # the global_prefix_sum machinery must replicate bit-for-bit
+        "mann_whitney_u": """
+            WITH f AS (
+              SELECT value, event_type FROM events
+              WHERE value IS NOT NULL
+                AND event_type IN ('purchase', 'view')),
+            t AS (
+              SELECT value,
+                     CAST(sum(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                     CAST(count(*) AS BIGINT) AS tot
+              FROM f GROUP BY value),
+            c AS (
+              SELECT *,
+                     CAST(coalesce(sum(tot) OVER (
+                       ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS BIGINT) AS before
+              FROM t),
+            s AS (
+              SELECT
+                CAST(coalesce(sum(na * (2 * before + tot + 1)), 0)
+                     AS BIGINT) AS two_r1,
+                CAST(coalesce(sum(na), 0) AS BIGINT) AS n1,
+                CAST(coalesce(sum(tot - na), 0) AS BIGINT) AS n2,
+                CAST(coalesce(sum(tot * tot * tot - tot), 0)
+                     AS BIGINT) AS tie_sum
+              FROM c)
+            SELECT n1, n2, two_r1,
+                   two_r1 - n1 * (n1 + 1) AS two_u1,
+                   tie_sum,
+                   CASE WHEN n1 > 0 AND n2 > 0 AND
+                     CAST(n1 * n2 AS DOUBLE) / 12.0 *
+                       (CAST(n1 + n2 + 1 AS DOUBLE)
+                        - CAST(tie_sum AS DOUBLE)
+                          / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE))
+                     > 0
+                   THEN floor(
+                     CAST((two_r1 - n1 * (n1 + 1)) - n1 * n2
+                          AS DOUBLE) / 2.0
+                     / sqrt(CAST(n1 * n2 AS DOUBLE) / 12.0 *
+                         (CAST(n1 + n2 + 1 AS DOUBLE)
+                          - CAST(tie_sum AS DOUBLE)
+                            / CAST((n1 + n2) * (n1 + n2 - 1)
+                                   AS DOUBLE)))
+                     * 1e6) / 1e6
+                   END AS z_q6
+            FROM s
+        """,
+        # mutual_information: full replay — same fixed-width bins,
+        # same 1e-9 per-summand floor grid, same finale
+        "mutual_information": """
+            WITH f AS (
+              SELECT event_type AS x,
+                     least(9, greatest(0,
+                       CAST(floor((value - 0.0) / 50.0) AS BIGINT)))
+                       AS b
+              FROM events
+              WHERE value IS NOT NULL AND event_type IS NOT NULL),
+            cells AS MATERIALIZED (
+              SELECT x, b, CAST(count(*) AS BIGINT) AS nxy
+              FROM f GROUP BY x, b),
+            mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx
+                   FROM cells GROUP BY x),
+            mb AS (SELECT b, CAST(sum(nxy) AS BIGINT) AS nb
+                   FROM cells GROUP BY b),
+            tot AS (SELECT CAST(coalesce(sum(nxy), 0) AS BIGINT) AS n
+                    FROM cells),
+            mi AS (
+              SELECT
+                CAST(coalesce(sum(CAST(floor(
+                  CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE)
+                  * ln(CAST(n AS DOUBLE) * CAST(nxy AS DOUBLE)
+                       / (CAST(nx AS DOUBLE) * CAST(nb AS DOUBLE)))
+                  * 1e9) AS BIGINT)), 0) AS BIGINT) AS mi9,
+                CAST(count(*) AS BIGINT) AS n_cells
+              FROM cells JOIN mx USING (x) JOIN mb USING (b), tot),
+            hx AS (
+              SELECT CAST(coalesce(sum(CAST(floor(
+                -(CAST(nx AS DOUBLE) / CAST(n AS DOUBLE))
+                * ln(CAST(nx AS DOUBLE) / CAST(n AS DOUBLE))
+                * 1e9) AS BIGINT)), 0) AS BIGINT) AS hx9
+              FROM mx, tot),
+            hy AS (
+              SELECT CAST(coalesce(sum(CAST(floor(
+                -(CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))
+                * ln(CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))
+                * 1e9) AS BIGINT)), 0) AS BIGINT) AS hy9
+              FROM mb, tot)
+            SELECT n, n_cells,
+                   floor(mi9 / 1e9 * 1e6) / 1e6 AS mi_q,
+                   floor(hx9 / 1e9 * 1e6) / 1e6 AS h_x_q,
+                   floor(hy9 / 1e9 * 1e6) / 1e6 AS h_y_q,
+                   CASE WHEN hx9 > 0 AND hy9 > 0
+                        THEN floor(mi9 / 1e9
+                                   / sqrt(hx9 / 1e9 * (hy9 / 1e9))
+                                   * 1e6) / 1e6
+                   END AS nmi_q
+            FROM tot, mi, hx, hy
+        """,
+        # target_encode_loo: exact-integer LOO ratio replay
+        "target_encode_loo": """
+            WITH base AS (
+              SELECT event_id, event_type AS c,
+                     CAST(value >= 250 AS BIGINT) AS y
+              FROM events
+              WHERE value IS NOT NULL AND event_type IS NOT NULL),
+            pc AS (
+              SELECT c, CAST(sum(y) AS BIGINT) AS s,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM base GROUP BY c),
+            g AS (
+              SELECT CAST(coalesce(sum(y), 0) AS BIGINT) AS gs,
+                     CAST(count(*) AS BIGINT) AS gn
+              FROM base)
+            SELECT b.event_id, b.c AS event_type, b.y,
+                   CASE WHEN (n - 1 + 20) * gn > 0
+                        THEN floor(((s - b.y) * gn + 20 * gs)
+                                   * 1000000
+                                   / ((n - 1 + 20) * gn)) / 1e6
+                   END AS enc_q6
+            FROM base b JOIN pc USING (c) CROSS JOIN g
+            ORDER BY event_id
+        """,
+        # acf_daily_revenue: lag self-join replay with the identical
+        # exact-integer sufficient statistics and closed form
+        "acf_daily_revenue": """
+            WITH daily AS MATERIALIZED (
+              SELECT date_diff('day', DATE '1970-01-01', o_orderdate)
+                       AS t,
+                     CAST(sum(CAST(floor(o_totalprice) AS BIGINT))
+                          AS BIGINT) // 100 AS x
+              FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+            lags AS (SELECT unnest(generate_series(1, 10)) AS lag),
+            pairs AS (
+              SELECT l.lag, a.x AS xv, b.x AS yv
+              FROM daily a
+              CROSS JOIN lags l
+              JOIN daily b ON b.t = a.t + l.lag),
+            s AS (
+              SELECT lag,
+                     CAST(count(*) AS BIGINT) AS n_pairs,
+                     CAST(sum(xv) AS BIGINT) AS sx,
+                     CAST(sum(yv) AS BIGINT) AS sy,
+                     CAST(sum(xv * xv) AS BIGINT) AS sxx,
+                     CAST(sum(yv * yv) AS BIGINT) AS syy,
+                     CAST(sum(xv * yv) AS BIGINT) AS sxy
+              FROM pairs GROUP BY lag)
+            SELECT CAST(lag AS INT) AS lag, n_pairs,
+                   CASE WHEN n_pairs >= 2
+                         AND n_pairs * sxx - sx * sx > 0
+                         AND n_pairs * syy - sy * sy > 0
+                   THEN floor(
+                     CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n_pairs * syy - sy * sy
+                                    AS DOUBLE)))
+                     * 1e6) / 1e6
+                   END AS r_q6
+            FROM s ORDER BY lag
         """,
         # blocklist_hits: the oracle replays the data-derived pattern
         # table (top-10 frequent >=6-char words, count-then-word
@@ -13392,6 +13683,9 @@ def oracle_sql() -> dict[str, str]:
         FROM hit ORDER BY event_type, q
     """
     d["t21_stream_ddsketch"] = d["ddsketch_quantiles"]
+    # T23: per-user totals are associative, so the stream snapshot's
+    # frontier must equal the batch skyline exactly
+    d["t23_stream_skyline"] = d["skyline_pareto"]
     # T22: per-row stateless matching + a <=10-row associative sum —
     # snapshot == the batch matcher aggregated per pattern
     d["t22_stream_blocklist"] = r"""
