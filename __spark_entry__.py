@@ -2956,6 +2956,76 @@ def q_acf_daily_revenue(spark, sf):
     return aggregates.autocorr_lags(daily, "day", "x", 10)
 
 
+def q_spearman_rho(spark, sf):
+    """Spearman rank correlation between event value and event time
+    (does the metric trend?): tie-aware average ranks from per-
+    distinct-value counts + global_prefix_sum (no global sort),
+    doubled-centered so Σa = 0 exactly and the finale is three exact
+    int64 sums + one deterministic double ratio. The oracle is the
+    literal cumulative-window form."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation
+
+    # _t() canonicalizes ts to bigint epoch-nanos; ranks only need
+    # the ordering, so the raw nanos column is the second variable
+    ev = _t(spark, sf, "events").select("value", "ts")
+    return evaluation.spearman_rho(ev, "value", "ts")
+
+
+def q_anova_value_by_type(spark, sf):
+    """One-way ANOVA F across event types on the 1e-2-grid value:
+    one corpus hash agg to per-group exact int64 (n, Σx, Σx²), the
+    per-group s²/n terms 1e-9-floored BEFORE the cross-group sum
+    (partition-order-proof at any group count), closed-form F and
+    eta² finales."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation
+
+    ev = _t(spark, sf, "events")
+    return evaluation.anova_oneway(ev, "value", "event_type", scale=100)
+
+
+def q_cramers_v(spark, sf):
+    """Pearson chi-square + Cramér's V on the event_type × value-bin
+    contingency table (same fixed-width bins as mutual_information):
+    per-present-cell (O·N−E')²/(N·nx·nb) terms 1e-9-floored before the
+    exact sum; absent cells fold in closed form as N − Σ_present E so
+    the sparse cell table never densifies."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation
+
+    ev = _t(spark, sf, "events")
+    return evaluation.chi_square_cramers_v(
+        ev, "event_type", "value", 0.0, 500.0, 10
+    )
+
+
+def q_rouge_l(spark, sf):
+    """Corpus ROUGE-L over the same (candidate, reference) pairs as
+    bleu_rouge: per-pair LCS as an anti-diagonal wavefront DP in
+    array HOFs (cells on a diagonal are independent → one parallel
+    transform per step of a bounded aggregate loop; O(m·n) work,
+    48-word cap). The oracle replays the identical wavefront as a
+    recursive CTE over diagonals — same recurrence, independently
+    implemented."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.lower(
+            F.regexp_replace("text", r"[^\x20-\x7e]", "")
+        ).alias("t"),
+    )
+    ws = F.split(F.trim(F.regexp_replace(F.col("t"), r"\s+", " ")), " ")
+    pairs = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_join(
+            F.filter(ws, lambda w, i: (i + 1) % 7 != 0), " "
+        ).alias("cand"),
+        F.col("t").alias("ref"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+    return evaluation.rouge_l_corpus(
+        pairs, "cand", "ref", "id", max_words=48
+    )
+
+
 def q_t23_stream_skyline(spark, sf):
     """T23 — live Pareto frontier: per-user engagement totals
     maintained as an associative streaming agg (state bounded by user
@@ -6950,6 +7020,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode_loo": q_target_encode,
         "acf_daily_revenue": q_acf_daily_revenue,
         "t23_stream_skyline": q_t23_stream_skyline,
+        "spearman_rho": q_spearman_rho,
+        "anova_value_by_type": q_anova_value_by_type,
+        "cramers_v": q_cramers_v,
+        "rouge_l": q_rouge_l,
         "t21_stream_ddsketch": q_t21_stream_ddsketch,
         "t22_stream_blocklist": q_t22_stream_blocklist,
         "tree_rollup": q_tree_rollup,
@@ -10031,6 +10105,234 @@ def oracle_sql() -> dict[str, str]:
                                 / 4) * 1e6) / 1e6
                         ELSE 0.0 END AS bleu_q6
             FROM fin
+        """,
+        # spearman_rho: literal cumulative-window average ranks,
+        # doubled-centered exactly like the engine (Σa = 0 identity)
+        "spearman_rho": """
+            WITH r0 AS MATERIALIZED (
+              SELECT value AS x, epoch_ns(ts) AS y FROM events
+              WHERE value IS NOT NULL AND ts IS NOT NULL),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r0),
+            tx AS (
+              SELECT x, CAST(count(*) AS BIGINT) AS t FROM r0 GROUP BY x),
+            cx AS (
+              SELECT x, 2 * CAST(coalesce(sum(t) OVER (ORDER BY x
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+                       PRECEDING), 0) AS BIGINT) + t + 1 AS rx
+              FROM tx),
+            ty AS (
+              SELECT y, CAST(count(*) AS BIGINT) AS t FROM r0 GROUP BY y),
+            cy AS (
+              SELECT y, 2 * CAST(coalesce(sum(t) OVER (ORDER BY y
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+                       PRECEDING), 0) AS BIGINT) + t + 1 AS ry
+              FROM ty),
+            ab AS (
+              SELECT rx - (n + 1) AS a, ry - (n + 1) AS b
+              FROM r0 JOIN cx USING (x) JOIN cy USING (y), nn),
+            s AS (
+              SELECT
+                CAST(coalesce(sum(a * b), 0) AS BIGINT) AS sab,
+                CAST(coalesce(sum(a * a), 0) AS BIGINT) AS saa,
+                CAST(coalesce(sum(b * b), 0) AS BIGINT) AS sbb
+              FROM ab)
+            SELECT (SELECT n FROM nn) AS n,
+                   sab, saa, sbb,
+                   CASE WHEN (SELECT n FROM nn) >= 2 AND saa > 0
+                             AND sbb > 0
+                   THEN floor(CAST(sab AS DOUBLE)
+                              / (sqrt(CAST(saa AS DOUBLE))
+                                 * sqrt(CAST(sbb AS DOUBLE)))
+                              * 1e6) / 1e6
+                   END AS rho_q6
+            FROM s
+        """,
+        # anova_value_by_type: per-group exact sufficient statistics,
+        # 1e-9-floored s²/n terms, identical closed-form finale
+        "anova_value_by_type": """
+            WITH g AS (
+              SELECT event_type,
+                     CAST(count(*) AS BIGINT) AS gn,
+                     CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                          AS BIGINT) AS gs,
+                     CAST(sum(CAST(floor(value * 100) AS BIGINT)
+                              * CAST(floor(value * 100) AS BIGINT))
+                          AS BIGINT) AS gss
+              FROM events
+              WHERE value IS NOT NULL AND event_type IS NOT NULL
+              GROUP BY event_type),
+            s AS (
+              SELECT CAST(count(*) AS BIGINT) AS k,
+                     CAST(coalesce(sum(gn), 0) AS BIGINT) AS n,
+                     CAST(coalesce(sum(gs), 0) AS BIGINT) AS sm,
+                     CAST(coalesce(sum(gss), 0) AS BIGINT) AS ss,
+                     CAST(coalesce(sum(CAST(floor(
+                       CAST(gs AS DOUBLE) * CAST(gs AS DOUBLE)
+                       / CAST(gn AS DOUBLE) * 1e3) AS BIGINT)), 0)
+                       AS BIGINT) AS gq3
+              FROM g)
+            SELECT k, n,
+                   floor((gq3 / 1e3
+                          - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
+                            / CAST(n AS DOUBLE)) * 1e3) / 1e3
+                     AS ssb_q,
+                   floor((CAST(ss AS DOUBLE)
+                          - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
+                            / CAST(n AS DOUBLE)) * 1e3) / 1e3
+                     AS sst_q,
+                   CASE WHEN k >= 2 AND n > k
+                         AND CAST(ss AS DOUBLE) - gq3 / 1e3 > 0
+                   THEN floor(
+                     ((gq3 / 1e3
+                       - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
+                         / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+                     / ((CAST(ss AS DOUBLE) - gq3 / 1e3)
+                        / CAST(n - k AS DOUBLE)) * 1e6) / 1e6
+                   END AS f_q6,
+                   CASE WHEN CAST(ss AS DOUBLE)
+                             - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
+                               / CAST(n AS DOUBLE) > 0
+                   THEN floor(
+                     (gq3 / 1e3
+                      - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                     / (CAST(ss AS DOUBLE)
+                        - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
+                          / CAST(n AS DOUBLE)) * 1e6) / 1e6
+                   END AS eta2_q6
+            FROM s
+        """,
+        # cramers_v: present-cell replay + closed-form absent fold
+        "cramers_v": """
+            WITH f AS (
+              SELECT event_type AS x,
+                     least(9, greatest(0,
+                       CAST(floor((value - 0.0) / 50.0) AS BIGINT)))
+                       AS b
+              FROM events
+              WHERE value IS NOT NULL AND event_type IS NOT NULL),
+            cells AS MATERIALIZED (
+              SELECT x, b, CAST(count(*) AS BIGINT) AS nxy
+              FROM f GROUP BY x, b),
+            mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx
+                   FROM cells GROUP BY x),
+            mb AS (SELECT b, CAST(sum(nxy) AS BIGINT) AS nb
+                   FROM cells GROUP BY b),
+            tot AS (SELECT CAST(coalesce(sum(nxy), 0) AS BIGINT) AS n
+                    FROM cells),
+            pres AS (
+              SELECT
+                CAST(coalesce(sum(CAST(floor(
+                  (CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE)
+                   - CAST(nx AS DOUBLE) * CAST(nb AS DOUBLE))
+                  * (CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE)
+                     - CAST(nx AS DOUBLE) * CAST(nb AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(nx AS DOUBLE)
+                     * CAST(nb AS DOUBLE))
+                  * 1e9) AS BIGINT)), 0) AS BIGINT) AS p9,
+                CAST(coalesce(sum(CAST(floor(
+                  CAST(nx AS DOUBLE) * CAST(nb AS DOUBLE)
+                  / CAST(n AS DOUBLE) * 1e9) AS BIGINT)), 0)
+                  AS BIGINT) AS e9
+              FROM cells JOIN mx USING (x) JOIN mb USING (b), tot),
+            rl AS (SELECT CAST(count(*) AS BIGINT) AS r_levels FROM mx),
+            cl AS (SELECT CAST(count(*) AS BIGINT) AS c_levels FROM mb)
+            SELECT n, r_levels, c_levels,
+                   CASE WHEN n > 0
+                   THEN floor((p9 / 1e9
+                               + (CAST(n AS DOUBLE) - e9 / 1e9))
+                              * 1e3) / 1e3
+                   END AS chi2_q,
+                   CASE WHEN n > 0 AND least(r_levels - 1,
+                                             c_levels - 1) >= 1
+                   THEN floor(sqrt(
+                     (p9 / 1e9 + (CAST(n AS DOUBLE) - e9 / 1e9))
+                     / (CAST(n AS DOUBLE)
+                        * CAST(least(r_levels - 1, c_levels - 1)
+                               AS DOUBLE))) * 1e6) / 1e6
+                   END AS v_q6
+            FROM tot, pres, rl, cl
+        """,
+        # rouge_l: the identical anti-diagonal wavefront recurrence,
+        # independently implemented as a recursive CTE over diagonals
+        "rouge_l": r"""
+            WITH RECURSIVE d0 AS (
+              SELECT doc_id AS id,
+                     trim(regexp_replace(
+                       lower(regexp_replace(text, '[^\x20-\x7e]', '',
+                                            'g')),
+                       '\s+', ' ', 'g')) AS t
+              FROM documents),
+            words AS (
+              SELECT id,
+                     CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+                          ELSE string_split(t, ' ') END AS rwf
+              FROM d0),
+            pairs AS MATERIALIZED (
+              SELECT id,
+                     rwf[1:48] AS rw,
+                     list_transform(
+                       list_filter(generate_series(1, len(rwf)),
+                                   i -> i % 7 != 0)[1:48],
+                       i -> rwf[i]) AS cw
+              FROM words),
+            dims AS MATERIALIZED (
+              SELECT id, cw, rw, len(cw) AS m, len(rw) AS n
+              FROM pairs),
+            dp AS (
+              SELECT id, m, n, 1 AS dg,
+                     list_transform(generate_series(0, m), i -> 0)
+                       AS p1,
+                     list_transform(generate_series(0, m), i -> 0)
+                       AS p2
+              FROM dims WHERE m >= 1 AND n >= 1
+              UNION ALL
+              SELECT dp.id, dp.m, dp.n, dp.dg + 1,
+                     list_transform(generate_series(0, dp.m),
+                       i -> CASE WHEN i >= 1 AND dp.dg + 1 - i >= 1
+                                  AND dp.dg + 1 - i <= dp.n
+                            THEN CASE WHEN x.cw[i]
+                                       = x.rw[dp.dg + 1 - i]
+                                 THEN dp.p2[i] + 1
+                                 ELSE greatest(dp.p1[i],
+                                               dp.p1[i + 1]) END
+                            ELSE 0 END),
+                     dp.p1
+              FROM dp JOIN dims x ON x.id = dp.id
+              WHERE dp.dg < dp.m + dp.n),
+            lcs AS (
+              SELECT z.id,
+                     CASE WHEN z.m >= 1 AND z.n >= 1
+                          THEN (SELECT p1[z.m + 1] FROM dp
+                                WHERE dp.id = z.id
+                                  AND dp.dg = z.m + z.n)
+                          ELSE 0 END AS l,
+                     z.m, z.n
+              FROM dims z),
+            s AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                     CAST(coalesce(sum(l), 0) AS BIGINT) AS lcs_sum,
+                     CAST(coalesce(sum(m), 0) AS BIGINT) AS c_words,
+                     CAST(coalesce(sum(n), 0) AS BIGINT) AS r_words
+              FROM lcs)
+            SELECT n_pairs, lcs_sum, c_words, r_words,
+                   CASE WHEN c_words > 0
+                        THEN floor(lcs_sum * 1000000 / c_words) / 1e6
+                   END AS rl_p_q6,
+                   CASE WHEN r_words > 0
+                        THEN floor(lcs_sum * 1000000 / r_words) / 1e6
+                   END AS rl_r_q6,
+                   CASE WHEN c_words > 0 AND r_words > 0
+                        AND lcs_sum > 0
+                   THEN floor(
+                     2 * (CAST(lcs_sum AS DOUBLE) / c_words)
+                       * (CAST(lcs_sum AS DOUBLE) / r_words)
+                     / (CAST(lcs_sum AS DOUBLE) / c_words
+                        + CAST(lcs_sum AS DOUBLE) / r_words)
+                     * 1e6) / 1e6
+                   WHEN c_words > 0 AND r_words > 0 THEN 0.0
+                   END AS rl_f_q6
+            FROM s
         """,
         # mann_whitney_u: the literal one-window cumulative-rank form
         # the global_prefix_sum machinery must replicate bit-for-bit

@@ -1386,3 +1386,382 @@ def mutual_information(
             F.floor(mi / F.sqrt(hx * hy) * 1e6) / 1e6,
         ).alias("nmi_q"),
     )
+
+
+def spearman_rho(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Spearman rank correlation with exact tie handling (average
+    ranks) — the standard monotone-association measure, robust to the
+    outliers that break Pearson.
+
+    Distributed shape: NO global sort.  For each variable, one hash
+    agg to per-distinct-value counts, :func:`~..suffixes.
+    global_prefix_sum` for exact exclusive rank offsets, and one
+    broadcast-scale join back onto the rows (the join keys are the
+    distinct-value tables, corpus-sized only in the worst all-unique
+    case — an equi-join either way).  Doubled centered ranks
+    a = 2·rank − (N+1) make Σa exactly 0, so Pearson collapses to
+    ρ = Σab / sqrt(Σa²·Σb²) — three exact int64 sums (bound: N³ must
+    fit 2^63, i.e. N ≲ 2·10⁶ rows; beyond that promote the three sums
+    to DECIMAL(38,0)) and one deterministic double finale, 1e-6
+    floor-quantized.
+
+    Returns one row: n, sab, saa, sbb (the exact sums), rho_q6 (NULL
+    when n < 2 or either variable is constant)."""
+    from . import suffixes
+
+    rows = df.select(
+        F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
+    ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+
+    def two_ranks(col: str) -> DataFrame:
+        t = rows.groupBy(col).agg(F.count("*").cast("long").alias("_t"))
+        c = suffixes.global_prefix_sum(t, [col], "_t", "_b")
+        # 2·avg_rank = 2·before + tot + 1 (integral even under ties)
+        return c.select(
+            col, (2 * F.col("_b") + F.col("_t") + 1).alias(f"_r{col}")
+        )
+
+    n1 = rows.agg(F.count("*").cast("long").alias("_n"))
+    ranked = (
+        rows.join(two_ranks("_x"), "_x")
+        .join(two_ranks("_y"), "_y")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "_n",
+            (F.col("_r_x") - (F.col("_n") + 1)).alias("_a"),
+            (F.col("_r_y") - (F.col("_n") + 1)).alias("_b2"),
+        )
+    )
+    s = ranked.agg(
+        F.coalesce(F.max("_n"), F.lit(0)).alias("n"),
+        F.coalesce(F.sum(F.col("_a") * F.col("_b2")), F.lit(0))
+        .cast("long")
+        .alias("sab"),
+        F.coalesce(F.sum(F.col("_a") * F.col("_a")), F.lit(0))
+        .cast("long")
+        .alias("saa"),
+        F.coalesce(F.sum(F.col("_b2") * F.col("_b2")), F.lit(0))
+        .cast("long")
+        .alias("sbb"),
+    )
+    rho = F.col("sab").cast("double") / (
+        F.sqrt(F.col("saa").cast("double"))
+        * F.sqrt(F.col("sbb").cast("double"))
+    )
+    return s.select(
+        "n",
+        "sab",
+        "saa",
+        "sbb",
+        F.when(
+            (F.col("n") >= 2) & (F.col("saa") > 0) & (F.col("sbb") > 0),
+            F.floor(rho * 1e6) / 1e6,
+        ).alias("rho_q6"),
+    )
+
+
+def anova_oneway(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """One-way ANOVA F-test across groups — the k-sample mean
+    comparison behind every "does this metric differ by segment"
+    question.
+
+    Values are floor-quantized onto an integer grid (``scale`` units
+    per 1.0) so every sufficient statistic (per-group n, Σx, Σx²) is
+    an exact int64 (bound: corpus Σx² must fit 2^63 — coarsen
+    ``scale`` at bigger magnitudes).  SSB's per-group s_g²/n_g terms
+    are deterministic doubles OF those exact integers, 1e-3
+    floor-quantized BEFORE the cross-group sum (the hyperball
+    convention at a grid sized for LARGE summands: s_g²/n_g·1e3 must
+    fit int64 — group count is unbounded in principle, so the sum
+    must be partition-order-proof).  One corpus hash agg + one
+    ≤k-row agg; closed-form finale, 1e-6 floors.
+
+    Returns one row: k, n, ssb_q (between-group SS on the grid²
+    scale, 3dp), sst_q, f_q6, eta2_q6 (SSB/SST); F/eta NULL when k < 2,
+    n ≤ k, or SSW/SST degenerate."""
+    g = (
+        df.filter(
+            F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .select(
+            F.col(group_col).alias("_g"),
+            F.floor(F.col(value_col) * scale).cast("long").alias("_x"),
+        )
+        .groupBy("_g")
+        .agg(
+            F.count("*").cast("long").alias("_n"),
+            F.sum("_x").cast("long").alias("_s"),
+            F.sum(F.col("_x") * F.col("_x")).cast("long").alias("_ss"),
+        )
+    )
+    # the per-group s²/n summands are LARGE (~grid²·n), so the
+    # partition-order-proof grid is 1e-3, not the 1e-9 used for O(1)
+    # summands — s²/n·1e3 must fit int64 (documented bound)
+    q3 = lambda c: F.floor(c * 1e3).cast("long")  # noqa: E731
+    s = g.agg(
+        F.count("*").cast("long").alias("k"),
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.sum("_s"), F.lit(0)).cast("long").alias("s"),
+        F.coalesce(F.sum("_ss"), F.lit(0)).cast("long").alias("ss"),
+        F.coalesce(
+            F.sum(
+                q3(
+                    F.col("_s").cast("double")
+                    * F.col("_s").cast("double")
+                    / F.col("_n").cast("double")
+                )
+            ),
+            F.lit(0),
+        ).alias("_gq3"),
+    )
+    nn = F.col("n").cast("double")
+    grand = F.col("s").cast("double") * F.col("s").cast("double") / nn
+    ssb = F.col("_gq3") / 1e3 - grand
+    sst = F.col("ss").cast("double") - grand
+    ssw = F.col("ss").cast("double") - F.col("_gq3") / 1e3
+    k = F.col("k")
+    fstat = (ssb / (k - 1).cast("double")) / (
+        ssw / (F.col("n") - k).cast("double")
+    )
+    return s.select(
+        "k",
+        "n",
+        (F.floor(ssb * 1e3) / 1e3).alias("ssb_q"),
+        (F.floor(sst * 1e3) / 1e3).alias("sst_q"),
+        F.when(
+            (k >= 2) & (F.col("n") > k) & (ssw > 0),
+            F.floor(fstat * 1e6) / 1e6,
+        ).alias("f_q6"),
+        F.when(sst > 0, F.floor(ssb / sst * 1e6) / 1e6).alias("eta2_q6"),
+    )
+
+
+def chi_square_cramers_v(
+    df: DataFrame,
+    x_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Pearson chi-square test of independence + Cramér's V effect
+    size over the same fixed-width contingency table as
+    :func:`mutual_information` — the categorical-association
+    companion to the information-theoretic screen.
+
+    Per-cell statistic computed scale-free as N·(n_xy·N − n_x·n_b)² /
+    (N²·n_x·n_b) = (n_xy·N − n_x·n_b)²/(N·n_x·n_b) on exact-integer-
+    derived doubles (int64 bound: n_xy·N — fine to ~3e9 rows), 1e-9
+    floor-quantized per cell BEFORE the exact-integer sum; absent
+    cells (n_xy = 0) contribute their expected count, folded in
+    closed form as N − Σ_present(n_x·n_b)/N so the sparse cell table
+    never densifies.  V = sqrt(chi2 / (N·min(r−1, c−1))).
+
+    Returns one row: n, r_levels, c_levels, chi2_q (3dp), v_q6."""
+    if n_bins < 1 or not hi > lo:
+        raise ValueError("need n_bins >= 1 and hi > lo")
+    f = df.filter(F.col(value_col).isNotNull() & F.col(x_col).isNotNull())
+    binned = f.select(
+        F.col(x_col).alias("x"),
+        F.least(
+            F.lit(n_bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col(value_col) - lo) / ((hi - lo) / n_bins)),
+            ),
+        ).cast("int").alias("b"),
+    )
+    cells = binned.groupBy("x", "b").agg(
+        F.count("*").cast("long").alias("nxy")
+    )
+    mx = cells.groupBy("x").agg(F.sum("nxy").cast("long").alias("nx"))
+    mb = cells.groupBy("b").agg(F.sum("nxy").cast("long").alias("nb"))
+    tot = cells.agg(
+        F.coalesce(F.sum("nxy"), F.lit(0)).cast("long").alias("n")
+    )
+    q9 = lambda c: F.floor(c * 1e9).cast("long")  # noqa: E731
+    nn = F.col("n").cast("double")
+    dev = (
+        F.col("nxy").cast("double") * nn
+        - F.col("nx").cast("double") * F.col("nb").cast("double")
+    )
+    present = (
+        cells.join(F.broadcast(mx), "x")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    q9(
+                        dev
+                        * dev
+                        / (
+                            nn
+                            * F.col("nx").cast("double")
+                            * F.col("nb").cast("double")
+                        )
+                    )
+                ),
+                F.lit(0),
+            ).alias("_p9"),
+            # Σ_present E_xy = Σ nx·nb/N over the observed cells; the
+            # absent cells' (0−E)²/E fold to N − this (exact identity)
+            F.coalesce(
+                F.sum(
+                    q9(
+                        F.col("nx").cast("double")
+                        * F.col("nb").cast("double")
+                        / nn
+                    )
+                ),
+                F.lit(0),
+            ).alias("_e9"),
+        )
+    )
+    rlev = mx.agg(F.count("*").cast("long").alias("r_levels"))
+    clev = mb.agg(F.count("*").cast("long").alias("c_levels"))
+    row = (
+        tot.crossJoin(present)
+        .crossJoin(F.broadcast(rlev))
+        .crossJoin(F.broadcast(clev))
+    )
+    chi2 = F.col("_p9") / 1e9 + (nn - F.col("_e9") / 1e9)
+    mind = F.least(F.col("r_levels") - 1, F.col("c_levels") - 1)
+    v = F.sqrt(chi2 / (nn * mind.cast("double")))
+    return row.select(
+        "n",
+        "r_levels",
+        "c_levels",
+        F.when(F.col("n") > 0, F.floor(chi2 * 1e3) / 1e3).alias("chi2_q"),
+        F.when(
+            (F.col("n") > 0) & (mind >= 1), F.floor(v * 1e6) / 1e6
+        ).alias("v_q6"),
+    )
+
+
+def rouge_l_corpus(
+    pairs: DataFrame,
+    cand_col: str = "cand",
+    ref_col: str = "ref",
+    id_col: str = "id",
+    max_words: int = 48,
+) -> DataFrame:
+    """Corpus ROUGE-L (Lin 2004 §3): longest-common-subsequence
+    precision/recall/F between candidate and reference word
+    sequences — the order-sensitive companion to the n-gram ROUGE
+    variants (a shuffled candidate scores high on ROUGE-1 but low
+    here).
+
+    Per-pair LCS runs as an ANTI-DIAGONAL wavefront DP inside array
+    HOFs: cells on diagonal d = i+j depend only on diagonals d−1 and
+    d−2, so each step of the bounded ``aggregate(sequence(2, m+n))``
+    loop builds the whole next diagonal with one parallel
+    ``transform`` — O(m·n) work, O(m) state, no per-row Python, rows
+    independent so the corpus scales embarrassingly.  Both sides are
+    truncated to ``max_words`` (documented cap: cost per row is
+    ≤ 2·max_words² interpreted-lambda ops).  The word arrays are
+    bound ONCE as lambda variables via the single-element-transform
+    trick (the cdc_chunks CollapseProject lesson); out-of-range
+    probes use null-safe ``get``; the ``m,n ≥ 1`` guard dodges
+    Spark's descending-``sequence`` trap on empty sides.
+
+    Corpus aggregation is the summary-level convention: exact-integer
+    sums of (lcs, m, n), then P = Σlcs/Σm, R = Σlcs/Σn,
+    F = 2PR/(P+R), all 1e-6 floor-quantized.
+
+    Returns one row: n_pairs, lcs_sum, c_words, r_words, rl_p_q6,
+    rl_r_q6, rl_f_q6."""
+
+    def _words(c: Column) -> Column:
+        t = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+        return F.when(
+            F.length(t) > 0, F.slice(F.split(t, " "), 1, max_words)
+        ).otherwise(F.array().cast("array<string>"))
+
+    def _lcs(p: Column) -> Column:
+        cw, rw = p["cw"], p["rw"]
+        m, n = F.size(cw), F.size(rw)
+        zeros = F.array_repeat(F.lit(0), m + 1)
+
+        def step(acc: Column, d: Column) -> Column:
+            new = F.transform(
+                F.sequence(F.lit(0), m),
+                lambda i: F.when(
+                    (i >= 1) & (d - i >= 1) & (d - i <= n),
+                    F.when(
+                        F.get(cw, i - 1) == F.get(rw, d - i - 1),
+                        F.coalesce(F.get(acc["p2"], i - 1), F.lit(0))
+                        + 1,
+                    ).otherwise(
+                        F.greatest(
+                            F.coalesce(
+                                F.get(acc["p1"], i - 1), F.lit(0)
+                            ),
+                            F.coalesce(F.get(acc["p1"], i), F.lit(0)),
+                        )
+                    ),
+                ).otherwise(F.lit(0)),
+            )
+            return F.struct(new.alias("p1"), acc["p1"].alias("p2"))
+
+        return F.when(
+            (m >= 1) & (n >= 1),
+            F.aggregate(
+                F.sequence(F.lit(2), m + n),
+                F.struct(zeros.alias("p1"), zeros.alias("p2")),
+                step,
+                lambda acc: F.coalesce(F.get(acc["p1"], m), F.lit(0)),
+            ),
+        ).otherwise(F.lit(0))
+
+    toks = pairs.select(
+        F.col(id_col).alias("_id"),
+        _words(F.col(cand_col)).alias("cw"),
+        _words(F.col(ref_col)).alias("rw"),
+    )
+    per = toks.select(
+        "_id",
+        F.size("cw").alias("m"),
+        F.size("rw").alias("n"),
+        # bind (cw, rw) once as a lambda variable: the DP references
+        # them ~m·(m+n) times and must never inline their builders
+        F.element_at(
+            F.transform(
+                F.array(F.struct(F.col("cw"), F.col("rw"))),
+                lambda p: _lcs(p),
+            ),
+            1,
+        ).alias("lcs"),
+    )
+    s = per.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.coalesce(F.sum("lcs"), F.lit(0)).cast("long").alias("lcs_sum"),
+        F.coalesce(F.sum("m"), F.lit(0)).cast("long").alias("c_words"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("r_words"),
+    )
+
+    def q6(num: Column, den: Column) -> Column:
+        return F.when(den > 0, F.floor(num * 1000000 / den) / 1e6)
+
+    lc = F.col("lcs_sum")
+    cm, rn = F.col("c_words"), F.col("r_words")
+    p = lc.cast("double") / cm
+    r = lc.cast("double") / rn
+    return s.select(
+        "*",
+        q6(lc, cm).alias("rl_p_q6"),
+        q6(lc, rn).alias("rl_r_q6"),
+        F.when(
+            (cm > 0) & (rn > 0) & (lc > 0),
+            F.floor(2 * p * r / (p + r) * 1e6) / 1e6,
+        ).otherwise(
+            F.when((cm > 0) & (rn > 0), F.lit(0.0))
+        ).alias("rl_f_q6"),
+    )

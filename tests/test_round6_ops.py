@@ -313,3 +313,157 @@ def test_autocorr_lags_period_and_bruteforce(spark):
         for x in aggregates.autocorr_lags(const, "t", "x", 2).collect()
     }
     assert r[1] is None and r[2] is None
+
+
+def test_spearman_matches_bruteforce(spark):
+    from collections import Counter
+
+    from pdf_to_vectordb_etl_spark.operators import evaluation
+
+    random.seed(3)
+    rows = [
+        (float(random.randint(0, 30)), float(random.randint(0, 30)) + 0.3 * i)
+        for i in range(120)
+    ]
+    d = spark.createDataFrame(rows, "x DOUBLE, y DOUBLE")
+    got = evaluation.spearman_rho(d, "x", "y").collect()[0]
+
+    def avgranks(vals):
+        c = Counter(vals)
+        r, p = {}, 1
+        for v in sorted(c):
+            r[v] = p + (c[v] - 1) / 2
+            p += c[v]
+        return r
+
+    rx = avgranks([a for a, _ in rows])
+    ry = avgranks([b for _, b in rows])
+    n = len(rows)
+    aa = [2 * rx[a] - (n + 1) for a, _ in rows]
+    bb = [2 * ry[b] - (n + 1) for _, b in rows]
+    rho = sum(x * y for x, y in zip(aa, bb)) / math.sqrt(
+        sum(x * x for x in aa) * sum(y * y for y in bb)
+    )
+    assert abs(got["rho_q6"] - rho) < 2e-6
+    # doubled-centered ranks make Σa exactly 0 ⇒ integer sums exact
+    assert got["sab"] == int(round(sum(x * y for x, y in zip(aa, bb))))
+    mono = spark.createDataFrame(
+        [(float(i), float(i * i)) for i in range(50)], "x DOUBLE, y DOUBLE"
+    )
+    assert evaluation.spearman_rho(mono, "x", "y").collect()[0]["rho_q6"] == 1.0
+    const = spark.createDataFrame(
+        [(1.0, float(i)) for i in range(5)], "x DOUBLE, y DOUBLE"
+    )
+    assert (
+        evaluation.spearman_rho(const, "x", "y").collect()[0]["rho_q6"] is None
+    )
+
+
+def test_anova_matches_bruteforce(spark):
+    from pdf_to_vectordb_etl_spark.operators import evaluation
+
+    random.seed(9)
+    rows = (
+        [("a", random.gauss(10, 2)) for _ in range(60)]
+        + [("b", random.gauss(12, 2)) for _ in range(50)]
+        + [("c", random.gauss(9, 2)) for _ in range(40)]
+    )
+    d = spark.createDataFrame(rows, "g STRING, v DOUBLE")
+    got = evaluation.anova_oneway(d, "v", "g", scale=100).collect()[0]
+    xs = {
+        g: [math.floor(v * 100) for gg, v in rows if gg == g] for g in "abc"
+    }
+    allx = [x for v in xs.values() for x in v]
+    n, s, k = len(allx), sum(allx), 3
+    ssb = sum(sum(v) ** 2 / len(v) for v in xs.values()) - s * s / n
+    sst = sum(x * x for x in allx) - s * s / n
+    fstat = (ssb / (k - 1)) / ((sst - ssb) / (n - k))
+    assert abs(got["f_q6"] - fstat) / fstat < 1e-4
+    assert abs(got["eta2_q6"] - ssb / sst) < 1e-4
+    one = spark.createDataFrame([("a", float(i)) for i in range(5)], "g STRING, v DOUBLE")
+    assert evaluation.anova_oneway(one, "v", "g").collect()[0]["f_q6"] is None
+
+
+def test_cramers_v_matches_bruteforce(spark):
+    from collections import Counter
+
+    from pdf_to_vectordb_etl_spark.operators import evaluation
+
+    rows = [
+        ("a", 1.0), ("a", 2.0), ("a", 9.0),
+        ("b", 8.0), ("b", 9.5), ("b", 1.5), ("c", 3.3),
+    ] * 6
+    d = spark.createDataFrame(rows, "x STRING, v DOUBLE")
+    got = evaluation.chi_square_cramers_v(d, "x", "v", 0.0, 10.0, 5).collect()[0]
+    cells = Counter((x, min(4, max(0, int(v / 2)))) for x, v in rows)
+    nx, nb = Counter(), Counter()
+    for (x, b), c in cells.items():
+        nx[x] += c
+        nb[b] += c
+    n = sum(cells.values())
+    chi2 = sum(
+        (cells.get((x, b), 0) - nx[x] * nb[b] / n) ** 2 / (nx[x] * nb[b] / n)
+        for x in nx
+        for b in nb
+    )
+    v = math.sqrt(chi2 / (n * min(len(nx) - 1, len(nb) - 1)))
+    assert abs(got["chi2_q"] - chi2) < 2e-3
+    assert abs(got["v_q6"] - v) < 1e-5
+    # perfectly independent table → chi2 0 (absent-cell fold exact)
+    ind = spark.createDataFrame(
+        [("a", 1.0), ("a", 9.0), ("b", 1.0), ("b", 9.0)] * 3,
+        "x STRING, v DOUBLE",
+    )
+    r = evaluation.chi_square_cramers_v(ind, "x", "v", 0.0, 10.0, 2).collect()[0]
+    assert r["chi2_q"] == 0.0 and r["v_q6"] == 0.0
+
+
+def _brute_lcs(a, b):
+    m, n = len(a), len(b)
+    dp = [[0] * (n + 1) for _ in range(m + 1)]
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            dp[i][j] = (
+                dp[i - 1][j - 1] + 1
+                if a[i - 1] == b[j - 1]
+                else max(dp[i - 1][j], dp[i][j - 1])
+            )
+    return dp[m][n]
+
+
+def test_rouge_l_matches_bruteforce(spark):
+    from pdf_to_vectordb_etl_spark.operators import evaluation
+
+    random.seed(5)
+    vocab = ["w%d" % i for i in range(12)]
+    rows = []
+    for i in range(40):
+        c = [random.choice(vocab) for _ in range(random.randint(0, 30))]
+        r = [random.choice(vocab) for _ in range(random.randint(0, 30))]
+        rows.append((i, " ".join(c), " ".join(r)))
+    d = spark.createDataFrame(rows, "id INT, cand STRING, ref STRING")
+    got = evaluation.rouge_l_corpus(d, max_words=48).collect()[0]
+    tot_l = sum(
+        _brute_lcs(c.split() if c else [], r.split() if r else [])
+        for _, c, r in rows
+    )
+    tot_m = sum(len(c.split()) for _, c, _ in rows)
+    tot_n = sum(len(r.split()) for _, _, r in rows)
+    assert got["lcs_sum"] == tot_l
+    assert got["c_words"] == tot_m and got["r_words"] == tot_n
+    p, r = tot_l / tot_m, tot_l / tot_n
+    assert abs(got["rl_f_q6"] - 2 * p * r / (p + r)) < 2e-6
+    # identical → full credit; empty candidate and disjoint pair
+    # neither crash nor contribute LCS; truncation cap honored
+    e = spark.createDataFrame(
+        [(1, "a b c", "a b c"), (2, "", "x y"), (3, "q", "z")],
+        "id INT, cand STRING, ref STRING",
+    )
+    row = evaluation.rouge_l_corpus(e).collect()[0]
+    assert row["lcs_sum"] == 3 and row["rl_r_q6"] == 0.5
+    long_pair = spark.createDataFrame(
+        [(1, " ".join(["t"] * 100), " ".join(["t"] * 100))],
+        "id INT, cand STRING, ref STRING",
+    )
+    row = evaluation.rouge_l_corpus(long_pair, max_words=48).collect()[0]
+    assert row["lcs_sum"] == 48 and row["c_words"] == 48
