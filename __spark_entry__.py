@@ -3169,14 +3169,23 @@ def q_blocklist_hits(spark, sf):
     corpus size. The pattern table is data-derived (top-10 most
     frequent >=6-char words, count-then-word ordered) so regenerated
     testdata can never make it degenerate; ASCII-projected BEFORE
-    lowering so both engines lowercase identical input."""
+    lowering so both engines lowercase identical input. The 10-row
+    pattern table is localCheckpointed (its derivation would otherwise
+    replay the corpus tokenize once for the matcher's .first() and
+    again under the broadcast), and the CPU-bound per-offset hash
+    scan spreads the small single-file input across the cores (the
+    cdc_chunks repartition rule — no-op-sized at multi-file scale)."""
     from pdf_to_vectordb_etl_spark.operators import textsearch
 
-    docs = _t(spark, sf, "documents").select(
-        "doc_id",
-        F.lower(
-            F.regexp_replace("text", r"[^\x20-\x7e]", "")
-        ).alias("text"),
+    docs = (
+        _t(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.lower(
+                F.regexp_replace("text", r"[^\x20-\x7e]", "")
+            ).alias("text"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     toks = docs.select(
         F.explode(textsearch.tokens(F.col("text"))).alias("w")
@@ -3187,6 +3196,7 @@ def q_blocklist_hits(spark, sf):
         .orderBy(F.desc("c"), "w")
         .limit(10)
         .select(F.col("w").alias("pattern"))
+        .localCheckpoint(eager=True)
     )
     return textsearch.multi_pattern_hits(docs, pats).orderBy(
         "doc_id", "pattern"
@@ -3293,6 +3303,9 @@ def q_t22_stream_blocklist(spark, sf):
         .orderBy(F.desc("c"), "w")
         .limit(10)
         .select(F.col("w").alias("pattern"))
+        # materialize once: the emptiness probe, the prefix table's
+        # .first(), and the per-batch broadcast all reuse these 10 rows
+        .localCheckpoint(eager=True)
     )
     if pats.limit(1).count() == 0:
         # degenerate corpus (no >=6-char words): the batch matcher
@@ -10484,12 +10497,18 @@ def oracle_sql() -> dict[str, str]:
               FROM pairs GROUP BY lag)
             SELECT CAST(lag AS INT) AS lag, n_pairs,
                    CASE WHEN n_pairs >= 2
-                         AND n_pairs * sxx - sx * sx > 0
-                         AND n_pairs * syy - sy * sy > 0
+                         AND CAST(n_pairs AS HUGEINT) * sxx
+                             - CAST(sx AS HUGEINT) * sx > 0
+                         AND CAST(n_pairs AS HUGEINT) * syy
+                             - CAST(sy AS HUGEINT) * sy > 0
                    THEN floor(
-                     CAST(n_pairs * sxy - sx * sy AS DOUBLE)
-                     / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
-                        * sqrt(CAST(n_pairs * syy - sy * sy
+                     CAST(CAST(n_pairs AS HUGEINT) * sxy
+                          - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                     / (sqrt(CAST(CAST(n_pairs AS HUGEINT) * sxx
+                                  - CAST(sx AS HUGEINT) * sx
+                                  AS DOUBLE))
+                        * sqrt(CAST(CAST(n_pairs AS HUGEINT) * syy
+                                    - CAST(sy AS HUGEINT) * sy
                                     AS DOUBLE)))
                      * 1e6) / 1e6
                    END AS r_q6

@@ -107,6 +107,9 @@ def main() -> None:
         "ddsketch_quantiles",      # mergeable quantile sketch (r5)
         "equi_depth_bins",         # distributed exact ntile (r5)
         "adaboost_stumps",         # boosted stumps, one-pass histogram (r5)
+        "skyline_pareto",          # Pareto frontier, sorted-scan (r5)
+        "mann_whitney_u",          # rank-sum via global prefix sums (r5)
+        "rouge_l",                 # wavefront LCS DP (r5)
         "enem_questions" if "enem_questions" in entry.queries() else "ta_fingerprint",
     ]
     qs = entry.queries()

@@ -957,9 +957,18 @@ def autocorr_lags(
         F.sum(F.col("_x") * F.col("_y")).cast("long").alias("sxy"),
     )
     n = F.col("n_pairs")
-    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
-    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
-    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    # the n·Σ products overflow int64 one scale step before the sums
+    # do (bit by the ×10 replica) — promote them to exact
+    # DECIMAL(38,0), the ols_closed_form / money_exact precedent;
+    # DuckDB mirrors with HUGEINT
+    dec = "decimal(38,0)"
+
+    def d(c):
+        return c.cast(dec)
+
+    vx = d(n) * d(F.col("sxx")) - d(F.col("sx")) * d(F.col("sx"))
+    vy = d(n) * d(F.col("syy")) - d(F.col("sy")) * d(F.col("sy"))
+    cov = d(n) * d(F.col("sxy")) - d(F.col("sx")) * d(F.col("sy"))
     r = cov.cast("double") / (
         F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))
     )

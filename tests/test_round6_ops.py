@@ -467,3 +467,19 @@ def test_rouge_l_matches_bruteforce(spark):
     )
     row = evaluation.rouge_l_corpus(long_pair, max_words=48).collect()[0]
     assert row["lcs_sum"] == 48 and row["c_words"] == 48
+
+
+def test_autocorr_big_magnitudes_use_exact_decimal(spark):
+    # n·Σx² > 2^63 for this series: the cross products must run in
+    # DECIMAL(38,0) (the ×10-replica overflow regression)
+    from pdf_to_vectordb_etl_spark.operators import aggregates
+
+    n = 2500
+    xs = [(t, 1_500_000 + (t % 9) * 137) for t in range(n)]
+    d = spark.createDataFrame(xs, "t INT, x LONG")
+    got = {
+        r["lag"]: r["r_q6"]
+        for r in aggregates.autocorr_lags(d, "t", "x", 9).collect()
+    }
+    assert abs(got[9] - 1.0) < 1e-5  # planted period still exact
+    assert all(v is not None for v in got.values())
