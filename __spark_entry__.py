@@ -3026,6 +3026,109 @@ def q_rouge_l(spark, sf):
     )
 
 
+def q_cuped_readout(spark, sf):
+    """CUPED variance-reduced A/B readout: md5-bucket arms, pre/post
+    split at the (min+max)//2 timestamp midpoint (one bounded driver
+    action — the blocklist .first() precedent), θ = cov/var from
+    exact int64 moment sums with DECIMAL(38,0) cross products, per-arm
+    adjusted means 1e-6-floored."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation
+
+    ev = _t(spark, sf, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    b = ev.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx")).first()
+    split = (int(b["mn"]) + int(b["mx"])) // 2
+    arm = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    return evaluation.cuped_adjusted(
+        ev, "user_id", "ts", "value", split_ts=split, arm_expr=arm
+    )
+
+
+def q_jackknife_ratio(spark, sf):
+    """Grouped delete-1 jackknife SE for revenue-per-view (a ratio of
+    sums over cluster-correlated events): 32 deterministic user
+    shards, one corpus agg to exact (num, den) partials, ≤32-row
+    finale with 1e-9-floored leave-one-out replicates."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation
+
+    ev = _t(spark, sf, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    return evaluation.jackknife_ratio_se(
+        ev,
+        F.pmod(F.col("user_id"), F.lit(32)),
+        F.when(
+            F.col("event_type") == "purchase", F.floor("value")
+        ).otherwise(0),
+        F.when(F.col("event_type") == "view", F.floor("value")).otherwise(
+            0
+        ),
+        n_buckets=32,
+    )
+
+
+def q_attribution_touch(spark, sf):
+    """First/last-touch conversion attribution with a 7-day lookback:
+    touches collapsed to one row per (user, ts) by deterministic
+    struct min/max so the per-user RANGE window (value-based frames —
+    tie-proof by construction) sees unique order keys; one union + one
+    linear window pass, no self-join, per-user partitions only."""
+    from pdf_to_vectordb_etl_spark.operators import aggregates
+
+    ev = _t(spark, sf, "events")
+    return aggregates.touch_attribution(
+        ev, lookback=7 * 86_400 * 1_000_000_000
+    ).orderBy("conversion_id")
+
+
+def q_benford_law(spark, sf):
+    """Benford first-digit screen on order totals: digit read from the
+    floor-quantized INTEGER's decimal string (no log10 in the scan, no
+    float dice, engine-portable), one hash agg into ≤10 rows, chi² +
+    MAD finales on exact counts with log10(1+1/d) as shared literal
+    constants and closed-form absent-digit folds."""
+    from pdf_to_vectordb_etl_spark.operators import profiling
+
+    o = _t(spark, sf, "orders")
+    return profiling.benford_first_digit(o, "o_totalprice", scale=100)
+
+
+def q_t24_stream_benford(spark, sf):
+    """T24 — live Benford drift screen: the ≤10-row digit-count table
+    maintained as an associative streaming agg, snapshot into the
+    IDENTICAL benford_finale as the batch path (the T-twin shared-
+    finale contract), so the batch SQL is the parity oracle."""
+    import tempfile
+
+    from pdf_to_vectordb_etl_spark.operators import profiling
+
+    raw_schema = spark.read.parquet(f"{sf}/orders.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf)
+    )
+    live = profiling.benford_digit_counts(stream, "o_totalprice", 100)
+    name = "t24_benford"
+    q = (
+        live.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t24ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    return profiling.benford_finale(spark.table(name))
+
+
 def q_t23_stream_skyline(spark, sf):
     """T23 — live Pareto frontier: per-user engagement totals
     maintained as an associative streaming agg (state bounded by user
@@ -7037,11 +7140,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anova_value_by_type": q_anova_value_by_type,
         "cramers_v": q_cramers_v,
         "rouge_l": q_rouge_l,
+        "attribution_touch": q_attribution_touch,
+        "benford_law": q_benford_law,
+        "t24_stream_benford": q_t24_stream_benford,
+        "cuped_readout": q_cuped_readout,
+        "jackknife_ratio": q_jackknife_ratio,
         "t21_stream_ddsketch": q_t21_stream_ddsketch,
         "t22_stream_blocklist": q_t22_stream_blocklist,
         "tree_rollup": q_tree_rollup,
         "runs_test": q_runs_test,
     }
+
+
+def _benford_oracle_sql() -> str:
+    """Replay of profiling.benford_first_digit on orders.o_totalprice:
+    identical integer-string digit extraction, the SAME float literals
+    for log10(1+1/d) (repr-embedded so both engines parse the same
+    doubles), per-digit 1e-9 floors before exact sums, closed-form
+    absent-digit folds."""
+    import math
+
+    probs = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
+    full_p9 = int(sum(math.floor(probs[d] * 1e9) for d in range(1, 10)))
+    p_case = "CASE d " + " ".join(
+        f"WHEN {d} THEN {probs[d]!r}" for d in range(1, 10)
+    ) + " END"
+    c_cols = ",\n                ".join(
+        f"CAST(coalesce(sum(CASE WHEN d = {d} THEN c ELSE 0 END), 0)"
+        f" AS BIGINT) AS c{d}"
+        for d in range(1, 10)
+    )
+    share_cols = ",\n                   ".join(
+        f"CASE WHEN n > 0 THEN floor(c{d} * 1000000 / n) / 1e6 END"
+        f" AS d{d}_q6"
+        for d in range(1, 10)
+    )
+    return f"""
+            WITH ints AS (
+              SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS i
+              FROM orders WHERE o_totalprice IS NOT NULL),
+            counts AS MATERIALIZED (
+              SELECT CASE WHEN i >= 1 THEN CAST(substr(
+                       CAST(i AS VARCHAR), 1, 1) AS INT)
+                     ELSE 0 END AS d,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM ints GROUP BY 1),
+            tot AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n
+                    FROM counts WHERE d >= 1),
+            skipped AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT)
+                          AS n_skipped
+                        FROM counts WHERE d = 0),
+            present AS (
+              SELECT
+                CAST(coalesce(sum(CAST(floor(
+                  (CAST(c AS DOUBLE) - CAST(n AS DOUBLE) * ({p_case}))
+                  * (CAST(c AS DOUBLE) - CAST(n AS DOUBLE)
+                     * ({p_case}))
+                  / (CAST(n AS DOUBLE) * ({p_case}))
+                  * 1e9) AS BIGINT)), 0) AS BIGINT) AS chi9,
+                CAST(coalesce(sum(CAST(floor(
+                  abs(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                      - ({p_case}))
+                  * 1e9) AS BIGINT)), 0) AS BIGINT) AS mad9,
+                CAST(coalesce(sum(CAST(floor(({p_case}) * 1e9)
+                  AS BIGINT)), 0) AS BIGINT) AS pmass9,
+                {c_cols}
+              FROM counts, tot WHERE d >= 1)
+            SELECT n, n_skipped,
+                   {share_cols},
+                   CASE WHEN n > 0
+                   THEN floor((chi9 / 1e9
+                               + CAST(n AS DOUBLE)
+                                 * (({full_p9} - pmass9) / 1e9))
+                              * 1e3) / 1e3
+                   END AS chi2_q,
+                   CASE WHEN n > 0
+                   THEN floor((mad9 / 1e9
+                               + ({full_p9} - pmass9) / 1e9) / 9.0
+                              * 1e6) / 1e6
+                   END AS mad_q6
+            FROM tot, present, skipped
+        """
 
 
 # --------------------------------------------------------------------------
@@ -10346,6 +10525,173 @@ def oracle_sql() -> dict[str, str]:
                    WHEN c_words > 0 AND r_words > 0 THEN 0.0
                    END AS rl_f_q6
             FROM s
+        """,
+        # attribution_touch: same collapse + value-based RANGE window
+        # with IGNORE NULLS, struct min/max tie-break replayed verbatim
+        "attribution_touch": """
+            WITH base AS (
+              SELECT event_id, user_id, epoch_ns(ts) AS t, event_type
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            tou AS (
+              SELECT user_id, t,
+                     min({'t': t, 'i': event_id, 'y': event_type})
+                       AS ft,
+                     max({'t': t, 'i': event_id, 'y': event_type})
+                       AS lt
+              FROM base WHERE event_type IN ('view', 'click')
+              GROUP BY user_id, t),
+            un AS (
+              SELECT user_id, t, ft, lt, NULL AS conv FROM tou
+              UNION ALL
+              SELECT user_id, t, NULL, NULL, event_id
+              FROM base WHERE event_type = 'purchase'),
+            lined AS (
+              SELECT user_id, t, conv,
+                     first_value(ft IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY t
+                       RANGE BETWEEN 604800000000000 PRECEDING
+                       AND 1 PRECEDING) AS f,
+                     last_value(lt IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY t
+                       RANGE BETWEEN 604800000000000 PRECEDING
+                       AND 1 PRECEDING) AS l
+              FROM un)
+            SELECT user_id,
+                   CAST(conv AS BIGINT) AS conversion_id,
+                   t AS conversion_ts,
+                   f.i AS first_touch_id,
+                   f.y AS first_touch_type,
+                   t - f.t AS first_gap,
+                   l.i AS last_touch_id,
+                   l.y AS last_touch_type,
+                   t - l.t AS last_gap
+            FROM lined WHERE conv IS NOT NULL
+            ORDER BY conversion_id
+        """,
+        "benford_law": _benford_oracle_sql(),
+        # cuped_readout: identical moment algebra, HUGEINT products
+        "cuped_readout": """
+            WITH ev AS MATERIALIZED (
+              SELECT user_id, epoch_ns(ts) AS t, value,
+                     CASE WHEN substr(md5(CAST(user_id AS VARCHAR)),
+                                       1, 1) < '8'
+                          THEN 'A' ELSE 'B' END AS arm
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND value IS NOT NULL),
+            bounds AS (
+              SELECT (min(t) + max(t)) // 2 AS sp FROM ev),
+            users AS MATERIALIZED (
+              SELECT user_id, arm,
+                     CAST(sum(CASE WHEN t < sp
+                              THEN CAST(floor(value) AS BIGINT)
+                              ELSE 0 END) AS BIGINT) AS x,
+                     CAST(sum(CASE WHEN t >= sp
+                              THEN CAST(floor(value) AS BIGINT)
+                              ELSE 0 END) AS BIGINT) AS y
+              FROM ev, bounds GROUP BY user_id, arm),
+            pool AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(coalesce(sum(x), 0) AS BIGINT) AS sx,
+                     CAST(coalesce(sum(y), 0) AS BIGINT) AS sy,
+                     CAST(coalesce(sum(x * x), 0) AS BIGINT) AS sxx,
+                     CAST(coalesce(sum(y * y), 0) AS BIGINT) AS syy,
+                     CAST(coalesce(sum(x * y), 0) AS BIGINT) AS sxy
+              FROM users),
+            arms AS (
+              SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+                     CAST(sum(x) AS BIGINT) AS ax,
+                     CAST(sum(y) AS BIGINT) AS ay
+              FROM users GROUP BY arm)
+            SELECT arm, n_users,
+                   floor(CAST(ay AS DOUBLE) / n_users * 1e6) / 1e6
+                     AS y_mean_q6,
+                   CASE WHEN n >= 2 AND CAST(CAST(n AS HUGEINT) * sxx
+                        - CAST(sx AS HUGEINT) * sx AS DOUBLE) > 0
+                   THEN floor((CAST(ay AS DOUBLE) / n_users
+                     - CAST(CAST(n AS HUGEINT) * sxy
+                            - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                       / CAST(CAST(n AS HUGEINT) * sxx
+                              - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                       * (CAST(ax AS DOUBLE) / n_users
+                          - CAST(sx AS DOUBLE) / n)) * 1e6) / 1e6
+                   END AS y_adj_q6,
+                   CASE WHEN n >= 2 AND CAST(CAST(n AS HUGEINT) * sxx
+                        - CAST(sx AS HUGEINT) * sx AS DOUBLE) > 0
+                   THEN floor(CAST(CAST(n AS HUGEINT) * sxy
+                              - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                        / CAST(CAST(n AS HUGEINT) * sxx
+                               - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                        * 1e6) / 1e6
+                   END AS theta_q6,
+                   CASE WHEN n >= 2 AND CAST(CAST(n AS HUGEINT) * sxx
+                        - CAST(sx AS HUGEINT) * sx AS DOUBLE) > 0
+                        AND CAST(CAST(n AS HUGEINT) * syy
+                            - CAST(sy AS HUGEINT) * sy AS DOUBLE) > 0
+                   THEN floor(CAST(CAST(n AS HUGEINT) * sxy
+                              - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                        * CAST(CAST(n AS HUGEINT) * sxy
+                               - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                        / (CAST(CAST(n AS HUGEINT) * sxx
+                                - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                           * CAST(CAST(n AS HUGEINT) * syy
+                                  - CAST(sy AS HUGEINT) * sy
+                                  AS DOUBLE)) * 1e6) / 1e6
+                   END AS rho2_q6
+            FROM arms, pool ORDER BY arm
+        """,
+        # jackknife_ratio: 32-shard LOO replay, 1e-9 replicate grid
+        "jackknife_ratio": """
+            WITH per AS MATERIALIZED (
+              SELECT CAST(user_id % 32 AS INT) AS bk,
+                     CAST(coalesce(sum(CASE WHEN event_type
+                                             = 'purchase'
+                              THEN CAST(floor(value) AS BIGINT)
+                              ELSE 0 END), 0) AS BIGINT) AS nb,
+                     CAST(coalesce(sum(CASE WHEN event_type = 'view'
+                              THEN CAST(floor(value) AS BIGINT)
+                              ELSE 0 END), 0) AS BIGINT) AS db
+              FROM events
+              WHERE user_id IS NOT NULL AND value IS NOT NULL
+              GROUP BY 1),
+            tot AS (
+              SELECT CAST(count(*) AS BIGINT) AS b,
+                     CAST(coalesce(sum(nb), 0) AS BIGINT) AS num,
+                     CAST(coalesce(sum(db), 0) AS BIGINT) AS den
+              FROM per),
+            moms AS (
+              SELECT
+                CAST(coalesce(sum(CASE WHEN den - db > 0
+                  THEN CAST(floor(
+                    CAST(num - nb AS DOUBLE)
+                    / CAST(den - db AS DOUBLE)
+                    * 1e9) AS BIGINT) END), 0) AS BIGINT) AS s1,
+                CAST(coalesce(sum(CASE WHEN den - db > 0
+                  THEN CAST(floor(
+                    (CAST(num - nb AS DOUBLE)
+                     / CAST(den - db AS DOUBLE))
+                    * (CAST(num - nb AS DOUBLE)
+                       / CAST(den - db AS DOUBLE))
+                    * 1e9) AS BIGINT) END), 0) AS BIGINT) AS s2,
+                CAST(coalesce(sum(CASE WHEN den - db <= 0
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+                  AS bad
+              FROM per, tot)
+            SELECT b, num, den,
+                   CASE WHEN den > 0
+                   THEN floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                              * 1e6) / 1e6 END AS r_q6,
+                   CASE WHEN b >= 2 AND bad = 0 AND den > 0
+                   THEN floor(sqrt(greatest(
+                     (CAST(b AS DOUBLE) - 1) / CAST(b AS DOUBLE)
+                     * (s2 / 1e9
+                        - CAST(b AS DOUBLE)
+                          * (s1 / 1e9 / CAST(b AS DOUBLE))
+                          * (s1 / 1e9 / CAST(b AS DOUBLE))),
+                     0.0)) * 1e6) / 1e6
+                   END AS se_q6
+            FROM tot, moms
         """,
         # mann_whitney_u: the literal one-window cumulative-rank form
         # the global_prefix_sum machinery must replicate bit-for-bit
@@ -14007,6 +14353,9 @@ def oracle_sql() -> dict[str, str]:
     # T23: per-user totals are associative, so the stream snapshot's
     # frontier must equal the batch skyline exactly
     d["t23_stream_skyline"] = d["skyline_pareto"]
+    # T24: digit counts are associative; the stream snapshot feeds the
+    # SAME benford_finale as batch
+    d["t24_stream_benford"] = d["benford_law"]
     # T22: per-row stateless matching + a <=10-row associative sum —
     # snapshot == the batch matcher aggregated per pattern
     d["t22_stream_blocklist"] = r"""

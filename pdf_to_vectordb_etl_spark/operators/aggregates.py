@@ -979,3 +979,101 @@ def autocorr_lags(
             (n >= 2) & (vx > 0) & (vy > 0), F.floor(r * 1e6) / 1e6
         ).alias("r_q6"),
     ).orderBy("lag")
+
+
+def touch_attribution(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    conversion: str = "purchase",
+    touch_types: tuple[str, ...] = ("view", "click"),
+    lookback: int = 7 * 86_400 * 1_000_000_000,
+) -> DataFrame:
+    """First-touch and last-touch conversion attribution — for every
+    conversion event, which touch (view/click) within the lookback
+    window gets the credit.  The classic marketing-analytics operator.
+
+    Tie-proof distributed shape: touches are first collapsed to ONE
+    row per (user, ts) via deterministic struct min/max (tuple order:
+    event id, then type), so the per-user ``RANGE BETWEEN lookback
+    PRECEDING AND 1 PRECEDING`` window sees distinct order keys and
+    ``first/last(…, ignorenulls)`` cannot depend on shuffle order —
+    RANGE frames are value-based, so conversions sharing a timestamp
+    with a touch exclude it consistently (strictly-preceding
+    semantics).  Per-user windows only (bounded partitions, never a
+    global sort); one union + one linear window pass, no self-join.
+
+    ``ts_col`` must be an integer epoch column (the engine's
+    canonical nanos); ``lookback`` shares its unit.
+
+    Returns one row per conversion: user, conversion id + ts,
+    first/last touch id + type + gap (NULL when no touch in
+    window)."""
+    from pyspark.sql import Window
+
+    base = events.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    )
+    touches = (
+        base.filter(F.col(type_col).isin(list(touch_types)))
+        .groupBy(user_col, ts_col)
+        .agg(
+            # ts leads the struct (constant within the group, so the
+            # (id, type) tie-break is unchanged) and rides along for
+            # the gap arithmetic downstream
+            F.min(
+                F.struct(
+                    F.col(ts_col).alias("t"),
+                    F.col(id_col).alias("i"),
+                    F.col(type_col).alias("y"),
+                )
+            ).alias("_ft"),
+            F.max(
+                F.struct(
+                    F.col(ts_col).alias("t"),
+                    F.col(id_col).alias("i"),
+                    F.col(type_col).alias("y"),
+                )
+            ).alias("_lt"),
+        )
+        .select(
+            user_col,
+            ts_col,
+            "_ft",
+            "_lt",
+            F.lit(None).cast("long").alias("_conv"),
+        )
+    )
+    convs = base.filter(F.col(type_col) == conversion).select(
+        user_col,
+        ts_col,
+        F.lit(None).cast(touches.schema["_ft"].dataType).alias("_ft"),
+        F.lit(None).cast(touches.schema["_lt"].dataType).alias("_lt"),
+        F.col(id_col).alias("_conv"),
+    )
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col)
+        .rangeBetween(-lookback, -1)
+    )
+    lined = touches.unionByName(convs).select(
+        user_col,
+        ts_col,
+        "_conv",
+        F.first("_ft", ignorenulls=True).over(w).alias("_f"),
+        F.last("_lt", ignorenulls=True).over(w).alias("_l"),
+    )
+    out = lined.filter(F.col("_conv").isNotNull())
+    return out.select(
+        F.col(user_col),
+        F.col("_conv").alias("conversion_id"),
+        F.col(ts_col).alias("conversion_ts"),
+        F.col("_f").getField("i").alias("first_touch_id"),
+        F.col("_f").getField("y").alias("first_touch_type"),
+        (F.col(ts_col) - F.col("_f").getField("t")).alias("first_gap"),
+        F.col("_l").getField("i").alias("last_touch_id"),
+        F.col("_l").getField("y").alias("last_touch_type"),
+        (F.col(ts_col) - F.col("_l").getField("t")).alias("last_gap"),
+    )

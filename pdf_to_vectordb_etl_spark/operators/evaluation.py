@@ -1765,3 +1765,180 @@ def rouge_l_corpus(
             F.when((cm > 0) & (rn > 0), F.lit(0.0))
         ).alias("rl_f_q6"),
     )
+
+
+def cuped_adjusted(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    split_ts: int,
+    arm_expr: Column,
+) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al. WSDM 2013) —
+    the industry-standard experiment analysis: adjust each arm's
+    post-period mean by θ·(pre-period covariate − pool mean), with θ
+    = cov(pre, post)/var(pre) estimated on the pooled users, cutting
+    metric variance by the pre/post correlation ρ².
+
+    Distributed shape: ONE hash agg folds the corpus to per-user
+    (pre, post) integer totals (values floor-quantized to the 1.0
+    grid — per-user sums get SQUARED in the moment products, so the
+    grid is sized for Σy² to fit int64; users with no pre-period
+    activity carry x = 0, documented choice), a second agg folds the
+    users to exact int64 moment sums with the n·Σ cross products in
+    DECIMAL(38,0) (the autocorr precedent), and the per-arm finale is
+    closed-form doubles of those exact integers, 1e-6 floor-quantized.
+
+    Returns one row per arm: arm, n_users, y_mean_q6, y_adj_q6,
+    theta_q6, rho2_q6 (the variance-reduction fraction; NULL when
+    var(pre) or var(post) is 0)."""
+    base = events.filter(
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("_u"),
+        arm_expr.alias("_arm"),
+        F.when(F.col(ts_col) < split_ts, F.floor(F.col(value_col)))
+        .otherwise(0)
+        .cast("long")
+        .alias("_xv"),
+        F.when(F.col(ts_col) >= split_ts, F.floor(F.col(value_col)))
+        .otherwise(0)
+        .cast("long")
+        .alias("_yv"),
+    )
+    users = base.groupBy("_u", "_arm").agg(
+        F.sum("_xv").cast("long").alias("x"),
+        F.sum("_yv").cast("long").alias("y"),
+    )
+    pool = users.agg(
+        F.count("*").cast("long").alias("n"),
+        F.coalesce(F.sum("x"), F.lit(0)).cast("long").alias("sx"),
+        F.coalesce(F.sum("y"), F.lit(0)).cast("long").alias("sy"),
+        F.coalesce(F.sum(F.col("x") * F.col("x")), F.lit(0))
+        .cast("long")
+        .alias("sxx"),
+        F.coalesce(F.sum(F.col("y") * F.col("y")), F.lit(0))
+        .cast("long")
+        .alias("syy"),
+        F.coalesce(F.sum(F.col("x") * F.col("y")), F.lit(0))
+        .cast("long")
+        .alias("sxy"),
+    )
+    dec = "decimal(38,0)"
+
+    def d(c):
+        return c.cast(dec)
+
+    n = F.col("n")
+    vx = (d(n) * d(F.col("sxx")) - d(F.col("sx")) * d(F.col("sx"))).cast(
+        "double"
+    )
+    vy = (d(n) * d(F.col("syy")) - d(F.col("sy")) * d(F.col("sy"))).cast(
+        "double"
+    )
+    cv = (d(n) * d(F.col("sxy")) - d(F.col("sx")) * d(F.col("sy"))).cast(
+        "double"
+    )
+    theta = cv / vx
+    rho2 = cv * cv / (vx * vy)
+    xbar = F.col("sx").cast("double") / F.col("n")
+    arms = users.groupBy("_arm").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("ax"),
+        F.sum("y").cast("long").alias("ay"),
+    )
+    row = arms.crossJoin(F.broadcast(pool))
+    ymean = F.col("ay").cast("double") / F.col("n_users")
+    xmean = F.col("ax").cast("double") / F.col("n_users")
+    ok = (F.col("n") >= 2) & (vx > 0)
+    adj = ymean - theta * (xmean - xbar)
+    return row.select(
+        F.col("_arm").alias("arm"),
+        "n_users",
+        (F.floor(ymean * 1e6) / 1e6).alias("y_mean_q6"),
+        F.when(ok, F.floor(adj * 1e6) / 1e6).alias("y_adj_q6"),
+        F.when(ok, F.floor(theta * 1e6) / 1e6).alias("theta_q6"),
+        F.when(ok & (vy > 0), F.floor(rho2 * 1e6) / 1e6).alias(
+            "rho2_q6"
+        ),
+    ).orderBy("arm")
+
+
+def jackknife_ratio_se(
+    events: DataFrame,
+    bucket_expr: Column,
+    num_expr: Column,
+    den_expr: Column,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Leave-one-bucket-out (delete-1 grouped jackknife) standard
+    error for a RATIO metric — the standard error machinery for
+    cluster-correlated experiment metrics like revenue-per-view,
+    where the delta method's independence assumption fails (Efron
+    1981; every large A/B platform ships this).
+
+    Distributed shape: one corpus hash agg folds everything to
+    ``n_buckets`` exact integer (num, den) partial sums (buckets are
+    deterministic user shards, so replicates respect the clustering),
+    then the ≤n_buckets-row finale computes each leave-one-out ratio
+    (N−n_b)/(D−d_b) as a deterministic double, 1e-9 floor-quantized
+    BEFORE the cross-bucket moment sums (partition-order-proof), and
+    SE = sqrt((B−1)/B · Σ(LOO_b − mean)²) in closed form from those
+    exact grid integers.  NULL when any leave-one-out denominator is
+    ≤ 0 (the replicate set is undefined).
+
+    Returns one row: b (buckets present), num, den, r_q6, se_q6."""
+    per = events.groupBy(
+        (bucket_expr % n_buckets).cast("int").alias("bk")
+    ).agg(
+        F.coalesce(F.sum(num_expr), F.lit(0)).cast("long").alias("nb"),
+        F.coalesce(F.sum(den_expr), F.lit(0)).cast("long").alias("db"),
+    )
+    tot = per.agg(
+        F.count("*").cast("long").alias("b"),
+        F.coalesce(F.sum("nb"), F.lit(0)).cast("long").alias("num"),
+        F.coalesce(F.sum("db"), F.lit(0)).cast("long").alias("den"),
+    )
+    q9 = lambda c: F.floor(c * 1e9).cast("long")  # noqa: E731
+    j = per.crossJoin(F.broadcast(tot))
+    # ANSI raises on /0 even for doubles: undefined replicates are
+    # NULL (skipped by the sums) and counted by _bad, which NULLs se
+    loo = F.when(
+        F.col("den") - F.col("db") > 0,
+        (F.col("num") - F.col("nb")).cast("double")
+        / (F.col("den") - F.col("db")).cast("double"),
+    )
+    moms = j.agg(
+        F.coalesce(F.sum(q9(loo)), F.lit(0)).alias("_s1"),
+        F.coalesce(F.sum(q9(loo * loo)), F.lit(0)).alias("_s2"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("den") - F.col("db") <= 0, 1).otherwise(0)
+            ),
+            F.lit(0),
+        ).cast("long").alias("_bad"),
+    )
+    row = tot.crossJoin(moms)
+    b = F.col("b").cast("double")
+    m1 = F.col("_s1") / 1e9 / b
+    # greatest(·, 0): the two grids can leave an O(1e-9) negative
+    # residue when every replicate is identical — that IS se = 0
+    var = F.greatest(
+        (b - 1) / b * (F.col("_s2") / 1e9 - b * m1 * m1), F.lit(0.0)
+    )
+    r = F.col("num").cast("double") / F.col("den").cast("double")
+    return row.select(
+        "b",
+        "num",
+        "den",
+        F.when(F.col("den") > 0, F.floor(r * 1e6) / 1e6).alias("r_q6"),
+        F.when(
+            (F.col("b") >= 2)
+            & (F.col("_bad") == 0)
+            & (F.col("den") > 0),
+            F.floor(F.sqrt(var) * 1e6) / 1e6,
+        ).alias("se_q6"),
+    )

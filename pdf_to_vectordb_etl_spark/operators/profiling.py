@@ -238,3 +238,111 @@ def fd_violations(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def benford_digit_counts(
+    df: DataFrame, value_col: str, scale: int = 100
+) -> DataFrame:
+    """(d, c) first-significant-digit counts for Benford screening —
+    d = 0 collects the rows with no leading digit on the grid
+    (value ≤ 0).  ≤10 rows, associative counts: runs identically as a
+    batch agg or a streaming complete-mode agg (the T-twin shared-
+    finale contract).  The digit is read from the floor-quantized
+    INTEGER's decimal string — no log10, no float-boundary dice,
+    engine-portable digit extraction."""
+    v = F.floor(F.col(value_col) * scale).cast("long")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(v.alias("_i"))
+        .select(
+            F.when(
+                F.col("_i") >= 1,
+                F.substring(F.col("_i").cast("string"), 1, 1).cast("int"),
+            )
+            .otherwise(F.lit(0))
+            .alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def benford_finale(counts: DataFrame) -> DataFrame:
+    """Chi-square + MAD Benford verdict from a (d, c) digit-count
+    table (d = 0 rows are the skipped non-positive count) — shared by
+    the batch operator and the T24 streaming twin, so the stream
+    snapshot hash-matches the batch SQL by construction.
+
+    Expected probabilities log10(1+1/d) enter as literal constants
+    (identical on both engines); each digit's chi/MAD contribution is
+    1e-9-floored before the exact-integer sum; absent digits fold in
+    closed form via the remaining probability mass."""
+    import math as _math
+
+    probs = {d: _math.log10(1 + 1 / d) for d in range(1, 10)}
+    pos = counts.filter(F.col("d") >= 1)
+    skipped = counts.filter(F.col("d") == 0).agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_skipped")
+    )
+    q9 = lambda c: F.floor(c * 1e9).cast("long")  # noqa: E731
+    tot = pos.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n")
+    )
+    nn = F.col("n").cast("double")
+    enriched = pos.crossJoin(F.broadcast(tot))
+    p_of_d = None
+    for d in range(1, 10):
+        term = F.when(F.col("d") == d, F.lit(float(probs[d])))
+        p_of_d = term if p_of_d is None else F.coalesce(p_of_d, term)
+    obs_share = F.col("c").cast("double") / nn
+    chi_term = (
+        (F.col("c").cast("double") - nn * p_of_d)
+        * (F.col("c").cast("double") - nn * p_of_d)
+        / (nn * p_of_d)
+    )
+    mad_term = F.abs(obs_share - p_of_d)
+    present = enriched.agg(
+        F.coalesce(F.sum(q9(chi_term)), F.lit(0)).alias("_chi9"),
+        F.coalesce(F.sum(q9(mad_term)), F.lit(0)).alias("_mad9"),
+        F.coalesce(F.sum(q9(p_of_d)), F.lit(0)).alias("_pmass9"),
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("d") == d, F.col("c")).otherwise(0)),
+                F.lit(0),
+            ).cast("long").alias(f"_c{d}")
+            for d in range(1, 10)
+        ],
+    )
+    row = tot.crossJoin(present).crossJoin(F.broadcast(skipped))
+    full_p9 = int(sum(_math.floor(probs[d] * 1e9) for d in range(1, 10)))
+    missing_p = (F.lit(full_p9) - F.col("_pmass9")) / 1e9
+    chi2 = F.col("_chi9") / 1e9 + nn * missing_p
+    mad = (F.col("_mad9") / 1e9 + missing_p) / 9.0
+    shares = [
+        F.when(
+            F.col("n") > 0,
+            F.floor(F.col(f"_c{d}") * 1000000 / F.col("n")) / 1e6,
+        ).alias(f"d{d}_q6")
+        for d in range(1, 10)
+    ]
+    return row.select(
+        "n",
+        "n_skipped",
+        *shares,
+        F.when(F.col("n") > 0, F.floor(chi2 * 1e3) / 1e3).alias("chi2_q"),
+        F.when(F.col("n") > 0, F.floor(mad * 1e6) / 1e6).alias("mad_q6"),
+    )
+
+
+def benford_first_digit(
+    df: DataFrame, value_col: str, scale: int = 100
+) -> DataFrame:
+    """Benford's-law first-significant-digit test — the classic
+    fabricated-data / corruption screen for naturally-occurring
+    positive quantities (Benford 1938; Nigrini's audit standard).
+    One corpus hash agg into ≤10 rows (:func:`benford_digit_counts`),
+    then the shared :func:`benford_finale`.
+
+    Returns one row: n, n_skipped (value ≤ 0 on the grid),
+    d1_q6..d9_q6 observed shares, chi2_q (3dp), mad_q6."""
+    return benford_finale(benford_digit_counts(df, value_col, scale))

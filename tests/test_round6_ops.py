@@ -483,3 +483,208 @@ def test_autocorr_big_magnitudes_use_exact_decimal(spark):
     }
     assert abs(got[9] - 1.0) < 1e-5  # planted period still exact
     assert all(v is not None for v in got.values())
+
+
+def test_benford_matches_bruteforce(spark):
+    from collections import Counter
+
+    from pdf_to_vectordb_etl_spark.operators import profiling
+
+    random.seed(13)
+    vals = [random.lognormvariate(5, 2) for _ in range(3000)] + [
+        -1.0, 0.0, 0.001,
+    ]
+    d = spark.createDataFrame([(v,) for v in vals], "v DOUBLE")
+    got = profiling.benford_first_digit(d, "v", scale=100).collect()[0]
+    ints = [math.floor(v * 100) for v in vals]
+    pos = [i for i in ints if i >= 1]
+    digs = Counter(int(str(i)[0]) for i in pos)
+    n = len(pos)
+    probs = {dd: math.log10(1 + 1 / dd) for dd in range(1, 10)}
+    chi2 = sum(
+        (digs.get(dd, 0) - n * probs[dd]) ** 2 / (n * probs[dd])
+        for dd in range(1, 10)
+    )
+    mad = sum(
+        abs(digs.get(dd, 0) / n - probs[dd]) for dd in range(1, 10)
+    ) / 9
+    assert got["n"] == n and got["n_skipped"] == len(ints) - n
+    assert abs(got["chi2_q"] - chi2) < 5e-3
+    assert abs(got["mad_q6"] - mad) < 2e-6
+    assert got["d1_q6"] == math.floor(digs[1] * 1e6 / n) / 1e6
+    # absent digits fold in closed form: only digit 1 present
+    one = spark.createDataFrame([(1.0,)] * 50, "v DOUBLE")
+    g2 = profiling.benford_first_digit(one, "v", scale=100).collect()[0]
+    chi2b = sum(
+        ((50 if dd == 1 else 0) - 50 * probs[dd]) ** 2 / (50 * probs[dd])
+        for dd in range(1, 10)
+    )
+    assert abs(g2["chi2_q"] - chi2b) < 5e-3
+
+
+def test_touch_attribution_matches_bruteforce(spark):
+    from pdf_to_vectordb_etl_spark.operators import aggregates
+
+    random.seed(17)
+    rows, eid = [], 0
+    for u in range(8):
+        t = 0
+        for _ in range(60):
+            t += random.randint(1, 10)
+            typ = random.choice(["view", "click", "purchase", "error"])
+            rows.append((eid, u, t, typ))
+            eid += 1
+    # tie hazards: two touches at one ts, a purchase sharing a touch ts
+    rows += [
+        (9000, 1, 500, "view"), (9001, 1, 500, "click"),
+        (9002, 1, 500, "purchase"), (9003, 1, 501, "purchase"),
+    ]
+    d = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, ts LONG, event_type STRING"
+    )
+    w = 25
+    got = {
+        r["conversion_id"]: r
+        for r in aggregates.touch_attribution(d, lookback=w).collect()
+    }
+    by_user = {}
+    for e in rows:
+        by_user.setdefault(e[1], []).append(e)
+    n_conv = 0
+    for u, es in by_user.items():
+        touches = [e for e in es if e[3] in ("view", "click")]
+        for e in es:
+            if e[3] != "purchase":
+                continue
+            n_conv += 1
+            cand = [t for t in touches if e[2] - w <= t[2] <= e[2] - 1]
+            g = got[e[0]]
+            if not cand:
+                assert g["first_touch_id"] is None
+                assert g["last_touch_id"] is None
+                continue
+            tmin = min(t[2] for t in cand)
+            tmax = max(t[2] for t in cand)
+            fexp = min(
+                (t for t in cand if t[2] == tmin),
+                key=lambda t: (t[0], t[3]),
+            )
+            lexp = max(
+                (t for t in cand if t[2] == tmax),
+                key=lambda t: (t[0], t[3]),
+            )
+            assert g["first_touch_id"] == fexp[0]
+            assert g["last_touch_id"] == lexp[0]
+            assert g["first_gap"] == e[2] - tmin
+            assert g["last_gap"] == e[2] - tmax
+    assert len(got) == n_conv
+
+
+def test_cuped_matches_bruteforce(spark):
+    from collections import Counter
+
+    import pyspark.sql.functions as SF
+
+    from pdf_to_vectordb_etl_spark.operators import evaluation
+
+    random.seed(21)
+    rows = []
+    for u in range(60):
+        base = random.uniform(50, 150)
+        for t in range(20):
+            rows.append((u, t * 10, base + random.uniform(-10, 10)))
+    d = spark.createDataFrame(rows, "user_id LONG, ts LONG, value DOUBLE")
+    arm = SF.when(SF.col("user_id") % 2 == 0, "A").otherwise("B")
+    got = {
+        r["arm"]: r
+        for r in evaluation.cuped_adjusted(
+            d, "user_id", "ts", "value", split_ts=100, arm_expr=arm
+        ).collect()
+    }
+    ux, uy = Counter(), Counter()
+    for u, ts, v in rows:
+        (ux if ts < 100 else uy)[u] += math.floor(v)
+    users = sorted({u for u, _, _ in rows})
+    xs = [ux.get(u, 0) for u in users]
+    ys = [uy.get(u, 0) for u in users]
+    n = len(users)
+    mx, my = sum(xs) / n, sum(ys) / n
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    vx = sum((x - mx) ** 2 for x in xs)
+    vy = sum((y - my) ** 2 for y in ys)
+    theta = cov / vx
+    for a, sel in [("A", 0), ("B", 1)]:
+        us = [u for u in users if u % 2 == sel]
+        ym = sum(uy.get(u, 0) for u in us) / len(us)
+        xm = sum(ux.get(u, 0) for u in us) / len(us)
+        g = got[a]
+        assert abs(g["y_adj_q6"] - (ym - theta * (xm - mx))) < 1e-4
+        assert abs(g["theta_q6"] - theta) < 1e-4
+        assert abs(g["rho2_q6"] - cov * cov / (vx * vy)) < 1e-4
+    # CUPED must shrink the gap toward the true zero effect when the
+    # covariate carries the user baseline: adj means differ less than
+    # raw means across arms
+    raw_gap = abs(got["A"]["y_mean_q6"] - got["B"]["y_mean_q6"])
+    adj_gap = abs(got["A"]["y_adj_q6"] - got["B"]["y_adj_q6"])
+    assert adj_gap <= raw_gap
+
+
+def test_jackknife_ratio_matches_bruteforce(spark):
+    from collections import Counter
+
+    import pyspark.sql.functions as SF
+
+    from pdf_to_vectordb_etl_spark.operators import evaluation
+
+    random.seed(23)
+    rows = []
+    for u in range(200):
+        for _ in range(random.randint(1, 5)):
+            rows.append(
+                (u, random.choice(["view", "purchase"]),
+                 random.uniform(1, 100))
+            )
+    d = spark.createDataFrame(
+        rows, "user_id LONG, event_type STRING, value DOUBLE"
+    )
+    got = evaluation.jackknife_ratio_se(
+        d,
+        SF.col("user_id"),
+        SF.when(
+            SF.col("event_type") == "purchase", SF.floor("value")
+        ).otherwise(0),
+        SF.when(
+            SF.col("event_type") == "view", SF.floor("value")
+        ).otherwise(0),
+        n_buckets=32,
+    ).collect()[0]
+    bn, bd = Counter(), Counter()
+    for u, t, v in rows:
+        (bn if t == "purchase" else bd)[u % 32] += math.floor(v)
+    bks = sorted(set(bn) | set(bd))
+    tn, td = sum(bn.values()), sum(bd.values())
+    loos = [(tn - bn.get(b, 0)) / (td - bd.get(b, 0)) for b in bks]
+    bb = len(bks)
+    m = sum(loos) / bb
+    se = math.sqrt((bb - 1) / bb * sum((x - m) ** 2 for x in loos))
+    assert got["b"] == bb and got["num"] == tn and got["den"] == td
+    assert abs(got["r_q6"] - tn / td) < 1e-5
+    assert abs(got["se_q6"] - se) < 1e-4
+    # a zero leave-one-out denominator makes the replicate set
+    # undefined -> NULL se (and no ANSI /0 crash)
+    z = spark.createDataFrame(
+        [(0, "purchase", 5.0), (1, "view", 3.0)],
+        "user_id LONG, event_type STRING, value DOUBLE",
+    )
+    g2 = evaluation.jackknife_ratio_se(
+        z,
+        SF.col("user_id"),
+        SF.when(
+            SF.col("event_type") == "purchase", SF.floor("value")
+        ).otherwise(0),
+        SF.when(
+            SF.col("event_type") == "view", SF.floor("value")
+        ).otherwise(0),
+        n_buckets=32,
+    ).collect()[0]
+    assert g2["se_q6"] is None and g2["r_q6"] is not None
