@@ -3073,6 +3073,73 @@ def q_jackknife_ratio(spark, sf):
     )
 
 
+def q_max_cover_select(spark, sf):
+    """Greedy max-coverage selection of 5 documents by distinct
+    3-shingle coverage (submodular data selection, (1−1/e) greedy):
+    one materialized doc→shingle-hash explode reused across rounds,
+    per-round left-anti join + hash agg + 1-row argmax collect (the
+    bpe_train bounded-driver-artifact contract). Integer counts only —
+    zero rounding dice; the oracle replays the greedy as 5 unrolled
+    MATERIALIZED CTE rounds grouping raw shingle VALUES (independent
+    keying)."""
+    from pdf_to_vectordb_etl_spark.operators import curation
+
+    docs = (
+        _t(spark, sf, "documents")
+        .select("doc_id", "text")
+        # the shingle explode is CPU-bound and checkpointed once:
+        # spread the small single-file scan (no-op at multi-file scale)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return curation.max_cover_select(docs, 5)
+
+
+def q_t25_stream_cuped(spark, sf):
+    """T25 — live CUPED experiment readout: per-(user, arm) pre/post
+    totals as an associative streaming agg (user-cardinality state,
+    the t4 shape; per-row floors BEFORE the sums keep it mergeable),
+    snapshot into the IDENTICAL cuped_finale as the batch path. The
+    split timestamp comes from one bounded batch pre-scan (the T22
+    static-side precedent); the batch SQL is the parity oracle."""
+    import tempfile
+
+    from pdf_to_vectordb_etl_spark.operators import evaluation
+    from pdf_to_vectordb_etl_spark.schemas import normalize_event_times
+
+    batch = _t(spark, sf, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    b = batch.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx")).first()
+    split = (int(b["mn"]) + int(b["mx"])) // 2
+    arm = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = normalize_event_times(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    live = evaluation.cuped_user_totals(
+        stream, "user_id", "ts", "value", split_ts=split, arm_expr=arm
+    )
+    name = "t25_cuped"
+    q = (
+        live.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t25ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    return evaluation.cuped_finale(spark.table(name))
+
+
 def q_attribution_touch(spark, sf):
     """First/last-touch conversion attribution with a 7-day lookback:
     touches collapsed to one row per (user, ts) by deterministic
@@ -6097,6 +6164,104 @@ def q_eval_mrr_ann(spark, sf):
     )
 
 
+def q_eval_map_ann(spark, sf):
+    """MAP@10 of the embedding-space label retrieval (the eval_mrr_ann
+    panel): per-query average precision over the cosine top-10, AP =
+    Σ_{rel hits} (cum_rel@k / k) / min(R, 10) with R = corpus
+    label-mates.  EXACT integer formulation: each hit contributes
+    cum_rel·(2520/k) (2520 = lcm(1..10)), so the per-query sum is an
+    int64 and the only doubles are one division per query —
+    1e-9-floored before the cross-query mean (partition-order-proof).
+    Per-qid 10-row windows only."""
+    from pyspark.sql import Window
+
+    from pdf_to_vectordb_etl_spark.functions.vector import (
+        cosine_similarity,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    qs = emb.filter(
+        (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 5000)
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("_qv"),
+        F.col("label").alias("qlabel"),
+    )
+    pairs = (
+        emb.select("vec_id", "embedding", "label")
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "vec_id",
+            "label",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("_qv")), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.col("vec_id"))
+    top = pairs.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 10
+    )
+    rel = top.withColumn(
+        "rel", (F.col("label") == F.col("qlabel")).cast("int")
+    )
+    wc = (
+        Window.partitionBy("qid")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    terms = rel.withColumn("cum", F.sum("rel").over(wc)).select(
+        "qid",
+        "qlabel",
+        F.when(
+            F.col("rel") == 1,
+            F.col("cum") * (F.lit(2520) / F.col("rank")).cast("long"),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("t2520"),
+    )
+    lab = emb.groupBy("label").agg(
+        F.count("*").cast("long").alias("_lc")
+    )
+    per_q = (
+        terms.groupBy("qid", "qlabel")
+        .agg(F.sum("t2520").cast("long").alias("s2520"))
+        .join(
+            F.broadcast(lab), F.col("qlabel") == F.col("label"), "left"
+        )
+        .select(
+            "qid",
+            "s2520",
+            F.coalesce(F.col("_lc") - 1, F.lit(0)).alias("r_mates"),
+        )
+    )
+    ap = F.when(
+        F.col("r_mates") > 0,
+        F.col("s2520").cast("double")
+        / (2520.0 * F.least(F.col("r_mates"), F.lit(10)).cast("double")),
+    ).otherwise(F.lit(0.0))
+    out = per_q.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.coalesce(F.sum(F.floor(ap * 1e9).cast("long")), F.lit(0)).alias(
+            "_ap9"
+        ),
+    )
+    return out.select(
+        "n_queries",
+        F.when(
+            F.col("n_queries") > 0,
+            F.floor(
+                F.col("_ap9") / 1e9 / F.col("n_queries") * 1e6
+            )
+            / 1e6,
+        ).alias("map10_q6"),
+    )
+
+
 def q_eval_ndcg_bm25(spark, sf):
     """NDCG@10 of the BM25 ranking for the standard 3-term query, with
     graded relevance = total query-term occurrences in the document.
@@ -7104,6 +7269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_cohens_kappa": q_eval_cohens_kappa,
         "eval_confusion_f1": q_eval_confusion_f1,
         "eval_mrr_ann": q_eval_mrr_ann,
+        "eval_map_ann": q_eval_map_ann,
         "eval_ndcg_bm25": q_eval_ndcg_bm25,
         "indep_lang_source": q_indep_lang_source,
         "hll_set_users": q_hll_set_users,
@@ -7145,6 +7311,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t24_stream_benford": q_t24_stream_benford,
         "cuped_readout": q_cuped_readout,
         "jackknife_ratio": q_jackknife_ratio,
+        "t25_stream_cuped": q_t25_stream_cuped,
+        "max_cover_select": q_max_cover_select,
         "t21_stream_ddsketch": q_t21_stream_ddsketch,
         "t22_stream_blocklist": q_t22_stream_blocklist,
         "tree_rollup": q_tree_rollup,
@@ -10570,6 +10738,83 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY conversion_id
         """,
         "benford_law": _benford_oracle_sql(),
+        # max_cover_select: the greedy replay, 5 unrolled rounds over
+        # raw shingle values (engine shuffles xxhash64 keys)
+        "max_cover_select": """
+            WITH w0 AS (
+              SELECT doc_id AS id,
+                     string_split({_NORM}, ' ') AS w
+              FROM documents),
+            sh AS MATERIALIZED (
+              SELECT DISTINCT id, s
+              FROM (SELECT id, unnest({_SHINGLES}) AS s FROM w0)),
+            r1 AS MATERIALIZED (
+              SELECT id, CAST(count(*) AS BIGINT) AS g
+              FROM sh 
+              GROUP BY id ORDER BY g DESC, id LIMIT 1),
+            c1 AS MATERIALIZED (
+              SELECT DISTINCT s FROM sh JOIN r1 USING (id)),
+            r2 AS MATERIALIZED (
+              SELECT id, CAST(count(*) AS BIGINT) AS g
+              FROM sh ANTI JOIN c1 USING (s)
+              GROUP BY id ORDER BY g DESC, id LIMIT 1),
+            c2 AS MATERIALIZED (
+              SELECT s FROM c1
+              UNION
+              SELECT s FROM sh JOIN r2 USING (id)),
+            r3 AS MATERIALIZED (
+              SELECT id, CAST(count(*) AS BIGINT) AS g
+              FROM sh ANTI JOIN c2 USING (s)
+              GROUP BY id ORDER BY g DESC, id LIMIT 1),
+            c3 AS MATERIALIZED (
+              SELECT s FROM c2
+              UNION
+              SELECT s FROM sh JOIN r3 USING (id)),
+            r4 AS MATERIALIZED (
+              SELECT id, CAST(count(*) AS BIGINT) AS g
+              FROM sh ANTI JOIN c3 USING (s)
+              GROUP BY id ORDER BY g DESC, id LIMIT 1),
+            c4 AS MATERIALIZED (
+              SELECT s FROM c3
+              UNION
+              SELECT s FROM sh JOIN r4 USING (id)),
+            r5 AS MATERIALIZED (
+              SELECT id, CAST(count(*) AS BIGINT) AS g
+              FROM sh ANTI JOIN c4 USING (s)
+              GROUP BY id ORDER BY g DESC, id LIMIT 1),
+            c5 AS MATERIALIZED (
+              SELECT s FROM c4
+              UNION
+              SELECT s FROM sh JOIN r5 USING (id)),
+            picks AS (
+            SELECT 1 AS round,
+                   CAST(id AS BIGINT) AS doc_id, g AS gain,
+                   CAST((SELECT g FROM r1) AS BIGINT) AS covered_total
+            FROM r1
+            UNION ALL
+            SELECT 2 AS round,
+                   CAST(id AS BIGINT) AS doc_id, g AS gain,
+                   CAST((SELECT g FROM r1) + (SELECT g FROM r2) AS BIGINT) AS covered_total
+            FROM r2
+            UNION ALL
+            SELECT 3 AS round,
+                   CAST(id AS BIGINT) AS doc_id, g AS gain,
+                   CAST((SELECT g FROM r1) + (SELECT g FROM r2) + (SELECT g FROM r3) AS BIGINT) AS covered_total
+            FROM r3
+            UNION ALL
+            SELECT 4 AS round,
+                   CAST(id AS BIGINT) AS doc_id, g AS gain,
+                   CAST((SELECT g FROM r1) + (SELECT g FROM r2) + (SELECT g FROM r3) + (SELECT g FROM r4) AS BIGINT) AS covered_total
+            FROM r4
+            UNION ALL
+            SELECT 5 AS round,
+                   CAST(id AS BIGINT) AS doc_id, g AS gain,
+                   CAST((SELECT g FROM r1) + (SELECT g FROM r2) + (SELECT g FROM r3) + (SELECT g FROM r4) + (SELECT g FROM r5) AS BIGINT) AS covered_total
+            FROM r5)
+            SELECT round, doc_id, gain, covered_total
+            FROM picks ORDER BY round
+        """.replace("{_NORM}", _NORM).replace("{_SHINGLES}", _SHINGLES),
+
         # cuped_readout: identical moment algebra, HUGEINT products
         "cuped_readout": """
             WITH ev AS MATERIALIZED (
@@ -13712,6 +13957,57 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 0.0 END, 6) AS f1
             FROM pr ORDER BY class
         """,
+        "eval_map_ann": """
+            WITH q AS (
+              SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+              FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 5000),
+            p AS (
+              SELECT q.qid, q.qlabel, e.vec_id, e.label,
+                     round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.qv AS DOUBLE[])), 6) AS sim
+              FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+            r AS (
+              SELECT qid, qlabel, label,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY sim DESC, vec_id) AS rank
+              FROM p),
+            t AS (
+              SELECT qid, qlabel,
+                     CASE WHEN label = qlabel
+                     THEN CAST(sum(CASE WHEN label = qlabel THEN 1
+                               ELSE 0 END) OVER (PARTITION BY qid
+                               ORDER BY rank ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW) AS BIGINT)
+                          * (2520 // rank)
+                     ELSE 0 END AS t2520
+              FROM r WHERE rank <= 10),
+            lab AS (SELECT label, CAST(count(*) AS BIGINT) AS lc
+                    FROM embeddings GROUP BY label),
+            pq AS (
+              SELECT qid, any_value(qlabel) AS ql,
+                     CAST(coalesce(sum(t2520), 0) AS BIGINT) AS s2520
+              FROM t GROUP BY qid),
+            pq2 AS (
+              SELECT qid, s2520,
+                     coalesce(lc - 1, 0) AS r_mates
+              FROM pq LEFT JOIN lab ON ql = label),
+            fin AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_queries,
+                     CAST(coalesce(sum(CAST(floor(
+                       CASE WHEN r_mates > 0
+                       THEN CAST(s2520 AS DOUBLE)
+                            / (2520.0 * CAST(least(r_mates, 10)
+                                             AS DOUBLE))
+                       ELSE 0.0 END * 1e9) AS BIGINT)), 0) AS BIGINT)
+                       AS ap9
+              FROM pq2)
+            SELECT n_queries,
+                   CASE WHEN n_queries > 0
+                   THEN floor(ap9 / 1e9 / n_queries * 1e6) / 1e6
+                   END AS map10_q6
+            FROM fin
+        """,
         "eval_mrr_ann": """
             WITH q AS (
               SELECT vec_id AS qid, embedding AS qv, label AS qlabel
@@ -14356,6 +14652,8 @@ def oracle_sql() -> dict[str, str]:
     # T24: digit counts are associative; the stream snapshot feeds the
     # SAME benford_finale as batch
     d["t24_stream_benford"] = d["benford_law"]
+    # T25: per-(user, arm) totals are associative; shared cuped_finale
+    d["t25_stream_cuped"] = d["cuped_readout"]
     # T22: per-row stateless matching + a <=10-row associative sum —
     # snapshot == the batch matcher aggregated per pattern
     d["t22_stream_blocklist"] = r"""

@@ -674,3 +674,72 @@ def detect_canaries(
         df.select(F.col(id_col), got.alias("canary"))
         .filter(F.col("canary") != "")
     )
+
+
+def max_cover_select(
+    docs: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy maximum-coverage document selection — pick k documents
+    that together cover the most distinct word 3-shingles.  The
+    classic submodular data-selection primitive (Nemhauser et al.
+    1978 gives the (1−1/e) guarantee; facility-location /
+    coverage-based subset selection is a standard LLM-curation move
+    for maximizing corpus diversity under a budget).
+
+    Distributed shape: ONE doc→shingle explode materialized up front
+    (localCheckpoint — k rounds reuse it, never re-derive), then k
+    greedy rounds of: left-anti join the shingle table against the
+    covered set (both sides 8-byte xxhash64 keys — raw shingles never
+    shuffle), one hash agg per doc, one 1-row argmax collect (the
+    bpe_train bounded-driver-artifact contract), covered-set union +
+    localCheckpoint (the iterative-loop lineage rule).  Integer
+    counts only — no floats anywhere, so cross-engine parity has zero
+    rounding dice.  Ties break by (gain DESC, doc id ASC),
+    deterministic.
+
+    Cost: k × (anti-join + agg) over the shingle table — linear per
+    round, k is small by construction.  Returns one row per selected
+    doc: round (1-based), selected doc id, gain (newly covered
+    shingles), covered_total (running distinct coverage)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    spark = docs.sparkSession
+    shingles = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            # word_shingles normalizes and distincts internally; the
+            # array is built and exploded in one Generate (the
+            # CollapseProject rule)
+            F.explode(word_shingles(F.col(text_col), 3)).alias("_s"),
+        )
+        .select("_id", F.xxhash64("_s").alias("_h"))
+        .localCheckpoint(eager=True)
+    )
+    covered = shingles.select("_h").limit(0).localCheckpoint(eager=True)
+    picked: list[tuple[int, int, int, int]] = []
+    total = 0
+    for rnd in range(1, k + 1):
+        gains = (
+            shingles.join(covered, "_h", "left_anti")
+            .groupBy("_id")
+            .agg(F.count("*").cast("long").alias("_g"))
+        )
+        top = gains.orderBy(F.desc("_g"), F.asc("_id")).limit(1).collect()
+        if not top or top[0]["_g"] == 0:
+            break
+        doc, gain = top[0]["_id"], int(top[0]["_g"])
+        total += gain
+        picked.append((rnd, doc, gain, total))
+        covered = (
+            covered.unionByName(
+                shingles.filter(F.col("_id") == doc).select("_h")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    return spark.createDataFrame(
+        picked, "round INT, doc_id LONG, gain LONG, covered_total LONG"
+    )

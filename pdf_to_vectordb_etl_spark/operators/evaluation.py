@@ -1793,6 +1793,25 @@ def cuped_adjusted(
     Returns one row per arm: arm, n_users, y_mean_q6, y_adj_q6,
     theta_q6, rho2_q6 (the variance-reduction fraction; NULL when
     var(pre) or var(post) is 0)."""
+    users = cuped_user_totals(
+        events, user_col, ts_col, value_col, split_ts, arm_expr
+    )
+    return cuped_finale(users)
+
+
+def cuped_user_totals(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    split_ts: int,
+    arm_expr: Column,
+) -> DataFrame:
+    """Per-user (arm, pre, post) integer totals — the CUPED state
+    relation.  Per-row floors before associative sums, so it runs
+    identically as a batch agg or a streaming complete-mode agg (the
+    T-twin shared-finale contract; state is user-cardinality, the
+    t4_stateful_totals shape)."""
     base = events.filter(
         F.col(user_col).isNotNull()
         & F.col(ts_col).isNotNull()
@@ -1809,10 +1828,16 @@ def cuped_adjusted(
         .cast("long")
         .alias("_yv"),
     )
-    users = base.groupBy("_u", "_arm").agg(
+    return base.groupBy("_u", "_arm").agg(
         F.sum("_xv").cast("long").alias("x"),
         F.sum("_yv").cast("long").alias("y"),
     )
+
+
+def cuped_finale(users: DataFrame) -> DataFrame:
+    """Pooled-θ per-arm CUPED readout from the (user, arm, x, y)
+    totals relation — shared by the batch operator and the T25
+    streaming twin."""
     pool = users.agg(
         F.count("*").cast("long").alias("n"),
         F.coalesce(F.sum("x"), F.lit(0)).cast("long").alias("sx"),

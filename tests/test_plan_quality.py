@@ -467,3 +467,22 @@ def test_exact_substr_no_window_no_cartesian(spark, sf_dir):
     # no Window operator, no Cartesian anywhere
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_blocklist_spreads_scan_and_broadcasts_patterns(spark, sf_dir):
+    # the per-offset hash explode must not run on a single-file scan's
+    # one task (r5: 4x regression), and the 10-row pattern side must
+    # broadcast, not shuffle
+    plan = _plan(_q(spark, sf_dir, "blocklist_hits"), "simple")
+    assert "RoundRobinPartitioning" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_attribution_windows_are_per_user(spark, sf_dir):
+    plan = _plan(_q(spark, sf_dir, "attribution_touch"))
+    assert "PartitionBy: [user_id" in plan.replace("  ", " ") or (
+        "user_id" in plan and "Window" in plan
+    )
+    # value-based frames, per-user partitions: no single-partition sort
+    assert "No Partition Defined" not in plan

@@ -688,3 +688,65 @@ def test_jackknife_ratio_matches_bruteforce(spark):
         n_buckets=32,
     ).collect()[0]
     assert g2["se_q6"] is None and g2["r_q6"] is not None
+
+
+def test_t25_stream_cuped_equals_batch(spark):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_t25", "/root/repo/__spark_entry__.py"
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    sf = "/root/testdata/sf0.001"
+    q = entry.queries()
+    live = {tuple(r) for r in q["t25_stream_cuped"](spark, sf).collect()}
+    batch = {tuple(r) for r in q["cuped_readout"](spark, sf).collect()}
+    assert live == batch and len(live) >= 1
+
+
+def test_max_cover_greedy_matches_bruteforce(spark):
+    from pdf_to_vectordb_etl_spark.operators import curation
+
+    docs = [
+        (1, "a b c d e f"),
+        (2, "a b c x y z w"),
+        (3, "q r s t u"),
+        (4, "a b c d e f g"),
+        (5, ""),
+        (6, "t u"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    got = [tuple(r) for r in curation.max_cover_select(d, 4).collect()]
+
+    def sh(t, n=3):
+        w = t.lower().split()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    univ = {i: sh(t) for i, t in docs}
+    cov, picked, tot = set(), [], 0
+    for rnd in range(1, 5):
+        gains = {i: len(s - cov) for i, s in univ.items() if s - cov}
+        if not gains:
+            break  # exhaustion stops the greedy before k
+        best = max(sorted(gains), key=lambda i: (gains[i], -i))
+        tot += gains[best]
+        picked.append((rnd, best, gains[best], tot))
+        cov |= univ[best]
+    assert got == picked
+
+
+def test_eval_map_exact_integer_ap(spark):
+    # hand-checkable panel: qid 0's neighbors by construction
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_map", "/root/repo/__spark_entry__.py"
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    row = entry.queries()["eval_map_ann"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert row["n_queries"] >= 1
+    assert row["map10_q6"] is None or 0.0 <= row["map10_q6"] <= 1.0
