@@ -3073,6 +3073,72 @@ def q_jackknife_ratio(spark, sf):
     )
 
 
+def q_kendall_tau(spark, sf):
+    """Kendall's tau-b between the value decile bin and the
+    hour-of-day bucket (tie-corrected ordinal concordance): one
+    corpus agg into ≤240 cells, concordant/discordant counts via one
+    bounded cell self-join (corpus-independent pair table), exact
+    integers end-to-end with the doubled-pair-count trick keeping the
+    denominator factors in int64 before two separate sqrts."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation
+
+    ev = (
+        _t(spark, sf, "events")
+        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            F.least(
+                F.lit(9),
+                F.greatest(F.lit(0), F.floor(F.col("value") / 50.0)),
+            ).cast("int").alias("vbin"),
+            F.expr("pmod(ts div 3600000000000, 24)")
+            .cast("int")
+            .alias("hour"),
+        )
+    )
+    return evaluation.kendall_tau_b(ev, "vbin", "hour")
+
+
+def q_t26_stream_jackknife(spark, sf):
+    """T26 — live ratio-metric error bars: the 32-shard (num, den)
+    partial sums as an associative streaming agg (state ≤ 32 rows),
+    snapshot into the IDENTICAL jackknife_finale as the batch path;
+    the batch SQL is the parity oracle."""
+    import tempfile
+
+    from pdf_to_vectordb_etl_spark.operators import evaluation
+    from pdf_to_vectordb_etl_spark.schemas import normalize_event_times
+
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = normalize_event_times(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    ).filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+    live = evaluation.jackknife_bucket_sums(
+        stream,
+        F.pmod(F.col("user_id"), F.lit(32)),
+        F.when(
+            F.col("event_type") == "purchase", F.floor("value")
+        ).otherwise(0),
+        F.when(F.col("event_type") == "view", F.floor("value")).otherwise(
+            0
+        ),
+        n_buckets=32,
+    )
+    name = "t26_jackknife"
+    q = (
+        live.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t26ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    return evaluation.jackknife_finale(spark.table(name))
+
+
 def q_max_cover_select(spark, sf):
     """Greedy max-coverage selection of 5 documents by distinct
     3-shingle coverage (submodular data selection, (1−1/e) greedy):
@@ -7313,6 +7379,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jackknife_ratio": q_jackknife_ratio,
         "t25_stream_cuped": q_t25_stream_cuped,
         "max_cover_select": q_max_cover_select,
+        "kendall_tau": q_kendall_tau,
+        "t26_stream_jackknife": q_t26_stream_jackknife,
         "t21_stream_ddsketch": q_t21_stream_ddsketch,
         "t22_stream_blocklist": q_t22_stream_blocklist,
         "tree_rollup": q_tree_rollup,
@@ -10738,6 +10806,53 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY conversion_id
         """,
         "benford_law": _benford_oracle_sql(),
+        # kendall_tau: same contingency concordance replay
+        "kendall_tau": """
+            WITH f AS (
+              SELECT least(9, greatest(0,
+                       CAST(floor(value / 50.0) AS BIGINT))) AS x,
+                     (epoch_ns(ts) // 3600000000000) % 24 AS y
+              FROM events
+              WHERE value IS NOT NULL AND ts IS NOT NULL),
+            cells AS MATERIALIZED (
+              SELECT x, y, CAST(count(*) AS BIGINT) AS c
+              FROM f GROUP BY x, y),
+            cd AS (
+              SELECT
+                CAST(coalesce(sum(CASE WHEN b.y > a.y
+                     THEN a.c * b.c ELSE 0 END), 0) AS BIGINT) AS conc,
+                CAST(coalesce(sum(CASE WHEN b.y < a.y
+                     THEN a.c * b.c ELSE 0 END), 0) AS BIGINT) AS disc
+              FROM cells a JOIN cells b ON b.x > a.x),
+            t1 AS (
+              SELECT CAST(coalesce(sum(tx * (tx - 1)), 0) AS BIGINT)
+                       AS tie_x_pairs2
+              FROM (SELECT CAST(sum(c) AS BIGINT) AS tx
+                    FROM cells GROUP BY x)),
+            t2 AS (
+              SELECT CAST(coalesce(sum(ty * (ty - 1)), 0) AS BIGINT)
+                       AS tie_y_pairs2
+              FROM (SELECT CAST(sum(c) AS BIGINT) AS ty
+                    FROM cells GROUP BY y)),
+            tot AS (
+              SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n,
+                     CAST(count(*) AS BIGINT) AS n_cells
+              FROM cells)
+            SELECT n, n_cells, conc, disc, tie_x_pairs2, tie_y_pairs2,
+                   CASE WHEN CAST(n * (n - 1) - tie_x_pairs2
+                             AS DOUBLE) > 0
+                         AND CAST(n * (n - 1) - tie_y_pairs2
+                             AS DOUBLE) > 0
+                   THEN floor(
+                     2.0 * CAST(conc - disc AS DOUBLE)
+                     / (sqrt(CAST(n * (n - 1) - tie_x_pairs2
+                                  AS DOUBLE))
+                        * sqrt(CAST(n * (n - 1) - tie_y_pairs2
+                                    AS DOUBLE))) * 1e6) / 1e6
+                   END AS tau_b_q6
+            FROM tot, cd, t1, t2
+        """,
+
         # max_cover_select: the greedy replay, 5 unrolled rounds over
         # raw shingle values (engine shuffles xxhash64 keys)
         "max_cover_select": """
@@ -14654,6 +14769,8 @@ def oracle_sql() -> dict[str, str]:
     d["t24_stream_benford"] = d["benford_law"]
     # T25: per-(user, arm) totals are associative; shared cuped_finale
     d["t25_stream_cuped"] = d["cuped_readout"]
+    # T26: 32-shard partial sums are associative; shared jackknife_finale
+    d["t26_stream_jackknife"] = d["jackknife_ratio"]
     # T22: per-row stateless matching + a <=10-row associative sum —
     # snapshot == the batch matcher aggregated per pattern
     d["t22_stream_blocklist"] = r"""

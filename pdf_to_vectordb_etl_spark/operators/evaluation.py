@@ -1916,12 +1916,34 @@ def jackknife_ratio_se(
     ≤ 0 (the replicate set is undefined).
 
     Returns one row: b (buckets present), num, den, r_q6, se_q6."""
-    per = events.groupBy(
+    per = jackknife_bucket_sums(
+        events, bucket_expr, num_expr, den_expr, n_buckets
+    )
+    return jackknife_finale(per)
+
+
+def jackknife_bucket_sums(
+    events: DataFrame,
+    bucket_expr: Column,
+    num_expr: Column,
+    den_expr: Column,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """(bk, nb, db) per-shard partial sums — the jackknife state
+    relation.  Associative integer sums, so it runs identically as a
+    batch agg or a streaming complete-mode agg (the T-twin
+    shared-finale contract; state is ≤ n_buckets rows)."""
+    return events.groupBy(
         (bucket_expr % n_buckets).cast("int").alias("bk")
     ).agg(
         F.coalesce(F.sum(num_expr), F.lit(0)).cast("long").alias("nb"),
         F.coalesce(F.sum(den_expr), F.lit(0)).cast("long").alias("db"),
     )
+
+
+def jackknife_finale(per: DataFrame) -> DataFrame:
+    """Delete-1 LOO ratio SE from the (bk, nb, db) shard table —
+    shared by the batch operator and the T26 streaming twin."""
     tot = per.agg(
         F.count("*").cast("long").alias("b"),
         F.coalesce(F.sum("nb"), F.lit(0)).cast("long").alias("num"),
@@ -1966,4 +1988,92 @@ def jackknife_ratio_se(
             & (F.col("den") > 0),
             F.floor(F.sqrt(var) * 1e6) / 1e6,
         ).alias("se_q6"),
+    )
+
+
+def kendall_tau_b(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Kendall's tau-b rank correlation between two ORDINAL (low-
+    cardinality integer) columns — the tie-corrected concordance
+    measure for binned/graded data (Kendall 1945; the standard
+    ordinal-association companion to Spearman).
+
+    Contingency formulation: one corpus hash agg into the (x, y)
+    cell table (caller contract: both columns are bounded ordinals —
+    bins, grades, hours — so cells ≤ |X|·|Y|), then concordant /
+    discordant pair counts via ONE bounded cell self-join (cells²
+    pairs, corpus-independent).  Every count is an exact int64
+    (C, D ≤ n²/2 — fine to ~4e9 rows); the denominator's two factors
+    go through sqrt separately so nothing exceeds int64.  tau_b =
+    (C − D)/(sqrt(n0−n1)·sqrt(n0−n2)), 1e-6 floor-quantized; NULL
+    when either variable is constant.
+
+    Returns one row: n, n_cells, conc, disc, tie_x_pairs2,
+    tie_y_pairs2 (doubled tie-pair counts — exact ints), tau_b_q6."""
+    f = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    cells = f.groupBy(
+        F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    ).agg(F.count("*").cast("long").alias("c"))
+    a = cells.select(
+        F.col("x").alias("ax"), F.col("y").alias("ay"),
+        F.col("c").alias("ac"),
+    )
+    b = cells.select(
+        F.col("x").alias("bx"), F.col("y").alias("by"),
+        F.col("c").alias("bc"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("bx") > F.col("ax"))
+    cd = pairs.agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col("by") > F.col("ay"),
+                       F.col("ac") * F.col("bc")).otherwise(0)
+            ),
+            F.lit(0),
+        ).cast("long").alias("conc"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("by") < F.col("ay"),
+                       F.col("ac") * F.col("bc")).otherwise(0)
+            ),
+            F.lit(0),
+        ).cast("long").alias("disc"),
+    )
+    mx = cells.groupBy("x").agg(F.sum("c").cast("long").alias("tx"))
+    my = cells.groupBy("y").agg(F.sum("c").cast("long").alias("ty"))
+    t1 = mx.agg(
+        F.coalesce(F.sum(F.col("tx") * (F.col("tx") - 1)), F.lit(0))
+        .cast("long")
+        .alias("tie_x_pairs2")
+    )
+    t2 = my.agg(
+        F.coalesce(F.sum(F.col("ty") * (F.col("ty") - 1)), F.lit(0))
+        .cast("long")
+        .alias("tie_y_pairs2")
+    )
+    tot = cells.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_cells"),
+    )
+    row = tot.crossJoin(cd).crossJoin(t1).crossJoin(t2)
+    n = F.col("n")
+    n0x2 = n * (n - 1)  # doubled pair counts stay integral
+    dx = (n0x2 - F.col("tie_x_pairs2")).cast("double")
+    dy = (n0x2 - F.col("tie_y_pairs2")).cast("double")
+    tau = (
+        2.0
+        * (F.col("conc") - F.col("disc")).cast("double")
+        / (F.sqrt(dx) * F.sqrt(dy))
+    )
+    return row.select(
+        "n",
+        "n_cells",
+        "conc",
+        "disc",
+        "tie_x_pairs2",
+        "tie_y_pairs2",
+        F.when(
+            (dx > 0) & (dy > 0), F.floor(tau * 1e6) / 1e6
+        ).alias("tau_b_q6"),
     )

@@ -342,3 +342,82 @@ def test_suffix_ranks_match_bruteforce(spark, texts):
         for p in range(len(t))
     }
     assert got == expected
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SETTINGS
+def test_skyline_is_exactly_the_undominated_set(spark, pts):
+    from pdf_to_vectordb_etl_spark.operators.spatial import skyline_2d
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id INT, x INT, y INT")
+    got = sorted(
+        (r.x, r.y, r.id) for r in skyline_2d(df, "x", "y").collect()
+    )
+    brute = sorted(
+        (x, y, i)
+        for i, x, y in rows
+        if not any(
+            qx <= x and qy <= y and (qx < x or qy < y)
+            for _, qx, qy in rows
+        )
+    )
+    assert got == brute
+
+
+@given(
+    cand=st.lists(st.sampled_from("abcd"), max_size=14).map(" ".join),
+    ref=st.lists(st.sampled_from("abcd"), max_size=14).map(" ".join),
+)
+@SETTINGS
+def test_rouge_l_lcs_matches_dp(spark, cand, ref):
+    from pdf_to_vectordb_etl_spark.operators.evaluation import (
+        rouge_l_corpus,
+    )
+
+    df = spark.createDataFrame(
+        [(1, cand, ref)], "id INT, cand STRING, ref STRING"
+    )
+    got = rouge_l_corpus(df, max_words=48).collect()[0]
+    a, b = cand.split(), ref.split()
+    dp = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+    for i in range(1, len(a) + 1):
+        for j in range(1, len(b) + 1):
+            dp[i][j] = (
+                dp[i - 1][j - 1] + 1
+                if a[i - 1] == b[j - 1]
+                else max(dp[i - 1][j], dp[i][j - 1])
+            )
+    assert got["lcs_sum"] == dp[len(a)][len(b)]
+
+
+@given(
+    xs=st.lists(st.integers(0, 6), min_size=1, max_size=25),
+    ys=st.lists(st.integers(0, 6), min_size=1, max_size=25),
+)
+@SETTINGS
+def test_mann_whitney_rank_sums_exact(spark, xs, ys):
+    from collections import Counter
+
+    from pdf_to_vectordb_etl_spark.operators.evaluation import (
+        mann_whitney_u,
+    )
+
+    rows = [("a", float(v)) for v in xs] + [("b", float(v)) for v in ys]
+    df = spark.createDataFrame(rows, "g STRING, v DOUBLE")
+    got = mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+    cnt = Counter(v for _, v in rows)
+    rank, pos = {}, 1
+    for v in sorted(cnt):
+        rank[v] = pos + (cnt[v] - 1) / 2
+        pos += cnt[v]
+    two_r1 = round(2 * sum(rank[float(v)] for v in xs))
+    assert got["two_r1"] == two_r1
+    assert got["n1"] == len(xs) and got["n2"] == len(ys)
+    assert got["tie_sum"] == sum(t**3 - t for t in cnt.values())

@@ -750,3 +750,39 @@ def test_eval_map_exact_integer_ap(spark):
     ).collect()[0]
     assert row["n_queries"] >= 1
     assert row["map10_q6"] is None or 0.0 <= row["map10_q6"] <= 1.0
+
+
+def test_kendall_tau_b_matches_bruteforce(spark):
+    from collections import Counter
+    from itertools import combinations
+
+    from pdf_to_vectordb_etl_spark.operators import evaluation
+
+    random.seed(29)
+    rows = [(random.randint(0, 5), random.randint(0, 7)) for _ in range(300)]
+    d = spark.createDataFrame(rows, "x INT, y INT")
+    got = evaluation.kendall_tau_b(d, "x", "y").collect()[0]
+    conc = disc = 0
+    for (x1, y1), (x2, y2) in combinations(rows, 2):
+        s = (x1 - x2) * (y1 - y2)
+        if s > 0:
+            conc += 1
+        elif s < 0:
+            disc += 1
+    n = len(rows)
+    tx = Counter(x for x, _ in rows)
+    ty = Counter(y for _, y in rows)
+    n0 = n * (n - 1) / 2
+    n1 = sum(t * (t - 1) / 2 for t in tx.values())
+    n2 = sum(t * (t - 1) / 2 for t in ty.values())
+    tau = (conc - disc) / math.sqrt((n0 - n1) * (n0 - n2))
+    assert got["conc"] == conc and got["disc"] == disc
+    assert abs(got["tau_b_q6"] - tau) < 2e-6
+    mono = spark.createDataFrame([(i, 2 * i) for i in range(20)], "x INT, y INT")
+    assert evaluation.kendall_tau_b(mono, "x", "y").collect()[0][
+        "tau_b_q6"
+    ] == 1.0
+    const = spark.createDataFrame([(1, i) for i in range(5)], "x INT, y INT")
+    assert evaluation.kendall_tau_b(const, "x", "y").collect()[0][
+        "tau_b_q6"
+    ] is None
