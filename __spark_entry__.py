@@ -3139,6 +3139,49 @@ def q_t26_stream_jackknife(spark, sf):
     return evaluation.jackknife_finale(spark.table(name))
 
 
+def q_t27_stream_kendall(spark, sf):
+    """T27 — live ordinal-association monitor: the (vbin, hour)
+    contingency cells as an associative streaming agg (state ≤ 240
+    rows), snapshot into the IDENTICAL kendall_finale as the batch
+    path; the batch SQL is the parity oracle."""
+    import tempfile
+
+    from pdf_to_vectordb_etl_spark.operators import evaluation
+    from pdf_to_vectordb_etl_spark.schemas import normalize_event_times
+
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = (
+        normalize_event_times(
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf)
+        )
+        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            F.least(
+                F.lit(9),
+                F.greatest(F.lit(0), F.floor(F.col("value") / 50.0)),
+            ).cast("int").alias("vbin"),
+            F.expr("pmod(ts div 3600000000000, 24)")
+            .cast("int")
+            .alias("hour"),
+        )
+    )
+    live = evaluation.kendall_cells(stream, "vbin", "hour")
+    name = "t27_kendall"
+    q = (
+        live.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t27ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    return evaluation.kendall_finale(spark.table(name))
+
+
 def q_max_cover_select(spark, sf):
     """Greedy max-coverage selection of 5 documents by distinct
     3-shingle coverage (submodular data selection, (1−1/e) greedy):
@@ -7381,6 +7424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_cover_select": q_max_cover_select,
         "kendall_tau": q_kendall_tau,
         "t26_stream_jackknife": q_t26_stream_jackknife,
+        "t27_stream_kendall": q_t27_stream_kendall,
         "t21_stream_ddsketch": q_t21_stream_ddsketch,
         "t22_stream_blocklist": q_t22_stream_blocklist,
         "tree_rollup": q_tree_rollup,
@@ -14771,6 +14815,8 @@ def oracle_sql() -> dict[str, str]:
     d["t25_stream_cuped"] = d["cuped_readout"]
     # T26: 32-shard partial sums are associative; shared jackknife_finale
     d["t26_stream_jackknife"] = d["jackknife_ratio"]
+    # T27: contingency cells are associative; shared kendall_finale
+    d["t27_stream_kendall"] = d["kendall_tau"]
     # T22: per-row stateless matching + a <=10-row associative sum —
     # snapshot == the batch matcher aggregated per pattern
     d["t22_stream_blocklist"] = r"""

@@ -2011,10 +2011,24 @@ def kendall_tau_b(
 
     Returns one row: n, n_cells, conc, disc, tie_x_pairs2,
     tie_y_pairs2 (doubled tie-pair counts — exact ints), tau_b_q6."""
+    cells = kendall_cells(df, x_col, y_col)
+    return kendall_finale(cells)
+
+
+def kendall_cells(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """(x, y, c) ordinal contingency cells — the tau-b state relation.
+    Associative counts bounded by |X|·|Y| rows, so it runs identically
+    as a batch agg or a streaming complete-mode agg (the T-twin
+    shared-finale contract)."""
     f = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
-    cells = f.groupBy(
+    return f.groupBy(
         F.col(x_col).alias("x"), F.col(y_col).alias("y")
     ).agg(F.count("*").cast("long").alias("c"))
+
+
+def kendall_finale(cells: DataFrame) -> DataFrame:
+    """tau-b from the (x, y, c) cell table — shared by the batch
+    operator and the T27 streaming twin."""
     a = cells.select(
         F.col("x").alias("ax"), F.col("y").alias("ay"),
         F.col("c").alias("ac"),

@@ -786,3 +786,18 @@ def test_kendall_tau_b_matches_bruteforce(spark):
     assert evaluation.kendall_tau_b(const, "x", "y").collect()[0][
         "tau_b_q6"
     ] is None
+
+
+def test_t27_stream_kendall_equals_batch(spark):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_t27", "/root/repo/__spark_entry__.py"
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    sf = "/root/testdata/sf0.001"
+    q = entry.queries()
+    live = [tuple(r) for r in q["t27_stream_kendall"](spark, sf).collect()]
+    batch = [tuple(r) for r in q["kendall_tau"](spark, sf).collect()]
+    assert live == batch and len(live) == 1
