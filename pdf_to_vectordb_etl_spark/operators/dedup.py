@@ -270,6 +270,7 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: split the signature into ``bands`` groups of
     ``n_hashes/bands`` mins, hash each group to one bucket key, and
@@ -278,7 +279,9 @@ def minhash_lsh_candidates(
     so one equi-join covers all bands."""
     rows = n_hashes // bands
     sig = minhash_signatures(df, n_hashes, shingle_n, text_col, id_col)
-    return _band_candidates(sig, n_hashes, bands)
+    if max_bucket_size is None:
+        max_bucket_size = DEFAULT_MAX_BUCKET_SIZE
+    return _band_candidates(sig, n_hashes, bands, max_bucket_size)
 
 
 def _signatures_from_hashes(ex: DataFrame, n_hashes: int) -> DataFrame:
@@ -289,7 +292,16 @@ def _signatures_from_hashes(ex: DataFrame, n_hashes: int) -> DataFrame:
     return ex.groupBy("id").agg(*mins)
 
 
-def _band_candidates(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+#: Band buckets holding more than this many signatures are routed
+#: through the O(m) star scheme instead of the O(m^2) self-join. 512
+#: is far above any honest near-dup cluster on the test corpora (max
+#: observed occupancy is single digits) but bounds the blowup when a
+#: boilerplate template is duplicated millions of times at 100 TB.
+DEFAULT_MAX_BUCKET_SIZE = 512
+
+
+def _band_table(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """(id, bucket) rows: one folded band-bucket hash per band."""
     rows = n_hashes // bands
     buckets = [
         F.xxhash64(F.lit(b), *[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(
@@ -297,14 +309,83 @@ def _band_candidates(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
         )
         for b in range(bands)
     ]
-    banded = sig.select("id", F.explode(F.array(*buckets)).alias("bucket"))
-    a = banded.select(F.col("id").alias("id_a"), "bucket")
-    b = banded.select(F.col("id").alias("id_b"), "bucket")
-    return (
+    return sig.select("id", F.explode(F.array(*buckets)).alias("bucket"))
+
+
+def _band_candidates(
+    sig: DataFrame,
+    n_hashes: int,
+    bands: int,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Candidate pairs from the banded self-join, with bounded fan-out.
+
+    An uncapped self-join on the bucket key emits O(m^2) pairs from a
+    bucket of occupancy m — one boilerplate template duplicated m times
+    lands all m rows in the SAME bucket in every band, so a single hot
+    bucket can dominate the stage (the classic LSH skew failure). Any
+    bucket with more than ``max_bucket_size`` members is therefore
+    routed through a star instead: every member pairs with the bucket's
+    min-id anchor only (O(m) output). Members of an oversized bucket
+    are near-identical by construction (they agree on a whole band of
+    minhashes), so anchor pairs survive the exact-Jaccard verify and
+    connected-components clustering reconnects the full cluster — the
+    final dedup decision is unchanged while stage output stays linear.
+    ``lsh_bucket_stats`` reports how many buckets took the capped path
+    (no silent caps). ``max_bucket_size=None`` disables the cap."""
+    banded = _band_table(sig, n_hashes, bands)
+    if max_bucket_size is not None:
+        w = Window.partitionBy("bucket")
+        banded = (
+            banded.withColumn("_n", F.count(F.lit(1)).over(w))
+            .withColumn("_anchor", F.min("id").over(w))
+        )
+        small = banded.filter(F.col("_n") <= max_bucket_size).select("id", "bucket")
+        star = (
+            banded.filter(
+                (F.col("_n") > max_bucket_size) & (F.col("id") != F.col("_anchor"))
+            )
+            .select(F.col("_anchor").alias("id_a"), F.col("id").alias("id_b"))
+        )
+    else:
+        small, star = banded, None
+    a = small.select(F.col("id").alias("id_a"), "bucket")
+    b = small.select(F.col("id").alias("id_b"), "bucket")
+    pairs = (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
+    )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """One-row occupancy report for the LSH band buckets: total buckets,
+    max occupancy, and how many buckets / rows exceeded the cap (i.e.
+    took the O(m) star path in :func:`_band_candidates`). Run this next
+    to any capped dedup job — the no-silent-caps companion."""
+    sig = minhash_signatures(df, n_hashes, shingle_n, text_col, id_col)
+    occ = _band_table(sig, n_hashes, bands).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    over = F.col("n") > max_bucket_size
+    return occ.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("n").alias("max_occupancy"),
+        F.sum(over.cast("long")).alias("oversized_buckets"),
+        F.coalesce(F.sum(F.when(over, F.col("n"))), F.lit(0)).alias(
+            "rows_in_oversized"
+        ),
     )
 
 
@@ -316,6 +397,7 @@ def minhash_dedup_pairs(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """MinHash LSH candidates verified by exact Jaccard on shingle-hash
     sets. The verify step joins the (small) candidate set against the
@@ -342,7 +424,7 @@ def minhash_dedup_pairs(
     sig = ex.groupBy("id").agg(*mins, F.count("*").alias("n_sh")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    cands = _band_candidates(sig.drop("n_sh"), n_hashes, bands)
+    cands = _band_candidates(sig.drop("n_sh"), n_hashes, bands, max_bucket_size)
     counts = sig.select("id", "n_sh")
     # count common shingle hashes per candidate pair
     pa = cands.join(ex.select(F.col("id").alias("id_a"), "h"), "id_a")
@@ -417,6 +499,7 @@ def incremental_minhash_pairs(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Near-dup pairs between a NEW batch and the EXISTING corpus only
     — ``(new_id, corpus_id, jaccard >= threshold)``. No corpus×corpus
@@ -431,7 +514,15 @@ def incremental_minhash_pairs(
     table and shingle-hash table are write-once artifacts — recompute
     here keeps the function self-contained, but both derivations are
     pure functions of the corpus text, so persisting them is a plain
-    checkpoint of this plan's corpus branch."""
+    checkpoint of this plan's corpus branch.
+
+    Fan-out bound: a bucket holding many corpus rows (boilerplate
+    template in the corpus) would multiply every new row landing there
+    by the full corpus occupancy. Buckets whose CORPUS occupancy
+    exceeds ``max_bucket_size`` therefore pair each new row with that
+    bucket's min-id corpus anchor only — each new doc is still flagged
+    as a near-dup of the corpus (what an ingest screen decides), while
+    per-bucket output stays O(|new in bucket|), never O(|new|·m)."""
     from pyspark import StorageLevel
 
     ex_new = _shingle_hashes(new, text_col, id_col, shingle_n).persist(
@@ -458,12 +549,24 @@ def incremental_minhash_pairs(
             F.col("id").alias(out), F.explode(F.array(*buckets)).alias("bucket")
         )
 
-    cands = (
-        banded(sig_new, "new_id")
-        .join(banded(sig_old, "corpus_id"), "bucket")
-        .select("new_id", "corpus_id")
-        .distinct()
-    )
+    bn = banded(sig_new, "new_id")
+    bo = banded(sig_old, "corpus_id")
+    if max_bucket_size is not None:
+        w = Window.partitionBy("bucket")
+        bo = (
+            bo.withColumn("_n", F.count(F.lit(1)).over(w))
+            .withColumn("_anchor", F.min("corpus_id").over(w))
+        )
+        small = bo.filter(F.col("_n") <= max_bucket_size).select(
+            "corpus_id", "bucket"
+        )
+        anchors = (
+            bo.filter(F.col("_n") > max_bucket_size)
+            .select(F.col("_anchor").alias("corpus_id"), "bucket")
+            .distinct()
+        )
+        bo = small.unionByName(anchors)
+    cands = bn.join(bo, "bucket").select("new_id", "corpus_id").distinct()
     common = (
         cands.join(ex_new.select(F.col("id").alias("new_id"), "h"), "new_id")
         .join(ex_old.select(F.col("id").alias("corpus_id"), "h"), ["corpus_id", "h"])

@@ -270,3 +270,89 @@ def test_stream_anomaly_matches_batch_across_microbatches(spark, sf_dir, tmp_pat
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+# ---------------------------------------------------------------- r6:
+# LSH band-bucket occupancy cap (VERDICT r5 finding #1): a boilerplate
+# template duplicated m times must NOT emit O(m^2) candidate pairs.
+
+
+def _boilerplate(spark, m=300, uniques=20):
+    rows = [(i, "the same boilerplate template text repeated verbatim")
+            for i in range(m)]
+    rows += [(10_000 + i, f"unique document number {i} with its own words "
+              f"alpha{i} beta{i} gamma{i} delta{i}") for i in range(uniques)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_band_candidates_star_caps_boilerplate(spark):
+    # VERDICT r5 wording: 10k copies of one doc -> bounded stage output
+    from pdf_to_vectordb_etl_spark.operators import dedup
+
+    m = 10_000
+    df = _boilerplate(spark, m=m)
+    capped = dedup.minhash_lsh_candidates(df, max_bucket_size=64)
+    pairs = capped.collect()
+    # star scheme: every dup connects to the min-id anchor once per
+    # bucket -> exactly m-1 pairs from the hot cluster, not m(m-1)/2
+    hot = [p for p in pairs if p.id_a < 10_000 and p.id_b < 10_000]
+    assert len(hot) == m - 1
+    assert all(p.id_a == 0 for p in hot)
+
+
+def test_capped_dedup_drop_decision_unchanged(spark):
+    from pdf_to_vectordb_etl_spark.operators import dedup
+
+    df = _boilerplate(spark, m=120, uniques=10)
+    pairs = dedup.minhash_dedup_pairs(df, threshold=0.8, max_bucket_size=32)
+    kept = dedup.drop_near_duplicates(df, pairs).collect()
+    kept_ids = sorted(r.doc_id for r in kept)
+    # one survivor from the boilerplate cluster + all uniques
+    assert kept_ids == [0] + [10_000 + i for i in range(10)]
+
+
+def test_capped_equals_uncapped_when_under_cap(spark, sf_dir):
+    from pdf_to_vectordb_etl_spark.operators import dedup
+
+    docs = load(spark, sf_dir, "documents").limit(200)
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_dedup_pairs(docs, threshold=0.5).collect()
+    }
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_dedup_pairs(
+            docs, threshold=0.5, max_bucket_size=None
+        ).collect()
+    }
+    assert capped == uncapped
+
+
+def test_lsh_bucket_stats_reports_oversize(spark):
+    from pdf_to_vectordb_etl_spark.operators import dedup
+
+    df = _boilerplate(spark, m=200, uniques=5)
+    row = dedup.lsh_bucket_stats(df, max_bucket_size=64).first()
+    assert row.max_occupancy == 200
+    # all 8 bands of the duplicated template collapse to 8 hot buckets
+    assert row.oversized_buckets == 8
+    assert row.rows_in_oversized == 8 * 200
+
+
+def test_incremental_minhash_capped_screens_every_new_dup(spark):
+    from pdf_to_vectordb_etl_spark.operators import dedup
+
+    corpus = _boilerplate(spark, m=150, uniques=5)
+    new = spark.createDataFrame(
+        [(50_000 + i, "the same boilerplate template text repeated verbatim")
+         for i in range(10)]
+        + [(60_000, "a genuinely fresh new document about zeppelins")],
+        "doc_id long, text string",
+    )
+    out = dedup.incremental_minhash_pairs(
+        new, corpus, threshold=0.8, max_bucket_size=32
+    ).collect()
+    # every new dup is flagged against exactly the anchor corpus doc
+    flagged = {r.new_id for r in out}
+    assert flagged == {50_000 + i for i in range(10)}
+    assert {r.corpus_id for r in out} == {0}

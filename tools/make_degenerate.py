@@ -97,8 +97,18 @@ def main() -> None:
     }))
     # empty / whitespace / single-char / unicode / duplicate docs
     texts = ["", "   ", "a", "é ñ 中", "dup dup", "dup dup"]
+    ids = list(range(len(texts)))
+    # boilerplate cluster: 48 verbatim copies of one template (below the
+    # LSH DEFAULT_MAX_BUCKET_SIZE cap, so the capped Spark plan and the
+    # exact-Jaccard DuckDB oracle still agree pair-for-pair while the
+    # banding path sees a genuinely hot bucket). ids start at 100 to
+    # stay outside the suffix-family doc_id < 100 latency caps.
+    template = ("terms of service boilerplate page copied verbatim on "
+                "every mirror of the site please read carefully")
+    texts += [template] * 48
+    ids += [100 + i for i in range(48)]
     w("documents", pa.table({
-        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "doc_id": pa.array(ids, pa.int64()),
         "text": texts,
         "lang": ["en"] * len(texts),
         "source": ["src0"] * len(texts),
