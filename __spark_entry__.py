@@ -1038,6 +1038,30 @@ def q_ta_quality(spark, sf):
     )
 
 
+def q_ta_quality_gopher(spark, sf):
+    """Full Gopher/RedPajama rule-set gate (Rae et al. 2021 §A1.1):
+    word-count + mean-word-length bounds, symbol/hash-to-word ratios,
+    bullet/ellipsis line fractions, alpha-word fraction, required-
+    stopword count — ONE narrow regexp_count projection (no UDF, no
+    explode; scan-throughput at 100 TB), plus a per-rule fail bitmask
+    and the scalar pass flag."""
+    docs = _t(spark, sf, "documents")
+    out = ta.gopher_quality_gate(docs)
+    return out.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_word_ratio",
+        "hash_word_ratio",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+        "alpha_word_frac",
+        "stop_hits",
+        "gopher_fail_mask",
+        F.col("gopher_pass").cast("int").alias("gopher_pass"),
+    )
+
+
 def q_ta_langid(spark, sf):
     """Heuristic language ID: marker-stopword argmax."""
     docs = _t(spark, sf, "documents")
@@ -7176,6 +7200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "pmi_collocations": q_pmi_collocations,
         "ta_quality": q_ta_quality,
+        "ta_quality_gopher": q_ta_quality_gopher,
         "ta_langid": q_ta_langid,
         "ta_fingerprint": q_ta_fingerprint,
         "mm_binary_meta": q_mm_binary_meta,
@@ -8732,6 +8757,81 @@ def oracle_sql() -> dict[str, str]:
                          + CASE WHEN punct_ratio < 0.2 THEN 0.2 ELSE 0.0 END, 4)
                      AS quality_score
             FROM g
+        """,
+        # Gopher gate: every counter replayed with the same RE2-safe
+        # patterns; ratios 6-dp FLOOR-quantized on both sides (identical
+        # IEEE division inputs -> identical floor; engine round() can
+        # split on .5 boundaries).
+        "ta_quality_gopher": r"""
+            WITH f AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END
+                       AS n_words,
+                     length(regexp_replace(text, '\s', '', 'g')) AS n_word_chars,
+                     len(regexp_extract_all(text, '#')) AS n_hash,
+                     len(regexp_extract_all(text, '\.\.\.|…')) AS n_ellipsis,
+                     len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS n_alpha,
+                     len(string_split(text, chr(10))) AS n_lines,
+                     len(regexp_extract_all(text, '(?m)^[ \t]*[-•*][ \t]'))
+                       AS n_bullet_lines,
+                     len(regexp_extract_all(text, '(?m)(\.\.\.|…)[ \t]*$'))
+                       AS n_ellipsis_lines,
+                     (CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END)
+                       AS stop_hits
+              FROM documents),
+            g AS (
+              SELECT doc_id, n_words, stop_hits,
+                     floor((CASE WHEN n_words > 0
+                            THEN n_word_chars * 1.0 / n_words ELSE 0.0 END) * 1e6) / 1e6
+                       AS mean_word_len,
+                     floor((CASE WHEN n_words > 0
+                            THEN (n_hash + n_ellipsis) * 1.0 / n_words ELSE 0.0 END) * 1e6) / 1e6
+                       AS symbol_word_ratio,
+                     floor((CASE WHEN n_words > 0
+                            THEN n_hash * 1.0 / n_words ELSE 0.0 END) * 1e6) / 1e6
+                       AS hash_word_ratio,
+                     floor((CASE WHEN n_lines > 0
+                            THEN n_bullet_lines * 1.0 / n_lines ELSE 0.0 END) * 1e6) / 1e6
+                       AS bullet_line_frac,
+                     floor((CASE WHEN n_lines > 0
+                            THEN n_ellipsis_lines * 1.0 / n_lines ELSE 0.0 END) * 1e6) / 1e6
+                       AS ellipsis_line_frac,
+                     floor((CASE WHEN n_words > 0
+                            THEN n_alpha * 1.0 / n_words ELSE 0.0 END) * 1e6) / 1e6
+                       AS alpha_word_frac
+              FROM f),
+            r AS (
+              SELECT *,
+                     CASE WHEN n_words >= 50 THEN 0 ELSE 1 END AS r0,
+                     CASE WHEN n_words <= 100000 THEN 0 ELSE 2 END AS r1,
+                     CASE WHEN mean_word_len >= 3.0 THEN 0 ELSE 4 END AS r2,
+                     CASE WHEN mean_word_len <= 10.0 THEN 0 ELSE 8 END AS r3,
+                     CASE WHEN symbol_word_ratio <= 0.1 THEN 0 ELSE 16 END AS r4,
+                     CASE WHEN bullet_line_frac <= 0.9 THEN 0 ELSE 32 END AS r5,
+                     CASE WHEN ellipsis_line_frac <= 0.3 THEN 0 ELSE 64 END AS r6,
+                     CASE WHEN alpha_word_frac >= 0.8 THEN 0 ELSE 128 END AS r7,
+                     CASE WHEN stop_hits >= 2 THEN 0 ELSE 256 END AS r8
+              FROM g)
+            SELECT doc_id, n_words,
+                   mean_word_len + 0.0 AS mean_word_len,
+                   symbol_word_ratio + 0.0 AS symbol_word_ratio,
+                   hash_word_ratio + 0.0 AS hash_word_ratio,
+                   bullet_line_frac + 0.0 AS bullet_line_frac,
+                   ellipsis_line_frac + 0.0 AS ellipsis_line_frac,
+                   alpha_word_frac + 0.0 AS alpha_word_frac,
+                   stop_hits,
+                   CAST(r0+r1+r2+r3+r4+r5+r6+r7+r8 AS INTEGER) AS gopher_fail_mask,
+                   CASE WHEN r0+r1+r2+r3+r4+r5+r6+r7+r8 = 0 THEN 1 ELSE 0 END
+                     AS gopher_pass
+            FROM r
         """,
         "ta_langid": r"""
             WITH s AS (

@@ -111,6 +111,112 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return feats.withColumn("quality_score", score.cast("double"))
 
 
+# Gopher rule thresholds (Rae et al. 2021 §A1.1, public paper) — the
+# standard pre-training document gate, also the core of RedPajama's
+# quality filters. Exposed as a dict so pipelines can tighten/loosen.
+GOPHER_THRESHOLDS: dict[str, float] = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_word_ratio": 0.1,
+    "max_bullet_line_frac": 0.9,
+    "max_ellipsis_line_frac": 0.3,
+    "min_alpha_word_frac": 0.8,
+    "min_stop_hits": 2,
+}
+
+#: Gopher's required-stopword list: a doc must contain >= 2 of these.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _q6(x: Column) -> Column:
+    """6-dp floor quantization — both engines agree exactly (identical
+    IEEE inputs -> identical floor; engine round() may split on .5
+    boundaries, see CLAUDE.md)."""
+    return (F.floor(x * 1e6) / 1e6).cast("double")
+
+
+def gopher_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The full Gopher/RedPajama document-quality feature set, computed
+    as ONE narrow projection of single-pass ``regexp_count`` counters —
+    no UDFs, no array explodes, fully whole-stage-codegen'd, so the
+    gate runs at scan throughput on a 100 TB corpus.
+
+    Features (Rae et al. 2021 §A1.1): word count, mean word length,
+    symbol-to-word ratio ('#' + ellipsis), hash-to-word ratio, fraction
+    of lines starting with a bullet, fraction of lines ending with an
+    ellipsis, fraction of words containing an alphabetic character, and
+    how many of the 8 required stopwords appear. Ratios are 6-dp
+    floor-quantized; all are 0.0 on empty docs (guarded divisions)."""
+    t = _c(text_col)
+    n_words = token_count(t)
+    # total non-whitespace chars: mean word length without re-splitting
+    n_word_chars = F.length(F.regexp_replace(t, r"\s", ""))
+    n_hash = F.regexp_count(t, F.lit(r"#"))
+    n_ellipsis = F.regexp_count(t, F.lit(r"\.\.\.|…"))
+    # a \S+ token contains alpha => exactly one match inside that token
+    # (matches cannot cross whitespace) in both Java regex and RE2
+    n_alpha_words = F.regexp_count(t, F.lit(r"\S*[A-Za-z]\S*"))
+    n_lines = F.regexp_count(t, F.lit(r"\n")) + 1
+    # [ \t] not \s: \s matches \n, so ^\s* could swallow a following
+    # bullet line (same leftmost-match semantics either engine — but
+    # an undercount either way)
+    n_bullet_lines = F.regexp_count(t, F.lit(r"(?m)^[ \t]*[-•*][ \t]"))
+    n_ellipsis_lines = F.regexp_count(t, F.lit(r"(?m)(\.\.\.|…)[ \t]*$"))
+    low = F.lower(t)
+    stop_hits = None
+    for wd in GOPHER_STOPWORDS:
+        hit = (F.regexp_count(low, F.lit(rf"\b{wd}\b")) > 0).cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    safe = lambda num, den: F.when(den > 0, num / den).otherwise(F.lit(0.0))  # noqa: E731
+    return df.withColumns(
+        {
+            "n_words": n_words.cast("long"),
+            "mean_word_len": _q6(safe(n_word_chars, n_words)),
+            "symbol_word_ratio": _q6(safe(n_hash + n_ellipsis, n_words)),
+            "hash_word_ratio": _q6(safe(n_hash, n_words)),
+            "bullet_line_frac": _q6(safe(n_bullet_lines, n_lines)),
+            "ellipsis_line_frac": _q6(safe(n_ellipsis_lines, n_lines)),
+            "alpha_word_frac": _q6(safe(n_alpha_words, n_words)),
+            "stop_hits": stop_hits.cast("int"),
+        }
+    )
+
+
+def gopher_quality_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    thresholds: dict[str, float] | None = None,
+) -> DataFrame:
+    """Per-document pass/fail under the Gopher rules plus a bitmask of
+    which rules failed (bit i = rule i in the documented order — the
+    audit column a real pipeline logs before dropping 30% of a crawl).
+    Filter with ``.filter("gopher_pass")``."""
+    th = {**GOPHER_THRESHOLDS, **(thresholds or {})}
+    feats = gopher_quality_features(df, text_col)
+    rules = [
+        F.col("n_words") >= th["min_words"],
+        F.col("n_words") <= th["max_words"],
+        F.col("mean_word_len") >= th["min_mean_word_len"],
+        F.col("mean_word_len") <= th["max_mean_word_len"],
+        F.col("symbol_word_ratio") <= th["max_symbol_word_ratio"],
+        F.col("bullet_line_frac") <= th["max_bullet_line_frac"],
+        F.col("ellipsis_line_frac") <= th["max_ellipsis_line_frac"],
+        F.col("alpha_word_frac") >= th["min_alpha_word_frac"],
+        F.col("stop_hits") >= th["min_stop_hits"],
+    ]
+    fail_mask = None
+    ok = None
+    for i, r in enumerate(rules):
+        bit = F.when(r, 0).otherwise(1 << i)
+        fail_mask = bit if fail_mask is None else fail_mask + bit
+        ok = r if ok is None else ok & r
+    return feats.withColumns(
+        {"gopher_fail_mask": fail_mask.cast("int"), "gopher_pass": ok}
+    )
+
+
 def fingerprint_md5(text: Column | str) -> Column:
     """Normalization-based document fingerprint: lowercase, strip
     non-word chars, collapse whitespace, md5. Robust to formatting

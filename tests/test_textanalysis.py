@@ -122,3 +122,89 @@ def test_webcorpus_dehyphenate(spark):
     df = spark.createDataFrame([("exam-\nple stays-afloat end-\n2",)], "t string")
     got = df.select(wc.dehyphenate(F.col("t"))).first()[0]
     assert got == "example stays-afloat end-\n2"  # digits: not hyphenation
+
+
+# ------------------------------------------------------------- r6:
+# full Gopher rule set — each rule pinned by a planted doc that fails
+# exactly that rule (bitmask isolates it).
+
+
+def _gopher_row(spark, text):
+    from pdf_to_vectordb_etl_spark.operators import textanalysis as ta
+
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    return ta.gopher_quality_gate(df).first()
+
+
+def _good_doc(n=60):
+    # 60 plain words, mean length in [3,10], has the/of/and/to/with...
+    return " ".join(
+        ["the quick brown fox jumps over and beyond with grace because"]
+        * (n // 10)
+    )
+
+
+def test_gopher_good_doc_passes(spark):
+    r = _gopher_row(spark, _good_doc())
+    assert r.gopher_pass and r.gopher_fail_mask == 0
+    assert r.n_words == 66 and r.stop_hits >= 2  # 11-word sentence x 6
+
+
+def test_gopher_min_words(spark):
+    r = _gopher_row(spark, "the small and tidy doc of ten words here now")
+    assert not r.gopher_pass and r.gopher_fail_mask == 1  # bit 0 only
+
+
+def test_gopher_mean_word_len_bounds(spark):
+    short = " ".join(["a an to of it is"] * 10)  # mean len 1.83
+    r = _gopher_row(spark, short)
+    assert r.gopher_fail_mask & 4
+    longw = _good_doc() + " " + " ".join(["pneumonoultramicroscopic"] * 400)
+    r2 = _gopher_row(spark, longw)
+    assert r2.gopher_fail_mask & 8 and r2.mean_word_len > 10
+
+
+def test_gopher_symbol_ratio(spark):
+    r = _gopher_row(spark, _good_doc() + " " + "# # # # # # # #")
+    assert r.gopher_fail_mask & 16 and r.symbol_word_ratio > 0.1
+    # ellipsis counts toward the symbol ratio too
+    r2 = _gopher_row(spark, _good_doc() + " " + "... ... ... ... ... ... ... ...")
+    assert r2.gopher_fail_mask & 16
+
+
+def test_gopher_bullet_and_ellipsis_lines(spark):
+    words = _good_doc().split()
+    bullets = "\n".join(f"- {w}" for w in words)
+    r = _gopher_row(spark, bullets)
+    assert r.gopher_fail_mask & 32 and r.bullet_line_frac > 0.9
+    dots = "\n".join(f"{w} went on and on..." for w in words[:20])
+    r2 = _gopher_row(spark, dots)
+    assert r2.gopher_fail_mask & 64 and r2.ellipsis_line_frac > 0.3
+
+
+def test_gopher_alpha_word_frac(spark):
+    r = _gopher_row(spark, _good_doc() + " " + " ".join(["12345"] * 40))
+    assert r.gopher_fail_mask & 128 and r.alpha_word_frac < 0.8
+
+
+def test_gopher_stop_hits(spark):
+    # 60 alpha words, none of the 8 required stopwords
+    r = _gopher_row(spark, " ".join(["zebra lion puma otter crane heron"] * 10))
+    assert r.gopher_fail_mask & 256 and r.stop_hits == 0
+
+
+def test_gopher_empty_doc_no_crash(spark):
+    r = _gopher_row(spark, "")
+    assert not r.gopher_pass
+    assert r.mean_word_len == 0.0 and r.alpha_word_frac == 0.0
+
+
+def test_gopher_thresholds_overridable(spark):
+    from pdf_to_vectordb_etl_spark.operators import textanalysis as ta
+
+    df = spark.createDataFrame(
+        [(0, "the cat and dog sat with that hat of straw")],
+        "doc_id long, text string",
+    )
+    r = ta.gopher_quality_gate(df, thresholds={"min_words": 5}).first()
+    assert r.gopher_pass
