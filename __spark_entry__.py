@@ -928,6 +928,20 @@ def q_dedup_incremental_exact(spark, sf):
     return kept.select("doc_id", "lang", "source")
 
 
+def q_dedup_incremental_bloom(spark, sf):
+    """Bloom-screened daily-ingest exact dedup: identical admit set to
+    dedup_incremental_exact (the Bloom screen has no false negatives;
+    probable hits still meet the digest table), but the batch path is
+    ZERO-shuffle up to the residual anti-join — corpus digests fold to
+    a broadcast bitset. Oracle = the same SQL as the plain variant."""
+    docs = _t(spark, sf, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    kept = dedup.incremental_exact_dedup_bloom(
+        docs.filter(h >= "8"), dedup.content_digests(docs.filter(h < "8"))
+    )
+    return kept.select("doc_id", "lang", "source")
+
+
 def q_dedup_incremental_minhash(spark, sf):
     """Cross-corpus near-dup screen: MinHash(32)+LSH(8) pairs between
     the new half and the corpus half, verified by exact Jaccard >= 0.5.
@@ -7189,6 +7203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_blocked": q_dedup_embedding_blocked,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental_exact": q_dedup_incremental_exact,
+        "dedup_incremental_bloom": q_dedup_incremental_bloom,
         "dedup_incremental_minhash": q_dedup_incremental_minhash,
         "dedup_semantic": q_dedup_semantic,
         "dedup_simhash": q_dedup_simhash,
@@ -14859,6 +14874,8 @@ def oracle_sql() -> dict[str, str]:
     # new×corpus Jaccard set by the recall-1.0 argument — so the same
     # DuckDB exact-Jaccard SQL is the oracle
     d["t19_stream_minhash_screen"] = d["dedup_incremental_minhash"]
+    # Bloom-screened variant admits the identical set (no false negatives)
+    d["dedup_incremental_bloom"] = d["dedup_incremental_exact"]
     # the streaming occupancy agg is associative and ranks with the
     # identical floor-quantized argmax; snapshot + the same finale ==
     # the batch report, so the batch drift-report SQL is the oracle

@@ -490,6 +490,53 @@ def incremental_exact_dedup(
     )
 
 
+def incremental_exact_dedup_bloom(
+    new: DataFrame,
+    corpus_digests: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """Same contract and output as :func:`incremental_exact_dedup`,
+    with a broadcast Bloom pre-screen on the batch path.
+
+    At a 100-TB corpus the plain formulation shuffles the ENTIRE batch
+    into the anti-join against the persisted digest table on every
+    ingest, even though almost every new document is a miss. Here the
+    corpus digests fold into a constant-size Bloom bitset (one narrow
+    partial-combinable aggregate, <= m_bits/32 rows) that broadcast-
+    joins against the batch with ZERO batch-side shuffle
+    (``sketch.bloom_screen``); definite-misses (no false negatives by
+    construction) bypass the anti-join entirely and only the
+    FP-rate-sized probable-hit slice meets the digest table. Pair with
+    a digest table bucketed on ``digest`` (``sinks.write_bucketed``)
+    and the residual anti-join is shuffle-free on the corpus side too.
+    The bitset is a pure function of the corpus — persist it alongside
+    the digests and rebuilding costs nothing per ingest."""
+    from .sketch import bloom_build, bloom_screen
+
+    digest = F.sha2(normalize_text(F.col(text_col)), 256)
+    newd = new.withColumn("_digest", digest)
+    bloom = bloom_build(
+        corpus_digests.select("digest").distinct(), "digest", m_bits, k
+    )
+    screened = bloom_screen(newd, bloom, "_digest", m_bits, k)
+    miss = screened.filter(~F.col("bloom_hit"))
+    maybe = screened.filter(F.col("bloom_hit")).join(
+        corpus_digests.select(F.col("digest").alias("_digest")).distinct(),
+        "_digest",
+        "left_anti",
+    )
+    w = Window.partitionBy("_digest").orderBy(id_col)
+    return (
+        miss.unionByName(maybe)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_digest", "_rn", "bloom_hit")
+    )
+
+
 def incremental_minhash_pairs(
     new: DataFrame,
     corpus: DataFrame,

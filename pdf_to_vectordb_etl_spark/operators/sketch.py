@@ -60,6 +60,45 @@ def bloom_build(
     )
 
 
+def bloom_screen(
+    df: DataFrame,
+    bloom: DataFrame,
+    elem_col: str,
+    m_bits: int = 16384,
+    k: int = 4,
+    out_col: str = "bloom_hit",
+) -> DataFrame:
+    """ZERO-SHUFFLE membership column appended to ``df``: one broadcast
+    hash join per salted position against the constant-size bitset,
+    AND-ed bit tests. Unlike :func:`bloom_probe` (explode to k rows +
+    re-aggregate — one shuffle on the id), the screen preserves the
+    input's partitioning end-to-end, which is the whole point of a
+    pre-screen: the batch scan flows straight into the filter. k stays
+    small (4) so this is k broadcast builds of <= m_bits/32 rows.
+    No false negatives; ``out_col`` False => definitely absent."""
+    out = df
+    hit = None
+    for i in range(k):
+        p = _pos(F.col(elem_col), i, m_bits)
+        out = out.withColumns(
+            {
+                f"_w{i}": (p / WORD_BITS).cast("int"),
+                f"_m{i}": F.pow(F.lit(2.0), p % WORD_BITS).cast("long"),
+            }
+        )
+        b = bloom.select(
+            F.col("word_idx").alias(f"_w{i}"), F.col("bits").alias(f"_b{i}")
+        )
+        out = out.join(F.broadcast(b), f"_w{i}", "left")
+        t = (
+            F.coalesce(F.col(f"_b{i}"), F.lit(0)).bitwiseAND(F.col(f"_m{i}"))
+            != 0
+        )
+        hit = t if hit is None else hit & t
+    drop = [c for i in range(k) for c in (f"_w{i}", f"_m{i}", f"_b{i}")]
+    return out.withColumn(out_col, hit).drop(*drop)
+
+
 def bloom_probe(
     df: DataFrame,
     bloom: DataFrame,

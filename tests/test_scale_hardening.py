@@ -356,3 +356,60 @@ def test_incremental_minhash_capped_screens_every_new_dup(spark):
     flagged = {r.new_id for r in out}
     assert flagged == {50_000 + i for i in range(10)}
     assert {r.corpus_id for r in out} == {0}
+
+
+# ---------------------------------------------------------------- r6:
+# Bloom pre-screen for incremental exact dedup (VERDICT r5 item 4).
+
+
+def test_bloom_screen_matches_probe(spark):
+    from pdf_to_vectordb_etl_spark.operators import sketch
+
+    corpus = spark.createDataFrame(
+        [(f"member-{i}",) for i in range(200)], "e string"
+    )
+    probe = spark.createDataFrame(
+        [(i, f"member-{i}" if i % 3 == 0 else f"absent-{i}") for i in range(90)],
+        "id long, e string",
+    )
+    bloom = sketch.bloom_build(corpus, "e")
+    via_probe = {
+        r.id: r.bloom_hit
+        for r in sketch.bloom_probe(probe, bloom, "e", "id").collect()
+    }
+    via_screen = {
+        r.id: r.bloom_hit
+        for r in sketch.bloom_screen(probe, bloom, "e").collect()
+    }
+    assert via_probe == via_screen
+    # no false negatives: every true member is a hit
+    assert all(via_screen[i] for i in range(0, 90, 3))
+
+
+def test_incremental_bloom_output_equals_plain(spark, sf_dir):
+    from pdf_to_vectordb_etl_spark.operators import dedup
+
+    docs = load(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    new, corpus = docs.filter(h >= "8"), docs.filter(h < "8")
+    digests = dedup.content_digests(corpus)
+    plain = {r.doc_id for r in dedup.incremental_exact_dedup(new, digests).collect()}
+    bloomed = {
+        r.doc_id
+        for r in dedup.incremental_exact_dedup_bloom(new, digests).collect()
+    }
+    assert plain == bloomed and len(plain) > 0
+
+
+def test_incremental_bloom_plan_broadcasts_bitset(spark, sf_dir):
+    from pdf_to_vectordb_etl_spark.operators import dedup
+
+    docs = load(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    out = dedup.incremental_exact_dedup_bloom(
+        docs.filter(h >= "8"), dedup.content_digests(docs.filter(h < "8"))
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the k=4 screen joins are all broadcast — the batch side never
+    # shuffles to meet the bitset
+    assert plan.count("BroadcastHashJoin") >= 4
