@@ -3040,9 +3040,11 @@ def q_rouge_l(spark, sf):
     bleu_rouge: per-pair LCS as an anti-diagonal wavefront DP in
     array HOFs (cells on a diagonal are independent → one parallel
     transform per step of a bounded aggregate loop; O(m·n) work,
-    48-word cap). The oracle replays the identical wavefront as a
-    recursive CTE over diagonals — same recurrence, independently
-    implemented."""
+    256-word cap, tiered: HOF wavefront for small pairs, the same
+    recurrence vectorized in numpy via pandas UDF for large ones,
+    truncation count reported). The oracle replays the identical
+    wavefront as a recursive CTE over diagonals — same recurrence,
+    independently implemented."""
     from pdf_to_vectordb_etl_spark.operators import evaluation
 
     docs = _t(spark, sf, "documents").select(
@@ -3060,7 +3062,7 @@ def q_rouge_l(spark, sf):
         F.col("t").alias("ref"),
     ).repartition(spark.sparkContext.defaultParallelism)
     return evaluation.rouge_l_corpus(
-        pairs, "cand", "ref", "id", max_words=48
+        pairs, "cand", "ref", "id", max_words=256
     )
 
 
@@ -10857,14 +10859,19 @@ def oracle_sql() -> dict[str, str]:
               FROM d0),
             pairs AS MATERIALIZED (
               SELECT id,
-                     rwf[1:48] AS rw,
+                     rwf[1:256] AS rw,
                      list_transform(
                        list_filter(generate_series(1, len(rwf)),
-                                   i -> i % 7 != 0)[1:48],
-                       i -> rwf[i]) AS cw
+                                   i -> i % 7 != 0)[1:256],
+                       i -> rwf[i]) AS cw,
+                     CASE WHEN len(rwf) > 256
+                            OR len(list_filter(
+                                 generate_series(1, len(rwf)),
+                                 i -> i % 7 != 0)) > 256
+                          THEN 1 ELSE 0 END AS trunc
               FROM words),
             dims AS MATERIALIZED (
-              SELECT id, cw, rw, len(cw) AS m, len(rw) AS n
+              SELECT id, cw, rw, len(cw) AS m, len(rw) AS n, trunc
               FROM pairs),
             dp AS (
               SELECT id, m, n, 1 AS dg,
@@ -10894,15 +10901,17 @@ def oracle_sql() -> dict[str, str]:
                                 WHERE dp.id = z.id
                                   AND dp.dg = z.m + z.n)
                           ELSE 0 END AS l,
-                     z.m, z.n
+                     z.m, z.n, z.trunc
               FROM dims z),
             s AS (
               SELECT CAST(count(*) AS BIGINT) AS n_pairs,
                      CAST(coalesce(sum(l), 0) AS BIGINT) AS lcs_sum,
                      CAST(coalesce(sum(m), 0) AS BIGINT) AS c_words,
-                     CAST(coalesce(sum(n), 0) AS BIGINT) AS r_words
+                     CAST(coalesce(sum(n), 0) AS BIGINT) AS r_words,
+                     CAST(coalesce(sum(trunc), 0) AS BIGINT)
+                       AS truncated_pairs
               FROM lcs)
-            SELECT n_pairs, lcs_sum, c_words, r_words,
+            SELECT n_pairs, lcs_sum, c_words, r_words, truncated_pairs,
                    CASE WHEN c_words > 0
                         THEN floor(lcs_sum * 1000000 / c_words) / 1e6
                    END AS rl_p_q6,

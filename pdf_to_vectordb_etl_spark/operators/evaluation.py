@@ -20,6 +20,8 @@ in the reference pipeline.)
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # ln(x) guard: Kaplan-Meier's survival product hits factor == 0.0 when
@@ -1651,7 +1653,8 @@ def rouge_l_corpus(
     cand_col: str = "cand",
     ref_col: str = "ref",
     id_col: str = "id",
-    max_words: int = 48,
+    max_words: int = 256,
+    hof_max_cells: int = 48 * 48,
 ) -> DataFrame:
     """Corpus ROUGE-L (Lin 2004 §3): longest-common-subsequence
     precision/recall/F between candidate and reference word
@@ -1659,31 +1662,41 @@ def rouge_l_corpus(
     variants (a shuffled candidate scores high on ROUGE-1 but low
     here).
 
-    Per-pair LCS runs as an ANTI-DIAGONAL wavefront DP inside array
-    HOFs: cells on diagonal d = i+j depend only on diagonals d−1 and
-    d−2, so each step of the bounded ``aggregate(sequence(2, m+n))``
-    loop builds the whole next diagonal with one parallel
-    ``transform`` — O(m·n) work, O(m) state, no per-row Python, rows
-    independent so the corpus scales embarrassingly.  Both sides are
-    truncated to ``max_words`` (documented cap: cost per row is
-    ≤ 2·max_words² interpreted-lambda ops).  The word arrays are
-    bound ONCE as lambda variables via the single-element-transform
-    trick (the cdc_chunks CollapseProject lesson); out-of-range
-    probes use null-safe ``get``; the ``m,n ≥ 1`` guard dodges
-    Spark's descending-``sequence`` trap on empty sides.
+    TWO exact tiers, routed per pair by DP size (r6: the old flat
+    48-word cap silently truncated real eval references):
+
+    - m·n <= ``hof_max_cells``: the ANTI-DIAGONAL wavefront DP inside
+      array HOFs — cells on diagonal d = i+j depend only on diagonals
+      d−1 and d−2, so each step of the bounded
+      ``aggregate(sequence(2, m+n))`` loop builds the whole next
+      diagonal with one parallel ``transform``. Zero Python, but the
+      lambdas run interpreted, so cost per cell is ~100× a numpy op.
+    - larger pairs: the SAME wavefront recurrence vectorized in numpy
+      inside an Arrow-batched pandas UDF (one np.where per diagonal).
+      Exact integers either way — the union is seam-free, pinned by
+      the tests’ cross-tier equality sweep.
+
+    Both sides still truncate at ``max_words`` (cost ceiling
+    2·max_words² numpy cells ≈ 128k — microseconds per pair), but the
+    cap is now 256 and REPORTED: ``truncated_pairs`` counts pairs
+    where either side hit it, so a silent-cap reading is impossible.
+    The HOF tier binds its word arrays ONCE as lambda variables via
+    the single-element-transform trick (the cdc_chunks CollapseProject
+    lesson); out-of-range probes use null-safe ``get``; the
+    ``m,n >= 1`` guard dodges Spark’s descending-``sequence`` trap.
 
     Corpus aggregation is the summary-level convention: exact-integer
     sums of (lcs, m, n), then P = Σlcs/Σm, R = Σlcs/Σn,
     F = 2PR/(P+R), all 1e-6 floor-quantized.
 
-    Returns one row: n_pairs, lcs_sum, c_words, r_words, rl_p_q6,
-    rl_r_q6, rl_f_q6."""
+    Returns one row: n_pairs, lcs_sum, c_words, r_words,
+    truncated_pairs, rl_p_q6, rl_r_q6, rl_f_q6."""
 
-    def _words(c: Column) -> Column:
+    def _full_words(c: Column) -> Column:
         t = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
-        return F.when(
-            F.length(t) > 0, F.slice(F.split(t, " "), 1, max_words)
-        ).otherwise(F.array().cast("array<string>"))
+        return F.when(F.length(t) > 0, F.split(t, " ")).otherwise(
+            F.array().cast("array<string>")
+        )
 
     def _lcs(p: Column) -> Column:
         cw, rw = p["cw"], p["rw"]
@@ -1721,15 +1734,53 @@ def rouge_l_corpus(
             ),
         ).otherwise(F.lit(0))
 
+    @F.pandas_udf("integer")
+    def _lcs_np(cands: pd.Series, refs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for a, b in zip(cands, refs):
+            m, n = len(a), len(b)
+            if m == 0 or n == 0:
+                out.append(0)
+                continue
+            A = np.asarray(a, dtype=object)
+            B = np.asarray(b, dtype=object)
+            p1 = np.zeros(m + 1, np.int64)
+            p2 = np.zeros(m + 1, np.int64)
+            for d in range(2, m + n + 1):
+                i_lo, i_hi = max(1, d - n), min(m, d - 1)
+                new = np.zeros(m + 1, np.int64)
+                if i_lo <= i_hi:
+                    i = np.arange(i_lo, i_hi + 1)
+                    eq = A[i - 1] == B[d - i - 1]
+                    new[i] = np.where(
+                        eq, p2[i - 1] + 1, np.maximum(p1[i - 1], p1[i])
+                    )
+                p2, p1 = p1, new
+            out.append(int(p1[m]))
+        return pd.Series(out, dtype="int32")
+
     toks = pairs.select(
         F.col(id_col).alias("_id"),
-        _words(F.col(cand_col)).alias("cw"),
-        _words(F.col(ref_col)).alias("rw"),
-    )
-    per = toks.select(
+        _full_words(F.col(cand_col)).alias("cf"),
+        _full_words(F.col(ref_col)).alias("rf"),
+    ).select(
         "_id",
-        F.size("cw").alias("m"),
-        F.size("rw").alias("n"),
+        F.slice("cf", 1, max_words).alias("cw"),
+        F.slice("rf", 1, max_words).alias("rw"),
+        (
+            (F.size("cf") > max_words) | (F.size("rf") > max_words)
+        ).cast("int").alias("trunc"),
+    )
+    sized = toks.withColumns(
+        {"m": F.size("cw"), "n": F.size("rw")}
+    )
+    small = sized.filter(F.col("m") * F.col("n") <= hof_max_cells).select(
+        "_id",
+        "m",
+        "n",
+        "trunc",
         # bind (cw, rw) once as a lambda variable: the DP references
         # them ~m·(m+n) times and must never inline their builders
         F.element_at(
@@ -1740,11 +1791,22 @@ def rouge_l_corpus(
             1,
         ).alias("lcs"),
     )
+    large = sized.filter(F.col("m") * F.col("n") > hof_max_cells).select(
+        "_id",
+        "m",
+        "n",
+        "trunc",
+        _lcs_np(F.col("cw"), F.col("rw")).alias("lcs"),
+    )
+    per = small.unionByName(large)
     s = per.agg(
         F.count("*").cast("long").alias("n_pairs"),
         F.coalesce(F.sum("lcs"), F.lit(0)).cast("long").alias("lcs_sum"),
         F.coalesce(F.sum("m"), F.lit(0)).cast("long").alias("c_words"),
         F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("r_words"),
+        F.coalesce(F.sum("trunc"), F.lit(0)).cast("long").alias(
+            "truncated_pairs"
+        ),
     )
 
     def q6(num: Column, den: Column) -> Column:

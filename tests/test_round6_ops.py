@@ -801,3 +801,56 @@ def test_t27_stream_kendall_equals_batch(spark):
     live = [tuple(r) for r in q["t27_stream_kendall"](spark, sf).collect()]
     batch = [tuple(r) for r in q["kendall_tau"](spark, sf).collect()]
     assert live == batch and len(live) == 1
+
+
+def test_rouge_l_large_tier_matches_bruteforce(spark):
+    # r6: pairs past the old 48-word cap route through the numpy
+    # wavefront tier; exact LCS must survive the tier seam
+    from pdf_to_vectordb_etl_spark.operators import evaluation
+
+    random.seed(11)
+    vocab = ["tok%d" % i for i in range(25)]
+    rows = []
+    for i in range(12):
+        c = [random.choice(vocab) for _ in range(random.randint(60, 250))]
+        r = [random.choice(vocab) for _ in range(random.randint(60, 250))]
+        rows.append((i, " ".join(c), " ".join(r)))
+    # plus small pairs so BOTH tiers are live in one run
+    rows += [(100, "a b c d", "a x c d"), (101, "", "x")]
+    d = spark.createDataFrame(rows, "id INT, cand STRING, ref STRING")
+    got = evaluation.rouge_l_corpus(d, max_words=256).collect()[0]
+    tot_l = sum(
+        _brute_lcs(c.split() if c else [], r.split() if r else [])
+        for _, c, r in rows
+    )
+    assert got["lcs_sum"] == tot_l
+    assert got["truncated_pairs"] == 0
+
+
+def test_rouge_l_tiers_agree(spark):
+    # same pairs forced down each tier -> identical summary row
+    from pdf_to_vectordb_etl_spark.operators import evaluation
+
+    random.seed(13)
+    rows = [
+        (i, " ".join(random.choice("abcde") for _ in range(40)),
+         " ".join(random.choice("abcde") for _ in range(40)))
+        for i in range(10)
+    ]
+    d = spark.createDataFrame(rows, "id INT, cand STRING, ref STRING")
+    hof = evaluation.rouge_l_corpus(d, hof_max_cells=10**9).collect()[0]
+    npv = evaluation.rouge_l_corpus(d, hof_max_cells=0).collect()[0]
+    assert hof == npv
+
+
+def test_rouge_l_truncation_reported(spark):
+    from pdf_to_vectordb_etl_spark.operators import evaluation
+
+    d = spark.createDataFrame(
+        [(1, " ".join(["t"] * 300), " ".join(["t"] * 300)),
+         (2, "a b", "a b")],
+        "id INT, cand STRING, ref STRING",
+    )
+    row = evaluation.rouge_l_corpus(d, max_words=256).collect()[0]
+    assert row["truncated_pairs"] == 1
+    assert row["lcs_sum"] == 256 + 2 and row["c_words"] == 256 + 2
