@@ -1808,6 +1808,60 @@ def q_curation_contamination(spark, sf):
     )
 
 
+def q_contamination_bench(spark, sf):
+    """Per-benchmark-item leak telemetry: for every held-out doc
+    (md5-bucket < '14') with any 8-gram overlap, the total count of
+    (corpus doc, shared distinct shingle) pairs. Bounded output —
+    the associative state relation the T28 streaming gate folds."""
+    from pdf_to_vectordb_etl_spark.operators import curation
+
+    docs = _t(spark, sf, "documents")
+    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "14"
+    return curation.contamination_bench_telemetry(
+        docs.filter(~is_bench), docs.filter(is_bench), n=8
+    )
+
+
+def q_t28_stream_contamination(spark, sf):
+    """T28 — streaming contamination gate: the benchmark's shingle
+    table (static, checkpointed, broadcast) screens the document
+    ingest stream per-row; the only stream state is one associative
+    count per benchmark item (≤ |benchmark| rows). Snapshot == the
+    batch contamination_bench_telemetry, whose SQL is the oracle."""
+    import tempfile
+
+    from pdf_to_vectordb_etl_spark.operators import curation
+    from pdf_to_vectordb_etl_spark.streaming.pipeline import (
+        stream_contamination_totals,
+    )
+
+    batch_docs = spark.read.parquet(f"{sf}/documents.parquet")
+    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "14"
+    bench_sh = curation.benchmark_shingle_table(
+        batch_docs.filter(is_bench), n=8
+    ).localCheckpoint(eager=True)
+    stream = (
+        spark.readStream.schema(batch_docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+        .filter(~is_bench)
+        .select("doc_id", "text")
+    )
+    live = stream_contamination_totals(stream, bench_sh, n=8)
+    name = "t28_contamination"
+    q = (
+        live.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t28ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("bench_id")
+
+
 def q_curation_pack_sequences(spark, sf):
     """GPT-style token-stream packing: concat docs in deterministic
     shard order, cut every 256 tokens; per doc -> (shard, seq_id,
@@ -7262,6 +7316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_cap_per_domain": q_curation_cap_per_domain,
         "curation_shard_shuffle": q_curation_shard_shuffle,
         "curation_contamination": q_curation_contamination,
+        "contamination_bench": q_contamination_bench,
+        "t28_stream_contamination": q_t28_stream_contamination,
         "curation_pack_sequences": q_curation_pack_sequences,
         "curation_quality_filter": q_curation_quality_filter,
         "curation_mixture_plan": q_curation_mixture_plan,
@@ -9482,6 +9538,29 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id FROM documents
                   WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '14') d
             LEFT JOIN ov USING (doc_id)
+        """,
+        # bench-side telemetry: same shingle join, grouped per
+        # benchmark item (bounded state relation of the T28 gate)
+        "contamination_bench": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                                  ' ') AS w,
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b
+              FROM documents),
+            sh AS (
+              SELECT doc_id, b,
+                     unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 7, 0)),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                            w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' ||
+                            w[i+6] || ' ' || w[i+7]))) AS s
+              FROM norm)
+            SELECT b2.doc_id AS bench_id,
+                   CAST(count(*) AS BIGINT) AS n_hits
+            FROM (SELECT doc_id, s FROM sh WHERE b >= '14') c
+            JOIN (SELECT doc_id, s FROM sh WHERE b < '14') b2 USING (s)
+            GROUP BY b2.doc_id
         """,
         "curation_pack_sequences": r"""
             WITH base AS (
@@ -14883,6 +14962,7 @@ def oracle_sql() -> dict[str, str]:
     # new×corpus Jaccard set by the recall-1.0 argument — so the same
     # DuckDB exact-Jaccard SQL is the oracle
     d["t19_stream_minhash_screen"] = d["dedup_incremental_minhash"]
+    d["t28_stream_contamination"] = d["contamination_bench"]
     # Bloom-screened variant admits the identical set (no false negatives)
     d["dedup_incremental_bloom"] = d["dedup_incremental_exact"]
     # the streaming occupancy agg is associative and ranks with the

@@ -312,6 +312,53 @@ def contamination_check(
     )
 
 
+def benchmark_shingle_table(
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(bench_id, h) rows: each benchmark doc's distinct word-n-gram
+    xxhash64 keys — the static side of the contamination join. A pure
+    function of the benchmark set; persist it once (it is tiny next to
+    the corpus) and both the batch check and the T28 streaming gate
+    broadcast it."""
+    ex = benchmark.select(
+        F.col(id_col).alias("bench_id"), F.col(text_col)
+    ).select(
+        "bench_id",
+        F.explode(word_shingles(F.col(text_col), n)).alias("_s"),
+    )
+    return ex.select("bench_id", F.xxhash64("_s").alias("h"))
+
+
+def contamination_bench_telemetry(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Leak telemetry per BENCHMARK item: for every benchmark doc with
+    any overlap, the total count of (corpus doc, shared distinct
+    n-gram) pairs — which held-out items are bleeding into the
+    training corpus, and how hard. The bounded associative state
+    relation of the T28 streaming gate (≤ |benchmark| rows, corpus
+    contributes only counts), aggregated by the identical
+    shingle-hash join as :func:`contamination_check`."""
+    corpus_sh = _spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
+    ).select(
+        "id", F.explode(word_shingles(F.col(text_col), n)).alias("_s")
+    ).select("id", F.xxhash64("_s").alias("h"))
+    bench_sh = benchmark_shingle_table(benchmark, n, text_col, id_col)
+    return (
+        corpus_sh.join(bench_sh, "h")
+        .groupBy("bench_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+
+
 def length_bucketed_batches(
     df: DataFrame,
     batch_size: int = 32,

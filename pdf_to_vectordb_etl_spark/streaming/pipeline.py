@@ -858,6 +858,41 @@ def stream_woe_counts(
     )
 
 
+def stream_contamination_totals(
+    docs_stream: DataFrame,
+    bench_shingles: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """T28 — benchmark-contamination gate at INGEST time (batch twin:
+    curation.contamination_bench_telemetry): per benchmark item, the
+    running count of (stream doc, shared distinct word-n-gram) pairs.
+    Contamination screening is exactly the gate you want while data
+    flows in, not post-hoc over a materialized corpus.
+
+    Stream shape: each arriving doc explodes to its distinct shingle
+    xxhash64 keys (per-row stateless — no agg before the join, which
+    streams don't support), broadcast-joins the STATIC (bench_id, h)
+    table (zero join state), and folds into one associative count per
+    benchmark item — state is bounded by |benchmark|, never by the
+    stream. Snapshot over the same rows == the batch telemetry, so
+    the batch SQL is the parity oracle.
+
+    ``bench_shingles`` is ``curation.benchmark_shingle_table`` output
+    — materialize it (localCheckpoint / table) before streaming."""
+    from pdf_to_vectordb_etl_spark.operators.dedup import word_shingles
+
+    ex = docs_stream.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("_s")
+    ).select(F.xxhash64("_s").alias("h"))
+    return (
+        ex.join(F.broadcast(bench_shingles), "h")
+        .groupBy("bench_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+
+
 def stream_blocklist_totals(
     docs_stream: DataFrame,
     patterns: DataFrame,

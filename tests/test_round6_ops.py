@@ -854,3 +854,54 @@ def test_rouge_l_truncation_reported(spark):
     row = evaluation.rouge_l_corpus(d, max_words=256).collect()[0]
     assert row["truncated_pairs"] == 1
     assert row["lcs_sum"] == 256 + 2 and row["c_words"] == 256 + 2
+
+
+def test_stream_contamination_totals_equal_batch(spark, sf_dir):
+    """T28: the streaming per-benchmark-item contamination snapshot
+    equals the batch telemetry — same shingle join, bounded state
+    (one associative count per benchmark doc)."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from pdf_to_vectordb_etl_spark.operators import curation
+    from pdf_to_vectordb_etl_spark.streaming.pipeline import (
+        stream_contamination_totals,
+    )
+    from tests.conftest import load
+
+    docs = load(spark, sf_dir, "documents")
+    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "14"
+    batch = {
+        (r["bench_id"], r["n_hits"])
+        for r in curation.contamination_bench_telemetry(
+            docs.filter(~is_bench), docs.filter(is_bench), n=8
+        ).collect()
+    }
+    bench_sh = curation.benchmark_shingle_table(
+        docs.filter(is_bench), n=8
+    ).localCheckpoint(eager=True)
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(~is_bench)
+        .select("doc_id", "text")
+    )
+    q = (
+        stream_contamination_totals(stream, bench_sh, n=8)
+        .writeStream.format("memory")
+        .queryName("t28_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t28t"))
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["bench_id"], r["n_hits"])
+        for r in spark.table("t28_test").collect()
+    }
+    assert got == batch and len(got) >= 1
