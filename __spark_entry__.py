@@ -3724,6 +3724,153 @@ def q_bpe_train(spark, sf):
     return ta.bpe_train_merges(d2, n_merges=8)
 
 
+def q_unigram_lm_train(spark, sf):
+    """Unigram-LM (SentencePiece-class) tokenizer training on the
+    ASCII-projected corpus: substring-candidate seed, 2 hard-EM rounds
+    of (integer-exact Viterbi segmentation -> recount -> prune). The
+    libm-free objective (min pieces, max summed frequency, lexico-
+    graphically least path) makes every round bit-deterministic in any
+    engine; the oracle replays both rounds as recursive-CTE DPs over
+    the same edge tables. See textanalysis.unigram_lm_train."""
+    from pdf_to_vectordb_etl_spark.operators import textanalysis as ta
+
+    docs = _t(spark, sf, "documents")
+    d2 = docs.select(
+        F.regexp_replace("text", r"[^\x20-\x7e]", "").alias("text")
+    )
+    return ta.unigram_lm_train(
+        d2, vocab_size=48, n_rounds=2, max_piece_len=4, max_word_len=12,
+        min_count=2, seed_cap_factor=4,
+    )
+
+
+def _unigram_oracle_sql(
+    vocab_size: int = 48,
+    n_rounds: int = 2,
+    max_piece_len: int = 4,
+    max_word_len: int = 12,
+    min_count: int = 2,
+    seed_cap_factor: int = 4,
+) -> str:
+    """DuckDB replay of unigram_lm_train: the same substring seed,
+    then each hard-EM round unrolled as ONE recursive CTE that carries
+    the whole Viterbi dp LIST per word through the positions (the
+    rouge_l diagonal-list pattern), with the identical integer-exact
+    objective — min(struct{k, negs, ps}) is the same lexicographic
+    struct/list comparison in both engines (verified: nested list
+    ordering matches Spark's). All intermediate piece tables are
+    MATERIALIZED (each feeds an edge join AND the next round — the
+    k-center inlining lesson)."""
+    inf = 1 << 20
+    seed_cap = seed_cap_factor * vocab_size
+
+    rounds = []
+    prev = "p0"
+    for r in range(1, n_rounds + 1):
+        block = f"""
+            eg{r} AS MATERIALIZED (
+              SELECT o.w, any_value(o.freq) AS freq,
+                     any_value(o.wlen) AS wlen,
+                     list_sort(list(
+                       {{'i': o.i, 'j': o.j, 'n': p.n,
+                         'piece': o.piece}})) AS edges
+              FROM occ2 o JOIN {prev} p USING (piece)
+              GROUP BY o.w),
+            dp{r} AS (
+              SELECT w, freq, wlen, 0 AS iter,
+                     list_transform(generate_series(0, wlen),
+                       p -> {{'k': CASE WHEN p = 0 THEN 0
+                                   ELSE {inf} END,
+                             'negs': CAST(0 AS BIGINT),
+                             'ps': CAST([] AS VARCHAR[])}}) AS dp
+              FROM eg{r}
+              UNION ALL
+              SELECT d.w, d.freq, d.wlen, d.iter + 1,
+                     list_transform(generate_series(0, d.wlen),
+                       p -> CASE WHEN p = d.iter + 1
+                                  AND len(list_filter(x.edges,
+                                        e -> e.j = d.iter + 1
+                                         AND d.dp[e.i + 1].k < {inf}))
+                                      > 0
+                            THEN list_sort(list_transform(
+                                   list_filter(x.edges,
+                                     e -> e.j = d.iter + 1
+                                      AND d.dp[e.i + 1].k < {inf}),
+                                   e -> {{'k': d.dp[e.i + 1].k + 1,
+                                         'negs': d.dp[e.i + 1].negs
+                                                 - e.n,
+                                         'ps': list_append(
+                                             d.dp[e.i + 1].ps,
+                                             e.piece)}}))[1]
+                            ELSE d.dp[p + 1] END)
+              FROM dp{r} d JOIN eg{r} x USING (w)
+              WHERE d.iter < d.wlen),
+            seg{r} AS MATERIALIZED (
+              SELECT freq, dp[wlen + 1].ps AS ps
+              FROM dp{r}
+              WHERE iter = wlen AND dp[wlen + 1].k < {inf}),
+            rc{r} AS MATERIALIZED (
+              SELECT piece, CAST(sum(freq) AS BIGINT) AS n
+              FROM (SELECT freq, unnest(ps) AS piece FROM seg{r})
+              GROUP BY piece),
+            p{r} AS MATERIALIZED (
+              SELECT c.piece, CAST(coalesce(r.n, 0) AS BIGINT) AS n
+              FROM (SELECT piece FROM {prev}
+                    WHERE length(piece) = 1) c
+              LEFT JOIN rc{r} r USING (piece)
+              UNION ALL
+              SELECT piece, n FROM (
+                SELECT piece, n FROM rc{r}
+                WHERE length(piece) > 1
+                ORDER BY n DESC, piece
+                LIMIT {vocab_size}))"""
+        rounds.append(block)
+        prev = f"p{r}"
+
+    return f"""
+        WITH RECURSIVE w0 AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS freq,
+                 CAST(length(w) AS INT) AS wlen
+          FROM (SELECT unnest(string_split_regex(
+                  lower(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g')),
+                  '\\s+')) AS w
+                FROM documents)
+          WHERE length(w) BETWEEN 1 AND {max_word_len}
+          GROUP BY w),
+        occ2 AS MATERIALIZED (
+          SELECT w, freq, wlen, s.i AS i, s.j AS j,
+                 substr(w, s.i + 1, s.j - s.i) AS piece
+          FROM (SELECT w, freq, wlen,
+                       unnest(flatten(list_transform(
+                         generate_series(0, wlen - 1),
+                         i -> list_transform(
+                           generate_series(i + 1,
+                                           least(i + {max_piece_len},
+                                                 wlen)),
+                           j -> {{'i': i, 'j': j}})))) AS s
+                FROM w0)),
+        sc AS (
+          SELECT piece, CAST(sum(freq) AS BIGINT) AS n
+          FROM occ2 GROUP BY piece),
+        p0 AS MATERIALIZED (
+          SELECT piece, n FROM sc WHERE length(piece) = 1
+          UNION ALL
+          SELECT piece, n FROM (
+            SELECT piece, n FROM sc
+            WHERE length(piece) > 1 AND n >= {min_count}
+            ORDER BY n DESC, piece
+            LIMIT {seed_cap})),
+        {",".join(rounds)},
+        tot AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS t
+                FROM {prev})
+        SELECT piece, CAST(length(piece) AS INT) AS piece_len, n,
+               CASE WHEN t > 0
+                    THEN floor(n * 1000000 / t) / 1e6
+                    ELSE 0.0 END AS p_q6
+        FROM {prev}, tot
+    """
+
+
 def _bpe_train_oracle_sql(n_merges: int = 8) -> str:
     """Unrolled DuckDB replay of bpe_train_merges: one
     (pair-count, argmax, rewrite) CTE block per merge round.
@@ -7367,6 +7514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suffix_window_starts": q_suffix_window_starts,
         "dsir_select": q_dsir_select,
         "bpe_train": q_bpe_train,
+        "unigram_lm_train": q_unigram_lm_train,
         "ta_perplexity": q_ta_perplexity,
         "binary_hamming_topk": q_binary_hamming_topk,
         "mrl_recall": q_mrl_recall,
@@ -10379,6 +10527,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_mktsegment
         """,
         "bpe_train": _bpe_train_oracle_sql(8),
+        "unigram_lm_train": _unigram_oracle_sql(),
         # T17: the live histogram is an associative sum over the same
         # gram/bucket projection — snapshot == batch histogram.
         "t17_stream_gram_hist": r"""

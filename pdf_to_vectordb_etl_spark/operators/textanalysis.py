@@ -469,6 +469,178 @@ def bpe_train_merges(
     )
 
 
+def unigram_lm_train(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 64,
+    n_rounds: int = 2,
+    max_piece_len: int = 4,
+    max_word_len: int = 12,
+    min_count: int = 2,
+    seed_cap_factor: int = 4,
+) -> DataFrame:
+    """Unigram-LM tokenizer training (SentencePiece-class, Kudo 2018,
+    public) — the second of the two tokenizer families next to
+    :func:`bpe_train_merges`: seed a substring candidate vocabulary,
+    then run hard-EM rounds of (Viterbi-segment every vocab word under
+    the current piece table) -> (recount pieces from the segmentations)
+    -> (prune to the piece budget). Returns the trained piece table —
+    the artifact a tokenizer ships: (piece, piece_len, n, p_q6).
+
+    DETERMINISM DESIGN (the adaboost libm-free precedent): instead of
+    float log-prob sums — whose ln() grids can split across engines —
+    the Viterbi objective is integer-exact: minimize piece count, then
+    maximize the summed piece frequency, then take the
+    lexicographically least piece sequence. Every round is therefore
+    bit-replayable in any engine (the oracle unrolls the same rounds
+    as recursive-CTE DPs), and pruning is by Viterbi count — the
+    hard-EM surrogate for SentencePiece's loss-delta (a piece's loss
+    contribution under hard counts is monotone in its count).
+
+    Scale shape: the corpus collapses ONCE to the word-frequency vocab
+    (the bpe_train_merges contract; vocab is sublinear in corpus
+    size); every round runs on vocab rows only — one bounded position
+    explode (≤ max_word_len·max_piece_len edges/word), one equi-join
+    against the ≤ seed_cap piece table, one per-word array-HOF DP
+    (≤ max_word_len² cells), one hash recount — with the piece table
+    localCheckpointed per round (the iterative-lineage rule). Words
+    longer than ``max_word_len`` are excluded from training (the
+    SentencePiece max-sentence-length analogue); single-char pieces
+    are always retained so every word stays segmentable."""
+    inf = 1 << 20
+    words = (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+        )
+        .filter((F.length("w") > 0) & (F.length("w") <= max_word_len))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("wlen", F.length("w").cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    # (i, j) spans, 0-based start exclusive end, j - i <= max_piece_len
+    spans = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.col("wlen") - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.least(i + max_piece_len, F.col("wlen"))),
+                lambda j: F.struct(i.alias("i"), j.alias("j")),
+            ),
+        )
+    )
+    occ = words.select(
+        "w", "freq", "wlen", F.explode(spans).alias("s")
+    ).select(
+        "w",
+        "freq",
+        "wlen",
+        F.col("s.i").alias("i"),
+        F.col("s.j").alias("j"),
+        F.substring(
+            F.col("w"), F.col("s.i") + 1, F.col("s.j") - F.col("s.i")
+        ).alias("piece"),
+    )
+    seed_counts = occ.groupBy("piece").agg(
+        F.sum("freq").cast("long").alias("n")
+    )
+    chars = seed_counts.filter(F.length("piece") == 1)
+    multi = (
+        seed_counts.filter(
+            (F.length("piece") > 1) & (F.col("n") >= min_count)
+        )
+        .orderBy(F.desc("n"), "piece")
+        .limit(seed_cap_factor * vocab_size)
+    )
+    pieces = chars.unionByName(multi).localCheckpoint(eager=True)
+
+    for _ in range(n_rounds):
+        edges = (
+            occ.join(pieces, "piece")
+            .groupBy("w", "freq", "wlen")
+            .agg(
+                F.collect_list(
+                    F.struct(
+                        F.col("i"), F.col("j"), F.col("n"), F.col("piece")
+                    )
+                ).alias("edges")
+            )
+        )
+        dp_init = F.transform(
+            F.sequence(F.lit(0), F.col("wlen")),
+            lambda p: F.struct(
+                F.when(p == 0, 0).otherwise(inf).alias("k"),
+                F.lit(0).cast("long").alias("negs"),
+                F.array().cast("array<string>").alias("ps"),
+            ),
+        )
+
+        def dp_step(dp, j):
+            cands = F.filter(
+                F.col("edges"),
+                lambda e: (e["j"] == j)
+                & (F.element_at(dp, e["i"] + 1)["k"] < inf),
+            )
+            best = F.array_min(
+                F.transform(
+                    cands,
+                    lambda e: F.struct(
+                        (F.element_at(dp, e["i"] + 1)["k"] + 1).alias("k"),
+                        (
+                            F.element_at(dp, e["i"] + 1)["negs"] - e["n"]
+                        ).alias("negs"),
+                        F.array_append(
+                            F.element_at(dp, e["i"] + 1)["ps"], e["piece"]
+                        ).alias("ps"),
+                    ),
+                )
+            )
+            return F.transform(
+                F.sequence(F.lit(0), F.col("wlen")),
+                lambda p: F.when(
+                    (p == j) & (F.size(cands) > 0), best
+                ).otherwise(F.element_at(dp, p + 1)),
+            )
+
+        segs = edges.select(
+            "freq",
+            F.aggregate(
+                F.sequence(F.lit(1), F.col("wlen")),
+                dp_init,
+                dp_step,
+                lambda dp: F.element_at(dp, F.col("wlen") + 1),
+            ).alias("best"),
+        ).filter(F.col("best.k") < inf)
+        recount = (
+            segs.select("freq", F.explode("best.ps").alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("freq").cast("long").alias("n"))
+        )
+        kept_chars = (
+            pieces.filter(F.length("piece") == 1)
+            .select("piece")
+            .join(recount, "piece", "left")
+            .select("piece", F.coalesce("n", F.lit(0)).cast("long").alias("n"))
+        )
+        kept_multi = (
+            recount.filter(F.length("piece") > 1)
+            .orderBy(F.desc("n"), "piece")
+            .limit(vocab_size)
+        )
+        pieces = kept_chars.unionByName(kept_multi).localCheckpoint(
+            eager=True
+        )
+
+    total = pieces.agg(F.sum("n")).first()[0] or 0
+    return pieces.select(
+        "piece",
+        F.length("piece").cast("int").alias("piece_len"),
+        "n",
+        F.when(
+            F.lit(total) > 0, F.floor(F.col("n") * 1000000 / F.lit(total)) / 1e6
+        ).otherwise(F.lit(0.0)).alias("p_q6"),
+    )
+
+
 def pmi_collocations(
     df: DataFrame,
     text_col: str = "text",

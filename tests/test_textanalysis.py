@@ -208,3 +208,89 @@ def test_gopher_thresholds_overridable(spark):
     )
     r = ta.gopher_quality_gate(df, thresholds={"min_words": 5}).first()
     assert r.gopher_pass
+
+
+# ------------------------------------------------------------- r6:
+# unigram-LM (SentencePiece-class) trainer — toy pins.
+
+
+def _toy_corpus(spark):
+    return spark.createDataFrame(
+        [("the cat sat on the mat the cat ran",),
+         ("a cat and a mat and a hat",),
+         ("the hat sat on a cat",)],
+        "text string",
+    )
+
+
+def test_unigram_lm_whole_words_emerge(spark):
+    from pdf_to_vectordb_etl_spark.operators import textanalysis as ta
+
+    out = {
+        r.piece: r.n
+        for r in ta.unigram_lm_train(
+            _toy_corpus(spark), vocab_size=8, n_rounds=2, max_piece_len=3
+        ).collect()
+    }
+    # frequent whole words become single pieces with exact corpus counts
+    assert out["cat"] == 4 and out["the"] == 4 and out["a"] == 4
+    assert out["and"] == 2 and out["mat"] == 2 and out["sat"] == 2
+    # 'ran' (freq 1) segments as r + an: 'ran'/'ra' never reach the
+    # min_count=2 seed, 'an' does (and, and, ran)
+    assert out["r"] == 1 and out["an"] == 1
+
+
+def test_unigram_lm_viterbi_prefers_fewest_pieces(spark):
+    from pdf_to_vectordb_etl_spark.operators import textanalysis as ta
+
+    # 'abcd' appears often enough to be a piece: whole-word wins over
+    # any 2-piece split even though 'ab'/'cd' are also frequent
+    rows = [("ab cd abcd",)] * 3
+    out = {
+        r.piece: r.n
+        for r in ta.unigram_lm_train(
+            spark.createDataFrame(rows, "text string"),
+            vocab_size=8, n_rounds=2, max_piece_len=4, min_count=2,
+        ).collect()
+    }
+    assert out["abcd"] == 3 and out["ab"] == 3 and out["cd"] == 3
+
+
+def test_unigram_lm_counts_are_consistent(spark):
+    from pdf_to_vectordb_etl_spark.operators import textanalysis as ta
+    import pyspark.sql.functions as F
+
+    df = _toy_corpus(spark)
+    out = ta.unigram_lm_train(df, vocab_size=8, n_rounds=2, max_piece_len=3)
+    rows = out.collect()
+    # piece characters reassemble the full (length<=12) word stream:
+    # sum over pieces of n * len(piece) == total characters of words
+    got_chars = sum(r.n * r.piece_len for r in rows)
+    want_chars = (
+        df.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .filter((F.length("w") > 0) & (F.length("w") <= 12))
+        .agg(F.sum(F.length("w")))
+        .first()[0]
+    )
+    assert got_chars == want_chars
+    # probabilities are a floor-quantized distribution
+    assert abs(sum(r.p_q6 for r in rows) - 1.0) < len(rows) * 1e-6 + 1e-9
+
+
+def test_unigram_lm_deterministic(spark):
+    from pdf_to_vectordb_etl_spark.operators import textanalysis as ta
+
+    a = sorted(
+        map(tuple, ta.unigram_lm_train(_toy_corpus(spark)).collect())
+    )
+    b = sorted(
+        map(tuple, ta.unigram_lm_train(_toy_corpus(spark)).collect())
+    )
+    assert a == b
+
+
+def test_unigram_lm_empty_corpus(spark):
+    from pdf_to_vectordb_etl_spark.operators import textanalysis as ta
+
+    empty = spark.createDataFrame([], "text string")
+    assert ta.unigram_lm_train(empty).count() == 0
