@@ -3120,6 +3120,108 @@ def q_rouge_l(spark, sf):
     )
 
 
+def q_pass_at_k(spark, sf):
+    """Unbiased pass@k (Chen et al. 2021) over per-user event trials:
+    problem = user, trial = event, success = purchase. The falling-
+    factorial binomial ratio runs in exact DECIMAL(38,0) integer
+    products with integer ceil-division into 1e-6 micro-units — no
+    float anywhere, so the oracle replays it bit-for-bit in HUGEINT."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation
+
+    ev = _t(spark, sf, "events")
+    trials = ev.select(
+        "user_id", (F.col("event_type") == "purchase").alias("ok")
+    )
+    return evaluation.pass_at_k(trials, "user_id", "ok", ks=(1, 3, 5))
+
+
+def q_unigram_lm_encode(spark, sf):
+    """Unigram-LM tokenizer APPLY: encode the ASCII-projected corpus
+    with a seed piece table (chars + top-64 frequent substrings —
+    derived deterministically, so the oracle can rebuild it without
+    replaying EM), reporting per-doc Viterbi token and OOV counts.
+    DP cost is vocab-sized (distinct words segment once). The oracle
+    only needs the k-component of the DP (any min-piece path has the
+    same count), so its recursion carries a plain INTEGER list."""
+    from pdf_to_vectordb_etl_spark.operators import textanalysis as ta
+
+    docs = _t(spark, sf, "documents")
+    d2 = docs.select(
+        "doc_id",
+        F.regexp_replace("text", r"[^\x20-\x7e]", "").alias("text"),
+    )
+    occ = ta._word_spans(
+        d2.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+        )
+        .filter((F.length("w") > 0) & (F.length("w") <= 12))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("wlen", F.length("w").cast("int")),
+        4,
+    )
+    seed = occ.groupBy("piece").agg(F.sum("freq").cast("long").alias("n"))
+    pieces = (
+        seed.filter(F.length("piece") == 1)
+        .unionByName(
+            seed.filter((F.length("piece") > 1) & (F.col("n") >= 2))
+            .orderBy(F.desc("n"), "piece")
+            .limit(64)
+        )
+        .localCheckpoint(eager=True)
+    )
+    return ta.unigram_lm_encode(d2, pieces, max_piece_len=4, max_word_len=12)
+
+
+def q_gopher_by_source(spark, sf):
+    """Per-source Gopher-gate telemetry: admitted/rejected counts and
+    the OR of failed-rule bits — the batch twin (and oracle) of the
+    T29 streaming gate. Bounded output: one row per source."""
+    from pdf_to_vectordb_etl_spark.operators.textanalysis import (
+        gopher_quality_gate,
+    )
+
+    docs = _t(spark, sf, "documents")
+    gated = gopher_quality_gate(docs)
+    return gated.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("gopher_pass").cast("int")).cast("long").alias("n_pass"),
+        F.bit_or("gopher_fail_mask").cast("int").alias("fail_bits_seen"),
+    )
+
+
+def q_t29_stream_gopher_gate(spark, sf):
+    """T29 — streaming Gopher-gate telemetry: the per-row stateless
+    rule projection over the document ingest stream, folded into one
+    associative (n_docs, n_pass, fail-bit OR) row per source.
+    Snapshot == the batch gopher_by_source, whose SQL is the oracle."""
+    import tempfile
+
+    from pdf_to_vectordb_etl_spark.streaming.pipeline import (
+        stream_quality_gate_totals,
+    )
+
+    batch_docs = spark.read.parquet(f"{sf}/documents.parquet")
+    stream = (
+        spark.readStream.schema(batch_docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+    )
+    live = stream_quality_gate_totals(stream, "source")
+    name = "t29_gopher_gate"
+    q = (
+        live.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t29ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("source")
+
+
 def q_cuped_readout(spark, sf):
     """CUPED variance-reduced A/B readout: md5-bucket arms, pre/post
     split at the (min+max)//2 timestamp midpoint (one bounded driver
@@ -7419,6 +7521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "ta_quality": q_ta_quality,
         "ta_quality_gopher": q_ta_quality_gopher,
+        "gopher_by_source": q_gopher_by_source,
+        "t29_stream_gopher_gate": q_t29_stream_gopher_gate,
         "ta_langid": q_ta_langid,
         "ta_fingerprint": q_ta_fingerprint,
         "mm_binary_meta": q_mm_binary_meta,
@@ -7515,6 +7619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "bpe_train": q_bpe_train,
         "unigram_lm_train": q_unigram_lm_train,
+        "unigram_lm_encode": q_unigram_lm_encode,
         "ta_perplexity": q_ta_perplexity,
         "binary_hamming_topk": q_binary_hamming_topk,
         "mrl_recall": q_mrl_recall,
@@ -7661,6 +7766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anova_value_by_type": q_anova_value_by_type,
         "cramers_v": q_cramers_v,
         "rouge_l": q_rouge_l,
+        "pass_at_k": q_pass_at_k,
         "attribution_touch": q_attribution_touch,
         "benford_law": q_benford_law,
         "t24_stream_benford": q_t24_stream_benford,
@@ -9053,6 +9159,68 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN r0+r1+r2+r3+r4+r5+r6+r7+r8 = 0 THEN 1 ELSE 0 END
                      AS gopher_pass
             FROM r
+        """,
+        "gopher_by_source": r"""
+            WITH f AS (
+              SELECT doc_id, source,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END
+                       AS n_words,
+                     length(regexp_replace(text, '\s', '', 'g')) AS n_word_chars,
+                     len(regexp_extract_all(text, '#')) AS n_hash,
+                     len(regexp_extract_all(text, '\.\.\.|…')) AS n_ellipsis,
+                     len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS n_alpha,
+                     len(string_split(text, chr(10))) AS n_lines,
+                     len(regexp_extract_all(text, '(?m)^[ \t]*[-•*][ \t]'))
+                       AS n_bullet_lines,
+                     len(regexp_extract_all(text, '(?m)(\.\.\.|…)[ \t]*$'))
+                       AS n_ellipsis_lines,
+                     (CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END)
+                       AS stop_hits
+              FROM documents),
+            g AS (
+              SELECT doc_id, source, n_words, stop_hits,
+                     floor((CASE WHEN n_words > 0
+                            THEN n_word_chars * 1.0 / n_words ELSE 0.0 END) * 1e6) / 1e6
+                       AS mean_word_len,
+                     floor((CASE WHEN n_words > 0
+                            THEN (n_hash + n_ellipsis) * 1.0 / n_words ELSE 0.0 END) * 1e6) / 1e6
+                       AS symbol_word_ratio,
+                     floor((CASE WHEN n_lines > 0
+                            THEN n_bullet_lines * 1.0 / n_lines ELSE 0.0 END) * 1e6) / 1e6
+                       AS bullet_line_frac,
+                     floor((CASE WHEN n_lines > 0
+                            THEN n_ellipsis_lines * 1.0 / n_lines ELSE 0.0 END) * 1e6) / 1e6
+                       AS ellipsis_line_frac,
+                     floor((CASE WHEN n_words > 0
+                            THEN n_alpha * 1.0 / n_words ELSE 0.0 END) * 1e6) / 1e6
+                       AS alpha_word_frac
+              FROM f),
+            r AS (
+              SELECT source,
+                     (CASE WHEN n_words >= 50 THEN 0 ELSE 1 END
+                      + CASE WHEN n_words <= 100000 THEN 0 ELSE 2 END
+                      + CASE WHEN mean_word_len >= 3.0 THEN 0 ELSE 4 END
+                      + CASE WHEN mean_word_len <= 10.0 THEN 0 ELSE 8 END
+                      + CASE WHEN symbol_word_ratio <= 0.1 THEN 0 ELSE 16 END
+                      + CASE WHEN bullet_line_frac <= 0.9 THEN 0 ELSE 32 END
+                      + CASE WHEN ellipsis_line_frac <= 0.3 THEN 0 ELSE 64 END
+                      + CASE WHEN alpha_word_frac >= 0.8 THEN 0 ELSE 128 END
+                      + CASE WHEN stop_hits >= 2 THEN 0 ELSE 256 END) AS mask
+              FROM g)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN mask = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_pass,
+                   CAST(bit_or(mask) AS INTEGER) AS fail_bits_seen
+            FROM r GROUP BY source
         """,
         "ta_langid": r"""
             WITH s AS (
@@ -10528,6 +10696,90 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_train": _bpe_train_oracle_sql(8),
         "unigram_lm_train": _unigram_oracle_sql(),
+        # encode: seed table rebuilt from substring counts, then ONE
+        # k-only Viterbi recursion (min piece count needs no tiebreak
+        # payload), joined back to the per-doc word stream
+        "unigram_lm_encode": r"""
+            WITH RECURSIVE d2 AS (
+              SELECT doc_id,
+                     lower(regexp_replace(text, '[^\x20-\x7e]', '', 'g'))
+                       AS t
+              FROM documents),
+            stream AS MATERIALIZED (
+              SELECT doc_id, w
+              FROM (SELECT doc_id,
+                           unnest(string_split_regex(t, '\s+')) AS w
+                    FROM d2)
+              WHERE length(w) > 0),
+            w0 AS (
+              SELECT w, CAST(count(*) AS BIGINT) AS freq,
+                     CAST(length(w) AS INT) AS wlen
+              FROM stream WHERE length(w) <= 12
+              GROUP BY w),
+            occ2 AS MATERIALIZED (
+              SELECT w, wlen, s.i AS i, s.j AS j,
+                     substr(w, s.i + 1, s.j - s.i) AS piece, freq
+              FROM (SELECT w, freq, wlen,
+                           unnest(flatten(list_transform(
+                             generate_series(0, wlen - 1),
+                             i -> list_transform(
+                               generate_series(i + 1, least(i + 4, wlen)),
+                               j -> {'i': i, 'j': j})))) AS s
+                    FROM w0)),
+            sc AS (
+              SELECT piece, CAST(sum(freq) AS BIGINT) AS n
+              FROM occ2 GROUP BY piece),
+            p0 AS MATERIALIZED (
+              SELECT piece FROM sc WHERE length(piece) = 1
+              UNION ALL
+              SELECT piece FROM (
+                SELECT piece, n FROM sc
+                WHERE length(piece) > 1 AND n >= 2
+                ORDER BY n DESC, piece
+                LIMIT 64)),
+            eg AS MATERIALIZED (
+              SELECT o.w, any_value(o.wlen) AS wlen,
+                     list(DISTINCT {'i': o.i, 'j': o.j}) AS edges
+              FROM occ2 o JOIN p0 p USING (piece)
+              GROUP BY o.w),
+            dp AS (
+              SELECT w, wlen, 0 AS iter,
+                     list_transform(generate_series(0, wlen),
+                       p -> CASE WHEN p = 0 THEN 0
+                                 ELSE 1048576 END) AS dp
+              FROM eg
+              UNION ALL
+              SELECT d.w, d.wlen, d.iter + 1,
+                     list_transform(generate_series(0, d.wlen),
+                       p -> CASE WHEN p = d.iter + 1
+                            THEN coalesce(list_min(list_transform(
+                                   list_filter(x.edges,
+                                     e -> e.j = d.iter + 1),
+                                   e -> d.dp[e.i + 1] + 1)), 1048576)
+                            ELSE d.dp[p + 1] END)
+              FROM dp d JOIN eg x USING (w)
+              WHERE d.iter < d.wlen),
+            wk AS MATERIALIZED (
+              SELECT w, dp[wlen + 1] AS k
+              FROM dp WHERE iter = wlen),
+            per AS (
+              SELECT s.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_words,
+                     CAST(sum(CASE WHEN k IS NULL OR k >= 1048576
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_oov_words,
+                     CAST(sum(CASE WHEN k < 1048576 THEN k
+                              ELSE 0 END) AS BIGINT) AS n_tokens
+              FROM stream s LEFT JOIN wk USING (w)
+              GROUP BY s.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+                   CAST(coalesce(p.n_oov_words, 0) AS BIGINT)
+                     AS n_oov_words,
+                   CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens
+            FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
+
         # T17: the live histogram is an associative sum over the same
         # gram/bucket projection — snapshot == batch histogram.
         "t17_stream_gram_hist": r"""
@@ -11072,6 +11324,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         # rouge_l: the identical anti-diagonal wavefront recurrence,
         # independently implemented as a recursive CTE over diagonals
+        # pass@k: integer-exact falling-factorial ratio in HUGEINT,
+        # micro-unit mean via integer division (mirrors DECIMAL(38,0)
+        # + div on the Spark side)
+        "pass_at_k": r"""
+            WITH per AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS c
+              FROM events GROUP BY user_id),
+            u AS (
+              SELECT 1 AS k,
+                     CAST(count(*) AS BIGINT) AS n_problems,
+                     CAST(coalesce(sum(
+                       1000000 - ((CAST(greatest(n - c - 0, 0) AS HUGEINT)) * 1000000
+                                  + (CAST(n - 0 AS HUGEINT)) - 1) // (CAST(n - 0 AS HUGEINT))), 0)
+                          AS HUGEINT) AS sm
+              FROM per WHERE n >= 1
+              UNION ALL
+              SELECT 3 AS k,
+                     CAST(count(*) AS BIGINT) AS n_problems,
+                     CAST(coalesce(sum(
+                       1000000 - ((CAST(greatest(n - c - 0, 0) AS HUGEINT)*CAST(greatest(n - c - 1, 0) AS HUGEINT)*CAST(greatest(n - c - 2, 0) AS HUGEINT)) * 1000000
+                                  + (CAST(n - 0 AS HUGEINT)*CAST(n - 1 AS HUGEINT)*CAST(n - 2 AS HUGEINT)) - 1) // (CAST(n - 0 AS HUGEINT)*CAST(n - 1 AS HUGEINT)*CAST(n - 2 AS HUGEINT))), 0)
+                          AS HUGEINT) AS sm
+              FROM per WHERE n >= 3
+              UNION ALL
+              SELECT 5 AS k,
+                     CAST(count(*) AS BIGINT) AS n_problems,
+                     CAST(coalesce(sum(
+                       1000000 - ((CAST(greatest(n - c - 0, 0) AS HUGEINT)*CAST(greatest(n - c - 1, 0) AS HUGEINT)*CAST(greatest(n - c - 2, 0) AS HUGEINT)*CAST(greatest(n - c - 3, 0) AS HUGEINT)*CAST(greatest(n - c - 4, 0) AS HUGEINT)) * 1000000
+                                  + (CAST(n - 0 AS HUGEINT)*CAST(n - 1 AS HUGEINT)*CAST(n - 2 AS HUGEINT)*CAST(n - 3 AS HUGEINT)*CAST(n - 4 AS HUGEINT)) - 1) // (CAST(n - 0 AS HUGEINT)*CAST(n - 1 AS HUGEINT)*CAST(n - 2 AS HUGEINT)*CAST(n - 3 AS HUGEINT)*CAST(n - 4 AS HUGEINT))), 0)
+                          AS HUGEINT) AS sm
+              FROM per WHERE n >= 5)
+            SELECT k, n_problems,
+                   CASE WHEN n_problems > 0
+                        THEN CAST(sm // n_problems AS BIGINT) / 1e6
+                   END AS pass_rate_q6
+            FROM u
+        """,
         "rouge_l": r"""
             WITH RECURSIVE d0 AS (
               SELECT doc_id AS id,
@@ -15112,6 +15403,7 @@ def oracle_sql() -> dict[str, str]:
     # DuckDB exact-Jaccard SQL is the oracle
     d["t19_stream_minhash_screen"] = d["dedup_incremental_minhash"]
     d["t28_stream_contamination"] = d["contamination_bench"]
+    d["t29_stream_gopher_gate"] = d["gopher_by_source"]
     # Bloom-screened variant admits the identical set (no false negatives)
     d["dedup_incremental_bloom"] = d["dedup_incremental_exact"]
     # the streaming occupancy agg is associative and ranks with the

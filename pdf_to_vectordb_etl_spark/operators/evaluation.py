@@ -1829,6 +1829,79 @@ def rouge_l_corpus(
     )
 
 
+def pass_at_k(
+    trials: DataFrame,
+    group_col: str,
+    success_col: str,
+    ks: tuple[int, ...] = (1, 3, 5),
+    id_col: str | None = None,
+) -> DataFrame:
+    """Unbiased pass@k (Chen et al. 2021 "Evaluating LLMs Trained on
+    Code", public): per problem with n trials and c successes,
+    pass@k = 1 − C(n−c, k)/C(n, k) — the probability that a uniform
+    sample of k trials contains at least one success — averaged over
+    problems with n ≥ k.
+
+    Exactness: the binomial ratio collapses to the falling-factorial
+    product Π_{i=0..k-1} (n−c−i)/(n−i); numerator and denominator are
+    computed as exact DECIMAL(38,0) integer products (n^k < 10^38 —
+    far past any real trial count), one division at the end, 1e-6
+    floor-quantized into integer micro-units so the cross-problem
+    mean is an exact integer sum (no float accumulation order to
+    diverge across engines).
+
+    One hash agg to (group, n, c) — corpus-scale safe — then a
+    k-term generated projection. Returns one row per k:
+    (k, n_problems, pass_rate_q6)."""
+    per = trials.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(success_col).cast("int")).cast("long").alias("c"),
+    )
+    outs = []
+    for k in ks:
+        num = F.lit(1).cast("decimal(38,0)")
+        den = F.lit(1).cast("decimal(38,0)")
+        for i in range(k):
+            num = num * F.greatest(
+                (F.col("n") - F.col("c") - i).cast("decimal(38,0)"),
+                F.lit(0).cast("decimal(38,0)"),
+            )
+            den = den * (F.col("n") - i).cast("decimal(38,0)")
+        # micro-units: floor((1 − num/den)·1e6) = 1e6 − ceil(num·1e6/den),
+        # with the ceil as EXACT integer division (num·1e6 + den − 1)
+        # div den — decimal `/` rounds to the result scale (HALF_UP),
+        # so it can never be trusted next to a floor/ceil; `div`'s
+        # BIGINT quotient is exact and ≤ 1e6 here. num·1e6 stays inside
+        # DECIMAL(38,0) for n^k < 1e32 — any real trial count. den > 0
+        # is guaranteed by the n >= k filter.
+        outs.append(
+            per.filter(F.col("n") >= k)
+            .select(num.alias("_num"), den.alias("_den"))
+            .selectExpr(
+                "CAST(1000000 AS BIGINT)"
+                " - ((_num * 1000000 + _den - 1) div _den) AS _micro"
+            )
+            .agg(
+                F.lit(k).cast("int").alias("k"),
+                F.count(F.lit(1)).cast("long").alias("n_problems"),
+                F.coalesce(F.sum("_micro"), F.lit(0)).alias("_sum_micro"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    # mean in micro-units via exact integer division — no float sum or
+    # float division anywhere in the estimator
+    return res.select(
+        "k",
+        "n_problems",
+        F.when(
+            F.col("n_problems") > 0,
+            F.expr("_sum_micro div n_problems") / 1e6,
+        ).otherwise(F.lit(None).cast("double")).alias("pass_rate_q6"),
+    )
+
+
 def cuped_adjusted(
     events: DataFrame,
     user_col: str,

@@ -469,6 +469,95 @@ def bpe_train_merges(
     )
 
 
+def _viterbi_best(occ: DataFrame, pieces: DataFrame, inf: int = 1 << 20) -> DataFrame:
+    """Shared integer-exact Viterbi segmenter: ``occ`` is the span
+    table (w, wlen, i, j, piece); ``pieces`` is (piece, n). Returns
+    (w, wlen, best struct<k, negs, ps>) per word that has at least one
+    in-vocab span — k = piece count of the optimal segmentation
+    (inf marker if no full cover exists), objective = min pieces, max
+    summed frequency, lexicographically least path (bit-deterministic
+    in any engine; see unigram_lm_train)."""
+    edges = (
+        occ.join(pieces, "piece")
+        .groupBy("w", "wlen")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("i"), F.col("j"), F.col("n"), F.col("piece"))
+            ).alias("edges")
+        )
+    )
+    dp_init = F.transform(
+        F.sequence(F.lit(0), F.col("wlen")),
+        lambda p: F.struct(
+            F.when(p == 0, 0).otherwise(inf).alias("k"),
+            F.lit(0).cast("long").alias("negs"),
+            F.array().cast("array<string>").alias("ps"),
+        ),
+    )
+
+    def dp_step(dp, j):
+        cands = F.filter(
+            F.col("edges"),
+            lambda e: (e["j"] == j)
+            & (F.element_at(dp, e["i"] + 1)["k"] < inf),
+        )
+        best = F.array_min(
+            F.transform(
+                cands,
+                lambda e: F.struct(
+                    (F.element_at(dp, e["i"] + 1)["k"] + 1).alias("k"),
+                    (
+                        F.element_at(dp, e["i"] + 1)["negs"] - e["n"]
+                    ).alias("negs"),
+                    F.array_append(
+                        F.element_at(dp, e["i"] + 1)["ps"], e["piece"]
+                    ).alias("ps"),
+                ),
+            )
+        )
+        return F.transform(
+            F.sequence(F.lit(0), F.col("wlen")),
+            lambda p: F.when(
+                (p == j) & (F.size(cands) > 0), best
+            ).otherwise(F.element_at(dp, p + 1)),
+        )
+
+    return edges.select(
+        "w",
+        "wlen",
+        F.aggregate(
+            F.sequence(F.lit(1), F.col("wlen")),
+            dp_init,
+            dp_step,
+            lambda dp: F.element_at(dp, F.col("wlen") + 1),
+        ).alias("best"),
+    )
+
+
+def _word_spans(words: DataFrame, max_piece_len: int) -> DataFrame:
+    """(w, wlen, i, j, piece) span table: every substring of length
+    1..max_piece_len per word — built with one flatten/explode, piece
+    extracted AFTER the explode (the explode-once plan rule)."""
+    spans = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.col("wlen") - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.least(i + max_piece_len, F.col("wlen"))),
+                lambda j: F.struct(i.alias("i"), j.alias("j")),
+            ),
+        )
+    )
+    cols = list(words.columns)
+    return words.select(*cols, F.explode(spans).alias("s")).select(
+        *cols,
+        F.col("s.i").alias("i"),
+        F.col("s.j").alias("j"),
+        F.substring(
+            F.col("w"), F.col("s.i") + 1, F.col("s.j") - F.col("s.i")
+        ).alias("piece"),
+    )
+
+
 def unigram_lm_train(
     df: DataFrame,
     text_col: str = "text",
@@ -518,28 +607,7 @@ def unigram_lm_train(
         .withColumn("wlen", F.length("w").cast("int"))
         .localCheckpoint(eager=True)
     )
-    # (i, j) spans, 0-based start exclusive end, j - i <= max_piece_len
-    spans = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), F.col("wlen") - 1),
-            lambda i: F.transform(
-                F.sequence(i + 1, F.least(i + max_piece_len, F.col("wlen"))),
-                lambda j: F.struct(i.alias("i"), j.alias("j")),
-            ),
-        )
-    )
-    occ = words.select(
-        "w", "freq", "wlen", F.explode(spans).alias("s")
-    ).select(
-        "w",
-        "freq",
-        "wlen",
-        F.col("s.i").alias("i"),
-        F.col("s.j").alias("j"),
-        F.substring(
-            F.col("w"), F.col("s.i") + 1, F.col("s.j") - F.col("s.i")
-        ).alias("piece"),
-    )
+    occ = _word_spans(words, max_piece_len)
     seed_counts = occ.groupBy("piece").agg(
         F.sum("freq").cast("long").alias("n")
     )
@@ -554,64 +622,16 @@ def unigram_lm_train(
     pieces = chars.unionByName(multi).localCheckpoint(eager=True)
 
     for _ in range(n_rounds):
-        edges = (
-            occ.join(pieces, "piece")
-            .groupBy("w", "freq", "wlen")
-            .agg(
-                F.collect_list(
-                    F.struct(
-                        F.col("i"), F.col("j"), F.col("n"), F.col("piece")
-                    )
-                ).alias("edges")
-            )
+        best = _viterbi_best(
+            occ.select("w", "wlen", "i", "j", "piece"), pieces, inf
         )
-        dp_init = F.transform(
-            F.sequence(F.lit(0), F.col("wlen")),
-            lambda p: F.struct(
-                F.when(p == 0, 0).otherwise(inf).alias("k"),
-                F.lit(0).cast("long").alias("negs"),
-                F.array().cast("array<string>").alias("ps"),
-            ),
+        segs = (
+            words.join(best, ["w", "wlen"])
+            .filter(F.col("best.k") < inf)
+            .select("freq", F.col("best.ps").alias("ps"))
         )
-
-        def dp_step(dp, j):
-            cands = F.filter(
-                F.col("edges"),
-                lambda e: (e["j"] == j)
-                & (F.element_at(dp, e["i"] + 1)["k"] < inf),
-            )
-            best = F.array_min(
-                F.transform(
-                    cands,
-                    lambda e: F.struct(
-                        (F.element_at(dp, e["i"] + 1)["k"] + 1).alias("k"),
-                        (
-                            F.element_at(dp, e["i"] + 1)["negs"] - e["n"]
-                        ).alias("negs"),
-                        F.array_append(
-                            F.element_at(dp, e["i"] + 1)["ps"], e["piece"]
-                        ).alias("ps"),
-                    ),
-                )
-            )
-            return F.transform(
-                F.sequence(F.lit(0), F.col("wlen")),
-                lambda p: F.when(
-                    (p == j) & (F.size(cands) > 0), best
-                ).otherwise(F.element_at(dp, p + 1)),
-            )
-
-        segs = edges.select(
-            "freq",
-            F.aggregate(
-                F.sequence(F.lit(1), F.col("wlen")),
-                dp_init,
-                dp_step,
-                lambda dp: F.element_at(dp, F.col("wlen") + 1),
-            ).alias("best"),
-        ).filter(F.col("best.k") < inf)
         recount = (
-            segs.select("freq", F.explode("best.ps").alias("piece"))
+            segs.select("freq", F.explode("ps").alias("piece"))
             .groupBy("piece")
             .agg(F.sum("freq").cast("long").alias("n"))
         )
@@ -640,6 +660,65 @@ def unigram_lm_train(
         ).otherwise(F.lit(0.0)).alias("p_q6"),
     )
 
+
+def unigram_lm_encode(
+    df: DataFrame,
+    pieces: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_piece_len: int = 4,
+    max_word_len: int = 12,
+) -> DataFrame:
+    """Tokenize a corpus with a trained unigram-LM piece table — the
+    apply step of the unigram family (next to BPE's apply): per
+    document, the Viterbi token count and OOV word count under the
+    same integer-exact objective as training.
+
+    Vocab-collapse scale shape: DISTINCT words segment ONCE (the DP is
+    vocab-sized, never corpus-sized) and the per-word token counts
+    join back onto the (doc, word) stream — at 100 TB the heavy
+    per-word DP touches only the sublinear vocabulary. Words longer
+    than ``max_word_len`` or without a full piece cover count as OOV
+    (0 tokens). Returns (id, n_words, n_oov_words, n_tokens) for
+    every input document (0s for empty docs)."""
+    inf = 1 << 20
+    stream = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"),
+    ).filter(F.length("w") > 0)
+    vocab = (
+        stream.select("w")
+        .distinct()
+        .withColumn("wlen", F.length("w").cast("int"))
+    )
+    enc = vocab.filter(F.col("wlen") <= max_word_len)
+    best = _viterbi_best(_word_spans(enc, max_piece_len), pieces, inf)
+    per_word = best.select(
+        "w", F.when(F.col("best.k") < inf, F.col("best.k")).alias("toks")
+    )
+    agg = (
+        stream.join(per_word, "w", "left")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.col("toks").isNull().cast("int")).cast("long").alias(
+                "n_oov_words"
+            ),
+            F.coalesce(F.sum("toks"), F.lit(0)).cast("long").alias(
+                "n_tokens"
+            ),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(agg, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("n_oov_words", F.lit(0)).alias("n_oov_words"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        )
+    )
 
 def pmi_collocations(
     df: DataFrame,

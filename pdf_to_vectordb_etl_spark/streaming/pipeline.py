@@ -858,6 +858,30 @@ def stream_woe_counts(
     )
 
 
+def stream_quality_gate_totals(
+    docs_stream: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """T29 — live Gopher-gate telemetry (batch twin: the same
+    gopher_quality_gate + groupBy): per source, running admitted /
+    rejected counts and the OR of failed-rule bits — the ingest-time
+    dashboard a crawl pipeline watches. The gate itself is per-row
+    stateless (one regexp_count projection, no joins); the only
+    stream state is ≤ one row per source — bounded by the source
+    catalogue, never the stream."""
+    from pdf_to_vectordb_etl_spark.operators.textanalysis import (
+        gopher_quality_gate,
+    )
+
+    gated = gopher_quality_gate(docs_stream, text_col)
+    return gated.groupBy(F.col(group_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("gopher_pass").cast("int")).cast("long").alias("n_pass"),
+        F.bit_or("gopher_fail_mask").cast("int").alias("fail_bits_seen"),
+    )
+
+
 def stream_contamination_totals(
     docs_stream: DataFrame,
     bench_shingles: DataFrame,

@@ -905,3 +905,115 @@ def test_stream_contamination_totals_equal_batch(spark, sf_dir):
         for r in spark.table("t28_test").collect()
     }
     assert got == batch and len(got) >= 1
+
+
+def test_pass_at_k_matches_combinatorics(spark):
+    from math import comb, floor
+
+    from pdf_to_vectordb_etl_spark.operators.evaluation import pass_at_k
+
+    random.seed(3)
+    probs = {}
+    rows = []
+    for g in range(25):
+        n = random.randint(1, 40)
+        c = random.randint(0, n)
+        probs[g] = (n, c)
+        rows += [(g, 1)] * c + [(g, 0)] * (n - c)
+    df = spark.createDataFrame(rows, "g int, ok int")
+    got = {
+        r.k: (r.n_problems, r.pass_rate_q6)
+        for r in pass_at_k(df, "g", "ok", ks=(1, 3, 5)).collect()
+    }
+    for k in (1, 3, 5):
+        vals = [
+            floor((1 - comb(n - c, k) / comb(n, k) if n - c >= k else 1.0) * 1e6)
+            for n, c in probs.values()
+            if n >= k
+        ]
+        assert got[k] == (len(vals), floor(sum(vals) / len(vals)) / 1e6)
+
+
+def test_pass_at_k_edge_cases(spark):
+    from pdf_to_vectordb_etl_spark.operators.evaluation import pass_at_k
+
+    # all-success and all-failure problems; n < k problems excluded
+    rows = [(0, 1)] * 5 + [(1, 0)] * 5 + [(2, 1)]
+    df = spark.createDataFrame(rows, "g int, ok int")
+    got = {r.k: r for r in pass_at_k(df, "g", "ok", ks=(1, 3)).collect()}
+    assert got[3].n_problems == 2  # problem 2 has n=1 < 3
+    assert got[3].pass_rate_q6 == 0.5  # one sure pass, one sure fail
+    assert got[1].n_problems == 3
+
+
+def test_unigram_encode_counts(spark):
+    from pdf_to_vectordb_etl_spark.operators import textanalysis as ta
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat the cat ran"),
+         (2, "a cat and a mat and a hat"),
+         (3, ""), (4, "supercalifragilistic zz")],
+        "doc_id long, text string",
+    )
+    vocab = ta.unigram_lm_train(df, vocab_size=8, n_rounds=2, max_piece_len=3)
+    got = {
+        r.doc_id: (r.n_words, r.n_oov_words, r.n_tokens)
+        for r in ta.unigram_lm_encode(
+            df, vocab.select("piece", "n"), max_piece_len=3
+        ).collect()
+    }
+    # doc1: cat/the/mat/sat/on whole pieces; ran -> r+an (9 words, 12 toks)
+    assert got[1] == (9, 0, 12)
+    assert got[3] == (0, 0, 0)  # empty doc still reported
+    # 20-char word exceeds max_word_len -> OOV; 'zz' -> z+z
+    assert got[4] == (2, 1, 2)
+
+
+def test_stream_gopher_gate_equals_batch(spark, sf_dir):
+    """T29: streaming per-source gate snapshot == batch gate + groupBy."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from pdf_to_vectordb_etl_spark.operators.textanalysis import (
+        gopher_quality_gate,
+    )
+    from pdf_to_vectordb_etl_spark.streaming.pipeline import (
+        stream_quality_gate_totals,
+    )
+    from tests.conftest import load
+
+    docs = load(spark, sf_dir, "documents")
+    batch = {
+        (r.source, r.n_docs, r.n_pass, r.fail_bits_seen)
+        for r in gopher_quality_gate(docs)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("gopher_pass").cast("int")).cast("long").alias("n_pass"),
+            F.bit_or("gopher_fail_mask").cast("int").alias("fail_bits_seen"),
+        )
+        .collect()
+    }
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    q = (
+        stream_quality_gate_totals(stream, "source")
+        .writeStream.format("memory")
+        .queryName("t29_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t29t"))
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.source, r.n_docs, r.n_pass, r.fail_bits_seen)
+        for r in spark.table("t29_test").collect()
+    }
+    assert got == batch and len(got) >= 1
