@@ -109,7 +109,11 @@ def main() -> None:
         "adaboost_stumps",         # boosted stumps, one-pass histogram (r5)
         "skyline_pareto",          # Pareto frontier, sorted-scan (r5)
         "mann_whitney_u",          # rank-sum via global prefix sums (r5)
-        "rouge_l",                 # wavefront LCS DP (r5)
+        "rouge_l",                 # tiered wavefront LCS DP (r5, r6 numpy tier)
+        "ta_quality_gopher",       # full Gopher rule gate, one projection (r6)
+        "unigram_lm_train",        # unigram-LM tokenizer training (r6)
+        "dedup_incremental_bloom", # Bloom-screened ingest dedup (r6)
+        "pass_at_k",               # integer-exact pass@k estimator (r6)
         "enem_questions" if "enem_questions" in entry.queries() else "ta_fingerprint",
     ]
     qs = entry.queries()

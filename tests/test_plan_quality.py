@@ -486,3 +486,27 @@ def test_attribution_windows_are_per_user(spark, sf_dir):
     )
     # value-based frames, per-user partitions: no single-partition sort
     assert "No Partition Defined" not in plan
+
+
+def test_gopher_gate_is_one_native_projection(spark, sf_dir):
+    # r6: the nine-rule gate must stay a single JVM-side projection —
+    # no Python workers, no joins, no shuffles
+    plan = _plan(_q(spark, sf_dir, "ta_quality_gopher"), "simple")
+    assert "Python" not in plan
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_minhash_cap_window_is_bucket_partitioned(spark, sf_dir):
+    # the occupancy cap's window must partition by bucket, never run
+    # on a single partition
+    plan = _plan(_q(spark, sf_dir, "dedup_minhash_lsh"))
+    assert "Window" in plan
+    assert "No Partition Defined" not in plan
+
+
+def test_unigram_train_no_corpus_collect_shape(spark, sf_dir):
+    # vocab-collapse contract: the plan contains hash aggregates and
+    # no cartesian products / single-partition windows
+    plan = _plan(_q(spark, sf_dir, "unigram_lm_train"), "simple")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
