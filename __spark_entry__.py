@@ -3222,6 +3222,20 @@ def q_t29_stream_gopher_gate(spark, sf):
     return spark.table(name).orderBy("source")
 
 
+def q_ks_two_sample(spark, sf):
+    """Two-sample Kolmogorov-Smirnov D over event values between two
+    md5-bucket arms — exact integer CDF-gap max via ONE packed
+    global_prefix_sum walk (no single-partition window), one division
+    at the end. NULL-value rows filtered on both sides."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation
+
+    ev = _t(spark, sf, "events").filter(F.col("value").isNotNull())
+    arm = F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8"
+    return evaluation.ks_two_sample(
+        ev.select(F.col("value").alias("x"), arm.alias("arm")), "x", "arm"
+    )
+
+
 def q_cuped_readout(spark, sf):
     """CUPED variance-reduced A/B readout: md5-bucket arms, pre/post
     split at the (min+max)//2 timestamp midpoint (one bounded driver
@@ -7767,6 +7781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cramers_v": q_cramers_v,
         "rouge_l": q_rouge_l,
         "pass_at_k": q_pass_at_k,
+        "ks_two_sample": q_ks_two_sample,
         "attribution_touch": q_attribution_touch,
         "benford_law": q_benford_law,
         "t24_stream_benford": q_t24_stream_benford,
@@ -11362,6 +11377,48 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(sm // n_problems AS BIGINT) / 1e6
                    END AS pass_rate_q6
             FROM u
+        """,
+        # KS: integer CDF-gap max; float ops mirror the operator's
+        # exact order (d first, then *1e6; sqrt is IEEE-exact)
+        "ks_two_sample": r"""
+            WITH base AS (
+              SELECT value AS v,
+                     substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                       AS arm
+              FROM events WHERE value IS NOT NULL),
+            tot AS (
+              SELECT CAST(sum(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n1,
+                     CAST(sum(CASE WHEN arm THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n2
+              FROM base),
+            per AS (
+              SELECT v,
+                     CAST(sum(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT)
+                       AS c1,
+                     CAST(sum(CASE WHEN arm THEN 0 ELSE 1 END) AS BIGINT)
+                       AS c2
+              FROM base GROUP BY v),
+            walk AS (
+              SELECT sum(c1) OVER (ORDER BY v) AS cum1,
+                     sum(c2) OVER (ORDER BY v) AS cum2
+              FROM per),
+            d AS (
+              SELECT max(abs(cum1 * (SELECT n2 FROM tot)
+                             - cum2 * (SELECT n1 FROM tot))) AS dn
+              FROM walk)
+            SELECT n1, n2,
+                   CASE WHEN n1 > 0 AND n2 > 0
+                        THEN CAST(dn AS BIGINT) END AS d_num,
+                   CASE WHEN n1 > 0 AND n2 > 0
+                        THEN floor((dn * 1.0 / (n1 * n2)) * 1e6) / 1e6
+                   END AS d_q6,
+                   CASE WHEN n1 > 0 AND n2 > 0
+                        THEN floor((dn * 1.0 / (n1 * n2))
+                                   * sqrt((n1 * n2) * 1.0 / (n1 + n2))
+                                   * 1e6) / 1e6
+                   END AS ks_lambda_q6
+            FROM tot, d
         """,
         "rouge_l": r"""
             WITH RECURSIVE d0 AS (

@@ -1829,6 +1829,77 @@ def rouge_l_corpus(
     )
 
 
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    arm_col: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic, exactly: D = max over
+    the pooled distinct values of |F1(x) − F2(x)|, computed as the
+    INTEGER max of |cum1·n2 − cum2·n1| over the value-ordered CDF walk
+    and divided once at the end (1e-6 floor) — the same
+    exact-integer-rank design as Mann-Whitney/Spearman (valid while
+    n1·n2 < 2^63, i.e. to ~3e9 rows per arm).
+
+    Distributed shape: one hash agg collapses the corpus to per-
+    distinct-value arm counts (vocabulary-sized), then ONE
+    ``global_prefix_sum`` pass (range partition + broadcast offsets —
+    the sanctioned global-order primitive, no single-partition window)
+    computes both CDFs simultaneously: the two counts pack into a
+    single long measure ``c1·(n2+1) + c2`` and the cumulative value
+    unpacks with div/mod — the Kendall doubled-count trick applied to
+    prefix sums. ``arm_col`` is BOOLEAN (True = sample 1).
+
+    Returns one row: (n1, n2, d_num, d_q6, ks_lambda_q6) where d_num
+    is the exact integer max and ks_lambda is the asymptotic
+    D·sqrt(n1·n2/(n1+n2)) (sqrt is IEEE-correctly-rounded — identical
+    in any engine, unlike ln/exp). NULL D when either arm is empty."""
+    from .suffixes import global_prefix_sum
+
+    arm = F.col(arm_col)
+    per = df.groupBy(F.col(value_col).alias("v")).agg(
+        F.sum(arm.cast("int")).cast("long").alias("c1"),
+        F.sum((~arm).cast("int")).cast("long").alias("c2"),
+    )
+    tot = per.agg(
+        F.coalesce(F.sum("c1"), F.lit(0)).cast("long").alias("n1"),
+        F.coalesce(F.sum("c2"), F.lit(0)).cast("long").alias("n2"),
+    ).first()
+    n1, n2 = tot["n1"], tot["n2"]
+    spark = df.sparkSession
+    if n1 == 0 or n2 == 0:
+        return spark.createDataFrame(
+            [(n1, n2, None, None, None)],
+            "n1 long, n2 long, d_num long, d_q6 double, ks_lambda_q6 double",
+        )
+    packed = per.withColumn("m", F.col("c1") * (n2 + 1) + F.col("c2"))
+    walked = global_prefix_sum(packed, ["v"], "m", out_col="before")
+    # exact integer unpack — long `/` would go through double
+    cum = walked.selectExpr(
+        f"(before + m) div {n2 + 1} AS cum1",
+        f"(before + m) % {n2 + 1} AS cum2",
+    )
+    d_num = cum.agg(
+        F.max(F.abs(F.col("cum1") * n2 - F.col("cum2") * n1)).alias("d")
+    ).first()["d"]
+    d = d_num / (n1 * n2)
+    lam = d * ((n1 * n2 / (n1 + n2)) ** 0.5)
+    import math
+
+    return spark.createDataFrame(
+        [
+            (
+                n1,
+                n2,
+                d_num,
+                math.floor(d * 1e6) / 1e6,
+                math.floor(lam * 1e6) / 1e6,
+            )
+        ],
+        "n1 long, n2 long, d_num long, d_q6 double, ks_lambda_q6 double",
+    )
+
+
 def pass_at_k(
     trials: DataFrame,
     group_col: str,

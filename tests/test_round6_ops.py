@@ -1017,3 +1017,40 @@ def test_stream_gopher_gate_equals_batch(spark, sf_dir):
         for r in spark.table("t29_test").collect()
     }
     assert got == batch and len(got) >= 1
+
+
+def test_ks_two_sample_matches_bruteforce(spark):
+    import bisect
+
+    from pdf_to_vectordb_etl_spark.operators.evaluation import ks_two_sample
+
+    random.seed(5)
+    rows = [(random.gauss(0, 1), True) for _ in range(400)] + [
+        (random.gauss(0.5, 1), False) for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "x double, arm boolean")
+    got = ks_two_sample(df, "x", "arm").first()
+    xs1 = sorted(x for x, a in rows if a)
+    xs2 = sorted(x for x, a in rows if not a)
+    dm = max(
+        abs(
+            bisect.bisect_right(xs1, v) * len(xs2)
+            - bisect.bisect_right(xs2, v) * len(xs1)
+        )
+        for v in set(xs1 + xs2)
+    )
+    assert (got.n1, got.n2, got.d_num) == (400, 300, dm)
+    assert abs(got.d_q6 - dm / (400 * 300)) < 2e-6
+
+
+def test_ks_two_sample_edges(spark):
+    from pdf_to_vectordb_etl_spark.operators.evaluation import ks_two_sample
+
+    # identical samples -> D = 0; empty arm -> NULLs
+    same = spark.createDataFrame(
+        [(float(i % 5), i % 2 == 0) for i in range(100)], "x double, arm boolean"
+    )
+    r = ks_two_sample(same, "x", "arm").first()
+    assert r.d_num == 0 and r.d_q6 == 0.0
+    one = ks_two_sample(same.filter("arm"), "x", "arm").first()
+    assert one.d_num is None and one.n2 == 0
