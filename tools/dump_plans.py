@@ -65,6 +65,11 @@ HEADLINE = [
     ("canary_roundtrip", "md5-selected injection + regexp detection: one narrow codegen projection"),
     ("cusum_changepoints", "max(0,.) recurrence as cumsum - running-min: one per-key window, no UDF"),
     ("seasonal_decompose", "per-key centered-MA window + phase-profile agg broadcast back"),
+    ("ta_quality_gopher", "r6: nine Gopher rules in ONE codegen projection — no join, no exchange, no Python"),
+    ("dedup_minhash_lsh", "r6: occupancy-capped LSH — bucket-partitioned window + star routing, never O(m^2) in a hot bucket"),
+    ("dedup_incremental_bloom", "r6: broadcast Bloom screen (4 BHJ) gates the anti-join; zero batch-side shuffle before it"),
+    ("unigram_lm_train", "r6: vocab-collapse + per-word HOF Viterbi; no windows, no cartesian"),
+    ("ks_two_sample", "r6: packed global_prefix_sum CDF walk; range partition, no single-partition window"),
     ("query_expansion", "feedback ids broadcast; TakeOrdered on rounded weight, no global sort"),
     ("record_linkage", "blocked equi-join candidates; literal log-weights in one codegen projection"),
     ("spatial_neighbors", "3x3 cell-neighborhood equi-join bounded by cell occupancy; codegen trig verify"),
