@@ -1077,3 +1077,4 @@ def touch_attribution(
         F.col("_l").getField("y").alias("last_touch_type"),
         (F.col(ts_col) - F.col("_l").getField("t")).alias("last_gap"),
     )
+
