@@ -421,3 +421,75 @@ def test_mann_whitney_rank_sums_exact(spark, xs, ys):
     assert got["two_r1"] == two_r1
     assert got["n1"] == len(xs) and got["n2"] == len(ys)
     assert got["tie_sum"] == sum(t**3 - t for t in cnt.values())
+
+
+@given(texts=st.lists(doc_text, min_size=1, max_size=10))
+@SETTINGS
+def test_unigram_train_conserves_characters(spark, texts):
+    # pieces of the final vocab, weighted by their Viterbi counts,
+    # reassemble exactly the character mass of the trainable words
+    from pdf_to_vectordb_etl_spark.operators import textanalysis as ta
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = ta.unigram_lm_train(
+        df, vocab_size=6, n_rounds=1, max_piece_len=3, max_word_len=12
+    ).collect()
+    got = sum(r.n * r.piece_len for r in rows)
+    want = sum(
+        len(w)
+        for t in texts
+        for w in t.lower().split()
+        if 0 < len(w) <= 12
+    )
+    assert got == want
+
+
+@given(
+    counts=st.lists(
+        st.tuples(st.integers(1, 25), st.integers(0, 25)).filter(
+            lambda t: t[1] <= t[0]
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@SETTINGS
+def test_pass_at_k_monotone_in_k(spark, counts):
+    # sampling more attempts can only help: pass@k is non-decreasing
+    # in k over any fixed problem set (restricted to n >= max k so the
+    # averaged population is identical across k)
+    from pdf_to_vectordb_etl_spark.operators.evaluation import pass_at_k
+
+    kmax = 4
+    counts = [(n, c) for n, c in counts if n >= kmax]
+    if not counts:
+        return
+    rows = [
+        (g, 1 if i < c else 0)
+        for g, (n, c) in enumerate(counts)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "g int, ok int")
+    got = {
+        r.k: r.pass_rate_q6
+        for r in pass_at_k(df, "g", "ok", ks=(1, 2, kmax)).collect()
+    }
+    assert got[1] <= got[2] + 1e-9 <= got[kmax] + 2e-9
+
+
+@given(
+    xs=st.lists(st.integers(0, 6), min_size=1, max_size=40),
+    ys=st.lists(st.integers(0, 6), min_size=1, max_size=40),
+)
+@SETTINGS
+def test_ks_bounds_and_symmetry(spark, xs, ys):
+    from pdf_to_vectordb_etl_spark.operators.evaluation import ks_two_sample
+
+    rows = [(float(x), True) for x in xs] + [(float(y), False) for y in ys]
+    df = spark.createDataFrame(rows, "x double, arm boolean")
+    r = ks_two_sample(df, "x", "arm").first()
+    assert 0 <= r.d_num <= r.n1 * r.n2
+    # symmetry: swapping the arms leaves D unchanged
+    df2 = df.select("x", (~F.col("arm")).alias("arm"))
+    r2 = ks_two_sample(df2, "x", "arm").first()
+    assert r.d_num == r2.d_num
