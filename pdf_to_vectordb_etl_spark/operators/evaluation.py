@@ -1928,7 +1928,7 @@ def pass_at_k(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.col(success_col).cast("int")).cast("long").alias("c"),
     )
-    outs = []
+    prods = []
     for k in ks:
         num = F.lit(1).cast("decimal(38,0)")
         den = F.lit(1).cast("decimal(38,0)")
@@ -1938,33 +1938,47 @@ def pass_at_k(
                 F.lit(0).cast("decimal(38,0)"),
             )
             den = den * (F.col("n") - i).cast("decimal(38,0)")
-        # micro-units: floor((1 − num/den)·1e6) = 1e6 − ceil(num·1e6/den),
-        # with the ceil as EXACT integer division (num·1e6 + den − 1)
-        # div den — decimal `/` rounds to the result scale (HALF_UP),
-        # so it can never be trusted next to a floor/ceil; `div`'s
-        # BIGINT quotient is exact and ≤ 1e6 here. num·1e6 stays inside
-        # DECIMAL(38,0) for n^k < 1e32 — any real trial count. den > 0
-        # is guaranteed by the n >= k filter.
-        outs.append(
-            per.filter(F.col("n") >= k)
-            .select(num.alias("_num"), den.alias("_den"))
-            .selectExpr(
-                "CAST(1000000 AS BIGINT)"
-                " - ((_num * 1000000 + _den - 1) div _den) AS _micro"
+        prods += [num.alias(f"_num{k}"), den.alias(f"_den{k}")]
+    # micro-units: floor((1 − num/den)·1e6) = 1e6 − ceil(num·1e6/den),
+    # with the ceil as EXACT integer division (num·1e6 + den − 1)
+    # div den — decimal `/` rounds to the result scale (HALF_UP),
+    # so it can never be trusted next to a floor/ceil; `div`'s
+    # BIGINT quotient is exact and ≤ 1e6 here. num·1e6 stays inside
+    # DECIMAL(38,0) for n^k < 1e32 — any real trial count. The n ≥ k
+    # CASE guards den > 0 (CaseWhen short-circuits under ANSI).
+    # Everything folds into ONE aggregate over the per-problem table —
+    # conditional sums per k, not one re-aggregation per k — then
+    # unpivots with stack(): exactly two exchanges end to end.
+    p2 = per.select("n", *prods).selectExpr(
+        "n",
+        *[
+            f"CASE WHEN n >= {k} THEN CAST(1000000 AS BIGINT)"
+            f" - ((_num{k} * 1000000 + _den{k} - 1) div _den{k})"
+            f" END AS _micro{k}"
+            for k in ks
+        ],
+    )
+    one = p2.agg(
+        *[
+            a
+            for k in ks
+            for a in (
+                F.count(F.when(F.col("n") >= k, 1)).cast("long").alias(
+                    f"_np{k}"
+                ),
+                F.coalesce(F.sum(f"_micro{k}"), F.lit(0)).alias(f"_sm{k}"),
             )
-            .agg(
-                F.lit(k).cast("int").alias("k"),
-                F.count(F.lit(1)).cast("long").alias("n_problems"),
-                F.coalesce(F.sum("_micro"), F.lit(0)).alias("_sum_micro"),
-            )
-        )
-    res = outs[0]
-    for o in outs[1:]:
-        res = res.unionByName(o)
+        ]
+    )
+    stack_args = ", ".join(f"{k}, _np{k}, _sm{k}" for k in ks)
+    res = one.selectExpr(
+        f"stack({len(ks)}, {stack_args})"
+        " AS (k, n_problems, _sum_micro)"
+    )
     # mean in micro-units via exact integer division — no float sum or
     # float division anywhere in the estimator
     return res.select(
-        "k",
+        F.col("k").cast("int").alias("k"),
         "n_problems",
         F.when(
             F.col("n_problems") > 0,
