@@ -682,12 +682,19 @@ def unigram_lm_encode(
     (0 tokens). Returns (id, n_words, n_oov_words, n_tokens) for
     every input document (0s for empty docs)."""
     inf = 1 << 20
+    # explode_outer keeps empty documents as a single null-word row, so
+    # the per-doc aggregate covers them directly — no second corpus
+    # join-back just to re-emit zero rows (one SMJ saved end to end)
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda wd: F.length(wd) > 0,
+    )
     stream = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"),
-    ).filter(F.length("w") > 0)
+        F.col(id_col).alias("_id"), F.explode_outer(arr).alias("w")
+    )
     vocab = (
         stream.select("w")
+        .filter(F.col("w").isNotNull())
         .distinct()
         .withColumn("wlen", F.length("w").cast("int"))
     )
@@ -696,27 +703,24 @@ def unigram_lm_encode(
     per_word = best.select(
         "w", F.when(F.col("best.k") < inf, F.col("best.k")).alias("toks")
     )
-    agg = (
+    real = F.col("w").isNotNull()
+    return (
         stream.join(per_word, "w", "left")
         .groupBy("_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_words"),
-            F.sum(F.col("toks").isNull().cast("int")).cast("long").alias(
-                "n_oov_words"
-            ),
-            F.coalesce(F.sum("toks"), F.lit(0)).cast("long").alias(
-                "n_tokens"
-            ),
+            F.sum(real.cast("int")).cast("long").alias("n_words"),
+            F.sum((real & F.col("toks").isNull()).cast("int"))
+            .cast("long")
+            .alias("n_oov_words"),
+            F.coalesce(F.sum(F.when(real, F.col("toks"))), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
         )
-    )
-    return (
-        df.select(F.col(id_col).alias("_id"))
-        .join(agg, "_id", "left")
         .select(
             F.col("_id").alias(id_col),
-            F.coalesce("n_words", F.lit(0)).alias("n_words"),
-            F.coalesce("n_oov_words", F.lit(0)).alias("n_oov_words"),
-            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            "n_words",
+            "n_oov_words",
+            "n_tokens",
         )
     )
 
