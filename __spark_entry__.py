@@ -3236,6 +3236,18 @@ def q_ks_two_sample(spark, sf):
     )
 
 
+def q_ta_kneser_ney(spark, sf):
+    """Interpolated Kneser-Ney bigram LM quality score per document
+    (the KenLM/CCNet smoothing family; d = 0.75), self-trained on the
+    corpus so every scored bigram is in-model. All model quantities
+    are exact-integer-count ratios; only the final mean ln is float
+    (round-4, the ta_bigram_lm precedent)."""
+    from pdf_to_vectordb_etl_spark.operators import textanalysis as ta
+
+    docs = _t(spark, sf, "documents")
+    return ta.kneser_ney_scores(docs)
+
+
 def q_cuped_readout(spark, sf):
     """CUPED variance-reduced A/B readout: md5-bucket arms, pre/post
     split at the (min+max)//2 timestamp midpoint (one bounded driver
@@ -7535,6 +7547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "ta_quality": q_ta_quality,
         "ta_quality_gopher": q_ta_quality_gopher,
+        "ta_kneser_ney": q_ta_kneser_ney,
         "gopher_by_source": q_gopher_by_source,
         "t29_stream_gopher_gate": q_t29_stream_gopher_gate,
         "ta_langid": q_ta_langid,
@@ -9236,6 +9249,43 @@ def oracle_sql() -> dict[str, str]:
                      AS n_pass,
                    CAST(bit_or(mask) AS INTEGER) AS fail_bits_seen
             FROM r GROUP BY source
+        """,
+        # Kneser-Ney: the same rational count ratios; the single ln at
+        # the end follows the ta_bigram_lm round-4 convention
+        "ta_kneser_ney": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '\s+')) AS tok,
+                     unnest(range(len(string_split_regex(lower(text), '\s+')))) AS pos
+              FROM documents),
+            t2 AS (SELECT * FROM toks WHERE tok <> ''),
+            big AS (
+              SELECT doc_id, tok AS w1,
+                     lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+              FROM t2),
+            b2 AS (SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL),
+            bc AS (SELECT w1, w2, count(*) AS c12 FROM b2 GROUP BY w1, w2),
+            hist AS (
+              SELECT w1, sum(c12) AS c1, count(*) AS n1_fwd
+              FROM bc GROUP BY w1),
+            cont AS (SELECT w2, count(*) AS n1_bwd FROM bc GROUP BY w2),
+            nb AS (SELECT count(*) AS b FROM bc),
+            scored AS (
+              SELECT b2.doc_id,
+                     greatest(
+                       greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0)
+                         / c1
+                       + (0.75 * n1_fwd / c1)
+                         * (coalesce(n1_bwd, 0) / CAST(b AS DOUBLE)),
+                       1e-9) AS p
+              FROM b2
+              JOIN bc USING (w1, w2)
+              JOIN hist USING (w1)
+              JOIN cont USING (w2)
+              CROSS JOIN nb)
+            SELECT doc_id, round(avg(ln(p)), 4) AS kn_score,
+                   CAST(count(*) AS BIGINT) AS n_bigrams
+            FROM scored GROUP BY doc_id
         """,
         "ta_langid": r"""
             WITH s AS (

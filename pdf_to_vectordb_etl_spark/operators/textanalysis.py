@@ -309,6 +309,83 @@ def bigram_logprob_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def kneser_ney_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    d: float = 0.75,
+    train: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document score under an interpolated Kneser-Ney bigram LM
+    (Kneser & Ney 1995; the smoothing family KenLM implements — the
+    actual model class behind CCNet-style quality filtering, upgrading
+    the add-k baseline in :func:`smoothed_perplexity_scores`):
+
+        P(w2|w1) = max(c12 − d, 0)/c1 + λ(w1)·Pcont(w2)
+        λ(w1)    = d · N1+(w1·)/c1          (mass reserved for backoff)
+        Pcont(w2)= N1+(·w2)/N1+(··)         (continuation probability)
+
+    Every model quantity is a ratio of exact integer counts plus one
+    literal discount — the only libm call is the final ln, reported as
+    the round-4 mean (the bigram_logprob_scores convention, stable
+    across engines at that precision).
+
+    Plan: explode once, lead() adjacency per doc, then THREE vocab-
+    sized hash aggs all derived from the bigram-count table (c1 and
+    N1+(w1·) fold into ONE groupBy); the model broadcasts onto the
+    scoring stream. ``train`` defaults to ``df`` (self-scoring — every
+    bigram is then in-model); for out-of-model scoring, unseen
+    (w1, w2) pairs back off to λ(w1)·Pcont(w2), unseen histories to
+    Pcont(w2), and everything floors at 1e-9 so ln stays finite.
+    Returns (doc_id, kn_score, n_bigrams)."""
+    from pyspark.sql import Window
+
+    def bigrams(frame: DataFrame) -> DataFrame:
+        toks = frame.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
+                "pos", "tok"
+            ),
+        ).filter(F.col("tok") != "")
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        return (
+            toks.withColumn("w2", F.lead("tok").over(w))
+            .filter(F.col("w2").isNotNull())
+            .select("doc_id", F.col("tok").alias("w1"), "w2")
+        )
+
+    big_train = bigrams(train if train is not None else df)
+    bc = big_train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    hist = bc.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1_fwd")
+    )
+    cont = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("n1_bwd"))
+    n_big = bc.count()  # bounded driver scalar: |distinct bigrams|
+    if n_big == 0:
+        return df.sparkSession.createDataFrame(
+            [], "doc_id long, kn_score double, n_bigrams long"
+        )
+    pair = bc.select("w1", "w2", "c12")
+    score_stream = bigrams(df)
+    lam = F.lit(d) * F.col("n1_fwd") / F.col("c1")
+    pcont = F.coalesce(F.col("n1_bwd"), F.lit(0)) / F.lit(float(n_big))
+    p = F.when(
+        F.col("c1").isNotNull(),
+        F.greatest(F.col("c12_f") - F.lit(d), F.lit(0.0)) / F.col("c1")
+        + lam * pcont,
+    ).otherwise(pcont)
+    scored = (
+        score_stream.join(F.broadcast(pair), ["w1", "w2"], "left")
+        .join(F.broadcast(hist), "w1", "left")
+        .join(F.broadcast(cont), "w2", "left")
+        .withColumn("c12_f", F.coalesce(F.col("c12"), F.lit(0)).cast("double"))
+        .withColumn("_p", F.greatest(p, F.lit(1e-9)))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.avg(F.log("_p")), 4).alias("kn_score"),
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+    )
+
+
 def smoothed_perplexity_scores(
     df: DataFrame, k: float = 0.5, text_col: str = "text"
 ) -> DataFrame:

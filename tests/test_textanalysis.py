@@ -294,3 +294,51 @@ def test_unigram_lm_empty_corpus(spark):
 
     empty = spark.createDataFrame([], "text string")
     assert ta.unigram_lm_train(empty).count() == 0
+
+
+def test_kneser_ney_hand_computed(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a c"), (2, "a b"), (3, "c a b")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: (r.kn_score, r.n_bigrams)
+        for r in ta.kneser_ney_scores(df).collect()
+    }
+    # corpus: a->b x4, b->a x2, a->c x1, c->a x1; B=4 distinct pairs
+    # P(b|a) = (4-.75)/5 + (.75*2/5)*(1/4) = 0.725
+    assert rows[2] == (round(math.log(0.725), 4), 1)
+    # KN reserves exactly d*N1+(w1.) mass per history: probs sum to 1
+    pa = (4 - 0.75) / 5 + (0.75 * 2 / 5) * (1 / 4)   # P(b|a)
+    pc = (1 - 0.75) / 5 + (0.75 * 2 / 5) * (1 / 4)   # P(c|a)
+    pother = 2 * (0.75 * 2 / 5) * (2 / 4) / 2        # unseen w2 share
+    # full sum over observed continuations 'b','c','a' given history a:
+    p_a_a = (0 - 0) / 5 + (0.75 * 2 / 5) * (2 / 4)   # a->a unseen
+    assert abs((pa + pc + p_a_a) - 1.0) < 1e-12
+
+
+def test_kneser_ney_out_of_model_backoff(spark):
+    train = spark.createDataFrame(
+        [(1, "the cat sat on the mat")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(9, "the zebra"), (10, "qq zz")], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r.kn_score
+        for r in ta.kneser_ney_scores(score, train=train).collect()
+    }
+    # unseen continuation floors at 1e-9, unseen history backs off to
+    # Pcont — both finite, no crash
+    import math
+
+    eps = 1e-3  # kn_score is round-4 of the mean, may dip below ln(floor)
+    assert rows[9] >= math.log(1e-9) - eps
+    assert rows[10] >= math.log(1e-9) - eps
+
+
+def test_kneser_ney_empty_corpus(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert ta.kneser_ney_scores(empty).count() == 0
