@@ -361,6 +361,36 @@ def _band_candidates(
     return pairs.distinct()
 
 
+def lsh_band_plan(
+    threshold: float, n_hashes: int = 32
+) -> tuple[int, int, float, float]:
+    """Pick the band count for a target Jaccard threshold: among the
+    divisors b of ``n_hashes`` (rows r = n_hashes/b, collision
+    probability p(s) = 1 − (1 − s^r)^b), choose the b whose S-curve
+    midpoint (1/b)^(1/r) lands closest to ``threshold`` — the standard
+    LSH tuning rule (Leskovec et al., MMDS ch.3, public). Driver-side
+    pure arithmetic; returns (bands, rows, p_at_threshold,
+    p_at_0.1_below) so callers can eyeball recall vs junk-candidate
+    rate before launching a 100-TB job."""
+    if not 0 < threshold < 1:
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    best = None
+    for b in range(1, n_hashes + 1):
+        if n_hashes % b:
+            continue
+        r = n_hashes // b
+        midpoint = (1.0 / b) ** (1.0 / r)
+        cand = (abs(midpoint - threshold), b, r)
+        if best is None or cand < best:
+            best = cand
+    _, b, r = best
+
+    def p(s: float) -> float:
+        return 1.0 - (1.0 - s**r) ** b
+
+    return b, r, round(p(threshold), 6), round(p(max(threshold - 0.1, 0.01)), 6)
+
+
 def lsh_bucket_stats(
     df: DataFrame,
     n_hashes: int = 32,

@@ -413,3 +413,18 @@ def test_incremental_bloom_plan_broadcasts_bitset(spark, sf_dir):
     # the k=4 screen joins are all broadcast — the batch side never
     # shuffles to meet the bitset
     assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_lsh_band_plan_midpoints():
+    from pdf_to_vectordb_etl_spark.operators.dedup import lsh_band_plan
+
+    # high threshold -> few bands of many rows; low threshold -> many
+    # bands of few rows; probability at threshold stays meaningful
+    b_hi, r_hi, p_hi, _ = lsh_band_plan(0.9, 32)
+    b_lo, r_lo, p_lo, _ = lsh_band_plan(0.3, 32)
+    assert b_hi < b_lo and r_hi > r_lo
+    assert b_hi * r_hi == 32 and b_lo * r_lo == 32
+    assert 0.2 < p_hi < 1.0 and 0.2 < p_lo < 1.0
+    # the default registry setting (8 bands of 4) is what the solver
+    # picks near its own midpoint (1/8)^(1/4) ~ 0.595
+    assert lsh_band_plan(0.6, 32)[:2] == (8, 4)
