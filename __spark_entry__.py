@@ -3248,6 +3248,57 @@ def q_ta_kneser_ney(spark, sf):
     return ta.kneser_ney_scores(docs)
 
 
+def q_curation_pipeline_report(spark, sf):
+    """FLAGSHIP COMPOSITION — the full pre-training curation funnel in
+    one plan: held-out split -> nine-rule Gopher gate -> exact dedup ->
+    word-3-gram Jaccard near-dup drop (connected components) ->
+    8-gram benchmark decontamination -> Kneser-Ney quality scoring of
+    the survivors. One row of per-stage survivor counts + KN stats —
+    proves the r6 operators COMPOSE into the pipeline a real corpus
+    team runs, and the oracle replays every stage in one SQL chain."""
+    from pdf_to_vectordb_etl_spark.operators import curation
+    from pdf_to_vectordb_etl_spark.operators import textanalysis as ta
+
+    docs = _t(spark, sf, "documents")
+    hb = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    corpus = docs.filter(hb >= "14")
+    bench = docs.filter(hb < "14")
+    # thresholds tuned to the synthetic corpus (no English stopwords
+    # in its vocabulary; ~54-word docs) — exactly the per-corpus knob a
+    # real pipeline turns; the operator default stays standard Gopher
+    g = ta.gopher_quality_gate(
+        corpus, thresholds={"min_words": 20, "min_stop_hits": 0}
+    ).filter("gopher_pass").select(*docs.columns)
+    d1 = dedup.drop_exact_duplicates(g)
+    pairs = dedup.ngram_jaccard_pairs(d1, threshold=0.5)
+    d2 = dedup.drop_near_duplicates(d1, pairs)
+    cont = curation.contamination_check(d2, bench, n=8)
+    d3 = d2.join(
+        cont.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
+    )
+    sel = d3.join(ta.kneser_ney_scores(docs), "doc_id")
+
+    def n(frame, name):
+        return frame.agg(F.count(F.lit(1)).cast("long").alias(name))
+
+    return (
+        n(corpus, "n_total")
+        .crossJoin(n(g, "n_gopher_pass"))
+        .crossJoin(n(d1, "n_after_exact"))
+        .crossJoin(n(d2, "n_after_neardup"))
+        .crossJoin(n(d3, "n_after_decontam"))
+        .crossJoin(
+            sel.agg(
+                F.min("kn_score").alias("kn_min"),
+                F.max("kn_score").alias("kn_max"),
+                F.coalesce(
+                    F.sum((F.col("kn_score") >= -3.4).cast("int")), F.lit(0)
+                ).cast("long").alias("n_kn_high"),
+            )
+        )
+    )
+
+
 def q_cuped_readout(spark, sf):
     """CUPED variance-reduced A/B readout: md5-bucket arms, pre/post
     split at the (min+max)//2 timestamp midpoint (one bounded driver
@@ -3997,6 +4048,173 @@ def _unigram_oracle_sql(
                     ELSE 0.0 END AS p_q6
         FROM {prev}, tot
     """
+
+
+def _curation_pipeline_oracle_sql() -> str:
+    """One SQL chain replaying the whole curation funnel — each stage
+    is the SAME fragment as its standalone oracle (gopher_by_source's
+    rule CTEs, dedup_drop's recursive components, curation_
+    contamination's 8-gram join, ta_kneser_ney's model), scoped to the
+    previous stage's survivors. MATERIALIZED per stage (every stage is
+    referenced by at least two later ones — the k-center lesson)."""
+    return r"""
+        WITH RECURSIVE dd AS MATERIALIZED (
+          SELECT doc_id, text, lang, source,
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hb
+          FROM documents),
+        corpus AS MATERIALIZED (SELECT * FROM dd WHERE hb >= '14'),
+        gf AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END
+                   AS n_words,
+                 length(regexp_replace(text, '\s', '', 'g')) AS n_word_chars,
+                 len(regexp_extract_all(text, '#')) AS n_hash,
+                 len(regexp_extract_all(text, '\.\.\.|…')) AS n_ellipsis,
+                 len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS n_alpha,
+                 len(string_split(text, chr(10))) AS n_lines,
+                 len(regexp_extract_all(text, '(?m)^[ \t]*[-•*][ \t]'))
+                   AS n_bullet_lines,
+                 len(regexp_extract_all(text, '(?m)(\.\.\.|…)[ \t]*$'))
+                   AS n_ellipsis_lines,
+                 (CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
+                  + CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END
+                  + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
+                  + CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END
+                  + CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END
+                  + CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END
+                  + CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END
+                  + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END)
+                   AS stop_hits
+          FROM corpus),
+        gq AS (
+          SELECT doc_id, n_words, stop_hits,
+                 floor((CASE WHEN n_words > 0
+                        THEN n_word_chars * 1.0 / n_words ELSE 0.0 END) * 1e6) / 1e6
+                   AS mean_word_len,
+                 floor((CASE WHEN n_words > 0
+                        THEN (n_hash + n_ellipsis) * 1.0 / n_words ELSE 0.0 END) * 1e6) / 1e6
+                   AS symbol_word_ratio,
+                 floor((CASE WHEN n_lines > 0
+                        THEN n_bullet_lines * 1.0 / n_lines ELSE 0.0 END) * 1e6) / 1e6
+                   AS bullet_line_frac,
+                 floor((CASE WHEN n_lines > 0
+                        THEN n_ellipsis_lines * 1.0 / n_lines ELSE 0.0 END) * 1e6) / 1e6
+                   AS ellipsis_line_frac,
+                 floor((CASE WHEN n_words > 0
+                        THEN n_alpha * 1.0 / n_words ELSE 0.0 END) * 1e6) / 1e6
+                   AS alpha_word_frac
+          FROM gf),
+        gp AS MATERIALIZED (
+          SELECT doc_id FROM gq
+          WHERE n_words >= 20 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+            AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+            AND stop_hits >= 0),
+        s1 AS MATERIALIZED (
+          SELECT doc_id FROM (
+            SELECT c.doc_id,
+                   row_number() OVER (
+                     PARTITION BY NORMEXPR ORDER BY c.doc_id) AS rn
+            FROM corpus c JOIN gp USING (doc_id))
+          WHERE rn = 1),
+        sh AS MATERIALIZED (
+          SELECT doc_id, SHINGLEEXPR AS shingles
+          FROM (SELECT c.doc_id, string_split(NORMEXPR, ' ') AS w
+                FROM corpus c JOIN s1 USING (doc_id))),
+        ex AS (SELECT doc_id, unnest(shingles) AS sg, len(shingles) AS ns
+               FROM sh),
+        jp AS MATERIALIZED (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, a.doc_id, b.doc_id
+          HAVING count(*) * 1.0
+                 / (any_value(a.ns) + any_value(b.ns) - count(*)) >= 0.5),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM jp
+          UNION SELECT id_b, id_a FROM jp),
+        nodes AS (SELECT DISTINCT a AS id FROM edges),
+        reach AS (
+          SELECT id, min(m) AS cluster_id FROM (
+            WITH RECURSIVE r(id, m) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.a, r.m FROM edges e JOIN r ON e.b = r.id)
+            SELECT id, m FROM r)
+          GROUP BY id),
+        s2 AS MATERIALIZED (
+          SELECT doc_id FROM s1
+          WHERE doc_id NOT IN
+            (SELECT id FROM reach WHERE id != cluster_id)),
+        csh AS (
+          SELECT doc_id, hb,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - 7, 0)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                        w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' ||
+                        w[i+6] || ' ' || w[i+7]))) AS s8
+          FROM (SELECT doc_id, hb, string_split(NORMEXPR, ' ') AS w
+                FROM dd
+                WHERE hb < '14'
+                   OR doc_id IN (SELECT doc_id FROM s2))),
+        contaminated AS MATERIALIZED (
+          SELECT DISTINCT c.doc_id
+          FROM (SELECT doc_id, s8 FROM csh WHERE hb >= '14') c
+          JOIN (SELECT DISTINCT s8 FROM csh WHERE hb < '14') b
+            USING (s8)),
+        s3 AS MATERIALIZED (
+          SELECT doc_id FROM s2
+          WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '\s+')) AS tok,
+                 unnest(range(len(string_split_regex(lower(text), '\s+')))) AS pos
+          FROM documents),
+        t2 AS (SELECT * FROM toks WHERE tok <> ''),
+        big AS (
+          SELECT doc_id, tok AS w1,
+                 lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+          FROM t2),
+        b2 AS (SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL),
+        bc AS MATERIALIZED (
+          SELECT w1, w2, count(*) AS c12 FROM b2 GROUP BY w1, w2),
+        hist AS (
+          SELECT w1, sum(c12) AS c1, count(*) AS n1_fwd
+          FROM bc GROUP BY w1),
+        cont2 AS (SELECT w2, count(*) AS n1_bwd FROM bc GROUP BY w2),
+        nb AS (SELECT count(*) AS b FROM bc),
+        kn AS MATERIALIZED (
+          SELECT doc_id, round(avg(ln(p)), 4) AS kn_score FROM (
+            SELECT b2.doc_id,
+                   greatest(
+                     greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0) / c1
+                     + (0.75 * n1_fwd / c1)
+                       * (coalesce(n1_bwd, 0) / CAST(b AS DOUBLE)),
+                     1e-9) AS p
+            FROM b2
+            JOIN bc USING (w1, w2)
+            JOIN hist USING (w1)
+            JOIN cont2 USING (w2)
+            CROSS JOIN nb)
+          GROUP BY doc_id),
+        sel AS (SELECT kn_score FROM s3 JOIN kn USING (doc_id))
+        SELECT
+          (SELECT CAST(count(*) AS BIGINT) FROM corpus) AS n_total,
+          (SELECT CAST(count(*) AS BIGINT) FROM gp) AS n_gopher_pass,
+          (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_after_exact,
+          (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_after_neardup,
+          (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_after_decontam,
+          (SELECT min(kn_score) FROM sel) AS kn_min,
+          (SELECT max(kn_score) FROM sel) AS kn_max,
+          (SELECT CAST(coalesce(sum(CASE WHEN kn_score >= -3.4
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+           FROM sel) AS n_kn_high
+    """.replace("NORMEXPR", "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))").replace(
+        "SHINGLEEXPR",
+        "list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 0)),"
+        " i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))",
+    )
 
 
 def _bpe_train_oracle_sql(n_merges: int = 8) -> str:
@@ -7548,6 +7766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_quality": q_ta_quality,
         "ta_quality_gopher": q_ta_quality_gopher,
         "ta_kneser_ney": q_ta_kneser_ney,
+        "curation_pipeline_report": q_curation_pipeline_report,
         "gopher_by_source": q_gopher_by_source,
         "t29_stream_gopher_gate": q_t29_stream_gopher_gate,
         "ta_langid": q_ta_langid,
@@ -9252,6 +9471,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Kneser-Ney: the same rational count ratios; the single ln at
         # the end follows the ta_bigram_lm round-4 convention
+        "curation_pipeline_report": _curation_pipeline_oracle_sql(),
         "ta_kneser_ney": r"""
             WITH toks AS (
               SELECT doc_id,

@@ -1054,3 +1054,18 @@ def test_ks_two_sample_edges(spark):
     assert r.d_num == 0 and r.d_q6 == 0.0
     one = ks_two_sample(same.filter("arm"), "x", "arm").first()
     assert one.d_num is None and one.n2 == 0
+
+
+def test_curation_pipeline_funnel_is_monotone(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    r = entry.queries()["curation_pipeline_report"](spark, sf_dir).first()
+    assert (
+        r.n_total
+        >= r.n_gopher_pass
+        >= r.n_after_exact
+        >= r.n_after_neardup
+        >= r.n_after_decontam
+        > 0
+    )
+    assert r.kn_min <= r.kn_max
