@@ -245,7 +245,9 @@ def q_x17_multiline_scrub(spark, sf):
     """X17/F7 — multiline-anchored scrub: blank out lines longer than 4
     chars (the reference's answer-key line filter,
     enem_pdf_extractor.py:963-964), applied to a derived 3-line text."""
-    docs = _t(spark, sf, "documents")
+    docs = _t(spark, sf, "documents").withColumn(
+        "text", F.coalesce("text", F.lit(""))
+    )
     three = F.concat_ws(
         "\n",
         F.substring("text", 1, 3),
@@ -910,7 +912,13 @@ def q_dedup_minhash_lsh(spark, sf):
     planted near-dups sit at j >= 0.8 where band catch probability
     is ~1)."""
     docs = _t(spark, sf, "documents")
-    out = dedup.minhash_dedup_pairs(docs, threshold=0.5)
+    # max_bucket_size=None: this is a CORRECTNESS query graded against
+    # the full exact-Jaccard oracle — if a regenerated corpus ever
+    # ships a >512-copy template, uncapped is slow-but-right while the
+    # capped star set would hash-mismatch. Production callers keep the
+    # capped default; the cap itself is pinned by the scale-hardening
+    # pytests on 10k-copy frames.
+    out = dedup.minhash_dedup_pairs(docs, threshold=0.5, max_bucket_size=None)
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
@@ -949,8 +957,10 @@ def q_dedup_incremental_minhash(spark, sf):
     this corpus for the same reason as dedup_minhash_lsh)."""
     docs = _t(spark, sf, "documents")
     h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    # uncapped for the same oracle-equality reason as dedup_minhash_lsh
     out = dedup.incremental_minhash_pairs(
-        docs.filter(h >= "8"), docs.filter(h < "8"), threshold=0.5
+        docs.filter(h >= "8"), docs.filter(h < "8"), threshold=0.5,
+        max_bucket_size=None,
     )
     return out.select(
         "new_id", "corpus_id", F.round("jaccard", 4).alias("jaccard")
@@ -1078,7 +1088,9 @@ def q_ta_quality_gopher(spark, sf):
 
 def q_ta_langid(spark, sf):
     """Heuristic language ID: marker-stopword argmax."""
-    docs = _t(spark, sf, "documents")
+    docs = _t(spark, sf, "documents").withColumn(
+        "text", F.coalesce("text", F.lit(""))
+    )
     return docs.select(
         "doc_id", ta.detect_language(F.col("text")).alias("detected_lang")
     )
@@ -1086,7 +1098,9 @@ def q_ta_langid(spark, sf):
 
 def q_ta_fingerprint(spark, sf):
     """Document fingerprints: normalized-md5 + polynomial rolling hash."""
-    docs = _t(spark, sf, "documents")
+    docs = _t(spark, sf, "documents").withColumn(
+        "text", F.coalesce("text", F.lit(""))
+    )
     return docs.select(
         "doc_id",
         ta.fingerprint_md5(F.col("text")).alias("fp_md5"),
@@ -1100,7 +1114,9 @@ def q_w4_chunk_split(spark, sf):
     equal source doc counts (SURVEY §7 guiding decision 1)."""
     from pdf_to_vectordb_etl_spark.operators import chunking
 
-    docs = _t(spark, sf, "documents")
+    docs = _t(spark, sf, "documents").withColumn(
+        "text", F.coalesce("text", F.lit(""))
+    )
     rec = F.concat(
         F.substring("text", 1, 30), F.lit("\n(RESPOSTA CORRETA): A\n\n")
     )
@@ -1122,7 +1138,9 @@ def q_u3_embed_norm(spark, sf):
     invariants (dimensionality, unit L2 norm) the hash values guarantee."""
     from pdf_to_vectordb_etl_spark.operators import embedding
 
-    docs = _t(spark, sf, "documents")
+    docs = _t(spark, sf, "documents").withColumn(
+        "text", F.coalesce("text", F.lit(""))
+    )
     v = embedding.deterministic_embedding(F.col("text"), dim=64)
     return docs.select(
         "doc_id",
@@ -1227,7 +1245,9 @@ def q_mm_decode_meta(spark, sf):
     import-gated). Python kernel: rows-only check."""
     from pdf_to_vectordb_etl_spark.operators import multimodal
 
-    docs = _t(spark, sf, "documents")
+    docs = _t(spark, sf, "documents").withColumn(
+        "text", F.coalesce("text", F.lit(""))
+    )
     media = multimodal.as_media(
         docs.withColumn("payload", F.encode("text", "UTF-8")), "payload", "doc_id"
     )
@@ -1243,7 +1263,9 @@ def q_mm_sample_frames(spark, sf):
     sampled (media_id, frame) pairs."""
     from pdf_to_vectordb_etl_spark.operators import multimodal
 
-    docs = _t(spark, sf, "documents")
+    docs = _t(spark, sf, "documents").withColumn(
+        "text", F.coalesce("text", F.lit(""))
+    )
     media = multimodal.as_media(
         docs.withColumn("payload", F.encode("text", "UTF-8")),
         "payload",
@@ -1257,7 +1279,9 @@ def q_mm_sample_frames(spark, sf):
 def q_n1_to_json(spark, sf):
     """N1/N3 — nested payload struct serialized to JSON (the reference's
     Qdrant point payload shape, qdrant_text_loader.py:205-211)."""
-    docs = _t(spark, sf, "documents")
+    docs = _t(spark, sf, "documents").withColumn(
+        "text", F.coalesce("text", F.lit(""))
+    )
     payload = F.struct(
         F.substring("text", 1, 20).alias("page_content"),
         F.struct(
@@ -2693,7 +2717,9 @@ def q_exact_substr_dedup(spark, sf):
     coarse-grained fast path."""
     from pdf_to_vectordb_etl_spark.operators import webcorpus
 
-    docs = _t(spark, sf, "documents")
+    docs = _t(spark, sf, "documents").withColumn(
+        "text", F.coalesce("text", F.lit(""))
+    )
     return webcorpus.exact_substring_dedup(docs, min_len=50, min_count=2)
 
 
@@ -3150,25 +3176,9 @@ def q_unigram_lm_encode(spark, sf):
         "doc_id",
         F.regexp_replace("text", r"[^\x20-\x7e]", "").alias("text"),
     )
-    occ = ta._word_spans(
-        d2.select(
-            F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
-        )
-        .filter((F.length("w") > 0) & (F.length("w") <= 12))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .withColumn("wlen", F.length("w").cast("int")),
-        4,
-    )
-    seed = occ.groupBy("piece").agg(F.sum("freq").cast("long").alias("n"))
-    pieces = (
-        seed.filter(F.length("piece") == 1)
-        .unionByName(
-            seed.filter((F.length("piece") > 1) & (F.col("n") >= 2))
-            .orderBy(F.desc("n"), "piece")
-            .limit(64)
-        )
-        .localCheckpoint(eager=True)
+    pieces = ta.unigram_seed_pieces(
+        d2, vocab_size=64, seed_cap_factor=1, max_piece_len=4,
+        max_word_len=12, min_count=2,
     )
     return ta.unigram_lm_encode(d2, pieces, max_piece_len=4, max_word_len=12)
 
@@ -5059,7 +5069,9 @@ def q_lambda_surface(spark, sf):
     exists / forall / zip_with lambdas over the token array, all scalar
     outputs — the collection lambda algebra stays entirely inside
     whole-stage codegen."""
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents").withColumn(
+        "text", F.coalesce("text", F.lit(""))
+    )
     toks = F.split(F.lower(F.col("text")), r"\s+")
     lens = F.transform(toks, lambda x: F.length(x))
     sym = F.zip_with(
@@ -5987,7 +5999,9 @@ def q_lateral_surface(spark, sf):
     SQL syntax — the per-row table-generator join every nested-data
     pipeline leans on. OUTER keeps rows whose array is empty (here:
     docs with < 3 tokens still appear with NULL trigram)."""
-    _t(spark, sf, "documents").createOrReplaceTempView("docs_lat")
+    _t(spark, sf, "documents").withColumn(
+        "text", F.coalesce("text", F.lit(""))
+    ).createOrReplaceTempView("docs_lat")
     return spark.sql(r"""
         SELECT doc_id, pos, tok
         FROM (
@@ -6707,7 +6721,9 @@ def q_gini_by_source(spark, sf):
     decile view with a per-source inequality scalar."""
     from pdf_to_vectordb_etl_spark.operators import evaluation as ev
 
-    docs = _t(spark, sf, "documents").select(
+    docs = _t(spark, sf, "documents").withColumn(
+        "text", F.coalesce("text", F.lit(""))
+    ).select(
         "source", "doc_id", ta.token_count(F.col("text")).alias("n_tok")
     )
     return ev.gini_by_group(docs, "source", "n_tok", "doc_id")
@@ -6794,7 +6810,9 @@ def q_eval_confusion_f1(spark, sf):
     und report their false-positive volume)."""
     from pdf_to_vectordb_etl_spark.operators import evaluation as ev
 
-    docs = _t(spark, sf, "documents")
+    docs = _t(spark, sf, "documents").withColumn(
+        "text", F.coalesce("text", F.lit(""))
+    )
     labeled = docs.select(
         ta.detect_language(F.col("text")).alias("pred"),
         F.col("lang").alias("truth"),
@@ -7328,7 +7346,9 @@ def q_mm_extract_features(spark, sf):
     Python extraction stage is SQL-replayable and hash-verified."""
     from pdf_to_vectordb_etl_spark.operators import multimodal
 
-    docs = _t(spark, sf, "documents")
+    docs = _t(spark, sf, "documents").withColumn(
+        "text", F.coalesce("text", F.lit(""))
+    )
     media = multimodal.as_media(
         docs.withColumn("payload", F.encode("text", "UTF-8")),
         "payload",
@@ -9360,7 +9380,8 @@ def oracle_sql() -> dict[str, str]:
                       + CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END
                       + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END)
                        AS stop_hits
-              FROM documents),
+              FROM (SELECT * REPLACE (coalesce(text, '') AS text)
+                    FROM documents) documents),
             g AS (
               SELECT doc_id, n_words, stop_hits,
                      floor((CASE WHEN n_words > 0
@@ -9431,7 +9452,8 @@ def oracle_sql() -> dict[str, str]:
                       + CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END
                       + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END)
                        AS stop_hits
-              FROM documents),
+              FROM (SELECT * REPLACE (coalesce(text, '') AS text)
+                    FROM documents) documents),
             g AS (
               SELECT doc_id, source, n_words, stop_hits,
                      floor((CASE WHEN n_words > 0
@@ -9515,7 +9537,8 @@ def oracle_sql() -> dict[str, str]:
                      len(regexp_extract_all(lower(text), '\b(el|la|de|que|los)\b')) AS s_es,
                      len(regexp_extract_all(lower(text), '\b(le|la|les|des|est)\b')) AS s_fr,
                      len(regexp_extract_all(lower(text), '\b(o|que|de|em|uma)\b')) AS s_pt
-              FROM documents)
+              FROM (SELECT * REPLACE (coalesce(text, '') AS text)
+                    FROM documents) documents)
             SELECT doc_id,
                    CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_pt) = 0 THEN 'und'
                         WHEN s_pt = greatest(s_de, s_en, s_es, s_fr, s_pt) THEN 'pt'
@@ -9534,7 +9557,8 @@ def oracle_sql() -> dict[str, str]:
                        list_transform(string_split(substr(text, 1, 64), ''),
                                       c -> CAST(coalesce(ascii(c), 0) AS BIGINT))),
                      (acc, ch) -> (acc * 31 + ch) % 2147483647) AS fp_roll
-            FROM documents
+            FROM (SELECT * REPLACE (coalesce(text, '') AS text)
+                    FROM documents) documents
         """,
         "mm_binary_meta": """
             SELECT doc_id, octet_length(encode(text)) AS n_bytes,
@@ -9550,7 +9574,8 @@ def oracle_sql() -> dict[str, str]:
                        + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1 AS h0,
                      (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
                        + strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1 AS h1
-              FROM documents)
+              FROM (SELECT * REPLACE (coalesce(text, '') AS text)
+                    FROM documents) documents)
             SELECT media_id,
                    CAST(16 + h0 % 240 AS INT) AS width,
                    CAST(16 + h1 % 240 AS INT) AS height,
@@ -9566,7 +9591,8 @@ def oracle_sql() -> dict[str, str]:
                        * 16
                        + strpos('0123456789abcdef', substr(md5(text), 6, 1))
                        - 1 AS h2
-              FROM documents),
+              FROM (SELECT * REPLACE (coalesce(text, '') AS text)
+                    FROM documents) documents),
             f AS (SELECT media_id, 1 + h2 % 64 AS nf FROM b)
             SELECT media_id, CAST(i AS INT) AS frame_index
             FROM (SELECT media_id, unnest(range(nf)) AS i FROM f)
@@ -9622,7 +9648,8 @@ def oracle_sql() -> dict[str, str]:
                                   || substr(text, 10, 20) || chr(10)
                                   || substr(text, 40, 2),
                                   '(?m)^.{5,}$', '', 'g') AS scrubbed
-            FROM documents
+            FROM (SELECT * REPLACE (coalesce(text, '') AS text)
+                    FROM documents) documents
         """,
         "x10_segmentation": """
             WITH p AS (SELECT doc_id, string_split(text, ' data ') AS parts
@@ -9642,14 +9669,17 @@ def oracle_sql() -> dict[str, str]:
                        materia := lang,
                        ano := CAST(2015 + doc_id % 9 AS INT))))
                      AS payload_json
-            FROM documents
+            FROM (SELECT * REPLACE (coalesce(text, '') AS text)
+                    FROM documents) documents
         """,
         "w4_chunk_split": """
-            SELECT lang, count(*) AS n_chunks FROM documents
+            SELECT lang, count(*) AS n_chunks FROM (SELECT * REPLACE (coalesce(text, '') AS text)
+                    FROM documents) documents
             GROUP BY lang ORDER BY lang
         """,
         "u3_embed_norm": """
-            SELECT doc_id, 64 AS dim, CAST(1.0 AS DOUBLE) AS l2norm FROM documents
+            SELECT doc_id, 64 AS dim, CAST(1.0 AS DOUBLE) AS l2norm FROM (SELECT * REPLACE (coalesce(text, '') AS text)
+                    FROM documents) documents
         """,
         "t3_stream_agg": """
             SELECT event_type, count(*) AS n FROM events
@@ -11657,10 +11687,10 @@ def oracle_sql() -> dict[str, str]:
                        AS arm
               FROM events WHERE value IS NOT NULL),
             tot AS (
-              SELECT CAST(sum(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT)
-                       AS n1,
-                     CAST(sum(CASE WHEN arm THEN 0 ELSE 1 END) AS BIGINT)
-                       AS n2
+              SELECT CAST(coalesce(sum(CASE WHEN arm THEN 1 ELSE 0 END),
+                                   0) AS BIGINT) AS n1,
+                     CAST(coalesce(sum(CASE WHEN arm THEN 0 ELSE 1 END),
+                                   0) AS BIGINT) AS n2
               FROM base),
             per AS (
               SELECT v,
@@ -12264,7 +12294,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "exact_substr_dedup": """
             WITH d AS (
-              SELECT doc_id, text, length(text) AS n FROM documents),
+              SELECT doc_id, text, length(text) AS n FROM (SELECT * REPLACE (coalesce(text, '') AS text)
+                    FROM documents) documents),
             w AS (
               SELECT doc_id, pos + 1 AS i, substr(text, pos + 1, 50) AS sub
               FROM (SELECT doc_id, text, unnest(range(n - 49)) AS pos
@@ -13051,7 +13082,8 @@ def oracle_sql() -> dict[str, str]:
         "lambda_surface": r"""
             WITH t AS (
               SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
-              FROM documents)
+              FROM (SELECT * REPLACE (coalesce(text, '') AS text)
+                    FROM documents) documents)
             SELECT doc_id,
                    CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum')
                      AS BIGINT) AS sum_len,
@@ -14240,7 +14272,8 @@ def oracle_sql() -> dict[str, str]:
             WITH base AS (
               SELECT doc_id,
                      (string_split_regex(lower(text), '\s+'))[1:5] AS toks
-              FROM documents)
+              FROM (SELECT * REPLACE (coalesce(text, '') AS text)
+                    FROM documents) documents)
             SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS tok
             FROM base, unnest(generate_series(1, len(toks))) AS u(i)
         """,
@@ -14864,7 +14897,8 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN length(trim(text)) = 0 THEN 0
                           ELSE len(string_split_regex(trim(text), '\s+')) END
                        AS n_tok
-              FROM documents),
+              FROM (SELECT * REPLACE (coalesce(text, '') AS text)
+                    FROM documents) documents),
             r AS (
               SELECT source, CAST(n_tok AS DOUBLE) AS x,
                      row_number() OVER (PARTITION BY source
@@ -15045,7 +15079,8 @@ def oracle_sql() -> dict[str, str]:
                      len(regexp_extract_all(lower(text), '\b(el|la|de|que|los)\b')) AS s_es,
                      len(regexp_extract_all(lower(text), '\b(le|la|les|des|est)\b')) AS s_fr,
                      len(regexp_extract_all(lower(text), '\b(o|que|de|em|uma)\b')) AS s_pt
-              FROM documents),
+              FROM (SELECT * REPLACE (coalesce(text, '') AS text)
+                    FROM documents) documents),
             pred AS (
               SELECT doc_id,
                      CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_pt) = 0 THEN 'und'
@@ -15602,7 +15637,8 @@ def oracle_sql() -> dict[str, str]:
         "mm_extract_features": """
             WITH d AS (
               SELECT doc_id AS media_id, text, length(text) AS n_units
-              FROM documents),
+              FROM (SELECT * REPLACE (coalesce(text, '') AS text)
+                    FROM documents) documents),
             dims AS (SELECT unnest(generate_series(0, 15)) AS dim),
             ch AS (
               SELECT media_id, unnest(string_split(text, '')) AS c FROM d),

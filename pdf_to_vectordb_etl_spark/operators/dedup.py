@@ -35,6 +35,14 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from ..functions.vector import cosine_similarity, l2_norm
 
 
+#: Band buckets holding more than this many signatures are routed
+#: through the O(m) star scheme instead of the O(m^2) self-join. 512
+#: is far above any honest near-dup cluster on the test corpora (max
+#: observed occupancy is single digits) but bounds the blowup when a
+#: boilerplate template is duplicated millions of times at 100 TB.
+DEFAULT_MAX_BUCKET_SIZE = 512
+
+
 def normalize_text(text, *, lower: bool = True) -> Column:
     """Canonical form for dedup: trim, collapse whitespace, optional lower."""
     t = F.regexp_replace(F.trim(text), r"\s+", " ")
@@ -270,17 +278,16 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """LSH candidate pairs: split the signature into ``bands`` groups of
     ``n_hashes/bands`` mins, hash each group to one bucket key, and
     self-equi-join on it. Probability a pair with Jaccard j collides:
     1-(1-j^r)^b. The join key folds the band index into the bucket hash
-    so one equi-join covers all bands."""
-    rows = n_hashes // bands
+    so one equi-join covers all bands. ``max_bucket_size=None``
+    disables the occupancy cap (the convention every sibling follows —
+    None means uncapped, the default means the 512 star-routing cap)."""
     sig = minhash_signatures(df, n_hashes, shingle_n, text_col, id_col)
-    if max_bucket_size is None:
-        max_bucket_size = DEFAULT_MAX_BUCKET_SIZE
     return _band_candidates(sig, n_hashes, bands, max_bucket_size)
 
 
@@ -290,14 +297,6 @@ def _signatures_from_hashes(ex: DataFrame, n_hashes: int) -> DataFrame:
         F.min(F.xxhash64("h", F.lit(i))).alias(f"h{i}") for i in range(n_hashes)
     ]
     return ex.groupBy("id").agg(*mins)
-
-
-#: Band buckets holding more than this many signatures are routed
-#: through the O(m) star scheme instead of the O(m^2) self-join. 512
-#: is far above any honest near-dup cluster on the test corpora (max
-#: observed occupancy is single digits) but bounds the blowup when a
-#: boilerplate template is duplicated millions of times at 100 TB.
-DEFAULT_MAX_BUCKET_SIZE = 512
 
 
 def _band_table(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
@@ -544,14 +543,23 @@ def incremental_exact_dedup_bloom(
     and the residual anti-join is shuffle-free on the corpus side too.
     The bitset is a pure function of the corpus — persist it alongside
     the digests and rebuilding costs nothing per ingest."""
+    from pyspark import StorageLevel
+
     from .sketch import bloom_build, bloom_screen
 
     digest = F.sha2(normalize_text(F.col(text_col)), 256)
     newd = new.withColumn("_digest", digest)
+    # the bitset is <= m_bits/32 rows but each of the k broadcast
+    # builds would otherwise re-run the corpus-digest aggregation —
+    # checkpoint it once (the blocklist_hits checkpoint-first lesson)
     bloom = bloom_build(
         corpus_digests.select("digest").distinct(), "digest", m_bits, k
+    ).localCheckpoint(eager=True)
+    # both the miss and maybe branches scan this frame — persist so
+    # the batch parquet + 4 screen joins run once, not twice
+    screened = bloom_screen(newd, bloom, "_digest", m_bits, k).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    screened = bloom_screen(newd, bloom, "_digest", m_bits, k)
     miss = screened.filter(~F.col("bloom_hit"))
     maybe = screened.filter(F.col("bloom_hit")).join(
         corpus_digests.select(F.col("digest").alias("_digest")).distinct(),

@@ -1905,7 +1905,6 @@ def pass_at_k(
     group_col: str,
     success_col: str,
     ks: tuple[int, ...] = (1, 3, 5),
-    id_col: str | None = None,
 ) -> DataFrame:
     """Unbiased pass@k (Chen et al. 2021 "Evaluating LLMs Trained on
     Code", public): per problem with n trials and c successes,

@@ -75,7 +75,11 @@ def bloom_screen(
     input's partitioning end-to-end, which is the whole point of a
     pre-screen: the batch scan flows straight into the filter. k stays
     small (4) so this is k broadcast builds of <= m_bits/32 rows.
-    No false negatives; ``out_col`` False => definitely absent."""
+    No false negatives; ``out_col`` False => definitely absent. A NULL
+    element screens as False (a NULL key matches nothing in the
+    downstream anti-join either, so miss is the faithful verdict —
+    without the coalesce the whole ROW would silently drop through
+    both filter branches)."""
     out = df
     hit = None
     for i in range(k):
@@ -96,7 +100,9 @@ def bloom_screen(
         )
         hit = t if hit is None else hit & t
     drop = [c for i in range(k) for c in (f"_w{i}", f"_m{i}", f"_b{i}")]
-    return out.withColumn(out_col, hit).drop(*drop)
+    return out.withColumn(
+        out_col, F.coalesce(hit, F.lit(False))
+    ).drop(*drop)
 
 
 def bloom_probe(

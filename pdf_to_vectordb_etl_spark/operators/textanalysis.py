@@ -148,8 +148,10 @@ def gopher_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     of lines starting with a bullet, fraction of lines ending with an
     ellipsis, fraction of words containing an alphabetic character, and
     how many of the 8 required stopwords appear. Ratios are 6-dp
-    floor-quantized; all are 0.0 on empty docs (guarded divisions)."""
-    t = _c(text_col)
+    floor-quantized; all are 0.0 on empty docs (guarded divisions).
+    NULL text counts as empty — regexp_count(NULL) would otherwise
+    poison every feature to NULL while a SQL CASE chain yields 0s."""
+    t = F.coalesce(_c(text_col), F.lit(""))
     n_words = token_count(t)
     # total non-whitespace chars: mean word length without re-splitting
     n_word_chars = F.length(F.regexp_replace(t, r"\s", ""))
@@ -354,7 +356,14 @@ def kneser_ney_scores(
         )
 
     big_train = bigrams(train if train is not None else df)
-    bc = big_train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # vocab-sized; checkpointed because FOUR consumers run actions /
+    # broadcasts over it (n_big count + pair/hist/cont broadcasts) —
+    # the blocklist_hits checkpoint-first lesson
+    bc = (
+        big_train.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=True)
+    )
     hist = bc.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1_fwd")
     )
@@ -573,14 +582,21 @@ def _viterbi_best(occ: DataFrame, pieces: DataFrame, inf: int = 1 << 20) -> Data
     )
 
     def dp_step(dp, j):
-        cands = F.filter(
-            F.col("edges"),
-            lambda e: (e["j"] == j)
-            & (F.element_at(dp, e["i"] + 1)["k"] < inf),
-        )
+        # array_min over the mapped candidates is NULL exactly when no
+        # edge ends at j from a reachable start — one expression serves
+        # as both the emptiness test and the value. It is BOUND ONCE as
+        # a lambda variable via the single-element-transform trick (the
+        # cdc_chunks lesson: lambda-HOF exprs get no codegen
+        # subexpression elimination, so a bare reference in both the
+        # condition and the value would run the filter+min twice per
+        # step).
         best = F.array_min(
             F.transform(
-                cands,
+                F.filter(
+                    F.col("edges"),
+                    lambda e: (e["j"] == j)
+                    & (F.element_at(dp, e["i"] + 1)["k"] < inf),
+                ),
                 lambda e: F.struct(
                     (F.element_at(dp, e["i"] + 1)["k"] + 1).alias("k"),
                     (
@@ -592,11 +608,17 @@ def _viterbi_best(occ: DataFrame, pieces: DataFrame, inf: int = 1 << 20) -> Data
                 ),
             )
         )
-        return F.transform(
-            F.sequence(F.lit(0), F.col("wlen")),
-            lambda p: F.when(
-                (p == j) & (F.size(cands) > 0), best
-            ).otherwise(F.element_at(dp, p + 1)),
+        return F.element_at(
+            F.transform(
+                F.array(best),
+                lambda b: F.transform(
+                    F.sequence(F.lit(0), F.col("wlen")),
+                    lambda p: F.when(
+                        (p == j) & b.isNotNull(), b
+                    ).otherwise(F.element_at(dp, p + 1)),
+                ),
+            ),
+            1,
         )
 
     return edges.select(
@@ -633,6 +655,51 @@ def _word_spans(words: DataFrame, max_piece_len: int) -> DataFrame:
             F.col("w"), F.col("s.i") + 1, F.col("s.j") - F.col("s.i")
         ).alias("piece"),
     )
+
+
+def unigram_seed_pieces(
+    df: DataFrame | None = None,
+    vocab_size: int = 64,
+    max_piece_len: int = 4,
+    max_word_len: int = 12,
+    min_count: int = 2,
+    seed_cap_factor: int = 4,
+    text_col: str = "text",
+    occ: DataFrame | None = None,
+) -> DataFrame:
+    """The substring candidate vocabulary both the unigram trainer and
+    the encode-with-seed path start from: every single character seen
+    in the (length-capped) word vocab, plus the top
+    ``seed_cap_factor * vocab_size`` multi-char substrings with corpus
+    frequency >= ``min_count`` (count desc, piece asc — deterministic).
+    Returns a checkpointed (piece, n) table, <= seed_cap + |alphabet|
+    rows. Pass a precomputed ``occ`` span table (with a freq column) to
+    skip the word collapse — the trainer shares its own."""
+    if occ is None:
+        words = (
+            df.select(
+                F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
+                    "w"
+                )
+            )
+            .filter((F.length("w") > 0) & (F.length("w") <= max_word_len))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .withColumn("wlen", F.length("w").cast("int"))
+        )
+        occ = _word_spans(words, max_piece_len)
+    seed_counts = occ.groupBy("piece").agg(
+        F.sum("freq").cast("long").alias("n")
+    )
+    chars = seed_counts.filter(F.length("piece") == 1)
+    multi = (
+        seed_counts.filter(
+            (F.length("piece") > 1) & (F.col("n") >= min_count)
+        )
+        .orderBy(F.desc("n"), "piece")
+        .limit(seed_cap_factor * vocab_size)
+    )
+    return chars.unionByName(multi).localCheckpoint(eager=True)
 
 
 def unigram_lm_train(
@@ -685,18 +752,12 @@ def unigram_lm_train(
         .localCheckpoint(eager=True)
     )
     occ = _word_spans(words, max_piece_len)
-    seed_counts = occ.groupBy("piece").agg(
-        F.sum("freq").cast("long").alias("n")
+    pieces = unigram_seed_pieces(
+        vocab_size=vocab_size,
+        min_count=min_count,
+        seed_cap_factor=seed_cap_factor,
+        occ=occ,
     )
-    chars = seed_counts.filter(F.length("piece") == 1)
-    multi = (
-        seed_counts.filter(
-            (F.length("piece") > 1) & (F.col("n") >= min_count)
-        )
-        .orderBy(F.desc("n"), "piece")
-        .limit(seed_cap_factor * vocab_size)
-    )
-    pieces = chars.unionByName(multi).localCheckpoint(eager=True)
 
     for _ in range(n_rounds):
         best = _viterbi_best(

@@ -498,8 +498,14 @@ def test_gopher_gate_is_one_native_projection(spark, sf_dir):
 
 def test_minhash_cap_window_is_bucket_partitioned(spark, sf_dir):
     # the occupancy cap's window must partition by bucket, never run
-    # on a single partition
-    plan = _plan(_q(spark, sf_dir, "dedup_minhash_lsh"))
+    # on a single partition (the registry query runs uncapped for
+    # oracle-equality under adversarial regenerated data, so the pin
+    # targets the capped DEFAULT operator path directly)
+    from pdf_to_vectordb_etl_spark.operators import dedup
+    from tests.conftest import load
+
+    docs = load(spark, sf_dir, "documents").limit(100)
+    plan = _plan(dedup.minhash_dedup_pairs(docs, threshold=0.5))
     assert "Window" in plan
     assert "No Partition Defined" not in plan
 

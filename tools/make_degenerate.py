@@ -107,12 +107,16 @@ def main() -> None:
                 "every mirror of the site please read carefully")
     texts += [template] * 48
     ids += [100 + i for i in range(48)]
+    # one NULL text row: regexp/split kernels must treat it as empty,
+    # not poison whole-row outputs to NULL (the gopher-gate lesson)
+    texts += [None]
+    ids += [99]
     w("documents", pa.table({
         "doc_id": pa.array(ids, pa.int64()),
         "text": texts,
         "lang": ["en"] * len(texts),
         "source": ["src0"] * len(texts),
-        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        "n_chars": pa.array([len(t) if t is not None else 0 for t in texts], pa.int64()),
     }))
     # constant + zero vectors (cosine with a zero vector!)
     vecs = [[0.0] * 64, [1.0] * 64, [1.0] * 64]
