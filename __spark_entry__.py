@@ -10596,7 +10596,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id, epoch_us(ts) // 86400000000 AS bucket, value
               FROM events),
             b AS (
-              SELECT user_id, bucket, round(avg(value), 4) AS v
+              SELECT user_id, bucket, floor(avg(value) * 10000) / 10000 AS v
               FROM e GROUP BY user_id, bucket),
             span AS (
               SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
@@ -12586,7 +12586,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id, epoch_us(ts) // 21600000000 AS bucket, value
               FROM events),
             b AS (
-              SELECT user_id, bucket, round(avg(value), 4) AS v
+              SELECT user_id, bucket, floor(avg(value) * 10000) / 10000 AS v
               FROM e GROUP BY user_id, bucket),
             span AS (
               SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
@@ -12694,9 +12694,12 @@ def oracle_sql() -> dict[str, str]:
         "nation_trade_volume": """
             SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
                    year(o_orderdate) AS trade_year,
-                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                     * (1 - CAST(l_discount AS DECIMAL(18,2))))
-                     AS DOUBLE), 2) AS revenue,
+                   -- round the EXACT decimal sum, THEN cast: the
+                   -- double-cast-first order lands 1 ulp under .xx5
+                   -- and rounds down (bit at sf0.1: 9090148.155)
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                     AS DOUBLE) AS revenue,
                    count(*) AS n_lines
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey

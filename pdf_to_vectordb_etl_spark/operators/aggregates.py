@@ -221,15 +221,20 @@ def resample_locf(
     aggregates back on (key, bucket) -> one LOCF window. Grid size is
     span/step per key — choose ``step`` so that's bounded; total work
     is O(events + grid), never O(events x grid). The per-bucket value
-    rounds BEFORE the fill so carried values are bit-identical to their
-    source bucket (engine-portable).
+    FLOOR-quantizes BEFORE the fill so carried values are bit-identical
+    to their source bucket in any engine (engine round() splits within
+    1 ulp of a .5 boundary — bit this query at sf0.1: an avg landing on
+    56.35625 rounded .3562 in one engine and .3563 in the other).
     """
     # integer `div`, not double /: exact bucketing for epoch-scale longs
+    q = 10 ** round_dp
     b = (
         df.select(F.col(by), F.expr(f"`{time_col}` div {int(step)}").alias("bucket"),
                   F.col(value_col))
         .groupBy(by, "bucket")
-        .agg(F.round(getattr(F, agg)(value_col), round_dp).alias("_v"))
+        .agg(
+            (F.floor(getattr(F, agg)(value_col) * q) / q).alias("_v")
+        )
     )
     span = b.groupBy(by).agg(
         F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")
