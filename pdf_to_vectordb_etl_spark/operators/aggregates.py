@@ -377,10 +377,13 @@ def resample_interpolate(
     last-non-null carrying (prev bucket, prev value) and a forward
     first-non-null carrying (next bucket, next value). Both windows
     share the per-key partitioning; interpolation itself is a narrow
-    projection. Observed buckets round BEFORE interpolation so both
-    anchors are engine-portable bit-exact."""
+    projection. Observed buckets FLOOR-quantize BEFORE interpolation so
+    both anchors are engine-portable bit-exact (the resample_locf
+    convention: engine round() splits within 1 ulp of a .5 boundary —
+    avg summation order differs across engines)."""
     from pyspark.sql import Window
 
+    q = 10 ** round_dp
     b = (
         df.select(
             F.col(by),
@@ -388,7 +391,7 @@ def resample_interpolate(
             F.col(value_col),
         )
         .groupBy(by, "bucket")
-        .agg(F.round(getattr(F, agg)(value_col), round_dp).alias("_v"))
+        .agg((F.floor(getattr(F, agg)(value_col) * q) / q).alias("_v"))
     )
     span = b.groupBy(by).agg(
         F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")
