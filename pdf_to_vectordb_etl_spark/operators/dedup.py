@@ -316,6 +316,7 @@ def _band_candidates(
     n_hashes: int,
     bands: int,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    flag_capped: bool = False,
 ) -> DataFrame:
     """Candidate pairs from the banded self-join, with bounded fan-out.
 
@@ -331,7 +332,12 @@ def _band_candidates(
     connected-components clustering reconnects the full cluster — the
     final dedup decision is unchanged while stage output stays linear.
     ``lsh_bucket_stats`` reports how many buckets took the capped path
-    (no silent caps). ``max_bucket_size=None`` disables the cap."""
+    (no silent caps). ``max_bucket_size=None`` disables the cap.
+    ``flag_capped=True`` adds a ``from_capped_bucket`` boolean — True
+    for pairs that exist ONLY via an oversized bucket's star (i.e.
+    their mutual links went through the anchor), so downstream
+    consumers can re-verify hot buckets instead of trusting the
+    anchor-transitivity argument (ADVICE r6)."""
     banded = _band_table(sig, n_hashes, bands)
     if max_bucket_size is not None:
         w = Window.partitionBy("bucket")
@@ -355,9 +361,19 @@ def _band_candidates(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
+    if not flag_capped:
+        if star is not None:
+            pairs = pairs.unionByName(star)
+        return pairs.distinct()
+    pairs = pairs.withColumn("from_capped_bucket", F.lit(False))
     if star is not None:
-        pairs = pairs.unionByName(star)
-    return pairs.distinct()
+        pairs = pairs.unionByName(
+            star.withColumn("from_capped_bucket", F.lit(True))
+        )
+    # a pair seen via any small bucket is NOT capped-only -> min(False)
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.min("from_capped_bucket").alias("from_capped_bucket")
+    )
 
 
 def lsh_band_plan(
@@ -418,6 +434,42 @@ def lsh_bucket_stats(
     )
 
 
+def _exact_set_groups(ex: DataFrame) -> DataFrame:
+    """(id, _fp, _rep, n_sh) per doc with >=1 shingle: docs whose
+    DISTINCT shingle-hash sets are identical share a fingerprint
+    (xxhash64 of the sorted hash array) and collapse to the group's
+    min-id representative. Identical shingle sets are exactly what the
+    DuckDB oracle can recompute (sorted shingle-string lists), so a
+    collapse keyed on them is cross-engine replayable — unlike band
+    buckets, which live inside the JVM's xxhash64."""
+    fpt = ex.groupBy("id").agg(
+        F.xxhash64(F.sort_array(F.collect_set("h"))).alias("_fp"),
+        F.count("*").alias("n_sh"),
+    )
+    grp = fpt.groupBy("_fp").agg(F.min("id").alias("_rep"))
+    return fpt.join(grp, "_fp")
+
+
+def exact_set_representatives(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Rows of ``df`` that are the min-id representative of their
+    distinct word-shingle SET (docs with zero shingles are dropped —
+    they can never pair). The corpus-side pre-collapse the streaming
+    near-dup screen shares with ``collapse_exact=True`` batch paths:
+    build the persisted band table from this frame and a million-copy
+    boilerplate template is ONE row in it."""
+    ex = _shingle_hashes(df, text_col, id_col, shingle_n)
+    members = _exact_set_groups(ex)
+    rep_ids = members.filter(F.col("id") == F.col("_rep")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(rep_ids, id_col)
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     threshold: float = 0.8,
@@ -427,21 +479,57 @@ def minhash_dedup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    collapse_exact: bool = False,
+    flag_capped: bool = False,
 ) -> DataFrame:
     """MinHash LSH candidates verified by exact Jaccard on shingle-hash
     sets. The verify step joins the (small) candidate set against the
     exploded shingle table twice and counts intersections — it touches
     O(candidate docs), not O(n^2).
 
+    ``flag_capped=True`` appends a ``from_capped_bucket`` boolean:
+    True marks pairs whose only band-bucket route was an oversized
+    bucket's min-id star (exact-duplicate star pairs from
+    ``collapse_exact`` are False — they are verified by construction),
+    so downstream consumers can audit or re-verify hot buckets
+    (ADVICE r6).
+
+    ``collapse_exact=True`` first collapses docs with IDENTICAL
+    distinct-shingle sets to their min-id representative: each non-rep
+    member is emitted directly as a (rep, member, jaccard=1.0) star
+    pair and only representatives enter the banding. This changes the
+    emitted pair SET (members of one exact group no longer pair with
+    each other or with external docs — their rep carries those edges;
+    the transitive closure, i.e. the dedup decision, is unchanged) but
+    it removes the boilerplate-template hot-bucket hazard at its
+    source: a million verbatim copies become ONE banded row, so the
+    occupancy cap below is defense-in-depth instead of the only line.
+    Unlike the occupancy cap, the collapsed output is a deterministic
+    pure function of the shingle sets — exactly replayable in ANSI SQL.
+
     The exploded (id, h) table feeds both the signature build and the
     verify join, so it is persisted (memory-and-disk, spill-safe) for
     the lifetime of the returned plan instead of being re-derived from
-    text twice."""
+    text twice. Callers that loop over ingests should unpersist the
+    returned frame's lineage (``spark.catalog.clearCache()`` or hold
+    and unpersist the input) once consumed."""
     from pyspark import StorageLevel
 
     ex = _shingle_hashes(df, text_col, id_col, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    star = None
+    if collapse_exact:
+        members = _exact_set_groups(ex).persist(StorageLevel.MEMORY_AND_DISK)
+        star = members.filter(F.col("id") != F.col("_rep")).select(
+            F.col("_rep").alias("id_a"),
+            F.col("id").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+        if flag_capped:
+            star = star.withColumn("from_capped_bucket", F.lit(False))
+        rep_ids = members.filter(F.col("id") == F.col("_rep")).select("id")
+        ex = ex.join(rep_ids, "id").persist(StorageLevel.MEMORY_AND_DISK)
     # fold the per-doc shingle count into the signature aggregation:
     # one groupBy over the exploded table instead of two (the count
     # side would otherwise re-shuffle all (id, h) rows)
@@ -453,25 +541,32 @@ def minhash_dedup_pairs(
     sig = ex.groupBy("id").agg(*mins, F.count("*").alias("n_sh")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    cands = _band_candidates(sig.drop("n_sh"), n_hashes, bands, max_bucket_size)
+    cands = _band_candidates(
+        sig.drop("n_sh"), n_hashes, bands, max_bucket_size, flag_capped
+    )
     counts = sig.select("id", "n_sh")
+    keys = ["id_a", "id_b"] + (["from_capped_bucket"] if flag_capped else [])
+    out_cols = ["id_a", "id_b", "jaccard"] + (
+        ["from_capped_bucket"] if flag_capped else []
+    )
     # count common shingle hashes per candidate pair
     pa = cands.join(ex.select(F.col("id").alias("id_a"), "h"), "id_a")
     common = (
         pa.join(ex.select(F.col("id").alias("id_b"), "h"), ["id_b", "h"])
-        .groupBy("id_a", "id_b")
+        .groupBy(*keys)
         .agg(F.count("*").alias("n_common"))
     )
     na = counts.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
     nb = counts.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    return (
+    verified = (
         common.join(na, "id_a")
         .join(nb, "id_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select(*out_cols)
     )
+    return verified if star is None else verified.unionByName(star)
 
 
 # ------------------------------------------- incremental (new batch vs corpus)
@@ -542,7 +637,14 @@ def incremental_exact_dedup_bloom(
     a digest table bucketed on ``digest`` (``sinks.write_bucketed``)
     and the residual anti-join is shuffle-free on the corpus side too.
     The bitset is a pure function of the corpus — persist it alongside
-    the digests and rebuilding costs nothing per ingest."""
+    the digests and rebuilding costs nothing per ingest.
+
+    Lifecycle note: the returned plan holds a MEMORY_AND_DISK persist
+    (the screened batch) and an eager localCheckpoint (the bitset).
+    A long-lived session looping over ingests should release them once
+    each batch is consumed — ``spark.catalog.clearCache()`` between
+    ingests, or checkpoint the consumed output and cut the lineage —
+    or cached blocks/checkpoint files accumulate per call."""
     from pyspark import StorageLevel
 
     from .sketch import bloom_build, bloom_screen
@@ -585,6 +687,7 @@ def incremental_minhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """Near-dup pairs between a NEW batch and the EXISTING corpus only
     — ``(new_id, corpus_id, jaccard >= threshold)``. No corpus×corpus
@@ -607,7 +710,17 @@ def incremental_minhash_pairs(
     exceeds ``max_bucket_size`` therefore pair each new row with that
     bucket's min-id corpus anchor only — each new doc is still flagged
     as a near-dup of the corpus (what an ingest screen decides), while
-    per-bucket output stays O(|new in bucket|), never O(|new|·m)."""
+    per-bucket output stays O(|new in bucket|), never O(|new|·m).
+
+    ``collapse_exact=True`` collapses CORPUS docs with identical
+    distinct-shingle sets to their min-id representative before
+    banding (new docs are never collapsed — every new doc must be
+    flagged). Jaccard(new, rep) == Jaccard(new, any member), so the
+    emitted (new_id, rep_id, jaccard) rows carry the same admit/reject
+    decision while a million-copy corpus template becomes ONE banded
+    row — and, unlike the occupancy cap, the collapsed output is a
+    deterministic pure function of the shingle sets, exactly
+    replayable in ANSI SQL."""
     from pyspark import StorageLevel
 
     ex_new = _shingle_hashes(new, text_col, id_col, shingle_n).persist(
@@ -616,6 +729,12 @@ def incremental_minhash_pairs(
     ex_old = _shingle_hashes(corpus, text_col, id_col, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    if collapse_exact:
+        members = _exact_set_groups(ex_old)
+        rep_ids = members.filter(F.col("id") == F.col("_rep")).select("id")
+        ex_old = ex_old.join(rep_ids, "id").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     mins = [
         F.min(F.xxhash64("h", F.lit(i))).alias(f"h{i}") for i in range(n_hashes)
     ]

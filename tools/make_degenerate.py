@@ -111,6 +111,33 @@ def main() -> None:
     # not poison whole-row outputs to NULL (the gopher-gate lesson)
     texts += [None]
     ids += [99]
+    # CRLF + lone-CR text: Java's (?m)$ matches before \r\n, RE2's only
+    # before \n — line-anchored gopher counters must canonicalize line
+    # endings on BOTH sides or bullet/ellipsis fractions split (r6
+    # ADVICE). Bullet lines and a trailing-ellipsis line included so
+    # the counters are nonzero.
+    texts += ["- first bullet\r\n- second bullet\r\nplain line...\r\n"
+              "the be to of and that have with\rlone carriage return"]
+    ids += [98]
+    # PII-dense doc (emails/IP/phone/SSN/card) so the pii_* oracles
+    # exercise every detector; its second line is also a boilerplate
+    # line shared with the hot template below (strip interplay).
+    texts += ["reach admin@example.com or x.y+z@sub.ex-ample.org now\n"
+              "cookie consent banner we use cookies to improve your\n"
+              "host 192.168.0.1 phone +1 (555) 123-4567 ssn 123-45-6789 "
+              "card 4111 1111 1111 1111 ver v1.2.3.4a pi 3.14159"]
+    ids += [97]
+    # HOT template: 560 verbatim copies — ABOVE the LSH
+    # DEFAULT_MAX_BUCKET_SIZE=512 cap. The graded minhash queries run
+    # collapse_exact=True, so this group must fold to ONE banded row
+    # (star pairs replayed exactly by the DuckDB oracle) instead of a
+    # 560-occupancy bucket; uncollapsed library paths hit the star-
+    # routing cap, pinned by the scale-hardening pytests. ids start at
+    # 1000 to stay outside the suffix-family doc_id < 100 caps.
+    hot = ("cookie consent banner we use cookies to improve your "
+           "experience accept all manage preferences reject optional")
+    texts += [hot] * 560
+    ids += [1000 + i for i in range(560)]
     w("documents", pa.table({
         "doc_id": pa.array(ids, pa.int64()),
         "text": texts,
