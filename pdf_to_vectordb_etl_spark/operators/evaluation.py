@@ -1841,6 +1841,13 @@ def ks_two_sample(
     exact-integer-rank design as Mann-Whitney/Spearman (valid while
     n1·n2 < 2^63, i.e. to ~3e9 rows per arm).
 
+    Tighter CROSS-ENGINE bound on the quantized outputs: d_q6 divides
+    the exact integer d_num by n1·n2 in DOUBLE, so once d_num exceeds
+    2^53 (~9e15 pairs — n1≈n2≈10^8) the long→double conversion itself
+    rounds and an oracle that converts in a different order can land
+    1 ulp away at the floor grid. d_num stays exact far beyond that;
+    only the q6 floors carry the 2^53 caveat.
+
     Distributed shape: one hash agg collapses the corpus to per-
     distinct-value arm counts (vocabulary-sized), then ONE
     ``global_prefix_sum`` pass (range partition + broadcast offsets —

@@ -150,8 +150,16 @@ def gopher_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     how many of the 8 required stopwords appear. Ratios are 6-dp
     floor-quantized; all are 0.0 on empty docs (guarded divisions).
     NULL text counts as empty — regexp_count(NULL) would otherwise
-    poison every feature to NULL while a SQL CASE chain yields 0s."""
+    poison every feature to NULL while a SQL CASE chain yields 0s.
+
+    Line endings are canonicalized to \\n first (\\r\\n and lone \\r):
+    Java's (?m)$ matches before \\r\\n but RE2's only before \\n, so the
+    line-anchored bullet/ellipsis counters would diverge cross-engine
+    on CRLF text otherwise; canonicalizing is token-count-neutral (\\r
+    and \\n are both whitespace) and makes lone-\\r line breaks count as
+    lines in both engines."""
     t = F.coalesce(_c(text_col), F.lit(""))
+    t = F.regexp_replace(t, "\r\n?", "\n")
     n_words = token_count(t)
     # total non-whitespace chars: mean word length without re-splitting
     n_word_chars = F.length(F.regexp_replace(t, r"\s", ""))
@@ -338,7 +346,12 @@ def kneser_ney_scores(
     bigram is then in-model); for out-of-model scoring, unseen
     (w1, w2) pairs back off to λ(w1)·Pcont(w2), unseen histories to
     Pcont(w2), and everything floors at 1e-9 so ln stays finite.
-    Returns (doc_id, kn_score, n_bigrams)."""
+    Returns (doc_id, kn_score, n_bigrams).
+
+    Lifecycle note: the bigram-count table is an eager localCheckpoint
+    (4 consumers); sessions scoring many corpora in a loop should cut
+    lineage on the consumed output or the per-call checkpoint files
+    accumulate until the session exits."""
     from pyspark.sql import Window
 
     def bigrams(frame: DataFrame) -> DataFrame:
