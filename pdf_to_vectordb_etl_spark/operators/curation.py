@@ -141,6 +141,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     salt: str = "epoch0",
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Token-stream sequence packing (GPT-style): documents are
     concatenated in the deterministic shard order and the stream is cut
@@ -153,7 +154,11 @@ def pack_sequences(
     shuffle, parallel across shards) then integer division; no
     recurrence, no Python, so it scales like any windowed aggregate.
     Zero-token documents are dropped (they contribute nothing to the
-    stream)."""
+    stream).
+
+    ``n_tokens_col`` names a precomputed per-doc token-count column
+    (e.g. ``unigram_lm_encode``'s n_tokens — what a real export packs
+    on); default derives whitespace token counts from ``text_col``."""
     from ..operators.textanalysis import token_count
 
     h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
@@ -161,10 +166,15 @@ def pack_sequences(
         (F.ascii(F.substring(h, 1, 1)) * 16 + F.ascii(F.substring(h, 2, 1)))
         % n_shards
     ).cast("int")
+    toks = (
+        F.col(n_tokens_col).cast("long")
+        if n_tokens_col
+        else token_count(F.col(text_col))
+    )
     base = (
         df.select(
             F.col(id_col),
-            token_count(F.col(text_col)).alias("n_tokens"),
+            toks.alias("n_tokens"),
             h.alias("_h"),
             shard.alias("shard"),
         )

@@ -262,6 +262,7 @@ def write_sharded_with_manifest(
     id_col: str = "doc_id",
     text_col: str = "text",
     salt: str = "epoch0",
+    n_tokens_col: str | None = None,
 ):
     """Training-export sink: write the corpus as hive-partitioned shards
     (``shard=K/``) in the deterministic md5 order, plus a single-file
@@ -275,6 +276,10 @@ def write_sharded_with_manifest(
     before touching the data. Everything is one job over the curated
     frame + one tiny aggregate; the manifest is coalesced to one file
     because it is KB-sized metadata, not data.
+
+    ``n_tokens_col`` names a precomputed per-doc token-count column
+    (tokenizer tokens — what a training loader schedules on); default
+    counts whitespace tokens from ``text_col``.
     """
     from pyspark.sql import functions as F
 
@@ -288,10 +293,14 @@ def write_sharded_with_manifest(
         .partitionBy("shard")
         .parquet(path)
     )
-    tok = F.size(
-        F.filter(
-            F.split(F.lower(F.col(text_col)), r"\s+"),
-            lambda t: F.length(t) > 0,
+    tok = (
+        F.col(n_tokens_col).cast("long")
+        if n_tokens_col
+        else F.size(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda t: F.length(t) > 0,
+            )
         )
     )
     manifest = (
