@@ -244,9 +244,13 @@ def q_x7_subn_count(spark, sf):
 def q_x17_multiline_scrub(spark, sf):
     """X17/F7 — multiline-anchored scrub: blank out lines longer than 4
     chars (the reference's answer-key line filter,
-    enem_pdf_extractor.py:963-964), applied to a derived 3-line text."""
+    enem_pdf_extractor.py:963-964), applied to a derived 3-line text.
+    Line endings are canonicalized first: Java's `.` excludes \\r but
+    RE2's matches it (and (?m)$ anchors differ the same way), so any
+    \\r reaching the scrub splits the engines (degenerate CRLF row)."""
     docs = _t(spark, sf, "documents").withColumn(
-        "text", F.coalesce("text", F.lit(""))
+        "text",
+        F.regexp_replace(F.coalesce("text", F.lit("")), "\r\n?", "\n"),
     )
     three = F.concat_ws(
         "\n",
@@ -905,20 +909,20 @@ def q_dedup_drop(spark, sf):
 
 
 def q_dedup_minhash_lsh(spark, sf):
-    """MinHash(32) + LSH(8 bands) near-dup pairs, verified by exact
-    Jaccard >= 0.5. Oracle = DuckDB exact-Jaccard pair set: since the
-    emitted set is candidates ∩ exact, equality == "LSH recall is 1.0
-    on this corpus", which holds deterministically (seeded xxhash64;
-    planted near-dups sit at j >= 0.8 where band catch probability
-    is ~1)."""
+    """MinHash(32) + LSH(8 bands) near-dup pairs with exact-duplicate
+    pre-collapse, verified by exact Jaccard >= 0.5. Docs with identical
+    distinct-shingle sets collapse to their min-id rep (emitted as
+    (rep, member, 1.0) star pairs); only reps are banded, so a
+    regenerated corpus shipping a million-copy boilerplate template is
+    ONE banded row and the 512 occupancy cap stays on as pure
+    defense-in-depth — this graded plan IS the 100-TB plan. Oracle =
+    DuckDB star pairs per identical-shingle-set group + exact-Jaccard
+    pairs between the (SQL-recomputable) representatives; equality on
+    the rep-rep slice == "LSH recall is 1.0 among reps", deterministic
+    here (seeded xxhash64; planted near-dups sit at j >= 0.8 where the
+    8-band catch probability is ~1)."""
     docs = _t(spark, sf, "documents")
-    # max_bucket_size=None: this is a CORRECTNESS query graded against
-    # the full exact-Jaccard oracle — if a regenerated corpus ever
-    # ships a >512-copy template, uncapped is slow-but-right while the
-    # capped star set would hash-mismatch. Production callers keep the
-    # capped default; the cap itself is pinned by the scale-hardening
-    # pytests on 10k-copy frames.
-    out = dedup.minhash_dedup_pairs(docs, threshold=0.5, max_bucket_size=None)
+    out = dedup.minhash_dedup_pairs(docs, threshold=0.5, collapse_exact=True)
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
@@ -952,15 +956,18 @@ def q_dedup_incremental_bloom(spark, sf):
 
 def q_dedup_incremental_minhash(spark, sf):
     """Cross-corpus near-dup screen: MinHash(32)+LSH(8) pairs between
-    the new half and the corpus half, verified by exact Jaccard >= 0.5.
-    Oracle = DuckDB exact new×corpus Jaccard pair set (recall-1.0 on
-    this corpus for the same reason as dedup_minhash_lsh)."""
+    the new half and the corpus half with corpus-side exact-duplicate
+    pre-collapse, verified by exact Jaccard >= 0.5. Corpus docs with
+    identical shingle sets band as ONE min-id representative (every
+    new doc is still flagged; Jaccard vs the rep == Jaccard vs any
+    member), so the 512 occupancy cap stays on as defense-in-depth.
+    Oracle = DuckDB exact new×corpus-representative Jaccard pair set
+    (recall-1.0 among reps for the same reason as dedup_minhash_lsh)."""
     docs = _t(spark, sf, "documents")
     h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-    # uncapped for the same oracle-equality reason as dedup_minhash_lsh
     out = dedup.incremental_minhash_pairs(
         docs.filter(h >= "8"), docs.filter(h < "8"), threshold=0.5,
-        max_bucket_size=None,
+        collapse_exact=True,
     )
     return out.select(
         "new_id", "corpus_id", F.round("jaccard", 4).alias("jaccard")
@@ -1896,6 +1903,63 @@ def q_curation_pack_sequences(spark, sf):
     return curation.pack_sequences(docs, budget=256, n_shards=4, salt="epoch0")
 
 
+def q_training_export_report(spark, sf):
+    """Flagship #2 — the training-data EXPORT composition
+    (plans.export): ascii-project -> exact dedup -> word-count floor ->
+    leakage split (md5 < '1a' holdout) -> unigram-LM tokenize (seed
+    pieces from the TRAIN split only — the oracle-tractable path; the
+    production default runs hard-EM) -> budget-256 sequence packing on
+    TOKENIZER counts. One accounting report: (stage, split, n_docs,
+    n_tokens, n_seqs) with token CONSERVATION across encode/pack pinned
+    by tests/test_export_plan.py. Oracle replays every stage: dedup
+    row_number, the recursive-CTE Viterbi DP (unigram_lm_encode
+    template scoped to train-split seeds), and ceil-division packing
+    totals."""
+    from pdf_to_vectordb_etl_spark.plans.export import export_training_data
+
+    docs = _t(spark, sf, "documents")
+    report, _, _ = export_training_data(docs, train_pieces_with_em=False)
+    return report.select("stage", "split", "n_docs", "n_tokens", "n_seqs")
+
+
+def q_pii_report(spark, sf):
+    """Per-source PII audit (RefinedWeb/C4-class scrub telemetry): doc
+    counts, docs containing any PII, and total matches per detector
+    (email/ipv4/phone/ssn/card — RE2-safe patterns, replayed
+    value-for-value). One narrow regexp_count projection + one hash
+    agg; scan-throughput at 100 TB."""
+    from pdf_to_vectordb_etl_spark.operators import cleaning
+
+    docs = _t(spark, sf, "documents")
+    return cleaning.pii_report(docs, by="source")
+
+
+def q_boilerplate_lines(spark, sf):
+    """Boilerplate line inventory: trimmed lines >= 10 chars occurring
+    in >= 3 DISTINCT documents (cookie banners, footers) with document
+    counts — the persisted artifact the strip pass consumes. Explode ->
+    per-doc distinct -> one hash agg."""
+    from pdf_to_vectordb_etl_spark.operators import cleaning
+
+    docs = _t(spark, sf, "documents")
+    return cleaning.frequent_lines(docs, min_docs=3, min_chars=10)
+
+
+def q_strip_boilerplate(spark, sf):
+    """Boilerplate line removal end-to-end: inventory -> strip ->
+    re-assembled documents in original line order plus per-doc dropped
+    counts (every input doc survives; all-boilerplate docs come back
+    empty). The inventory is checkpointed — two consumers (the r5
+    blocklist lesson)."""
+    from pdf_to_vectordb_etl_spark.operators import cleaning
+
+    docs = _t(spark, sf, "documents")
+    fl = cleaning.frequent_lines(docs, min_docs=3, min_chars=10)
+    fl = fl.localCheckpoint(eager=True)
+    out = cleaning.strip_boilerplate_lines(docs, fl)
+    return out.select("doc_id", "text", "n_lines_dropped")
+
+
 def q_curation_quality_filter(spark, sf):
     """Relative quality filter: keep docs at/above their language's
     p25 quality score (per-group exact percentile cutoffs)."""
@@ -2827,13 +2891,16 @@ def q_t17_stream_gram_hist(spark, sf):
 
 def q_t19_stream_minhash_screen(spark, sf):
     """T19 — the live near-dup ingest gate: the corpus half
-    (md5-bucket < '8') participates as its persisted band table; the
-    new half streams in and is banded PER-ROW (stateless — no
-    aggregation-before-join), band-joined against the static table,
-    verified by per-row exact Jaccard on shingle-hash arrays, and
-    pair-deduped by one bounded streaming agg. Snapshot hash-matches
-    the batch incremental screen, so the oracle is the same DuckDB
-    exact new×corpus Jaccard set as dedup_incremental_minhash."""
+    (md5-bucket < '8') participates as its persisted band table, built
+    from its exact-shingle-set REPRESENTATIVES only (the same corpus
+    pre-collapse as the batch screen's collapse_exact=True — a
+    boilerplate template is one band-table row); the new half streams
+    in and is banded PER-ROW (stateless — no aggregation-before-join),
+    band-joined against the static table, verified by per-row exact
+    Jaccard on shingle-hash arrays, and pair-deduped by one bounded
+    streaming agg. Snapshot hash-matches the batch incremental screen,
+    so the oracle is the same DuckDB exact new×corpus-rep Jaccard set
+    as dedup_incremental_minhash."""
     import tempfile
 
     from pdf_to_vectordb_etl_spark.streaming.pipeline import (
@@ -2843,7 +2910,9 @@ def q_t19_stream_minhash_screen(spark, sf):
 
     docs = _t(spark, sf, "documents")
     h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-    bands = minhash_band_table(docs.filter(h < "8"))
+    bands = minhash_band_table(
+        dedup.exact_set_representatives(docs.filter(h < "8"))
+    )
     raw_schema = spark.read.parquet(f"{sf}/documents.parquet").schema
     stream = (
         spark.readStream.schema(raw_schema)
@@ -2865,6 +2934,46 @@ def q_t19_stream_minhash_screen(spark, sf):
     )
     q.awaitTermination(300)
     return spark.table(name).select("new_id", "corpus_id", "jaccard")
+
+
+def q_t30_stream_bloom_dedup(spark, sf):
+    """T30 — the live Bloom-screened exact-dedup ingest gate: the
+    corpus half (md5-bucket < '8') participates as its persisted
+    digest table folded to a broadcast bitset; the new half streams in,
+    each micro-batch is screened with ZERO batch-side shuffle
+    (definite misses bypass the anti-join), residual-anti-joined,
+    min-id deduped, and appended via foreachBatch with its digests
+    persisted so later batches never re-admit. Admitted set
+    hash-matches the batch incremental screen, so the oracle is the
+    same SQL as dedup_incremental_exact (the Bloom screen has no false
+    negatives)."""
+    import tempfile
+
+    from pdf_to_vectordb_etl_spark.streaming.pipeline import (
+        stream_bloom_dedup_ingest,
+    )
+
+    docs = _t(spark, sf, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    corpus = dedup.content_digests(docs.filter(h < "8"))
+    raw_schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+    )
+    out = tempfile.mkdtemp(prefix="t30out")
+    q = stream_bloom_dedup_ingest(
+        stream.filter(h >= "8"),
+        corpus,
+        out,
+        tempfile.mkdtemp(prefix="t30ckpt"),
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(f"{out}/data").select(
+        "doc_id", "lang", "source"
+    )
 
 
 def q_t20_stream_ivf_drift(spark, sf):
@@ -4096,7 +4205,9 @@ def _curation_pipeline_oracle_sql() -> str:
                   + CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END
                   + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END)
                    AS stop_hits
-          FROM corpus),
+          FROM (SELECT * REPLACE (regexp_replace(
+                  text, '\r\n?', chr(10), 'g') AS text)
+                FROM corpus) corpus),
         gq AS (
           SELECT doc_id, n_words, stop_hits,
                  floor((CASE WHEN n_words > 0
@@ -7836,6 +7947,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_bench": q_contamination_bench,
         "t28_stream_contamination": q_t28_stream_contamination,
         "curation_pack_sequences": q_curation_pack_sequences,
+        "training_export_report": q_training_export_report,
+        "pii_report": q_pii_report,
+        "boilerplate_lines": q_boilerplate_lines,
+        "strip_boilerplate": q_strip_boilerplate,
         "curation_quality_filter": q_curation_quality_filter,
         "curation_mixture_plan": q_curation_mixture_plan,
         "kmeans_centroids": q_kmeans_centroids,
@@ -8013,6 +8128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t16_stream_psi": q_t16_stream_psi,
         "t17_stream_gram_hist": q_t17_stream_gram_hist,
         "t19_stream_minhash_screen": q_t19_stream_minhash_screen,
+        "t30_stream_bloom_dedup": q_t30_stream_bloom_dedup,
         "t20_stream_ivf_drift": q_t20_stream_ivf_drift,
         "adaboost_stumps": q_adaboost_stumps,
         "bleu_rouge": q_bleu_rouge,
@@ -8972,24 +9088,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.5
         """,
         # Exact-Jaccard ground truth for the LSH path: the emitted set
-        # is {LSH candidates} ∩ {exact Jaccard >= 0.5}, so equality with
-        # the exact pair set holds iff banded MinHash(32/8) recalls
-        # every >=0.5 pair. On the fixed test corpora (near-dup planted
-        # pairs sit at j >= 0.8, where the 8-band catch probability is
-        # ~0.99+ per band set) recall is exactly 1.0, and MinHash is
-        # fully deterministic (seeded xxhash64) — so this is a stable
-        # equality oracle, not a flaky probabilistic one.
+        # is {LSH candidates} ∩ {exact Jaccard >= 0.5} computed over
+        # exact-shingle-set-collapsed docs: groups with identical
+        # distinct-shingle sets (SQL-recomputable — list_sort of the
+        # shingle list is the group key) emit (min-id rep, member, 1.0)
+        # star pairs and only reps enter the pair join. Equality on the
+        # rep-rep slice holds iff banded MinHash(32/8) recalls every
+        # >=0.5 rep pair — true on the fixed corpora (planted pairs sit
+        # at j >= 0.8, 8-band catch probability ~0.99+) and fully
+        # deterministic (seeded xxhash64), so this is a stable equality
+        # oracle, not a flaky probabilistic one.
         "dedup_minhash_lsh": f"""
             WITH sh AS (
               SELECT doc_id, {_SHINGLES} AS shingles
               FROM (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents)),
-            ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+            fp AS (
+              SELECT doc_id, list_sort(shingles) AS skey
+              FROM sh WHERE len(shingles) > 0),
+            grp AS (SELECT skey, min(doc_id) AS rep FROM fp GROUP BY skey),
+            member AS (
+              SELECT f.doc_id, g.rep FROM fp f JOIN grp g ON f.skey = g.skey),
+            ex AS (
+              SELECT s.doc_id, unnest(s.shingles) AS sg, len(s.shingles) AS n
+              FROM sh s JOIN grp g ON s.doc_id = g.rep),
             pairs AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                      count(*) * 1.0 / (any_value(a.n) + any_value(b.n) - count(*)) AS j
-              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
             SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.5
+            UNION ALL
+            SELECT rep AS id_a, doc_id AS id_b,
+                   CAST(1.0 AS DOUBLE) AS jaccard
+            FROM member WHERE doc_id <> rep
         """,
         # Full signature recomputation: same bigram shingles, same
         # 60-bit md5 shingle hash (hex chars folded via list_reduce —
@@ -9040,9 +9171,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn = 1 AND NOT EXISTS
               (SELECT 1 FROM corpus c WHERE c.norm = r.norm)
         """,
-        # Exact new×corpus Jaccard ground truth — equality with the
-        # LSH-screened set holds by the same recall-1.0 argument as
-        # dedup_minhash_lsh (planted near-dups sit at j >= 0.8).
+        # Exact new×corpus-REPRESENTATIVE Jaccard ground truth (corpus
+        # docs with identical distinct-shingle sets collapse to their
+        # min-id rep before pairing — the collapse_exact=True corpus
+        # pre-collapse, SQL-recomputable via list_sort group keys) —
+        # equality with the LSH-screened set holds by the same
+        # recall-1.0 argument as dedup_minhash_lsh (planted near-dups
+        # sit at j >= 0.8).
         "dedup_incremental_minhash": f"""
             WITH t AS (
               SELECT *, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS hb
@@ -9051,15 +9186,21 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, hb, {_SHINGLES} AS shingles
               FROM (SELECT doc_id, hb, string_split({_NORM}, ' ') AS w
                     FROM t)),
-            ex AS (SELECT doc_id, hb, unnest(shingles) AS s,
-                          len(shingles) AS n
-                   FROM sh),
+            grp AS (
+              SELECT list_sort(shingles) AS skey, min(doc_id) AS rep
+              FROM sh WHERE hb < '8' AND len(shingles) > 0
+              GROUP BY skey),
+            ex_new AS (SELECT doc_id, unnest(shingles) AS s,
+                              len(shingles) AS n
+                       FROM sh WHERE hb >= '8'),
+            ex_old AS (SELECT s.doc_id, unnest(s.shingles) AS s2,
+                              len(s.shingles) AS n
+                       FROM sh s JOIN grp g ON s.doc_id = g.rep),
             pairs AS (
               SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
                      count(*) * 1.0
                        / (any_value(a.n) + any_value(b.n) - count(*)) AS j
-              FROM ex a JOIN ex b ON a.s = b.s
-              WHERE a.hb >= '8' AND b.hb < '8'
+              FROM ex_new a JOIN ex_old b ON a.s = b.s2
               GROUP BY 1, 2)
             SELECT new_id, corpus_id, round(j, 4) AS jaccard
             FROM pairs WHERE j >= 0.5
@@ -9380,7 +9521,8 @@ def oracle_sql() -> dict[str, str]:
                       + CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END
                       + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END)
                        AS stop_hits
-              FROM (SELECT * REPLACE (coalesce(text, '') AS text)
+              FROM (SELECT * REPLACE (regexp_replace(
+                      coalesce(text, ''), '\r\n?', chr(10), 'g') AS text)
                     FROM documents) documents),
             g AS (
               SELECT doc_id, n_words, stop_hits,
@@ -9452,7 +9594,8 @@ def oracle_sql() -> dict[str, str]:
                       + CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END
                       + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END)
                        AS stop_hits
-              FROM (SELECT * REPLACE (coalesce(text, '') AS text)
+              FROM (SELECT * REPLACE (regexp_replace(
+                      coalesce(text, ''), '\r\n?', chr(10), 'g') AS text)
                     FROM documents) documents),
             g AS (
               SELECT doc_id, source, n_words, stop_hits,
@@ -9648,7 +9791,8 @@ def oracle_sql() -> dict[str, str]:
                                   || substr(text, 10, 20) || chr(10)
                                   || substr(text, 40, 2),
                                   '(?m)^.{5,}$', '', 'g') AS scrubbed
-            FROM (SELECT * REPLACE (coalesce(text, '') AS text)
+            FROM (SELECT * REPLACE (regexp_replace(
+                      coalesce(text, ''), '\\r\\n?', chr(10), 'g') AS text)
                     FROM documents) documents
         """,
         "x10_segmentation": """
@@ -10218,6 +10362,240 @@ def oracle_sql() -> dict[str, str]:
                    CAST((cum - 1) // 256 - (cum - n_tokens) // 256 + 1 AS INT)
                      AS n_seqs_spanned
             FROM c
+        """,
+        # Flagship #2 replay: every export stage recomputed — exact
+        # dedup (min-id row_number over the normalized text), ws-count
+        # floor, md5 split, the unigram_lm_encode recursive-CTE Viterbi
+        # DP with seed pieces from the TRAIN split only, and packing
+        # totals as ceil-division per (split, md5-shard). Sums CAST to
+        # BIGINT everywhere (HUGEINT trap).
+        "training_export_report": r"""
+            WITH RECURSIVE
+            d0 AS MATERIALIZED (
+              SELECT doc_id,
+                     regexp_replace(coalesce(text, ''),
+                                    '[^\x20-\x7e]', '', 'g') AS t
+              FROM documents),
+            tok AS MATERIALIZED (
+              SELECT doc_id, t,
+                     CASE WHEN length(trim(t)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(t), '\s+')) END
+                       AS ws
+              FROM d0),
+            dd AS MATERIALIZED (
+              SELECT doc_id, t, ws FROM (
+                SELECT doc_id, t, ws,
+                       row_number() OVER (
+                         PARTITION BY
+                           lower(regexp_replace(trim(t), '\s+', ' ', 'g'))
+                         ORDER BY doc_id) AS rn
+                FROM tok) WHERE rn = 1),
+            q AS MATERIALIZED (SELECT * FROM dd WHERE ws >= 5),
+            sp AS MATERIALIZED (
+              SELECT doc_id, t, ws,
+                     CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                               < '1a'
+                          THEN 'holdout' ELSE 'train' END AS split
+              FROM q),
+            stream AS MATERIALIZED (
+              SELECT doc_id, split, w
+              FROM (SELECT doc_id, split,
+                           unnest(string_split_regex(lower(t), '\s+')) AS w
+                    FROM sp)
+              WHERE length(w) > 0),
+            w0 AS (
+              SELECT w, CAST(count(*) AS BIGINT) AS freq,
+                     CAST(length(w) AS INT) AS wlen
+              FROM stream WHERE split = 'train' AND length(w) <= 12
+              GROUP BY w),
+            occ2 AS (
+              SELECT substr(w, s.i + 1, s.j - s.i) AS piece, freq
+              FROM (SELECT w, freq, wlen,
+                           unnest(flatten(list_transform(
+                             generate_series(0, wlen - 1),
+                             i -> list_transform(
+                               generate_series(i + 1, least(i + 4, wlen)),
+                               j -> {'i': i, 'j': j})))) AS s
+                    FROM w0)),
+            sc AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS n
+                   FROM occ2 GROUP BY piece),
+            p0 AS MATERIALIZED (
+              SELECT piece FROM sc WHERE length(piece) = 1
+              UNION ALL
+              SELECT piece FROM (
+                SELECT piece, n FROM sc
+                WHERE length(piece) > 1 AND n >= 2
+                ORDER BY n DESC, piece
+                LIMIT 64)),
+            venc AS (
+              SELECT w, CAST(length(w) AS INT) AS wlen
+              FROM (SELECT DISTINCT w FROM stream)
+              WHERE length(w) <= 12),
+            eg AS MATERIALIZED (
+              SELECT o.w, any_value(o.wlen) AS wlen,
+                     list(DISTINCT {'i': o.i, 'j': o.j}) AS edges
+              FROM (SELECT w, wlen, s.i AS i, s.j AS j,
+                           substr(w, s.i + 1, s.j - s.i) AS piece
+                    FROM (SELECT w, wlen,
+                                 unnest(flatten(list_transform(
+                                   generate_series(0, wlen - 1),
+                                   i -> list_transform(
+                                     generate_series(i + 1,
+                                                     least(i + 4, wlen)),
+                                     j -> {'i': i, 'j': j})))) AS s
+                          FROM venc)) o
+              JOIN p0 p USING (piece)
+              GROUP BY o.w),
+            dp AS (
+              SELECT w, wlen, 0 AS iter,
+                     list_transform(generate_series(0, wlen),
+                       p -> CASE WHEN p = 0 THEN 0
+                                 ELSE 1048576 END) AS dp
+              FROM eg
+              UNION ALL
+              SELECT d.w, d.wlen, d.iter + 1,
+                     list_transform(generate_series(0, d.wlen),
+                       p -> CASE WHEN p = d.iter + 1
+                            THEN coalesce(list_min(list_transform(
+                                   list_filter(x.edges,
+                                     e -> e.j = d.iter + 1),
+                                   e -> d.dp[e.i + 1] + 1)), 1048576)
+                            ELSE d.dp[p + 1] END)
+              FROM dp d JOIN eg x USING (w)
+              WHERE d.iter < d.wlen),
+            wk AS MATERIALIZED (
+              SELECT w, dp[wlen + 1] AS k
+              FROM dp WHERE iter = wlen),
+            per AS MATERIALIZED (
+              SELECT s.doc_id, any_value(s.split) AS split,
+                     CAST(sum(CASE WHEN k IS NOT NULL AND k < 1048576
+                              THEN k ELSE 0 END) AS BIGINT) AS lm
+              FROM stream s LEFT JOIN wk USING (w)
+              GROUP BY s.doc_id),
+            pkdoc AS (
+              SELECT split, lm,
+                     CAST((ascii(substr(hh, 1, 1)) * 16
+                           + ascii(substr(hh, 2, 1))) % 4 AS INT) AS shard
+              FROM (SELECT split, lm,
+                           md5(CAST(doc_id AS VARCHAR) || ':epoch0') AS hh
+                    FROM per WHERE lm > 0)),
+            pksh AS (
+              SELECT split, shard, count(*) AS d,
+                     CAST(sum(lm) AS BIGINT) AS t
+              FROM pkdoc GROUP BY split, shard),
+            pk AS (
+              SELECT split, CAST(sum(d) AS BIGINT) AS n_docs,
+                     CAST(sum(t) AS BIGINT) AS n_tokens,
+                     CAST(sum((t + 255) // 256) AS BIGINT) AS n_seqs
+              FROM pksh GROUP BY split)
+            SELECT 'input' AS stage, 'all' AS split,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(coalesce(sum(ws), 0) AS BIGINT) AS n_tokens,
+                   CAST(0 AS BIGINT) AS n_seqs
+            FROM tok
+            UNION ALL
+            SELECT 'exact_dedup', 'all', CAST(count(*) AS BIGINT),
+                   CAST(coalesce(sum(ws), 0) AS BIGINT), CAST(0 AS BIGINT)
+            FROM dd
+            UNION ALL
+            SELECT 'quality_floor', 'all', CAST(count(*) AS BIGINT),
+                   CAST(coalesce(sum(ws), 0) AS BIGINT), CAST(0 AS BIGINT)
+            FROM q
+            UNION ALL
+            SELECT 'split', split, CAST(count(*) AS BIGINT),
+                   CAST(sum(ws) AS BIGINT), CAST(0 AS BIGINT)
+            FROM sp GROUP BY split
+            UNION ALL
+            SELECT 'encoded', split, CAST(count(*) AS BIGINT),
+                   CAST(sum(lm) AS BIGINT), CAST(0 AS BIGINT)
+            FROM per GROUP BY split
+            UNION ALL
+            SELECT 'packed', split, n_docs, n_tokens, n_seqs FROM pk
+        """,
+        # PII detectors replayed value-for-value: identical RE2-safe
+        # patterns (no backrefs/lookaround), CRLF-canonicalized text on
+        # both sides.
+        "pii_report": r"""
+            WITH d AS (
+              SELECT source,
+                     regexp_replace(coalesce(text, ''), '\r\n?',
+                                    chr(10), 'g') AS t
+              FROM documents),
+            c AS (
+              SELECT source,
+                     len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS n_email,
+                     len(regexp_extract_all(t,
+                       '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ipv4,
+                     len(regexp_extract_all(t,
+                       '\+\d{1,3}[ -]?\(?\d{1,4}\)?(?:[ -]?\d{2,4}){2,3}'))
+                       AS n_phone,
+                     len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b'))
+                       AS n_ssn,
+                     len(regexp_extract_all(t,
+                       '\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b')) AS n_card
+              FROM d)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN n_email + n_ipv4 + n_phone
+                                      + n_ssn + n_card > 0
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_docs_with_pii,
+                   CAST(sum(n_email) AS BIGINT) AS n_email,
+                   CAST(sum(n_ipv4) AS BIGINT) AS n_ipv4,
+                   CAST(sum(n_phone) AS BIGINT) AS n_phone,
+                   CAST(sum(n_ssn) AS BIGINT) AS n_ssn,
+                   CAST(sum(n_card) AS BIGINT) AS n_card
+            FROM c GROUP BY source
+        """,
+        "boilerplate_lines": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_replace(coalesce(text, ''), '\r\n?',
+                                    chr(10), 'g') AS t
+              FROM documents),
+            l AS (
+              SELECT DISTINCT doc_id, trim(line) AS line
+              FROM (SELECT doc_id,
+                           unnest(string_split(t, chr(10))) AS line
+                    FROM d)
+              WHERE length(trim(line)) >= 10)
+            SELECT line, CAST(count(*) AS BIGINT) AS n_docs
+            FROM l GROUP BY line HAVING count(*) >= 3
+        """,
+        # string_agg skips the CASE's NULLs exactly like collect_list
+        # skips Spark's when()-without-otherwise — surviving lines keep
+        # original bytes, comparison is on trimmed values.
+        "strip_boilerplate": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_replace(coalesce(text, ''), '\r\n?',
+                                    chr(10), 'g') AS t
+              FROM documents),
+            bl AS (
+              SELECT line FROM (
+                SELECT DISTINCT doc_id, trim(line) AS line
+                FROM (SELECT doc_id,
+                             unnest(string_split(t, chr(10))) AS line
+                      FROM d)
+                WHERE length(trim(line)) >= 10)
+              GROUP BY line HAVING count(*) >= 3),
+            ex AS (
+              SELECT doc_id, line, pos FROM (
+                SELECT doc_id,
+                       unnest(string_split(t, chr(10))) AS line,
+                       unnest(generate_series(
+                         1, len(string_split(t, chr(10))))) AS pos
+                FROM d)),
+            m AS (
+              SELECT e.doc_id, e.line, e.pos,
+                     CASE WHEN b.line IS NULL THEN 0 ELSE 1 END AS dropped
+              FROM ex e LEFT JOIN bl b ON trim(e.line) = b.line)
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN dropped = 0 THEN line END,
+                                       chr(10) ORDER BY pos), '') AS text,
+                   CAST(sum(dropped) AS BIGINT) AS n_lines_dropped
+            FROM m GROUP BY doc_id
         """,
         "skew_key_report": r"""
             WITH c AS (
@@ -15768,6 +16146,7 @@ def oracle_sql() -> dict[str, str]:
     # new×corpus Jaccard set by the recall-1.0 argument — so the same
     # DuckDB exact-Jaccard SQL is the oracle
     d["t19_stream_minhash_screen"] = d["dedup_incremental_minhash"]
+    d["t30_stream_bloom_dedup"] = d["dedup_incremental_exact"]
     d["t28_stream_contamination"] = d["contamination_bench"]
     d["t29_stream_gopher_gate"] = d["gopher_by_source"]
     # Bloom-screened variant admits the identical set (no false negatives)

@@ -114,6 +114,9 @@ def main() -> None:
         "unigram_lm_train",        # unigram-LM tokenizer training (r6)
         "dedup_incremental_bloom", # Bloom-screened ingest dedup (r6)
         "pass_at_k",               # integer-exact pass@k estimator (r6)
+        "curation_pipeline_report",# flagship curation funnel (r6, benched r7)
+        "ta_kneser_ney",           # interpolated KN bigram LM scoring (r6)
+        "ks_two_sample",           # exact two-sample KS via prefix sums (r6)
         "enem_questions" if "enem_questions" in entry.queries() else "ta_fingerprint",
     ]
     qs = entry.queries()

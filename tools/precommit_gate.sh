@@ -6,11 +6,25 @@
 # snapshot, so this script is the only thing standing between an edit
 # to one of them and a silently-shipped regression.
 #
-# Usage: tools/precommit_gate.sh [quick]
-#   quick — sf0.01 registry + pytest only (inner-loop edits);
+# Usage: tools/precommit_gate.sh [quick|full-sf01]
+#   quick     — sf0.01 registry + pytest only (inner-loop edits);
+#   full-sf01 — launch the ~17-min sf0.1 full-registry sweep DETACHED
+#               (nohup; outlives tool timeouts) and exit; log + verdict
+#               land in /tmp/sweep_sf01.log — REQUIRED whenever a new
+#               rounded aggregate or oracle lands (sf0.1 rolls
+#               different rounding-boundary dice than the small
+#               fixtures; caught 2 real splits in r6);
 #   default runs all three SFs + the global-window audit.
 set -euo pipefail
 cd "$(dirname "$0")/.."
+
+if [[ "${1:-full}" == "full-sf01" ]]; then
+  echo "== detaching sf0.1 full-registry sweep (~17 min) =="
+  nohup python tools/check_oracle.py --sf /root/testdata/sf0.1 \
+    > /tmp/sweep_sf01.log 2>&1 &
+  echo "pid $! — tail -1 /tmp/sweep_sf01.log for the verdict"
+  exit 0
+fi
 
 echo "== oracle gate @ sf0.01 =="
 python tools/check_oracle.py
