@@ -498,15 +498,43 @@ def test_gopher_gate_is_one_native_projection(spark, sf_dir):
 
 def test_minhash_cap_window_is_bucket_partitioned(spark, sf_dir):
     # the occupancy cap's window must partition by bucket, never run
-    # on a single partition (the registry query runs uncapped for
-    # oracle-equality under adversarial regenerated data, so the pin
-    # targets the capped DEFAULT operator path directly)
+    # on a single partition (r7: the registry query now runs the cap
+    # WITH collapse_exact — identical-shingle-set groups fold before
+    # banding; this pin targets the capped operator path directly)
     from pdf_to_vectordb_etl_spark.operators import dedup
     from tests.conftest import load
 
     docs = load(spark, sf_dir, "documents").limit(100)
     plan = _plan(dedup.minhash_dedup_pairs(docs, threshold=0.5))
     assert "Window" in plan
+    assert "No Partition Defined" not in plan
+
+
+def test_pii_report_is_native_scan_agg(spark, sf_dir):
+    # r7: five regexp detectors + mask chain must stay one JVM-side
+    # projection feeding one hash agg — no Python, no joins
+    plan = _plan(_q(spark, sf_dir, "pii_report"), "simple")
+    assert "Python" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 1  # the per-source agg shuffle
+
+
+def test_strip_boilerplate_single_reassembly_shuffle(spark, sf_dir):
+    # r7: posexplode -> inventory join -> one groupBy re-assembly;
+    # no global sort or single-partition window anywhere
+    plan = _plan(_q(spark, sf_dir, "strip_boilerplate"), "simple")
+    assert "CartesianProduct" not in plan
+    assert "No Partition Defined" not in plan
+    assert "Sort [" not in plan.replace("SortAggregate", "")
+
+
+def test_export_report_windows_partitioned_and_dedup_group_limited(
+    spark, sf_dir
+):
+    # r7: the export chain's dedup row_number must compile to the
+    # WindowGroupLimit fast path and every window must be partitioned
+    plan = _plan(_q(spark, sf_dir, "training_export_report"))
+    assert "WindowGroupLimit" in plan
     assert "No Partition Defined" not in plan
 
 

@@ -66,7 +66,10 @@ HEADLINE = [
     ("cusum_changepoints", "max(0,.) recurrence as cumsum - running-min: one per-key window, no UDF"),
     ("seasonal_decompose", "per-key centered-MA window + phase-profile agg broadcast back"),
     ("ta_quality_gopher", "r6: nine Gopher rules in ONE codegen projection — no join, no exchange, no Python"),
-    ("dedup_minhash_lsh", "r6: occupancy-capped LSH — bucket-partitioned window + star routing, never O(m^2) in a hot bucket"),
+    ("dedup_minhash_lsh", "r7: exact-set collapse folds identical docs to one banded rep (star pairs); occupancy cap stays as bucket-partitioned defense"),
+    ("training_export_report", "r7: export funnel — WindowGroupLimit dedup, partitioned pack windows, one-row stage aggs"),
+    ("pii_report", "r7: five regexp detectors + agg in one codegen projection; single per-source exchange"),
+    ("strip_boilerplate", "r7: posexplode -> inventory join -> single groupBy re-assembly; no sort, no global window"),
     ("dedup_incremental_bloom", "r6: broadcast Bloom screen (4 BHJ) gates the anti-join; zero batch-side shuffle before it"),
     ("unigram_lm_train", "r6: vocab-collapse + per-word HOF Viterbi; no windows, no cartesian"),
     ("ks_two_sample", "r6: packed global_prefix_sum CDF walk; range partition, no single-partition window"),
