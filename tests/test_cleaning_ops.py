@@ -94,3 +94,20 @@ def test_strip_end_to_end_with_inventory(spark, sf_dir):
     again = cleaning.frequent_lines(stripped, min_docs=3, min_chars=10)
     assert again.count() == 0
     assert stripped.count() == docs.count()
+
+
+def test_pii_scrub_idempotent(spark):
+    # masks contain no digits/@, so a second scrub is a no-op
+    from pdf_to_vectordb_etl_spark.operators import cleaning
+
+    df = _df(spark, [
+        (1, "a@b.co 192.168.0.1 +1 555-123-4567 123-45-6789 "
+            "4111 1111 1111 1111"),
+        (2, "nested a@b.co inside a@b.co twice a@b.co"),
+    ])
+    once = cleaning.pii_scrub(df).select("doc_id", "text")
+    twice = cleaning.pii_scrub(once).select("doc_id", "text")
+    assert {(r.doc_id, r.text) for r in once.collect()} == \
+           {(r.doc_id, r.text) for r in twice.collect()}
+    n2 = {r.doc_id: r.n_pii for r in cleaning.pii_scrub(once).collect()}
+    assert n2 == {1: 0, 2: 0}
