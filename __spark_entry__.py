@@ -3378,6 +3378,8 @@ def q_curation_pipeline_report(spark, sf):
     from pdf_to_vectordb_etl_spark.operators import curation
     from pdf_to_vectordb_etl_spark.operators import textanalysis as ta
 
+    from pyspark import StorageLevel
+
     docs = _t(spark, sf, "documents")
     hb = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     corpus = docs.filter(hb >= "14")
@@ -3388,13 +3390,21 @@ def q_curation_pipeline_report(spark, sf):
     g = ta.gopher_quality_gate(
         corpus, thresholds={"min_words": 20, "min_stop_hits": 0}
     ).filter("gopher_pass").select(*docs.columns)
-    d1 = dedup.drop_exact_duplicates(g)
+    # every stage below is read by its own count AND every later
+    # stage — unpersisted, the six report branches re-run the whole
+    # prefix (the near-dup CC three times over; measured 9.1 s -> ~3 s
+    # at sf0.1). The same persist-the-stage-boundaries trade a 100-TB
+    # run makes (plans/curate.py docstring).
+    g = g.persist(StorageLevel.MEMORY_AND_DISK)
+    d1 = dedup.drop_exact_duplicates(g).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = dedup.ngram_jaccard_pairs(d1, threshold=0.5)
-    d2 = dedup.drop_near_duplicates(d1, pairs)
+    d2 = dedup.drop_near_duplicates(d1, pairs).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cont = curation.contamination_check(d2, bench, n=8)
     d3 = d2.join(
         cont.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sel = d3.join(ta.kneser_ney_scores(docs), "doc_id")
 
     def n(frame, name):
