@@ -4396,6 +4396,65 @@ def _bpe_train_oracle_sql(n_merges: int = 8) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + finals
 
 
+def _wordpiece_train_oracle_sql(n_merges: int = 6) -> str:
+    """Unrolled DuckDB replay of wordpiece_train_merges — the
+    _bpe_train_oracle_sql skeleton with a per-round symbol-frequency
+    CTE and the likelihood-score argmax: score_q12 =
+    (n * 1e12) // (f_l * f_r) in HUGEINT (mirrors Spark's exact
+    DECIMAL(38,0) div — all operands non-negative), ties (l, r)."""
+    ctes = [
+        r"""v0 AS MATERIALIZED (
+              SELECT CAST(count(*) AS BIGINT) AS freq,
+                     regexp_replace(w, '(.)', ' \1 ', 'g') AS s
+              FROM (SELECT unnest(string_split_regex(lower(
+                       regexp_replace(text, '[^\x20-\x7e]', '', 'g')),
+                       '\s+')) AS w
+                    FROM documents)
+              WHERE length(w) > 0
+              GROUP BY w)"""
+    ]
+    for k in range(1, n_merges + 1):
+        ctes.append(
+            f"""s{k} AS (
+              SELECT sym, CAST(sum(freq) AS BIGINT) AS f
+              FROM (SELECT freq,
+                           unnest(string_split(trim(s), '  ')) AS sym
+                    FROM v{k - 1})
+              GROUP BY sym),
+            p{k} AS (
+              SELECT ws[i] AS l, ws[i + 1] AS r,
+                     CAST(sum(freq) AS BIGINT) AS n
+              FROM (SELECT freq, ws,
+                           unnest(generate_series(1, len(ws) - 1)) AS i
+                    FROM (SELECT freq, string_split(trim(s), '  ') AS ws
+                          FROM v{k - 1})
+                    WHERE len(ws) > 1)
+              GROUP BY l, r),
+            m{k} AS MATERIALIZED (
+              SELECT p.l, p.r, p.n,
+                     CAST((CAST(p.n AS HUGEINT) * 1000000000000)
+                          // (CAST(a.f AS HUGEINT) * b.f) AS BIGINT)
+                       AS score_q12
+              FROM p{k} p
+              JOIN s{k} a ON p.l = a.sym
+              JOIN s{k} b ON p.r = b.sym
+              ORDER BY score_q12 DESC, l, r LIMIT 1),
+            v{k} AS MATERIALIZED (
+              SELECT freq,
+                     replace(s,
+                       ' ' || (SELECT l FROM m{k}) || '  '
+                           || (SELECT r FROM m{k}) || ' ',
+                       ' ' || (SELECT l FROM m{k})
+                           || (SELECT r FROM m{k}) || ' ') AS s
+              FROM v{k - 1})"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT {k} AS step, l, r, n, score_q12 FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
 def q_dsir_select(spark, sf):
     """DSIR data selection (Xie et al. 2023): hashed uni+bigram bag
     models on target (lang='en') vs the raw pool, per-doc log
@@ -5793,6 +5852,80 @@ regs{t} AS MATERIALIZED (
     )
     parts.append("\n" + union + "\nORDER BY t")
     return "".join(parts)
+
+
+def _bt_oracle_sql(
+    n_rounds: int = 6, grid: int = 10**9, min_a: int = 10**3
+) -> str:
+    """DuckDB twin of bradley_terry_strengths: the MM rounds unrolled
+    as MATERIALIZED CTEs. Every step is HUGEINT arithmetic — integer
+    sums (no accumulation order) and floor-divisions `//` that mirror
+    Spark's subtract-modulo exact DECIMAL division (all operands
+    non-negative, so floor == truncate) — the replay is bit-identical
+    with no rounding-boundary dice; the single final double division
+    is exact-int-over-power-of-ten."""
+    S = "CAST(1000000000000000000 AS HUGEINT)"  # 1e18
+    rounds = []
+    for s in range(n_rounds):
+        rounds.append(f"""
+            d{s} AS MATERIALIZED (
+              SELECT p.i,
+                     sum((CAST(p.n_ij AS HUGEINT) * {S})
+                         // (ai.a + aj.a)) AS denom
+              FROM prs p
+              JOIN r{s} ai ON p.i = ai.i
+              JOIN r{s} aj ON p.j = aj.i
+              GROUP BY p.i),
+            w{s} AS MATERIALIZED (
+              SELECT it.i,
+                     CASE WHEN d.denom > 0
+                          THEN (CAST(it.wins AS HUGEINT) * {S} * 1000000)
+                               // d.denom
+                          ELSE CAST(0 AS HUGEINT) END AS raw
+              FROM items it JOIN d{s} d ON it.i = d.i),
+            t{s} AS (SELECT sum(raw) AS tot FROM w{s}),
+            r{s + 1} AS MATERIALIZED (
+              SELECT i,
+                     greatest(CAST({min_a} AS HUGEINT),
+                       CASE WHEN t.tot > 0
+                            THEN (raw * {grid}) // t.tot
+                            ELSE CAST(0 AS HUGEINT) END) AS a
+              FROM w{s} CROSS JOIN t{s} t)""")
+    return f"""
+            WITH per AS MATERIALIZED (
+              SELECT user_id AS u, event_type AS t,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY user_id, event_type),
+            cells AS MATERIALIZED (
+              SELECT a.t AS i, b.t AS j, CAST(count(*) AS BIGINT) AS w
+              FROM per a JOIN per b
+                ON a.u = b.u AND a.t <> b.t AND a.c > b.c
+              GROUP BY a.t, b.t),
+            sym AS MATERIALIZED (
+              SELECT i, j, CAST(sum(w) AS BIGINT) AS w FROM (
+                SELECT i, j, w FROM cells
+                UNION ALL
+                SELECT j AS i, i AS j, CAST(0 AS BIGINT) AS w FROM cells)
+              GROUP BY i, j),
+            prs AS MATERIALIZED (
+              SELECT s.i, s.j, s.w,
+                     s.w + coalesce(r.w, 0) AS n_ij
+              FROM sym s LEFT JOIN sym r ON s.i = r.j AND s.j = r.i
+              WHERE s.w + coalesce(r.w, 0) > 0),
+            items AS MATERIALIZED (
+              SELECT i, CAST(sum(w) AS BIGINT) AS wins,
+                     CAST(sum(n_ij) AS BIGINT) AS n_comp
+              FROM prs GROUP BY i),
+            kk AS (SELECT count(*) AS k FROM items),
+            r0 AS MATERIALIZED (
+              SELECT i, CAST(greatest({min_a}, {grid} // kk.k) AS HUGEINT)
+                       AS a
+              FROM items CROSS JOIN kk),{",".join(rounds)}
+            SELECT it.i AS item, it.wins, it.n_comp AS n_comparisons,
+                   CAST(r.a AS BIGINT) AS a_grid,
+                   CAST(r.a AS DOUBLE) / {grid} AS strength_q9
+            FROM items it JOIN r{n_rounds} r ON it.i = r.i
+        """
 
 
 def _adaboost_oracle_sql(n_bins: int = 250, n_rounds: int = 6) -> str:
@@ -7843,6 +7976,147 @@ def q_t18_stream_woe(spark, sf):
     )
 
 
+def q_wordpiece_encode(spark, sf):
+    """WordPiece greedy longest-match-first tokenization of the
+    ASCII-projected corpus with a deterministically-derived
+    position-flavored vocab (initial vs ## continuation, top-64 multi
+    per flavor) — per-doc token and OOV counts. The greedy walk is
+    tie-free (argmax on span length), so the oracle replays it as a
+    linear recursive CTE over a precomputed (word, pos) -> furthest-
+    match table (no aggregate in the recursion)."""
+    from pdf_to_vectordb_etl_spark.operators import textanalysis as ta2
+
+    docs = _t(spark, sf, "documents")
+    d2 = docs.select(
+        "doc_id",
+        F.regexp_replace("text", r"[^\x20-\x7e]", "").alias("text"),
+    )
+    v = ta2.wordpiece_vocab(
+        d2, vocab_size=64, max_piece_len=4, max_word_len=12, min_count=2
+    )
+    return ta2.wordpiece_encode(d2, v, max_piece_len=4, max_word_len=12)
+
+
+def q_wordpiece_train(spark, sf):
+    """WordPiece tokenizer training (6 likelihood-score merge rounds)
+    on the ASCII-projected corpus — completes the tokenizer trifecta
+    next to bpe_train and unigram_lm_train. Argmax on the INTEGER
+    quantized score (n*1e12) // (f_l*f_r), ties lexicographic; the
+    oracle unrolls the rounds as MATERIALIZED CTEs (the bpe_train
+    replay pattern) with HUGEINT floor-division."""
+    from pdf_to_vectordb_etl_spark.operators import textanalysis as ta2
+
+    docs = _t(spark, sf, "documents")
+    d2 = docs.select(
+        F.regexp_replace("text", r"[^\x20-\x7e]", "").alias("text")
+    )
+    return ta2.wordpiece_train_merges(d2, n_merges=6)
+
+
+def _bt_cells_from_counts(per):
+    """(user, item, count) -> directed win cells (i, j, w): i beat j
+    for one user when the user did strictly more of i. Shared by the
+    batch bradley_terry query and T31's snapshot finale. The self-join
+    is per-user over a bounded item domain (event types)."""
+    a = per.selectExpr("u", "t AS i", "c AS ci")
+    b = per.selectExpr("u", "t AS j", "c AS cj")
+    return (
+        a.join(b, "u")
+        .filter((F.col("i") != F.col("j")) & (F.col("ci") > F.col("cj")))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+
+
+def q_bradley_terry(spark, sf):
+    """Bradley-Terry preference strengths over event types: a user
+    'prefers' type i to j when they did strictly more of i, the win
+    table feeds 6 integer-exact Hunter-MM rounds on the 1e-9 strength
+    grid (bit-identical in any engine — every division is an exact
+    decimal floor-division, every sum an integer sum)."""
+    from pdf_to_vectordb_etl_spark.operators.supervised import (
+        bradley_terry_strengths,
+    )
+
+    ev = _t(spark, sf, "events")
+    per = ev.groupBy(
+        F.col("user_id").alias("u"), F.col("event_type").alias("t")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return bradley_terry_strengths(_bt_cells_from_counts(per), n_rounds=6)
+
+
+def q_t31_stream_bradley_terry(spark, sf):
+    """T31 — live preference-strength monitor: per-(user, event_type)
+    counts as the associative streaming state (the cells/finale
+    recipe), snapshot through the IDENTICAL win-pairing + 6-round MM
+    finale as the batch path; the batch SQL is the parity oracle."""
+    import tempfile
+
+    from pdf_to_vectordb_etl_spark.operators.supervised import (
+        bradley_terry_strengths,
+    )
+
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+        .groupBy(
+            F.col("user_id").alias("u"), F.col("event_type").alias("t")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    name = "t31_bt_counts"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t31ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    # break the shared memory-view lineage before the finale's
+    # self-join (conflicting-reference analyzer error otherwise)
+    snap = spark.table(name).localCheckpoint(eager=True)
+    return bradley_terry_strengths(_bt_cells_from_counts(snap), n_rounds=6)
+
+
+def q_fleiss_kappa(spark, sf):
+    """Fleiss' kappa over the implicit (user = item, event_type =
+    category) rating table — the multi-rater agreement check an
+    LLM-judge ensemble needs before its labels gate a corpus. All
+    cross-item statistics are exact pico-grid integer sums (the
+    pass_at_k / eval_map_ann convention); kappa's single division is
+    double-over-<2^53-ints, 1e-6 floored."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation as ev
+
+    ev_df = _t(spark, sf, "events")
+    return ev.fleiss_kappa(ev_df, "user_id", "event_type")
+
+
+def q_brier_decomposition(spark, sf):
+    """Murphy decomposition of the Brier score for a deterministic
+    monotone forecast p = value/(value+100) of conversion
+    (purchase/signup), 20 equal-width bins. The forecast is floored
+    onto the 1e-6 integer grid ONCE at the boundary, so every bin
+    mean downstream is an exact integer sum — no float accumulation
+    order anywhere; finals are exact-int doubles, 1e-6 floored."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation as ev
+
+    e = _t(spark, sf, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") >= 0)
+    )
+    base = e.select(
+        F.floor(
+            F.col("value") / (F.col("value") + 100) * 1000000
+        ).cast("long").alias("p_micro"),
+        F.col("event_type").isin("purchase", "signup").alias("y"),
+    )
+    return ev.brier_decomposition(base, "p_micro", "y", n_bins=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -8160,6 +8434,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rouge_l": q_rouge_l,
         "pass_at_k": q_pass_at_k,
         "ks_two_sample": q_ks_two_sample,
+        "fleiss_kappa": q_fleiss_kappa,
+        "brier_decomposition": q_brier_decomposition,
+        "bradley_terry": q_bradley_terry,
+        "t31_stream_bradley_terry": q_t31_stream_bradley_terry,
+        "wordpiece_encode": q_wordpiece_encode,
+        "wordpiece_train": q_wordpiece_train,
         "attribution_touch": q_attribution_touch,
         "benford_law": q_benford_law,
         "t24_stream_benford": q_t24_stream_benford,
@@ -12107,6 +12387,208 @@ def oracle_sql() -> dict[str, str]:
                                    * 1e6) / 1e6
                    END AS ks_lambda_q6
             FROM tot, d
+        """,
+        "bradley_terry": _bt_oracle_sql(6),
+        "wordpiece_train": _wordpiece_train_oracle_sql(6),
+        # WordPiece greedy encode: vocab rebuilt deterministically
+        # (flavored counts, top-64 per flavor, count desc piece asc),
+        # then the tie-free greedy walk as a LINEAR recursive CTE over
+        # the precomputed furthest-match table (single successor per
+        # (word, pos) — no aggregate inside the recursion).
+        "wordpiece_encode": r"""
+            WITH RECURSIVE d2 AS (
+              SELECT doc_id,
+                     lower(regexp_replace(text, '[^\x20-\x7e]', '', 'g'))
+                       AS t
+              FROM documents),
+            stream AS MATERIALIZED (
+              SELECT doc_id, w
+              FROM (SELECT doc_id,
+                           unnest(string_split_regex(t, '\s+')) AS w
+                    FROM d2)
+              WHERE length(w) > 0),
+            w0 AS MATERIALIZED (
+              SELECT w, CAST(count(*) AS BIGINT) AS freq,
+                     CAST(length(w) AS INT) AS wlen
+              FROM stream WHERE length(w) <= 12
+              GROUP BY w),
+            occ2 AS MATERIALIZED (
+              SELECT w, wlen, s.i AS i, s.j AS j,
+                     substr(w, s.i + 1, s.j - s.i) AS piece, freq
+              FROM (SELECT w, freq, wlen,
+                           unnest(flatten(list_transform(
+                             generate_series(0, wlen - 1),
+                             i -> list_transform(
+                               generate_series(i + 1, least(i + 4, wlen)),
+                               j -> {'i': i, 'j': j})))) AS s
+                    FROM w0)),
+            fc AS (
+              SELECT piece, (i > 0) AS is_cont,
+                     CAST(sum(freq) AS BIGINT) AS n
+              FROM occ2 GROUP BY piece, (i > 0)),
+            vv AS MATERIALIZED (
+              SELECT piece, is_cont FROM fc WHERE length(piece) = 1
+              UNION ALL
+              SELECT piece, is_cont FROM (
+                SELECT piece, is_cont, n FROM fc
+                WHERE length(piece) > 1 AND NOT is_cont AND n >= 2
+                ORDER BY n DESC, piece LIMIT 64)
+              UNION ALL
+              SELECT piece, is_cont FROM (
+                SELECT piece, is_cont, n FROM fc
+                WHERE length(piece) > 1 AND is_cont AND n >= 2
+                ORDER BY n DESC, piece LIMIT 64)),
+            bj AS MATERIALIZED (
+              SELECT o.w, o.i, max(o.j) AS bj, max(o.wlen) AS wlen
+              FROM occ2 o JOIN vv v
+                ON o.piece = v.piece AND v.is_cont = (o.i > 0)
+              GROUP BY o.w, o.i),
+            walk AS (
+              SELECT w, wlen, 0 AS pos, 0 AS cnt FROM w0
+              UNION ALL
+              SELECT k.w, k.wlen, b.bj AS pos, k.cnt + 1
+              FROM walk k JOIN bj b ON b.w = k.w AND b.i = k.pos
+              WHERE k.pos < k.wlen),
+            wk AS MATERIALIZED (
+              SELECT w, max(CASE WHEN pos = wlen THEN cnt END) AS toks
+              FROM walk GROUP BY w),
+            per AS (
+              SELECT s.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_words,
+                     CAST(sum(CASE WHEN toks IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_oov_words,
+                     CAST(sum(coalesce(toks, 0)) AS BIGINT) AS n_tokens
+              FROM stream s LEFT JOIN wk USING (w)
+              GROUP BY s.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+                   CAST(coalesce(p.n_oov_words, 0) AS BIGINT)
+                     AS n_oov_words,
+                   CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens
+            FROM d2 d LEFT JOIN per p USING (doc_id)
+        """,
+        # Fleiss: every cross-item statistic is an exact pico-grid
+        # integer (HUGEINT // mirrors Spark's DECIMAL(38,0) div — all
+        # numerators non-negative, so floor == truncate); the final
+        # kappa division replays the operator's exact op order.
+        "fleiss_kappa": r"""
+            WITH cells AS (
+              SELECT user_id AS i, event_type AS cat,
+                     CAST(count(*) AS BIGINT) AS nic
+              FROM events GROUP BY user_id, event_type),
+            per_item AS (
+              SELECT i, CAST(sum(nic) AS BIGINT) AS ni,
+                     sum(CAST(nic AS HUGEINT) * nic) AS si
+              FROM cells GROUP BY i),
+            kept AS (SELECT * FROM per_item WHERE ni >= 2),
+            pi AS (
+              SELECT ni,
+                     ((si - ni) * CAST(1000000000000 AS HUGEINT))
+                       // (CAST(ni AS HUGEINT) * (ni - 1)) AS pi_pico
+              FROM kept),
+            ti AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_items,
+                     coalesce(sum(pi_pico), 0) AS pi_sum,
+                     CAST(coalesce(sum(ni), 0) AS BIGINT) AS n_ratings
+              FROM pi),
+            dr AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_dropped
+              FROM per_item WHERE ni < 2),
+            ct AS (
+              SELECT cat, CAST(sum(nic) AS BIGINT) AS cc
+              FROM cells JOIN kept USING (i) GROUP BY cat),
+            pe AS (
+              SELECT CAST(coalesce(sum(
+                       (CAST(cc AS HUGEINT) * cc
+                        * CAST(1000000000000 AS HUGEINT))
+                       // (CAST(t.t AS HUGEINT) * t.t)), 0) AS BIGINT)
+                       AS pe_pico
+              FROM ct CROSS JOIN
+                   (SELECT CAST(sum(cc) AS BIGINT) AS t FROM ct) t)
+            SELECT n_items, n_dropped, n_ratings,
+                   CASE WHEN n_items > 0
+                        THEN CAST(pi_sum // n_items AS BIGINT) / 1e12
+                   END AS p_bar_q12,
+                   CASE WHEN n_items > 0 THEN pe_pico / 1e12
+                   END AS p_e_q12,
+                   CASE WHEN n_items > 0
+                         AND 1000000000000 - pe_pico > 0
+                        THEN floor(
+                          CAST(CAST(pi_sum // n_items AS BIGINT)
+                               - pe_pico AS DOUBLE)
+                          / CAST(1000000000000 - pe_pico AS DOUBLE)
+                          * 1e6) / 1e6
+                   END AS kappa_q6
+            FROM ti CROSS JOIN dr CROSS JOIN pe
+        """,
+        # Murphy decomposition: forecast floored onto the micro grid
+        # once at the boundary, every mean an exact integer sum; the
+        # component divisions replay the operator's subtract-modulo
+        # exact division as HUGEINT floor-division (non-negative).
+        "brier_decomposition": r"""
+            WITH base AS (
+              SELECT CAST(floor(value / (value + 100) * 1000000)
+                          AS BIGINT) AS p_micro,
+                     CASE WHEN event_type IN ('purchase', 'signup')
+                          THEN 1 ELSE 0 END AS y
+              FROM events WHERE value IS NOT NULL AND value >= 0),
+            binned AS (
+              SELECT least((p_micro * 20) // 1000000, 19) AS bin,
+                     p_micro, y,
+                     CAST(p_micro - y * 1000000 AS HUGEINT)
+                       * (p_micro - y * 1000000) AS sq
+              FROM base),
+            cells AS (
+              SELECT bin, CAST(count(*) AS BIGINT) AS nk,
+                     CAST(sum(p_micro) AS HUGEINT) AS sp,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     sum(sq) AS ssq
+              FROM binned GROUP BY bin),
+            lifted AS (
+              SELECT nk, sy, ssq,
+                     (sp * 1000000) // nk AS pbar12,
+                     (CAST(sy AS HUGEINT) * 1000000000000) // nk
+                       AS ybar12
+              FROM cells),
+            tot AS (
+              SELECT CAST(coalesce(sum(nk), 0) AS BIGINT) AS n,
+                     CAST(coalesce(sum(sy), 0) AS BIGINT) AS y_tot,
+                     coalesce(sum(ssq), 0) AS ssq_tot
+              FROM lifted),
+            wg AS (
+              SELECT l.nk, l.pbar12, l.ybar12, t.n, t.ssq_tot,
+                     (CAST(t.y_tot AS HUGEINT) * 1000000000000) // t.n
+                       AS gbar12
+              FROM lifted l CROSS JOIN tot t WHERE t.n > 0),
+            agg AS (
+              SELECT n, ssq_tot, gbar12,
+                     sum(nk * CAST(pbar12 - ybar12 AS HUGEINT)
+                         * (pbar12 - ybar12)) AS rel_sum,
+                     sum(nk * CAST(ybar12 - gbar12 AS HUGEINT)
+                         * (ybar12 - gbar12)) AS res_sum
+              FROM wg GROUP BY n, ssq_tot, gbar12),
+            fin AS (
+              SELECT n, gbar12,
+                     CAST(rel_sum // (CAST(n AS HUGEINT)
+                          * 1000000000000) AS BIGINT) AS rel12,
+                     CAST(res_sum // (CAST(n AS HUGEINT)
+                          * 1000000000000) AS BIGINT) AS res12,
+                     CAST(ssq_tot // n AS BIGINT) AS brier12,
+                     CAST((CAST(gbar12 AS HUGEINT)
+                           * (1000000000000 - gbar12))
+                          // CAST(1000000000000 AS HUGEINT) AS BIGINT)
+                       AS unc12
+              FROM agg)
+            SELECT n, 20 AS n_bins,
+                   CAST(brier12 // 1000000 AS BIGINT) / 1e6
+                     AS brier_q6,
+                   CAST(rel12 // 1000000 AS BIGINT) / 1e6
+                     AS reliability_q6,
+                   CAST(res12 // 1000000 AS BIGINT) / 1e6
+                     AS resolution_q6,
+                   CAST(unc12 // 1000000 AS BIGINT) / 1e6
+                     AS uncertainty_q6
+            FROM fin
         """,
         "rouge_l": r"""
             WITH RECURSIVE d0 AS (
@@ -16157,6 +16639,7 @@ def oracle_sql() -> dict[str, str]:
     # DuckDB exact-Jaccard SQL is the oracle
     d["t19_stream_minhash_screen"] = d["dedup_incremental_minhash"]
     d["t30_stream_bloom_dedup"] = d["dedup_incremental_exact"]
+    d["t31_stream_bradley_terry"] = d["bradley_terry"]
     d["t28_stream_contamination"] = d["contamination_bench"]
     d["t29_stream_gopher_gate"] = d["gopher_by_source"]
     # Bloom-screened variant admits the identical set (no false negatives)

@@ -2317,3 +2317,228 @@ def kendall_finale(cells: DataFrame) -> DataFrame:
             (dx > 0) & (dy > 0), F.floor(tau * 1e6) / 1e6
         ).alias("tau_b_q6"),
     )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str,
+    category_col: str,
+) -> DataFrame:
+    """Fleiss' kappa multi-rater agreement (Fleiss 1971, public) over
+    an (item, category) rating table — the standard chance-corrected
+    agreement statistic for grading LLM-judge ensembles or crowd
+    labels before trusting them as training signal. Generalized to
+    variable raters-per-item (items need n_i >= 2; singletons carry
+    no agreement information and are dropped, reported in n_dropped).
+
+    Exactness: per-item agreement P_i = (S_i - n_i)/(n_i(n_i-1)) with
+    S_i = sum_c n_ic^2 is quantized to an exact pico-unit integer via
+    DECIMAL(38,0) products + `div` (quotient <= 1e12, BIGINT-safe; the
+    pass_at_k convention — decimal `/` rounds half-up and is never
+    trusted next to a floor). The cross-item mean is then an exact
+    integer sum (DECIMAL(38,0) — no float accumulation order to
+    diverge across engines, the eval_map_ann design), divided once.
+    P_e = sum_c p_c^2 quantizes each category's square on the same
+    pico grid (categories are a bounded domain). kappa's final
+    division is double-over-exact-ints (< 2^53), 1e-6 floored.
+
+    Distributed shape: ONE hash agg to the (item, category) cell
+    table, one reagg per item, one bounded category rollup — no
+    windows, no corpus-scale float math. Returns one row:
+    (n_items, n_dropped, n_ratings, p_bar_q6, p_e_q6, kappa_q6);
+    kappa is NULL when P_e == 1 (single category — chance agreement
+    saturates) or no item has 2+ ratings."""
+    pico = F.lit(10**12).cast("decimal(38,0)")
+    cells = df.groupBy(
+        F.col(item_col).alias("i"), F.col(category_col).alias("cat")
+    ).agg(F.count(F.lit(1)).cast("long").alias("nic"))
+    per_item = cells.groupBy("i").agg(
+        F.sum("nic").cast("long").alias("ni"),
+        F.sum(
+            (F.col("nic") * F.lit(1).cast("decimal(38,0)")) * F.col("nic")
+        ).alias("si"),
+    )
+    kept = per_item.filter(F.col("ni") >= 2)
+    # exact pico-quantized P_i: ((S_i - n_i) * 1e12) div (n_i (n_i-1))
+    pi = kept.select(
+        "ni",
+        F.expr(
+            "((si - ni) * CAST(1000000000000 AS DECIMAL(38,0)))"
+            " div (CAST(ni AS DECIMAL(38,0)) * (ni - 1))"
+        ).alias("pi_pico"),
+    )
+    tot_items = pi.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.coalesce(
+            F.sum(F.col("pi_pico").cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("pi_sum"),
+        F.coalesce(F.sum("ni"), F.lit(0)).cast("long").alias("n_ratings"),
+    )
+    dropped = per_item.filter(F.col("ni") < 2).agg(
+        F.count(F.lit(1)).cast("long").alias("n_dropped")
+    )
+    # category marginals over the KEPT items only (the rated universe)
+    cat_tot = (
+        cells.join(kept.select("i"), "i")
+        .groupBy("cat")
+        .agg(F.sum("nic").cast("long").alias("cc"))
+    )
+    pe = cat_tot.crossJoin(
+        cat_tot.agg(F.sum("cc").cast("long").alias("t"))
+    ).select(
+        F.expr(
+            "(CAST(cc AS DECIMAL(38,0)) * cc"
+            " * CAST(1000000000000 AS DECIMAL(38,0)))"
+            " div (CAST(t AS DECIMAL(38,0)) * t)"
+        ).alias("pe_term")
+    ).agg(
+        F.coalesce(F.sum(F.col("pe_term").cast("decimal(38,0)")), F.lit(0))
+        .cast("long")
+        .alias("pe_pico")
+    )
+    row = tot_items.crossJoin(dropped).crossJoin(pe)
+    pbar = F.when(
+        F.col("n_items") > 0,
+        F.expr("pi_sum div n_items"),
+    )  # exact pico BIGINT
+    den = F.lit(10**12) - F.col("pe_pico")
+    kappa = F.when(
+        (F.col("n_items") > 0) & (den > 0),
+        F.floor(
+            (pbar - F.col("pe_pico")).cast("double")
+            / den.cast("double")
+            * 1e6
+        )
+        / 1e6,
+    )
+    return row.select(
+        "n_items",
+        "n_dropped",
+        "n_ratings",
+        F.when(F.col("n_items") > 0, pbar / F.lit(1e12)).alias("p_bar_q12"),
+        F.when(F.col("n_items") > 0, F.col("pe_pico") / F.lit(1e12)).alias(
+            "p_e_q12"
+        ),
+        kappa.alias("kappa_q6"),
+    )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    pred_micro_col: str,
+    label_col: str,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Murphy decomposition of the Brier score (Murphy 1973, public):
+    BRIER = RELIABILITY - RESOLUTION + UNCERTAINTY over ``n_bins``
+    equal-width forecast bins — the standard diagnostic for whether a
+    learned quality/safety scorer is miscalibrated (high REL) or just
+    uninformative (low RES) before its threshold gates a corpus.
+
+    Contract: ``pred_micro_col`` is the forecast ALREADY quantized to
+    integer micro-units in [0, 1e6] (callers floor(p*1e6) once at the
+    boundary; keeping the grid in the data means every mean below is
+    an exact integer sum — no float accumulation order to diverge
+    across engines). ``label_col`` is boolean/0-1.
+
+    Exactness: bin means lift to the pico grid via DECIMAL(38,0)
+    products + `div` (quotients <= 1e12), squared deviations stay in
+    DECIMAL(38,0) (<= n * 1e24 << 1e38), and each component divides
+    once by (N * 1e12) via the subtract-modulo exact division
+    ``(a - a % b) / b`` — decimal `/` is exact when the remainder is
+    zero, so no half-up rounding can leak (Spark `div` returns BIGINT
+    and res_sum div N could overflow it; the modulo form keeps the
+    quotient decimal). Finals are double-over-<2^53-ints, 1e-6
+    floored.
+
+    One hash agg to <= n_bins cells, one bounded rollup. Returns one
+    row: (n, n_bins, brier_q6, reliability_q6, resolution_q6,
+    uncertainty_q6)."""
+    b = F.lit(int(n_bins)).cast("long")
+    p = F.col(pred_micro_col).cast("long")
+    y = F.col(label_col).cast("int").cast("long")
+    binned = df.select(
+        F.least(F.expr(f"({pred_micro_col} * {int(n_bins)}) div 1000000"),
+                b - 1).alias("bin"),
+        p.alias("p_micro"),
+        y.alias("y"),
+        ((p - y * 1000000) * (p - y * 1000000)).cast("decimal(38,0)").alias(
+            "sq"
+        ),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("nk"),
+        F.sum("p_micro").cast("decimal(38,0)").alias("sp"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("sq").alias("ssq"),
+    )
+    pico_d = "CAST(1000000000000 AS DECIMAL(38,0))"
+    lifted = cells.select(
+        "nk",
+        "sy",
+        "ssq",
+        F.expr(f"(sp * 1000000) div nk").alias("pbar12"),
+        F.expr(
+            f"(CAST(sy AS DECIMAL(38,0)) * {pico_d}) div nk"
+        ).alias("ybar12"),
+    )
+    tot = lifted.agg(
+        F.coalesce(F.sum("nk"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.sum("sy"), F.lit(0)).cast("long").alias("y_tot"),
+        F.coalesce(F.sum("ssq"), F.lit(0).cast("decimal(38,0)")).alias(
+            "ssq_tot"
+        ),
+    )
+    with_g = lifted.crossJoin(tot.filter(F.col("n") > 0)).select(
+        "nk",
+        "pbar12",
+        "ybar12",
+        "n",
+        "y_tot",
+        "ssq_tot",
+        F.expr(
+            f"(CAST(y_tot AS DECIMAL(38,0)) * {pico_d}) div n"
+        ).alias("gbar12"),
+    )
+    dev = with_g.select(
+        "n",
+        "y_tot",
+        "ssq_tot",
+        "gbar12",
+        (
+            F.col("nk")
+            * (F.col("pbar12") - F.col("ybar12")).cast("decimal(38,0)")
+            * (F.col("pbar12") - F.col("ybar12"))
+        ).alias("rel_term"),
+        (
+            F.col("nk")
+            * (F.col("ybar12") - F.col("gbar12")).cast("decimal(38,0)")
+            * (F.col("ybar12") - F.col("gbar12"))
+        ).alias("res_term"),
+    )
+    agg = dev.groupBy("n", "y_tot", "ssq_tot", "gbar12").agg(
+        F.sum("rel_term").alias("rel_sum"),
+        F.sum("res_term").alias("res_sum"),
+    )
+    # exact pico quotients via subtract-modulo division (stays decimal)
+    den = f"(CAST(n AS DECIMAL(38,0)) * {pico_d})"
+    out = agg.selectExpr(
+        "n",
+        "y_tot",
+        "gbar12",
+        f"CAST((rel_sum - rel_sum % {den}) / {den} AS BIGINT) AS rel12",
+        f"CAST((res_sum - res_sum % {den}) / {den} AS BIGINT) AS res12",
+        "(CAST(ssq_tot AS DECIMAL(38,0)) div n) AS brier12",
+        f"(CAST(gbar12 AS DECIMAL(38,0)) * (1000000000000 - gbar12))"
+        f" div {pico_d} AS unc12",
+    )
+    q6 = lambda c: (F.expr(f"{c} div 1000000")).cast("double") / 1e6  # noqa: E731
+    return out.select(
+        "n",
+        F.lit(int(n_bins)).alias("n_bins"),
+        q6("brier12").alias("brier_q6"),
+        q6("rel12").alias("reliability_q6"),
+        q6("res12").alias("resolution_q6"),
+        q6("unc12").alias("uncertainty_q6"),
+    )

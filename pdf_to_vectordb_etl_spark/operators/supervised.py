@@ -325,3 +325,139 @@ def target_encode_loo(
             ).alias("enc_q6"),
         )
     )
+
+
+def bradley_terry_strengths(
+    cells: DataFrame,
+    n_rounds: int = 6,
+    grid: int = 10**9,
+    min_a: int = 10**3,
+) -> DataFrame:
+    """Bradley–Terry preference strengths via Hunter's MM algorithm
+    (Bradley & Terry 1952; Hunter 2004 "MM algorithms for generalized
+    Bradley-Terry models" — both public): fit item strengths p_i from
+    a directed pairwise win table — the standard aggregator for
+    preference/comparison data (LLM-judge A/B verdicts, human ranking
+    labels) before it becomes a reward or curation signal.
+
+    ``cells`` is (i, j, w): w = number of times i beat j (directed;
+    missing pairs are zero). The MM update
+    p_i' = W_i / sum_j n_ij/(p_i+p_j), renormalized each round.
+
+    Exactness: strengths live on an INTEGER grid (sum ~= ``grid``),
+    and every round is integer arithmetic only — each division is the
+    subtract-modulo exact DECIMAL(38,0) floor-division (decimal `/`
+    rounds half-up and `div`'s BIGINT would overflow on the big
+    intermediates), every per-item sum is an exact integer sum — so
+    the trajectory is bit-identical in any engine and any partitioning
+    (no float accumulation order anywhere). Magnitude audit (DECIMAL
+    (38,0) ceiling 1e38, quotient ceiling DECIMAL(38,6) ~1e32):
+    t_ij = (n_ij*1e18)//(a_i+a_j) <= n_ij*5e14; denom_i >= n_i*5e8;
+    raw_i = (W_i*1e24)//denom_i <= 2e15; a_i' = (raw_i*grid)//tot
+    <= grid. Valid to n_ij ~ 1e12 comparisons per pair.
+
+    The zero-win degeneracy (p_i -> 0 for never-winning items) is
+    clamped at ``min_a`` (strength 1e-6 of the mass) — also what keeps
+    every a_i + a_j >= 2*min_a so the t_ij quotient is bounded.
+
+    Distributed shape: one symmetrization agg, then per round ONE
+    cells-with-strengths join + one per-item integer agg + one scalar
+    cross-join renormalization; lineage cut per round with
+    localCheckpoint (the iterative-convergence rule — k^rounds plan
+    blowup otherwise). State is item-cardinality, corpus touched never
+    (cells are pre-aggregated). Returns (item, wins, n_comparisons,
+    a_grid, strength_q9)."""
+    S = "CAST(1000000000000000000 AS DECIMAL(38,0))"  # 1e18
+    sym = (
+        cells.selectExpr("i", "j", "CAST(w AS BIGINT) AS w")
+        .unionByName(
+            cells.selectExpr("j AS i", "i AS j", "CAST(0 AS BIGINT) AS w")
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("w").cast("long").alias("w"))
+    )
+    pairs = (
+        sym.alias("a")
+        .join(
+            sym.selectExpr("j AS i", "i AS j", "w AS w_rev").alias("b"),
+            ["i", "j"],
+            "left",
+        )
+        .selectExpr("i", "j", "w", "w + coalesce(w_rev, 0) AS n_ij")
+        .filter(F.col("n_ij") > 0)
+        .localCheckpoint(eager=True)
+    )
+    items = (
+        pairs.groupBy("i")
+        .agg(
+            F.sum("w").cast("long").alias("wins"),
+            F.sum("n_ij").cast("long").alias("n_comp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    k = items.count()
+    if k == 0:
+        return items.selectExpr(
+            "i AS item",
+            "wins",
+            "n_comp AS n_comparisons",
+            "CAST(NULL AS BIGINT) AS a_grid",
+            "CAST(NULL AS DOUBLE) AS strength_q9",
+        )
+    a0 = max(int(min_a), int(grid) // k)
+    cur = items.select("i", F.lit(a0).cast("long").alias("a"))
+    for _ in range(int(n_rounds)):
+        with_a = (
+            pairs.join(cur.withColumnRenamed("a", "ai"), "i")
+            .join(
+                cur.selectExpr("i AS j", "a AS aj"),
+                "j",
+            )
+        )
+        denom = with_a.selectExpr(
+            "i",
+            f"(CAST(n_ij AS DECIMAL(38,0)) * {S}) AS num",
+            "CAST(ai + aj AS DECIMAL(38,0)) AS den",
+        ).selectExpr(
+            "i", "(num - num % den) / den AS t"
+        ).groupBy("i").agg(
+            F.sum(F.col("t").cast("decimal(38,0)")).alias("denom")
+        )
+        raw = (
+            items.join(denom, "i")
+            .selectExpr(
+                "i",
+                f"(CAST(wins AS DECIMAL(38,0)) * {S}"
+                " * CAST(1000000 AS DECIMAL(38,0))) AS num",
+                "denom AS den",
+            )
+            .selectExpr(
+                "i",
+                "CASE WHEN den > 0"
+                " THEN CAST((num - num % den) / den AS DECIMAL(38,0))"
+                " ELSE CAST(0 AS DECIMAL(38,0)) END AS raw",
+            )
+        )
+        tot = raw.agg(
+            F.sum("raw").cast("decimal(38,0)").alias("tot")
+        )
+        cur = (
+            raw.crossJoin(tot)
+            .selectExpr(
+                "i",
+                f"greatest(CAST({int(min_a)} AS BIGINT), CASE WHEN tot > 0"
+                f" THEN CAST((raw * {int(grid)} - (raw * {int(grid)}) % tot)"
+                " / tot AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS a",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        items.join(cur, "i")
+        .selectExpr(
+            "i AS item",
+            "wins",
+            "n_comp AS n_comparisons",
+            "a AS a_grid",
+            f"CAST(a AS DOUBLE) / {int(grid)} AS strength_q9",
+        )
+    )

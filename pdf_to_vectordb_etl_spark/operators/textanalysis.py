@@ -1310,3 +1310,243 @@ def keyphrases_tfidf(
         )
         .orderBy("doc_id", "rank")
     )
+
+
+def wordpiece_vocab(
+    df: DataFrame,
+    vocab_size: int = 64,
+    max_piece_len: int = 4,
+    max_word_len: int = 12,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Position-flavored WordPiece piece table (Schuster & Nakajima
+    2012 / Devlin et al. 2018 BERT WordPiece, public): pieces are
+    word-INITIAL or CONTINUATION (BERT's ``##`` prefix), derived
+    deterministically from the corpus — every single character seen in
+    each flavor plus the top ``vocab_size`` multi-char substrings per
+    flavor with frequency >= ``min_count`` (count desc, piece asc — the
+    unigram_seed_pieces convention, so an oracle rebuilds it without
+    state). Returns (piece, is_cont, n), checkpointed.
+
+    Scale: the corpus collapses ONCE to the word-frequency vocab; the
+    span explosion runs over vocab rows only (sublinear in corpus)."""
+    words = (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+        )
+        .filter((F.length("w") > 0) & (F.length("w") <= max_word_len))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("wlen", F.length("w").cast("int"))
+    )
+    occ = _word_spans(words, max_piece_len)
+    fc = occ.groupBy("piece", (F.col("i") > 0).alias("is_cont")).agg(
+        F.sum("freq").cast("long").alias("n")
+    )
+    chars = fc.filter(F.length("piece") == 1)
+    multi = fc.filter((F.length("piece") > 1) & (F.col("n") >= min_count))
+    top_init = (
+        multi.filter(~F.col("is_cont"))
+        .orderBy(F.desc("n"), "piece")
+        .limit(vocab_size)
+    )
+    top_cont = (
+        multi.filter(F.col("is_cont"))
+        .orderBy(F.desc("n"), "piece")
+        .limit(vocab_size)
+    )
+    return chars.unionByName(top_init).unionByName(top_cont).localCheckpoint(
+        eager=True
+    )
+
+
+def wordpiece_encode(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_piece_len: int = 4,
+    max_word_len: int = 12,
+) -> DataFrame:
+    """WordPiece greedy longest-match-first tokenization (the BERT
+    inference algorithm, public): per word, repeatedly take the
+    longest vocab piece matching at the cursor (initial flavor at
+    position 0, continuation after); a word with no match at any
+    cursor is wholly OOV ([UNK] semantics). Integer-exact and
+    tie-free by construction — the argmax is on span length alone.
+
+    Vocab-collapse scale shape (the unigram_lm_encode design):
+    DISTINCT words segment once; the greedy walk is a bounded
+    ``aggregate`` over a per-word (position -> furthest-match) MAP
+    (<= max_word_len entries, built with one span join + max agg) —
+    the map is bound once per word, and each step is one
+    map_contains_key-guarded lookup (ANSI element_at raises on
+    missing keys). Returns (id, n_words, n_oov_words, n_tokens)
+    for every input document (0s for empty docs)."""
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda wd: F.length(wd) > 0,
+    )
+    stream = df.select(
+        F.col(id_col).alias("_id"), F.explode_outer(arr).alias("w")
+    )
+    vw = (
+        stream.select("w")
+        .filter(F.col("w").isNotNull())
+        .distinct()
+        .withColumn("wlen", F.length("w").cast("int"))
+        .filter(F.col("wlen") <= max_word_len)
+    )
+    spans = _word_spans(vw, max_piece_len)
+    matched = spans.join(
+        vocab.select("piece", "is_cont"),
+        (spans["piece"] == vocab["piece"])
+        & (vocab["is_cont"] == (spans["i"] > 0)),
+    )
+    bestj = matched.groupBy(spans["w"].alias("w"), "i").agg(
+        F.max("j").alias("bj"), F.max("wlen").alias("wlen")
+    )
+    perw = bestj.groupBy("w", "wlen").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("i"), F.col("bj")))
+        ).alias("m")
+    )
+    # greedy walk: advance the cursor to m[pos] while a match exists;
+    # every step advances >= 1, so max_word_len iterations always
+    # reach wlen or a stuck cursor (-1)
+    state0 = F.struct(
+        F.lit(0).cast("int").alias("pos"), F.lit(0).cast("int").alias("cnt")
+    )
+    walked = perw.select(
+        "w",
+        "wlen",
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(int(max_word_len))),
+            state0,
+            lambda st, _: F.when(
+                (st["pos"] < 0) | (st["pos"] >= F.col("wlen")), st
+            )
+            .when(
+                F.map_contains_key(F.col("m"), st["pos"]),
+                F.struct(
+                    F.element_at(F.col("m"), st["pos"]).alias("pos"),
+                    (st["cnt"] + 1).alias("cnt"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.lit(-1).cast("int").alias("pos"),
+                    st["cnt"].alias("cnt"),
+                )
+            ),
+        ).alias("st"),
+    )
+    per_word = walked.select(
+        "w",
+        F.when(F.col("st.pos") == F.col("wlen"), F.col("st.cnt")).alias(
+            "toks"
+        ),
+    )
+    real = F.col("w").isNotNull()
+    return (
+        stream.join(per_word, "w", "left")
+        .groupBy("_id")
+        .agg(
+            F.sum(real.cast("int")).cast("long").alias("n_words"),
+            F.sum((real & F.col("toks").isNull()).cast("int"))
+            .cast("long")
+            .alias("n_oov_words"),
+            F.coalesce(F.sum(F.when(real, F.col("toks"))), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_words",
+            "n_oov_words",
+            "n_tokens",
+        )
+    )
+
+
+def wordpiece_train_merges(
+    df: DataFrame, n_merges: int = 6, text_col: str = "text"
+) -> DataFrame:
+    """WordPiece tokenizer TRAINING (Schuster & Nakajima 2012; the
+    likelihood-gain objective popularized by BERT, public):
+    ``n_merges`` greedy rounds picking the adjacent symbol pair that
+    maximizes score = freq(ab) / (freq(a) * freq(b)) — the merge that
+    most increases corpus likelihood under a unigram symbol model —
+    instead of BPE's raw-count argmax. Returns (step, l, r, n, score_q12).
+
+    Exactness: the score argmax is on the INTEGER quantized
+    score_q12 = (freq(ab) * 1e12) // (freq(a) * freq(b)) — exact
+    DECIMAL(38,0) products + `div` (quotient <= 1e12 since
+    freq(ab) <= min(freq(a), freq(b)); BIGINT-safe), ties broken
+    (l, r) lexicographically — bit-deterministic in any engine.
+    Same ``' sym '`` double-space symbol encoding, vocab-collapsed
+    corpus, per-round localCheckpoint, and O(n_merges) 1-row driver
+    argmax loop as bpe_train_merges (textanalysis.py:497)."""
+    words = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+    ).filter(F.length("w") > 0)
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select("freq", F.regexp_replace("w", "(.)", " $1 ").alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    ws = F.split(F.trim(F.col("s")), "  ")
+    pairs = F.when(
+        F.size(ws) > 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.struct(
+                F.element_at(ws, i).alias("l"),
+                F.element_at(ws, i + 1).alias("r"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+    merges = []
+    for step in range(1, n_merges + 1):
+        syms = (
+            vocab.select("freq", F.explode(ws).alias("sym"))
+            .groupBy("sym")
+            .agg(F.sum("freq").cast("long").alias("f"))
+        )
+        pc = (
+            vocab.select("freq", F.explode(pairs).alias("p"))
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").cast("long").alias("n"))
+        )
+        top = (
+            pc.join(syms.selectExpr("sym AS l", "f AS fl"), "l")
+            .join(syms.selectExpr("sym AS r", "f AS fr"), "r")
+            .selectExpr(
+                "l",
+                "r",
+                "n",
+                "(CAST(n AS DECIMAL(38,0))"
+                " * CAST(1000000000000 AS DECIMAL(38,0)))"
+                " div (CAST(fl AS DECIMAL(38,0)) * fr) AS score_q12",
+            )
+            .orderBy(F.desc("score_q12"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n, sq = (
+            top[0]["l"], top[0]["r"], top[0]["n"], top[0]["score_q12"],
+        )
+        merges.append((step, a, b, n, sq))
+        vocab = vocab.select(
+            "freq",
+            F.replace(
+                F.col("s"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
+            ).alias("s"),
+        ).localCheckpoint(eager=True)
+    return df.sparkSession.createDataFrame(
+        merges, "step INT, l STRING, r STRING, n BIGINT, score_q12 BIGINT"
+    )

@@ -91,3 +91,153 @@ def test_t30_second_run_admits_nothing_new(spark, sf_dir):
     run()
     n2 = spark.read.parquet(f"{out}/data").count()
     assert n1 > 0 and n2 == n1
+
+
+def test_fleiss_kappa_hand_fixture(spark):
+    """Every item rated a,a,a,b,b: P_i = (9+4-5)/20 = 0.4 exactly,
+    P_e = 0.6^2+0.4^2 = 0.52, kappa = -0.12/0.48 = -0.25; a singleton
+    item is dropped and counted."""
+    from pdf_to_vectordb_etl_spark.operators.evaluation import fleiss_kappa
+
+    rows = [(i, c) for i in range(10) for c in (["a"] * 3 + ["b"] * 2)]
+    rows.append((99, "a"))
+    df = spark.createDataFrame(rows, "item long, cat string")
+    r = fleiss_kappa(df, "item", "cat").first()
+    assert r["n_items"] == 10 and r["n_dropped"] == 1
+    assert r["n_ratings"] == 50
+    assert abs(r["p_bar_q12"] - 0.4) < 1e-9
+    assert abs(r["p_e_q12"] - 0.52) < 1e-9
+    assert abs(r["kappa_q6"] - (-0.25)) < 1e-9
+
+
+def test_fleiss_kappa_saturated_and_empty(spark):
+    """Perfect single-category agreement saturates chance (P_e = 1)
+    -> NULL kappa; an all-singleton table keeps zero items -> NULLs."""
+    from pdf_to_vectordb_etl_spark.operators.evaluation import fleiss_kappa
+
+    perfect = spark.createDataFrame(
+        [(i, "a") for i in range(5) for _ in range(3)],
+        "item long, cat string",
+    )
+    r = perfect.transform(lambda d: fleiss_kappa(d, "item", "cat")).first()
+    assert r["p_bar_q12"] == 1.0 and r["p_e_q12"] == 1.0
+    assert r["kappa_q6"] is None
+    solo = spark.createDataFrame(
+        [(i, "a") for i in range(4)], "item long, cat string"
+    )
+    r2 = fleiss_kappa(solo, "item", "cat").first()
+    assert r2["n_items"] == 0 and r2["n_dropped"] == 4
+    assert r2["kappa_q6"] is None
+
+
+def test_brier_decomposition_perfect_and_identity(spark):
+    """A perfect 0/1 forecast has BRIER = REL = 0 and RES = UNC; a
+    generic forecast satisfies Murphy's identity up to the within-bin
+    forecast variance (>= 0) plus grid quantization."""
+    from pdf_to_vectordb_etl_spark.operators.evaluation import (
+        brier_decomposition,
+    )
+
+    perfect = spark.createDataFrame(
+        [(1000000 if i % 3 == 0 else 0, i % 3 == 0) for i in range(30)],
+        "p_micro long, y boolean",
+    )
+    r = brier_decomposition(perfect, "p_micro", "y", n_bins=10).first()
+    assert r["brier_q6"] == 0.0 and r["reliability_q6"] == 0.0
+    assert abs(r["resolution_q6"] - r["uncertainty_q6"]) <= 2e-6
+
+    generic = spark.createDataFrame(
+        [(i * 10000, (i * 7) % 100 < i) for i in range(100)],
+        "p_micro long, y boolean",
+    )
+    g = brier_decomposition(generic, "p_micro", "y", n_bins=10).first()
+    # brier = rel - res + unc + (Var_k(p) - 2 Cov_k(p,y)) averaged over
+    # bins: Var_k(p) <= (w/2)^2 and |Cov_k(p,y)| <= (w/2)(1/2) for bin
+    # width w = 0.1, so the binned identity holds to |gap| <= 0.053
+    gap = g["brier_q6"] - (
+        g["reliability_q6"] - g["resolution_q6"] + g["uncertainty_q6"]
+    )
+    assert abs(gap) <= 0.053 + 3e-6
+
+
+def test_bradley_terry_matches_converged_mm(spark):
+    """6 integer-grid MM rounds land within 0.01 of the converged
+    float MM fixed point on a 3-item tournament; a never-winning item
+    clamps at the 1e-6 floor and the sole winner takes ~all mass."""
+    from pdf_to_vectordb_etl_spark.operators.supervised import (
+        bradley_terry_strengths,
+    )
+
+    cells = spark.createDataFrame(
+        [("a", "b", 8), ("b", "a", 2), ("a", "c", 7), ("c", "a", 3),
+         ("b", "c", 6), ("c", "b", 4)],
+        "i string, j string, w long",
+    )
+    got = {
+        r["item"]: r["strength_q9"]
+        for r in bradley_terry_strengths(cells, n_rounds=6).collect()
+    }
+    # converged float MM reference (50 rounds): a .5997 b .2147 c .1856
+    assert abs(got["a"] - 0.5997) < 0.01
+    assert abs(got["b"] - 0.2147) < 0.01
+    assert abs(got["c"] - 0.1856) < 0.01
+    assert abs(sum(got.values()) - 1.0) < 1e-3
+
+    solo = spark.createDataFrame([("a", "b", 5)], "i string, j string, w long")
+    s = {r["item"]: r for r in bradley_terry_strengths(solo, 6).collect()}
+    assert s["a"]["strength_q9"] == 1.0
+    assert s["b"]["strength_q9"] == 1e-6
+    assert s["a"]["wins"] == 5 and s["a"]["n_comparisons"] == 5
+
+    empty = bradley_terry_strengths(cells.filter("w < 0"), 3)
+    assert empty.count() == 0
+
+
+def test_wordpiece_encode_greedy_hand_fixture(spark):
+    """Explicit flavored vocab: greedy longest-match (capped at
+    max_piece_len=4) segments 'unhappy' as un|h|a|p|p|y = 6,
+    'unhappiness' as un|h|a|p|p|i|ness = 7 (ness wins at pos 7),
+    'un' = 1; 'zzz' has no initial match -> whole-word OOV; empty
+    docs report zeros."""
+    from pdf_to_vectordb_etl_spark.operators.textanalysis import (
+        wordpiece_encode,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "unhappy unhappiness un un zzz"), (2, ""), (3, "ness")],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame(
+        [("un", False), ("ness", True), ("h", True), ("a", True),
+         ("p", True), ("y", True), ("n", True), ("e", True), ("s", True),
+         ("i", True)],
+        "piece string, is_cont boolean",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in wordpiece_encode(docs, vocab).collect()
+    }
+    assert got[1]["n_words"] == 5
+    assert got[1]["n_oov_words"] == 1  # zzz
+    assert got[1]["n_tokens"] == 6 + 7 + 1 + 1
+    assert got[2]["n_words"] == 0 and got[2]["n_tokens"] == 0
+    # 'ness' at word start needs an INITIAL flavor piece: 'n' is only
+    # continuation here, so the word is OOV — flavor matters
+    assert got[3]["n_oov_words"] == 1
+
+
+def test_wordpiece_train_prefers_likelihood_over_raw_count(spark):
+    """'xq' appears 3x but x,q are rare (score 3/(3*3)); 'ab' appears
+    4x from frequent a,b (score 4/(8*8)) — WordPiece must merge xq
+    first even though ab has the higher raw count; BPE would pick ab."""
+    from pdf_to_vectordb_etl_spark.operators.textanalysis import (
+        bpe_train_merges,
+        wordpiece_train_merges,
+    )
+
+    text = " ".join(["ab"] * 4 + ["xq"] * 3 + ["a b"] * 4)
+    docs = spark.createDataFrame([(text,)], "text string")
+    wp = wordpiece_train_merges(docs, n_merges=1).first()
+    assert (wp["l"], wp["r"]) == ("x", "q")
+    bpe = bpe_train_merges(docs, n_merges=1).first()
+    assert (bpe["l"], bpe["r"]) == ("a", "b")
