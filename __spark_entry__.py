@@ -7976,6 +7976,55 @@ def q_t18_stream_woe(spark, sf):
     )
 
 
+def q_ccnet_ppl_buckets(spark, sf):
+    """CCNet head/middle/tail staging of the corpus: per-source exact
+    tertiles of the Kneser-Ney LM score (higher = lower perplexity =
+    head). Ranks via ONE global_row_number over (source, -score, id)
+    — within-source ranks are contiguous, so no per-source window
+    exists anywhere in the plan; tertile cuts are integer arithmetic."""
+    from pdf_to_vectordb_etl_spark.operators import curation, textanalysis
+
+    docs = _t(spark, sf, "documents")
+    scores = textanalysis.kneser_ney_scores(docs)
+    return curation.ccnet_perplexity_buckets(docs, scores)
+
+
+def q_l_diversity(spark, sf):
+    """l-diversity (l=2) risk profile over the same quasi-identifiers
+    as q_k_anonymity with `source` as the sensitive attribute — the
+    distinct-sensitive-values-per-class check that catches what
+    k-anonymity misses (large but homogeneous classes)."""
+    from pdf_to_vectordb_etl_spark.operators import quality_checks
+
+    d = _t(spark, sf, "documents").select(
+        "lang",
+        "source",
+        (F.col("n_chars") / 100).cast("long").alias("size_band"),
+    )
+    return quality_checks.l_diversity_report(
+        d, ["lang", "size_band"], "source", l=2
+    )
+
+
+def q_graph_ppr(spark, sf):
+    """Personalized PageRank (3 iterations, damping 0.85) over the
+    user-journey transition graph, restarted at the
+    {purchase, signup} seed set — restart AND dangling mass return to
+    the seeds. Same canonical per-iteration join+agg plan as
+    q_graph_pagerank; empty seed intersection -> empty result on both
+    engines."""
+    from pdf_to_vectordb_etl_spark.operators import graph
+
+    ev = _t(spark, sf, "events").withColumn("tus", F.expr("ts div 1000"))
+    edges = graph.transition_edges(ev)
+    seeds = spark.createDataFrame(
+        [("purchase",), ("signup",)], "node string"
+    )
+    return graph.personalized_pagerank(
+        edges, seeds, iterations=3, damping=0.85, weight_col="w"
+    )
+
+
 def q_wordpiece_encode(spark, sf):
     """WordPiece greedy longest-match-first tokenization of the
     ASCII-projected corpus with a deterministically-derived
@@ -8440,6 +8489,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t31_stream_bradley_terry": q_t31_stream_bradley_terry,
         "wordpiece_encode": q_wordpiece_encode,
         "wordpiece_train": q_wordpiece_train,
+        "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
+        "l_diversity": q_l_diversity,
+        "graph_ppr": q_graph_ppr,
         "attribution_touch": q_attribution_touch,
         "benford_law": q_benford_law,
         "t24_stream_benford": q_t24_stream_benford,
@@ -9028,6 +9080,45 @@ def _kcenter_oracle_sql(k: int = 8, start_id: int = 0) -> str:
               WHERE id = {start_id}),{",".join(blocks)}
             SELECT sel_rank, id AS vec_id, round(min_dist, 6) AS min_dist
             FROM {prev}
+        """
+
+
+# Kneser-Ney per-doc score SQL — shared verbatim by the ta_kneser_ney
+# oracle and (as a subquery) the ccnet_ppl_buckets tertile replay.
+_KN_ORACLE_SQL = r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '\s+')) AS tok,
+                     unnest(range(len(string_split_regex(lower(text), '\s+')))) AS pos
+              FROM documents),
+            t2 AS (SELECT * FROM toks WHERE tok <> ''),
+            big AS (
+              SELECT doc_id, tok AS w1,
+                     lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+              FROM t2),
+            b2 AS (SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL),
+            bc AS (SELECT w1, w2, count(*) AS c12 FROM b2 GROUP BY w1, w2),
+            hist AS (
+              SELECT w1, sum(c12) AS c1, count(*) AS n1_fwd
+              FROM bc GROUP BY w1),
+            cont AS (SELECT w2, count(*) AS n1_bwd FROM bc GROUP BY w2),
+            nb AS (SELECT count(*) AS b FROM bc),
+            scored AS (
+              SELECT b2.doc_id,
+                     greatest(
+                       greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0)
+                         / c1
+                       + (0.75 * n1_fwd / c1)
+                         * (coalesce(n1_bwd, 0) / CAST(b AS DOUBLE)),
+                       1e-9) AS p
+              FROM b2
+              JOIN bc USING (w1, w2)
+              JOIN hist USING (w1)
+              JOIN cont USING (w2)
+              CROSS JOIN nb)
+            SELECT doc_id, round(avg(ln(p)), 4) AS kn_score,
+                   CAST(count(*) AS BIGINT) AS n_bigrams
+            FROM scored GROUP BY doc_id
         """
 
 
@@ -9927,41 +10018,7 @@ def oracle_sql() -> dict[str, str]:
         # Kneser-Ney: the same rational count ratios; the single ln at
         # the end follows the ta_bigram_lm round-4 convention
         "curation_pipeline_report": _curation_pipeline_oracle_sql(),
-        "ta_kneser_ney": r"""
-            WITH toks AS (
-              SELECT doc_id,
-                     unnest(string_split_regex(lower(text), '\s+')) AS tok,
-                     unnest(range(len(string_split_regex(lower(text), '\s+')))) AS pos
-              FROM documents),
-            t2 AS (SELECT * FROM toks WHERE tok <> ''),
-            big AS (
-              SELECT doc_id, tok AS w1,
-                     lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
-              FROM t2),
-            b2 AS (SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL),
-            bc AS (SELECT w1, w2, count(*) AS c12 FROM b2 GROUP BY w1, w2),
-            hist AS (
-              SELECT w1, sum(c12) AS c1, count(*) AS n1_fwd
-              FROM bc GROUP BY w1),
-            cont AS (SELECT w2, count(*) AS n1_bwd FROM bc GROUP BY w2),
-            nb AS (SELECT count(*) AS b FROM bc),
-            scored AS (
-              SELECT b2.doc_id,
-                     greatest(
-                       greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0)
-                         / c1
-                       + (0.75 * n1_fwd / c1)
-                         * (coalesce(n1_bwd, 0) / CAST(b AS DOUBLE)),
-                       1e-9) AS p
-              FROM b2
-              JOIN bc USING (w1, w2)
-              JOIN hist USING (w1)
-              JOIN cont USING (w2)
-              CROSS JOIN nb)
-            SELECT doc_id, round(avg(ln(p)), 4) AS kn_score,
-                   CAST(count(*) AS BIGINT) AS n_bigrams
-            FROM scored GROUP BY doc_id
-        """,
+        "ta_kneser_ney": _KN_ORACLE_SQL,
         "ta_langid": r"""
             WITH s AS (
               SELECT doc_id,
@@ -12390,6 +12447,102 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bradley_terry": _bt_oracle_sql(6),
         "wordpiece_train": _wordpiece_train_oracle_sql(6),
+        # tertile ranks replay the operator's (source, -score, id)
+        # global order as a per-source window (the oracle may window
+        # freely — it runs on DuckDB); min/max are over round-4 values
+        "ccnet_ppl_buckets": f"""
+            WITH sc AS MATERIALIZED ({_KN_ORACLE_SQL}),
+            j AS (
+              SELECT d.source, s.doc_id, s.kn_score
+              FROM documents d JOIN sc s ON d.doc_id = s.doc_id),
+            r AS (
+              SELECT source, kn_score,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY kn_score DESC, doc_id) AS rk,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM j)
+            SELECT source,
+                   CASE WHEN rk * 3 <= n THEN 'head'
+                        WHEN rk * 3 <= 2 * n THEN 'middle'
+                        ELSE 'tail' END AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   min(kn_score) AS score_min,
+                   max(kn_score) AS score_max
+            FROM r GROUP BY source, bucket
+        """,
+        "l_diversity": """
+            WITH per AS (
+              SELECT lang, n_chars // 100 AS size_band,
+                     CAST(count(DISTINCT source) AS BIGINT) AS div,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM documents
+              GROUP BY lang, n_chars // 100),
+            s AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_classes,
+                     CAST(sum(CASE WHEN div < 2 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS classes_under_l,
+                     CAST(sum(CASE WHEN div < 2 THEN n ELSE 0 END)
+                          AS BIGINT) AS rows_under_l,
+                     CAST(min(div) AS BIGINT) AS min_diversity,
+                     CAST(sum(n) AS BIGINT) AS n_rows
+              FROM per)
+            SELECT n_classes, classes_under_l, rows_under_l,
+                   min_diversity,
+                   (min_diversity >= 2) AS l_diverse,
+                   round(rows_under_l * 1.0 / n_rows, 4)
+                     AS suppression_frac
+            FROM s
+        """,
+        # PPR: restart/dangling mass return to the seed set; float
+        # literals written as 1 - 0.85 so the IEEE value matches
+        # Python's 1.0 - damping exactly
+        "graph_ppr": """
+            WITH e0 AS (
+              SELECT user_id, event_type, epoch_us(ts) AS tus, event_id
+              FROM events),
+            tr AS (
+              SELECT event_type AS s,
+                     lead(event_type) OVER (PARTITION BY user_id
+                       ORDER BY tus, event_id) AS t
+              FROM e0),
+            e AS (SELECT s AS src, t AS dst, CAST(count(*) AS DOUBLE) AS w
+                  FROM tr WHERE t IS NOT NULL GROUP BY s, t),
+            ow AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+            p AS (SELECT e.src, e.dst, w / ow AS p
+                  FROM e JOIN ow ON e.src = ow.src),
+            nodes AS (SELECT DISTINCT node FROM (
+              SELECT src AS node FROM e UNION SELECT dst FROM e)),
+            ns AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM nodes
+                   WHERE node IN ('purchase', 'signup')),
+            base AS (SELECT node,
+                            CASE WHEN node IN ('purchase', 'signup')
+                                 THEN 1.0 / ns.k ELSE 0.0 END AS s
+                     FROM nodes CROSS JOIN ns WHERE ns.k > 0),
+            hasout AS (SELECT DISTINCT src FROM p),
+            r0 AS (SELECT node, s, s AS rank FROM base),
+            d0 AS (SELECT coalesce(sum(rank), 0) AS m FROM r0
+                   LEFT JOIN hasout ON node = src WHERE src IS NULL),
+            c0 AS (SELECT dst, sum(rank * p.p) AS c
+                   FROM r0 JOIN p ON node = p.src GROUP BY dst),
+            r1 AS (SELECT node, s, (1 - 0.85) * s
+                     + 0.85 * (coalesce(c, 0) + d0.m * s) AS rank
+                   FROM base LEFT JOIN c0 ON node = dst CROSS JOIN d0),
+            d1 AS (SELECT coalesce(sum(rank), 0) AS m FROM r1
+                   LEFT JOIN hasout ON node = src WHERE src IS NULL),
+            c1 AS (SELECT dst, sum(rank * p.p) AS c
+                   FROM r1 JOIN p ON node = p.src GROUP BY dst),
+            r2 AS (SELECT node, s, (1 - 0.85) * s
+                     + 0.85 * (coalesce(c, 0) + d1.m * s) AS rank
+                   FROM base LEFT JOIN c1 ON node = dst CROSS JOIN d1),
+            d2 AS (SELECT coalesce(sum(rank), 0) AS m FROM r2
+                   LEFT JOIN hasout ON node = src WHERE src IS NULL),
+            c2 AS (SELECT dst, sum(rank * p.p) AS c
+                   FROM r2 JOIN p ON node = p.src GROUP BY dst),
+            r3 AS (SELECT node, (1 - 0.85) * s
+                     + 0.85 * (coalesce(c, 0) + d2.m * s) AS rank
+                   FROM base LEFT JOIN c2 ON node = dst CROSS JOIN d2)
+            SELECT node, round(rank, 6) AS rank FROM r3
+        """,
         # WordPiece greedy encode: vocab rebuilt deterministically
         # (flavored counts, top-64 per flavor, count desc piece asc),
         # then the tie-free greedy walk as a LINEAR recursive CTE over

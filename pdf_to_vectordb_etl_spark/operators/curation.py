@@ -800,3 +800,63 @@ def max_cover_select(
     return spark.createDataFrame(
         picked, "round INT, doc_id LONG, gain LONG, covered_total LONG"
     )
+
+
+def ccnet_perplexity_buckets(
+    df: DataFrame,
+    scores: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    score_col: str = "kn_score",
+) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity bucketing (Wenzek et
+    al. 2020, public): per source (CCNet buckets per language), rank
+    scored documents by LM score (higher mean log-prob = lower
+    perplexity = better) and cut at exact tertiles — head gets the
+    best third, the split every CCNet-descended pipeline (LLaMA,
+    RedPajama) uses to stage-sample its web corpus.
+
+    Exact and engine-agnostic: ranks come from ONE
+    ``global_row_number`` over (source, -score, id) — the sanctioned
+    range-partitioned global-order primitive, no single-partition
+    window; within-source ranks are then contiguous, so per-source
+    rank = rn - min(rn) + 1 via one agg join (no per-source window at
+    all). Tertile cuts are integer arithmetic (rank*3 <= n). Only
+    docs present in ``scores`` participate (too-short docs carry no
+    LM evidence).
+
+    Returns one row per (source, bucket): n_docs, score_min,
+    score_max (scores are already round-4, so min/max are exact)."""
+    from .suffixes import global_row_number
+
+    j = df.select(
+        F.col(id_col).alias("_id"), F.col(source_col).alias("source")
+    ).join(
+        scores.select(
+            F.col(id_col).alias("_id"), F.col(score_col).alias("_s")
+        ),
+        "_id",
+    )
+    ordered = j.select(
+        "source", "_id", "_s", (-F.col("_s")).alias("_neg")
+    )
+    rn = global_row_number(ordered, ["source", "_neg", "_id"], "rn")
+    per = rn.groupBy(F.col("source").alias("_src")).agg(
+        F.min("rn").alias("_rn0"), F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    b = rn.join(per, rn["source"] == per["_src"]).select(
+        "source",
+        "_s",
+        (F.col("rn") - F.col("_rn0") + 1).alias("_rank"),
+        "_n",
+    )
+    bucket = (
+        F.when(F.col("_rank") * 3 <= F.col("_n"), F.lit("head"))
+        .when(F.col("_rank") * 3 <= 2 * F.col("_n"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return b.groupBy("source", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("_s").alias("score_min"),
+        F.max("_s").alias("score_max"),
+    )

@@ -732,3 +732,101 @@ def hyperball_neighborhood(
     return edges.sparkSession.createDataFrame(
         out, "t INT, n_nodes BIGINT, nf_q6 BIGINT"
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Personalized PageRank (Page et al. 1999 §6 / Jeh & Widom 2003,
+    public): random-walk-with-restart relevance of every node TO a
+    seed set — the standard graph-proximity signal for seed-anchored
+    expansion (find pages/domains "near" a trusted whitelist before
+    admitting them to a corpus):
+
+        r'(v) = (1-d)·s(v) + d·(Σ_{u→v} r(u)·p(u,v) + dangling·s(v))
+
+    where s is uniform over the seeds — restart AND dangling mass both
+    return to the seed set (the difference from :func:`pagerank`'s
+    uniform 1/N terms; everything else — per-iteration plan, persist
+    rotation, O(iterations) driver scalars — is the same canonical
+    shape). Seed rows not present in the graph are ignored. Returns
+    (node, rank rounded to 6); rank mass concentrates near seeds.
+    """
+    agg_w = F.sum(weight_col) if weight_col else F.count("*")
+    e = edges.groupBy(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).agg(agg_w.cast("double").alias("_w"))
+    outw = e.groupBy("src").agg(F.sum("_w").alias("_ow"))
+    probs = e.join(outw, "src").select(
+        "src", "dst", (F.col("_w") / F.col("_ow")).alias("p")
+    ).persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    seed_nodes = (
+        nodes.join(
+            seeds.select(F.col(seeds.columns[0]).alias("node")).distinct(),
+            "node",
+        )
+        .persist()
+    )
+    n_seeds = seed_nodes.count()
+    if n_seeds == 0:
+        for df_ in (probs, nodes, seed_nodes):
+            df_.unpersist()
+        return nodes.select(
+            "node", F.lit(None).cast("double").alias("rank")
+        ).limit(0)
+    base = nodes.join(
+        seed_nodes.withColumn("_s", F.lit(1.0 / n_seeds)),
+        "node",
+        "left",
+    ).select("node", F.coalesce(F.col("_s"), F.lit(0.0)).alias("s"))
+    base = base.persist()
+    has_out = probs.select("src").distinct()
+    ranks = base.select("node", "s", F.col("s").alias("rank"))
+    prev_ranks = None
+    for _ in range(iterations):
+        dang = (
+            ranks.join(has_out, ranks["node"] == has_out["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+            .first()["m"]
+        )
+        contrib = (
+            ranks.join(probs, ranks["node"] == probs["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("c"))
+        )
+        ranks = (
+            base.join(contrib, base["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                "s",
+                (
+                    F.lit(1.0 - damping) * F.col("s")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.lit(dang) * F.col("s")
+                    )
+                ).alias("rank"),
+            )
+            .persist()
+        )
+        ranks.count()
+        if prev_ranks is not None and prev_ranks.is_cached:
+            prev_ranks.unpersist()
+        prev_ranks = ranks
+    for df_ in (probs, nodes, seed_nodes, base):
+        if df_.is_cached:
+            df_.unpersist()
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

@@ -117,3 +117,51 @@ def k_anonymity_report(
             "suppression_frac"
         ),
     )
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_identifiers: list[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """l-diversity risk profile (Machanavajjhala et al. 2007, public):
+    k-anonymity's necessary companion — an equivalence class whose
+    rows all share ONE sensitive value leaks it even when the class is
+    large, so every class must carry at least ``l`` DISTINCT sensitive
+    values. Returns one summary row mirroring k_anonymity_report:
+    class count, classes/rows under l, the l the data actually
+    satisfies, and the suppression fraction.
+
+    One hash agg over (QI, sensitive) then one over QI (both
+    partial-combinable, distinct folded into the first agg's key), one
+    fold — the per-class table never leaves the executors."""
+    per = (
+        df.groupBy(*quasi_identifiers, F.col(sensitive_col).alias("_sv"))
+        .agg(F.count("*").alias("_nv"))
+        .groupBy(*quasi_identifiers)
+        .agg(
+            F.count("*").alias("_div"),
+            F.sum("_nv").cast("long").alias("_n"),
+        )
+    )
+    return per.agg(
+        F.count("*").alias("n_classes"),
+        F.sum(F.when(F.col("_div") < l, 1).otherwise(0))
+        .cast("long")
+        .alias("classes_under_l"),
+        F.sum(F.when(F.col("_div") < l, F.col("_n")).otherwise(0))
+        .cast("long")
+        .alias("rows_under_l"),
+        F.min("_div").cast("long").alias("min_diversity"),
+        F.sum("_n").cast("long").alias("n_rows"),
+    ).select(
+        "n_classes",
+        "classes_under_l",
+        "rows_under_l",
+        "min_diversity",
+        (F.col("min_diversity") >= l).alias("l_diverse"),
+        F.round(F.col("rows_under_l") / F.col("n_rows"), 4).alias(
+            "suppression_frac"
+        ),
+    )

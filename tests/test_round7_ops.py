@@ -241,3 +241,82 @@ def test_wordpiece_train_prefers_likelihood_over_raw_count(spark):
     assert (wp["l"], wp["r"]) == ("x", "q")
     bpe = bpe_train_merges(docs, n_merges=1).first()
     assert (bpe["l"], bpe["r"]) == ("a", "b")
+
+
+def test_ccnet_buckets_exact_tertiles(spark):
+    """9 docs, one source, distinct scores: exactly 3/3/3 into
+    head/middle/tail with head = the 3 highest scores; a second
+    source with 4 docs splits 1/1/2 (rank*3 <= n integer cuts)."""
+    from pdf_to_vectordb_etl_spark.operators.curation import (
+        ccnet_perplexity_buckets,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "s1") for i in range(9)] + [(i, "s2") for i in range(10, 14)],
+        "doc_id long, source string",
+    )
+    scores = spark.createDataFrame(
+        [(i, -float(i)) for i in range(9)]
+        + [(i, -float(i)) for i in range(10, 14)],
+        "doc_id long, kn_score double",
+    )
+    out = {
+        (r["source"], r["bucket"]): r
+        for r in ccnet_perplexity_buckets(docs, scores).collect()
+    }
+    assert out[("s1", "head")]["n_docs"] == 3
+    assert out[("s1", "middle")]["n_docs"] == 3
+    assert out[("s1", "tail")]["n_docs"] == 3
+    # head = highest scores = -0,-1,-2
+    assert out[("s1", "head")]["score_min"] == -2.0
+    assert out[("s1", "head")]["score_max"] == 0.0
+    assert out[("s1", "tail")]["score_max"] == -6.0
+    assert out[("s2", "head")]["n_docs"] == 1
+    assert out[("s2", "middle")]["n_docs"] == 1
+    assert out[("s2", "tail")]["n_docs"] == 2
+
+
+def test_l_diversity_catches_homogeneous_class(spark):
+    """A large class with ONE sensitive value is k-anonymous but not
+    l-diverse — the report must count it under l."""
+    from pdf_to_vectordb_etl_spark.operators.quality_checks import (
+        l_diversity_report,
+    )
+
+    rows = [("a", 1, "x")] * 10 + [("b", 1, "x"), ("b", 1, "y"),
+                                   ("b", 1, "z")]
+    df = spark.createDataFrame(rows, "qi string, band int, sens string")
+    r = l_diversity_report(df, ["qi", "band"], "sens", l=2).first()
+    assert r["n_classes"] == 2
+    assert r["classes_under_l"] == 1
+    assert r["rows_under_l"] == 10
+    assert r["min_diversity"] == 1
+    assert r["l_diverse"] is False
+    assert abs(r["suppression_frac"] - round(10 / 13, 4)) < 1e-9
+
+
+def test_personalized_pagerank_concentrates_on_seeds(spark):
+    """On a 4-cycle with one seed, the seed holds the most rank, total
+    mass stays ~1, and disjoint seeds return an empty frame."""
+    from pdf_to_vectordb_etl_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(edges, seeds, iterations=4).collect()
+    }
+    assert max(got, key=got.get) == "a"
+    assert abs(sum(got.values()) - 1.0) < 1e-3
+    # proximity ordering on the cycle: b (1 hop) > c (2 hops)
+    assert got["b"] > got["c"]
+
+    none = personalized_pagerank(
+        edges, spark.createDataFrame([("zz",)], "node string"), 2
+    )
+    assert none.count() == 0
