@@ -7976,6 +7976,30 @@ def q_t18_stream_woe(spark, sf):
     )
 
 
+def q_cross_corpus_lcs(spark, sf):
+    """Longest substring shared by the two md5-split halves of the
+    corpus — char-level contamination evidence (the ExactSubstr
+    signal) via binary search on window length with two-phase
+    hash-agg probes. The oracle takes the classical route: max LCP
+    over adjacent CROSS-ORIGIN suffixes in the merged suffix sort —
+    two genuinely different algorithms must agree. Same ASCII/120-char
+    projection and doc_id < 100 cap as longest_repeated_substring."""
+    from pdf_to_vectordb_etl_spark.operators import suffixes
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    d2 = docs.select(
+        "doc_id",
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8",
+            F.lit("a"),
+        ).otherwise(F.lit("b")).alias("cor"),
+        F.regexp_replace(
+            F.substring("text", 1, 120), r"[^\x20-\x7e]", ""
+        ).alias("text"),
+    )
+    return suffixes.cross_corpus_lcs(d2, "cor")
+
+
 def q_ccnet_ppl_buckets(spark, sf):
     """CCNet head/middle/tail staging of the corpus: per-source exact
     tertiles of the Kneser-Ney LM score (higher = lower perplexity =
@@ -8492,6 +8516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
         "l_diversity": q_l_diversity,
         "graph_ppr": q_graph_ppr,
+        "cross_corpus_lcs": q_cross_corpus_lcs,
         "attribution_touch": q_attribution_touch,
         "benford_law": q_benford_law,
         "t24_stream_benford": q_t24_stream_benford,
@@ -12447,6 +12472,62 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bradley_terry": _bt_oracle_sql(6),
         "wordpiece_train": _wordpiece_train_oracle_sql(6),
+        # classical route: in the merged suffix sort, some adjacent
+        # cross-origin pair attains the max cross-corpus LCP (lcp over
+        # a sorted range = min of adjacent lcps, and the origin must
+        # switch somewhere inside any cross pair's range)
+        "cross_corpus_lcs": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                               < '8' THEN 'a' ELSE 'b' END AS cor,
+                     regexp_replace(substr(text, 1, 120),
+                                    '[^\x20-\x7e]', '', 'g') AS t
+              FROM documents WHERE doc_id < 100),
+            s AS (
+              SELECT doc_id, cor, substr(t, p + 1) AS suf
+              FROM (SELECT doc_id, cor, t, unnest(range(length(t))) AS p
+                    FROM d)),
+            o AS (SELECT suf, cor,
+                         lead(suf) OVER (ORDER BY suf) AS nxt,
+                         lead(cor) OVER (ORDER BY suf) AS ncor
+                  FROM s),
+            pr AS (SELECT suf, nxt FROM o
+                   WHERE nxt IS NOT NULL AND cor <> ncor),
+            kk AS (
+              SELECT suf, nxt,
+                     unnest(generate_series(
+                       1, least(length(suf), length(nxt)))) AS k
+              FROM pr),
+            lcps AS (
+              SELECT suf, nxt, max(k) AS lcp FROM kk
+              WHERE substr(suf, 1, k) = substr(nxt, 1, k)
+              GROUP BY suf, nxt),
+            mx AS (SELECT max(lcp) AS lcs_len FROM lcps),
+            w AS (
+              SELECT doc_id, cor,
+                     substr(t, p + 1, (SELECT lcs_len FROM mx)) AS sub
+              FROM (SELECT doc_id, cor, t, unnest(range(length(t))) AS p
+                    FROM d)
+              WHERE p + (SELECT lcs_len FROM mx) <= length(t)),
+            hot AS (
+              SELECT sub, CAST(count(*) AS BIGINT) AS n_occurrences,
+                     CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                     CAST(count(DISTINCT cor) AS BIGINT) AS n_corpora
+              FROM w GROUP BY sub
+              HAVING count(DISTINCT cor) >= 2),
+            win AS (SELECT * FROM hot ORDER BY sub LIMIT 1)
+            SELECT CAST(coalesce((SELECT lcs_len FROM mx), 0) AS INT)
+                     AS lcs_len,
+                   (SELECT sub FROM win) AS lcs,
+                   CAST(coalesce((SELECT n_occurrences FROM win), 0)
+                        AS BIGINT) AS n_occurrences,
+                   CAST(coalesce((SELECT n_docs FROM win), 0) AS BIGINT)
+                     AS n_docs,
+                   CAST(coalesce((SELECT n_corpora FROM win), 0)
+                        AS BIGINT) AS n_corpora
+            FROM (SELECT 1)
+        """,
         # tertile ranks replay the operator's (source, -score, id)
         # global order as a per-source window (the oracle may window
         # freely — it runs on DuckDB); min/max are over round-4 values

@@ -541,3 +541,123 @@ def global_ntile(
     ).cast("int")
     out = out.withColumn(out_col, bucket)
     return out if rn_col else out.drop(keep_rn)
+
+
+def _verified_cross_windows(src: DataFrame, m: int) -> DataFrame:
+    """(sub, n_occurrences, n_docs, n_corpora) for every length-``m``
+    substring present in >= 2 DISTINCT corpora — the cross-corpus
+    variant of :func:`_verified_hot_windows`, same two-phase design:
+    the corpus-wide agg groups 8-byte hashes and keeps only hashes
+    whose corpus tags differ (min != max — works for any tag domain);
+    survivors re-derive their substring and are re-verified by VALUE
+    with per-corpus distinct counts, so a 64-bit collision can neither
+    fake nor hide a cross-corpus match. ``src`` is (id, cor, _t)."""
+    wh = (
+        src.select(
+            "id",
+            "cor",
+            F.explode(
+                F.transform(
+                    _window_starts(m),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.xxhash64(
+                            F.col("_t").substr(i, F.lit(m))
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("e"),
+        ).select("id", "cor", "e.i", "e.h")
+    )
+    hot_h = (
+        wh.groupBy("h")
+        .agg(F.min("cor").alias("_lo"), F.max("cor").alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
+        .select("h")
+    )
+    cand = (
+        wh.join(hot_h, "h")
+        .groupBy("id")
+        .agg(F.collect_list("i").alias("cis"))
+    )
+    vals = src.join(cand, "id").select(
+        "id",
+        "cor",
+        F.explode(
+            F.transform(
+                F.col("cis"), lambda i: F.col("_t").substr(i, F.lit(m))
+            )
+        ).alias("sub"),
+    )
+    return (
+        vals.groupBy("sub")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("id").alias("n_docs"),
+            F.countDistinct("cor").alias("n_corpora"),
+        )
+        .filter(F.col("n_corpora") >= 2)
+    )
+
+
+def cross_corpus_lcs(
+    df: DataFrame,
+    corpus_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Longest substring present in at least TWO distinct corpora —
+    char-level contamination evidence between a training corpus and a
+    benchmark/eval split (the signal behind ExactSubstr-style
+    decontamination, Lee et al. 2022), without building the joint
+    suffix array: "some length-m window appears in >= 2 corpora" is
+    monotone in m, so O(log max_len) two-phase hash-agg passes
+    (:func:`_verified_cross_windows` — raw text never shuffles through
+    the corpus-sized agg) bracket the answer exactly, then one pass
+    extracts the lexicographically-smallest witness.
+
+    Returns ONE row: (lcs_len, lcs, n_occurrences, n_docs, n_corpora)
+    — zeros and NULL lcs when the corpora share no character. The
+    oracle derives the same answer by the classical route (max LCP
+    over adjacent cross-origin suffixes in the merged sort — correct
+    because lcp over a sorted range is the min of adjacent lcps, so
+    some origin-switching adjacent pair attains the max)."""
+    t = F.col(text_col)
+    src = df.select(
+        F.col(id_col).alias("id"),
+        F.col(corpus_col).alias("cor"),
+        t.alias("_t"),
+    ).filter(F.length("_t") > 0)
+    src = src.localCheckpoint(eager=True)
+    max_len = int(src.agg(F.max(F.length("_t"))).first()[0] or 0)
+
+    def crosses(m: int) -> bool:
+        return _verified_cross_windows(src, m).limit(1).count() > 0
+
+    spark = df.sparkSession
+    empty = spark.createDataFrame(
+        [(0, None, 0, 0, 0)],
+        "lcs_len INT, lcs STRING, n_occurrences BIGINT,"
+        " n_docs BIGINT, n_corpora BIGINT",
+    )
+    if max_len == 0 or not crosses(1):
+        return empty
+    lo, hi = 1, max_len
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if crosses(mid):
+            lo = mid
+        else:
+            hi = mid - 1
+    hot = _verified_cross_windows(src, lo)
+    return (
+        hot.orderBy("sub")
+        .limit(1)
+        .select(
+            F.lit(lo).alias("lcs_len"),
+            F.col("sub").alias("lcs"),
+            "n_occurrences",
+            "n_docs",
+            "n_corpora",
+        )
+    )

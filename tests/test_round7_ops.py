@@ -320,3 +320,33 @@ def test_personalized_pagerank_concentrates_on_seeds(spark):
         edges, spark.createDataFrame([("zz",)], "node string"), 2
     )
     assert none.count() == 0
+
+
+def test_cross_corpus_lcs_ignores_within_corpus_repeats(spark):
+    """Corpus A repeats 'WWWWWWWWWW' internally (longer than anything
+    shared) but the LONGEST CROSS-corpus substring is 'shared-seq':
+    within-corpus repeats must not win; witness is the lexicographic
+    smallest at the max length; disjoint corpora -> 0/NULL row."""
+    from pdf_to_vectordb_etl_spark.operators.suffixes import (
+        cross_corpus_lcs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "xx shared-seq yy WWWWWWWWWW"),
+            (2, "a", "qq WWWWWWWWWW zz"),
+            (3, "b", "ko shared-seq pf"),
+        ],
+        "doc_id long, cor string, text string",
+    )
+    r = cross_corpus_lcs(df, "cor").first()
+    assert r["lcs"] == " shared-seq "
+    assert r["lcs_len"] == 12
+    assert r["n_corpora"] == 2 and r["n_docs"] == 2
+
+    disjoint = spark.createDataFrame(
+        [(1, "a", "abc"), (2, "b", "xyz")],
+        "doc_id long, cor string, text string",
+    )
+    r2 = cross_corpus_lcs(disjoint, "cor").first()
+    assert r2["lcs_len"] == 0 and r2["lcs"] is None
