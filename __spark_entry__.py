@@ -7976,6 +7976,85 @@ def q_t18_stream_woe(spark, sf):
     )
 
 
+def q_fdr_bh(spark, sf):
+    """Benjamini-Hochberg FDR over per-source proportion screens: each
+    source's English share vs the corpus share as a z² statistic,
+    mapped through the monotone 1/(1+z²) to a deterministic
+    oracle-replayable screening score (the OPERATOR takes real
+    p-values; the fixture needs bit-identical ones, and every op here
+    is a single IEEE product/division replayed verbatim in SQL).
+    Ranks via global_row_number; alpha=0.2."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation as ev
+
+    docs = _t(spark, sf, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("lang") == "en").cast("int")).cast("long").alias("x"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("nn"), F.sum("x").cast("long").alias("xx")
+    )
+    sc = per.crossJoin(tot).selectExpr(
+        "source",
+        "CAST(xx AS DOUBLE) / nn AS p0",
+        "CAST(x AS DOUBLE) - n * (CAST(xx AS DOUBLE) / nn) AS d",
+        "n",
+    ).selectExpr(
+        "source",
+        "CASE WHEN p0 > 0 AND p0 < 1"
+        " THEN 1.0 / (1.0 + (d * d) / ((n * p0) * (1.0 - p0))) END AS p",
+    )
+    return ev.fdr_bh(sc, "p", "source", alpha=0.2)
+
+
+def q_source_jaccard(spark, sf):
+    """Exact pairwise Jaccard between source shingle sets — the
+    corpus-composition diagnostic for mixture planning. Inverted-index
+    self-join on distinct (source, shingle); |sources|²-bounded
+    output; j_q6 is integer floor division (no float)."""
+    from pdf_to_vectordb_etl_spark.operators import profiling
+
+    docs = _t(spark, sf, "documents")
+    return profiling.source_jaccard_matrix(docs)
+
+
+def q_t32_stream_brier(spark, sf):
+    """T32 — live calibration monitor: per-bin Brier cells (<= 20 rows
+    of integer sums, associative) as the streaming state, snapshot
+    through the IDENTICAL Murphy-decomposition finale as the batch
+    query; the batch SQL is the parity oracle."""
+    import tempfile
+
+    from pdf_to_vectordb_etl_spark.operators import evaluation as ev
+
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+        .filter(F.col("value").isNotNull() & (F.col("value") >= 0))
+        .select(
+            F.floor(
+                F.col("value") / (F.col("value") + 100) * 1000000
+            ).cast("long").alias("p_micro"),
+            F.col("event_type").isin("purchase", "signup").alias("y"),
+        )
+    )
+    live = ev.brier_cells(stream, "p_micro", "y", n_bins=20)
+    name = "t32_brier_cells"
+    q = (
+        live.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t32ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    return ev.brier_finale(spark.table(name), n_bins=20)
+
+
 def q_cross_corpus_lcs(spark, sf):
     """Longest substring shared by the two md5-split halves of the
     corpus — char-level contamination evidence (the ExactSubstr
@@ -8517,6 +8596,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity": q_l_diversity,
         "graph_ppr": q_graph_ppr,
         "cross_corpus_lcs": q_cross_corpus_lcs,
+        "t32_stream_brier": q_t32_stream_brier,
+        "fdr_bh": q_fdr_bh,
+        "source_jaccard": q_source_jaccard,
         "attribution_touch": q_attribution_touch,
         "benford_law": q_benford_law,
         "t24_stream_benford": q_t24_stream_benford,
@@ -12472,6 +12554,64 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bradley_terry": _bt_oracle_sql(6),
         "wordpiece_train": _wordpiece_train_oracle_sql(6),
+        # BH replay: identical IEEE product comparisons (p*m vs
+        # rank*0.2), window rank fine here (oracle side only)
+        "fdr_bh": """
+            WITH per AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS x
+              FROM documents GROUP BY source),
+            tot AS (
+              SELECT CAST(sum(n) AS BIGINT) AS nn,
+                     CAST(sum(x) AS BIGINT) AS xx
+              FROM per),
+            sc0 AS (
+              SELECT source,
+                     CAST(xx AS DOUBLE) / nn AS p0,
+                     CAST(x AS DOUBLE) - n * (CAST(xx AS DOUBLE) / nn)
+                       AS d,
+                     n
+              FROM per CROSS JOIN tot),
+            sc AS (
+              SELECT source,
+                     CASE WHEN p0 > 0 AND p0 < 1
+                          THEN 1.0 / (1.0 + (d * d)
+                               / ((n * p0) * (1.0 - p0))) END AS p
+              FROM sc0),
+            r AS (
+              SELECT source, p,
+                     row_number() OVER (ORDER BY p, source) AS rank,
+                     count(*) OVER () AS m
+              FROM sc WHERE p IS NOT NULL),
+            k AS (SELECT coalesce(max(rank), 0) AS k FROM r
+                  WHERE p * m <= rank * 0.2)
+            SELECT source AS key, p, CAST(rank AS BIGINT) AS rank,
+                   rank <= k.k AS rejected
+            FROM r CROSS JOIN k
+        """,
+        "source_jaccard": f"""
+            WITH sh AS (
+              SELECT source, {_SHINGLES} AS shingles
+              FROM (SELECT source, string_split({_NORM}, ' ') AS w
+                    FROM documents)),
+            ex AS (SELECT DISTINCT source AS src, unnest(shingles) AS s
+                   FROM sh),
+            sizes AS (SELECT src, CAST(count(*) AS BIGINT) AS sz
+                      FROM ex GROUP BY src),
+            inter AS (
+              SELECT a.src AS s1, b.src AS s2,
+                     CAST(count(*) AS BIGINT) AS inter
+              FROM ex a JOIN ex b ON a.s = b.s AND a.src < b.src
+              GROUP BY 1, 2)
+            SELECT s1, s2, inter,
+                   z1.sz + z2.sz - inter AS uni,
+                   (inter * 1000000 // (z1.sz + z2.sz - inter)) / 1e6
+                     AS j_q6
+            FROM inter
+            JOIN sizes z1 ON s1 = z1.src
+            JOIN sizes z2 ON s2 = z2.src
+        """,
         # classical route: in the merged suffix sort, some adjacent
         # cross-origin pair attains the max cross-corpus LCP (lcp over
         # a sorted range = min of adjacent lcps, and the origin must
@@ -16874,6 +17014,7 @@ def oracle_sql() -> dict[str, str]:
     d["t19_stream_minhash_screen"] = d["dedup_incremental_minhash"]
     d["t30_stream_bloom_dedup"] = d["dedup_incremental_exact"]
     d["t31_stream_bradley_terry"] = d["bradley_terry"]
+    d["t32_stream_brier"] = d["brier_decomposition"]
     d["t28_stream_contamination"] = d["contamination_bench"]
     d["t29_stream_gopher_gate"] = d["gopher_by_source"]
     # Bloom-screened variant admits the identical set (no false negatives)

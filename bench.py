@@ -117,6 +117,9 @@ def main() -> None:
         "curation_pipeline_report",# flagship curation funnel (r6, benched r7)
         "ta_kneser_ney",           # interpolated KN bigram LM scoring (r6)
         "ks_two_sample",           # exact two-sample KS via prefix sums (r6)
+        "ccnet_ppl_buckets",       # CCNet tertile staging over KN scores (r7)
+        "wordpiece_encode",        # greedy WordPiece apply, vocab-collapsed (r7)
+        "bradley_terry",           # integer-grid MM preference fit (r7)
         "enem_questions" if "enem_questions" in entry.queries() else "ta_fingerprint",
     ]
     qs = entry.queries()

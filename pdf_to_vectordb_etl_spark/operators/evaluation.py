@@ -2455,6 +2455,21 @@ def brier_decomposition(
     One hash agg to <= n_bins cells, one bounded rollup. Returns one
     row: (n, n_bins, brier_q6, reliability_q6, resolution_q6,
     uncertainty_q6)."""
+    return brier_finale(
+        brier_cells(df, pred_micro_col, label_col, n_bins), n_bins
+    )
+
+
+def brier_cells(
+    df: DataFrame,
+    pred_micro_col: str,
+    label_col: str,
+    n_bins: int = 20,
+) -> DataFrame:
+    """The <= n_bins associative state relation behind
+    :func:`brier_decomposition` — per-bin (nk, sp, sy, ssq) integer
+    sums, all partial-combinable, so it doubles as a streaming
+    complete-mode aggregate (T32's live calibration monitor)."""
     b = F.lit(int(n_bins)).cast("long")
     p = F.col(pred_micro_col).cast("long")
     y = F.col(label_col).cast("int").cast("long")
@@ -2467,12 +2482,18 @@ def brier_decomposition(
             "sq"
         ),
     )
-    cells = binned.groupBy("bin").agg(
+    return binned.groupBy("bin").agg(
         F.count(F.lit(1)).cast("long").alias("nk"),
         F.sum("p_micro").cast("decimal(38,0)").alias("sp"),
         F.sum("y").cast("long").alias("sy"),
         F.sum("sq").alias("ssq"),
     )
+
+
+def brier_finale(cells: DataFrame, n_bins: int = 20) -> DataFrame:
+    """Murphy-decomposition finale over a (bin, nk, sp, sy, ssq) cell
+    relation — shared verbatim by the batch operator and the T32
+    streaming snapshot (the cells/finale recipe)."""
     pico_d = "CAST(1000000000000 AS DECIMAL(38,0))"
     lifted = cells.select(
         "nk",
@@ -2541,4 +2562,50 @@ def brier_decomposition(
         q6("rel12").alias("reliability_q6"),
         q6("res12").alias("resolution_q6"),
         q6("unc12").alias("uncertainty_q6"),
+    )
+
+
+def fdr_bh(
+    df: DataFrame,
+    p_col: str,
+    key_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini–Hochberg FDR control (Benjamini & Hochberg 1995,
+    public) over a (test key, p-value) relation — the standard
+    correction when a pipeline screens MANY segments/metrics at once
+    (per-domain A/B readouts, per-filter ablations) and raw p < alpha
+    would drown in false discoveries.
+
+    Procedure: rank p ascending (ties broken by key), find the largest
+    k with p_(k) <= k*alpha/m, reject ranks 1..k. The comparison is
+    evaluated as ``p * m <= rank * alpha`` — two single IEEE products
+    on identical operands in either engine, no accumulation, so the
+    reject set is bit-deterministic given deterministic p's.
+
+    Ranks come from ONE :func:`~..suffixes.global_row_number` over
+    (p, key) — range partition + offsets, no single-partition window;
+    k* is one agg broadcast back. Returns the full per-key relation
+    (key, p, rank, rejected) — output is test-count-sized, not
+    corpus-sized."""
+    from .suffixes import global_row_number
+
+    base = df.select(
+        F.col(key_col).alias("key"), F.col(p_col).cast("double").alias("p")
+    ).filter(F.col("p").isNotNull())
+    m = base.count()
+    spark = df.sparkSession
+    if m == 0:
+        return spark.createDataFrame(
+            [], "key string, p double, rank long, rejected boolean"
+        )
+    rn = global_row_number(base, ["p", "key"], "rank")
+    kstar_row = (
+        rn.filter(F.col("p") * m <= F.col("rank") * alpha)
+        .agg(F.max("rank").alias("k"))
+        .first()
+    )
+    kstar = kstar_row["k"] or 0
+    return rn.select(
+        "key", "p", "rank", (F.col("rank") <= kstar).alias("rejected")
     )

@@ -346,3 +346,56 @@ def benford_first_digit(
     Returns one row: n, n_skipped (value ≤ 0 on the grid),
     d1_q6..d9_q6 observed shares, chi2_q (3dp), mad_q6."""
     return benford_finale(benford_digit_counts(df, value_col, scale))
+
+
+def source_jaccard_matrix(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Pairwise Jaccard similarity between the word-shingle sets of
+    every corpus source — the corpus-composition diagnostic behind
+    mixture planning (two sources with high overlap double-count
+    their tokens; candidates for merging or deduplication ACROSS
+    sources). Exact, not sketched: the inverted-index self-join on
+    8-byte shingle hashes produces at most |sources|² rows per
+    distinct shingle, and the output is |sources|²-bounded.
+
+    Jaccard reports as an exact integer pair (intersection, union)
+    plus j_q6 = (inter*1e6) div union / 1e6 — integer floor division,
+    no float anywhere. Hash collisions: xxhash64 over shingles (the
+    dedup-family convention — collision risk identical to
+    dedup_ngram_jaccard's, documented there)."""
+    from .dedup import normalize_text, word_shingles
+
+    sh = (
+        df.select(
+            F.col(source_col).alias("src"),
+            F.explode(
+                word_shingles(normalize_text(F.col(text_col)), shingle_words)
+            ).alias("sh"),
+        )
+        .select("src", F.xxhash64("sh").alias("h"))
+        .distinct()
+    )
+    sizes = sh.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    a = sh.selectExpr("src AS s1", "h")
+    b = sh.selectExpr("src AS s2", "h")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    return (
+        inter.join(sizes.selectExpr("src AS s1", "sz AS sz1"), "s1")
+        .join(sizes.selectExpr("src AS s2", "sz AS sz2"), "s2")
+        .selectExpr(
+            "s1",
+            "s2",
+            "inter",
+            "sz1 + sz2 - inter AS uni",
+            "(inter * 1000000 div (sz1 + sz2 - inter)) / 1e6 AS j_q6",
+        )
+    )

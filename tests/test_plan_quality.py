@@ -544,3 +544,30 @@ def test_unigram_train_no_corpus_collect_shape(spark, sf_dir):
     plan = _plan(_q(spark, sf_dir, "unigram_lm_train"), "simple")
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_wordpiece_encode_broadcasts_vocab_no_cartesian(spark, sf_dir):
+    # the checkpointed piece table is tiny -> the span⋈vocab join must
+    # broadcast, and the greedy map-walk adds no cartesian/window
+    plan = _plan(_q(spark, sf_dir, "wordpiece_encode"), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_ccnet_buckets_no_per_source_window(spark, sf_dir):
+    # tertile ranks come from global_row_number (range partition +
+    # offsets), NOT a per-source or single-partition Window
+    plan = _plan(_q(spark, sf_dir, "ccnet_ppl_buckets"), "simple")
+    assert "Window [row_number()" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bradley_terry_rounds_are_checkpoint_truncated(spark, sf_dir):
+    # per-round localCheckpoint: the final plan must not contain the
+    # unrolled 6-round join chain (lineage truncation contract) — a
+    # scan of the checkpointed RDD appears instead
+    df = _q(spark, sf_dir, "bradley_terry")
+    plan = _plan(df, "simple")
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 4

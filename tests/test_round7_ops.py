@@ -350,3 +350,58 @@ def test_cross_corpus_lcs_ignores_within_corpus_repeats(spark):
     )
     r2 = cross_corpus_lcs(disjoint, "cor").first()
     assert r2["lcs_len"] == 0 and r2["lcs"] is None
+
+
+def test_fdr_bh_textbook_fixture(spark):
+    """p = .01,.02,.03,.2,.5 at alpha=.1, m=5: BH thresholds k*.02 ->
+    ranks 1..3 rejected (note p4=.2 > .08 even though p3 passed);
+    empty input -> empty frame."""
+    from pdf_to_vectordb_etl_spark.operators.evaluation import fdr_bh
+
+    df = spark.createDataFrame(
+        [("a", 0.01), ("b", 0.02), ("c", 0.03), ("d", 0.2), ("e", 0.5)],
+        "key string, p double",
+    )
+    got = {r["key"]: r for r in fdr_bh(df, "p", "key", alpha=0.1).collect()}
+    assert [got[k]["rejected"] for k in "abcde"] == [
+        True, True, True, False, False
+    ]
+    assert got["c"]["rank"] == 3
+    assert fdr_bh(df.filter("p < 0"), "p", "key").count() == 0
+
+
+def test_fdr_bh_step_up_not_step_down(spark):
+    """BH is STEP-UP: a late rank passing its threshold rescues every
+    smaller rank, even ones that individually failed."""
+    from pdf_to_vectordb_etl_spark.operators.evaluation import fdr_bh
+
+    # p1=.04 > 1*.05/2=.025 fails alone; p2=.05 <= .05 passes -> both
+    df = spark.createDataFrame(
+        [("a", 0.04), ("b", 0.05)], "key string, p double"
+    )
+    got = {r["key"]: r["rejected"] for r in
+           fdr_bh(df, "p", "key", alpha=0.05).collect()}
+    assert got == {"a": True, "b": True}
+
+
+def test_source_jaccard_hand_fixture(spark):
+    """Two sources sharing exactly one 3-shingle out of 2 and 2:
+    J = 1/3; a third disjoint source pairs at no row (inner join)."""
+    from pdf_to_vectordb_etl_spark.operators.profiling import (
+        source_jaccard_matrix,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("s1", "alpha beta gamma delta"),      # shingles: abg, bgd
+            ("s2", "alpha beta gamma epsilon"),    # shingles: abg, bge
+            ("s3", "one two three"),               # shingle: ott
+        ],
+        "source string, text string",
+    )
+    rows = source_jaccard_matrix(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert {r["s1"], r["s2"]} == {"s1", "s2"}
+    assert r["inter"] == 1 and r["uni"] == 3
+    assert abs(r["j_q6"] - 0.333333) < 1e-9

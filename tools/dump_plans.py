@@ -70,6 +70,10 @@ HEADLINE = [
     ("training_export_report", "r7: export funnel — WindowGroupLimit dedup, partitioned pack windows, one-row stage aggs"),
     ("pii_report", "r7: five regexp detectors + agg in one codegen projection; single per-source exchange"),
     ("strip_boilerplate", "r7: posexplode -> inventory join -> single groupBy re-assembly; no sort, no global window"),
+    ("wordpiece_encode", "r7: vocab-collapsed greedy map-walk; span⋈vocab broadcast, no window/cartesian"),
+    ("ccnet_ppl_buckets", "r7: tertile ranks via range-partitioned global_row_number — no per-source window anywhere"),
+    ("bradley_terry", "r7: MM rounds checkpoint-truncated; final plan is a tiny ExistingRDD join, not a 6-round chain"),
+    ("cross_corpus_lcs", "r7: two-phase hash probes — corpus-wide agg on 8-byte hashes only, text joins on candidates"),
     ("dedup_incremental_bloom", "r6: broadcast Bloom screen (4 BHJ) gates the anti-join; zero batch-side shuffle before it"),
     ("unigram_lm_train", "r6: vocab-collapse + per-word HOF Viterbi; no windows, no cartesian"),
     ("ks_two_sample", "r6: packed global_prefix_sum CDF walk; range partition, no single-partition window"),
