@@ -7976,6 +7976,45 @@ def q_t18_stream_woe(spark, sf):
     )
 
 
+def q_t_closeness(spark, sf):
+    """t-closeness (t=0.3) over the q_k_anonymity quasi-identifiers
+    with `source` sensitive — total-variation distance between each
+    class's sensitive distribution and the global one, every deviation
+    an exact DECIMAL(38,0) integer on the common denominator, absent
+    values handled by one algebraic correction term."""
+    from pdf_to_vectordb_etl_spark.operators import quality_checks
+
+    d = _t(spark, sf, "documents").select(
+        "lang",
+        "source",
+        (F.col("n_chars") / 100).cast("long").alias("size_band"),
+    )
+    return quality_checks.t_closeness_report(
+        d, ["lang", "size_band"], "source", t=0.3
+    )
+
+
+def q_lift_table(spark, sf):
+    """Decile lift & cumulative gains for the deterministic conversion
+    forecast (same micro-grid p as brier_decomposition): exact ntile
+    assignment via global_ntile over (-p, event_id), integer per-tile
+    sums, one DECIMAL div per reported ratio; the cumulative prefix is
+    a <=100-row conditional self-join, not a window."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation as ev
+
+    e = _t(spark, sf, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") >= 0)
+    )
+    base = e.select(
+        "event_id",
+        F.floor(
+            F.col("value") / (F.col("value") + 100) * 1000000
+        ).cast("long").alias("p_micro"),
+        F.col("event_type").isin("purchase", "signup").alias("y"),
+    )
+    return ev.lift_table(base, "p_micro", "y", "event_id", n_tiles=10)
+
+
 def q_fdr_bh(spark, sf):
     """Benjamini-Hochberg FDR over per-source proportion screens: each
     source's English share vs the corpus share as a z² statistic,
@@ -8599,6 +8638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t32_stream_brier": q_t32_stream_brier,
         "fdr_bh": q_fdr_bh,
         "source_jaccard": q_source_jaccard,
+        "t_closeness": q_t_closeness,
+        "lift_table": q_lift_table,
         "attribution_touch": q_attribution_touch,
         "benford_law": q_benford_law,
         "t24_stream_benford": q_t24_stream_benford,
@@ -12554,6 +12595,79 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bradley_terry": _bt_oracle_sql(6),
         "wordpiece_train": _wordpiece_train_oracle_sql(6),
+        # total-variation t per class on the common denominator;
+        # absent sensitive values via the (N - px)*nc correction
+        "t_closeness": """
+            WITH cells AS (
+              SELECT lang, n_chars // 100 AS size_band, source AS sv,
+                     CAST(count(*) AS BIGINT) AS x
+              FROM documents GROUP BY 1, 2, 3),
+            cls AS (
+              SELECT lang, size_band, CAST(sum(x) AS BIGINT) AS nc
+              FROM cells GROUP BY 1, 2),
+            gl AS (
+              SELECT sv, CAST(sum(x) AS BIGINT) AS gx
+              FROM cells GROUP BY sv),
+            tot AS (SELECT CAST(sum(gx) AS BIGINT) AS n FROM gl),
+            per AS (
+              SELECT c.lang, c.size_band,
+                     sum(abs(CAST(c.x AS HUGEINT) * t.n
+                             - CAST(g.gx AS HUGEINT) * l.nc)) AS pdev,
+                     CAST(sum(g.gx) AS BIGINT) AS px,
+                     max(l.nc) AS nc, max(t.n) AS n
+              FROM cells c
+              JOIN gl g USING (sv)
+              JOIN cls l USING (lang, size_band)
+              CROSS JOIN tot t
+              GROUP BY 1, 2),
+            mt AS (
+              SELECT ((pdev + CAST(n - px AS HUGEINT) * nc) * 1000000)
+                       // (2 * CAST(nc AS HUGEINT) * n) AS micro_t
+              FROM per)
+            SELECT CAST(count(*) AS BIGINT) AS n_classes,
+                   CAST(coalesce(sum(CASE WHEN micro_t > 300000
+                                     THEN 1 ELSE 0 END), 0) AS BIGINT)
+                     AS classes_over_t,
+                   CAST(max(micro_t) AS BIGINT) / 1e6 AS max_t_q6,
+                   CASE WHEN count(*) > 0 THEN max(micro_t) <= 300000
+                   END AS t_close
+            FROM mt
+        """,
+        "lift_table": """
+            WITH base AS (
+              SELECT event_id,
+                     CAST(floor(value / (value + 100) * 1000000)
+                          AS BIGINT) AS p,
+                     CASE WHEN event_type IN ('purchase', 'signup')
+                          THEN 1 ELSE 0 END AS y
+              FROM events WHERE value IS NOT NULL AND value >= 0),
+            nt AS (
+              SELECT y, ntile(10) OVER (ORDER BY p DESC, event_id)
+                       AS tile
+              FROM base),
+            per AS (
+              SELECT tile, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(y) AS BIGINT) AS responders
+              FROM nt GROUP BY tile),
+            tot AS (
+              SELECT CAST(sum(n) AS BIGINT) AS nn,
+                     CAST(sum(responders) AS BIGINT) AS yy
+              FROM per),
+            cum AS (
+              SELECT tile,
+                     CAST(sum(responders) OVER (ORDER BY tile)
+                          AS BIGINT) AS cum_y
+              FROM per)
+            SELECT p.tile, p.n, p.responders,
+                   CASE WHEN yy > 0 THEN
+                     ((CAST(p.responders AS HUGEINT) * nn * 1000000)
+                      // (CAST(p.n AS HUGEINT) * yy)) / 1e6
+                   END AS lift_q6,
+                   CASE WHEN yy > 0 THEN
+                     ((CAST(c.cum_y AS HUGEINT) * 1000000) // yy) / 1e6
+                   END AS cum_gain_q6
+            FROM per p JOIN cum c ON p.tile = c.tile CROSS JOIN tot
+        """,
         # BH replay: identical IEEE product comparisons (p*m vs
         # rank*0.2), window rank fine here (oracle side only)
         "fdr_bh": """

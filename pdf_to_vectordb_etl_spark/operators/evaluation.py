@@ -2609,3 +2609,66 @@ def fdr_bh(
     return rn.select(
         "key", "p", "rank", (F.col("rank") <= kstar).alias("rejected")
     )
+
+
+def lift_table(
+    df: DataFrame,
+    pred_micro_col: str,
+    label_col: str,
+    id_col: str,
+    n_tiles: int = 10,
+) -> DataFrame:
+    """Decile lift & cumulative-gains table — the classic model-triage
+    readout (does the top-scored 10% actually concentrate the
+    positives?) for a quality/conversion scorer before its threshold
+    gates anything. ``pred_micro_col`` follows the micro-grid contract
+    (see :func:`brier_decomposition`); ``id_col`` breaks score ties so
+    tile assignment is total-order deterministic.
+
+    Tiles come from ONE :func:`~..suffixes.global_ntile` over
+    (-score, id) — range partition + offsets, exact ntile fill, no
+    single-partition window. Per-tile stats are integer sums; lift and
+    cumulative gain quantize once via DECIMAL(38,0) `div`:
+    lift = (y_d*N*1e6) div (n_d*Y), gain = (cum_y*1e6) div Y. The
+    cumulative prefix runs as a <= n_tiles^2-row conditional self-join
+    (tiny by construction), NOT a window. NULL lift when the corpus
+    has no positives. Returns one row per non-empty tile:
+    (tile, n, responders, lift_q6, cum_gain_q6)."""
+    from .suffixes import global_ntile
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        (-F.col(pred_micro_col).cast("long")).alias("_negp"),
+        F.col(label_col).cast("int").cast("long").alias("_y"),
+    )
+    nt = global_ntile(base, ["_negp", "_id"], n_tiles, out_col="tile")
+    per = nt.groupBy("tile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_y").cast("long").alias("responders"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("_nn"),
+        F.sum("responders").cast("long").alias("_yy"),
+    )
+    cum = (
+        per.selectExpr("tile AS _t1")
+        .join(per.selectExpr("tile AS _t2", "responders AS _r2"),
+              F.col("_t2") <= F.col("_t1"))
+        .groupBy("_t1")
+        .agg(F.sum("_r2").cast("long").alias("_cum_y"))
+    )
+    return (
+        per.join(cum, per["tile"] == cum["_t1"])
+        .crossJoin(tot)
+        .selectExpr(
+            "tile",
+            "n",
+            "responders",
+            "CASE WHEN _yy > 0 THEN"
+            " ((CAST(responders AS DECIMAL(38,0)) * _nn * 1000000)"
+            "  div (CAST(n AS DECIMAL(38,0)) * _yy)) / 1e6 END AS lift_q6",
+            "CASE WHEN _yy > 0 THEN"
+            " ((CAST(_cum_y AS DECIMAL(38,0)) * 1000000) div _yy) / 1e6"
+            " END AS cum_gain_q6",
+        )
+    )

@@ -165,3 +165,87 @@ def l_diversity_report(
             "suppression_frac"
         ),
     )
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi_identifiers: list[str],
+    sensitive_col: str,
+    t: float = 0.3,
+) -> DataFrame:
+    """t-closeness risk profile (Li, Li & Venkatasubramanian 2007,
+    public) — the third of the privacy trio after k-anonymity and
+    l-diversity: every equivalence class's SENSITIVE-VALUE DISTRIBUTION
+    must sit within distance ``t`` of the table-wide distribution
+    (a skewed class leaks even when large and diverse). For
+    categorical sensitive attributes the canonical distance is total
+    variation (EMD under uniform ground distance):
+
+        t_c = 1/2 * sum_s |P_c(s) - P(s)|
+
+    Exactness: per (class, value) the deviation lifts to the common
+    denominator — |x_cs*N - X_s*n_c| is an exact DECIMAL(38,0)
+    integer — and values ABSENT from a class contribute exactly
+    (N - sum_{s in c} X_s) * n_c via one algebraic correction term
+    (|0*N - X_s*n_c| = X_s*n_c summed over the absent values), so the
+    (class x value) grid is never densified. Each class's t quantizes
+    ONCE: micro_t = (sum_abs * 1e6) div (2*n_c*N) — BIGINT-safe; the
+    threshold compare is integer vs round(t*1e6).
+
+    Two hash aggs + a value-marginal broadcast join; the class table
+    never leaves the executors. Returns one summary row:
+    (n_classes, classes_over_t, max_t_q6, t_close)."""
+    cells = df.groupBy(
+        *quasi_identifiers, F.col(sensitive_col).alias("_sv")
+    ).agg(F.count("*").cast("long").alias("_x"))
+    cls = cells.groupBy(*quasi_identifiers).agg(
+        F.sum("_x").cast("long").alias("_nc")
+    )
+    glob = cells.groupBy("_sv").agg(F.sum("_x").cast("long").alias("_gx"))
+    tot = glob.agg(F.sum("_gx").cast("long").alias("_n"))
+    per = (
+        cells.join(glob, "_sv")
+        .join(cls, quasi_identifiers)
+        .crossJoin(tot)
+        .groupBy(*quasi_identifiers)
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("_x") * F.lit(1).cast("decimal(38,0)")
+                    * F.col("_n")
+                    - F.col("_gx") * F.lit(1).cast("decimal(38,0)")
+                    * F.col("_nc")
+                )
+            ).alias("_pdev"),
+            F.sum("_gx").cast("long").alias("_px"),
+            F.max("_nc").alias("_nc"),
+            F.max("_n").alias("_n"),
+        )
+        .withColumn(
+            "_sum_abs",
+            F.col("_pdev")
+            + (F.col("_n") - F.col("_px"))
+            * F.lit(1).cast("decimal(38,0)")
+            * F.col("_nc"),
+        )
+        .selectExpr(
+            "(_sum_abs * 1000000) div (2 * CAST(_nc AS DECIMAL(38,0)) * _n)"
+            " AS micro_t"
+        )
+    )
+    thresh = int(round(t * 1e6))
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum((F.col("micro_t") > thresh).cast("int"))
+        .cast("long")
+        .alias("classes_over_t"),
+        F.max("micro_t").alias("_mx"),
+    ).select(
+        "n_classes",
+        F.coalesce(F.col("classes_over_t"), F.lit(0).cast("long")).alias(
+            "classes_over_t"
+        ),
+        (F.col("_mx").cast("double") / 1e6).alias("max_t_q6"),
+        F.when(F.col("n_classes") > 0, F.col("_mx") <= thresh).alias(
+            "t_close"
+        ),
+    )

@@ -405,3 +405,42 @@ def test_source_jaccard_hand_fixture(spark):
     assert {r["s1"], r["s2"]} == {"s1", "s2"}
     assert r["inter"] == 1 and r["uni"] == 3
     assert abs(r["j_q6"] - 0.333333) < 1e-9
+
+
+def test_t_closeness_hand_fixture(spark):
+    """Class A all-x (4), class B 2x2y (4); global (6x, 2y): both
+    classes sit at exactly t = 0.25 — over at t=0.2, within at
+    t=0.25; empty input -> NULLs."""
+    from pdf_to_vectordb_etl_spark.operators.quality_checks import (
+        t_closeness_report,
+    )
+
+    df = spark.createDataFrame(
+        [("A", "x")] * 4 + [("B", "x")] * 2 + [("B", "y")] * 2,
+        "qi string, s string",
+    )
+    strict = t_closeness_report(df, ["qi"], "s", t=0.2).first()
+    assert strict["classes_over_t"] == 2 and strict["t_close"] is False
+    assert abs(strict["max_t_q6"] - 0.25) < 1e-9
+    loose = t_closeness_report(df, ["qi"], "s", t=0.25).first()
+    assert loose["classes_over_t"] == 0 and loose["t_close"] is True
+    empty = t_closeness_report(df.filter("qi = 'z'"), ["qi"], "s").first()
+    assert empty["n_classes"] == 0 and empty["t_close"] is None
+
+
+def test_lift_table_concentrates_positives(spark):
+    """100 rows, positives exactly where score is highest (top 20):
+    deciles 1-2 get lift 5.0, others 0; cumulative gain hits 1.0 at
+    decile 2 and stays."""
+    from pdf_to_vectordb_etl_spark.operators.evaluation import lift_table
+
+    rows = [(i, (100 - i) * 10000, i < 20) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, p_micro long, y boolean")
+    got = {r["tile"]: r for r in
+           lift_table(df, "p_micro", "y", "id", n_tiles=10).collect()}
+    assert got[1]["lift_q6"] == 5.0 and got[2]["lift_q6"] == 5.0
+    assert got[3]["lift_q6"] == 0.0
+    assert got[1]["cum_gain_q6"] == 0.5
+    assert got[2]["cum_gain_q6"] == 1.0
+    assert got[10]["cum_gain_q6"] == 1.0
+    assert all(got[t]["n"] == 10 for t in got)
