@@ -7976,6 +7976,18 @@ def q_t18_stream_woe(spark, sf):
     )
 
 
+def q_rfm_segments(spark, sf):
+    """RFM lifecycle segmentation of the event stream: exact quintiles
+    (global_ntile over unique (-metric, user) keys) of recency/
+    frequency/monetary per user, folded into named segments. Monetary
+    floors each value onto the 1e-6 grid BEFORE summing — no
+    accumulation-order float sum anywhere."""
+    from pdf_to_vectordb_etl_spark.operators import aggregates
+
+    ev = _t(spark, sf, "events")
+    return aggregates.rfm_segments(ev)
+
+
 def q_t_closeness(spark, sf):
     """t-closeness (t=0.3) over the q_k_anonymity quasi-identifiers
     with `source` sensitive — total-variation distance between each
@@ -8640,6 +8652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_jaccard": q_source_jaccard,
         "t_closeness": q_t_closeness,
         "lift_table": q_lift_table,
+        "rfm_segments": q_rfm_segments,
         "attribution_touch": q_attribution_touch,
         "benford_law": q_benford_law,
         "t24_stream_benford": q_t24_stream_benford,
@@ -12595,6 +12608,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bradley_terry": _bt_oracle_sql(6),
         "wordpiece_train": _wordpiece_train_oracle_sql(6),
+        "rfm_segments": """
+            WITH per AS (
+              SELECT user_id AS u,
+                     CAST(max(epoch_ns(ts)) AS BIGINT) AS r_ns,
+                     CAST(count(*) AS BIGINT) AS freq,
+                     CAST(sum(CAST(floor(value * 1000000) AS BIGINT))
+                          AS BIGINT) AS m_micro
+              FROM events WHERE value IS NOT NULL
+              GROUP BY user_id),
+            r AS (SELECT u, ntile(5) OVER (ORDER BY -r_ns, u)
+                         AS r_score FROM per),
+            f AS (SELECT u, ntile(5) OVER (ORDER BY -freq, u)
+                         AS f_score FROM per),
+            m AS (SELECT u, ntile(5) OVER (ORDER BY -m_micro, u)
+                         AS m_score FROM per),
+            sc AS (
+              SELECT per.u, per.m_micro, r_score, f_score, m_score
+              FROM per JOIN r USING (u) JOIN f USING (u)
+              JOIN m USING (u))
+            SELECT CASE WHEN r_score <= 2 AND f_score <= 2
+                          THEN 'champions'
+                        WHEN r_score <= 2 THEN 'recent'
+                        WHEN f_score <= 2 THEN 'at_risk'
+                        ELSE 'hibernating' END AS segment,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(m_micro) AS BIGINT) AS monetary_micro
+            FROM sc GROUP BY 1
+        """,
         # total-variation t per class on the common denominator;
         # absent sensitive values via the (N - px)*nc correction
         "t_closeness": """

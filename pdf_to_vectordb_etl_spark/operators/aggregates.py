@@ -1086,3 +1086,63 @@ def touch_attribution(
         (F.col(ts_col) - F.col("_l").getField("t")).alias("last_gap"),
     )
 
+
+
+def rfm_segments(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_ns_col: str = "ts",
+    value_col: str = "value",
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation (Hughes 1994,
+    public — the classic lifecycle readout): per-user recency (latest
+    event), frequency (event count), monetary (spend), each scored
+    into exact quintiles (tile 1 = best), then folded into named
+    lifecycle segments.
+
+    Exactness: monetary floors every value onto the 1e-6 integer grid
+    BEFORE summing (a per-user double sum would be accumulation-order
+    dependent across engines); recency is the exact max of the integer
+    nanosecond timestamps; all three quintiles come from
+    :func:`~..suffixes.global_ntile` over (-metric, user) — exact
+    ntile fill, unique keys, no single-partition window.
+
+    Returns one row per non-empty segment: (segment, n_users,
+    monetary_micro) — bounded output, integer-exact."""
+    from .suffixes import global_ntile
+
+    per = events.filter(F.col(value_col).isNotNull()).groupBy(
+        F.col(user_col).alias("u")
+    ).agg(
+        F.max(F.col(ts_ns_col)).cast("long").alias("r_ns"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum(F.floor(F.col(value_col) * 1000000).cast("long"))
+        .cast("long")
+        .alias("m_micro"),
+    )
+    per = per.localCheckpoint(eager=True)  # three ntile passes read it
+    r = global_ntile(
+        per.select("u", (-F.col("r_ns")).alias("k")), ["k", "u"], n_tiles,
+        out_col="r_score",
+    ).select("u", "r_score")
+    f = global_ntile(
+        per.select("u", (-F.col("freq")).alias("k")), ["k", "u"], n_tiles,
+        out_col="f_score",
+    ).select("u", "f_score")
+    m = global_ntile(
+        per.select("u", (-F.col("m_micro")).alias("k")), ["k", "u"],
+        n_tiles, out_col="m_score",
+    ).select("u", "m_score")
+    scored = per.join(r, "u").join(f, "u").join(m, "u")
+    seg = (
+        F.when((F.col("r_score") <= 2) & (F.col("f_score") <= 2),
+               F.lit("champions"))
+        .when(F.col("r_score") <= 2, F.lit("recent"))
+        .when(F.col("f_score") <= 2, F.lit("at_risk"))
+        .otherwise(F.lit("hibernating"))
+    )
+    return scored.groupBy(seg.alias("segment")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("m_micro").cast("long").alias("monetary_micro"),
+    )

@@ -444,3 +444,25 @@ def test_lift_table_concentrates_positives(spark):
     assert got[2]["cum_gain_q6"] == 1.0
     assert got[10]["cum_gain_q6"] == 1.0
     assert all(got[t]["n"] == 10 for t in got)
+
+
+def test_rfm_segments_hand_fixture(spark):
+    """10 users with monotone recency/frequency/monetary (user 0 best
+    on all three): quintiles put users 0-3 in champions (r<=2,f<=2),
+    users 4-9 (r,f >= 3) in hibernating; monetary sums are exact
+    micro-grid integers."""
+    from pdf_to_vectordb_etl_spark.operators.aggregates import rfm_segments
+
+    rows = []
+    for u in range(10):
+        for k in range(10 - u):  # freq decreasing in u
+            rows.append((u, (100 - u) * 10**9, 10.5 - u))
+    df = spark.createDataFrame(rows, "user_id long, ts long, value double")
+    got = {r["segment"]: r for r in rfm_segments(df).collect()}
+    assert got["champions"]["n_users"] == 4
+    assert got["hibernating"]["n_users"] == 6
+    assert set(got) == {"champions", "hibernating"}
+    # user 0: 10 events at 10.5 -> 105_000_000 micro; exact
+    total = sum(r["monetary_micro"] for r in got.values())
+    want = sum(int((10.5 - u) * 1e6) * (10 - u) for u in range(10))
+    assert total == want
