@@ -12849,7 +12849,9 @@ def oracle_sql() -> dict[str, str]:
         "l_diversity": """
             WITH per AS (
               SELECT lang, n_chars // 100 AS size_band,
-                     CAST(count(DISTINCT source) AS BIGINT) AS div,
+                     CAST(count(DISTINCT source)
+                          + max(CASE WHEN source IS NULL
+                                THEN 1 ELSE 0 END) AS BIGINT) AS div,
                      CAST(count(*) AS BIGINT) AS n
               FROM documents
               GROUP BY lang, n_chars // 100),
@@ -12865,7 +12867,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_classes, classes_under_l, rows_under_l,
                    min_diversity,
                    (min_diversity >= 2) AS l_diverse,
-                   round(rows_under_l * 1.0 / n_rows, 4)
+                   floor(rows_under_l * 1.0 / n_rows * 10000) / 10000
                      AS suppression_frac
             FROM s
         """,
@@ -16102,8 +16104,8 @@ def oracle_sql() -> dict[str, str]:
                      AS rows_under_k,
                    min(n) AS min_class_size,
                    min(n) >= 5 AS k_anonymous,
-                   round(sum(CASE WHEN n < 5 THEN n ELSE 0 END) * 1.0
-                         / sum(n), 4) AS suppression_frac
+                   floor(sum(CASE WHEN n < 5 THEN n ELSE 0 END) * 1.0
+                         / sum(n) * 10000) / 10000 AS suppression_frac
             FROM g
         """,
         "canary_roundtrip": f"""

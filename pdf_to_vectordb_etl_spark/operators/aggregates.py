@@ -1108,6 +1108,11 @@ def rfm_segments(
     :func:`~..suffixes.global_ntile` over (-metric, user) — exact
     ntile fill, unique keys, no single-partition window.
 
+    Segment cuts scale with ``n_tiles``: "good" = the top 40% of
+    tiles (cut = max(1, 2*n_tiles//5) — 2 of 5 at the default), so a
+    non-default tile count keeps the intended semantics instead of
+    silently skewing them.
+
     Returns one row per non-empty segment: (segment, n_users,
     monetary_micro) — bounded output, integer-exact."""
     from .suffixes import global_ntile
@@ -1135,11 +1140,12 @@ def rfm_segments(
         n_tiles, out_col="m_score",
     ).select("u", "m_score")
     scored = per.join(r, "u").join(f, "u").join(m, "u")
+    cut = max(1, (2 * int(n_tiles)) // 5)
     seg = (
-        F.when((F.col("r_score") <= 2) & (F.col("f_score") <= 2),
+        F.when((F.col("r_score") <= cut) & (F.col("f_score") <= cut),
                F.lit("champions"))
-        .when(F.col("r_score") <= 2, F.lit("recent"))
-        .when(F.col("f_score") <= 2, F.lit("at_risk"))
+        .when(F.col("r_score") <= cut, F.lit("recent"))
+        .when(F.col("f_score") <= cut, F.lit("at_risk"))
         .otherwise(F.lit("hibernating"))
     )
     return scored.groupBy(seg.alias("segment")).agg(

@@ -2345,10 +2345,9 @@ def fleiss_kappa(
     Distributed shape: ONE hash agg to the (item, category) cell
     table, one reagg per item, one bounded category rollup — no
     windows, no corpus-scale float math. Returns one row:
-    (n_items, n_dropped, n_ratings, p_bar_q6, p_e_q6, kappa_q6);
+    (n_items, n_dropped, n_ratings, p_bar_q12, p_e_q12, kappa_q6);
     kappa is NULL when P_e == 1 (single category — chance agreement
     saturates) or no item has 2+ ratings."""
-    pico = F.lit(10**12).cast("decimal(38,0)")
     cells = df.groupBy(
         F.col(item_col).alias("i"), F.col(category_col).alias("cat")
     ).agg(F.count(F.lit(1)).cast("long").alias("nic"))
@@ -2594,11 +2593,16 @@ def fdr_bh(
         F.col(key_col).alias("key"), F.col(p_col).cast("double").alias("p")
     ).filter(F.col("p").isNotNull())
     m = base.count()
-    spark = df.sparkSession
     if m == 0:
-        return spark.createDataFrame(
-            [], "key string, p double, rank long, rejected boolean"
-        )
+        # plan-derived empty frame so the key column keeps the
+        # caller's type (a hardcoded string schema would diverge from
+        # the non-empty path on long/int keys)
+        return base.select(
+            "key",
+            "p",
+            F.lit(None).cast("long").alias("rank"),
+            F.lit(None).cast("boolean").alias("rejected"),
+        ).limit(0)
     rn = global_row_number(base, ["p", "key"], "rank")
     kstar_row = (
         rn.filter(F.col("p") * m <= F.col("rank") * alpha)

@@ -367,13 +367,17 @@ def source_jaccard_matrix(
     no float anywhere. Hash collisions: xxhash64 over shingles (the
     dedup-family convention — collision risk identical to
     dedup_ngram_jaccard's, documented there)."""
-    from .dedup import normalize_text, word_shingles
+    from .dedup import _spread, word_shingles
 
+    # word_shingles normalizes internally; _spread parallelizes the
+    # per-doc shingle transform past a single-file local scan (no-op
+    # on a real multi-split corpus — the blocklist_hits lesson)
     sh = (
-        df.select(
+        _spread(df, F.xxhash64(F.col(text_col)))
+        .select(
             F.col(source_col).alias("src"),
             F.explode(
-                word_shingles(normalize_text(F.col(text_col)), shingle_words)
+                word_shingles(F.col(text_col), shingle_words)
             ).alias("sh"),
         )
         .select("src", F.xxhash64("sh").alias("h"))

@@ -113,9 +113,10 @@ def k_anonymity_report(
         "rows_under_k",
         "min_class_size",
         (F.col("min_class_size") >= k).alias("k_anonymous"),
-        F.round(F.col("rows_under_k") / F.col("n_rows"), 4).alias(
-            "suppression_frac"
-        ),
+        # floor-quantize, never round() a raw double both engines must
+        # agree on (the resample_locf/min_cost_supplier lesson)
+        (F.floor(F.col("rows_under_k") / F.col("n_rows") * 10000) / 10000)
+        .alias("suppression_frac"),
     )
 
 
@@ -132,6 +133,11 @@ def l_diversity_report(
     values. Returns one summary row mirroring k_anonymity_report:
     class count, classes/rows under l, the l the data actually
     satisfies, and the suppression fraction.
+
+    NULL sensitive values count as a distinct value (a missing entry
+    leaks "missing" exactly like any other value — and the two-level
+    groupBy naturally forms a NULL group); the oracle must add the
+    NULL group back to count(DISTINCT), which skips NULLs.
 
     One hash agg over (QI, sensitive) then one over QI (both
     partial-combinable, distinct folded into the first agg's key), one
@@ -161,9 +167,10 @@ def l_diversity_report(
         "rows_under_l",
         "min_diversity",
         (F.col("min_diversity") >= l).alias("l_diverse"),
-        F.round(F.col("rows_under_l") / F.col("n_rows"), 4).alias(
-            "suppression_frac"
-        ),
+        # floor-quantize, never round() a raw double both engines must
+        # agree on (the resample_locf/min_cost_supplier lesson)
+        (F.floor(F.col("rows_under_l") / F.col("n_rows") * 10000) / 10000)
+        .alias("suppression_frac"),
     )
 
 def t_closeness_report(

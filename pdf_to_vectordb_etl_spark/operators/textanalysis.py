@@ -520,6 +520,25 @@ def bpe_train_merges(
     every other occurrence). Words never contain spaces, so the
     encoding is unambiguous and replays byte-identically in any SQL
     engine with literal replace()."""
+    rows = [
+        (step, a, b, n)
+        for step, a, b, n, _ in _train_merges(df, n_merges, text_col,
+                                              likelihood=False)
+    ]
+    return df.sparkSession.createDataFrame(
+        rows, "step INT, l STRING, r STRING, n BIGINT"
+    )
+
+
+def _train_merges(
+    df: DataFrame, n_merges: int, text_col: str, likelihood: bool
+) -> list[tuple]:
+    """Shared greedy merge-training loop behind bpe_train_merges and
+    wordpiece_train_merges — ONE copy of the ' sym ' double-space
+    encoding, the length>0 filter, the per-round localCheckpoint and
+    the literal-replace rewrite, with a pluggable argmax: raw pair
+    count (BPE) or the integer-quantized likelihood score (WordPiece).
+    Returns (step, l, r, n, score_q12_or_None) tuples."""
     words = df.select(
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
     ).filter(F.length("w") > 0)
@@ -543,29 +562,48 @@ def bpe_train_merges(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
-    merges = []
+    merges: list[tuple] = []
     for step in range(1, n_merges + 1):
-        top = (
+        pc = (
             vocab.select("freq", F.explode(pairs).alias("p"))
             .groupBy("p.l", "p.r")
             .agg(F.sum("freq").cast("long").alias("n"))
-            .orderBy(F.desc("n"), "l", "r")
-            .limit(1)
-            .collect()
         )
+        if likelihood:
+            syms = (
+                vocab.select("freq", F.explode(ws).alias("sym"))
+                .groupBy("sym")
+                .agg(F.sum("freq").cast("long").alias("f"))
+            )
+            top = (
+                pc.join(syms.selectExpr("sym AS l", "f AS fl"), "l")
+                .join(syms.selectExpr("sym AS r", "f AS fr"), "r")
+                .selectExpr(
+                    "l",
+                    "r",
+                    "n",
+                    "(CAST(n AS DECIMAL(38,0))"
+                    " * CAST(1000000000000 AS DECIMAL(38,0)))"
+                    " div (CAST(fl AS DECIMAL(38,0)) * fr) AS score_q12",
+                )
+                .orderBy(F.desc("score_q12"), "l", "r")
+                .limit(1)
+                .collect()
+            )
+        else:
+            top = pc.orderBy(F.desc("n"), "l", "r").limit(1).collect()
         if not top:
             break
         a, b, n = top[0]["l"], top[0]["r"], top[0]["n"]
-        merges.append((step, a, b, n))
+        sq = top[0]["score_q12"] if likelihood else None
+        merges.append((step, a, b, n, sq))
         vocab = vocab.select(
             "freq",
             F.replace(
                 F.col("s"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
             ).alias("s"),
         ).localCheckpoint(eager=True)
-    return df.sparkSession.createDataFrame(
-        merges, "step INT, l STRING, r STRING, n BIGINT"
-    )
+    return merges
 
 
 def _viterbi_best(occ: DataFrame, pieces: DataFrame, inf: int = 1 << 20) -> DataFrame:
@@ -1488,65 +1526,7 @@ def wordpiece_train_merges(
     Same ``' sym '`` double-space symbol encoding, vocab-collapsed
     corpus, per-round localCheckpoint, and O(n_merges) 1-row driver
     argmax loop as bpe_train_merges (textanalysis.py:497)."""
-    words = df.select(
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
-    ).filter(F.length("w") > 0)
-    vocab = (
-        words.groupBy("w")
-        .agg(F.count("*").alias("freq"))
-        .select("freq", F.regexp_replace("w", "(.)", " $1 ").alias("s"))
-        .localCheckpoint(eager=True)
-    )
-    ws = F.split(F.trim(F.col("s")), "  ")
-    pairs = F.when(
-        F.size(ws) > 1,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - 1),
-            lambda i: F.struct(
-                F.element_at(ws, i).alias("l"),
-                F.element_at(ws, i + 1).alias("r"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
-    merges = []
-    for step in range(1, n_merges + 1):
-        syms = (
-            vocab.select("freq", F.explode(ws).alias("sym"))
-            .groupBy("sym")
-            .agg(F.sum("freq").cast("long").alias("f"))
-        )
-        pc = (
-            vocab.select("freq", F.explode(pairs).alias("p"))
-            .groupBy("p.l", "p.r")
-            .agg(F.sum("freq").cast("long").alias("n"))
-        )
-        top = (
-            pc.join(syms.selectExpr("sym AS l", "f AS fl"), "l")
-            .join(syms.selectExpr("sym AS r", "f AS fr"), "r")
-            .selectExpr(
-                "l",
-                "r",
-                "n",
-                "(CAST(n AS DECIMAL(38,0))"
-                " * CAST(1000000000000 AS DECIMAL(38,0)))"
-                " div (CAST(fl AS DECIMAL(38,0)) * fr) AS score_q12",
-            )
-            .orderBy(F.desc("score_q12"), "l", "r")
-            .limit(1)
-            .collect()
-        )
-        if not top:
-            break
-        a, b, n, sq = (
-            top[0]["l"], top[0]["r"], top[0]["n"], top[0]["score_q12"],
-        )
-        merges.append((step, a, b, n, sq))
-        vocab = vocab.select(
-            "freq",
-            F.replace(
-                F.col("s"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
-            ).alias("s"),
-        ).localCheckpoint(eager=True)
     return df.sparkSession.createDataFrame(
-        merges, "step INT, l STRING, r STRING, n BIGINT, score_q12 BIGINT"
+        _train_merges(df, n_merges, text_col, likelihood=True),
+        "step INT, l STRING, r STRING, n BIGINT, score_q12 BIGINT",
     )
