@@ -493,3 +493,83 @@ def test_ks_bounds_and_symmetry(spark, xs, ys):
     df2 = df.select("x", (~F.col("arm")).alias("arm"))
     r2 = ks_two_sample(df2, "x", "arm").first()
     assert r.d_num == r2.d_num
+
+
+@SETTINGS
+@given(
+    wins=st.lists(
+        st.tuples(
+            st.integers(0, 3), st.integers(0, 3), st.integers(1, 9)
+        ).filter(lambda t: t[0] != t[1]),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_bradley_terry_mass_and_relabel_invariance(spark, wins):
+    from pdf_to_vectordb_etl_spark.operators.supervised import (
+        bradley_terry_strengths,
+    )
+
+    rows = [(f"i{a}", f"i{b}", w) for a, b, w in wins]
+    cells = spark.createDataFrame(rows, "i string, j string, w long")
+    got = {r["item"]: r for r in
+           bradley_terry_strengths(cells, n_rounds=4).collect()}
+    total = sum(r["strength_q9"] for r in got.values())
+    # min_a clamps can push the sum slightly over 1; never far under
+    assert 0.99 <= total <= 1.0 + 1e-6 * len(got) + 1e-3
+    # relabeling items permutes the result verbatim (hash-agnostic)
+    relab = spark.createDataFrame(
+        [(f"z{a}", f"z{b}", w) for a, b, w in wins],
+        "i string, j string, w long",
+    )
+    got2 = {r["item"]: r["a_grid"] for r in
+            bradley_terry_strengths(relab, n_rounds=4).collect()}
+    assert {k[1:]: v for k, v in got2.items()} == {
+        k[1:]: r["a_grid"] for k, r in got.items()
+    }
+
+
+@SETTINGS
+@given(texts=st.lists(doc_text, min_size=1, max_size=6))
+def test_wordpiece_encode_token_bounds(spark, texts):
+    from pdf_to_vectordb_etl_spark.operators.textanalysis import (
+        wordpiece_encode,
+        wordpiece_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    v = wordpiece_vocab(docs, vocab_size=16, min_count=1)
+    out = wordpiece_encode(docs, v).collect()
+    for r in out:
+        assert 0 <= r["n_oov_words"] <= r["n_words"]
+        # every encoded word yields >= 1 and <= wlen tokens
+        encoded = r["n_words"] - r["n_oov_words"]
+        assert r["n_tokens"] >= encoded
+        text = texts[r["doc_id"]]
+        assert r["n_tokens"] <= sum(len(w) for w in text.split())
+
+
+@SETTINGS
+@given(
+    ps=st.lists(
+        st.floats(0.0001, 0.9999, allow_nan=False), min_size=1, max_size=10,
+        unique=True,
+    ),
+    alpha=st.sampled_from([0.05, 0.1, 0.3]),
+)
+def test_fdr_bh_prefix_and_alpha_monotone(spark, ps, alpha):
+    from pdf_to_vectordb_etl_spark.operators.evaluation import fdr_bh
+
+    df = spark.createDataFrame(
+        [(f"k{i}", p) for i, p in enumerate(ps)], "key string, p double"
+    )
+    rows = sorted(fdr_bh(df, "p", "key", alpha).collect(),
+                  key=lambda r: r["rank"])
+    flags = [r["rejected"] for r in rows]
+    # rejected set is a prefix of the p-sorted order
+    assert flags == sorted(flags, reverse=True)
+    # monotone in alpha: a looser alpha never rejects fewer
+    more = fdr_bh(df, "p", "key", min(1.0, alpha * 2)).collect()
+    assert sum(r["rejected"] for r in more) >= sum(flags)
