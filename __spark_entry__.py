@@ -7976,6 +7976,21 @@ def q_t18_stream_woe(spark, sf):
     )
 
 
+def q_gopher_rule_ablation(spark, sf):
+    """Leave-one-out ablation of the nine Gopher rules: per rule, how
+    many docs fail it, how many it UNIQUELY removes, and how many pass
+    the other eight — all 27 statistics from ONE aggregate over the
+    existing fail-bitmask projection, stacked to 9 rows. The oracle
+    wraps the shared _GOPHER_ORACLE_SQL and replays the bit tests with
+    (mask & (511 - bit)) = 0 (no engine-specific ~)."""
+    from pdf_to_vectordb_etl_spark.operators.textanalysis import (
+        gopher_rule_ablation,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return gopher_rule_ablation(docs)
+
+
 def q_rfm_segments(spark, sf):
     """RFM lifecycle segmentation of the event stream: exact quintiles
     (global_ntile over unique (-metric, user) keys) of recency/
@@ -8653,6 +8668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_closeness": q_t_closeness,
         "lift_table": q_lift_table,
         "rfm_segments": q_rfm_segments,
+        "gopher_rule_ablation": q_gopher_rule_ablation,
         "attribution_touch": q_attribution_touch,
         "benford_law": q_benford_law,
         "t24_stream_benford": q_t24_stream_benford,
@@ -9280,6 +9296,83 @@ _KN_ORACLE_SQL = r"""
             SELECT doc_id, round(avg(ln(p)), 4) AS kn_score,
                    CAST(count(*) AS BIGINT) AS n_bigrams
             FROM scored GROUP BY doc_id
+        """
+
+
+# Nine-rule Gopher gate SQL — shared verbatim by the ta_quality_gopher
+# oracle and (as a subquery) the gopher_rule_ablation replay.
+_GOPHER_ORACLE_SQL = r"""
+            WITH f AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END
+                       AS n_words,
+                     length(regexp_replace(text, '\s', '', 'g')) AS n_word_chars,
+                     len(regexp_extract_all(text, '#')) AS n_hash,
+                     len(regexp_extract_all(text, '\.\.\.|…')) AS n_ellipsis,
+                     len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS n_alpha,
+                     len(string_split(text, chr(10))) AS n_lines,
+                     len(regexp_extract_all(text, '(?m)^[ \t]*[-•*][ \t]'))
+                       AS n_bullet_lines,
+                     len(regexp_extract_all(text, '(?m)(\.\.\.|…)[ \t]*$'))
+                       AS n_ellipsis_lines,
+                     (CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END)
+                       AS stop_hits
+              FROM (SELECT * REPLACE (regexp_replace(
+                      coalesce(text, ''), '\r\n?', chr(10), 'g') AS text)
+                    FROM documents) documents),
+            g AS (
+              SELECT doc_id, n_words, stop_hits,
+                     floor((CASE WHEN n_words > 0
+                            THEN n_word_chars * 1.0 / n_words ELSE 0.0 END) * 1e6) / 1e6
+                       AS mean_word_len,
+                     floor((CASE WHEN n_words > 0
+                            THEN (n_hash + n_ellipsis) * 1.0 / n_words ELSE 0.0 END) * 1e6) / 1e6
+                       AS symbol_word_ratio,
+                     floor((CASE WHEN n_words > 0
+                            THEN n_hash * 1.0 / n_words ELSE 0.0 END) * 1e6) / 1e6
+                       AS hash_word_ratio,
+                     floor((CASE WHEN n_lines > 0
+                            THEN n_bullet_lines * 1.0 / n_lines ELSE 0.0 END) * 1e6) / 1e6
+                       AS bullet_line_frac,
+                     floor((CASE WHEN n_lines > 0
+                            THEN n_ellipsis_lines * 1.0 / n_lines ELSE 0.0 END) * 1e6) / 1e6
+                       AS ellipsis_line_frac,
+                     floor((CASE WHEN n_words > 0
+                            THEN n_alpha * 1.0 / n_words ELSE 0.0 END) * 1e6) / 1e6
+                       AS alpha_word_frac
+              FROM f),
+            r AS (
+              SELECT *,
+                     CASE WHEN n_words >= 50 THEN 0 ELSE 1 END AS r0,
+                     CASE WHEN n_words <= 100000 THEN 0 ELSE 2 END AS r1,
+                     CASE WHEN mean_word_len >= 3.0 THEN 0 ELSE 4 END AS r2,
+                     CASE WHEN mean_word_len <= 10.0 THEN 0 ELSE 8 END AS r3,
+                     CASE WHEN symbol_word_ratio <= 0.1 THEN 0 ELSE 16 END AS r4,
+                     CASE WHEN bullet_line_frac <= 0.9 THEN 0 ELSE 32 END AS r5,
+                     CASE WHEN ellipsis_line_frac <= 0.3 THEN 0 ELSE 64 END AS r6,
+                     CASE WHEN alpha_word_frac >= 0.8 THEN 0 ELSE 128 END AS r7,
+                     CASE WHEN stop_hits >= 2 THEN 0 ELSE 256 END AS r8
+              FROM g)
+            SELECT doc_id, n_words,
+                   mean_word_len + 0.0 AS mean_word_len,
+                   symbol_word_ratio + 0.0 AS symbol_word_ratio,
+                   hash_word_ratio + 0.0 AS hash_word_ratio,
+                   bullet_line_frac + 0.0 AS bullet_line_frac,
+                   ellipsis_line_frac + 0.0 AS ellipsis_line_frac,
+                   alpha_word_frac + 0.0 AS alpha_word_frac,
+                   stop_hits,
+                   CAST(r0+r1+r2+r3+r4+r5+r6+r7+r8 AS INTEGER) AS gopher_fail_mask,
+                   CASE WHEN r0+r1+r2+r3+r4+r5+r6+r7+r8 = 0 THEN 1 ELSE 0 END
+                     AS gopher_pass
+            FROM r
         """
 
 
@@ -10039,79 +10132,7 @@ def oracle_sql() -> dict[str, str]:
         # patterns; ratios 6-dp FLOOR-quantized on both sides (identical
         # IEEE division inputs -> identical floor; engine round() can
         # split on .5 boundaries).
-        "ta_quality_gopher": r"""
-            WITH f AS (
-              SELECT doc_id,
-                     CASE WHEN length(trim(text)) = 0 THEN 0
-                          ELSE len(string_split_regex(trim(text), '\s+')) END
-                       AS n_words,
-                     length(regexp_replace(text, '\s', '', 'g')) AS n_word_chars,
-                     len(regexp_extract_all(text, '#')) AS n_hash,
-                     len(regexp_extract_all(text, '\.\.\.|…')) AS n_ellipsis,
-                     len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS n_alpha,
-                     len(string_split(text, chr(10))) AS n_lines,
-                     len(regexp_extract_all(text, '(?m)^[ \t]*[-•*][ \t]'))
-                       AS n_bullet_lines,
-                     len(regexp_extract_all(text, '(?m)(\.\.\.|…)[ \t]*$'))
-                       AS n_ellipsis_lines,
-                     (CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
-                      + CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END
-                      + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
-                      + CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END
-                      + CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END
-                      + CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END
-                      + CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END
-                      + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END)
-                       AS stop_hits
-              FROM (SELECT * REPLACE (regexp_replace(
-                      coalesce(text, ''), '\r\n?', chr(10), 'g') AS text)
-                    FROM documents) documents),
-            g AS (
-              SELECT doc_id, n_words, stop_hits,
-                     floor((CASE WHEN n_words > 0
-                            THEN n_word_chars * 1.0 / n_words ELSE 0.0 END) * 1e6) / 1e6
-                       AS mean_word_len,
-                     floor((CASE WHEN n_words > 0
-                            THEN (n_hash + n_ellipsis) * 1.0 / n_words ELSE 0.0 END) * 1e6) / 1e6
-                       AS symbol_word_ratio,
-                     floor((CASE WHEN n_words > 0
-                            THEN n_hash * 1.0 / n_words ELSE 0.0 END) * 1e6) / 1e6
-                       AS hash_word_ratio,
-                     floor((CASE WHEN n_lines > 0
-                            THEN n_bullet_lines * 1.0 / n_lines ELSE 0.0 END) * 1e6) / 1e6
-                       AS bullet_line_frac,
-                     floor((CASE WHEN n_lines > 0
-                            THEN n_ellipsis_lines * 1.0 / n_lines ELSE 0.0 END) * 1e6) / 1e6
-                       AS ellipsis_line_frac,
-                     floor((CASE WHEN n_words > 0
-                            THEN n_alpha * 1.0 / n_words ELSE 0.0 END) * 1e6) / 1e6
-                       AS alpha_word_frac
-              FROM f),
-            r AS (
-              SELECT *,
-                     CASE WHEN n_words >= 50 THEN 0 ELSE 1 END AS r0,
-                     CASE WHEN n_words <= 100000 THEN 0 ELSE 2 END AS r1,
-                     CASE WHEN mean_word_len >= 3.0 THEN 0 ELSE 4 END AS r2,
-                     CASE WHEN mean_word_len <= 10.0 THEN 0 ELSE 8 END AS r3,
-                     CASE WHEN symbol_word_ratio <= 0.1 THEN 0 ELSE 16 END AS r4,
-                     CASE WHEN bullet_line_frac <= 0.9 THEN 0 ELSE 32 END AS r5,
-                     CASE WHEN ellipsis_line_frac <= 0.3 THEN 0 ELSE 64 END AS r6,
-                     CASE WHEN alpha_word_frac >= 0.8 THEN 0 ELSE 128 END AS r7,
-                     CASE WHEN stop_hits >= 2 THEN 0 ELSE 256 END AS r8
-              FROM g)
-            SELECT doc_id, n_words,
-                   mean_word_len + 0.0 AS mean_word_len,
-                   symbol_word_ratio + 0.0 AS symbol_word_ratio,
-                   hash_word_ratio + 0.0 AS hash_word_ratio,
-                   bullet_line_frac + 0.0 AS bullet_line_frac,
-                   ellipsis_line_frac + 0.0 AS ellipsis_line_frac,
-                   alpha_word_frac + 0.0 AS alpha_word_frac,
-                   stop_hits,
-                   CAST(r0+r1+r2+r3+r4+r5+r6+r7+r8 AS INTEGER) AS gopher_fail_mask,
-                   CASE WHEN r0+r1+r2+r3+r4+r5+r6+r7+r8 = 0 THEN 1 ELSE 0 END
-                     AS gopher_pass
-            FROM r
-        """,
+        "ta_quality_gopher": _GOPHER_ORACLE_SQL,
         "gopher_by_source": r"""
             WITH f AS (
               SELECT doc_id, source,
@@ -12608,6 +12629,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bradley_terry": _bt_oracle_sql(6),
         "wordpiece_train": _wordpiece_train_oracle_sql(6),
+        "gopher_rule_ablation": f"""
+            WITH g AS MATERIALIZED ({_GOPHER_ORACLE_SQL}),
+            tot AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(coalesce(sum(gopher_pass), 0) AS BIGINT)
+                       AS n_pass
+              FROM g),
+            rules AS (
+              SELECT unnest(range(9)) AS rule_idx,
+                     unnest(['min_words', 'max_words',
+                             'min_mean_word_len', 'max_mean_word_len',
+                             'symbol_word_ratio', 'bullet_line_frac',
+                             'ellipsis_line_frac', 'alpha_word_frac',
+                             'stopword_hits']) AS rule),
+            per AS (
+              SELECT r.rule_idx, r.rule,
+                     CAST(coalesce(sum(CASE WHEN
+                       (g.gopher_fail_mask & (1 << r.rule_idx)) <> 0
+                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_fail,
+                     CAST(coalesce(sum(CASE WHEN
+                       g.gopher_fail_mask = (1 << r.rule_idx)
+                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_sole_fail,
+                     CAST(coalesce(sum(CASE WHEN
+                       (g.gopher_fail_mask & (511 - (1 << r.rule_idx)))
+                       = 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_pass_without
+              FROM rules r LEFT JOIN g ON TRUE
+              GROUP BY r.rule_idx, r.rule)
+            SELECT CAST(rule_idx AS INTEGER) AS rule_idx, rule,
+                   n_fail, n_sole_fail, n_pass_without,
+                   tot.n_docs, tot.n_pass
+            FROM per CROSS JOIN tot
+        """,
         "rfm_segments": """
             WITH per AS (
               SELECT user_id AS u,

@@ -1530,3 +1530,68 @@ def wordpiece_train_merges(
         _train_merges(df, n_merges, text_col, likelihood=True),
         "step INT, l STRING, r STRING, n BIGINT, score_q12 BIGINT",
     )
+
+
+GOPHER_RULE_NAMES = (
+    "min_words",
+    "max_words",
+    "min_mean_word_len",
+    "max_mean_word_len",
+    "symbol_word_ratio",
+    "bullet_line_frac",
+    "ellipsis_line_frac",
+    "alpha_word_frac",
+    "stopword_hits",
+)
+
+
+def gopher_rule_ablation(df: DataFrame, **gate_kwargs) -> DataFrame:
+    """Leave-one-out ablation of the nine Gopher rules — which filter
+    is actually doing the work before anyone tunes thresholds: per
+    rule, how many docs fail it at all (n_fail), how many docs it
+    UNIQUELY removes (n_sole_fail — the docs that come back if the
+    rule is dropped), and how many docs pass the other eight
+    (n_pass_without). All 27 statistics fold out of the single
+    fail-bitmask projection :func:`gopher_quality_gate` already
+    computes — ONE corpus aggregate with conditional sums, then a
+    9-row stack; bit tests use (mask & (511 - bit)) == 0 so no
+    engine-specific ~ semantics are involved.
+
+    Returns 9 rows: (rule_idx, rule, n_fail, n_sole_fail,
+    n_pass_without, n_docs, n_pass)."""
+    g = gopher_quality_gate(df, **gate_kwargs)
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(F.col("gopher_pass").cast("int")).cast("long").alias("_np"),
+    ]
+    for r in range(9):
+        b = 1 << r
+        m = F.col("gopher_fail_mask")
+        aggs += [
+            F.sum(((m.bitwiseAND(b)) != 0).cast("int"))
+            .cast("long")
+            .alias(f"_f{r}"),
+            F.sum((m == b).cast("int")).cast("long").alias(f"_s{r}"),
+            F.sum((m.bitwiseAND(511 - b) == 0).cast("int"))
+            .cast("long")
+            .alias(f"_w{r}"),
+        ]
+    one = g.agg(*aggs)
+    stack_args = ", ".join(
+        f"{r}, '{GOPHER_RULE_NAMES[r]}', _f{r}, _s{r}, _w{r}"
+        for r in range(9)
+    )
+    return one.selectExpr(
+        f"stack(9, {stack_args})"
+        " AS (rule_idx, rule, n_fail, n_sole_fail, n_pass_without)",
+        "_n AS n_docs",
+        "_np AS n_pass",
+    ).select(
+        F.col("rule_idx").cast("int").alias("rule_idx"),
+        "rule",
+        "n_fail",
+        "n_sole_fail",
+        "n_pass_without",
+        "n_docs",
+        "n_pass",
+    )

@@ -466,3 +466,33 @@ def test_rfm_segments_hand_fixture(spark):
     total = sum(r["monetary_micro"] for r in got.values())
     want = sum(int((10.5 - u) * 1e6) * (10 - u) for u in range(10))
     assert total == want
+
+
+def test_gopher_rule_ablation_invariants(spark):
+    """Planted docs, one per failure mode: per rule,
+    n_sole_fail <= n_fail; n_pass_without - n_pass == n_sole_fail (the
+    docs a rule uniquely removes are exactly what dropping it returns);
+    a doc failing two rules is sole-fail for neither."""
+    from pdf_to_vectordb_etl_spark.operators.textanalysis import (
+        gopher_rule_ablation,
+    )
+
+    good = "the of and to a in is it you that " * 10   # passes all
+    # fails ONLY min_words: >= 2 Gopher stopwords, mean word len in
+    # [3, 10], all-alpha, no bullets/symbols
+    short = "that have handsome oranges wonderful beautiful"
+    # fails min_words AND symbol ratio (many # marks, few words)
+    double = "# # # # ## ###"
+    docs = spark.createDataFrame(
+        [(1, good), (2, short), (3, double)], "doc_id long, text string"
+    )
+    rows = {r["rule"]: r for r in gopher_rule_ablation(docs).collect()}
+    assert len(rows) == 9
+    n_pass = next(iter(rows.values()))["n_pass"]
+    for r in rows.values():
+        assert r["n_sole_fail"] <= r["n_fail"]
+        assert r["n_pass_without"] - n_pass == r["n_sole_fail"]
+        assert r["n_docs"] == 3
+    assert rows["min_words"]["n_fail"] == 2
+    # 'short' fails ONLY min_words (all-stopword text, sane ratios)
+    assert rows["min_words"]["n_sole_fail"] >= 1
