@@ -7991,6 +7991,41 @@ def q_gopher_rule_ablation(spark, sf):
     return gopher_rule_ablation(docs)
 
 
+def q_t33_stream_gopher_ablation(spark, sf):
+    """T33 — live rule-ablation monitor: the <= 512-row
+    (gopher_fail_mask, n) histogram as the associative streaming
+    state, snapshot through the IDENTICAL ablation finale as the batch
+    query; the batch SQL is the parity oracle."""
+    import tempfile
+
+    from pdf_to_vectordb_etl_spark.operators.textanalysis import (
+        gopher_ablation_finale,
+        gopher_quality_gate,
+    )
+
+    raw_schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+    )
+    live = gopher_quality_gate(stream).groupBy("gopher_fail_mask").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    name = "t33_gopher_mask_hist"
+    q = (
+        live.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t33ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    return gopher_ablation_finale(spark.table(name))
+
+
 def q_rfm_segments(spark, sf):
     """RFM lifecycle segmentation of the event stream: exact quintiles
     (global_ntile over unique (-metric, user) keys) of recency/
@@ -8669,6 +8704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lift_table": q_lift_table,
         "rfm_segments": q_rfm_segments,
         "gopher_rule_ablation": q_gopher_rule_ablation,
+        "t33_stream_gopher_ablation": q_t33_stream_gopher_ablation,
         "attribution_touch": q_attribution_touch,
         "benford_law": q_benford_law,
         "t24_stream_benford": q_t24_stream_benford,
@@ -17226,6 +17262,7 @@ def oracle_sql() -> dict[str, str]:
     d["t30_stream_bloom_dedup"] = d["dedup_incremental_exact"]
     d["t31_stream_bradley_terry"] = d["bradley_terry"]
     d["t32_stream_brier"] = d["brier_decomposition"]
+    d["t33_stream_gopher_ablation"] = d["gopher_rule_ablation"]
     d["t28_stream_contamination"] = d["contamination_bench"]
     d["t29_stream_gopher_gate"] = d["gopher_by_source"]
     # Bloom-screened variant admits the identical set (no false negatives)

@@ -1559,24 +1559,49 @@ def gopher_rule_ablation(df: DataFrame, **gate_kwargs) -> DataFrame:
 
     Returns 9 rows: (rule_idx, rule, n_fail, n_sole_fail,
     n_pass_without, n_docs, n_pass)."""
-    g = gopher_quality_gate(df, **gate_kwargs)
+    return gopher_ablation_finale(
+        gopher_mask_histogram(df, **gate_kwargs)
+    )
+
+
+def gopher_mask_histogram(df: DataFrame, **gate_kwargs) -> DataFrame:
+    """The <= 512-row associative state relation behind
+    :func:`gopher_rule_ablation` — (gopher_fail_mask, n) counts. A
+    plain streaming complete-mode aggregate (T33's live rule-ablation
+    monitor); every ablation statistic is a weighted fold over it."""
+    return gopher_quality_gate(df, **gate_kwargs).groupBy(
+        "gopher_fail_mask"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+def gopher_ablation_finale(hist: DataFrame) -> DataFrame:
+    """Ablation statistics from a (gopher_fail_mask, n) histogram —
+    shared verbatim by the batch operator and the T33 streaming
+    snapshot (the cells/finale recipe)."""
+    m = F.col("gopher_fail_mask")
+    n = F.col("n")
     aggs = [
-        F.count(F.lit(1)).cast("long").alias("_n"),
-        F.sum(F.col("gopher_pass").cast("int")).cast("long").alias("_np"),
+        F.coalesce(F.sum(n), F.lit(0)).cast("long").alias("_n"),
+        F.coalesce(F.sum(F.when(m == 0, n)), F.lit(0))
+        .cast("long")
+        .alias("_np"),
     ]
     for r in range(9):
         b = 1 << r
-        m = F.col("gopher_fail_mask")
         aggs += [
-            F.sum(((m.bitwiseAND(b)) != 0).cast("int"))
+            F.coalesce(F.sum(F.when(m.bitwiseAND(b) != 0, n)), F.lit(0))
             .cast("long")
             .alias(f"_f{r}"),
-            F.sum((m == b).cast("int")).cast("long").alias(f"_s{r}"),
-            F.sum((m.bitwiseAND(511 - b) == 0).cast("int"))
+            F.coalesce(F.sum(F.when(m == b, n)), F.lit(0))
+            .cast("long")
+            .alias(f"_s{r}"),
+            F.coalesce(
+                F.sum(F.when(m.bitwiseAND(511 - b) == 0, n)), F.lit(0)
+            )
             .cast("long")
             .alias(f"_w{r}"),
         ]
-    one = g.agg(*aggs)
+    one = hist.agg(*aggs)
     stack_args = ", ".join(
         f"{r}, '{GOPHER_RULE_NAMES[r]}', _f{r}, _s{r}, _w{r}"
         for r in range(9)
