@@ -8156,6 +8156,24 @@ def q_t32_stream_brier(spark, sf):
     return ev.brier_finale(spark.table(name), n_bins=20)
 
 
+def q_repetition_depth(spark, sf):
+    """Corpus repetitiveness spectrum at widths 1/2/4/8/16: repeated-
+    window position counts from the prefix-doubling rank table (stats
+    fall out of the SAME pass that builds the next width). Oracle =
+    independent substring group-by per width. Same ASCII/120-char,
+    doc_id < 100 projection as the suffix family."""
+    from pdf_to_vectordb_etl_spark.operators import suffixes
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    d2 = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.substring("text", 1, 120), r"[^\x20-\x7e]", ""
+        ).alias("text"),
+    )
+    return suffixes.repetition_depth_profile(d2, max_width=16)
+
+
 def q_cross_corpus_lcs(spark, sf):
     """Longest substring shared by the two md5-split halves of the
     corpus — char-level contamination evidence (the ExactSubstr
@@ -8705,6 +8723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": q_rfm_segments,
         "gopher_rule_ablation": q_gopher_rule_ablation,
         "t33_stream_gopher_ablation": q_t33_stream_gopher_ablation,
+        "repetition_depth": q_repetition_depth,
         "attribution_touch": q_attribution_touch,
         "benford_law": q_benford_law,
         "t24_stream_benford": q_t24_stream_benford,
@@ -12856,6 +12875,32 @@ def oracle_sql() -> dict[str, str]:
             FROM inter
             JOIN sizes z1 ON s1 = z1.src
             JOIN sizes z2 ON s2 = z2.src
+        """,
+        # independent replay: group width-w windows by substring VALUE
+        # per width (the rank table's equality relation, re-derived)
+        "repetition_depth": """
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_replace(substr(text, 1, 120),
+                                    '[^\\x20-\\x7e]', '', 'g') AS t
+              FROM documents WHERE doc_id < 100),
+            ws AS (SELECT unnest([1, 2, 4, 8, 16]) AS width),
+            w AS (
+              SELECT ws.width, substr(d.t, p + 1, ws.width) AS sub
+              FROM d CROSS JOIN ws
+              CROSS JOIN unnest(range(length(d.t))) AS u(p)
+              WHERE p + ws.width <= length(d.t)),
+            g AS (
+              SELECT width, sub, CAST(count(*) AS BIGINT) AS c
+              FROM w GROUP BY width, sub)
+            SELECT ws.width,
+                   CAST(coalesce(sum(CASE WHEN c >= 2 THEN c END), 0)
+                        AS BIGINT) AS n_repeat_positions,
+                   CAST(coalesce(sum(CASE WHEN c >= 2 THEN 1 END), 0)
+                        AS BIGINT) AS n_repeat_groups,
+                   CAST(coalesce(max(c), 0) AS BIGINT) AS max_group
+            FROM ws LEFT JOIN g ON g.width = ws.width
+            GROUP BY ws.width
         """,
         # classical route: in the merged suffix sort, some adjacent
         # cross-origin pair attains the max cross-corpus LCP (lcp over

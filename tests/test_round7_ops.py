@@ -496,3 +496,36 @@ def test_gopher_rule_ablation_invariants(spark):
     assert rows["min_words"]["n_fail"] == 2
     # 'short' fails ONLY min_words (all-stopword text, sane ratios)
     assert rows["min_words"]["n_sole_fail"] >= 1
+
+
+def test_repetition_depth_monotone_and_exact(spark):
+    """Repeat-position counts are non-increasing in width (a repeated
+    w-window implies a repeated w/2-window at the same start is
+    possible — the count over FULL positions can only shrink); a
+    planted 16-char duplicated block shows up at every width; the
+    fully-unique corpus shows zeros past width 1."""
+    from pdf_to_vectordb_etl_spark.operators.suffixes import (
+        repetition_depth_profile,
+    )
+
+    block = "ABCDEFGHIJKLMNOP"  # 16 unique chars, duplicated across docs
+    docs = spark.createDataFrame(
+        [(1, f"xx{block}yy"), (2, f"qq{block}rr")],
+        "doc_id long, text string",
+    )
+    rows = {r["width"]: r for r in
+            repetition_depth_profile(docs).collect()}
+    assert rows[16]["n_repeat_groups"] >= 1
+    assert rows[16]["max_group"] >= 2
+    for w in (1, 2, 4, 8, 16):
+        assert rows[w]["n_repeat_positions"] >= 2
+    # non-increasing in width
+    widths = sorted(rows)
+    for a, b in zip(widths, widths[1:]):
+        assert rows[a]["n_repeat_positions"] >= rows[b]["n_repeat_positions"]
+
+    uniq = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, "ijklmnop")], "doc_id long, text string"
+    )
+    u = {r["width"]: r for r in repetition_depth_profile(uniq).collect()}
+    assert u[2]["n_repeat_groups"] == 0 and u[16]["n_repeat_positions"] == 0
