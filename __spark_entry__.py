@@ -7976,6 +7976,20 @@ def q_t18_stream_woe(spark, sf):
     )
 
 
+def q_code_switch_entropy(spark, sf):
+    """Per-doc code-switching profile: sentence-level language votes
+    (marker-hit argmax, the ta_langid heuristic) folded into a per-doc
+    distinct-language count + round-4 Shannon entropy (the KN
+    round-4-ln convention). Catches mixed-language docs the doc-level
+    majority ID cannot see."""
+    from pdf_to_vectordb_etl_spark.operators.textanalysis import (
+        code_switch_entropy,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return code_switch_entropy(docs)
+
+
 def q_gopher_rule_ablation(spark, sf):
     """Leave-one-out ablation of the nine Gopher rules: per rule, how
     many docs fail it, how many it UNIQUELY removes, and how many pass
@@ -8724,6 +8738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rule_ablation": q_gopher_rule_ablation,
         "t33_stream_gopher_ablation": q_t33_stream_gopher_ablation,
         "repetition_depth": q_repetition_depth,
+        "code_switch_entropy": q_code_switch_entropy,
         "attribution_touch": q_attribution_touch,
         "benford_law": q_benford_law,
         "t24_stream_benford": q_t24_stream_benford,
@@ -12875,6 +12890,75 @@ def oracle_sql() -> dict[str, str]:
             FROM inter
             JOIN sizes z1 ON s1 = z1.src
             JOIN sizes z2 ON s2 = z2.src
+        """,
+        # sentence votes reuse the sentence_chunks split and the
+        # ta_langid CASE chain verbatim; entropy = round-4 -sum(p ln p)
+        "code_switch_entropy": r"""
+            WITH d0 AS (
+              SELECT doc_id, coalesce(text, '') AS text FROM documents),
+            s0 AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(text, '([.!?])\s+',
+                       '\1' || chr(31), 'g'), chr(31)) AS raw
+              FROM d0),
+            sents AS (
+              SELECT doc_id,
+                     unnest(list_filter(raw, x -> trim(x) <> '')) AS sent
+              FROM s0),
+            nall AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sentences
+              FROM sents GROUP BY doc_id),
+            sc AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(lower(sent),
+                       '\b(der|die|und|das|ist)\b')) AS s_de,
+                     len(regexp_extract_all(lower(sent),
+                       '\b(the|and|of|to|a)\b')) AS s_en,
+                     len(regexp_extract_all(lower(sent),
+                       '\b(el|la|de|que|los)\b')) AS s_es,
+                     len(regexp_extract_all(lower(sent),
+                       '\b(le|la|les|des|est)\b')) AS s_fr,
+                     len(regexp_extract_all(lower(sent),
+                       '\b(o|que|de|em|uma)\b')) AS s_pt
+              FROM sents),
+            v AS (
+              SELECT doc_id,
+                     CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_pt) = 0
+                            THEN 'und'
+                          WHEN s_pt = greatest(s_de, s_en, s_es, s_fr,
+                            s_pt) THEN 'pt'
+                          WHEN s_fr = greatest(s_de, s_en, s_es, s_fr,
+                            s_pt) THEN 'fr'
+                          WHEN s_es = greatest(s_de, s_en, s_es, s_fr,
+                            s_pt) THEN 'es'
+                          WHEN s_en = greatest(s_de, s_en, s_es, s_fr,
+                            s_pt) THEN 'en'
+                          ELSE 'de' END AS lang
+              FROM sc),
+            cells AS (
+              SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS c
+              FROM v WHERE lang <> 'und' GROUP BY 1, 2),
+            tt AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
+              FROM cells GROUP BY doc_id),
+            st AS (
+              SELECT cells.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_langs,
+                     max(n) AS n_classified,
+                     round(0.0 - sum((c * 1.0 / n)
+                           * ln(c * 1.0 / n)), 4) AS lang_entropy_q4
+              FROM cells JOIN tt USING (doc_id)
+              GROUP BY cells.doc_id)
+            SELECT d0.doc_id,
+                   CAST(coalesce(n_sentences, 0) AS BIGINT)
+                     AS n_sentences,
+                   CAST(coalesce(n_classified, 0) AS BIGINT)
+                     AS n_classified,
+                   CAST(coalesce(n_langs, 0) AS BIGINT) AS n_langs,
+                   lang_entropy_q4
+            FROM d0
+            LEFT JOIN nall USING (doc_id)
+            LEFT JOIN st USING (doc_id)
         """,
         # independent replay: group width-w windows by substring VALUE
         # per width (the rank table's equality relation, re-derived)

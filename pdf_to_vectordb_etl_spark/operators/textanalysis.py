@@ -1620,3 +1620,70 @@ def gopher_ablation_finale(hist: DataFrame) -> DataFrame:
         "n_docs",
         "n_pass",
     )
+
+
+def code_switch_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Code-switching / language-mix profile per document: sentence-
+    level language votes (the :func:`detect_language` marker-hit
+    argmax per sentence) folded into a per-doc language distribution —
+    distinct-language count and Shannon entropy. Mixed-language docs
+    (web boilerplate stitched across locales, mistranslated spans)
+    score high entropy and are a standard pre-training removal class
+    the DOC-level language ID cannot see (it just picks the majority).
+
+    Sentences with no marker evidence ('und') vote nothing. Entropy is
+    the round-4 -sum((c/n) ln(c/n)) over the <= |languages| per-doc
+    cells — the ta_bigram_lm/KN round-4-ln convention (the only libm
+    call; stable across engines at that precision).
+
+    One sentence explode + two hash aggs; the language-cell table is
+    (docs x <= 5 languages)-bounded. Returns one row per input doc:
+    (id, n_sentences, n_classified, n_langs, lang_entropy_q4)."""
+    from .chunking import split_sentences
+
+    sents = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode_outer(
+            split_sentences(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("sent"),
+    )
+    voted = sents.select(
+        "_id", "sent", detect_language(F.coalesce("sent", F.lit(""))).alias("lang")
+    )
+    cells = (
+        voted.filter(F.col("lang") != "und")
+        .groupBy("_id", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = cells.groupBy("_id").agg(F.sum("c").cast("long").alias("n"))
+    term = (F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("n"))
+    stats = (
+        cells.join(tot, "_id")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            F.max("n").alias("n_classified"),
+            F.round(F.lit(0.0) - F.sum(term), 4).alias("lang_entropy_q4"),
+        )
+    )
+    counts = voted.groupBy("_id").agg(
+        F.sum(F.col("sent").isNotNull().cast("int"))
+        .cast("long")
+        .alias("n_sentences")
+    )
+    return (
+        counts.join(stats, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_sentences",
+            F.coalesce("n_classified", F.lit(0)).cast("long").alias(
+                "n_classified"
+            ),
+            F.coalesce("n_langs", F.lit(0)).cast("long").alias("n_langs"),
+            "lang_entropy_q4",
+        )
+    )

@@ -529,3 +529,28 @@ def test_repetition_depth_monotone_and_exact(spark):
     )
     u = {r["width"]: r for r in repetition_depth_profile(uniq).collect()}
     assert u[2]["n_repeat_groups"] == 0 and u[16]["n_repeat_positions"] == 0
+
+
+def test_code_switch_entropy_hand_fixture(spark):
+    """Doc 1 alternates EN and ES sentences (entropy ln 2 ~ 0.6931,
+    2 langs); doc 2 is pure EN (entropy 0, 1 lang); doc 3 has no
+    marker evidence (0 classified, NULL entropy)."""
+    from pdf_to_vectordb_etl_spark.operators.textanalysis import (
+        code_switch_entropy,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog. el perro que la casa. "
+                "of the house to a garden. los gatos de la que el."),
+            (2, "the cat and the dog. of the house to a garden."),
+            (3, "zzz qqq. xxx www."),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in code_switch_entropy(docs).collect()}
+    assert got[1]["n_langs"] == 2 and got[1]["n_classified"] == 4
+    assert abs(got[1]["lang_entropy_q4"] - 0.6931) < 1e-9
+    assert got[2]["n_langs"] == 1 and got[2]["lang_entropy_q4"] == 0.0
+    assert got[3]["n_classified"] == 0 and got[3]["lang_entropy_q4"] is None
+    assert got[3]["n_sentences"] == 2
