@@ -7976,6 +7976,18 @@ def q_t18_stream_woe(spark, sf):
     )
 
 
+def q_min_k_prob(spark, sf):
+    """Min-K% (K=20%) membership-inference signal per document: mean
+    KN log-prob of each doc's bottom-fifth-probability bigrams — the
+    Shi et al. 2023 pretraining-data detection statistic as a corpus
+    audit. Exact integer ceil cut, bit-identical probabilities, ties
+    broken (w1, w2); per-doc windows are key-partitioned."""
+    from pdf_to_vectordb_etl_spark.operators.textanalysis import min_k_prob
+
+    docs = _t(spark, sf, "documents")
+    return min_k_prob(docs, k_denom=5)
+
+
 def q_code_switch_entropy(spark, sf):
     """Per-doc code-switching profile: sentence-level language votes
     (marker-hit argmax, the ta_langid heuristic) folded into a per-doc
@@ -8739,6 +8751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t33_stream_gopher_ablation": q_t33_stream_gopher_ablation,
         "repetition_depth": q_repetition_depth,
         "code_switch_entropy": q_code_switch_entropy,
+        "min_k_prob": q_min_k_prob,
         "attribution_touch": q_attribution_touch,
         "benford_law": q_benford_law,
         "t24_stream_benford": q_t24_stream_benford,
@@ -9332,7 +9345,10 @@ def _kcenter_oracle_sql(k: int = 8, start_id: int = 0) -> str:
 
 # Kneser-Ney per-doc score SQL — shared verbatim by the ta_kneser_ney
 # oracle and (as a subquery) the ccnet_ppl_buckets tertile replay.
-_KN_ORACLE_SQL = r"""
+# KN scored-bigram relation (doc_id, w1, w2, p) — the model CTEs
+# shared by the per-doc fold, the CCNet tertile replay, and the
+# min-K% bottom-k selection.
+_KN_SCORED_SQL = r"""
             WITH toks AS (
               SELECT doc_id,
                      unnest(string_split_regex(lower(text), '\s+')) AS tok,
@@ -9351,7 +9367,7 @@ _KN_ORACLE_SQL = r"""
             cont AS (SELECT w2, count(*) AS n1_bwd FROM bc GROUP BY w2),
             nb AS (SELECT count(*) AS b FROM bc),
             scored AS (
-              SELECT b2.doc_id,
+              SELECT b2.doc_id, b2.w1, b2.w2,
                      greatest(
                        greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0)
                          / c1
@@ -9363,9 +9379,14 @@ _KN_ORACLE_SQL = r"""
               JOIN hist USING (w1)
               JOIN cont USING (w2)
               CROSS JOIN nb)
+            SELECT doc_id, w1, w2, p FROM scored
+        """
+
+
+_KN_ORACLE_SQL = f"""
             SELECT doc_id, round(avg(ln(p)), 4) AS kn_score,
                    CAST(count(*) AS BIGINT) AS n_bigrams
-            FROM scored GROUP BY doc_id
+            FROM ({_KN_SCORED_SQL}) GROUP BY doc_id
         """
 
 
@@ -12890,6 +12911,23 @@ def oracle_sql() -> dict[str, str]:
             FROM inter
             JOIN sizes z1 ON s1 = z1.src
             JOIN sizes z2 ON s2 = z2.src
+        """,
+        # bottom-k per doc over the shared KN scored relation; exact
+        # integer ceil cut, (p, w1, w2) total order
+        "min_k_prob": f"""
+            WITH sc AS MATERIALIZED ({_KN_SCORED_SQL}),
+            r AS (
+              SELECT doc_id, p,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY p, w1, w2) AS rn,
+                     count(*) OVER (PARTITION BY doc_id) AS n
+              FROM sc)
+            SELECT doc_id,
+                   CAST(max(n) AS BIGINT) AS n_bigrams,
+                   CAST(max((n + 4) // 5) AS BIGINT) AS k_used,
+                   round(avg(ln(p)), 4) AS min_k_score_q4
+            FROM r WHERE rn <= (n + 4) // 5
+            GROUP BY doc_id
         """,
         # sentence votes reuse the sentence_chunks split and the
         # ta_langid CASE chain verbatim; entropy = round-4 -sum(p ln p)

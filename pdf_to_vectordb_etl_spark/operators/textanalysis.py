@@ -325,6 +325,67 @@ def kneser_ney_scores(
     d: float = 0.75,
     train: DataFrame | None = None,
 ) -> DataFrame:
+    """Per-document mean KN log-probability — the fold of
+    :func:`kneser_ney_bigram_probs` (see there for the model and the
+    exactness story). Returns (doc_id, kn_score, n_bigrams); docs with
+    no bigram carry no row."""
+    probs = kneser_ney_bigram_probs(df, text_col, d, train)
+    return probs.groupBy("doc_id").agg(
+        F.round(F.avg(F.log("_p")), 4).alias("kn_score"),
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+    )
+
+
+def min_k_prob(
+    df: DataFrame,
+    k_denom: int = 5,
+    text_col: str = "text",
+    d: float = 0.75,
+    train: DataFrame | None = None,
+) -> DataFrame:
+    """Min-K% probability membership signal (Shi et al. 2023
+    "Detecting Pretraining Data from Large Language Models", public):
+    per document, the mean log-probability of its ceil(n/k_denom)
+    LOWEST-probability tokens (here: KN bigrams) — memorized/seen text
+    has anomalously FEW low-probability spans, so a high min-K% score
+    flags likely training-set membership; the standard contamination
+    audit when only model scores are available.
+
+    Exact k cut: k = (n + k_denom - 1) div k_denom (integer ceil — no
+    float fraction); the bottom-k selection orders by (p, w1, w2) —
+    probabilities are bit-identical rationals in either engine, ties
+    broken lexicographically, so the selected SET is deterministic.
+    Per-doc row_number windows are key-partitioned (doc-bounded).
+    Returns (doc_id, n_bigrams, k_used, min_k_score_q4) for every doc
+    with at least one bigram."""
+    from pyspark.sql import Window
+
+    probs = kneser_ney_bigram_probs(df, text_col, d, train)
+    w = Window.partitionBy("doc_id").orderBy("_p", "w1", "w2")
+    ranked = probs.select(
+        "doc_id",
+        "_p",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n"),
+    )
+    kq = F.expr(f"(n + {int(k_denom) - 1}) div {int(k_denom)}")
+    return (
+        ranked.filter(F.col("rn") <= kq)
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("long").alias("n_bigrams"),
+            F.max(kq).cast("long").alias("k_used"),
+            F.round(F.avg(F.log("_p")), 4).alias("min_k_score_q4"),
+        )
+    )
+
+
+def kneser_ney_bigram_probs(
+    df: DataFrame,
+    text_col: str = "text",
+    d: float = 0.75,
+    train: DataFrame | None = None,
+) -> DataFrame:
     """Per-document score under an interpolated Kneser-Ney bigram LM
     (Kneser & Ney 1995; the smoothing family KenLM implements — the
     actual model class behind CCNet-style quality filtering, upgrading
@@ -346,7 +407,7 @@ def kneser_ney_scores(
     bigram is then in-model); for out-of-model scoring, unseen
     (w1, w2) pairs back off to λ(w1)·Pcont(w2), unseen histories to
     Pcont(w2), and everything floors at 1e-9 so ln stays finite.
-    Returns (doc_id, kn_score, n_bigrams).
+    Returns the scored bigram stream (doc_id, w1, w2, _p).
 
     Lifecycle note: the bigram-count table is an eager localCheckpoint
     (4 consumers); sessions scoring many corpora in a loop should cut
@@ -384,7 +445,7 @@ def kneser_ney_scores(
     n_big = bc.count()  # bounded driver scalar: |distinct bigrams|
     if n_big == 0:
         return df.sparkSession.createDataFrame(
-            [], "doc_id long, kn_score double, n_bigrams long"
+            [], "doc_id long, w1 string, w2 string, _p double"
         )
     pair = bc.select("w1", "w2", "c12")
     score_stream = bigrams(df)
@@ -402,10 +463,7 @@ def kneser_ney_scores(
         .withColumn("c12_f", F.coalesce(F.col("c12"), F.lit(0)).cast("double"))
         .withColumn("_p", F.greatest(p, F.lit(1e-9)))
     )
-    return scored.groupBy("doc_id").agg(
-        F.round(F.avg(F.log("_p")), 4).alias("kn_score"),
-        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-    )
+    return scored.select("doc_id", "w1", "w2", "_p")
 
 
 def smoothed_perplexity_scores(

@@ -554,3 +554,29 @@ def test_code_switch_entropy_hand_fixture(spark):
     assert got[2]["n_langs"] == 1 and got[2]["lang_entropy_q4"] == 0.0
     assert got[3]["n_classified"] == 0 and got[3]["lang_entropy_q4"] is None
     assert got[3]["n_sentences"] == 2
+
+
+def test_min_k_prob_selects_the_bottom_fifth(spark):
+    """10 identical high-prob bigrams + 2 planted rare ones: k =
+    ceil(12/5) = 3, and the min-k mean must be dragged down by the two
+    rare bigrams (min_k score < overall kn score); k_used is the exact
+    integer ceil."""
+    from pdf_to_vectordb_etl_spark.operators.textanalysis import (
+        kneser_ney_scores,
+        min_k_prob,
+    )
+
+    common = "alpha beta " * 6          # frequent bigrams
+    rare = "zq xv"                      # appears once in the corpus
+    target = common + rare
+    other_docs = [(i, "alpha beta alpha beta gamma") for i in range(2, 8)]
+    docs = spark.createDataFrame(
+        [(1, target)] + other_docs, "doc_id long, text string"
+    )
+    mk = {r["doc_id"]: r for r in min_k_prob(docs, k_denom=5).collect()}
+    kn = {r["doc_id"]: r for r in kneser_ney_scores(docs).collect()}
+    r1 = mk[1]
+    assert r1["k_used"] == (r1["n_bigrams"] + 4) // 5
+    assert r1["min_k_score_q4"] < kn[1]["kn_score"]
+    # a doc of only frequent bigrams: bottom-k mean >= the mixed doc's
+    assert mk[2]["min_k_score_q4"] > r1["min_k_score_q4"]
