@@ -7976,6 +7976,54 @@ def q_t18_stream_woe(spark, sf):
     )
 
 
+def q_lang_mix_by_source(spark, sf):
+    """Per-source language-mix telemetry: sentence-vote cells folded
+    into classified/und counts, distinct languages, the deterministic
+    majority language (max (c, lang)), and round-4 entropy — the
+    corpus-mixture report a CCNet-style pipeline watches per slice."""
+    from pdf_to_vectordb_etl_spark.operators.textanalysis import (
+        lang_mix_by_source,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return lang_mix_by_source(docs)
+
+
+def q_t34_stream_lang_mix(spark, sf):
+    """T34 — live language-mix monitor: the |sources| x <= 6
+    (source, lang, c) sentence-vote cells as associative stream state,
+    snapshot through the IDENTICAL lang_mix_finale as the batch query;
+    the batch SQL is the parity oracle."""
+    import tempfile
+
+    from pdf_to_vectordb_etl_spark.operators.textanalysis import (
+        lang_mix_cells,
+        lang_mix_finale,
+    )
+
+    raw_schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+    )
+    live = lang_mix_cells(stream)
+    name = "t34_lang_mix_cells"
+    q = (
+        live.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t34ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    # break the shared memory-view lineage before the finale's
+    # self-joins (the T31 conflicting-references lesson)
+    return lang_mix_finale(spark.table(name).localCheckpoint(eager=True))
+
+
 def q_min_k_prob(spark, sf):
     """Min-K% (K=20%) membership-inference signal per document: mean
     KN log-prob of each doc's bottom-fifth-probability bigrams — the
@@ -8752,6 +8800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_depth": q_repetition_depth,
         "code_switch_entropy": q_code_switch_entropy,
         "min_k_prob": q_min_k_prob,
+        "lang_mix_by_source": q_lang_mix_by_source,
+        "t34_stream_lang_mix": q_t34_stream_lang_mix,
         "attribution_touch": q_attribution_touch,
         "benford_law": q_benford_law,
         "t24_stream_benford": q_t24_stream_benford,
@@ -12911,6 +12961,79 @@ def oracle_sql() -> dict[str, str]:
             FROM inter
             JOIN sizes z1 ON s1 = z1.src
             JOIN sizes z2 ON s2 = z2.src
+        """,
+        # per-source sentence votes; majority = max (c, lang) replayed
+        # as ORDER BY c DESC, lang DESC pick-first
+        "lang_mix_by_source": r"""
+            WITH d0 AS (
+              SELECT source, coalesce(text, '') AS text FROM documents),
+            s0 AS (
+              SELECT source,
+                     string_split(regexp_replace(text, '([.!?])\s+',
+                       '\1' || chr(31), 'g'), chr(31)) AS raw
+              FROM d0),
+            sents AS (
+              SELECT source,
+                     unnest(list_filter(raw, x -> trim(x) <> '')) AS sent
+              FROM s0),
+            sc AS (
+              SELECT source,
+                     len(regexp_extract_all(lower(sent),
+                       '\b(der|die|und|das|ist)\b')) AS s_de,
+                     len(regexp_extract_all(lower(sent),
+                       '\b(the|and|of|to|a)\b')) AS s_en,
+                     len(regexp_extract_all(lower(sent),
+                       '\b(el|la|de|que|los)\b')) AS s_es,
+                     len(regexp_extract_all(lower(sent),
+                       '\b(le|la|les|des|est)\b')) AS s_fr,
+                     len(regexp_extract_all(lower(sent),
+                       '\b(o|que|de|em|uma)\b')) AS s_pt
+              FROM sents),
+            v AS (
+              SELECT source,
+                     CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_pt) = 0
+                            THEN 'und'
+                          WHEN s_pt = greatest(s_de, s_en, s_es, s_fr,
+                            s_pt) THEN 'pt'
+                          WHEN s_fr = greatest(s_de, s_en, s_es, s_fr,
+                            s_pt) THEN 'fr'
+                          WHEN s_es = greatest(s_de, s_en, s_es, s_fr,
+                            s_pt) THEN 'es'
+                          WHEN s_en = greatest(s_de, s_en, s_es, s_fr,
+                            s_pt) THEN 'en'
+                          ELSE 'de' END AS lang
+              FROM sc),
+            cells AS (
+              SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+              FROM v GROUP BY 1, 2),
+            cl AS (SELECT * FROM cells WHERE lang <> 'und'),
+            tt AS (
+              SELECT source, CAST(sum(c) AS BIGINT) AS n
+              FROM cl GROUP BY source),
+            u AS (
+              SELECT source, CAST(sum(c) AS BIGINT) AS n_und
+              FROM cells WHERE lang = 'und' GROUP BY source),
+            mj AS (
+              SELECT source, lang FROM (
+                SELECT source, lang,
+                       row_number() OVER (PARTITION BY source
+                         ORDER BY c DESC, lang DESC) AS rn
+                FROM cl) WHERE rn = 1),
+            st AS (
+              SELECT cl.source,
+                     CAST(count(*) AS BIGINT) AS n_langs,
+                     max(n) AS n_classified,
+                     round(0.0 - sum((c * 1.0 / n)
+                           * ln(c * 1.0 / n)), 4) AS lang_entropy_q4
+              FROM cl JOIN tt USING (source)
+              GROUP BY cl.source)
+            SELECT st.source,
+                   CAST(n_classified AS BIGINT) AS n_classified,
+                   CAST(coalesce(n_und, 0) AS BIGINT) AS n_und,
+                   n_langs,
+                   mj.lang AS majority_lang,
+                   lang_entropy_q4
+            FROM st JOIN mj USING (source) LEFT JOIN u USING (source)
         """,
         # bottom-k per doc over the shared KN scored relation; exact
         # integer ceil cut, (p, w1, w2) total order
@@ -17430,6 +17553,7 @@ def oracle_sql() -> dict[str, str]:
     d["t31_stream_bradley_terry"] = d["bradley_terry"]
     d["t32_stream_brier"] = d["brier_decomposition"]
     d["t33_stream_gopher_ablation"] = d["gopher_rule_ablation"]
+    d["t34_stream_lang_mix"] = d["lang_mix_by_source"]
     d["t28_stream_contamination"] = d["contamination_bench"]
     d["t29_stream_gopher_gate"] = d["gopher_by_source"]
     # Bloom-screened variant admits the identical set (no false negatives)

@@ -1745,3 +1745,67 @@ def code_switch_entropy(
             "lang_entropy_q4",
         )
     )
+
+
+def lang_mix_cells(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(source, lang, c) sentence-vote cells — the bounded associative
+    state behind :func:`lang_mix_by_source` (and T34's live monitor):
+    one sentence explode + the per-sentence langid vote + one hash agg
+    to |sources| x <= 6 language rows ('und' kept — the no-evidence
+    share is itself telemetry)."""
+    from .chunking import split_sentences
+
+    sents = df.select(
+        "source",
+        F.explode(
+            split_sentences(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("sent"),
+    )
+    return sents.select(
+        "source", detect_language(F.col("sent")).alias("lang")
+    ).groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+
+
+def lang_mix_finale(cells: DataFrame) -> DataFrame:
+    """Per-source language-mix report from (source, lang, c) cells —
+    shared verbatim by the batch operator and the T34 snapshot:
+    classified-sentence counts, distinct languages, the majority
+    language (max (c, lang) — deterministic), and round-4 entropy over
+    the classified votes (the KN ln convention)."""
+    cl = cells.filter(F.col("lang") != "und")
+    tot = cl.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    und = (
+        cells.filter(F.col("lang") == "und")
+        .groupBy("source")
+        .agg(F.sum("c").cast("long").alias("n_und"))
+    )
+    term = (F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("n"))
+    top = F.max(F.struct(F.col("c"), F.col("lang")))
+    stats = (
+        cl.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            F.max("n").alias("n_classified"),
+            top.getField("lang").alias("majority_lang"),
+            F.round(F.lit(0.0) - F.sum(term), 4).alias("lang_entropy_q4"),
+        )
+    )
+    return stats.join(und, "source", "left").select(
+        "source",
+        "n_classified",
+        F.coalesce("n_und", F.lit(0)).cast("long").alias("n_und"),
+        "n_langs",
+        "majority_lang",
+        "lang_entropy_q4",
+    )
+
+
+def lang_mix_by_source(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source language composition report — the corpus-mixture
+    telemetry CCNet-descended pipelines watch per ingest slice. See
+    :func:`lang_mix_cells` / :func:`lang_mix_finale` (sources with no
+    classified sentence carry no row — no evidence, no report)."""
+    return lang_mix_finale(lang_mix_cells(df, text_col))
