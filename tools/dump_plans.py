@@ -74,6 +74,9 @@ HEADLINE = [
     ("ccnet_ppl_buckets", "r7: tertile ranks via range-partitioned global_row_number — no per-source window anywhere"),
     ("bradley_terry", "r7: MM rounds checkpoint-truncated; final plan is a tiny ExistingRDD join, not a 6-round chain"),
     ("cross_corpus_lcs", "r7: two-phase hash probes — corpus-wide agg on 8-byte hashes only, text joins on candidates"),
+    ("gopher_rule_ablation", "r7: 27 ablation stats in ONE aggregate over the <=512-row mask histogram + a 9-row stack"),
+    ("min_k_prob", "r7: broadcast KN model onto the bigram stream; per-doc key-partitioned bottom-k window"),
+    ("lang_mix_by_source", "r7: sentence explode -> stateless vote projection -> |sources|x6 cell agg; majority via struct max"),
     ("dedup_incremental_bloom", "r6: broadcast Bloom screen (4 BHJ) gates the anti-join; zero batch-side shuffle before it"),
     ("unigram_lm_train", "r6: vocab-collapse + per-word HOF Viterbi; no windows, no cartesian"),
     ("ks_two_sample", "r6: packed global_prefix_sum CDF walk; range partition, no single-partition window"),
