@@ -7976,6 +7976,19 @@ def q_t18_stream_woe(spark, sf):
     )
 
 
+def q_dedup_threshold_sweep(spark, sf):
+    """Dedup-threshold tuning table: exact-Jaccard pair counts at
+    0.5/0.6/0.7/0.8/0.9 from ONE inverted-index pair computation —
+    conditional sums, never a re-join; raw-double threshold compares
+    are bit-identical across engines."""
+    from pdf_to_vectordb_etl_spark.operators.dedup import (
+        jaccard_threshold_sweep,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return jaccard_threshold_sweep(docs)
+
+
 def q_lang_mix_by_source(spark, sf):
     """Per-source language-mix telemetry: sentence-vote cells folded
     into classified/und counts, distinct languages, the deterministic
@@ -8802,6 +8815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_k_prob": q_min_k_prob,
         "lang_mix_by_source": q_lang_mix_by_source,
         "t34_stream_lang_mix": q_t34_stream_lang_mix,
+        "dedup_threshold_sweep": q_dedup_threshold_sweep,
         "attribution_touch": q_attribution_touch,
         "benford_law": q_benford_law,
         "t24_stream_benford": q_t24_stream_benford,
@@ -12961,6 +12975,36 @@ def oracle_sql() -> dict[str, str]:
             FROM inter
             JOIN sizes z1 ON s1 = z1.src
             JOIN sizes z2 ON s2 = z2.src
+        """,
+        # ONE pair table at the lowest threshold; conditional sums per
+        # threshold; floor-quantized max (never round a raw double)
+        "dedup_threshold_sweep": f"""
+            WITH sh AS (
+              SELECT doc_id, {_SHINGLES} AS shingles
+              FROM (SELECT doc_id, string_split({_NORM}, ' ') AS w
+                    FROM documents)),
+            ex AS (SELECT doc_id, unnest(shingles) AS s,
+                          len(shingles) AS n
+                   FROM sh),
+            pairs AS MATERIALIZED (
+              SELECT count(*) * 1.0
+                     / (any_value(a.n) + any_value(b.n) - count(*)) AS j
+              FROM ex a JOIN ex b
+                ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+              HAVING count(*) * 1.0
+                     / (any_value(a.n) + any_value(b.n) - count(*))
+                     >= 0.5),
+            th AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold)
+            SELECT CAST(th.threshold AS DOUBLE) AS threshold,
+                   CAST(coalesce(sum(CASE WHEN j >= th.threshold
+                                     THEN 1 ELSE 0 END), 0) AS BIGINT)
+                     AS n_pairs,
+                   max(CASE WHEN j >= th.threshold
+                       THEN floor(j * 10000) / 10000 END)
+                     AS max_jaccard_q4
+            FROM th LEFT JOIN pairs ON TRUE
+            GROUP BY th.threshold
         """,
         # per-source sentence votes; majority = max (c, lang) replayed
         # as ORDER BY c DESC, lang DESC pick-first

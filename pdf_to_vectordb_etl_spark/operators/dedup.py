@@ -1433,3 +1433,44 @@ def explain_pairs(
             F.array_join(F.slice(inter, 1, sample), " | ").alias("shared_sample"),
         )
     )
+
+
+def jaccard_threshold_sweep(
+    df: DataFrame,
+    thresholds: tuple[float, ...] = (0.5, 0.6, 0.7, 0.8, 0.9),
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup aggressiveness sweep: how many exact-Jaccard pairs
+    each candidate threshold would flag — the tuning table someone
+    reads BEFORE committing a dedup threshold to a 100 TB run (a
+    threshold that flags half the corpus is a bug, not a policy).
+
+    ONE inverted-index pair computation at min(thresholds) feeds every
+    row — per-threshold counts are conditional sums over the same pair
+    table, never a re-join. Thresholds compare the RAW Jaccard double
+    (bit-identical in any engine: same integer counts, same single
+    division); the reported max is floor-quantized (never round() a
+    raw double both engines must agree on). Returns one row per
+    threshold: (threshold, n_pairs, max_jaccard_q4)."""
+    lo = min(thresholds)
+    pairs = ngram_jaccard_pairs(df, lo, n, text_col, id_col)
+    aggs = []
+    for i, t in enumerate(sorted(thresholds)):
+        ge = F.col("jaccard") >= float(t)
+        aggs += [
+            F.sum(ge.cast("int")).cast("long").alias(f"_n{i}"),
+            F.max(
+                F.when(ge, F.floor(F.col("jaccard") * 10000) / 10000)
+            ).alias(f"_m{i}"),
+        ]
+    one = pairs.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({float(t)} AS DOUBLE), coalesce(_n{i}, 0), _m{i}"
+        for i, t in enumerate(sorted(thresholds))
+    )
+    return one.selectExpr(
+        f"stack({len(thresholds)}, {stack_args})"
+        " AS (threshold, n_pairs, max_jaccard_q4)"
+    )
