@@ -8475,6 +8475,307 @@ def q_brier_decomposition(spark, sf):
     return ev.brier_decomposition(base, "p_micro", "y", n_bins=20)
 
 
+def q_mcnemar_filters(spark, sf):
+    """McNemar paired test of two keyword relevance classifiers
+    (A = doc mentions 'data', B = doc mentions 'merge') over the SAME
+    documents — the honest way to compare two corpus filters. The
+    statistic and its continuity correction are exact micro-grid
+    integer divisions; the 5% decision is an integer compare against
+    the literal chi2(1, .95) micro grid (no float anywhere)."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation as ev
+
+    docs = _t(spark, sf, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    base = docs.select(
+        (F.instr(txt, "data") > 0).alias("pred_a"),
+        (F.instr(txt, "merge") > 0).alias("pred_b"),
+    )
+    return ev.mcnemar_test(base, "pred_a", "pred_b")
+
+
+def q_cochran_q_event_types(spark, sf):
+    """Cochran's Q over the complete user x event-type presence blocks
+    (did each user ever fire each of the k event types) — the
+    k-treatment generalization of McNemar. All sums exact integers,
+    one nonneg micro-grid floor-division."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation as ev
+
+    ev_df = _t(spark, sf, "events")
+    return ev.cochran_q(ev_df, "user_id", "event_type")
+
+
+def q_krippendorff_alpha(spark, sf):
+    """Krippendorff's alpha (nominal) over the (user = item,
+    event_type = category) rating table — the variable-rater agreement
+    statistic that stays defined under missing ratings, complementing
+    fleiss_kappa on the same data. Per-item disagreement terms are
+    pico-quantized exact integers; alpha's floor is emulated from
+    NONNEG divisions only (the numerator can be negative and DuckDB's
+    // truncates toward zero there)."""
+    from pdf_to_vectordb_etl_spark.operators import evaluation as ev
+
+    ev_df = _t(spark, sf, "events")
+    return ev.krippendorff_alpha(ev_df, "user_id", "event_type")
+
+
+def q_t35_stream_krippendorff(spark, sf):
+    """T35 — live inter-annotator agreement monitor: the (item,
+    category, count) cell table is the associative streaming state
+    (cells/finale recipe), snapshot through the IDENTICAL
+    krippendorff_alpha_from_cells finale as the batch path; the batch
+    SQL is the parity oracle."""
+    import tempfile
+
+    from pdf_to_vectordb_etl_spark.operators.evaluation import (
+        krippendorff_alpha_from_cells,
+    )
+
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+        .groupBy(
+            F.col("user_id").alias("i"), F.col("event_type").alias("cat")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("nic"))
+    )
+    name = "t35_kripp_cells"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t35ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    snap = spark.table(name).localCheckpoint(eager=True)
+    return krippendorff_alpha_from_cells(snap)
+
+
+def q_lexical_diversity(spark, sf):
+    """Per-source type-token ratio and hapax fraction — the cheap
+    vocabulary-richness screens (template farms read low-TTR, OCR
+    noise reads hapax-heavy). One (source, token) hash agg + bounded
+    reagg; ratios are exact nonneg micro floor-divisions."""
+    docs = _t(spark, sf, "documents")
+    return ta.lexical_diversity(docs, "text", "source")
+
+
+def q_vocab_growth(spark, sf):
+    """Heaps-law vocabulary growth at 10 corpus prefixes (ascending
+    doc_id): is new data still contributing new vocabulary? Token
+    first-occurrence is one min-agg; cutoffs come from the sanctioned
+    global_row_number primitive; the rollup joins the VOCAB-sized
+    first-seen table against the broadcast 10-row cutoff list."""
+    docs = _t(spark, sf, "documents")
+    return ta.vocab_growth_curve(docs, "text", "doc_id", n_checkpoints=10)
+
+
+def q_knn_shapley(spark, sf):
+    """Exact K-NN Shapley data valuation (Jia et al. 2019) of every
+    train embedding against a 4-vector probe panel, top-20 most
+    valuable per probe. Distances and the far-to-near suffix recursion
+    are exact integers on the micro/pico grids; ranks come from
+    global_row_number + per-query offset joins (ccnet recipe), never a
+    corpus-sized per-query window."""
+    from pdf_to_vectordb_etl_spark.operators.valuation import knn_shapley
+
+    emb = _t(spark, sf, "embeddings")
+    return knn_shapley(
+        emb.filter(F.col("vec_id") >= 4),
+        emb.filter(F.col("vec_id") < 4),
+        k=5,
+        top_n=20,
+    )
+
+
+def q_offpolicy_ips(spark, sf):
+    """IPS / SNIPS off-policy value of the uniform selection policy
+    over the logged (event_type, value) decisions with empirical
+    behavior propensities — one hash agg + bounded rollup, every
+    estimate a single exact signed floor-division over DECIMAL
+    integers."""
+    from pdf_to_vectordb_etl_spark.operators.valuation import (
+        offpolicy_ips_snips,
+    )
+
+    ev = _t(spark, sf, "events")
+    return offpolicy_ips_snips(ev, "event_type", "value")
+
+
+def q_pca_top_component(spark, sf):
+    """Top principal component of the embedding table by power
+    iteration on the EXACT integer covariance (micro-grid quantize →
+    N*G - S S^T over one posexplode + row-key self-join; the d x d
+    cell table is a bounded driver artifact, the adaboost contract).
+    Every division on both engines is a trunc-toward-zero on the same
+    integers — bit-identical trajectory."""
+    from pdf_to_vectordb_etl_spark.operators.clustering import (
+        pca_top_component,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    return pca_top_component(emb, "embedding", "vec_id", n_rounds=6)
+
+
+def _pca_oracle_sql(n_rounds: int = 6) -> str:
+    """DuckDB twin of pca_top_component: the power-iteration rounds
+    unrolled as MATERIALIZED CTEs over the same integer covariance.
+    DuckDB's ``//`` truncates toward zero on signed HUGEINTs, exactly
+    matching the driver's abs-based tdiv; num/vtv are pre-scaled by
+    PICO before the evr division so nothing passes 2^127."""
+    P = "CAST(1000000000000 AS HUGEINT)"  # pico
+    rounds = []
+    for r in range(1, n_rounds + 1):
+        prev = f"v{r - 1}"
+        rounds.append(
+            f"""
+        u{r} AS MATERIALIZED (
+          SELECT c.i AS i, sum(c.c * p.val) AS u
+          FROM cs c JOIN {prev} p ON c.j = p.i GROUP BY c.i),
+        m{r} AS MATERIALIZED (SELECT max(abs(u)) AS m FROM u{r}),
+        v{r} AS MATERIALIZED (
+          SELECT u.i AS i,
+                 CASE WHEN m.m = 0 THEN pv.val
+                      ELSE (u.u * {P}) // m.m END AS val
+          FROM u{r} u JOIN {prev} pv ON u.i = pv.i CROSS JOIN m{r} m)"""
+        )
+    last = f"v{n_rounds}"
+    return f"""
+        WITH xs AS MATERIALIZED (
+          SELECT vec_id AS r,
+                 unnest(range(len(embedding))) AS i,
+                 unnest(list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * 1000000) AS BIGINT))) AS xi
+          FROM embeddings),
+        cells AS MATERIALIZED (
+          SELECT a.i AS i, b.i AS j,
+                 sum(CAST(a.xi AS HUGEINT) * b.xi) AS g,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM xs a JOIN xs b ON a.r = b.r AND a.i <= b.i
+          GROUP BY 1, 2),
+        nn AS (SELECT max(n) AS n FROM cells),
+        sums AS (SELECT i, sum(CAST(xi AS HUGEINT)) AS s FROM xs GROUP BY i),
+        cov0 AS MATERIALIZED (
+          SELECT c.i, c.j, nn.n * c.g - sa.s * sb.s AS c
+          FROM cells c, nn, sums sa, sums sb
+          WHERE sa.i = c.i AND sb.i = c.j),
+        cov AS MATERIALIZED (
+          SELECT i, j, c FROM cov0
+          UNION ALL
+          SELECT j AS i, i AS j, c FROM cov0 WHERE i < j),
+        mxc AS (
+          SELECT greatest(CAST(1 AS HUGEINT), max(abs(c)) // 1000000)
+            AS cscale FROM cov),
+        cs AS MATERIALIZED (
+          SELECT i, j, c // cscale AS c FROM cov, mxc),
+        strt AS (
+          SELECT i AS start FROM cs WHERE i = j
+          ORDER BY c DESC, i LIMIT 1),
+        v0 AS MATERIALIZED (
+          SELECT d.i AS i,
+                 CASE WHEN d.i = strt.start THEN {P}
+                      ELSE CAST(0 AS HUGEINT) END AS val
+          FROM (SELECT DISTINCT i FROM cs) d, strt),{",".join(rounds)},
+        firstnz AS (
+          SELECT val FROM {last} WHERE val <> 0 ORDER BY i LIMIT 1),
+        sgn AS (
+          SELECT CASE WHEN coalesce((SELECT val FROM firstnz), 1) < 0
+                      THEN -1 ELSE 1 END AS sg),
+        fin AS (
+          SELECT sum(c.c * va.val * vb.val) AS num
+          FROM cs c
+          JOIN {last} va ON va.i = c.i
+          JOIN {last} vb ON vb.i = c.j),
+        vtv AS (SELECT sum(val * val) AS vtv FROM {last}),
+        tr AS (SELECT sum(c) AS trace FROM cs WHERE i = j)
+        SELECT CAST(v.i AS INT) AS dim,
+               CAST(v.val * sgn.sg AS BIGINT) / 1e12 AS loading_q12,
+               CASE WHEN (vtv.vtv // {P}) * tr.trace > 0 THEN
+                 CAST(((greatest(fin.num, 0) // {P}) * 1000000)
+                      // ((vtv.vtv // {P}) * tr.trace) AS BIGINT) / 1e6
+               END AS evr_q6
+        FROM {last} v, sgn, fin, vtv, tr
+    """
+
+
+def q_phrase_search(spark, sf):
+    """Exact 3-token phrase search ('join batch table') via the
+    positional postings join — the posting filter IS the index lookup,
+    pruning the corpus to the phrase terms' document frequency before
+    any join."""
+    from pdf_to_vectordb_etl_spark.operators.textsearch import phrase_search
+
+    docs = _t(spark, sf, "documents")
+    return phrase_search(docs, ["join", "batch", "table"])
+
+
+def q_heavy_hitters_mg(spark, sf):
+    """Exact token heavy hitters (count > n/30) via the two-phase
+    Misra-Gries screen: bounded per-partition summaries -> candidate
+    superset (pigeonhole, no false negatives) -> exact recount of
+    candidates only — output independent of partitioning, corpus never
+    shuffles by token."""
+    from pdf_to_vectordb_etl_spark.operators.sketch import (
+        heavy_hitters_exact,
+    )
+    from pdf_to_vectordb_etl_spark.operators.textsearch import tokens
+
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        F.explode(tokens(F.coalesce(F.col("text"), F.lit("")))).alias("tok")
+    )
+    return heavy_hitters_exact(toks, "tok", k=30)
+
+
+def q_t36_stream_offpolicy(spark, sf):
+    """T36 — live off-policy value monitor: per-action (count, exact
+    micro-reward sum) cells as the associative streaming state
+    (per-row floors BEFORE the sums keep the state mergeable), snapshot
+    through the IDENTICAL offpolicy_from_action_cells finale as the
+    batch path; the batch SQL is the parity oracle."""
+    import tempfile
+
+    from pdf_to_vectordb_etl_spark.operators.valuation import (
+        offpolicy_from_action_cells,
+    )
+
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+        .select(
+            F.col("event_type").alias("a"),
+            F.floor(F.col("value").cast("double") * 1000000)
+            .cast("long")
+            .alias("r_micro"),
+        )
+        .filter(F.col("a").isNotNull() & F.col("r_micro").isNotNull())
+        .groupBy("a")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("na"),
+            F.sum(F.col("r_micro").cast("decimal(38,0)")).alias("sr"),
+        )
+    )
+    name = "t36_offpolicy_cells"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t36ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    snap = spark.table(name).localCheckpoint(eager=True)
+    return offpolicy_from_action_cells(snap)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -8816,6 +9117,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_mix_by_source": q_lang_mix_by_source,
         "t34_stream_lang_mix": q_t34_stream_lang_mix,
         "dedup_threshold_sweep": q_dedup_threshold_sweep,
+        "mcnemar_filters": q_mcnemar_filters,
+        "cochran_q_event_types": q_cochran_q_event_types,
+        "krippendorff_alpha": q_krippendorff_alpha,
+        "t35_stream_krippendorff": q_t35_stream_krippendorff,
+        "lexical_diversity": q_lexical_diversity,
+        "vocab_growth": q_vocab_growth,
+        "knn_shapley": q_knn_shapley,
+        "offpolicy_ips": q_offpolicy_ips,
+        "pca_top_component": q_pca_top_component,
+        "phrase_search": q_phrase_search,
+        "heavy_hitters_mg": q_heavy_hitters_mg,
+        "t36_stream_offpolicy": q_t36_stream_offpolicy,
         "attribution_touch": q_attribution_touch,
         "benford_law": q_benford_law,
         "t24_stream_benford": q_t24_stream_benford,
@@ -17598,6 +17911,371 @@ def oracle_sql() -> dict[str, str]:
     d["t32_stream_brier"] = d["brier_decomposition"]
     d["t33_stream_gopher_ablation"] = d["gopher_rule_ablation"]
     d["t34_stream_lang_mix"] = d["lang_mix_by_source"]
+    # McNemar: exact micro-grid integer divisions (nonneg numerators —
+    # the diff is squared), decision = integer compare vs the literal
+    # chi2(1, .95) micro grid
+    d["mcnemar_filters"] = r"""
+        WITH base AS (
+          SELECT CASE WHEN instr(coalesce(text, ''), 'data') > 0
+                      THEN 1 ELSE 0 END AS a,
+                 CASE WHEN instr(coalesce(text, ''), 'merge') > 0
+                      THEN 1 ELSE 0 END AS b
+          FROM documents),
+        cells AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_items,
+                 CAST(coalesce(sum(CASE WHEN a = 1 AND b = 0
+                                        THEN 1 ELSE 0 END), 0)
+                      AS BIGINT) AS b_count,
+                 CAST(coalesce(sum(CASE WHEN a = 0 AND b = 1
+                                        THEN 1 ELSE 0 END), 0)
+                      AS BIGINT) AS c_count
+          FROM base)
+        SELECT n_items, b_count, c_count,
+               b_count + c_count AS n_discordant,
+               CASE WHEN b_count + c_count > 0 THEN
+                 ((CAST(b_count - c_count AS HUGEINT)
+                   * (b_count - c_count) * 1000000)
+                  // (b_count + c_count)) / 1e6 END AS chi2_q6,
+               CASE WHEN b_count + c_count > 0 THEN
+                 ((CAST(greatest(abs(b_count - c_count) - 1, 0) AS HUGEINT)
+                   * greatest(abs(b_count - c_count) - 1, 0) * 1000000)
+                  // (b_count + c_count)) / 1e6 END AS chi2_cc_q6,
+               CASE WHEN b_count + c_count > 0 THEN
+                 ((CAST(greatest(abs(b_count - c_count) - 1, 0) AS HUGEINT)
+                   * greatest(abs(b_count - c_count) - 1, 0) * 1000000)
+                  // (b_count + c_count)) > 3841459 END AS reject_05
+        FROM cells
+    """
+    # Cochran's Q: presence marks are distinct (item, treatment) pairs;
+    # numerator is nonneg by Cauchy-Schwarz, denominator nonneg since
+    # x_i <= k — the single floor-division never sees a negative
+    d["cochran_q_event_types"] = r"""
+        WITH marks AS (
+          SELECT DISTINCT user_id AS i, event_type AS t FROM events
+          WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        tj AS (
+          SELECT CAST(count(*) AS BIGINT) AS k,
+                 sum(CAST(tjc AS HUGEINT) * tjc) AS sum_tj2,
+                 CAST(sum(tjc) AS BIGINT) AS g_marks
+          FROM (SELECT t, CAST(count(*) AS BIGINT) AS tjc
+                FROM marks GROUP BY t)),
+        xi AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_items,
+                 sum(CAST(xic AS HUGEINT) * xic) AS sum_xi2
+          FROM (SELECT i, CAST(count(*) AS BIGINT) AS xic
+                FROM marks GROUP BY i))
+        SELECT k AS k_treatments, n_items, g_marks,
+               CASE WHEN CAST(k AS HUGEINT) * g_marks - sum_xi2 > 0 THEN
+                 ((CAST(k - 1 AS HUGEINT)
+                   * (k * sum_tj2 - CAST(g_marks AS HUGEINT) * g_marks)
+                   * 1000000)
+                  // (CAST(k AS HUGEINT) * g_marks - sum_xi2)) / 1e6
+               END AS q_q6
+        FROM tj CROSS JOIN xi
+    """
+    # Krippendorff nominal alpha: pico-quantized per-item disagreement
+    # (fleiss convention); alpha's floor emulated from NONNEG divisions
+    # only (DuckDB // truncates toward zero on negatives)
+    d["krippendorff_alpha"] = r"""
+        WITH cells AS (
+          SELECT user_id AS i, event_type AS cat,
+                 CAST(count(*) AS BIGINT) AS nic
+          FROM events GROUP BY user_id, event_type),
+        per_item AS (
+          SELECT i, CAST(sum(nic) AS BIGINT) AS ni,
+                 sum(CAST(nic AS HUGEINT) * nic) AS si
+          FROM cells GROUP BY i),
+        kept AS (SELECT * FROM per_item WHERE ni >= 2),
+        do_t AS (
+          SELECT ni,
+                 ((CAST(ni AS HUGEINT) * ni - si)
+                  * CAST(1000000000000 AS HUGEINT)) // (ni - 1) AS do_pico
+          FROM kept),
+        tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_items,
+                 coalesce(sum(do_pico), 0) AS do_sum,
+                 CAST(coalesce(sum(ni), 0) AS BIGINT) AS n_ratings
+          FROM do_t),
+        dr AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_dropped
+          FROM per_item WHERE ni < 2),
+        ct AS (
+          SELECT cat, CAST(sum(nic) AS BIGINT) AS cc
+          FROM cells JOIN kept USING (i) GROUP BY cat),
+        es AS (
+          SELECT coalesce(sum(CAST(cc AS HUGEINT) * (t.nn - cc)), 0)
+                   AS e_sum
+          FROM ct CROSS JOIN
+               (SELECT CAST(sum(cc) AS BIGINT) AS nn FROM ct) t)
+        SELECT n_items, n_dropped, n_ratings,
+               CASE WHEN n_ratings >= 2 THEN
+                 CAST(do_sum // n_ratings AS BIGINT) / 1e12
+               END AS d_o_q12,
+               CASE WHEN e_sum > 0 THEN
+                 CAST((e_sum * CAST(1000000000000 AS HUGEINT))
+                      // (CAST(n_ratings AS HUGEINT) * (n_ratings - 1))
+                      AS BIGINT) / 1e12
+               END AS d_e_q12,
+               CASE WHEN e_sum > 0 THEN CAST(CASE
+                 WHEN e_sum * CAST(1000000000000 AS HUGEINT)
+                      >= (n_ratings - 1) * do_sum THEN
+                   ((e_sum * CAST(1000000000000 AS HUGEINT)
+                     - (n_ratings - 1) * do_sum) * 1000000)
+                   // (e_sum * CAST(1000000000000 AS HUGEINT))
+                 ELSE
+                   -((((n_ratings - 1) * do_sum
+                       - e_sum * CAST(1000000000000 AS HUGEINT)) * 1000000
+                      + e_sum * CAST(1000000000000 AS HUGEINT) - 1)
+                     // (e_sum * CAST(1000000000000 AS HUGEINT)))
+                 END AS BIGINT) / 1e6 END AS alpha_q6
+        FROM tot CROSS JOIN dr CROSS JOIN es
+    """
+    # T35's cell snapshot over identical rows equals the batch cell
+    # table, and the finale is the same code path — batch SQL is the
+    # parity oracle
+    d["t35_stream_krippendorff"] = d["krippendorff_alpha"]
+    # lexical diversity: exact integer counts, nonneg micro floor-divs
+    d["lexical_diversity"] = r"""
+        WITH docs AS (
+          SELECT source, coalesce(text, '') AS text FROM documents),
+        toks AS (
+          SELECT g, tok FROM (
+            SELECT source AS g,
+                   unnest(string_split_regex(lower(text), '\s+')) AS tok
+            FROM docs)
+          WHERE tok <> ''),
+        cells AS (
+          SELECT g, tok, CAST(count(*) AS BIGINT) AS c
+          FROM toks GROUP BY g, tok),
+        pg AS (
+          SELECT g, CAST(sum(c) AS BIGINT) AS n_tokens,
+                 CAST(count(*) AS BIGINT) AS n_types,
+                 CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax
+          FROM cells GROUP BY g),
+        d AS (
+          SELECT source AS g, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY source)
+        SELECT d.g AS source, n_docs,
+               coalesce(n_tokens, 0) AS n_tokens,
+               coalesce(n_types, 0) AS n_types,
+               coalesce(n_hapax, 0) AS n_hapax,
+               CASE WHEN coalesce(n_tokens, 0) > 0 THEN
+                 ((CAST(n_types AS HUGEINT) * 1000000) // n_tokens) / 1e6
+               END AS ttr_q6,
+               CASE WHEN coalesce(n_types, 0) > 0 THEN
+                 ((CAST(n_hapax AS HUGEINT) * 1000000) // n_types) / 1e6
+               END AS hapax_frac_q6
+        FROM d LEFT JOIN pg USING (g)
+    """
+    # Heaps-law growth: first-occurrence min-agg + rank-derived cutoffs;
+    # ids deduped on BOTH sides so duplicate-id fixtures can't split
+    # the rank universe
+    d["vocab_growth"] = r"""
+        WITH docs AS (
+          SELECT doc_id, coalesce(text, '') AS text FROM documents),
+        per_doc AS (
+          SELECT doc_id AS id,
+                 CAST(len(list_filter(
+                   string_split_regex(lower(text), '\s+'),
+                   t -> t <> '')) AS BIGINT) AS n_tok
+          FROM docs),
+        toks AS (
+          SELECT id, tok FROM (
+            SELECT doc_id AS id,
+                   unnest(string_split_regex(lower(text), '\s+')) AS tok
+            FROM docs)
+          WHERE tok <> ''),
+        first_seen AS (
+          SELECT tok, min(id) AS first_id FROM toks GROUP BY tok),
+        ids AS (SELECT DISTINCT id FROM per_doc),
+        ranked AS (
+          SELECT id, row_number() OVER (ORDER BY id) AS rn FROM ids),
+        n_tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ids),
+        cps AS (
+          SELECT k AS checkpoint, (k * n) // 10 AS cut_rn
+          FROM n_tot, range(1, 11) t(k)
+          WHERE (k * n) // 10 >= 1),
+        cuts AS (
+          SELECT checkpoint, r.id AS cutoff_id, r.rn
+          FROM ranked r JOIN cps ON r.rn = cps.cut_rn),
+        vc AS (
+          SELECT checkpoint, CAST(count(*) AS BIGINT) AS n_types_cum
+          FROM first_seen f JOIN cuts c ON f.first_id <= c.cutoff_id
+          GROUP BY checkpoint),
+        tc AS (
+          SELECT checkpoint, CAST(sum(n_tok) AS BIGINT) AS n_tokens_cum
+          FROM per_doc p JOIN cuts c ON p.id <= c.cutoff_id
+          GROUP BY checkpoint)
+        SELECT c.checkpoint, c.cutoff_id,
+               CAST(c.rn AS BIGINT) AS n_docs_cum,
+               coalesce(tc.n_tokens_cum, 0) AS n_tokens_cum,
+               coalesce(vc.n_types_cum, 0) AS n_types_cum
+        FROM cuts c
+        LEFT JOIN vc USING (checkpoint)
+        LEFT JOIN tc USING (checkpoint)
+    """
+    # KNN-Shapley (Jia et al. 2019 closed form): micro-quantized
+    # integer distances, pico-grid increments with the sign applied
+    # OUTSIDE the (nonneg) floor-division, per-query suffix sums —
+    # the oracle may use real windows where the Spark side uses the
+    # global-rank primitives
+    d["knn_shapley"] = r"""
+        WITH q AS (
+          SELECT vec_id AS qid, label AS qy,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv
+          FROM embeddings WHERE vec_id < 4),
+        tr AS (
+          SELECT vec_id AS tid, label AS ty,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * 1000000) AS BIGINT)) AS tv
+          FROM embeddings WHERE vec_id >= 4),
+        scored AS (
+          SELECT qid, tid,
+                 list_sum(list_transform(list_zip(qv, tv),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist,
+                 CASE WHEN ty = qy THEN 1 ELSE 0 END AS ind
+          FROM tr CROSS JOIN q),
+        ranked AS (
+          SELECT qid, tid, ind,
+                 CAST(row_number() OVER (
+                   PARTITION BY qid ORDER BY dist, tid) AS BIGINT)
+                   AS knn_rank,
+                 CAST(count(*) OVER (PARTITION BY qid) AS BIGINT)
+                   AS n_train
+          FROM scored),
+        d AS (
+          SELECT qid, tid, ind, knn_rank, n_train,
+                 CASE WHEN ind_next IS NULL THEN CAST(0 AS HUGEINT)
+                      ELSE (ind - ind_next)
+                           * ((CAST(1000000000000 AS HUGEINT)
+                               * least(5, knn_rank)) // (5 * knn_rank))
+                 END AS delta_pico
+          FROM (SELECT *, lead(ind) OVER (
+                  PARTITION BY qid ORDER BY knn_rank) AS ind_next
+                FROM ranked)),
+        s AS (
+          SELECT qid, tid, ind, knn_rank,
+                 CAST(max(CASE WHEN knn_rank = n_train THEN ind END)
+                        OVER (PARTITION BY qid)
+                      * (CAST(1000000000000 AS HUGEINT) // n_train)
+                      + sum(delta_pico) OVER (
+                          PARTITION BY qid ORDER BY knn_rank DESC)
+                      AS BIGINT) AS s_pico
+          FROM d),
+        vr AS (
+          SELECT qid, tid AS vec_id, knn_rank,
+                 s_pico / 1e12 AS shapley_q12,
+                 ind = 1 AS label_match,
+                 CAST(row_number() OVER (
+                   PARTITION BY qid ORDER BY s_pico DESC, tid)
+                   AS BIGINT) AS value_rank
+          FROM s)
+        SELECT qid, vec_id, knn_rank, value_rank, shapley_q12,
+               label_match
+        FROM vr WHERE value_rank <= 20
+    """
+    d["pca_top_component"] = _pca_oracle_sql(6)
+    # positional phrase search: tokens + 0-based positions zipped AFTER
+    # the empty-token filter on both engines; adjacency via pos-offset
+    # equi-joins
+    d["phrase_search"] = r"""
+        WITH docs AS (
+          SELECT doc_id, coalesce(text, '') AS text FROM documents),
+        posted AS (
+          SELECT id, pos, tok FROM (
+            SELECT doc_id AS id,
+                   unnest(list_filter(
+                     string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '')) AS tok,
+                   unnest(range(len(list_filter(
+                     string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '')))) AS pos
+            FROM docs)
+          WHERE tok IN ('join', 'batch', 'table')),
+        m0 AS (SELECT id, pos AS p0 FROM posted WHERE tok = 'join'),
+        m1 AS (
+          SELECT m0.id, m0.p0 FROM m0
+          JOIN posted p ON p.id = m0.id AND p.tok = 'batch'
+                        AND p.pos = m0.p0 + 1),
+        m2 AS (
+          SELECT m1.id, m1.p0 FROM m1
+          JOIN posted p ON p.id = m1.id AND p.tok = 'table'
+                        AND p.pos = m1.p0 + 2)
+        SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+               CAST(min(p0) AS BIGINT) AS first_pos
+        FROM m2 GROUP BY id
+    """
+    # exact heavy hitters: the MG screen is a no-false-negative
+    # candidate superset, so the final output equals the plain exact
+    # threshold count — which is the oracle
+    d["heavy_hitters_mg"] = r"""
+        WITH toks AS (
+          SELECT tok FROM (
+            SELECT unnest(list_filter(
+              string_split_regex(lower(coalesce(text, '')),
+                                 '[^a-z0-9]+'),
+              t -> t <> '')) AS tok
+            FROM documents)),
+        cnt AS (
+          SELECT tok AS item, CAST(count(*) AS BIGINT) AS cnt
+          FROM toks GROUP BY tok),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks)
+        SELECT item, cnt,
+               ((CAST(cnt AS HUGEINT) * 1000000) // n) / 1e6 AS share_q6
+        FROM cnt, tot WHERE cnt * 30 > n
+    """
+    # IPS/SNIPS: per-action pico weights and exact integer reward
+    # sums; signed finals via the symmetric nonneg floor-div emulation
+    d["offpolicy_ips"] = r"""
+        WITH base AS (
+          SELECT event_type AS a,
+                 CAST(floor(value * 1000000) AS BIGINT) AS r_micro
+          FROM events
+          WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        pa AS (
+          SELECT a, CAST(count(*) AS BIGINT) AS na,
+                 sum(CAST(r_micro AS HUGEINT)) AS sr
+          FROM base GROUP BY a),
+        tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS k_actions,
+                 CAST(coalesce(sum(na), 0) AS BIGINT) AS n_logs,
+                 coalesce(sum(sr), 0) AS sr_all
+          FROM pa),
+        w AS (
+          SELECT na, sr, k_actions, n_logs, sr_all,
+                 (CAST(n_logs AS HUGEINT) * 1000000000000)
+                   // (CAST(k_actions AS HUGEINT) * na) AS w_pico
+          FROM pa CROSS JOIN tot),
+        agg AS (
+          SELECT k_actions, n_logs, sr_all,
+                 sum(CAST(w_pico AS HUGEINT) * sr) AS num,
+                 sum(CAST(na AS HUGEINT) * w_pico) AS den_pico
+          FROM w GROUP BY 1, 2, 3)
+        SELECT n_logs, k_actions,
+               CASE WHEN n_logs > 0 THEN CAST(CASE
+                 WHEN sr_all >= 0 THEN sr_all // CAST(n_logs AS HUGEINT)
+                 ELSE -((-sr_all + CAST(n_logs AS HUGEINT) - 1)
+                        // CAST(n_logs AS HUGEINT))
+               END AS BIGINT) / 1e6 END AS logged_mean_q6,
+               CASE WHEN CAST(n_logs AS HUGEINT) * 1000000000000 > 0
+                 THEN CAST(CASE
+                 WHEN num >= 0 THEN
+                   num // (CAST(n_logs AS HUGEINT) * 1000000000000)
+                 ELSE -((-num + CAST(n_logs AS HUGEINT) * 1000000000000
+                         - 1)
+                        // (CAST(n_logs AS HUGEINT) * 1000000000000))
+               END AS BIGINT) / 1e6 END AS ips_q6,
+               CASE WHEN den_pico > 0 THEN CAST(CASE
+                 WHEN num >= 0 THEN num // den_pico
+                 ELSE -((-num + den_pico - 1) // den_pico)
+               END AS BIGINT) / 1e6 END AS snips_q6
+        FROM agg
+    """
+    # T36: per-action cells snapshot == the batch per-action table,
+    # same finale code path — batch SQL is the parity oracle
+    d["t36_stream_offpolicy"] = d["offpolicy_ips"]
     d["t28_stream_contamination"] = d["contamination_bench"]
     d["t29_stream_gopher_gate"] = d["gopher_by_source"]
     # Bloom-screened variant admits the identical set (no false negatives)

@@ -120,6 +120,10 @@ def main() -> None:
         "ccnet_ppl_buckets",       # CCNet tertile staging over KN scores (r7)
         "wordpiece_encode",        # greedy WordPiece apply, vocab-collapsed (r7)
         "bradley_terry",           # integer-grid MM preference fit (r7)
+        "knn_shapley",             # exact K-NN Shapley data valuation (r7)
+        "pca_top_component",       # integer power-iteration PCA (r7)
+        "heavy_hitters_mg",        # Misra-Gries screened exact HH (r7)
+        "krippendorff_alpha",      # variable-rater agreement (r7)
         "enem_questions" if "enem_questions" in entry.queries() else "ta_fingerprint",
     ]
     qs = entry.queries()

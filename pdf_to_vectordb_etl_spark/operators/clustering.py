@@ -216,3 +216,117 @@ def kcenter_select(
     )
     base.unpersist()
     return out
+
+
+def pca_top_component(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_rounds: int = 6,
+) -> DataFrame:
+    """Top principal component of an embedding column by power
+    iteration on an EXACT integer covariance matrix (von Mises 1929 /
+    standard PCA, public) — the whitening/denoising direction a
+    SemDeDup-style embedding pipeline wants before cosine thresholds.
+
+    Exactness: vectors quantize to the micro grid once; the d x d
+    covariance (scaled by N^2: C = N*G - S S^T, G/S exact integer
+    sums) is collected as a BOUNDED artifact (d(d+1)/2 cells — the
+    adaboost contract) and the iteration runs in driver Python over
+    arbitrary-precision ints, so there is NO float anywhere: C is
+    pre-scaled by trunc-division (both engines truncate toward zero:
+    DuckDB ``//`` on signed, Python via abs) so each matvec fits
+    HUGEINT for the oracle replay; after each matvec the vector is
+    renormalized to the pico grid by max-|component| trunc-division.
+    Deterministic start: unit vector at the max-diagonal index (lowest
+    index ties); sign canonicalized so the first nonzero loading is
+    positive.
+
+    Distributed shape: ONE posexplode of the quantized vector + a
+    self-join on the row key co-grouped to (i <= j) upper-triangle
+    cells with partial aggregation — O(N d^2) work, the inherent Gram
+    cost, shuffled once by row key; everything after is O(d^2) driver
+    arithmetic. Returns d rows: (dim, loading_q12, evr_q6) — evr is
+    the Rayleigh share of total variance trace, floor-quantized."""
+    spark = df.sparkSession
+    xs = df.select(
+        F.col(id_col).alias("r"),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast(
+                    "long"
+                ),
+            )
+        ).alias("i", "xi"),
+    )
+    right = xs.select(
+        F.col("r").alias("r2"),
+        F.col("i").alias("j"),
+        F.col("xi").alias("xj"),
+    )
+    cells = (
+        xs.join(right, (F.col("r") == F.col("r2")) & (F.col("i") <= F.col("j")))
+        .groupBy("i", "j")
+        .agg(
+            F.sum(
+                F.col("xi").cast("decimal(38,0)") * F.col("xj")
+            ).alias("g"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    sums = xs.groupBy("i").agg(
+        F.sum(F.col("xi").cast("decimal(38,0)")).alias("s")
+    )
+    cell_rows = cells.collect()  # bounded: d(d+1)/2 cells
+    sum_rows = {int(r["i"]): int(r["s"]) for r in sums.collect()}
+    if not cell_rows:
+        return spark.createDataFrame(
+            [], "dim int, loading_q12 double, evr_q6 double"
+        )
+    d = max(int(r["j"]) for r in cell_rows) + 1
+    # deterministic regardless of collect order (uniform-dim corpora
+    # have every cell at the same n anyway)
+    n = max(int(r["n"]) for r in cell_rows)
+    C = [[0] * d for _ in range(d)]
+    for row in cell_rows:
+        i, j, g = int(row["i"]), int(row["j"]), int(row["g"])
+        c = n * g - sum_rows[i] * sum_rows[j]
+        C[i][j] = c
+        C[j][i] = c
+
+    def tdiv(a: int, b: int) -> int:
+        # truncate toward zero — DuckDB // semantics on signed ints
+        return (abs(a) // b) * (1 if a >= 0 else -1)
+
+    max_abs = max((abs(C[i][j]) for i in range(d) for j in range(d)))
+    cscale = max(1, abs(max_abs) // 10**6)
+    Cs = [[tdiv(C[i][j], cscale) for j in range(d)] for i in range(d)]
+
+    start = max(range(d), key=lambda i: (Cs[i][i], -i))
+    v = [10**12 if i == start else 0 for i in range(d)]
+    for _ in range(n_rounds):
+        u = [sum(Cs[i][j] * v[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in u)
+        if m == 0:
+            break
+        v = [tdiv(x * 10**12, m) for x in u]
+    # canonical sign: first nonzero loading positive
+    for x in v:
+        if x != 0:
+            if x < 0:
+                v = [-y for y in v]
+            break
+    num = sum(v[i] * Cs[i][j] * v[j] for i in range(d) for j in range(d))
+    vtv = sum(x * x for x in v)
+    trace = sum(Cs[i][i] for i in range(d))
+    # pre-scale num and vtv by PICO so the oracle's HUGEINT replay of
+    # (num * 1e6) // (vtv * trace) cannot overflow 2^127; the identical
+    # trunc-div runs on both sides (relative error ~1e-16, and vtv >=
+    # PICO^2 by the max-|component| renorm so the scaled vtv stays > 0)
+    den = (vtv // 10**12) * trace
+    evr = ((max(num, 0) // 10**12) * 10**6) // den / 1e6 if den > 0 else None
+    out = [(i, v[i] / 1e12, evr) for i in range(d)]
+    return spark.createDataFrame(
+        out, "dim int, loading_q12 double, evr_q6 double"
+    )

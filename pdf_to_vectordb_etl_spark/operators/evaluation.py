@@ -2676,3 +2676,285 @@ def lift_table(
             " END AS cum_gain_q6",
         )
     )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """McNemar's paired test (McNemar 1947, public) for two binary
+    classifiers scored on the SAME items — the standard way to decide
+    whether filter B actually beats filter A on a shared eval set, as
+    opposed to two unpaired proportions that ignore the pairing.
+
+    Input: one row per item with boolean columns ``a_col``/``b_col``
+    (NULL treated as False — an abstaining classifier predicts
+    negative).  Only the discordant counts matter: b = (A and not B),
+    c = (not A and B).
+
+    Exactness: the statistic (b-c)^2/(b+c) and its continuity-corrected
+    variant ((|b-c|-1)^2/(b+c)) are computed as exact micro-grid
+    integer floor-divisions over DECIMAL(38,0) products (counts square
+    past int64 at corpus scale), so both engines agree bit-for-bit;
+    the 5%-level decision compares exact micro integers against the
+    literal chi2(1df, 0.95) = 3.841459 micro grid — no float anywhere.
+
+    Distributed shape: ONE partial-combinable aggregation over the
+    item table.  Returns one row: (n_items, b_count, c_count,
+    n_discordant, chi2_q6, chi2_cc_q6, reject_05)."""
+    a = F.coalesce(F.col(a_col).cast("boolean"), F.lit(False))
+    b = F.coalesce(F.col(b_col).cast("boolean"), F.lit(False))
+    cells = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum((a & ~b).cast("long")).cast("long").alias("b_count"),
+        F.sum((~a & b).cast("long")).cast("long").alias("c_count"),
+    )
+    return cells.selectExpr(
+        "n_items",
+        "b_count",
+        "c_count",
+        "b_count + c_count AS n_discordant",
+        # exact micro-grid statistic: diff^2 is nonneg, div truncates ==
+        # floors on nonneg operands in BOTH engines
+        "CASE WHEN b_count + c_count > 0 THEN"
+        " ((CAST(b_count - c_count AS DECIMAL(38,0))"
+        "   * (b_count - c_count) * 1000000)"
+        "  div (b_count + c_count)) / 1e6 END AS chi2_q6",
+        "CASE WHEN b_count + c_count > 0 THEN"
+        " ((CAST(greatest(abs(b_count - c_count) - 1, 0) AS DECIMAL(38,0))"
+        "   * greatest(abs(b_count - c_count) - 1, 0) * 1000000)"
+        "  div (b_count + c_count)) / 1e6 END AS chi2_cc_q6",
+        # decision on the exact micro integer vs the literal 3.841459
+        "CASE WHEN b_count + c_count > 0 THEN"
+        " ((CAST(greatest(abs(b_count - c_count) - 1, 0) AS DECIMAL(38,0))"
+        "   * greatest(abs(b_count - c_count) - 1, 0) * 1000000)"
+        "  div (b_count + c_count)) > 3841459 END AS reject_05",
+    )
+
+
+def cochran_q(
+    df: DataFrame,
+    item_col: str,
+    treatment_col: str,
+) -> DataFrame:
+    """Cochran's Q (Cochran 1950, public): k paired binary treatments
+    over the same items — the k-classifier generalization of McNemar.
+    Input is the PRESENCE long form: a row (item, treatment) means the
+    treatment fired on that item; absence means 0.  The treatment
+    universe k is the distinct-treatment count of the whole frame, so
+    every item is a complete block (absent marks are exact zeros, never
+    NULLs to densify).
+
+    Q = (k-1) * [k * sum_j T_j^2 - G^2] / (k * G - sum_i x_i^2) with
+    T_j = items marked by treatment j, x_i = treatments marked on item
+    i, G = total marks.  Every sum is an exact integer (DECIMAL(38,0)
+    products past int64); Q lands on the micro grid via one nonneg
+    floor-division.  Returns one row: (k_treatments, n_items, g_marks,
+    q_q6) — q_q6 NULL when the denominator is 0 (every item marked by
+    all or none, no information)."""
+    marks = (
+        df.select(
+            F.col(item_col).alias("i"), F.col(treatment_col).alias("t")
+        )
+        .filter(F.col("i").isNotNull() & F.col("t").isNotNull())
+        .distinct()
+    )
+    per_treat = marks.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("tj")
+    )
+    per_item = marks.groupBy("i").agg(
+        F.count(F.lit(1)).cast("long").alias("xi")
+    )
+    tj = per_treat.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(
+            F.col("tj").cast("decimal(38,0)") * F.col("tj")
+        ).alias("sum_tj2"),
+        F.sum("tj").cast("long").alias("g_marks"),
+    )
+    xi = per_item.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(
+            F.col("xi").cast("decimal(38,0)") * F.col("xi")
+        ).alias("sum_xi2"),
+    )
+    return tj.crossJoin(xi).selectExpr(
+        "k AS k_treatments",
+        "n_items",
+        "g_marks",
+        "CASE WHEN CAST(k AS DECIMAL(38,0)) * g_marks - sum_xi2 > 0 THEN"
+        " ((CAST(k - 1 AS DECIMAL(38,0))"
+        "   * (k * sum_tj2 - CAST(g_marks AS DECIMAL(38,0)) * g_marks)"
+        "   * 1000000)"
+        "  div (CAST(k AS DECIMAL(38,0)) * g_marks - sum_xi2)) / 1e6"
+        " END AS q_q6",
+    )
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    item_col: str,
+    category_col: str,
+) -> DataFrame:
+    """Krippendorff's alpha, nominal metric (Krippendorff 1970/2004,
+    public) over an (item, category) rating table with VARIABLE raters
+    per item — the agreement statistic that, unlike Fleiss' kappa,
+    stays well-defined under missing ratings and corrects for small
+    samples.  Items with a single rating are unpairable and dropped
+    (reported in n_dropped), the standard treatment.
+
+    alpha = 1 - D_o/D_e with
+      D_o * n   = sum_i [ sum_c n_ic (n_i - n_ic) ] / (n_i - 1)
+      D_e * n(n-1) = sum_c n_c (n - n_c),   n = sum of kept n_i.
+
+    Exactness: each item's observed-disagreement term is pico-quantized
+    via a nonneg DECIMAL(38,0) floor-division (the fleiss_kappa
+    convention), summed exactly; alpha's final floor lands on the micro
+    grid through integer arithmetic only — the numerator (B - A) can be
+    negative (alpha < 0 = systematic disagreement), so the floor is
+    emulated from NONNEG divisions on both engines (DuckDB // truncates
+    toward zero on negatives while Python/Spark conventions differ —
+    never divide a negative).  Returns one row: (n_items, n_dropped,
+    n_ratings, d_o_q12, d_e_q12, alpha_q6)."""
+    cells = df.groupBy(
+        F.col(item_col).alias("i"), F.col(category_col).alias("cat")
+    ).agg(F.count(F.lit(1)).cast("long").alias("nic"))
+    return krippendorff_alpha_from_cells(cells)
+
+
+def krippendorff_alpha_from_cells(cells: DataFrame) -> DataFrame:
+    """Finale of :func:`krippendorff_alpha` over a pre-aggregated
+    (i, cat, nic) cell table — the cells are the associative streaming
+    state, so the T35 stream twin snapshots them and shares this exact
+    code path (the cells/finale recipe)."""
+    per_item = cells.groupBy("i").agg(
+        F.sum("nic").cast("long").alias("ni"),
+        F.sum(
+            F.col("nic").cast("decimal(38,0)") * F.col("nic")
+        ).alias("si"),
+    )
+    kept = per_item.filter(F.col("ni") >= 2)
+    # sum_c n_ic (n_i - n_ic) = n_i^2 - S_i  (exact), pico-quantized
+    do_terms = kept.select(
+        "ni",
+        F.expr(
+            "((CAST(ni AS DECIMAL(38,0)) * ni - si)"
+            " * CAST(1000000000000 AS DECIMAL(38,0))) div (ni - 1)"
+        ).alias("do_pico"),
+    )
+    tot = do_terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.coalesce(
+            F.sum(F.col("do_pico").cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("do_sum"),
+        F.coalesce(F.sum("ni"), F.lit(0)).cast("long").alias("n_ratings"),
+    )
+    dropped = per_item.filter(F.col("ni") < 2).agg(
+        F.count(F.lit(1)).cast("long").alias("n_dropped")
+    )
+    cat_tot = (
+        cells.join(kept.select("i"), "i")
+        .groupBy("cat")
+        .agg(F.sum("nic").cast("long").alias("cc"))
+    )
+    e_sum = cat_tot.crossJoin(
+        cat_tot.agg(F.sum("cc").cast("long").alias("nn"))
+    ).agg(
+        F.coalesce(
+            F.sum(
+                F.col("cc").cast("decimal(38,0)")
+                * (F.col("nn") - F.col("cc"))
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("e_sum")
+    )
+    row = tot.crossJoin(dropped).crossJoin(e_sum)
+    # alpha = 1 - (n-1) * do_sum / (e_sum * 1e12)  ==  (B - A) / B
+    return row.selectExpr(
+        "n_items",
+        "n_dropped",
+        "n_ratings",
+        "CASE WHEN n_ratings >= 2 THEN"
+        " CAST(do_sum div n_ratings AS BIGINT) / 1e12 END AS d_o_q12",
+        "CASE WHEN e_sum > 0 THEN CAST("
+        " (e_sum * CAST(1000000000000 AS DECIMAL(38,0)))"
+        " div (CAST(n_ratings AS DECIMAL(38,0)) * (n_ratings - 1))"
+        " AS BIGINT) / 1e12 END AS d_e_q12",
+        # B = e_sum * 1e12, A = (n-1) * do_sum; floor((B-A)*1e6 / B)
+        # via nonneg divisions only
+        "CASE WHEN e_sum > 0 THEN CAST(CASE"
+        " WHEN e_sum * CAST(1000000000000 AS DECIMAL(38,0))"
+        "      >= (n_ratings - 1) * do_sum THEN"
+        "  ((e_sum * CAST(1000000000000 AS DECIMAL(38,0))"
+        "    - (n_ratings - 1) * do_sum) * 1000000)"
+        "  div (e_sum * CAST(1000000000000 AS DECIMAL(38,0)))"
+        " ELSE"
+        "  -((((n_ratings - 1) * do_sum"
+        "      - e_sum * CAST(1000000000000 AS DECIMAL(38,0))) * 1000000"
+        "     + e_sum * CAST(1000000000000 AS DECIMAL(38,0)) - 1)"
+        "    div (e_sum * CAST(1000000000000 AS DECIMAL(38,0))))"
+        " END AS BIGINT) / 1e6 END AS alpha_q6",
+    )
+
+
+def fairness_report(
+    df: DataFrame,
+    group_col: str,
+    pred_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Group-fairness audit of a binary gate (Hardt et al. 2016
+    equalized odds / standard demographic parity, public): per-group
+    selection rate, TPR and FPR against a reference label, plus the
+    corpus-wide demographic-parity gap (max - min selection rate)
+    stamped on every row — the report a curation pipeline owes before
+    a quality filter silently drops one source or language.
+
+    NULL pred/label read as False (an abstaining gate selects
+    nothing). All rates are exact nonneg micro-grid floor-divisions
+    over integer counts; the gap is an integer difference of those
+    micro rates. One hash agg to the per-group cells + a broadcast
+    1-row min/max rollup. Returns (group, n, n_selected, n_label_pos,
+    sel_rate_q6, tpr_q6, fpr_q6, dp_gap_q6) — tpr/fpr NULL when the
+    group lacks that label class."""
+    p = F.coalesce(F.col(pred_col).cast("boolean"), F.lit(False))
+    y = F.coalesce(F.col(label_col).cast("boolean"), F.lit(False))
+    cells = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(p.cast("long")).cast("long").alias("n_sel"),
+        F.sum(y.cast("long")).cast("long").alias("n_pos"),
+        F.sum((p & y).cast("long")).cast("long").alias("n_tp"),
+        F.sum((p & ~y).cast("long")).cast("long").alias("n_fp"),
+    )
+    rated = cells.selectExpr(
+        "grp",
+        "n",
+        "n_sel",
+        "n_pos",
+        "n_tp",
+        "n_fp",
+        "CASE WHEN n > 0 THEN"
+        " (CAST(n_sel AS DECIMAL(38,0)) * 1000000) div n END AS sel_micro",
+        "CASE WHEN n_pos > 0 THEN"
+        " (CAST(n_tp AS DECIMAL(38,0)) * 1000000) div n_pos"
+        " END AS tpr_micro",
+        "CASE WHEN n - n_pos > 0 THEN"
+        " (CAST(n_fp AS DECIMAL(38,0)) * 1000000) div (n - n_pos)"
+        " END AS fpr_micro",
+    )
+    span = rated.agg(
+        F.max("sel_micro").alias("sel_max"),
+        F.min("sel_micro").alias("sel_min"),
+    )
+    return rated.crossJoin(F.broadcast(span)).selectExpr(
+        f"grp AS {group_col}",
+        "n",
+        "n_sel AS n_selected",
+        "n_pos AS n_label_pos",
+        "CAST(sel_micro AS BIGINT) / 1e6 AS sel_rate_q6",
+        "CAST(tpr_micro AS BIGINT) / 1e6 AS tpr_q6",
+        "CAST(fpr_micro AS BIGINT) / 1e6 AS fpr_q6",
+        "CAST(sel_max - sel_min AS BIGINT) / 1e6 AS dp_gap_q6",
+    )

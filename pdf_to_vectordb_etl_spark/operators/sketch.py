@@ -615,3 +615,97 @@ def ddsketch_quantiles(
         )
     )
     return hit.orderBy(*part, "q")
+
+
+def misra_gries_partition_summaries(
+    df: DataFrame,
+    item_col: str,
+    n_counters: int = 64,
+) -> DataFrame:
+    """Per-partition Misra-Gries frequency summaries (Misra-Gries 1982;
+    merge rule per Agarwal et al. 2012 'Mergeable Summaries', public):
+    bounded ``n_counters`` dict per partition, batches folded in
+    vectorized via value_counts + the subtract-(c+1)-th-largest merge.
+    Returns (item, cnt_lb) rows — cnt_lb is the MG lower bound; the
+    summary guarantees every item with partition frequency >
+    n_p/(n_counters+1) is present. Items hash-cast to string."""
+    import pandas as pd
+
+    c = int(n_counters)
+    if c < 1:
+        raise ValueError("n_counters must be >= 1")
+
+    src = df.select(F.col(item_col).cast("string").alias("item"))
+
+    def part(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            vc = pdf["item"].dropna().value_counts()
+            for v, n in vc.items():
+                counters[v] = counters.get(v, 0) + int(n)
+            if len(counters) > c:
+                # subtract the (c+1)-th largest count from everything,
+                # drop <= 0 — the mergeable-summaries MG merge
+                cut = sorted(counters.values(), reverse=True)[c]
+                counters = {
+                    k: v - cut for k, v in counters.items() if v - cut > 0
+                }
+        if counters:
+            yield pd.DataFrame(
+                {
+                    "item": list(counters.keys()),
+                    "cnt_lb": list(counters.values()),
+                }
+            )
+
+    return src.mapInPandas(part, "item string, cnt_lb long")
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    item_col: str,
+    k: int = 20,
+    n_counters: int | None = None,
+) -> DataFrame:
+    """Exact phi-heavy hitters (count > n/k) via a two-phase plan whose
+    OUTPUT is independent of partitioning: (1) per-partition
+    Misra-Gries screen with c >= k counters — by pigeonhole any item
+    with global count > n/k exceeds n_p/k > n_p/(c+1) in at least one
+    partition, so the union of partition summaries is a guaranteed
+    candidate SUPERSET; (2) exact recount of the candidates only
+    (broadcast semi-join — the full corpus never shuffles by item) and
+    the exact integer threshold count * k > n. The CMS variant
+    (countmin_estimate) trades this for fixed memory at any k; MG is
+    the deterministic-bound alternative.
+
+    Returns (item, cnt, share_q6), share on the exact micro grid."""
+    c = int(n_counters) if n_counters is not None else max(2 * k, 8)
+    if c < k:
+        raise ValueError(
+            f"n_counters={c} < k={k} breaks the no-false-negative "
+            "pigeonhole guarantee"
+        )
+    src = df.select(F.col(item_col).cast("string").alias("item")).filter(
+        F.col("item").isNotNull()
+    )
+    candidates = (
+        misra_gries_partition_summaries(src, "item", c)
+        .select("item")
+        .distinct()
+    )
+    counted = (
+        src.join(F.broadcast(candidates), "item")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    tot = src.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        counted.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * k > F.col("n"))
+        .selectExpr(
+            "item",
+            "cnt",
+            "((CAST(cnt AS DECIMAL(38,0)) * 1000000) div n) / 1e6"
+            " AS share_q6",
+        )
+    )

@@ -1809,3 +1809,199 @@ def lang_mix_by_source(df: DataFrame, text_col: str = "text") -> DataFrame:
     :func:`lang_mix_cells` / :func:`lang_mix_finale` (sources with no
     classified sentence carry no row — no evidence, no report)."""
     return lang_mix_finale(lang_mix_cells(df, text_col))
+
+
+def lexical_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group lexical-diversity profile: type-token ratio and hapax
+    fraction (Herdan/TTR, public corpus-linguistics staples) — the
+    cheap vocabulary-richness signals a curation pipeline uses to spot
+    template farms (low TTR) and OCR noise (high hapax share) per
+    source before spending near-dup compute on them.
+
+    Whitespace tokens, lowercased (the house convention); NULL text
+    reads as ''. One hash agg to (group, token) cells then one bounded
+    reagg — both partial-combinable, no windows. Ratios are exact
+    nonneg micro-grid floor-divisions (counts are ints; no float sums
+    anywhere). Returns (group, n_docs, n_tokens, n_types, n_hapax,
+    ttr_q6, hapax_frac_q6) with NULL ratios for token-free groups."""
+    toks = df.select(
+        F.col(group_col).alias("g"),
+        F.explode(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    cells = toks.groupBy("g", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    docs = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return lexical_diversity_from_cells(cells, docs, group_col)
+
+
+def lexical_diversity_from_cells(
+    cells: DataFrame,
+    doc_counts: DataFrame,
+    group_col: str = "source",
+) -> DataFrame:
+    """Finale of :func:`lexical_diversity` over pre-aggregated
+    (g, tok, c) token cells and a (g, n_docs) doc-count table — both
+    associative streaming states, so the T37 stream twin snapshots them
+    (doc counts ride along as a sentinel token) and shares this exact
+    code path (the cells/finale recipe)."""
+    per_group = cells.groupBy("g").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("n_hapax"),
+    )
+    return (
+        doc_counts.join(per_group, "g", "left")
+        .selectExpr(
+            "g AS " + group_col,
+            "n_docs",
+            "coalesce(n_tokens, 0) AS n_tokens",
+            "coalesce(n_types, 0) AS n_types",
+            "coalesce(n_hapax, 0) AS n_hapax",
+            "CASE WHEN n_tokens > 0 THEN"
+            " ((CAST(n_types AS DECIMAL(38,0)) * 1000000) div n_tokens)"
+            " / 1e6 END AS ttr_q6",
+            "CASE WHEN n_types > 0 THEN"
+            " ((CAST(n_hapax AS DECIMAL(38,0)) * 1000000) div n_types)"
+            " / 1e6 END AS hapax_frac_q6",
+        )
+    )
+
+
+def vocab_growth_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_checkpoints: int = 10,
+) -> DataFrame:
+    """Heaps-law vocabulary-growth curve (Heaps 1978, public): distinct
+    vocabulary size and cumulative token mass at ``n_checkpoints``
+    evenly-spaced prefixes of the corpus under ascending ``id_col``
+    order — the diagnostic that tells a 100-TB ingest whether new data
+    still contributes new vocabulary (curve still rising) or is
+    template re-hash (curve flat).
+
+    Distributed shape: token first-occurrence is ONE partial-
+    combinable min-agg over the exploded token stream (vocab-sized
+    result); checkpoint cutoffs come from the sanctioned
+    global_row_number primitive over the distinct id table (range
+    partition + offsets — never a single-partition window); the
+    per-checkpoint rollup joins the VOCAB-sized table against the
+    broadcast <=n_checkpoints cutoff list. Counts are exact integers.
+
+    Returns (checkpoint, cutoff_id, n_docs_cum, n_tokens_cum,
+    n_types_cum) ordered by checkpoint."""
+    from pdf_to_vectordb_etl_spark.operators.suffixes import (
+        global_row_number,
+    )
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.split(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"
+        ).alias("toks"),
+    )
+    toks = base.select(
+        "id", F.explode("toks").alias("tok")
+    ).filter(F.col("tok") != "")
+    first_seen = toks.groupBy("tok").agg(F.min("id").alias("first_id"))
+    per_doc = base.select(
+        "id",
+        F.size(F.filter(F.col("toks"), lambda t: t != "")).cast(
+            "long"
+        ).alias("n_tok"),
+    )
+    ids = per_doc.select("id").distinct()
+    ranked = global_row_number(ids, ["id"], "rn")
+    n_tot = ids.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cps = (
+        n_tot.select(
+            F.explode(
+                F.sequence(F.lit(1), F.lit(n_checkpoints))
+            ).alias("checkpoint"),
+            "n",
+        )
+        .withColumn(
+            "cut_rn", F.expr(f"(checkpoint * n) div {n_checkpoints}")
+        )
+        .filter(F.col("cut_rn") >= 1)
+    )
+    cuts = ranked.join(
+        F.broadcast(cps), F.col("rn") == F.col("cut_rn")
+    ).select("checkpoint", F.col("id").alias("cutoff_id"), "rn")
+    vocab_cum = (
+        first_seen.join(
+            F.broadcast(cuts), F.col("first_id") <= F.col("cutoff_id")
+        )
+        .groupBy("checkpoint")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_types_cum"))
+    )
+    tokens_cum = (
+        per_doc.join(F.broadcast(cuts), F.col("id") <= F.col("cutoff_id"))
+        .groupBy("checkpoint")
+        .agg(F.sum("n_tok").cast("long").alias("n_tokens_cum"))
+    )
+    return (
+        cuts.join(vocab_cum, "checkpoint", "left")
+        .join(tokens_cum, "checkpoint", "left")
+        .select(
+            "checkpoint",
+            "cutoff_id",
+            F.col("rn").cast("long").alias("n_docs_cum"),
+            F.coalesce("n_tokens_cum", F.lit(0)).alias("n_tokens_cum"),
+            F.coalesce("n_types_cum", F.lit(0)).alias("n_types_cum"),
+        )
+        .orderBy("checkpoint")
+    )
+
+
+def tokenizer_fertility_by_group(
+    per_doc: DataFrame,
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer fertility audit per corpus slice (fertility = subword
+    tokens per word, the standard tokenizer-quality metric from the
+    mBERT/XLM-R literature, public): joins a per-doc encode report
+    (``unigram_lm_encode``'s (doc_id, n_words, n_oov_words, n_tokens)
+    schema) back to the document table's grouping column and rolls up
+    exact integer counts — fertility over IN-VOCAB words only (OOV
+    words produce no tokens; folding them in would understate cost),
+    OOV rate over all words. A slice whose fertility runs hot is paying
+    more context budget per word than the corpus average — the signal
+    that decides per-source tokenizer retraining.
+
+    All ratios are exact nonneg micro floor-divisions. Returns
+    (group, n_docs, n_words, n_oov_words, n_tokens,
+    tokens_per_word_q6, oov_rate_q6)."""
+    j = per_doc.join(
+        docs.select(F.col(id_col), F.col(group_col).alias("grp")), id_col
+    )
+    agg = j.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_oov_words").cast("long").alias("n_oov_words"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    return agg.selectExpr(
+        f"grp AS {group_col}",
+        "n_docs",
+        "n_words",
+        "n_oov_words",
+        "n_tokens",
+        "CASE WHEN n_words - n_oov_words > 0 THEN"
+        " ((CAST(n_tokens AS DECIMAL(38,0)) * 1000000)"
+        "  div (n_words - n_oov_words)) / 1e6 END AS tokens_per_word_q6",
+        "CASE WHEN n_words > 0 THEN"
+        " ((CAST(n_oov_words AS DECIMAL(38,0)) * 1000000) div n_words)"
+        " / 1e6 END AS oov_rate_q6",
+    )

@@ -327,3 +327,46 @@ def blocklist_filter(
             (F.coalesce("total_hits", F.lit(0)) <= max_hits).alias("keep"),
         )
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase search via a POSITIONAL postings join — the
+    inverted-index plan a search engine runs, not a regex rescan: the
+    posting list is filtered to the phrase's terms FIRST (that filter
+    is the index lookup; at scale it prunes the corpus to the terms'
+    document frequency), then L-1 equi-joins stitch adjacent positions
+    ((id, pos+k) keys — co-partitioned shuffles on bounded postings).
+
+    Tokenization matches :func:`tokens` (lowercased alphanumeric runs);
+    NULL text reads ''. Returns (id_col, n_matches, first_pos) for
+    documents containing the exact adjacent-token phrase, first_pos
+    0-based in token positions."""
+    if not phrase:
+        raise ValueError("phrase must contain at least one token")
+    terms = [t.lower() for t in phrase]
+    posted = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            tokens(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("pos", "tok"),
+    ).filter(F.col("tok").isin(terms))
+    cur = posted.filter(F.col("tok") == terms[0]).select(
+        "id", F.col("pos").alias("p0")
+    )
+    for k, term in enumerate(terms[1:], start=1):
+        nxt = posted.filter(F.col("tok") == term).select(
+            F.col("id").alias("id_r"), (F.col("pos") - k).alias("p_r")
+        )
+        cur = cur.join(
+            nxt,
+            (F.col("id") == F.col("id_r")) & (F.col("p0") == F.col("p_r")),
+        ).select("id", "p0")
+    return cur.groupBy(F.col("id").alias(id_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("p0").cast("long").alias("first_pos"),
+    )

@@ -580,3 +580,554 @@ def test_min_k_prob_selects_the_bottom_fifth(spark):
     assert r1["min_k_score_q4"] < kn[1]["kn_score"]
     # a doc of only frequent bigrams: bottom-k mean >= the mixed doc's
     assert mk[2]["min_k_score_q4"] > r1["min_k_score_q4"]
+
+
+def test_mcnemar_hand_fixture(spark):
+    """10 items: b = 4 (A-only), c = 1 (B-only). chi2 = 9/5 = 1.8,
+    corrected = (3-1=2)^2/5 = 0.8 wait — |b-c|-1 = 2 -> 4/5 = 0.8;
+    neither rejects at 3.841459. NULL predictions read as False."""
+    from pdf_to_vectordb_etl_spark.operators.evaluation import mcnemar_test
+
+    rows = (
+        [(True, True)] * 3
+        + [(True, False)] * 4
+        + [(False, True)] * 1
+        + [(False, False)] * 1
+        + [(None, False)] * 1
+    )
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    out = mcnemar_test(df, "a", "b").collect()[0]
+    assert out.n_items == 10
+    assert (out.b_count, out.c_count, out.n_discordant) == (4, 1, 5)
+    assert out.chi2_q6 == 1.8
+    assert out.chi2_cc_q6 == 0.8
+    assert out.reject_05 is False
+
+
+def test_mcnemar_no_discordance_is_null(spark):
+    from pdf_to_vectordb_etl_spark.operators.evaluation import mcnemar_test
+
+    df = spark.createDataFrame(
+        [(True, True), (False, False)], "a boolean, b boolean"
+    )
+    out = mcnemar_test(df, "a", "b").collect()[0]
+    assert out.chi2_q6 is None and out.reject_05 is None
+
+
+def test_cochran_q_matches_direct_formula(spark):
+    """Classic 3-treatment block design; Q checked against the direct
+    formula computed independently in Python."""
+    from pdf_to_vectordb_etl_spark.operators.evaluation import cochran_q
+
+    # item -> set of treatments that fired (complete 3-treatment blocks)
+    blocks = {
+        1: "ab", 2: "a", 3: "abc", 4: "b", 5: "ab",
+        6: "ac", 7: "a", 8: "abc", 9: "", 10: "ab",
+    }
+    rows = [(i, t) for i, ts in blocks.items() for t in ts]
+    df = spark.createDataFrame(rows, "item long, treat string")
+    out = cochran_q(df, "item", "treat").collect()[0]
+
+    k = 3
+    tj = {t: sum(1 for ts in blocks.values() if t in ts) for t in "abc"}
+    xi = {i: len(ts) for i, ts in blocks.items()}
+    g = sum(tj.values())
+    num = (k - 1) * (k * sum(v * v for v in tj.values()) - g * g)
+    den = k * g - sum(v * v for v in xi.values())
+    import math
+
+    assert out.k_treatments == k
+    # item 9 has no marks so it never appears in the long form
+    assert out.n_items == 9
+    assert out.g_marks == g
+    assert out.q_q6 == math.floor(num * 1e6 / den) / 1e6
+
+
+def test_krippendorff_alpha_hand_example(spark):
+    """Krippendorff's nominal example (Krippendorff 2011 'Computing
+    Krippendorff's Alpha-Reliability', public): 12 units with variable
+    raters; expected nominal alpha ~= 0.743 on the pairable subset.
+    Replayed independently with exact Fractions."""
+    from fractions import Fraction
+
+    from pdf_to_vectordb_etl_spark.operators.evaluation import (
+        krippendorff_alpha,
+    )
+
+    # unit -> list of nominal ratings (units with 1 rating get dropped)
+    units = {
+        1: [1, 1],
+        2: [2, 2],
+        3: [3, 3, 3],
+        4: [3, 3, 3],
+        5: [2, 2, 2],
+        6: [1, 2, 3, 4],
+        7: [4, 4, 4],
+        8: [1, 1, 2],
+        9: [2, 2, 2],
+        10: [5, 5, 5],
+        11: [1, 1],
+        12: [3],  # unpairable
+    }
+    rows = [(u, c) for u, cs in units.items() for c in cs]
+    df = spark.createDataFrame(rows, "item long, cat int")
+    out = krippendorff_alpha(df, "item", "cat").collect()[0]
+
+    kept = {u: cs for u, cs in units.items() if len(cs) >= 2}
+    n = sum(len(cs) for cs in kept.values())
+    do_sum = Fraction(0)
+    for cs in kept.values():
+        ni = len(cs)
+        si = sum(cs.count(c) ** 2 for c in set(cs))
+        do_sum += Fraction(ni * ni - si, ni - 1)
+    nc = {}
+    for cs in kept.values():
+        for c in cs:
+            nc[c] = nc.get(c, 0) + 1
+    e_sum = sum(v * (n - v) for v in nc.values())
+    alpha = 1 - Fraction(n - 1) * do_sum / e_sum
+    assert out.n_items == 11 and out.n_dropped == 1 and out.n_ratings == n
+    # per-item pico quantization truncates thirds (ni-1 == 3), so pin a
+    # 2-ulp-of-the-grid envelope around the exact rational, not equality
+    assert abs(out.alpha_q6 - float(alpha)) < 2e-6
+    # the statistic is in the expected published ballpark
+    assert 0.70 < out.alpha_q6 < 0.80
+
+
+def test_krippendorff_alpha_negative_floor_is_exact(spark):
+    """Systematic disagreement drives alpha < 0 — pins the nonneg
+    floor-emulation branch (never divide a negative)."""
+    from fractions import Fraction
+    import math
+
+    from pdf_to_vectordb_etl_spark.operators.evaluation import (
+        krippendorff_alpha,
+    )
+
+    units = {1: [1, 2], 2: [2, 1], 3: [1, 2], 4: [2, 1]}
+    rows = [(u, c) for u, cs in units.items() for c in cs]
+    df = spark.createDataFrame(rows, "item long, cat int")
+    out = krippendorff_alpha(df, "item", "cat").collect()[0]
+
+    n = 8
+    do_sum = Fraction(0)
+    for cs in units.values():
+        ni, si = 2, 2
+        do_sum += Fraction(ni * ni - si, ni - 1)
+    e_sum = 4 * (n - 4) * 2
+    alpha = 1 - Fraction(n - 1) * do_sum / e_sum
+    assert alpha < 0
+    # pico-quantization of each do term is exact here (integer terms),
+    # so the floored micro value must match the exact rational floor
+    assert out.alpha_q6 == math.floor(alpha * 10**6) / 1e6
+
+
+def test_lexical_diversity_hand_fixture(spark):
+    from pdf_to_vectordb_etl_spark.operators.textanalysis import (
+        lexical_diversity,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a c", "s1"),
+            (2, "a  d", "s1"),  # double space: empty tokens dropped
+            (3, None, "s2"),  # NULL text reads as ''
+            (4, "x x x", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r.source: r for r in lexical_diversity(df, "text", "source").collect()
+    }
+    s1 = out["s1"]
+    # s1 tokens: a,b,a,c,a,d -> 6 tokens, 4 types, hapax = b,c,d = 3
+    assert (s1.n_docs, s1.n_tokens, s1.n_types, s1.n_hapax) == (2, 6, 4, 3)
+    assert s1.ttr_q6 == 0.666666 and s1.hapax_frac_q6 == 0.75
+    s2 = out["s2"]
+    assert (s2.n_docs, s2.n_tokens, s2.n_types, s2.n_hapax) == (2, 3, 1, 0)
+    assert s2.ttr_q6 == 0.333333 and s2.hapax_frac_q6 == 0.0
+
+
+def test_vocab_growth_exact_and_monotone(spark):
+    from pdf_to_vectordb_etl_spark.operators.textanalysis import (
+        vocab_growth_curve,
+    )
+
+    # 10 docs: doc i introduces exactly one new token and repeats an old
+    rows = [(i, f"w{i} w0") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = vocab_growth_curve(df, "text", "doc_id", n_checkpoints=5).collect()
+    assert [r.checkpoint for r in out] == [1, 2, 3, 4, 5]
+    # checkpoint k covers the first 2k docs -> 2k new tokens... doc 0
+    # contributes w0 twice, so types at prefix m = m (w0..w{m-1}) and
+    # tokens = 2m
+    for r in out:
+        m = r.n_docs_cum
+        assert m == 2 * r.checkpoint
+        assert r.n_tokens_cum == 2 * m
+        assert r.n_types_cum == m
+    # monotone by construction
+    for a, b in zip(out, out[1:]):
+        assert b.n_types_cum >= a.n_types_cum
+        assert b.n_tokens_cum > a.n_tokens_cum
+
+
+def _brute_force_knn_shapley(dists, labels, qy, k):
+    """Definitional Shapley of the K-NN utility v(S) =
+    (1/K) * sum_{j<=min(K,|S|)} 1[label of j-th nearest in S == qy],
+    exact Fractions over all subsets."""
+    from fractions import Fraction
+    from itertools import combinations
+    from math import factorial
+
+    n = len(dists)
+    order = sorted(range(n), key=lambda i: (dists[i], i))
+
+    def v(subset):
+        ranked = [i for i in order if i in subset]
+        top = ranked[: min(k, len(ranked))]
+        return Fraction(sum(1 for i in top if labels[i] == qy), k)
+
+    out = []
+    for i in range(n):
+        others = [j for j in range(n) if j != i]
+        s = Fraction(0)
+        for size in range(n):
+            for combo in combinations(others, size):
+                w = Fraction(
+                    factorial(size) * factorial(n - size - 1), factorial(n)
+                )
+                s += w * (v(set(combo) | {i}) - v(set(combo)))
+        out.append(s)
+    return out
+
+
+def test_knn_shapley_matches_brute_force(spark):
+    """The closed-form distributed valuation equals the definitional
+    Shapley value (all-subsets Fractions) on a 6-point train set, to
+    pico-grid quantization (<= n picos of drift)."""
+    from pdf_to_vectordb_etl_spark.operators.valuation import knn_shapley
+
+    # vectors on a line -> distances to the origin query are the
+    # squared coordinates; labels mix matches and misses
+    train = [
+        (10, [0.001 * (i + 1)] * 4, lab)
+        for i, lab in enumerate([1, 0, 1, 1, 0, 1])
+    ]
+    train = [(i + 10, v, l) for i, (_, v, l) in enumerate(train)]
+    q = [(0, [0.0] * 4, 1)]
+    tdf = spark.createDataFrame(
+        train, "vec_id long, embedding array<float>, label int"
+    )
+    qdf = spark.createDataFrame(
+        q, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        r.vec_id: r.shapley_q12
+        for r in knn_shapley(tdf, qdf, k=3, top_n=None).collect()
+    }
+    labels = [l for _, _, l in train]
+    dists = [(i + 1) for i in range(6)]  # monotone in the coordinate
+    want = _brute_force_knn_shapley(dists, labels, 1, k=3)
+    for i in range(6):
+        assert abs(got[i + 10] - float(want[i])) < 1e-9, (i, got, want)
+
+
+def test_knn_shapley_efficiency_property(spark, sf_dir):
+    """Sum of all train Shapley values per query == v(full set) =
+    (1/K) * (same-label count among the true top-K) — the Shapley
+    efficiency axiom, on real fixture embeddings."""
+    from pdf_to_vectordb_etl_spark.operators.valuation import knn_shapley
+
+    emb = load(spark, sf_dir, "embeddings").limit(60)
+    tr = emb.filter(F.col("vec_id") >= 2)
+    qs = emb.filter(F.col("vec_id") < 2)
+    full = knn_shapley(tr, qs, k=5, top_n=None)
+    sums = {
+        r.qid: r.s
+        for r in full.groupBy("qid")
+        .agg(F.sum("shapley_q12").alias("s"))
+        .collect()
+    }
+    rows = full.orderBy("qid", "knn_rank").collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r)
+    for qid, rs in by_q.items():
+        topk_matches = sum(1 for r in rs[:5] if r.label_match)
+        assert abs(sums[qid] - topk_matches / 5) < 1e-6 * len(rs)
+
+
+def test_offpolicy_ips_snips_hand_fixture(spark):
+    """3 actions with known propensities; IPS and SNIPS replayed with
+    exact Fractions. Uniform target over k=3 actions."""
+    from fractions import Fraction
+    import math
+
+    from pdf_to_vectordb_etl_spark.operators.valuation import (
+        offpolicy_ips_snips,
+    )
+
+    logs = [("a", 1.0)] * 6 + [("b", 2.0)] * 3 + [("c", 0.5)] * 1
+    df = spark.createDataFrame(logs, "act string, rew double")
+    out = offpolicy_ips_snips(df, "act", "rew").collect()[0]
+    n, k = 10, 3
+    counts = {"a": 6, "b": 3, "c": 1}
+    rews = {"a": 6 * Fraction(1), "b": 3 * Fraction(2), "c": Fraction(1, 2)}
+    # exact rational targets
+    ips = sum(
+        Fraction(n, k * counts[a]) * rews[a] for a in counts
+    ) / n
+    den = sum(counts[a] * Fraction(n, k * counts[a]) for a in counts)
+    snips = sum(
+        Fraction(n, k * counts[a]) * rews[a] for a in counts
+    ) / den
+    assert out.n_logs == 10 and out.k_actions == 3
+    assert out.logged_mean_q6 == math.floor(Fraction(125, 10) / 10 * 1e6) / 1e6
+    # pico weight quantization drift is < 1e-6 here
+    assert abs(out.ips_q6 - float(ips)) < 2e-6
+    assert abs(out.snips_q6 - float(snips)) < 2e-6
+
+
+def test_offpolicy_negative_rewards_signed_floor(spark):
+    """Negative rewards exercise the signed floor-div emulation: the
+    floored estimate must sit within one micro of the exact rational
+    and BELOW it (floor semantics)."""
+    from fractions import Fraction
+
+    from pdf_to_vectordb_etl_spark.operators.valuation import (
+        offpolicy_ips_snips,
+    )
+
+    logs = [("a", -1.5)] * 4 + [("b", 1.0)] * 4
+    df = spark.createDataFrame(logs, "act string, rew double")
+    out = offpolicy_ips_snips(df, "act", "rew").collect()[0]
+    ips = (
+        Fraction(8, 2 * 4) * Fraction(-6) + Fraction(8, 2 * 4) * Fraction(4)
+    ) / 8
+    assert out.ips_q6 <= float(ips) + 1e-12
+    assert out.ips_q6 > float(ips) - 2e-6
+    # mean reward = (4*-1.5 + 4*1.0)/8 = -0.25, exactly on the grid
+    assert out.logged_mean_q6 == -0.25
+
+
+def test_pca_top_component_matches_numpy(spark):
+    """6 power rounds on the integer covariance recover numpy's top
+    eigenvector of the float covariance (|cos| > 0.999) and its
+    explained-variance share (within quantization + convergence)."""
+    import numpy as np
+
+    from pdf_to_vectordb_etl_spark.operators.clustering import (
+        pca_top_component,
+    )
+
+    rng = np.random.RandomState(7)
+    # anisotropic cloud: dominant direction mixed across 6 dims
+    base = rng.randn(200, 6) * np.array([3.0, 1.0, 0.5, 0.25, 0.1, 0.05])
+    rot = np.linalg.qr(rng.randn(6, 6))[0]
+    pts = (base @ rot).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(pts)],
+        "vec_id long, embedding array<float>",
+    )
+    out = pca_top_component(df, n_rounds=6).orderBy("dim").collect()
+    v = np.array([r.loading_q12 for r in out])
+    cov = np.cov(pts.T, bias=True)
+    w, vecs = np.linalg.eigh(cov)
+    top = vecs[:, -1]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.999, cos
+    evr_true = w[-1] / w.sum()
+    assert abs(out[0].evr_q6 - evr_true) < 0.01
+    # canonical sign: first nonzero loading positive
+    nz = v[v != 0]
+    assert nz[0] > 0
+
+
+def test_pca_zero_variance_is_degenerate_safe(spark):
+    """All-identical vectors: covariance is 0, the start vector
+    survives every round (m == 0 break) and evr is NULL."""
+    from pdf_to_vectordb_etl_spark.operators.clustering import (
+        pca_top_component,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [0.5, 0.5, 0.5]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    out = pca_top_component(df, n_rounds=4).orderBy("dim").collect()
+    assert [r.loading_q12 for r in out] == [1.0, 0.0, 0.0]
+    assert all(r.evr_q6 is None for r in out)
+
+
+def test_phrase_search_hand_fixture(spark):
+    from pdf_to_vectordb_etl_spark.operators.textsearch import phrase_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "the big cat sat on the big cat mat"),
+            (2, "big cat"),          # phrase absent (needs 3 tokens)
+            (3, "THE BIG CAT!"),     # case + punctuation tokenization
+            (4, None),
+            (5, "big the big cat cat"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in phrase_search(df, ["the", "big", "cat"]).collect()
+    }
+    assert set(out) == {1, 3, 5}
+    assert out[1].n_matches == 2 and out[1].first_pos == 0
+    assert out[3].n_matches == 1 and out[3].first_pos == 0
+    assert out[5].n_matches == 1 and out[5].first_pos == 1
+
+
+def test_phrase_search_matches_regex_rescan(spark, sf_dir):
+    """The postings-join plan equals a naive normalized-text regex
+    count on real fixture docs (same tokenization: alnum runs)."""
+    from pdf_to_vectordb_etl_spark.operators.textsearch import phrase_search
+
+    docs = load(spark, sf_dir, "documents").limit(200)
+    got = {
+        r.doc_id: r.n_matches
+        for r in phrase_search(docs, ["join", "batch", "table"]).collect()
+    }
+    norm = F.concat(
+        F.lit(" "),
+        F.array_join(
+            F.filter(
+                F.split(
+                    F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                    "[^a-z0-9]+",
+                ),
+                lambda x: F.length(x) > 0,
+            ),
+            " ",
+        ),
+        F.lit(" "),
+    )
+    # overlapping-safe count via lookahead-free trick: phrase tokens
+    # can't overlap themselves here (distinct words), plain count ok
+    want = {
+        r.doc_id: r.c
+        for r in docs.select(
+            "doc_id",
+            F.expr(
+                "regexp_count(concat(' ', array_join(filter(split(lower("
+                "coalesce(text, '')), '[^a-z0-9]+'), x -> length(x) > 0),"
+                " ' '), ' '), ' join batch table ')"
+            ).alias("c"),
+        ).collect()
+        if r.c > 0
+    }
+    # regexp_count on non-overlapping windows can undercount abutting
+    # matches ('join batch table join batch table' shares the space);
+    # compare on docs where they must agree (no abutting repeats)
+    for k, v in want.items():
+        assert got.get(k, 0) >= v
+    assert set(want) <= set(got)
+
+
+def test_heavy_hitters_partitioning_independent_and_exact(spark):
+    from collections import Counter
+
+    from pdf_to_vectordb_etl_spark.operators.sketch import (
+        heavy_hitters_exact,
+    )
+
+    # planted zipf-ish stream: 'h0' and 'h1' are the only > n/5 items
+    items = (
+        ["h0"] * 400 + ["h1"] * 300 + [f"t{i}" for i in range(100)] * 3
+    )
+    n = len(items)
+    truth = {
+        k: v for k, v in Counter(items).items() if v * 5 > n
+    }
+    df = spark.createDataFrame([(x,) for x in items], "item string")
+    for parts in (1, 7, 32):
+        got = {
+            r.item: r.cnt
+            for r in heavy_hitters_exact(
+                df.repartition(parts), "item", k=5, n_counters=10
+            ).collect()
+        }
+        assert got == truth, (parts, got)
+
+
+def test_heavy_hitters_guard_rejects_undersized_screen(spark):
+    import pytest
+
+    from pdf_to_vectordb_etl_spark.operators.sketch import (
+        heavy_hitters_exact,
+    )
+
+    df = spark.createDataFrame([("a",)], "item string")
+    with pytest.raises(ValueError):
+        heavy_hitters_exact(df, "item", k=20, n_counters=4)
+
+
+def test_fairness_report_hand_fixture(spark):
+    from pdf_to_vectordb_etl_spark.operators.evaluation import (
+        fairness_report,
+    )
+
+    rows = (
+        # group g1: 4 rows, 2 selected; labels: 2 pos (1 tp), 2 neg (1 fp)
+        [("g1", True, True), ("g1", False, True),
+         ("g1", True, False), ("g1", False, False)]
+        # group g2: 2 rows, both selected, no positives -> tpr NULL
+        + [("g2", True, False), ("g2", None, False)]
+    )
+    df = spark.createDataFrame(rows, "grp string, pred boolean, y boolean")
+    out = {r.grp: r for r in fairness_report(df, "grp", "pred", "y").collect()}
+    g1 = out["g1"]
+    assert (g1.n, g1.n_selected, g1.n_label_pos) == (4, 2, 2)
+    assert g1.sel_rate_q6 == 0.5 and g1.tpr_q6 == 0.5 and g1.fpr_q6 == 0.5
+    g2 = out["g2"]
+    # NULL pred reads False: 1 of 2 selected; no positives -> tpr NULL
+    assert g2.sel_rate_q6 == 0.5 and g2.tpr_q6 is None
+    assert g2.fpr_q6 == 0.5
+    # dp gap: both groups select at 0.5 -> 0, stamped on every row
+    assert g1.dp_gap_q6 == 0.0 and g2.dp_gap_q6 == 0.0
+
+
+def test_fairness_dp_gap_detects_skewed_gate(spark):
+    from pdf_to_vectordb_etl_spark.operators.evaluation import (
+        fairness_report,
+    )
+
+    rows = [("a", i < 9, True) for i in range(10)] + [
+        ("b", i < 3, True) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "grp string, pred boolean, y boolean")
+    out = fairness_report(df, "grp", "pred", "y").collect()
+    assert all(abs(r.dp_gap_q6 - 0.6) < 1e-9 for r in out)
+
+
+def test_tokenizer_fertility_hand_fixture(spark):
+    from pdf_to_vectordb_etl_spark.operators.textanalysis import (
+        tokenizer_fertility_by_group,
+    )
+
+    per_doc = spark.createDataFrame(
+        [(1, 10, 2, 16), (2, 5, 0, 10), (3, 4, 4, 0)],
+        "doc_id long, n_words long, n_oov_words long, n_tokens long",
+    )
+    docs = spark.createDataFrame(
+        [(1, "s1"), (2, "s1"), (3, "s2")], "doc_id long, source string"
+    )
+    out = {
+        r.source: r
+        for r in tokenizer_fertility_by_group(per_doc, docs).collect()
+    }
+    s1 = out["s1"]
+    # in-vocab words = 13, tokens = 26 -> fertility 2.0; oov 2/15
+    assert (s1.n_docs, s1.n_words, s1.n_oov_words, s1.n_tokens) == (
+        2, 15, 2, 26,
+    )
+    assert s1.tokens_per_word_q6 == 2.0
+    assert s1.oov_rate_q6 == 0.133333
+    s2 = out["s2"]
+    # every word OOV -> fertility NULL, oov rate 1.0
+    assert s2.tokens_per_word_q6 is None and s2.oov_rate_q6 == 1.0
