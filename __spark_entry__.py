@@ -8621,6 +8621,85 @@ def q_pca_top_component(spark, sf):
     return pca_top_component(emb, "embedding", "vec_id", n_rounds=6)
 
 
+# Shared unigram-LM encode CTE chain (seed pieces + integer Viterbi
+# k-DP): prefix of the unigram_lm_encode AND tokenizer_fertility
+# oracles — one definition, two finales.
+_UNIGRAM_ENCODE_CTES = r"""
+            WITH RECURSIVE d2 AS (
+              SELECT doc_id,
+                     lower(regexp_replace(text, '[^\x20-\x7e]', '', 'g'))
+                       AS t
+              FROM documents),
+            stream AS MATERIALIZED (
+              SELECT doc_id, w
+              FROM (SELECT doc_id,
+                           unnest(string_split_regex(t, '\s+')) AS w
+                    FROM d2)
+              WHERE length(w) > 0),
+            w0 AS (
+              SELECT w, CAST(count(*) AS BIGINT) AS freq,
+                     CAST(length(w) AS INT) AS wlen
+              FROM stream WHERE length(w) <= 12
+              GROUP BY w),
+            occ2 AS MATERIALIZED (
+              SELECT w, wlen, s.i AS i, s.j AS j,
+                     substr(w, s.i + 1, s.j - s.i) AS piece, freq
+              FROM (SELECT w, freq, wlen,
+                           unnest(flatten(list_transform(
+                             generate_series(0, wlen - 1),
+                             i -> list_transform(
+                               generate_series(i + 1, least(i + 4, wlen)),
+                               j -> {'i': i, 'j': j})))) AS s
+                    FROM w0)),
+            sc AS (
+              SELECT piece, CAST(sum(freq) AS BIGINT) AS n
+              FROM occ2 GROUP BY piece),
+            p0 AS MATERIALIZED (
+              SELECT piece FROM sc WHERE length(piece) = 1
+              UNION ALL
+              SELECT piece FROM (
+                SELECT piece, n FROM sc
+                WHERE length(piece) > 1 AND n >= 2
+                ORDER BY n DESC, piece
+                LIMIT 64)),
+            eg AS MATERIALIZED (
+              SELECT o.w, any_value(o.wlen) AS wlen,
+                     list(DISTINCT {'i': o.i, 'j': o.j}) AS edges
+              FROM occ2 o JOIN p0 p USING (piece)
+              GROUP BY o.w),
+            dp AS (
+              SELECT w, wlen, 0 AS iter,
+                     list_transform(generate_series(0, wlen),
+                       p -> CASE WHEN p = 0 THEN 0
+                                 ELSE 1048576 END) AS dp
+              FROM eg
+              UNION ALL
+              SELECT d.w, d.wlen, d.iter + 1,
+                     list_transform(generate_series(0, d.wlen),
+                       p -> CASE WHEN p = d.iter + 1
+                            THEN coalesce(list_min(list_transform(
+                                   list_filter(x.edges,
+                                     e -> e.j = d.iter + 1),
+                                   e -> d.dp[e.i + 1] + 1)), 1048576)
+                            ELSE d.dp[p + 1] END)
+              FROM dp d JOIN eg x USING (w)
+              WHERE d.iter < d.wlen),
+            wk AS MATERIALIZED (
+              SELECT w, dp[wlen + 1] AS k
+              FROM dp WHERE iter = wlen),
+            per AS (
+              SELECT s.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_words,
+                     CAST(sum(CASE WHEN k IS NULL OR k >= 1048576
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_oov_words,
+                     CAST(sum(CASE WHEN k < 1048576 THEN k
+                              ELSE 0 END) AS BIGINT) AS n_tokens
+              FROM stream s LEFT JOIN wk USING (w)
+              GROUP BY s.doc_id)
+"""
+
+
 def _pca_oracle_sql(n_rounds: int = 6) -> str:
     """DuckDB twin of pca_top_component: the power-iteration rounds
     unrolled as MATERIALIZED CTEs over the same integer covariance.
@@ -8774,6 +8853,114 @@ def q_t36_stream_offpolicy(spark, sf):
     q.awaitTermination(300)
     snap = spark.table(name).localCheckpoint(eager=True)
     return offpolicy_from_action_cells(snap)
+
+
+def q_fairness_report(spark, sf):
+    """Group-fairness audit of a length quality gate (n_chars >= 150)
+    across sources, against the lang == 'en' reference label: per-group
+    selection rate / TPR / FPR plus the corpus-wide demographic-parity
+    gap — all exact micro floor-divisions over integer counts."""
+    from pdf_to_vectordb_etl_spark.operators.evaluation import (
+        fairness_report,
+    )
+
+    docs = _t(spark, sf, "documents")
+    base = docs.select(
+        "source",
+        (F.col("n_chars") >= 150).alias("gate"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    return fairness_report(base, "source", "gate", "is_en")
+
+
+def q_tokenizer_fertility(spark, sf):
+    """Per-source tokenizer fertility (subword tokens per in-vocab
+    word) and OOV rate under the seed unigram-LM piece table — the
+    audit that decides whether one corpus slice pays more context
+    budget per word than the rest. Composes the graded encode path;
+    exact integer rollups."""
+    docs = _t(spark, sf, "documents")
+    d2 = docs.select(
+        "doc_id",
+        F.regexp_replace("text", r"[^\x20-\x7e]", "").alias("text"),
+    )
+    pieces = ta.unigram_seed_pieces(
+        d2, vocab_size=64, seed_cap_factor=1, max_piece_len=4,
+        max_word_len=12, min_count=2,
+    )
+    per_doc = ta.unigram_lm_encode(
+        d2, pieces, max_piece_len=4, max_word_len=12
+    )
+    return ta.tokenizer_fertility_by_group(per_doc, docs, "source")
+
+
+def q_t37_stream_lexdiv(spark, sf):
+    """T37 — live per-source vocabulary-richness monitor: (source,
+    token) counts as the associative streaming state, with per-doc
+    sentinel rows riding the SAME state to carry doc counts (one
+    stream, one agg); snapshot splits the sentinel off and feeds the
+    IDENTICAL lexical_diversity_from_cells finale as the batch path."""
+    import tempfile
+
+    from pdf_to_vectordb_etl_spark.operators.textanalysis import (
+        lexical_diversity_from_cells,
+    )
+
+    sentinel = "\x00doc\x00"  # whitespace-split tokens can't contain \x00
+    raw_schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+        .select(
+            F.col("source").alias("g"),
+            F.explode(
+                F.concat(
+                    F.array(F.lit(sentinel)),
+                    F.filter(
+                        F.split(
+                            F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                            r"\s+",
+                        ),
+                        lambda t: t != "",
+                    ),
+                )
+            ).alias("tok"),
+        )
+        .groupBy("g", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    name = "t37_lexdiv_cells"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t37ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    snap = spark.table(name).localCheckpoint(eager=True)
+    cells = snap.filter(F.col("tok") != sentinel)
+    docs = snap.filter(F.col("tok") == sentinel).select(
+        "g", F.col("c").alias("n_docs")
+    )
+    return lexical_diversity_from_cells(cells, docs, "source")
+
+
+def q_mmd_drift(spark, sf):
+    """Linear-time MMD^2 embedding drift test between the label < 5
+    and label >= 5 cohorts — exact integer polynomial kernel, one
+    corpus pass, deterministic rank pairing (no quadratic kernel
+    matrix)."""
+    from pdf_to_vectordb_etl_spark.operators.evaluation import (
+        mmd_linear_two_sample,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    base = emb.withColumn("in_b", F.col("label") >= 5)
+    return mmd_linear_two_sample(base, "in_b", "embedding", "vec_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -9129,6 +9316,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "heavy_hitters_mg": q_heavy_hitters_mg,
         "t36_stream_offpolicy": q_t36_stream_offpolicy,
+        "fairness_report": q_fairness_report,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "t37_stream_lexdiv": q_t37_stream_lexdiv,
+        "mmd_drift": q_mmd_drift,
         "attribution_touch": q_attribution_touch,
         "benford_law": q_benford_law,
         "t24_stream_benford": q_t24_stream_benford,
@@ -12389,79 +12580,7 @@ def oracle_sql() -> dict[str, str]:
         # encode: seed table rebuilt from substring counts, then ONE
         # k-only Viterbi recursion (min piece count needs no tiebreak
         # payload), joined back to the per-doc word stream
-        "unigram_lm_encode": r"""
-            WITH RECURSIVE d2 AS (
-              SELECT doc_id,
-                     lower(regexp_replace(text, '[^\x20-\x7e]', '', 'g'))
-                       AS t
-              FROM documents),
-            stream AS MATERIALIZED (
-              SELECT doc_id, w
-              FROM (SELECT doc_id,
-                           unnest(string_split_regex(t, '\s+')) AS w
-                    FROM d2)
-              WHERE length(w) > 0),
-            w0 AS (
-              SELECT w, CAST(count(*) AS BIGINT) AS freq,
-                     CAST(length(w) AS INT) AS wlen
-              FROM stream WHERE length(w) <= 12
-              GROUP BY w),
-            occ2 AS MATERIALIZED (
-              SELECT w, wlen, s.i AS i, s.j AS j,
-                     substr(w, s.i + 1, s.j - s.i) AS piece, freq
-              FROM (SELECT w, freq, wlen,
-                           unnest(flatten(list_transform(
-                             generate_series(0, wlen - 1),
-                             i -> list_transform(
-                               generate_series(i + 1, least(i + 4, wlen)),
-                               j -> {'i': i, 'j': j})))) AS s
-                    FROM w0)),
-            sc AS (
-              SELECT piece, CAST(sum(freq) AS BIGINT) AS n
-              FROM occ2 GROUP BY piece),
-            p0 AS MATERIALIZED (
-              SELECT piece FROM sc WHERE length(piece) = 1
-              UNION ALL
-              SELECT piece FROM (
-                SELECT piece, n FROM sc
-                WHERE length(piece) > 1 AND n >= 2
-                ORDER BY n DESC, piece
-                LIMIT 64)),
-            eg AS MATERIALIZED (
-              SELECT o.w, any_value(o.wlen) AS wlen,
-                     list(DISTINCT {'i': o.i, 'j': o.j}) AS edges
-              FROM occ2 o JOIN p0 p USING (piece)
-              GROUP BY o.w),
-            dp AS (
-              SELECT w, wlen, 0 AS iter,
-                     list_transform(generate_series(0, wlen),
-                       p -> CASE WHEN p = 0 THEN 0
-                                 ELSE 1048576 END) AS dp
-              FROM eg
-              UNION ALL
-              SELECT d.w, d.wlen, d.iter + 1,
-                     list_transform(generate_series(0, d.wlen),
-                       p -> CASE WHEN p = d.iter + 1
-                            THEN coalesce(list_min(list_transform(
-                                   list_filter(x.edges,
-                                     e -> e.j = d.iter + 1),
-                                   e -> d.dp[e.i + 1] + 1)), 1048576)
-                            ELSE d.dp[p + 1] END)
-              FROM dp d JOIN eg x USING (w)
-              WHERE d.iter < d.wlen),
-            wk AS MATERIALIZED (
-              SELECT w, dp[wlen + 1] AS k
-              FROM dp WHERE iter = wlen),
-            per AS (
-              SELECT s.doc_id,
-                     CAST(count(*) AS BIGINT) AS n_words,
-                     CAST(sum(CASE WHEN k IS NULL OR k >= 1048576
-                              THEN 1 ELSE 0 END) AS BIGINT)
-                       AS n_oov_words,
-                     CAST(sum(CASE WHEN k < 1048576 THEN k
-                              ELSE 0 END) AS BIGINT) AS n_tokens
-              FROM stream s LEFT JOIN wk USING (w)
-              GROUP BY s.doc_id)
+        "unigram_lm_encode": _UNIGRAM_ENCODE_CTES + r"""
             SELECT d.doc_id,
                    CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
                    CAST(coalesce(p.n_oov_words, 0) AS BIGINT)
@@ -18276,6 +18395,135 @@ def oracle_sql() -> dict[str, str]:
     # T36: per-action cells snapshot == the batch per-action table,
     # same finale code path — batch SQL is the parity oracle
     d["t36_stream_offpolicy"] = d["offpolicy_ips"]
+    # group fairness: exact integer cells, micro floor-div rates, gap
+    # = integer difference of micro rates
+    d["fairness_report"] = r"""
+        WITH base AS (
+          SELECT source AS grp,
+                 CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END AS p,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM documents),
+        cells AS (
+          SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(p) AS BIGINT) AS n_sel,
+                 CAST(sum(y) AS BIGINT) AS n_pos,
+                 CAST(sum(p * y) AS BIGINT) AS n_tp,
+                 CAST(sum(p * (1 - y)) AS BIGINT) AS n_fp
+          FROM base GROUP BY grp),
+        rated AS (
+          SELECT grp, n, n_sel, n_pos,
+                 CASE WHEN n > 0 THEN
+                   (CAST(n_sel AS HUGEINT) * 1000000) // n
+                 END AS sel_micro,
+                 CASE WHEN n_pos > 0 THEN
+                   (CAST(n_tp AS HUGEINT) * 1000000) // n_pos
+                 END AS tpr_micro,
+                 CASE WHEN n - n_pos > 0 THEN
+                   (CAST(n_fp AS HUGEINT) * 1000000) // (n - n_pos)
+                 END AS fpr_micro
+          FROM cells),
+        span AS (
+          SELECT max(sel_micro) AS sel_max, min(sel_micro) AS sel_min
+          FROM rated)
+        SELECT grp AS source, n, n_sel AS n_selected,
+               n_pos AS n_label_pos,
+               CAST(sel_micro AS BIGINT) / 1e6 AS sel_rate_q6,
+               CAST(tpr_micro AS BIGINT) / 1e6 AS tpr_q6,
+               CAST(fpr_micro AS BIGINT) / 1e6 AS fpr_q6,
+               CAST(sel_max - sel_min AS BIGINT) / 1e6 AS dp_gap_q6
+        FROM rated, span
+    """
+    # tokenizer fertility: the SAME encode CTE chain as the graded
+    # unigram_lm_encode oracle (shared constant), per-source finale
+    d["tokenizer_fertility"] = _UNIGRAM_ENCODE_CTES + r"""
+        , per_src AS (
+          SELECT d.source AS g, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(coalesce(sum(p.n_words), 0) AS BIGINT) AS n_words,
+                 CAST(coalesce(sum(p.n_oov_words), 0) AS BIGINT)
+                   AS n_oov_words,
+                 CAST(coalesce(sum(p.n_tokens), 0) AS BIGINT) AS n_tokens
+          FROM documents d LEFT JOIN per p USING (doc_id)
+          GROUP BY d.source)
+        SELECT g AS source, n_docs, n_words, n_oov_words, n_tokens,
+               CASE WHEN n_words - n_oov_words > 0 THEN
+                 ((CAST(n_tokens AS HUGEINT) * 1000000)
+                  // (n_words - n_oov_words)) / 1e6
+               END AS tokens_per_word_q6,
+               CASE WHEN n_words > 0 THEN
+                 ((CAST(n_oov_words AS HUGEINT) * 1000000) // n_words)
+                 / 1e6
+               END AS oov_rate_q6
+        FROM per_src
+    """
+    # T37's sentinel-carrying cell snapshot splits into exactly the
+    # batch cells + doc counts, same finale — batch SQL is the oracle
+    d["t37_stream_lexdiv"] = d["lexical_diversity"]
+    # linear-time MMD^2: exact integer polynomial kernel, rank pairing,
+    # signed micro finale via the nonneg floor-div emulation (c^2 =
+    # 1e24 as a HUGEINT product — the literal passes int64)
+    d["mmd_drift"] = r"""
+        WITH base AS (
+          SELECT CASE WHEN label >= 5 THEN TRUE ELSE FALSE END AS in_b,
+                 vec_id AS id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv
+          FROM embeddings),
+        r AS (
+          SELECT in_b, qv,
+                 row_number() OVER (PARTITION BY in_b ORDER BY id)
+                   AS rank
+          FROM base),
+        counts AS (
+          SELECT CAST(coalesce(sum(CASE WHEN NOT in_b THEN 1 END), 0)
+                      AS BIGINT) AS n_a,
+                 CAST(coalesce(sum(CASE WHEN in_b THEN 1 END), 0)
+                      AS BIGINT) AS n_b
+          FROM base),
+        a AS (SELECT rank AS i, qv AS x FROM r WHERE NOT in_b),
+        b AS (SELECT rank AS i, qv AS y FROM r WHERE in_b),
+        z AS (SELECT a.i, x, y FROM a JOIN b USING (i)),
+        odd AS (
+          SELECT (i + 1) // 2 AS j, x AS x1, y AS y1
+          FROM z WHERE i % 2 = 1),
+        even AS (
+          SELECT i // 2 AS j, x AS x2, y AS y2 FROM z WHERE i % 2 = 0),
+        pairs AS (
+          SELECT
+            list_sum(list_transform(list_zip(x1, x2),
+              p -> p[1] * p[2])) AS sa,
+            list_sum(list_transform(list_zip(y1, y2),
+              p -> p[1] * p[2])) AS sb,
+            list_sum(list_transform(list_zip(x1, y2),
+              p -> p[1] * p[2])) AS se,
+            list_sum(list_transform(list_zip(x2, y1),
+              p -> p[1] * p[2])) AS sf
+          FROM odd JOIN even USING (j)),
+        hs AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                 coalesce(sum(
+                   2 * CAST(1000000000000 AS HUGEINT)
+                     * (sa + sb - se - sf)
+                   + CAST(sa AS HUGEINT) * sa
+                   + CAST(sb AS HUGEINT) * sb
+                   - CAST(se AS HUGEINT) * se
+                   - CAST(sf AS HUGEINT) * sf), 0) AS hs
+          FROM pairs)
+        SELECT n_a, n_b, n_pairs,
+               CASE WHEN n_pairs > 0 THEN CAST(CASE WHEN hs >= 0
+                 THEN (hs * 1000000)
+                      // (CAST(n_pairs AS HUGEINT)
+                          * CAST(1000000000000 AS HUGEINT)
+                          * 1000000000000)
+                 ELSE -(((-hs) * 1000000
+                         + CAST(n_pairs AS HUGEINT)
+                           * CAST(1000000000000 AS HUGEINT)
+                           * 1000000000000 - 1)
+                        // (CAST(n_pairs AS HUGEINT)
+                            * CAST(1000000000000 AS HUGEINT)
+                            * 1000000000000))
+               END AS BIGINT) / 1e6 END AS mmd2_q6
+        FROM hs CROSS JOIN counts
+    """
     d["t28_stream_contamination"] = d["contamination_bench"]
     d["t29_stream_gopher_gate"] = d["gopher_by_source"]
     # Bloom-screened variant admits the identical set (no false negatives)

@@ -2958,3 +2958,125 @@ def fairness_report(
         "CAST(fpr_micro AS BIGINT) / 1e6 AS fpr_q6",
         "CAST(sel_max - sel_min AS BIGINT) / 1e6 AS dp_gap_q6",
     )
+
+
+def mmd_linear_two_sample(
+    df: DataFrame,
+    split_col: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    c_scale: int = 10**12,
+) -> DataFrame:
+    """Linear-time MMD^2 two-sample test between two embedding cohorts
+    (Gretton et al. 2012 JMLR sec. 6, public) — the drift detector
+    that answers 'did this week's crawl move in embedding space?'
+    without the quadratic kernel matrix: samples pair up in a
+    deterministic order and each CONSECUTIVE pair contributes one
+    unbiased h-statistic, so the estimator is one corpus pass.
+
+    Kernel: inhomogeneous polynomial degree 2 over micro-quantized
+    integer vectors, k(u, v) = (c + <u, v>)^2 with integer c =
+    ``c_scale`` — every dot product, square and sum is EXACT integer
+    arithmetic (h expands to 2c(a+b-e-f) + a^2+b^2-e^2-f^2, DECIMAL
+    (38,0)-safe at corpus scale); the single signed division at the
+    end is the symmetric nonneg floor-div emulation, reported in
+    kernel units normalized by c^2 on the micro grid.
+
+    Pairing: global_row_number over (split, id) + per-split offset
+    join (the ccnet recipe — no per-group corpus window); the i-th A
+    sample pairs with the i-th B sample, consecutive pairs form h.
+    Returns one row: (n_a, n_b, n_pairs, mmd2_q6) — NULL when fewer
+    than 2 aligned pairs exist. Under H0 (same distribution) mmd2
+    concentrates at 0; positive values indicate drift."""
+    from pdf_to_vectordb_etl_spark.operators.suffixes import (
+        global_row_number,
+    )
+
+    base = df.select(
+        F.col(split_col).cast("boolean").alias("in_b"),
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast(
+                "long"
+            ),
+        ).alias("qv"),
+    ).filter(F.col("in_b").isNotNull() & F.col("qv").isNotNull())
+    ranked = global_row_number(base, ["in_b", "id"], "grn")
+    offs = ranked.groupBy("in_b").agg(
+        F.min("grn").alias("rn0"), F.count(F.lit(1)).cast("long").alias("nn")
+    )
+    r = ranked.join(F.broadcast(offs), "in_b").select(
+        "in_b", "qv", (F.col("grn") - F.col("rn0") + 1).alias("rank")
+    )
+    counts = offs.agg(
+        F.coalesce(F.sum(F.when(~F.col("in_b"), F.col("nn"))), F.lit(0))
+        .cast("long")
+        .alias("n_a"),
+        F.coalesce(F.sum(F.when(F.col("in_b"), F.col("nn"))), F.lit(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    # align the i-th A with the i-th B, then fold consecutive aligned
+    # pairs (2j-1, 2j) into one h-statistic each
+    a = r.filter(~F.col("in_b")).select(
+        F.col("rank").alias("i"), F.col("qv").alias("x")
+    )
+    b = r.filter(F.col("in_b")).select(
+        F.col("rank").alias("i"), F.col("qv").alias("y")
+    )
+    z = a.join(b, "i")
+    odd = z.filter(F.col("i") % 2 == 1).select(
+        ((F.col("i") + 1) / 2).cast("long").alias("j"),
+        F.col("x").alias("x1"),
+        F.col("y").alias("y1"),
+    )
+    even = z.filter(F.col("i") % 2 == 0).select(
+        (F.col("i") / 2).cast("long").alias("j"),
+        F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+    )
+
+    def dot(u: str, v: str):
+        return F.aggregate(
+            F.zip_with(F.col(u), F.col(v), lambda p, q: p * q),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+
+    pairs = odd.join(even, "j").select(
+        dot("x1", "x2").alias("sa"),
+        dot("y1", "y2").alias("sb"),
+        dot("x1", "y2").alias("se"),
+        dot("x2", "y1").alias("sf"),
+    )
+    C = f"CAST({c_scale} AS DECIMAL(38,0))"
+    hsum = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    f"2 * {C} * (sa + sb - se - sf)"
+                    f" + CAST(sa AS DECIMAL(38,0)) * sa"
+                    f" + CAST(sb AS DECIMAL(38,0)) * sb"
+                    f" - CAST(se AS DECIMAL(38,0)) * se"
+                    f" - CAST(sf AS DECIMAL(38,0)) * sf"
+                )
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("hs"),
+    )
+    c2 = c_scale * c_scale
+    return hsum.crossJoin(F.broadcast(counts)).selectExpr(
+        "n_a",
+        "n_b",
+        "n_pairs",
+        # signed floor to the micro grid of hs / (n_pairs * c^2)
+        "CASE WHEN n_pairs > 0 THEN CAST(CASE"
+        " WHEN hs >= 0 THEN (hs * 1000000)"
+        f"  div (CAST(n_pairs AS DECIMAL(38,0)) * {c2})"
+        " ELSE -(((-hs) * 1000000"
+        f"   + CAST(n_pairs AS DECIMAL(38,0)) * {c2} - 1)"
+        f"  div (CAST(n_pairs AS DECIMAL(38,0)) * {c2}))"
+        " END AS BIGINT) / 1e6 END AS mmd2_q6",
+    )

@@ -1131,3 +1131,38 @@ def test_tokenizer_fertility_hand_fixture(spark):
     s2 = out["s2"]
     # every word OOV -> fertility NULL, oov rate 1.0
     assert s2.tokens_per_word_q6 is None and s2.oov_rate_q6 == 1.0
+
+
+def test_mmd_null_is_small_and_shift_is_large(spark):
+    """Same-distribution cohorts give |MMD^2| near 0; a planted mean
+    shift gives a strictly larger positive value (deterministic
+    pseudo-random vectors, exact integer kernel)."""
+    import numpy as np
+
+    from pdf_to_vectordb_etl_spark.operators.evaluation import (
+        mmd_linear_two_sample,
+    )
+
+    rng = np.random.RandomState(11)
+    n, d = 400, 8
+    same = rng.randn(n, d).astype(np.float32) * 0.1
+    rows = [
+        (i, [float(x) for x in same[i]], i % 2 == 0) for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, in_b boolean"
+    )
+    null = mmd_linear_two_sample(df, "in_b", "embedding", "vec_id").first()
+    assert null.n_pairs == 100  # min(200,200) aligned -> 100 h-pairs
+
+    shifted = same.copy()
+    shifted[::2] += 0.3  # shift cohort B (even ids)
+    rows2 = [
+        (i, [float(x) for x in shifted[i]], i % 2 == 0) for i in range(n)
+    ]
+    df2 = spark.createDataFrame(
+        rows2, "vec_id long, embedding array<float>, in_b boolean"
+    )
+    drift = mmd_linear_two_sample(df2, "in_b", "embedding", "vec_id").first()
+    assert drift.mmd2_q6 > abs(null.mmd2_q6) * 3
+    assert drift.mmd2_q6 > 0
