@@ -8807,6 +8807,12 @@ def q_heavy_hitters_mg(spark, sf):
     toks = docs.select(
         F.explode(tokens(F.coalesce(F.col("text"), F.lit("")))).alias("tok")
     )
+    # single-file fixture scan would serialize the per-partition MG
+    # fold on ONE task AND replay the tokenize for each of the
+    # operator's three jobs (summaries / recount / total) —
+    # repartition + checkpoint once (callers with real multi-file
+    # inputs skip this)
+    toks = toks.repartition(32).localCheckpoint(eager=True)
     return heavy_hitters_exact(toks, "tok", k=30)
 
 
@@ -8906,7 +8912,9 @@ def q_t37_stream_lexdiv(spark, sf):
         lexical_diversity_from_cells,
     )
 
-    sentinel = "\x00doc\x00"  # whitespace-split tokens can't contain \x00
+    # every REAL token is prefixed 't' and the per-doc sentinel is the
+    # bare 'd' — a 1-char state key can never collide with a 2+-char
+    # prefixed token, whatever bytes a regenerated corpus ships
     raw_schema = spark.read.parquet(f"{sf}/documents.parquet").schema
     stream = (
         spark.readStream.schema(raw_schema)
@@ -8917,13 +8925,18 @@ def q_t37_stream_lexdiv(spark, sf):
             F.col("source").alias("g"),
             F.explode(
                 F.concat(
-                    F.array(F.lit(sentinel)),
-                    F.filter(
-                        F.split(
-                            F.lower(F.coalesce(F.col("text"), F.lit(""))),
-                            r"\s+",
+                    F.array(F.lit("d")),
+                    F.transform(
+                        F.filter(
+                            F.split(
+                                F.lower(
+                                    F.coalesce(F.col("text"), F.lit(""))
+                                ),
+                                r"\s+",
+                            ),
+                            lambda t: t != "",
                         ),
-                        lambda t: t != "",
+                        lambda t: F.concat(F.lit("t"), t),
                     ),
                 )
             ).alias("tok"),
@@ -8942,8 +8955,10 @@ def q_t37_stream_lexdiv(spark, sf):
     )
     q.awaitTermination(300)
     snap = spark.table(name).localCheckpoint(eager=True)
-    cells = snap.filter(F.col("tok") != sentinel)
-    docs = snap.filter(F.col("tok") == sentinel).select(
+    cells = snap.filter(F.col("tok") != "d").select(
+        "g", F.expr("substring(tok, 2)").alias("tok"), "c"
+    )
+    docs = snap.filter(F.col("tok") == "d").select(
         "g", F.col("c").alias("n_docs")
     )
     return lexical_diversity_from_cells(cells, docs, "source")
@@ -8961,6 +8976,65 @@ def q_mmd_drift(spark, sf):
     emb = _t(spark, sf, "embeddings")
     base = emb.withColumn("in_b", F.col("label") >= 5)
     return mmd_linear_two_sample(base, "in_b", "embedding", "vec_id")
+
+
+def q_quantile_normalize(spark, sf):
+    """Quantile-normalize per-event-type values onto the pooled
+    distribution (Bolstad batch-effect correction) — the mapped value
+    is COPIED from the pooled table (zero arithmetic, nothing to
+    round); both rank passes are the sanctioned global primitives.
+    NaN filtered on both engines (NaN ordering diverges)."""
+    from pdf_to_vectordb_etl_spark.operators.aggregates import (
+        quantile_normalize,
+    )
+
+    ev = _t(spark, sf, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan(F.col("value"))
+    )
+    return quantile_normalize(ev, "value", "event_type", "event_id")
+
+
+def q_t38_stream_fairness(spark, sf):
+    """T38 — live gate-fairness monitor: the per-group 5-sum cell
+    table (n, selected, label-pos, tp, fp) is the associative
+    streaming state, snapshot through the IDENTICAL
+    fairness_from_group_cells finale as the batch path; the batch SQL
+    is the parity oracle."""
+    import tempfile
+
+    from pdf_to_vectordb_etl_spark.operators.evaluation import (
+        fairness_from_group_cells,
+    )
+
+    raw_schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    p = F.coalesce(F.col("n_chars") >= 150, F.lit(False))
+    y = F.coalesce(F.col("lang") == "en", F.lit(False))
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+        .groupBy(F.col("source").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(p.cast("long")).cast("long").alias("n_sel"),
+            F.sum(y.cast("long")).cast("long").alias("n_pos"),
+            F.sum((p & y).cast("long")).cast("long").alias("n_tp"),
+            F.sum((p & ~y).cast("long")).cast("long").alias("n_fp"),
+        )
+    )
+    name = "t38_fairness_cells"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t38ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    snap = spark.table(name).localCheckpoint(eager=True)
+    return fairness_from_group_cells(snap, "source")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -9320,6 +9394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": q_tokenizer_fertility,
         "t37_stream_lexdiv": q_t37_stream_lexdiv,
         "mmd_drift": q_mmd_drift,
+        "quantile_normalize": q_quantile_normalize,
+        "t38_stream_fairness": q_t38_stream_fairness,
         "attribution_touch": q_attribution_touch,
         "benford_law": q_benford_law,
         "t24_stream_benford": q_t24_stream_benford,
@@ -18244,12 +18320,14 @@ def oracle_sql() -> dict[str, str]:
           SELECT vec_id AS qid, label AS qy,
                  list_transform(CAST(embedding AS DOUBLE[]),
                    x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv
-          FROM embeddings WHERE vec_id < 4),
+          FROM embeddings
+          WHERE vec_id < 4 AND embedding IS NOT NULL),
         tr AS (
           SELECT vec_id AS tid, label AS ty,
                  list_transform(CAST(embedding AS DOUBLE[]),
                    x -> CAST(floor(x * 1000000) AS BIGINT)) AS tv
-          FROM embeddings WHERE vec_id >= 4),
+          FROM embeddings
+          WHERE vec_id >= 4 AND embedding IS NOT NULL),
         scored AS (
           SELECT qid, tid,
                  list_sum(list_transform(list_zip(qv, tv),
@@ -18458,16 +18536,46 @@ def oracle_sql() -> dict[str, str]:
     # T37's sentinel-carrying cell snapshot splits into exactly the
     # batch cells + doc counts, same finale — batch SQL is the oracle
     d["t37_stream_lexdiv"] = d["lexical_diversity"]
+    # quantile normalization: value copied from the pooled rank table,
+    # zero arithmetic; rank joins replayed with window row_numbers
+    d["quantile_normalize"] = r"""
+        WITH base AS (
+          SELECT event_id AS id, event_type AS g, value AS v
+          FROM events
+          WHERE value IS NOT NULL AND NOT isnan(value)),
+        gr AS (
+          SELECT id, g, v,
+                 CAST(row_number() OVER (PARTITION BY g ORDER BY v, id)
+                      AS BIGINT) AS r_g,
+                 CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n_g
+          FROM base),
+        pooled AS (
+          SELECT CAST(row_number() OVER (ORDER BY v, id) AS BIGINT)
+                   AS target_pr,
+                 v AS norm_value
+          FROM base),
+        nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base)
+        SELECT gr.id AS event_id, gr.g AS event_type, gr.v AS value,
+               p.norm_value
+        FROM gr CROSS JOIN nt
+        JOIN pooled p
+          ON p.target_pr =
+             (CAST(gr.r_g AS HUGEINT) * nt.n + gr.n_g - 1) // gr.n_g
+    """
+    # T38's per-group cell snapshot == the batch cells, same finale —
+    # batch SQL is the parity oracle
+    d["t38_stream_fairness"] = d["fairness_report"]
     # linear-time MMD^2: exact integer polynomial kernel, rank pairing,
     # signed micro finale via the nonneg floor-div emulation (c^2 =
     # 1e24 as a HUGEINT product — the literal passes int64)
     d["mmd_drift"] = r"""
         WITH base AS (
-          SELECT CASE WHEN label >= 5 THEN TRUE ELSE FALSE END AS in_b,
+          SELECT label >= 5 AS in_b,
                  vec_id AS id,
                  list_transform(CAST(embedding AS DOUBLE[]),
                    x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv
-          FROM embeddings),
+          FROM embeddings
+          WHERE label IS NOT NULL AND embedding IS NOT NULL),
         r AS (
           SELECT in_b, qv,
                  row_number() OVER (PARTITION BY in_b ORDER BY id)

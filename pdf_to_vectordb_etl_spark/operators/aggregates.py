@@ -1152,3 +1152,71 @@ def rfm_segments(
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.sum("m_micro").cast("long").alias("monetary_micro"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Quantile normalization of a per-group score onto the POOLED
+    distribution (Bolstad et al. 2003, the microarray batch-effect
+    standard, public): row with within-group quantile q is mapped to
+    the pooled value at quantile q — after it, every group's score
+    distribution is exchangeable, so one global threshold treats all
+    sources alike (the cross-source quality-score problem).
+
+    Exactness: the mapped value is a VALUE COPIED from the pooled
+    table (no arithmetic at all — nothing to round); within-group and
+    pooled ranks both come from the sanctioned global_row_number
+    primitive over unique (…, value, id) keys, per-group ranks
+    re-anchored via the min-rank agg join (ccnet recipe, no per-group
+    corpus window); the target pooled rank is the exact integer
+    ceil(r_g * N / n_g) = (r_g*N + n_g - 1) div n_g. NULL values are
+    dropped (a NULL has no quantile).
+
+    Returns (id_col, group_col, value_col, norm_value)."""
+    from pdf_to_vectordb_etl_spark.operators.suffixes import (
+        global_row_number,
+    )
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("g"),
+        F.col(value_col).alias("v"),
+    ).filter(F.col("v").isNotNull())
+    gr = global_row_number(base, ["g", "v", "id"], "grn")
+    offs = gr.groupBy("g").agg(
+        F.min("grn").alias("rn0"),
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+    )
+    ranked = gr.join(F.broadcast(offs), "g").select(
+        "id",
+        "g",
+        "v",
+        (F.col("grn") - F.col("rn0") + 1).alias("r_g"),
+        "n_g",
+    )
+    pooled = global_row_number(
+        base.select("v", "id"), ["v", "id"], "pr"
+    ).select(F.col("pr").alias("target_pr"), F.col("v").alias("norm_value"))
+    n_tot = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    out = (
+        ranked.crossJoin(F.broadcast(n_tot))
+        .withColumn(
+            # r_g * N passes int64 at corpus scale — DECIMAL product;
+            # the quotient is a pooled rank <= N, BIGINT-safe
+            "target_pr",
+            F.expr(
+                "(CAST(r_g AS DECIMAL(38,0)) * n + n_g - 1) div n_g"
+            ),
+        )
+        .join(pooled, "target_pr")
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        F.col("g").alias(group_col),
+        F.col("v").alias(value_col),
+        "norm_value",
+    )

@@ -248,18 +248,18 @@ def pca_top_component(
     cost, shuffled once by row key; everything after is O(d^2) driver
     arithmetic. Returns d rows: (dim, loading_q12, evr_q6) — evr is
     the Rayleigh share of total variance trace, floor-quantized."""
+    from pdf_to_vectordb_etl_spark.operators.valuation import (
+        _quantize_micro,
+    )
+
     spark = df.sparkSession
     xs = df.select(
         F.col(id_col).alias("r"),
-        F.posexplode(
-            F.transform(
-                F.col(vec_col),
-                lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast(
-                    "long"
-                ),
-            )
-        ).alias("i", "xi"),
+        F.posexplode(_quantize_micro(vec_col)).alias("i", "xi"),
     )
+    # xs feeds three scans (both sides of the cell self-join + the
+    # per-dim sums) — materialize it once
+    xs = xs.persist()
     right = xs.select(
         F.col("r").alias("r2"),
         F.col("i").alias("j"),
@@ -280,6 +280,7 @@ def pca_top_component(
     )
     cell_rows = cells.collect()  # bounded: d(d+1)/2 cells
     sum_rows = {int(r["i"]): int(r["s"]) for r in sums.collect()}
+    xs.unpersist()
     if not cell_rows:
         return spark.createDataFrame(
             [], "dim int, loading_q12 double, evr_q6 double"

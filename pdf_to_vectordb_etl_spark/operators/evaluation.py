@@ -2707,8 +2707,14 @@ def mcnemar_test(
     b = F.coalesce(F.col(b_col).cast("boolean"), F.lit(False))
     cells = df.agg(
         F.count(F.lit(1)).cast("long").alias("n_items"),
-        F.sum((a & ~b).cast("long")).cast("long").alias("b_count"),
-        F.sum((~a & b).cast("long")).cast("long").alias("c_count"),
+        # coalesce: an EMPTY frame sums to NULL in Spark but the oracle
+        # coalesces to 0 — keep the engines aligned
+        F.coalesce(F.sum((a & ~b).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("b_count"),
+        F.coalesce(F.sum((~a & b).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("c_count"),
     )
     return cells.selectExpr(
         "n_items",
@@ -2835,13 +2841,20 @@ def krippendorff_alpha_from_cells(cells: DataFrame) -> DataFrame:
         ).alias("si"),
     )
     kept = per_item.filter(F.col("ni") >= 2)
-    # sum_c n_ic (n_i - n_ic) = n_i^2 - S_i  (exact), pico-quantized
+    # sum_c n_ic (n_i - n_ic) = n_i^2 - S_i  (exact), pico-quantized.
+    # Subtract-modulo exact decimal division (brier precedent): the
+    # quotient is ~n_i * 1e12, which passes 2^63 for a hot item with
+    # >= ~9.2M ratings — `div`'s BIGINT result would silently wrap
+    # while the HUGEINT oracle stays exact.
     do_terms = kept.select(
         "ni",
         F.expr(
-            "((CAST(ni AS DECIMAL(38,0)) * ni - si)"
-            " * CAST(1000000000000 AS DECIMAL(38,0))) div (ni - 1)"
-        ).alias("do_pico"),
+            "(((CAST(ni AS DECIMAL(38,0)) * ni - si)"
+            " * CAST(1000000000000 AS DECIMAL(38,0)))"
+            " - ((CAST(ni AS DECIMAL(38,0)) * ni - si)"
+            "    * CAST(1000000000000 AS DECIMAL(38,0))) % (ni - 1))"
+            " / (ni - 1)"
+        ).cast("decimal(38,0)").alias("do_pico"),
     )
     tot = do_terms.agg(
         F.count(F.lit(1)).cast("long").alias("n_items"),
@@ -2928,6 +2941,16 @@ def fairness_report(
         F.sum((p & y).cast("long")).cast("long").alias("n_tp"),
         F.sum((p & ~y).cast("long")).cast("long").alias("n_fp"),
     )
+    return fairness_from_group_cells(cells, group_col)
+
+
+def fairness_from_group_cells(
+    cells: DataFrame, group_col: str = "group"
+) -> DataFrame:
+    """Finale of :func:`fairness_report` over the pre-aggregated
+    per-group (grp, n, n_sel, n_pos, n_tp, n_fp) cell table — five
+    associative sums, so the T38 stream twin snapshots them and shares
+    this exact code path (the cells/finale recipe)."""
     rated = cells.selectExpr(
         "grp",
         "n",
@@ -2992,15 +3015,14 @@ def mmd_linear_two_sample(
         global_row_number,
     )
 
+    from pdf_to_vectordb_etl_spark.operators.valuation import (
+        _quantize_micro,
+    )
+
     base = df.select(
         F.col(split_col).cast("boolean").alias("in_b"),
         F.col(id_col).alias("id"),
-        F.transform(
-            F.col(vec_col),
-            lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast(
-                "long"
-            ),
-        ).alias("qv"),
+        _quantize_micro(vec_col).alias("qv"),
     ).filter(F.col("in_b").isNotNull() & F.col("qv").isNotNull())
     ranked = global_row_number(base, ["in_b", "id"], "grn")
     offs = ranked.groupBy("in_b").agg(

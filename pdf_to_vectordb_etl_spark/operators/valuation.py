@@ -89,16 +89,19 @@ def knn_shapley(
         global_row_number,
     )
 
+    # NULL-embedding rows are dropped on BOTH engines (a NULL distance
+    # would rank NULLS FIRST in Spark but LAST in DuckDB); a NULL label
+    # counts as a non-match (ind = 0) on both.
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(label_col).alias("qy"),
         _quantize_micro(vec_col).alias("qv"),
-    )
+    ).filter(F.col("qv").isNotNull())
     tr = train.select(
         F.col(id_col).alias("tid"),
         F.col(label_col).alias("ty"),
         _quantize_micro(vec_col).alias("tv"),
-    )
+    ).filter(F.col("tv").isNotNull())
     scored = tr.crossJoin(F.broadcast(q)).select(
         "qid",
         "tid",
@@ -109,7 +112,9 @@ def knn_shapley(
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         ).alias("dist"),
-        (F.col("ty") == F.col("qy")).cast("long").alias("ind"),
+        F.coalesce(
+            (F.col("ty") == F.col("qy")).cast("long"), F.lit(0)
+        ).alias("ind"),
     )
     ranked = global_row_number(scored, ["qid", "dist", "tid"], "rn")
     per_q = ranked.groupBy("qid").agg(
@@ -267,10 +272,16 @@ def offpolicy_from_action_cells(per_action: DataFrame) -> DataFrame:
         "k_actions",
         "n_logs",
         "sr_all",
+        # subtract-modulo exact decimal division (the brier precedent):
+        # `div` returns BIGINT and would silently wrap once the weight
+        # n_logs*PICO/(k*na) passes 2^63 (one rare action in a huge
+        # log); the modulo form stays DECIMAL(38,0) and exact
         F.expr(
-            f"(CAST(n_logs AS DECIMAL(38,0)) * {PICO})"
-            " div (CAST(k_actions AS DECIMAL(38,0)) * na)"
-        ).alias("w_pico"),
+            f"((CAST(n_logs AS DECIMAL(38,0)) * {PICO})"
+            f" - (CAST(n_logs AS DECIMAL(38,0)) * {PICO})"
+            " % (CAST(k_actions AS DECIMAL(38,0)) * na))"
+            " / (CAST(k_actions AS DECIMAL(38,0)) * na)"
+        ).cast("decimal(38,0)").alias("w_pico"),
     )
     agg = w.groupBy("k_actions", "n_logs", "sr_all").agg(
         F.sum(

@@ -583,9 +583,9 @@ def test_min_k_prob_selects_the_bottom_fifth(spark):
 
 
 def test_mcnemar_hand_fixture(spark):
-    """10 items: b = 4 (A-only), c = 1 (B-only). chi2 = 9/5 = 1.8,
-    corrected = (3-1=2)^2/5 = 0.8 wait — |b-c|-1 = 2 -> 4/5 = 0.8;
-    neither rejects at 3.841459. NULL predictions read as False."""
+    """10 items: b = 4 (A-only), c = 1 (B-only). chi2 = (4-1)^2/5 =
+    1.8; continuity-corrected chi2 = (|4-1|-1)^2/5 = 0.8; neither
+    rejects at 3.841459. NULL predictions read as False."""
     from pdf_to_vectordb_etl_spark.operators.evaluation import mcnemar_test
 
     rows = (
@@ -1166,3 +1166,49 @@ def test_mmd_null_is_small_and_shift_is_large(spark):
     drift = mmd_linear_two_sample(df2, "in_b", "embedding", "vec_id").first()
     assert drift.mmd2_q6 > abs(null.mmd2_q6) * 3
     assert drift.mmd2_q6 > 0
+
+
+def test_quantile_normalize_equalizes_distributions(spark):
+    """Two equal-size groups with shifted distributions: after
+    normalization both groups carry the SAME value multiset (the
+    pooled quantiles), and within-group order is preserved."""
+    from pdf_to_vectordb_etl_spark.operators.aggregates import (
+        quantile_normalize,
+    )
+
+    rows = [(i, "a", float(i)) for i in range(10)] + [
+        (100 + i, "b", 1000.0 + i * 5) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    out = quantile_normalize(df, "v", "grp", "id").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.grp, []).append((r.v, r.norm_value))
+    assert sorted(n for _, n in by_g["a"]) == sorted(
+        n for _, n in by_g["b"]
+    )
+    for g in by_g:
+        ordered = sorted(by_g[g])
+        assert [n for _, n in ordered] == sorted(n for _, n in ordered)
+    # every normalized value is an actual pooled value
+    pooled = {v for _, _, v in rows}
+    assert {n for rs in by_g.values() for _, n in rs} <= pooled
+
+
+def test_quantile_normalize_unequal_groups_ceil_convention(spark):
+    """n_g = 2 vs pooled N = 6: group quantiles 1/2 and 1 map to pooled
+    ranks ceil(3) and ceil(6) — pin the exact ceil convention."""
+    from pdf_to_vectordb_etl_spark.operators.aggregates import (
+        quantile_normalize,
+    )
+
+    rows = [(1, "s", 5.0), (2, "s", 7.0)] + [
+        (10 + i, "big", float(i)) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    out = {
+        r.id: r.norm_value
+        for r in quantile_normalize(df, "v", "grp", "id").collect()
+    }
+    # pooled sorted: 0,1,2,3,5,7 -> rank3 = 2.0, rank6 = 7.0
+    assert out[1] == 2.0 and out[2] == 7.0
