@@ -9037,6 +9037,100 @@ def q_t38_stream_fairness(spark, sf):
     return fairness_from_group_cells(snap, "source")
 
 
+def q_auc_by_source(spark, sf):
+    """Per-source ROC AUC of the doc-length signal against the
+    lang == 'en' label, plus the corpus-wide AUC gap — ranking-quality
+    parity, the companion of fairness_report's selection parity. Same
+    bounded-bins contract as eval_auc, window partitioned by group."""
+    from pdf_to_vectordb_etl_spark.operators.evaluation import auc_by_group
+
+    docs = _t(spark, sf, "documents")
+    return auc_by_group(
+        docs,
+        "n_chars",
+        F.col("lang") == "en",
+        "source",
+        n_bins=200,
+        lo=0.0,
+        hi=600.0,
+    )
+
+
+def q_source_health_report(spark, sf):
+    """Per-source corpus-health dashboard — the one table a curation
+    team reads before touching a source's mixture weight: lexical
+    richness (TTR / hapax), quality-gate fairness (selection rate +
+    demographic-parity gap), ranking parity (AUC + gap), and
+    tokenizer cost (fertility / OOV). Pure composition of four
+    already-oracled operators joined on source; the oracle composes
+    the same four SQL bodies as subquery CTEs — nothing new to trust,
+    everything already four-fixture-pinned."""
+    ld = q_lexical_diversity(spark, sf).select(
+        "source", "n_docs", "n_tokens", "ttr_q6", "hapax_frac_q6"
+    )
+    fr = q_fairness_report(spark, sf).select(
+        "source", "sel_rate_q6", "dp_gap_q6"
+    )
+    ab = q_auc_by_source(spark, sf).select("source", "auc", "auc_gap")
+    tf = q_tokenizer_fertility(spark, sf).select(
+        "source", "tokens_per_word_q6", "oov_rate_q6"
+    )
+    return (
+        ld.join(fr, "source")
+        .join(ab, "source")
+        .join(tf, "source")
+    )
+
+
+def q_t39_stream_auc_by_source(spark, sf):
+    """T39 — live per-slice ranking-parity monitor: the (group, bin,
+    pos, neg) histogram is the associative streaming state (the t14
+    recipe, grouped), snapshot through the IDENTICAL
+    auc_by_group_from_cells finale as the batch path; the batch SQL is
+    the parity oracle."""
+    import tempfile
+
+    from pdf_to_vectordb_etl_spark.operators.evaluation import (
+        auc_by_group_from_cells,
+    )
+
+    raw_schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    width = (600.0 - 0.0) / 200
+    b = F.least(
+        F.greatest(
+            F.floor((F.col("n_chars") - F.lit(0.0)) / F.lit(width)),
+            F.lit(0),
+        ),
+        F.lit(199),
+    ).cast("int")
+    y = (F.col("lang") == "en").cast("int")
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+        .filter(F.col("n_chars").isNotNull())
+        .select(F.col("source").alias("grp"), b.alias("bin"), y.alias("y"))
+        .groupBy("grp", "bin")
+        .agg(
+            F.sum("y").alias("pos"),
+            (F.count("*") - F.sum("y")).alias("neg"),
+        )
+    )
+    name = "t39_auc_cells"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t39ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    snap = spark.table(name).localCheckpoint(eager=True)
+    return auc_by_group_from_cells(snap, "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -9396,6 +9490,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmd_drift": q_mmd_drift,
         "quantile_normalize": q_quantile_normalize,
         "t38_stream_fairness": q_t38_stream_fairness,
+        "auc_by_source": q_auc_by_source,
+        "source_health_report": q_source_health_report,
+        "t39_stream_auc_by_source": q_t39_stream_auc_by_source,
         "attribution_touch": q_attribution_touch,
         "benford_law": q_benford_law,
         "t24_stream_benford": q_t24_stream_benford,
@@ -18565,6 +18662,38 @@ def oracle_sql() -> dict[str, str]:
     # T38's per-group cell snapshot == the batch cells, same finale —
     # batch SQL is the parity oracle
     d["t38_stream_fairness"] = d["fairness_report"]
+    # per-group binned AUC: same fixed-grid rank-sum family as
+    # eval_auc/t14, window partitioned by group over bounded cells
+    d["auc_by_source"] = r"""
+        WITH binned AS (
+          SELECT source AS grp,
+                 CAST(least(greatest(
+                   CAST(floor((n_chars - 0.0) / 3.0) AS BIGINT), 0),
+                   199) AS INT) AS bin,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM documents WHERE n_chars IS NOT NULL),
+        cells AS (
+          SELECT grp, bin, CAST(sum(y) AS BIGINT) AS pos,
+                 CAST(count(*) - sum(y) AS BIGINT) AS neg
+          FROM binned GROUP BY grp, bin),
+        cum AS (
+          SELECT grp, pos, neg,
+                 coalesce(sum(neg) OVER (
+                   PARTITION BY grp ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cumneg
+          FROM cells),
+        per AS (
+          SELECT grp,
+                 round(sum(pos * (cumneg + neg / 2.0))
+                       / nullif(CAST(sum(pos) AS DOUBLE) * sum(neg),
+                                0.0), 6) AS auc,
+                 CAST(sum(pos) AS BIGINT) AS n_pos,
+                 CAST(sum(neg) AS BIGINT) AS n_neg
+          FROM cum GROUP BY grp),
+        span AS (SELECT max(auc) - min(auc) AS auc_gap FROM per)
+        SELECT grp AS source, auc, n_pos, n_neg, auc_gap FROM per, span
+    """
     # linear-time MMD^2: exact integer polynomial kernel, rank pairing,
     # signed micro finale via the nonneg floor-div emulation (c^2 =
     # 1e24 as a HUGEINT product — the literal passes int64)
@@ -18727,4 +18856,21 @@ def oracle_sql() -> dict[str, str]:
         FROM events e JOIN dim d USING (event_type)
         GROUP BY e.event_type ORDER BY e.event_type
     """
+    # source health dashboard: the four component SQLs — each already
+    # four-fixture-pinned — composed verbatim as subquery CTEs and
+    # joined on source (nothing new to trust)
+    d["source_health_report"] = (
+        "WITH ld AS (" + d["lexical_diversity"] + "),\n"
+        "fr AS (" + d["fairness_report"] + "),\n"
+        "ab AS (" + d["auc_by_source"] + "),\n"
+        "tf AS (" + d["tokenizer_fertility"] + ")\n"
+        "SELECT ld.source, ld.n_docs, ld.n_tokens, ld.ttr_q6,"
+        " ld.hapax_frac_q6, fr.sel_rate_q6, fr.dp_gap_q6, ab.auc,"
+        " ab.auc_gap, tf.tokens_per_word_q6, tf.oov_rate_q6"
+        " FROM ld JOIN fr USING (source) JOIN ab USING (source)"
+        " JOIN tf USING (source)"
+    )
+    # T39's (group, bin) histogram snapshot == the batch cells, same
+    # finale — batch SQL is the parity oracle
+    d["t39_stream_auc_by_source"] = d["auc_by_source"]
     return d

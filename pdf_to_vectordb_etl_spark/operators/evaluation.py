@@ -2951,6 +2951,9 @@ def fairness_from_group_cells(
     per-group (grp, n, n_sel, n_pos, n_tp, n_fp) cell table — five
     associative sums, so the T38 stream twin snapshots them and shares
     this exact code path (the cells/finale recipe)."""
+    # one row per group, consumed by both the rate projection and the
+    # span rollup — checkpoint so the corpus scans ONCE
+    cells = cells.localCheckpoint(eager=True)
     rated = cells.selectExpr(
         "grp",
         "n",
@@ -3101,4 +3104,84 @@ def mmd_linear_two_sample(
         f"   + CAST(n_pairs AS DECIMAL(38,0)) * {c2} - 1)"
         f"  div (CAST(n_pairs AS DECIMAL(38,0)) * {c2}))"
         " END AS BIGINT) / 1e6 END AS mmd2_q6",
+    )
+
+
+def auc_by_group(
+    df: DataFrame,
+    score_col: str,
+    label_col: Column,
+    group_col: str,
+    n_bins: int = 200,
+    lo: float = 0.0,
+    hi: float = 500.0,
+) -> DataFrame:
+    """Per-slice ROC AUC on the shared fixed score grid — the ranking
+    companion of :func:`fairness_report`: a score can select equally
+    often per group (parity) yet rank one group's positives worse;
+    this reports each slice's AUC plus the corpus-wide AUC gap.
+
+    Same exactness contract as :func:`binned_auc`: per-(group, bin)
+    counts are one map-side-combined aggregate; the cumulative-
+    negatives window is PARTITIONED by group over the ≤ n_bins-per-
+    group cell table (bounded by construction); per-bin products are
+    integer-or-half-valued doubles (exact under IEEE until 2^53), one
+    guarded division, round 6. The gap subtracts two already-rounded
+    values at the SAME precision (never re-rounded coarser).
+
+    Returns (group, auc, n_pos, n_neg, auc_gap) — auc NULL for
+    single-class slices, which the gap ignores."""
+    width = (hi - lo) / n_bins
+    b = F.least(
+        F.greatest(
+            F.floor((F.col(score_col) - F.lit(lo)) / F.lit(width)),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    y = label_col.cast("int")
+    binned = (
+        df.filter(F.col(score_col).isNotNull())
+        .select(F.col(group_col).alias("grp"), b.alias("bin"), y.alias("y"))
+        .groupBy("grp", "bin")
+        .agg(
+            F.sum("y").alias("pos"),
+            (F.count("*") - F.sum("y")).alias("neg"),
+        )
+    )
+    return auc_by_group_from_cells(binned, group_col)
+
+
+def auc_by_group_from_cells(
+    binned: DataFrame, group_col: str = "group"
+) -> DataFrame:
+    """Finale of :func:`auc_by_group` over a pre-aggregated
+    (grp, bin, pos, neg) cell table — associative sums, so the T39
+    stream twin snapshots them and shares this exact code path (the
+    cells/finale recipe)."""
+    w_prev = (
+        Window.partitionBy("grp")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = binned.withColumn(
+        "cumneg", F.coalesce(F.sum("neg").over(w_prev), F.lit(0))
+    )
+    per = cum.groupBy("grp").agg(
+        F.round(
+            F.sum(F.col("pos") * (F.col("cumneg") + F.col("neg") / 2.0))
+            / F.expr("nullif(CAST(sum(pos) AS DOUBLE) * sum(neg), 0.0)"),
+            6,
+        ).alias("auc"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+    )
+    # per is one row per group, consumed twice (rows + span rollup) —
+    # checkpoint so the corpus scans once
+    per = per.localCheckpoint(eager=True)
+    span = per.agg(
+        (F.max("auc") - F.min("auc")).alias("auc_gap")
+    )
+    return per.crossJoin(F.broadcast(span)).select(
+        F.col("grp").alias(group_col), "auc", "n_pos", "n_neg", "auc_gap"
     )

@@ -1212,3 +1212,69 @@ def test_quantile_normalize_unequal_groups_ceil_convention(spark):
     }
     # pooled sorted: 0,1,2,3,5,7 -> rank3 = 2.0, rank6 = 7.0
     assert out[1] == 2.0 and out[2] == 7.0
+
+
+def test_auc_by_group_matches_global_and_detects_gap(spark):
+    from pdf_to_vectordb_etl_spark.operators.evaluation import (
+        auc_by_group,
+        binned_auc,
+    )
+
+    rows = (
+        # group 'good': score perfectly separates labels -> AUC 1.0
+        [(float(100 + i), True, "good") for i in range(20)]
+        + [(float(i), False, "good") for i in range(20)]
+        # group 'coin': IDENTICAL score multisets per label -> 0.5
+        + [(float((i // 2) % 50), i % 2 == 0, "coin") for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, "s double, y boolean, grp string")
+    out = {
+        r.grp: r
+        for r in auc_by_group(
+            df, "s", F.col("y"), "grp", n_bins=200, lo=0.0, hi=200.0
+        ).collect()
+    }
+    assert out["good"].auc == 1.0
+    assert abs(out["coin"].auc - 0.5) < 0.02
+    assert all(
+        abs(r.auc_gap - (out["good"].auc - out["coin"].auc)) < 1e-9
+        for r in out.values()
+    )
+    # a single group's slice equals the global binned_auc on that slice
+    solo = df.filter(F.col("grp") == "coin")
+    g = binned_auc(solo, "s", F.col("y"), n_bins=200, lo=0.0, hi=200.0)
+    assert out["coin"].auc == g.first()["auc"]
+
+
+def test_auc_by_group_single_class_slice_is_null(spark):
+    from pdf_to_vectordb_etl_spark.operators.evaluation import auc_by_group
+
+    df = spark.createDataFrame(
+        [(1.0, True, "onlypos"), (2.0, True, "onlypos"),
+         (1.0, True, "mixed"), (2.0, False, "mixed")],
+        "s double, y boolean, grp string",
+    )
+    out = {
+        r.grp: r for r in auc_by_group(df, "s", F.col("y"), "grp").collect()
+    }
+    assert out["onlypos"].auc is None
+    assert out["mixed"].auc is not None
+    # the gap ignores NULL slices: max - min over the one defined AUC
+    assert out["mixed"].auc_gap == 0.0
+
+
+def test_source_health_report_composition_integrity(spark, sf_dir):
+    """One row per source; every component column present and
+    consistent with its standalone operator on the same data."""
+    import __spark_entry__ as entry
+
+    health = entry.queries()["source_health_report"](spark, sf_dir)
+    rows = {r.source: r for r in health.collect()}
+    ld = {
+        r.source: r
+        for r in entry.queries()["lexical_diversity"](spark, sf_dir).collect()
+    }
+    assert set(rows) == set(ld)
+    for s, r in rows.items():
+        assert r.n_docs == ld[s].n_docs and r.ttr_q6 == ld[s].ttr_q6
+        assert r.sel_rate_q6 is not None and r.auc_gap is not None
