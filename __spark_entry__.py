@@ -9131,6 +9131,20 @@ def q_t39_stream_auc_by_source(spark, sf):
     return auc_by_group_from_cells(snap, "source")
 
 
+def q_cohen_d(spark, sf):
+    """Cohen's d / Hedges' g standardized effect size of purchase vs
+    view event values — the magnitude companion of welch_t. Exact
+    1e-2-lattice integer moments; the double formula's op order is
+    mirrored verbatim in the oracle (same ints -> same IEEE -> same
+    floor)."""
+    from pdf_to_vectordb_etl_spark.operators.evaluation import (
+        cohen_d_effect,
+    )
+
+    ev = _t(spark, sf, "events")
+    return cohen_d_effect(ev, "event_type", "value", "purchase", "view")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -9492,6 +9506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t38_stream_fairness": q_t38_stream_fairness,
         "auc_by_source": q_auc_by_source,
         "source_health_report": q_source_health_report,
+        "cohen_d_effect": q_cohen_d,
         "t39_stream_auc_by_source": q_t39_stream_auc_by_source,
         "attribution_touch": q_attribution_touch,
         "benford_law": q_benford_law,
@@ -18873,4 +18888,56 @@ def oracle_sql() -> dict[str, str]:
     # T39's (group, bin) histogram snapshot == the batch cells, same
     # finale — batch SQL is the parity oracle
     d["t39_stream_auc_by_source"] = d["auc_by_source"]
+    # Cohen's d / Hedges' g: exact lattice moments; the double formula
+    # mirrors the Spark op order token for token
+    d["cohen_d_effect"] = r"""
+        WITH base AS (
+          SELECT event_type AS g2,
+                 CAST(floor(value * 100) AS BIGINT) AS q
+          FROM events
+          WHERE value IS NOT NULL
+            AND event_type IN ('purchase', 'view')),
+        agg AS (
+          SELECT
+            CAST(coalesce(sum(CASE WHEN g2 = 'purchase' THEN 1
+                               ELSE 0 END), 0) AS BIGINT) AS n_a,
+            CAST(coalesce(sum(CASE WHEN g2 = 'view' THEN 1
+                               ELSE 0 END), 0) AS BIGINT) AS n_b,
+            coalesce(sum(CASE WHEN g2 = 'purchase'
+                          THEN CAST(q AS HUGEINT) END), 0) AS s1a,
+            coalesce(sum(CASE WHEN g2 = 'view'
+                          THEN CAST(q AS HUGEINT) END), 0) AS s1b,
+            coalesce(sum(CASE WHEN g2 = 'purchase'
+                          THEN CAST(q AS HUGEINT) * q END), 0) AS s2a,
+            coalesce(sum(CASE WHEN g2 = 'view'
+                          THEN CAST(q AS HUGEINT) * q END), 0) AS s2b
+          FROM base)
+        SELECT n_a, n_b,
+               CASE WHEN n_a > 0 THEN floor(CAST(s1a AS DOUBLE)
+                 / (n_a * 100.0) * 1e6) / 1e6 END AS mean_a_q6,
+               CASE WHEN n_b > 0 THEN floor(CAST(s1b AS DOUBLE)
+                 / (n_b * 100.0) * 1e6) / 1e6 END AS mean_b_q6,
+               CASE WHEN n_a >= 2 AND n_b >= 2 AND
+                 (CAST(n_a * s2a - s1a * s1a AS DOUBLE) / n_a
+                  + CAST(n_b * s2b - s1b * s1b AS DOUBLE) / n_b)
+                 / (n_a + n_b - 2) > 0 THEN
+                 floor((CAST(s1a AS DOUBLE) / n_a
+                        - CAST(s1b AS DOUBLE) / n_b)
+                  / sqrt((CAST(n_a * s2a - s1a * s1a AS DOUBLE) / n_a
+                          + CAST(n_b * s2b - s1b * s1b AS DOUBLE) / n_b)
+                         / (n_a + n_b - 2)) * 1e4) / 1e4
+               END AS cohen_d_q4,
+               CASE WHEN n_a >= 2 AND n_b >= 2 AND
+                 (CAST(n_a * s2a - s1a * s1a AS DOUBLE) / n_a
+                  + CAST(n_b * s2b - s1b * s1b AS DOUBLE) / n_b)
+                 / (n_a + n_b - 2) > 0 THEN
+                 floor((CAST(s1a AS DOUBLE) / n_a
+                        - CAST(s1b AS DOUBLE) / n_b)
+                  / sqrt((CAST(n_a * s2a - s1a * s1a AS DOUBLE) / n_a
+                          + CAST(n_b * s2b - s1b * s1b AS DOUBLE) / n_b)
+                         / (n_a + n_b - 2))
+                  * (1.0 - 3.0 / (4.0 * (n_a + n_b) - 9.0)) * 1e4) / 1e4
+               END AS hedges_g_q4
+        FROM agg
+    """
     return d

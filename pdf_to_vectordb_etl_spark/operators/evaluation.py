@@ -3185,3 +3185,104 @@ def auc_by_group_from_cells(
     return per.crossJoin(F.broadcast(span)).select(
         F.col("grp").alias(group_col), "auc", "n_pos", "n_neg", "auc_gap"
     )
+
+
+def cohen_d_effect(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    grid: int = 100,
+) -> DataFrame:
+    """Cohen's d and Hedges' g standardized effect sizes between two
+    arms (Cohen 1988 / Hedges 1981, public) — the magnitude readout
+    that belongs next to welch_ttest's significance: a p-value says a
+    difference exists, d says whether anyone should care.
+
+    Exactness: values floor onto the 1/``grid`` integer lattice once
+    (the anova convention), every moment is then an exact integer sum
+    (DECIMAL(38,0) squares), and the pooled-variance formula runs in
+    doubles over those exact integers with an op order written
+    IDENTICALLY in the oracle — same inputs, same IEEE sequence, same
+    double, so the final floor cannot split (sqrt is correctly rounded
+    everywhere; floor() — unlike integer division — agrees across
+    engines on negatives). Finals floored at q4 (d, g) / q6 (means).
+
+    Envelope: n * sum(q^2) exact in DECIMAL; the decimal->double
+    conversions round-to-nearest identically in both engines.
+
+    Returns one row: (n_a, n_b, mean_a_q6, mean_b_q6, cohen_d_q4,
+    hedges_g_q4) — NULL effect sizes when either arm has < 2 rows or
+    the pooled variance is 0."""
+    g = F.col(group_col)
+    q = F.floor(F.col(value_col).cast("double") * grid).cast("long")
+    base = df.filter(
+        F.col(value_col).isNotNull() & g.isin([group_a, group_b])
+    ).select(g.alias("g2"), q.alias("q"))
+    d1 = F.lit(1).cast("decimal(38,0)")
+    agg = base.agg(
+        # coalesce: an empty frame (neither arm present) sums to NULL
+        # in Spark; the oracle reads 0
+        F.coalesce(
+            F.sum(F.when(F.col("g2") == group_a, 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_a"),
+        F.coalesce(
+            F.sum(F.when(F.col("g2") == group_b, 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_b"),
+        F.coalesce(
+            F.sum(F.when(F.col("g2") == group_a, F.col("q") * d1)),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("s1a"),
+        F.coalesce(
+            F.sum(F.when(F.col("g2") == group_b, F.col("q") * d1)),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("s1b"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("g2") == group_a, F.col("q") * d1 * F.col("q"))
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("s2a"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("g2") == group_b, F.col("q") * d1 * F.col("q"))
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("s2b"),
+    )
+    return agg.selectExpr(
+        "n_a",
+        "n_b",
+        f"CASE WHEN n_a > 0 THEN floor(CAST(s1a AS DOUBLE)"
+        f" / (n_a * {float(grid)}) * 1e6) / 1e6 END AS mean_a_q6",
+        f"CASE WHEN n_b > 0 THEN floor(CAST(s1b AS DOUBLE)"
+        f" / (n_b * {float(grid)}) * 1e6) / 1e6 END AS mean_b_q6",
+        # pooled sd in q units (grid cancels in d); op order mirrored
+        # verbatim in the oracle
+        "CASE WHEN n_a >= 2 AND n_b >= 2 AND"
+        " (CAST(n_a * s2a - s1a * s1a AS DOUBLE) / n_a"
+        "  + CAST(n_b * s2b - s1b * s1b AS DOUBLE) / n_b)"
+        " / (n_a + n_b - 2) > 0 THEN"
+        " floor((CAST(s1a AS DOUBLE) / n_a - CAST(s1b AS DOUBLE) / n_b)"
+        "  / sqrt((CAST(n_a * s2a - s1a * s1a AS DOUBLE) / n_a"
+        "          + CAST(n_b * s2b - s1b * s1b AS DOUBLE) / n_b)"
+        "         / (n_a + n_b - 2)) * 1e4) / 1e4"
+        " END AS cohen_d_q4",
+        "CASE WHEN n_a >= 2 AND n_b >= 2 AND"
+        " (CAST(n_a * s2a - s1a * s1a AS DOUBLE) / n_a"
+        "  + CAST(n_b * s2b - s1b * s1b AS DOUBLE) / n_b)"
+        " / (n_a + n_b - 2) > 0 THEN"
+        " floor((CAST(s1a AS DOUBLE) / n_a - CAST(s1b AS DOUBLE) / n_b)"
+        "  / sqrt((CAST(n_a * s2a - s1a * s1a AS DOUBLE) / n_a"
+        "          + CAST(n_b * s2b - s1b * s1b AS DOUBLE) / n_b)"
+        "         / (n_a + n_b - 2))"
+        "  * (1.0 - 3.0 / (4.0 * (n_a + n_b) - 9.0)) * 1e4) / 1e4"
+        " END AS hedges_g_q4",
+    )

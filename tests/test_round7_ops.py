@@ -1278,3 +1278,38 @@ def test_source_health_report_composition_integrity(spark, sf_dir):
     for s, r in rows.items():
         assert r.n_docs == ld[s].n_docs and r.ttr_q6 == ld[s].ttr_q6
         assert r.sel_rate_q6 is not None and r.auc_gap is not None
+
+
+def test_cohen_d_matches_direct_formula(spark):
+    """Two arms with known moments: d and g replayed in plain Python
+    from the same 1e-2 lattice; a zero-variance pair is NULL-guarded."""
+    import math
+
+    a_vals = [1.0, 2.0, 3.0, 4.0]
+    b_vals = [2.5, 3.5, 4.5]
+    rows = [("a", v) for v in a_vals] + [("b", v) for v in b_vals]
+    df = spark.createDataFrame(rows, "arm string, v double")
+    from pdf_to_vectordb_etl_spark.operators.evaluation import (
+        cohen_d_effect,
+    )
+
+    out = cohen_d_effect(df, "arm", "v", "a", "b").first()
+    qa = [math.floor(v * 100) for v in a_vals]
+    qb = [math.floor(v * 100) for v in b_vals]
+    na, nb = len(qa), len(qb)
+    nva = na * sum(x * x for x in qa) - sum(qa) ** 2
+    nvb = nb * sum(x * x for x in qb) - sum(qb) ** 2
+    s2p = (nva / na + nvb / nb) / (na + nb - 2)
+    d = (sum(qa) / na - sum(qb) / nb) / math.sqrt(s2p)
+    g = d * (1.0 - 3.0 / (4.0 * (na + nb) - 9.0))
+    assert out.n_a == 4 and out.n_b == 3
+    assert out.mean_a_q6 == 2.5 and out.mean_b_q6 == 3.5
+    assert out.cohen_d_q4 == math.floor(d * 1e4) / 1e4
+    assert out.hedges_g_q4 == math.floor(g * 1e4) / 1e4
+    assert abs(g) < abs(d)  # the small-sample correction shrinks
+
+    const = spark.createDataFrame(
+        [("a", 1.0)] * 3 + [("b", 1.0)] * 3, "arm string, v double"
+    )
+    z = cohen_d_effect(const, "arm", "v", "a", "b").first()
+    assert z.cohen_d_q4 is None and z.hedges_g_q4 is None
