@@ -9145,6 +9145,43 @@ def q_cohen_d(spark, sf):
     return cohen_d_effect(ev, "event_type", "value", "purchase", "view")
 
 
+def q_wasserstein_drift(spark, sf):
+    """Empirical Wasserstein-1 between purchase and view value
+    distributions — earth-mover drift in value units (KS gives the
+    sup gap, MMD a kernel score, W1 the transport cost). Exact micro
+    integer |diff| sums over the quantile coupling."""
+    from pdf_to_vectordb_etl_spark.operators.evaluation import (
+        wasserstein_1d,
+    )
+
+    ev = _t(spark, sf, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    base = ev.withColumn("in_b", F.col("event_type") == "purchase")
+    return wasserstein_1d(base, "in_b", "value", "event_id")
+
+
+def q_did_value(spark, sf):
+    """Difference-in-differences of event value: treated = even users,
+    post = second half of the observed time range (cutoff = lo +
+    (hi-lo) div 2 in exact nanos). Four exact micro cell sums, one
+    mirrored double combination."""
+    from pdf_to_vectordb_etl_spark.operators.evaluation import (
+        did_estimator,
+    )
+
+    ev = _t(spark, sf, "events").filter(F.col("value").isNotNull())
+    bounds = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    )
+    flagged = ev.crossJoin(F.broadcast(bounds)).select(
+        (F.col("user_id") % 2 == 0).alias("treated"),
+        F.expr("ts >= lo + (hi - lo) div 2").alias("post"),
+        "value",
+    )
+    return did_estimator(flagged, "treated", "post", "value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -9507,6 +9544,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auc_by_source": q_auc_by_source,
         "source_health_report": q_source_health_report,
         "cohen_d_effect": q_cohen_d,
+        "wasserstein_drift": q_wasserstein_drift,
+        "did_value": q_did_value,
         "t39_stream_auc_by_source": q_t39_stream_auc_by_source,
         "attribution_touch": q_attribution_touch,
         "benford_law": q_benford_law,
@@ -18888,6 +18927,106 @@ def oracle_sql() -> dict[str, str]:
     # T39's (group, bin) histogram snapshot == the batch cells, same
     # finale — batch SQL is the parity oracle
     d["t39_stream_auc_by_source"] = d["auc_by_source"]
+    # W1: quantile coupling at m = min(n) points, exact micro |diff|
+    # sums, one nonneg floor-div
+    d["wasserstein_drift"] = r"""
+        WITH base AS (
+          SELECT (event_type = 'purchase') AS in_b, event_id AS id,
+                 CAST(floor(value * 1000000) AS BIGINT) AS q
+          FROM events
+          WHERE event_type IN ('purchase', 'view')
+            AND value IS NOT NULL),
+        r AS (
+          SELECT in_b, q,
+                 CAST(row_number() OVER (
+                   PARTITION BY in_b ORDER BY q, id) AS BIGINT) AS rank
+          FROM base),
+        counts AS (
+          SELECT CAST(coalesce(sum(CASE WHEN NOT in_b THEN 1 END), 0)
+                      AS BIGINT) AS n_a,
+                 CAST(coalesce(sum(CASE WHEN in_b THEN 1 END), 0)
+                      AS BIGINT) AS n_b
+          FROM base),
+        small AS (
+          SELECT rank AS j, q AS q_small, least(n_a, n_b) AS m,
+                 greatest(n_a, n_b) AS n_large
+          FROM r, counts
+          WHERE CASE WHEN n_a <= n_b THEN NOT in_b ELSE in_b END),
+        big AS (
+          SELECT rank AS target, q AS q_large
+          FROM r, counts
+          WHERE CASE WHEN n_a <= n_b THEN in_b ELSE NOT in_b END),
+        coupled AS (
+          SELECT q_small, q_large FROM (
+            SELECT q_small,
+                   (CAST(j AS HUGEINT) * n_large + m - 1) // m AS target
+            FROM small) s
+          JOIN big USING (target)),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS m_points,
+                 coalesce(sum(CAST(abs(q_small - q_large) AS HUGEINT)),
+                          0) AS sum_abs
+          FROM coupled)
+        SELECT n_a, n_b, m_points,
+               CASE WHEN m_points > 0 THEN
+                 CAST(sum_abs // m_points AS BIGINT) / 1e6
+               END AS w1_q6
+        FROM agg, counts
+    """
+    # DiD: four exact micro cells; treated coalesced to FALSE on NULL
+    # user ids (matching the operator); means combined in the mirrored
+    # double op order
+    d["did_value"] = r"""
+        WITH base AS (
+          SELECT coalesce(user_id % 2 = 0, FALSE) AS t,
+                 CAST(epoch_ns(ts) AS BIGINT) AS tn,
+                 CAST(floor(value * 1000000) AS BIGINT) AS r
+          FROM events WHERE value IS NOT NULL),
+        bounds AS (SELECT min(tn) AS lo, max(tn) AS hi FROM base),
+        flagged AS (
+          SELECT t, coalesce(tn >= lo + (hi - lo) // 2, FALSE) AS p, r
+          FROM base, bounds),
+        agg AS (
+          SELECT
+            CAST(coalesce(sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END),
+                          0) AS BIGINT) AS n_t_pre,
+            CAST(coalesce(sum(CASE WHEN t AND p THEN 1 ELSE 0 END),
+                          0) AS BIGINT) AS n_t_post,
+            CAST(coalesce(sum(CASE WHEN NOT t AND NOT p THEN 1
+                               ELSE 0 END), 0) AS BIGINT) AS n_c_pre,
+            CAST(coalesce(sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END),
+                          0) AS BIGINT) AS n_c_post,
+            coalesce(sum(CASE WHEN t AND NOT p
+                          THEN CAST(r AS HUGEINT) END), 0) AS s_t_pre,
+            coalesce(sum(CASE WHEN t AND p
+                          THEN CAST(r AS HUGEINT) END), 0) AS s_t_post,
+            coalesce(sum(CASE WHEN NOT t AND NOT p
+                          THEN CAST(r AS HUGEINT) END), 0) AS s_c_pre,
+            coalesce(sum(CASE WHEN NOT t AND p
+                          THEN CAST(r AS HUGEINT) END), 0) AS s_c_post
+          FROM flagged)
+        SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+               CASE WHEN n_t_pre > 0 THEN
+                 floor(CAST(s_t_pre AS DOUBLE) / n_t_pre) / 1e6
+               END AS mean_t_pre_q6,
+               CASE WHEN n_t_post > 0 THEN
+                 floor(CAST(s_t_post AS DOUBLE) / n_t_post) / 1e6
+               END AS mean_t_post_q6,
+               CASE WHEN n_c_pre > 0 THEN
+                 floor(CAST(s_c_pre AS DOUBLE) / n_c_pre) / 1e6
+               END AS mean_c_pre_q6,
+               CASE WHEN n_c_post > 0 THEN
+                 floor(CAST(s_c_post AS DOUBLE) / n_c_post) / 1e6
+               END AS mean_c_post_q6,
+               CASE WHEN n_t_pre > 0 AND n_t_post > 0 AND n_c_pre > 0
+                     AND n_c_post > 0 THEN
+                 floor((CAST(s_t_post AS DOUBLE) / n_t_post
+                        - CAST(s_t_pre AS DOUBLE) / n_t_pre)
+                       - (CAST(s_c_post AS DOUBLE) / n_c_post
+                          - CAST(s_c_pre AS DOUBLE) / n_c_pre)) / 1e6
+               END AS did_q6
+        FROM agg
+    """
     # Cohen's d / Hedges' g: exact lattice moments; the double formula
     # mirrors the Spark op order token for token
     d["cohen_d_effect"] = r"""

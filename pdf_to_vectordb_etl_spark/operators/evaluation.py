@@ -3286,3 +3286,171 @@ def cohen_d_effect(
         "  * (1.0 - 3.0 / (4.0 * (n_a + n_b) - 9.0)) * 1e4) / 1e4"
         " END AS hedges_g_q4",
     )
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    split_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Empirical 1-D Wasserstein-1 (earth-mover) distance between two
+    cohorts' value distributions (Villani 2003 / the standard
+    quantile-coupling identity W1 = ∫|F_A^{-1} - F_B^{-1}|, public) —
+    the drift metric that reports HOW FAR apart two distributions sit
+    in value units, where KS reports only the sup gap and MMD a kernel
+    score.
+
+    Estimator: quantile-grid coupling at m = min(n_A, n_B) points —
+    the smaller cohort's j-th order statistic pairs with the larger
+    cohort's ceil(j * n_L / m)-th (exact integer target ranks, the
+    quantile_normalize convention). Values quantize to the micro
+    lattice once; the distance is then ONE exact integer |diff| sum
+    and one nonneg floor-division. Ranks via global_row_number +
+    per-cohort offsets (the mmd recipe); the coupling join is a
+    rank equi-join.
+
+    Returns one row: (n_a, n_b, m_points, w1_q6) in value units;
+    NULL when either cohort is empty."""
+    from pdf_to_vectordb_etl_spark.operators.suffixes import (
+        global_row_number,
+    )
+
+    base = df.select(
+        F.col(split_col).cast("boolean").alias("in_b"),
+        F.col(id_col).alias("id"),
+        F.floor(F.col(value_col).cast("double") * 1000000)
+        .cast("long")
+        .alias("q"),
+    ).filter(F.col("in_b").isNotNull() & F.col("q").isNotNull())
+    ranked = global_row_number(base, ["in_b", "q", "id"], "grn")
+    offs = ranked.groupBy("in_b").agg(
+        F.min("grn").alias("rn0"),
+        F.count(F.lit(1)).cast("long").alias("nn"),
+    )
+    r = ranked.join(F.broadcast(offs), "in_b").select(
+        "in_b", "q", (F.col("grn") - F.col("rn0") + 1).alias("rank")
+    )
+    counts = offs.agg(
+        F.coalesce(F.sum(F.when(~F.col("in_b"), F.col("nn"))), F.lit(0))
+        .cast("long")
+        .alias("n_a"),
+        F.coalesce(F.sum(F.when(F.col("in_b"), F.col("nn"))), F.lit(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    # smaller cohort drives the grid: j = its rank, target rank in the
+    # larger = ceil(j * n_large / m)
+    with_counts = r.crossJoin(F.broadcast(counts))
+    small = with_counts.filter(
+        F.when(F.col("n_a") <= F.col("n_b"), ~F.col("in_b")).otherwise(
+            F.col("in_b")
+        )
+    ).select(
+        F.col("rank").alias("j"),
+        F.col("q").alias("q_small"),
+        F.least(F.col("n_a"), F.col("n_b")).alias("m"),
+        F.greatest(F.col("n_a"), F.col("n_b")).alias("n_large"),
+    )
+    large = with_counts.filter(
+        F.when(F.col("n_a") <= F.col("n_b"), F.col("in_b")).otherwise(
+            ~F.col("in_b")
+        )
+    ).select(F.col("rank").alias("target"), F.col("q").alias("q_large"))
+    coupled = small.withColumn(
+        "target",
+        F.expr(
+            "(CAST(j AS DECIMAL(38,0)) * n_large + m - 1) div m"
+        ),
+    ).join(large, "target")
+    agg = coupled.agg(
+        F.count(F.lit(1)).cast("long").alias("m_points"),
+        F.coalesce(
+            F.sum(
+                F.abs(F.col("q_small") - F.col("q_large")).cast(
+                    "decimal(38,0)"
+                )
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("sum_abs"),
+    )
+    return agg.crossJoin(F.broadcast(counts)).selectExpr(
+        "n_a",
+        "n_b",
+        "m_points",
+        "CASE WHEN m_points > 0 THEN"
+        " CAST(sum_abs div m_points AS BIGINT) / 1e6 END AS w1_q6",
+    )
+
+
+def did_estimator(
+    df: DataFrame,
+    treated_col: str,
+    post_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Two-by-two difference-in-differences (Card-Krueger 1994 design,
+    public): did = (treated_post - treated_pre) - (control_post -
+    control_pre) over boolean treatment/period flags — the workhorse
+    readout for 'did the pipeline change we shipped to half the
+    corpus actually move the metric beyond the secular trend'.
+
+    Outcomes floor to the micro lattice once; the four cell means are
+    exact integer sums with ONE double division each, combined in an
+    op order mirrored token-for-token in the oracle; finals floored
+    q6. NULL when any of the four cells is empty (the design is
+    undefined). One partial-combinable aggregate."""
+    t = F.coalesce(F.col(treated_col).cast("boolean"), F.lit(False))
+    p = F.coalesce(F.col(post_col).cast("boolean"), F.lit(False))
+    base = df.select(
+        t.alias("t"),
+        p.alias("p"),
+        F.floor(F.col(outcome_col).cast("double") * 1000000)
+        .cast("long")
+        .alias("r"),
+    ).filter(F.col("r").isNotNull())
+    d1 = F.lit(1).cast("decimal(38,0)")
+
+    def cell(tt: bool, pp: bool, what: str):
+        cond = (F.col("t") == tt) & (F.col("p") == pp)
+        if what == "n":
+            return F.coalesce(
+                F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)
+            ).cast("long")
+        return F.coalesce(
+            F.sum(F.when(cond, F.col("r") * d1)),
+            F.lit(0).cast("decimal(38,0)"),
+        )
+
+    agg = base.agg(
+        cell(True, False, "n").alias("n_t_pre"),
+        cell(True, True, "n").alias("n_t_post"),
+        cell(False, False, "n").alias("n_c_pre"),
+        cell(False, True, "n").alias("n_c_post"),
+        cell(True, False, "s").alias("s_t_pre"),
+        cell(True, True, "s").alias("s_t_post"),
+        cell(False, False, "s").alias("s_c_pre"),
+        cell(False, True, "s").alias("s_c_post"),
+    )
+    mean = (
+        lambda s, n: f"CAST({s} AS DOUBLE) / {n}"
+    )  # micro units; op order mirrored in the oracle
+    guard = "n_t_pre > 0 AND n_t_post > 0 AND n_c_pre > 0 AND n_c_post > 0"
+    return agg.selectExpr(
+        "n_t_pre",
+        "n_t_post",
+        "n_c_pre",
+        "n_c_post",
+        f"CASE WHEN n_t_pre > 0 THEN floor({mean('s_t_pre', 'n_t_pre')})"
+        " / 1e6 END AS mean_t_pre_q6",
+        f"CASE WHEN n_t_post > 0 THEN floor({mean('s_t_post', 'n_t_post')})"
+        " / 1e6 END AS mean_t_post_q6",
+        f"CASE WHEN n_c_pre > 0 THEN floor({mean('s_c_pre', 'n_c_pre')})"
+        " / 1e6 END AS mean_c_pre_q6",
+        f"CASE WHEN n_c_post > 0 THEN floor({mean('s_c_post', 'n_c_post')})"
+        " / 1e6 END AS mean_c_post_q6",
+        f"CASE WHEN {guard} THEN floor("
+        f" (({mean('s_t_post', 'n_t_post')}) - ({mean('s_t_pre', 'n_t_pre')}))"
+        f" - (({mean('s_c_post', 'n_c_post')}) - ({mean('s_c_pre', 'n_c_pre')}))"
+        ") / 1e6 END AS did_q6",
+    )

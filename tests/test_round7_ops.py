@@ -1313,3 +1313,70 @@ def test_cohen_d_matches_direct_formula(spark):
     )
     z = cohen_d_effect(const, "arm", "v", "a", "b").first()
     assert z.cohen_d_q4 is None and z.hedges_g_q4 is None
+
+
+def test_wasserstein_1d_known_distances(spark):
+    """Equal-size cohorts: W1 equals the mean |order-statistic diff|;
+    a pure location shift of delta gives W1 = delta exactly."""
+    from pdf_to_vectordb_etl_spark.operators.evaluation import (
+        wasserstein_1d,
+    )
+
+    a = [1.0, 2.0, 3.0, 4.0]
+    b = [v + 2.5 for v in a]
+    rows = [(i, v, False) for i, v in enumerate(a)] + [
+        (100 + i, v, True) for i, v in enumerate(b)
+    ]
+    df = spark.createDataFrame(rows, "id long, v double, in_b boolean")
+    out = wasserstein_1d(df, "in_b", "v", "id").first()
+    assert out.m_points == 4
+    assert out.w1_q6 == 2.5
+
+    # identical cohorts -> 0
+    same = spark.createDataFrame(
+        [(i, float(i % 5), i >= 50) for i in range(100)],
+        "id long, v double, in_b boolean",
+    )
+    z = wasserstein_1d(same, "in_b", "v", "id").first()
+    assert z.w1_q6 == 0.0
+
+
+def test_wasserstein_unequal_sizes_quantile_coupling(spark):
+    """n_small = 2, n_large = 4: j = 1, 2 couple with large ranks
+    ceil(j*4/2) = 2, 4 — pin the exact coupling convention."""
+    from pdf_to_vectordb_etl_spark.operators.evaluation import (
+        wasserstein_1d,
+    )
+
+    rows = [(1, 10.0, False), (2, 20.0, False)] + [
+        (10, 1.0, True), (11, 2.0, True), (12, 3.0, True), (13, 4.0, True)
+    ]
+    df = spark.createDataFrame(rows, "id long, v double, in_b boolean")
+    out = wasserstein_1d(df, "in_b", "v", "id").first()
+    # couples: (10, large-rank2=2.0), (20, large-rank4=4.0)
+    assert out.m_points == 2
+    assert out.w1_q6 == ((10.0 - 2.0) + (20.0 - 4.0)) / 2
+
+
+def test_did_estimator_recovers_planted_effect(spark):
+    """Planted parallel-trends world: control drifts +1.0 post,
+    treated drifts +1.0 AND gains +3.0 treatment effect -> did = 3."""
+    from pdf_to_vectordb_etl_spark.operators.evaluation import (
+        did_estimator,
+    )
+
+    rows = (
+        [(False, False, 10.0)] * 5
+        + [(False, True, 11.0)] * 5
+        + [(True, False, 20.0)] * 5
+        + [(True, True, 24.0)] * 5
+    )
+    df = spark.createDataFrame(rows, "t boolean, p boolean, v double")
+    out = did_estimator(df, "t", "p", "v").first()
+    assert out.did_q6 == 3.0
+    assert out.mean_t_post_q6 == 24.0 and out.mean_c_pre_q6 == 10.0
+
+    # an empty cell leaves the design undefined
+    part = df.filter(~(F.col("t") & F.col("p")))
+    u = did_estimator(part, "t", "p", "v").first()
+    assert u.did_q6 is None
