@@ -573,3 +573,131 @@ def test_fdr_bh_prefix_and_alpha_monotone(spark, ps, alpha):
     # monotone in alpha: a looser alpha never rejects fewer
     more = fdr_bh(df, "p", "key", min(1.0, alpha * 2)).collect()
     assert sum(r["rejected"] for r in more) >= sum(flags)
+
+
+@given(
+    ratings=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 3)),
+        min_size=2,
+        max_size=40,
+    )
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_krippendorff_alpha_matches_fractions_replay(spark, ratings):
+    """Arbitrary (item, category) rating tables: the pico-grid alpha
+    sits within 2 grid ulps of the exact Fractions value, and the
+    perfect-agreement transform of the same table gives alpha = 1."""
+    from fractions import Fraction
+
+    from pdf_to_vectordb_etl_spark.operators.evaluation import (
+        krippendorff_alpha,
+    )
+
+    df = spark.createDataFrame(ratings, "item int, cat int")
+    out = krippendorff_alpha(df, "item", "cat").first()
+
+    per_item: dict[int, list[int]] = {}
+    for i, c in ratings:
+        per_item.setdefault(i, []).append(c)
+    kept = {i: cs for i, cs in per_item.items() if len(cs) >= 2}
+    n = sum(len(cs) for cs in kept.values())
+    if not kept:
+        assert out.alpha_q6 is None
+        return
+    do_sum = Fraction(0)
+    for cs in kept.values():
+        ni = len(cs)
+        si = sum(cs.count(c) ** 2 for c in set(cs))
+        do_sum += Fraction(ni * ni - si, ni - 1)
+    nc: dict[int, int] = {}
+    for cs in kept.values():
+        for c in cs:
+            nc[c] = nc.get(c, 0) + 1
+    e_sum = sum(v * (n - v) for v in nc.values())
+    if e_sum == 0:
+        assert out.alpha_q6 is None
+        return
+    alpha = 1 - Fraction(n - 1) * do_sum / e_sum
+    assert abs(out.alpha_q6 - float(alpha)) < 2e-6
+
+    # collapse every rating of an item to one category -> alpha == 1
+    uni = spark.createDataFrame(
+        [(i, 0) for i, _ in ratings], "item int, cat int"
+    )
+    u = krippendorff_alpha(uni, "item", "cat").first()
+    assert u.alpha_q6 is None or u.alpha_q6 == 1.0  # single category: D_e=0
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.floats(-50, 50, allow_nan=False, width=32),
+            st.booleans(),
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_quantile_normalize_invariants(spark, vals):
+    """Any grouped value table: normalized values are drawn from the
+    pooled value set, within-group order is preserved, and row count
+    is conserved."""
+    from pdf_to_vectordb_etl_spark.operators.aggregates import (
+        quantile_normalize,
+    )
+
+    rows = [(i, "g1" if b else "g0", float(v)) for i, (v, b) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    out = quantile_normalize(df, "v", "grp", "id").collect()
+    assert len(out) == len(rows)
+    pooled = {v for _, _, v in rows}
+    assert {r.norm_value for r in out} <= pooled
+    by_g: dict[str, list] = {}
+    for r in out:
+        by_g.setdefault(r.grp, []).append(r)
+    for rs in by_g.values():
+        rs = sorted(rs, key=lambda r: (r.v, r.id))
+        norms = [r.norm_value for r in rs]
+        assert norms == sorted(norms)
+
+
+@given(
+    a=st.lists(st.floats(-100, 100, allow_nan=False, width=32),
+               min_size=1, max_size=25),
+    b=st.lists(st.floats(-100, 100, allow_nan=False, width=32),
+               min_size=1, max_size=25),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_wasserstein_1d_metric_properties(spark, a, b):
+    """W1 is nonnegative, zero on identical cohorts, symmetric under
+    cohort swap (the coupling grid depends only on sizes), and for
+    equal sizes equals the scipy-free mean |order-stat diff|."""
+    import math
+
+    from pdf_to_vectordb_etl_spark.operators.evaluation import (
+        wasserstein_1d,
+    )
+
+    rows = [(i, float(v), False) for i, v in enumerate(a)] + [
+        (1000 + i, float(v), True) for i, v in enumerate(b)
+    ]
+    df = spark.createDataFrame(rows, "id long, v double, in_b boolean")
+    w = wasserstein_1d(df, "in_b", "v", "id").first()
+    assert w.w1_q6 >= 0.0
+
+    swapped = df.withColumn("in_b", ~F.col("in_b"))
+    w2 = wasserstein_1d(swapped, "in_b", "v", "id").first()
+    assert w.w1_q6 == w2.w1_q6
+
+    if len(a) == len(b):
+        qa = sorted(math.floor(v * 1e6) for v in a)
+        qb = sorted(math.floor(v * 1e6) for v in b)
+        want = sum(abs(x - y) for x, y in zip(qa, qb)) // len(a)
+        assert w.w1_q6 == want / 1e6
