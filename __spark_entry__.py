@@ -8836,7 +8836,11 @@ def q_t36_stream_offpolicy(spark, sf):
         .parquet(sf)
         .select(
             F.col("event_type").alias("a"),
-            F.floor(F.col("value").cast("double") * 1000000)
+            # NaN-guard matches offpolicy_ips_snips (NaN rewards drop)
+            F.when(
+                ~F.isnan(F.col("value").cast("double")),
+                F.floor(F.col("value").cast("double") * 1000000),
+            )
             .cast("long")
             .alias("r_micro"),
         )
@@ -9103,7 +9107,9 @@ def q_t39_stream_auc_by_source(spark, sf):
         ),
         F.lit(199),
     ).cast("int")
-    y = (F.col("lang") == "en").cast("int")
+    # NULL lang counts as negative — same coalesce as auc_by_group /
+    # the oracle's CASE..ELSE 0
+    y = F.coalesce((F.col("lang") == "en").cast("int"), F.lit(0))
     stream = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)
@@ -9170,7 +9176,12 @@ def q_did_value(spark, sf):
         did_estimator,
     )
 
-    ev = _t(spark, sf, "events").filter(F.col("value").isNotNull())
+    # NaN drops HERE too: the time bounds must see the same row set as
+    # the oracle's NaN-filtered base (a NaN-value row holding min/max
+    # ts would otherwise shift the cutoff)
+    ev = _t(spark, sf, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
     bounds = ev.agg(
         F.min("ts").alias("lo"), F.max("ts").alias("hi")
     )
@@ -18581,7 +18592,8 @@ def oracle_sql() -> dict[str, str]:
           SELECT event_type AS a,
                  CAST(floor(value * 1000000) AS BIGINT) AS r_micro
           FROM events
-          WHERE event_type IS NOT NULL AND value IS NOT NULL),
+          WHERE event_type IS NOT NULL AND value IS NOT NULL
+            AND NOT isnan(value)),
         pa AS (
           SELECT a, CAST(count(*) AS BIGINT) AS na,
                  sum(CAST(r_micro AS HUGEINT)) AS sr
@@ -18935,7 +18947,7 @@ def oracle_sql() -> dict[str, str]:
                  CAST(floor(value * 1000000) AS BIGINT) AS q
           FROM events
           WHERE event_type IN ('purchase', 'view')
-            AND value IS NOT NULL),
+            AND value IS NOT NULL AND NOT isnan(value)),
         r AS (
           SELECT in_b, q,
                  CAST(row_number() OVER (
@@ -18981,7 +18993,8 @@ def oracle_sql() -> dict[str, str]:
           SELECT coalesce(user_id % 2 = 0, FALSE) AS t,
                  CAST(epoch_ns(ts) AS BIGINT) AS tn,
                  CAST(floor(value * 1000000) AS BIGINT) AS r
-          FROM events WHERE value IS NOT NULL),
+          FROM events
+          WHERE value IS NOT NULL AND NOT isnan(value)),
         bounds AS (SELECT min(tn) AS lo, max(tn) AS hi FROM base),
         flagged AS (
           SELECT t, coalesce(tn >= lo + (hi - lo) // 2, FALSE) AS p, r
@@ -19034,7 +19047,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT event_type AS g2,
                  CAST(floor(value * 100) AS BIGINT) AS q
           FROM events
-          WHERE value IS NOT NULL
+          WHERE value IS NOT NULL AND NOT isnan(value)
             AND event_type IN ('purchase', 'view')),
         agg AS (
           SELECT

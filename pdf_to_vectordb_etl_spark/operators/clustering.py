@@ -286,9 +286,17 @@ def pca_top_component(
             [], "dim int, loading_q12 double, evr_q6 double"
         )
     d = max(int(r["j"]) for r in cell_rows) + 1
-    # deterministic regardless of collect order (uniform-dim corpora
-    # have every cell at the same n anyway)
+    # the n*G - s_i*s_j covariance identity requires every row to
+    # contribute to every cell — i.e. uniform vector length, no NULL
+    # elements. Ragged input would silently mis-scale the statistic,
+    # so fail loudly instead.
+    n_min = min(int(r["n"]) for r in cell_rows)
     n = max(int(r["n"]) for r in cell_rows)
+    if n_min != n:
+        raise ValueError(
+            "pca_top_component requires uniform-dimension embeddings "
+            f"with no NULL elements: per-cell counts range {n_min}..{n}"
+        )
     C = [[0] * d for _ in range(d)]
     for row in cell_rows:
         i, j, g = int(row["i"]), int(row["j"]), int(row["g"])

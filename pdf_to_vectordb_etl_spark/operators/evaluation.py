@@ -3139,7 +3139,11 @@ def auc_by_group(
         ),
         F.lit(n_bins - 1),
     ).cast("int")
-    y = label_col.cast("int")
+    # NULL labels count as negatives (the fairness_report coalesce
+    # convention) — the oracle's CASE..ELSE 0 does the same; without
+    # this a (group, bin) cell of all-NULL labels yields pos=neg=NULL
+    # and the cumulative-negatives walk silently skips it.
+    y = F.coalesce(label_col.cast("int"), F.lit(0))
     binned = (
         df.filter(F.col(score_col).isNotNull())
         .select(F.col(group_col).alias("grp"), b.alias("bin"), y.alias("y"))
@@ -3216,9 +3220,11 @@ def cohen_d_effect(
     hedges_g_q4) — NULL effect sizes when either arm has < 2 rows or
     the pooled variance is 0."""
     g = F.col(group_col)
-    q = F.floor(F.col(value_col).cast("double") * grid).cast("long")
+    v = F.col(value_col).cast("double")
+    q = F.floor(v * grid).cast("long")
+    # NaN values drop on both engines (see wasserstein_1d note)
     base = df.filter(
-        F.col(value_col).isNotNull() & g.isin([group_a, group_b])
+        F.col(value_col).isNotNull() & ~F.isnan(v) & g.isin([group_a, group_b])
     ).select(g.alias("g2"), q.alias("q"))
     d1 = F.lit(1).cast("decimal(38,0)")
     agg = base.agg(
@@ -3316,10 +3322,14 @@ def wasserstein_1d(
         global_row_number,
     )
 
+    # NaN-guard BEFORE the lattice floor: Spark floor(NaN) is 0 while
+    # the oracle's CAST(floor(NaN) AS BIGINT) errors — NaN rows drop
+    # on both sides instead (the quantile_normalize convention)
+    v = F.col(value_col).cast("double")
     base = df.select(
         F.col(split_col).cast("boolean").alias("in_b"),
         F.col(id_col).alias("id"),
-        F.floor(F.col(value_col).cast("double") * 1000000)
+        F.when(~F.isnan(v), F.floor(v * 1000000))
         .cast("long")
         .alias("q"),
     ).filter(F.col("in_b").isNotNull() & F.col("q").isNotNull())
@@ -3402,10 +3412,12 @@ def did_estimator(
     undefined). One partial-combinable aggregate."""
     t = F.coalesce(F.col(treated_col).cast("boolean"), F.lit(False))
     p = F.coalesce(F.col(post_col).cast("boolean"), F.lit(False))
+    # NaN outcomes drop on both engines (see wasserstein_1d note)
+    v = F.col(outcome_col).cast("double")
     base = df.select(
         t.alias("t"),
         p.alias("p"),
-        F.floor(F.col(outcome_col).cast("double") * 1000000)
+        F.when(~F.isnan(v), F.floor(v * 1000000))
         .cast("long")
         .alias("r"),
     ).filter(F.col("r").isNotNull())

@@ -240,9 +240,13 @@ def offpolicy_ips_snips(
     Returns one row: (n_logs, k_actions, logged_mean_q6, ips_q6,
     snips_q6). Distributed shape: one hash agg to the per-action
     table, one bounded rollup."""
+    # NaN-guard BEFORE the micro floor: Spark floor(NaN) is 0 while the
+    # oracle's CAST(floor(NaN) AS BIGINT) errors — NaN rewards drop on
+    # both sides instead (the quantile_normalize convention)
+    v = F.col(reward_col).cast("double")
     base = df.select(
         F.col(action_col).alias("a"),
-        F.floor(F.col(reward_col).cast("double") * 1000000)
+        F.when(~F.isnan(v), F.floor(v * 1000000))
         .cast("long")
         .alias("r_micro"),
     ).filter(F.col("a").isNotNull() & F.col("r_micro").isNotNull())
