@@ -609,6 +609,25 @@ def _train_merges(
         )
         .localCheckpoint(eager=True)
     )
+    merges, _ = _merge_rounds(vocab, n_merges, likelihood, carry=("freq",))
+    return merges
+
+
+def _merge_rounds(
+    vocab: DataFrame,
+    n_merges: int,
+    likelihood: bool,
+    carry: tuple[str, ...] = ("freq",),
+) -> tuple[list[tuple], DataFrame]:
+    """The greedy merge-round loop over a pre-built vocab table with a
+    ``' sym '`` double-space-wrapped symbol string column ``s`` and a
+    ``freq`` count — shared by the character-level trainers (via
+    :func:`_train_merges`) and the byte-level trainer (hex-pair
+    symbols). ``carry`` columns survive each rewrite so callers can
+    keep the original word key through training. Returns (merges,
+    final_vocab) where final_vocab's ``s`` is the fully-merged
+    segmentation — i.e. the trained tokenizer applied to every vocab
+    word, which is what an encode pass joins back to the corpus."""
     ws = F.split(F.trim(F.col("s")), "  ")
     pairs = F.when(
         F.size(ws) > 1,
@@ -656,12 +675,12 @@ def _train_merges(
         sq = top[0]["score_q12"] if likelihood else None
         merges.append((step, a, b, n, sq))
         vocab = vocab.select(
-            "freq",
+            *carry,
             F.replace(
                 F.col("s"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
             ).alias("s"),
         ).localCheckpoint(eager=True)
-    return merges
+    return merges, vocab
 
 
 def _viterbi_best(occ: DataFrame, pieces: DataFrame, inf: int = 1 << 20) -> DataFrame:
@@ -2004,4 +2023,310 @@ def tokenizer_fertility_by_group(
         "CASE WHEN n_words > 0 THEN"
         " ((CAST(n_oov_words AS DECIMAL(38,0)) * 1000000) div n_words)"
         " / 1e6 END AS oov_rate_q6",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE (GPT-2 / tiktoken-class; Radford et al. 2019, Sennrich
+# et al. 2016 — public algorithms). Beyond-reference: the reference has
+# no tokenizer at all (it chunks on a literal string,
+# qdrant_text_loader.py:66-76); these denominate the engine's token
+# budgets in the tokens real training pipelines plan against.
+# ---------------------------------------------------------------------------
+
+GPT2_CONTRACTIONS = ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")
+
+# Pass-1 pre-token pattern: the GPT-2 alternation MINUS its one
+# lookahead (`\s+(?!\S)` — RE2/DuckDB has no lookahead). Ordered
+# alternation semantics are identical in Java regex and RE2
+# (leftmost-first). Whitespace is the EXPLICIT ASCII class (Java's
+# bare \s is ASCII-only while Python's is Unicode — pinning the class
+# keeps every engine on the same charset).
+GPT2_PRETOKEN_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?\p{L}+"
+    r"| ?\p{N}+"
+    r"| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+"
+    r"|[ \t\n\x0B\f\r]+"
+)
+
+_GPT2_WS_RE = r"^[ \t\n\x0B\f\r]+$"
+
+
+def _bind_array(arr: Column, fn) -> Column:
+    """Bind an array-building expression ONCE as a lambda variable —
+    the single-element-transform trick (see streaming/pipeline.py:707
+    and the repo-wide plan-shape rule): referencing ``arr`` N times in
+    a projection would inline its construction N times under
+    CollapseProject; through this binding it is built exactly once."""
+    return F.element_at(F.transform(F.array(arr), fn), 1)
+
+
+def gpt2_pretokens(text: Column | str) -> Column:
+    """GPT-2 pre-tokenization (Radford et al. 2019's published regex,
+    public) as a native Column expression: contractions, optionally
+    space-prefixed letter/digit/punctuation runs, and whitespace runs
+    that yield their last space to the following token.
+
+    Because RE2 (the DuckDB oracle engine) has no lookahead, the
+    pattern's one lookahead alternative ``\\s+(?!\\S)`` is replaced by
+    a two-pass construction proven equivalent (and pinned by tests
+    against a pure-Python reference): pass 1 extracts with the
+    lookahead-free alternation (a k=1 space attaches to the following
+    run exactly as in GPT-2; a k>=2 whitespace run is taken whole),
+    pass 2 splits each INTERIOR whitespace token — first k-1 chars stay
+    one token, the final char attaches to the next token when it is a
+    literal space (re-splitting ``" '" + tail`` when the next token is
+    a contraction, which the space-attached scan would have produced)
+    and stands alone otherwise. Trailing whitespace stays whole. The
+    result is a partition of the input: concat(tokens) == text, which
+    is what makes byte-level round-trip conservation provable.
+
+    NULL text reads as '' (the repo-wide convention). Plan shape: ONE
+    regexp_extract_all per document bound once via the single-element-
+    transform trick; the surgery is bounded list arithmetic per token.
+    """
+    raw = F.regexp_extract_all(
+        F.coalesce(_c(text), F.lit("")), F.lit(GPT2_PRETOKEN_RE), F.lit(0)
+    )
+
+    def surgery(tk: Column) -> Column:
+        n = F.size(tk)
+        empty = F.array().cast("array<string>")
+
+        def gives_space(j: Column) -> Column:
+            # token j is an interior whitespace run ending in a literal
+            # space, which GPT-2's lookahead yields to token j+1
+            p = F.when(j >= 1, F.element_at(tk, j))
+            return F.coalesce(
+                p.rlike(_GPT2_WS_RE)
+                & (F.substr(p, F.length(p), F.lit(1)) == " "),
+                F.lit(False),
+            )
+
+        def emit(i: Column) -> Column:
+            t = F.element_at(tk, i)
+            k = F.length(t)
+            is_ws = t.rlike(_GPT2_WS_RE)
+            last = F.substr(t, k, F.lit(1))
+            head = F.substr(t, F.lit(1), k - 1)
+            nxt = F.when(i < n, F.element_at(tk, i + 1))
+            prev = F.when(i > 1, F.element_at(tk, i - 1))
+            attach = gives_space(i - 1)
+            is_letters = t.rlike(r"^\p{L}+$")
+            return (
+                F.when(
+                    is_ws & (i < n),
+                    F.concat(
+                        F.when(k >= 2, F.array(head)).otherwise(empty),
+                        F.when(last != " ", F.array(last)).otherwise(empty),
+                    ),
+                )
+                .when(
+                    attach & t.isin(*GPT2_CONTRACTIONS),
+                    # " '" + letter tail; the tail instead merges into
+                    # a following BARE letter run (GPT-2's \p{L}+ keeps
+                    # consuming past the contraction letters)
+                    F.when(
+                        F.coalesce(
+                            nxt.rlike(r"^\p{L}+$"), F.lit(False)
+                        ),
+                        F.array(F.lit(" '")),
+                    ).otherwise(
+                        F.array(F.lit(" '"), F.substr(t, F.lit(2), k - 1))
+                    ),
+                )
+                .when(attach, F.array(F.concat(F.lit(" "), t)))
+                .when(
+                    gives_space(i - 2)
+                    & F.coalesce(
+                        prev.isin(*GPT2_CONTRACTIONS), F.lit(False)
+                    )
+                    & is_letters,
+                    F.array(
+                        F.concat(
+                            F.substr(prev, F.lit(2), F.length(prev) - 1), t
+                        )
+                    ),
+                )
+                .otherwise(F.array(t))
+            )
+
+        return F.flatten(
+            F.when(n >= 1, F.transform(F.sequence(F.lit(1), n), emit))
+            .otherwise(F.array().cast("array<array<string>>"))
+        )
+
+    return _bind_array(raw, surgery)
+
+
+def _hex_symbol_string(w: Column | str) -> Column:
+    """UTF-8 bytes of a pre-token as the ``' sym '`` double-space-
+    wrapped symbol string over HEX-PAIR symbols (' 48  69 ') — the
+    byte-level alphabet rendered so the shared literal-replace merge
+    machinery (:func:`_merge_rounds`) and its DuckDB replay apply
+    unchanged (hex() is uppercase in both engines; symbols never
+    contain spaces)."""
+    return F.regexp_replace(
+        F.hex(F.encode(_c(w), "UTF-8")), "(..)", " $1 "
+    )
+
+
+def gpt2_byte_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pre-token frequency vocab for byte-level BPE training:
+    (w, freq, s) where ``s`` is the hex-pair byte symbol string. The
+    corpus collapses ONCE here (one pretokenize + explode + hash agg;
+    vocab is sublinear in corpus size) and is localCheckpointed — the
+    merge rounds never rescan raw text."""
+    words = df.select(
+        F.explode(gpt2_pretokens(F.col(text_col))).alias("w")
+    )
+    return (
+        words.groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .select("w", "freq", _hex_symbol_string("w").alias("s"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def bpe_bytelevel_train_merges(
+    df: DataFrame, n_merges: int = 12, text_col: str = "text"
+) -> DataFrame:
+    """FULL byte-level BPE training (GPT-2-class): GPT-2 pre-tokenize,
+    UTF-8 bytes as hex-pair symbols, then ``n_merges`` greedy rounds of
+    (pair-count over the pre-token vocab) -> (argmax: count desc, then
+    lexicographic on the hex symbols — integer counts, so the argmax is
+    bit-deterministic in any engine) -> (literal-replace merge).
+    Returns the learned merge table (step, l, r, n) with l/r as hex
+    byte strings — the artifact a byte-level tokenizer ships. Unlike
+    the character-level :func:`bpe_train_merges` there is no lowercase
+    fold and no out-of-alphabet symbol: EVERY string is a byte
+    sequence, so encode can never OOV (the GPT-2 byte-fallback
+    property, here by construction).
+
+    Scale shape: identical to bpe_train_merges — corpus collapses once
+    to the checkpointed vocab, each round is one agg + one driver
+    argmax scalar + one native rewrite."""
+    vocab = gpt2_byte_vocab(df, text_col).select("freq", "s")
+    merges, _ = _merge_rounds(vocab, n_merges, likelihood=False)
+    rows = [(step, a, b, n) for step, a, b, n, _ in merges]
+    return df.sparkSession.createDataFrame(
+        rows, "step INT, l STRING, r STRING, n BIGINT"
+    )
+
+
+def bpe_bytelevel_encode_report(
+    df: DataFrame,
+    group_col: str = "source",
+    n_merges: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train byte-level BPE on the corpus, ENCODE the corpus with it,
+    and report per-group token economics plus the UTF-8 round-trip
+    conservation audit — the number a 100-TB training budget is
+    actually denominated in.
+
+    Encode = join-back: training's final vocab segmentation IS the
+    trained tokenizer applied to every distinct pre-token, so encoding
+    is one equi-join from the exploded per-doc pre-token stream to the
+    (bounded, checkpointed) vocab — no per-doc merge replay.
+
+    Round-trip pin (every doc's bytes reconstruct), decomposed into
+    engine-checkable invariants: (a) per-doc byte conservation —
+    sum of token byte lengths == octet_length(text) (pre-tokenization
+    is a partition of the text, and matches are contiguous in-order by
+    construction); (b) per-token byte identity — the concatenated hex
+    pieces decode back to the exact pre-token. ``roundtrip_ok`` is
+    their conjunction; the full concat(tokens)==text equality is
+    additionally pinned by tests.
+
+    Doc-level stats ride the SAME exploded token stream as the vocab
+    join (the lexical_diversity sentinel-row trick: token cells are
+    prefixed 't', one 'd'-prefixed sentinel per doc carries
+    octet_length — collision-proof by prefix), so the corpus scans
+    once for the report and once for vocab training. Returns one row
+    per group: (group, n_docs, n_pretokens, n_tokens, n_bytes,
+    n_roundtrip_docs, fertility_q6 = tokens per pre-token,
+    bytes_per_token_q6) — exact integer sums, floor-div finals."""
+    vocab = gpt2_byte_vocab(df, text_col)
+    _, final_vocab = _merge_rounds(
+        vocab, n_merges, likelihood=False, carry=("w", "freq")
+    )
+    pieces = final_vocab.select(
+        F.concat(F.lit("t"), F.col("w")).alias("vkey"),
+        F.size(F.split(F.trim("s"), "  ")).cast("long").alias("n_pieces"),
+        (
+            F.decode(F.unhex(F.replace(F.col("s"), F.lit(" "), F.lit(""))), "UTF-8")
+            == F.col("w")
+        ).alias("rt_piece"),
+    ).localCheckpoint(eager=True)
+
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    cells = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        F.explode(
+            _bind_array(
+                gpt2_pretokens(txt),
+                lambda tk: F.concat(
+                    F.transform(tk, lambda t: F.concat(F.lit("t"), t)),
+                    F.array(
+                        F.concat(F.lit("d"), F.octet_length(txt).cast("string"))
+                    ),
+                ),
+            )
+        ).alias("cell"),
+    )
+    # no forced broadcast: vocab is sublinear in corpus size but not
+    # bounded — AQE picks broadcast when it fits, shuffle-hash when not
+    joined = cells.join(pieces, cells["cell"] == pieces["vkey"], "left")
+    is_tok = F.col("cell").startswith("t")
+    per_doc = joined.groupBy("grp", "id").agg(
+        F.coalesce(F.sum(F.when(is_tok, 1)), F.lit(0))
+        .cast("long")
+        .alias("n_pre"),
+        F.coalesce(
+            F.sum(F.when(is_tok, F.octet_length(F.expr("substring(cell, 2)")))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("tok_bytes"),
+        F.max(
+            F.when(~is_tok, F.expr("CAST(substring(cell, 2) AS BIGINT)"))
+        ).alias("n_bytes"),
+        F.coalesce(F.sum(F.when(is_tok, F.col("n_pieces"))), F.lit(0))
+        .cast("long")
+        .alias("n_toks"),
+        F.min(F.when(is_tok, F.col("rt_piece"))).alias("all_rt"),
+    )
+    rt_ok = (F.col("tok_bytes") == F.col("n_bytes")) & F.coalesce(
+        F.col("all_rt"), F.lit(True)
+    )
+    return (
+        per_doc.withColumn("rt_ok", rt_ok)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_pre").cast("long").alias("n_pretokens"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.sum("n_bytes").cast("long").alias("n_bytes"),
+            F.sum(F.col("rt_ok").cast("int")).cast("long").alias(
+                "n_roundtrip_docs"
+            ),
+        )
+        .selectExpr(
+            f"grp AS {group_col}",
+            "n_docs",
+            "n_pretokens",
+            "n_tokens",
+            "n_bytes",
+            "n_roundtrip_docs",
+            "CASE WHEN n_pretokens > 0 THEN"
+            " (CAST(n_tokens AS DECIMAL(38,0)) * 1000000 div n_pretokens)"
+            " / 1e6 END AS fertility_q6",
+            "CASE WHEN n_tokens > 0 THEN"
+            " (CAST(n_bytes AS DECIMAL(38,0)) * 1000000 div n_tokens)"
+            " / 1e6 END AS bytes_per_token_q6",
+        )
     )

@@ -475,3 +475,182 @@ def mmr_rerank(
             df_.unpersist()
     spark = cand.sparkSession
     return spark.createDataFrame(rows, out.schema)
+
+
+def _sq_l2_micro(a, b):
+    """Exact integer squared L2 between two micro-quantized long
+    arrays: per-dim diffs are ~<=1e7 so squares fit int64 with 5
+    orders of headroom at 64 dims; bit-identical in any engine."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def nn_descent_graph(
+    df: DataFrame,
+    k: int = 6,
+    rounds: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate kNN GRAPH by NN-descent (Dong et al. 2011, public):
+    start from a deterministic ring over the id order, then each round
+    proposes neighbors-of-neighbors over the UNDIRECTED current graph
+    (the paper's local-join) and keeps the k best per node by exact
+    integer squared L2 on the micro-quantized vectors (ties by
+    neighbor id — bit-deterministic, so the whole build replays in any
+    engine). This is the offline build for a graph-served ANN index —
+    what HNSW-backed stores (the reference's Qdrant,
+    qdrant_text_loader.py:25) serve from.
+
+    Distributed shape: candidate generation is ONE self-equi-join of
+    the undirected edge list per round (O(N * (2k)^2) candidate rows),
+    scoring joins the bounded (N x k)-row candidate set back to the
+    quantized vectors, per-node top-k is a per-key WindowGroupLimit
+    (never a global window), and every round ends in localCheckpoint
+    (the cluster_pairs lineage lesson). Returns (src, dst, dist)."""
+    from pdf_to_vectordb_etl_spark.operators.suffixes import (
+        global_row_number,
+    )
+    from pdf_to_vectordb_etl_spark.operators.valuation import (
+        _quantize_micro,
+    )
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    qv = df.select(
+        F.col(id_col).alias("id"), _quantize_micro(vec_col).alias("q")
+    )
+    r = global_row_number(qv, ["id"], "rid").localCheckpoint(eager=True)
+    n_total = r.count()
+    if n_total <= 1:
+        return spark.createDataFrame(
+            [], "src bigint, dst bigint, dist bigint"
+        )
+    ring = r.select(
+        "id",
+        "q",
+        "rid",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(min(k, n_total - 1)))
+        ).alias("j"),
+    ).select(
+        F.col("id").alias("src"),
+        F.col("q").alias("qs"),
+        (((F.col("rid") - 1 + F.col("j")) % n_total) + 1).alias("drid"),
+    )
+    right = r.select(
+        F.col("rid").alias("drid"),
+        F.col("id").alias("dst"),
+        F.col("q").alias("qd"),
+    )
+    g = (
+        ring.join(right, "drid")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", _sq_l2_micro("qs", "qd").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("src").orderBy("dist", "dst")
+    for _ in range(rounds):
+        und = (
+            g.select("src", "dst")
+            .union(g.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .distinct()
+        )
+        cand = (
+            und.alias("l")
+            .join(
+                und.select(
+                    F.col("src").alias("mid"), F.col("dst").alias("dst2")
+                ).alias("rr"),
+                F.col("l.dst") == F.col("mid"),
+            )
+            .select(F.col("l.src").alias("src"), F.col("dst2").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        scored = (
+            cand.join(r.select(F.col("id").alias("src"), F.col("q").alias("qs")), "src")
+            .join(r.select(F.col("id").alias("dst"), F.col("q").alias("qd")), "dst")
+            .select("src", "dst", _sq_l2_micro("qs", "qd").alias("dist"))
+        )
+        pool = g.unionByName(scored).dropDuplicates(["src", "dst"])
+        g = (
+            pool.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .drop("_rk")
+            .localCheckpoint(eager=True)
+        )
+    return g
+
+
+def nn_descent_beam_probe(
+    graph: DataFrame,
+    corpus: DataFrame,
+    probes: DataFrame,
+    hops: int = 3,
+    beam: int = 8,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Beam-search probe over a persisted neighbor graph (the greedy
+    search of HNSW's base layer, Malkov & Yashunin 2016, public):
+    start every probe at the deterministic entry node (min corpus id),
+    then ``hops`` rounds of (expand the current beam's out-neighbors,
+    score exactly, keep the ``beam`` best VISITED per probe). Returns
+    the visited set (qid, cand, dist) — callers take top-k for answers
+    and its size for the candidates-touched cost metric.
+
+    Bounded by construction: |visited| <= 1 + hops * beam * k per
+    probe; the probe panel is broadcast; the only corpus-sized
+    relation is the one graph equi-join per hop."""
+    from pdf_to_vectordb_etl_spark.operators.valuation import (
+        _quantize_micro,
+    )
+    from pyspark.sql import Window
+
+    qv = corpus.select(
+        F.col(id_col).alias("cid"), _quantize_micro(vec_col).alias("cq")
+    ).localCheckpoint(eager=True)
+    pv = probes.select(
+        F.col(id_col).alias("qid"), _quantize_micro(vec_col).alias("pq")
+    ).localCheckpoint(eager=True)
+    entry = qv.orderBy("cid").limit(1)
+    visited = (
+        pv.crossJoin(F.broadcast(entry))
+        .select(
+            "qid",
+            "pq",
+            F.col("cid").alias("cand"),
+            _sq_l2_micro("pq", "cq").alias("dist"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    wb = Window.partitionBy("qid").orderBy("dist", "cand")
+    for _ in range(hops):
+        frontier = (
+            visited.withColumn("_rk", F.row_number().over(wb))
+            .filter(F.col("_rk") <= beam)
+            .select("qid", "pq", F.col("cand").alias("src"))
+        )
+        expanded = (
+            frontier.join(graph.select("src", "dst"), "src")
+            .join(
+                qv.select(F.col("cid").alias("dst"), F.col("cq")), "dst"
+            )
+            .select(
+                "qid",
+                "pq",
+                F.col("dst").alias("cand"),
+                _sq_l2_micro("pq", "cq").alias("dist"),
+            )
+        )
+        visited = (
+            visited.unionByName(expanded)
+            .dropDuplicates(["qid", "cand"])
+            .localCheckpoint(eager=True)
+        )
+    return visited.select("qid", "cand", "dist")

@@ -104,7 +104,17 @@ def test_cluster_pairs_matches_union_find(spark, edges):
     pairs = spark.createDataFrame(
         [(min(a, b), max(a, b)) for a, b in edges], "id_a long, id_b long"
     )
-    got = {r["id"]: r["cluster_id"] for r in dedup.cluster_pairs(pairs).collect()}
+    # distributed min-label propagation (driver fast path off — the
+    # fast path IS union-find, which would make this test circular)
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in dedup.cluster_pairs(pairs, driver_max_edges=None).collect()
+    }
+    got_fast = {
+        r["id"]: r["cluster_id"]
+        for r in dedup.cluster_pairs(pairs).collect()
+    }
+    assert got_fast == got
 
     # independent union-find reference
     parent: dict[int, int] = {}

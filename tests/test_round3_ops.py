@@ -1354,11 +1354,18 @@ def test_cluster_pairs_raises_on_nonconvergence(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(30)], ["id_a", "id_b"]
     )
+    # distributed path (driver fast path off): must raise, not lie
     with pytest.raises(ValueError, match="connected_components_star"):
-        dedup.cluster_pairs(chain, max_iterations=3)
+        dedup.cluster_pairs(chain, max_iterations=3, driver_max_edges=None)
     # and with budget it converges to one component
-    out = dedup.cluster_pairs(chain, max_iterations=40).collect()
+    out = dedup.cluster_pairs(
+        chain, max_iterations=40, driver_max_edges=None
+    ).collect()
     assert {r["cluster_id"] for r in out} == {0}
+    # the driver union-find fast path needs no iteration budget at all
+    out2 = dedup.cluster_pairs(chain, max_iterations=3).collect()
+    assert {r["cluster_id"] for r in out2} == {0}
+    assert sorted(r["id"] for r in out2) == list(range(31))
 
 
 def test_pdf_pages_python_datasource_parity(spark, tmp_path):

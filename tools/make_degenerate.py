@@ -127,6 +127,13 @@ def main() -> None:
               "host 192.168.0.1 phone +1 (555) 123-4567 ssn 123-45-6789 "
               "card 4111 1111 1111 1111 ver v1.2.3.4a pi 3.14159"]
     ids += [97]
+    # GPT-2 pre-tokenizer hard spots (byte-level BPE): multi-space runs
+    # before words (the lookahead-emulation split), space-attached
+    # contractions whose letter tail merges into a following bare
+    # letter run ("  'sa" -> " ", " '", "sa"), tab/CR runs, contraction
+    # after digits, and multi-byte UTF-8 next to attach points.
+    texts += ["it 's  'sa don't  \t x\r\n  'll go 9 'm  中文  'the end  "]
+    ids += [96]
     # HOT template: 560 verbatim copies — ABOVE the LSH
     # DEFAULT_MAX_BUCKET_SIZE=512 cap. The graded minhash queries run
     # collapse_exact=True, so this group must fold to ONE banded row
