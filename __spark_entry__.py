@@ -9390,6 +9390,150 @@ def q_bpe_bytelevel_encode(spark, sf):
     )
 
 
+def _export_bytebpe_oracle_sql(n_merges: int = 8) -> str:
+    """DuckDB replay of the byte-BPE-denominated training export:
+    the training_export_report prelude verbatim (ascii-project, dedup
+    row_number, word floor, md5 split), then GPT-2 pre-tokens of the
+    projected text, ``n_merges`` merge rounds trained on the TRAIN
+    split's pre-token vocab, the learned rewrites replayed over the
+    FULL corpus vocab, per-doc piece sums, and the identical
+    ceil-division packing totals."""
+    ctes = [
+        r"""d0 AS MATERIALIZED (
+              SELECT doc_id,
+                     regexp_replace(coalesce(text, ''),
+                                    '[^\x20-\x7e]', '', 'g') AS t
+              FROM documents)""",
+        r"""tok AS MATERIALIZED (
+              SELECT doc_id, t,
+                     CASE WHEN length(trim(t)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(t), '\s+')) END
+                       AS ws
+              FROM d0)""",
+        r"""dd AS MATERIALIZED (
+              SELECT doc_id, t, ws FROM (
+                SELECT doc_id, t, ws,
+                       row_number() OVER (
+                         PARTITION BY
+                           lower(regexp_replace(trim(t), '\s+', ' ', 'g'))
+                         ORDER BY doc_id) AS rn
+                FROM tok) WHERE rn = 1)""",
+        r"""q AS MATERIALIZED (SELECT * FROM dd WHERE ws >= 5)""",
+        r"""sp AS MATERIALIZED (
+              SELECT doc_id, t, ws,
+                     CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                               < '1a'
+                          THEN 'holdout' ELSE 'train' END AS split
+              FROM q)""",
+        f"""bpt AS MATERIALIZED (
+              SELECT doc_id, split, {_GPT2_TOKS_SQL} AS toks
+              FROM (SELECT doc_id, split,
+                           regexp_extract_all(t,
+                             '{_GPT2_PRETOKEN_SQL_RE}', 0) AS tk
+                    FROM sp))""",
+        r"""bstream AS MATERIALIZED (
+              SELECT doc_id, split, unnest(toks) AS w FROM bpt)""",
+        r"""bv0 AS MATERIALIZED (
+              SELECT w, CAST(count(*) AS BIGINT) AS freq,
+                     regexp_replace(hex(encode(w)), '(..)', ' \1 ', 'g')
+                       AS s
+              FROM bstream WHERE split = 'train' GROUP BY w)""",
+    ]
+    for k in range(1, n_merges + 1):
+        ctes.append(
+            f"""bbp{k} AS (
+              SELECT ws[i] AS l, ws[i + 1] AS r,
+                     CAST(sum(freq) AS BIGINT) AS n
+              FROM (SELECT freq, ws,
+                           unnest(generate_series(1, len(ws) - 1)) AS i
+                    FROM (SELECT freq, string_split(trim(s), '  ') AS ws
+                          FROM bv{k - 1})
+                    WHERE len(ws) > 1)
+              GROUP BY l, r),
+            bbm{k} AS MATERIALIZED (
+              SELECT l, r, n FROM bbp{k} ORDER BY n DESC, l, r LIMIT 1),
+            bv{k} AS MATERIALIZED (
+              SELECT freq,
+                     replace(s,
+                       ' ' || (SELECT l FROM bbm{k}) || '  '
+                           || (SELECT r FROM bbm{k}) || ' ',
+                       ' ' || (SELECT l FROM bbm{k})
+                           || (SELECT r FROM bbm{k}) || ' ') AS s
+              FROM bv{k - 1})"""
+        )
+    fv = [
+        r"""fv0 AS MATERIALIZED (
+              SELECT w,
+                     regexp_replace(hex(encode(w)), '(..)', ' \1 ', 'g')
+                       AS s
+              FROM (SELECT DISTINCT w FROM bstream))"""
+    ]
+    for k in range(1, n_merges + 1):
+        fv.append(
+            f"""fv{k} AS MATERIALIZED (
+              SELECT w,
+                     replace(s,
+                       ' ' || (SELECT l FROM bbm{k}) || '  '
+                           || (SELECT r FROM bbm{k}) || ' ',
+                       ' ' || (SELECT l FROM bbm{k})
+                           || (SELECT r FROM bbm{k}) || ' ') AS s
+              FROM fv{k - 1})"""
+        )
+    ctes.extend(fv)
+    ctes.append(
+        f"""bseg AS MATERIALIZED (
+              SELECT w, CAST(len(string_split(trim(s), '  ')) AS BIGINT)
+                       AS np
+              FROM fv{n_merges}),
+            bper AS MATERIALIZED (
+              SELECT s.doc_id, any_value(s.split) AS split,
+                     CAST(sum(np) AS BIGINT) AS lm
+              FROM bstream s JOIN bseg USING (w)
+              GROUP BY s.doc_id),
+            pkdoc AS (
+              SELECT split, lm,
+                     CAST((ascii(substr(hh, 1, 1)) * 16
+                           + ascii(substr(hh, 2, 1))) % 4 AS INT) AS shard
+              FROM (SELECT split, lm,
+                           md5(CAST(doc_id AS VARCHAR) || ':epoch0') AS hh
+                    FROM bper WHERE lm > 0)),
+            pksh AS (
+              SELECT split, shard, count(*) AS d,
+                     CAST(sum(lm) AS BIGINT) AS t
+              FROM pkdoc GROUP BY split, shard),
+            pk AS (
+              SELECT split, CAST(sum(d) AS BIGINT) AS n_docs,
+                     CAST(sum(t) AS BIGINT) AS n_tokens,
+                     CAST(sum((t + 255) // 256) AS BIGINT) AS n_seqs
+              FROM pksh GROUP BY split)"""
+    )
+    final = r"""
+        SELECT 'input' AS stage, 'all' AS split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(coalesce(sum(ws), 0) AS BIGINT) AS n_tokens,
+               CAST(0 AS BIGINT) AS n_seqs
+        FROM tok
+        UNION ALL
+        SELECT 'exact_dedup', 'all', CAST(count(*) AS BIGINT),
+               CAST(coalesce(sum(ws), 0) AS BIGINT), CAST(0 AS BIGINT)
+        FROM dd
+        UNION ALL
+        SELECT 'quality_floor', 'all', CAST(count(*) AS BIGINT),
+               CAST(coalesce(sum(ws), 0) AS BIGINT), CAST(0 AS BIGINT)
+        FROM q
+        UNION ALL
+        SELECT 'split', split, CAST(count(*) AS BIGINT),
+               CAST(sum(ws) AS BIGINT), CAST(0 AS BIGINT)
+        FROM sp GROUP BY split
+        UNION ALL
+        SELECT 'encoded', split, CAST(count(*) AS BIGINT),
+               CAST(sum(lm) AS BIGINT), CAST(0 AS BIGINT)
+        FROM bper GROUP BY split
+        UNION ALL
+        SELECT 'packed', split, n_docs, n_tokens, n_seqs FROM pk"""
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
 def _nndescent_oracle_sql(
     k: int = 6, rounds: int = 2, hops: int = 3, beam: int = 8
 ) -> str:
@@ -9532,6 +9676,26 @@ def _nndescent_oracle_sql(
                END AS recall_at_10_q6
         FROM nnagg"""
     return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+def q_training_export_bytebpe(spark, sf):
+    """The training-export composition with its token budget
+    denominated in BYTE-LEVEL BPE tokens (the tokens real pretraining
+    budgets plan against): identical upstream stages to
+    training_export_report (ascii-project -> exact dedup -> word floor
+    -> md5 leakage split), then 8 byte-BPE merges trained on the TRAIN
+    split only, the learned rewrites replayed over the full corpus
+    vocab (byte fallback: holdout pre-tokens unseen in training still
+    segment — OOV impossible), budget-256 packing on the byte-BPE
+    counts. Token conservation encode==pack holds by the same
+    construction."""
+    from pdf_to_vectordb_etl_spark.plans.export import export_training_data
+
+    docs = _t(spark, sf, "documents")
+    report, _, _ = export_training_data(
+        docs, tokenizer="bytebpe", n_merges=8
+    )
+    return report.select("stage", "split", "n_docs", "n_tokens", "n_seqs")
 
 
 def q_ann_nndescent_recall(spark, sf):
@@ -9991,6 +10155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_bytelevel_train": q_bpe_bytelevel_train,
         "bpe_bytelevel_encode": q_bpe_bytelevel_encode,
         "ann_nndescent_recall": q_ann_nndescent_recall,
+        "training_export_bytebpe": q_training_export_bytebpe,
         "t39_stream_auc_by_source": q_t39_stream_auc_by_source,
         "attribution_touch": q_attribution_touch,
         "benford_law": q_benford_law,
@@ -19378,6 +19543,7 @@ def oracle_sql() -> dict[str, str]:
     d["bpe_bytelevel_train"] = _bpe_bytelevel_oracle_sql(12, "train")
     d["bpe_bytelevel_encode"] = _bpe_bytelevel_oracle_sql(12, "encode")
     d["ann_nndescent_recall"] = _nndescent_oracle_sql(12, 8, 5, 12)
+    d["training_export_bytebpe"] = _export_bytebpe_oracle_sql(8)
     d["wasserstein_drift"] = r"""
         WITH base AS (
           SELECT (event_type = 'purchase') AS in_b, event_id AS id,

@@ -124,6 +124,11 @@ def main() -> None:
         "pca_top_component",       # integer power-iteration PCA (r7)
         "heavy_hitters_mg",        # Misra-Gries screened exact HH (r7)
         "krippendorff_alpha",      # variable-rater agreement (r7)
+        "training_export_report",  # flagship export composition (r7, benched r8)
+        "source_health_report",    # per-source health dashboard (r7, benched r8)
+        "bpe_bytelevel_train",     # byte-level BPE training (r8)
+        "bpe_bytelevel_encode",    # byte-BPE encode + round-trip audit (r8)
+        "ann_nndescent_recall",    # NN-descent graph ANN + beam probe (r8)
         "enem_questions" if "enem_questions" in entry.queries() else "ta_fingerprint",
     ]
     qs = entry.queries()

@@ -53,6 +53,8 @@ def export_training_data(
     text_col: str = "text",
     salt: str = "epoch0",
     train_pieces_with_em: bool = True,
+    tokenizer: str = "unigram",
+    n_merges: int = 8,
 ) -> tuple[DataFrame, DataFrame, DataFrame | None]:
     """Run the curate→tokenize→pack→export chain; returns
     ``(report, packed, manifest)`` (``manifest`` is None when ``path``
@@ -77,6 +79,16 @@ def export_training_data(
     production path), else the deterministic ``unigram_seed_pieces``
     seed inventory (chars + top frequent substrings; the
     oracle-tractable path the graded registry query uses).
+
+    ``tokenizer='bytebpe'`` denominates the budget in byte-level BPE
+    tokens instead (GPT-2-class — what real 100-TB training budgets
+    plan against): ``n_merges`` merges train on the TRAIN split's
+    GPT-2 pre-token vocab, the learned rewrites replay over the FULL
+    corpus vocab (so holdout pre-tokens unseen in training still
+    segment — byte fallback means OOV is impossible), and encode is
+    the same vocab join-back as bpe_bytelevel_encode_report. The
+    upstream stages (projection, dedup, floor, split) are identical,
+    so the two reports differ only in the token denomination.
     """
     spark = df.sparkSession
     ascii_text = F.regexp_replace(
@@ -97,29 +109,56 @@ def export_training_data(
     d3 = d3.localCheckpoint(eager=True)
 
     train = d3.filter(F.col("split") == "train")
-    if pieces is None:
-        if train_pieces_with_em:
-            pieces = ta.unigram_lm_train(
-                train,
-                text_col=text_col,
-                vocab_size=vocab_size,
-                max_piece_len=max_piece_len,
-                max_word_len=max_word_len,
+    if tokenizer == "bytebpe":
+        train_vocab = ta.gpt2_byte_vocab(train, text_col).select("freq", "s")
+        merges, _ = ta._merge_rounds(
+            train_vocab, n_merges, likelihood=False
+        )
+        full_vocab = ta.gpt2_byte_vocab(d3, text_col)
+        s_col = F.col("s")
+        for _step, a, b, _n, _sq in merges:
+            s_col = F.replace(
+                s_col, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
             )
-        else:
-            pieces = ta.unigram_seed_pieces(
-                train,
-                vocab_size=vocab_size,
-                seed_cap_factor=1,
-                max_piece_len=max_piece_len,
-                max_word_len=max_word_len,
-                text_col=text_col,
+        seg = full_vocab.select(
+            "w",
+            F.size(F.split(F.trim(s_col), "  ")).cast("long").alias("_np"),
+        ).localCheckpoint(eager=True)
+        enc = (
+            d3.select(
+                id_col,
+                F.explode(ta.gpt2_pretokens(F.col(text_col))).alias("w"),
             )
-
-    enc = ta.unigram_lm_encode(
-        d3, pieces, text_col=text_col, id_col=id_col,
-        max_piece_len=max_piece_len, max_word_len=max_word_len,
-    )
+            .join(seg, "w")
+            .groupBy(id_col)
+            .agg(
+                F.lit(0).cast("long").alias("n_oov_words"),
+                F.sum("_np").cast("long").alias("n_tokens"),
+            )
+        )
+    else:
+        if pieces is None:
+            if train_pieces_with_em:
+                pieces = ta.unigram_lm_train(
+                    train,
+                    text_col=text_col,
+                    vocab_size=vocab_size,
+                    max_piece_len=max_piece_len,
+                    max_word_len=max_word_len,
+                )
+            else:
+                pieces = ta.unigram_seed_pieces(
+                    train,
+                    vocab_size=vocab_size,
+                    seed_cap_factor=1,
+                    max_piece_len=max_piece_len,
+                    max_word_len=max_word_len,
+                    text_col=text_col,
+                )
+        enc = ta.unigram_lm_encode(
+            d3, pieces, text_col=text_col, id_col=id_col,
+            max_piece_len=max_piece_len, max_word_len=max_word_len,
+        )
     # (id, split, ws tokens, lm tokens) — the per-doc accounting spine;
     # checkpointed: the pack, the manifest, and three report aggregates
     # all consume it (the blocklist checkpoint-first lesson)

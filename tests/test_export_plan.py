@@ -109,3 +109,26 @@ def test_supplied_pieces_short_circuit_training(spark, sf_dir):
     assert manifest is None
     rep = {(r.stage, r.split): r for r in report.collect()}
     assert rep[("encoded", "train")].n_tokens > 0
+
+
+def test_bytebpe_export_conservation_and_denomination(spark, sf_dir):
+    """The byte-BPE-denominated export obeys the same conservation law
+    (encoded == packed per split) and its token totals are byte-BPE
+    pieces: bounded below by pre-token counts and above by byte
+    counts; every pre-token segments (byte fallback — no OOV), so
+    encoded covers every split doc."""
+    from pdf_to_vectordb_etl_spark.plans.export import export_training_data
+
+    docs = load(spark, sf_dir, "documents")
+    report, packed, _ = export_training_data(
+        docs, tokenizer="bytebpe", n_merges=6
+    )
+    rep = {(r.stage, r.split): r for r in report.collect()}
+    for s in ("train", "holdout"):
+        enc = rep[("encoded", s)]
+        pk = rep[("packed", s)]
+        assert enc.n_tokens == pk.n_tokens > 0, s
+        assert enc.n_docs == rep[("split", s)].n_docs  # no doc lost
+        # byte-BPE tokens: at least one per whitespace word (splits
+        # never merge across pre-token boundaries)
+        assert enc.n_tokens >= rep[("split", s)].n_tokens

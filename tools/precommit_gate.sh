@@ -40,6 +40,12 @@ if [[ "${1:-full}" != "quick" ]]; then
   python tools/make_degenerate.py
   python tools/check_oracle.py --sf /tmp/spark_graft_degenerate
 
+  echo "== seed-randomized fixture sweep (fresh rounding dice) =="
+  # a NEW seed every run: r6/r7 caught a real cross-engine split on
+  # every fresh dataset; the seed is printed so a catch reproduces
+  python tools/make_random_fixture.py
+  python tools/check_oracle.py --sf /tmp/spark_graft_randfix
+
   echo "== global-window audit =="
   python tools/audit_global_windows.py
 fi

@@ -1,13 +1,16 @@
 #!/usr/bin/env python
-"""Measure ×10 scaling for registry queries (the SCALE.md protocol).
+"""Measure ×N scaling for registry queries (the SCALE.md protocol).
 
-Builds a ×10 replica of sf0.1 under /tmp/spark_graft_scale10 —
+Builds a ×N replica of sf0.1 under /tmp/spark_graft_scale{N} —
 documents / embeddings / events / orders / lineitem replicated with
 distinct ids (32 output files each: a multi-split scan), other tables
 symlinked — then times each named query at sf0.1 and at the replica
 (warm best-of-2) and prints a markdown table row per query.
 
-Usage: python tools/scale10.py [query ...]   (default: the round-3 set)
+Usage: python tools/scale10.py [--factor N] [query ...]
+(default factor 10, default queries: the round-3 set; --factor 100
+turns the ×10 extrapolation into a second measured decade — VERDICT r7
+asked for exactly this on the heavy families)
 """
 
 from __future__ import annotations
@@ -19,6 +22,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+FACTOR = 10
 R10 = "/tmp/spark_graft_scale10"
 
 DEFAULT = [
@@ -67,7 +71,7 @@ def build_replica(spark) -> None:
             continue
         df = spark.read.parquet(f"{BASE}/{t}.parquet")
         copies = None
-        for i in range(10):
+        for i in range(FACTOR):
             c = df
             for col in id_cols:
                 c = c.withColumn(col, F.col(col) + F.lit(i * OFFSET))
@@ -87,22 +91,29 @@ def time_query(fn, spark, sf: str) -> float:
 
 
 def main() -> None:
+    global FACTOR, R10
     import __spark_entry__ as entry
     from pdf_to_vectordb_etl_spark.session import get_spark
 
-    names = sys.argv[1:] or DEFAULT
+    args = sys.argv[1:]
+    if args and args[0] == "--factor":
+        FACTOR = int(args[1])
+        args = args[2:]
+    R10 = f"/tmp/spark_graft_scale{FACTOR}"
+    names = args or DEFAULT
     spark = get_spark(
         app_name="scale10", master="local[32]", shuffle_partitions=32
     )
     build_replica(spark)
     qs = entry.queries()
-    print("| op | sf0.1 | ×10 | ratio |")
+    print(f"| op | sf0.1 | ×{FACTOR} | ratio |")
     print("|---|---|---|---|")
     for name in names:
         fn = qs[name]
         t1 = time_query(fn, spark, BASE)
         t10 = time_query(fn, spark, R10)
-        print(f"| {name} | {t1:.2f} s | {t10:.2f} s | {t10 / t1:.1f}× |")
+        print(f"| {name} | {t1:.2f} s | {t10:.2f} s | {t10 / t1:.1f}× |",
+              flush=True)
 
 
 if __name__ == "__main__":
