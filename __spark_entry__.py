@@ -9473,10 +9473,13 @@ def _export_bytebpe_oracle_sql(n_merges: int = 8) -> str:
             f"""fv{k} AS MATERIALIZED (
               SELECT w,
                      replace(s,
-                       ' ' || (SELECT l FROM bbm{k}) || '  '
-                           || (SELECT r FROM bbm{k}) || ' ',
-                       ' ' || (SELECT l FROM bbm{k})
-                           || (SELECT r FROM bbm{k}) || ' ') AS s
+                       ' ' || coalesce((SELECT l FROM bbm{k}), chr(1))
+                           || '  '
+                           || coalesce((SELECT r FROM bbm{k}), chr(1))
+                           || ' ',
+                       ' ' || coalesce((SELECT l FROM bbm{k}), chr(1))
+                           || coalesce((SELECT r FROM bbm{k}), chr(1))
+                           || ' ') AS s
               FROM fv{k - 1})"""
         )
     ctes.extend(fv)

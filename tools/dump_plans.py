@@ -126,6 +126,8 @@ HEADLINE = [
     ("eval_mrr_ann", "fixed query panel broadcast; per-qid partitioned rank; corpus never shuffles on content"),
     ("hll_set_users", "set algebra over two 256-row register files; rows scanned once per side"),
     ("bootstrap_mean_ci", "x100 explode folds map-side to n_boot rows/partition; percentile over 100-row table"),
+    ("bpe_bytelevel_encode", "ONE regexp_extract_all per scan (bound once); vocab join-back; sentinel-cell doc stats"),
+    ("ann_nndescent_recall", "checkpointed graph/vocab leaves; per-qid partitioned ranks; broadcast probe panel"),
 ]
 
 

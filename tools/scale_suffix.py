@@ -22,7 +22,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.scale10 import BASE, R10, build_replica  # noqa: E402
+import tools.scale10 as s10  # noqa: E402
+from tools.scale10 import BASE  # noqa: E402
 
 
 def main() -> None:
@@ -31,11 +32,17 @@ def main() -> None:
     from pdf_to_vectordb_etl_spark.operators import suffixes
     from pdf_to_vectordb_etl_spark.session import get_spark
 
-    max_chars = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    args = sys.argv[1:]
+    if args and args[0] == "--factor":
+        s10.FACTOR = int(args[1])
+        s10.R10 = f"/tmp/spark_graft_scale{s10.FACTOR}"
+        args = args[2:]
+    max_chars = int(args[0]) if args else 200
     spark = get_spark(
         app_name="scale_suffix", master="local[32]", shuffle_partitions=32
     )
-    build_replica(spark)
+    s10.build_replica(spark)
+    R10 = s10.R10
 
     def load(sf: str):
         # full table, ASCII-projected and length-capped the same way
@@ -64,7 +71,7 @@ def main() -> None:
         )
         return dt
 
-    print("| op | sf0.1 | ×10 | ratio |")
+    print(f"| op | sf0.1 | ×{s10.FACTOR} | ratio |")
     print("|---|---|---|---|")
     for name, fn in (("suffix_ranks", t_ranks),
                      ("longest_repeated_substring", t_lrs)):
