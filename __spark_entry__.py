@@ -3419,7 +3419,7 @@ def q_curation_pipeline_report(spark, sf):
     def n(frame, name):
         return frame.agg(F.count(F.lit(1)).cast("long").alias(name))
 
-    return (
+    out = (
         n(corpus, "n_total")
         .crossJoin(n(g, "n_gopher_pass"))
         .crossJoin(n(d1, "n_after_exact"))
@@ -3435,6 +3435,14 @@ def q_curation_pipeline_report(spark, sf):
             )
         )
     )
+    # materialize the 1-row report and RELEASE the four persisted
+    # tiers: leaked caches share the local-mode heap with broadcast
+    # builds, and repeated runs in one session starved a later
+    # broadcast at the x100 replica (caught by tools/scale10.py)
+    rows = out.collect()
+    for frame in (g, d1, d2, d3):
+        frame.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 def q_cuped_readout(spark, sf):

@@ -428,3 +428,51 @@ def test_nn_descent_beats_ivf_at_matched_candidates(spark, sf_dir):
     assert nnd_hits >= ivf_hits, (nnd_hits, ivf_hits)
     # absolute floor so a regenerated fixture can't silently degrade
     assert nnd_hits / (10 * n_probes) >= 0.5
+
+
+def test_random_fixture_matches_testdata_schemas(sf_dir):
+    """The seed-randomized gate fixture must be physically
+    interchangeable with driver testdata: same arrow schema per table
+    (field names + types, metadata aside) and the literal domains the
+    registry queries assume (the r4 literal audit)."""
+    import subprocess
+    import sys as _sys
+
+    import pyarrow.parquet as pq
+
+    subprocess.run(
+        [_sys.executable, "tools/make_random_fixture.py", "424242"],
+        check=True,
+        env={"PATH": "/usr/bin:/bin"},
+        cwd="/root/repo",
+        capture_output=True,
+    )
+    # the generator writes to a fixed path; re-point by copying is
+    # unnecessary — compare in place
+    gen = "/tmp/spark_graft_randfix"
+    tables = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    for t in tables:
+        a = pq.read_schema(f"{sf_dir}/{t}.parquet")
+        b = pq.read_schema(f"{gen}/{t}.parquet")
+        got = [(f.name, str(f.type)) for f in b]
+        want = [(f.name, str(f.type)) for f in a]
+        assert got == want, (t, got, want)
+    import duckdb
+
+    con = duckdb.connect()
+    regions = [r[0] for r in con.execute(
+        f"SELECT r_name FROM '{gen}/region.parquet' ORDER BY 1"
+    ).fetchall()]
+    assert regions == ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+    evts = {r[0] for r in con.execute(
+        f"SELECT DISTINCT event_type FROM '{gen}/events.parquet'"
+    ).fetchall()}
+    assert evts <= {"view", "click", "purchase", "signup", "error"}
+    yrs = con.execute(
+        f"SELECT min(year(o_orderdate)), max(year(o_orderdate)) "
+        f"FROM '{gen}/orders.parquet'"
+    ).fetchone()
+    assert 1995 <= yrs[0] and yrs[1] <= 2001

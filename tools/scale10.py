@@ -110,10 +110,15 @@ def main() -> None:
     print("|---|---|---|---|")
     for name in names:
         fn = qs[name]
-        t1 = time_query(fn, spark, BASE)
-        t10 = time_query(fn, spark, R10)
-        print(f"| {name} | {t1:.2f} s | {t10:.2f} s | {t10 / t1:.1f}× |",
-              flush=True)
+        try:
+            t1 = time_query(fn, spark, BASE)
+            t10 = time_query(fn, spark, R10)
+            print(f"| {name} | {t1:.2f} s | {t10:.2f} s |"
+                  f" {t10 / t1:.1f}× |", flush=True)
+        except Exception as ex:  # keep measuring the rest
+            print(f"| {name} | ERROR | {type(ex).__name__}:"
+                  f" {str(ex)[:120]} | — |", flush=True)
+        spark.catalog.clearCache()
 
 
 if __name__ == "__main__":
