@@ -476,3 +476,29 @@ def test_random_fixture_matches_testdata_schemas(sf_dir):
         f"FROM '{gen}/orders.parquet'"
     ).fetchone()
     assert 1995 <= yrs[0] and yrs[1] <= 2001
+
+
+def test_auc_by_group_null_labels_count_as_negatives(spark):
+    """ADVICE r7: a (group, bin) cell whose labels are ALL NULL must
+    count as negatives (the oracle's CASE..ELSE 0), not vanish from
+    the cumulative-negative walk."""
+    from pdf_to_vectordb_etl_spark.operators.evaluation import auc_by_group
+
+    rows = [
+        # group A: clean separation, plus a NULL-label low-score cell
+        ("A", 10.0, None), ("A", 20.0, None),
+        ("A", 400.0, 1), ("A", 450.0, 1),
+        # group B: all labels NULL -> all negatives -> auc NULL (no pos)
+        ("B", 50.0, None), ("B", 300.0, None),
+    ]
+    df = spark.createDataFrame(rows, "grp string, score double, y int")
+    out = {
+        r["grp"]: r
+        for r in auc_by_group(
+            df, "score", F.col("y"), "grp", n_bins=10, lo=0.0, hi=500.0
+        ).collect()
+    }
+    assert out["A"]["n_neg"] == 2 and out["A"]["n_pos"] == 2
+    assert out["A"]["auc"] == 1.0  # positives outrank the NULL cells
+    assert out["B"]["n_neg"] == 2 and out["B"]["n_pos"] == 0
+    assert out["B"]["auc"] is None
