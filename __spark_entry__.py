@@ -9709,6 +9709,27 @@ def q_training_export_bytebpe(spark, sf):
     return report.select("stage", "split", "n_docs", "n_tokens", "n_seqs")
 
 
+def q_token_budget_allocation(spark, sf):
+    """Greedy quality-ranked token-budget fill over sources — the
+    actuation step after source_health_report: quality = length-gate
+    pass rate (exact micro integer), tokens = whitespace counts,
+    budget 200k; full tokens by quality rank, partial at the boundary
+    source, zero after (fractional-knapsack greedy, optimal). One
+    per-source agg + one bounded global prefix window."""
+    from pdf_to_vectordb_etl_spark.operators import curation
+    from pdf_to_vectordb_etl_spark.operators import textanalysis as ta
+
+    docs = _t(spark, sf, "documents")
+    quality = F.expr(
+        "CAST(sum(CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END)"
+        " AS DECIMAL(38,0)) * 1000000 div count(*)"
+    )
+    tokens = ta.token_count(F.coalesce(F.col("text"), F.lit("")))
+    return curation.token_budget_allocation(
+        docs, budget=200_000, quality=quality, tokens=tokens
+    )
+
+
 def q_ann_nndescent_recall(spark, sf):
     """Graph-served ANN end-to-end: NN-descent kNN-graph build (Dong
     2011; deterministic ring init, 8 local-join rounds — edge recall
@@ -10167,6 +10188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_bytelevel_encode": q_bpe_bytelevel_encode,
         "ann_nndescent_recall": q_ann_nndescent_recall,
         "training_export_bytebpe": q_training_export_bytebpe,
+        "token_budget_allocation": q_token_budget_allocation,
         "t39_stream_auc_by_source": q_t39_stream_auc_by_source,
         "attribution_touch": q_attribution_touch,
         "benford_law": q_benford_law,
@@ -19555,6 +19577,36 @@ def oracle_sql() -> dict[str, str]:
     d["bpe_bytelevel_encode"] = _bpe_bytelevel_oracle_sql(12, "encode")
     d["ann_nndescent_recall"] = _nndescent_oracle_sql(12, 8, 5, 12)
     d["training_export_bytebpe"] = _export_bytebpe_oracle_sql(8)
+    # greedy token-budget fill: exact micro-int quality ORDER, prefix
+    # sum over the per-source aggregate
+    d["token_budget_allocation"] = r"""
+        WITH per AS (
+          SELECT source,
+                 CAST(sum(CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END)
+                      AS HUGEINT) * 1000000 // count(*) AS qm,
+                 CAST(coalesce(sum(
+                   CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                        ELSE len(string_split_regex(
+                               trim(coalesce(text, '')), '\s+')) END),
+                   0) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source),
+        a AS (
+          SELECT source, qm, n_tokens,
+                 coalesce(sum(n_tokens) OVER (
+                   ORDER BY qm DESC, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS prev
+          FROM per)
+        SELECT source, CAST(qm AS BIGINT) / 1e6 AS quality_q6, n_tokens,
+               CAST(greatest(0, least(n_tokens, 200000 - prev))
+                    AS BIGINT) AS alloc_tokens,
+               CASE WHEN n_tokens > 0 THEN
+                 CAST((CAST(greatest(0, least(n_tokens, 200000 - prev))
+                            AS HUGEINT) * 1000000)
+                      // n_tokens AS BIGINT) / 1e6
+               END AS alloc_frac_q6
+        FROM a
+    """
     d["wasserstein_drift"] = r"""
         WITH base AS (
           SELECT (event_type = 'purchase') AS in_b, event_id AS id,

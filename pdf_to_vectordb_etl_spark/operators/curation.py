@@ -860,3 +860,57 @@ def ccnet_perplexity_buckets(
         F.min("_s").alias("score_min"),
         F.max("_s").alias("score_max"),
     )
+
+
+def token_budget_allocation(
+    df: DataFrame,
+    budget: int,
+    quality: Column,
+    tokens: Column,
+    by: str = "source",
+) -> DataFrame:
+    """Greedy quality-ranked TOKEN-budget fill — the knob a curation
+    team turns after reading the per-source health dashboard: rank
+    sources by a measured quality signal, take each source's tokens in
+    full until the budget runs out, take a partial allocation at the
+    boundary source, zero after. (Greedy is optimal for this
+    fractional-knapsack shape — Dantzig 1957, public.)
+
+    Exactness: quality is an exact per-source micro integer (callers
+    pass a ratio as ``sum(pass)*1e6 div count`` — no doubles in the
+    ORDER), ranking ties break on the group key, and the prefix sum
+    runs over the GROUP-CARDINALITY table (a bounded global window —
+    one row per source, kilobytes at any corpus scale). Returns per
+    group: (group, quality_q6, n_tokens, alloc_tokens, alloc_frac_q6)
+    with sum(alloc_tokens) == min(budget, total tokens).
+    """
+    from pyspark.sql import Window
+
+    per = df.groupBy(by).agg(
+        quality.alias("_q_micro"),
+        F.coalesce(F.sum(tokens), F.lit(0)).cast("long").alias("n_tokens"),
+    )
+    # bounded global window: one row per group (audit-allowlisted)
+    w = (
+        Window.orderBy(F.desc("_q_micro"), F.col(by))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    alloc = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("n_tokens"), F.lit(budget) - prev),
+    )
+    return (
+        per.withColumn("alloc_tokens", alloc)
+        .select(
+            by,
+            (F.col("_q_micro") / 1e6).alias("quality_q6"),
+            "n_tokens",
+            "alloc_tokens",
+            F.expr(
+                "CASE WHEN n_tokens > 0 THEN"
+                " (CAST(alloc_tokens AS DECIMAL(38,0)) * 1000000"
+                " div n_tokens) / 1e6 END"
+            ).alias("alloc_frac_q6"),
+        )
+    )

@@ -502,3 +502,32 @@ def test_auc_by_group_null_labels_count_as_negatives(spark):
     assert out["A"]["auc"] == 1.0  # positives outrank the NULL cells
     assert out["B"]["n_neg"] == 2 and out["B"]["n_pos"] == 0
     assert out["B"]["auc"] is None
+
+
+def test_token_budget_allocation_conserves_budget(spark):
+    from pdf_to_vectordb_etl_spark.operators.curation import (
+        token_budget_allocation,
+    )
+
+    rows = [
+        ("a", 100, 1), ("a", 100, 1),          # quality 1.0, 200 tokens
+        ("b", 100, 1), ("b", 100, 0),          # quality 0.5, 200 tokens
+        ("c", 100, 0), ("c", 100, 0),          # quality 0.0, 200 tokens
+    ]
+    df = spark.createDataFrame(rows, "source string, n int, good int")
+    out = {
+        r["source"]: r
+        for r in token_budget_allocation(
+            df,
+            budget=300,
+            quality=F.expr(
+                "CAST(sum(good) AS DECIMAL(38,0)) * 1000000 div count(*)"
+            ),
+            tokens=F.col("n"),
+        ).collect()
+    }
+    assert out["a"]["alloc_tokens"] == 200      # best source: in full
+    assert out["b"]["alloc_tokens"] == 100      # boundary: partial
+    assert out["c"]["alloc_tokens"] == 0        # over budget: zero
+    assert sum(r["alloc_tokens"] for r in out.values()) == 300
+    assert out["b"]["alloc_frac_q6"] == 0.5
