@@ -9720,14 +9720,63 @@ def q_token_budget_allocation(spark, sf):
     from pdf_to_vectordb_etl_spark.operators import textanalysis as ta
 
     docs = _t(spark, sf, "documents")
-    quality = F.expr(
-        "CAST(sum(CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END)"
-        " AS DECIMAL(38,0)) * 1000000 div count(*)"
+    cells = curation.token_budget_cells(
+        docs,
+        pass_cond=F.col("n_chars") >= 150,
+        tokens=ta.token_count(F.coalesce(F.col("text"), F.lit(""))),
     )
-    tokens = ta.token_count(F.coalesce(F.col("text"), F.lit("")))
-    return curation.token_budget_allocation(
-        docs, budget=200_000, quality=quality, tokens=tokens
+    return curation.token_budget_from_cells(cells, budget=200_000)
+
+
+def q_t40_stream_token_budget(spark, sf):
+    """T40 — live mixture-budget monitor: the per-source (n_docs,
+    n_pass, n_tokens) cells are the associative streaming state (one
+    row per source), snapshot through the IDENTICAL
+    token_budget_from_cells finale as the batch path; the batch SQL is
+    the parity oracle."""
+    import tempfile
+
+    from pdf_to_vectordb_etl_spark.operators.curation import (
+        token_budget_from_cells,
     )
+    from pdf_to_vectordb_etl_spark.operators import textanalysis as ta
+
+    raw_schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(
+                F.sum((F.col("n_chars") >= 150).cast("int")), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_pass"),
+            F.coalesce(
+                F.sum(
+                    ta.token_count(F.coalesce(F.col("text"), F.lit("")))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+    name = "t40_budget_cells"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t40ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    snap = spark.table(name).localCheckpoint(eager=True)
+    return token_budget_from_cells(snap, budget=200_000)
 
 
 def q_ann_nndescent_recall(spark, sf):
@@ -10189,6 +10238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_nndescent_recall": q_ann_nndescent_recall,
         "training_export_bytebpe": q_training_export_bytebpe,
         "token_budget_allocation": q_token_budget_allocation,
+        "t40_stream_token_budget": q_t40_stream_token_budget,
         "t39_stream_auc_by_source": q_t39_stream_auc_by_source,
         "attribution_touch": q_attribution_touch,
         "benford_law": q_benford_law,
@@ -19607,6 +19657,7 @@ def oracle_sql() -> dict[str, str]:
                END AS alloc_frac_q6
         FROM a
     """
+    d["t40_stream_token_budget"] = d["token_budget_allocation"]
     d["wasserstein_drift"] = r"""
         WITH base AS (
           SELECT (event_type = 'purchase') AS in_b, event_id AS id,

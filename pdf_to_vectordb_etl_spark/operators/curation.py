@@ -914,3 +914,60 @@ def token_budget_allocation(
             ).alias("alloc_frac_q6"),
         )
     )
+
+
+def token_budget_cells(
+    df: DataFrame,
+    pass_cond: Column,
+    tokens: Column,
+    by: str = "source",
+) -> DataFrame:
+    """Associative per-group state behind
+    :func:`token_budget_from_cells` — (group, n_docs, n_pass,
+    n_tokens), all plain sums, so a streaming aggregation maintains it
+    live (state = one row per group) and the T40 twin snapshots it."""
+    return df.groupBy(by).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum(pass_cond.cast("int")), F.lit(0))
+        .cast("long")
+        .alias("n_pass"),
+        F.coalesce(F.sum(tokens), F.lit(0)).cast("long").alias("n_tokens"),
+    )
+
+
+def token_budget_from_cells(
+    cells: DataFrame, budget: int, by: str = "source"
+) -> DataFrame:
+    """Finale of the greedy token-budget fill over the pre-aggregated
+    cell table — the exact micro-int quality, ranking, bounded global
+    prefix window and allocation of :func:`token_budget_allocation`,
+    shared verbatim by the batch query and the T40 stream twin."""
+    from pyspark.sql import Window
+
+    per = cells.select(
+        by,
+        F.expr(
+            "CAST(n_pass AS DECIMAL(38,0)) * 1000000 div n_docs"
+        ).alias("_q_micro"),
+        "n_tokens",
+    )
+    w = (
+        Window.orderBy(F.desc("_q_micro"), F.col(by))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    alloc = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("n_tokens"), F.lit(budget) - prev),
+    )
+    return per.withColumn("alloc_tokens", alloc).select(
+        by,
+        (F.col("_q_micro") / 1e6).alias("quality_q6"),
+        "n_tokens",
+        "alloc_tokens",
+        F.expr(
+            "CASE WHEN n_tokens > 0 THEN"
+            " (CAST(alloc_tokens AS DECIMAL(38,0)) * 1000000"
+            " div n_tokens) / 1e6 END"
+        ).alias("alloc_frac_q6"),
+    )
