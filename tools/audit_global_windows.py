@@ -51,6 +51,7 @@ EXEC_HEAVY = {
 #: documented compat mode); new names landing in `bad` are regressions
 ALLOWLIST = {
     "token_budget_allocation": "greedy prefix-sum over the per-source aggregate — one row per source, bounded by construction",
+    "t40_stream_token_budget": "same finale as token_budget_allocation over the per-source streaming snapshot — one row per source, bounded by construction",
     "w3_sequential_ids": "reference-compat sequential IDs; hash IDs are the default (SURVEY §7 scope)",
     "hybrid_search_rrf": "rank fusion over two k=50 shortlists — window input bounded by construction",
     "share_of_total": "percent-of-total over the 5-row segment aggregate (agg first, window on the aggregate)",
