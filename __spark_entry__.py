@@ -1516,12 +1516,31 @@ def q_idle_customer_balance(spark, sf):
 def q_centroids_ivf_train(spark, sf):
     """IVF training step: per-label centroid of the embedding column.
     posexplode to (label, dim, x) rows — explode ONCE, then one hash
-    aggregation (map-side combined); no UDFs, no driver-side matrix."""
+    aggregation (map-side combined); no UDFs, no driver-side matrix.
+    Exactness: elements micro-quantize BEFORE the sum (a raw avg() is
+    summation-order-dependent across engines — the resample_locf
+    lesson; the r8 seed-randomized fixture caught exactly this plus an
+    IEEE -0.0 from round(avg≈-1e-9)), so the mean is one division of
+    exact integers, floor-quantized at 6 dp on both sides."""
     emb = _t(spark, sf, "embeddings")
     ex = emb.select("label", F.posexplode("embedding").alias("dim", "x"))
-    return ex.groupBy("label", "dim").agg(
-        F.round(F.avg("x"), 6).alias("centroid"),
-        F.count("*").alias("n_vecs"),
+    q = F.floor(F.col("x").cast("double") * 1000000).cast("long")
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.sum(q).alias("_sm"),
+            F.count("*").alias("n_vecs"),
+        )
+        .select(
+            "label",
+            "dim",
+            (
+                F.floor(F.col("_sm").cast("double") / F.col("n_vecs"))
+                / 1e6
+                + 0.0
+            ).alias("centroid"),
+            "n_vecs",
+        )
     )
 
 
@@ -12010,11 +12029,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "centroids_ivf_train": """
             WITH ex AS (
-              SELECT label,
-                     unnest(range(len(embedding))) AS dim,
-                     unnest(embedding) AS x
-              FROM embeddings)
-            SELECT label, dim, round(avg(x), 6) AS centroid,
+              SELECT label, dim,
+                     CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                       AS q
+              FROM (SELECT label, unnest(embedding) AS x,
+                           unnest(range(len(embedding))) AS dim
+                    FROM embeddings))
+            SELECT label, dim,
+                   floor(CAST(sum(q) AS DOUBLE) / count(*)) / 1e6 + 0.0
+                     AS centroid,
                    count(*) AS n_vecs
             FROM ex GROUP BY label, dim
         """,
