@@ -531,3 +531,33 @@ def test_token_budget_allocation_conserves_budget(spark):
     assert out["c"]["alloc_tokens"] == 0        # over budget: zero
     assert sum(r["alloc_tokens"] for r in out.values()) == 300
     assert out["b"]["alloc_frac_q6"] == 0.5
+
+
+def test_bytebpe_and_nndescent_partitioning_invariance(spark, sf_dir):
+    """Distribution sanity: the byte-BPE merge table and the NN-descent
+    edge set are pure functions of the DATA, not of its partitioning —
+    rerunning on a differently-partitioned input yields identical
+    results (the property that makes the DuckDB replays meaningful)."""
+    from pdf_to_vectordb_etl_spark.operators.topk import nn_descent_graph
+
+    docs = load(spark, sf_dir, "documents")
+    m1 = sorted(
+        tuple(r) for r in ta.bpe_bytelevel_train_merges(docs, 6).collect()
+    )
+    m2 = sorted(
+        tuple(r)
+        for r in ta.bpe_bytelevel_train_merges(
+            docs.repartition(13), 6
+        ).collect()
+    )
+    assert m1 == m2
+
+    emb = load(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") >= 20) & (F.col("vec_id") < 220)
+    )
+    g1 = sorted(tuple(r) for r in nn_descent_graph(emb, 4, 2).collect())
+    g2 = sorted(
+        tuple(r)
+        for r in nn_descent_graph(emb.repartition(7), 4, 2).collect()
+    )
+    assert g1 == g2
