@@ -9798,6 +9798,82 @@ def q_t40_stream_token_budget(spark, sf):
     return token_budget_from_cells(snap, budget=200_000)
 
 
+def q_corpus_datasheet(spark, sf):
+    """One-row dataset card (Gebru et al. 2021 'Datasheets for
+    Datasets', public) — the summary a data consumer reads before
+    anything else: volume (docs/bytes/whitespace tokens), integrity
+    (NULL-text count), composition (language/source cardinality, top
+    language + share), exact-duplicate rate (the dedup_exact
+    normalization), PII document rate (composes the pinned pii_report
+    — its oracle body rides along verbatim as a subquery CTE), and the
+    length-gate quality rate (the fairness_report convention). All
+    rates are exact micro floor-divisions; two corpus aggregates + one
+    5-row top-lang cut + the PII rollup."""
+    docs = _t(spark, sf, "documents")
+    from pdf_to_vectordb_etl_spark.operators import textanalysis as ta
+
+    pii = q_pii_report(spark, sf).agg(
+        F.coalesce(F.sum("n_docs_with_pii"), F.lit(0))
+        .cast("long")
+        .alias("n_pii_docs")
+    )
+    t = F.coalesce(F.col("text"), F.lit(""))
+    norm = F.lower(F.regexp_replace(F.trim(t), r"\s+", " "))
+    base = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum(F.col("text").isNull().cast("int")), F.lit(0))
+        .cast("long")
+        .alias("n_null_text"),
+        F.coalesce(F.sum(F.octet_length(t)), F.lit(0))
+        .cast("long")
+        .alias("n_bytes"),
+        F.coalesce(F.sum(ta.token_count(t)), F.lit(0))
+        .cast("long")
+        .alias("n_ws_tokens"),
+        F.countDistinct(F.coalesce(F.col("lang"), F.lit("")))
+        .cast("long")
+        .alias("n_langs"),
+        F.countDistinct(F.coalesce(F.col("source"), F.lit("")))
+        .cast("long")
+        .alias("n_sources"),
+        F.countDistinct(norm).cast("long").alias("_nd"),
+        F.coalesce(
+            F.sum((F.col("n_chars") >= 150).cast("int")), F.lit(0)
+        )
+        .cast("long")
+        .alias("_nq"),
+    )
+    top = (
+        docs.groupBy(F.coalesce(F.col("lang"), F.lit("")).alias("lang"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_topn"))
+        .orderBy(F.desc("_topn"), "lang")
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"), "_topn")
+    )
+    return (
+        base.crossJoin(F.broadcast(top))
+        .crossJoin(F.broadcast(pii))
+        .selectExpr(
+            "n_docs",
+            "n_null_text",
+            "n_bytes",
+            "n_ws_tokens",
+            "n_langs",
+            "n_sources",
+            "top_lang",
+            "CASE WHEN n_docs > 0 THEN (CAST(_topn AS DECIMAL(38,0))"
+            " * 1000000 div n_docs) / 1e6 END AS top_lang_share_q6",
+            "CASE WHEN n_docs > 0 THEN"
+            " (CAST(n_docs - _nd AS DECIMAL(38,0))"
+            " * 1000000 div n_docs) / 1e6 END AS dup_doc_rate_q6",
+            "CASE WHEN n_docs > 0 THEN (CAST(n_pii_docs AS DECIMAL(38,0))"
+            " * 1000000 div n_docs) / 1e6 END AS pii_doc_rate_q6",
+            "CASE WHEN n_docs > 0 THEN (CAST(_nq AS DECIMAL(38,0))"
+            " * 1000000 div n_docs) / 1e6 END AS quality_rate_q6",
+        )
+    )
+
+
 def q_ann_nndescent_recall(spark, sf):
     """Graph-served ANN end-to-end: NN-descent kNN-graph build (Dong
     2011; deterministic ring init, 8 local-join rounds — edge recall
@@ -10258,6 +10334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_export_bytebpe": q_training_export_bytebpe,
         "token_budget_allocation": q_token_budget_allocation,
         "t40_stream_token_budget": q_t40_stream_token_budget,
+        "corpus_datasheet": q_corpus_datasheet,
         "t39_stream_auc_by_source": q_t39_stream_auc_by_source,
         "attribution_touch": q_attribution_touch,
         "benford_law": q_benford_law,
@@ -19681,6 +19758,62 @@ def oracle_sql() -> dict[str, str]:
         FROM a
     """
     d["t40_stream_token_budget"] = d["token_budget_allocation"]
+    # one-row dataset card: the pii_report oracle body rides along
+    # verbatim as a subquery CTE (the source_health composition
+    # precedent — nested WITH inside a parenthesized body is fine)
+    d["corpus_datasheet"] = (
+        r"""
+        WITH base AS (
+          SELECT coalesce(text, '') AS t, text AS rawt, lang, source,
+                 n_chars
+          FROM documents),
+        tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(coalesce(sum(CASE WHEN rawt IS NULL THEN 1
+                                   ELSE 0 END), 0) AS BIGINT)
+                   AS n_null_text,
+                 CAST(coalesce(sum(strlen(t)), 0) AS BIGINT) AS n_bytes,
+                 CAST(coalesce(sum(
+                   CASE WHEN length(trim(t)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(t), '\s+')) END),
+                   0) AS BIGINT) AS n_ws_tokens,
+                 CAST(count(DISTINCT coalesce(lang, '')) AS BIGINT)
+                   AS n_langs,
+                 CAST(count(DISTINCT coalesce(source, '')) AS BIGINT)
+                   AS n_sources,
+                 CAST(count(DISTINCT lower(regexp_replace(trim(t),
+                   '\s+', ' ', 'g'))) AS BIGINT) AS nd,
+                 CAST(coalesce(sum(CASE WHEN n_chars >= 150 THEN 1
+                                   ELSE 0 END), 0) AS BIGINT) AS nq
+          FROM base),
+        toplang AS (
+          SELECT coalesce(lang, '') AS top_lang,
+                 CAST(count(*) AS BIGINT) AS topn
+          FROM documents GROUP BY 1
+          ORDER BY topn DESC, top_lang LIMIT 1),
+        pii AS (
+          SELECT CAST(coalesce(sum(n_docs_with_pii), 0) AS BIGINT)
+                   AS n_pii_docs
+          FROM ("""
+        + d["pii_report"]
+        + r"""))
+        SELECT n_docs, n_null_text, n_bytes, n_ws_tokens, n_langs,
+               n_sources, top_lang,
+               CASE WHEN n_docs > 0 THEN
+                 CAST((CAST(topn AS HUGEINT) * 1000000) // n_docs
+                      AS BIGINT) / 1e6 END AS top_lang_share_q6,
+               CASE WHEN n_docs > 0 THEN
+                 CAST((CAST(n_docs - nd AS HUGEINT) * 1000000) // n_docs
+                      AS BIGINT) / 1e6 END AS dup_doc_rate_q6,
+               CASE WHEN n_docs > 0 THEN
+                 CAST((CAST(n_pii_docs AS HUGEINT) * 1000000) // n_docs
+                      AS BIGINT) / 1e6 END AS pii_doc_rate_q6,
+               CASE WHEN n_docs > 0 THEN
+                 CAST((CAST(nq AS HUGEINT) * 1000000) // n_docs
+                      AS BIGINT) / 1e6 END AS quality_rate_q6
+        FROM tot, toplang, pii
+    """
+    )
     d["wasserstein_drift"] = r"""
         WITH base AS (
           SELECT (event_type = 'purchase') AS in_b, event_id AS id,
