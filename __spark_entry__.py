@@ -9798,6 +9798,25 @@ def q_t40_stream_token_budget(spark, sf):
     return token_budget_from_cells(snap, budget=200_000)
 
 
+def q_packing_efficiency(spark, sf):
+    """Padding-waste readout of the training export's sequence
+    packing: per split, sequences cut, tokens carried, wasted pad
+    slots (n_seqs * budget - tokens) and utilization — the number that
+    prices a packing strategy at 100 TB (every wasted slot is paid
+    GPU time). Pure derivative of the pinned export report's 'packed'
+    stage; the oracle wraps that report's SQL body verbatim."""
+    rep = q_training_export_report(spark, sf).filter("stage = 'packed'")
+    return rep.selectExpr(
+        "split",
+        "n_docs",
+        "n_tokens",
+        "n_seqs",
+        "n_seqs * 256 - n_tokens AS waste_tokens",
+        "CASE WHEN n_seqs > 0 THEN (CAST(n_tokens AS DECIMAL(38,0))"
+        " * 1000000 div (n_seqs * 256)) / 1e6 END AS utilization_q6",
+    )
+
+
 def q_corpus_datasheet(spark, sf):
     """One-row dataset card (Gebru et al. 2021 'Datasheets for
     Datasets', public) — the summary a data consumer reads before
@@ -10335,6 +10354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_allocation": q_token_budget_allocation,
         "t40_stream_token_budget": q_t40_stream_token_budget,
         "corpus_datasheet": q_corpus_datasheet,
+        "packing_efficiency": q_packing_efficiency,
         "t39_stream_auc_by_source": q_t39_stream_auc_by_source,
         "attribution_touch": q_attribution_touch,
         "benford_law": q_benford_law,
@@ -19758,6 +19778,17 @@ def oracle_sql() -> dict[str, str]:
         FROM a
     """
     d["t40_stream_token_budget"] = d["token_budget_allocation"]
+    # padding-waste readout over the pinned export replay's packed rows
+    d["packing_efficiency"] = (
+        "SELECT split, n_docs, n_tokens, n_seqs,\n"
+        "       n_seqs * 256 - n_tokens AS waste_tokens,\n"
+        "       CASE WHEN n_seqs > 0 THEN\n"
+        "         CAST((CAST(n_tokens AS HUGEINT) * 1000000)\n"
+        "              // (n_seqs * 256) AS BIGINT) / 1e6\n"
+        "       END AS utilization_q6\n"
+        "FROM (" + d["training_export_report"] + ")\n"
+        "WHERE stage = 'packed'"
+    )
     # one-row dataset card: the pii_report oracle body rides along
     # verbatim as a subquery CTE (the source_health composition
     # precedent — nested WITH inside a parenthesized body is fine)
