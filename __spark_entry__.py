@@ -9798,6 +9798,18 @@ def q_t40_stream_token_budget(spark, sf):
     return token_budget_from_cells(snap, budget=200_000)
 
 
+def q_mixture_temperature_sweep(spark, sf):
+    """Sampling-temperature tuning table over sources: shares under
+    n^(1/T) for T in {0.5, 1, 2} — exponents chosen libm-pow-free
+    (square / identity / sqrt), per-T totals as ordered folds over the
+    group-sorted bounded list so the IEEE sum sequence is identical in
+    both engines. See curation.mixture_temperature_sweep."""
+    from pdf_to_vectordb_etl_spark.operators import curation
+
+    docs = _t(spark, sf, "documents")
+    return curation.mixture_temperature_sweep(docs, by="source")
+
+
 def q_packing_efficiency(spark, sf):
     """Padding-waste readout of the training export's sequence
     packing: per split, sequences cut, tokens carried, wasted pad
@@ -10355,6 +10367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t40_stream_token_budget": q_t40_stream_token_budget,
         "corpus_datasheet": q_corpus_datasheet,
         "packing_efficiency": q_packing_efficiency,
+        "mixture_temperature_sweep": q_mixture_temperature_sweep,
         "t39_stream_auc_by_source": q_t39_stream_auc_by_source,
         "attribution_touch": q_attribution_touch,
         "benford_law": q_benford_law,
@@ -19778,6 +19791,35 @@ def oracle_sql() -> dict[str, str]:
         FROM a
     """
     d["t40_stream_token_budget"] = d["token_budget_allocation"]
+    # temperature sweep: libm-pow-free weights, ordered-fold totals
+    d["mixture_temperature_sweep"] = r"""
+        WITH per AS (
+          SELECT coalesce(source, '') AS grp,
+                 CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY 1),
+        sweep AS (
+          SELECT grp, n_docs, e.t AS t, e.w AS w
+          FROM (SELECT grp, n_docs,
+                       unnest([
+                         {'t': '0.5',
+                          'w': CAST(n_docs AS DOUBLE)
+                               * CAST(n_docs AS DOUBLE)},
+                         {'t': '1.0', 'w': CAST(n_docs AS DOUBLE)},
+                         {'t': '2.0',
+                          'w': sqrt(CAST(n_docs AS DOUBLE))}]) AS e
+                FROM per)),
+        totals AS (
+          SELECT t,
+                 list_reduce(
+                   list_transform(
+                     list_sort(list({'grp': grp, 'w': w})),
+                     s -> s.w),
+                   (a, b) -> a + b) AS total
+          FROM sweep GROUP BY t)
+        SELECT t, grp AS source, n_docs,
+               floor(w / total * 1000000.0) / 1e6 AS share_q6
+        FROM sweep JOIN totals USING (t)
+    """
     # padding-waste readout over the pinned export replay's packed rows
     d["packing_efficiency"] = (
         "SELECT split, n_docs, n_tokens, n_seqs,\n"

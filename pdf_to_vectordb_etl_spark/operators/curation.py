@@ -971,3 +971,54 @@ def token_budget_from_cells(
             " div n_tokens) / 1e6 END"
         ).alias("alloc_frac_q6"),
     )
+
+
+def mixture_temperature_sweep(
+    df: DataFrame,
+    by: str = "source",
+) -> DataFrame:
+    """Mixture-temperature tuning table (the T5/PaLM sampling-
+    temperature knob, public): per-group sampling shares under
+    w_g ∝ n_g^(1/T) for T ∈ {0.5, 1, 2} — the curve a curation team
+    reads to pick how hard to flatten source imbalance.
+
+    Cross-engine exactness without integer grids: the three exponents
+    are chosen so every weight is deterministic per value (n² exact,
+    n exact, sqrt correctly rounded under IEEE — no libm pow), and the
+    per-T total is an ORDERED FOLD over the group-sorted bounded list
+    (sort_array + aggregate here, list_sort + list_reduce in the
+    oracle; same summand sequence → same IEEE sum), so share =
+    floor(w/total·1e6) cannot split. Group table is #groups rows —
+    everything after the one corpus agg is bounded."""
+    per = df.groupBy(
+        F.coalesce(F.col(by), F.lit("")).alias("grp")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    n = F.col("n_docs").cast("double")
+    sweep = per.select(
+        "grp",
+        "n_docs",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("0.5").alias("t"), (n * n).alias("w")
+                ),
+                F.struct(F.lit("1.0").alias("t"), n.alias("w")),
+                F.struct(F.lit("2.0").alias("t"), F.sqrt(n).alias("w")),
+            )
+        ).alias("e"),
+    ).select("grp", "n_docs", "e.t", "e.w")
+    totals = sweep.groupBy("t").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("grp", "w"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["w"],
+        ).alias("total")
+    )
+    return sweep.join(F.broadcast(totals), "t").select(
+        "t",
+        F.col("grp").alias(by),
+        "n_docs",
+        (
+            F.floor(F.col("w") / F.col("total") * 1000000.0) / 1e6
+        ).alias("share_q6"),
+    )
