@@ -31,6 +31,47 @@ from pdf_to_vectordb_etl_spark.operators import (
 SENTINEL = "não achou a questão"
 
 
+def _cents(col, scale: int = 100):
+    """Exact integer units from a fixed-2-dp-valued double column: the
+    stored double is the nearest double to k/100, so floor(x*100+0.5)
+    recovers k exactly — the same two IEEE ops in DuckDB. Basis of the
+    exact TPC-H revenue aggregates (r8 randfix catch, seed 1786880637:
+    round(sum(ext*(1-disc)), 2) is summation-order-dependent, and the
+    exact 4-dp sum sits ON a .005 half-up boundary whenever it ends in
+    ..50 — a ~1% coin flip per output row on fresh data)."""
+    return F.floor(col * scale + F.lit(0.5)).cast("long")
+
+
+def _rev_e4():
+    """Per-row revenue l_extendedprice*(1-l_discount) in EXACT 1e-4
+    units: cents(ext) * (100 - cents(disc)). DECIMAL(38,0) so the SUM
+    cannot wrap at corpus scale (the per-row product is < 1e9 — the
+    cast costs nothing; DuckDB's BIGINT sum widens to HUGEINT on its
+    own)."""
+    return (
+        _cents(F.col("l_extendedprice"))
+        * (F.lit(100) - _cents(F.col("l_discount")))
+    ).cast("decimal(38,0)")
+
+
+def _e4_to_2dp(sum_col):
+    """Half-up 2-dp value from an exact NONNEGATIVE 1e-4 integer sum:
+    floor((s+50)/100)/100 — integer-exact, engine-identical."""
+    return F.floor((sum_col + F.lit(50)).cast("double") / 100) / 100.0
+
+
+# the DuckDB twins of the three helpers above (kept adjacent so the
+# two dialects can be eyeballed together)
+_REV_E4_SQL = (
+    "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    " * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))"
+)
+
+
+def _e4_to_2dp_sql(sum_sql: str) -> str:
+    return f"floor((CAST({sum_sql} AS DOUBLE) + 50) / 100) / 100.0"
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # testdata parquet carries TIMESTAMP(NANOS), which Spark has no type
     # for: read as long (nanos since epoch). Set at runtime so a driver-
@@ -170,9 +211,7 @@ def q_star_shipping_priority(spark, sf):
     return (
         j.groupBy("l_orderkey", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            _e4_to_2dp(F.sum(_rev_e4())).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.col("l_orderkey"))
         .limit(10)
@@ -208,9 +247,7 @@ def q_star_region_volume(spark, sf):
         )
     )
     return j.groupBy("n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        )
+        _e4_to_2dp(F.sum(_rev_e4())).alias("revenue")
     )
 
 
@@ -417,9 +454,7 @@ def q_a1_groupby_agg(spark, sf):
         .agg(
             F.count("*").alias("n"),
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            _e4_to_2dp(F.sum(_rev_e4())).alias("revenue"),
         )
     )
 
@@ -665,9 +700,7 @@ def q_rollup_revenue(spark, sf):
         .agg(
             F.count("*").alias("n"),
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            _e4_to_2dp(F.sum(_rev_e4())).alias("revenue"),
         )
     )
 
@@ -1389,9 +1422,7 @@ def q_interval_ship_join(spark, sf):
     )
     return j.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_lines"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        _e4_to_2dp(F.sum(_rev_e4())).alias("revenue"),
     )
 
 
@@ -2330,8 +2361,9 @@ def q_disjunctive_revenue(spark, sf):
         | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 40)
            & F.col("p_size").between(1, 30))
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return j.filter(cond).agg(F.round(F.sum(rev), 2).alias("revenue"))
+    return j.filter(cond).agg(
+        _e4_to_2dp(F.sum(_rev_e4())).alias("revenue")
+    )
 
 
 def q_string_surface(spark, sf):
@@ -4813,9 +4845,7 @@ def q_top_supplier_revenue(spark, sf):
         )
         .groupBy("l_suppkey")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("total_rev")
+            _e4_to_2dp(F.sum(_rev_e4())).alias("total_rev")
         )
     )
     mx = rev.agg(F.max("total_rev").alias("m"))
@@ -5084,12 +5114,22 @@ def q_pricing_summary(spark, sf):
     this is the best-case shape: scan + map-side combine + 6-row
     exchange."""
     li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "2001-08-01")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # disc price / charge are 4-dp / 6-dp-grid exact products — summed
+    # as exact integers (the _rev_e4 catch); base price / qty sums sit
+    # ON their own output grid so plain round cannot split
+    charge_e6 = (
+        _cents(F.col("l_extendedprice"))
+        * (F.lit(100) - _cents(F.col("l_discount")))
+        * (F.lit(100) + _cents(F.col("l_tax")))
+    ).cast("decimal(38,0)")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 1).alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc), 2).alias("sum_disc_price"),
-        F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        _e4_to_2dp(F.sum(_rev_e4())).alias("sum_disc_price"),
+        (
+            F.floor((F.sum(charge_e6) + F.lit(5000)).cast("double") / 10000)
+            / 100.0
+        ).alias("sum_charge"),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
         F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
         F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -5171,9 +5211,14 @@ def q_product_profit(spark, sf):
         .filter(F.col("p_name").like("%red%"))
         .select("p_partkey", "p_retailprice")
     )
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.8 * F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity")
+    # profit in exact 1e-4 units: rev_e4 - 0.8*retail*qty where
+    # retail is 1-dp (deci-units d: 0.8*d/10*qty = 800*d*qty in e4);
+    # quantities are integral doubles
+    profit_e4 = _rev_e4() - (
+        F.lit(800)
+        * _cents(F.col("p_retailprice"), 10)
+        * F.col("l_quantity").cast("long")
+    ).cast("decimal(38,0)")
     j = (
         li.join(p, li["l_partkey"] == p["p_partkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
@@ -5182,7 +5227,19 @@ def q_product_profit(spark, sf):
     )
     return (
         j.groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .agg(
+            # signed half-up: sign * floor((|s|+50)/100) / 100 — the
+            # BigDecimal HALF_UP convention, from exact integers
+            (
+                F.signum(F.sum(profit_e4).cast("double"))
+                * F.floor(
+                    (F.abs(F.sum(profit_e4)) + F.lit(50)).cast("double")
+                    / 100
+                )
+                / 100.0
+                + 0.0
+            ).alias("profit")
+        )
     )
 
 
@@ -11231,7 +11288,7 @@ def oracle_sql() -> dict[str, str]:
         "a1_groupby_agg": """
             SELECT l_returnflag, l_linestatus, count(*) AS n,
                    round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   floor((CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) + 50) / 100) / 100.0 AS revenue
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "a2_ordered_concat": """
@@ -11718,7 +11775,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_revenue": """
             SELECT l_returnflag, l_linestatus, count(*) AS n,
                    round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   floor((CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) + 50) / 100) / 100.0 AS revenue
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "fuzzy_levenshtein": r"""
@@ -11980,7 +12037,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "star_shipping_priority": """
             SELECT l_orderkey, o_orderpriority,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   floor((CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) + 50) / 100) / 100.0 AS revenue
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
@@ -11993,7 +12050,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "star_region_volume": """
             SELECT n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   floor((CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) + 50) / 100) / 100.0 AS revenue
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
@@ -12102,7 +12159,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "interval_ship_join": """
             SELECT o_orderpriority, count(*) AS n_lines,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   floor((CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) + 50) / 100) / 100.0 AS revenue
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE l_shipdate >= o_orderdate
               AND l_shipdate < o_orderdate + INTERVAL 30 DAY
@@ -15879,8 +15936,7 @@ def oracle_sql() -> dict[str, str]:
         "top_supplier_revenue": """
             WITH rev AS (
               SELECT l_suppkey,
-                     round(sum(l_extendedprice * (1 - l_discount)), 2)
-                       AS total_rev
+                     floor((CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) + 50) / 100) / 100.0 AS total_rev
               FROM lineitem
               WHERE l_shipdate >= TIMESTAMP '1995-01-01'
                 AND l_shipdate < TIMESTAMP '1995-04-01'
@@ -16098,9 +16154,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 1) AS sum_qty,
                    round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
-                     AS sum_charge,
+                   floor((CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) + 50) / 100) / 100.0 AS sum_disc_price,
+                   floor((CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT))) AS DOUBLE) + 5000) / 10000) / 100.0 AS sum_charge,
                    round(avg(l_quantity), 4) AS avg_qty,
                    round(avg(l_extendedprice), 4) AS avg_price,
                    round(avg(l_discount), 6) AS avg_disc,
@@ -16134,8 +16189,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "product_profit": """
             SELECT sn.n_name AS nation, year(o_orderdate) AS o_year,
-                   round(sum(l_extendedprice * (1 - l_discount)
-                             - 0.8 * p_retailprice * l_quantity), 2) AS profit
+                   CASE WHEN sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) - 800 * CAST(floor(p_retailprice * 10 + 0.5) AS BIGINT) * CAST(l_quantity AS BIGINT)) >= 0 THEN 1.0 ELSE -1.0 END
+                   * floor((CAST(abs(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) - 800 * CAST(floor(p_retailprice * 10 + 0.5) AS BIGINT) * CAST(l_quantity AS BIGINT))) AS DOUBLE) + 50) / 100)
+                   / 100.0 + 0.0 AS profit
             FROM lineitem
             JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
             JOIN orders ON l_orderkey = o_orderkey

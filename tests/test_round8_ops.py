@@ -440,16 +440,17 @@ def test_random_fixture_matches_testdata_schemas(sf_dir):
 
     import pyarrow.parquet as pq
 
+    # PRIVATE output dir: regenerating the gate's fixture path here
+    # raced a concurrently-running full-registry sweep once (Spark and
+    # DuckDB read different corpora mid-query -> phantom failures)
+    gen = "/tmp/spark_graft_randfix_testgen"
     subprocess.run(
-        [_sys.executable, "tools/make_random_fixture.py", "424242"],
+        [_sys.executable, "tools/make_random_fixture.py", "424242", gen],
         check=True,
         env={"PATH": "/usr/bin:/bin"},
         cwd="/root/repo",
         capture_output=True,
     )
-    # the generator writes to a fixed path; re-point by copying is
-    # unnecessary — compare in place
-    gen = "/tmp/spark_graft_randfix"
     tables = [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",

@@ -12,10 +12,14 @@ EAST, NATION_0..24 round-robin, p_type 6 values, Brand#1..25, order
 years 1995-2001, event types view/click/purchase/signup/error, the
 31-word document vocabulary), new values each run.
 
-Usage: python tools/make_random_fixture.py [seed]
+Usage: python tools/make_random_fixture.py [seed] [out_dir]
 Prints the seed (reproduce a catch by re-running with it) and writes
-parquet to /tmp/spark_graft_randfix. Gate step: sweep with
-`python tools/check_oracle.py --sf /tmp/spark_graft_randfix`.
+parquet to out_dir (default /tmp/spark_graft_randfix). Gate step:
+sweep with `python tools/check_oracle.py --sf /tmp/spark_graft_randfix`.
+Anything OTHER than the gate (tests, probes) must pass its own
+out_dir: a concurrent regeneration of the gate's path mid-sweep makes
+Spark and DuckDB read different corpora (observed — 5 phantom dedup
+"failures" from a pytest/gate race).
 """
 
 from __future__ import annotations
@@ -29,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-OUT = "/tmp/spark_graft_randfix"
+DEFAULT_OUT = "/tmp/spark_graft_randfix"
 
 REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
@@ -48,6 +52,9 @@ VOCAB = (
 
 def main() -> None:
     seed = int(sys.argv[1]) if len(sys.argv) > 1 else int(time.time())
+    out = sys.argv[2] if len(sys.argv) > 2 else DEFAULT_OUT
+    global OUT
+    OUT = out
     print(f"make_random_fixture seed = {seed}")
     rng = random.Random(seed)
     nprng = np.random.default_rng(seed)
