@@ -54,10 +54,21 @@ def _rev_e4():
     ).cast("decimal(38,0)")
 
 
-def _e4_to_2dp(sum_col):
-    """Half-up 2-dp value from an exact NONNEGATIVE 1e-4 integer sum:
-    floor((s+50)/100)/100 — integer-exact, engine-identical."""
-    return F.floor((sum_col + F.lit(50)).cast("double") / 100) / 100.0
+def _e4_to_2dp(sum_col, unit: int = 100):
+    """Half-up 2-dp value from an exact NONNEGATIVE integer sum in
+    1/(100*unit)-dollar units: ((s + unit/2) // unit) / 100 — the
+    half-up happens ENTIRELY in integer arithmetic (subtract-modulo
+    exact DECIMAL floor-division; decimal `/` of an exactly-divisible
+    value never rounds, and `div`'s BIGINT result would wrap at huge
+    quotients), and only the final integer cents value is cast to
+    double. The previous form added the 50 in decimal but divided in
+    DOUBLE — which commutes with the oracle's cast-then-add only while
+    the sum fits in 53 bits (pricing_summary's charge sum is already
+    56% of 2^53 at sf0.1)."""
+    h = sum_col + F.lit(unit // 2)
+    return (
+        ((h - h % F.lit(unit)) / F.lit(unit)).cast("double") / 100.0
+    )
 
 
 # the DuckDB twins of the three helpers above (kept adjacent so the
@@ -68,8 +79,13 @@ _REV_E4_SQL = (
 )
 
 
-def _e4_to_2dp_sql(sum_sql: str) -> str:
-    return f"floor((CAST({sum_sql} AS DOUBLE) + 50) / 100) / 100.0"
+def _e4_to_2dp_sql(sum_sql: str, unit: int = 100) -> str:
+    # HUGEINT floor-division (nonneg => floor == truncate), cast to
+    # double only AFTER — the integer half-up mirrors _e4_to_2dp
+    # exactly at any magnitude.
+    return (
+        f"CAST(({sum_sql} + {unit // 2}) // {unit} AS DOUBLE) / 100.0"
+    )
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -4608,10 +4624,13 @@ def _bpe_bytelevel_oracle_sql(n_merges: int, what: str) -> str:
             blv{k} AS MATERIALIZED (
               SELECT w, freq,
                      replace(s,
-                       ' ' || (SELECT l FROM blm{k}) || '  '
-                           || (SELECT r FROM blm{k}) || ' ',
-                       ' ' || (SELECT l FROM blm{k})
-                           || (SELECT r FROM blm{k}) || ' ') AS s
+                       ' ' || coalesce((SELECT l FROM blm{k}), chr(1))
+                           || '  '
+                           || coalesce((SELECT r FROM blm{k}), chr(1))
+                           || ' ',
+                       ' ' || coalesce((SELECT l FROM blm{k}), chr(1))
+                           || coalesce((SELECT r FROM blm{k}), chr(1))
+                           || ' ') AS s
               FROM blv{k - 1})"""
         )
     if what == "train":
@@ -5126,10 +5145,7 @@ def q_pricing_summary(spark, sf):
         F.round(F.sum("l_quantity"), 1).alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
         _e4_to_2dp(F.sum(_rev_e4())).alias("sum_disc_price"),
-        (
-            F.floor((F.sum(charge_e6) + F.lit(5000)).cast("double") / 10000)
-            / 100.0
-        ).alias("sum_charge"),
+        _e4_to_2dp(F.sum(charge_e6), unit=10000).alias("sum_charge"),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
         F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
         F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -5228,15 +5244,13 @@ def q_product_profit(spark, sf):
     return (
         j.groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         .agg(
-            # signed half-up: sign * floor((|s|+50)/100) / 100 — the
-            # BigDecimal HALF_UP convention, from exact integers
+            # signed half-up: sign * ((|s|+50) // 100) / 100 — the
+            # BigDecimal HALF_UP convention, from exact integers; the
+            # magnitude half-up runs entirely in integer arithmetic
+            # (_e4_to_2dp) so it never commutes through a double
             (
                 F.signum(F.sum(profit_e4).cast("double"))
-                * F.floor(
-                    (F.abs(F.sum(profit_e4)) + F.lit(50)).cast("double")
-                    / 100
-                )
-                / 100.0
+                * _e4_to_2dp(F.abs(F.sum(profit_e4)))
                 + 0.0
             ).alias("profit")
         )
@@ -9539,10 +9553,13 @@ def _export_bytebpe_oracle_sql(n_merges: int = 8) -> str:
             bv{k} AS MATERIALIZED (
               SELECT freq,
                      replace(s,
-                       ' ' || (SELECT l FROM bbm{k}) || '  '
-                           || (SELECT r FROM bbm{k}) || ' ',
-                       ' ' || (SELECT l FROM bbm{k})
-                           || (SELECT r FROM bbm{k}) || ' ') AS s
+                       ' ' || coalesce((SELECT l FROM bbm{k}), chr(1))
+                           || '  '
+                           || coalesce((SELECT r FROM bbm{k}), chr(1))
+                           || ' ',
+                       ' ' || coalesce((SELECT l FROM bbm{k}), chr(1))
+                           || coalesce((SELECT r FROM bbm{k}), chr(1))
+                           || ' ') AS s
               FROM bv{k - 1})"""
         )
     fv = [
@@ -9823,7 +9840,7 @@ def q_t40_stream_token_budget(spark, sf):
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf)
-        .groupBy("source")
+        .groupBy(F.coalesce(F.col("source"), F.lit("")).alias("source"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.coalesce(
@@ -11288,7 +11305,7 @@ def oracle_sql() -> dict[str, str]:
         "a1_groupby_agg": """
             SELECT l_returnflag, l_linestatus, count(*) AS n,
                    round(sum(l_quantity), 2) AS sum_qty,
-                   floor((CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) + 50) / 100) / 100.0 AS revenue
+                   CAST((sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100.0 AS revenue
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "a2_ordered_concat": """
@@ -11775,7 +11792,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_revenue": """
             SELECT l_returnflag, l_linestatus, count(*) AS n,
                    round(sum(l_quantity), 2) AS sum_qty,
-                   floor((CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) + 50) / 100) / 100.0 AS revenue
+                   CAST((sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100.0 AS revenue
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "fuzzy_levenshtein": r"""
@@ -12037,7 +12054,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "star_shipping_priority": """
             SELECT l_orderkey, o_orderpriority,
-                   floor((CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) + 50) / 100) / 100.0 AS revenue
+                   CAST((sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100.0 AS revenue
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
@@ -12050,7 +12067,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "star_region_volume": """
             SELECT n_name,
-                   floor((CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) + 50) / 100) / 100.0 AS revenue
+                   CAST((sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100.0 AS revenue
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
@@ -12159,7 +12176,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "interval_ship_join": """
             SELECT o_orderpriority, count(*) AS n_lines,
-                   floor((CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) + 50) / 100) / 100.0 AS revenue
+                   CAST((sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100.0 AS revenue
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE l_shipdate >= o_orderdate
               AND l_shipdate < o_orderdate + INTERVAL 30 DAY
@@ -15936,7 +15953,7 @@ def oracle_sql() -> dict[str, str]:
         "top_supplier_revenue": """
             WITH rev AS (
               SELECT l_suppkey,
-                     floor((CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) + 50) / 100) / 100.0 AS total_rev
+                     CAST((sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100.0 AS total_rev
               FROM lineitem
               WHERE l_shipdate >= TIMESTAMP '1995-01-01'
                 AND l_shipdate < TIMESTAMP '1995-04-01'
@@ -16154,8 +16171,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 1) AS sum_qty,
                    round(sum(l_extendedprice), 2) AS sum_base_price,
-                   floor((CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) + 50) / 100) / 100.0 AS sum_disc_price,
-                   floor((CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT))) AS DOUBLE) + 5000) / 10000) / 100.0 AS sum_charge,
+                   CAST((sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100.0 AS sum_disc_price,
+                   CAST((sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT))) + 5000) // 10000 AS DOUBLE) / 100.0 AS sum_charge,
                    round(avg(l_quantity), 4) AS avg_qty,
                    round(avg(l_extendedprice), 4) AS avg_price,
                    round(avg(l_discount), 6) AS avg_disc,
@@ -16190,8 +16207,8 @@ def oracle_sql() -> dict[str, str]:
         "product_profit": """
             SELECT sn.n_name AS nation, year(o_orderdate) AS o_year,
                    CASE WHEN sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) - 800 * CAST(floor(p_retailprice * 10 + 0.5) AS BIGINT) * CAST(l_quantity AS BIGINT)) >= 0 THEN 1.0 ELSE -1.0 END
-                   * floor((CAST(abs(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) - 800 * CAST(floor(p_retailprice * 10 + 0.5) AS BIGINT) * CAST(l_quantity AS BIGINT))) AS DOUBLE) + 50) / 100)
-                   / 100.0 + 0.0 AS profit
+                   * (CAST((abs(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) - 800 * CAST(floor(p_retailprice * 10 + 0.5) AS BIGINT) * CAST(l_quantity AS BIGINT))) + 50) // 100 AS DOUBLE) / 100.0)
+                   + 0.0 AS profit
             FROM lineitem
             JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
             JOIN orders ON l_orderkey = o_orderkey
@@ -19820,7 +19837,7 @@ def oracle_sql() -> dict[str, str]:
     # sum over the per-source aggregate
     d["token_budget_allocation"] = r"""
         WITH per AS (
-          SELECT source,
+          SELECT coalesce(source, '') AS source,
                  CAST(sum(CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END)
                       AS HUGEINT) * 1000000 // count(*) AS qm,
                  CAST(coalesce(sum(
@@ -19828,7 +19845,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(string_split_regex(
                                trim(coalesce(text, '')), '\s+')) END),
                    0) AS BIGINT) AS n_tokens
-          FROM documents GROUP BY source),
+          FROM documents GROUP BY coalesce(source, '')),
         a AS (
           SELECT source, qm, n_tokens,
                  coalesce(sum(n_tokens) OVER (

@@ -883,10 +883,16 @@ def token_budget_allocation(
     one row per source, kilobytes at any corpus scale). Returns per
     group: (group, quality_q6, n_tokens, alloc_tokens, alloc_frac_q6)
     with sum(alloc_tokens) == min(budget, total tokens).
+
+    NULL group keys coalesce to '' BEFORE grouping (the
+    mixture_temperature_sweep convention): the prefix window orders by
+    (quality DESC, key), and a NULL key that ties on quality sorts
+    NULLS FIRST in Spark but NULLS LAST in DuckDB — which would shift
+    the greedy prefix and every downstream allocation.
     """
     from pyspark.sql import Window
 
-    per = df.groupBy(by).agg(
+    per = df.groupBy(F.coalesce(F.col(by), F.lit("")).alias(by)).agg(
         quality.alias("_q_micro"),
         F.coalesce(F.sum(tokens), F.lit(0)).cast("long").alias("n_tokens"),
     )
@@ -925,8 +931,10 @@ def token_budget_cells(
     """Associative per-group state behind
     :func:`token_budget_from_cells` — (group, n_docs, n_pass,
     n_tokens), all plain sums, so a streaming aggregation maintains it
-    live (state = one row per group) and the T40 twin snapshots it."""
-    return df.groupBy(by).agg(
+    live (state = one row per group) and the T40 twin snapshots it.
+    NULL group keys coalesce to '' (the cross-engine NULL-rank-order
+    convention — see token_budget_allocation)."""
+    return df.groupBy(F.coalesce(F.col(by), F.lit("")).alias(by)).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.coalesce(F.sum(pass_cond.cast("int")), F.lit(0))
         .cast("long")
@@ -941,11 +949,14 @@ def token_budget_from_cells(
     """Finale of the greedy token-budget fill over the pre-aggregated
     cell table — the exact micro-int quality, ranking, bounded global
     prefix window and allocation of :func:`token_budget_allocation`,
-    shared verbatim by the batch query and the T40 stream twin."""
+    shared verbatim by the batch query and the T40 stream twin.
+    Defensively coalesces a NULL key to '' (the cells builders already
+    do — this covers raw-cells callers) so the tie-break rank order is
+    engine-independent."""
     from pyspark.sql import Window
 
     per = cells.select(
-        by,
+        F.coalesce(F.col(by), F.lit("")).alias(by),
         F.expr(
             "CAST(n_pass AS DECIMAL(38,0)) * 1000000 div n_docs"
         ).alias("_q_micro"),

@@ -124,16 +124,25 @@ def export_training_data(
             "w",
             F.size(F.split(F.trim(s_col), "  ")).cast("long").alias("_np"),
         ).localCheckpoint(eager=True)
+        # explode_outer + left join: a split doc whose text yields ZERO
+        # GPT-2 pre-tokens must stay on the accounting spine with
+        # n_tokens 0 (the unigram branch's r6 explode_outer lesson) —
+        # unreachable at min_words >= 1, but min_words=0 is public and
+        # the two tokenizer paths must agree on doc conservation
         enc = (
             d3.select(
                 id_col,
-                F.explode(ta.gpt2_pretokens(F.col(text_col))).alias("w"),
+                F.explode_outer(ta.gpt2_pretokens(F.col(text_col))).alias(
+                    "w"
+                ),
             )
-            .join(seg, "w")
+            .join(seg, "w", "left")
             .groupBy(id_col)
             .agg(
                 F.lit(0).cast("long").alias("n_oov_words"),
-                F.sum("_np").cast("long").alias("n_tokens"),
+                F.coalesce(F.sum("_np"), F.lit(0))
+                .cast("long")
+                .alias("n_tokens"),
             )
         )
     else:
