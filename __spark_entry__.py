@@ -700,10 +700,19 @@ def q_stats_quantiles(spark, sf):
     """Exact percentiles (median / p95) of event value per type —
     linear-interpolation semantics shared with DuckDB quantile_cont."""
     ev = _t(spark, sf, "events")
+    # mean from exact cents (r9 port — events.value sits on a 2-dp
+    # grid, so round(avg) lands ON 4-dp half-up boundaries at real
+    # rates and is summation-order-dependent); NaN drops on both sides
+    q = F.when(
+        ~F.isnan(F.col("value")), F.floor(F.col("value") * 100 + F.lit(0.5))
+    ).cast("long")
     return ev.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
         F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
-        F.round(F.avg("value"), 4).alias("mean"),
+        (
+            F.floor(F.sum(q).cast("double") * 100 / F.count(q)) / 1e4
+            + 0.0
+        ).alias("mean"),
     )
 
 
@@ -2168,11 +2177,18 @@ def q_histogram_equidepth(spark, sf):
         ).alias("bucket"),
         "value",
     )
+    # bucket mean from exact cents (r9 port — 2-dp-grid values make
+    # round(avg) land ON half-up boundaries; order-free integer sum)
+    q = F.when(
+        ~F.isnan(F.col("value")), F.floor(F.col("value") * 100 + F.lit(0.5))
+    ).cast("long")
     return b.groupBy("bucket").agg(
         F.count("*").alias("n"),
         F.round(F.min("value"), 4).alias("lo"),
         F.round(F.max("value"), 4).alias("hi"),
-        F.round(F.avg("value"), 2).alias("avg_value"),
+        (
+            F.floor(F.sum(q).cast("double") / F.count(q)) / 100.0 + 0.0
+        ).alias("avg_value"),
     )
 
 
@@ -2614,9 +2630,28 @@ def q_winsorize_values(spark, sf):
     ev = _t(spark, sf, "events")
     w = aggregates.winsorize(ev, "value", by="event_type",
                              lower_q=0.05, upper_q=0.95)
+    # exact-lattice means (r9 port): raw values sit on the 2-dp cents
+    # grid (exact +0.5 recovery); winsorized values include
+    # INTERPOLATED percentile clamps off that grid, so they floor onto
+    # the generic 1e-6 lattice (bit-identical doubles both engines)
+    qr = F.when(
+        ~F.isnan(F.col("value")), F.floor(F.col("value") * 100 + F.lit(0.5))
+    ).cast("long")
+    qw = F.when(
+        ~F.isnan(F.col("value_w")), F.floor(F.col("value_w") * 1000000)
+    ).cast("long")
     return w.groupBy("event_type").agg(
-        F.round(F.avg("value"), 2).alias("mean_raw"),
-        F.round(F.avg("value_w"), 2).alias("mean_winsorized"),
+        (
+            F.floor(F.sum(qr).cast("double") / F.count(qr)) / 100.0 + 0.0
+        ).alias("mean_raw"),
+        (
+            F.floor(
+                F.sum(qw).cast("double")
+                / (F.count(qw).cast("double") * 1e4)
+            )
+            / 100.0
+            + 0.0
+        ).alias("mean_winsorized"),
         F.round(F.min("value_w"), 4).alias("clip_lo"),
         F.round(F.max("value_w"), 4).alias("clip_hi"),
     )
@@ -5146,9 +5181,37 @@ def q_pricing_summary(spark, sf):
         F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
         _e4_to_2dp(F.sum(_rev_e4())).alias("sum_disc_price"),
         _e4_to_2dp(F.sum(charge_e6), unit=10000).alias("sum_charge"),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        # exact-grid means (r9 port): quantity is integer-valued,
+        # price 2-dp, discount 2-dp — round(avg) lands ON the output
+        # grids' half-up boundaries and is summation-order-dependent
+        (
+            F.floor(
+                F.sum(F.floor(F.col("l_quantity") + F.lit(0.5)))
+                .cast("double")
+                * 10000
+                / F.count(F.lit(1))
+            )
+            / 1e4
+            + 0.0
+        ).alias("avg_qty"),
+        (
+            F.floor(
+                F.sum(_cents(F.col("l_extendedprice"))).cast("double")
+                * 100
+                / F.count(F.lit(1))
+            )
+            / 1e4
+            + 0.0
+        ).alias("avg_price"),
+        (
+            F.floor(
+                F.sum(_cents(F.col("l_discount"))).cast("double")
+                * 10000
+                / F.count(F.lit(1))
+            )
+            / 1e6
+            + 0.0
+        ).alias("avg_disc"),
         F.count("*").alias("count_order"),
     )
 
@@ -7382,11 +7445,30 @@ def q_eval_mrr_ann(spark, sf):
             F.when(F.col("label") == F.col("qlabel"), F.col("rank"))
         ).alias("first_hit")
     )
+    # exact rational means (r9 port): ranks are 1..10, so 1/rank lives
+    # on the 1/2520 grid (lcm(1..10) — the eval_map_ann trick) and the
+    # hit rate is k/n; round(avg) of small-denominator rationals lands
+    # ON 6-dp boundaries at real rates. One exact-int division each.
+    hm = F.coalesce(F.expr("2520 div first_hit"), F.lit(0))
     return per_q.agg(
-        F.round(F.avg(F.coalesce(1.0 / F.col("first_hit"), F.lit(0.0))), 6)
-        .alias("mrr"),
-        F.round(
-            F.avg(F.col("first_hit").isNotNull().cast("int")), 6
+        (
+            F.floor(
+                F.sum(hm).cast("double")
+                * 1e6
+                / (F.count(F.lit(1)).cast("double") * 2520.0)
+            )
+            / 1e6
+            + 0.0
+        ).alias("mrr"),
+        (
+            F.floor(
+                F.sum(F.col("first_hit").isNotNull().cast("int"))
+                .cast("double")
+                * 1e6
+                / F.count(F.lit(1))
+            )
+            / 1e6
+            + 0.0
         ).alias("recall_at_10"),
         F.count("*").cast("long").alias("n_queries"),
     )
@@ -7751,7 +7833,16 @@ def q_ivf_recall_curve(spark, sf):
     return (
         per_q.groupBy("n_probe")
         .agg(
-            F.round(F.avg(F.col("_hit") / 10.0), 6).alias("recall_at_10"),
+            # exact k/(10n) rational (r9 port): hit counts are 0..10
+            # ints, so the mean is one exact integer division
+            (
+                F.floor(
+                    F.sum("_hit").cast("double") * 100000
+                    / F.count(F.lit(1))
+                )
+                / 1e6
+                + 0.0
+            ).alias("recall_at_10"),
             F.count("*").cast("long").alias("n_queries"),
         )
         .orderBy("n_probe")
@@ -10556,7 +10647,7 @@ WITH
               FROM sub0 s CROSS JOIN init0 c),
             x0 AS (SELECT cid, unnest(range(len(v))) AS dim, unnest(v) AS x
                      FROM a0 WHERE rn = 1),
-            d0 AS (SELECT cid, dim, round(avg(x), 6) AS cd FROM x0 GROUP BY cid, dim),
+            d0 AS (SELECT cid, dim, floor(CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / count(*)) / 1e6 + 0.0 AS cd FROM x0 GROUP BY cid, dim),
             cent0 AS (SELECT cid, list(cd ORDER BY dim) AS c FROM d0 GROUP BY cid),
             e0 AS (
               SELECT s.vec_id, s.v, c.cid,
@@ -10567,7 +10658,7 @@ WITH
                      FROM e0 WHERE rn = 1),
             r0 AS (
               SELECT y.vec_id, y.cid,
-                     sum((CAST(y.x AS DOUBLE) - d.cd) * (CAST(y.x AS DOUBLE) - d.cd)) AS sq
+                     sum(CAST(floor((CAST(y.x AS DOUBLE) - d.cd) * (CAST(y.x AS DOUBLE) - d.cd) * 1000000000000) AS BIGINT)) AS sq
               FROM y0 y JOIN d0 d ON d.cid = y.cid AND d.dim = y.dim
               GROUP BY y.vec_id, y.cid),
             sub1 AS (SELECT vec_id, embedding[17:32] AS v FROM embeddings),
@@ -10582,7 +10673,7 @@ WITH
               FROM sub1 s CROSS JOIN init1 c),
             x1 AS (SELECT cid, unnest(range(len(v))) AS dim, unnest(v) AS x
                      FROM a1 WHERE rn = 1),
-            d1 AS (SELECT cid, dim, round(avg(x), 6) AS cd FROM x1 GROUP BY cid, dim),
+            d1 AS (SELECT cid, dim, floor(CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / count(*)) / 1e6 + 0.0 AS cd FROM x1 GROUP BY cid, dim),
             cent1 AS (SELECT cid, list(cd ORDER BY dim) AS c FROM d1 GROUP BY cid),
             e1 AS (
               SELECT s.vec_id, s.v, c.cid,
@@ -10593,7 +10684,7 @@ WITH
                      FROM e1 WHERE rn = 1),
             r1 AS (
               SELECT y.vec_id, y.cid,
-                     sum((CAST(y.x AS DOUBLE) - d.cd) * (CAST(y.x AS DOUBLE) - d.cd)) AS sq
+                     sum(CAST(floor((CAST(y.x AS DOUBLE) - d.cd) * (CAST(y.x AS DOUBLE) - d.cd) * 1000000000000) AS BIGINT)) AS sq
               FROM y1 y JOIN d1 d ON d.cid = y.cid AND d.dim = y.dim
               GROUP BY y.vec_id, y.cid),
             sub2 AS (SELECT vec_id, embedding[33:48] AS v FROM embeddings),
@@ -10608,7 +10699,7 @@ WITH
               FROM sub2 s CROSS JOIN init2 c),
             x2 AS (SELECT cid, unnest(range(len(v))) AS dim, unnest(v) AS x
                      FROM a2 WHERE rn = 1),
-            d2 AS (SELECT cid, dim, round(avg(x), 6) AS cd FROM x2 GROUP BY cid, dim),
+            d2 AS (SELECT cid, dim, floor(CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / count(*)) / 1e6 + 0.0 AS cd FROM x2 GROUP BY cid, dim),
             cent2 AS (SELECT cid, list(cd ORDER BY dim) AS c FROM d2 GROUP BY cid),
             e2 AS (
               SELECT s.vec_id, s.v, c.cid,
@@ -10619,7 +10710,7 @@ WITH
                      FROM e2 WHERE rn = 1),
             r2 AS (
               SELECT y.vec_id, y.cid,
-                     sum((CAST(y.x AS DOUBLE) - d.cd) * (CAST(y.x AS DOUBLE) - d.cd)) AS sq
+                     sum(CAST(floor((CAST(y.x AS DOUBLE) - d.cd) * (CAST(y.x AS DOUBLE) - d.cd) * 1000000000000) AS BIGINT)) AS sq
               FROM y2 y JOIN d2 d ON d.cid = y.cid AND d.dim = y.dim
               GROUP BY y.vec_id, y.cid),
             sub3 AS (SELECT vec_id, embedding[49:64] AS v FROM embeddings),
@@ -10634,7 +10725,7 @@ WITH
               FROM sub3 s CROSS JOIN init3 c),
             x3 AS (SELECT cid, unnest(range(len(v))) AS dim, unnest(v) AS x
                      FROM a3 WHERE rn = 1),
-            d3 AS (SELECT cid, dim, round(avg(x), 6) AS cd FROM x3 GROUP BY cid, dim),
+            d3 AS (SELECT cid, dim, floor(CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / count(*)) / 1e6 + 0.0 AS cd FROM x3 GROUP BY cid, dim),
             cent3 AS (SELECT cid, list(cd ORDER BY dim) AS c FROM d3 GROUP BY cid),
             e3 AS (
               SELECT s.vec_id, s.v, c.cid,
@@ -10645,24 +10736,24 @@ WITH
                      FROM e3 WHERE rn = 1),
             r3 AS (
               SELECT y.vec_id, y.cid,
-                     sum((CAST(y.x AS DOUBLE) - d.cd) * (CAST(y.x AS DOUBLE) - d.cd)) AS sq
+                     sum(CAST(floor((CAST(y.x AS DOUBLE) - d.cd) * (CAST(y.x AS DOUBLE) - d.cd) * 1000000000000) AS BIGINT)) AS sq
               FROM y3 y JOIN d3 d ON d.cid = y.cid AND d.dim = y.dim
               GROUP BY y.vec_id, y.cid)
 
               SELECT 0 AS subspace, count(DISTINCT cid) AS n_codes_used,
-                     round(avg(sq), 4) AS avg_sq_err
+                     floor(CAST(sum(sq) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 100000000.0)) / 1e4 + 0.0 AS avg_sq_err
               FROM r0
               UNION ALL
               SELECT 1 AS subspace, count(DISTINCT cid) AS n_codes_used,
-                     round(avg(sq), 4) AS avg_sq_err
+                     floor(CAST(sum(sq) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 100000000.0)) / 1e4 + 0.0 AS avg_sq_err
               FROM r1
               UNION ALL
               SELECT 2 AS subspace, count(DISTINCT cid) AS n_codes_used,
-                     round(avg(sq), 4) AS avg_sq_err
+                     floor(CAST(sum(sq) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 100000000.0)) / 1e4 + 0.0 AS avg_sq_err
               FROM r2
               UNION ALL
               SELECT 3 AS subspace, count(DISTINCT cid) AS n_codes_used,
-                     round(avg(sq), 4) AS avg_sq_err
+                     floor(CAST(sum(sq) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 100000000.0)) / 1e4 + 0.0 AS avg_sq_err
               FROM r3
 """
 
@@ -10681,7 +10772,7 @@ WITH
               FROM sub0 s CROSS JOIN init0 c),
             x0 AS (SELECT cid, unnest(range(len(v))) AS dim, unnest(v) AS x
                      FROM a0 WHERE rn = 1),
-            d0 AS (SELECT cid, dim, round(avg(x), 6) AS cd FROM x0 GROUP BY cid, dim),
+            d0 AS (SELECT cid, dim, floor(CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / count(*)) / 1e6 + 0.0 AS cd FROM x0 GROUP BY cid, dim),
             cent0 AS (SELECT cid, list(cd ORDER BY dim) AS c FROM d0 GROUP BY cid),
             e0 AS (
               SELECT s.vec_id, s.v, c.cid,
@@ -10708,7 +10799,7 @@ WITH
               FROM sub1 s CROSS JOIN init1 c),
             x1 AS (SELECT cid, unnest(range(len(v))) AS dim, unnest(v) AS x
                      FROM a1 WHERE rn = 1),
-            d1 AS (SELECT cid, dim, round(avg(x), 6) AS cd FROM x1 GROUP BY cid, dim),
+            d1 AS (SELECT cid, dim, floor(CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / count(*)) / 1e6 + 0.0 AS cd FROM x1 GROUP BY cid, dim),
             cent1 AS (SELECT cid, list(cd ORDER BY dim) AS c FROM d1 GROUP BY cid),
             e1 AS (
               SELECT s.vec_id, s.v, c.cid,
@@ -10735,7 +10826,7 @@ WITH
               FROM sub2 s CROSS JOIN init2 c),
             x2 AS (SELECT cid, unnest(range(len(v))) AS dim, unnest(v) AS x
                      FROM a2 WHERE rn = 1),
-            d2 AS (SELECT cid, dim, round(avg(x), 6) AS cd FROM x2 GROUP BY cid, dim),
+            d2 AS (SELECT cid, dim, floor(CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / count(*)) / 1e6 + 0.0 AS cd FROM x2 GROUP BY cid, dim),
             cent2 AS (SELECT cid, list(cd ORDER BY dim) AS c FROM d2 GROUP BY cid),
             e2 AS (
               SELECT s.vec_id, s.v, c.cid,
@@ -10762,7 +10853,7 @@ WITH
               FROM sub3 s CROSS JOIN init3 c),
             x3 AS (SELECT cid, unnest(range(len(v))) AS dim, unnest(v) AS x
                      FROM a3 WHERE rn = 1),
-            d3 AS (SELECT cid, dim, round(avg(x), 6) AS cd FROM x3 GROUP BY cid, dim),
+            d3 AS (SELECT cid, dim, floor(CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / count(*)) / 1e6 + 0.0 AS cd FROM x3 GROUP BY cid, dim),
             cent3 AS (SELECT cid, list(cd ORDER BY dim) AS c FROM d3 GROUP BY cid),
             e3 AS (
               SELECT s.vec_id, s.v, c.cid,
@@ -10928,7 +11019,7 @@ def _ivfpq_oracle_sql(
             x{j} AS (SELECT cid, unnest(generate_series(1, {sub_dim})) AS dim,
                             unnest(v) AS x
                      FROM a{j}),
-            d{j} AS (SELECT cid, dim, round(avg(x), 6) AS cd
+            d{j} AS (SELECT cid, dim, floor(CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / count(*)) / 1e6 + 0.0 AS cd
                      FROM x{j} GROUP BY cid, dim),
             cent{j} AS (SELECT cid, list(cd ORDER BY dim) AS c
                         FROM d{j} GROUP BY cid),
@@ -11786,7 +11877,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    round(quantile_cont(value, 0.5), 4) AS p50,
                    round(quantile_cont(value, 0.95), 4) AS p95,
-                   round(avg(value), 4) AS mean
+                   floor(CAST(sum(CASE WHEN NOT isnan(value)
+                               THEN CAST(floor(value * 100 + 0.5)
+                                         AS BIGINT) END) AS DOUBLE) * 100
+                         / count(CASE WHEN NOT isnan(value)
+                                 THEN 1 END)) / 1e4 + 0.0 AS mean
             FROM events GROUP BY event_type
         """,
         "rollup_revenue": """
@@ -13049,7 +13144,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT cluster_id, unnest(range(len(embedding))) AS dim,
                      unnest(embedding) AS x
               FROM a1 WHERE rn = 1),
-            d1 AS (SELECT cluster_id, dim, round(avg(x), 6) AS c, count(*) AS n
+            d1 AS (SELECT cluster_id, dim, floor(CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / count(*)) / 1e6 + 0.0 AS c, count(*) AS n
                    FROM m1 GROUP BY cluster_id, dim),
             cent1 AS (SELECT cluster_id, list(c ORDER BY dim) AS centroid
                       FROM d1 GROUP BY cluster_id),
@@ -13063,7 +13158,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT cluster_id, unnest(range(len(embedding))) AS dim,
                      unnest(embedding) AS x
               FROM a2 WHERE rn = 1),
-            d2 AS (SELECT cluster_id, dim, round(avg(x), 6) AS c, count(*) AS n
+            d2 AS (SELECT cluster_id, dim, floor(CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / count(*)) / 1e6 + 0.0 AS c, count(*) AS n
                    FROM m2 GROUP BY cluster_id, dim)
             SELECT cluster_id, n AS n_members, dim, c FROM d2
         """,
@@ -13199,7 +13294,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT bucket, count(*) AS n,
                    round(min(value), 4) AS lo,
                    round(max(value), 4) AS hi,
-                   round(avg(value), 2) AS avg_value
+                   floor(CAST(sum(CASE WHEN NOT isnan(value)
+                               THEN CAST(floor(value * 100 + 0.5)
+                                         AS BIGINT) END) AS DOUBLE)
+                         / count(CASE WHEN NOT isnan(value) THEN 1 END))
+                     / 100.0 + 0.0 AS avg_value
             FROM b GROUP BY bucket
         """,
         "sessionize_native": """
@@ -13565,8 +13664,17 @@ def oracle_sql() -> dict[str, str]:
                      least(greatest(e.value, c.lo), c.hi) AS value_w
               FROM events e JOIN c USING (event_type))
             SELECT event_type,
-                   round(avg(value), 2) AS mean_raw,
-                   round(avg(value_w), 2) AS mean_winsorized,
+                   floor(CAST(sum(CASE WHEN NOT isnan(value)
+                               THEN CAST(floor(value * 100 + 0.5)
+                                         AS BIGINT) END) AS DOUBLE)
+                         / count(CASE WHEN NOT isnan(value) THEN 1 END))
+                     / 100.0 + 0.0 AS mean_raw,
+                   floor(CAST(sum(CASE WHEN NOT isnan(value_w)
+                               THEN CAST(floor(value_w * 1000000)
+                                         AS BIGINT) END) AS DOUBLE)
+                         / (CAST(count(CASE WHEN NOT isnan(value_w)
+                                       THEN 1 END) AS DOUBLE) * 10000.0))
+                     / 100.0 + 0.0 AS mean_winsorized,
                    round(min(value_w), 4) AS clip_lo,
                    round(max(value_w), 4) AS clip_hi
             FROM w GROUP BY event_type
@@ -16173,9 +16281,15 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice), 2) AS sum_base_price,
                    CAST((sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100.0 AS sum_disc_price,
                    CAST((sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT))) + 5000) // 10000 AS DOUBLE) / 100.0 AS sum_charge,
-                   round(avg(l_quantity), 4) AS avg_qty,
-                   round(avg(l_extendedprice), 4) AS avg_price,
-                   round(avg(l_discount), 6) AS avg_disc,
+                   floor(CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                              AS DOUBLE) * 10000 / count(*)) / 1e4 + 0.0
+                     AS avg_qty,
+                   floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                                       AS BIGINT)) AS DOUBLE) * 100
+                         / count(*)) / 1e4 + 0.0 AS avg_price,
+                   floor(CAST(sum(CAST(floor(l_discount * 100 + 0.5)
+                                       AS BIGINT)) AS DOUBLE) * 10000
+                         / count(*)) / 1e6 + 0.0 AS avg_disc,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '2001-08-01'
@@ -16446,11 +16560,20 @@ def oracle_sql() -> dict[str, str]:
               SELECT vec_id, unnest(generate_series(1, len(v))) AS dim,
                      unnest(v) AS x
               FROM e),
+            xq AS (
+              SELECT dim, q, CAST(q AS HUGEINT) * q AS qq
+              FROM (SELECT dim, CAST(floor(x * 1000000) AS BIGINT) AS q
+                    FROM x)),
             st AS (
-              SELECT dim, round(avg(x), 6) AS m,
-                     round(sqrt(greatest(avg(x * x) - avg(x) * avg(x), 0.0)), 6)
-                       AS s
-              FROM x GROUP BY dim),
+              SELECT dim,
+                     floor(CAST(sum(q) AS DOUBLE) / count(*)) / 1e6 + 0.0
+                       AS m,
+                     floor(sqrt(greatest(
+                         CAST(sum(qq) AS DOUBLE) / count(*) / 1e12
+                         - pow(CAST(sum(q) AS DOUBLE) / count(*) / 1e6,
+                               2),
+                         0.0)) * 1000000) / 1e6 + 0.0 AS s
+              FROM xq GROUP BY dim),
             arr AS (
               SELECT list(m ORDER BY dim) AS ms,
                      list(CASE WHEN s > 0 THEN s ELSE 1.0 END ORDER BY dim) AS ss
@@ -17289,14 +17412,17 @@ def oracle_sql() -> dict[str, str]:
             binsq AS (
               SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin,
                      CAST(count(*) AS BIGINT) AS n,
-                     CAST(round(round(avg(p), 6) * 1e6) AS BIGINT) AS mq,
-                     CAST(round(round(avg(CASE WHEN y THEN 1 ELSE 0 END),
-                                      6) * 1e6) AS BIGINT) AS pq
+                     CAST(floor(
+                       CAST(sum(CAST(floor(p * 1000000 + 0.5) AS BIGINT))
+                            AS DOUBLE) / count(*)) AS BIGINT) AS mq,
+                     CAST(floor(
+                       CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
+                       * 1000000 / count(*)) AS BIGINT) AS pq
               FROM p GROUP BY 1)
-            SELECT round(CAST(sum(n * abs(mq - pq)) AS DOUBLE)
-                         / (1e6 * nullif(CAST(sum(n) AS DOUBLE), 0.0)), 6)
-                     AS ece,
-                   round(CAST(max(abs(mq - pq)) AS DOUBLE) / 1e6, 6)
+            SELECT floor(CAST(sum(n * abs(mq - pq)) AS DOUBLE)
+                         / nullif(CAST(sum(n) AS DOUBLE), 0.0))
+                     / 1e6 + 0.0 AS ece,
+                   CAST(max(abs(mq - pq)) AS DOUBLE) / 1e6 + 0.0
                      AS max_ce,
                    CAST(count(*) AS BIGINT) AS n_bins_used,
                    CAST(sum(n) AS BIGINT) AS n
@@ -18187,25 +18313,48 @@ def oracle_sql() -> dict[str, str]:
             FROM r ORDER BY duration
         """,
         "ab_welch_ttest": """
-            WITH a AS (
-              SELECT count(CASE WHEN event_type = 'click' THEN 1 END) AS n_a,
-                     count(CASE WHEN event_type = 'view' THEN 1 END) AS n_b,
-                     round(avg(CASE WHEN event_type = 'click' THEN value END),
-                           6) AS mean_a,
-                     round(avg(CASE WHEN event_type = 'view' THEN value END),
-                           6) AS mean_b,
-                     round(var_samp(CASE WHEN event_type = 'click' THEN value
-                                    END), 6) AS var_a,
-                     round(var_samp(CASE WHEN event_type = 'view' THEN value
-                                    END), 6) AS var_b
-              FROM events)
+            WITH src AS (
+              SELECT event_type,
+                     CASE WHEN NOT isnan(value)
+                          THEN CAST(floor(value * 1000000) AS BIGINT)
+                     END AS q
+              FROM events),
+            a AS (
+              SELECT count(CASE WHEN event_type = 'click' THEN q END)
+                       AS n_a,
+                     count(CASE WHEN event_type = 'view' THEN q END)
+                       AS n_b,
+                     sum(CASE WHEN event_type = 'click'
+                              THEN CAST(q AS HUGEINT) END) AS sa,
+                     sum(CASE WHEN event_type = 'view'
+                              THEN CAST(q AS HUGEINT) END) AS sb,
+                     sum(CASE WHEN event_type = 'click'
+                              THEN CAST(q AS HUGEINT) * q END) AS ssa,
+                     sum(CASE WHEN event_type = 'view'
+                              THEN CAST(q AS HUGEINT) * q END) AS ssb
+              FROM src),
+            b AS (
+              SELECT n_a, n_b,
+                     floor(CAST(sa AS DOUBLE) / n_a) / 1e6 + 0.0 AS mean_a,
+                     floor(CAST(sb AS DOUBLE) / n_b) / 1e6 + 0.0 AS mean_b,
+                     CASE WHEN n_a >= 2 THEN
+                       floor(CAST(n_a * ssa - sa * sa AS DOUBLE)
+                             / (CAST(n_a * (n_a - 1) AS DOUBLE)
+                                * 1000000.0)) / 1e6 + 0.0
+                     END AS var_a,
+                     CASE WHEN n_b >= 2 THEN
+                       floor(CAST(n_b * ssb - sb * sb AS DOUBLE)
+                             / (CAST(n_b * (n_b - 1) AS DOUBLE)
+                                * 1000000.0)) / 1e6 + 0.0
+                     END AS var_b
+              FROM a)
             SELECT n_a, n_b, mean_a, mean_b,
                    round((mean_a - mean_b)
                          / sqrt(var_a / n_a + var_b / n_b), 4) AS t_stat,
                    round(pow(var_a / n_a + var_b / n_b, 2)
                          / (pow(var_a / n_a, 2) / (n_a - 1)
                             + pow(var_b / n_b, 2) / (n_b - 1)), 2) AS df
-            FROM a
+            FROM b
         """,
         "calibration_bins": r"""
             WITH f AS (
@@ -18244,15 +18393,22 @@ def oracle_sql() -> dict[str, str]:
             p AS (
               SELECT z.doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS p,
                      d.lang = 'en' AS y
-              FROM z JOIN documents d ON z.doc_id = d.doc_id)
-            SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin,
-                   CAST(count(*) AS BIGINT) AS n,
-                   round(avg(p), 6) AS mean_prob,
-                   round(avg(CASE WHEN y THEN 1.0 ELSE 0.0 END), 6)
-                     AS pos_rate,
-                   round(avg(pow(p - CASE WHEN y THEN 1.0 ELSE 0.0 END, 2)),
-                         6) AS brier
-            FROM p GROUP BY 1 ORDER BY 1
+              FROM z JOIN documents d ON z.doc_id = d.doc_id),
+            q AS (
+              SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin,
+                     CAST(floor(p * 1000000 + 0.5) AS BIGINT) AS pq,
+                     CASE WHEN y THEN 1 ELSE 0 END AS yy
+              FROM p)
+            SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                   floor(CAST(sum(pq) AS DOUBLE) / count(*)) / 1e6 + 0.0
+                     AS mean_prob,
+                   floor(CAST(sum(yy) AS DOUBLE) * 1000000 / count(*))
+                     / 1e6 + 0.0 AS pos_rate,
+                   floor(CAST(sum(CAST(pq - yy * 1000000 AS HUGEINT)
+                                  * (pq - yy * 1000000)) AS DOUBLE)
+                         / (CAST(count(*) AS DOUBLE) * 1000000.0))
+                     / 1e6 + 0.0 AS brier
+            FROM q GROUP BY bin ORDER BY bin
         """,
         "silhouette_labels": """
             WITH pts AS (
@@ -18261,7 +18417,10 @@ def oracle_sql() -> dict[str, str]:
                            unnest(generate_series(1, len(embedding))) AS pos
                     FROM embeddings)),
             cent AS (
-              SELECT label AS clu, pos, round(avg(x), 6) AS c
+              SELECT label AS clu, pos,
+                     floor(CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000)
+                                        AS BIGINT)) AS DOUBLE)
+                           / count(*)) / 1e6 + 0.0 AS c
               FROM pts GROUP BY label, pos),
             d AS (
               SELECT p.vec_id, p.label, c.clu,
@@ -18272,10 +18431,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT vec_id, label,
                      min(CASE WHEN clu = label THEN dist END) AS a,
                      min(CASE WHEN clu <> label THEN dist END) AS b
-              FROM d GROUP BY vec_id, label)
+              FROM d GROUP BY vec_id, label),
+            sil AS (
+              SELECT label,
+                     CAST(floor(((b - a) / greatest(a, b)) * 1000000)
+                          AS BIGINT) AS sq
+              FROM pp)
             SELECT label, CAST(count(*) AS BIGINT) AS n,
-                   round(avg((b - a) / greatest(a, b)), 6) AS mean_silhouette
-            FROM pp GROUP BY label ORDER BY label
+                   floor(CAST(sum(sq) AS DOUBLE) / count(sq)) / 1e6 + 0.0
+                     AS mean_silhouette
+            FROM sil GROUP BY label ORDER BY label
         """,
         "gini_by_source": r"""
             WITH t AS (
@@ -18577,9 +18742,13 @@ def oracle_sql() -> dict[str, str]:
               SELECT qid,
                      min(CASE WHEN label = qlabel THEN rank END) AS first_hit
               FROM r WHERE rank <= 10 GROUP BY qid)
-            SELECT round(avg(coalesce(1.0 / first_hit, 0.0)), 6) AS mrr,
-                   round(avg(CASE WHEN first_hit IS NOT NULL THEN 1.0
-                             ELSE 0.0 END), 6) AS recall_at_10,
+            SELECT floor(CAST(sum(coalesce(2520 // first_hit, 0))
+                              AS DOUBLE) * 1000000
+                         / (CAST(count(*) AS DOUBLE) * 2520.0)) / 1e6
+                     + 0.0 AS mrr,
+                   floor(CAST(sum(CASE WHEN first_hit IS NOT NULL THEN 1
+                              ELSE 0 END) AS DOUBLE) * 1000000
+                         / count(*)) / 1e6 + 0.0 AS recall_at_10,
                    CAST(count(*) AS BIGINT) AS n_queries
             FROM h
         """,
@@ -18759,12 +18928,18 @@ def oracle_sql() -> dict[str, str]:
             FROM ea CROSS JOIN eb CROSS JOIN eu CROSS JOIN bo CROSS JOIN nu
         """,
         "bootstrap_mean_ci": """
-            WITH reps AS (
-              SELECT e.value, r.rep,
+            WITH src AS (
+              SELECT event_id,
+                     CASE WHEN NOT isnan(value)
+                          THEN CAST(floor(value * 1000000) AS BIGINT)
+                     END AS q
+              FROM events),
+            reps AS (
+              SELECT e.q AS value, r.rep,
                      (('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || '|'
                                           || CAST(r.rep AS VARCHAR)), 1, 12))
                        ::BIGINT + 0.5) / 281474976710656.0 AS u
-              FROM events e
+              FROM src e
               CROSS JOIN (SELECT unnest(generate_series(0, 99)) AS rep) r),
             w AS (
               SELECT rep, value,
@@ -18779,10 +18954,13 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 8 END AS w
               FROM reps),
             m AS (
-              SELECT rep, sum(w * value)
-                          / nullif(CAST(sum(w) AS DOUBLE), 0.0) AS m
+              SELECT rep, CAST(sum(w * value) AS DOUBLE)
+                          / nullif(CAST(sum(CASE WHEN value IS NOT NULL
+                                            THEN w END) AS DOUBLE), 0.0)
+                          / 1e6 AS m
               FROM w GROUP BY rep),
-            base AS (SELECT round(avg(value), 6) AS mean FROM events),
+            base AS (SELECT floor(CAST(sum(q) AS DOUBLE) / count(q))
+                            / 1e6 + 0.0 AS mean FROM src),
             ci AS (
               SELECT round(quantile_cont(m, 0.025), 6) AS ci_lo,
                      round(quantile_cont(m, 0.975), 6) AS ci_hi,
@@ -18819,7 +18997,8 @@ def oracle_sql() -> dict[str, str]:
         "forecast_backtest": """
             WITH daily AS (
               SELECT event_type, epoch_us(ts) // 86400000000 AS day,
-                     round(sum(value), 6) AS v
+                     CAST(floor(round(sum(value), 6) * 100 + 0.5)
+                          AS BIGINT) AS v
               FROM events GROUP BY 1, 2),
             cut AS (SELECT max(day) - 7 AS c FROM daily),
             train AS (SELECT d.* FROM daily d CROSS JOIN cut WHERE day <= c),
@@ -18831,30 +19010,40 @@ def oracle_sql() -> dict[str, str]:
             seas AS (
               SELECT event_type, day + 7 AS day, v AS seasonal FROM train),
             j AS (
-              SELECT t.event_type, t.day, t.v, l.naive, l.n_train, s.seasonal
+              SELECT t.event_type, t.day, t.v, l.naive, l.n_train,
+                     s.seasonal,
+                     CASE WHEN l.naive IS NOT NULL
+                               AND abs(t.v) + abs(l.naive) > 0
+                          THEN (CAST(2 AS HUGEINT) * abs(t.v - l.naive)
+                                * 1000000)
+                               // (abs(t.v) + abs(l.naive))
+                          WHEN l.naive IS NOT NULL THEN 0 END AS rn,
+                     CASE WHEN s.seasonal IS NOT NULL
+                               AND abs(t.v) + abs(s.seasonal) > 0
+                          THEN (CAST(2 AS HUGEINT) * abs(t.v - s.seasonal)
+                                * 1000000)
+                               // (abs(t.v) + abs(s.seasonal))
+                          WHEN s.seasonal IS NOT NULL THEN 0 END AS rs
               FROM test t
               LEFT JOIN lastv l USING (event_type)
               LEFT JOIN seas s USING (event_type, day)),
             sc AS (
               SELECT event_type, any_value(n_train) AS n_train,
                      CAST(count(*) AS BIGINT) AS n_test,
-                     round(avg(CASE WHEN naive IS NOT NULL
-                                    AND abs(v) + abs(naive) > 0
-                               THEN 2.0 * abs(v - naive)
-                                    / (abs(v) + abs(naive))
-                               WHEN naive IS NOT NULL THEN 0.0 END), 6)
-                       AS smape_naive,
-                     round(avg(CASE WHEN seasonal IS NOT NULL
-                                    AND abs(v) + abs(seasonal) > 0
-                               THEN 2.0 * abs(v - seasonal)
-                                    / (abs(v) + abs(seasonal))
-                               WHEN seasonal IS NOT NULL THEN 0.0 END), 6)
-                       AS smape_seasonal,
-                     avg(CASE WHEN seasonal IS NOT NULL
-                         THEN abs(v - seasonal) END) AS mae_s
+                     floor(CAST(sum(rn) AS DOUBLE) / count(rn)) / 1e6
+                       + 0.0 AS smape_naive,
+                     floor(CAST(sum(rs) AS DOUBLE) / count(rs)) / 1e6
+                       + 0.0 AS smape_seasonal,
+                     sum(CASE WHEN seasonal IS NOT NULL
+                         THEN CAST(abs(v - seasonal) AS HUGEINT) END)
+                       AS s_s,
+                     count(CASE WHEN seasonal IS NOT NULL THEN 1 END)
+                       AS n_s
               FROM j GROUP BY 1),
             ins AS (
-              SELECT event_type, avg(abs(v - prev)) AS mae_naive
+              SELECT event_type,
+                     sum(CAST(abs(v - prev) AS HUGEINT)) AS s_n,
+                     count(prev) AS n_n
               FROM (SELECT event_type, v,
                            lag(v) OVER (PARTITION BY event_type
                              ORDER BY day) AS prev
@@ -18862,8 +19051,11 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1)
             SELECT sc.event_type, n_train, n_test, smape_naive,
                    smape_seasonal,
-                   round(CASE WHEN mae_naive > 0 THEN mae_s / mae_naive
-                              WHEN mae_s = 0 THEN 0.0 END, 6)
+                   CASE WHEN s_n > 0 THEN
+                          CAST((s_s * CAST(n_n AS HUGEINT) * 1000000)
+                               // (s_n * CAST(n_s AS HUGEINT))
+                               AS DOUBLE) / 1e6
+                        WHEN s_s = 0 THEN 0.0 END + 0.0
                      AS mase_seasonal
             FROM sc LEFT JOIN ins USING (event_type)
         """,
@@ -18937,7 +19129,8 @@ def oracle_sql() -> dict[str, str]:
               FROM frame f LEFT JOIN hits h
                 ON f.qid = h.qid AND f.n = h.n)
             SELECT n AS n_probe,
-                   round(avg(hit / 10.0), 6) AS recall_at_10,
+                   floor(CAST(sum(hit) AS DOUBLE) * 100000 / count(*))
+                     / 1e6 + 0.0 AS recall_at_10,
                    CAST(count(*) AS BIGINT) AS n_queries
             FROM per_q GROUP BY n ORDER BY n
         """,
@@ -18952,7 +19145,11 @@ def oracle_sql() -> dict[str, str]:
                        AS n_calib,
                      CAST(count(*) - sum(CASE WHEN cal THEN 1 ELSE 0 END)
                           AS BIGINT) AS n_test,
-                     round(avg(CASE WHEN cal THEN v END), 6) AS mu
+                     floor(CAST(sum(CASE WHEN cal AND NOT isnan(v)
+                                    THEN CAST(floor(v * 1000000)
+                                              AS BIGINT) END) AS DOUBLE)
+                           / count(CASE WHEN cal AND NOT isnan(v)
+                                   THEN 1 END)) / 1e6 + 0.0 AS mu
               FROM base GROUP BY 1),
             scored AS (
               SELECT b.event_type, b.cal, abs(b.v - p.mu) AS resid,
@@ -18965,10 +19162,13 @@ def oracle_sql() -> dict[str, str]:
               FROM scored GROUP BY 1),
             cov AS (
               SELECT s.event_type,
-                     round(avg(CASE WHEN st.q IS NULL OR s.resid IS NULL
-                                    THEN NULL
-                                    WHEN s.resid <= st.q THEN 1.0
-                               ELSE 0.0 END), 6) AS coverage
+                     floor(CAST(sum(CASE WHEN st.q IS NULL
+                                         OR s.resid IS NULL THEN NULL
+                                    WHEN s.resid <= st.q THEN 1
+                                    ELSE 0 END) AS DOUBLE) * 1000000
+                           / count(CASE WHEN st.q IS NULL
+                                        OR s.resid IS NULL THEN NULL
+                                   ELSE 1 END)) / 1e6 + 0.0 AS coverage
               FROM scored s JOIN stats st USING (event_type)
               WHERE NOT s.cal GROUP BY 1)
             SELECT st.event_type, n_calib, n_test, round(q, 6) AS qhat,
@@ -18978,15 +19178,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "permutation_test": """
             WITH two AS (
-              SELECT event_id AS id, event_type AS g, value AS v
+              SELECT event_id AS id, event_type AS g,
+                     CASE WHEN NOT isnan(value)
+                          THEN CAST(floor(value * 1000000) AS BIGINT)
+                     END AS q
               FROM events WHERE event_type IN ('click', 'view')),
             obs AS (
-              SELECT round(avg(CASE WHEN g = 'click' THEN v END)
-                           - avg(CASE WHEN g = 'view' THEN v END), 6)
-                       AS obs_diff
+              SELECT floor(CAST(sum(CASE WHEN g = 'click' THEN q END)
+                                AS DOUBLE)
+                           / count(CASE WHEN g = 'click' THEN q END))
+                       / 1e6
+                     - floor(CAST(sum(CASE WHEN g = 'view' THEN q END)
+                                  AS DOUBLE)
+                             / count(CASE WHEN g = 'view' THEN q END))
+                       / 1e6 + 0.0 AS obs_diff
               FROM two),
             reps AS (
-              SELECT t.v, r.rep,
+              SELECT t.q, r.rep,
                      (('0x' || substr(md5(CAST(t.id AS VARCHAR) || '|'
                                           || CAST(r.rep AS VARCHAR)), 1, 12))
                        ::BIGINT + 0.5) / 281474976710656.0 < 0.5 AS a
@@ -18994,15 +19202,19 @@ def oracle_sql() -> dict[str, str]:
               CROSS JOIN (SELECT unnest(generate_series(0, 199)) AS rep) r),
             d AS (
               SELECT rep,
-                     round(avg(CASE WHEN a THEN v END)
-                           - avg(CASE WHEN NOT a THEN v END), 6) AS d
+                     floor(CAST(sum(CASE WHEN a THEN q END) AS DOUBLE)
+                           / count(CASE WHEN a THEN q END)) / 1e6
+                     - floor(CAST(sum(CASE WHEN NOT a THEN q END)
+                                  AS DOUBLE)
+                             / count(CASE WHEN NOT a THEN q END)) / 1e6
+                     + 0.0 AS d
               FROM reps GROUP BY rep),
             ex AS (
-              SELECT round((1.0 + sum(CASE WHEN o.obs_diff IS NULL
-                                           OR d IS NULL THEN NULL
-                                      WHEN abs(d) >= abs(o.obs_diff)
-                                      THEN 1 ELSE 0 END)) / 201.0, 6)
-                       AS p_value,
+              SELECT floor(CAST(1 + sum(CASE WHEN o.obs_diff IS NULL
+                                             OR d IS NULL THEN NULL
+                                        WHEN abs(d) >= abs(o.obs_diff)
+                                        THEN 1 ELSE 0 END) AS DOUBLE)
+                           * 1000000 / 201.0) / 1e6 + 0.0 AS p_value,
                      CAST(count(*) AS BIGINT) AS n_perm
               FROM d CROSS JOIN obs o)
             SELECT obs_diff, p_value, n_perm FROM obs CROSS JOIN ex

@@ -845,19 +845,31 @@ def forecast_backtest(
     the training span.
 
     Returns ``{by}, n_train, n_test, smape_naive, smape_seasonal,
-    mase_seasonal`` (metrics rounded to 6; NULL when a forecast has no
-    base — e.g. a key born inside the holdout).
+    mase_seasonal`` (metrics floor-quantized at 6 dp; NULL when a
+    forecast has no base — e.g. a key born inside the holdout).
+
+    Exactness (r9 port): values quantize onto the 1/``grid`` integer
+    lattice at entry (floor(v·grid + 0.5) — exact recovery for
+    grid-valued inputs like per-day revenue sums of 2-dp events), so
+    every |error| is an exact integer, each sMAPE term is one exact
+    integer floor-division onto the micro grid, the per-key means are
+    single divisions of exact integers, and MASE is one exact
+    cross-multiplied integer division — round(avg(ratio)) was
+    float-summation-order-dependent across engines.
     """
     from pyspark.sql import Window
 
     if horizon > season:
         raise ValueError("horizon must be <= season (lookups leave train)")
+    grid = 100
     cutoff = series.agg(
         (F.max(time_col) - F.lit(horizon)).alias("_cut")
     )
     s = series.select(
         F.col(by), F.col(time_col).alias("_t"),
-        F.col(value_col).cast("double").alias("_v"),
+        F.floor(F.col(value_col).cast("double") * grid + F.lit(0.5))
+        .cast("long")
+        .alias("_v"),
     ).crossJoin(F.broadcast(cutoff))
     train = s.filter(F.col("_t") <= F.col("_cut")).select(by, "_t", "_v")
     test = s.filter(F.col("_t") > F.col("_cut")).select(by, "_t", "_v")
@@ -874,28 +886,53 @@ def forecast_backtest(
         test.join(last, by, "left")
         .join(seas, [by, "_t"], "left")
     )
-    def _smape(f):
-        # a 0/0 term (value and forecast both zero) counts as 0 error;
-        # the mirror CASE keeps the DuckDB twin identical under ANSI
+
+    def _smape_cells(f, tag):
+        # per-row sMAPE term as an exact micro integer: one integer
+        # floor-division (quotient <= 2e6 — no div-BIGINT wrap). A 0/0
+        # term (value and forecast both zero) counts as 0 error; the
+        # mirror CASE keeps the DuckDB twin identical under ANSI.
         denom = F.abs(F.col("_v")) + F.abs(f)
-        return F.avg(
-            F.when(f.isNotNull() & (denom > 0),
-                   2.0 * F.abs(F.col("_v") - f) / denom)
-            .when(f.isNotNull(), F.lit(0.0))
+        return (
+            F.when(
+                f.isNotNull() & (denom > 0),
+                F.expr(
+                    f"CAST(2 AS DECIMAL(38,0)) * abs(_v - {tag})"
+                    f" * 1000000 div (abs(_v) + abs({tag}))"
+                ),
+            )
+            .when(f.isNotNull(), F.lit(0).cast("long"))
         )
+
+    rn = _smape_cells(F.col("_naive"), "_naive")
+    rs = _smape_cells(F.col("_seasonal"), "_seasonal")
     scored = joined.groupBy(by).agg(
         F.first("n_train").alias("n_train"),
         F.count("*").cast("long").alias("n_test"),
-        F.round(_smape(F.col("_naive")), 6).alias("smape_naive"),
-        F.round(_smape(F.col("_seasonal")), 6).alias("smape_seasonal"),
-        F.avg(F.when(F.col("_seasonal").isNotNull(),
-                     F.abs(F.col("_v") - F.col("_seasonal")))).alias("_mae_s"),
+        (
+            F.floor(F.sum(rn).cast("double") / F.count(rn)) / 1e6 + 0.0
+        ).alias("smape_naive"),
+        (
+            F.floor(F.sum(rs).cast("double") / F.count(rs)) / 1e6 + 0.0
+        ).alias("smape_seasonal"),
+        F.sum(
+            F.when(
+                F.col("_seasonal").isNotNull(),
+                F.abs(F.col("_v") - F.col("_seasonal")),
+            ).cast("decimal(38,0)")
+        ).alias("_s_s"),
+        F.count(F.when(F.col("_seasonal").isNotNull(), 1)).alias("_n_s"),
     )
     w = Window.partitionBy(by).orderBy("_t")
     insample = (
         train.withColumn("_prev", F.lag("_v").over(w))
         .groupBy(by)
-        .agg(F.avg(F.abs(F.col("_v") - F.col("_prev"))).alias("_mae_naive"))
+        .agg(
+            F.sum(
+                F.abs(F.col("_v") - F.col("_prev")).cast("decimal(38,0)")
+            ).alias("_s_n"),
+            F.count(F.col("_prev")).alias("_n_n"),
+        )
     )
     return (
         scored.join(insample, by, "left")
@@ -905,14 +942,22 @@ def forecast_backtest(
             "n_test",
             "smape_naive",
             "smape_seasonal",
-            # a flat training series (naive MAE 0) makes MASE undefined
-            # unless the forecast is also perfect — report 0 then, NULL
-            # otherwise (never divide by zero under ANSI)
-            F.round(
-                F.when(F.col("_mae_naive") > 0,
-                       F.col("_mae_s") / F.col("_mae_naive"))
-                .when(F.col("_mae_s") == 0, F.lit(0.0)),
-                6,
+            # MASE = (S_s/n_s)/(S_n/n_n) = S_s·n_n / (S_n·n_s) — one
+            # exact integer floor-division onto the micro grid. A flat
+            # training series (naive MAE 0) makes MASE undefined
+            # unless the forecast is also perfect — report 0 then,
+            # NULL otherwise (never divide by zero under ANSI).
+            (
+                F.when(
+                    F.col("_s_n") > 0,
+                    F.expr(
+                        "_s_s * CAST(_n_n AS DECIMAL(38,0)) * 1000000"
+                        " div (_s_n * CAST(_n_s AS DECIMAL(38,0)))"
+                    ).cast("double")
+                    / 1e6,
+                )
+                .when(F.col("_s_s") == 0, F.lit(0.0))
+                + 0.0
             ).alias("mase_seasonal"),
         )
     )

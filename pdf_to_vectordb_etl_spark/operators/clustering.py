@@ -92,12 +92,32 @@ def kmeans_assign(
 
 def _centroid_means(assigned: DataFrame, vec_col: str) -> DataFrame:
     """update step: per-(cluster, dim) mean, folded back to arrays.
-    Explode once; the aggregate is map-side combined; result is k rows."""
+    Explode once; the aggregate is map-side combined; result is k rows.
+
+    Exactness (the centroids_ivf_train template, r8): elements
+    micro-quantize BEFORE the sum — round(avg(x), 6) is
+    summation-order-dependent across engines and emits IEEE -0.0 for
+    means in (-5e-7, 0) — so the mean is ONE division of exact
+    integers, floor-quantized at 6 dp with a +0.0 negative-zero kill.
+    Every oracle that replays a centroid update (kmeans_centroids,
+    _PQ_ORACLE/_PQ_ADC_ORACLE d{t} CTEs, _ivfpq_oracle_sql) mirrors
+    this round for round."""
     ex = assigned.select(
         "cluster_id", F.posexplode(F.col(vec_col)).alias("dim", "x")
     )
-    per_dim = ex.groupBy("cluster_id", "dim").agg(
-        F.round(F.avg("x"), 6).alias("c"), F.count("*").alias("n")
+    q = F.floor(F.col("x").cast("double") * 1000000).cast("long")
+    per_dim = (
+        ex.groupBy("cluster_id", "dim")
+        .agg(F.sum(q).alias("_sm"), F.count("*").alias("n"))
+        .select(
+            "cluster_id",
+            "dim",
+            (
+                F.floor(F.col("_sm").cast("double") / F.col("n")) / 1e6
+                + 0.0
+            ).alias("c"),
+            "n",
+        )
     )
     return per_dim.groupBy("cluster_id").agg(
         F.transform(

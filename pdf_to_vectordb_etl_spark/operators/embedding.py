@@ -394,25 +394,47 @@ def whiten(
     Exactly dim means + dim stds (a few KB) are collected to the driver
     — the same lineage-truncation move as kmeans_fit — then re-enter
     the plan as broadcast literals; the whitening itself is a narrow
-    codegen transform() per row. Stats round to ``round_stats`` dp
-    before use so downstream comparisons are engine-stable; degenerate
-    dims (std 0 after rounding) pass through centered only."""
+    codegen transform() per row. Stats floor-quantize to
+    ``round_stats`` dp from EXACT micro-integer sums (r9 port — the
+    previous Python round() of a double sum was both summation-order-
+    dependent and half-EVEN, vs the oracle's half-away round(avg));
+    degenerate dims (std 0 after quantization) pass through centered
+    only. The float() conversions below mirror the oracle's
+    CAST(... AS DOUBLE) op order token for token."""
     import math
 
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
     v = F.col(vec_col)
+    grid = 10 ** round_stats
+
+    def _q(i):
+        return F.floor(v[i].cast("double") * grid).cast("long")
+
     sums = emb.agg(
         F.count("*").alias("n"),
-        F.array(*[F.sum(v[i].cast("double")) for i in range(dim)]).alias("s"),
+        F.array(*[F.sum(_q(i)) for i in range(dim)]).alias("s"),
         F.array(
-            *[F.sum(v[i].cast("double") * v[i].cast("double")) for i in range(dim)]
+            *[
+                F.sum(_q(i).cast("decimal(38,0)") * _q(i))
+                for i in range(dim)
+            ]
         ).alias("ss"),
     ).first()
     n = sums["n"]
-    means = [round(s / n, round_stats) for s in sums["s"]]
+    g2 = float(grid) * grid
+    means = [math.floor(float(s) / n) / grid + 0.0 for s in sums["s"]]
     stds = [
-        round(math.sqrt(max(ss / n - (s / n) ** 2, 0.0)), round_stats)
+        math.floor(
+            math.sqrt(
+                max(
+                    float(ss) / n / g2 - (float(s) / n / grid) ** 2, 0.0
+                )
+            )
+            * grid
+        )
+        / grid
+        + 0.0
         for s, ss in zip(sums["s"], sums["ss"])
     ]
     mean_lit = F.array(*[F.lit(m) for m in means])

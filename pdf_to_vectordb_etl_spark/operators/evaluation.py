@@ -177,22 +177,61 @@ def welch_ttest(
     group_b: str,
 ) -> DataFrame:
     """Welch's unequal-variance t-test between two groups, in ONE
-    partial-combinable aggregate (conditional avg/var/count — no
-    shuffle beyond the single global agg).  Variances round to 6
-    decimals *before* entering the t / degrees-of-freedom formulas so
-    both engines compute the derived statistics from identical inputs.
+    partial-combinable aggregate (conditional count + exact lattice
+    moments — no shuffle beyond the single global agg).
+
+    Exactness (the cohen_d lattice-moments convention, ported r9):
+    values micro-quantize to the 1e-6 grid BEFORE any sum —
+    round(avg)/round(var_samp) are summation-order-dependent across
+    engines and events.value sits on a 2-dp grid, so their means land
+    ON 6-dp half-up boundaries at real rates — then mean and variance
+    are single divisions of exact integers, floor-quantized at 6 dp.
+    The t / degrees-of-freedom doubles derive from those identical
+    lattice inputs with the op order mirrored token-for-token in the
+    oracle. NaN values drop on both engines (see wasserstein_1d).
+    Envelope: n·Σq² exact in DECIMAL(38,0) — valid to ~1e10 rows at
+    |value| ≤ 100.
 
     Returns one row: ``n_a, n_b, mean_a, mean_b, t_stat, df``.
     """
-    va = F.when(F.col(group_col) == group_a, F.col(value_col))
-    vb = F.when(F.col(group_col) == group_b, F.col(value_col))
+    v = F.col(value_col).cast("double")
+    q = F.when(~F.isnan(v), F.floor(v * 1000000)).cast("long")
+    qa = F.when(F.col(group_col) == group_a, q)
+    qb = F.when(F.col(group_col) == group_b, q)
+    qad = qa.cast("decimal(38,0)")
+    qbd = qb.cast("decimal(38,0)")
+
+    def _lat_mean(s, n):
+        return F.floor(s.cast("double") / n) / 1e6 + 0.0
+
+    def _lat_var(ss, s, n):
+        # sample variance of the micro-quantized values, floor-q6:
+        # (n·Σq² − (Σq)²) exact in decimal; ONE double division by
+        # n(n−1)·1e6 (int product first, ×1e6 in double — mirrored)
+        return F.when(
+            n >= 2,
+            F.floor(
+                (n.cast("decimal(38,0)") * ss - s * s).cast("double")
+                / ((n * (n - 1)).cast("double") * 1e6)
+            )
+            / 1e6
+            + 0.0,
+        )
+
     agg = df.agg(
-        F.count(va).alias("n_a"),
-        F.count(vb).alias("n_b"),
-        F.round(F.avg(va), 6).alias("mean_a"),
-        F.round(F.avg(vb), 6).alias("mean_b"),
-        F.round(F.var_samp(va), 6).alias("var_a"),
-        F.round(F.var_samp(vb), 6).alias("var_b"),
+        F.count(qa).alias("n_a"),
+        F.count(qb).alias("n_b"),
+        F.sum(qad).alias("_sa"),
+        F.sum(qbd).alias("_sb"),
+        F.sum(qad * qad).alias("_ssa"),
+        F.sum(qbd * qbd).alias("_ssb"),
+    ).select(
+        "n_a",
+        "n_b",
+        _lat_mean(F.col("_sa"), F.col("n_a")).alias("mean_a"),
+        _lat_mean(F.col("_sb"), F.col("n_b")).alias("mean_b"),
+        _lat_var(F.col("_ssa"), F.col("_sa"), F.col("n_a")).alias("var_a"),
+        _lat_var(F.col("_ssb"), F.col("_sb"), F.col("n_b")).alias("var_b"),
     )
     sa = F.col("var_a") / F.col("n_a")
     sb = F.col("var_b") / F.col("n_b")
@@ -222,21 +261,54 @@ def calibration_bins(
     bins, compare mean prediction with observed positive rate.  One
     map-side-combined aggregate; output is ``n_bins`` rows.
 
+    Exactness (r9 lattice port): callers pass probabilities that are
+    already 6-dp-rounded (grid-aligned), so round(avg(p), 6) lands ON
+    half-up boundaries at real rates and is summation-order-dependent
+    — the exact residual class the seed-randomized gate rolls. p
+    micro-quantizes to the 1e-6 grid (exact for 6-dp-valued doubles
+    via floor(p·1e6 + 0.5) — the _cents recovery), the squared brier
+    residual is an exact integer in 1e-12 units, and every mean is one
+    exact-integer division floor-quantized at 6 dp on both engines.
+
     Returns ``bin, n, mean_prob, pos_rate, brier`` ordered by bin.
     """
     y = label_col.cast("int")
     b = F.least(
         F.floor(F.col(prob_col) * n_bins), F.lit(n_bins - 1)
     ).cast("int")
+    # p is 6-dp-valued: floor(p*1e6 + 0.5) recovers the grid integer
+    # exactly (the _cents lesson — floor(p*1e6) alone can land one
+    # below when the nearest double sits under the grid point)
+    pq = F.floor(F.col(prob_col) * 1000000 + F.lit(0.5)).cast("long")
+    d = pq - y.cast("long") * 1000000  # exact brier residual, 1e-6
     return (
-        scored.select(b.alias("bin"), F.col(prob_col).alias("p"), y.alias("y"))
+        scored.select(b.alias("bin"), pq.alias("pq"), y.alias("y"),
+                      (d * d).alias("d2"))
         .groupBy("bin")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("p"), 6).alias("mean_prob"),
-            F.round(F.avg("y"), 6).alias("pos_rate"),
-            F.round(F.avg((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))), 6)
-            .alias("brier"),
+            F.sum("pq").alias("_sp"),
+            F.sum("y").cast("long").alias("_sy"),
+            F.sum(F.col("d2").cast("decimal(38,0)")).alias("_sd2"),
+        )
+        .select(
+            "bin",
+            "n",
+            (F.floor(F.col("_sp").cast("double") / F.col("n")) / 1e6 + 0.0)
+            .alias("mean_prob"),
+            (
+                F.floor(F.col("_sy").cast("double") * 1e6 / F.col("n"))
+                / 1e6
+                + 0.0
+            ).alias("pos_rate"),
+            (
+                F.floor(
+                    F.col("_sd2").cast("double")
+                    / (F.col("n").cast("double") * 1e6)
+                )
+                / 1e6
+                + 0.0
+            ).alias("brier"),
         )
         .orderBy("bin")
     )
@@ -268,10 +340,25 @@ def silhouette_by_cluster(
         F.col(cluster_col).alias("_own"),
         F.col(vec_col).alias("_v"),
     )
+    # centroid means on the exact micro lattice (r9 port — round(avg)
+    # is summation-order-dependent; the _centroid_means template)
     cent = (
         pts.select("_own", F.posexplode("_v").alias("_pos", "_x"))
         .groupBy("_own", "_pos")
-        .agg(F.round(F.avg("_x"), 6).alias("_c"))
+        .agg(
+            F.sum(
+                F.floor(F.col("_x").cast("double") * 1000000).cast("long")
+            ).alias("_sm"),
+            F.count("*").alias("_nm"),
+        )
+        .select(
+            "_own",
+            "_pos",
+            (
+                F.floor(F.col("_sm").cast("double") / F.col("_nm")) / 1e6
+                + 0.0
+            ).alias("_c"),
+        )
         .groupBy(F.col("_own").alias("_clu"))
         .agg(
             F.array_sort(
@@ -297,11 +384,18 @@ def silhouette_by_cluster(
         F.min(F.when(F.col("_clu") != F.col("_own"), F.col("_d"))).alias("_b"),
     )
     s = (F.col("_b") - F.col("_a")) / F.greatest(F.col("_a"), F.col("_b"))
+    # s is bit-identical cross-engine (sqrt/div of identical lattice
+    # centroids), so its micro floor is too; the mean is one exact
+    # integer division — no float summation order anywhere
+    sq = F.floor(s * 1000000).cast("long")
     return (
         per_point.groupBy(F.col("_own").alias(cluster_col))
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg(s), 6).alias("mean_silhouette"),
+            (
+                F.floor(F.sum(sq).cast("double") / F.count(sq)) / 1e6
+                + 0.0
+            ).alias("mean_silhouette"),
         )
         .orderBy(cluster_col)
     )
@@ -564,6 +658,14 @@ def poisson_bootstrap_mean_ci(
     moves n_boot×partitions rows — never the corpus.  The interval is
     the (α/2, 1−α/2) exact percentile over the n_boot replicate means.
 
+    Exactness (r9 lattice port): values micro-quantize to the 1e-6
+    grid before any sum — the base mean and every replicate's weighted
+    mean are single divisions of exact integers, bit-identical across
+    engines regardless of summation order (round(avg) and the double
+    Σw·x were both order-dependent, and events.value's 2-dp grid
+    lands their means ON 6-dp boundaries at real rates). NaN values
+    drop on both engines (the wasserstein convention).
+
     Returns one row: ``mean, ci_lo, ci_hi, n_boot``.
     """
     u = (
@@ -584,24 +686,33 @@ def poisson_bootstrap_mean_ci(
     w = F.lit(8)
     for i in range(len(_POIS1_CDF) - 1, -1, -1):
         w = F.when(u < F.lit(_POIS1_CDF[i]), F.lit(i)).otherwise(w)
+    v = F.col(value_col).cast("double")
+    q = F.when(~F.isnan(v), F.floor(v * 1000000)).cast("long")
     reps = (
         df.select(
             F.col(id_col),
-            F.col(value_col).cast("double").alias("_x"),
+            q.alias("_q"),
             F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("_rep"),
         )
         .withColumn("_w", w)
         .groupBy("_rep")
         .agg(
             # a replicate can draw all-zero weights (p ≈ e^-n); it has
-            # no resample mean — NULL, skipped by the percentile
+            # no resample mean — NULL, skipped by the percentile.
+            # ONE double division of exact integer operands:
+            # bit-identical in any engine and any partitioning
             (
-                F.sum(F.col("_w") * F.col("_x"))
-                / F.expr("nullif(sum(_w), 0)")
+                F.sum(F.col("_w") * F.col("_q")).cast("double")
+                / F.expr("nullif(CAST(sum(CASE WHEN _q IS NOT NULL"
+                         " THEN _w END) AS DOUBLE), 0.0)")
+                / 1e6
             ).alias("_m")
         )
     )
-    base = df.agg(F.round(F.avg(F.col(value_col)), 6).alias("mean"))
+    base = df.agg(
+        (F.floor(F.sum(q).cast("double") / F.count(q)) / 1e6 + 0.0)
+        .alias("mean")
+    )
     ci = reps.agg(
         F.round(F.expr(f"percentile(_m, {alpha / 2})"), 6).alias("ci_lo"),
         F.round(F.expr(f"percentile(_m, {1 - alpha / 2})"), 6).alias("ci_hi"),
@@ -643,12 +754,23 @@ def conformal_interval(
         F.col(value_col).cast("double").alias("_v"),
         is_calib.alias("_cal"),
     )
+    # calibration mean on the exact micro lattice (r9 port): one
+    # division of exact integers, floor-q6 — round(avg) was
+    # summation-order-dependent and events.value's 2-dp grid lands
+    # its means ON 6-dp boundaries; NaN calibration rows drop
+    qcal = F.when(
+        F.col("_cal") & ~F.isnan(F.col("_v")),
+        F.floor(F.col("_v") * 1000000),
+    ).cast("long")
     pred = base.groupBy(group_col).agg(
         F.sum(F.col("_cal").cast("int")).cast("long").alias("n_calib"),
         (F.count("*") - F.sum(F.col("_cal").cast("int")))
         .cast("long")
         .alias("n_test"),
-        F.round(F.avg(F.when(F.col("_cal"), F.col("_v"))), 6).alias("_mu"),
+        (
+            F.floor(F.sum(qcal).cast("double") / F.count(qcal)) / 1e6
+            + 0.0
+        ).alias("_mu"),
     )
     scored = base.join(pred, group_col).withColumn(
         "_resid", F.abs(F.col("_v") - F.col("_mu"))
@@ -665,8 +787,17 @@ def conformal_interval(
         .join(F.broadcast(stats.select(group_col, "_q")), group_col)
         .groupBy(group_col)
         .agg(
-            F.round(
-                F.avg((F.col("_resid") <= F.col("_q")).cast("int")), 6
+            # hit-rate k/n lands on 6-dp boundaries whenever n divides
+            # nicely — exact integer division, floor-q6 (r9 port)
+            (
+                F.floor(
+                    F.sum((F.col("_resid") <= F.col("_q")).cast("int"))
+                    .cast("double")
+                    * 1e6
+                    / F.count((F.col("_resid") <= F.col("_q")).cast("int"))
+                )
+                / 1e6
+                + 0.0
             ).alias("coverage")
         )
     )
@@ -709,18 +840,33 @@ def permutation_test(
     n_perm-row replicate table against a broadcast 1-row observed
     diff.
 
+    Exactness (r9 lattice port): values micro-quantize to the 1e-6
+    grid, each arm mean is ONE division of exact integers floor-
+    quantized at 6 dp, every replicate diff and the |diff| ≥ |obs|
+    comparison are arithmetic on those identical lattice doubles, and
+    the p-value k-out-of-(n+1) rational is one exact integer division
+    — round(avg−avg) of 2-dp-grid values was both summation-order-
+    dependent and boundary-prone. NaN values drop on both engines.
+
     Returns one row: ``obs_diff, p_value, n_perm``.
     """
+    v = F.col(value_col).cast("double")
+    qv = F.when(~F.isnan(v), F.floor(v * 1000000)).cast("long")
     two = df.filter(F.col(group_col).isin(group_a, group_b)).select(
         F.col(id_col).alias("_id"),
         F.col(group_col).alias("_g"),
-        F.col(value_col).cast("double").alias("_v"),
+        qv.alias("_q"),
     )
+
+    def _latm(cond):
+        qq = F.when(cond, F.col("_q"))
+        return F.floor(F.sum(qq).cast("double") / F.count(qq)) / 1e6
+
     obs = two.agg(
-        F.round(
-            F.avg(F.when(F.col("_g") == group_a, F.col("_v")))
-            - F.avg(F.when(F.col("_g") == group_b, F.col("_v"))),
-            6,
+        (
+            _latm(F.col("_g") == group_a)
+            - _latm(F.col("_g") == group_b)
+            + 0.0
         ).alias("obs_diff")
     )
     u = (
@@ -741,28 +887,33 @@ def permutation_test(
     reps = (
         two.select(
             "_id",
-            "_v",
+            "_q",
             F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("_rep"),
         )
         .withColumn("_a", u < 0.5)
         .groupBy("_rep")
         .agg(
-            # rounded so the |diff| >= |observed| comparison can't flip
-            # on last-ulp summation-order noise between engines
-            F.round(
-                F.avg(F.when(F.col("_a"), F.col("_v")))
-                - F.avg(F.when(~F.col("_a"), F.col("_v"))),
-                6,
-            ).alias("_d")
+            # diff of exact lattice means — bit-identical in any
+            # engine, so the |diff| >= |observed| comparison can't flip
+            (_latm(F.col("_a")) - _latm(~F.col("_a")) + 0.0).alias("_d")
         )
     )
     extreme = reps.crossJoin(F.broadcast(obs)).agg(
-        F.round(
-            (1.0 + F.sum(
-                (F.abs(F.col("_d")) >= F.abs(F.col("obs_diff"))).cast("int")
-            ))
-            / F.lit(float(n_perm + 1)),
-            6,
+        (
+            F.floor(
+                (
+                    1
+                    + F.sum(
+                        (
+                            F.abs(F.col("_d")) >= F.abs(F.col("obs_diff"))
+                        ).cast("int")
+                    )
+                ).cast("double")
+                * 1e6
+                / F.lit(float(n_perm + 1))
+            )
+            / 1e6
+            + 0.0
         ).alias("p_value"),
         F.count("*").cast("long").alias("n_perm"),
     )
@@ -1006,10 +1157,13 @@ def expected_calibration_error(
     (:func:`calibration_bins`): Σ (n_i/n)·|mean_prob_i − pos_rate_i|
     over equal-width probability bins.
 
-    The per-bin means are rounded to 6 decimals first (the
-    calibration_bins convention, engine-identical), then lifted onto
-    the exact 1e-6 integer grid so the weighted gap sum is exact
-    integer arithmetic — no float-summation order sensitivity.
+    The per-bin means live DIRECTLY on the exact 1e-6 integer grid
+    (r9 lattice port — the previous round(avg)·1e6 lift was
+    summation-order-dependent before the grid): p micro-quantizes via
+    floor(p·1e6 + 0.5) (exact for the 6-dp-rounded probabilities
+    callers pass), per-bin means are exact-integer floor-divisions,
+    and the weighted gap sum is exact integer arithmetic end to end —
+    the final ece is ONE floor-quantized division.
 
     Returns one row: ``ece, max_ce, n_bins_used, n``.
     """
@@ -1017,25 +1171,31 @@ def expected_calibration_error(
     b = F.least(
         F.floor(F.col(prob_col) * n_bins), F.lit(n_bins - 1)
     ).cast("int")
+    pqv = F.floor(F.col(prob_col) * 1000000 + F.lit(0.5)).cast("long")
     bins = (
-        scored.select(b.alias("bin"), F.col(prob_col).alias("p"), y.alias("y"))
+        scored.select(b.alias("bin"), pqv.alias("pq"), y.alias("y"))
         .groupBy("bin")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("p"), 6).alias("mp"),
-            F.round(F.avg("y"), 6).alias("pr"),
+            F.sum("pq").alias("_sp"),
+            F.sum("y").cast("long").alias("_sy"),
         )
     )
-    mq = F.round(F.col("mp") * 1e6, 0).cast("long")
-    pq = F.round(F.col("pr") * 1e6, 0).cast("long")
+    mq = F.floor(F.col("_sp").cast("double") / F.col("n")).cast("long")
+    pq = F.floor(
+        F.col("_sy").cast("double") * 1e6 / F.col("n")
+    ).cast("long")
     gap = F.abs(mq - pq)
     return bins.agg(
-        F.round(
-            F.sum(F.col("n") * gap).cast("double")
-            / (F.lit(1e6) * F.expr("nullif(CAST(sum(n) AS DOUBLE), 0.0)")),
-            6,
+        (
+            F.floor(
+                F.sum(F.col("n") * gap).cast("double")
+                / F.expr("nullif(CAST(sum(n) AS DOUBLE), 0.0)")
+            )
+            / 1e6
+            + 0.0
         ).alias("ece"),
-        F.round(F.max(gap).cast("double") / 1e6, 6).alias("max_ce"),
+        (F.max(gap).cast("double") / 1e6 + 0.0).alias("max_ce"),
         F.count("*").cast("long").alias("n_bins_used"),
         F.sum("n").cast("long").alias("n"),
     )

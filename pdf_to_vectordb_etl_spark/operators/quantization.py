@@ -115,21 +115,34 @@ def pq_reconstruction_report(
         sub = _subspace(df, j, sub_dim, vec_col, id_col)
         assigned = kmeans_assign(sub, cb, vec_col, id_col)
         joined = assigned.join(F.broadcast(cb), "cluster_id")
-        sqerr = F.aggregate(
+        # exact pico-int squared error (r9 port): each per-dim term is
+        # floor-quantized at 1e-12 BEFORE summing, so the per-row error
+        # and its corpus mean are exact integer arithmetic — immune to
+        # both fold-vs-hash-agg dim ordering and row summation order
+        # (round(avg(double)) was order-dependent across engines)
+        sqerr_micro = F.aggregate(
             F.zip_with(
                 F.col(vec_col).cast("array<double>"), F.col("centroid"),
-                lambda a, b: (a - b) * (a - b),
+                lambda a, b: F.floor((a - b) * (a - b) * 1e12),
             ),
-            F.lit(0.0),
+            F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
         reports.append(
             joined.select(F.lit(j).alias("subspace"),
-                          F.col("cluster_id"), sqerr.alias("_e"))
+                          F.col("cluster_id"), sqerr_micro.alias("_e"))
             .groupBy("subspace")
             .agg(
                 F.countDistinct("cluster_id").alias("n_codes_used"),
-                F.round(F.avg("_e"), 4).alias("avg_sq_err"),
+                (
+                    F.floor(
+                        F.sum(F.col("_e").cast("decimal(38,0)"))
+                        .cast("double")
+                        / (F.count(F.lit(1)).cast("double") * 1e8)
+                    )
+                    / 1e4
+                    + 0.0
+                ).alias("avg_sq_err"),
             )
         )
     out = reports[0]

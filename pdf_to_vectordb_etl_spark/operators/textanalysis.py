@@ -313,6 +313,13 @@ def bigram_logprob_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
         big.join(F.broadcast(probs), ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
+            # round(avg(ln)) DELIBERATELY kept (r9 exact-int-port
+            # allowlist): lp is a libm ln whose last ulp is not
+            # cross-engine pinned, so per-element micro-quantization
+            # would AMPLIFY 1-ulp ln differences into per-element
+            # coin flips; ln values are not grid-aligned, so the
+            # round-4 mean's boundary mass is ~1e-12/row — strictly
+            # safer than any lattice alternative.
             F.round(F.avg("lp"), 4).alias("lm_score"),
             F.count("*").alias("n_bigrams"),
         )
@@ -331,6 +338,9 @@ def kneser_ney_scores(
     no bigram carry no row."""
     probs = kneser_ney_bigram_probs(df, text_col, d, train)
     return probs.groupBy("doc_id").agg(
+        # round(avg(ln)) deliberately kept — see ta_bigram_lm's r9
+        # allowlist note (ln is libm, not grid-aligned; lattice
+        # quantization would amplify 1-ulp ln divergence)
         F.round(F.avg(F.log("_p")), 4).alias("kn_score"),
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
     )
@@ -375,6 +385,8 @@ def min_k_prob(
         .agg(
             F.max("n").cast("long").alias("n_bigrams"),
             F.max(kq).cast("long").alias("k_used"),
+            # round(avg(ln)) deliberately kept — see ta_bigram_lm's
+            # r9 allowlist note (libm ln, not grid-aligned)
             F.round(F.avg(F.log("_p")), 4).alias("min_k_score_q4"),
         )
     )
