@@ -2319,7 +2319,12 @@ def q_pq_adc_topk(spark, sf):
     codes = pq.pq_encode(emb, books)
     query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     top = pq.pq_topk(codes, books, list(query), k=20)
-    return top.select("vec_id", F.round("adc_sim", 4).alias("adc_sim"))
+    # floor-quantize the already-lattice q6 score onto the 4-dp report
+    # grid (round() split on a .xxx95 half-up boundary at sf0.1 — r9)
+    return top.select(
+        "vec_id",
+        (F.floor(F.col("adc_sim") * 10000) / 1e4 + 0.0).alias("adc_sim"),
+    )
 
 
 def q_ivfpq_topk(spark, sf):
@@ -4673,6 +4678,51 @@ def _bpe_bytelevel_oracle_sql(n_merges: int, what: str) -> str:
             f"SELECT {k} AS step, l, r, n FROM blm{k}"
             for k in range(1, n_merges + 1)
         )
+        return "WITH " + ",\n".join(ctes) + "\n" + finals
+    if what == "fertility":
+        ctes.append(
+            f"""blpieces AS MATERIALIZED (
+              SELECT 't' || w AS vkey,
+                     CAST(len(string_split(trim(s), '  ')) AS BIGINT)
+                       AS n_pieces
+              FROM blv{n_merges}),
+            blcells AS (
+              SELECT source AS grp,
+                     unnest(list_append(
+                       list_transform(toks, t -> 't' || t),
+                       'd' || CAST(strlen(text) AS VARCHAR))) AS cell
+              FROM blpt),
+            blj AS (
+              SELECT grp, cell, n_pieces
+              FROM blcells LEFT JOIN blpieces ON cell = vkey),
+            blsrc AS (
+              SELECT grp,
+                     CAST(coalesce(sum(CASE WHEN cell LIKE 't%' THEN 0
+                                       ELSE 1 END), 0) AS BIGINT)
+                       AS n_docs,
+                     CAST(coalesce(sum(CASE WHEN cell LIKE 't%' THEN 1
+                                       END), 0) AS BIGINT)
+                       AS n_pretokens,
+                     CAST(coalesce(sum(CASE WHEN cell LIKE 't%'
+                                       THEN n_pieces END), 0) AS BIGINT)
+                       AS n_tokens,
+                     CAST(coalesce(sum(CASE WHEN cell LIKE 't%' THEN NULL
+                                       ELSE CAST(substr(cell, 2)
+                                                 AS BIGINT) END), 0)
+                          AS BIGINT) AS n_bytes
+              FROM blj GROUP BY grp)"""
+        )
+        finals = """
+        SELECT grp AS source, n_docs, n_pretokens, n_tokens, n_bytes,
+               CASE WHEN n_pretokens > 0 THEN
+                 CAST((CAST(n_tokens AS HUGEINT) * 1000000)
+                      // n_pretokens AS BIGINT) / 1e6
+               END AS fertility_q6,
+               CASE WHEN n_tokens > 0 THEN
+                 CAST((CAST(n_bytes AS HUGEINT) * 1000000)
+                      // n_tokens AS BIGINT) / 1e6
+               END AS bytes_per_token_q6
+        FROM blsrc"""
         return "WITH " + ",\n".join(ctes) + "\n" + finals
     ctes.append(
         f"""blpieces AS MATERIALIZED (
@@ -9579,6 +9629,42 @@ def q_bpe_bytelevel_encode(spark, sf):
     )
 
 
+def q_t41_stream_bytebpe_fertility(spark, sf):
+    """T41 — live token-economics monitor for the byte-BPE-denominated
+    export: the per-source (n_docs, n_pretokens, n_tokens, n_bytes)
+    cells are the associative streaming state (one row per source),
+    fed by a stream-static join from the exploded token-cell stream to
+    the BATCH-trained vocab artifact (the tokenizer is a static
+    artifact; the monitor watches data flow through it), snapshot
+    through the same pure-projection finale as the batch economics.
+    Oracle: the cell-level rollup of the bpe_bytelevel_encode replay
+    (identical sums, no per-doc roundtrip conjunction — that audit
+    stays batch-side)."""
+    import tempfile
+
+    from pdf_to_vectordb_etl_spark.operators import textanalysis as ta
+
+    docs = _t(spark, sf, "documents")
+    pieces = ta.bpe_bytelevel_pieces(docs, n_merges=12)
+    raw_schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    stream = spark.readStream.schema(raw_schema).option(
+        "maxFilesPerTrigger", 1
+    ).option("pathGlobFilter", "documents.parquet").parquet(sf)
+    cells = ta.bpe_bytelevel_fertility_cells(stream, pieces)
+    name = "t41_bytebpe_cells"
+    q = (
+        cells.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t41ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    snap = spark.table(name).localCheckpoint(eager=True)
+    return ta.bpe_bytelevel_fertility_finale(snap)
+
+
 def _export_bytebpe_oracle_sql(n_merges: int = 8) -> str:
     """DuckDB replay of the byte-BPE-denominated training export:
     the training_export_report prelude verbatim (ascii-project, dedup
@@ -9730,13 +9816,20 @@ def _export_bytebpe_oracle_sql(n_merges: int = 8) -> str:
 
 
 def _nndescent_oracle_sql(
-    k: int = 6, rounds: int = 2, hops: int = 3, beam: int = 8
+    k: int = 6, rounds: int = 2, hops: int = 3, beam: int = 8,
+    what: str = "recall",
+    corpus_pred: str = "vec_id >= 20",
+    panel_pred: str = "vec_id < 20",
+    out_k: int = 6,
 ) -> str:
-    """Unrolled DuckDB replay of q_ann_nndescent_recall: ring init,
-    ``rounds`` NN-descent local-join rounds, ``hops`` beam-probe hops,
-    both top-10s and the recall fold — every step exact-integer
+    """Unrolled DuckDB replay of the NN-descent family: ring init,
+    ``rounds`` NN-descent local-join rounds, ``hops`` beam-probe hops
+    over the ``panel_pred`` probe panel — every step exact-integer
     (micro-quantized squared L2, ties by id), every re-referenced
-    stage MATERIALIZED."""
+    stage MATERIALIZED. ``what``: 'recall' emits q_ann_nndescent_
+    recall's top-10s + recall fold; 'assign' emits the per-probe
+    top-``out_k`` adjacency (src, dst, dist) that
+    nn_descent_incremental_assign adopts for new vectors."""
     dist = (
         "CAST(list_sum(list_transform(list_zip({a}, {b}),"
         " pp -> (pp[1] - pp[2]) * (pp[1] - pp[2]))) AS BIGINT)"
@@ -9747,13 +9840,17 @@ def _nndescent_oracle_sql(
                      list_transform(CAST(embedding AS DOUBLE[]),
                        x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
               FROM embeddings
-              WHERE embedding IS NOT NULL AND vec_id >= 20)""",
+              WHERE embedding IS NOT NULL AND ("""
+        + corpus_pred
+        + r"""))""",
         r"""nnpv AS MATERIALIZED (
               SELECT vec_id AS qid,
                      list_transform(CAST(embedding AS DOUBLE[]),
                        x -> CAST(floor(x * 1000000) AS BIGINT)) AS pq
               FROM embeddings
-              WHERE embedding IS NOT NULL AND vec_id < 20)""",
+              WHERE embedding IS NOT NULL AND ("""
+        + panel_pred
+        + r"""))""",
         r"""nncnt AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM nnqv)""",
         r"""nnr AS MATERIALIZED (
               SELECT id, q,
@@ -9824,6 +9921,15 @@ def _nndescent_oracle_sql(
                 SELECT * FROM nnv{h - 1}
                 UNION ALL SELECT * FROM nne{h}))"""
         )
+    if what == "assign":
+        final = f"""
+        SELECT qid AS src, cand AS dst, dist FROM (
+          SELECT qid, cand, dist,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY dist, cand) AS rk
+          FROM nnv{hops})
+        WHERE rk <= {out_k}"""
+        return "WITH " + ",\n".join(ctes) + "\n" + final
     ctes.append(
         f"""nnans AS (
               SELECT qid, cand FROM (
@@ -10157,6 +10263,33 @@ def q_ann_nndescent_recall(spark, sf):
         "CASE WHEN _sden > 0 THEN"
         " (CAST(_shit AS DECIMAL(38,0)) * 1000000 div _sden) / 1e6"
         " END AS recall_at_10_q6",
+    )
+
+
+def q_ann_incremental_assign(spark, sf):
+    """Persisted-graph ANN ingest (the ivf_incremental_assign pattern
+    for the NN-descent family): build the kNN graph on the base
+    corpus (vec_id 20..399), then beam-probe every NEW vector
+    (vec_id >= 400) through the EXISTING graph and adopt its 6 nearest
+    visited nodes as adjacency — the maintenance step a graph-served
+    vector store runs on every upsert batch instead of rebuilding.
+    Exact integer micro-L2 end to end; the full build + assign replays
+    unrolled in DuckDB, hash-verified."""
+    from pdf_to_vectordb_etl_spark.operators.topk import (
+        nn_descent_graph,
+        nn_descent_incremental_assign,
+    )
+
+    emb = _t(spark, sf, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    corpus = emb.filter(
+        (F.col("vec_id") >= 20) & (F.col("vec_id") < 400)
+    )
+    new = emb.filter(F.col("vec_id") >= 400)
+    g = nn_descent_graph(corpus, k=8, rounds=4)
+    return nn_descent_incremental_assign(
+        g, corpus, new, k=6, hops=3, beam=8
     )
 
 
@@ -10527,6 +10660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_bytelevel_train": q_bpe_bytelevel_train,
         "bpe_bytelevel_encode": q_bpe_bytelevel_encode,
         "ann_nndescent_recall": q_ann_nndescent_recall,
+        "ann_incremental_assign": q_ann_incremental_assign,
+        "t41_stream_bytebpe_fertility": q_t41_stream_bytebpe_fertility,
         "training_export_bytebpe": q_training_export_bytebpe,
         "token_budget_allocation": q_token_budget_allocation,
         "t40_stream_token_budget": q_t40_stream_token_budget,
@@ -10781,8 +10916,10 @@ WITH
               FROM sub0 s CROSS JOIN cent0 c),
             qs0 AS (SELECT unnest(range(16)) AS dim, unnest(embedding[1:16]) AS qx
                       FROM embeddings WHERE vec_id = 0),
-            t0 AS (SELECT d.cid, sum(d.cd * CAST(q.qx AS DOUBLE)) AS dot,
-                            sum(d.cd * d.cd) AS n2
+            t0 AS (SELECT d.cid,
+                            sum(CAST(floor(d.cd * 1000000.0 + 0.5) AS BIGINT)
+                                * CAST(floor(CAST(q.qx AS DOUBLE) * 1000000.0) AS BIGINT)) AS dot,
+                            sum(CAST(floor(d.cd * 1000000.0 + 0.5) AS BIGINT) * CAST(floor(d.cd * 1000000.0 + 0.5) AS BIGINT)) AS n2
                      FROM d0 d JOIN qs0 q ON q.dim = d.dim GROUP BY d.cid),
             s0 AS (SELECT e.vec_id, t.dot, t.n2
                      FROM (SELECT vec_id, cid FROM e0 WHERE rn = 1) e
@@ -10808,8 +10945,10 @@ WITH
               FROM sub1 s CROSS JOIN cent1 c),
             qs1 AS (SELECT unnest(range(16)) AS dim, unnest(embedding[17:32]) AS qx
                       FROM embeddings WHERE vec_id = 0),
-            t1 AS (SELECT d.cid, sum(d.cd * CAST(q.qx AS DOUBLE)) AS dot,
-                            sum(d.cd * d.cd) AS n2
+            t1 AS (SELECT d.cid,
+                            sum(CAST(floor(d.cd * 1000000.0 + 0.5) AS BIGINT)
+                                * CAST(floor(CAST(q.qx AS DOUBLE) * 1000000.0) AS BIGINT)) AS dot,
+                            sum(CAST(floor(d.cd * 1000000.0 + 0.5) AS BIGINT) * CAST(floor(d.cd * 1000000.0 + 0.5) AS BIGINT)) AS n2
                      FROM d1 d JOIN qs1 q ON q.dim = d.dim GROUP BY d.cid),
             s1 AS (SELECT e.vec_id, t.dot, t.n2
                      FROM (SELECT vec_id, cid FROM e1 WHERE rn = 1) e
@@ -10835,8 +10974,10 @@ WITH
               FROM sub2 s CROSS JOIN cent2 c),
             qs2 AS (SELECT unnest(range(16)) AS dim, unnest(embedding[33:48]) AS qx
                       FROM embeddings WHERE vec_id = 0),
-            t2 AS (SELECT d.cid, sum(d.cd * CAST(q.qx AS DOUBLE)) AS dot,
-                            sum(d.cd * d.cd) AS n2
+            t2 AS (SELECT d.cid,
+                            sum(CAST(floor(d.cd * 1000000.0 + 0.5) AS BIGINT)
+                                * CAST(floor(CAST(q.qx AS DOUBLE) * 1000000.0) AS BIGINT)) AS dot,
+                            sum(CAST(floor(d.cd * 1000000.0 + 0.5) AS BIGINT) * CAST(floor(d.cd * 1000000.0 + 0.5) AS BIGINT)) AS n2
                      FROM d2 d JOIN qs2 q ON q.dim = d.dim GROUP BY d.cid),
             s2 AS (SELECT e.vec_id, t.dot, t.n2
                      FROM (SELECT vec_id, cid FROM e2 WHERE rn = 1) e
@@ -10862,24 +11003,30 @@ WITH
               FROM sub3 s CROSS JOIN cent3 c),
             qs3 AS (SELECT unnest(range(16)) AS dim, unnest(embedding[49:64]) AS qx
                       FROM embeddings WHERE vec_id = 0),
-            t3 AS (SELECT d.cid, sum(d.cd * CAST(q.qx AS DOUBLE)) AS dot,
-                            sum(d.cd * d.cd) AS n2
+            t3 AS (SELECT d.cid,
+                            sum(CAST(floor(d.cd * 1000000.0 + 0.5) AS BIGINT)
+                                * CAST(floor(CAST(q.qx AS DOUBLE) * 1000000.0) AS BIGINT)) AS dot,
+                            sum(CAST(floor(d.cd * 1000000.0 + 0.5) AS BIGINT) * CAST(floor(d.cd * 1000000.0 + 0.5) AS BIGINT)) AS n2
                      FROM d3 d JOIN qs3 q ON q.dim = d.dim GROUP BY d.cid),
             s3 AS (SELECT e.vec_id, t.dot, t.n2
                      FROM (SELECT vec_id, cid FROM e3 WHERE rn = 1) e
                      JOIN t3 t ON t.cid = e.cid),
-            qn AS (SELECT sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS qn
+            qn AS (SELECT sum(CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+                              * CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qn2
                    FROM (SELECT unnest(embedding) AS x FROM embeddings WHERE vec_id = 0)),
             alls AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1
                      UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3),
             sc AS (SELECT vec_id,
-                          CASE WHEN (SELECT qn FROM qn) <= 1e-12 THEN -1.0
-                               ELSE round(sum(dot)
-                                    / (sqrt(greatest(sum(n2), 1e-12))
-                                    * greatest((SELECT qn FROM qn), 1e-12)), 6)
+                          CASE WHEN (SELECT qn2 FROM qn) = 0 THEN -1.0
+                               ELSE floor(CAST(sum(dot) AS DOUBLE)
+                                    / (sqrt(greatest(CAST(sum(n2) AS DOUBLE),
+                                                     1e-12))
+                                    * sqrt(CAST((SELECT qn2 FROM qn)
+                                                AS DOUBLE))) * 1000000.0)
+                                    / 1e6 + 0.0
                           END AS adc6
                    FROM alls GROUP BY vec_id)
-            SELECT vec_id, round(adc6, 4) AS adc_sim
+            SELECT vec_id, floor(adc6 * 10000) / 1e4 + 0.0 AS adc_sim
             FROM sc ORDER BY adc6 DESC, vec_id LIMIT 20
 """
 
@@ -20043,7 +20190,19 @@ def oracle_sql() -> dict[str, str]:
     # sums, one nonneg floor-div
     d["bpe_bytelevel_train"] = _bpe_bytelevel_oracle_sql(12, "train")
     d["bpe_bytelevel_encode"] = _bpe_bytelevel_oracle_sql(12, "encode")
+    # T41 stream twin: the cell-level rollup of the same replay
+    # (registered AFTER its base keys — the r8 KeyError lesson)
+    d["t41_stream_bytebpe_fertility"] = _bpe_bytelevel_oracle_sql(
+        12, "fertility"
+    )
     d["ann_nndescent_recall"] = _nndescent_oracle_sql(12, 8, 5, 12)
+    d["ann_incremental_assign"] = _nndescent_oracle_sql(
+        8, 4, 3, 8,
+        what="assign",
+        corpus_pred="vec_id >= 20 AND vec_id < 400",
+        panel_pred="vec_id >= 400",
+        out_k=6,
+    )
     d["training_export_bytebpe"] = _export_bytebpe_oracle_sql(8)
     # greedy token-budget fill: exact micro-int quality ORDER, prefix
     # sum over the per-source aggregate

@@ -170,31 +170,44 @@ def pq_topk(
                     / (||q|| * sqrt(sum_j ||c_{j,code_j}||^2))
 
     Per corpus row the work is m table lookups — independent of dim —
-    so a 100 TB scan ranks at code width, not vector width. Scores are
-    rounded to 6 dp with an id tiebreak (engine-stable ranking); exact
+    so a 100 TB scan ranks at code width, not vector width.
+
+    Exactness (r9 — the sf0.1 sweep rolled a round-4 half-up boundary
+    on an ADC score): the lookup table's dot products and centroid
+    norms are EXACT integer sums over micro-quantized operands —
+    centroid components are already on the 1e-6 lattice
+    (_centroid_means), so floor(c·1e6 + 0.5) recovers their grid
+    integers exactly, and the query micro-quantizes once. Per-row
+    accumulation is integer, the final cosine is one mirrored
+    double expression over exact ints (bit-identical in any engine),
+    and the output floor-quantizes at 6 dp with an id tiebreak; exact
     re-ranking of the shortlist against full vectors is one extra join
     when recall demands it.
     """
+    import math
+
     sub_dim = codebooks.select(F.size("centroid")).first()[0]
-    qlit = F.lit([float(x) for x in query])
-    # 1e-12 floor: a zero query vector scores 0 everywhere instead
-    # of dividing by zero (same floor in the DuckDB twin)
-    qnorm = max(sum(float(x) * float(x) for x in query) ** 0.5, 1e-12)
+    qm = [int(math.floor(float(x) * 1e6)) for x in query]
+    qn2 = sum(q * q for q in qm)  # exact python int
+    qlit = F.lit(qm)
+    ki = F.transform(
+        "centroid", lambda c: F.floor(c * 1e6 + F.lit(0.5)).cast("long")
+    )
     table = codebooks.select(
         "subspace",
         F.col("cluster_id").alias("code"),
         F.aggregate(
             F.zip_with(
-                "centroid",
+                ki,
                 F.slice(qlit, F.col("subspace") * sub_dim + 1, sub_dim),
                 lambda c, q: c * q,
             ),
-            F.lit(0.0),
+            F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         ).alias("dot"),
         F.aggregate(
-            F.transform("centroid", lambda c: c * c),
-            F.lit(0.0),
+            F.transform(ki, lambda c: c * c),
+            F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         ).alias("n2"),
     )
@@ -206,17 +219,27 @@ def pq_topk(
         .select(
             id_col,
             # a zero query vector scores the cosine sentinel -1.0,
-            # matching ivfpq_topk and functions.vector.cosine_similarity
-            F.round(
-                F.when(F.lit(qnorm <= 1e-12), F.lit(-1.0)).otherwise(
-                    F.col("_num")
+            # matching ivfpq_topk and functions.vector.cosine_similarity;
+            # the 1e-12 floor keeps an all-zero codebook from dividing
+            # by zero (same floor in the DuckDB twin)
+            F.when(F.lit(qn2 == 0), F.lit(-1.0))
+            .otherwise(
+                F.floor(
+                    F.col("_num").cast("double")
                     / (
-                        F.sqrt(F.greatest(F.col("_n2"), F.lit(1e-12)))
-                        * F.lit(qnorm)
+                        F.sqrt(
+                            F.greatest(
+                                F.col("_n2").cast("double"), F.lit(1e-12)
+                            )
+                        )
+                        * F.sqrt(F.lit(float(qn2)))
                     )
-                ),
-                6,
-            ).alias("adc_sim"),
+                    * 1e6
+                )
+                / 1e6
+                + 0.0
+            )
+            .alias("adc_sim"),
         )
     )
     return scored.orderBy(F.desc("adc_sim"), F.col(id_col)).limit(k)

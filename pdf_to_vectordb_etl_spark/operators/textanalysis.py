@@ -2227,6 +2227,120 @@ def bpe_bytelevel_train_merges(
     )
 
 
+def bpe_bytelevel_pieces(
+    df: DataFrame, n_merges: int = 12, text_col: str = "text"
+) -> DataFrame:
+    """Trained byte-BPE vocab as a lookup artifact: one row per
+    distinct GPT-2 pre-token with its piece count and per-token UTF-8
+    round-trip bit — the static side every encode join-back (batch
+    report, T41 stream monitor) consumes. Bounded (vocab-sized) and
+    eagerly checkpointed: training scans the corpus once, consumers
+    reuse the artifact."""
+    vocab = gpt2_byte_vocab(df, text_col)
+    _, final_vocab = _merge_rounds(
+        vocab, n_merges, likelihood=False, carry=("w", "freq")
+    )
+    return final_vocab.select(
+        F.concat(F.lit("t"), F.col("w")).alias("vkey"),
+        F.size(F.split(F.trim("s"), "  ")).cast("long").alias("n_pieces"),
+        (
+            F.decode(F.unhex(F.replace(F.col("s"), F.lit(" "), F.lit(""))), "UTF-8")
+            == F.col("w")
+        ).alias("rt_piece"),
+    ).localCheckpoint(eager=True)
+
+
+def bpe_bytelevel_cell_stream(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """The per-doc token-cell stream behind the byte-BPE reports
+    (the lexical_diversity sentinel trick): one 't'-prefixed cell per
+    GPT-2 pre-token plus one 'd'-prefixed sentinel per doc carrying
+    octet_length — collision-proof by prefix. Works unchanged on a
+    streaming DataFrame (narrow projection + explode)."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    return df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            _bind_array(
+                gpt2_pretokens(txt),
+                lambda tk: F.concat(
+                    F.transform(tk, lambda t: F.concat(F.lit("t"), t)),
+                    F.array(
+                        F.concat(
+                            F.lit("d"), F.octet_length(txt).cast("string")
+                        )
+                    ),
+                ),
+            )
+        ).alias("cell"),
+    )
+
+
+def bpe_bytelevel_fertility_cells(
+    df: DataFrame,
+    pieces: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Associative per-group state behind the T41 stream twin: ONE
+    aggregation over the token-cell stream joined to the static
+    trained-vocab artifact (stream-static join — Structured Streaming
+    supports it before the single agg), producing (group, n_docs,
+    n_pretokens, n_tokens, n_bytes) — all plain sums, one state row
+    per group at any corpus scale."""
+    cells = bpe_bytelevel_cell_stream(df, group_col, text_col)
+    joined = cells.join(
+        pieces.select("vkey", "n_pieces"),
+        cells["cell"] == pieces["vkey"],
+        "left",
+    )
+    is_tok = F.col("cell").startswith("t")
+    return joined.groupBy("grp").agg(
+        F.coalesce(F.sum(F.when(~is_tok, 1)), F.lit(0))
+        .cast("long")
+        .alias("n_docs"),
+        F.coalesce(F.sum(F.when(is_tok, 1)), F.lit(0))
+        .cast("long")
+        .alias("n_pretokens"),
+        F.coalesce(F.sum(F.when(is_tok, F.col("n_pieces"))), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    ~is_tok, F.expr("CAST(substring(cell, 2) AS BIGINT)")
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_bytes"),
+    )
+
+
+def bpe_bytelevel_fertility_finale(
+    cells: DataFrame, group_col: str = "source"
+) -> DataFrame:
+    """Finale over the T41 cells — a PURE projection (no second
+    aggregate, so the cells relation can come straight off a
+    complete-mode memory sink): the exact div-based fertility and
+    bytes-per-token economics of bpe_bytelevel_encode_report."""
+    return cells.selectExpr(
+        f"grp AS {group_col}",
+        "n_docs",
+        "n_pretokens",
+        "n_tokens",
+        "n_bytes",
+        "CASE WHEN n_pretokens > 0 THEN"
+        " (CAST(n_tokens AS DECIMAL(38,0)) * 1000000 div n_pretokens)"
+        " / 1e6 END AS fertility_q6",
+        "CASE WHEN n_tokens > 0 THEN"
+        " (CAST(n_bytes AS DECIMAL(38,0)) * 1000000 div n_tokens)"
+        " / 1e6 END AS bytes_per_token_q6",
+    )
+
+
 def bpe_bytelevel_encode_report(
     df: DataFrame,
     group_col: str = "source",
@@ -2261,18 +2375,7 @@ def bpe_bytelevel_encode_report(
     per group: (group, n_docs, n_pretokens, n_tokens, n_bytes,
     n_roundtrip_docs, fertility_q6 = tokens per pre-token,
     bytes_per_token_q6) — exact integer sums, floor-div finals."""
-    vocab = gpt2_byte_vocab(df, text_col)
-    _, final_vocab = _merge_rounds(
-        vocab, n_merges, likelihood=False, carry=("w", "freq")
-    )
-    pieces = final_vocab.select(
-        F.concat(F.lit("t"), F.col("w")).alias("vkey"),
-        F.size(F.split(F.trim("s"), "  ")).cast("long").alias("n_pieces"),
-        (
-            F.decode(F.unhex(F.replace(F.col("s"), F.lit(" "), F.lit(""))), "UTF-8")
-            == F.col("w")
-        ).alias("rt_piece"),
-    ).localCheckpoint(eager=True)
+    pieces = bpe_bytelevel_pieces(df, n_merges, text_col)
 
     txt = F.coalesce(F.col(text_col), F.lit(""))
     cells = df.select(

@@ -488,12 +488,116 @@ def _sq_l2_micro(a, b):
     )
 
 
+def _nn_descent_driver(ids, mat, k: int, rounds: int):
+    """Driver fast path for the NN-descent build (the cluster_pairs
+    bounded-fast-path pattern): the ENTIRE ring-init + local-join loop
+    as vectorized int64 numpy over the collected micro matrix —
+    BIT-IDENTICAL to the distributed loop (every op is exact integer
+    arithmetic with the same (dist, dst-id) tie order; property-pinned
+    by tests). Eight Spark rounds spend ~1s/round on physical planning
+    alone at small N; this does the same arithmetic in milliseconds.
+    ``ids`` must be sorted ascending (index order == id order, so the
+    lexsort tiebreak on index equals the id tiebreak).
+    Memory: candidate distance batches are chunked to ~1M pairs."""
+    import numpy as np
+
+    n = len(ids)
+    kk = min(k, n - 1)
+    # Distance kernel: ONE exact float64 Gram matrix (BLAS GEMM), then
+    # every candidate distance is three O(1) lookups — dist(i,j) =
+    # n_i + n_j − 2·G[i,j]. Exact because every product and partial
+    # sum is an INTEGER below 2^53: integers are closed and exact in
+    # float64 there regardless of the BLAS summation order. When the
+    # 4·dim·max² envelope doesn't fit 2^53, fall back to chunked
+    # int64 per-pair arithmetic (identical values, slower).
+    dim = mat.shape[1] if mat.ndim == 2 else 0
+    max_abs = float(np.abs(mat).max()) if mat.size else 0.0
+    exact_f64 = 4.0 * max_abs * max_abs * max(dim, 1) < 2.0**53
+    if exact_f64:
+        fmat = mat.astype(np.float64)
+        norms = np.einsum("ij,ij->i", fmat, fmat)
+        gram = fmat @ fmat.T
+
+        def _dists(a_idx, b_idx):
+            return (
+                norms[a_idx] + norms[b_idx] - 2.0 * gram[a_idx, b_idx]
+            ).astype(np.int64)
+
+    else:
+
+        def _dists(a_idx, b_idx):
+            out = np.empty(len(a_idx), dtype=np.int64)
+            for lo in range(0, len(a_idx), 1_000_000):
+                hi = min(lo + 1_000_000, len(a_idx))
+                d = mat[a_idx[lo:hi]] - mat[b_idx[lo:hi]]
+                out[lo:hi] = np.einsum("ij,ij->i", d, d)
+            return out
+
+    def _topk(src, dst, dist):
+        # dedupe exact (src, dst) pairs (dist is a pure function),
+        # then per-src top-k by (dist, dst index == dst id order)
+        key = src * np.int64(n) + dst
+        _, uq = np.unique(key, return_index=True)
+        src, dst, dist = src[uq], dst[uq], dist[uq]
+        order = np.lexsort((dst, dist, src))
+        src, dst, dist = src[order], dst[order], dist[order]
+        boundaries = np.r_[True, src[1:] != src[:-1]]
+        starts = np.flatnonzero(boundaries)
+        lens = np.diff(np.r_[starts, len(src)])
+        ranks = np.arange(len(src)) - np.repeat(starts, lens)
+        keep = ranks < k
+        return src[keep], dst[keep], dist[keep]
+
+    idx = np.arange(n, dtype=np.int64)
+    src = np.repeat(idx, kk)
+    dst = (src + np.tile(np.arange(1, kk + 1, dtype=np.int64), n)) % n
+    m = src != dst
+    src, dst = src[m], dst[m]
+    src, dst, dist = _topk(src, dst, _dists(src, dst))
+    for _ in range(rounds):
+        us = np.concatenate([src, dst])
+        ud = np.concatenate([dst, src])
+        ukey = np.unique(us * np.int64(n) + ud)
+        us, ud = ukey // n, ukey % n
+        # local join: for every undirected edge (s, d), propose
+        # (s, every undirected neighbor of d)
+        order2 = np.argsort(us, kind="stable")
+        gs, gd = us[order2], ud[order2]
+        cnt = np.bincount(gs, minlength=n)
+        start = np.r_[np.int64(0), np.cumsum(cnt)][:-1]
+        rep = cnt[ud]
+        cs = np.repeat(us, rep)
+        total = int(rep.sum())
+        offs = (
+            np.repeat(start[ud], rep)
+            + np.arange(total, dtype=np.int64)
+            - np.repeat(np.r_[np.int64(0), np.cumsum(rep)][:-1], rep)
+        )
+        cd = gd[offs]
+        m2 = cs != cd
+        cs, cd = cs[m2], cd[m2]
+        ps = np.concatenate([src, cs])
+        pdst = np.concatenate([dst, cd])
+        pdist = np.concatenate([dist, _dists(cs, cd)])
+        nsrc, ndst, ndist = _topk(ps, pdst, pdist)
+        same = (
+            len(nsrc) == len(src)
+            and bool((nsrc == src).all())
+            and bool((ndst == dst).all())
+        )
+        src, dst, dist = nsrc, ndst, ndist
+        if same:
+            break  # fixed point — further rounds reproduce it
+    return ids[src], ids[dst], dist
+
+
 def nn_descent_graph(
     df: DataFrame,
     k: int = 6,
     rounds: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    fast_path_max_nodes: int | None = 16_000,
 ) -> DataFrame:
     """Approximate kNN GRAPH by NN-descent (Dong et al. 2011, public):
     start from a deterministic ring over the id order, then each round
@@ -529,6 +633,31 @@ def nn_descent_graph(
         return spark.createDataFrame(
             [], "src bigint, dst bigint, dist bigint"
         )
+    # bounded driver fast path (the cluster_pairs pattern): below the
+    # cap, ONE collect of the micro-int matrix (cap × dim longs) and
+    # the whole ring-init + local-join loop runs as vectorized exact
+    # int64 numpy — identical graph by construction (integer
+    # arithmetic, same tie order; property-pinned), while the Spark
+    # loop pays ~1s of physical planning per round regardless of data
+    # size. Above the cap, the distributed join path below runs;
+    # distributed tests pass fast_path_max_nodes=None.
+    if fast_path_max_nodes is not None and n_total <= fast_path_max_nodes:
+        import numpy as np
+
+        rows = r.select("id", "q").collect()
+        ids = np.array([x["id"] for x in rows], dtype=np.int64)
+        mat = np.array([x["q"] for x in rows], dtype=np.int64)
+        order = np.argsort(ids)
+        s_ids, d_ids, dists = _nn_descent_driver(
+            ids[order], np.ascontiguousarray(mat[order]), k, rounds
+        )
+        return spark.createDataFrame(
+            [
+                (int(s), int(d), int(v))
+                for s, d, v in zip(s_ids, d_ids, dists)
+            ],
+            "src bigint, dst bigint, dist bigint",
+        )
     ring = r.select(
         "id",
         "q",
@@ -552,37 +681,83 @@ def nn_descent_graph(
         .select("src", "dst", _sq_l2_micro("qs", "qd").alias("dist"))
         .localCheckpoint(eager=True)
     )
-    w = Window.partitionBy("src").orderBy("dist", "dst")
     for _ in range(rounds):
         und = (
             g.select("src", "dst")
             .union(g.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
             .distinct()
         )
-        cand = (
-            und.alias("l")
-            .join(
-                und.select(
-                    F.col("src").alias("mid"), F.col("dst").alias("dst2")
-                ).alias("rr"),
-                F.col("l.dst") == F.col("mid"),
-            )
-            .select(F.col("l.src").alias("src"), F.col("dst2").alias("dst"))
-            .filter(F.col("src") != F.col("dst"))
-            .distinct()
+        # distributed path: attach vectors to the k-BOUNDED
+        # undirected edge list BEFORE the local join — the join
+        # output (the N·(2k)² candidate set) scores in a narrow
+        # projection and only (src, dst, dist) triples shuffle;
+        # attaching AFTER would move a factor-k more vector bytes.
+        # Duplicate (src, dst) candidates score twice before the
+        # dedup, but dist is a pure function — the surviving row
+        # is identical either way.
+        lv = und.join(
+            r.select(F.col("id").alias("src"), F.col("q").alias("qs")),
+            "src",
+        )
+        rv = und.select(
+            F.col("src").alias("mid"), F.col("dst").alias("dst2")
+        ).join(
+            r.select(F.col("id").alias("dst2"), F.col("q").alias("qd")),
+            "dst2",
         )
         scored = (
-            cand.join(r.select(F.col("id").alias("src"), F.col("q").alias("qs")), "src")
-            .join(r.select(F.col("id").alias("dst"), F.col("q").alias("qd")), "dst")
-            .select("src", "dst", _sq_l2_micro("qs", "qd").alias("dist"))
+            lv.join(rv, lv["dst"] == rv["mid"])
+            .filter(F.col("src") != F.col("dst2"))
+            .select(
+                "src",
+                F.col("dst2").alias("dst"),
+                _sq_l2_micro("qs", "qd").alias("dist"),
+            )
         )
-        pool = g.unionByName(scored).dropDuplicates(["src", "dst"])
-        g = (
-            pool.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= k)
-            .drop("_rk")
-            .localCheckpoint(eager=True)
+        # dedupe + per-node top-k fused into ONE shuffle (r9): collect
+        # the bounded candidate structs per src (<= k + (2k)^2 rows by
+        # construction), array_distinct kills duplicate pairs (dist is
+        # a pure function — duplicates are identical structs),
+        # array_sort orders by (dist, dst) exactly like the old
+        # row_number window, slice keeps k. Replaces two
+        # dropDuplicates exchanges plus a window exchange.
+        pool = g.unionByName(scored)
+        g_new = (
+            pool.groupBy("src")
+            .agg(
+                F.slice(
+                    F.array_sort(
+                        F.array_distinct(
+                            F.collect_list(F.struct("dist", "dst"))
+                        )
+                    ),
+                    1,
+                    k,
+                ).alias("_top")
+            )
+            .select(
+                "src",
+                F.explode("_top").alias("_e"),
+            )
+            .select("src", F.col("_e.dst").alias("dst"), F.col("_e.dist").alias("dist"))
+            .select("src", "dst", "dist")
+            .localCheckpoint(eager=False)
         )
+        # ONE action per round: materializes the lazy checkpoint AND
+        # probes for convergence (left-anti on the full triple — a
+        # bounded N·k join, broadcastable when small). A round that
+        # changes nothing is a FIXED POINT — every further round
+        # reproduces it (und/cand/scored are deterministic functions
+        # of g), so breaking early is invisible to the unrolled
+        # full-rounds oracle replay.
+        changed = (
+            g_new.join(g, ["src", "dst", "dist"], "left_anti")
+            .limit(1)
+            .count()
+        )
+        g = g_new
+        if changed == 0:
+            break
     return g
 
 
@@ -648,9 +823,59 @@ def nn_descent_beam_probe(
                 _sq_l2_micro("pq", "cq").alias("dist"),
             )
         )
+        # LAZY checkpoint (r9): lineage still truncates at every hop
+        # (bounded RDD DAG, each hop's blocks cached on first compute
+        # so the double reference — frontier + union — scans once),
+        # but the per-hop eager job disappears: the caller's first
+        # action materializes all hops in one job cascade, cutting
+        # ``hops`` scheduler round-trips of pure fixed overhead.
         visited = (
             visited.unionByName(expanded)
             .dropDuplicates(["qid", "cand"])
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return visited.select("qid", "cand", "dist")
+
+
+def nn_descent_incremental_assign(
+    graph: DataFrame,
+    corpus: DataFrame,
+    newvecs: DataFrame,
+    k: int = 6,
+    hops: int = 3,
+    beam: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Ingest-time maintenance for a persisted NN-descent graph
+    artifact — the graph twin of ``ivf_incremental_assign`` (:249):
+    each NEW vector beam-probes the EXISTING graph exactly like a
+    serving query (:func:`nn_descent_beam_probe`) and adopts its ``k``
+    nearest visited nodes as its adjacency, so the index absorbs
+    appends without a rebuild; a periodic :func:`nn_descent_graph`
+    re-descent refreshes recall the way ``ivf_drift_report`` triggers
+    re-training. This is how a graph-served vector store actually
+    ingests (the reference's Qdrant maintains its HNSW graph across
+    upserts, qdrant_text_loader.py:202-214).
+
+    Exact and bounded: integer micro-L2 scores, ties by id, per-probe
+    visited set <= 1 + hops*beam*k_graph rows, per-new-vector top-k via
+    a key-partitioned WindowGroupLimit. Returns (src=new id, dst,
+    dist) — bit-deterministic, so the whole assign replays in DuckDB.
+    """
+    from pyspark.sql import Window
+
+    visited = nn_descent_beam_probe(
+        graph, corpus, newvecs,
+        hops=hops, beam=beam, k=k, vec_col=vec_col, id_col=id_col,
+    )
+    w = Window.partitionBy("qid").orderBy("dist", "cand")
+    return (
+        visited.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(
+            F.col("qid").alias("src"),
+            F.col("cand").alias("dst"),
+            "dist",
+        )
+    )

@@ -107,3 +107,62 @@ def test_e4_to_2dp_exact_past_53_bits(spark):
         + " AS v"
     ).fetchone()[0]
     assert ora == want
+
+
+def test_nn_descent_incremental_assign_planted_twin(spark):
+    """Ingest maintenance (r9): a NEW vector that is an exact copy of
+    a corpus vector must adopt that twin as its nearest neighbor at
+    distance 0 via the beam probe over the EXISTING graph — and the
+    assignment must be partitioning-independent (the property that
+    makes the DuckDB replay meaningful)."""
+    from pdf_to_vectordb_etl_spark.operators.topk import (
+        nn_descent_graph,
+        nn_descent_incremental_assign,
+    )
+
+    rows = [(i, [i * 0.1] * 4) for i in range(30)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    new = spark.createDataFrame(
+        [(100, [0.7] * 4), (101, [2.95] * 4)],
+        "vec_id long, embedding array<double>",
+    )
+    g = nn_descent_graph(corpus, k=4, rounds=4)
+    out = nn_descent_incremental_assign(g, corpus, new, k=3, hops=4, beam=4)
+    edges = {(r["src"], r["dst"]): r["dist"] for r in out.collect()}
+    # the planted twin of vec 7 is found at exact distance 0
+    assert edges[(100, 7)] == 0
+    assert min(d for (s, _), d in edges.items() if s == 100) == 0
+    # per-new-vector adjacency is exactly k edges
+    assert sum(1 for (s, _) in edges if s == 100) == 3
+    assert sum(1 for (s, _) in edges if s == 101) == 3
+
+    out2 = nn_descent_incremental_assign(
+        g, corpus.repartition(7), new.repartition(3), k=3, hops=4, beam=4
+    )
+    assert sorted(map(tuple, out2.collect())) == sorted(
+        (s, d, v) for (s, d), v in edges.items()
+    )
+
+
+def test_nn_descent_driver_fast_path_equals_distributed(spark, sf_dir):
+    """The bounded driver fast path (collected matrix + exact-int
+    numpy/GEMM build) must produce the IDENTICAL edge set as the
+    distributed join loop — same arithmetic, same (dist, dst) tie
+    order (the cluster_pairs fast-path contract)."""
+    from pdf_to_vectordb_etl_spark.operators.topk import nn_descent_graph
+
+    emb = load(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") >= 20) & (F.col("vec_id") < 240)
+    )
+    fast = sorted(
+        tuple(r) for r in nn_descent_graph(emb, k=5, rounds=3).collect()
+    )
+    dist = sorted(
+        tuple(r)
+        for r in nn_descent_graph(
+            emb, k=5, rounds=3, fast_path_max_nodes=None
+        ).collect()
+    )
+    assert fast == dist and len(fast) > 0
