@@ -10266,6 +10266,24 @@ def q_ann_nndescent_recall(spark, sf):
     )
 
 
+def q_sq8_recall(spark, sf):
+    """int8 storage-quality gate: recall@10 of search over int8-
+    reconstructed vectors vs exact, plus mean reconstruction error —
+    the go/no-go for the 4x fp32->int8 storage cut (FAISS SQ8 class).
+    Exact integer micro-L2 throughout; reconstruction floors onto the
+    same micro lattice in both engines, so the report hash-verifies."""
+    from pdf_to_vectordb_etl_spark.operators import quantization as pq
+
+    emb = _t(spark, sf, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    return pq.sq8_recall_report(
+        emb.filter(F.col("vec_id") >= 20),
+        emb.filter(F.col("vec_id") < 20),
+        k=10,
+    )
+
+
 def q_ann_incremental_assign(spark, sf):
     """Persisted-graph ANN ingest (the ivf_incremental_assign pattern
     for the NN-descent family): build the kNN graph on the base
@@ -10662,6 +10680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_nndescent_recall": q_ann_nndescent_recall,
         "ann_incremental_assign": q_ann_incremental_assign,
         "t41_stream_bytebpe_fertility": q_t41_stream_bytebpe_fertility,
+        "sq8_recall": q_sq8_recall,
         "training_export_bytebpe": q_training_export_bytebpe,
         "token_budget_allocation": q_token_budget_allocation,
         "t40_stream_token_budget": q_t40_stream_token_budget,
@@ -13167,6 +13186,81 @@ def oracle_sql() -> dict[str, str]:
                    round(t.n * 1.0 / g.n_rows, 6) AS share,
                    g.n_keys, g.p50_n, g.p99_n
             FROM t, g
+        """,
+        "sq8_recall": r"""
+            WITH pv AS (
+              SELECT vec_id AS qid,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(floor(x * 1000000) AS BIGINT)) AS pq
+              FROM embeddings
+              WHERE embedding IS NOT NULL AND vec_id < 20),
+            cs AS (
+              SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+              WHERE embedding IS NOT NULL AND vec_id >= 20),
+            sc AS (
+              SELECT cid, v,
+                     CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                          THEN list_max(list_transform(v, x -> abs(x)))
+                               / 127.0
+                          ELSE 0.0 END AS scl
+              FROM cs),
+            enc AS (
+              SELECT cid, v, scl, round(scl, 9) AS scale,
+                     list_transform(v, x -> CASE WHEN scl > 0
+                       THEN CAST(round(x / scl, 0) AS INT) ELSE 0 END)
+                       AS codes
+              FROM sc),
+            rq AS (
+              SELECT cid,
+                     list_transform(codes,
+                       c -> CAST(floor(CAST(c AS DOUBLE) * scale
+                                       * 1000000.0) AS BIGINT)) AS rm,
+                     list_transform(v,
+                       x -> CAST(floor(x * 1000000) AS BIGINT)) AS xm,
+                     CAST(floor(round(list_max(list_transform(
+                       generate_series(1, len(v)),
+                       i -> abs(v[i] - codes[i] * scl))), 6) * 1000000
+                       + 0.5) AS BIGINT) AS errq
+              FROM enc),
+            dsq AS (
+              SELECT p.qid, r.cid,
+                     CAST(list_sum(list_transform(list_zip(p.pq, r.rm),
+                       pp -> (pp[1] - pp[2]) * (pp[1] - pp[2])))
+                       AS BIGINT) AS dist
+              FROM pv p CROSS JOIN rq r),
+            dex AS (
+              SELECT p.qid, r.cid,
+                     CAST(list_sum(list_transform(list_zip(p.pq, r.xm),
+                       pp -> (pp[1] - pp[2]) * (pp[1] - pp[2])))
+                       AS BIGINT) AS dist
+              FROM pv p CROSS JOIN rq r),
+            tsq AS (
+              SELECT qid, cid FROM (
+                SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                  ORDER BY dist, cid) AS rk FROM dsq) WHERE rk <= 10),
+            tex AS (
+              SELECT qid, cid FROM (
+                SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                  ORDER BY dist, cid) AS rk FROM dex) WHERE rk <= 10),
+            hits AS (
+              SELECT p.qid, coalesce(h.hit, 0) AS hit
+              FROM pv p LEFT JOIN (
+                SELECT a.qid, CAST(count(*) AS BIGINT) AS hit
+                FROM tsq a JOIN tex e ON a.qid = e.qid AND a.cid = e.cid
+                GROUP BY a.qid) h USING (qid)),
+            rec AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_queries,
+                     floor(CAST(sum(hit) AS DOUBLE) * 1000000
+                           / (CAST(count(*) AS DOUBLE) * 10.0)) / 1e6
+                       + 0.0 AS recall_at_10_q6
+              FROM hits),
+            me AS (
+              SELECT floor(CAST(sum(errq) AS DOUBLE) / count(*)) / 1e6
+                       + 0.0 AS mean_abs_err_q6
+              FROM rq)
+            SELECT n_queries, recall_at_10_q6, mean_abs_err_q6
+            FROM rec CROSS JOIN me
         """,
         "int8_quantize": r"""
             WITH v AS (

@@ -129,6 +129,9 @@ def main() -> None:
         "bpe_bytelevel_train",     # byte-level BPE training (r8)
         "bpe_bytelevel_encode",    # byte-BPE encode + round-trip audit (r8)
         "ann_nndescent_recall",    # NN-descent graph ANN + beam probe (r8)
+        "ann_incremental_assign",  # graph ANN upsert-time ingest (r9)
+        "sq8_recall",              # int8 storage-quality gate (r9)
+        "t41_stream_bytebpe_fertility",  # live byte-BPE economics (r9)
         "enem_questions" if "enem_questions" in entry.queries() else "ta_fingerprint",
     ]
     qs = entry.queries()

@@ -427,6 +427,105 @@ def int8_quantize(
     )
 
 
+def sq8_recall_report(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Serving-quality report for int8 scalar-quantized storage (the
+    FAISS SQ8 deployment question): recall@k of nearest-neighbor
+    search over RECONSTRUCTED int8 vectors vs exact search over the
+    raw vectors, plus the mean per-vector max reconstruction error —
+    the two numbers that decide whether the 4x storage cut ships.
+
+    Exact end to end: probes and raw corpus micro-quantize once
+    (bit-identical floor), int8 reconstruction c·scale is an identical
+    double both engines (scale is the 9-dp-rounded artifact of
+    :func:`int8_quantize`) and floors onto the SAME micro lattice, so
+    every distance is exact integer squared L2, rankings tie-break on
+    id, and recall is one exact integer division. One broadcastable
+    probe panel; the corpus scans twice (encode + score) with no
+    shuffle beyond two per-probe top-k windows.
+
+    Returns one row: (n_queries, recall_at_{k}_q6, mean_abs_err_q6).
+    """
+    from pyspark.sql import Window
+
+    from .topk import _sq_l2_micro
+    from .valuation import _quantize_micro
+
+    pv = probes.select(
+        F.col(id_col).alias("qid"), _quantize_micro(vec_col).alias("pq")
+    )
+    sq = int8_quantize(corpus, vec_col, id_col)
+    recon = sq.select(
+        F.col(id_col).alias("cid"),
+        F.transform(
+            "codes",
+            lambda c: F.floor(
+                c.cast("double") * F.col("scale") * F.lit(1000000.0)
+            ).cast("long"),
+        ).alias("rm"),
+        F.floor(F.col("max_abs_err") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("_errq"),
+    )
+    exact = corpus.select(
+        F.col(id_col).alias("cid"), _quantize_micro(vec_col).alias("xm")
+    )
+    w = Window.partitionBy("qid").orderBy("dist", "cid")
+
+    def _top(scored):
+        return (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .select("qid", "cid")
+        )
+
+    # probe panel broadcasts; the corpus never shuffles for scoring
+    top_sq = _top(
+        recon.select("cid", "rm").crossJoin(F.broadcast(pv)).select(
+            "qid", "cid", _sq_l2_micro("pq", "rm").alias("dist")
+        )
+    )
+    top_ex = _top(
+        exact.crossJoin(F.broadcast(pv)).select(
+            "qid", "cid", _sq_l2_micro("pq", "xm").alias("dist")
+        )
+    )
+    hits = top_sq.join(top_ex, ["qid", "cid"]).groupBy("qid").agg(
+        F.count("*").alias("_hit")
+    )
+    per_q = pv.select("qid").join(hits, "qid", "left").select(
+        F.coalesce("_hit", F.lit(0)).alias("_hit")
+    )
+    errs = recon.agg(
+        F.sum("_errq").alias("_se"), F.count(F.lit(1)).alias("_ne")
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        (
+            F.floor(
+                F.sum("_hit").cast("double")
+                * 1e6
+                / (F.count(F.lit(1)).cast("double") * float(k))
+            )
+            / 1e6
+            + 0.0
+        ).alias(f"recall_at_{k}_q6"),
+    ).crossJoin(
+        errs.select(
+            (
+                F.floor(F.col("_se").cast("double") / F.col("_ne"))
+                / 1e6
+                + 0.0
+            ).alias("mean_abs_err_q6")
+        )
+    )
+
+
 BITS_PER_WORD = 32
 
 

@@ -39,6 +39,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _persisted_rdd_ids(sc) -> set:
+    """Ids of every RDD currently held by the block manager — the
+    bookkeeping behind per-round checkpoint-generation release."""
+    jmap = sc._jsc.sc().getPersistentRDDs()
+    it = jmap.iterator()
+    out = set()
+    while it.hasNext():
+        out.add(it.next()._1())
+    return out
+
+
+def _unpersist_rdds(sc, ids) -> None:
+    """Release the block-manager storage of a finished checkpoint
+    GENERATION (r9 — the ×100 suffix run otherwise retains every
+    prefix-doubling round's localCheckpoint blocks in the one local
+    JVM heap and needs SPARK_GRAFT_DRIVER_MEM=48g at 30M suffixes; a
+    cluster would spread them but the waste is real there too). Only
+    safe for RDDs that are never read again — a released local
+    checkpoint cannot be recomputed. Non-blocking."""
+    jmap = sc._jsc.sc().getPersistentRDDs()
+    for rid in ids:
+        opt = jmap.get(rid)
+        if not opt.isEmpty():
+            opt.get().unpersist(False)
+
+
 def global_dense_rank(
     df: DataFrame, key_cols: list[str], out_col: str = "_rk"
 ) -> DataFrame:
@@ -101,12 +127,15 @@ def suffix_ranks(
     (the k-references-per-round plan would otherwise go exponential —
     same contract as connected_components_star)."""
     t = F.col(text_col)
+    sc = df.sparkSession.sparkContext
     base = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(t, "")).alias("pos", "ch"),
     ).filter(F.col("ch") != "")
+    seen = _persisted_rdd_ids(sc)
     cur = global_dense_rank(base, ["ch"], "r").select("id", "pos", "r")
     cur = cur.localCheckpoint(eager=True)
+    prev_gen = _persisted_rdd_ids(sc) - seen
     if max_len is None:
         max_len = int(
             df.agg(F.max(F.length(t)).alias("m")).first()["m"] or 0
@@ -125,10 +154,17 @@ def suffix_ranks(
                 "id", "pos", "r", F.coalesce("r2", F.lit(-1)).alias("r2")
             )
         )
+        seen = _persisted_rdd_ids(sc)
         cur = global_dense_rank(paired, ["r", "r2"], "rn").select(
             "id", "pos", F.col("rn").alias("r")
         )
         cur = cur.localCheckpoint(eager=True)
+        new_gen = _persisted_rdd_ids(sc) - seen
+        # the new generation is materialized — the previous round's
+        # checkpoint blocks are dead; release them so the heap holds
+        # TWO generations instead of all ~log2(max_len) of them
+        _unpersist_rdds(sc, prev_gen)
+        prev_gen = new_gen
         width *= 2
         if cur.agg(F.max("r")).first()[0] == n_suffixes - 1:
             break  # all suffixes already distinct — fully ordered
@@ -285,12 +321,15 @@ def _prefix_rank_table(
     doc end, so shorter prefixes never collide with full-width ones).
     The shared inner loop of :func:`suffix_ranks`, without the
     run-to-full-order termination."""
+    sc = src.sparkSession.sparkContext
     base = src.select(
         "id",
         F.posexplode(F.split(F.col("_t"), "")).alias("pos", "ch"),
     ).filter(F.col("ch") != "")
+    seen = _persisted_rdd_ids(sc)
     cur = global_dense_rank(base, ["ch"], "r").select("id", "pos", "r")
     cur = cur.localCheckpoint(eager=True)
+    prev_gen = _persisted_rdd_ids(sc) - seen
     width = 1
     while width < upto_width:
         nxt = cur.select(
@@ -299,10 +338,14 @@ def _prefix_rank_table(
         paired = cur.join(nxt, ["id", "pos"], "left").select(
             "id", "pos", "r", F.coalesce("r2", F.lit(-1)).alias("r2")
         )
+        seen = _persisted_rdd_ids(sc)
         cur = global_dense_rank(paired, ["r", "r2"], "rn").select(
             "id", "pos", F.col("rn").alias("r")
         )
         cur = cur.localCheckpoint(eager=True)
+        new_gen = _persisted_rdd_ids(sc) - seen
+        _unpersist_rdds(sc, prev_gen)  # see suffix_ranks — 2-gen heap
+        prev_gen = new_gen
         width *= 2
     return cur
 

@@ -166,3 +166,29 @@ def test_nn_descent_driver_fast_path_equals_distributed(spark, sf_dir):
         ).collect()
     )
     assert fast == dist and len(fast) > 0
+
+
+def test_sq8_recall_bounds_and_exact_self(spark, sf_dir):
+    """SQ8 recall is high (int8 reconstruction is near-lossless for
+    cosine/L2 ranking) and the error metric is nonnegative; a corpus
+    quantized with all-zero vectors degenerates cleanly."""
+    from pdf_to_vectordb_etl_spark.operators.quantization import (
+        sq8_recall_report,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    row = sq8_recall_report(
+        emb.filter(F.col("vec_id") >= 20),
+        emb.filter(F.col("vec_id") < 20),
+        k=10,
+    ).first()
+    assert row["n_queries"] == 20
+    assert 0.5 <= row["recall_at_10_q6"] <= 1.0
+    assert row["mean_abs_err_q6"] >= 0.0
+
+    zeros = spark.createDataFrame(
+        [(100 + i, [0.0] * 8) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    z = sq8_recall_report(zeros, zeros.limit(1), k=2).first()
+    assert z["mean_abs_err_q6"] == 0.0

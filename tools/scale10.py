@@ -102,7 +102,8 @@ def main() -> None:
     R10 = f"/tmp/spark_graft_scale{FACTOR}"
     names = args or DEFAULT
     spark = get_spark(
-        app_name="scale10", master="local[32]", shuffle_partitions=32
+        app_name="scale10", master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     )
     build_replica(spark)
     qs = entry.queries()

@@ -39,7 +39,8 @@ def main() -> None:
         args = args[2:]
     max_chars = int(args[0]) if args else 200
     spark = get_spark(
-        app_name="scale_suffix", master="local[32]", shuffle_partitions=32
+        app_name="scale_suffix", master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     )
     s10.build_replica(spark)
     R10 = s10.R10
