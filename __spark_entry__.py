@@ -113,7 +113,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Per-language corpus-curation report on sf0.001: doc counts, token
-    totals, quality score, fingerprint cardinality (exact-dedup view)."""
+    totals, quality score, fingerprint cardinality (exact-dedup view).
+
+    avg_quality uses the lattice template (commit 4f37a30): per-doc
+    floor onto the 1e-6 grid (quality_score carries stopword_ratio*4 —
+    a k/n rational, NOT grid-valued, so round(avg) would be summation-
+    order-dependent), exact integer sum, ONE half-up integer division
+    to the 4-dp output grid (scores are nonnegative, so +n*50 then
+    floor-div is exact half-up)."""
     docs = _t(spark, "/root/testdata/sf0.001", "documents")
     scored = ta.quality_score(docs)
     return (
@@ -122,8 +129,23 @@ def entry(spark: SparkSession) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(ta.token_count(F.col("text"))).alias("n_tokens"),
-            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+            F.sum(
+                F.floor(F.col("quality_score") * 1e6).cast("long")
+            ).alias("_sq_micro"),
             F.countDistinct("fp").alias("n_unique_fp"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            (
+                F.expr(
+                    "(CAST(_sq_micro + 50 * n_docs AS DECIMAL(38,0))"
+                    " div (100 * n_docs))"
+                ).cast("double")
+                / 1e4
+            ).alias("avg_quality"),
+            "n_unique_fp",
         )
         .orderBy("lang")
     )
@@ -4709,11 +4731,16 @@ def _bpe_bytelevel_oracle_sql(n_merges: int, what: str) -> str:
                      CAST(coalesce(sum(CASE WHEN cell LIKE 't%' THEN NULL
                                        ELSE CAST(substr(cell, 2)
                                                  AS BIGINT) END), 0)
-                          AS BIGINT) AS n_bytes
+                          AS BIGINT) AS n_bytes,
+                     CAST(coalesce(sum(CASE WHEN cell LIKE 't%'
+                                        AND n_pieces IS NULL
+                                       THEN 1 END), 0) AS BIGINT)
+                       AS n_oov
               FROM blj GROUP BY grp)"""
         )
         finals = """
         SELECT grp AS source, n_docs, n_pretokens, n_tokens, n_bytes,
+               n_oov,
                CASE WHEN n_pretokens > 0 THEN
                  CAST((CAST(n_tokens AS HUGEINT) * 1000000)
                       // n_pretokens AS BIGINT) / 1e6
@@ -9821,6 +9848,9 @@ def _nndescent_oracle_sql(
     corpus_pred: str = "vec_id >= 20",
     panel_pred: str = "vec_id < 20",
     out_k: int = 6,
+    delete_pred: str = "cand % 7 = 3",
+    drift_threshold_micro: int = 50_000,
+    dist_ratio_pct: int = 200,
 ) -> str:
     """Unrolled DuckDB replay of the NN-descent family: ring init,
     ``rounds`` NN-descent local-join rounds, ``hops`` beam-probe hops
@@ -9829,7 +9859,13 @@ def _nndescent_oracle_sql(
     stage MATERIALIZED. ``what``: 'recall' emits q_ann_nndescent_
     recall's top-10s + recall fold; 'assign' emits the per-probe
     top-``out_k`` adjacency (src, dst, dist) that
-    nn_descent_incremental_assign adopts for new vectors."""
+    nn_descent_incremental_assign adopts for new vectors;
+    'tombstone' emits the per-probe top-``out_k`` of the visited set
+    with ``delete_pred`` candidates tombstoned out BEFORE the rank
+    (traversal still routed through them — the filter sits after the
+    hops); 'drift' emits nn_descent_drift_report's per-node occupancy
+    + mean-distance table over base graph vs adopted assigns;
+    'refresh' folds that table to the one-row refresh trigger."""
     dist = (
         "CAST(list_sum(list_transform(list_zip({a}, {b}),"
         " pp -> (pp[1] - pp[2]) * (pp[1] - pp[2]))) AS BIGINT)"
@@ -9929,6 +9965,90 @@ def _nndescent_oracle_sql(
                                     ORDER BY dist, cand) AS rk
           FROM nnv{hops})
         WHERE rk <= {out_k}"""
+        return "WITH " + ",\n".join(ctes) + "\n" + final
+    if what == "tombstone":
+        final = f"""
+        SELECT qid, cand, dist FROM (
+          SELECT qid, cand, dist,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY dist, cand) AS rk
+          FROM nnv{hops}
+          WHERE NOT ({delete_pred}))
+        WHERE rk <= {out_k}"""
+        return "WITH " + ",\n".join(ctes) + "\n" + final
+    if what in ("drift", "refresh"):
+        ctes.append(
+            f"""nnas AS MATERIALIZED (
+              SELECT qid AS src, cand AS dst, dist FROM (
+                SELECT qid, cand, dist,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY dist, cand) AS rk
+                FROM nnv{hops})
+              WHERE rk <= {out_k}),
+            nnb AS (
+              SELECT dst AS node, CAST(count(*) AS BIGINT) AS n_base,
+                     sum(CAST(dist AS HUGEINT)) AS sb
+              FROM nng{rounds} GROUP BY dst),
+            nna AS (
+              SELECT dst AS node, CAST(count(*) AS BIGINT) AS n_new,
+                     sum(CAST(dist AS HUGEINT)) AS sn
+              FROM nnas GROUP BY dst),
+            nnocc AS (
+              SELECT coalesce(b.node, a.node) AS node,
+                     coalesce(n_base, 0) AS n_base,
+                     coalesce(n_new, 0) AS n_new, sb, sn
+              FROM nnb b FULL OUTER JOIN nna a ON b.node = a.node),
+            nntot AS (
+              SELECT CAST(sum(n_base) AS BIGINT) AS tb,
+                     CAST(sum(n_new) AS BIGINT) AS tn
+              FROM nnocc),
+            nndrift AS (
+              SELECT node, n_base, n_new,
+                     CASE WHEN tb > 0 THEN
+                       CAST((CAST(n_base AS HUGEINT) * 1000000) // tb
+                            AS BIGINT) / 1e6 END AS share_base,
+                     CASE WHEN tn > 0 THEN
+                       CAST((CAST(n_new AS HUGEINT) * 1000000) // tn
+                            AS BIGINT) / 1e6 END AS share_new,
+                     (CASE WHEN tn > 0 THEN
+                        CAST((CAST(n_new AS HUGEINT) * 1000000) // tn
+                             AS BIGINT) / 1e6 END)
+                     - (CASE WHEN tb > 0 THEN
+                          CAST((CAST(n_base AS HUGEINT) * 1000000) // tb
+                               AS BIGINT) / 1e6 END) AS drift,
+                     CASE WHEN n_base > 0 THEN
+                       CAST(sb // n_base AS BIGINT) END
+                       AS mean_dist_base,
+                     CASE WHEN n_new > 0 THEN
+                       CAST(sn // n_new AS BIGINT) END AS mean_dist_new
+              FROM nnocc CROSS JOIN nntot)"""
+        )
+        if what == "drift":
+            final = """
+        SELECT node, n_base, n_new, share_base, share_new, drift,
+               mean_dist_base, mean_dist_new
+        FROM nndrift"""
+            return "WITH " + ",\n".join(ctes) + "\n" + final
+        final = f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(n_base) AS BIGINT) AS n_base_edges,
+               CAST(sum(n_new) AS BIGINT) AS n_new_edges,
+               max(abs(drift)) AS max_abs_drift,
+               CASE WHEN sum(n_base) > 0 THEN
+                 CAST(sum(CAST(mean_dist_base AS HUGEINT) * n_base)
+                      // sum(n_base) AS BIGINT) END AS mean_dist_base,
+               CASE WHEN sum(n_new) > 0 THEN
+                 CAST(sum(CAST(mean_dist_new AS HUGEINT) * n_new)
+                      // sum(n_new) AS BIGINT) END AS mean_dist_new,
+               coalesce(
+                 max(abs(drift)) > {drift_threshold_micro} / 1e6
+                 OR (sum(n_base) > 0 AND sum(n_new) > 0
+                     AND sum(CAST(mean_dist_new AS HUGEINT) * n_new)
+                         * sum(n_base) * 100
+                       > {dist_ratio_pct}
+                         * sum(CAST(mean_dist_base AS HUGEINT) * n_base)
+                         * sum(n_new)), false) AS refresh_due
+        FROM nndrift"""
         return "WITH " + ",\n".join(ctes) + "\n" + final
     ctes.append(
         f"""nnans AS (
@@ -10311,6 +10431,163 @@ def q_ann_incremental_assign(spark, sf):
     )
 
 
+def q_ann_graph_drift(spark, sf):
+    """Graph-ANN drift report (the ivf_drift_report analogue for the
+    NN-descent family — closes the incremental-assign maintenance
+    loop): per base-graph node, in-degree share under the base build
+    vs under the edges adopted by the new-vector assigns, plus the
+    integer-mean edge distance on each side — the two signals (hub
+    formation, rising adopted-edge distance) that tell the operator
+    accumulated assigns have degraded recall and a re-descent is due.
+    Exact integer counts/distances end to end; the whole build +
+    assign + report replays unrolled in DuckDB, hash-verified."""
+    from pdf_to_vectordb_etl_spark.operators.topk import (
+        nn_descent_drift_report,
+        nn_descent_graph,
+        nn_descent_incremental_assign,
+    )
+
+    emb = _t(spark, sf, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    corpus = emb.filter(
+        (F.col("vec_id") >= 20) & (F.col("vec_id") < 400)
+    )
+    new = emb.filter(F.col("vec_id") >= 400)
+    g = nn_descent_graph(corpus, k=8, rounds=4).localCheckpoint(
+        eager=True
+    )
+    assigned = nn_descent_incremental_assign(
+        g, corpus, new, k=6, hops=3, beam=8
+    )
+    return nn_descent_drift_report(g, assigned).orderBy("node")
+
+
+def q_ann_graph_refresh(spark, sf):
+    """One-row refresh decision over the graph-ANN drift report: fires
+    when some node's occupancy share drifted past 0.05 or the global
+    mean adopted-edge distance exceeds 200% of the base build's —
+    the alertable retrain trigger, mirroring how ivf_drift_report's
+    consumers schedule quantizer retraining. Exact integer
+    cross-multiply (no division in the boolean); hash-verified."""
+    from pdf_to_vectordb_etl_spark.operators.topk import (
+        nn_descent_drift_report,
+        nn_descent_graph,
+        nn_descent_incremental_assign,
+        nn_descent_refresh_trigger,
+    )
+
+    emb = _t(spark, sf, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    corpus = emb.filter(
+        (F.col("vec_id") >= 20) & (F.col("vec_id") < 400)
+    )
+    new = emb.filter(F.col("vec_id") >= 400)
+    g = nn_descent_graph(corpus, k=8, rounds=4).localCheckpoint(
+        eager=True
+    )
+    assigned = nn_descent_incremental_assign(
+        g, corpus, new, k=6, hops=3, beam=8
+    )
+    return nn_descent_refresh_trigger(
+        nn_descent_drift_report(g, assigned)
+    )
+
+
+def q_ann_tombstone_search(spark, sf):
+    """Tombstone-aware graph-ANN serving: vec_id % 7 == 3 corpus rows
+    are deleted (the persisted deletions artifact), the beam probe
+    still ROUTES through them (graph untouched), but they are
+    anti-joined out before the final top-10 — deleting a probe's
+    nearest neighbor surfaces the next-nearest visited node, and a
+    deleted id can never be served (hash-verified by the oracle's
+    identical tombstone filter)."""
+    from pdf_to_vectordb_etl_spark.operators.topk import (
+        nn_descent_graph,
+        nn_descent_tombstone_search,
+    )
+
+    emb = _t(spark, sf, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    probes = emb.filter(F.col("vec_id") < 20)
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    deletions = corpus.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    g = nn_descent_graph(corpus, k=8, rounds=4)
+    return nn_descent_tombstone_search(
+        g, corpus, probes, deletions, k=10, hops=3, beam=8
+    )
+
+
+def q_ivf_tombstone_topk(spark, sf):
+    """Tombstone-aware IVF serving: the index (md5-sampled centroids +
+    list assignment) is the artifact trained on the FULL corpus —
+    deletions never retrain or reshuffle lists — and vec_id % 7 == 3
+    rows are anti-joined out of the assigned corpus before scoring, so
+    they are never read into a candidate set. Same hash-verified
+    replay as k1_topk_ivf plus the deletion filter."""
+    from pdf_to_vectordb_etl_spark.operators.topk import (
+        ivf_tombstone_topk,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 2)
+    deletions = corpus.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    out = ivf_tombstone_topk(
+        corpus, queries_df, deletions, k=5, n_lists=16, n_probe=4,
+        corpus_vec="embedding", corpus_id="vec_id",
+    )
+    return out.select(
+        "qid", "vec_id", F.round("cosine_sim", 4).alias("sim"), "rank"
+    )
+
+
+def q_ann_compaction_signal(spark, sf):
+    """Occupancy-driven compaction trigger for tombstoned ANN
+    artifacts: one row with the live/deleted split and compaction_due
+    = deleted share ≥ 10% (vec_id % 7 deletions sit at ~14%, so the
+    trigger FIRES on every fixture — the planted-signal convention).
+    Exact integer share and boolean; trivially hash-verified."""
+    from pdf_to_vectordb_etl_spark.operators.topk import (
+        ann_compaction_signal,
+    )
+
+    emb = _t(spark, sf, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    corpus = emb.filter(F.col("vec_id") >= 2)
+    deletions = corpus.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    return ann_compaction_signal(
+        corpus, deletions, threshold_micro=100_000
+    )
+
+
+def q_quantile_normalize_approx(spark, sf):
+    """Sort-free approximate quantile normalization — the 100-TB path
+    for quantile_normalize (whose pooled order statistics are
+    global-sort-bound, ×100 = 23.7×): a 256-bucket equi-width pooled
+    histogram replaces both rank passes; every shuffle is an
+    aggregation. The approximation is itself deterministic (single
+    mirrored IEEE bucket expression + exact integer counts; the
+    normalized value is a COPIED per-bucket max), so the output
+    hash-verifies — and tests pin its rank error vs the exact path to
+    the landing bucket's occupancy (the sketch guarantee)."""
+    from pdf_to_vectordb_etl_spark.operators.aggregates import (
+        quantile_normalize_approx,
+    )
+
+    ev = _t(spark, sf, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan(F.col("value"))
+    )
+    return quantile_normalize_approx(
+        ev, "value", "event_type", "event_id", n_buckets=256
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_pruned_projection": q_s1_scan_pruned_projection,
@@ -10679,6 +10956,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_bytelevel_encode": q_bpe_bytelevel_encode,
         "ann_nndescent_recall": q_ann_nndescent_recall,
         "ann_incremental_assign": q_ann_incremental_assign,
+        "ann_graph_drift": q_ann_graph_drift,
+        "ann_graph_refresh": q_ann_graph_refresh,
+        "ann_tombstone_search": q_ann_tombstone_search,
+        "ivf_tombstone_topk": q_ivf_tombstone_topk,
+        "ann_compaction_signal": q_ann_compaction_signal,
+        "quantile_normalize_approx": q_quantile_normalize_approx,
         "t41_stream_bytebpe_fertility": q_t41_stream_bytebpe_fertility,
         "sq8_recall": q_sq8_recall,
         "training_export_bytebpe": q_training_export_bytebpe,
@@ -20297,6 +20580,152 @@ def oracle_sql() -> dict[str, str]:
         panel_pred="vec_id >= 400",
         out_k=6,
     )
+    # graph-ANN lifecycle (r10): drift report + refresh trigger replay
+    # the same build + assign CTEs as ann_incremental_assign, then the
+    # per-node occupancy / mean-distance rollup
+    d["ann_graph_drift"] = _nndescent_oracle_sql(
+        8, 4, 3, 8,
+        what="drift",
+        corpus_pred="vec_id >= 20 AND vec_id < 400",
+        panel_pred="vec_id >= 400",
+        out_k=6,
+    )
+    d["ann_graph_refresh"] = _nndescent_oracle_sql(
+        8, 4, 3, 8,
+        what="refresh",
+        corpus_pred="vec_id >= 20 AND vec_id < 400",
+        panel_pred="vec_id >= 400",
+        out_k=6,
+    )
+    # tombstone-aware serving: identical hops, deleted candidates
+    # filtered BEFORE the final rank — a deleted id can never be served
+    d["ann_tombstone_search"] = _nndescent_oracle_sql(
+        8, 4, 3, 8,
+        what="tombstone",
+        delete_pred="cand % 7 = 3",
+        out_k=10,
+    )
+    # IVF tombstones: the k1_topk_ivf replay with the deletion
+    # anti-filter on the assigned corpus before scoring
+    d["ivf_tombstone_topk"] = """
+        WITH corpus AS (
+          SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 2),
+        sampled AS (
+          SELECT vec_id, embedding FROM corpus
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        cents AS (
+          SELECT row_number() OVER (ORDER BY vec_id) AS list_id,
+                 CAST(embedding AS DOUBLE[]) AS centroid
+          FROM sampled),
+        cassign AS (
+          SELECT vec_id, embedding, list_id FROM (
+            SELECT c.vec_id, c.embedding, ct.list_id,
+                   row_number() OVER (
+                     PARTITION BY c.vec_id
+                     ORDER BY round(list_cosine_similarity(
+                       CAST(c.embedding AS DOUBLE[]), ct.centroid), 6) DESC,
+                       ct.list_id) AS r
+            FROM corpus c CROSS JOIN cents ct)
+          WHERE r = 1),
+        qprobe AS (
+          SELECT qid, qv, list_id FROM (
+            SELECT q.vec_id AS qid, CAST(q.embedding AS DOUBLE[]) AS qv,
+                   ct.list_id,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY round(list_cosine_similarity(
+                       CAST(q.embedding AS DOUBLE[]), ct.centroid), 6) DESC,
+                       ct.list_id) AS r
+            FROM embeddings q CROSS JOIN cents ct
+            WHERE q.vec_id < 2)
+          WHERE r <= 4),
+        scored AS (
+          SELECT p.qid, c.vec_id,
+                 list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), p.qv) AS s
+          FROM cassign c JOIN qprobe p USING (list_id)
+          WHERE NOT (c.vec_id % 7 = 3))
+        SELECT qid, vec_id, round(s, 4) AS sim,
+               CAST(row_number() OVER (
+                 PARTITION BY qid ORDER BY s DESC, vec_id) AS INT) AS rank
+        FROM scored
+        QUALIFY rank <= 5
+    """
+    d["ann_compaction_signal"] = """
+        WITH corpus AS (
+          SELECT vec_id FROM embeddings
+          WHERE embedding IS NOT NULL AND vec_id >= 2),
+        c AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_total,
+                 CAST(coalesce(sum(CASE WHEN vec_id % 7 = 3 THEN 1 END),
+                               0) AS BIGINT) AS n_deleted
+          FROM corpus)
+        SELECT n_total, n_deleted,
+               CASE WHEN n_total > 0 THEN
+                 CAST((CAST(n_deleted AS HUGEINT) * 1000000) // n_total
+                      AS BIGINT) / 1e6 END AS deleted_frac_q6,
+               (n_total > 0
+                AND CAST(n_deleted AS HUGEINT) * 1000000
+                    >= 100000 * CAST(n_total AS HUGEINT))
+                 AS compaction_due
+        FROM c
+    """
+    # sort-free approximate quantile normalization: mirrored IEEE
+    # bucket expression, exact integer cumulative counts, value COPIED
+    # from the pooled bucket max
+    d["quantile_normalize_approx"] = r"""
+        WITH qa_base AS (
+          SELECT event_id AS id, event_type AS g, value AS v
+          FROM events
+          WHERE value IS NOT NULL AND NOT isnan(value)),
+        qa_mm AS (SELECT min(v) AS lo, max(v) AS hi FROM qa_base),
+        qa_b AS (
+          SELECT id, g, v,
+                 CASE WHEN hi > lo THEN
+                   least(CAST(floor((v - lo) / (hi - lo) * 256.0)
+                              AS BIGINT), 255)
+                 ELSE 0 END AS b
+          FROM qa_base CROSS JOIN qa_mm),
+        qa_pool AS (
+          SELECT b, CAST(count(*) AS BIGINT) AS cnt, max(v) AS bmax
+          FROM qa_b GROUP BY b),
+        qa_pcum AS (
+          SELECT b AS pb, bmax,
+                 CAST(sum(cnt) OVER (
+                   ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_hi,
+                 CAST(sum(cnt) OVER (
+                   ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - cnt AS BIGINT) AS cum_lo
+          FROM qa_pool),
+        qa_cells AS (
+          SELECT g, b, CAST(count(*) AS BIGINT) AS cnt_g
+          FROM qa_b GROUP BY g, b),
+        qa_gcum AS (
+          SELECT g, b,
+                 CAST(sum(cnt_g) OVER (
+                   PARTITION BY g ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS r_hi
+          FROM qa_cells),
+        qa_ng AS (
+          SELECT g, CAST(sum(cnt_g) AS BIGINT) AS n_g
+          FROM qa_cells GROUP BY g),
+        qa_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qa_base),
+        qa_tgt AS (
+          SELECT c.g, c.b,
+                 (CAST(c.r_hi AS HUGEINT) * n.n + ng.n_g - 1) // ng.n_g
+                   AS target_pr
+          FROM qa_gcum c JOIN qa_ng ng USING (g) CROSS JOIN qa_n n),
+        qa_map AS (
+          SELECT t.g, t.b, p.bmax AS norm_value
+          FROM qa_tgt t JOIN qa_pcum p
+            ON t.target_pr > p.cum_lo AND t.target_pr <= p.cum_hi)
+        SELECT r.id AS event_id, r.g AS event_type, r.v AS value,
+               m.norm_value
+        FROM qa_b r JOIN qa_map m ON r.g = m.g AND r.b = m.b
+    """
     d["training_export_bytebpe"] = _export_bytebpe_oracle_sql(8)
     # greedy token-budget fill: exact micro-int quality ORDER, prefix
     # sum over the per-source aggregate

@@ -132,6 +132,9 @@ def main() -> None:
         "ann_incremental_assign",  # graph ANN upsert-time ingest (r9)
         "sq8_recall",              # int8 storage-quality gate (r9)
         "t41_stream_bytebpe_fertility",  # live byte-BPE economics (r9)
+        "ann_graph_drift",         # graph-ANN drift report (r10)
+        "ann_tombstone_search",    # tombstone-aware graph serving (r10)
+        "quantile_normalize_approx",  # sort-free quantile sketch (r10)
         "enem_questions" if "enem_questions" in entry.queries() else "ta_fingerprint",
     ]
     qs = entry.queries()

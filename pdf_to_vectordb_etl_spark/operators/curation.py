@@ -950,17 +950,28 @@ def token_budget_from_cells(
     cell table — the exact micro-int quality, ranking, bounded global
     prefix window and allocation of :func:`token_budget_allocation`,
     shared verbatim by the batch query and the T40 stream twin.
-    Defensively coalesces a NULL key to '' (the cells builders already
-    do — this covers raw-cells callers) so the tie-break rank order is
-    engine-independent."""
+    Defensively coalesces a NULL key to '' AND re-aggregates on the
+    coalesced key (the cells builders already coalesce — this covers
+    raw-cells callers whose table carries BOTH a NULL and a real ''
+    group: projecting without re-aggregating would hand the greedy
+    prefix window two rows with the same key and emit duplicate-key
+    allocations). No-op when keys are already distinct."""
     from pyspark.sql import Window
 
-    per = cells.select(
-        F.coalesce(F.col(by), F.lit("")).alias(by),
-        F.expr(
-            "CAST(n_pass AS DECIMAL(38,0)) * 1000000 div n_docs"
-        ).alias("_q_micro"),
-        "n_tokens",
+    per = (
+        cells.groupBy(F.coalesce(F.col(by), F.lit("")).alias(by))
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_pass").cast("long").alias("n_pass"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .select(
+            by,
+            F.expr(
+                "CAST(n_pass AS DECIMAL(38,0)) * 1000000 div n_docs"
+            ).alias("_q_micro"),
+            "n_tokens",
+        )
     )
     w = (
         Window.orderBy(F.desc("_q_micro"), F.col(by))

@@ -446,8 +446,11 @@ def sq8_recall_report(
     :func:`int8_quantize`) and floors onto the SAME micro lattice, so
     every distance is exact integer squared L2, rankings tie-break on
     id, and recall is one exact integer division. One broadcastable
-    probe panel; the corpus scans twice (encode + score) with no
-    shuffle beyond two per-probe top-k windows.
+    probe panel; the corpus scans twice (the checkpointed int8 encode +
+    the exact-score pass — the reconstruction is consumed by both the
+    SQ scoring and the error aggregate, so it localCheckpoints per the
+    consumed-twice convention) with no shuffle beyond two per-probe
+    top-k windows.
 
     Returns one row: (n_queries, recall_at_{k}_q6, mean_abs_err_q6).
     """
@@ -471,7 +474,7 @@ def sq8_recall_report(
         F.floor(F.col("max_abs_err") * 1000000 + F.lit(0.5))
         .cast("long")
         .alias("_errq"),
-    )
+    ).localCheckpoint(eager=True)
     exact = corpus.select(
         F.col(id_col).alias("cid"), _quantize_micro(vec_col).alias("xm")
     )

@@ -2287,8 +2287,15 @@ def bpe_bytelevel_fertility_cells(
     aggregation over the token-cell stream joined to the static
     trained-vocab artifact (stream-static join — Structured Streaming
     supports it before the single agg), producing (group, n_docs,
-    n_pretokens, n_tokens, n_bytes) — all plain sums, one state row
-    per group at any corpus scale."""
+    n_pretokens, n_tokens, n_bytes, n_oov) — all plain sums, one state
+    row per group at any corpus scale. ``n_oov`` counts token cells
+    the trained vocab does NOT cover (n_pieces NULL after the left
+    join): on a genuinely live stream, new words arriving after
+    training would otherwise silently drop out of n_tokens while still
+    counting in n_pretokens, biasing fertility low with no signal —
+    n_oov surfaces that vocab drift instead of absorbing it. Always 0
+    when the stream replays the training corpus (byte fallback makes
+    real byte-BPE OOV impossible on seen pre-tokens)."""
     cells = bpe_bytelevel_cell_stream(df, group_col, text_col)
     joined = cells.join(
         pieces.select("vkey", "n_pieces"),
@@ -2316,6 +2323,12 @@ def bpe_bytelevel_fertility_cells(
         )
         .cast("long")
         .alias("n_bytes"),
+        F.coalesce(
+            F.sum(F.when(is_tok & F.col("n_pieces").isNull(), 1)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_oov"),
     )
 
 
@@ -2332,6 +2345,7 @@ def bpe_bytelevel_fertility_finale(
         "n_pretokens",
         "n_tokens",
         "n_bytes",
+        "n_oov",
         "CASE WHEN n_pretokens > 0 THEN"
         " (CAST(n_tokens AS DECIMAL(38,0)) * 1000000 div n_pretokens)"
         " / 1e6 END AS fertility_q6",

@@ -488,7 +488,7 @@ def _sq_l2_micro(a, b):
     )
 
 
-def _nn_descent_driver(ids, mat, k: int, rounds: int):
+def _nn_descent_driver(ids, mat, k: int, rounds: int, chunk_pairs: int = 4_000_000):
     """Driver fast path for the NN-descent build (the cluster_pairs
     bounded-fast-path pattern): the ENTIRE ring-init + local-join loop
     as vectorized int64 numpy over the collected micro matrix —
@@ -498,7 +498,11 @@ def _nn_descent_driver(ids, mat, k: int, rounds: int):
     alone at small N; this does the same arithmetic in milliseconds.
     ``ids`` must be sorted ascending (index order == id order, so the
     lexsort tiebreak on index equals the id tiebreak).
-    Memory: candidate distance batches are chunked to ~1M pairs."""
+    Memory: the local-join candidate EXPANSION folds in ~4M-pair edge
+    blocks (incremental per-block _topk — bit-identical to the
+    all-at-once fold, see the in-loop note), and fallback distance
+    batches are chunked to ~1M pairs, so peak footprint is bounded
+    even on hub-heavy corpora where sum-of-deg² is ~N²k."""
     import numpy as np
 
     n = len(ids)
@@ -554,6 +558,14 @@ def _nn_descent_driver(ids, mat, k: int, rounds: int):
     m = src != dst
     src, dst = src[m], dst[m]
     src, dst, dist = _topk(src, dst, _dists(src, dst))
+    # candidate-expansion chunk bound: the local join proposes
+    # sum-of-deg² pairs, which on duplicate-heavy/hub corpora near the
+    # node cap is ~N²k entries — tens of GB if materialized at once.
+    # Chunked folding is BIT-IDENTICAL to the all-at-once _topk: the k
+    # kept per src are the strictly smallest (total order after the
+    # exact-pair dedupe), so a discarded candidate can never re-enter
+    # the final top-k, and a duplicate pair re-proposed in a later
+    # chunk carries the identical (dist, dst) struct.
     for _ in range(rounds):
         us = np.concatenate([src, dst])
         ud = np.concatenate([dst, src])
@@ -566,20 +578,29 @@ def _nn_descent_driver(ids, mat, k: int, rounds: int):
         cnt = np.bincount(gs, minlength=n)
         start = np.r_[np.int64(0), np.cumsum(cnt)][:-1]
         rep = cnt[ud]
-        cs = np.repeat(us, rep)
-        total = int(rep.sum())
-        offs = (
-            np.repeat(start[ud], rep)
-            + np.arange(total, dtype=np.int64)
-            - np.repeat(np.r_[np.int64(0), np.cumsum(rep)][:-1], rep)
-        )
-        cd = gd[offs]
-        m2 = cs != cd
-        cs, cd = cs[m2], cd[m2]
-        ps = np.concatenate([src, cs])
-        pdst = np.concatenate([dst, cd])
-        pdist = np.concatenate([dist, _dists(cs, cd)])
-        nsrc, ndst, ndist = _topk(ps, pdst, pdist)
+        cum = np.cumsum(rep)
+        nsrc, ndst, ndist = src, dst, dist
+        lo = 0
+        while lo < len(us):
+            base = int(cum[lo - 1]) if lo > 0 else 0
+            hi = int(np.searchsorted(cum, base + chunk_pairs, "left")) + 1
+            hi = min(max(hi, lo + 1), len(us))
+            bs, bd, brep = us[lo:hi], ud[lo:hi], rep[lo:hi]
+            btotal = int(brep.sum())
+            cs = np.repeat(bs, brep)
+            offs = (
+                np.repeat(start[bd], brep)
+                + np.arange(btotal, dtype=np.int64)
+                - np.repeat(np.r_[np.int64(0), np.cumsum(brep)][:-1], brep)
+            )
+            cd = gd[offs]
+            m2 = cs != cd
+            cs, cd = cs[m2], cd[m2]
+            ps = np.concatenate([nsrc, cs])
+            pdst = np.concatenate([ndst, cd])
+            pdist = np.concatenate([ndist, _dists(cs, cd)])
+            nsrc, ndst, ndist = _topk(ps, pdst, pdist)
+            lo = hi
         same = (
             len(nsrc) == len(src)
             and bool((nsrc == src).all())
@@ -640,8 +661,18 @@ def nn_descent_graph(
     # arithmetic, same tie order; property-pinned), while the Spark
     # loop pays ~1s of physical planning per round regardless of data
     # size. Above the cap, the distributed join path below runs;
-    # distributed tests pass fast_path_max_nodes=None.
-    if fast_path_max_nodes is not None and n_total <= fast_path_max_nodes:
+    # distributed tests pass fast_path_max_nodes=None, and
+    # SPARK_GRAFT_NN_FASTPATH=0 forces the distributed path from the
+    # environment (the per-round gate exercises it against the
+    # unchanged oracle so the fallback cannot rot behind the fast
+    # path).
+    import os as _os
+
+    if (
+        fast_path_max_nodes is not None
+        and _os.environ.get("SPARK_GRAFT_NN_FASTPATH", "1") != "0"
+        and n_total <= fast_path_max_nodes
+    ):
         import numpy as np
 
         rows = r.select("id", "q").collect()
@@ -878,4 +909,258 @@ def nn_descent_incremental_assign(
             F.col("cand").alias("dst"),
             "dist",
         )
+    )
+
+
+def nn_descent_drift_report(
+    base_graph: DataFrame, assigned: DataFrame
+) -> DataFrame:
+    """Drift report for a persisted NN-descent graph artifact — the
+    graph twin of :func:`ivf_drift_report` (:287), closing the
+    maintenance loop :func:`nn_descent_incremental_assign` opens: the
+    base graph absorbs appends edge-by-edge, and THIS report measures
+    when the accumulated assigns have drifted far enough from the
+    trained distribution that a full re-descent (rebuild) is due —
+    exactly how ivf_drift_report triggers quantizer retraining, and
+    how a graph-served store rebalances its HNSW graph across upserts
+    (the reference's Qdrant, qdrant_text_loader.py:202-214).
+
+    Per base-graph node (the graph analogue of an IVF list — new
+    vectors "occupy" the nodes they adopt as neighbors): in-degree
+    under the base build vs under the adopted assign edges, exact
+    micro-share of each, drift = share_new − share_base (positive: new
+    mass is concentrating on this node — the hub-formation signal),
+    and the integer-floor mean adopted-edge distance vs the base
+    build's mean in-edge distance (rising: new vectors are FAR from
+    their adopted neighborhood — the recall-degradation signal).
+
+    All ratios from exact integers (counts, exact integer micro-L2
+    dists; sums as DECIMAL(38,0) so corpus-scale edge sums cannot
+    wrap), so every column replays bit-identically in an external SQL
+    engine. Input relations are k-bounded edge lists; output is one
+    row per touched node (full outer: base nodes the assigns never
+    touch and adopted nodes outside the base in-degree set both
+    appear).
+
+    Returns ``node, n_base, n_new, share_base, share_new, drift,
+    mean_dist_base, mean_dist_new`` (means NULL for untouched sides,
+    shares NULL when the respective edge total is zero)."""
+    b = base_graph.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").cast("long").alias("n_base"),
+        F.sum(F.col("dist").cast("decimal(38,0)")).alias("_sb"),
+    )
+    a = assigned.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").cast("long").alias("n_new"),
+        F.sum(F.col("dist").cast("decimal(38,0)")).alias("_sn"),
+    )
+    occ = b.join(a, "node", "full_outer").select(
+        "node",
+        F.coalesce("n_base", F.lit(0)).alias("n_base"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        "_sb",
+        "_sn",
+    )
+    tot = occ.agg(
+        F.sum("n_base").cast("long").alias("_tb"),
+        F.sum("n_new").cast("long").alias("_tn"),
+    )
+    share = lambda n, t: F.expr(  # noqa: E731
+        f"CASE WHEN {t} > 0 THEN"
+        f" (CAST({n} AS DECIMAL(38,0)) * 1000000 div {t}) / 1e6 END"
+    )
+    mean_d = lambda s, n: F.expr(  # noqa: E731
+        # dists nonneg => floor == truncate, both engines agree; the
+        # quotient is one edge distance, BIGINT-safe
+        f"CASE WHEN {n} > 0 THEN CAST({s} div {n} AS BIGINT) END"
+    )
+    return occ.crossJoin(F.broadcast(tot)).select(
+        "node",
+        "n_base",
+        "n_new",
+        share("n_base", "_tb").alias("share_base"),
+        share("n_new", "_tn").alias("share_new"),
+        (share("n_new", "_tn") - share("n_base", "_tb")).alias("drift"),
+        mean_d("_sb", "n_base").alias("mean_dist_base"),
+        mean_d("_sn", "n_new").alias("mean_dist_new"),
+    )
+
+
+def nn_descent_refresh_trigger(
+    report: DataFrame,
+    drift_threshold_micro: int = 50_000,
+    dist_ratio_pct: int = 200,
+) -> DataFrame:
+    """Refresh decision over a :func:`nn_descent_drift_report` — one
+    row the index operator alerts on, mirroring how ivf_drift_report's
+    consumers decide a retrain. ``refresh_due`` fires when EITHER (a)
+    some node's occupancy share drifted more than
+    ``drift_threshold_micro``/1e6 in absolute value (hub formation /
+    abandonment), or (b) the global mean adopted-edge distance exceeds
+    ``dist_ratio_pct``% of the base build's mean edge distance (new
+    vectors landing far from their adopted neighborhoods — recall has
+    degraded). Test (b) is the exact integer cross-multiply
+    sum_new·n_base_edges·100 > pct·sum_base·n_new_edges (DECIMAL — no
+    division at all), and (a) compares engine-identical q6 doubles to
+    an exact grid literal, so the boolean replays bit-identically.
+
+    Input is the ≤-node-count report; everything here is one bounded
+    aggregate. Returns ``n_nodes, n_base_edges, n_new_edges,
+    max_abs_drift, mean_dist_base, mean_dist_new, refresh_due``."""
+    agg = report.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum("n_base").cast("long").alias("n_base_edges"),
+        F.sum("n_new").cast("long").alias("n_new_edges"),
+        F.max(F.abs(F.col("drift"))).alias("max_abs_drift"),
+        F.sum(
+            F.col("mean_dist_base").cast("decimal(38,0)")
+            * F.col("n_base")
+        ).alias("_sb"),
+        F.sum(
+            F.col("mean_dist_new").cast("decimal(38,0)") * F.col("n_new")
+        ).alias("_sn"),
+    )
+    return agg.selectExpr(
+        "n_nodes",
+        "n_base_edges",
+        "n_new_edges",
+        "max_abs_drift",
+        "CASE WHEN n_base_edges > 0 THEN"
+        " CAST(_sb div n_base_edges AS BIGINT) END AS mean_dist_base",
+        "CASE WHEN n_new_edges > 0 THEN"
+        " CAST(_sn div n_new_edges AS BIGINT) END AS mean_dist_new",
+        f"coalesce(max_abs_drift > {drift_threshold_micro} / 1e6"
+        " OR (n_base_edges > 0 AND n_new_edges > 0"
+        "     AND _sn * CAST(n_base_edges AS DECIMAL(38,0)) * 100"
+        f"        > {dist_ratio_pct} * _sb"
+        "          * CAST(n_new_edges AS DECIMAL(38,0))), false)"
+        " AS refresh_due",
+    )
+
+
+def nn_descent_tombstone_search(
+    graph: DataFrame,
+    corpus: DataFrame,
+    probes: DataFrame,
+    deletions: DataFrame,
+    k: int = 10,
+    hops: int = 3,
+    beam: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Tombstone-aware serving over a persisted NN-descent graph —
+    the deletion half of the artifact lifecycle (a real vector store
+    deletes: the reference's per-subject Qdrant re-upserts imply
+    overwrite/delete, qdrant_text_loader.py:285-299). Deleted ids
+    become TOMBSTONES, not holes: the beam probe still routes THROUGH
+    them (the graph artifact is untouched — deleting edges would
+    disconnect regions and cost recall), but they are anti-joined out
+    of the visited set before the final top-k, so a deleted id can
+    never be SERVED and the next-nearest visited node surfaces in its
+    place. The deletions artifact is a small id list — broadcast
+    anti-join, zero extra shuffle; compaction (an actual rebuild
+    without the tombstoned rows) is signalled by
+    :func:`ann_compaction_signal` when the tombstone share crosses the
+    threshold.
+
+    Exact integer micro-L2, ties by id — replays in DuckDB. Returns
+    (qid, cand, dist), top-``k`` live candidates per probe."""
+    from pyspark.sql import Window
+
+    visited = nn_descent_beam_probe(
+        graph, corpus, probes,
+        hops=hops, beam=beam, k=k, vec_col=vec_col, id_col=id_col,
+    )
+    alive = visited.join(
+        F.broadcast(
+            deletions.select(F.col(id_col).alias("cand")).distinct()
+        ),
+        "cand",
+        "left_anti",
+    )
+    w = Window.partitionBy("qid").orderBy("dist", "cand")
+    return (
+        alive.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("qid", "cand", "dist")
+    )
+
+
+def ivf_tombstone_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    deletions: DataFrame,
+    k: int,
+    n_lists: int = 32,
+    n_probe: int = 4,
+    corpus_vec: str = "vector",
+    corpus_id: str = "id",
+    query_vec: str = "vector",
+    query_id: str = "qid",
+) -> DataFrame:
+    """Tombstone-aware IVF search: the index artifacts (centroids +
+    list assignment) are the ones trained on the FULL corpus — a
+    deletion never retrains the quantizer or moves surviving rows
+    between lists — and deleted ids are anti-joined out of the
+    assigned corpus BEFORE scoring, so they are never read into a
+    candidate set and never served. Same plan as
+    :func:`topk_cosine_ivf` plus one broadcast anti-join on the
+    (small) deletions artifact; when the tombstone share crosses the
+    compaction threshold (:func:`ann_compaction_signal`) the operator
+    rebuilds, exactly as ivf_drift_report triggers retrains."""
+    from pyspark.sql import Window
+
+    cents = ivf_centroids(corpus, n_lists, corpus_vec, corpus_id)
+    c = ivf_assign(
+        corpus.select(F.col(corpus_id), F.col(corpus_vec)), cents, 1, corpus_vec
+    )
+    c_alive = c.join(
+        F.broadcast(
+            deletions.select(F.col(corpus_id)).distinct()
+        ),
+        corpus_id,
+        "left_anti",
+    )
+    q = ivf_assign(
+        queries.select(F.col(query_id), F.col(query_vec).alias("_qv")),
+        cents,
+        n_probe,
+        "_qv",
+    )
+    sim = cosine_similarity(F.col(corpus_vec), F.col("_qv"))
+    scored = c_alive.join(F.broadcast(q), "list_id").select(
+        query_id, F.col(corpus_id), sim.alias("cosine_sim")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine_sim"), F.col(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ann_compaction_signal(
+    corpus: DataFrame,
+    deletions: DataFrame,
+    threshold_micro: int = 200_000,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Occupancy-driven compaction trigger shared by every ANN family
+    that serves through tombstones (IVF, NN-descent graph): one row
+    with the live/deleted split and ``compaction_due`` = tombstoned
+    share ≥ ``threshold_micro``/1e6 (default 20% — the ballpark real
+    stores rebuild at). The share and the trigger are exact integer
+    arithmetic (n_deleted·1e6 vs threshold·n_total — no division in
+    the boolean), so the row replays bit-identically. One semi-join +
+    one count; the deletions artifact broadcasts."""
+    ids = corpus.select(F.col(id_col))
+    dele = deletions.select(F.col(id_col)).distinct()
+    counts = ids.join(F.broadcast(dele), id_col, "left_semi").agg(
+        F.count("*").cast("long").alias("n_deleted")
+    ).crossJoin(ids.agg(F.count("*").cast("long").alias("n_total")))
+    return counts.selectExpr(
+        "n_total",
+        "n_deleted",
+        "CASE WHEN n_total > 0 THEN"
+        " (CAST(n_deleted AS DECIMAL(38,0)) * 1000000 div n_total)"
+        " / 1e6 END AS deleted_frac_q6",
+        f"(n_total > 0 AND CAST(n_deleted AS DECIMAL(38,0)) * 1000000"
+        f" >= {threshold_micro} * CAST(n_total AS DECIMAL(38,0)))"
+        " AS compaction_due",
     )

@@ -75,6 +75,8 @@ HEADLINE = [
     ("bradley_terry", "r7: MM rounds checkpoint-truncated; final plan is a tiny ExistingRDD join, not a 6-round chain"),
     ("cross_corpus_lcs", "r7: two-phase hash probes — corpus-wide agg on 8-byte hashes only, text joins on candidates"),
     ("gopher_rule_ablation", "r7: 27 ablation stats in ONE aggregate over the <=512-row mask histogram + a 9-row stack"),
+    ("quantile_normalize_approx", "r10: sort-free quantile sketch — the only Sort is the ≤256-row bucket window; pooled range-join broadcasts; per-row mapping is a BroadcastHashJoin on (group, bucket)"),
+    ("ivf_tombstone_topk", "r10: tombstone anti-join is a broadcast left_anti on the assigned corpus — no new shuffle vs plain IVF"),
     ("min_k_prob", "r7: broadcast KN model onto the bigram stream; per-doc key-partitioned bottom-k window"),
     ("lang_mix_by_source", "r7: sentence explode -> stateless vote projection -> |sources|x6 cell agg; majority via struct max"),
     ("dedup_incremental_bloom", "r6: broadcast Bloom screen (4 BHJ) gates the anti-join; zero batch-side shuffle before it"),

@@ -46,6 +46,13 @@ if [[ "${1:-full}" != "quick" ]]; then
   python tools/make_random_fixture.py
   python tools/check_oracle.py --sf /tmp/spark_graft_randfix
 
+  echo "== distributed NN-descent path (driver fast path disabled) =="
+  # the ≤16k-node driver fast path serves every fixture, so without
+  # this the distributed local-join loop would never run at gate time
+  # and could rot; same oracle hash must hold on both paths
+  SPARK_GRAFT_NN_FASTPATH=0 python tools/check_oracle.py \
+    --sf /root/testdata/sf0.001 ann_nndescent_recall
+
   echo "== global-window audit =="
   python tools/audit_global_windows.py
 fi
