@@ -10308,6 +10308,24 @@ def q_ann_nndescent_recall(spark, sf):
     The whole pipeline — build rounds, beam hops, both top-10s, the
     recall fold — is bit-deterministic and replays unrolled in DuckDB;
     hash-verified, not merely recall-checked."""
+    return _nndescent_recall_frame(spark, sf, live_only=False)
+
+
+def q_ann_refresh_rebuild(spark, sf):
+    """Execute the refresh :func:`nn_descent_refresh_trigger` fires:
+    a full RE-DESCENT over the LIVE corpus only (the vec_id % 7 = 3
+    tombstones dropped for real — ring init, build rounds and beam
+    serving all run on the compacted point set), scored with the same
+    recall@10-vs-exact + mean-visited readout as the base build so the
+    before/after pair quantifies what the rebuild bought. This is the
+    graph twin of :func:`topk.ivf_compact_rebuild` and completes the
+    drift→trigger→rebuild lifecycle the r9 round opened. Identical
+    bit-deterministic pipeline, hash-verified against the unrolled
+    DuckDB replay parameterized on the live predicate."""
+    return _nndescent_recall_frame(spark, sf, live_only=True)
+
+
+def _nndescent_recall_frame(spark, sf, live_only: bool):
     from pdf_to_vectordb_etl_spark.operators.topk import (
         _sq_l2_micro,
         nn_descent_beam_probe,
@@ -10323,6 +10341,8 @@ def q_ann_nndescent_recall(spark, sf):
     )
     probes = emb.filter(F.col("vec_id") < 20)
     corpus = emb.filter(F.col("vec_id") >= 20)
+    if live_only:
+        corpus = corpus.filter(~(F.col("vec_id") % 7 == 3))
     g = nn_descent_graph(corpus, k=12, rounds=8)
     visited = nn_descent_beam_probe(g, corpus, probes, hops=5, beam=12)
     wv = Window.partitionBy("qid").orderBy("dist", "cand")
@@ -10586,6 +10606,186 @@ def q_quantile_normalize_approx(spark, sf):
     return quantile_normalize_approx(
         ev, "value", "event_type", "event_id", n_buckets=256
     )
+
+
+def q_ivf_compact_rebuild(spark, sf):
+    """Execute the compaction ann_compaction_signal fires for the IVF
+    family: retrain the quantizer on the live rows (the vec_id % 7 = 3
+    tombstones dropped for real) and report per-list occupancy under
+    the old index (live rows only — what tombstone serving reads) vs
+    the retrained one. Both train+assign chains replay in SQL (the
+    md5-sample centroid convention), hash-verified."""
+    from pdf_to_vectordb_etl_spark.operators.topk import (
+        ivf_compact_rebuild,
+    )
+
+    emb = _t(spark, sf, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    corpus = emb.filter(F.col("vec_id") >= 2)
+    deletions = corpus.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    return ivf_compact_rebuild(
+        corpus, deletions, n_lists=16, vec_col="embedding", id_col="vec_id"
+    )
+
+
+def q_stratified_split(spark, sf):
+    """Deterministic md5-prefix train/val/test split + per-language
+    composition report — seedless, engine-portable (Spark and DuckDB
+    md5 emit identical lowercase hex), rows never migrate between
+    splits as the corpus grows. See curation.stratified_split_report."""
+    from pdf_to_vectordb_etl_spark.operators.curation import (
+        stratified_split_report,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return stratified_split_report(docs, by="lang")
+
+
+def q_curriculum_batches(spark, sf):
+    """Curriculum schedule card: corpus ordered quality-desc / tokens /
+    id via the range-partitioned global_row_number primitive, cut into
+    64-doc batches, per-batch doc/token/quality-range summary. Exact
+    integer sort keys — batch membership replays bit-identically."""
+    from pdf_to_vectordb_etl_spark.operators.curation import (
+        curriculum_batches,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return curriculum_batches(docs, batch_size=64)
+
+
+def q_epoch_mixture_plan(spark, sf):
+    """Per-source epoch/repeat plan for a 1M-token budget at each
+    sampling temperature — the operational readout after the
+    temperature sweep (epochs > 1 ⇒ that source up-samples). Integer
+    arithmetic past the sweep's micro-floored shares; see
+    curation.epoch_mixture_plan."""
+    from pdf_to_vectordb_etl_spark.operators.curation import (
+        epoch_mixture_plan,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return epoch_mixture_plan(docs, by="source", budget_tokens=1_000_000)
+
+
+def q_split_contamination(spark, sf):
+    """Train/eval leakage audit across the md5 split: per split pair,
+    distinct shared contents + eval-side docs whose content also sits
+    in the train side (exact-dedup fingerprint convention). One corpus
+    aggregate + a 3-row fold; see curation.split_contamination_report."""
+    from pdf_to_vectordb_etl_spark.operators.curation import (
+        split_contamination_report,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return split_contamination_report(docs)
+
+
+def q_shard_manifest(spark, sf):
+    """Token-balanced output-shard plan: docs in id order, boundary
+    every 50k whitespace tokens of exclusive prefix mass (the
+    range-partitioned global_prefix_sum primitive — never a global
+    Window); per shard docs/tokens/id range."""
+    from pdf_to_vectordb_etl_spark.operators.curation import (
+        shard_manifest,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return shard_manifest(docs, shard_tokens=50_000)
+
+
+def q_t43_stream_split_monitor(spark, sf):
+    """T43 — live split-composition monitor: the per-(split, lang)
+    doc/token counts are the bounded associative streaming state
+    (stratified_split_cells), snapshot through the IDENTICAL
+    stratified_split_from_cells finale as the batch report, whose SQL
+    is the parity oracle — the live view of whether stratification is
+    holding as documents arrive."""
+    import tempfile
+
+    from pdf_to_vectordb_etl_spark.operators.curation import (
+        md5_split,
+        stratified_split_from_cells,
+    )
+    from pdf_to_vectordb_etl_spark.operators import textanalysis as ta
+
+    raw_schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+        .groupBy(
+            md5_split("doc_id").alias("split"),
+            F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(
+                F.sum(
+                    ta.token_count(F.coalesce(F.col("text"), F.lit("")))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+    name = "t43_split_cells"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t43ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    snap = spark.table(name)
+    return stratified_split_from_cells(snap, by="lang")
+
+
+def q_t42_stream_compaction(spark, sf):
+    """T42 — live tombstone-occupancy monitor: the (n_total,
+    n_deleted) counts are the one-row associative streaming state,
+    snapshot through the IDENTICAL ann_compaction_finale projection as
+    the batch ann_compaction_signal (whose SQL is the parity oracle);
+    fires compaction_due the moment the deleted share crosses 10%."""
+    import tempfile
+
+    from pdf_to_vectordb_etl_spark.operators.topk import (
+        ann_compaction_finale,
+    )
+
+    raw_schema = spark.read.parquet(f"{sf}/embeddings.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf)
+        .filter(F.col("embedding").isNotNull() & (F.col("vec_id") >= 2))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.coalesce(
+                F.sum((F.col("vec_id") % 7 == 3).cast("int")), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_deleted"),
+        )
+    )
+    name = "t42_compaction_cells"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t42ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    snap = spark.table(name)
+    return ann_compaction_finale(snap, threshold_micro=100_000)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -10961,6 +11161,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_tombstone_search": q_ann_tombstone_search,
         "ivf_tombstone_topk": q_ivf_tombstone_topk,
         "ann_compaction_signal": q_ann_compaction_signal,
+        "ann_refresh_rebuild": q_ann_refresh_rebuild,
+        "ivf_compact_rebuild": q_ivf_compact_rebuild,
+        "stratified_split": q_stratified_split,
+        "curriculum_batches": q_curriculum_batches,
+        "epoch_mixture_plan": q_epoch_mixture_plan,
+        "split_contamination": q_split_contamination,
+        "shard_manifest": q_shard_manifest,
+        "t42_stream_compaction": q_t42_stream_compaction,
+        "t43_stream_split_monitor": q_t43_stream_split_monitor,
         "quantile_normalize_approx": q_quantile_normalize_approx,
         "t41_stream_bytebpe_fertility": q_t41_stream_bytebpe_fertility,
         "sq8_recall": q_sq8_recall,
@@ -20669,6 +20878,253 @@ def oracle_sql() -> dict[str, str]:
                  AS compaction_due
         FROM c
     """
+    # refresh rebuild = the full NN-descent recall replay parameterized
+    # on the live (tombstones-dropped) corpus predicate
+    d["ann_refresh_rebuild"] = _nndescent_oracle_sql(
+        12, 8, 5, 12,
+        corpus_pred="vec_id >= 20 AND NOT (vec_id % 7 = 3)",
+    )
+    # IVF compaction rebuild: both train+assign chains replayed (the
+    # md5-sample centroid convention), occupancy per list before
+    # (old quantizer, live rows) vs after (retrained on live)
+    d["ivf_compact_rebuild"] = """
+        WITH corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          WHERE embedding IS NOT NULL AND vec_id >= 2),
+        live AS (
+          SELECT vec_id, embedding FROM corpus
+          WHERE NOT (vec_id % 7 = 3)),
+        sampled_o AS (
+          SELECT vec_id, embedding FROM corpus
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        cents_o AS (
+          SELECT row_number() OVER (ORDER BY vec_id) AS list_id,
+                 CAST(embedding AS DOUBLE[]) AS centroid
+          FROM sampled_o),
+        before_t AS (
+          SELECT list_id, CAST(count(*) AS BIGINT) AS n_live_before
+          FROM (
+            SELECT vec_id, list_id FROM (
+              SELECT c.vec_id, ct.list_id,
+                     row_number() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                         CAST(c.embedding AS DOUBLE[]), ct.centroid), 6)
+                         DESC, ct.list_id) AS r
+              FROM corpus c CROSS JOIN cents_o ct)
+            WHERE r = 1)
+          WHERE NOT (vec_id % 7 = 3)
+          GROUP BY list_id),
+        sampled_n AS (
+          SELECT vec_id, embedding FROM live
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        cents_n AS (
+          SELECT row_number() OVER (ORDER BY vec_id) AS list_id,
+                 CAST(embedding AS DOUBLE[]) AS centroid
+          FROM sampled_n),
+        after_t AS (
+          SELECT list_id, CAST(count(*) AS BIGINT) AS n_after
+          FROM (
+            SELECT vec_id, list_id FROM (
+              SELECT c.vec_id, ct.list_id,
+                     row_number() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                         CAST(c.embedding AS DOUBLE[]), ct.centroid), 6)
+                         DESC, ct.list_id) AS r
+              FROM live c CROSS JOIN cents_n ct)
+            WHERE r = 1)
+          GROUP BY list_id)
+        SELECT CAST(list_id AS INT) AS list_id,
+               coalesce(n_live_before, 0) AS n_live_before,
+               coalesce(n_after, 0) AS n_after
+        FROM before_t FULL OUTER JOIN after_t USING (list_id)
+    """
+    # deterministic md5-prefix split: identical lowercase hex both
+    # engines (the ivf_centroids sampling convention)
+    d["stratified_split"] = r"""
+        WITH per AS (
+          SELECT CASE
+                   WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                     THEN 'train'
+                   WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                     THEN 'val'
+                   ELSE 'test' END AS split,
+                 coalesce(lang, '') AS lang,
+                 CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                      ELSE len(string_split_regex(
+                             trim(coalesce(text, '')), '\s+')) END AS nt
+          FROM documents),
+        g AS (
+          SELECT split, lang,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(nt) AS BIGINT) AS n_tokens
+          FROM per GROUP BY 1, 2),
+        tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot FROM g)
+        SELECT split, lang, n_docs, n_tokens,
+               CASE WHEN tot > 0 THEN
+                 CAST((CAST(n_docs AS HUGEINT) * 1000000) // tot
+                      AS BIGINT) / 1e6 END AS frac_of_total_q6
+        FROM g CROSS JOIN tt
+    """
+    # curriculum batches: the proven ta_quality feature replay (raw
+    # doubles — every op a mirrored single IEEE step, so the micro
+    # floor cannot split), row_number over the exact integer key
+    d["curriculum_batches"] = r"""
+        WITH f AS (
+          SELECT doc_id,
+                 length(coalesce(text, '')) AS n_chars,
+                 CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                      ELSE len(string_split_regex(
+                             trim(coalesce(text, '')), '\s+')) END
+                   AS n_tokens,
+                 len(regexp_extract_all(coalesce(text, ''), '[^\w\s]'))
+                   AS n_punct,
+                 len(regexp_extract_all(lower(coalesce(text, '')),
+                     '\b(the|a|of|and|to|in|is|it)\b')) AS n_stop
+          FROM documents),
+        g AS (
+          SELECT doc_id, n_tokens,
+                 CASE WHEN n_tokens > 0
+                      THEN (n_chars - (n_tokens - 1)) * 1.0 / n_tokens
+                      ELSE 0.0 END AS mean_token_len,
+                 CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars
+                      ELSE 0.0 END AS punct_ratio,
+                 CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens
+                      ELSE 0.0 END AS stopword_ratio
+          FROM f),
+        q AS (
+          SELECT doc_id,
+                 CAST(n_tokens AS BIGINT) AS nt,
+                 CAST(floor((least(stopword_ratio * 4, 1.0) * 0.4
+                   + CASE WHEN mean_token_len BETWEEN 3 AND 10
+                          THEN 0.4 ELSE 0.0 END
+                   + CASE WHEN punct_ratio < 0.2
+                          THEN 0.2 ELSE 0.0 END) * 1e6) AS BIGINT)
+                   AS qm
+          FROM g),
+        r AS (
+          SELECT doc_id, nt, qm,
+                 row_number() OVER (ORDER BY -qm, nt, doc_id) AS rn
+          FROM q)
+        SELECT CAST((rn - 1) // 64 AS BIGINT) AS batch_idx,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS n_tokens,
+               min(qm) / 1e6 AS min_quality_q6,
+               max(qm) / 1e6 AS max_quality_q6
+        FROM r GROUP BY 1
+    """
+    # epoch plan: the sweep's ordered-fold weight convention over
+    # token counts + integer-exact target/epoch divisions
+    d["epoch_mixture_plan"] = r"""
+        WITH per AS (
+          SELECT coalesce(source, '') AS grp,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(CASE WHEN length(trim(coalesce(text, ''))) = 0
+                               THEN 0
+                               ELSE len(string_split_regex(
+                                      trim(coalesce(text, '')), '\s+'))
+                          END) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY 1),
+        sweep AS (
+          SELECT grp, n_docs, n_tokens, e.t AS t, e.w AS w
+          FROM (SELECT grp, n_docs, n_tokens,
+                       unnest([
+                         {'t': '0.5',
+                          'w': CAST(n_tokens AS DOUBLE)
+                               * CAST(n_tokens AS DOUBLE)},
+                         {'t': '1.0', 'w': CAST(n_tokens AS DOUBLE)},
+                         {'t': '2.0',
+                          'w': sqrt(CAST(n_tokens AS DOUBLE))}]) AS e
+                FROM per)),
+        totals AS (
+          SELECT t,
+                 list_reduce(
+                   list_transform(
+                     list_sort(list({'grp': grp, 'w': w})),
+                     s -> s.w),
+                   (a, b) -> a + b) AS total
+          FROM sweep GROUP BY t),
+        sh AS (
+          SELECT t, grp, n_docs, n_tokens,
+                 CAST(floor(w / total * 1000000.0) AS BIGINT) AS sm
+          FROM sweep JOIN totals USING (t))
+        SELECT t, grp AS source, n_docs, n_tokens,
+               sm / 1e6 AS share_q6,
+               CAST((sm * 1000000) // 1000000 AS BIGINT) AS target_tokens,
+               CASE WHEN n_tokens > 0 THEN
+                 CAST((sm * 1000000) // n_tokens AS BIGINT) / 1e6
+               END AS epochs_q6
+        FROM sh
+    """
+    # split leakage: groups by the NORMALIZED TEXT itself (same
+    # equivalence classes as Spark's sha2 digest, no hash needed)
+    d["split_contamination"] = r"""
+        WITH per AS (
+          SELECT CASE
+                   WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                     THEN 'train'
+                   WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                     THEN 'val'
+                   ELSE 'test' END AS sp,
+                 lower(regexp_replace(trim(coalesce(text, '')),
+                                      '\s+', ' ', 'g')) AS fp
+          FROM documents),
+        pf AS (
+          SELECT fp,
+                 CAST(coalesce(sum(CASE WHEN sp = 'train' THEN 1 END),
+                               0) AS BIGINT) AS ntr,
+                 CAST(coalesce(sum(CASE WHEN sp = 'val' THEN 1 END),
+                               0) AS BIGINT) AS nva,
+                 CAST(coalesce(sum(CASE WHEN sp = 'test' THEN 1 END),
+                               0) AS BIGINT) AS nte
+          FROM per GROUP BY fp),
+        a AS (
+          SELECT
+            CAST(coalesce(sum(CASE WHEN ntr > 0 AND nva > 0 THEN 1 END),
+                          0) AS BIGINT) AS sh_tv,
+            CAST(coalesce(sum(CASE WHEN ntr > 0 AND nva > 0 THEN nva END),
+                          0) AS BIGINT) AS ct_tv,
+            CAST(coalesce(sum(CASE WHEN ntr > 0 AND nte > 0 THEN 1 END),
+                          0) AS BIGINT) AS sh_tt,
+            CAST(coalesce(sum(CASE WHEN ntr > 0 AND nte > 0 THEN nte END),
+                          0) AS BIGINT) AS ct_tt,
+            CAST(coalesce(sum(CASE WHEN nva > 0 AND nte > 0 THEN 1 END),
+                          0) AS BIGINT) AS sh_vt,
+            CAST(coalesce(sum(CASE WHEN nva > 0 AND nte > 0 THEN nte END),
+                          0) AS BIGINT) AS ct_vt
+          FROM pf)
+        SELECT 'train|val' AS split_pair, sh_tv AS n_shared_fps,
+               ct_tv AS n_contaminated_docs FROM a
+        UNION ALL
+        SELECT 'train|test', sh_tt, ct_tt FROM a
+        UNION ALL
+        SELECT 'val|test', sh_vt, ct_vt FROM a
+    """
+    # shard plan: exclusive prefix sum under doc_id order
+    d["shard_manifest"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN length(trim(coalesce(text, ''))) = 0
+                           THEN 0
+                           ELSE len(string_split_regex(
+                                  trim(coalesce(text, '')), '\s+'))
+                      END AS BIGINT) AS nt
+          FROM documents),
+        pre AS (
+          SELECT doc_id, nt,
+                 CAST(coalesce(sum(nt) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS pfx
+          FROM toks)
+        SELECT CAST(pfx // 50000 AS BIGINT) AS shard_idx,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS n_tokens,
+               min(doc_id) AS first_doc,
+               max(doc_id) AS last_doc
+        FROM pre GROUP BY 1
+    """
     # sort-free approximate quantile normalization: mirrored IEEE
     # bucket expression, exact integer cumulative counts, value COPIED
     # from the pooled bucket max
@@ -20758,6 +21214,12 @@ def oracle_sql() -> dict[str, str]:
         FROM a
     """
     d["t40_stream_token_budget"] = d["token_budget_allocation"]
+    # T42 live tombstone-occupancy monitor: same one-row report as the
+    # batch compaction signal (cells/finale recipe)
+    d["t42_stream_compaction"] = d["ann_compaction_signal"]
+    # T43 live split-composition monitor: same report as the batch
+    # stratified split (cells/finale recipe)
+    d["t43_stream_split_monitor"] = d["stratified_split"]
     # temperature sweep: libm-pow-free weights, ordered-fold totals
     d["mixture_temperature_sweep"] = r"""
         WITH per AS (

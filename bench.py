@@ -135,6 +135,8 @@ def main() -> None:
         "ann_graph_drift",         # graph-ANN drift report (r10)
         "ann_tombstone_search",    # tombstone-aware graph serving (r10)
         "quantile_normalize_approx",  # sort-free quantile sketch (r10)
+        "ivf_compact_rebuild",     # compaction execution, IVF (r10b2)
+        "curriculum_batches",      # global-order training schedule (r10b2)
         "enem_questions" if "enem_questions" in entry.queries() else "ta_fingerprint",
     ]
     qs = entry.queries()

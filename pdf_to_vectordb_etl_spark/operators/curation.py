@@ -1044,3 +1044,286 @@ def mixture_temperature_sweep(
             F.floor(F.col("w") / F.col("total") * 1000000.0) / 1e6
         ).alias("share_q6"),
     )
+
+
+def md5_split(id_col: str = "doc_id") -> Column:
+    """Deterministic train/val/test assignment as a pure function of
+    the id (md5 hex prefix: first two hex chars < 'cd' → train,
+    205/256 ≈ 80.1%; < 'e6' → val, next ~9.8%; else test) — seedless,
+    stable across retries and engines (both Spark and DuckDB md5 emit
+    the same lowercase hex — the ivf_centroids sampling convention),
+    and rows never migrate between splits when the corpus grows."""
+    h2 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    return (
+        F.when(h2 < "cd", "train").when(h2 < "e6", "val").otherwise("test")
+    )
+
+
+def stratified_split_cells(
+    df: DataFrame,
+    by: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-(split, ``by``) doc/token counts — the bounded associative
+    state shared by the batch report and the T43 streaming monitor
+    (the cells/finale recipe): one corpus aggregate, one row per
+    (split, group)."""
+    from .textanalysis import token_count
+
+    return (
+        df.select(
+            md5_split(id_col).alias("split"),
+            F.coalesce(F.col(by), F.lit("")).alias(by),
+            token_count(F.coalesce(F.col(text_col), F.lit(""))).alias("_nt"),
+        )
+        .groupBy("split", by)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def stratified_split_from_cells(cells: DataFrame, by: str = "lang") -> DataFrame:
+    """Finale over the bounded (split, group) cells: attach each
+    row's exact micro share of total docs (broadcast one-row total)."""
+    tot = cells.agg(F.sum("n_docs").cast("long").alias("_tot"))
+    return cells.crossJoin(F.broadcast(tot)).selectExpr(
+        "split",
+        by,
+        "n_docs",
+        "n_tokens",
+        "CASE WHEN _tot > 0 THEN"
+        " (CAST(n_docs AS DECIMAL(38,0)) * 1000000 div _tot) / 1e6"
+        " END AS frac_of_total_q6",
+    )
+
+
+def stratified_split_report(
+    df: DataFrame,
+    by: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic train/val/test split + composition report — the
+    first operation of any training-data export (see :func:`md5_split`
+    for the assignment convention). Report per (split, ``by``): docs,
+    whitespace tokens, and the split's exact micro share of total
+    docs — the table that shows whether stratification held per
+    language/source. One corpus aggregate; the totals side is a
+    broadcast one-row."""
+    return stratified_split_from_cells(
+        stratified_split_cells(df, by, id_col, text_col), by
+    )
+
+
+def split_contamination_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/eval leakage audit over the :func:`md5_split` partition —
+    the check a training-data export runs before shipping (an eval doc
+    whose content also sits in train invalidates the benchmark; the
+    T28 contamination operator's question asked WITHIN one corpus
+    across its own splits). Content identity is the exact-dedup
+    convention (digest of whitespace-collapsed lowercased text), so
+    near-misses are out of scope by design — this is the exact-overlap
+    floor. For each ordered split pair: ``n_shared_fps`` = distinct
+    contents present in both sides, ``n_contaminated_docs`` = docs in
+    the EVAL side whose content also appears in the TRAIN side (the
+    rows to drop). ONE corpus aggregate to per-content split counts,
+    one bounded fold to 3 rows — every shuffle is an aggregation."""
+    from .dedup import normalize_text
+
+    per_fp = (
+        df.select(
+            md5_split(id_col).alias("_sp"),
+            F.sha2(
+                normalize_text(F.coalesce(F.col(text_col), F.lit(""))), 256
+            ).alias("_fp"),
+        )
+        .groupBy("_fp")
+        .agg(
+            F.sum((F.col("_sp") == "train").cast("int"))
+            .cast("long")
+            .alias("_ntr"),
+            F.sum((F.col("_sp") == "val").cast("int"))
+            .cast("long")
+            .alias("_nva"),
+            F.sum((F.col("_sp") == "test").cast("int"))
+            .cast("long")
+            .alias("_nte"),
+        )
+    )
+    pair = lambda a, b: [  # noqa: E731
+        F.sum(((F.col(a) > 0) & (F.col(b) > 0)).cast("int"))
+        .cast("long")
+        .alias(f"_sh_{a}_{b}"),
+        F.sum(
+            F.when((F.col(a) > 0) & (F.col(b) > 0), F.col(b)).otherwise(0)
+        )
+        .cast("long")
+        .alias(f"_ct_{a}_{b}"),
+    ]
+    agg = per_fp.agg(
+        *pair("_ntr", "_nva"), *pair("_ntr", "_nte"), *pair("_nva", "_nte")
+    )
+    return agg.selectExpr(
+        "stack(3,"
+        " 'train|val',  _sh__ntr__nva, _ct__ntr__nva,"
+        " 'train|test', _sh__ntr__nte, _ct__ntr__nte,"
+        " 'val|test',   _sh__nva__nte, _ct__nva__nte)"
+        " AS (split_pair, n_shared_fps, n_contaminated_docs)"
+    )
+
+
+def shard_manifest(
+    df: DataFrame,
+    shard_tokens: int = 50_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-balanced output-shard plan — the step that turns a
+    curated corpus into fixed-budget training shards a data loader
+    streams: docs in id order, shard boundary every ``shard_tokens``
+    whitespace tokens of EXCLUSIVE prefix mass (shard =
+    prefix_tokens div shard_tokens, so a shard may overshoot by at
+    most one document — the standard contiguous-fill plan). The
+    global order uses the sanctioned range-partitioned
+    :func:`~..suffixes.global_prefix_sum` primitive, never a
+    single-partition Window. Per shard: docs, tokens, id range.
+    Output is ceil(total_tokens/shard_tokens) rows."""
+    from .suffixes import global_prefix_sum
+    from .textanalysis import token_count
+
+    toks = df.select(
+        F.col(id_col),
+        token_count(F.coalesce(F.col(text_col), F.lit(""))).alias("_nt"),
+    )
+    pre = global_prefix_sum(toks, [id_col], "_nt", "before")
+    return (
+        pre.withColumn(
+            "shard_idx",
+            F.expr(f"CAST(before div {shard_tokens} AS BIGINT)"),
+        )
+        .groupBy("shard_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+            F.min(id_col).alias("first_doc"),
+            F.max(id_col).alias("last_doc"),
+        )
+    )
+
+
+def curriculum_batches(
+    df: DataFrame,
+    batch_size: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Curriculum ordering plan (easy/clean-first scheduling, Bengio
+    2009's curriculum-learning recipe applied corpus-side): order the
+    corpus by quality DESCENDING then whitespace-token count then id,
+    cut into fixed ``batch_size`` batches by global position, and emit
+    the per-batch schedule card (docs, token load, quality range) a
+    trainer consumes. The global order uses the sanctioned
+    range-partitioned :func:`~..suffixes.global_row_number` primitive,
+    never a single-partition Window; sort keys are exact integers
+    (micro-floored quality — the score is identical-IEEE in both
+    engines, so the floor cannot split — plus token count and id), so
+    batch membership replays bit-identically. Output is
+    ceil(n/batch_size) rows."""
+    from .suffixes import global_row_number
+    from .textanalysis import quality_score
+
+    scored = quality_score(df, text_col).select(
+        F.col(id_col),
+        F.floor(F.col("quality_score") * 1e6).cast("long").alias("_qm"),
+        F.col("n_tokens").cast("long").alias("_nt"),
+    )
+    keyed = scored.withColumn("_negq", -F.col("_qm"))
+    rn = global_row_number(keyed, ["_negq", "_nt", id_col])
+    return (
+        rn.withColumn(
+            "batch_idx", F.expr(f"CAST((rn - 1) div {batch_size} AS BIGINT)")
+        )
+        .groupBy("batch_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+            (F.min("_qm") / 1e6).alias("min_quality_q6"),
+            (F.max("_qm") / 1e6).alias("max_quality_q6"),
+        )
+    )
+
+
+def epoch_mixture_plan(
+    df: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    budget_tokens: int = 1_000_000,
+) -> DataFrame:
+    """Per-source epoch/repeat plan for a fixed training token budget —
+    the operational step after :func:`mixture_temperature_sweep` picks
+    a temperature: for each T ∈ {0.5, 1, 2}, allocate
+    ``budget_tokens`` across groups by w_g ∝ n_tokens_g^(1/T) and
+    report how many EPOCHS of each group that allocation implies
+    (epochs > 1 ⇒ the group repeats — the up-sampling-risk readout a
+    curation team reads next to the sweep). The weights reuse the
+    sweep's cross-engine convention (libm-pow-free exponents, ordered-
+    fold totals, micro-floored shares); everything after share_micro
+    is exact integer arithmetic (target = share·B and epochs =
+    share·B/n_tokens as single integer floor-divisions — share_micro ≤
+    1e6 and B default 1e6, so products stay ≤ 1e12, BIGINT-safe in
+    both engines). One corpus aggregate; all else is #groups-bounded."""
+    from .textanalysis import token_count
+
+    per = df.groupBy(
+        F.coalesce(F.col(by), F.lit("")).alias("grp")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            token_count(F.coalesce(F.col(text_col), F.lit("")))
+        ).cast("long").alias("n_tokens"),
+    )
+    n = F.col("n_tokens").cast("double")
+    sweep = per.select(
+        "grp",
+        "n_docs",
+        "n_tokens",
+        F.explode(
+            F.array(
+                F.struct(F.lit("0.5").alias("t"), (n * n).alias("w")),
+                F.struct(F.lit("1.0").alias("t"), n.alias("w")),
+                F.struct(F.lit("2.0").alias("t"), F.sqrt(n).alias("w")),
+            )
+        ).alias("e"),
+    ).select("grp", "n_docs", "n_tokens", "e.t", "e.w")
+    totals = sweep.groupBy("t").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("grp", "w"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["w"],
+        ).alias("total")
+    )
+    return (
+        sweep.join(F.broadcast(totals), "t")
+        .withColumn(
+            "_sm",
+            F.floor(F.col("w") / F.col("total") * 1000000.0).cast("long"),
+        )
+        .selectExpr(
+            "t",
+            f"grp AS {by}",
+            "n_docs",
+            "n_tokens",
+            "_sm / 1e6 AS share_q6",
+            f"_sm * {budget_tokens} div 1000000 AS target_tokens",
+            f"CASE WHEN n_tokens > 0 THEN"
+            f" (_sm * {budget_tokens} div n_tokens) / 1e6"
+            " END AS epochs_q6",
+        )
+    )

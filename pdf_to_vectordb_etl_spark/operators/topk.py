@@ -1154,7 +1154,20 @@ def ann_compaction_signal(
     counts = ids.join(F.broadcast(dele), id_col, "left_semi").agg(
         F.count("*").cast("long").alias("n_deleted")
     ).crossJoin(ids.agg(F.count("*").cast("long").alias("n_total")))
-    return counts.selectExpr(
+    return ann_compaction_finale(counts, threshold_micro)
+
+
+def ann_compaction_finale(
+    cells: DataFrame, threshold_micro: int = 200_000
+) -> DataFrame:
+    """Pure projection from the one-row ``(n_total, n_deleted)`` cell
+    state to the compaction decision — split out of
+    :func:`ann_compaction_signal` so a streaming deletion monitor (the
+    T42 twin) can snapshot its complete-mode counts through the
+    IDENTICAL finale as the batch path (the cells/finale recipe; the
+    finale must stay a projection — no second aggregation lands on a
+    complete-mode sink). Exact integer share and boolean."""
+    return cells.selectExpr(
         "n_total",
         "n_deleted",
         "CASE WHEN n_total > 0 THEN"
@@ -1163,4 +1176,51 @@ def ann_compaction_signal(
         f"(n_total > 0 AND CAST(n_deleted AS DECIMAL(38,0)) * 1000000"
         f" >= {threshold_micro} * CAST(n_total AS DECIMAL(38,0)))"
         " AS compaction_due",
+    )
+
+
+def ivf_compact_rebuild(
+    corpus: DataFrame,
+    deletions: DataFrame,
+    n_lists: int = 16,
+    vec_col: str = "vector",
+    id_col: str = "id",
+) -> DataFrame:
+    """Execute the compaction :func:`ann_compaction_signal` signals:
+    retrain the IVF index on the LIVE rows only (tombstones dropped
+    for real — new md5-sampled centroids, fresh assignment) and report
+    per-list occupancy before vs after, the readout that shows the
+    rebuild rebalanced tombstone-starved lists (a store compacts
+    exactly this way: drop deleted points, rebuild the index over the
+    survivors — the reference's per-subject Qdrant re-upserts,
+    qdrant_text_loader.py:285-299). ``n_live_before`` counts live rows
+    under the OLD quantizer (what :func:`ivf_tombstone_topk` serves
+    from); ``n_after`` counts them under the retrained one. list_id is
+    positional per quantizer, so the row is a (list, before, after)
+    occupancy comparison, full-outer so lists emptied or created by
+    the retrain both appear. Deletions broadcast; each assignment is
+    the standard broadcast-centroid argmax — no new shuffle class."""
+    dele = deletions.select(F.col(id_col)).distinct()
+    live = corpus.join(F.broadcast(dele), id_col, "left_anti")
+    old_cents = ivf_centroids(corpus, n_lists, vec_col, id_col)
+    before = (
+        ivf_assign(
+            corpus.select(F.col(id_col), F.col(vec_col)), old_cents, 1, vec_col
+        )
+        .join(F.broadcast(dele), id_col, "left_anti")
+        .groupBy("list_id")
+        .agg(F.count("*").cast("long").alias("n_live_before"))
+    )
+    new_cents = ivf_centroids(live, n_lists, vec_col, id_col)
+    after = (
+        ivf_assign(
+            live.select(F.col(id_col), F.col(vec_col)), new_cents, 1, vec_col
+        )
+        .groupBy("list_id")
+        .agg(F.count("*").cast("long").alias("n_after"))
+    )
+    return before.join(after, "list_id", "full_outer").select(
+        "list_id",
+        F.coalesce("n_live_before", F.lit(0)).alias("n_live_before"),
+        F.coalesce("n_after", F.lit(0)).alias("n_after"),
     )

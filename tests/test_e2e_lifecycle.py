@@ -86,7 +86,7 @@ def test_registry_integrity():
     assert rows_only == set(), f"unexpected rows-only queries: {rows_only}"
     # pin the total so README/COVERAGE counts can't drift silently —
     # update BOTH the docs and this number when adding queries
-    assert len(q) == 395, f"registry has {len(q)} queries; docs say 395"
+    assert len(q) == 404, f"registry has {len(q)} queries; docs say 404"
 
 
 def test_curate_corpus_end_to_end(spark, sf_dir):

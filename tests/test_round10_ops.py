@@ -340,3 +340,195 @@ def test_fertility_cells_count_oov(spark, sf_dir):
     # finale projects the new column through
     fin = ta.bpe_bytelevel_fertility_finale(full)
     assert "n_oov" in fin.columns
+
+
+# ---------------------------------------------------------------------------
+# batch 2: compaction execution + training-plan operators
+# ---------------------------------------------------------------------------
+
+def test_ivf_compact_rebuild_conservation(spark, sf_dir):
+    """Both occupancy columns partition the SAME live row set (every
+    live row lands in exactly one list under each quantizer); with no
+    deletions the quantizers coincide, so before == after per list."""
+    from pdf_to_vectordb_etl_spark.operators.topk import (
+        ivf_compact_rebuild,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.col("vec_id") >= 2)
+    )
+    dele = emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    n_live = emb.join(dele, "vec_id", "left_anti").count()
+    rep = ivf_compact_rebuild(
+        emb, dele, n_lists=8, vec_col="embedding", id_col="vec_id"
+    )
+    tot = rep.agg(
+        F.sum("n_live_before").alias("b"), F.sum("n_after").alias("a")
+    ).first()
+    assert tot["b"] == n_live and tot["a"] == n_live
+
+    empty = dele.filter(F.lit(False))
+    same = ivf_compact_rebuild(
+        emb, empty, n_lists=8, vec_col="embedding", id_col="vec_id"
+    )
+    assert same.filter("n_live_before != n_after").count() == 0
+
+
+def test_stratified_split_stable_under_growth(spark, sf_dir):
+    """The split is a pure function of the id: a doc's split never
+    changes when the corpus grows (no re-shuffling on append), and the
+    realized fractions sit near 80/10/10."""
+    from pdf_to_vectordb_etl_spark.operators.curation import (
+        stratified_split_report,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    small = stratified_split_report(docs.filter(F.col("doc_id") < 100))
+    grown = stratified_split_report(docs)
+    # per-(split, lang) doc counts of the subset must be <= the grown
+    # corpus's counts (rows only ever ADD to a cell, never move out)
+    j = (
+        small.select("split", "lang", F.col("n_docs").alias("ns"))
+        .join(grown.select("split", "lang", F.col("n_docs").alias("ng")),
+              ["split", "lang"], "left")
+    )
+    assert j.filter("ng IS NULL OR ns > ng").count() == 0
+    fr = {
+        r["split"]: r["n"]
+        for r in grown.groupBy("split").agg(F.sum("n_docs").alias("n")).collect()
+    }
+    tot = sum(fr.values())
+    assert 0.70 < fr["train"] / tot < 0.90
+    assert 0.04 < fr.get("val", 0) / tot < 0.17
+    assert 0.04 < fr.get("test", 0) / tot < 0.17
+
+
+def test_curriculum_batches_quality_monotone(spark, sf_dir):
+    """Batches cover the corpus exactly (64 docs each except the
+    last), and quality is globally non-increasing across batch
+    boundaries: batch i's min >= batch i+1's max."""
+    from pdf_to_vectordb_etl_spark.operators.curation import (
+        curriculum_batches,
+    )
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce("text", F.lit(""))
+    )
+    n = docs.count()
+    rows = sorted(
+        curriculum_batches(docs, batch_size=64).collect(),
+        key=lambda r: r["batch_idx"],
+    )
+    assert sum(r["n_docs"] for r in rows) == n
+    assert [r["batch_idx"] for r in rows] == list(range(len(rows)))
+    for r in rows[:-1]:
+        assert r["n_docs"] == 64
+    for a, b in zip(rows, rows[1:]):
+        assert a["min_quality_q6"] >= b["max_quality_q6"]
+        assert a["min_quality_q6"] <= a["max_quality_q6"]
+
+
+def test_epoch_mixture_plan_arithmetic(spark):
+    """Integer-exact plan: at T=1.0 the share is the token share, the
+    target is share of the budget, epochs = target / n_tokens; shares
+    per temperature sum to 1 within the micro-floor loss."""
+    from pdf_to_vectordb_etl_spark.operators.curation import (
+        epoch_mixture_plan,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "s1"), (2, "a b", "s1"), (3, "a b c d e f", "s2")],
+        "doc_id long, text string, source string",
+    )
+    rows = epoch_mixture_plan(docs, budget_tokens=1_000_000).collect()
+    t1 = {r["source"]: r for r in rows if r["t"] == "1.0"}
+    # s1: 6 tokens, s2: 6 tokens -> share 0.5 each at T=1
+    assert t1["s1"]["share_q6"] == 0.5
+    assert t1["s1"]["target_tokens"] == 500_000
+    # epochs = share_micro * budget div n_tokens, on the micro grid
+    assert t1["s1"]["epochs_q6"] == (500_000 * 1_000_000 // 6) / 1e6
+    assert abs(t1["s1"]["epochs_q6"] - 500_000 / 6) < 1e-4
+    for t in ("0.5", "1.0", "2.0"):
+        s = sum(r["share_q6"] for r in rows if r["t"] == t)
+        assert 0.999 < s <= 1.0 + 1e-9
+
+
+def test_split_contamination_planted(spark):
+    """Planted leakage: the same content on train ids {1, 2}, val id
+    {0} and test id {3} (md5-split membership precomputed) must
+    surface as shared-fp + contaminated-doc counts per pair; disjoint
+    contents contribute nothing."""
+    from pdf_to_vectordb_etl_spark.operators.curation import (
+        split_contamination_report,
+    )
+
+    # ids 1,2 -> train; 0,5 -> val; 3 -> test (md5 hex prefixes)
+    rows = [
+        (1, "shared document body"),
+        (2, "shared document body"),
+        (0, "shared document body"),
+        (3, "shared   DOCUMENT body"),  # normalizes to the same fp
+        (5, "unique val-only text"),
+        (4, "unique train-only text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rep = {
+        r["split_pair"]: r
+        for r in split_contamination_report(df).collect()
+    }
+    assert rep["train|val"]["n_shared_fps"] == 1
+    assert rep["train|val"]["n_contaminated_docs"] == 1  # val doc 0
+    assert rep["train|test"]["n_shared_fps"] == 1
+    assert rep["train|test"]["n_contaminated_docs"] == 1  # test doc 3
+    assert rep["val|test"]["n_shared_fps"] == 1
+    assert rep["val|test"]["n_contaminated_docs"] == 1
+
+
+def test_shard_manifest_conservation_and_order(spark, sf_dir):
+    """Shards conserve the corpus (docs + tokens), index contiguously
+    from 0, and cover disjoint ascending id ranges."""
+    from pdf_to_vectordb_etl_spark.operators.curation import (
+        shard_manifest,
+    )
+    from pdf_to_vectordb_etl_spark.operators.textanalysis import (
+        token_count,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    tot = docs.select(
+        F.sum(token_count(F.coalesce("text", F.lit("")))).alias("t"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    rows = sorted(
+        shard_manifest(docs, shard_tokens=5000).collect(),
+        key=lambda r: r["shard_idx"],
+    )
+    assert [r["shard_idx"] for r in rows] == list(range(len(rows)))
+    assert sum(r["n_docs"] for r in rows) == tot["n"]
+    assert sum(r["n_tokens"] for r in rows) == tot["t"]
+    for a, b in zip(rows, rows[1:]):
+        assert a["last_doc"] < b["first_doc"]
+
+
+def test_stratified_split_cells_finale_composition(spark, sf_dir):
+    """The cells/finale split must compose back to the one-shot
+    report exactly (the T43 stream twin's parity basis)."""
+    from pdf_to_vectordb_etl_spark.operators.curation import (
+        stratified_split_cells,
+        stratified_split_from_cells,
+        stratified_split_report,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    a = sorted(
+        map(tuple, stratified_split_report(docs).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            stratified_split_from_cells(
+                stratified_split_cells(docs)
+            ).collect(),
+        )
+    )
+    assert a == b

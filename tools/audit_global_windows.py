@@ -64,6 +64,7 @@ ALLOWLIST = {
     "t14_stream_auc": "rank-sum finale over the 1000-row streaming bin snapshot — state bounded by construction",
     "ivf_recall_curve": "centroid list_id numbering over the 16-row post-limit md5 sample — bounded by construction",
     "ivf_tombstone_topk": "centroid list_id numbering over the n_lists-row post-limit md5 sample (inside ivf_centroids) — bounded by construction, same window as ivf_recall_curve",
+    "ivf_compact_rebuild": "centroid list_id numbering over the n_lists-row post-limit md5 sample (both quantizers, inside ivf_centroids) — bounded by construction, same window as ivf_recall_curve",
     "t15_stream_survival": "KM finale over the per-user streaming snapshot folded to the distinct-duration table — time-domain-sized",
     "stump_value_split": "cumulative class counts over the fixed 1000-bin score grid — bounded by construction (same family as eval_auc)",
     "quantile_normalize_approx": "pooled cumulative counts over the 256-bucket histogram aggregate — bounded by construction (the sketch that replaces the global sort)",
