@@ -625,11 +625,92 @@ def _train_merges(
     return merges
 
 
+def _merge_rounds_driver(syms_rows, freqs, n_merges, likelihood):
+    """Driver fast path for the greedy merge loop (the
+    _nn_descent_driver bounded-artifact pattern): the whole
+    pair-count → argmax → rewrite loop in plain Python over the
+    collected vocab — BIT-IDENTICAL to the distributed loop. Pair and
+    symbol counts are exact integer sums; the argmax order (n desc —
+    or score_q12 desc — then l, r ascending) is the same binary string
+    order (UTF-8 byte order equals code-point order, and Python
+    compares code points); score_q12 is the same nonneg integer floor
+    division; and the list-form merge rewrite equals the
+    non-overlapping left-to-right literal replace because the
+    double-space wrap makes occurrences share nothing. Counts are
+    maintained incrementally: a merge re-scores only the rows that
+    contain the merged pair (a row listed stale nets to zero), so each
+    round costs O(changed rows), not O(vocab). Returns (merges,
+    changed row indices) — unchanged rows keep their original ``s``
+    string byte-for-byte."""
+    from collections import defaultdict
+
+    changed: set = set()
+
+    pc: dict = defaultdict(int)
+    occ: dict = defaultdict(set)
+    symf: dict = defaultdict(int)
+    for ri, (syms, f) in enumerate(zip(syms_rows, freqs)):
+        if likelihood:
+            for s in syms:
+                symf[s] += f
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pc[p] += f
+            occ[p].add(ri)
+    merges: list[tuple] = []
+    for step in range(1, n_merges + 1):
+        best = None
+        for (l, r), n in pc.items():
+            if n <= 0:
+                continue
+            if likelihood:
+                sq = n * 10**12 // (symf[l] * symf[r])
+                key = (-sq, l, r)
+            else:
+                sq = None
+                key = (-n, l, r)
+            if best is None or key < best[0]:
+                best = (key, l, r, n, sq)
+        if best is None:
+            break
+        _, a, b, n, sq = best
+        merges.append((step, a, b, n, sq))
+        ab = a + b
+        for ri in list(occ.get((a, b), ())):
+            syms = syms_rows[ri]
+            f = freqs[ri]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] -= f
+            new = []
+            i, ln = 0, len(syms)
+            while i < ln:
+                if i + 1 < ln and syms[i] == a and syms[i + 1] == b:
+                    new.append(ab)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            syms_rows[ri] = new
+            hits = ln - len(new)
+            if hits:
+                changed.add(ri)
+            if likelihood:
+                symf[a] -= hits * f
+                symf[b] -= hits * f
+                symf[ab] += hits * f
+            for i in range(len(new) - 1):
+                p = (new[i], new[i + 1])
+                pc[p] += f
+                occ[p].add(ri)
+    return merges, changed
+
+
 def _merge_rounds(
     vocab: DataFrame,
     n_merges: int,
     likelihood: bool,
     carry: tuple[str, ...] = ("freq",),
+    fast_path_max_vocab: int | None = 200_000,
 ) -> tuple[list[tuple], DataFrame]:
     """The greedy merge-round loop over a pre-built vocab table with a
     ``' sym '`` double-space-wrapped symbol string column ``s`` and a
@@ -639,7 +720,46 @@ def _merge_rounds(
     keep the original word key through training. Returns (merges,
     final_vocab) where final_vocab's ``s`` is the fully-merged
     segmentation — i.e. the trained tokenizer applied to every vocab
-    word, which is what an encode pass joins back to the corpus."""
+    word, which is what an encode pass joins back to the corpus.
+
+    Below ``fast_path_max_vocab`` rows (and unless
+    ``SPARK_GRAFT_MERGE_FASTPATH=0``) the loop runs on the driver over
+    the collected vocab (:func:`_merge_rounds_driver` — bit-identical,
+    property-pinned): the distributed loop pays one argmax job plus
+    one checkpoint job of physical planning per round regardless of
+    vocab size, which dominates wall time whenever the vocab is small
+    enough to collect. Above the cap the distributed loop below is the
+    automatic fallback (exercised at gate time)."""
+    import os as _os
+
+    if (
+        fast_path_max_vocab is not None
+        and _os.environ.get("SPARK_GRAFT_MERGE_FASTPATH", "1") != "0"
+    ):
+        head = vocab.limit(fast_path_max_vocab + 1).collect()
+        if len(head) <= fast_path_max_vocab:
+            import pandas as pd
+
+            syms_rows = [r["s"].strip(" ").split("  ") for r in head]
+            freqs = [r["freq"] for r in head]
+            merges, changed = _merge_rounds_driver(
+                syms_rows, freqs, n_merges, likelihood
+            )
+            data = {c: [r[c] for r in head] for c in carry}
+            data["s"] = [
+                " " + "  ".join(syms) + " " if ri in changed else r["s"]
+                for ri, (syms, r) in enumerate(zip(syms_rows, head))
+            ]
+            by_name = {f.name: f for f in vocab.schema.fields}
+            from pyspark.sql.types import StructType
+
+            schema = StructType(
+                [by_name[c] for c in carry] + [by_name["s"]]
+            )
+            fv = vocab.sparkSession.createDataFrame(
+                pd.DataFrame(data), schema=schema
+            )
+            return merges, fv
     ws = F.split(F.trim(F.col("s")), "  ")
     pairs = F.when(
         F.size(ws) > 1,

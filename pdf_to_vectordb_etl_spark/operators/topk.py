@@ -792,6 +792,85 @@ def nn_descent_graph(
     return g
 
 
+def _beam_probe_driver(src_ids, dst_ids, c_ids, c_mat, p_ids, p_mat, hops, beam):
+    """Driver fast path for the beam probe (the _nn_descent_driver
+    pattern): the whole hops-round loop as vectorized exact-int64
+    numpy over the collected micro matrices — BIT-IDENTICAL to the
+    distributed loop (same integer arithmetic, same (dist, cand) beam
+    tie order — ``c_ids`` is sorted ascending so index order == id
+    order; dedupe on (probe, cand) where dist is a pure function;
+    property-pinned by tests). Each distributed hop costs a join
+    cascade of physical planning regardless of data size; this does
+    the identical arithmetic in milliseconds. Returns (qid, cand,
+    dist) id-space arrays — the visited set."""
+    import numpy as np
+
+    n = len(c_ids)
+    nq = len(p_ids)
+    if n == 0 or nq == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z
+    # map edges onto corpus indices; an edge endpoint absent from the
+    # corpus is DROPPED, exactly like the distributed equi-joins
+    si = np.searchsorted(c_ids, src_ids)
+    di = np.searchsorted(c_ids, dst_ids)
+    ok = (
+        (c_ids[np.minimum(si, n - 1)] == src_ids)
+        & (c_ids[np.minimum(di, n - 1)] == dst_ids)
+    )
+    si, di = si[ok], di[ok]
+    order = np.argsort(si, kind="stable")
+    gs, gd = si[order], di[order]
+    cnt = np.bincount(gs, minlength=n)
+    start = np.r_[np.int64(0), np.cumsum(cnt)][:-1]
+
+    def _dists(p_idx, c_idx):
+        # chunked exact int64 per-pair arithmetic — the identical
+        # (x−y)² sum the distributed _sq_l2_micro fold computes
+        out = np.empty(len(p_idx), dtype=np.int64)
+        for lo in range(0, len(p_idx), 1_000_000):
+            hi = min(lo + 1_000_000, len(p_idx))
+            d = p_mat[p_idx[lo:hi]] - c_mat[c_idx[lo:hi]]
+            out[lo:hi] = np.einsum("ij,ij->i", d, d)
+        return out
+
+    P = np.arange(nq, dtype=np.int64)
+    C = np.zeros(nq, dtype=np.int64)  # entry node = min corpus id
+    D = _dists(P, C)
+    for _ in range(hops):
+        # frontier: per probe the beam smallest (dist, cand-id) —
+        # the distributed row_number window's exact order
+        order2 = np.lexsort((C, D, P))
+        sP, sC = P[order2], C[order2]
+        bnd = np.r_[True, sP[1:] != sP[:-1]]
+        starts = np.flatnonzero(bnd)
+        lens = np.diff(np.r_[starts, len(sP)])
+        ranks = np.arange(len(sP)) - np.repeat(starts, lens)
+        keep = ranks < beam
+        fP, fC = sP[keep], sC[keep]
+        rep = cnt[fC]
+        total = int(rep.sum())
+        if total == 0:
+            # no frontier node has an out-edge: the visited set is a
+            # fixed point — every further hop reproduces it
+            break
+        eP = np.repeat(fP, rep)
+        offs = (
+            np.repeat(start[fC], rep)
+            + np.arange(total, dtype=np.int64)
+            - np.repeat(np.r_[np.int64(0), np.cumsum(rep)][:-1], rep)
+        )
+        eC = gd[offs]
+        eD = _dists(eP, eC)
+        aP = np.concatenate([P, eP])
+        aC = np.concatenate([C, eC])
+        aD = np.concatenate([D, eD])
+        key = aP * np.int64(n) + aC
+        _, uq = np.unique(key, return_index=True)
+        P, C, D = aP[uq], aC[uq], aD[uq]
+    return p_ids[P], c_ids[C], D
+
+
 def nn_descent_beam_probe(
     graph: DataFrame,
     corpus: DataFrame,
@@ -801,6 +880,8 @@ def nn_descent_beam_probe(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    fast_path_max_nodes: int | None = 16_000,
+    fast_path_max_probes: int = 20_000,
 ) -> DataFrame:
     """Beam-search probe over a persisted neighbor graph (the greedy
     search of HNSW's base layer, Malkov & Yashunin 2016, public):
@@ -812,18 +893,74 @@ def nn_descent_beam_probe(
 
     Bounded by construction: |visited| <= 1 + hops * beam * k per
     probe; the probe panel is broadcast; the only corpus-sized
-    relation is the one graph equi-join per hop."""
+    relation is the one graph equi-join per hop.
+
+    Below ``fast_path_max_nodes`` corpus rows and
+    ``fast_path_max_probes`` probes (and unless
+    ``SPARK_GRAFT_NN_FASTPATH=0``), the whole loop runs on the driver
+    over the collected micro matrices + k-bounded edge list
+    (:func:`_beam_probe_driver`) — bit-identical visited set,
+    property-pinned; the distributed join loop below is the automatic
+    fallback above the caps and is exercised at gate time."""
+    import os as _os
+
     from pdf_to_vectordb_etl_spark.operators.valuation import (
         _quantize_micro,
     )
     from pyspark.sql import Window
 
-    qv = corpus.select(
+    spark = corpus.sparkSession
+    qv0 = corpus.select(
         F.col(id_col).alias("cid"), _quantize_micro(vec_col).alias("cq")
-    ).localCheckpoint(eager=True)
-    pv = probes.select(
+    )
+    pv0 = probes.select(
         F.col(id_col).alias("qid"), _quantize_micro(vec_col).alias("pq")
-    ).localCheckpoint(eager=True)
+    )
+    if (
+        fast_path_max_nodes is not None
+        and _os.environ.get("SPARK_GRAFT_NN_FASTPATH", "1") != "0"
+    ):
+        import numpy as np
+
+        c_rows = qv0.limit(fast_path_max_nodes + 1).collect()
+        if len(c_rows) <= fast_path_max_nodes:
+            p_rows = pv0.limit(fast_path_max_probes + 1).collect()
+            if len(p_rows) <= fast_path_max_probes:
+                import pandas as pd
+
+                g_rows = graph.select("src", "dst").collect()
+                c_ids = np.array([r["cid"] for r in c_rows], dtype=np.int64)
+                c_mat = np.array([r["cq"] for r in c_rows], dtype=np.int64)
+                c_ord = np.argsort(c_ids)
+                p_ids = np.array([r["qid"] for r in p_rows], dtype=np.int64)
+                p_mat = (
+                    np.array([r["pq"] for r in p_rows], dtype=np.int64)
+                    if p_rows
+                    else np.zeros((0, c_mat.shape[1] if c_mat.ndim == 2 else 0), dtype=np.int64)
+                )
+                # duplicate probe ids would make the distributed
+                # dropDuplicates nondeterministic; keep the first
+                # occurrence (callers pass unique ids)
+                _, p_uq = np.unique(p_ids, return_index=True)
+                p_uq.sort()
+                qid_a, cand_a, dist_a = _beam_probe_driver(
+                    np.array([r["src"] for r in g_rows], dtype=np.int64),
+                    np.array([r["dst"] for r in g_rows], dtype=np.int64),
+                    c_ids[c_ord],
+                    np.ascontiguousarray(c_mat[c_ord]),
+                    p_ids[p_uq],
+                    np.ascontiguousarray(p_mat[p_uq]),
+                    hops,
+                    beam,
+                )
+                return spark.createDataFrame(
+                    pd.DataFrame(
+                        {"qid": qid_a, "cand": cand_a, "dist": dist_a}
+                    ),
+                    schema="qid bigint, cand bigint, dist bigint",
+                )
+    qv = qv0.localCheckpoint(eager=True)
+    pv = pv0.localCheckpoint(eager=True)
     entry = qv.orderBy("cid").limit(1)
     visited = (
         pv.crossJoin(F.broadcast(entry))

@@ -532,3 +532,107 @@ def test_stratified_split_cells_finale_composition(spark, sf_dir):
         )
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# r10 optimization: beam-probe driver fast path parity
+# ---------------------------------------------------------------------------
+
+def test_beam_probe_fast_path_equals_distributed(spark, sf_dir):
+    """The bounded driver fast path for the beam probe (collected
+    micro matrices + k-bounded edge list, vectorized exact-int64
+    numpy) must produce the IDENTICAL visited set as the distributed
+    join loop — same integer arithmetic, same (dist, cand) beam tie
+    order, same (qid, cand) dedupe (the nn_descent_graph fast-path
+    contract)."""
+    from pdf_to_vectordb_etl_spark.operators.topk import (
+        nn_descent_beam_probe,
+        nn_descent_graph,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    probes = emb.filter(F.col("vec_id") < 12)
+    corpus = emb.filter(
+        (F.col("vec_id") >= 12) & (F.col("vec_id") < 260)
+    )
+    g = nn_descent_graph(corpus, k=5, rounds=3)
+    fast = sorted(
+        tuple(r)
+        for r in nn_descent_beam_probe(
+            g, corpus, probes, hops=4, beam=6
+        ).collect()
+    )
+    dist = sorted(
+        tuple(r)
+        for r in nn_descent_beam_probe(
+            g, corpus, probes, hops=4, beam=6, fast_path_max_nodes=None
+        ).collect()
+    )
+    assert fast == dist and len(fast) > 0
+
+
+def test_beam_probe_fast_path_degenerate(spark):
+    """Empty graph (single-node corpus) and empty probe panel both
+    come back clean through the fast path."""
+    from pdf_to_vectordb_etl_spark.operators.topk import (
+        nn_descent_beam_probe,
+    )
+
+    corpus = spark.createDataFrame(
+        [(5, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    g = spark.createDataFrame([], "src bigint, dst bigint, dist bigint")
+    probes = spark.createDataFrame(
+        [(1, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out = nn_descent_beam_probe(g, corpus, probes, hops=2, beam=2)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["cand"] == 5
+    none = nn_descent_beam_probe(
+        g, corpus, probes.filter("vec_id < 0"), hops=2, beam=2
+    )
+    assert none.count() == 0
+
+
+def test_merge_rounds_fast_path_equals_distributed(spark, sf_dir):
+    """The driver fast path for the greedy merge loop must produce the
+    IDENTICAL merge table and final vocab segmentation as the
+    distributed argmax/rewrite loop — BPE count argmax and WordPiece
+    likelihood argmax both (the nn_descent fast-path contract)."""
+    import os
+
+    from pdf_to_vectordb_etl_spark.operators.textanalysis import (
+        bpe_bytelevel_pieces,
+        bpe_bytelevel_train_merges,
+        wordpiece_train_merges,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    fast_m = sorted(
+        tuple(r) for r in bpe_bytelevel_train_merges(docs, 6).collect()
+    )
+    fast_v = sorted(
+        tuple(r) for r in bpe_bytelevel_pieces(docs, 6).collect()
+    )
+    fast_wp = sorted(
+        tuple(r) for r in wordpiece_train_merges(docs, 5).collect()
+    )
+    os.environ["SPARK_GRAFT_MERGE_FASTPATH"] = "0"
+    try:
+        dist_m = sorted(
+            tuple(r)
+            for r in bpe_bytelevel_train_merges(docs, 6).collect()
+        )
+        dist_v = sorted(
+            tuple(r) for r in bpe_bytelevel_pieces(docs, 6).collect()
+        )
+        dist_wp = sorted(
+            tuple(r) for r in wordpiece_train_merges(docs, 5).collect()
+        )
+    finally:
+        del os.environ["SPARK_GRAFT_MERGE_FASTPATH"]
+    assert fast_m == dist_m and len(fast_m) == 6
+    assert fast_v == dist_v and len(fast_v) > 0
+    assert fast_wp == dist_wp and len(fast_wp) == 5

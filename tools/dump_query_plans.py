@@ -1,0 +1,48 @@
+#!/usr/bin/env python
+"""Dump .explain("formatted") for named registry queries into
+plans/r10/<name>_<tag>.txt — the optimization round's before/after
+plan evidence (guide §1: capture the plan shape for every query you
+touch).
+
+Usage: python tools/dump_query_plans.py <tag> <query> [query ...]
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    tag = sys.argv[1]
+    names = sys.argv[2:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    import __spark_entry__ as entry
+    from pdf_to_vectordb_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="dump_plans_r10", master=f"local[{cpus}]")
+    qs = entry.queries()
+    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r10")
+    os.makedirs(outdir, exist_ok=True)
+    for name in names:
+        if name not in qs:
+            print(f"SKIP {name}: not in registry", file=sys.stderr)
+            continue
+        df = qs[name](spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        path = os.path.join(outdir, f"{name}_{tag}.txt")
+        with open(path, "w") as fh:
+            fh.write(plan)
+        print(f"wrote {path} ({plan.count('Exchange')} Exchange refs)")
+
+
+if __name__ == "__main__":
+    main()

@@ -49,9 +49,19 @@ if [[ "${1:-full}" != "quick" ]]; then
   echo "== distributed NN-descent path (driver fast path disabled) =="
   # the ≤16k-node driver fast path serves every fixture, so without
   # this the distributed local-join loop would never run at gate time
-  # and could rot; same oracle hash must hold on both paths
+  # and could rot; same oracle hash must hold on both paths.
+  # SPARK_GRAFT_NN_FASTPATH=0 disables BOTH the build and the r10
+  # beam-probe fast paths, so this one sweep exercises the full
+  # distributed serving plan too.
   SPARK_GRAFT_NN_FASTPATH=0 python tools/check_oracle.py \
     --sf /root/testdata/sf0.001 ann_nndescent_recall
+
+  echo "== distributed merge-loop path (driver fast path disabled) =="
+  # same contract for the r10 tokenizer-training fast path: the
+  # distributed argmax/rewrite loop must keep producing the identical
+  # merge table (count argmax AND likelihood argmax)
+  SPARK_GRAFT_MERGE_FASTPATH=0 python tools/check_oracle.py \
+    --sf /root/testdata/sf0.001 bpe_bytelevel_train wordpiece_train
 
   echo "== global-window audit =="
   python tools/audit_global_windows.py
