@@ -10327,7 +10327,9 @@ def q_ann_refresh_rebuild(spark, sf):
 
 def _nndescent_recall_frame(spark, sf, live_only: bool):
     from pdf_to_vectordb_etl_spark.operators.topk import (
+        _beam_probe_fast_arrays,
         _sq_l2_micro,
+        _topk_per_qid,
         nn_descent_beam_probe,
         nn_descent_graph,
     )
@@ -10344,6 +10346,91 @@ def _nndescent_recall_frame(spark, sf, live_only: bool):
     if live_only:
         corpus = corpus.filter(~(F.col("vec_id") % 7 == 3))
     g = nn_descent_graph(corpus, k=12, rounds=8)
+    # bounded driver fast path (the beam-probe/assign contract): the
+    # whole serving eval — beam probe, exact brute-force top-10,
+    # per-probe hit/visited counts and the exact integer q6 finals —
+    # runs over the already-collected micro panels; only the 1-row
+    # report enters Spark. Bit-identical: the same integer micro-L2,
+    # the same (dist, cand) tie order in both top-10s, Python integer
+    # floor-division for the q6 grid. Distributed fallback unchanged
+    # below (and exercised at gate time via SPARK_GRAFT_NN_FASTPATH=0).
+    res = _beam_probe_fast_arrays(
+        g, corpus, probes, 5, 12, "embedding", "vec_id",
+        16_000, 20_000, return_panels=True,
+    )
+    if res is not None:
+        import numpy as np
+
+        (vq, vc, vd), (c_ids, c_mat, p_ids, p_mat) = res
+        nq, n = len(p_ids), len(c_ids)
+        snv = len(vq)
+        shit = sden = 0
+        if nq and n:
+            # answers: top-10 of the visited set per probe
+            keep = _topk_per_qid(vq, vc, vd, 10)
+            a_keys = (
+                np.searchsorted(p_ids, vq[keep]) * np.int64(n)
+                + np.searchsorted(c_ids, vc[keep])
+            )
+            # exact: brute-force top-10 per probe, ties by corpus id
+            # (index order == id order), in probe blocks. Same exact
+            # float64-GEMM argument as _nn_descent_driver: every
+            # product/partial sum is an integer < 2^53, so the Gram
+            # path is exact regardless of BLAS order; otherwise the
+            # chunked int64 per-pair path computes identical values.
+            dim = c_mat.shape[1] if c_mat.ndim == 2 else 0
+            max_abs = float(
+                max(np.abs(c_mat).max(), np.abs(p_mat).max())
+            )
+            exact_f64 = 4.0 * max_abs * max_abs * max(dim, 1) < 2.0**53
+            if exact_f64:
+                cf = c_mat.astype(np.float64)
+                pf = p_mat.astype(np.float64)
+                cn = np.einsum("ij,ij->i", cf, cf)
+                pn = np.einsum("ij,ij->i", pf, pf)
+            e_keys = []
+            for lo in range(0, nq, 256):
+                hi = min(lo + 256, nq)
+                if exact_f64:
+                    dist = (
+                        pn[lo:hi, None]
+                        + cn[None, :]
+                        - 2.0 * (pf[lo:hi] @ cf.T)
+                    ).astype(np.int64)
+                else:
+                    dist = np.empty((hi - lo, n), dtype=np.int64)
+                    step = max(1, 2_000_000 // max(hi - lo, 1))
+                    for cl in range(0, n, step):
+                        ch = min(cl + step, n)
+                        d = (
+                            p_mat[lo:hi, None, :]
+                            - c_mat[None, cl:ch, :]
+                        )
+                        dist[:, cl:ch] = np.einsum(
+                            "pij,pij->pi", d, d
+                        )
+                bq = np.repeat(
+                    np.arange(lo, hi, dtype=np.int64), n
+                )
+                bc = np.tile(np.arange(n, dtype=np.int64), hi - lo)
+                bkeep = _topk_per_qid(bq, bc, dist.ravel(), 10)
+                e_keys.append(bq[bkeep] * np.int64(n) + bc[bkeep])
+            e_keys = np.concatenate(e_keys)
+            shit = int(len(np.intersect1d(a_keys, e_keys)))
+            sden = int(len(e_keys))
+        mv = (
+            float((snv * 1_000_000 // nq) / 1e6) if nq > 0 else None
+        )
+        rc = (
+            float((shit * 1_000_000 // sden) / 1e6)
+            if sden > 0
+            else None
+        )
+        return spark.createDataFrame(
+            [(nq, mv, rc)],
+            "n_queries bigint, mean_visited_q6 double,"
+            " recall_at_10_q6 double",
+        )
     visited = nn_descent_beam_probe(g, corpus, probes, hops=5, beam=12)
     wv = Window.partitionBy("qid").orderBy("dist", "cand")
     answers = (

@@ -537,13 +537,31 @@ def _nn_descent_driver(ids, mat, k: int, rounds: int, chunk_pairs: int = 4_000_0
                 out[lo:hi] = np.einsum("ij,ij->i", d, d)
             return out
 
-    def _topk(src, dst, dist):
-        # dedupe exact (src, dst) pairs (dist is a pure function),
-        # then per-src top-k by (dist, dst index == dst id order)
+    def _dedupe_pairs(src, dst, dist):
+        # dedupe exact (src, dst) pairs — dist is a pure function, so
+        # ANY occurrence carries the identical value (plain argsort,
+        # no stable/unique machinery needed)
         key = src * np.int64(n) + dst
-        _, uq = np.unique(key, return_index=True)
-        src, dst, dist = src[uq], dst[uq], dist[uq]
-        order = np.lexsort((dst, dist, src))
+        o = np.argsort(key)
+        sk = key[o]
+        first = np.r_[True, sk[1:] != sk[:-1]]
+        uq = o[first]
+        return src[uq], dst[uq], dist[uq]
+
+    def _topk(src, dst, dist, assume_unique=False):
+        # per-src top-k by (dist, dst index == dst id order) over
+        # deduped (src, dst) pairs
+        if not assume_unique:
+            src, dst, dist = _dedupe_pairs(src, dst, dist)
+        # (dist, dst) packs into ONE int64 sort key whenever
+        # dist*n + dst cannot overflow — dst < n, so the packed key
+        # orders exactly like the (dist, dst) pair; one fewer radix
+        # pass per round than the 3-key lexsort
+        dmax = int(dist.max()) if len(dist) else 0
+        if dmax < (2**62) // max(n, 1):
+            order = np.lexsort((dist * np.int64(n) + dst, src))
+        else:
+            order = np.lexsort((dst, dist, src))
         src, dst, dist = src[order], dst[order], dist[order]
         boundaries = np.r_[True, src[1:] != src[:-1]]
         starts = np.flatnonzero(boundaries)
@@ -648,46 +666,51 @@ def nn_descent_graph(
     qv = df.select(
         F.col(id_col).alias("id"), _quantize_micro(vec_col).alias("q")
     )
-    r = global_row_number(qv, ["id"], "rid").localCheckpoint(eager=True)
-    n_total = r.count()
-    if n_total <= 1:
-        return spark.createDataFrame(
-            [], "src bigint, dst bigint, dist bigint"
-        )
     # bounded driver fast path (the cluster_pairs pattern): below the
-    # cap, ONE collect of the micro-int matrix (cap × dim longs) and
-    # the whole ring-init + local-join loop runs as vectorized exact
-    # int64 numpy — identical graph by construction (integer
-    # arithmetic, same tie order; property-pinned), while the Spark
-    # loop pays ~1s of physical planning per round regardless of data
-    # size. Above the cap, the distributed join path below runs;
-    # distributed tests pass fast_path_max_nodes=None, and
-    # SPARK_GRAFT_NN_FASTPATH=0 forces the distributed path from the
-    # environment (the per-round gate exercises it against the
-    # unchanged oracle so the fallback cannot rot behind the fast
-    # path).
+    # cap, ONE limit-probed collect of the micro-int matrix (cap × dim
+    # longs — skipping the distributed path's range-partitioned
+    # row-number + checkpoint + count machinery entirely, r10) and the
+    # whole ring-init + local-join loop runs as vectorized exact int64
+    # numpy — identical graph by construction (integer arithmetic,
+    # same tie order; property-pinned), while the Spark loop pays ~1s
+    # of physical planning per round regardless of data size. Above
+    # the cap, the distributed join path below runs; distributed tests
+    # pass fast_path_max_nodes=None, and SPARK_GRAFT_NN_FASTPATH=0
+    # forces the distributed path from the environment (the per-round
+    # gate exercises it against the unchanged oracle so the fallback
+    # cannot rot behind the fast path).
     import os as _os
 
     if (
         fast_path_max_nodes is not None
         and _os.environ.get("SPARK_GRAFT_NN_FASTPATH", "1") != "0"
-        and n_total <= fast_path_max_nodes
     ):
-        import numpy as np
+        rows = qv.limit(fast_path_max_nodes + 1).collect()
+        if len(rows) <= fast_path_max_nodes:
+            if len(rows) <= 1:
+                return spark.createDataFrame(
+                    [], "src bigint, dst bigint, dist bigint"
+                )
+            import numpy as np
+            import pandas as pd
 
-        rows = r.select("id", "q").collect()
-        ids = np.array([x["id"] for x in rows], dtype=np.int64)
-        mat = np.array([x["q"] for x in rows], dtype=np.int64)
-        order = np.argsort(ids)
-        s_ids, d_ids, dists = _nn_descent_driver(
-            ids[order], np.ascontiguousarray(mat[order]), k, rounds
-        )
+            ids = np.array([x["id"] for x in rows], dtype=np.int64)
+            mat = np.array([x["q"] for x in rows], dtype=np.int64)
+            order = np.argsort(ids)
+            s_ids, d_ids, dists = _nn_descent_driver(
+                ids[order], np.ascontiguousarray(mat[order]), k, rounds
+            )
+            return spark.createDataFrame(
+                pd.DataFrame(
+                    {"src": s_ids, "dst": d_ids, "dist": dists}
+                ),
+                schema="src bigint, dst bigint, dist bigint",
+            )
+    r = global_row_number(qv, ["id"], "rid").localCheckpoint(eager=True)
+    n_total = r.count()
+    if n_total <= 1:
         return spark.createDataFrame(
-            [
-                (int(s), int(d), int(v))
-                for s, d, v in zip(s_ids, d_ids, dists)
-            ],
-            "src bigint, dst bigint, dist bigint",
+            [], "src bigint, dst bigint, dist bigint"
         )
     ring = r.select(
         "id",
@@ -871,6 +894,101 @@ def _beam_probe_driver(src_ids, dst_ids, c_ids, c_mat, p_ids, p_mat, hops, beam)
     return p_ids[P], c_ids[C], D
 
 
+def _beam_probe_fast_arrays(
+    graph, corpus, probes, hops, beam, vec_col, id_col,
+    fast_path_max_nodes, fast_path_max_probes,
+    return_panels: bool = False,
+):
+    """Collect-and-run wrapper around :func:`_beam_probe_driver`:
+    quantize + limit-probe-collect the corpus/probe panels and the
+    k-bounded edge list, run the driver loop, and return the visited
+    (qid, cand, dist) int64 arrays — or ``None`` when the fast path is
+    disabled (``SPARK_GRAFT_NN_FASTPATH=0``) or a cap is exceeded, in
+    which case the caller falls back to its distributed plan. Shared
+    by the beam-probe, incremental-assign and tombstone-search serving
+    operators so each can finish its per-probe top-k on the driver and
+    ship only the k-bounded RESULT back into Spark."""
+    import os as _os
+
+    from pdf_to_vectordb_etl_spark.operators.valuation import (
+        _quantize_micro,
+    )
+
+    if (
+        fast_path_max_nodes is None
+        or _os.environ.get("SPARK_GRAFT_NN_FASTPATH", "1") == "0"
+    ):
+        return None
+    import numpy as np
+
+    qv0 = corpus.select(
+        F.col(id_col).alias("cid"), _quantize_micro(vec_col).alias("cq")
+    )
+    c_rows = qv0.limit(fast_path_max_nodes + 1).collect()
+    if len(c_rows) > fast_path_max_nodes:
+        return None
+    pv0 = probes.select(
+        F.col(id_col).alias("qid"), _quantize_micro(vec_col).alias("pq")
+    )
+    p_rows = pv0.limit(fast_path_max_probes + 1).collect()
+    if len(p_rows) > fast_path_max_probes:
+        return None
+    g_rows = graph.select("src", "dst").collect()
+    c_ids = np.array([r["cid"] for r in c_rows], dtype=np.int64)
+    c_mat = np.array([r["cq"] for r in c_rows], dtype=np.int64)
+    c_ord = np.argsort(c_ids)
+    p_ids = np.array([r["qid"] for r in p_rows], dtype=np.int64)
+    p_mat = (
+        np.array([r["pq"] for r in p_rows], dtype=np.int64)
+        if p_rows
+        else np.zeros(
+            (0, c_mat.shape[1] if c_mat.ndim == 2 else 0), dtype=np.int64
+        )
+    )
+    # duplicate probe ids would make the distributed dropDuplicates
+    # nondeterministic; keep the first occurrence (callers pass
+    # unique ids). The panel is returned id-sorted — per-probe work is
+    # independent, so ordering cannot change any result row, and a
+    # sorted panel lets consumers map ids back with searchsorted.
+    p_vals, p_first = np.unique(p_ids, return_index=True)
+    c_ids_s = c_ids[c_ord]
+    c_mat_s = np.ascontiguousarray(c_mat[c_ord])
+    p_ids_u = p_vals
+    p_mat_u = np.ascontiguousarray(p_mat[p_first])
+    visited = _beam_probe_driver(
+        np.array([r["src"] for r in g_rows], dtype=np.int64),
+        np.array([r["dst"] for r in g_rows], dtype=np.int64),
+        c_ids_s,
+        c_mat_s,
+        p_ids_u,
+        p_mat_u,
+        hops,
+        beam,
+    )
+    if return_panels:
+        return visited, (c_ids_s, c_mat_s, p_ids_u, p_mat_u)
+    return visited
+
+
+def _topk_per_qid(qid, cand, dist, k):
+    """Per-qid top-k mask over (qid, cand, dist) arrays by
+    (dist, cand) ascending — the exact order of the distributed
+    ``row_number().over(partitionBy(qid).orderBy(dist, cand)) <= k``
+    (cand is unique within a qid after the visited-set dedupe, so the
+    rank is total). Returns the boolean keep mask."""
+    import numpy as np
+
+    order = np.lexsort((cand, dist, qid))
+    sq = qid[order]
+    bnd = np.r_[True, sq[1:] != sq[:-1]]
+    starts = np.flatnonzero(bnd)
+    lens = np.diff(np.r_[starts, len(sq)])
+    ranks = np.arange(len(sq)) - np.repeat(starts, lens)
+    keep = np.zeros(len(sq), dtype=bool)
+    keep[order] = ranks < k
+    return keep
+
+
 def nn_descent_beam_probe(
     graph: DataFrame,
     corpus: DataFrame,
@@ -902,65 +1020,30 @@ def nn_descent_beam_probe(
     (:func:`_beam_probe_driver`) — bit-identical visited set,
     property-pinned; the distributed join loop below is the automatic
     fallback above the caps and is exercised at gate time."""
-    import os as _os
-
     from pdf_to_vectordb_etl_spark.operators.valuation import (
         _quantize_micro,
     )
     from pyspark.sql import Window
 
     spark = corpus.sparkSession
-    qv0 = corpus.select(
+    res = _beam_probe_fast_arrays(
+        graph, corpus, probes, hops, beam, vec_col, id_col,
+        fast_path_max_nodes, fast_path_max_probes,
+    )
+    if res is not None:
+        import pandas as pd
+
+        qid_a, cand_a, dist_a = res
+        return spark.createDataFrame(
+            pd.DataFrame({"qid": qid_a, "cand": cand_a, "dist": dist_a}),
+            schema="qid bigint, cand bigint, dist bigint",
+        )
+    qv = corpus.select(
         F.col(id_col).alias("cid"), _quantize_micro(vec_col).alias("cq")
-    )
-    pv0 = probes.select(
+    ).localCheckpoint(eager=True)
+    pv = probes.select(
         F.col(id_col).alias("qid"), _quantize_micro(vec_col).alias("pq")
-    )
-    if (
-        fast_path_max_nodes is not None
-        and _os.environ.get("SPARK_GRAFT_NN_FASTPATH", "1") != "0"
-    ):
-        import numpy as np
-
-        c_rows = qv0.limit(fast_path_max_nodes + 1).collect()
-        if len(c_rows) <= fast_path_max_nodes:
-            p_rows = pv0.limit(fast_path_max_probes + 1).collect()
-            if len(p_rows) <= fast_path_max_probes:
-                import pandas as pd
-
-                g_rows = graph.select("src", "dst").collect()
-                c_ids = np.array([r["cid"] for r in c_rows], dtype=np.int64)
-                c_mat = np.array([r["cq"] for r in c_rows], dtype=np.int64)
-                c_ord = np.argsort(c_ids)
-                p_ids = np.array([r["qid"] for r in p_rows], dtype=np.int64)
-                p_mat = (
-                    np.array([r["pq"] for r in p_rows], dtype=np.int64)
-                    if p_rows
-                    else np.zeros((0, c_mat.shape[1] if c_mat.ndim == 2 else 0), dtype=np.int64)
-                )
-                # duplicate probe ids would make the distributed
-                # dropDuplicates nondeterministic; keep the first
-                # occurrence (callers pass unique ids)
-                _, p_uq = np.unique(p_ids, return_index=True)
-                p_uq.sort()
-                qid_a, cand_a, dist_a = _beam_probe_driver(
-                    np.array([r["src"] for r in g_rows], dtype=np.int64),
-                    np.array([r["dst"] for r in g_rows], dtype=np.int64),
-                    c_ids[c_ord],
-                    np.ascontiguousarray(c_mat[c_ord]),
-                    p_ids[p_uq],
-                    np.ascontiguousarray(p_mat[p_uq]),
-                    hops,
-                    beam,
-                )
-                return spark.createDataFrame(
-                    pd.DataFrame(
-                        {"qid": qid_a, "cand": cand_a, "dist": dist_a}
-                    ),
-                    schema="qid bigint, cand bigint, dist bigint",
-                )
-    qv = qv0.localCheckpoint(eager=True)
-    pv = pv0.localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)
     entry = qv.orderBy("cid").limit(1)
     visited = (
         pv.crossJoin(F.broadcast(entry))
@@ -1030,12 +1113,31 @@ def nn_descent_incremental_assign(
     visited set <= 1 + hops*beam*k_graph rows, per-new-vector top-k via
     a key-partitioned WindowGroupLimit. Returns (src=new id, dst,
     dist) — bit-deterministic, so the whole assign replays in DuckDB.
-    """
+
+    On the bounded driver fast path the per-probe top-k fuses into the
+    beam loop, so only the k-bounded adjacency (|new|·k rows) crosses
+    back into Spark — never the full visited set."""
     from pyspark.sql import Window
 
+    res = _beam_probe_fast_arrays(
+        graph, corpus, newvecs, hops, beam, vec_col, id_col,
+        16_000, 20_000,
+    )
+    if res is not None:
+        import pandas as pd
+
+        qid, cand, dist = res
+        keep = _topk_per_qid(qid, cand, dist, k)
+        return corpus.sparkSession.createDataFrame(
+            pd.DataFrame(
+                {"src": qid[keep], "dst": cand[keep], "dist": dist[keep]}
+            ),
+            schema="src bigint, dst bigint, dist bigint",
+        )
     visited = nn_descent_beam_probe(
         graph, corpus, newvecs,
         hops=hops, beam=beam, k=k, vec_col=vec_col, id_col=id_col,
+        fast_path_max_nodes=None,
     )
     w = Window.partitionBy("qid").orderBy("dist", "cand")
     return (
@@ -1082,20 +1184,37 @@ def nn_descent_drift_report(
     Returns ``node, n_base, n_new, share_base, share_new, drift,
     mean_dist_base, mean_dist_new`` (means NULL for untouched sides,
     shares NULL when the respective edge total is zero)."""
-    b = base_graph.groupBy(F.col("dst").alias("node")).agg(
-        F.count("*").cast("long").alias("n_base"),
-        F.sum(F.col("dist").cast("decimal(38,0)")).alias("_sb"),
+    # ONE shuffle for the whole per-node occupancy state (r10): tag
+    # each side and aggregate the union — replaces two separate
+    # groupBy exchanges plus the full-outer join exchange. Conditional
+    # sums reproduce the full-outer semantics exactly: a node absent
+    # from one side gets count 0 and a NULL distance sum, just as the
+    # outer join left them.
+    both = base_graph.select(
+        F.col("dst").alias("node"),
+        F.col("dist"),
+        F.lit(0).alias("_side"),
+    ).unionByName(
+        assigned.select(
+            F.col("dst").alias("node"),
+            F.col("dist"),
+            F.lit(1).alias("_side"),
+        )
     )
-    a = assigned.groupBy(F.col("dst").alias("node")).agg(
-        F.count("*").cast("long").alias("n_new"),
-        F.sum(F.col("dist").cast("decimal(38,0)")).alias("_sn"),
-    )
-    occ = b.join(a, "node", "full_outer").select(
-        "node",
-        F.coalesce("n_base", F.lit(0)).alias("n_base"),
-        F.coalesce("n_new", F.lit(0)).alias("n_new"),
-        "_sb",
-        "_sn",
+    is_b = F.col("_side") == 0
+    occ = both.groupBy("node").agg(
+        F.coalesce(F.sum(F.when(is_b, 1)), F.lit(0))
+        .cast("long")
+        .alias("n_base"),
+        F.coalesce(F.sum(F.when(~is_b, 1)), F.lit(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(F.when(is_b, F.col("dist").cast("decimal(38,0)"))).alias(
+            "_sb"
+        ),
+        F.sum(F.when(~is_b, F.col("dist").cast("decimal(38,0)"))).alias(
+            "_sn"
+        ),
     )
     tot = occ.agg(
         F.sum("n_base").cast("long").alias("_tb"),
@@ -1201,12 +1320,45 @@ def nn_descent_tombstone_search(
     threshold.
 
     Exact integer micro-L2, ties by id — replays in DuckDB. Returns
-    (qid, cand, dist), top-``k`` live candidates per probe."""
+    (qid, cand, dist), top-``k`` live candidates per probe.
+
+    On the bounded driver fast path the tombstone mask and the
+    per-probe top-k fuse into the beam loop (the deletions artifact is
+    collected — it is bounded by the corpus cap by contract), so only
+    the k-bounded result crosses back into Spark."""
     from pyspark.sql import Window
 
+    res = _beam_probe_fast_arrays(
+        graph, corpus, probes, hops, beam, vec_col, id_col,
+        16_000, 20_000,
+    )
+    if res is not None:
+        d_rows = deletions.select(F.col(id_col)).limit(16_001).collect()
+        if len(d_rows) <= 16_000:
+            import numpy as np
+            import pandas as pd
+
+            qid, cand, dist = res
+            dele = np.unique(
+                np.array([r[0] for r in d_rows], dtype=np.int64)
+            )
+            live = ~np.isin(cand, dele)
+            qid, cand, dist = qid[live], cand[live], dist[live]
+            keep = _topk_per_qid(qid, cand, dist, k)
+            return corpus.sparkSession.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "qid": qid[keep],
+                        "cand": cand[keep],
+                        "dist": dist[keep],
+                    }
+                ),
+                schema="qid bigint, cand bigint, dist bigint",
+            )
     visited = nn_descent_beam_probe(
         graph, corpus, probes,
         hops=hops, beam=beam, k=k, vec_col=vec_col, id_col=id_col,
+        fast_path_max_nodes=None if res is None else 16_000,
     )
     alive = visited.join(
         F.broadcast(

@@ -636,3 +636,61 @@ def test_merge_rounds_fast_path_equals_distributed(spark, sf_dir):
     assert fast_m == dist_m and len(fast_m) == 6
     assert fast_v == dist_v and len(fast_v) > 0
     assert fast_wp == dist_wp and len(fast_wp) == 5
+
+
+def test_incremental_assign_and_tombstone_fast_equals_distributed(
+    spark, sf_dir
+):
+    """The fused driver paths (beam probe + per-probe top-k, and the
+    tombstone mask) must match the distributed window/anti-join plans
+    row for row."""
+    import os
+
+    from pdf_to_vectordb_etl_spark.operators.topk import (
+        nn_descent_graph,
+        nn_descent_incremental_assign,
+        nn_descent_tombstone_search,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    probes = emb.filter(F.col("vec_id") < 12)
+    corpus = emb.filter(
+        (F.col("vec_id") >= 12) & (F.col("vec_id") < 260)
+    )
+    deletions = corpus.filter(F.col("vec_id") % 5 == 2).select("vec_id")
+    g = nn_descent_graph(corpus, k=5, rounds=3)
+    fast_a = sorted(
+        tuple(r)
+        for r in nn_descent_incremental_assign(
+            g, corpus, probes, k=4, hops=3, beam=5
+        ).collect()
+    )
+    fast_t = sorted(
+        tuple(r)
+        for r in nn_descent_tombstone_search(
+            g, corpus, probes, deletions, k=6, hops=3, beam=5
+        ).collect()
+    )
+    os.environ["SPARK_GRAFT_NN_FASTPATH"] = "0"
+    try:
+        g2 = nn_descent_graph(corpus, k=5, rounds=3)
+        dist_a = sorted(
+            tuple(r)
+            for r in nn_descent_incremental_assign(
+                g2, corpus, probes, k=4, hops=3, beam=5
+            ).collect()
+        )
+        dist_t = sorted(
+            tuple(r)
+            for r in nn_descent_tombstone_search(
+                g2, corpus, probes, deletions, k=6, hops=3, beam=5
+            ).collect()
+        )
+    finally:
+        del os.environ["SPARK_GRAFT_NN_FASTPATH"]
+    assert fast_a == dist_a and len(fast_a) > 0
+    assert fast_t == dist_t and len(fast_t) > 0
+    deleted = {r["vec_id"] for r in deletions.collect()}
+    assert not deleted & {c for (_, c, _) in fast_t}
