@@ -127,6 +127,64 @@ def _centroid_means(assigned: DataFrame, vec_col: str) -> DataFrame:
     )
 
 
+def kmeans_assign_literal(
+    df: DataFrame,
+    centroid_rows,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Nearest-centroid assignment as a PURE PROJECTION over a
+    collected k-row centroid table (r10): the centroids enter the plan
+    as an array-of-structs literal and the argmax is one array_min
+    fold — no crossJoin row expansion, no per-row-key window, and so
+    NO shuffle of the corpus at all (kmeans_assign's window
+    repartitioned the k-times-expanded corpus by row id at any scale).
+
+    Bit-identical winner: the window ranked by (desc _sim, cluster_id);
+    array_min over struct(-_sim, cluster_id) picks the same centroid —
+    double negation is exact, and min(-x) under Double.compare agrees
+    with the sort's desc(x) ordering including the -0.0 < 0.0 edge
+    (both sides use the same comparator; pinned by test)."""
+    if metric == "cosine":
+        def score(cent):
+            return F.round(cosine_similarity(F.col(vec_col), cent), 6)
+    elif metric == "l2":
+        def score(cent):
+            sq = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col).cast("array<double>"), cent,
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+            return -F.round(sq, 6)
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    carr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cluster_id"])).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r["centroid"]])
+                .cast("array<double>")
+                .alias("cent"),
+            )
+            for r in centroid_rows
+        ]
+    )
+    best = F.array_min(
+        F.transform(
+            carr,
+            lambda c: F.struct(
+                (-score(c["cent"])).alias("ns"), c["cid"].alias("cid")
+            ),
+        )
+    )
+    return df.select(
+        F.col(id_col), F.col(vec_col), best["cid"].alias("cluster_id")
+    )
+
+
 def kmeans_fit(
     df: DataFrame,
     k: int,
@@ -141,16 +199,26 @@ def kmeans_fit(
     Empty clusters drop out (the means of non-empty clusters are the
     next round's centroids) — the standard Lloyd degeneracy, acceptable
     for corpus sharding where k is a budget, not a contract. Cost per
-    iteration: one broadcast of k*dim floats + one (cluster, dim)-keyed
+    iteration: one k*dim centroid literal + one (cluster, dim)-keyed
     aggregation over the exploded corpus — linear in corpus size, no
-    quadratic term anywhere, so 100 TB is n_iters linear passes."""
+    quadratic term anywhere, so 100 TB is n_iters linear passes. The
+    centroids were ALWAYS collected per round (lineage truncation), so
+    the assign step consumes them as literals
+    (:func:`kmeans_assign_literal`) — the r10 rewrite that removes the
+    per-iteration corpus shuffle the old crossJoin+window assign paid."""
     spark: SparkSession = df.sparkSession
     src = df.select(F.col(id_col), F.col(vec_col))
-    centroids = kmeans_init(src, k, vec_col, id_col)
-    result = None
+    cur_rows = kmeans_init(src, k, vec_col, id_col).collect()
+    centroids = spark.createDataFrame(
+        [(r["cluster_id"], r["centroid"], 0) for r in cur_rows],
+        "cluster_id int, centroid array<double>, n_members bigint",
+    )
     for _ in range(n_iters):
-        assigned = kmeans_assign(src, centroids.select("cluster_id", "centroid"),
-                                 vec_col, id_col, metric)
+        if not cur_rows:
+            break
+        assigned = kmeans_assign_literal(
+            src, cur_rows, vec_col, id_col, metric
+        )
         result = _centroid_means(assigned, vec_col)
         # lineage truncation: k*dim floats to the driver and back, so the
         # next iteration's plan doesn't embed this one's
@@ -158,6 +226,7 @@ def kmeans_fit(
         centroids = spark.createDataFrame(
             rows, "cluster_id int, centroid array<double>, n_members bigint"
         )
+        cur_rows = rows
     return centroids
 
 

@@ -61,11 +61,14 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     prev_ranks = None
     for _ in range(iterations):
-        dang = (
-            ranks.join(has_out, ranks["node"] == has_out["src"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
-            .first()["m"]
-        )
+        # dangling mass rides as a broadcast 1-row aggregate instead
+        # of a per-iteration driver collect (r10): the scalar never
+        # leaves the cluster, halving the actions per iteration. The
+        # arithmetic is unchanged — m/n is the same IEEE division the
+        # collected-literal form computed on the driver.
+        dang = ranks.join(
+            has_out, ranks["node"] == has_out["src"], "left_anti"
+        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
         contrib = (
             ranks.join(probs, ranks["node"] == probs["src"])
             .groupBy("dst")
@@ -73,12 +76,16 @@ def pagerank(
         )
         ranks = (
             nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "node",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dang / n))
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.col("_dang") / F.lit(float(n))
+                    )
                 ).alias("rank"),
             )
             .persist()

@@ -327,11 +327,41 @@ def target_encode_loo(
     )
 
 
+def _bt_rounds_driver(plist, items, a0, n_rounds, grid, min_a):
+    """Driver fast path for the Hunter-MM rounds: the identical
+    integer trajectory in Python ints — every distributed op is a
+    nonneg exact DECIMAL floor-division (== Python ``//``) or an exact
+    integer sum, so the per-round strengths match bit for bit (the
+    _nn_descent_driver bounded-artifact contract; property-pinned).
+    ``plist`` is the (i, j, n_ij) pair table, ``items`` maps
+    i -> wins. Returns the final i -> a_grid dict."""
+    a = {i: a0 for i in items}
+    for _ in range(int(n_rounds)):
+        denom: dict = {}
+        for i, j, n_ij in plist:
+            t = (n_ij * 10**18) // (a[i] + a[j])
+            denom[i] = denom.get(i, 0) + t
+        raw = {}
+        for i, wins in items.items():
+            d = denom.get(i, 0)
+            raw[i] = (wins * 10**24) // d if d > 0 else 0
+        tot = sum(raw.values())
+        a = {
+            i: max(
+                int(min_a),
+                (raw[i] * int(grid)) // tot if tot > 0 else 0,
+            )
+            for i in items
+        }
+    return a
+
+
 def bradley_terry_strengths(
     cells: DataFrame,
     n_rounds: int = 6,
     grid: int = 10**9,
     min_a: int = 10**3,
+    fast_path_max_pairs: int | None = 200_000,
 ) -> DataFrame:
     """Bradley–Terry preference strengths via Hunter's MM algorithm
     (Bradley & Terry 1952; Hunter 2004 "MM algorithms for generalized
@@ -405,6 +435,60 @@ def bradley_terry_strengths(
             "CAST(NULL AS DOUBLE) AS strength_q9",
         )
     a0 = max(int(min_a), int(grid) // k)
+    # bounded driver fast path: below the pair cap (and unless
+    # SPARK_GRAFT_BT_FASTPATH=0) the MM rounds run in Python ints over
+    # the collected (already-checkpointed) pair/item tables — each
+    # distributed round otherwise costs two joins, an agg, a scalar
+    # cross-join and an eager checkpoint of pure planning at item
+    # cardinality. Bit-identical trajectory (_bt_rounds_driver);
+    # distributed loop unchanged below as the above-cap fallback,
+    # exercised at gate time.
+    import os as _os
+
+    if (
+        fast_path_max_pairs is not None
+        and _os.environ.get("SPARK_GRAFT_BT_FASTPATH", "1") != "0"
+    ):
+        p_rows = pairs.limit(fast_path_max_pairs + 1).collect()
+        if len(p_rows) <= fast_path_max_pairs:
+            from pyspark.sql.types import (
+                DoubleType,
+                LongType,
+                StructField,
+                StructType,
+            )
+
+            i_rows = items.collect()
+            a_fin = _bt_rounds_driver(
+                [(r["i"], r["j"], r["n_ij"]) for r in p_rows],
+                {r["i"]: r["wins"] for r in i_rows},
+                a0,
+                n_rounds,
+                grid,
+                min_a,
+            )
+            out_schema = StructType(
+                [
+                    StructField("item", items.schema["i"].dataType),
+                    StructField("wins", LongType()),
+                    StructField("n_comparisons", LongType()),
+                    StructField("a_grid", LongType()),
+                    StructField("strength_q9", DoubleType()),
+                ]
+            )
+            return cells.sparkSession.createDataFrame(
+                [
+                    (
+                        r["i"],
+                        r["wins"],
+                        r["n_comp"],
+                        a_fin[r["i"]],
+                        float(a_fin[r["i"]] / int(grid)),
+                    )
+                    for r in i_rows
+                ],
+                out_schema,
+            )
     cur = items.select("i", F.lit(a0).cast("long").alias("a"))
     for _ in range(int(n_rounds)):
         with_a = (

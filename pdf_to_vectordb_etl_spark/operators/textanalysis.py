@@ -280,30 +280,55 @@ def pii_hit_count(text: Column | str) -> Column:
     return n
 
 
+def _bigram_stream(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, w1, w2) adjacent-token bigram stream — ONE array transform
+    + explode, no per-doc window. Tokens are the nonempty lowercased
+    whitespace splits in position order; the pair multiset is exactly
+    what the old posexplode → lead() window produced, but the plan
+    loses an Exchange + Sort per call (the window shuffled the full
+    token stream by doc at any scale; r10). The token array is bound
+    once via :func:`_bind_array` (the cdc_chunks CollapseProject
+    lesson) and the n<2 guard dodges Spark's descending-sequence trap."""
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    pairs = _bind_array(
+        arr,
+        lambda a: F.when(
+            F.size(a) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(a) - 1),
+                lambda i: F.struct(
+                    F.element_at(a, i).alias("w1"),
+                    F.element_at(a, i + 1).alias("w2"),
+                ),
+            ),
+        ).otherwise(
+            F.array().cast("array<struct<w1:string,w2:string>>")
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(pairs).alias("_bg")).select(
+        id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2")
+    )
+
+
 def bigram_logprob_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus-trained bigram language-model score per document:
     mean ln P(w2|w1) over the doc's bigrams, with P estimated from the
     corpus itself (every observed bigram has count >= 1, so no
     smoothing is needed and the score is exact).
 
-    Tokenize -> explode ONCE -> lead() window per doc for adjacency ->
-    two hash aggs (bigram and unigram counts) -> broadcast the prob
-    table back onto the bigram stream. The model table is vocab-sized
-    (<< corpus), so the scoring join is shuffle-free on the data side;
-    at 100 TB the same shape holds as long as the bigram vocabulary
-    fits an executor (cap it with a min-count filter if not)."""
-    from pyspark.sql import Window
-
-    toks = df.select(
-        "doc_id",
-        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "tok"),
-    ).filter(F.col("tok") != "")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    big = (
-        toks.withColumn("w2", F.lead("tok").over(w))
-        .filter(F.col("w2").isNotNull())
-        .select("doc_id", F.col("tok").alias("w1"), "w2")
-    )
+    Tokenize -> one array transform + explode for adjacency (no
+    window; see :func:`_bigram_stream`) -> two hash aggs (bigram and
+    unigram counts) -> broadcast the prob table back onto the bigram
+    stream. The model table is vocab-sized (<< corpus), so the scoring
+    join is shuffle-free on the data side; at 100 TB the same shape
+    holds as long as the bigram vocabulary fits an executor (cap it
+    with a min-count filter if not)."""
+    big = _bigram_stream(df, text_col)
     bc = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     uc = big.groupBy("w1").agg(F.count("*").alias("c1"))
     probs = bc.join(uc, "w1").select(
@@ -425,21 +450,11 @@ def kneser_ney_bigram_probs(
     (4 consumers); sessions scoring many corpora in a loop should cut
     lineage on the consumed output or the per-call checkpoint files
     accumulate until the session exits."""
-    from pyspark.sql import Window
 
     def bigrams(frame: DataFrame) -> DataFrame:
-        toks = frame.select(
-            "doc_id",
-            F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
-                "pos", "tok"
-            ),
-        ).filter(F.col("tok") != "")
-        w = Window.partitionBy("doc_id").orderBy("pos")
-        return (
-            toks.withColumn("w2", F.lead("tok").over(w))
-            .filter(F.col("w2").isNotNull())
-            .select("doc_id", F.col("tok").alias("w1"), "w2")
-        )
+        # adjacency via one array transform + explode — no per-doc
+        # window shuffle (see _bigram_stream)
+        return _bigram_stream(frame, text_col)
 
     big_train = bigrams(train if train is not None else df)
     # vocab-sized; checkpointed because FOUR consumers run actions /
@@ -499,12 +514,9 @@ def smoothed_perplexity_scores(
         "doc_id",
         F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "tok"),
     ).filter(F.col("tok") != "")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    big = (
-        toks.withColumn("w2", F.lead("tok").over(w))
-        .filter(F.col("w2").isNotNull())
-        .select("doc_id", F.col("tok").alias("w1"), "w2")
-    )
+    # adjacency via one array transform + explode — no per-doc window
+    # shuffle (see _bigram_stream); toks stays for the vocab size only
+    big = _bigram_stream(df, text_col)
     vsize = toks.agg(F.countDistinct("tok").alias("v"))
     bc = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     uc = big.groupBy("w1").agg(F.count("*").alias("c1"))
@@ -1134,25 +1146,18 @@ def pmi_collocations(
     classic signal for multi-word expressions a phrase-aware tokenizer
     or n-gram vocabulary wants to keep whole.
 
-    Same explode-once + lead() adjacency as
-    :func:`bigram_logprob_scores`; bigram and unigram counts are two
+    Same no-window array adjacency as :func:`bigram_logprob_scores`
+    (see :func:`_bigram_stream`); bigram and unigram counts are two
     partial-combinable hash aggs; the count tables joined for scoring
     are vocab-sized (<< corpus). ``min_count`` guards the PMI
     degeneracy where hapax pairs score highest; the final cut is
     TakeOrderedAndProject on (rounded pmi, w1, w2), deterministic
     across engines."""
-    from pyspark.sql import Window
-
     toks = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "tok"),
     ).filter(F.col("tok") != "")
-    w = Window.partitionBy(id_col).orderBy("pos")
-    big = (
-        toks.withColumn("w2", F.lead("tok").over(w))
-        .filter(F.col("w2").isNotNull())
-        .select(F.col("tok").alias("w1"), "w2")
-    )
+    big = _bigram_stream(df, text_col, id_col).select("w1", "w2")
     bc = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     uc = toks.groupBy(F.col("tok").alias("w")).agg(F.count("*").alias("c"))
     tot = (
@@ -2417,8 +2422,13 @@ def bpe_bytelevel_fertility_cells(
     when the stream replays the training corpus (byte fallback makes
     real byte-BPE OOV impossible on seen pre-tokens)."""
     cells = bpe_bytelevel_cell_stream(df, group_col, text_col)
+    # explicit broadcast: the static side is the TRAINED-VOCAB
+    # artifact — bounded by contract (a tokenizer the monitor serves
+    # is a shippable artifact) and already checkpointed; without the
+    # hint every micro-batch shuffles the token-cell stream for a
+    # sort-merge join (r10: the hint removes both per-batch exchanges)
     joined = cells.join(
-        pieces.select("vkey", "n_pieces"),
+        F.broadcast(pieces.select("vkey", "n_pieces")),
         cells["cell"] == pieces["vkey"],
         "left",
     )

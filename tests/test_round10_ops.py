@@ -694,3 +694,66 @@ def test_incremental_assign_and_tombstone_fast_equals_distributed(
     assert fast_t == dist_t and len(fast_t) > 0
     deleted = {r["vec_id"] for r in deletions.collect()}
     assert not deleted & {c for (_, c, _) in fast_t}
+
+
+def test_bradley_terry_fast_path_equals_distributed(spark):
+    """The driver MM loop must reproduce the distributed integer
+    trajectory bit for bit (same floor divisions, same clamps)."""
+    import os
+
+    from pdf_to_vectordb_etl_spark.operators.supervised import (
+        bradley_terry_strengths,
+    )
+
+    cells = spark.createDataFrame(
+        [("a", "b", 7), ("b", "a", 3), ("a", "c", 2), ("c", "b", 9),
+         ("d", "a", 1), ("b", "d", 0)],
+        "i string, j string, w long",
+    )
+    fast = sorted(
+        tuple(r)
+        for r in bradley_terry_strengths(cells, n_rounds=6).collect()
+    )
+    os.environ["SPARK_GRAFT_BT_FASTPATH"] = "0"
+    try:
+        dist = sorted(
+            tuple(r)
+            for r in bradley_terry_strengths(cells, n_rounds=6).collect()
+        )
+    finally:
+        del os.environ["SPARK_GRAFT_BT_FASTPATH"]
+    assert fast == dist and len(fast) == 4
+
+
+def test_kmeans_assign_literal_equals_window(spark, sf_dir):
+    """The literal-centroid projection argmax must pick the identical
+    cluster as the crossJoin+window assign for both metrics, including
+    zero vectors (cosine convention -1.0) and rounded-score ties."""
+    from pdf_to_vectordb_etl_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_assign_literal,
+        kmeans_init,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    zeros = spark.createDataFrame(
+        [(9001, [0.0] * 64), (9002, [1e-9] * 64)],
+        "vec_id long, embedding array<float>",
+    )
+    src = emb.select("vec_id", "embedding").unionByName(zeros)
+    cents = kmeans_init(src, 6)
+    rows = cents.collect()
+    for metric in ("cosine", "l2"):
+        lit_out = sorted(
+            (r["vec_id"], r["cluster_id"])
+            for r in kmeans_assign_literal(
+                src, rows, metric=metric
+            ).collect()
+        )
+        win_out = sorted(
+            (r["vec_id"], r["cluster_id"])
+            for r in kmeans_assign(src, cents, metric=metric).collect()
+        )
+        assert lit_out == win_out and len(lit_out) > 0

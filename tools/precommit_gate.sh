@@ -63,6 +63,10 @@ if [[ "${1:-full}" != "quick" ]]; then
   SPARK_GRAFT_MERGE_FASTPATH=0 python tools/check_oracle.py \
     --sf /root/testdata/sf0.001 bpe_bytelevel_train wordpiece_train
 
+  echo "== distributed Bradley-Terry MM path (driver fast path disabled) =="
+  SPARK_GRAFT_BT_FASTPATH=0 python tools/check_oracle.py \
+    --sf /root/testdata/sf0.001 bradley_terry
+
   echo "== global-window audit =="
   python tools/audit_global_windows.py
 fi
