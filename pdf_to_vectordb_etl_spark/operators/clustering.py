@@ -146,20 +146,20 @@ def kmeans_assign_literal(
     double negation is exact, and min(-x) under Double.compare agrees
     with the sort's desc(x) ordering including the -0.0 < 0.0 edge
     (both sides use the same comparator; pinned by test)."""
-    if metric == "cosine":
-        def score(cent):
-            return F.round(cosine_similarity(F.col(vec_col), cent), 6)
-    elif metric == "l2":
-        def score(cent):
-            sq = F.aggregate(
-                F.zip_with(
-                    F.col(vec_col).cast("array<double>"), cent,
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0), lambda acc, x: acc + x,
-            )
-            return -F.round(sq, 6)
-    else:
+    import math
+
+    from ..functions.vector import l2_norm
+
+    def _fold_norm(vals):
+        # the EXACT l2_norm fold (left-to-right IEEE adds of
+        # double-cast squares + correctly-rounded sqrt) in Python
+        acc = 0.0
+        for x in vals:
+            xd = float(x)
+            acc += xd * xd
+        return math.sqrt(acc)
+
+    if metric not in ("cosine", "l2"):
         raise ValueError(f"unknown metric {metric!r}")
     carr = F.array(
         *[
@@ -168,17 +168,45 @@ def kmeans_assign_literal(
                 F.array(*[F.lit(float(x)) for x in r["centroid"]])
                 .cast("array<double>")
                 .alias("cent"),
+                F.lit(_fold_norm(r["centroid"])).alias("nb"),
             )
             for r in centroid_rows
         ]
     )
-    best = F.array_min(
-        F.transform(
-            carr,
-            lambda c: F.struct(
-                (-score(c["cent"])).alias("ns"), c["cid"].alias("cid")
-            ),
+
+    def fold(na):
+        if metric == "cosine":
+            def score(c):
+                # row norm bound once as a lambda var, centroid norms
+                # driver-precomputed — one dot fold per candidate
+                # instead of three array folds, identical IEEE values
+                return F.round(
+                    cosine_similarity(
+                        F.col(vec_col), c["cent"], norm_a=na, norm_b=c["nb"]
+                    ),
+                    6,
+                )
+        else:
+            def score(c):
+                sq = F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col).cast("array<double>"), c["cent"],
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0), lambda acc, x: acc + x,
+                )
+                return -F.round(sq, 6)
+        return F.array_min(
+            F.transform(
+                carr,
+                lambda c: F.struct(
+                    (-score(c)).alias("ns"), c["cid"].alias("cid")
+                ),
+            )
         )
+
+    best = F.element_at(
+        F.transform(F.array(l2_norm(F.col(vec_col))), fold), 1
     )
     return df.select(
         F.col(id_col), F.col(vec_col), best["cid"].alias("cluster_id")

@@ -154,9 +154,85 @@ def ivf_assign(
 
     The assignment similarity is rounded to 6 dp before ranking so the
     list choice is stable across engines (float summation order differs
-    between Spark and an external oracle; ties break on list_id)."""
+    between Spark and an external oracle; ties break on list_id).
+
+    For ``n_probe == 1`` (the corpus-side home-list assignment) the
+    argmax is a PURE PROJECTION over the collected coarse quantizer
+    (bounded: n_lists rows by construction) — an array_min fold over
+    centroid literals, the kmeans_assign_literal pattern (r10). The
+    old crossJoin + row_number window shuffled the k-expanded CORPUS
+    by its full row content at any scale, just to pick a per-row
+    argmax. Winner identical: min(-sim, list_id) under the same
+    comparator as the window's (desc sim, list_id) rank-1, and
+    cosine_similarity casts every element to double, so literal
+    (double) centroids compute the identical IEEE value the original
+    float arrays did."""
     from pyspark.sql import Window
 
+    if n_probe == 1:
+        import math
+
+        rows = centroids.collect()
+        if not rows:
+            return df.filter(F.lit(False)).withColumn(
+                "list_id", F.lit(None).cast("int")
+            )
+
+        def _fold_norm(vals):
+            # the EXACT l2_norm fold: left-to-right IEEE adds of
+            # double-cast squares, then a correctly-rounded sqrt —
+            # Python doubles reproduce it bit for bit
+            acc = 0.0
+            for x in vals:
+                xd = float(x)
+                acc += xd * xd
+            return math.sqrt(acc)
+
+        from ..functions.vector import l2_norm
+
+        carr = F.array(
+            *[
+                F.struct(
+                    F.lit(int(r["list_id"])).alias("lid"),
+                    F.array(*[F.lit(float(x)) for x in r["centroid"]])
+                    .cast("array<double>")
+                    .alias("cent"),
+                    F.lit(_fold_norm(r["centroid"])).alias("nb"),
+                )
+                for r in rows
+            ]
+        )
+        # the row norm is computed ONCE and bound as a lambda var (the
+        # _bind_array trick — referenced per centroid it would inline
+        # n_lists times under CollapseProject); centroid norms are
+        # driver-precomputed literals. Each candidate then costs one
+        # dot fold instead of three array folds.
+        best = F.element_at(
+            F.transform(
+                F.array(l2_norm(F.col(vec_col))),
+                lambda na: F.array_min(
+                    F.transform(
+                        carr,
+                        lambda c: F.struct(
+                            (
+                                -F.round(
+                                    cosine_similarity(
+                                        F.col(vec_col),
+                                        c["cent"],
+                                        norm_a=na,
+                                        norm_b=c["nb"],
+                                    ),
+                                    6,
+                                )
+                            ).alias("ns"),
+                            c["lid"].alias("lid"),
+                        ),
+                    )
+                ),
+            ),
+            1,
+        )
+        return df.withColumn("list_id", best["lid"])
     sim = F.round(cosine_similarity(F.col(vec_col), F.col("centroid")), 6)
     scored = df.crossJoin(F.broadcast(centroids)).withColumn("_csim", sim)
     w = Window.partitionBy(*df.columns).orderBy(F.desc("_csim"), F.col("list_id"))

@@ -49,6 +49,88 @@ def _quantize_micro(vec_col: str) -> "F.Column":
     )
 
 
+def _knn_shapley_driver(spark, q_rows, t_rows, k, top_n, qid_t, tid_t):
+    """Driver twin of the distributed K-NN Shapley plan — identical
+    integer arithmetic: exact int64 micro distances, per-query ranks
+    by (dist, tid), delta_pico = sign · nonneg-floor-div magnitude,
+    s_pico as the suffix sum anchored at ind_N·(PICO // N), and the
+    (−s_pico, tid) top-n cut. Property-pinned against the distributed
+    output."""
+    import numpy as np
+
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("qid", qid_t),
+            StructField("vec_id", tid_t),
+            StructField("knn_rank", LongType()),
+        ]
+        + (
+            [StructField("value_rank", LongType())]
+            if top_n is not None
+            else []
+        )
+        + [
+            StructField("shapley_q12", DoubleType()),
+            StructField("label_match", BooleanType()),
+        ]
+    )
+    if not q_rows or not t_rows:
+        return spark.createDataFrame([], schema)
+    tid = np.array([r["tid"] for r in t_rows], dtype=np.int64)
+    tmat = np.array([r["tv"] for r in t_rows], dtype=np.int64)
+    ty = [r["ty"] for r in t_rows]
+    n = len(t_rows)
+    out = []
+    for qr in q_rows:
+        qv = np.array(qr["qv"], dtype=np.int64)
+        qy = qr["qy"]
+        d = tmat - qv
+        dist = np.einsum("ij,ij->i", d, d)
+        order = np.lexsort((tid, dist))
+        ind = np.array(
+            [
+                1 if (qy is not None and t is not None and t == qy) else 0
+                for t in ty
+            ],
+            dtype=np.int64,
+        )[order]
+        # delta at rank i (1-based, i < N): (ind_i − ind_{i+1}) ·
+        # (PICO·min(K,i)) // (K·i); suffix sums from far to near
+        i_arr = np.arange(1, n, dtype=np.int64)
+        mag = (PICO * np.minimum(k, i_arr)) // (k * i_arr)
+        delta = (ind[:-1] - ind[1:]) * mag
+        s_last = int(ind[-1]) * (PICO // n)
+        s = np.empty(n, dtype=np.int64)
+        s[-1] = 0
+        if n > 1:
+            s[:-1] = delta[::-1].cumsum()[::-1]  # suffix of deltas
+        s = s + s_last
+        keep = np.arange(n)
+        if top_n is not None:
+            vorder = np.lexsort((tid[order], -s))
+            keep = vorder[: int(top_n)]
+            vranks = {int(j): r + 1 for r, j in enumerate(keep)}
+        for j in keep:
+            row = [
+                int(qr["qid"]),
+                int(tid[order][j]),
+                int(j) + 1,
+            ]
+            if top_n is not None:
+                row.append(vranks[int(j)])
+            row += [float(int(s[j]) / 1e12), bool(ind[j] == 1)]
+            out.append(tuple(row))
+    return spark.createDataFrame(out, schema)
+
+
 def knn_shapley(
     train: DataFrame,
     queries: DataFrame,
@@ -102,6 +184,32 @@ def knn_shapley(
         F.col(label_col).alias("ty"),
         _quantize_micro(vec_col).alias("tv"),
     ).filter(F.col("tv").isNotNull())
+    # bounded driver fast path (r10, the _nn_descent_driver contract):
+    # the whole valuation — exact int64 distances, per-query ranks,
+    # the pico-grid suffix recursion and the top-n cut — is integer
+    # arithmetic over a (train × panel) table the relational plan
+    # already materializes via crossJoin; below the caps it runs in
+    # numpy/Python ints, bit-identical (Python // == the nonneg
+    # DECIMAL subtract-modulo floor-div; sign carried separately
+    # exactly as the expressions do). Distributed path unchanged
+    # below as the above-cap fallback, exercised at gate time via
+    # SPARK_GRAFT_SHAPLEY_FASTPATH=0.
+    import os as _os
+
+    from pyspark.sql.types import IntegralType
+
+    if _os.environ.get("SPARK_GRAFT_SHAPLEY_FASTPATH", "1") != "0" and (
+        isinstance(q.schema["qid"].dataType, IntegralType)
+        and isinstance(tr.schema["tid"].dataType, IntegralType)
+    ):
+        q_rows = q.limit(4_097).collect()
+        if len(q_rows) <= 4_096:
+            t_rows = tr.limit(200_001).collect()
+            if len(t_rows) <= 200_000:
+                return _knn_shapley_driver(
+                    train.sparkSession, q_rows, t_rows, k, top_n,
+                    q.schema["qid"].dataType, tr.schema["tid"].dataType,
+                )
     scored = tr.crossJoin(F.broadcast(q)).select(
         "qid",
         "tid",

@@ -757,3 +757,39 @@ def test_kmeans_assign_literal_equals_window(spark, sf_dir):
             for r in kmeans_assign(src, cents, metric=metric).collect()
         )
         assert lit_out == win_out and len(lit_out) > 0
+
+
+def test_knn_shapley_fast_path_equals_distributed(spark, sf_dir):
+    """The driver valuation (int64 distances, pico suffix recursion,
+    top-n cut) must match the distributed rank-primitive plan row for
+    row — both with and without the top-n cut."""
+    import os
+
+    from pdf_to_vectordb_etl_spark.operators.valuation import knn_shapley
+
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    train = emb.filter(F.col("vec_id") >= 4)
+    probes = emb.filter(F.col("vec_id") < 4)
+    fast_top = sorted(
+        tuple(r) for r in knn_shapley(train, probes, k=5, top_n=7).collect()
+    )
+    fast_all = sorted(
+        tuple(r)
+        for r in knn_shapley(train, probes, k=5, top_n=None).collect()
+    )
+    os.environ["SPARK_GRAFT_SHAPLEY_FASTPATH"] = "0"
+    try:
+        dist_top = sorted(
+            tuple(r)
+            for r in knn_shapley(train, probes, k=5, top_n=7).collect()
+        )
+        dist_all = sorted(
+            tuple(r)
+            for r in knn_shapley(train, probes, k=5, top_n=None).collect()
+        )
+    finally:
+        del os.environ["SPARK_GRAFT_SHAPLEY_FASTPATH"]
+    assert fast_top == dist_top and len(fast_top) > 0
+    assert fast_all == dist_all and len(fast_all) > len(fast_top)

@@ -67,6 +67,10 @@ if [[ "${1:-full}" != "quick" ]]; then
   SPARK_GRAFT_BT_FASTPATH=0 python tools/check_oracle.py \
     --sf /root/testdata/sf0.001 bradley_terry
 
+  echo "== distributed K-NN Shapley path (driver fast path disabled) =="
+  SPARK_GRAFT_SHAPLEY_FASTPATH=0 python tools/check_oracle.py \
+    --sf /root/testdata/sf0.001 knn_shapley
+
   echo "== global-window audit =="
   python tools/audit_global_windows.py
 fi
