@@ -959,6 +959,37 @@ def unigram_seed_pieces(
             .agg(F.count(F.lit(1)).alias("freq"))
             .withColumn("wlen", F.length("w").cast("int"))
         )
+        # bounded driver fast path (r10, same contract/kill switch as
+        # the unigram trainer): seed counts over the collected word
+        # vocab in Python — identical sums and (n desc, piece) cut —
+        # instead of the span explode + agg + TakeOrdered chain
+        import os as _os
+
+        if _os.environ.get("SPARK_GRAFT_UNIGRAM_FASTPATH", "1") != "0":
+            w_rows = words.limit(200_001).collect()
+            if len(w_rows) <= 200_000:
+                seed: dict = {}
+                for r in w_rows:
+                    w, f = r["w"], int(r["freq"])
+                    ln = len(w)
+                    for i in range(ln):
+                        for j in range(
+                            i + 1, min(i + max_piece_len, ln) + 1
+                        ):
+                            p = w[i:j]
+                            seed[p] = seed.get(p, 0) + f
+                out = [(p, n) for p, n in seed.items() if len(p) == 1]
+                out += sorted(
+                    (
+                        (p, n)
+                        for p, n in seed.items()
+                        if len(p) > 1 and n >= min_count
+                    ),
+                    key=lambda x: (-x[1], x[0]),
+                )[: seed_cap_factor * vocab_size]
+                return df.sparkSession.createDataFrame(
+                    out, "piece string, n long"
+                ).localCheckpoint(eager=True)
         occ = _word_spans(words, max_piece_len)
     seed_counts = occ.groupBy("piece").agg(
         F.sum("freq").cast("long").alias("n")
@@ -974,6 +1005,50 @@ def unigram_seed_pieces(
     return chars.unionByName(multi).localCheckpoint(eager=True)
 
 
+def _viterbi_k_driver(w, piece_set, max_piece_len, inf):
+    """Min-piece-count DP for one word over the in-vocab spans — the
+    ``k`` field of :func:`_viterbi_best`'s objective (the tie fields
+    never change k). Returns k or ``inf`` when no full cover exists."""
+    L = len(w)
+    dp = [0] + [inf] * L
+    for j in range(1, L + 1):
+        best = inf
+        for i in range(max(0, j - max_piece_len), j):
+            if dp[i] < inf and w[i:j] in piece_set:
+                c = dp[i] + 1
+                if c < best:
+                    best = c
+        dp[j] = best
+    return dp[L]
+
+
+def _viterbi_full_driver(w, piece_n, max_piece_len):
+    """Full (k, negs, ps) Viterbi for one word — the exact
+    :func:`_viterbi_best` objective: min piece count, then max summed
+    frequency (negs = −Σn), then the lexicographically least piece
+    sequence. Python tuple/list comparison reproduces the Spark struct
+    + array<string> ordering (UTF-8 byte order == code-point order).
+    Returns the best tuple or None when no full cover exists."""
+    L = len(w)
+    dp = [None] * (L + 1)
+    dp[0] = (0, 0, [])
+    for j in range(1, L + 1):
+        best = None
+        for i in range(max(0, j - max_piece_len), j):
+            prev = dp[i]
+            if prev is None:
+                continue
+            piece = w[i:j]
+            n = piece_n.get(piece)
+            if n is None:
+                continue
+            cand = (prev[0] + 1, prev[1] - n, prev[2] + [piece])
+            if best is None or cand < best:
+                best = cand
+        dp[j] = best
+    return dp[L]
+
+
 def unigram_lm_train(
     df: DataFrame,
     text_col: str = "text",
@@ -983,6 +1058,7 @@ def unigram_lm_train(
     max_word_len: int = 12,
     min_count: int = 2,
     seed_cap_factor: int = 4,
+    fast_path_max_vocab: int | None = 200_000,
 ) -> DataFrame:
     """Unigram-LM tokenizer training (SentencePiece-class, Kudo 2018,
     public) — the second of the two tokenizer families next to
@@ -1023,6 +1099,80 @@ def unigram_lm_train(
         .withColumn("wlen", F.length("w").cast("int"))
         .localCheckpoint(eager=True)
     )
+    # bounded driver fast path (r10, the merge-loop contract): below
+    # the word-vocab cap (SPARK_GRAFT_UNIGRAM_FASTPATH=0 kill switch)
+    # the seed counts and every hard-EM round run in Python over the
+    # collected vocab — the same integer Viterbi objective
+    # (_viterbi_full_driver), the same (n desc, piece) prune order,
+    # the same floor p_q6 — while the distributed rounds below pay a
+    # span explode + join + HOF DP + checkpoint per round at vocab
+    # size. Distributed path unchanged above the cap, gate-exercised.
+    import math as _math
+    import os as _os
+
+    if (
+        fast_path_max_vocab is not None
+        and _os.environ.get("SPARK_GRAFT_UNIGRAM_FASTPATH", "1") != "0"
+    ):
+        w_rows = words.limit(fast_path_max_vocab + 1).collect()
+        if len(w_rows) <= fast_path_max_vocab:
+            wf = [(r["w"], int(r["freq"])) for r in w_rows]
+            seed: dict = {}
+            for w, f in wf:
+                L = len(w)
+                for i in range(L):
+                    for j in range(i + 1, min(i + max_piece_len, L) + 1):
+                        p = w[i:j]
+                        seed[p] = seed.get(p, 0) + f
+            chars = {p: n for p, n in seed.items() if len(p) == 1}
+            multi = sorted(
+                (
+                    (p, n)
+                    for p, n in seed.items()
+                    if len(p) > 1 and n >= min_count
+                ),
+                key=lambda x: (-x[1], x[0]),
+            )[: seed_cap_factor * vocab_size]
+            piece_n = dict(chars)
+            piece_n.update(dict(multi))
+            for _ in range(n_rounds):
+                recount: dict = {}
+                for w, f in wf:
+                    best = _viterbi_full_driver(w, piece_n, max_piece_len)
+                    if best is None:
+                        continue
+                    for p in best[2]:
+                        recount[p] = recount.get(p, 0) + f
+                kept = {
+                    p: recount.get(p, 0) for p in piece_n if len(p) == 1
+                }
+                for p, n in sorted(
+                    (
+                        (p, n)
+                        for p, n in recount.items()
+                        if len(p) > 1
+                    ),
+                    key=lambda x: (-x[1], x[0]),
+                )[:vocab_size]:
+                    kept[p] = n
+                piece_n = kept
+            total = sum(piece_n.values())
+            return df.sparkSession.createDataFrame(
+                [
+                    (
+                        p,
+                        len(p),
+                        int(n),
+                        (
+                            _math.floor((n * 1000000) / total) / 1e6
+                            if total > 0
+                            else 0.0
+                        ),
+                    )
+                    for p, n in piece_n.items()
+                ],
+                "piece string, piece_len int, n long, p_q6 double",
+            )
     occ = _word_spans(words, max_piece_len)
     pieces = unigram_seed_pieces(
         vocab_size=vocab_size,
@@ -1109,10 +1259,41 @@ def unigram_lm_encode(
         .withColumn("wlen", F.length("w").cast("int"))
     )
     enc = vocab.filter(F.col("wlen") <= max_word_len)
-    best = _viterbi_best(_word_spans(enc, max_piece_len), pieces, inf)
-    per_word = best.select(
-        "w", F.when(F.col("best.k") < inf, F.col("best.k")).alias("toks")
-    )
+    # bounded driver fast path (r10): the per-word min-piece DP runs
+    # in Python over the collected distinct-word vocab and the piece
+    # set (tie fields never change k), and the vocab-sized (w, toks)
+    # map joins back broadcast — the distributed span explode + join +
+    # HOF DP below is the above-cap fallback
+    # (SPARK_GRAFT_UNIGRAM_FASTPATH=0 kill switch, gate-exercised).
+    import os as _os
+
+    per_word = None
+    if _os.environ.get("SPARK_GRAFT_UNIGRAM_FASTPATH", "1") != "0":
+        p_rows = pieces.select("piece").limit(1_000_001).collect()
+        if len(p_rows) <= 1_000_000:
+            w_rows = enc.select("w").limit(500_001).collect()
+            if len(w_rows) <= 500_000:
+                piece_set = {r["piece"] for r in p_rows}
+                mapped = []
+                for r in w_rows:
+                    k = _viterbi_k_driver(
+                        r["w"], piece_set, max_piece_len, inf
+                    )
+                    if k < inf:
+                        mapped.append((r["w"], k))
+                per_word = F.broadcast(
+                    df.sparkSession.createDataFrame(
+                        mapped, "w string, toks int"
+                    )
+                )
+    if per_word is None:
+        best = _viterbi_best(
+            _word_spans(enc, max_piece_len), pieces, inf
+        )
+        per_word = best.select(
+            "w",
+            F.when(F.col("best.k") < inf, F.col("best.k")).alias("toks"),
+        )
     real = F.col("w").isNotNull()
     return (
         stream.join(per_word, "w", "left")

@@ -793,3 +793,37 @@ def test_knn_shapley_fast_path_equals_distributed(spark, sf_dir):
         del os.environ["SPARK_GRAFT_SHAPLEY_FASTPATH"]
     assert fast_top == dist_top and len(fast_top) > 0
     assert fast_all == dist_all and len(fast_all) > len(fast_top)
+
+
+def test_unigram_fast_paths_equal_distributed(spark, sf_dir):
+    """Driver-side seed+EM training and the min-piece encode DP must
+    match the distributed span-explode/HOF plans row for row."""
+    import os
+
+    from pdf_to_vectordb_etl_spark.operators.textanalysis import (
+        unigram_lm_encode,
+        unigram_lm_train,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    fast_t = sorted(
+        tuple(r) for r in unigram_lm_train(docs, vocab_size=32).collect()
+    )
+    pieces = unigram_lm_train(docs, vocab_size=32)
+    fast_e = sorted(
+        tuple(r) for r in unigram_lm_encode(docs, pieces).collect()
+    )
+    os.environ["SPARK_GRAFT_UNIGRAM_FASTPATH"] = "0"
+    try:
+        dist_t = sorted(
+            tuple(r)
+            for r in unigram_lm_train(docs, vocab_size=32).collect()
+        )
+        pieces_d = unigram_lm_train(docs, vocab_size=32)
+        dist_e = sorted(
+            tuple(r) for r in unigram_lm_encode(docs, pieces_d).collect()
+        )
+    finally:
+        del os.environ["SPARK_GRAFT_UNIGRAM_FASTPATH"]
+    assert fast_t == dist_t and len(fast_t) > 0
+    assert fast_e == dist_e and len(fast_e) > 0

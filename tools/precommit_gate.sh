@@ -71,6 +71,10 @@ if [[ "${1:-full}" != "quick" ]]; then
   SPARK_GRAFT_SHAPLEY_FASTPATH=0 python tools/check_oracle.py \
     --sf /root/testdata/sf0.001 knn_shapley
 
+  echo "== distributed unigram-LM paths (driver fast path disabled) =="
+  SPARK_GRAFT_UNIGRAM_FASTPATH=0 python tools/check_oracle.py \
+    --sf /root/testdata/sf0.001 unigram_lm_train unigram_lm_encode
+
   echo "== global-window audit =="
   python tools/audit_global_windows.py
 fi
