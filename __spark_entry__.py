@@ -2090,7 +2090,12 @@ def q_kmeans_centroids(spark, sf):
     0.02005 → 0.0201 vs 0.0200)."""
     from pdf_to_vectordb_etl_spark.operators import clustering
 
-    emb = _t(spark, sf, "embeddings")
+    # repartition: the literal-argmax assign is a pure projection
+    # feeding a map-side partial agg — on this single-file corpus both
+    # would otherwise run on ONE task (funnel lesson; no-op at scale)
+    emb = _t(spark, sf, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     model = clustering.kmeans_fit(emb, k=8, n_iters=2)
     return model.select(
         "cluster_id",
@@ -10706,8 +10711,14 @@ def q_ivf_compact_rebuild(spark, sf):
         ivf_compact_rebuild,
     )
 
-    emb = _t(spark, sf, "embeddings").filter(
-        F.col("embedding").isNotNull()
+    # repartition: the literal-argmax assign is a pure projection, so
+    # on this single-file corpus it would otherwise run on ONE task
+    # (the funnel repartition-before-CPU-work lesson; no-op cost at
+    # real multi-file scale)
+    emb = (
+        _t(spark, sf, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     corpus = emb.filter(F.col("vec_id") >= 2)
     deletions = corpus.filter(F.col("vec_id") % 7 == 3).select("vec_id")

@@ -161,17 +161,26 @@ def kmeans_assign_literal(
 
     if metric not in ("cosine", "l2"):
         raise ValueError(f"unknown metric {metric!r}")
-    carr = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["cluster_id"])).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in r["centroid"]])
-                .cast("array<double>")
-                .alias("cent"),
-                F.lit(_fold_norm(r["centroid"])).alias("nb"),
+
+    # ONE parsed SQL expression instead of ~k*dim F.lit() py4j round
+    # trips (the ivf_assign lesson: 1024 lits cost seconds of pure
+    # driver-side Column construction); CAST('repr' AS DOUBLE)
+    # round-trips every double exactly.
+    def _d(x):
+        return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+    carr = F.expr(
+        "array("
+        + ",".join(
+            "named_struct('cid',{cid},'cent',array({cent}),"
+            "'nb',{nb})".format(
+                cid=int(r["cluster_id"]),
+                cent=",".join(_d(x) for x in r["centroid"]),
+                nb=_d(_fold_norm(r["centroid"])),
             )
             for r in centroid_rows
-        ]
+        )
+        + ")"
     )
 
     def fold(na):

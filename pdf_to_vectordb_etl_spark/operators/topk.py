@@ -170,49 +170,30 @@ def ivf_assign(
     from pyspark.sql import Window
 
     if n_probe == 1:
-        import math
-
-        rows = centroids.collect()
-        if not rows:
-            return df.filter(F.lit(False)).withColumn(
-                "list_id", F.lit(None).cast("int")
-            )
-
-        def _fold_norm(vals):
-            # the EXACT l2_norm fold: left-to-right IEEE adds of
-            # double-cast squares, then a correctly-rounded sqrt —
-            # Python doubles reproduce it bit for bit
-            acc = 0.0
-            for x in vals:
-                xd = float(x)
-                acc += xd * xd
-            return math.sqrt(acc)
-
         from ..functions.vector import l2_norm
 
-        carr = F.array(
-            *[
-                F.struct(
-                    F.lit(int(r["list_id"])).alias("lid"),
-                    F.array(*[F.lit(float(x)) for x in r["centroid"]])
-                    .cast("array<double>")
-                    .alias("cent"),
-                    F.lit(_fold_norm(r["centroid"])).alias("nb"),
-                )
-                for r in rows
-            ]
-        )
-        # the row norm is computed ONCE and bound as a lambda var (the
-        # _bind_array trick — referenced per centroid it would inline
-        # n_lists times under CollapseProject); centroid norms are
-        # driver-precomputed literals. Each candidate then costs one
-        # dot fold instead of three array folds.
+        # the whole quantizer folds to a ONE-ROW array (bounded:
+        # n_lists rows by construction) broadcast-crossJoined in —
+        # no driver collect, no extra job, and array_min is
+        # order-independent so collect_list's nondeterministic order
+        # cannot change the winner. Per-centroid norms are computed
+        # once in the same fold; the row norm binds once as a lambda
+        # var (the _bind_array trick — referenced per centroid it
+        # would inline n_lists times under CollapseProject), so each
+        # candidate costs one dot fold instead of three array folds.
+        one = centroids.select(
+            F.struct(
+                F.col("list_id").alias("lid"),
+                F.col("centroid").alias("cent"),
+                l2_norm(F.col("centroid")).alias("nb"),
+            ).alias("_c")
+        ).agg(F.collect_list("_c").alias("_cents"))
         best = F.element_at(
             F.transform(
                 F.array(l2_norm(F.col(vec_col))),
                 lambda na: F.array_min(
                     F.transform(
-                        carr,
+                        F.col("_cents"),
                         lambda c: F.struct(
                             (
                                 -F.round(
@@ -232,7 +213,16 @@ def ivf_assign(
             ),
             1,
         )
-        return df.withColumn("list_id", best["lid"])
+        return (
+            df.crossJoin(F.broadcast(one))
+            .withColumn("list_id", best["lid"])
+            # an EMPTY quantizer must yield an empty assignment (the
+            # crossJoin+window form's semantics): lid is null exactly
+            # when _cents is empty, never otherwise (null-score rows
+            # still win a tie on lid)
+            .filter(F.col("list_id").isNotNull())
+            .drop("_cents")
+        )
     sim = F.round(cosine_similarity(F.col(vec_col), F.col("centroid")), 6)
     scored = df.crossJoin(F.broadcast(centroids)).withColumn("_csim", sim)
     w = Window.partitionBy(*df.columns).orderBy(F.desc("_csim"), F.col("list_id"))
