@@ -74,6 +74,12 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("p")).alias("c"))
         )
+        # eager localCheckpoint: materializes the tier AND truncates
+        # the logical plan to a leaf (r10 — the dang + contrib double
+        # reference made a persist-only lineage grow ~3x per
+        # iteration; the cluster_pairs k^rounds lesson). A lazy
+        # cascade was measured SLOWER here: each iteration's dang
+        # broadcast is a barrier inside the cascade anyway.
         ranks = (
             nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
             .crossJoin(F.broadcast(dang))
@@ -88,9 +94,8 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        ranks.count()  # materialize before freeing the previous tier
         if prev_ranks is not None and prev_ranks.is_cached:
             prev_ranks.unpersist()
         prev_ranks = ranks

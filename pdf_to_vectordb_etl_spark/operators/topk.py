@@ -588,10 +588,14 @@ def _nn_descent_driver(ids, mat, k: int, rounds: int, chunk_pairs: int = 4_000_0
         norms = np.einsum("ij,ij->i", fmat, fmat)
         gram = fmat @ fmat.T
 
+        gram_flat = gram.ravel()
+
         def _dists(a_idx, b_idx):
-            return (
-                norms[a_idx] + norms[b_idx] - 2.0 * gram[a_idx, b_idx]
-            ).astype(np.int64)
+            # flat-index take beats 2-D fancy indexing for pair gathers
+            g = np.take(gram_flat, a_idx * np.int64(n) + b_idx)
+            return (norms[a_idx] + norms[b_idx] - 2.0 * g).astype(
+                np.int64
+            )
 
     else:
 
@@ -605,10 +609,10 @@ def _nn_descent_driver(ids, mat, k: int, rounds: int, chunk_pairs: int = 4_000_0
 
     def _dedupe_pairs(src, dst, dist):
         # dedupe exact (src, dst) pairs — dist is a pure function, so
-        # ANY occurrence carries the identical value (plain argsort,
-        # no stable/unique machinery needed)
+        # ANY occurrence carries the identical value (plain quicksort
+        # argsort, no stable/unique machinery needed)
         key = src * np.int64(n) + dst
-        o = np.argsort(key)
+        o = np.argsort(key, kind="quicksort")
         sk = key[o]
         first = np.r_[True, sk[1:] != sk[:-1]]
         uq = o[first]
