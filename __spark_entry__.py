@@ -10457,7 +10457,14 @@ def _nndescent_recall_frame(spark, sf, live_only: bool):
         .select("qid", "cand")
     )
     per_q = (
+        # distinct probe ids (ADVICE r10): the fast path's panel is
+        # deduped, so the distributed side must count n_queries over
+        # DISTINCT qids too or the two paths would disagree on a
+        # duplicate-probe panel (unreachable on the fixtures — vec_id
+        # is unique — but the bit-identical contract should hold by
+        # construction)
         pv.select("qid")
+        .dropDuplicates()
         .join(
             visited.groupBy("qid").agg(F.count("*").alias("_nv")),
             "qid",

@@ -6,6 +6,14 @@
 
 Each query is forced with a cheap count/collect so the timed span covers
 scan -> transform -> action. Value = total wall seconds across queries.
+
+r11 (additive, VERDICT r10 item 2): the full contract line is followed
+by ONE short summary line (distinct metric name,
+``headline_queries_total_wall_summary``) that fits inside a 2000-char
+stdout tail, and the complete record is also written to
+``BENCH_FULL.json`` next to this file — so a tail-truncated capture of
+the full line can always be reconstructed. No keys removed or renamed;
+the timing methodology is unchanged.
 """
 
 from __future__ import annotations
@@ -188,18 +196,47 @@ def main() -> None:
         "1.5x min; re-run before believing regressions)"
     )
     print(f"# noise verdict: {verdict}", file=sys.stderr)
+    record = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_median": medians,
+        "noise_verdict": verdict,
+        "noisy_query_count": noisy,
+        "calibration_s": calibration_s,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+    }
+    print(json.dumps(record))
+    # the full line above is ~4.5k chars and the driver's stored record
+    # keeps only a 2000-char stdout tail — r9's per-query numbers were
+    # lost to exactly that truncation (PERF_r10: prev_bench_ok=false,
+    # n_common=0). Two ADDITIVE mitigations (same queries, same
+    # methodology, the full contract line is unchanged and still
+    # printed first): (1) persist the complete record to a committed
+    # file, (2) append one SHORT summary line — distinct metric name so
+    # any parser keyed on the real metric ignores it — that always fits
+    # whole inside a 2000-char tail.
+    try:
+        full_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+        )
+        with open(full_path, "w") as fh:
+            json.dump(record, fh, indent=1)
+    except OSError:
+        full_path = None
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
+                "metric": "headline_queries_total_wall_summary",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "queries_median": medians,
+                "n_queries": len(timings),
+                "calibration_s": calibration_s,
                 "noise_verdict": verdict,
                 "noisy_query_count": noisy,
-                "calibration_s": calibration_s,
-                "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+                "sf": record["sf"],
+                "full_record": "BENCH_FULL.json" if full_path else None,
             }
         )
     )

@@ -59,7 +59,19 @@ def pagerank(
     n = nodes.count()
     has_out = probs.select("src").distinct()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    prev_ranks = None
+    # localCheckpointed tiers are NOT registered with the CacheManager
+    # (is_cached stays False), so releasing a finished generation needs
+    # the r9 suffixes bookkeeping: diff the persisted RDD ids around
+    # each checkpoint and unpersist the PREVIOUS generation once the
+    # new tier is materialized (ADVICE r10 — the old is_cached guard
+    # was dead code and every iteration's tier leaked until GC).
+    from pdf_to_vectordb_etl_spark.operators.suffixes import (
+        _persisted_rdd_ids,
+        _unpersist_rdds,
+    )
+
+    sc = edges.sparkSession.sparkContext
+    prev_gen: set | None = None
     for _ in range(iterations):
         # dangling mass rides as a broadcast 1-row aggregate instead
         # of a per-iteration driver collect (r10): the scalar never
@@ -80,6 +92,7 @@ def pagerank(
         # iteration; the cluster_pairs k^rounds lesson). A lazy
         # cascade was measured SLOWER here: each iteration's dang
         # broadcast is a barrier inside the cascade anyway.
+        seen = _persisted_rdd_ids(sc)
         ranks = (
             nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
             .crossJoin(F.broadcast(dang))
@@ -96,9 +109,13 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
-        if prev_ranks is not None and prev_ranks.is_cached:
-            prev_ranks.unpersist()
-        prev_ranks = ranks
+        new_gen = _persisted_rdd_ids(sc) - seen
+        if prev_gen:
+            # the new tier is materialized, so the previous generation
+            # can never be read again (a released local checkpoint is
+            # unrecomputable — only safe because of that)
+            _unpersist_rdds(sc, prev_gen)
+        prev_gen = new_gen
     # free the per-iteration inputs; the FINAL ranks stay cached (the
     # node table may be huge — never collected) and the caller may
     # unpersist it when done. Before this cleanup every iteration

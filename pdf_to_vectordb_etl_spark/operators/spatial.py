@@ -228,11 +228,12 @@ def skyline_2d(
     d2 = df.withColumn("_sky_x", xc).withColumn("_sky_y", yc)
     ytype = d2.schema["_sky_y"].dataType
     xmins = d2.groupBy("_sky_x").agg(F.min("_sky_y").alias("_ymin"))
-    parts = max(
-        2, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    )
+    # size-aware range exchange (r11): no explicit partition count —
+    # AQE coalesces the distinct-x table to its data volume instead of
+    # fanning a kilobyte intermediate out to one task per core (the
+    # c8-beats-c32 finding on the rank primitives; same fix class).
     ranged = (
-        xmins.repartitionByRange(parts, "_sky_x")
+        xmins.repartitionByRange("_sky_x")
         .select("_sky_x", "_ymin", F.spark_partition_id().alias("_pid"))
         .localCheckpoint(eager=True)
     )

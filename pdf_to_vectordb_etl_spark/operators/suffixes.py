@@ -72,22 +72,36 @@ def global_dense_rank(
     single-partition Window.
 
     Range-partition the distinct keys (equal keys are never split by a
-    RangePartitioner), dense-rank within each partition (Window keyed
-    on spark_partition_id — every partition ranks in parallel), then
-    shift by the cumulative distinct-count of the partitions before it.
-    Driver-side state: one (pid, n_distinct) row per shuffle partition.
-    Returns ``df`` with ``out_col`` joined on (broadcast of the ranked
-    key table is NOT assumed — the join is a plain equi-join on the
-    keys, shuffling 8-byte ranks)."""
-    from pyspark.sql import Window
+    RangePartitioner), number within each partition, then shift by the
+    cumulative distinct-count of the partitions before it. Driver-side
+    state: one (pid, n_distinct) row per partition. Returns ``df`` with
+    ``out_col`` joined on (broadcast of the ranked key table is NOT
+    assumed — the join is a plain equi-join on the keys, shuffling
+    8-byte ranks).
 
+    SIZE-AWARE partitioning (r11): the range exchange carries no
+    explicit partition count, so AQE coalesces it to the data volume
+    (``advisoryPartitionSizeInBytes``) instead of pinning it to the
+    core-count default — kilobyte intermediates stop paying a 32-task
+    scheduling tail and 100 TB inputs still fan out to the configured
+    shuffle parallelism. Per-partition numbering (r11) is
+    ``monotonically_increasing_id`` over the partition-sorted rows —
+    its documented layout keeps a consecutive 0-based row counter in
+    the low 33 bits — replacing the dense_rank Window whose
+    hashpartitioning(_pid) requirement forced a SECOND full exchange
+    of the key table right after the range exchange (the keys are
+    distinct rows, so dense_rank == row_number; parity pinned by
+    test_mid_numbering_matches_window)."""
     keys = df.select(*key_cols).distinct()
-    parts = max(2, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
-    ranged = keys.repartitionByRange(parts, *key_cols)
-    pid = F.spark_partition_id().alias("_pid")
-    w = Window.partitionBy("_pid").orderBy(*key_cols)
-    local = ranged.select(*key_cols, pid).withColumn(
-        "_lrk", F.dense_rank().over(w)
+    ranged = keys.repartitionByRange(*key_cols).sortWithinPartitions(
+        *key_cols
+    )
+    local = ranged.select(
+        *key_cols,
+        F.spark_partition_id().alias("_pid"),
+        (
+            F.monotonically_increasing_id().bitwiseAND((1 << 33) - 1) + 1
+        ).alias("_lrk"),
     )
     local = local.localCheckpoint(eager=True)
     sizes = (
@@ -442,18 +456,25 @@ def _row_numbered(
 ) -> tuple[DataFrame, int]:
     """Shared machinery: (df + exact 1-based global row number, total
     row count) under ORDER BY ``order_cols`` — range-partition the
-    rows, row_number per partition (Window keyed on the partition id,
-    fully parallel), shift by cumulative per-partition counts. Driver
-    state: one count per shuffle partition."""
-    from pyspark.sql import Window
+    rows, number within each partition, shift by cumulative
+    per-partition counts. Driver state: one count per partition.
 
-    parts = max(2, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
-    ranged = df.repartitionByRange(parts, *order_cols)
-    local = ranged.withColumn("_pid", F.spark_partition_id()).withColumn(
+    r11: the range exchange is size-aware (no explicit partition
+    count — AQE coalesces to data volume, not core count) and the
+    per-partition numbering comes from ``monotonically_increasing_id``
+    over the partition-sorted rows (consecutive 0-based counter in the
+    low 33 bits) instead of a row_number Window — the Window's
+    hashpartitioning(_pid) requirement forced a second full exchange
+    of the rows right after the range exchange. Parity pinned by
+    test_mid_numbering_matches_window."""
+    ranged = df.repartitionByRange(*order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    local = ranged.withColumn(
+        "_pid", F.spark_partition_id()
+    ).withColumn(
         "_lrn",
-        F.row_number().over(
-            Window.partitionBy("_pid").orderBy(*order_cols)
-        ),
+        F.monotonically_increasing_id().bitwiseAND((1 << 33) - 1) + 1,
     )
     local = local.localCheckpoint(eager=True)
     sizes = (
@@ -501,8 +522,11 @@ def global_prefix_sum(
     placement-dependent).  The first row's prefix sum is 0."""
     from pyspark.sql import Window
 
-    parts = max(2, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
-    ranged = df.repartitionByRange(parts, *order_cols)
+    # size-aware range exchange (r11): no explicit partition count, so
+    # AQE coalesces to data volume instead of the core-count default.
+    # The running sum keeps its Window (a per-row cumulative needs the
+    # scan); only the partition sizing changed.
+    ranged = df.repartitionByRange(*order_cols)
     w = (
         Window.partitionBy("_pid")
         .orderBy(*order_cols)

@@ -166,7 +166,14 @@ def ivf_assign(
     comparator as the window's (desc sim, list_id) rank-1, and
     cosine_similarity casts every element to double, so literal
     (double) centroids compute the identical IEEE value the original
-    float arrays did."""
+    float arrays did.
+
+    Duplicate-row caveat (ADVICE r10): the old window partitioned by
+    ``*df.columns``, so fully-duplicate input ROWS collapsed to one
+    assigned row; the n_probe=1 projection assigns and KEEPS every
+    duplicate row. Every caller in this engine feeds unique-id rows
+    (the fixtures pin that); dedupe first if the collapse semantics
+    are relied upon."""
     from pyspark.sql import Window
 
     if n_probe == 1:
@@ -885,26 +892,18 @@ def nn_descent_graph(
     return g
 
 
-def _beam_probe_driver(src_ids, dst_ids, c_ids, c_mat, p_ids, p_mat, hops, beam):
-    """Driver fast path for the beam probe (the _nn_descent_driver
-    pattern): the whole hops-round loop as vectorized exact-int64
-    numpy over the collected micro matrices — BIT-IDENTICAL to the
-    distributed loop (same integer arithmetic, same (dist, cand) beam
-    tie order — ``c_ids`` is sorted ascending so index order == id
-    order; dedupe on (probe, cand) where dist is a pure function;
-    property-pinned by tests). Each distributed hop costs a join
-    cascade of physical planning regardless of data size; this does
-    the identical arithmetic in milliseconds. Returns (qid, cand,
-    dist) id-space arrays — the visited set."""
+def _graph_csr(src_ids, dst_ids, c_ids):
+    """Map a (src, dst) edge list onto corpus-INDEX space and build
+    the CSR adjacency. Edges whose endpoint is absent from the sorted
+    ``c_ids`` are DROPPED, exactly like the distributed equi-joins.
+    Returns (gd, start, cnt): out-neighbor corpus indices grouped by
+    source, per-source slice starts and counts."""
     import numpy as np
 
     n = len(c_ids)
-    nq = len(p_ids)
-    if n == 0 or nq == 0:
+    if n == 0:
         z = np.zeros(0, dtype=np.int64)
         return z, z, z
-    # map edges onto corpus indices; an edge endpoint absent from the
-    # corpus is DROPPED, exactly like the distributed equi-joins
     si = np.searchsorted(c_ids, src_ids)
     di = np.searchsorted(c_ids, dst_ids)
     ok = (
@@ -916,6 +915,25 @@ def _beam_probe_driver(src_ids, dst_ids, c_ids, c_mat, p_ids, p_mat, hops, beam)
     gs, gd = si[order], di[order]
     cnt = np.bincount(gs, minlength=n)
     start = np.r_[np.int64(0), np.cumsum(cnt)][:-1]
+    return gd, start, cnt
+
+
+def _beam_probe_core(gd, start, cnt, c_mat, p_mat, hops, beam):
+    """The hops-round beam loop in corpus-INDEX space — vectorized
+    exact-int64 numpy, BIT-IDENTICAL to the distributed loop (same
+    integer arithmetic, same (dist, cand) beam tie order — the caller
+    passes an id-SORTED corpus so index order == id order; dedupe on
+    (probe, cand) where dist is a pure function; property-pinned).
+    Shared by the driver fast path AND the hop-fused distributed
+    (mapInPandas) path, so the two can never drift. Returns (P probe
+    index, C corpus index, D dist) arrays — the visited set."""
+    import numpy as np
+
+    n = c_mat.shape[0] if c_mat.ndim == 2 else 0
+    nq = p_mat.shape[0] if p_mat.ndim == 2 else 0
+    if n == 0 or nq == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z
 
     def _dists(p_idx, c_idx):
         # chunked exact int64 per-pair arithmetic — the identical
@@ -961,6 +979,27 @@ def _beam_probe_driver(src_ids, dst_ids, c_ids, c_mat, p_ids, p_mat, hops, beam)
         key = aP * np.int64(n) + aC
         _, uq = np.unique(key, return_index=True)
         P, C, D = aP[uq], aC[uq], aD[uq]
+    return P, C, D
+
+
+def _beam_probe_driver(src_ids, dst_ids, c_ids, c_mat, p_ids, p_mat, hops, beam):
+    """Driver fast path for the beam probe (the _nn_descent_driver
+    pattern): CSR-map the k-bounded edge list onto the id-sorted
+    corpus (:func:`_graph_csr`) and run the whole hops-round loop as
+    vectorized exact-int64 numpy (:func:`_beam_probe_core`). Each
+    distributed hop costs a join cascade of physical planning
+    regardless of data size; this does the identical arithmetic in
+    milliseconds. Returns (qid, cand, dist) id-space arrays — the
+    visited set."""
+    import numpy as np
+
+    n = len(c_ids)
+    nq = len(p_ids)
+    if n == 0 or nq == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z
+    gd, start, cnt = _graph_csr(src_ids, dst_ids, c_ids)
+    P, C, D = _beam_probe_core(gd, start, cnt, c_mat, p_mat, hops, beam)
     return p_ids[P], c_ids[C], D
 
 
@@ -1003,7 +1042,14 @@ def _beam_probe_fast_arrays(
     p_rows = pv0.limit(fast_path_max_probes + 1).collect()
     if len(p_rows) > fast_path_max_probes:
         return None
-    g_rows = graph.select("src", "dst").collect()
+    # limit-probe the edge list too (ADVICE r10): the k-bounded-graph
+    # contract caps edges at nodes * k, but a caller passing duplicate
+    # edges or a huge k must fall back instead of OOMing the driver.
+    # 64 comfortably exceeds every k this engine builds (<= 16).
+    max_edges = fast_path_max_nodes * 64
+    g_rows = graph.select("src", "dst").limit(max_edges + 1).collect()
+    if len(g_rows) > max_edges:
+        return None
     c_ids = np.array([r["cid"] for r in c_rows], dtype=np.int64)
     c_mat = np.array([r["cq"] for r in c_rows], dtype=np.int64)
     c_ord = np.argsort(c_ids)
@@ -1059,6 +1105,114 @@ def _topk_per_qid(qid, cand, dist, k):
     return keep
 
 
+def _beam_probe_bsp(
+    graph,
+    corpus,
+    probes,
+    hops,
+    beam,
+    vec_col,
+    id_col,
+    max_nodes: int = 100_000,
+    max_edges: int = 4_000_000,
+):
+    """Hop-FUSED distributed beam probe (r11): the join-cascade
+    fallback pays one graph equi-join + one corpus equi-join + one
+    per-probe window + one checkpoint PER HOP — ``hops`` barrier
+    cascades at any scale. In the serving regime the index artifact
+    (quantized corpus panel + k-bounded edge list) is bounded while
+    the probe panel is not; when the artifact fits a broadcast, ship
+    it to the executors ONCE and run every hop of every probe inside
+    one ``mapInPandas`` pass over the probe partitions (guide §3
+    "broadcast the small side", §4 "vectorized kernel per batch") —
+    the per-hop Exchanges disappear and the probe panel never
+    shuffles. Per-probe work is independent and the kernel is the
+    SAME :func:`_beam_probe_core` the driver fast path runs, so the
+    visited set is bit-identical to both other paths (parity-pinned);
+    the final ``dropDuplicates`` reproduces the cascade's set
+    semantics for duplicate probe ids (identical rows — dist is a
+    pure function — so it only collapses, never chooses).
+
+    Returns the visited (qid, cand, dist) DataFrame, or ``None`` when
+    the artifact exceeds the caps or under ``SPARK_GRAFT_NN_BSP=0``
+    (the join cascade then runs and stays gate-exercised)."""
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_NN_BSP", "1") == "0":
+        return None
+    import numpy as np
+
+    from pdf_to_vectordb_etl_spark.operators.valuation import (
+        _quantize_micro,
+    )
+
+    spark = corpus.sparkSession
+    c_rows = (
+        corpus.select(
+            F.col(id_col).alias("cid"), _quantize_micro(vec_col).alias("cq")
+        )
+        .limit(max_nodes + 1)
+        .collect()
+    )
+    if len(c_rows) > max_nodes:
+        return None
+    g_pdf = (
+        graph.select("src", "dst").limit(max_edges + 1).toPandas()
+    )
+    if len(g_pdf) > max_edges:
+        return None
+    c_ids = np.array([r["cid"] for r in c_rows], dtype=np.int64)
+    c_mat = np.array([r["cq"] for r in c_rows], dtype=np.int64)
+    c_ord = np.argsort(c_ids)
+    c_ids_s = c_ids[c_ord]
+    c_mat_s = np.ascontiguousarray(c_mat[c_ord]) if len(c_rows) else c_mat
+    gd, gstart, gcnt = _graph_csr(
+        g_pdf["src"].to_numpy(np.int64),
+        g_pdf["dst"].to_numpy(np.int64),
+        c_ids_s,
+    )
+    bc = spark.sparkContext.broadcast((c_ids_s, c_mat_s, gd, gstart, gcnt))
+    dim = c_mat_s.shape[1] if c_mat_s.ndim == 2 else 0
+
+    def _run(batches):
+        import numpy as np
+        import pandas as pd
+
+        cb_ids, cb_mat, bgd, bstart, bcnt = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            p_ids = pdf["qid"].to_numpy(np.int64)
+            p_mat = (
+                np.array(list(pdf["pq"]), dtype=np.int64)
+                if dim
+                else np.zeros((len(p_ids), 0), dtype=np.int64)
+            )
+            # first occurrence per probe id within the batch — the
+            # driver fast path's convention; identical duplicates
+            # across batches collapse in the dropDuplicates below
+            u_vals, u_first = np.unique(p_ids, return_index=True)
+            P, C, D = _beam_probe_core(
+                bgd,
+                bstart,
+                bcnt,
+                cb_mat,
+                np.ascontiguousarray(p_mat[u_first]),
+                hops,
+                beam,
+            )
+            yield pd.DataFrame(
+                {"qid": u_vals[P], "cand": cb_ids[C], "dist": D}
+            )
+
+    pv = probes.select(
+        F.col(id_col).alias("qid"), _quantize_micro(vec_col).alias("pq")
+    )
+    return pv.mapInPandas(
+        _run, "qid bigint, cand bigint, dist bigint"
+    ).dropDuplicates(["qid", "cand"])
+
+
 def nn_descent_beam_probe(
     graph: DataFrame,
     corpus: DataFrame,
@@ -1088,8 +1242,13 @@ def nn_descent_beam_probe(
     ``SPARK_GRAFT_NN_FASTPATH=0``), the whole loop runs on the driver
     over the collected micro matrices + k-bounded edge list
     (:func:`_beam_probe_driver`) — bit-identical visited set,
-    property-pinned; the distributed join loop below is the automatic
-    fallback above the caps and is exercised at gate time."""
+    property-pinned. Above the driver caps (or with the fast path
+    killed), the hop-FUSED distributed path runs when the index
+    artifact fits a broadcast (:func:`_beam_probe_bsp`, r11 — one
+    mapInPandas pass instead of a join cascade per hop); the join
+    cascade below is the final fallback (``SPARK_GRAFT_NN_BSP=0`` or
+    an over-cap artifact) and both distributed paths are exercised at
+    gate time."""
     from pdf_to_vectordb_etl_spark.operators.valuation import (
         _quantize_micro,
     )
@@ -1108,6 +1267,11 @@ def nn_descent_beam_probe(
             pd.DataFrame({"qid": qid_a, "cand": cand_a, "dist": dist_a}),
             schema="qid bigint, cand bigint, dist bigint",
         )
+    bsp = _beam_probe_bsp(
+        graph, corpus, probes, hops, beam, vec_col, id_col
+    )
+    if bsp is not None:
+        return bsp
     qv = corpus.select(
         F.col(id_col).alias("cid"), _quantize_micro(vec_col).alias("cq")
     ).localCheckpoint(eager=True)
@@ -1402,6 +1566,7 @@ def nn_descent_tombstone_search(
         graph, corpus, probes, hops, beam, vec_col, id_col,
         16_000, 20_000,
     )
+    visited = None
     if res is not None:
         d_rows = deletions.select(F.col(id_col)).limit(16_001).collect()
         if len(d_rows) <= 16_000:
@@ -1425,11 +1590,23 @@ def nn_descent_tombstone_search(
                 ),
                 schema="qid bigint, cand bigint, dist bigint",
             )
-    visited = nn_descent_beam_probe(
-        graph, corpus, probes,
-        hops=hops, beam=beam, k=k, vec_col=vec_col, id_col=id_col,
-        fast_path_max_nodes=None if res is None else 16_000,
-    )
+        # deletions exceed the bounded-artifact cap: REUSE the
+        # already-computed visited set (ADVICE r10 — this branch used
+        # to discard it and re-run the identical beam probe) and let
+        # the distributed anti-join/top-k below serve from it.
+        import pandas as pd
+
+        qid, cand, dist = res
+        visited = corpus.sparkSession.createDataFrame(
+            pd.DataFrame({"qid": qid, "cand": cand, "dist": dist}),
+            schema="qid bigint, cand bigint, dist bigint",
+        )
+    if visited is None:
+        visited = nn_descent_beam_probe(
+            graph, corpus, probes,
+            hops=hops, beam=beam, k=k, vec_col=vec_col, id_col=id_col,
+            fast_path_max_nodes=None,
+        )
     alive = visited.join(
         F.broadcast(
             deletions.select(F.col(id_col).alias("cand")).distinct()

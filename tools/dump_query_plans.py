@@ -1,12 +1,13 @@
 #!/usr/bin/env python
 """Dump .explain("formatted") for named registry queries into
-plans/r10/<name>_<tag>.txt — the optimization round's before/after
-plan evidence (guide §1: capture the plan shape for every query you
-touch).
+plans/$SPARK_GRAFT_PLANS_DIR/<name>_<tag>.txt (default plans/r11) —
+the optimization round's before/after plan evidence (guide §1: capture
+the plan shape for every query you touch).
 
 Usage: python tools/dump_query_plans.py <tag> <query> [query ...]
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default 32).
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_PLANS_DIR (default r11).
 """
 
 from __future__ import annotations
@@ -26,9 +27,13 @@ def main() -> None:
     import __spark_entry__ as entry
     from pdf_to_vectordb_etl_spark.session import get_spark
 
-    spark = get_spark(app_name="dump_plans_r10", master=f"local[{cpus}]")
+    spark = get_spark(app_name="dump_plans", master=f"local[{cpus}]")
     qs = entry.queries()
-    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r10")
+    outdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_DIR", "r11"),
+    )
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         if name not in qs:

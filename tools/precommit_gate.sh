@@ -53,8 +53,13 @@ if [[ "${1:-full}" != "quick" ]]; then
   # SPARK_GRAFT_NN_FASTPATH=0 disables BOTH the build and the r10
   # beam-probe fast paths, so this one sweep exercises the full
   # distributed serving plan too.
+  # FASTPATH=0 exercises the hop-FUSED distributed beam probe (BSP,
+  # r11); adding NN_BSP=0 exercises the per-hop join cascade — the
+  # final fallback when the index artifact exceeds the broadcast caps.
   SPARK_GRAFT_NN_FASTPATH=0 python tools/check_oracle.py \
     --sf /root/testdata/sf0.001 ann_nndescent_recall
+  SPARK_GRAFT_NN_FASTPATH=0 SPARK_GRAFT_NN_BSP=0 python tools/check_oracle.py \
+    --sf /root/testdata/sf0.001 ann_nndescent_recall ann_tombstone_search
 
   echo "== distributed merge-loop path (driver fast path disabled) =="
   # same contract for the r10 tokenizer-training fast path: the
